@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session factory with the engine's baseline configuration (BASELINE.md):
+  * AQE on, shuffle partitions sized to local cores (not 200), UTC, and
+  * nanos-as-long so the driver's `events` table (TIMESTAMP(NANOS) parquet,
+  * which Spark has no native type for) is readable. */
+object GraftSession {
+  def builder(master: String, cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** events.ts read under nanosAsLong is LONG nanos → TimestampType (µs). */
+  def nanosToTimestamp(tsNanos: Column): Column =
+    timestamp_micros((tsNanos / 1000).cast("long"))
+}

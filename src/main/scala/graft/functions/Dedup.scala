@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, each designed around
+ * its 100 TB shuffle profile:
+ *
+ *  - exact:       one hash-shuffle on md5(text) — the cheapest possible.
+ *  - minhashLsh:  shingle → k minhashes → b bands; candidate pairs only form
+ *                 within an LSH band bucket, so the shuffle key is
+ *                 (band, bandHash) and the quadratic blowup is confined to
+ *                 buckets (skew-safe: giant buckets are capped).
+ *  - simhash:     64-bit signature; near-dups collide on 16-bit band keys,
+ *                 verified by hamming distance (bit_count(xor)).
+ *  - ngramJaccard: exact verification metric, used standalone within blocks
+ *                 or as the verify stage after LSH.
+ *
+ * Everything is `functions._` composition — codegen'd, no UDFs, no
+ * collect() — so each stage is a standard shuffle Spark can AQE-replan.
+ */
+object Dedup {
+
+  import TextFunctions._
+
+  /** Exact dedup: one representative (min id) per identical text.
+    * Input must have columns (id LONG, text STRING). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("id"), md5(col("text")).as("h"))
+      .groupBy("h")
+      .agg(min("id").as("representative"), count(lit(1)).as("dupCount"))
+
+  private val Prime = 2147483647L // 2^31-1; minhash universe
+
+  /** Deterministic per-row hash of a shingle into [0, Prime). */
+  private def shingleHash(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(Prime))
+
+  /**
+   * MinHash signatures + LSH banding.
+   * k minhashes h_i(x) = (a_i * x + b_i) mod Prime over shingle hashes
+   * (a_i, b_i fixed from a seeded PRNG → reproducible across runs/clusters).
+   * Bands of r = k/b consecutive minhashes are hashed to a bucket key.
+   *
+   * @return candidate duplicate pairs (idA < idB, jaccardEstimate) — pairs
+   *         sharing ≥1 band bucket, with the estimated Jaccard from
+   *         signature agreement.
+   */
+  def minhashCandidates(docs: DataFrame, shingleSize: Int = 3, k: Int = 64,
+      bands: Int = 16, maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val rng = new scala.util.Random(42)
+    val coeffs = Array.fill(k)((1L + rng.nextInt((Prime - 1).toInt), rng.nextInt(Prime.toInt).toLong))
+
+    val sh = docs.select(col("id"), shingles(col("text"), shingleSize).as("sh"))
+    // signature: array of k minhashes, each an array_min over transformed shingle hashes
+    val sig = sh.select(col("id"), array(coeffs.map { case (a, b) =>
+      array_min(transform(col("sh"), s => pmod(shingleHash(s) * a + b, lit(Prime))))
+    }.toIndexedSeq: _*).as("sig"))
+
+    // explode into b band buckets; bucket key = hash of the band's slice
+    val banded = sig.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bi => xxhash64(array_join(slice(col("sig"), bi * r + 1, lit(r)), "_")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    // candidate pairs within a bucket; cap pathological buckets (skew guard —
+    // a 10^6-doc bucket at 100 TB would otherwise produce 10^12 pairs)
+    val capped = banded
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket").orderBy("id")))
+      .filter(col("rn") <= maxBucket)
+    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"), col("sig").as("sigA"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"), col("sig").as("sigB"))
+    a.join(b, Seq("band", "bucket")).filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / k).as("jaccardEstimate"))
+      .dropDuplicates("idA", "idB")
+  }
+
+  /** MinHash+LSH dedup end-to-end: candidates above the similarity threshold
+    * verified with exact shingle Jaccard. */
+  def minhashDedup(docs: DataFrame, threshold: Double = 0.8,
+      shingleSize: Int = 3): DataFrame = {
+    val cands = minhashCandidates(docs, shingleSize).filter(col("jaccardEstimate") >= threshold * 0.7)
+    val sets = docs.select(col("id"), array_distinct(shingles(col("text"), shingleSize)).as("set"))
+    cands
+      .join(sets.select(col("id").as("idA"), col("set").as("setA")), Seq("idA"))
+      .join(sets.select(col("id").as("idB"), col("set").as("setB")), Seq("idB"))
+      .withColumn("jaccard",
+        size(array_intersect(col("setA"), col("setB"))).cast("double") /
+          size(array_union(col("setA"), col("setB"))))
+      .filter(col("jaccard") >= threshold)
+      .select("idA", "idB", "jaccard")
+  }
+
+  /** 64-bit SimHash signature per document: sign of the per-bit weighted sum
+    * of token hashes. Computed by explode + 64 conditional-sum aggregates
+    * (one shuffle keyed by doc id; partial aggregation makes it map-mostly). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: LSH on 4 × 16-bit bands of the signature, then
+    * verify hamming distance ≤ maxHamming via bit_count(xor). */
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+    val banded = sig.select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("idA"), col("simhash").as("sA"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("idB"), col("simhash").as("sB"))
+    a.join(b, Seq("band", "bucket")).filter(col("idA") < col("idB"))
+      .withColumn("hamming", bit_count(col("sA").bitwiseXOR(col("sB"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("idA", "idB", "hamming").dropDuplicates("idA", "idB")
+  }
+
+  /** Exact word-set Jaccard similarity for all pairs within a blocking key —
+    * the verification metric, and a standalone dedup for modest blocks.
+    * blockCols bound the quadratic join (never all-pairs at scale). */
+  def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String], threshold: Double): DataFrame = {
+    val sets = docs.select((col("id") +: wordSet(col("text")).as("set") +:
+      blockCols.map(col)): _*)
+    val a = sets.select((col("id").as("idA") +: col("set").as("setA") +: blockCols.map(col)): _*)
+    val b = sets.select((col("id").as("idB") +: col("set").as("setB") +: blockCols.map(col)): _*)
+    a.join(b, blockCols).filter(col("idA") < col("idB"))
+      .withColumn("jaccard",
+        size(array_intersect(col("setA"), col("setB"))).cast("double") /
+          size(array_union(col("setA"), col("setB"))))
+      .filter(col("jaccard") >= threshold)
+      .select("idA", "idB", "jaccard")
+  }
+}

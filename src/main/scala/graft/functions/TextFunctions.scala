@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: language
+ * ID, quality scoring, token counting, fingerprinting. All are composed from
+ * codegen'd `org.apache.spark.sql.functions` (no UDFs) so they stay inside
+ * WholeStageCodegen and scale linearly — each is a narrow map over the
+ * `documents` table, no shuffle.
+ */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Distinct-word set (order-normalized) — basis for Jaccard/fingerprints. */
+  def wordSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces + digits + punctuation counted
+    * separately, ~the shape of a GPT-2-style pre-tokenizer regex. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Fraction of tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = filter(toks, t => t.isin(enStop.map(lit): _*))
+    when(size(toks) === 0, 0.0).otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** n-gram-free language-ID heuristic: stopword hit rate + ASCII ratio.
+    * Returns "en" when English stopwords are frequent, "other" otherwise —
+    * deterministic, SQL-expressible (oracle-checkable). */
+  def langId(text: Column): Column =
+    when(stopwordRatio(text) >= 0.08, "en").otherwise("other")
+
+  /** Quality score in [0,1]: blend of length, alpha ratio, punctuation
+    * balance and stopword signal (heuristics in the spirit of C4/Gopher
+    * quality filters, computed columnar). */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val lenScore = least(len / 500.0, lit(1.0))
+    val alpha = regexp_count(text, lit("[A-Za-z]")).cast("double") / greatest(len, lit(1.0))
+    val punct = regexp_count(text, lit("[.,;:!?]")).cast("double") / greatest(len, lit(1.0))
+    val punctScore = lit(1.0) - least(punct * 10.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore * 0.3 + alpha * 0.3 + punctScore * 0.2 + stopScore * 0.2), 4)
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted distinct
+    * word set — cheap bag-of-words identity for near-dup blocking. */
+  def wordSetFingerprint(text: Column): Column =
+    md5(array_join(array_sort(wordSet(text)), " "))
+
+  /** Rolling polynomial hash over tokens (order-sensitive), mod 2^31-1 —
+    * the classic Rabin-Karp document fingerprint, via the `aggregate`
+    * higher-order function (stays codegen'd, no UDF). */
+  def rollingHashFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(1000000007L)), lit(2147483647L)))
+
+  /** Word n-gram shingles (n consecutive tokens joined by space). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+}

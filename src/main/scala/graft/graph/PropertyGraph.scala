@@ -1,0 +1,93 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Labeled property graph as two columnar tables — the Spark-native
+ * replacement for the reference's record stores + index-free adjacency
+ * (neo4j NodeRecord/RelationshipRecord linked lists,
+ * community/record-storage-engine/.../record/NodeRecord.java:32-35,
+ * RelationshipRecord.java:29-37). Adjacency here is an equi-join on id
+ * columns, which Spark executes as broadcast/shuffled hash joins and
+ * which scales horizontally — the linked-list layout would not.
+ *
+ * Canonical schemas (SURVEY §1.4):
+ *   nodes: id LONG, labels ARRAY<STRING>, <typed property columns…>
+ *   rels:  id LONG, src LONG, dst LONG, type STRING, <typed property columns…>
+ *
+ * Property columns are promoted typed columns (Parquet dictionary/RLE +
+ * min-max pruning apply); absent properties are NULL, matching Cypher's
+ * "missing property IS NULL" semantics exactly.
+ */
+final case class PropertyGraph(nodes: DataFrame, rels: DataFrame) {
+
+  /** NodeByLabelScan (reference LogicalPlan.scala:2703): label predicate on
+    * the labels array. With nodes partitioned by primary label this becomes
+    * partition pruning at scale. */
+  def nodesByLabel(label: String): DataFrame =
+    nodes.filter(array_contains(col("labels"), label))
+
+  /** UnionNodeByLabelsScan :4748 — nodes having ANY of the labels. */
+  def nodesByAnyLabel(labels: Seq[String]): DataFrame =
+    nodes.filter(arrays_overlap(col("labels"), lit(labels.toArray)))
+
+  /** IntersectionNodeByLabelsScan :2413 — nodes having ALL labels. */
+  def nodesByAllLabels(labels: Seq[String]): DataFrame =
+    nodes.filter(labels.map(l => array_contains(col("labels"), l)).reduce(_ && _))
+
+  /** NodeByIdSeek :2684. For a large id set, pass ids as a DataFrame and
+    * join instead (broadcast if small). */
+  def nodesById(ids: Seq[Long]): DataFrame =
+    nodes.filter(col("id").isin(ids: _*))
+
+  /** DirectedRelationshipTypeScan :1732. */
+  def relsByType(tpe: String): DataFrame = rels.filter(col("type") === tpe)
+
+  def relsByTypes(types: Seq[String]): DataFrame =
+    rels.filter(col("type").isin(types: _*))
+
+  /** Undirected view: every relationship in both orientations
+    * (UndirectedAllRelationshipsScan :4220). Narrow map-only union — no
+    * shuffle, 2× rows, which is exactly what the reference's undirected
+    * iteration does per node. */
+  def undirectedRels: DataFrame = {
+    val swapped = rels
+      .withColumnRenamed("src", "__tmp_src")
+      .withColumnRenamed("dst", "src")
+      .withColumnRenamed("__tmp_src", "dst")
+    rels.unionByName(swapped.select(rels.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Degree per node (GetDegree rewrite, reference getDegreeRewriter.scala):
+    * one shuffle, reusable; at scale this is the pre-aggregated degree table. */
+  def degrees(direction: Direction = Direction.Out): DataFrame = direction match {
+    case Direction.Out  => rels.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    case Direction.In   => rels.groupBy(col("dst").as("id")).agg(count(lit(1)).as("degree"))
+    case Direction.Both => undirectedRels.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+  }
+
+  def cache(): PropertyGraph = PropertyGraph(nodes.cache(), rels.cache())
+}
+
+sealed trait Direction
+object Direction {
+  case object Out  extends Direction
+  case object In   extends Direction
+  case object Both extends Direction
+}
+
+object PropertyGraph {
+  /** Load a graph persisted as parquet (nodes/, rels/ under `dir`). */
+  def load(spark: SparkSession, dir: String): PropertyGraph =
+    PropertyGraph(
+      spark.read.parquet(s"$dir/nodes"),
+      spark.read.parquet(s"$dir/rels"))
+
+  /** Persist; at cluster scale partition rels by type then bucket by src so
+    * expand() joins are co-partitioned. */
+  def save(g: PropertyGraph, dir: String): Unit = {
+    g.nodes.write.mode("overwrite").parquet(s"$dir/nodes")
+    g.rels.write.mode("overwrite").partitionBy("type").parquet(s"$dir/rels")
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.graph.{Direction, TpchGraph}
+import graft.ops.{Bfs, Expand, Triadic, VarExpand}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph-operator coverage (SURVEY §2.3): these run through the engine's
+ * actual traversal operators (Expand/VarExpand/Bfs/Triadic over the
+ * PropertyGraph projection of the driver tables), while the oracle
+ * re-derives the same answer relationally in DuckDB — so the oracle is an
+ * independent implementation, not a restatement.
+ */
+object GraphQueries {
+  import QueryDef.t
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Expand (All) :2012 through the PropertyGraph: Customer-[:PLACED]->Order
+    // then filter on the far node's property (hydration join).
+    QueryDef("q_graph_expand",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val custs = g.nodesByLabel("Customer").select(col("id").as("c"), col("key").as("c_key"))
+        val expanded = Expand.expandAll(g, custs, "c", Some("PLACED"), Direction.Out, "r", "o")
+        val orders = g.nodesByLabel("Order")
+          .select(col("id").as("o"), col("totalprice"))
+        expanded.join(orders, "o").filter(col("totalprice") > 300000)
+          .groupBy(col("c_key")).agg(count(lit(1)).as("n_big_orders"))
+      },
+      Some("""SELECT c_custkey AS c_key, count(*) AS n_big_orders
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |WHERE o_totalprice > 300000 GROUP BY c_custkey""".stripMargin)),
+
+    // ExpandInto :2012 — both endpoints already bound (here: every
+    // nation×region candidate pair), the operator verifies the edge exists
+    // on the composite (src, dst) key and binds the rel.
+    QueryDef("q_graph_expand_into",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val nations = g.nodesByLabel("Nation").select(col("id").as("n"), col("name").as("nation"))
+        val regions = g.nodesByLabel("Region").select(col("id").as("rg"), col("name").as("region"))
+        val candidates = nations.crossJoin(regions) // tiny×tiny
+        Expand.expandInto(g, candidates, "n", "rg", Some("IN_REGION"), Direction.Out, "r")
+          .select(col("nation"), col("region"))
+      },
+      Some("""SELECT n_name AS nation, r_name AS region
+             |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
+    // VarExpand :2057 — (c:Customer)-[*1..2]->(x) over FROM/IN_REGION edges:
+    // depth 1 reaches the nation, depth 2 the region. Exercises the bounded
+    // iterative-join loop incl. rel-uniqueness bookkeeping.
+    QueryDef("q_var_expand",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val start = g.nodesByLabel("Customer").filter(col("key") < 200)
+          .select(col("id").as("c"), col("key").as("c_key"))
+        val paths = VarExpand.varExpand(g, start, "c",
+          relTypes = Seq("FROM", "IN_REGION"), Direction.Out, minHops = 1, maxHops = 2)
+        val names = g.nodes.select(col("id").as("end"), col("name"))
+        paths.join(names, "end")
+          .select(col("c_key"), col("name").as("reached"), col("depth"))
+      },
+      Some("""SELECT c_custkey AS c_key, n_name AS reached, 1 AS depth
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_custkey < 200
+             |UNION ALL
+             |SELECT c_custkey, r_name, 2
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE c_custkey < 200""".stripMargin)),
+
+    // PruningVarExpand :2089 / BFSPruningVarExpand :2119 — distinct nodes at
+    // hop distance 1..2, via the frontier BFS (not path enumeration).
+    QueryDef("q_pruning_expand",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val edges = g.rels.select(col("src"), col("dst"))
+        val sources = g.nodesByLabel("Customer").filter(col("key") < 100)
+          .select(col("id").as("source"))
+        Bfs.pruningExpand(edges, sources, 1, 2)
+          .join(g.nodes.select(col("id").as("node"), element_at(col("labels"), 1).as("label")), "node")
+          .groupBy(col("label"), col("dist")).agg(count(lit(1)).as("n"))
+      },
+      // customers reach: dist1 = their nation + their orders; dist2 = the
+      // region + parts/suppliers of those orders (distinct per source).
+      Some("""WITH src AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey < 100),
+             |d1n AS (SELECT c_custkey, c_nationkey FROM src),
+             |d1o AS (SELECT s.c_custkey, o.o_orderkey FROM src s JOIN orders o ON o.o_custkey = s.c_custkey),
+             |d2r AS (SELECT DISTINCT s.c_custkey, n.n_regionkey FROM src s JOIN nation n ON s.c_nationkey = n.n_nationkey),
+             |d2p AS (SELECT DISTINCT o.c_custkey, l.l_partkey FROM d1o o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+             |d2s AS (SELECT DISTINCT o.c_custkey, l.l_suppkey FROM d1o o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+             |SELECT 'Nation' AS label, 1 AS dist, count(*) AS n FROM d1n
+             |UNION ALL SELECT 'Order', 1, count(*) FROM d1o
+             |UNION ALL SELECT 'Region', 2, count(*) FROM d2r
+             |UNION ALL SELECT 'Part', 2, count(*) FROM d2p
+             |UNION ALL SELECT 'Supplier', 2, count(*) FROM d2s""".stripMargin)),
+
+    // FindShortestPaths :2178 — BFS distances over the per-customer order
+    // succession chain (order_i -> order_{i+1} by date): the distance from a
+    // customer's first order to its k-th equals k-1; max distance = n-1.
+    QueryDef("q_shortest_chain",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val seq0 = orders.select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"))
+        val edges = seq0.alias("a").join(seq0.alias("b"),
+            col("a.o_custkey") === col("b.o_custkey") && col("b.rn") === col("a.rn") + 1)
+          .select(col("a.o_orderkey").as("src"), col("b.o_orderkey").as("dst"))
+        val sources = seq0.filter(col("rn") === 1)
+          .select(col("o_orderkey").as("source"), col("o_custkey"))
+        val dist = Bfs.distances(edges, sources.select("source"), maxDepth = 50)
+        dist.groupBy(col("source")).agg(max(col("dist")).as("chain_hops"))
+          .join(sources, "source")
+          .select(col("o_custkey").as("custkey"), col("chain_hops"))
+      },
+      Some("""SELECT o_custkey AS custkey, CAST(count(*) - 1 AS INT) AS chain_hops
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    // Connected components (graph-algo surplus; reference ships shortest-path
+    // variants in community/graph-algo) — nations linked iff same region;
+    // component id = min nation key in the region.
+    QueryDef("q_connected_components",
+      (s, d) => {
+        val n = t(s, d, "nation")
+        val edges = n.alias("a").join(n.alias("b"),
+            col("a.n_regionkey") === col("b.n_regionkey") &&
+              col("a.n_nationkey") < col("b.n_nationkey"))
+          .select(col("a.n_nationkey").cast("long").as("src"),
+            col("b.n_nationkey").cast("long").as("dst"))
+        Bfs.connectedComponents(edges)
+          .select(col("node").as("nationkey"), col("component"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+             |  CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS component
+             |FROM nation""".stripMargin)),
+
+    // TriadicSelection :4160 — nation-level trade graph (customer's nation ->
+    // supplier's nation via an order); find a->c reachable in 2 hops with no
+    // direct edge.
+    QueryDef("q_triadic",
+      (s, d) => {
+        val orders = t(s, d, "orders"); val li = t(s, d, "lineitem")
+        val cust = t(s, d, "customer"); val supp = t(s, d, "supplier")
+        val edges = orders
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .select(col("c_nationkey").cast("long").as("src"),
+            col("s_nationkey").cast("long").as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        Triadic.triadicSelection(edges, positive = false)
+          .select(col("a"), col("c")).distinct()
+      },
+      Some("""WITH e AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src,
+             |    CAST(s_nationkey AS BIGINT) AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  WHERE c_nationkey <> s_nationkey)
+             |SELECT DISTINCT e1.src AS a, e2.dst AS c
+             |FROM e e1 JOIN e e2 ON e1.dst = e2.src
+             |WHERE e1.src <> e2.dst
+             |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = e1.src AND e.dst = e2.dst)""".stripMargin)),
+
+    // Undirected expand (UndirectedAllRelationshipsScan :4220): degree per
+    // node label treating edges as undirected — 2|E| endpoints total.
+    QueryDef("q_undirected_degree",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        g.degrees(Direction.Both)
+          .join(g.nodes.select(col("id"), element_at(col("labels"), 1).as("label")), "id")
+          .groupBy(col("label"))
+          .agg(sum(col("degree")).as("total_degree"), count(lit(1)).as("n_nodes"))
+      },
+      // every edge contributes one endpoint row per side; total_degree per
+      // label = endpoint count, n_nodes = distinct touched nodes.
+      Some("""WITH endp AS (
+             |  SELECT 'Nation' AS label, n_nationkey AS k FROM nation
+             |  UNION ALL SELECT 'Region', n_regionkey FROM nation
+             |  UNION ALL SELECT 'Customer', c_custkey FROM customer
+             |  UNION ALL SELECT 'Nation', c_nationkey FROM customer
+             |  UNION ALL SELECT 'Supplier', s_suppkey FROM supplier
+             |  UNION ALL SELECT 'Nation', s_nationkey FROM supplier
+             |  UNION ALL SELECT 'Customer', o_custkey FROM orders
+             |  UNION ALL SELECT 'Order', o_orderkey FROM orders
+             |  UNION ALL SELECT 'Order', l_orderkey FROM lineitem
+             |  UNION ALL SELECT 'Part', l_partkey FROM lineitem
+             |  UNION ALL SELECT 'Order', l_orderkey FROM lineitem
+             |  UNION ALL SELECT 'Supplier', l_suppkey FROM lineitem)
+             |SELECT label, count(*) AS total_degree, count(DISTINCT k) AS n_nodes
+             |FROM endp GROUP BY label""".stripMargin))
+  )
+}

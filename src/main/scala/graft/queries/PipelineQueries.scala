@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.functions.{Dedup, Similarity, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM training-data pipeline operators over `documents` / `embeddings`
+ * (first-class components per the build brief): dedup family, similarity
+ * search, text analysis. Oracles re-derive results in DuckDB SQL where the
+ * computation is deterministic; the probabilistic sketches (minhash,
+ * simhash, LSH) are validated in ScalaTest against exact ground truth
+ * instead (see DedupSpec) and ship as rows-only entries.
+ */
+object PipelineQueries {
+  import QueryDef.t
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents").select(col("doc_id").as("id"), col("text"), col("lang"), col("source"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: hash-groupBy on md5(text) — one shuffle.
+    QueryDef("q_dedup_exact",
+      (s, d) => Dedup.exact(docs(s, d))
+        .select(col("h"), col("representative"), col("dupCount")),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS representative,
+             |  count(*) AS dupCount
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // Exact n-gram (word-set) Jaccard pairs within (lang, source) blocks —
+    // the verification metric of the dedup family, blocked so the pair join
+    // never goes quadratic in the corpus.
+    QueryDef("q_dedup_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(docs(s, d), Seq("lang", "source"), 0.5)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard")),
+      Some("""WITH sets AS (SELECT doc_id, lang, source,
+             |    list_distinct(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS ws
+             |  FROM documents)
+             |SELECT a.doc_id AS idA, b.doc_id AS idB,
+             |  round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
+             |FROM sets a JOIN sets b
+             |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+             |      len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5""".stripMargin)),
+
+    // MinHash+LSH near-dup (sketch → band-bucket join → exact verify).
+    // Probabilistic pipeline: validated against exact Jaccard in DedupSpec;
+    // rows-only check here.
+    QueryDef("q_dedup_minhash",
+      (s, d) => Dedup.minhashDedup(docs(s, d), threshold = 0.5)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard")),
+      None),
+
+    // SimHash near-dup (64-bit signature, 16-bit band LSH, hamming verify).
+    QueryDef("q_dedup_simhash",
+      (s, d) => Dedup.simhashDedup(docs(s, d), maxHamming = 6)
+        .select(col("idA"), col("idB"), col("hamming")),
+      None),
+
+    // Brute-force cosine top-k — exact ANN baseline. Query vectors 0..4
+    // against the full corpus; ids only (rank ties broken by id).
+    QueryDef("q_knn_bruteforce",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.bruteForceTopK(corpus, queries, 10)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("id"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             |    FROM embeddings WHERE vec_id < 5),
+             |scored AS (SELECT q.qid, e.vec_id AS id,
+             |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+             |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+             |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+             |    ORDER BY sim DESC, id ASC) AS INT) AS rank, id
+             |FROM scored QUALIFY rank <= 10""".stripMargin)),
+
+    // LSH-bucketed ANN (scale path) + embedding-cosine near-dup pairs —
+    // approximate by construction: recall measured against brute force in
+    // SimilaritySpec; rows-only here.
+    QueryDef("q_knn_lsh",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding"))).first().getInt(0)
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.lshTopK(corpus, queries, 10, dim, nBits = 8)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("id"))
+      },
+      None),
+
+    QueryDef("q_cosine_near_dup",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dim = emb.select(size(col("embedding"))).first().getInt(0)
+        Similarity.cosineNearDup(
+          emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          threshold = 0.40, dim, nBits = 6)
+          .select(col("idA"), col("idB"), round(col("sim"), 3).as("sim"))
+      },
+      None),
+
+    // Text analysis: token counts (whitespace + BPE-ish regex).
+    QueryDef("q_token_count",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+          col("n_chars")),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS BIGINT) AS n_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+             |  n_chars
+             |FROM documents""".stripMargin)),
+
+    // Language-ID heuristic (stopword hit rate) — deterministic formula,
+    // identical on both sides.
+    QueryDef("q_lang_id",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("n")),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS tk
+             |  FROM documents),
+             |r AS (SELECT doc_id, CASE WHEN len(tk) = 0 THEN 0.0
+             |    ELSE CAST(len(list_filter(tk, w -> list_contains(
+             |      ['the','a','of','and','to','in','is','on','for','with'], w))) AS DOUBLE) / len(tk)
+             |    END AS ratio FROM toks)
+             |SELECT CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'other' END AS pred_lang,
+             |  count(*) AS n
+             |FROM r GROUP BY 1""".stripMargin)),
+
+    // Quality scoring (length/alpha/punctuation/stopword blend).
+    QueryDef("q_quality_score",
+      (s, d) => t(s, d, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality")),
+      Some("""WITH base AS (SELECT doc_id, text,
+             |    CAST(length(text) AS DOUBLE) AS len,
+             |    list_filter(string_split_regex(lower(text), '\s+'), w -> length(w) > 0) AS tk
+             |  FROM documents WHERE doc_id < 500),
+             |m AS (SELECT doc_id,
+             |    least(len / 500.0, 1.0) AS len_score,
+             |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / greatest(len, 1.0) AS alpha,
+             |    1.0 - least(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / greatest(len, 1.0) * 10.0, 1.0) AS punct_score,
+             |    least(CASE WHEN len(tk) = 0 THEN 0.0
+             |      ELSE CAST(len(list_filter(tk, w -> list_contains(
+             |        ['the','a','of','and','to','in','is','on','for','with'], w))) AS DOUBLE) / len(tk) END * 4.0, 1.0) AS stop_score
+             |  FROM base)
+             |SELECT doc_id, round(len_score * 0.3 + alpha * 0.3 + punct_score * 0.2 + stop_score * 0.2, 4) AS quality
+             |FROM m""".stripMargin)),
+
+    // Document fingerprints: order-insensitive md5 over the sorted word set
+    // (oracle-checked) — the rolling-hash variant is spec-tested.
+    QueryDef("q_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.wordSetFingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("representative"), count(lit(1)).as("n")),
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(
+             |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0))), ' ')) AS fp,
+             |  min(doc_id) AS representative, count(*) AS n
+             |FROM documents GROUP BY 1""".stripMargin))
+  )
+}
