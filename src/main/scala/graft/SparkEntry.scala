@@ -27,7 +27,8 @@ object SparkEntry {
   }
 
   private val all: Seq[QueryDef] =
-    RelationalQueries.defs ++ ExpressionQueries.defs ++ GraphQueries.defs ++ PipelineQueries.defs
+    RelationalQueries.defs ++ ExpressionQueries.defs ++ GraphQueries.defs ++
+      PipelineQueries.defs ++ EventQueries.defs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -31,19 +31,23 @@ object Bfs {
    */
   def distances(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select(col("src").as("__s"), col("dst").as("__d"))
+      .localCheckpoint(false)
     var visited = sources.select(col("source"), col("source").as("node"), lit(0).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint() // eager: frontier/visited are materialized RDDs, so
+                         // each round's plan is one join + one anti-join, not
+                         // the whole history replayed by isEmpty
     var frontier = visited
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      var next = frontier.join(e, col("node") === col("__s"))
+      frontier = frontier.join(e, col("node") === col("__s"))
         .select(col("source"), col("__d").as("node"))
         .distinct()
         .join(visited.select("source", "node"), Seq("source", "node"), "left_anti")
         .withColumn("dist", lit(depth))
-      if (depth % CheckpointEvery == 0) next = next.localCheckpoint()
-      frontier = next
+        .localCheckpoint()
+      // visited stays a union of already-checkpointed frontiers (no
+      // recompute); re-checkpoint periodically to keep the plan shallow
       visited = visited.unionByName(frontier)
       if (depth % CheckpointEvery == 0) visited = visited.localCheckpoint()
     }
@@ -84,16 +88,17 @@ object Bfs {
     var iter = 0
     while (changedCount > 0 && iter < maxIter) {
       iter += 1
-      // neighbor-min pass: component(n) := min(component(n), min over nbrs)
+      // neighbor-min pass: component(n) := min(component(n), min over nbrs);
+      // one joined materialization per round serves both the update and the
+      // convergence check
       val nbrMin = sym.join(comp.withColumnRenamed("node", "b"), Seq("b"))
         .groupBy(col("a").as("node")).agg(min(col("component")).as("nbrComp"))
-      val next = comp.join(nbrMin, Seq("node"), "left_outer")
+      val joined = comp.join(nbrMin, Seq("node"), "left_outer").localCheckpoint()
+      changedCount = joined.filter(col("nbrComp") < col("component")).count()
+      comp = joined
         .select(col("node"),
           least(col("component"), coalesce(col("nbrComp"), col("component"))).as("component"))
         .localCheckpoint()
-      changedCount = next.join(comp.withColumnRenamed("component", "old"), Seq("node"))
-        .filter(col("component") < col("old")).count()
-      comp = next
     }
     comp
   }

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.GraftSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream analytics over the `events` table — the batch twins of the
+ * Structured Streaming surface (graft.streaming): tumbling windows,
+ * session windows (gaps-and-islands), distinct users. The streaming
+ * versions share the same expressions; these oracle-checked batch forms
+ * pin their semantics.
+ *
+ * events.ts is TIMESTAMP(NANOS) parquet — read as LONG nanos (see
+ * GraftSession) and converted; DuckDB reads the same column natively.
+ */
+object EventQueries {
+  import QueryDef.t
+
+  private def events(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "events").withColumn("ts", GraftSession.nanosToTimestamp(col("ts")))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling window aggregation (streaming: groupBy(window($"ts","1 hour"))).
+    QueryDef("q_events_tumbling",
+      (s, d) => events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS total
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Session windows (streaming: session_window($"ts", "30 minutes")) —
+    // batch gaps-and-islands: a session breaks after >30 min idle.
+    QueryDef("q_events_sessions",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("gap",
+            when(col("us") - lag(col("us"), 1).over(byUser) > 1800L * 1000000L, 1)
+              .otherwise(when(lag(col("us"), 1).over(byUser).isNull, 1).otherwise(0)))
+          .groupBy(col("user_id"))
+          .agg(sum(col("gap")).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+      },
+      Some("""WITH g AS (SELECT user_id, epoch_us(ts) AS us,
+             |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+             |         OR lag(us) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+             |    THEN 1 ELSE 0 END AS gap
+             |  FROM events)
+             |SELECT user_id, CAST(sum(gap) AS BIGINT) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM g GROUP BY user_id""".stripMargin)),
+
+    // Exact count(DISTINCT …) per group.
+    QueryDef("q_events_distinct_users",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             |  count(*) AS n_events
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // approx_count_distinct (HLL) — reference has exact-only aggregation
+    // (SURVEY §2.5 gap); sketch estimates are implementation-specific →
+    // rows-only check, accuracy asserted in AggregationSpec.
+    QueryDef("q_events_approx_distinct",
+      (s, d) => events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users")),
+      None)
+  )
+}

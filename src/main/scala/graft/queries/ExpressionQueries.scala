@@ -49,10 +49,10 @@ object ExpressionQueries {
     // Regex `=~` — Cypher is FULL match: anchor the pattern (SURVEY §2.9).
     QueryDef("q_regex_match",
       (s, d) => t(s, d, "customer")
-        .filter(col("c_name").rlike("^Customer#0{4}1[0-9]{2}$"))
+        .filter(col("c_name").rlike("^Customer#0{6}1[0-9]{2}$"))
         .select(col("c_custkey"), col("c_name")),
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE regexp_full_match(c_name, 'Customer#0{4}1[0-9]{2}')""".stripMargin)),
+             |WHERE regexp_full_match(c_name, 'Customer#0{6}1[0-9]{2}')""".stripMargin)),
 
     // Math functions (functions/Abs…Sign; Cypher round = HALF_UP which is
     // DuckDB round's behavior too; Spark round is HALF_UP — they agree).

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality tests for the probabilistic dedup family: the sketches (minhash,
+  * simhash) must find planted near-duplicates and agree with exact Jaccard
+  * ground truth — this is the verification the DuckDB oracle can't do. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills and wind moves through tall trees near the old stone bridge"
+  private val nearDup = base.replace("lazy", "sleepy") // 1-word edit
+  private val unrelated = "completely different content about spark query engines columnar storage partition pruning shuffle exchange broadcast join adaptive execution"
+
+  private def docs = Seq(
+    (0L, base), (1L, nearDup), (2L, base), (3L, unrelated),
+    (4L, "short text"), (5L, "short text")
+  ).toDF("id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs).collect()
+    val byRep = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byRep(0L) === 2) // ids 0 and 2
+    assert(byRep(4L) === 2) // ids 4 and 5
+    assert(out.length === 4) // 4 distinct texts
+  }
+
+  test("minhash finds the near-duplicate pair and skips unrelated") {
+    val pairs = Dedup.minhashDedup(docs, threshold = 0.6)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // (idA,idB) order varies by select
+    val flat = pairs.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+    assert(flat.contains(0L -> 1L) || flat.contains(1L -> 0L), s"missing near-dup pair in $pairs")
+    assert(!flat.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("minhash estimate tracks exact jaccard on identical docs") {
+    val cands = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exactPair = cands.getOrElse((0L, 2L), cands.getOrElse((2L, 0L), -1.0))
+    assert(exactPair === 1.0, "identical docs must have estimate 1.0")
+  }
+
+  test("simhash hamming distance is 0 for identical, small for near-dup") {
+    val pairs = Dedup.simhashDedup(docs, maxHamming = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getInt(2)))
+    val m = pairs.flatMap(p => Seq((p._1, p._2) -> p._3, (p._2, p._1) -> p._3)).toMap
+    assert(m((0L, 2L)) === 0)
+    assert(m.get((0L, 1L)).exists(_ <= 10), s"near-dup hamming too large: $m")
+    assert(!m.contains((0L, 3L)), "unrelated pair must not survive")
+  }
+
+  test("ngramJaccardPairs computes exact word-set jaccard") {
+    val d = Seq((0L, "a b c d", "x"), (1L, "a b c e", "x"), (2L, "z", "x"))
+      .toDF("id", "text", "blk")
+    val out = Dedup.ngramJaccardPairs(d, Seq("blk"), 0.5).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 0L && out.head.getLong(1) === 1L)
+    assert(math.abs(out.head.getDouble(2) - 3.0 / 5.0) < 1e-12)
+  }
+}

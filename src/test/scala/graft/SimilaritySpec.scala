@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vector similarity: brute-force exactness on hand-computed cosines, and
+  * LSH recall against the brute-force ground truth. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("cosine column computes the textbook value") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(
+      Similarity.cosine(Similarity.asDouble(col("a")), Similarity.asDouble(col("b"))))
+      .first().getDouble(0)
+    assert(math.abs(got - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self, breaks ties by id") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(0.9f, 0.1f)),   // closest
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f)),   // orthogonal
+      (4L, Array(-1.0f, 0.0f))   // opposite
+    ).toDF("id", "vec")
+    val queries = corpus.filter(col("id") === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val out = Similarity.bruteForceTopK(corpus, queries, 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("LSH top-k recall against brute force on random vectors") {
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val data = (0L until 300L).map(i => (i, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val corpus = data.toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    // few hyperplane bits → big buckets → high recall (trade tested here)
+    val approx = Similarity.lshTopK(corpus, queries, 10, dim, nBits = 2).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall too low: $recall")
+  }
+
+  test("cosineNearDup finds planted duplicate vector") {
+    val base = Array.fill(8)(1.0f)
+    val dup = base.clone(); dup(0) = 0.99f
+    val other = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val corpus = Seq((0L, base), (1L, dup), (2L, other)).toDF("id", "vec")
+    val out = Similarity.cosineNearDup(corpus, 0.99, 8, nBits = 2).collect()
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+    assert(!out.exists(r => r.getLong(1) == 2L || r.getLong(0) == 2L))
+  }
+}

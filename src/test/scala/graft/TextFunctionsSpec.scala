@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(Tuple1(text)).toDF("t").select(c).first().getAs[T](0)
+
+  test("tokens splits on whitespace and drops empties") {
+    assert(one[Seq[String]](tokens(col("t")), "a  b\t c\nd ") === Seq("a", "b", "c", "d"))
+  }
+
+  test("tokenCount and bpeTokenCount") {
+    assert(one[Int](tokenCount(col("t")), "hello world 42!") === 3)
+    // bpe-ish: [hello][world][4][2][!]
+    assert(one[Int](bpeTokenCount(col("t")), "hello world 42!") === 5)
+  }
+
+  test("langId flags stopword-rich text as en") {
+    assert(one[String](langId(col("t")), "the cat sat on the mat with a hat") === "en")
+    assert(one[String](langId(col("t")), "xyzzy plugh zork grue frobozz") === "other")
+  }
+
+  test("shingles produce word n-grams, short docs collapse to one") {
+    assert(one[Seq[String]](shingles(col("t"), 2), "a b c") === Seq("a b", "b c"))
+    assert(one[Seq[String]](shingles(col("t"), 5), "a b") === Seq("a b"))
+  }
+
+  test("wordSetFingerprint is word-order insensitive") {
+    val a = one[String](wordSetFingerprint(col("t")), "b a c")
+    val b = one[String](wordSetFingerprint(col("t")), "c b a a")
+    assert(a === b)
+  }
+
+  test("rollingHashFingerprint is order sensitive") {
+    val a = one[Long](rollingHashFingerprint(col("t")), "a b")
+    val b = one[Long](rollingHashFingerprint(col("t")), "b a")
+    assert(a !== b)
+  }
+
+  test("qualityScore in [0,1], higher for natural text") {
+    val nat = one[Double](qualityScore(col("t")),
+      "The quick brown fox jumps over the lazy dog and runs through the field with great joy.")
+    val junk = one[Double](qualityScore(col("t")), "!!! ??? ,,, ;;; ...")
+    assert(nat > junk)
+    assert(nat >= 0.0 && nat <= 1.0 && junk >= 0.0 && junk <= 1.0)
+  }
+}
