@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Updating operators (SURVEY §2.8) as pure PropertyGraph → PropertyGraph
+ * transforms: Create :1217, Merge :2602 (ON MATCH / ON CREATE), SetLabels
+ * :3686 / RemoveLabels :3492, SetNodeProperty :3695, Delete/DetachDelete
+ * :1240-:1315 — reference pipes CreatePipe/MergePipe/SetPipe/DeletePipe.
+ *
+ * The reference applies updates in-place under locks; Spark-native updates
+ * are batch rewrites of immutable snapshots (persisted via GraphStore,
+ * which gives the snapshot isolation the reference gets from its
+ * transaction machinery). Each op is a join/union — shuffle on the id key,
+ * no driver-side loops — so a 100 TB MERGE is one co-partitioned full-outer
+ * join.
+ *
+ * Cypher's "updates visible to later clauses" (Eager :1940 semantics) holds
+ * by construction: each op returns a new graph value that later ops read.
+ */
+object UpdateOps {
+
+  /** CREATE new nodes. Caller provides ids (e.g. via GraphStore.nextIdRange
+    * or a deterministic scheme like TpchGraph's); columns are conformed to
+    * the target schema with NULL for absent properties. */
+  def createNodes(g: PropertyGraph, newNodes: DataFrame): PropertyGraph =
+    g.copy(nodes = g.nodes.unionByName(conform(newNodes, g.nodes), allowMissingColumns = false))
+
+  def createRels(g: PropertyGraph, newRels: DataFrame): PropertyGraph =
+    g.copy(rels = g.rels.unionByName(conform(newRels, g.rels), allowMissingColumns = false))
+
+  private def conform(df: DataFrame, target: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    target.schema.fields.foldLeft(df) { (acc, f) =>
+      if (present(f.name)) acc
+      else acc.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(target.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /**
+   * MERGE on node id (Delta-style MERGE INTO without Delta): full-outer join
+   * target×source on id; matched rows get `onMatch` column updates, unmatched
+   * source rows are inserted with `onCreate` applied.
+   *
+   * @param source   rows with `id` + any property columns to set
+   * @param onMatch  property -> expression over (target columns, source
+   *                 columns prefixed `src_`) applied to matched rows
+   * @param onCreate same, applied to inserted rows
+   */
+  def mergeNodes(
+      g: PropertyGraph, source: DataFrame,
+      onMatch: Map[String, Column] = Map.empty,
+      onCreate: Map[String, Column] = Map.empty): PropertyGraph = {
+    val src = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, s"src_$c"))
+    val joined = g.nodes.join(src, col("id") === col("src_id"), "full_outer")
+    val matched = col("id").isNotNull && col("src_id").isNotNull
+    val insertOnly = col("id").isNull
+
+    val outCols = g.nodes.columns.map { c =>
+      val base = c match {
+        case "id" => coalesce(col("id"), col("src_id"))
+        case _ =>
+          val fromSrc = if (src.columns.contains(s"src_$c")) col(s"src_$c") else lit(null)
+          val whenMatched = onMatch.get(c) match {
+            case Some(m) => when(matched, m).otherwise(col(c))
+            case None    => col(c)
+          }
+          when(insertOnly, onCreate.getOrElse(c, fromSrc)).otherwise(whenMatched)
+      }
+      base.as(c)
+    }
+    g.copy(nodes = joined.select(outCols.toIndexedSeq: _*))
+  }
+
+  /** SET n:Label / REMOVE n:Label for the node ids in `ids`. */
+  def setLabels(g: PropertyGraph, ids: DataFrame, add: Seq[String] = Nil,
+      remove: Seq[String] = Nil): PropertyGraph = {
+    val flagged = g.nodes.join(ids.select(col("id")).withColumn("__hit", lit(true)),
+      Seq("id"), "left_outer")
+    val withAdd =
+      if (add.isEmpty) col("labels")
+      else array_union(col("labels"), lit(add.toArray))
+    val withRemove =
+      if (remove.isEmpty) withAdd
+      else array_except(withAdd, lit(remove.toArray))
+    g.copy(nodes = flagged
+      .withColumn("labels", when(col("__hit"), withRemove).otherwise(col("labels")))
+      .drop("__hit"))
+  }
+
+  /** SET n.prop = expr for matching ids (SetNodeProperty :3695). */
+  def setNodeProperty(g: PropertyGraph, ids: DataFrame, prop: String, value: Column): PropertyGraph = {
+    val flagged = g.nodes.join(ids.select(col("id")).withColumn("__hit", lit(true)),
+      Seq("id"), "left_outer")
+    g.copy(nodes = flagged
+      .withColumn(prop, when(col("__hit"), value).otherwise(col(prop)))
+      .drop("__hit"))
+  }
+
+  /**
+   * DELETE / DETACH DELETE nodes. Plain DELETE must fail on nodes that still
+   * have relationships (Cypher semantics); DETACH also removes incident
+   * rels. Validation is a count, not a collect — scales.
+   */
+  def deleteNodes(g: PropertyGraph, ids: DataFrame, detach: Boolean): PropertyGraph = {
+    val idsOnly = ids.select(col("id"))
+    if (!detach) {
+      val incident = g.rels.join(idsOnly,
+        col("src") === col("id") || col("dst") === col("id"), "left_semi")
+      val n = incident.count()
+      require(n == 0, s"Cannot DELETE nodes with $n incident relationships — use DETACH DELETE")
+      g.copy(nodes = g.nodes.join(idsOnly, Seq("id"), "left_anti"))
+    } else {
+      val keptRels = g.rels
+        .join(idsOnly.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(idsOnly.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        .select(g.rels.columns.map(col).toIndexedSeq: _*)
+      PropertyGraph(g.nodes.join(idsOnly, Seq("id"), "left_anti"), keptRels)
+    }
+  }
+
+  def deleteRels(g: PropertyGraph, relIds: DataFrame): PropertyGraph =
+    g.copy(rels = g.rels.join(relIds.select(col("id")), Seq("id"), "left_anti"))
+}
