@@ -17,7 +17,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  /** events.ts read under nanosAsLong is LONG nanos → TimestampType (µs). */
+  /** events.ts read under nanosAsLong is LONG nanos → TimestampType (µs).
+    * Integer division (`div`), not `/`: epoch nanos exceed double's 2^53
+    * exact range, so float division could be ±1µs off vs DuckDB. */
   def nanosToTimestamp(tsNanos: Column): Column =
-    timestamp_micros((tsNanos / 1000).cast("long"))
+    timestamp_micros((tsNanos.cast("decimal(20,0)") / lit(1000)).cast("long"))
 }

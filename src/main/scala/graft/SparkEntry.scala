@@ -28,7 +28,7 @@ object SparkEntry {
 
   private val all: Seq[QueryDef] =
     RelationalQueries.defs ++ ExpressionQueries.defs ++ GraphQueries.defs ++
-      PipelineQueries.defs ++ EventQueries.defs
+      PipelineQueries.defs ++ EventQueries.defs ++ UpdateQueries.defs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -52,44 +52,58 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: component h[j][d] derived from
-    * xxhash64(j, d) — identical on every executor without shipping state. */
-  private def hyperplaneBit(vec: Column, j: Int, dim: Int): Column = {
+    * xxhash64(j, d) — identical on every executor without shipping state.
+    * Vector dimension is taken from the array itself (size(vec)), so no
+    * driver-side probe of the data is ever needed to build the plan. */
+  private def hyperplaneBit(vec: Column, j: Int): Column = {
     // sum_d vec[d] * u(j,d), u in [-1,1) from a hash — sign bit is the bucket bit
     val contrib = aggregate(
-      zip_with(vec, sequence(lit(0), lit(dim - 1)),
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
         (x, d) => x * (pmod(xxhash64(lit(j), d), lit(1000003L)).cast("double") / 500001.5 - 1.0)),
       lit(0.0), (acc, v) => acc + v)
     when(contrib >= 0, lit(1L << j)).otherwise(0L)
   }
 
   /** Random-hyperplane LSH bucket id (nBits sign bits) per vector. */
-  def lshBucket(vec: Column, dim: Int, nBits: Int = 12): Column =
-    (0 until nBits).map(j => hyperplaneBit(vec, j, dim)).reduce(_.bitwiseOR(_))
+  def lshBucket(vec: Column, nBits: Int = 12): Column =
+    (0 until nBits).map(j => hyperplaneBit(vec, j)).reduce(_.bitwiseOR(_))
 
   /**
-   * Approximate top-k: candidates restricted to vectors sharing the query's
-   * LSH bucket (single-probe here; multiprobe = also explode neighbor
-   * buckets at hamming distance 1). Falls back to fewer than k results when
-   * a bucket is sparse — the standard ANN recall/latency trade.
+   * Approximate top-k with multiprobe: each query probes its own bucket plus
+   * every bucket at hamming distance 1 (nBits+1 probes total), which is the
+   * standard recall fix for sign-LSH — near neighbors most often differ in
+   * exactly one marginal sign bit. The probe explosion happens on the
+   * (small, broadcast) query side only; the corpus is still hashed and
+   * shuffled once by bucket key, so the 100 TB side does no extra work.
    */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int, nBits: Int = 12): DataFrame = {
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 12): DataFrame = {
     val c = corpus.select(col("id"), asDouble(col("vec")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), dim, nBits))
+      .withColumn("bucket", lshBucket(col("v"), nBits))
+    val probes = (0 until nBits).map(j => col("bucket0").bitwiseXOR(lit(1L << j)))
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), dim, nBits))
+      .withColumn("bucket0", lshBucket(col("qv"), nBits))
+      .withColumn("bucket", explode(array((col("bucket0") +: probes): _*)))
+      .drop("bucket0")
     val scored = c.join(broadcast(q), Seq("bucket")).filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("sim"))
+      .dropDuplicates("qid", "id")
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by LSH
-    * bucket so the pair join never goes quadratic in the corpus. */
-  def cosineNearDup(corpus: DataFrame, threshold: Double, dim: Int, nBits: Int = 8): DataFrame = {
+    * bucket so the pair join never goes quadratic in the corpus. Buckets are
+    * capped at `maxBucket` rows (same skew guard as Dedup.minhashCandidates):
+    * a pathological bucket of 10^6 vectors would otherwise emit 10^12 pairs. */
+  def cosineNearDup(corpus: DataFrame, threshold: Double, nBits: Int = 8,
+      maxBucket: Int = 1024): DataFrame = {
     val c = corpus.select(col("id"), asDouble(col("vec")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), dim, nBits))
-    val a = c.select(col("bucket"), col("id").as("idA"), col("v").as("vA"))
-    val b = c.select(col("bucket"), col("id").as("idB"), col("v").as("vB"))
+      .withColumn("bucket", lshBucket(col("v"), nBits))
+    val capped = c.withColumn("rn",
+        row_number().over(Window.partitionBy("bucket").orderBy("id")))
+      .filter(col("rn") <= maxBucket).drop("rn")
+    val a = capped.select(col("bucket"), col("id").as("idA"), col("v").as("vA"))
+    val b = capped.select(col("bucket"), col("id").as("idB"), col("v").as("vB"))
     a.join(b, Seq("bucket")).filter(col("idA") < col("idB"))
       .select(col("idA"), col("idB"), cosine(col("vA"), col("vB")).as("sim"))
       .filter(col("sim") >= threshold)

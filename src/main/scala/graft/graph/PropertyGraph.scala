@@ -36,10 +36,21 @@ final case class PropertyGraph(nodes: DataFrame, rels: DataFrame) {
   def nodesByAllLabels(labels: Seq[String]): DataFrame =
     nodes.filter(labels.map(l => array_contains(col("labels"), l)).reduce(_ && _))
 
+  /** SubtractionNodeByLabelsScan :4106 — nodes with ALL of `include` and
+    * NONE of `exclude`. */
+  def nodesBySubtraction(include: Seq[String], exclude: Seq[String]): DataFrame =
+    nodes.filter(
+      include.map(l => array_contains(col("labels"), l)).reduce(_ && _) &&
+        !arrays_overlap(col("labels"), lit(exclude.toArray)))
+
   /** NodeByIdSeek :2684. For a large id set, pass ids as a DataFrame and
     * join instead (broadcast if small). */
   def nodesById(ids: Seq[Long]): DataFrame =
     nodes.filter(col("id").isin(ids: _*))
+
+  /** DirectedRelationshipByIdSeek :1621. */
+  def relsById(ids: Seq[Long]): DataFrame =
+    rels.filter(col("id").isin(ids: _*))
 
   /** DirectedRelationshipTypeScan :1732. */
   def relsByType(tpe: String): DataFrame = rels.filter(col("type") === tpe)

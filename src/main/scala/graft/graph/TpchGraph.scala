@@ -27,7 +27,7 @@ object TpchGraph {
     "User"     -> (7L << 44),
     "Document" -> (8L << 44))
 
-  private val RelBase: Map[String, Long] = Map(
+  val RelBase: Map[String, Long] = Map(
     "IN_REGION"   -> (21L << 44),
     "FROM"        -> (22L << 44),
     "PLACED"      -> (23L << 44),

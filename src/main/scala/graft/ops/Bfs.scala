@@ -12,15 +12,15 @@ import org.apache.spark.sql.functions._
  *
  * Design (SURVEY §7.4 hard-part #5): never self-join-to-fixpoint over full
  * path sets — instead iterate a *frontier* (node, source) set, anti-joined
- * against the visited set, with `localCheckpoint` every few rounds to cut
- * the lineage/plan growth that would otherwise dominate at depth. Each round
- * costs one shuffle-join frontier⋈edges plus one anti-join against visited —
- * the same asymptotics as Pregel, expressed in DataFrames so AQE/broadcast
- * still apply. Visited stays partitioned by node id across rounds.
+ * against the visited set. Each round's frontier is eagerly
+ * `localCheckpoint`ed, so a round costs one shuffle-join frontier⋈edges plus
+ * one anti-join against visited — the same asymptotics as Pregel, expressed
+ * in DataFrames so AQE/broadcast still apply. The visited set is kept as a
+ * lazy union of the per-round checkpointed frontier deltas (never
+ * re-materialized wholesale — at depth D that would cost O(V·D) redundant
+ * I/O); the anti-join reads the materialized RDDs directly.
  */
 object Bfs {
-
-  private val CheckpointEvery = 4
 
   /**
    * Multi-source BFS distances.
@@ -29,16 +29,32 @@ object Bfs {
    *                together in the same frontier (source is part of the key)
    * @return (source, node, dist) with dist in [0, maxDepth], minimal hops
    */
-  def distances(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+  def distances(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame =
+    distancesImpl(edges, sources, maxDepth, None)
+
+  /**
+   * BFS with target early-exit: stops as soon as every (source, target)
+   * pair in `targetPairs` has been reached (the reference's ShortestPath
+   * stops per-pair the same way), instead of always exhausting maxDepth.
+   * The per-round bookkeeping is a decrement by the frontier's target hits —
+   * counted on the already-materialized frontier, no extra materialization.
+   */
+  def distancesImpl(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+      targetPairs: Option[DataFrame]): DataFrame = {
     val e = edges.select(col("src").as("__s"), col("dst").as("__d"))
       .localCheckpoint(false)
-    var visited = sources.select(col("source"), col("source").as("node"), lit(0).as("dist"))
-      .localCheckpoint() // eager: frontier/visited are materialized RDDs, so
-                         // each round's plan is one join + one anti-join, not
-                         // the whole history replayed by isEmpty
-    var frontier = visited
+    val targets = targetPairs.map(
+      _.select(col("source"), col("target").as("node")).distinct().localCheckpoint())
+    var frontier = sources
+      .select(col("source"), col("source").as("node"), lit(0).as("dist"))
+      .localCheckpoint() // eager: each round's plan is one join + one
+                         // anti-join over materialized RDDs, not history
+    var visited = frontier
+    var remaining = targets.map { t =>
+      t.count() - frontier.join(t, Seq("source", "node"), "left_semi").count()
+    }
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && remaining.forall(_ > 0) && !frontier.isEmpty) {
       depth += 1
       frontier = frontier.join(e, col("node") === col("__s"))
         .select(col("source"), col("__d").as("node"))
@@ -46,10 +62,13 @@ object Bfs {
         .join(visited.select("source", "node"), Seq("source", "node"), "left_anti")
         .withColumn("dist", lit(depth))
         .localCheckpoint()
-      // visited stays a union of already-checkpointed frontiers (no
-      // recompute); re-checkpoint periodically to keep the plan shallow
+      // visited stays a lazy union of already-checkpointed frontier deltas
       visited = visited.unionByName(frontier)
-      if (depth % CheckpointEvery == 0) visited = visited.localCheckpoint()
+      remaining = (remaining, targets) match {
+        case (Some(r), Some(t)) =>
+          Some(r - frontier.join(t, Seq("source", "node"), "left_semi").count())
+        case _ => None
+      }
     }
     visited
   }
@@ -64,42 +83,80 @@ object Bfs {
 
   /**
    * Single-pair shortest path length (FindShortestPaths :2178). Returns
-   * (source, target, dist) for reached pairs. Implemented as multi-source
-   * forward BFS with early exit when every target is reached.
+   * (source, target, dist) for reached pairs. Multi-source forward BFS with
+   * early exit once every requested pair is reached.
    */
   def shortestPathLengths(edges: DataFrame, pairs: DataFrame, maxDepth: Int): DataFrame = {
-    val d = distances(edges, pairs.select("source").distinct(), maxDepth)
+    val d = distancesImpl(edges, pairs.select("source").distinct(), maxDepth, Some(pairs))
     pairs.join(d.withColumnRenamed("node", "target"), Seq("source", "target"))
   }
 
   /**
-   * Connected components by iterated min-id propagation with path doubling
-   * (each round joins component←min(component of neighbors)); converges in
-   * O(log(diameter)) rounds on typical graphs. Returns (node, component)
-   * where component = min node id in the component.
+   * Connected components by alternating large-star / small-star contraction
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14) — O(log n) rounds, vs O(diameter) for naive neighbor-min
+   * propagation. Each round:
+   *   large-star: every node links its larger neighbors to its minimum
+   *               neighborhood member;
+   *   small-star: every node links its smaller-or-equal neighbors (and
+   *               itself) to that minimum.
+   * The edge set monotonically contracts toward per-component stars rooted
+   * at the component's min id. Convergence is detected by an (edge-count,
+   * hash-sum) fingerprint of the checkpointed edge set — one action per
+   * round, no extra materialization. Throws if maxIter is exhausted before
+   * convergence rather than silently returning wrong components.
+   *
+   * @return (node, component) where component = min node id in the component
    */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
-      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
-      .distinct().localCheckpoint()
-    val nodes = sym.select(col("a").as("node")).distinct()
-    var comp = nodes.withColumn("component", col("node")).localCheckpoint()
-    var changedCount = 1L
-    var iter = 0
-    while (changedCount > 0 && iter < maxIter) {
-      iter += 1
-      // neighbor-min pass: component(n) := min(component(n), min over nbrs);
-      // one joined materialization per round serves both the update and the
-      // convergence check
-      val nbrMin = sym.join(comp.withColumnRenamed("node", "b"), Seq("b"))
-        .groupBy(col("a").as("node")).agg(min(col("component")).as("nbrComp"))
-      val joined = comp.join(nbrMin, Seq("node"), "left_outer").localCheckpoint()
-      changedCount = joined.filter(col("nbrComp") < col("component")).count()
-      comp = joined
-        .select(col("node"),
-          least(col("component"), coalesce(col("nbrComp"), col("component"))).as("component"))
-        .localCheckpoint()
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
     }
-    comp
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val nbr = dir.join(m, Seq("u")).select(col("v").as("u"), col("m").as("v"))
+      val self = m.select(col("u"), col("m").as("v"))
+      nbr.unionByName(self).filter(col("u") =!= col("v")).distinct()
+    }
+
+    var e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val allNodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct().localCheckpoint()
+
+    def fingerprint(d: DataFrame): (Long, Long) = {
+      // xor-fold of per-edge hashes: commutative, duplicate-free input,
+      // and — unlike sum — can't overflow under ANSI mode
+      val r = d.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = fingerprint(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      iter += 1
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = fingerprint(e)
+      converged = cur == prev
+      prev = cur
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds")
+    // converged edge set is a union of stars (v → component root); roots and
+    // isolated nodes map to themselves
+    val assigned = e.select(col("u").as("node"), col("v").as("component"))
+    allNodes.join(assigned, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
 }

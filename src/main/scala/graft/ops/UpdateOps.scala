@@ -74,10 +74,13 @@ object UpdateOps {
     g.copy(nodes = joined.select(outCols.toIndexedSeq: _*))
   }
 
-  /** SET n:Label / REMOVE n:Label for the node ids in `ids`. */
+  /** SET n:Label / REMOVE n:Label for the node ids in `ids`. Ids are
+    * deduplicated first: MATCH output routinely carries duplicates, and a
+    * non-distinct left join would multiply node rows. */
   def setLabels(g: PropertyGraph, ids: DataFrame, add: Seq[String] = Nil,
       remove: Seq[String] = Nil): PropertyGraph = {
-    val flagged = g.nodes.join(ids.select(col("id")).withColumn("__hit", lit(true)),
+    val flagged = g.nodes.join(
+      ids.select(col("id")).distinct().withColumn("__hit", lit(true)),
       Seq("id"), "left_outer")
     val withAdd =
       if (add.isEmpty) col("labels")
@@ -91,12 +94,62 @@ object UpdateOps {
   }
 
   /** SET n.prop = expr for matching ids (SetNodeProperty :3695). */
-  def setNodeProperty(g: PropertyGraph, ids: DataFrame, prop: String, value: Column): PropertyGraph = {
-    val flagged = g.nodes.join(ids.select(col("id")).withColumn("__hit", lit(true)),
+  def setNodeProperty(g: PropertyGraph, ids: DataFrame, prop: String, value: Column): PropertyGraph =
+    setNodeProperties(g, ids, Map(prop -> value))
+
+  /** SET n += {props} (SetNodePropertiesFromMap :3724): several properties
+    * in one pass over the nodes table. */
+  def setNodeProperties(g: PropertyGraph, ids: DataFrame, props: Map[String, Column]): PropertyGraph = {
+    val flagged = g.nodes.join(
+      ids.select(col("id")).distinct().withColumn("__hit", lit(true)),
       Seq("id"), "left_outer")
-    g.copy(nodes = flagged
-      .withColumn(prop, when(col("__hit"), value).otherwise(col(prop)))
-      .drop("__hit"))
+    val updated = props.foldLeft(flagged) { case (df, (p, v)) =>
+      df.withColumn(p, when(col("__hit"), v).otherwise(col(p)))
+    }
+    g.copy(nodes = updated.drop("__hit"))
+  }
+
+  /** SET r.prop = expr for matching rel ids (SetRelationshipProperty :3752). */
+  def setRelProperties(g: PropertyGraph, relIds: DataFrame, props: Map[String, Column]): PropertyGraph = {
+    val flagged = g.rels.join(
+      relIds.select(col("id")).distinct().withColumn("__hit", lit(true)),
+      Seq("id"), "left_outer")
+    val updated = props.foldLeft(flagged) { case (df, (p, v)) =>
+      df.withColumn(p, when(col("__hit"), v).otherwise(col(p)))
+    }
+    g.copy(rels = updated.drop("__hit"))
+  }
+
+  /**
+   * MERGE on relationship identity (src, dst, type) — reference MergePipe
+   * over a relationship pattern: matched rels get `onMatch` updates,
+   * unmatched source rows are inserted (with ids from `source.id`).
+   * One co-partitioned full-outer join on the composite key — scales.
+   */
+  def mergeRels(
+      g: PropertyGraph, source: DataFrame,
+      onMatch: Map[String, Column] = Map.empty,
+      onCreate: Map[String, Column] = Map.empty): PropertyGraph = {
+    val src = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, s"src_$c"))
+    val joined = g.rels.join(src,
+      col("src") === col("src_src") && col("dst") === col("src_dst") &&
+        col("type") === col("src_type"), "full_outer")
+    val matched = col("id").isNotNull && col("src_id").isNotNull
+    val insertOnly = col("id").isNull
+    val outCols = g.rels.columns.map { c =>
+      val base = c match {
+        case "id" | "src" | "dst" | "type" => coalesce(col(c), col(s"src_$c"))
+        case _ =>
+          val fromSrc = if (src.columns.contains(s"src_$c")) col(s"src_$c") else lit(null)
+          val whenMatched = onMatch.get(c) match {
+            case Some(m) => when(matched, m).otherwise(col(c))
+            case None    => col(c)
+          }
+          when(insertOnly, onCreate.getOrElse(c, fromSrc)).otherwise(whenMatched)
+      }
+      base.as(c)
+    }
+    g.copy(rels = joined.select(outCols.toIndexedSeq: _*))
   }
 
   /**
@@ -105,10 +158,13 @@ object UpdateOps {
    * rels. Validation is a count, not a collect — scales.
    */
   def deleteNodes(g: PropertyGraph, ids: DataFrame, detach: Boolean): PropertyGraph = {
-    val idsOnly = ids.select(col("id"))
+    val idsOnly = ids.select(col("id")).distinct()
     if (!detach) {
-      val incident = g.rels.join(idsOnly,
-        col("src") === col("id") || col("dst") === col("id"), "left_semi")
+      // rels has its own `id` column — rename before the semi join so the
+      // endpoint comparison can't resolve to the rel id
+      val delIds = idsOnly.withColumnRenamed("id", "__del_id")
+      val incident = g.rels.join(delIds,
+        col("src") === col("__del_id") || col("dst") === col("__del_id"), "left_semi")
       val n = incident.count()
       require(n == 0, s"Cannot DELETE nodes with $n incident relationships — use DETACH DELETE")
       g.copy(nodes = g.nodes.join(idsOnly, Seq("id"), "left_anti"))

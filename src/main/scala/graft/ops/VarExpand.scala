@@ -47,7 +47,8 @@ object VarExpand {
       case Direction.In   => g.rels.select(col("id"), col("dst").as("src"), col("src").as("dst"), col("type"))
       case Direction.Both => g.undirectedRels
     }
-    val edges = if (relTypes.isEmpty) r0 else r0.filter(col("type").isin(relTypes: _*))
+    val filtered = if (relTypes.isEmpty) r0 else r0.filter(col("type").isin(relTypes: _*))
+    val edges = filtered
       .select(col("src").as("__es"), col("dst").as("__ed"), col("id").as("__er"))
 
     // level 0: zero-length path (start = end)

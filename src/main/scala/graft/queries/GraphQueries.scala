@@ -71,6 +71,32 @@ object GraphQueries {
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE c_custkey < 200""".stripMargin)),
 
+    // VarExpand with NO type filter — the default Cypher `(c)-[*1..2]->(x)`
+    // form (regression coverage for the any-type edge construction). Counts
+    // distinct paths per (customer, depth).
+    QueryDef("q_var_expand_anytype",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val start = g.nodesByLabel("Customer").filter(col("key") < 100)
+          .select(col("id").as("c"), col("key").as("c_key"))
+        VarExpand.varExpand(g, start, "c",
+          relTypes = Seq.empty, Direction.Out, minHops = 1, maxHops = 2)
+          .groupBy(col("c_key"), col("depth")).agg(count(lit(1)).as("n_paths"))
+      },
+      // depth1 = nation + orders; depth2 = region + (CONTAINS + SUPPLIED_BY)
+      // per lineitem of those orders
+      Some("""WITH src AS (SELECT c_custkey FROM customer WHERE c_custkey < 100),
+             |o AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+             |li AS (SELECT o.o_custkey, count(*) AS n
+             |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |  GROUP BY o.o_custkey)
+             |SELECT s.c_custkey AS c_key, 1 AS depth,
+             |  CAST(1 + coalesce(o.n, 0) AS BIGINT) AS n_paths
+             |FROM src s LEFT JOIN o ON o.o_custkey = s.c_custkey
+             |UNION ALL
+             |SELECT s.c_custkey, 2, CAST(1 + 2 * coalesce(li.n, 0) AS BIGINT)
+             |FROM src s LEFT JOIN li ON li.o_custkey = s.c_custkey""".stripMargin)),
+
     // PruningVarExpand :2089 / BFSPruningVarExpand :2119 — distinct nodes at
     // hop distance 1..2, via the frontier BFS (not path enumeration).
     QueryDef("q_pruning_expand",

@@ -84,11 +84,10 @@ object PipelineQueries {
     QueryDef("q_knn_lsh",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding"))).first().getInt(0)
         val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.lshTopK(corpus, queries, 10, dim, nBits = 8)
+        Similarity.lshTopK(corpus, queries, 10, nBits = 8)
           .select(col("qid"), col("rank").cast("int").as("rank"), col("id"))
       },
       None),
@@ -96,10 +95,9 @@ object PipelineQueries {
     QueryDef("q_cosine_near_dup",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val dim = emb.select(size(col("embedding"))).first().getInt(0)
         Similarity.cosineNearDup(
           emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
-          threshold = 0.40, dim, nBits = 6)
+          threshold = 0.40, nBits = 6)
           .select(col("idA"), col("idB"), round(col("sim"), 3).as("sim"))
       },
       None),

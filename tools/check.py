@@ -1,64 +1,74 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate: compare Verify.scala's
-parquet dumps against the DuckDB oracle SQL, strictly (sorted cols+rows)."""
-import duckdb, json, sys, glob, os
+"""Local emulation of the driver's correctness gate: run Verify output
+against DuckDB oracles at a given SF dir. Usage:
+  python3 tools/check.py <verifyOutDir> <sfDir> [only_query ...]
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
 
 con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem",
-          "events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-names = sorted([os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)])
-passed, failed, rows_only = [], [], []
-for name in names:
-    files = glob.glob(f"{out_dir}/{name}/*.parquet")
-    if not files:
-        failed.append((name, "no parquet written")); continue
-    mine = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
-    if name not in oracle:
-        rows_only.append((name, len(mine))); continue
-    try:
-        ref = con.execute(oracle[name]).fetchdf()
-    except Exception as e:
-        failed.append((name, f"oracle SQL error: {e}")); continue
-    mine = mine.reindex(sorted(mine.columns), axis=1)
-    ref = ref.reindex(sorted(ref.columns), axis=1)
-    if list(mine.columns) != list(ref.columns):
-        failed.append((name, f"cols differ: mine={list(mine.columns)} ref={list(ref.columns)}")); continue
-    if len(mine) != len(ref):
-        failed.append((name, f"rowcount differ: mine={len(mine)} ref={len(ref)}")); continue
-    ms = mine.sort_values(by=list(mine.columns)).reset_index(drop=True)
-    rs = ref.sort_values(by=list(ref.columns)).reset_index(drop=True)
-    # dtype check (schema-ish)
-    dt_diff = [(c, str(ms[c].dtype), str(rs[c].dtype)) for c in ms.columns
-               if str(ms[c].dtype) != str(rs[c].dtype)]
-    try:
-        import pandas as pd
-        eq = ms.equals(rs)
-        if not eq:
-            # find first differing cell
-            diffs = []
-            for c in ms.columns:
-                neq = ~(ms[c].eq(rs[c]) | (ms[c].isna() & rs[c].isna()))
-                if neq.any():
-                    i = neq.idxmax()
-                    diffs.append(f"{c}[row{i}]: mine={ms[c][i]!r} ref={rs[c][i]!r} (n={int(neq.sum())})")
-            failed.append((name, f"values differ: {'; '.join(diffs[:3])}" +
-                           (f" dtypes:{dt_diff}" if dt_diff else "")))
-        elif dt_diff:
-            failed.append((name, f"values OK but dtypes differ: {dt_diff}"))
-        else:
-            passed.append(name)
-    except Exception as e:
-        failed.append((name, f"compare error: {e}"))
 
-print(f"PASS {len(passed)}: {' '.join(passed)}")
-print(f"ROWS-ONLY {len(rows_only)}: {' '.join(f'{n}({r})' for n, r in rows_only)}")
-print(f"FAIL {len(failed)}:")
-for n, why in failed:
-    print(f"  {n}: {why}")
-sys.exit(1 if failed else 0)
+def canon(df):
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+fails = []
+for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+    name = os.path.basename(qdir.rstrip("/"))
+    if only and name not in only:
+        continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{qdir}/*.parquet")]) \
+        if glob.glob(f"{qdir}/*.parquet") else pd.DataFrame()
+    if name not in oracle:
+        print(f"{name}: rows-only ({len(spark_df)} rows)")
+        continue
+    try:
+        ora_df = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"{name}: ORACLE ERROR {e}")
+        fails.append(name)
+        continue
+    a, b = canon(spark_df.copy()), canon(ora_df.copy())
+    if list(a.columns) != list(b.columns):
+        print(f"{name}: SCHEMA MISMATCH spark={list(a.columns)} oracle={list(b.columns)}")
+        fails.append(name); continue
+    if len(a) != len(b):
+        print(f"{name}: ROWS MISMATCH spark={len(a)} oracle={len(b)}")
+        fails.append(name); continue
+    # numeric tolerance compare
+    ok = True
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
+            import numpy as np
+            if not np.allclose(a[c].astype(float).fillna(-9e99),
+                               b[c].astype(float).fillna(-9e99), rtol=1e-9, atol=1e-9):
+                ok = False
+        else:
+            if not a[c].astype(str).equals(b[c].astype(str)):
+                ok = False
+        if not ok:
+            break
+    if ok:
+        print(f"{name}: PASS ({len(a)} rows)")
+    else:
+        print(f"{name}: VALUE MISMATCH col={c}")
+        print("  spark:", a.head(3).to_dict("records"))
+        print("  oracle:", b.head(3).to_dict("records"))
+        fails.append(name)
+
+print(f"\n{'FAILED: ' + ', '.join(fails) if fails else 'ALL PASS'}")
+sys.exit(1 if fails else 0)
