@@ -9,26 +9,22 @@ import org.apache.spark.sql.functions._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query (SURVEY §7.2) on /root/testdata/sf0.001 — the minimum
-    * end-to-end slice: MATCH (c:Customer)-[:PLACED]->(o:Order)
-    * WHERE o.totalprice > 100 RETURN c.name, count(o) AS n
-    * ORDER BY n DESC LIMIT 10 — run through the PropertyGraph + Expand
-    * operators, not raw table joins. */
+  /** Flagship query (SURVEY §7.2) on /root/testdata/sf0.001 — the full
+    * engine end-to-end: a Cypher string parsed, planned and executed by
+    * graft.cypher over the PropertyGraph projection. */
   def entry(spark: SparkSession): DataFrame = {
     val g = TpchGraph.load(spark, "/root/testdata/sf0.001")
-    val custs = g.nodesByLabel("Customer").select(col("id").as("c"), col("name"))
-    val expanded = Expand.expandAll(g, custs, "c", Some("PLACED"), Direction.Out, "r", "o")
-    val orders = g.nodesByLabel("Order").filter(col("totalprice") > 100)
-      .select(col("id").as("o"))
-    expanded.join(orders, "o")
-      .groupBy(col("name")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("name").asc)
-      .limit(10)
+    graft.cypher.Cypher.run(spark, g,
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE o.totalprice > 100
+        |RETURN c.name AS name, count(o) AS n
+        |ORDER BY n DESC, name ASC LIMIT 10""".stripMargin)
   }
 
   private val all: Seq[QueryDef] =
     RelationalQueries.defs ++ ExpressionQueries.defs ++ GraphQueries.defs ++
-      PipelineQueries.defs ++ EventQueries.defs ++ UpdateQueries.defs
+      PipelineQueries.defs ++ EventQueries.defs ++ UpdateQueries.defs ++
+      CypherQueries.defs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

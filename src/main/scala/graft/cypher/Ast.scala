@@ -1,0 +1,85 @@
+package graft.cypher
+
+/**
+ * Abstract syntax tree for the openCypher subset graft compiles to Spark
+ * plans. Shape mirrors the reference front-end AST
+ * (community/cypher/front-end/ast/.../ast/Clause.scala — Match/With/Return,
+ * expressions under expressions/.../Expression.scala), reduced to the
+ * constructs the planner supports. The reference's 1,864-line ANTLR grammar
+ * (front-end/antlr-parser/.../CypherParser.g4) defines the full language;
+ * rule names below (OC_* comments) cite the productions each node covers.
+ */
+object Ast {
+
+  // ---- expressions ------------------------------------------------------
+
+  sealed trait Expr
+
+  /** Literal: null, Boolean, Long, Double or String. */
+  final case class Lit(value: Any) extends Expr
+  final case class ListLit(items: Seq[Expr]) extends Expr
+  final case class MapLit(entries: Seq[(String, Expr)]) extends Expr
+  final case class Variable(name: String) extends Expr
+  /** `$name` — query parameter. */
+  final case class Param(name: String) extends Expr
+  /** `subject.key` property access (oC_PropertyLookup). */
+  final case class Prop(subject: Expr, key: String) extends Expr
+  /** Function invocation; `distinct` only meaningful for aggregates. */
+  final case class Func(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
+  case object CountStar extends Expr
+  /** Binary op: + - * / % ^ = <> < <= > >= AND OR XOR IN */
+  final case class BinOp(op: String, lhs: Expr, rhs: Expr) extends Expr
+  /** Unary: NOT, - */
+  final case class UnaryOp(op: String, operand: Expr) extends Expr
+  final case class IsNull(operand: Expr, negated: Boolean) extends Expr
+  /** STARTS WITH | ENDS WITH | CONTAINS | =~ */
+  final case class StringPred(op: String, lhs: Expr, rhs: Expr) extends Expr
+  final case class CaseExpr(subject: Option[Expr], whens: Seq[(Expr, Expr)],
+      default: Option[Expr]) extends Expr
+  /** `list[idx]` */
+  final case class Index(list: Expr, idx: Expr) extends Expr
+  /** `list[from..to]` (either bound optional) */
+  final case class Slice(list: Expr, from: Option[Expr], to: Option[Expr]) extends Expr
+  /** `EXISTS { MATCH <pattern> [WHERE …] }` / bare pattern predicate in WHERE. */
+  final case class PatternExists(pattern: PathPattern, where: Option[Expr],
+      negated: Boolean) extends Expr
+  /** List comprehension `[x IN list WHERE p | e]`. */
+  final case class ListComprehension(variable: String, list: Expr,
+      where: Option[Expr], projection: Option[Expr]) extends Expr
+
+  // ---- patterns ---------------------------------------------------------
+
+  sealed trait Dir
+  case object Out extends Dir   // -[]->
+  case object In extends Dir    // <-[]-
+  case object Both extends Dir  // -[]-
+
+  /** `(v:L1:L2 {k: e, …})` (oC_NodePattern). */
+  final case class NodePattern(variable: Option[String], labels: Seq[String],
+      props: Seq[(String, Expr)])
+
+  /** `-[v:T1|T2 *min..max {k: e}]->` (oC_RelationshipPattern). */
+  final case class RelPattern(variable: Option[String], types: Seq[String],
+      dir: Dir, varLength: Option[(Int, Option[Int])], props: Seq[(String, Expr)])
+
+  /** A linear path: node (rel node)*. */
+  final case class PathPattern(first: NodePattern, hops: Seq[(RelPattern, NodePattern)])
+
+  // ---- clauses ----------------------------------------------------------
+
+  sealed trait Clause
+  final case class MatchClause(optional: Boolean, patterns: Seq[PathPattern],
+      where: Option[Expr]) extends Clause
+  final case class UnwindClause(expr: Expr, alias: String) extends Clause
+  final case class ReturnItem(expr: Expr, alias: Option[String])
+  final case class SortItem(expr: Expr, ascending: Boolean)
+  final case class WithClause(distinct: Boolean, items: Seq[ReturnItem],
+      orderBy: Seq[SortItem], skip: Option[Expr], limit: Option[Expr],
+      where: Option[Expr]) extends Clause
+  final case class ReturnClause(distinct: Boolean, items: Seq[ReturnItem],
+      orderBy: Seq[SortItem], skip: Option[Expr], limit: Option[Expr]) extends Clause
+
+  final case class SingleQuery(clauses: Seq[Clause])
+  /** Top level: one or more single queries combined by UNION [ALL]. */
+  final case class Query(parts: Seq[SingleQuery], unionAll: Boolean)
+}

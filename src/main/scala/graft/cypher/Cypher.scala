@@ -1,0 +1,37 @@
+package graft.cypher
+
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The engine's query surface: submit a Cypher string against a
+ * PropertyGraph, get back a DataFrame (lazily planned — nothing executes
+ * until an action). The Spark-native counterpart of the reference's
+ * GraphDatabaseService#execute path (community/kernel/.../GraphDatabaseAPI →
+ * cypher compiler); here parse → plan happen on the driver in milliseconds
+ * and the returned DataFrame carries the whole declarative plan, so Catalyst
+ * optimizes across the Cypher/DataFrame boundary (filter pushdown into the
+ * node/rel parquet scans, broadcast of small sides, AQE re-planning).
+ *
+ * Supported subset: MATCH (incl. OPTIONAL, multi-pattern, var-length,
+ * undirected), WHERE (incl. EXISTS{} / NOT EXISTS{} pattern predicates),
+ * WITH / RETURN (DISTINCT, aggregation, ORDER BY, SKIP, LIMIT), UNWIND,
+ * UNION [ALL], parameters (`$p`), and the expression language (CASE,
+ * list comprehensions, string/math/list/temporal functions, null-aware
+ * three-valued logic via Spark SQL semantics).
+ *
+ * Notable divergences, documented:
+ *  - RETURN of a bare node/relationship variable yields its LONG id (the
+ *    reference materializes a NodeValue; a columnar engine returns the key —
+ *    project properties explicitly to read them).
+ *  - unbounded var-length (`*`) is capped at 10 hops.
+ */
+object Cypher {
+
+  def run(spark: SparkSession, graph: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): DataFrame =
+    Planner.plan(spark, graph, CypherParser.parse(query), params)
+
+  /** Parse-only entry, for tooling/tests. */
+  def parse(query: String): Ast.Query = CypherParser.parse(query)
+}

@@ -1,0 +1,302 @@
+package graft.cypher
+
+import scala.util.parsing.combinator.RegexParsers
+import Ast._
+
+/**
+ * Recursive-descent parser for the openCypher subset (grammar reference:
+ * community/cypher/front-end/antlr-parser/src/main/antlr4/.../CypherParser.g4
+ * — productions oC_Match, oC_With, oC_Return, oC_PatternElement,
+ * oC_Expression precedence ladder :: oC_OrExpression → … → oC_Atom).
+ *
+ * Built on scala-parser-combinators rather than ANTLR: the subset is small
+ * enough that combinator grammars stay readable, and the jar ships with
+ * Spark. Keywords are case-insensitive; identifiers may be backtick-quoted.
+ */
+object CypherParser extends RegexParsers {
+
+  // comments: // to end of line
+  override protected val whiteSpace = """(\s|//[^\n]*)+""".r
+
+  private val reserved = Set(
+    "MATCH", "OPTIONAL", "WHERE", "RETURN", "WITH", "UNWIND", "AS",
+    "ORDER", "BY", "SKIP", "LIMIT", "DISTINCT", "UNION", "ALL",
+    "AND", "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS",
+    "IS", "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END",
+    "ASC", "DESC", "ASCENDING", "DESCENDING", "EXISTS")
+
+  /** Case-insensitive keyword with word boundary. */
+  private def K(w: String): Parser[String] = ("(?i)" + w + "\\b").r ^^ (_ => w)
+
+  private def ident: Parser[String] =
+    "`" ~> "[^`]+".r <~ "`" |
+    "[a-zA-Z_][a-zA-Z0-9_]*".r ^? (
+      { case s if !reserved(s.toUpperCase) => s },
+      s => s"reserved word '$s' cannot be used as identifier")
+
+  /** Symbolic name in an unambiguous position (label, rel type, property
+    * key, map key): reserved words are allowed there, as in the reference
+    * grammar (`:Order` is a legal label). */
+  private def symName: Parser[String] =
+    "`" ~> "[^`]+".r <~ "`" | "[a-zA-Z_][a-zA-Z0-9_]*".r
+
+  // identifier in function-name position (count/exists are not reserved here)
+  private def funcName: Parser[String] = "[a-zA-Z_][a-zA-Z0-9_.]*".r
+
+  // ---- literals ---------------------------------------------------------
+
+  private def numberLit: Parser[Expr] =
+    """-?\d+\.\d+([eE][+-]?\d+)?""".r ^^ (s => Lit(s.toDouble)) |
+    """-?\d+[eE][+-]?\d+""".r ^^ (s => Lit(s.toDouble)) |
+    """-?\d+""".r ^^ (s => Lit(s.toLong))
+
+  private def stringLit: Parser[Expr] =
+    """'(\\.|[^'\\])*'""".r ^^ (s => Lit(unescape(s.substring(1, s.length - 1)))) |
+    """"(\\.|[^"\\])*"""".r ^^ (s => Lit(unescape(s.substring(1, s.length - 1))))
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); case 't' => b.append('\t')
+          case 'r' => b.append('\r'); case other => b.append(other)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private def literal: Parser[Expr] =
+    K("NULL") ^^ (_ => Lit(null)) |
+    K("TRUE") ^^ (_ => Lit(true)) |
+    K("FALSE") ^^ (_ => Lit(false)) |
+    numberLit | stringLit
+
+  // ---- expressions (precedence ladder per oC_Expression) ----------------
+
+  def expression: Parser[Expr] = orExpr
+
+  private def orExpr: Parser[Expr] =
+    xorExpr ~ rep(K("OR") ~> xorExpr) ^^ { case h ~ t => t.foldLeft(h)(BinOp("OR", _, _)) }
+
+  private def xorExpr: Parser[Expr] =
+    andExpr ~ rep(K("XOR") ~> andExpr) ^^ { case h ~ t => t.foldLeft(h)(BinOp("XOR", _, _)) }
+
+  private def andExpr: Parser[Expr] =
+    notExpr ~ rep(K("AND") ~> notExpr) ^^ { case h ~ t => t.foldLeft(h)(BinOp("AND", _, _)) }
+
+  private def notExpr: Parser[Expr] =
+    K("NOT") ~> notExpr ^^ (UnaryOp("NOT", _)) | comparison
+
+  /** Chained comparisons `a < b <= c` become pairwise conjunctions, matching
+    * the reference's desugaring (front-end ast rewrite). */
+  private def comparison: Parser[Expr] =
+    postfixPred ~ rep(("<>" | "<=" | ">=" | "=~" | "=" | "<" | ">") ~ postfixPred) ^^ {
+      case h ~ Nil => h
+      case h ~ t =>
+        val operands = h +: t.map(_._2)
+        val preds = t.zipWithIndex.map { case (op ~ _, i) =>
+          val (l, r) = (operands(i), operands(i + 1))
+          if (op == "=~") StringPred("=~", l, r) else BinOp(op, l, r): Expr
+        }
+        preds.reduce(BinOp("AND", _, _))
+    }
+
+  /** IN / STARTS WITH / ENDS WITH / CONTAINS / IS [NOT] NULL postfixes. */
+  private def postfixPred: Parser[Expr] =
+    addExpr ~ rep(
+      K("IN") ~> addExpr ^^ (r => (e: Expr) => BinOp("IN", e, r)) |
+      (K("STARTS") ~ K("WITH")) ~> addExpr ^^ (r => (e: Expr) => StringPred("STARTS WITH", e, r)) |
+      (K("ENDS") ~ K("WITH")) ~> addExpr ^^ (r => (e: Expr) => StringPred("ENDS WITH", e, r)) |
+      K("CONTAINS") ~> addExpr ^^ (r => (e: Expr) => StringPred("CONTAINS", e, r)) |
+      (K("IS") ~ K("NOT") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = true)) |
+      (K("IS") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = false))
+    ) ^^ { case h ~ fs => fs.foldLeft(h)((e, f) => f(e)) }
+
+  private def addExpr: Parser[Expr] =
+    mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (l, op ~ r) => BinOp(op, l, r) }
+    }
+
+  private def mulExpr: Parser[Expr] =
+    powExpr ~ rep(("*" | "/" | "%") ~ powExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (l, op ~ r) => BinOp(op, l, r) }
+    }
+
+  private def powExpr: Parser[Expr] =
+    unaryExpr ~ rep("^" ~> unaryExpr) ^^ {
+      case h ~ Nil => h
+      case h ~ t => // right-associative
+        val all = h +: t
+        all.init.foldRight(all.last)(BinOp("^", _, _))
+    }
+
+  private def unaryExpr: Parser[Expr] =
+    "-" ~> unaryExpr ^^ (UnaryOp("-", _)) |
+    "+" ~> unaryExpr |
+    postfixAtom
+
+  /** `.prop`, `[idx]`, `[a..b]` postfixes on an atom. */
+  private def postfixAtom: Parser[Expr] =
+    atom ~ rep(
+      "." ~> symName ^^ (k => (e: Expr) => Prop(e, k)) |
+      ("[" ~> opt(expression) ~ (".." ~> opt(expression)) <~ "]") ^^ {
+        case f ~ t => (e: Expr) => Slice(e, f, t)
+      } |
+      ("[" ~> expression <~ "]") ^^ (i => (e: Expr) => Index(e, i))
+    ) ^^ { case h ~ fs => fs.foldLeft(h)((e, f) => f(e)) }
+
+  private def caseExpr: Parser[Expr] =
+    K("CASE") ~> opt(not(K("WHEN")) ~> expression) ~
+      rep1(K("WHEN") ~> expression ~ (K("THEN") ~> expression)) ~
+      opt(K("ELSE") ~> expression) <~ K("END") ^^ {
+      case subj ~ whens ~ dflt =>
+        CaseExpr(subj, whens.map { case w ~ t => (w, t) }, dflt)
+    }
+
+  private def existsExpr: Parser[Expr] =
+    K("EXISTS") ~> "{" ~> opt(K("MATCH")) ~> pathPattern ~ opt(K("WHERE") ~> expression) <~ "}" ^^ {
+      case p ~ w => PatternExists(p, w, negated = false)
+    } |
+    K("EXISTS") ~> "(" ~> pathPattern <~ ")" ^^ (p => PatternExists(p, None, negated = false))
+
+  private def listComprehension: Parser[Expr] =
+    "[" ~> ident ~ (K("IN") ~> expression) ~ opt(K("WHERE") ~> expression) ~
+      opt("|" ~> expression) <~ "]" ^^ {
+      case v ~ l ~ w ~ p => ListComprehension(v, l, w, p)
+    }
+
+  private def countStar: Parser[Expr] =
+    "(?i)count\\s*\\(\\s*\\*\\s*\\)".r ^^ (_ => CountStar)
+
+  private def funcCall: Parser[Expr] =
+    funcName ~ ("(" ~> opt(K("DISTINCT")) ~ repsep(expression, ",") <~ ")") ^^ {
+      case name ~ (d ~ args) => Func(name.toLowerCase, args, d.isDefined)
+    }
+
+  private def param: Parser[Expr] = "$" ~> ident ^^ Param.apply
+
+  private def listLit: Parser[Expr] =
+    "[" ~> repsep(expression, ",") <~ "]" ^^ ListLit.apply
+
+  private def mapLitExpr: Parser[Expr] = mapLit ^^ (m => MapLit(m))
+
+  private def atom: Parser[Expr] =
+    literal | caseExpr | existsExpr | countStar | funcCall | param |
+    listComprehension | listLit | mapLitExpr |
+    "(" ~> expression <~ ")" |
+    ident ^^ Variable.apply
+
+  // ---- patterns ---------------------------------------------------------
+
+  private def mapLit: Parser[Seq[(String, Expr)]] =
+    "{" ~> repsep(symName ~ (":" ~> expression), ",") <~ "}" ^^ (_.map { case k ~ v => (k, v) })
+
+  def nodePattern: Parser[NodePattern] =
+    "(" ~> opt(ident) ~ rep(":" ~> symName) ~ opt(mapLit) <~ ")" ^^ {
+      case v ~ ls ~ m => NodePattern(v, ls, m.getOrElse(Seq.empty))
+    }
+
+  private def relTypes: Parser[Seq[String]] =
+    ":" ~> rep1sep(symName, "|" ~ opt(":")) ^^ (ts => ts)
+
+  private def varLength: Parser[(Int, Option[Int])] =
+    "*" ~> opt("""\d+""".r) ~ opt(".." ~> opt("""\d+""".r)) ^^ {
+      case lo ~ hi =>
+        val min = lo.map(_.toInt)
+        hi match {
+          case None        => (min.getOrElse(1), min)              // * or *n (exact)
+          case Some(upper) => (min.getOrElse(1), upper.map(_.toInt)) // *a..b / *..b / *a..
+        }
+    }
+
+  private def relDetail: Parser[(Option[String], Seq[String], Option[(Int, Option[Int])], Seq[(String, Expr)])] =
+    "[" ~> opt(ident) ~ opt(relTypes) ~ opt(varLength) ~ opt(mapLit) <~ "]" ^^ {
+      case v ~ ts ~ vl ~ m => (v, ts.getOrElse(Seq.empty), vl, m.getOrElse(Seq.empty))
+    }
+
+  def relPattern: Parser[RelPattern] =
+    ("<-" ~> opt(relDetail) <~ "-") ^^ (d => mk(d, In)) |
+    ("-" ~> opt(relDetail) <~ "->") ^^ (d => mk(d, Out)) |
+    ("-" ~> opt(relDetail) <~ "-") ^^ (d => mk(d, Both))
+
+  private def mk(d: Option[(Option[String], Seq[String], Option[(Int, Option[Int])], Seq[(String, Expr)])],
+      dir: Dir): RelPattern = d match {
+    case Some((v, ts, vl, m)) => RelPattern(v, ts, dir, vl, m)
+    case None                 => RelPattern(None, Seq.empty, dir, None, Seq.empty)
+  }
+
+  def pathPattern: Parser[PathPattern] =
+    nodePattern ~ rep(relPattern ~ nodePattern) ^^ {
+      case first ~ hops => PathPattern(first, hops.map { case r ~ n => (r, n) })
+    }
+
+  // ---- clauses ----------------------------------------------------------
+
+  private def matchClause: Parser[Clause] =
+    opt(K("OPTIONAL")) ~ (K("MATCH") ~> rep1sep(pathPattern, ",")) ~
+      opt(K("WHERE") ~> expression) ^^ {
+      case o ~ ps ~ w => MatchClause(o.isDefined, ps, w)
+    }
+
+  private def unwindClause: Parser[Clause] =
+    K("UNWIND") ~> expression ~ (K("AS") ~> ident) ^^ {
+      case e ~ a => UnwindClause(e, a)
+    }
+
+  private def returnItem: Parser[ReturnItem] =
+    expression ~ opt(K("AS") ~> ident) ^^ { case e ~ a => ReturnItem(e, a) }
+
+  private def sortItem: Parser[SortItem] =
+    expression ~ opt(K("ASCENDING") | K("ASC") | K("DESCENDING") | K("DESC")) ^^ {
+      case e ~ d => SortItem(e, !d.exists(x => x == "DESC" || x == "DESCENDING"))
+    }
+
+  private def orderBy: Parser[Seq[SortItem]] =
+    K("ORDER") ~> K("BY") ~> rep1sep(sortItem, ",")
+
+  private def skipP: Parser[Expr] = K("SKIP") ~> expression
+  private def limitP: Parser[Expr] = K("LIMIT") ~> expression
+
+  private def withClause: Parser[Clause] =
+    K("WITH") ~> opt(K("DISTINCT")) ~ rep1sep(returnItem, ",") ~
+      opt(orderBy) ~ opt(skipP) ~ opt(limitP) ~ opt(K("WHERE") ~> expression) ^^ {
+      case d ~ items ~ ob ~ sk ~ li ~ w =>
+        WithClause(d.isDefined, items, ob.getOrElse(Seq.empty), sk, li, w)
+    }
+
+  private def returnClause: Parser[Clause] =
+    K("RETURN") ~> opt(K("DISTINCT")) ~ rep1sep(returnItem, ",") ~
+      opt(orderBy) ~ opt(skipP) ~ opt(limitP) ^^ {
+      case d ~ items ~ ob ~ sk ~ li =>
+        ReturnClause(d.isDefined, items, ob.getOrElse(Seq.empty), sk, li)
+    }
+
+  private def clause: Parser[Clause] =
+    matchClause | unwindClause | withClause | returnClause
+
+  private def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
+
+  private def query: Parser[Query] =
+    singleQuery ~ rep((K("UNION") ~> opt(K("ALL"))) ~ singleQuery) ^^ {
+      case h ~ Nil => Query(Seq(h), unionAll = false)
+      case h ~ t =>
+        val alls = t.map { case a ~ _ => a.isDefined }.distinct
+        require(alls.size == 1, "mixing UNION and UNION ALL is not supported")
+        Query(h +: t.map { case _ ~ q => q }, unionAll = alls.head)
+    }
+
+  /** Parse a full query; throws IllegalArgumentException with position info
+    * on syntax errors. */
+  def parse(text: String): Query = parseAll(query, text) match {
+    case Success(q, _) => q
+    case NoSuccess(msg, next) =>
+      throw new IllegalArgumentException(
+        s"Cypher syntax error at line ${next.pos.line}, column ${next.pos.column}: $msg\n${next.pos.longString}")
+    case other => throw new IllegalArgumentException(s"Cypher parse failure: $other")
+  }
+}

@@ -1,0 +1,746 @@
+package graft.cypher
+
+import graft.graph.{Direction, PropertyGraph}
+import graft.ops.VarExpand
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import Ast._
+
+/**
+ * Compiles a parsed Cypher query into one declarative Spark plan over a
+ * PropertyGraph. Counterpart of the reference's planning stack
+ * (community/cypher/cypher-planner/.../idp/IDPSolver.scala drives join-order
+ * search over ir/QueryGraph.scala:62) — here pattern elements are planned
+ * left-to-right per path and Catalyst/AQE pick physical join strategies,
+ * which at cluster scale is the right division of labor: the engine declares
+ * equi-joins over id columns, the optimizer reorders/broadcasts.
+ *
+ * Variable binding model (one DataFrame column per bound variable):
+ *  - node var `v`   → LONG column `v` (node id), plus hydrated property
+ *                     columns `v$prop` for every property the query ever
+ *                     reads from `v` (computed by a whole-query pre-walk, so
+ *                     hydration happens exactly once per variable, at bind
+ *                     time, and parquet column pruning sees precise needs)
+ *  - rel var `r`    → LONG column `r` (rel id), plus `r$prop`
+ *  - var-length `r` → ARRAY<LONG> column of traversed rel ids
+ *  - value var `x`  → the value column itself (WITH/UNWIND aliases)
+ *
+ * Cypher semantics preserved: relationship uniqueness within a MATCH
+ * (pairwise `<>` filters, reference front-end AddUniquenessPredicates.scala),
+ * OPTIONAL MATCH as a left-outer join keyed on the referenced bound
+ * variables, missing properties evaluate to NULL, aggregation grouped by the
+ * non-aggregate return items, UNION distinct vs UNION ALL.
+ */
+object Planner {
+
+  private val aggFns = Set("count", "sum", "avg", "min", "max", "collect",
+    "stdev", "stdevp", "percentilecont", "percentiledisc")
+
+  sealed trait Binding
+  case object NodeVar extends Binding
+  case object RelVar extends Binding
+  case object RelListVar extends Binding
+  case object ValueVar extends Binding
+
+  private case class Env(df: Option[DataFrame], binds: Map[String, Binding]) {
+    def has(v: String): Boolean = binds.contains(v)
+  }
+
+  private class Ctx(val spark: SparkSession, val g: PropertyGraph,
+      val params: Map[String, Any], val needed: Map[String, Set[String]]) {
+    private var counter = 0
+    def fresh(prefix: String): String = { counter += 1; s"__${prefix}_$counter" }
+  }
+
+  def plan(spark: SparkSession, g: PropertyGraph, query: Query,
+      params: Map[String, Any]): DataFrame = {
+    val parts = query.parts.map(planSingle(spark, g, _, params))
+    val unioned = parts.reduce(_ unionByName _)
+    if (query.unionAll || parts.size == 1) unioned else unioned.distinct()
+  }
+
+  private def planSingle(spark: SparkSession, g: PropertyGraph,
+      q: SingleQuery, params: Map[String, Any]): DataFrame = {
+    val ctx = new Ctx(spark, g, params, neededProps(q))
+    var env = Env(None, Map.empty)
+    q.clauses.foreach {
+      case m: MatchClause  => env = planMatch(ctx, env, m)
+      case u: UnwindClause => env = planUnwind(ctx, env, u)
+      case w: WithClause =>
+        env = planProjection(ctx, env, w.items, w.distinct, w.orderBy, w.skip,
+          w.limit, isReturn = false)
+        w.where.foreach { pred =>
+          env = env.copy(df = env.df.map(_.filter(compile(ctx, env, pred))))
+        }
+      case r: ReturnClause =>
+        env = planProjection(ctx, env, r.items, r.distinct, r.orderBy, r.skip,
+          r.limit, isReturn = true)
+    }
+    env.df.getOrElse(
+      throw new IllegalArgumentException("query must end with RETURN"))
+  }
+
+  // ---- whole-query pre-walk: which properties does each variable need? ---
+
+  /** Map var → property names read anywhere in the query (`v.prop`,
+    * `labels(v)`, `type(r)`, `startNode(r)`, `endNode(r)`), so each variable
+    * is hydrated exactly once, at bind time. */
+  private def neededProps(q: SingleQuery): Map[String, Set[String]] = {
+    val acc = scala.collection.mutable.Map.empty[String, Set[String]]
+    def add(v: String, p: String): Unit = acc(v) = acc.getOrElse(v, Set.empty) + p
+    def walk(e: Expr): Unit = e match {
+      case Prop(Variable(v), k) => add(v, k)
+      case Prop(s, _)           => walk(s)
+      case Func("labels", Seq(Variable(v)), _)    => add(v, "labels")
+      case Func("type", Seq(Variable(v)), _)      => add(v, "type")
+      case Func("startnode", Seq(Variable(v)), _) => add(v, "src")
+      case Func("endnode", Seq(Variable(v)), _)   => add(v, "dst")
+      case Func(_, args, _)   => args.foreach(walk)
+      case ListLit(xs)        => xs.foreach(walk)
+      case MapLit(es)         => es.foreach(kv => walk(kv._2))
+      case BinOp(_, l, r)     => walk(l); walk(r)
+      case UnaryOp(_, o)      => walk(o)
+      case IsNull(o, _)       => walk(o)
+      case StringPred(_, l, r) => walk(l); walk(r)
+      case CaseExpr(s, ws, d) =>
+        s.foreach(walk); ws.foreach { case (a, b) => walk(a); walk(b) }; d.foreach(walk)
+      case Index(l, i)        => walk(l); walk(i)
+      case Slice(l, f, t)     => walk(l); f.foreach(walk); t.foreach(walk)
+      case PatternExists(p, w, _) => walkPattern(p); w.foreach(walk)
+      case ListComprehension(_, l, w, p) => walk(l); w.foreach(walk); p.foreach(walk)
+      case _ => ()
+    }
+    def walkPattern(p: PathPattern): Unit = {
+      (p.first +: p.hops.map(_._2)).foreach(n => n.props.foreach(kv => walk(kv._2)))
+      p.hops.map(_._1).foreach(r => r.props.foreach(kv => walk(kv._2)))
+    }
+    q.clauses.foreach {
+      case MatchClause(_, ps, w) => ps.foreach(walkPattern); w.foreach(walk)
+      case UnwindClause(e, _)    => walk(e)
+      case WithClause(_, items, ob, sk, li, w) =>
+        items.foreach(i => walk(i.expr)); ob.foreach(s => walk(s.expr))
+        sk.foreach(walk); li.foreach(walk); w.foreach(walk)
+      case ReturnClause(_, items, ob, sk, li) =>
+        items.foreach(i => walk(i.expr)); ob.foreach(s => walk(s.expr))
+        sk.foreach(walk); li.foreach(walk)
+    }
+    acc.toMap
+  }
+
+  // ---- MATCH ------------------------------------------------------------
+
+  private def planMatch(ctx: Ctx, env: Env, m: MatchClause): Env = {
+    if (m.optional && env.df.isDefined) planOptionalMatch(ctx, env, m)
+    else {
+      var cur = env
+      val relVarsBefore = relVars(env)
+      m.patterns.foreach { p => cur = planPath(ctx, cur, p) }
+      cur = applyUniqueness(cur, relVarsBefore)
+      m.where.foreach { pred => cur = applyWhere(ctx, cur, pred) }
+      cur
+    }
+  }
+
+  private def relVars(env: Env): Set[String] =
+    env.binds.collect { case (v, RelVar | RelListVar) => v }.toSet
+
+  /** Relationship uniqueness across all rel variables bound by this MATCH
+    * clause (reference front-end AddUniquenessPredicates.scala): pairwise
+    * `<>` for fixed rels, array-containment for var-length groups. */
+  private def applyUniqueness(env: Env, before: Set[String]): Env = {
+    val df = env.df.getOrElse(return env)
+    val fresh = (relVars(env) -- before).toSeq.sorted
+    val fixed = fresh.filter(v => env.binds(v) == RelVar)
+    val lists = fresh.filter(v => env.binds(v) == RelListVar)
+    val preds =
+      (for (i <- fixed.indices; j <- i + 1 until fixed.size)
+        yield col(fixed(i)) =!= col(fixed(j))) ++
+      (for (f <- fixed; l <- lists) yield !array_contains(col(l), col(f))) ++
+      (for (i <- lists.indices; j <- i + 1 until lists.size)
+        yield !arrays_overlap(col(lists(i)), col(lists(j))))
+    if (preds.isEmpty) env
+    else env.copy(df = Some(df.filter(preds.reduce(_ && _))))
+  }
+
+  /** WHERE: top-level conjuncts are split; pattern predicates become
+    * semi/anti joins (NestedPlanExpression in the reference,
+    * LogicalPlan SemiApply/AntiSemiApply), the rest a row filter. */
+  private def applyWhere(ctx: Ctx, env: Env, pred: Expr): Env = {
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case BinOp("AND", l, r) => conjuncts(l) ++ conjuncts(r)
+      case other              => Seq(other)
+    }
+    conjuncts(pred).foldLeft(env) { (e, c) =>
+      c match {
+        case PatternExists(p, w, _)                  => planExists(ctx, e, p, w, anti = false)
+        case UnaryOp("NOT", PatternExists(p, w, _))  => planExists(ctx, e, p, w, anti = true)
+        case other =>
+          e.copy(df = e.df.map(_.filter(compile(ctx, e, other))))
+      }
+    }
+  }
+
+  /** EXISTS {...} / NOT EXISTS: plan the sub-pattern from the distinct
+    * projection of the bound variables it references, then semi/anti-join —
+    * the decorrelated form of the reference's nested-plan expression. */
+  private def planExists(ctx: Ctx, env: Env, p: PathPattern, where: Option[Expr],
+      anti: Boolean): Env = {
+    val df = env.df.getOrElse(throw new IllegalArgumentException(
+      "EXISTS pattern requires bound variables"))
+    val refs = (patternVars(p) ++ where.map(exprVars).getOrElse(Set.empty))
+      .filter(env.has).toSeq.sorted
+    require(refs.nonEmpty, "EXISTS pattern must reference at least one bound variable")
+    val keyCols = refKeyCols(df, refs)
+    val base = Env(Some(df.select(keyCols.map(col): _*).distinct()),
+      env.binds.view.filterKeys(refs.contains).toMap)
+    var sub = planPath(ctx, base, p)
+    where.foreach { w => sub = applyWhere(ctx, sub, w) }
+    val key = sub.df.get.select(keyCols.map(col): _*).distinct()
+    env.copy(df = Some(df.join(key, keyCols, if (anti) "left_anti" else "left_semi")))
+  }
+
+  /** Join keys for a decorrelated sub-plan: the referenced variables plus
+    * their already-hydrated `v$prop` columns (functionally dependent on the
+    * id, so adding them to the key is safe — and the sub-plan may read them). */
+  private def refKeyCols(df: DataFrame, refs: Seq[String]): Seq[String] =
+    refs ++ df.columns.filter(c => refs.exists(r => c.startsWith(r + "$")))
+
+  private def patternVars(p: PathPattern): Set[String] =
+    ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
+      p.hops.map(_._1).flatMap(_.variable)).toSet
+
+  private def exprVars(e: Expr): Set[String] = e match {
+    case Variable(v)          => Set(v)
+    case Prop(s, _)           => exprVars(s)
+    case Func(_, args, _)     => args.flatMap(exprVars).toSet
+    case ListLit(xs)          => xs.flatMap(exprVars).toSet
+    case MapLit(es)           => es.flatMap(kv => exprVars(kv._2)).toSet
+    case BinOp(_, l, r)       => exprVars(l) ++ exprVars(r)
+    case UnaryOp(_, o)        => exprVars(o)
+    case IsNull(o, _)         => exprVars(o)
+    case StringPred(_, l, r)  => exprVars(l) ++ exprVars(r)
+    case CaseExpr(s, ws, d)   =>
+      s.map(exprVars).getOrElse(Set.empty) ++
+        ws.flatMap(w => exprVars(w._1) ++ exprVars(w._2)) ++
+        d.map(exprVars).getOrElse(Set.empty)
+    case Index(l, i)          => exprVars(l) ++ exprVars(i)
+    case Slice(l, f, t)       =>
+      exprVars(l) ++ f.map(exprVars).getOrElse(Set.empty) ++ t.map(exprVars).getOrElse(Set.empty)
+    case PatternExists(p, w, _) => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
+    case ListComprehension(v, l, w, pr) =>
+      (exprVars(l) ++ w.map(exprVars).getOrElse(Set.empty) ++
+        pr.map(exprVars).getOrElse(Set.empty)) - v
+    case _ => Set.empty
+  }
+
+  /** OPTIONAL MATCH: sub-plan the pattern starting from the distinct bound
+    * variables it references, then left-outer join back (reference
+    * logical Optional/Apply → here one decorrelated outer join). */
+  private def planOptionalMatch(ctx: Ctx, env: Env, m: MatchClause): Env = {
+    val df = env.df.get
+    // key on every bound variable the pattern OR its WHERE references, so
+    // the sub-plan can evaluate predicates that mix inner and outer vars
+    val whereVars = m.where.map(exprVars).getOrElse(Set.empty)
+    val refs = (m.patterns.flatMap(patternVars).toSet ++ whereVars)
+      .filter(env.has).toSeq.sorted
+    require(refs.nonEmpty,
+      "OPTIONAL MATCH must reference at least one bound variable")
+    val keyCols = refKeyCols(df, refs)
+    val base = Env(Some(df.select(keyCols.map(col): _*).distinct()),
+      env.binds.view.filterKeys(refs.contains).toMap)
+    var sub = base
+    val relVarsBefore = relVars(base)
+    m.patterns.foreach { p => sub = planPath(ctx, sub, p) }
+    sub = applyUniqueness(sub, relVarsBefore)
+    m.where.foreach { pred => sub = applyWhere(ctx, sub, pred) }
+    val joined = df.join(sub.df.get, keyCols, "left_outer")
+    Env(Some(joined), env.binds ++ sub.binds)
+  }
+
+  private def planPath(ctx: Ctx, env: Env, p0: PathPattern): Env = {
+    // anchor on a bound endpoint: if only the LAST node is bound, traverse
+    // the path reversed so planning starts from bound rows instead of a
+    // cross join (the planner's one join-order heuristic; Catalyst handles
+    // the rest)
+    val firstBound = p0.first.variable.exists(env.has)
+    val lastBound = p0.hops.lastOption.exists(_._2.variable.exists(env.has))
+    val p = if (!firstBound && lastBound && p0.hops.forall(_._1.varLength.isEmpty))
+      reversePath(p0) else p0
+    var (cur, fromVar) = bindNode(ctx, env, p.first)
+    p.hops.foreach { case (rel, node) =>
+      val (next, toVar) = expandHop(ctx, cur, fromVar, rel, node)
+      cur = next
+      fromVar = toVar
+    }
+    cur
+  }
+
+  private def reversePath(p: PathPattern): PathPattern = {
+    val nodes = (p.first +: p.hops.map(_._2)).reverse
+    val rels = p.hops.map(_._1).reverse.map { r =>
+      r.copy(dir = r.dir match { case Out => In; case In => Out; case Both => Both })
+    }
+    PathPattern(nodes.head, rels.zip(nodes.tail))
+  }
+
+  /** Bind a pattern node: scan (unbound) or constrain (bound). Returns the
+    * environment plus the (possibly generated) variable name. */
+  private def bindNode(ctx: Ctx, env: Env, np: NodePattern): (Env, String) = {
+    val g = ctx.g
+    np.variable match {
+      case Some(v) if env.has(v) =>
+        require(env.binds(v) == NodeVar, s"$v is not a node variable")
+        var df = env.df.get
+        if (np.labels.nonEmpty || np.props.nonEmpty) {
+          val filtered = nodeScan(ctx, np)
+          df = df.join(filtered.select(col("id").as(v)), Seq(v), "left_semi")
+        }
+        (env.copy(df = Some(df)), v)
+      case other =>
+        val v = other.getOrElse(ctx.fresh("n"))
+        val scan = hydrated(ctx, nodeScan(ctx, np), v, g.nodes.columns.toSet)
+        val df = env.df match {
+          case None      => scan
+          case Some(cur) => cur.crossJoin(scan) // disconnected pattern part
+        }
+        (Env(Some(df), env.binds + (v -> NodeVar)), v)
+    }
+  }
+
+  /** nodes filtered by the pattern's labels + inline property map —
+    * predicates sit directly on the scan so they push down to parquet. */
+  private def nodeScan(ctx: Ctx, np: NodePattern): DataFrame = {
+    var scan = ctx.g.nodes
+    np.labels.foreach { l => scan = scan.filter(array_contains(col("labels"), l)) }
+    np.props.foreach { case (k, e) =>
+      // property absent from the schema: Cypher `{k: v}` on a missing
+      // property matches nothing (NULL = v is never true)
+      scan = if (scan.columns.contains(k)) scan.filter(col(k) === constExpr(ctx, e))
+      else scan.filter(lit(false))
+    }
+    scan
+  }
+
+  /** id column renamed to the variable + `v$prop` columns for every property
+    * the query reads from v. */
+  private def hydrated(ctx: Ctx, scan: DataFrame, v: String,
+      available: Set[String]): DataFrame = {
+    val props = ctx.needed.getOrElse(v, Set.empty).filter(available).toSeq.sorted
+    scan.select((col("id").as(v) +: props.map(p => col(p).as(s"$v$$$p"))): _*)
+  }
+
+  /** One hop: single-rel equi-join (Expand All/Into semantics) or a
+    * var-length expansion via VarExpand. */
+  private def expandHop(ctx: Ctx, env: Env, fromVar: String, rel: RelPattern,
+      node: NodePattern): (Env, String) = {
+    val g = ctx.g
+    val relVar = rel.variable.getOrElse(ctx.fresh("r"))
+    val toBound = node.variable.exists(env.has)
+    val toVar = node.variable.getOrElse(ctx.fresh("n"))
+
+    val afterRel: Env = rel.varLength match {
+      case None =>
+        // oriented edge view with original src/dst retained for
+        // startNode()/endNode() hydration
+        var r = g.rels
+        if (rel.types.nonEmpty) r =
+          if (rel.types.size == 1) r.filter(col("type") === rel.types.head)
+          else r.filter(col("type").isin(rel.types: _*))
+        rel.props.foreach { case (k, e) =>
+          r = if (r.columns.contains(k)) r.filter(col(k) === constExpr(ctx, e))
+          else r.filter(lit(false))
+        }
+        val relNeeded = ctx.needed.getOrElse(relVar, Set.empty)
+          .filter(g.rels.columns.toSet).toSeq.sorted
+        def orient(from: Column, to: Column): DataFrame =
+          r.select((col("id").as(relVar) +: from.as("__from") +: to.as("__to") +:
+            relNeeded.map(p => col(p).as(s"$relVar$$$p"))): _*)
+        val edges = rel.dir match {
+          case Out  => orient(col("src"), col("dst"))
+          case In   => orient(col("dst"), col("src"))
+          case Both => orient(col("src"), col("dst"))
+            .unionByName(orient(col("dst"), col("src")))
+        }
+        val joined = env.df.get.join(edges, col(fromVar) === col("__from"))
+          .drop("__from")
+        Env(Some(joined), env.binds + (relVar -> RelVar))
+      case Some((min, maxOpt)) =>
+        require(rel.props.isEmpty,
+          "property map on a var-length relationship is not supported")
+        val max = maxOpt.getOrElse(10) // unbounded `*`: statically capped
+        val dir = rel.dir match {
+          case Out => Direction.Out; case In => Direction.In; case Both => Direction.Both
+        }
+        val depthCol = ctx.fresh("depth")
+        val expanded = VarExpand.varExpand(g, env.df.get, fromVar, rel.types,
+          dir, min, max, toAlias = "__to", relsAlias = relVar, depthAlias = depthCol)
+          .drop(depthCol)
+        Env(Some(expanded), env.binds + (relVar -> RelListVar))
+    }
+
+    val df = afterRel.df.get
+    if (toBound) {
+      require(env.binds(node.variable.get) == NodeVar,
+        s"${node.variable.get} is not a node variable")
+      var out = df.filter(col("__to") === col(toVar)).drop("__to")
+      if (node.labels.nonEmpty || node.props.nonEmpty) {
+        val filtered = nodeScan(ctx, node)
+        out = out.join(filtered.select(col("id").as(toVar)), Seq(toVar), "left_semi")
+      }
+      (afterRel.copy(df = Some(out)), toVar)
+    } else {
+      val renamed = df.withColumnRenamed("__to", toVar)
+      val needsJoin = node.labels.nonEmpty || node.props.nonEmpty ||
+        ctx.needed.getOrElse(toVar, Set.empty).nonEmpty
+      val out =
+        if (!needsJoin) renamed
+        else {
+          val scan = hydrated(ctx, nodeScan(ctx, node), toVar, ctx.g.nodes.columns.toSet)
+          renamed.join(scan, Seq(toVar))
+        }
+      (Env(Some(out), afterRel.binds + (toVar -> NodeVar)), toVar)
+    }
+  }
+
+  // ---- UNWIND -----------------------------------------------------------
+
+  private def planUnwind(ctx: Ctx, env: Env, u: UnwindClause): Env = {
+    val df = env.df.getOrElse(unit(ctx.spark))
+    val c = compile(ctx, env.copy(df = Some(df)), u.expr)
+    // explode: empty/null lists yield no rows — exactly Cypher's UNWIND
+    Env(Some(df.withColumn(u.alias, explode(c))), env.binds + (u.alias -> ValueVar))
+  }
+
+  private def unit(spark: SparkSession): DataFrame = spark.range(1).select()
+
+  // ---- WITH / RETURN ----------------------------------------------------
+
+  private def planProjection(ctx: Ctx, env: Env, items: Seq[ReturnItem],
+      distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
+      limit: Option[Expr], isReturn: Boolean): Env = {
+    val df = env.df.getOrElse(unit(ctx.spark))
+    val inEnv = env.copy(df = Some(df))
+    val hasAgg = items.exists(i => containsAgg(i.expr))
+
+    final case class Out(alias: String, item: ReturnItem, passThrough: Option[String])
+    val outs = items.map { i =>
+      val pass = i.expr match {
+        case Variable(v) if env.has(v) && env.binds(v) != ValueVar &&
+          i.alias.forall(_ == v) => Some(v)
+        case _ => None
+      }
+      Out(i.alias.getOrElse(defaultAlias(i.expr)), i, pass)
+    }
+    require(outs.map(_.alias).distinct.size == outs.size,
+      "duplicate column aliases in projection")
+
+    /** carried hydrated columns for a passed-through entity variable */
+    def carried(v: String): Seq[String] =
+      if (isReturn) Seq.empty
+      else df.columns.filter(_.startsWith(v + "$")).toSeq
+
+    var projected: DataFrame = null
+    var newBinds = Map.empty[String, Binding]
+
+    if (hasAgg) {
+      val (keys, aggs) = outs.partition(o => !containsAgg(o.item.expr))
+      val keyCols = keys.flatMap { o =>
+        o.passThrough match {
+          case Some(v) => col(v).as(o.alias) +: carried(v).map(col)
+          case None    => Seq(compile(ctx, inEnv, o.item.expr).as(o.alias))
+        }
+      }
+      val aggCols = aggs.map(o => compile(ctx, inEnv, o.item.expr).as(o.alias))
+      projected =
+        if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      newBinds = outs.map(o => o.alias ->
+        o.passThrough.map(env.binds).getOrElse(ValueVar)).toMap
+    } else {
+      val projCols = outs.flatMap { o =>
+        o.passThrough match {
+          case Some(v) => col(v).as(o.alias) +: carried(v).map(col)
+          case None    => Seq(compile(ctx, inEnv, o.item.expr).as(o.alias))
+        }
+      }
+      // pre-distinct sort columns may reference non-projected expressions
+      val sortable = !distinct
+      val sortCols: Seq[(String, Column, Boolean)] = orderBy.zipWithIndex.map {
+        case (s, i) =>
+          s.expr match {
+            case Variable(n) if outs.exists(_.alias == n) =>
+              (n, null, s.ascending) // sort on the projected column
+            case e if sortable =>
+              (s"__sort_$i", compile(ctx, inEnv, e), s.ascending)
+            case e => // DISTINCT: sort must reference projected aliases
+              (defaultAlias(e), null, s.ascending)
+          }
+      }
+      val extra = sortCols.collect { case (n, c, _) if c != null => c.as(n) }
+      projected = df.select((projCols ++ extra): _*)
+      if (distinct) projected = projected.distinct()
+      if (sortCols.nonEmpty)
+        projected = projected.orderBy(sortCols.map { case (n, _, asc) =>
+          if (asc) col(n).asc else col(n).desc }: _*)
+      projected = projected.drop(sortCols.collect {
+        case (n, c, _) if c != null => n }: _*)
+      newBinds = outs.map(o => o.alias ->
+        o.passThrough.map(env.binds).getOrElse(ValueVar)).toMap
+    }
+
+    if (hasAgg && orderBy.nonEmpty) {
+      // post-aggregation ORDER BY resolves against the output aliases
+      val postEnv = Env(Some(projected), newBinds)
+      projected = projected.orderBy(orderBy.map { s =>
+        val c = compile(ctx, postEnv, s.expr)
+        if (s.ascending) c.asc else c.desc
+      }: _*)
+    }
+    skip.foreach { e => projected = projected.offset(constInt(ctx, e)) }
+    limit.foreach { e => projected = projected.limit(constInt(ctx, e)) }
+    Env(Some(projected), newBinds)
+  }
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case CountStar            => true
+    case Func(n, args, _)     => aggFns(n) || args.exists(containsAgg)
+    case BinOp(_, l, r)       => containsAgg(l) || containsAgg(r)
+    case UnaryOp(_, o)        => containsAgg(o)
+    case IsNull(o, _)         => containsAgg(o)
+    case StringPred(_, l, r)  => containsAgg(l) || containsAgg(r)
+    case CaseExpr(s, ws, d)   =>
+      s.exists(containsAgg) || ws.exists(w => containsAgg(w._1) || containsAgg(w._2)) ||
+        d.exists(containsAgg)
+    case Index(l, i)          => containsAgg(l) || containsAgg(i)
+    case Slice(l, f, t)       =>
+      containsAgg(l) || f.exists(containsAgg) || t.exists(containsAgg)
+    case ListLit(xs)          => xs.exists(containsAgg)
+    case _                    => false
+  }
+
+  private def defaultAlias(e: Expr): String = {
+    val raw = e match {
+      case Variable(v)          => v
+      case Prop(Variable(v), k) => s"$v.$k"
+      case CountStar            => "count(*)"
+      case Func(n, _, _)        => n
+      case _                    => "expr"
+    }
+    raw.replaceAll("[^A-Za-z0-9_]", "_")
+  }
+
+  private def constInt(ctx: Ctx, e: Expr): Int = e match {
+    case Lit(l: Long) => l.toInt
+    case Param(n)     => ctx.params(n).asInstanceOf[Number].intValue()
+    case other => throw new IllegalArgumentException(s"SKIP/LIMIT must be literal: $other")
+  }
+
+  /** Pattern-inline property values must be constants or parameters. */
+  private def constExpr(ctx: Ctx, e: Expr): Column = e match {
+    case Lit(v)   => lit(v)
+    case Param(n) => litAny(ctx.params(n))
+    case other => throw new IllegalArgumentException(
+      s"pattern property values must be literals or parameters, got $other")
+  }
+
+  private def litAny(v: Any): Column = v match {
+    case null       => lit(null)
+    case s: Seq[_]  => array(s.map(litAny): _*)
+    case a: Array[_] => array(a.toSeq.map(litAny): _*)
+    case other      => lit(other)
+  }
+
+  // ---- expression compilation -------------------------------------------
+
+  private def compile(ctx: Ctx, env: Env, e: Expr,
+      lambdas: Map[String, Column] = Map.empty): Column = {
+    def c(x: Expr): Column = compile(ctx, env, x, lambdas)
+    e match {
+      case Lit(v)      => lit(v)
+      case ListLit(xs) => array(xs.map(c): _*)
+      case MapLit(es)  => map(es.flatMap { case (k, v) => Seq(lit(k), c(v)) }: _*)
+      case Param(n)    => litAny(ctx.params.getOrElse(n,
+        throw new IllegalArgumentException(s"missing parameter $$$n")))
+      case Variable(v) =>
+        lambdas.getOrElse(v, {
+          require(env.has(v) || env.df.exists(_.columns.contains(v)),
+            s"variable `$v` not defined")
+          col(v)
+        })
+      case Prop(Variable(v), k) if env.has(v) &&
+          (env.binds(v) == NodeVar || env.binds(v) == RelVar) =>
+        val n = s"$v$$$k"
+        if (env.df.exists(_.columns.contains(n))) col(n)
+        else lit(null) // Cypher: missing property IS NULL
+      case Prop(s, k)  => c(s).getItem(k)
+      case CountStar   => count(lit(1))
+      case Func(name, args, distinct) => compileFunc(ctx, env, name, args, distinct, lambdas)
+      case BinOp(op, l, r) => op match {
+        case "+"  => c(l) + c(r)
+        case "-"  => c(l) - c(r)
+        case "*"  => c(l) * c(r)
+        case "/"  => c(l) / c(r)
+        case "%"  => c(l) % c(r)
+        case "^"  => pow(c(l), c(r))
+        case "="  => c(l) === c(r)
+        case "<>" => c(l) =!= c(r)
+        case "<"  => c(l) < c(r)
+        case "<=" => c(l) <= c(r)
+        case ">"  => c(l) > c(r)
+        case ">=" => c(l) >= c(r)
+        case "AND" => c(l) && c(r)
+        case "OR"  => c(l) || c(r)
+        case "XOR" => c(l) =!= c(r) // boolean XOR with 3-valued NULL
+        case "IN"  => r match {
+          case ListLit(items) if items.forall(_.isInstanceOf[Lit]) =>
+            c(l).isin(items.map { case Lit(v) => v }: _*)
+          case _ => array_contains(c(r), c(l))
+        }
+      }
+      case UnaryOp("NOT", o) => !c(o)
+      case UnaryOp("-", o)   => negate(c(o))
+      case UnaryOp(op, _)    => throw new IllegalArgumentException(s"unary $op")
+      case IsNull(o, neg)    => if (neg) c(o).isNotNull else c(o).isNull
+      case StringPred(op, l, r) => op match {
+        case "STARTS WITH" => c(l).startsWith(c(r))
+        case "ENDS WITH"   => c(l).endsWith(c(r))
+        case "CONTAINS"    => c(l).contains(c(r))
+        case "=~" => r match {
+          // Cypher `=~` is full-match anchored (java.util.regex matches()),
+          // Spark rlike is find(): anchor explicitly.
+          case Lit(p: String) => c(l).rlike("^(?:" + p + ")$")
+          case _ => throw new IllegalArgumentException("=~ needs a literal pattern")
+        }
+      }
+      case CaseExpr(subject, whens, default) =>
+        val branches = subject match {
+          case Some(s) => whens.map { case (w, t) => (c(s) === c(w), c(t)) }
+          case None    => whens.map { case (w, t) => (c(w), c(t)) }
+        }
+        val start = when(branches.head._1, branches.head._2)
+        val chained = branches.tail.foldLeft(start) { case (acc, (p, v)) => acc.when(p, v) }
+        default.fold(chained)(d => chained.otherwise(c(d)))
+      case Index(l, i) =>
+        val ic = c(i)
+        // Cypher 0-based; negative = from end (element_at is 1-based/±)
+        element_at(c(l), when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
+      case Slice(l, f, t) =>
+        val lc = c(l)
+        val from = f.map(c).getOrElse(lit(0))
+        val to = t.map(c).getOrElse(size(lc))
+        slice(lc, (from + 1).cast("int"), (to - from).cast("int"))
+      case ListComprehension(v, l, where, proj) =>
+        var listCol = c(l)
+        where.foreach { w =>
+          listCol = filter(listCol, x => compile(ctx, env, w, lambdas + (v -> x)))
+        }
+        proj.foreach { p =>
+          listCol = transform(listCol, x => compile(ctx, env, p, lambdas + (v -> x)))
+        }
+        listCol
+      case pe: PatternExists => throw new IllegalArgumentException(
+        "pattern predicates are only supported as top-level WHERE conjuncts")
+    }
+  }
+
+  private def compileFunc(ctx: Ctx, env: Env, name: String, args: Seq[Expr],
+      distinct: Boolean, lambdas: Map[String, Column]): Column = {
+    def c(x: Expr): Column = compile(ctx, env, x, lambdas)
+    def a0 = c(args.head)
+    name match {
+      // aggregates (within groupBy().agg(...))
+      case "count"   => if (distinct) count_distinct(a0) else count(a0)
+      case "sum"     => sum(a0)
+      case "avg"     => avg(a0)
+      case "min"     => min(a0)
+      case "max"     => max(a0)
+      case "collect" =>
+        // Cypher collect() skips NULLs; collect_list already does.
+        if (distinct) collect_set(a0) else collect_list(a0)
+      case "stdev"  => stddev_samp(a0)
+      case "stdevp" => stddev_pop(a0)
+      // percentileCont = exact linear interpolation (Spark's percentile);
+      // percentileDisc returns an actual member — percentile_approx with
+      // maximal accuracy picks the discrete boundary value.
+      case "percentilecont" => percentile(a0, c(args(1)))
+      case "percentiledisc" => percentile_approx(a0, c(args(1)), lit(100000))
+      // entity accessors (hydrated columns)
+      case "id" => a0
+      case "labels" | "type" | "startnode" | "endnode" =>
+        val key = name match {
+          case "labels" => "labels"; case "type" => "type"
+          case "startnode" => "src"; case "endnode" => "dst"
+        }
+        args.head match {
+          case Variable(v) => col(s"$v$$$key")
+          case other => throw new IllegalArgumentException(s"$name() needs a variable")
+        }
+      // scalar functions
+      case "toupper"   => upper(a0)
+      case "tolower"   => lower(a0)
+      case "trim"      => trim(a0)
+      case "ltrim"     => ltrim(a0)
+      case "rtrim"     => rtrim(a0)
+      case "reverse"   => reverse(a0)
+      case "replace"   => regexp_replace(a0, regexp_quote(c(args(1))), c(args(2)))
+      case "split"     => split(a0, javaQuote(args(1)))
+      case "substring" =>
+        // Cypher 0-based start
+        if (args.size >= 3) a0.substr(c(args(1)) + 1, c(args(2)))
+        else a0.substr(c(args(1)) + 1, length(a0))
+      case "left"  => a0.substr(lit(1), c(args(1)))
+      case "right" => a0.substr(length(a0) - c(args(1)) + 1, c(args(1)))
+      case "size" | "length" =>
+        if (isArrayTyped(env, a0)) size(a0) else length(a0)
+      case "tostring"  => a0.cast("string")
+      case "tointeger" => a0.cast("long")
+      case "tofloat"   => a0.cast("double")
+      case "toboolean" => a0.cast("boolean")
+      case "abs"   => abs(a0)
+      case "ceil"  => ceil(a0).cast("double")
+      case "floor" => floor(a0).cast("double")
+      case "round" => round(a0, if (args.size > 1) constInt(ctx, args(1)) else 0)
+      case "sqrt"  => sqrt(a0)
+      case "sign"  => signum(a0)
+      case "exp"   => exp(a0)
+      case "log"   => log(a0)
+      case "log10" => log10(a0)
+      case "sin"   => sin(a0)
+      case "cos"   => cos(a0)
+      case "tan"   => tan(a0)
+      case "atan"  => atan(a0)
+      case "atan2" => atan2(a0, c(args(1)))
+      case "pi"    => lit(math.Pi)
+      case "e"     => lit(math.E)
+      case "rand"  => rand()
+      case "range" =>
+        if (args.size >= 3) sequence(a0, c(args(1)), c(args(2)))
+        else sequence(a0, c(args(1)))
+      case "head"  => element_at(a0, 1)
+      case "last"  => element_at(a0, -1)
+      case "tail"  => slice(a0, lit(2), greatest(size(a0) - 1, lit(0)))
+      case "coalesce" => coalesce(args.map(c): _*)
+      case "date"     => to_date(a0)
+      case "datetime" => to_timestamp(a0)
+      case other => throw new IllegalArgumentException(s"unsupported function: $other()")
+    }
+  }
+
+  /** java-regex-quoted literal for split(): Cypher split is literal. */
+  private def javaQuote(e: Expr): String = e match {
+    case Lit(s: String) => java.util.regex.Pattern.quote(s)
+    case other => throw new IllegalArgumentException("split() needs a literal delimiter")
+  }
+
+  private def regexp_quote(c: Column): Column =
+    // quote regex metacharacters so replace() is literal, matching Cypher
+    regexp_replace(c, lit("""([\\.\[\]\{\}\(\)\*\+\?\^\$\|])"""), lit("""\\$1"""))
+
+  /** Type dispatch for size(): arrays use size(), strings length(). */
+  private def isArrayTyped(env: Env, c: Column): Boolean =
+    env.df.exists { df =>
+      scala.util.Try(df.select(c).schema.head.dataType).toOption
+        .exists(_.isInstanceOf[ArrayType])
+    }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.graph.{Direction, PropertyGraph}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Trail — quantified path patterns `((a)-[r:T]->(b)){min,max}` with GROUP
+ * VARIABLES (reference pipes/TrailPipe.scala:65, logical Trail
+ * LogicalPlan.scala:3977): repeat a one-hop pattern between min and max
+ * times, collecting the per-iteration nodes and relationships into arrays,
+ * under Cypher's relationship-uniqueness rule (a rel may appear at most once
+ * per path — "trail" semantics, front-end AddUniquenessPredicates.scala).
+ *
+ * Spark formulation: bounded unrolled join loop (same skeleton as
+ * VarExpand), accumulating BOTH the rel-id array (the `r` group variable)
+ * and the node-id array (start + every hop end — the `a` group is its init,
+ * the `b` group its tail). Each iteration is one equi-join on the frontier
+ * node; arrays hold 8-byte ids only, so the shuffle payload stays narrow
+ * even at 100 TB — property hydration of group elements is a post-join
+ * against the nodes table, outside the loop.
+ */
+object Trail {
+
+  /**
+   * @param edges (id LONG, src LONG, dst LONG) — pre-oriented/filtered
+   * @param input rows with bound start-node column `fromCol`
+   * @param edgePredicate extra per-iteration predicate over edge columns
+   * @return input + `endAlias` LONG, `nodesAlias` ARRAY<LONG> (length
+   *         hops+1, starts with the start node), `relsAlias` ARRAY<LONG>,
+   *         `hopsAlias` INT — one row per distinct trail of length
+   *         in [min, max]
+   */
+  def trail(edges: DataFrame, input: DataFrame, fromCol: String,
+      min: Int, max: Int,
+      endAlias: String = "end", relsAlias: String = "trail_rels",
+      nodesAlias: String = "trail_nodes", hopsAlias: String = "hops",
+      edgePredicate: Option[Column] = None): DataFrame = {
+    require(min >= 0 && max >= min && max <= 30,
+      s"trail bounds out of range: $min..$max")
+    val e0 = edges.select(col("id").as("__er"), col("src").as("__es"), col("dst").as("__ed"))
+    val e = edgePredicate.fold(e0)(p => edges.filter(p)
+      .select(col("id").as("__er"), col("src").as("__es"), col("dst").as("__ed")))
+
+    var level = input
+      .withColumn(endAlias, col(fromCol))
+      .withColumn(nodesAlias, array(col(fromCol)))
+      .withColumn(relsAlias, array().cast("array<long>"))
+    val out = Seq.newBuilder[DataFrame]
+    if (min == 0) out += level.withColumn(hopsAlias, lit(0))
+
+    var k = 1
+    while (k <= max) {
+      level = level
+        .join(e, col(endAlias) === col("__es") &&
+          !array_contains(col(relsAlias), col("__er")))
+        .withColumn(relsAlias, concat(col(relsAlias), array(col("__er"))))
+        .withColumn(nodesAlias, concat(col(nodesAlias), array(col("__ed"))))
+        .withColumn(endAlias, col("__ed"))
+        .drop("__es", "__ed", "__er")
+      if (k >= min) out += level.withColumn(hopsAlias, lit(k))
+      k += 1
+    }
+    out.result().reduce(_ unionByName _)
+  }
+
+  /** PropertyGraph convenience: orient + type-filter the rels table. */
+  def trail(g: PropertyGraph, input: DataFrame, fromCol: String,
+      relTypes: Seq[String], direction: Direction, min: Int, max: Int): DataFrame = {
+    val r0 = direction match {
+      case Direction.Out  => g.rels.select(col("id"), col("src"), col("dst"), col("type"))
+      case Direction.In   => g.rels.select(col("id"), col("dst").as("src"), col("src").as("dst"), col("type"))
+      case Direction.Both => g.undirectedRels.select(col("id"), col("src"), col("dst"), col("type"))
+    }
+    val filtered = if (relTypes.isEmpty) r0 else r0.filter(col("type").isin(relTypes: _*))
+    trail(filtered.select("id", "src", "dst"), input, fromCol, min, max)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.cypher.Cypher
+import graft.graph.TpchGraph
+
+/**
+ * The correctness gate for the Cypher surface: every query here is a Cypher
+ * STRING compiled by the engine (parse → plan → DataFrame), and the oracle
+ * re-derives the answer relationally in DuckDB — so parser, planner,
+ * expression compiler and the underlying operators are all on the hook.
+ * Several mirror hand-built twins (q_graph_expand, q_var_expand, …) so a
+ * front-end regression shows up as a Cypher-only failure.
+ */
+object CypherQueries {
+
+  private def cq(name: String, cypher: String, oracle: String): QueryDef =
+    QueryDef(name,
+      (s, d) => Cypher.run(s, TpchGraph.load(s, d), cypher),
+      Some(oracle))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // flagship (SURVEY §7.2): expand + far-node predicate + aggregate + top-k
+    cq("q_cypher_agg_topk",
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE o.totalprice > 100000
+        |RETURN c.name AS name, count(o) AS n
+        |ORDER BY n DESC, name ASC LIMIT 10""".stripMargin,
+      """SELECT c_name AS name, count(*) AS n
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE o_totalprice > 100000
+        |GROUP BY c_name ORDER BY n DESC, name ASC LIMIT 10""".stripMargin),
+
+    // Expand(All) twin of q_graph_expand
+    cq("q_cypher_expand",
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE o.totalprice > 300000
+        |RETURN c.key AS c_key, count(*) AS n_big_orders""".stripMargin,
+      """SELECT c_custkey AS c_key, count(*) AS n_big_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE o_totalprice > 300000 GROUP BY c_custkey""".stripMargin),
+
+    // two-hop pattern: customer -> nation -> region (multi-hop path plan)
+    cq("q_cypher_two_hop",
+      """MATCH (c:Customer)-[:FROM]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN n.name AS nation, r.name AS region, count(c) AS customers""".stripMargin,
+      """SELECT n_name AS nation, r_name AS region, count(*) AS customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name, r_name""".stripMargin),
+
+    // var-length twin of q_var_expand: depth-tagged reach set
+    cq("q_cypher_var_expand",
+      """MATCH (c:Customer)-[rs:FROM|IN_REGION*1..2]->(x)
+        |WHERE c.key < 200
+        |RETURN c.key AS c_key, x.name AS reached, size(rs) AS depth""".stripMargin,
+      """SELECT c_custkey AS c_key, n_name AS reached, 1 AS depth
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey < 200
+        |UNION ALL
+        |SELECT c_custkey, r_name, 2
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_custkey < 200""".stripMargin),
+
+    // OPTIONAL MATCH + aggregation over the optional side
+    cq("q_cypher_optional",
+      """MATCH (n:Nation)
+        |OPTIONAL MATCH (n)<-[:FROM]-(c:Customer) WHERE c.acctbal > 9000
+        |RETURN n.name AS nation, count(c) AS rich_customers""".stripMargin,
+      """SELECT n_name AS nation, count(c_custkey) AS rich_customers
+        |FROM nation LEFT JOIN customer
+        |  ON c_nationkey = n_nationkey AND c_acctbal > 9000
+        |GROUP BY n_name""".stripMargin),
+
+    // EXISTS / NOT EXISTS pattern predicates (SemiApply/AntiSemiApply)
+    cq("q_cypher_exists",
+      """MATCH (s:Supplier)
+        |WHERE EXISTS { (s)<-[:SUPPLIED_BY]-(:Order) }
+        |RETURN count(*) AS n_active""".stripMargin,
+      """SELECT count(*) AS n_active FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""".stripMargin),
+
+    cq("q_cypher_not_exists",
+      """MATCH (p:Part)
+        |WHERE NOT EXISTS { (:Order)-[:CONTAINS]->(p) }
+        |RETURN count(*) AS n_unsold""".stripMargin,
+      """SELECT count(*) AS n_unsold FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin),
+
+    // WITH pipeline: aggregate → filter on the aggregate → re-aggregate
+    cq("q_cypher_with_pipeline",
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c, count(o) AS n_orders WHERE n_orders >= 10
+        |RETURN c.mktsegment AS segment, count(*) AS loyal, max(n_orders) AS busiest""".stripMargin,
+      """WITH co AS (SELECT c_custkey, count(*) AS n_orders
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey HAVING count(*) >= 10)
+        |SELECT c_mktsegment AS segment, count(*) AS loyal, max(n_orders) AS busiest
+        |FROM co JOIN customer ON co.c_custkey = customer.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin),
+
+    // expression surface: CASE, string predicates, arithmetic, round
+    cq("q_cypher_expressions",
+      """MATCH (c:Customer)
+        |WHERE c.name ENDS WITH '1' AND c.acctbal > 0
+        |RETURN c.key AS key,
+        |  CASE WHEN c.acctbal >= 5000 THEN 'high' ELSE 'low' END AS band,
+        |  toInteger(floor(c.acctbal / 100)) AS hundreds,
+        |  toUpper(c.mktsegment) AS seg""".stripMargin,
+      """SELECT c_custkey AS key,
+        |  CASE WHEN c_acctbal >= 5000 THEN 'high' ELSE 'low' END AS band,
+        |  CAST(floor(c_acctbal / 100) AS BIGINT) AS hundreds,
+        |  upper(c_mktsegment) AS seg
+        |FROM customer WHERE c_name LIKE '%1' AND c_acctbal > 0""".stripMargin),
+
+    // UNWIND + grouping on the exploded value
+    cq("q_cypher_unwind",
+      """UNWIND [1, 2, 3, 4, 5] AS x
+        |RETURN x % 2 AS parity, count(*) AS n, sum(x) AS total""".stripMargin,
+      """SELECT x % 2 AS parity, count(*) AS n, CAST(sum(x) AS BIGINT) AS total
+        |FROM (SELECT CAST(unnest([1,2,3,4,5]) AS BIGINT) AS x)
+        |GROUP BY x % 2""".stripMargin),
+
+    // UNION distinct across two label scans
+    cq("q_cypher_union",
+      """MATCH (n:Nation) RETURN n.name AS name
+        |UNION
+        |MATCH (r:Region) RETURN r.name AS name""".stripMargin,
+      """SELECT n_name AS name FROM nation
+        |UNION SELECT r_name FROM region""".stripMargin),
+
+    // DISTINCT + ORDER BY + SKIP/LIMIT pagination
+    cq("q_cypher_pagination",
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |RETURN DISTINCT c.key AS key ORDER BY key SKIP 5 LIMIT 20""".stripMargin,
+      """SELECT DISTINCT o_custkey AS key FROM orders
+        |ORDER BY key LIMIT 20 OFFSET 5""".stripMargin),
+
+    // undirected + multi-label scan: every node a Nation touches
+    cq("q_cypher_undirected",
+      """MATCH (n:Nation)-[r]-(x)
+        |RETURN n.name AS nation, count(*) AS degree""".stripMargin,
+      """WITH deg AS (
+        |  SELECT n_nationkey AS k, count(*) AS d FROM nation GROUP BY n_nationkey
+        |  UNION ALL SELECT c_nationkey, count(*) FROM customer GROUP BY c_nationkey
+        |  UNION ALL SELECT s_nationkey, count(*) FROM supplier GROUP BY s_nationkey)
+        |SELECT n_name AS nation, CAST(sum(d) AS BIGINT) AS degree
+        |FROM nation JOIN deg ON k = n_nationkey GROUP BY n_name""".stripMargin),
+
+    // parameterized inline property map + rel property read
+    cq("q_cypher_rel_props",
+      """MATCH (o:Order)-[c:CONTAINS]->(p:Part)
+        |WHERE c.qty >= 45 AND p.psize > 40
+        |RETURN p.brand AS brand, count(*) AS n, round(sum(c.price), 2) AS revenue""".stripMargin,
+      """SELECT p_brand AS brand, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity >= 45 AND p_size > 40
+        |GROUP BY p_brand""".stripMargin)
+  )
+}

@@ -1,0 +1,270 @@
+package graft
+
+import graft.cypher.Cypher
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * End-to-end Cypher surface tests: each query is compiled by the engine
+ * (parse → plan → DataFrame) and checked against hand-computed results on a
+ * small fixed graph. Mirrors the shape of the reference's semantic
+ * acceptance tests (community/cypher/acceptance-spec-suite).
+ *
+ * Graph: persons with age/city, KNOWS edges with since, LIKES edges.
+ */
+class CypherSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private lazy val g: PropertyGraph = {
+    val nodeSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("labels", ArrayType(StringType), nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("age", LongType, nullable = true),
+      StructField("city", StringType, nullable = true)))
+    val relSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("src", LongType, nullable = false),
+      StructField("dst", LongType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("since", LongType, nullable = true)))
+    val nodes = Seq(
+      Row(1L, Seq("Person"), "Alice", 30L, "Oslo"),
+      Row(2L, Seq("Person"), "Bob", 25L, "Bergen"),
+      Row(3L, Seq("Person"), "Carol", 35L, "Oslo"),
+      Row(4L, Seq("Person", "Admin"), "Dave", 40L, null),
+      Row(5L, Seq("City"), "Oslo", null, null))
+    val rels = Seq(
+      Row(10L, 1L, 2L, "KNOWS", 2015L),  // Alice -> Bob
+      Row(11L, 2L, 3L, "KNOWS", 2018L),  // Bob -> Carol
+      Row(12L, 1L, 3L, "KNOWS", 2020L),  // Alice -> Carol
+      Row(13L, 3L, 4L, "KNOWS", 2021L),  // Carol -> Dave
+      Row(14L, 1L, 5L, "LIVES_IN", null),
+      Row(15L, 3L, 5L, "LIVES_IN", null))
+    PropertyGraph(
+      spark.createDataFrame(spark.sparkContext.parallelize(nodes, 2), nodeSchema),
+      spark.createDataFrame(spark.sparkContext.parallelize(rels, 2), relSchema))
+  }
+
+  private def run(q: String, params: Map[String, Any] = Map.empty) =
+    Cypher.run(spark, g, q, params)
+
+  test("node scan with label + property filter and projection") {
+    val rows = run(
+      "MATCH (p:Person) WHERE p.age > 28 RETURN p.name AS name, p.age AS age ORDER BY age")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("Alice", 30L), ("Carol", 35L), ("Dave", 40L)))
+  }
+
+  test("inline property map in pattern") {
+    val rows = run("MATCH (p:Person {city: 'Oslo'}) RETURN p.name AS name ORDER BY name")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Alice", "Carol"))
+  }
+
+  test("expand with rel type and far-node predicate") {
+    val rows = run(
+      """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+        |WHERE k.since >= 2018 RETURN a.name AS a, b.name AS b ORDER BY a, b""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("Alice", "Carol"), ("Bob", "Carol"), ("Carol", "Dave")))
+  }
+
+  test("incoming and undirected directions") {
+    val in = run("MATCH (a)<-[:KNOWS]-(b) RETURN a.name AS a, b.name AS b ORDER BY a, b")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(in.toSeq == Seq(("Bob", "Alice"), ("Carol", "Alice"), ("Carol", "Bob"), ("Dave", "Carol")))
+    val both = run("MATCH (a {name: 'Bob'})-[:KNOWS]-(b) RETURN b.name AS b ORDER BY b")
+      .collect().map(_.getString(0))
+    assert(both.toSeq == Seq("Alice", "Carol"))
+  }
+
+  test("aggregation groups by non-aggregate items") {
+    val rows = run(
+      """MATCH (a:Person)-[:KNOWS]->(b)
+        |RETURN a.name AS name, count(b) AS n ORDER BY n DESC, name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("Alice", 2L), ("Bob", 1L), ("Carol", 1L)))
+  }
+
+  test("count(*), sum, avg, collect, min/max") {
+    val r = run(
+      """MATCH (p:Person) RETURN count(*) AS cnt, sum(p.age) AS total,
+        |avg(p.age) AS mean, min(p.age) AS lo, max(p.age) AS hi""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 130 && r.getDouble(2) == 32.5 &&
+      r.getLong(3) == 25 && r.getLong(4) == 40)
+    val c = run("MATCH (p:Person) RETURN collect(p.name) AS names").collect()(0)
+      .getSeq[String](0).sorted
+    assert(c == Seq("Alice", "Bob", "Carol", "Dave"))
+  }
+
+  test("OPTIONAL MATCH keeps unmatched rows with NULLs") {
+    val rows = run(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[:LIVES_IN]->(c:City)
+        |RETURN p.name AS name, c.name AS city ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq(
+      ("Alice", Some("Oslo")), ("Bob", None), ("Carol", Some("Oslo")), ("Dave", None)))
+  }
+
+  test("var-length expand with bounds") {
+    val rows = run(
+      """MATCH (a {name: 'Alice'})-[:KNOWS*1..2]->(b)
+        |RETURN DISTINCT b.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0))
+    // 1 hop: Bob, Carol; 2 hops: Carol (via Bob), Dave (via Carol)
+    assert(rows.toSeq == Seq("Bob", "Carol", "Dave"))
+  }
+
+  test("var-length collects rel ids and size() works") {
+    val rows = run(
+      """MATCH (a {name: 'Alice'})-[ks:KNOWS*2..2]->(b)
+        |RETURN b.name AS name, size(ks) AS hops ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(rows.toSeq == Seq(("Carol", 2), ("Dave", 2)))
+  }
+
+  test("WITH pipeline: aggregate then filter then return") {
+    val rows = run(
+      """MATCH (a:Person)-[:KNOWS]->(b)
+        |WITH a, count(b) AS n WHERE n >= 2
+        |RETURN a.name AS name, n""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("Alice", 2L)))
+  }
+
+  test("UNWIND a literal list and a parameter") {
+    val rows = run("UNWIND [1, 2, 3] AS x RETURN x * 10 AS v ORDER BY v")
+      .collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(10L, 20L, 30L))
+    val p = run("UNWIND $xs AS x RETURN x AS v ORDER BY v", Map("xs" -> Seq(5, 6)))
+      .collect().map(_.getInt(0))
+    assert(p.toSeq == Seq(5, 6))
+  }
+
+  test("UNION and UNION ALL") {
+    val d = run(
+      """MATCH (p:Person {city: 'Oslo'}) RETURN p.city AS c
+        |UNION MATCH (p:Person {city: 'Bergen'}) RETURN p.city AS c""".stripMargin)
+      .collect().map(_.getString(0)).sorted
+    assert(d.toSeq == Seq("Bergen", "Oslo"))
+    val a = run(
+      """MATCH (p:Person {city: 'Oslo'}) RETURN p.city AS c
+        |UNION ALL MATCH (p:Person {city: 'Oslo'}) RETURN p.city AS c""".stripMargin)
+      .collect()
+    assert(a.length == 4)
+  }
+
+  test("CASE expression, both forms") {
+    val rows = run(
+      """MATCH (p:Person) RETURN p.name AS name,
+        |CASE WHEN p.age < 30 THEN 'young' WHEN p.age < 40 THEN 'mid' ELSE 'senior' END AS band
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("Alice", "mid"), ("Bob", "young"), ("Carol", "mid"), ("Dave", "senior")))
+    val simple = run(
+      "MATCH (p:Person) RETURN CASE p.city WHEN 'Oslo' THEN 1 ELSE 0 END AS isOslo, count(*) AS n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(simple.toSeq == Seq((0L, 2L), (1L, 2L)))
+  }
+
+  test("EXISTS and NOT EXISTS pattern predicates") {
+    val has = run(
+      """MATCH (p:Person) WHERE EXISTS { (p)-[:LIVES_IN]->(:City) }
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(has.toSeq == Seq("Alice", "Carol"))
+    val hasNot = run(
+      """MATCH (p:Person) WHERE NOT EXISTS { (p)-[:LIVES_IN]->(:City) }
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(hasNot.toSeq == Seq("Bob", "Dave"))
+  }
+
+  test("string predicates and functions") {
+    val rows = run(
+      """MATCH (p:Person) WHERE p.name STARTS WITH 'C' OR p.name ENDS WITH 'e'
+        |RETURN toUpper(p.name) AS u ORDER BY u""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("ALICE", "CAROL", "DAVE"))
+    val regex = run("MATCH (p:Person) WHERE p.name =~ '.*o.*' RETURN p.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(regex.toSeq == Seq("Bob", "Carol"))
+  }
+
+  test("IS NULL / IS NOT NULL three-valued logic") {
+    val rows = run("MATCH (p:Person) WHERE p.city IS NULL RETURN p.name AS n")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Dave"))
+  }
+
+  test("labels(), type(), id(), startNode(), endNode()") {
+    val l = run("MATCH (p {name: 'Dave'}) RETURN labels(p) AS ls").collect()(0)
+      .getSeq[String](0)
+    assert(l == Seq("Person", "Admin"))
+    val t = run(
+      "MATCH (a {name: 'Alice'})-[r]->(b {name: 'Bob'}) RETURN type(r) AS t, id(r) AS i, startNode(r) AS s, endNode(r) AS e")
+      .collect()(0)
+    assert(t.getString(0) == "KNOWS" && t.getLong(1) == 10L &&
+      t.getLong(2) == 1L && t.getLong(3) == 2L)
+  }
+
+  test("list comprehension and IN") {
+    val rows = run(
+      "RETURN [x IN range(1, 5) WHERE x % 2 = 0 | x * 10] AS evens")
+      .collect()(0).getSeq[Long](0)
+    assert(rows == Seq(20L, 40L))
+    val in = run("MATCH (p:Person) WHERE p.name IN ['Bob', 'Dave'] RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    assert(in == 2)
+  }
+
+  test("SKIP / LIMIT / DISTINCT") {
+    val rows = run(
+      "MATCH (p:Person) RETURN p.name AS name ORDER BY name SKIP 1 LIMIT 2")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Bob", "Carol"))
+    val d = run("MATCH (p:Person)-[:KNOWS]->() RETURN DISTINCT p.city AS c ORDER BY c")
+      .collect().map(_.getString(0))
+    assert(d.toSeq == Seq("Bergen", "Oslo"))
+  }
+
+  test("relationship uniqueness within a MATCH") {
+    // two-hop paths cannot reuse the same rel: Alice-KNOWS->X-KNOWS->Y
+    val rows = run(
+      """MATCH (a {name: 'Alice'})-[r1:KNOWS]->(x)-[r2:KNOWS]->(y)
+        |RETURN x.name AS x, y.name AS y ORDER BY x, y""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("Bob", "Carol"), ("Carol", "Dave")))
+    // undirected 2-hop from Bob must not bounce back over the same rel
+    val noBounce = run(
+      """MATCH (a {name: 'Bob'})-[r1:KNOWS]-(x)-[r2:KNOWS]-(y)
+        |RETURN DISTINCT y.name AS y ORDER BY y""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(!noBounce.contains("Bob"))
+  }
+
+  test("multi-pattern MATCH joins on shared variables") {
+    val rows = run(
+      """MATCH (a)-[:KNOWS]->(b), (a)-[:LIVES_IN]->(c:City)
+        |RETURN DISTINCT a.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Alice", "Carol"))
+  }
+
+  test("expression arithmetic, power, modulo, unary minus") {
+    val r = run("RETURN 2 ^ 10 AS p, 7 % 3 AS m, -(3 - 5) AS neg, 10 / 4.0 AS d").collect()(0)
+    assert(r.getDouble(0) == 1024.0 && r.getLong(1) == 1L &&
+      r.getLong(2) == 2L && r.getDouble(3) == 2.5)
+  }
+
+  test("coalesce, head, last, slice, index") {
+    val r = run(
+      "RETURN coalesce(null, 'x') AS c, head([1,2,3]) AS h, last([1,2,3]) AS l, [10,20,30][1] AS i, [1,2,3,4][1..3] AS s")
+      .collect()(0)
+    assert(r.getString(0) == "x" && r.getLong(1) == 1L && r.getLong(2) == 3L &&
+      r.getLong(3) == 20L && r.getSeq[Long](4) == Seq(2L, 3L))
+  }
+}
