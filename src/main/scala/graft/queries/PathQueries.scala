@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.graph.TpchGraph
+import graft.ops.{Trail, WeightedPaths}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Path-operator coverage: Trail/QPP group variables and weighted shortest
+ * paths (reference TrailPipe.scala:65 and graph-algo Dijkstra.java), both
+ * with full path output — oracles re-derive the same answers with unrolled
+ * joins / argmin windows in DuckDB.
+ */
+object PathQueries {
+  import QueryDef.t
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Trail {1,3} over the per-customer order-succession chain, collecting
+    // the node group variable (order-key sequence). Paths are unique per
+    // (start, hops) because the chain is linear — the oracle unrolls 1/2/3
+    // hops explicitly.
+    QueryDef("q_trail",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val seq0 = orders.select(col("o_custkey"), col("o_orderkey").cast("long").as("ok"),
+          row_number().over(w).as("rn"))
+        val edges = seq0.alias("a").join(seq0.alias("b"),
+            col("a.o_custkey") === col("b.o_custkey") && col("b.rn") === col("a.rn") + 1)
+          .select(col("b.ok").as("id"), col("a.ok").as("src"), col("b.ok").as("dst"))
+        val starts = seq0.filter(col("rn") === 1)
+          .select(col("o_custkey").as("custkey"), col("ok").as("start"))
+        Trail.trail(edges, starts, "start", min = 1, max = 3)
+          .select(col("custkey"), array_join(col("trail_nodes"), ",").as("path"), col("hops"))
+      },
+      Some("""WITH seq AS (SELECT o_custkey, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+             |  FROM orders)
+             |SELECT s1.o_custkey AS custkey,
+             |  s1.o_orderkey || ',' || s2.o_orderkey AS path, 1 AS hops
+             |FROM seq s1 JOIN seq s2 ON s2.o_custkey = s1.o_custkey AND s2.rn = 2
+             |WHERE s1.rn = 1
+             |UNION ALL
+             |SELECT s1.o_custkey, s1.o_orderkey || ',' || s2.o_orderkey || ',' || s3.o_orderkey, 2
+             |FROM seq s1 JOIN seq s2 ON s2.o_custkey = s1.o_custkey AND s2.rn = 2
+             |JOIN seq s3 ON s3.o_custkey = s1.o_custkey AND s3.rn = 3
+             |WHERE s1.rn = 1
+             |UNION ALL
+             |SELECT s1.o_custkey,
+             |  s1.o_orderkey || ',' || s2.o_orderkey || ',' || s3.o_orderkey || ',' || s4.o_orderkey, 3
+             |FROM seq s1 JOIN seq s2 ON s2.o_custkey = s1.o_custkey AND s2.rn = 2
+             |JOIN seq s3 ON s3.o_custkey = s1.o_custkey AND s3.rn = 3
+             |JOIN seq s4 ON s4.o_custkey = s1.o_custkey AND s4.rn = 4
+             |WHERE s1.rn = 1""".stripMargin)),
+
+    // Weighted shortest path customer → part over PLACED (weight 1) and
+    // CONTAINS (weight = quantity) edges, with the edge-id path in the
+    // output. Distances tie when two orders ship the same min quantity —
+    // resolved deterministically to the smallest edge-id sequence on both
+    // sides (struct-min in Spark, ORDER BY dist, e1, e2 in the oracle).
+    QueryDef("q_weighted_shortest",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val placed = g.relsByType("PLACED")
+          .select(col("id"), col("src"), col("dst"), lit(1.0).as("weight"))
+        val contains = g.relsByType("CONTAINS")
+          .select(col("id"), col("src"), col("dst"), col("qty").cast("double").as("weight"))
+        val edges = placed.unionByName(contains)
+        val sources = g.nodesByLabel("Customer").filter(col("key") < 50)
+          .select(col("id").as("source"), col("key").as("custkey"))
+        val parts = g.nodesByLabel("Part").select(col("id").as("node"), col("key").as("partkey"))
+        WeightedPaths.shortestPaths(edges, sources.select("source"), maxIter = 5)
+          .join(parts, "node").join(sources, "source")
+          .select(col("custkey"), col("partkey"),
+            round(col("dist"), 2).as("dist"), array_join(col("path"), ",").as("path"))
+      },
+      // edge-id scheme mirrors TpchGraph: PLACED id = (23<<44)+orderkey,
+      // CONTAINS id = (24<<44)+orderkey*16+linenumber
+      Some("""WITH cand AS (
+             |  SELECT c.c_custkey AS custkey, l.l_partkey AS partkey,
+             |    1.0 + l.l_quantity AS dist,
+             |    CAST(404620279021568 + o.o_orderkey AS BIGINT) AS e1,
+             |    CAST(422212465065984 + o.o_orderkey * 16 + l.l_linenumber AS BIGINT) AS e2
+             |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+             |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |  WHERE c.c_custkey < 50),
+             |ranked AS (SELECT *,
+             |    row_number() OVER (PARTITION BY custkey, partkey ORDER BY dist, e1, e2) AS rn
+             |  FROM cand)
+             |SELECT custkey, partkey, round(dist, 2) AS dist, e1 || ',' || e2 AS path
+             |FROM ranked WHERE rn = 1""".stripMargin))
+  )
+}

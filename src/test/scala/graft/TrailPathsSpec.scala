@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.{Trail, WeightedPaths}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for Trail (QPP group variables) and WeightedPaths
+  * (Dijkstra semantics) on the reference's fixture shapes
+  * (runtime-spec-suite GraphCreation.scala: chain/circle). */
+class TrailPathsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def starts(ids: Long*) = {
+    import spark.implicits._
+    ids.toDF("start")
+  }
+
+  test("trail on a chain collects node and rel groups per iteration count") {
+    val g = GraphFixtures.chainGraph(spark, 6)
+    val rows = Trail.trail(g.rels.select("id", "src", "dst"), starts(0L), "start", 1, 3)
+      .select(col("hops"), col("end"),
+        array_join(col("trail_nodes"), ",").as("ns"),
+        array_join(col("trail_rels"), ",").as("rs"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1, 1L, "0,1", "100"),
+      (2, 2L, "0,1,2", "100,101"),
+      (3, 3L, "0,1,2,3", "100,101,102")))
+  }
+
+  test("trail min=0 emits the zero-length path") {
+    val g = GraphFixtures.chainGraph(spark, 3)
+    val zero = Trail.trail(g.rels.select("id", "src", "dst"), starts(0L), "start", 0, 1)
+      .filter(col("hops") === 0).collect()
+    assert(zero.length == 1 && zero(0).getAs[Long]("end") == 0L &&
+      zero(0).getSeq[Long](zero(0).fieldIndex("trail_rels")).isEmpty)
+  }
+
+  test("trail enforces relationship uniqueness (circle terminates)") {
+    val g = GraphFixtures.circleGraph(spark, 4)
+    val rows = Trail.trail(g.rels.select("id", "src", "dst"), starts(0L), "start", 1, 8)
+      .select("hops").collect().map(_.getInt(0)).sorted
+    // a 4-circle admits trails of 1..4 hops from node 0, then every rel is
+    // used — levels 5..8 must be empty
+    assert(rows.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  private def weightedEdges(rows: Seq[(Long, Long, Long, Double)]) = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("src", LongType),
+      StructField("dst", LongType), StructField("weight", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(t => Row(t._1, t._2, t._3, t._4)), 2), schema)
+  }
+
+  private def sources(ids: Long*) = {
+    import spark.implicits._
+    ids.toDF("source")
+  }
+
+  test("weighted shortest picks min total weight, not min hops") {
+    // 0 -> 3 direct (weight 10) vs 0 -> 1 -> 2 -> 3 (weight 3)
+    val e = weightedEdges(Seq(
+      (100L, 0L, 3L, 10.0), (101L, 0L, 1L, 1.0),
+      (102L, 1L, 2L, 1.0), (103L, 2L, 3L, 1.0)))
+    val r = WeightedPaths.shortestPaths(e, sources(0L), maxIter = 10)
+      .filter(col("node") === 3).collect()(0)
+    assert(r.getAs[Double]("dist") == 3.0)
+    assert(r.getSeq[Long](r.fieldIndex("path")) == Seq(101L, 102L, 103L))
+  }
+
+  test("equal-weight tie resolves to lexicographically smallest edge ids") {
+    // two paths 0->3 both weight 2: via 1 (edges 100,101) and via 2 (102,103)
+    val e = weightedEdges(Seq(
+      (100L, 0L, 1L, 1.0), (101L, 1L, 3L, 1.0),
+      (102L, 0L, 2L, 1.0), (103L, 2L, 3L, 1.0)))
+    val r = WeightedPaths.shortestPaths(e, sources(0L), maxIter = 10)
+      .filter(col("node") === 3).collect()(0)
+    assert(r.getSeq[Long](r.fieldIndex("path")) == Seq(100L, 101L))
+  }
+
+  test("multi-source batch computes per-source distances") {
+    val g = GraphFixtures.chainGraph(spark, 5)
+    val e = g.rels.select(col("id"), col("src"), col("dst"), lit(2.0).as("weight"))
+    val rows = WeightedPaths.shortestPaths(e, sources(0L, 2L), maxIter = 10)
+      .select("source", "node", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows((0L, 4L, 8.0)) && rows((2L, 4L, 4.0)) && rows((2L, 2L, 0.0)))
+  }
+}
