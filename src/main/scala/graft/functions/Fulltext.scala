@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Fulltext search — the Spark counterpart of the reference's fulltext index
+ * procedures (community/procedure/.../builtin/FulltextProcedures.java:90
+ * `db.index.fulltext.queryNodes`, Lucene BM25 scoring underneath).
+ *
+ * The "index" is a posting-list DataFrame (term → doc, tf) built by one
+ * explode + groupBy pass; at cluster scale it is written out partitioned by
+ * term prefix and reused across queries, exactly the role of the Lucene
+ * segment files. Scoring is the standard BM25 formula
+ * (Robertson/Spärck Jones; Lucene BM25Similarity):
+ *
+ *   idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+ *   s(d, q) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+ *
+ * Everything is deterministic `functions._` composition — no UDFs — so the
+ * whole pipeline is SQL-expressible and oracle-checkable.
+ */
+object Fulltext {
+
+  /** Tokenization shared by index build and oracle: lowercase, split on
+    * non-alphanumeric runs, drop empties. */
+  val TokenPattern = "[^a-z0-9]+"
+
+  /** Posting lists: (id, term, tf). */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), TokenPattern)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+
+  /**
+   * BM25 top-k for a bag-of-words query. Rank determinism across engines:
+   * scores are rounded to 4dp BEFORE the (score DESC, id ASC) ordering, so
+   * last-ulp summation differences cannot flip ranks.
+   */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.toLowerCase.split(TokenPattern).filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    val tf = postings(docs, idCol, textCol)
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")) // 1 row
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val w = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.filter(col("term").isin(terms: _*))
+      .join(dl, "id")
+      .join(dft, "term")
+      .crossJoin(broadcast(corpus))
+      .groupBy("id").agg(round(sum(w), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}

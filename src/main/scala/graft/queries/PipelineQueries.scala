@@ -160,6 +160,31 @@ object PipelineQueries {
       Some("""SELECT md5(array_to_string(list_sort(list_distinct(
              |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0))), ' ')) AS fp,
              |  min(doc_id) AS representative, count(*) AS n
-             |FROM documents GROUP BY 1""".stripMargin))
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // Fulltext BM25 (reference FulltextProcedures.java:90, Lucene BM25):
+    // posting lists + the standard formula, top-20 — the oracle mirrors the
+    // exact computation (tokenizer, idf, length norm) in DuckDB.
+    QueryDef("q_fulltext_bm25",
+      (s, d) => graft.functions.Fulltext.bm25TopK(
+        t(s, d, "documents"), "doc_id", "text",
+        query = "spark filter join window", k = 20),
+      Some("""WITH tf AS (
+             |  SELECT doc_id AS id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+             |    FROM documents) WHERE term <> '' GROUP BY doc_id, term),
+             |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY id),
+             |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |q AS (SELECT unnest(['spark','filter','join','window']) AS term),
+             |scores AS (
+             |  SELECT tf.id, sum(
+             |    ln(1 + (corpus.n - dft.df + 0.5) / (dft.df + 0.5)) *
+             |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl))) AS score
+             |  FROM tf JOIN q USING (term) JOIN dl ON dl.id = tf.id
+             |  JOIN dft ON dft.term = tf.term CROSS JOIN corpus
+             |  GROUP BY tf.id)
+             |SELECT id, round(score, 4) AS score FROM scores
+             |ORDER BY round(score, 4) DESC, id ASC LIMIT 20""".stripMargin))
   )
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Streaming ≡ batch: replay the driver's events table through a file-source
+ * micro-batch stream (3 files → 3 micro-batches) and assert the streaming
+ * aggregations converge to exactly the batch answers — the Structured
+ * Streaming correctness contract.
+ */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private val srcParquet = "/root/testdata/sf0.001/events.parquet"
+
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream").toString
+    // split into 3 TIME-ORDERED files (arrival order = event order, as a
+    // real ingest would deliver) so maxFilesPerTrigger=1 yields 3 micro-
+    // batches and the watermark never classifies whole batches as late
+    val ev = spark.read.parquet(srcParquet)
+      .withColumn("__b", ntile(3).over(Window.orderBy(col("ts"))))
+    (1 to 3).foreach { i =>
+      ev.filter(col("__b") === i).drop("__b")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    dir
+  }
+
+  private def batchEvents =
+    spark.read.parquet(srcParquet)
+      .withColumn("ts", GraftSession.nanosToTimestamp(col("ts")))
+
+  private def runStream(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming tumbling windows equal the batch aggregation") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    runStream("tumbling", EventStreams.tumblingCounts(stream))
+    val streamed = spark.table("tumbling").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStreams.tumblingCounts(batchEvents).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("streaming session windows match independent gaps-and-islands batch") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    runStream("sessions", EventStreams.sessionCounts(stream))
+    val streamed = spark.table("sessions")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // independent implementation: lag-based session starts (the oracle form
+    // of q_events_sessions), not session_window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val batch = batchEvents
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap",
+        when(col("us") - lag(col("us"), 1).over(byUser) > 1800L * 1000000L, 1)
+          .otherwise(when(lag(col("us"), 1).over(byUser).isNull, 1).otherwise(0)))
+      .groupBy(col("user_id"))
+      .agg(sum(col("gap")).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("incremental micro-batches: stream really ran more than one batch") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val q = EventStreams.tumblingCounts(stream).writeStream
+      .format("memory").queryName("progress").outputMode("complete").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches >= 3, s"expected >=3 non-empty micro-batches, saw $batches")
+  }
+}
