@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal payload columns: image/audio/video as opaque BINARY columns
+ * with typed metadata — the pattern a 100 TB training-data pipeline needs
+ * (the reference stores only scalar/array properties; binary payloads are
+ * the LLM-era extension, kept here as first-class columns so parquet stores
+ * them page-compressed and column pruning skips them unless touched).
+ *
+ * Everything metadata-level is REAL and codegen'd (magic-byte sniffing,
+ * PNG/WAV header field extraction via substring/conv on the byte prefix —
+ * no UDF, pennies per row at scale). The codec-dependent DECODE step
+ * (pixels/samples) is a clearly-marked deterministic STUB — the container
+ * ships no image/audio libraries — behind the same partition-batched
+ * interface a real decoder would use.
+ */
+object Multimodal {
+
+  /** Content-addressed identity for exact binary dedup. */
+  def contentHash(bin: Column): Column = sha2(bin, 256)
+
+  def byteSize(bin: Column): Column = length(bin).cast("long")
+
+  /** MIME sniffing from magic bytes — the binary analog of a file(1) probe.
+    * Pure hex-prefix comparison: whole-stage-codegen friendly. */
+  def sniffMime(bin: Column): Column = {
+    val hex8 = hex(substring(bin, 1, 8))
+    when(hex8.startsWith("89504E47"), "image/png")
+      .when(hex8.startsWith("FFD8FF"), "image/jpeg")
+      .when(hex8.startsWith("47494638"), "image/gif")
+      .when(hex8.startsWith("52494646") &&
+        hex(substring(bin, 9, 4)) === "57415645", "audio/wav")
+      .when(hex8.startsWith("494433") || hex8.startsWith("FFFB"), "audio/mpeg")
+      .when(hex8.startsWith("255044462D"), "application/pdf")
+      .otherwise("application/octet-stream")
+  }
+
+  /** Big-endian u32 at 1-based byte offset — PNG-style header field. */
+  private def beU32(bin: Column, offset: Int): Column =
+    conv(hex(substring(bin, offset, 4)), 16, 10).cast("long")
+
+  /** Little-endian u32 at 1-based byte offset — RIFF/WAV-style field
+    * (byte-reversed before conv). */
+  private def leU32(bin: Column, offset: Int): Column = {
+    val bytes = (0 until 4).reverse.map(i => hex(substring(bin, offset + i, 1)))
+    conv(concat(bytes: _*), 16, 10).cast("long")
+  }
+
+  /** PNG IHDR dimensions (spec: width/height big-endian at bytes 17/21).
+    * NULL for non-PNG payloads. */
+  def pngWidth(bin: Column): Column =
+    when(sniffMime(bin) === "image/png", beU32(bin, 17)).otherwise(lit(null))
+  def pngHeight(bin: Column): Column =
+    when(sniffMime(bin) === "image/png", beU32(bin, 21)).otherwise(lit(null))
+
+  /** WAV fmt-chunk sample rate (little-endian at byte 25) and channel count
+    * (byte 23), assuming the canonical RIFF layout. */
+  def wavSampleRate(bin: Column): Column =
+    when(sniffMime(bin) === "audio/wav", leU32(bin, 25)).otherwise(lit(null))
+  def wavChannels(bin: Column): Column =
+    when(sniffMime(bin) === "audio/wav",
+      conv(hex(substring(bin, 23, 1)), 16, 10).cast("long")).otherwise(lit(null))
+
+  /** Typed metadata struct: attach once, prune everywhere. */
+  def describe(bin: Column): Column = struct(
+    sniffMime(bin).as("mime"),
+    byteSize(bin).as("bytes"),
+    contentHash(bin).as("hash"),
+    pngWidth(bin).as("width"),
+    pngHeight(bin).as("height"),
+    wavSampleRate(bin).as("sample_rate"))
+
+  /** Exact duplicate groups over a binary payload column — one hash shuffle,
+    * identical shape to Dedup.exact but content-addressed on bytes. */
+  def dedupExact(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol).as("id"), contentHash(col(binCol)).as("h"),
+        byteSize(col(binCol)).as("bytes"))
+      .groupBy("h")
+      .agg(min("id").as("representative"), count(lit(1)).as("dupCount"),
+        max("bytes").as("bytes"))
+
+  // -------------------------------------------------------------------
+  // Decode plumbing (STUB): the partition-batched feature-extraction path.
+  // A real deployment swaps `decodeStub` for a JNI/py decoder; the Spark
+  // side — schema, batching, partition locality — is exactly this.
+  // -------------------------------------------------------------------
+
+  /**
+   * Deterministic FAKE feature vector derived from the content hash —
+   * STUB for image/audio embedding (no codec libs in this environment).
+   * Stable across runs/executors; unit-scaled; dim components from
+   * xxhash64(payload, i).
+   */
+  def stubFeatures(bin: Column, dim: Int): Column = {
+    val comps = (0 until dim).map(i =>
+      (pmod(xxhash64(bin, lit(i)), lit(1000003L)).cast("double") / 1000003.0))
+    array(comps: _*)
+  }
+
+  /**
+   * Partition-batched decode: groups rows into `batchSize` chunks per
+   * partition (the mapInPandas batch shape) and applies `decode` to each
+   * batch. Default decoder = metadata-only stub. Returns (id, mime, bytes,
+   * feature ARRAY<DOUBLE>).
+   */
+  def decodeBatches(df: DataFrame, idCol: String, binCol: String,
+      dim: Int = 8, batchSize: Int = 64): DataFrame = {
+    val withMeta = df.select(col(idCol).as("id"), sniffMime(col(binCol)).as("mime"),
+      byteSize(col(binCol)).as("bytes"), stubFeatures(col(binCol), dim).as("feature"))
+    // the batching hook: partition-local, no shuffle; a real decoder would
+    // amortize codec init across each `grouped(batchSize)` chunk here
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(withMeta.schema)
+    withMeta.mapPartitions { (it: Iterator[Row]) =>
+      it.grouped(batchSize).flatMap(identity)
+    }.toDF()
+  }
+}

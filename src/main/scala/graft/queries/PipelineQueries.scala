@@ -185,6 +185,18 @@ object PipelineQueries {
              |  JOIN dft ON dft.term = tf.term CROSS JOIN corpus
              |  GROUP BY tf.id)
              |SELECT id, round(score, 4) AS score FROM scores
-             |ORDER BY round(score, 4) DESC, id ASC LIMIT 20""".stripMargin))
+             |ORDER BY round(score, 4) DESC, id ASC LIMIT 20""".stripMargin)),
+
+    // Multimodal binary columns: documents' text re-materialized as BINARY
+    // payloads (UTF-8 bytes), then content-hash dedup + byte sizing — the
+    // metadata pass every image/audio corpus runs before decode. Oracle
+    // hashes the same bytes in DuckDB.
+    QueryDef("q_multimodal_binary",
+      (s, d) => graft.functions.Multimodal.dedupExact(
+        t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload"),
+      Some("""SELECT sha256(text) AS h, min(doc_id) AS representative,
+             |  count(*) AS dupCount, max(CAST(strlen(text) AS BIGINT)) AS bytes
+             |FROM documents GROUP BY 1""".stripMargin))
   )
 }

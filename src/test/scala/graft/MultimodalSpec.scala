@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.Multimodal
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal binary-column plumbing on synthesized payloads with real
+  * format headers (PNG IHDR, RIFF/WAV fmt, JPEG SOI). */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  /** Minimal PNG prefix: signature + IHDR length/type + width/height. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdrLen = Array(0, 0, 0, 13).map(_.toByte)
+    val ihdr = "IHDR".getBytes("ASCII")
+    def be(x: Int) = Array((x >> 24).toByte, (x >> 16).toByte, (x >> 8).toByte, x.toByte)
+    sig ++ ihdrLen ++ ihdr ++ be(w) ++ be(h) ++ Array[Byte](8, 6, 0, 0, 0)
+  }
+
+  /** Canonical WAV header prefix through the fmt chunk. */
+  private def wavBytes(sampleRate: Int, channels: Short): Array[Byte] = {
+    def le32(x: Int) = Array(x.toByte, (x >> 8).toByte, (x >> 16).toByte, (x >> 24).toByte)
+    def le16(x: Int) = Array(x.toByte, (x >> 8).toByte)
+    "RIFF".getBytes("ASCII") ++ le32(36) ++ "WAVE".getBytes("ASCII") ++
+      "fmt ".getBytes("ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(sampleRate * channels * 2) ++ le16(channels * 2) ++ le16(16)
+  }
+
+  private def payloads = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("payload", BinaryType)))
+    val rows = Seq(
+      Row(1L, pngBytes(640, 480)),
+      Row(2L, pngBytes(640, 480)),                       // exact dup of 1
+      Row(3L, pngBytes(1920, 1080)),
+      Row(4L, wavBytes(44100, 2)),
+      Row(5L, Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte) ++ "jpegdata".getBytes),
+      Row(6L, "plain text bytes".getBytes))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("MIME sniffing from magic bytes") {
+    val m = payloads.select(col("id"), Multimodal.sniffMime(col("payload")).as("mime"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "image/png", 2L -> "image/png", 3L -> "image/png",
+      4L -> "audio/wav", 5L -> "image/jpeg", 6L -> "application/octet-stream"))
+  }
+
+  test("PNG dimensions parsed from IHDR (big-endian)") {
+    val d = payloads.filter(col("id") === 3)
+      .select(Multimodal.pngWidth(col("payload")), Multimodal.pngHeight(col("payload")))
+      .collect()(0)
+    assert(d.getLong(0) == 1920L && d.getLong(1) == 1080L)
+    // non-PNG → NULL, not garbage
+    val n = payloads.filter(col("id") === 4)
+      .select(Multimodal.pngWidth(col("payload"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("WAV sample rate and channels (little-endian)") {
+    val r = payloads.filter(col("id") === 4)
+      .select(Multimodal.wavSampleRate(col("payload")), Multimodal.wavChannels(col("payload")))
+      .collect()(0)
+    assert(r.getLong(0) == 44100L && r.getLong(1) == 2L)
+  }
+
+  test("content-hash dedup groups identical payloads") {
+    val groups = Multimodal.dedupExact(payloads, "id", "payload").collect()
+    assert(groups.length == 5)
+    val dup = groups.find(_.getAs[Long]("dupCount") == 2).get
+    assert(dup.getAs[Long]("representative") == 1L)
+  }
+
+  test("describe() builds the typed metadata struct") {
+    val row = payloads.filter(col("id") === 1)
+      .select(Multimodal.describe(col("payload")).as("m"))
+      .select("m.mime", "m.width", "m.height", "m.bytes").collect()(0)
+    assert(row.getString(0) == "image/png" && row.getLong(1) == 640L &&
+      row.getLong(2) == 480L && row.getLong(3) > 0)
+  }
+
+  test("decodeBatches: stub features are deterministic and batch plumbing preserves rows") {
+    val out1 = Multimodal.decodeBatches(payloads, "id", "payload", dim = 4, batchSize = 2)
+    val out2 = Multimodal.decodeBatches(payloads, "id", "payload", dim = 4, batchSize = 3)
+    assert(out1.count() == 6 && out2.count() == 6)
+    val f1 = out1.filter(col("id") === 1).select("feature").collect()(0).getSeq[Double](0)
+    val f2 = out2.filter(col("id") === 1).select("feature").collect()(0).getSeq[Double](0)
+    assert(f1 == f2 && f1.length == 4 && f1.forall(v => v >= 0.0 && v <= 1.0))
+    // identical payloads → identical features (content-derived, not id-derived)
+    val g1 = out1.filter(col("id") === 2).select("feature").collect()(0).getSeq[Double](0)
+    assert(g1 == f1)
+  }
+}
