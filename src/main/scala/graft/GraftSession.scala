@@ -16,6 +16,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // engine extensions: native expressions (unicode_normalize, …)
+      .withExtensions(graft.functions.expressions.NormalizeUnicode.inject)
 
   /** events.ts read under nanosAsLong is LONG nanos → TimestampType (µs).
     * Integer division (`div`), not `/`: epoch nanos exceed double's 2^53

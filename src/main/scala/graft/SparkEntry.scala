@@ -24,7 +24,7 @@ object SparkEntry {
   private val all: Seq[QueryDef] =
     RelationalQueries.defs ++ ExpressionQueries.defs ++ GraphQueries.defs ++
       PipelineQueries.defs ++ EventQueries.defs ++ UpdateQueries.defs ++
-      CypherQueries.defs ++ PathQueries.defs
+      CypherQueries.defs ++ PathQueries.defs ++ TypeQueries.defs
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
