@@ -92,6 +92,50 @@ object Bfs {
   }
 
   /**
+   * List ranking by pointer doubling (Wyllie's algorithm) — the scale path
+   * for BFS over CHAIN-shaped graphs (successor relations with in/out
+   * degree ≤ 1, e.g. the reference's per-node relationship linked lists,
+   * record/RelationshipRecord.java:29-37, or per-customer order succession).
+   * Frontier BFS needs O(L) sequential rounds on a length-L chain — at 40+
+   * rounds the per-job overhead dominates; pointer doubling finishes in
+   * ⌈log₂ L⌉ rounds, each one V-sized self-join on the jump table.
+   *
+   * @param edges (src, dst) successor edges, in/out degree ≤ 1 (lists)
+   * @return (node, head, rank): head = start of the node's chain,
+   *         rank = distance from the head (head itself has rank 0)
+   */
+  def listRanks(edges: DataFrame, maxLength: Long = 1L << 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val allNodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    // jump table: node → (p = 2^k-th predecessor-or-head, r = hops to p);
+    // heads (no incoming edge) self-point with r = 0 and act as fixpoints
+    var ptr = allNodes
+      .join(e.select(col("dst").as("node"), col("src").as("__p")), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("__p"), col("node")).as("p"),
+        when(col("__p").isNull, 0L).otherwise(1L).as("r"))
+      .localCheckpoint()
+    val heads = ptr.filter(col("p") === col("node"))
+      .select(col("node").as("__head")).localCheckpoint()
+    val roundsCap = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLength))) + 1
+    var remaining = Long.MaxValue
+    var i = 0
+    while (remaining > 0 && i < roundsCap) {
+      i += 1
+      ptr = ptr.alias("a")
+        .join(ptr.alias("b"), col("a.p") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.p").as("p"),
+          (col("a.r") + col("b.r")).as("r"))
+        .localCheckpoint()
+      // converged when every pointer rests on a chain head (fixpoint)
+      remaining = ptr.join(heads, col("p") === col("__head"), "left_anti").count()
+    }
+    require(remaining == 0,
+      s"listRanks did not converge in $roundsCap rounds — chain longer than $maxLength or a cycle")
+    ptr.select(col("node"), col("p").as("head"), col("r").as("rank"))
+  }
+
+  /**
    * Connected components by alternating large-star / small-star contraction
    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
    * SoCC'14) — O(log n) rounds, vs O(diameter) for naive neighbor-min

@@ -123,9 +123,11 @@ object GraphQueries {
              |UNION ALL SELECT 'Part', 2, count(*) FROM d2p
              |UNION ALL SELECT 'Supplier', 2, count(*) FROM d2s""".stripMargin)),
 
-    // FindShortestPaths :2178 — BFS distances over the per-customer order
-    // succession chain (order_i -> order_{i+1} by date): the distance from a
-    // customer's first order to its k-th equals k-1; max distance = n-1.
+    // FindShortestPaths :2178 over the per-customer order succession chain
+    // (order_i -> order_{i+1} by date). The chain is a successor relation
+    // (in/out degree ≤ 1), so the scale path is pointer-doubling list
+    // ranking — ⌈log₂ L⌉ rounds — rather than frontier BFS's O(L) rounds
+    // (generic BFS stays covered by q_pruning_expand).
     QueryDef("q_shortest_chain",
       (s, d) => {
         val orders = t(s, d, "orders")
@@ -135,12 +137,14 @@ object GraphQueries {
         val edges = seq0.alias("a").join(seq0.alias("b"),
             col("a.o_custkey") === col("b.o_custkey") && col("b.rn") === col("a.rn") + 1)
           .select(col("a.o_orderkey").as("src"), col("b.o_orderkey").as("dst"))
-        val sources = seq0.filter(col("rn") === 1)
-          .select(col("o_orderkey").as("source"), col("o_custkey"))
-        val dist = Bfs.distances(edges, sources.select("source"), maxDepth = 50)
-        dist.groupBy(col("source")).agg(max(col("dist")).as("chain_hops"))
-          .join(sources, "source")
-          .select(col("o_custkey").as("custkey"), col("chain_hops"))
+        val agg = Bfs.listRanks(edges, maxLength = 64)
+          .groupBy(col("head")).agg(max(col("rank")).as("chain_hops"))
+        // single-order customers have no edges — their heads rank 0
+        seq0.filter(col("rn") === 1)
+          .select(col("o_orderkey").as("head"), col("o_custkey"))
+          .join(agg, Seq("head"), "left_outer")
+          .select(col("o_custkey").as("custkey"),
+            coalesce(col("chain_hops"), lit(0L)).cast("int").as("chain_hops"))
       },
       Some("""SELECT o_custkey AS custkey, CAST(count(*) - 1 AS INT) AS chain_hops
              |FROM orders GROUP BY o_custkey""".stripMargin)),

@@ -82,4 +82,18 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(comp === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("listRanks ranks chain nodes in O(log L) pointer-doubling rounds") {
+    val edges = ((0L until 39L).map(i => (i, i + 1)) ++      // chain 0..39
+      Seq((100L, 101L), (101L, 102L))).toDF("src", "dst")    // chain 100..102
+    val r = Bfs.listRanks(edges, maxLength = 64)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L) == (0L, 0L) && r(39L) == (0L, 39L) && r(20L) == (0L, 20L))
+    assert(r(100L) == (100L, 0L) && r(102L) == (100L, 2L))
+  }
+
+  test("listRanks rejects cycles instead of silently looping") {
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] { Bfs.listRanks(cyc, maxLength = 8).collect() }
+  }
 }
