@@ -79,6 +79,26 @@ object Ast {
   final case class ReturnClause(distinct: Boolean, items: Seq[ReturnItem],
       orderBy: Seq[SortItem], skip: Option[Expr], limit: Option[Expr]) extends Clause
 
+  // ---- write clauses (reference Create :1217, Merge :2602, SetPipe,
+  //      DeletePipe; compiled onto graft.ops.UpdateOps) ------------------
+
+  sealed trait SetItem
+  /** `SET v.key = expr` */
+  final case class SetProp(variable: String, key: String, value: Expr) extends SetItem
+  /** `SET v:Label1:Label2` */
+  final case class SetLabelsItem(variable: String, labels: Seq[String]) extends SetItem
+  /** `REMOVE v.key` */
+  final case class RemoveProp(variable: String, key: String) extends SetItem
+  /** `REMOVE v:Label` */
+  final case class RemoveLabelsItem(variable: String, labels: Seq[String]) extends SetItem
+
+  final case class CreateClause(patterns: Seq[PathPattern]) extends Clause
+  final case class MergeClause(pattern: PathPattern, onMatch: Seq[SetItem],
+      onCreate: Seq[SetItem]) extends Clause
+  final case class SetClause(items: Seq[SetItem]) extends Clause
+  final case class RemoveClause(items: Seq[SetItem]) extends Clause
+  final case class DeleteClause(variables: Seq[String], detach: Boolean) extends Clause
+
   final case class SingleQuery(clauses: Seq[Clause])
   /** Top level: one or more single queries combined by UNION [ALL]. */
   final case class Query(parts: Seq[SingleQuery], unionAll: Boolean)

@@ -32,6 +32,18 @@ object Cypher {
       params: Map[String, Any] = Map.empty): DataFrame =
     Planner.plan(spark, graph, CypherParser.parse(query), params)
 
+  /**
+   * Updating queries (CREATE / MERGE / SET / REMOVE / DELETE, freely mixed
+   * with read clauses): returns the updated graph snapshot plus the final
+   * RETURN's rows if present. Writes become visible to subsequent clauses
+   * (Eager semantics via immutable snapshots). Documented divergence: a
+   * RETURN in the same query reads pre-update property values of rows bound
+   * before the write — re-MATCH against the returned graph to observe them.
+   */
+  def execute(spark: SparkSession, graph: PropertyGraph, query: String,
+      params: Map[String, Any] = Map.empty): (PropertyGraph, Option[DataFrame]) =
+    Planner.execute(spark, graph, CypherParser.parse(query), params)
+
   /** Parse-only entry, for tooling/tests. */
   def parse(query: String): Ast.Query = CypherParser.parse(query)
 }

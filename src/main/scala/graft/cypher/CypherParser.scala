@@ -23,7 +23,8 @@ object CypherParser extends RegexParsers {
     "ORDER", "BY", "SKIP", "LIMIT", "DISTINCT", "UNION", "ALL",
     "AND", "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS",
     "IS", "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END",
-    "ASC", "DESC", "ASCENDING", "DESCENDING", "EXISTS")
+    "ASC", "DESC", "ASCENDING", "DESCENDING", "EXISTS",
+    "CREATE", "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "ON")
 
   /** Case-insensitive keyword with word boundary. */
   private def K(w: String): Parser[String] = ("(?i)" + w + "\\b").r ^^ (_ => w)
@@ -276,8 +277,45 @@ object CypherParser extends RegexParsers {
         ReturnClause(d.isDefined, items, ob.getOrElse(Seq.empty), sk, li)
     }
 
+  // ---- write clauses ----------------------------------------------------
+
+  private def setItem: Parser[SetItem] =
+    ident ~ ("." ~> symName) ~ ("=" ~> expression) ^^ {
+      case v ~ k ~ e => SetProp(v, k, e)
+    } |
+    ident ~ rep1(":" ~> symName) ^^ { case v ~ ls => SetLabelsItem(v, ls) }
+
+  private def removeItem: Parser[SetItem] =
+    ident ~ ("." ~> symName) ^^ { case v ~ k => RemoveProp(v, k) } |
+    ident ~ rep1(":" ~> symName) ^^ { case v ~ ls => RemoveLabelsItem(v, ls) }
+
+  private def createClause: Parser[Clause] =
+    K("CREATE") ~> rep1sep(pathPattern, ",") ^^ CreateClause.apply
+
+  private def mergeClause: Parser[Clause] =
+    K("MERGE") ~> pathPattern ~
+      rep((K("ON") ~ K("MATCH") ~ K("SET")) ~> rep1sep(setItem, ",") ^^ (("m", _)) |
+          (K("ON") ~ K("CREATE") ~ K("SET")) ~> rep1sep(setItem, ",") ^^ (("c", _))) ^^ {
+      case p ~ actions =>
+        MergeClause(p,
+          actions.collect { case ("m", is) => is }.flatten,
+          actions.collect { case ("c", is) => is }.flatten)
+    }
+
+  private def setClause: Parser[Clause] =
+    K("SET") ~> rep1sep(setItem, ",") ^^ SetClause.apply
+
+  private def removeClause: Parser[Clause] =
+    K("REMOVE") ~> rep1sep(removeItem, ",") ^^ RemoveClause.apply
+
+  private def deleteClause: Parser[Clause] =
+    opt(K("DETACH")) ~ (K("DELETE") ~> rep1sep(ident, ",")) ^^ {
+      case d ~ vs => DeleteClause(vs, d.isDefined)
+    }
+
   private def clause: Parser[Clause] =
-    matchClause | unwindClause | withClause | returnClause
+    matchClause | unwindClause | createClause | mergeClause | setClause |
+      removeClause | deleteClause | withClause | returnClause
 
   private def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 

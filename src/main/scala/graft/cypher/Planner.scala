@@ -1,7 +1,7 @@
 package graft.cypher
 
 import graft.graph.{Direction, PropertyGraph}
-import graft.ops.VarExpand
+import graft.ops.{UpdateOps, VarExpand}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
@@ -47,17 +47,62 @@ object Planner {
     def has(v: String): Boolean = binds.contains(v)
   }
 
-  private class Ctx(val spark: SparkSession, val g: PropertyGraph,
+  private class Ctx(val spark: SparkSession, var g: PropertyGraph,
       val params: Map[String, Any], val needed: Map[String, Set[String]]) {
     private var counter = 0
     def fresh(prefix: String): String = { counter += 1; s"__${prefix}_$counter" }
+    /** stable per-plan seed for created-entity id hashing */
+    val runTag: String = java.util.UUID.randomUUID().toString
   }
 
   def plan(spark: SparkSession, g: PropertyGraph, query: Query,
       params: Map[String, Any]): DataFrame = {
-    val parts = query.parts.map(planSingle(spark, g, _, params))
+    val parts = query.parts.map { part =>
+      require(!part.clauses.exists(isWrite),
+        "write clauses require Cypher.execute (returns the updated graph)")
+      planSingle(spark, g, part, params)
+    }
     val unioned = parts.reduce(_ unionByName _)
     if (query.unionAll || parts.size == 1) unioned else unioned.distinct()
+  }
+
+  private def isWrite(c: Clause): Boolean = c match {
+    case _: CreateClause | _: MergeClause | _: SetClause | _: RemoveClause |
+         _: DeleteClause => true
+    case _ => false
+  }
+
+  /** Entry for updating queries: runs read AND write clauses, returning the
+    * updated graph plus the final RETURN's rows (if any). Later read clauses
+    * observe earlier writes (the reference's Eager semantics hold because
+    * each write produces a new immutable snapshot that subsequent clauses
+    * plan against). */
+  def execute(spark: SparkSession, g: PropertyGraph, query: Query,
+      params: Map[String, Any]): (PropertyGraph, Option[DataFrame]) = {
+    require(query.parts.size == 1, "UNION is not supported in updating queries")
+    val q = query.parts.head
+    val ctx = new Ctx(spark, g, params, neededProps(q))
+    var env = Env(None, Map.empty)
+    var returned: Option[DataFrame] = None
+    q.clauses.foreach {
+      case m: MatchClause  => env = planMatch(ctx, env, m)
+      case u: UnwindClause => env = planUnwind(ctx, env, u)
+      case w: WithClause =>
+        env = planProjection(ctx, env, w.items, w.distinct, w.orderBy, w.skip,
+          w.limit, isReturn = false)
+        w.where.foreach { pred =>
+          env = env.copy(df = env.df.map(_.filter(compile(ctx, env, pred))))
+        }
+      case c: CreateClause => env = planCreate(ctx, env, c)
+      case m: MergeClause  => env = planMerge(ctx, env, m)
+      case s: SetClause    => planSetItems(ctx, env, s.items)
+      case r: RemoveClause => planSetItems(ctx, env, r.items)
+      case d: DeleteClause => planDelete(ctx, env, d)
+      case r: ReturnClause =>
+        returned = Some(planProjection(ctx, env, r.items, r.distinct, r.orderBy,
+          r.skip, r.limit, isReturn = true).df.get)
+    }
+    (ctx.g, returned)
   }
 
   private def planSingle(spark: SparkSession, g: PropertyGraph,
@@ -76,9 +121,205 @@ object Planner {
       case r: ReturnClause =>
         env = planProjection(ctx, env, r.items, r.distinct, r.orderBy, r.skip,
           r.limit, isReturn = true)
+      case other => throw new IllegalArgumentException(s"unexpected clause $other")
     }
     env.df.getOrElse(
       throw new IllegalArgumentException("query must end with RETURN"))
+  }
+
+  // ---- write clauses (CREATE / MERGE / SET / REMOVE / DELETE) -----------
+
+  /** CREATE: one new node per input row per unbound pattern node, rels
+    * between them. Created ids = xxhash64(runTag, varIdx, row ordinal) —
+    * frozen by an eager checkpoint so the nondeterministic ordinal can
+    * never be recomputed differently. */
+  private def planCreate(ctx: Ctx, env: Env, c: CreateClause): Env = {
+    var df = env.df.getOrElse(unit(ctx.spark))
+    var binds = env.binds
+    var varIdx = 0
+    case class NewNode(v: String, labels: Seq[String], props: Seq[(String, Expr)])
+    case class NewRel(v: String, tpe: String, from: String, to: String,
+        props: Seq[(String, Expr)])
+    val newNodes = Seq.newBuilder[NewNode]
+    val newRels = Seq.newBuilder[NewRel]
+
+    c.patterns.foreach { p =>
+      def handleNode(np: NodePattern): String = np.variable match {
+        case Some(v) if binds.contains(v) =>
+          require(np.labels.isEmpty && np.props.isEmpty,
+            s"CREATE cannot re-specify bound node $v")
+          v
+        case other =>
+          val v = other.getOrElse(ctx.fresh("cn"))
+          varIdx += 1
+          df = df.withColumn(v,
+            xxhash64(lit(ctx.runTag), lit(varIdx), monotonically_increasing_id()))
+          binds += (v -> NodeVar)
+          newNodes += NewNode(v, np.labels, np.props)
+          v
+      }
+      var fromVar = handleNode(p.first)
+      p.hops.foreach { case (rel, node) =>
+        require(rel.varLength.isEmpty && rel.types.size == 1,
+          "CREATE relationships need exactly one type and fixed length")
+        val toVar = handleNode(node)
+        val rv = rel.variable.getOrElse(ctx.fresh("cr"))
+        varIdx += 1
+        df = df.withColumn(rv,
+          xxhash64(lit(ctx.runTag), lit(varIdx), monotonically_increasing_id()))
+        binds += (rv -> RelVar)
+        val (s, d) = rel.dir match {
+          case In => (toVar, fromVar)
+          case _  => (fromVar, toVar)
+        }
+        newRels += NewRel(rv, rel.types.head, s, d, rel.props)
+        fromVar = toVar
+      }
+    }
+    // freeze the generated ids before anything reads them twice
+    val frozen = df.localCheckpoint()
+    val envOut = Env(Some(frozen), binds)
+    newNodes.result().foreach { n =>
+      val props = n.props.map { case (k, e) =>
+        compile(ctx, envOut, e).as(k) }
+      val rows = frozen.select((col(n.v).as("id") +:
+        lit(n.labels.toArray).as("labels") +: props): _*)
+      ctx.g = UpdateOps.createNodes(ctx.g, rows)
+    }
+    newRels.result().foreach { r =>
+      val props = r.props.map { case (k, e) => compile(ctx, envOut, e).as(k) }
+      val rows = frozen.select((col(r.v).as("id") +: col(r.from).as("src") +:
+        col(r.to).as("dst") +: lit(r.tpe).as("type") +: props): _*)
+      ctx.g = UpdateOps.createRels(ctx.g, rows)
+    }
+    envOut
+  }
+
+  /** MERGE on a single node pattern (match by labels + key properties,
+    * create missing with ids derived from the key — idempotent), or on a
+    * single relationship between bound endpoints (match by (src,dst,type)). */
+  private def planMerge(ctx: Ctx, env: Env, m: MergeClause): Env = {
+    val df = env.df.getOrElse(unit(ctx.spark))
+    val p = m.pattern
+    if (p.hops.isEmpty) {
+      val np = p.first
+      val v = np.variable.getOrElse(ctx.fresh("mn"))
+      require(np.props.nonEmpty, "node MERGE needs a key property map")
+      val keyCols = np.props.map { case (k, e) =>
+        k -> compile(ctx, env, e) }
+      // compute key values per row
+      var keyed = df
+      keyCols.foreach { case (k, c) => keyed = keyed.withColumn(s"__mk_$k", c) }
+      // existing node per key (min id when several match the key pattern)
+      var scan = ctx.g.nodes
+      np.labels.foreach(l => scan = scan.filter(array_contains(col("labels"), l)))
+      val existing = scan
+        .groupBy(np.props.map { case (k, _) => col(k).as(s"__mk_$k") }: _*)
+        .agg(min(col("id")).as("__mid"))
+      val joined = keyed.join(existing,
+        np.props.map { case (k, _) => s"__mk_$k" }, "left_outer")
+      // deterministic id from the key → MERGE is idempotent across runs
+      val newId = xxhash64((lit(ctx.runTag) +: lit("m") +:
+        np.props.map { case (k, _) => col(s"__mk_$k") }): _*)
+      val resolved = joined
+        .withColumn(v, coalesce(col("__mid"), newId))
+        .withColumn("__created", col("__mid").isNull)
+        .localCheckpoint()
+      // insert the missing keys (distinct — one node per key, as MERGE requires)
+      val inserts = resolved.filter(col("__created"))
+        .select((col(v).as("id") +: lit(np.labels.toArray).as("labels") +:
+          np.props.map { case (k, _) => col(s"__mk_$k").as(k) }): _*)
+        .distinct()
+      ctx.g = UpdateOps.createNodes(ctx.g, inserts)
+      val envOut = Env(Some(resolved.drop(np.props.map(kv => s"__mk_${kv._1}"): _*)
+        .drop("__mid")), env.binds + (v -> NodeVar))
+      applyMergeActions(ctx, envOut, v, m, col("__created"))
+      envOut.copy(df = envOut.df.map(_.drop("__created")))
+    } else {
+      require(p.hops.size == 1, "relationship MERGE supports a single hop")
+      val (rel, toNode) = p.hops.head
+      val fromVar = p.first.variable.getOrElse(
+        throw new IllegalArgumentException("rel MERGE endpoints must be bound"))
+      val toVar = toNode.variable.getOrElse(
+        throw new IllegalArgumentException("rel MERGE endpoints must be bound"))
+      require(env.has(fromVar) && env.has(toVar), "rel MERGE endpoints must be bound")
+      require(rel.types.size == 1 && rel.varLength.isEmpty,
+        "rel MERGE needs exactly one type")
+      val rv = rel.variable.getOrElse(ctx.fresh("mr"))
+      val (sCol, dCol) = rel.dir match {
+        case In => (col(toVar), col(fromVar))
+        case _  => (col(fromVar), col(toVar))
+      }
+      val tpe = rel.types.head
+      val props = rel.props.map { case (k, e) => compile(ctx, env, e).as(k) }
+      val source = df.select((xxhash64(lit(ctx.runTag), lit("mr"), sCol, dCol).as("id") +:
+        sCol.as("src") +: dCol.as("dst") +: lit(tpe).as("type") +: props): _*)
+        .distinct()
+      ctx.g = UpdateOps.mergeRels(ctx.g, source)
+      // bind the rel id: matched rels keep their original id — re-resolve
+      val withRel = df.join(
+        ctx.g.rels.filter(col("type") === tpe)
+          .select(col("id").as(rv), col("src").as("__ms"), col("dst").as("__md")),
+        sCol === col("__ms") && dCol === col("__md"))
+        .drop("__ms", "__md")
+      Env(Some(withRel), env.binds + (rv -> RelVar))
+    }
+  }
+
+  /** ON MATCH SET / ON CREATE SET for node MERGE. */
+  private def applyMergeActions(ctx: Ctx, env: Env, mergedVar: String,
+      m: MergeClause, createdFlag: Column): Unit = {
+    def apply(items: Seq[SetItem], filter: Column): Unit = {
+      if (items.isEmpty) return
+      val rows = env.df.get.filter(filter)
+      planSetItemsOn(ctx, Env(Some(rows), env.binds), items)
+    }
+    apply(m.onCreate, createdFlag)
+    apply(m.onMatch, !createdFlag)
+  }
+
+  private def planSetItems(ctx: Ctx, env: Env, items: Seq[SetItem]): Unit =
+    planSetItemsOn(ctx, env, items)
+
+  private def planSetItemsOn(ctx: Ctx, env: Env, items: Seq[SetItem]): Unit = {
+    val df = env.df.getOrElse(
+      throw new IllegalArgumentException("SET/REMOVE needs bound rows"))
+    items.foreach {
+      case SetProp(v, key, value) =>
+        val kind = env.binds.getOrElse(v,
+          throw new IllegalArgumentException(s"unknown variable $v"))
+        val source = df.select(col(v).as("id"), compile(ctx, env, value).as(key))
+        kind match {
+          case NodeVar => ctx.g = UpdateOps.setNodePropertiesFromSource(ctx.g, source)
+          case RelVar  => ctx.g = UpdateOps.setRelPropertiesFromSource(ctx.g, source)
+          case other   => throw new IllegalArgumentException(s"cannot SET on $other")
+        }
+      case RemoveProp(v, key) =>
+        val source = df.select(col(v).as("id"), lit(null).as(key))
+        env.binds(v) match {
+          case NodeVar => ctx.g = UpdateOps.setNodePropertiesFromSource(ctx.g, source)
+          case RelVar  => ctx.g = UpdateOps.setRelPropertiesFromSource(ctx.g, source)
+          case other   => throw new IllegalArgumentException(s"cannot REMOVE on $other")
+        }
+      case SetLabelsItem(v, labels) =>
+        ctx.g = UpdateOps.setLabels(ctx.g, df.select(col(v).as("id")), add = labels)
+      case RemoveLabelsItem(v, labels) =>
+        ctx.g = UpdateOps.setLabels(ctx.g, df.select(col(v).as("id")), remove = labels)
+    }
+  }
+
+  private def planDelete(ctx: Ctx, env: Env, d: DeleteClause): Unit = {
+    val df = env.df.getOrElse(
+      throw new IllegalArgumentException("DELETE needs bound rows"))
+    val (relVarsToDelete, nodeVars) = d.variables.partition(v =>
+      env.binds.get(v).contains(RelVar))
+    relVarsToDelete.foreach { v =>
+      ctx.g = UpdateOps.deleteRels(ctx.g, df.select(col(v).as("id")))
+    }
+    nodeVars.foreach { v =>
+      require(env.binds.get(v).contains(NodeVar), s"$v is not deletable")
+      ctx.g = UpdateOps.deleteNodes(ctx.g, df.select(col(v).as("id")), d.detach)
+    }
   }
 
   // ---- whole-query pre-walk: which properties does each variable need? ---
@@ -115,6 +356,10 @@ object Planner {
       (p.first +: p.hops.map(_._2)).foreach(n => n.props.foreach(kv => walk(kv._2)))
       p.hops.map(_._1).foreach(r => r.props.foreach(kv => walk(kv._2)))
     }
+    def walkSetItems(items: Seq[SetItem]): Unit = items.foreach {
+      case SetProp(_, _, v) => walk(v)
+      case _                => ()
+    }
     q.clauses.foreach {
       case MatchClause(_, ps, w) => ps.foreach(walkPattern); w.foreach(walk)
       case UnwindClause(e, _)    => walk(e)
@@ -124,6 +369,12 @@ object Planner {
       case ReturnClause(_, items, ob, sk, li) =>
         items.foreach(i => walk(i.expr)); ob.foreach(s => walk(s.expr))
         sk.foreach(walk); li.foreach(walk)
+      case CreateClause(ps)      => ps.foreach(walkPattern)
+      case MergeClause(p, om, oc) =>
+        walkPattern(p); walkSetItems(om); walkSetItems(oc)
+      case SetClause(items)      => walkSetItems(items)
+      case RemoveClause(_)       => ()
+      case DeleteClause(_, _)    => ()
     }
     acc.toMap
   }

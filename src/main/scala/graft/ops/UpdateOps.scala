@@ -23,13 +23,22 @@ import org.apache.spark.sql.functions._
 object UpdateOps {
 
   /** CREATE new nodes. Caller provides ids (e.g. via GraphStore.nextIdRange
-    * or a deterministic scheme like TpchGraph's); columns are conformed to
-    * the target schema with NULL for absent properties. */
+    * or a deterministic scheme like TpchGraph's). Property columns the graph
+    * has never seen EXTEND the schema (NULL for existing rows) — any node
+    * may carry any property, like the reference's schema-free stores;
+    * absent properties conform to NULL. */
   def createNodes(g: PropertyGraph, newNodes: DataFrame): PropertyGraph =
-    g.copy(nodes = g.nodes.unionByName(conform(newNodes, g.nodes), allowMissingColumns = false))
+    g.copy(nodes = unionExtending(g.nodes, newNodes))
 
   def createRels(g: PropertyGraph, newRels: DataFrame): PropertyGraph =
-    g.copy(rels = g.rels.unionByName(conform(newRels, g.rels), allowMissingColumns = false))
+    g.copy(rels = unionExtending(g.rels, newRels))
+
+  private def unionExtending(target: DataFrame, df: DataFrame): DataFrame = {
+    val known = target.columns.toSet
+    val extended = df.schema.fields.filterNot(f => known(f.name))
+      .foldLeft(target) { (acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)) }
+    extended.unionByName(conform(df, extended))
+  }
 
   private def conform(df: DataFrame, target: DataFrame): DataFrame = {
     val present = df.columns.toSet
@@ -107,6 +116,29 @@ object UpdateOps {
       df.withColumn(p, when(col("__hit"), v).otherwise(col(p)))
     }
     g.copy(nodes = updated.drop("__hit"))
+  }
+
+  /** SET from a computed source: each source row carries an `id` plus new
+    * property values (e.g. produced by a MATCH with per-row expressions).
+    * One left join on id; unmatched target rows keep their values. The
+    * general form behind Cypher `SET n.p = <expr over the match row>`. */
+  def setNodePropertiesFromSource(g: PropertyGraph, source: DataFrame): PropertyGraph =
+    g.copy(nodes = applySource(g.nodes, source))
+
+  def setRelPropertiesFromSource(g: PropertyGraph, source: DataFrame): PropertyGraph =
+    g.copy(rels = applySource(g.rels, source))
+
+  private def applySource(target: DataFrame, source: DataFrame): DataFrame = {
+    val props = source.columns.filter(_ != "id")
+    // last-write-wins per id, deterministically (max over the value struct)
+    val dedup = source.groupBy("id")
+      .agg(max(struct(props.map(col).toIndexedSeq: _*)).as("__s"))
+      .select((col("id").as("__sid") +: props.map(p => col(s"__s.$p").as(s"__src_$p"))): _*)
+    val joined = target.join(dedup, col("id") === col("__sid"), "left_outer")
+    val updated = props.foldLeft(joined) { (df, p) =>
+      df.withColumn(p, when(col("__sid").isNotNull, col(s"__src_$p")).otherwise(col(p)))
+    }
+    updated.drop((("__sid" +: props.map(p => s"__src_$p")).toIndexedSeq): _*)
   }
 
   /** SET r.prop = expr for matching rel ids (SetRelationshipProperty :3752). */

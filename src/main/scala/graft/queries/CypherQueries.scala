@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.cypher.Cypher
 import graft.graph.TpchGraph
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * The correctness gate for the Cypher surface: every query here is a Cypher
@@ -157,6 +158,49 @@ object CypherQueries {
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_quantity >= 45 AND p_size > 40
-        |GROUP BY p_brand""".stripMargin)
+        |GROUP BY p_brand""".stripMargin),
+
+    // ---- write path through the Cypher surface (UpdateOps underneath):
+    // each runs an updating query, then READS the updated snapshot back —
+    // the oracle re-derives the post-update state relationally.
+
+    QueryDef("q_cypher_write_create",
+      (s, d) => {
+        val (g2, _) = Cypher.execute(s, TpchGraph.load(s, d),
+          "MATCH (c:Customer) WHERE c.acctbal < 0 CREATE (f:Flagged {ckey: c.key})")
+        Cypher.run(s, g2, "MATCH (f:Flagged) RETURN f.ckey AS ckey")
+      },
+      Some("SELECT c_custkey AS ckey FROM customer WHERE c_acctbal < 0")),
+
+    QueryDef("q_cypher_write_merge",
+      (s, d) => {
+        val (g2, _) = Cypher.execute(s, TpchGraph.load(s, d),
+          """MATCH (c:Customer)
+            |MERGE (seg:Segment {name: c.mktsegment})""".stripMargin)
+        Cypher.run(s, g2, "MATCH (seg:Segment) RETURN seg.name AS segment")
+      },
+      Some("SELECT DISTINCT c_mktsegment AS segment FROM customer")),
+
+    QueryDef("q_cypher_write_set",
+      (s, d) => {
+        val (g2, _) = Cypher.execute(s, TpchGraph.load(s, d),
+          """MATCH (o:Order) WHERE o.totalprice > 400000
+            |SET o:Big, o.priority = 'JUMBO'""".stripMargin)
+        Cypher.run(s, g2,
+          """MATCH (o:Big) RETURN o.priority AS priority, count(*) AS n""")
+      },
+      Some("""SELECT 'JUMBO' AS priority, count(*) AS n FROM orders
+             |WHERE o_totalprice > 400000 HAVING count(*) > 0""".stripMargin)),
+
+    QueryDef("q_cypher_write_delete",
+      (s, d) => {
+        val (g2, _) = Cypher.execute(s, TpchGraph.load(s, d),
+          "MATCH (su:Supplier) WHERE su.key % 10 = 0 DETACH DELETE su")
+        Cypher.run(s, g2,
+          "MATCH (:Order)-[r:SUPPLIED_BY]->(:Supplier) RETURN count(*) AS n_links")
+      },
+      Some("""SELECT count(*) AS n_links FROM lineitem
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE s_suppkey % 10 <> 0""".stripMargin))
   )
 }

@@ -1,0 +1,123 @@
+package graft
+
+import graft.cypher.Cypher
+import graft.graph.PropertyGraph
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cypher write-clause semantics (CREATE/MERGE/SET/REMOVE/DELETE) against
+  * the reference's pipe behaviors: MergePipe match-or-create, DELETE fails
+  * on attached nodes, DETACH cascades, SET visible to later MATCH. */
+class CypherWriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def freshGraph: PropertyGraph = {
+    val nodeSchema = StructType(Seq(
+      StructField("id", LongType), StructField("labels", ArrayType(StringType)),
+      StructField("name", StringType), StructField("age", LongType)))
+    val relSchema = StructType(Seq(
+      StructField("id", LongType), StructField("src", LongType),
+      StructField("dst", LongType), StructField("type", StringType),
+      StructField("since", LongType)))
+    PropertyGraph(
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq("Person"), "Alice", 30L),
+        Row(2L, Seq("Person"), "Bob", 25L),
+        Row(3L, Seq("Person"), "Carol", 35L)), 2), nodeSchema),
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(10L, 1L, 2L, "KNOWS", 2015L)), 2), relSchema))
+  }
+
+  test("CREATE one node per matched row, visible to a later MATCH") {
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      "MATCH (p:Person) WHERE p.age >= 30 CREATE (s:Senior {name: p.name})")
+    val names = Cypher.run(spark, g2, "MATCH (s:Senior) RETURN s.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(names.toSeq == Seq("Alice", "Carol"))
+    // originals untouched
+    assert(g2.nodes.filter(array_contains(col("labels"), "Person")).count() == 3)
+  }
+
+  test("CREATE relationship between bound endpoints") {
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      """MATCH (a:Person {name: 'Bob'}), (b:Person {name: 'Carol'})
+        |CREATE (a)-[:KNOWS {since: 2024}]->(b)""".stripMargin)
+    val r = Cypher.run(spark, g2,
+      "MATCH (:Person {name: 'Bob'})-[k:KNOWS]->(c) RETURN c.name AS n, k.since AS s")
+      .collect()(0)
+    assert(r.getString(0) == "Carol" && r.getLong(1) == 2024L)
+  }
+
+  test("MERGE matches existing node, creates missing, runs ON CREATE/ON MATCH") {
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      """MERGE (p:Person {name: 'Alice'}) ON MATCH SET p.age = 31
+        |ON CREATE SET p.age = 1""".stripMargin)
+    assert(g2.nodes.filter(col("name") === "Alice").count() == 1)
+    assert(g2.nodes.filter(col("name") === "Alice").select("age")
+      .collect()(0).getLong(0) == 31L)
+    val (g3, _) = Cypher.execute(spark, g2,
+      "MERGE (p:Person {name: 'Zed'}) ON CREATE SET p.age = 1")
+    val zed = g3.nodes.filter(col("name") === "Zed").collect()
+    assert(zed.length == 1 && zed(0).getAs[Long]("age") == 1L)
+  }
+
+  test("MERGE is idempotent per key over UNWIND input") {
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      "UNWIND ['X', 'X', 'Y'] AS nm MERGE (p:Person {name: nm})")
+    assert(g2.nodes.filter(col("name").isin("X", "Y")).count() == 2)
+  }
+
+  test("relationship MERGE matches existing edge or inserts once") {
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      """MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'})
+        |MERGE (a)-[:KNOWS]->(b)""".stripMargin)
+    assert(g2.rels.filter(col("type") === "KNOWS").count() == 1) // matched, not duplicated
+    val (g3, _) = Cypher.execute(spark, g2,
+      """MATCH (a:Person {name: 'Carol'}), (b:Person {name: 'Bob'})
+        |MERGE (a)-[:KNOWS]->(b)""".stripMargin)
+    assert(g3.rels.filter(col("type") === "KNOWS").count() == 2) // inserted
+  }
+
+  test("SET per-row expression values and labels; REMOVE nulls a property") {
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      "MATCH (p:Person) SET p.age = p.age + 100, p:Adult")
+    val ages = g2.nodes.select("name", "age").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ages == Map("Alice" -> 130L, "Bob" -> 125L, "Carol" -> 135L))
+    assert(g2.nodes.filter(array_contains(col("labels"), "Adult")).count() == 3)
+    val (g3, _) = Cypher.execute(spark, g2,
+      "MATCH (p:Person {name: 'Bob'}) REMOVE p.age, p:Adult")
+    val bob = g3.nodes.filter(col("name") === "Bob").collect()(0)
+    assert(bob.isNullAt(bob.fieldIndex("age")))
+    assert(g3.nodes.filter(array_contains(col("labels"), "Adult")).count() == 2)
+  }
+
+  test("DELETE refuses attached nodes; DETACH DELETE cascades") {
+    intercept[IllegalArgumentException] {
+      Cypher.execute(spark, freshGraph,
+        "MATCH (p:Person {name: 'Alice'}) DELETE p")._1.nodes.count()
+    }
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      "MATCH (p:Person {name: 'Alice'}) DETACH DELETE p")
+    assert(g2.nodes.count() == 2 && g2.rels.count() == 0)
+    // unattached node deletes fine without DETACH
+    val (g3, _) = Cypher.execute(spark, freshGraph,
+      "MATCH (p:Person {name: 'Carol'}) DELETE p")
+    assert(g3.nodes.count() == 2)
+  }
+
+  test("DELETE a relationship variable keeps its endpoints") {
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      "MATCH (:Person {name: 'Alice'})-[k:KNOWS]->() DELETE k")
+    assert(g2.rels.count() == 0 && g2.nodes.count() == 3)
+  }
+
+  test("write then read in one query: updated graph flows to later MATCH") {
+    val (_, ret) = Cypher.execute(spark, freshGraph,
+      """MATCH (p:Person) WHERE p.age < 30 SET p:Young
+        |MATCH (y:Young) RETURN count(*) AS n""".stripMargin)
+    assert(ret.get.collect()(0).getLong(0) == 1L)
+  }
+}
