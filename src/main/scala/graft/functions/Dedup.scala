@@ -53,14 +53,22 @@ object Dedup {
     val rng = new scala.util.Random(42)
     val coeffs = Array.fill(k)((1L + rng.nextInt((Prime - 1).toInt), rng.nextInt(Prime.toInt).toLong))
 
-    val sh = docs.select(col("id"), shingles(col("text"), shingleSize).as("sh"))
-    // signature: array of k minhashes, each an array_min over transformed shingle hashes
+    // hash each DISTINCT shingle exactly once; the k permutations then run
+    // over the small pre-hashed array (previously xxhash64 re-ran per
+    // coefficient — k× the hashing work for identical minima)
+    val sh = docs.select(col("id"),
+      array_distinct(transform(shingles(col("text"), shingleSize),
+        s => shingleHash(s))).as("hs"))
     val sig = sh.select(col("id"), array(coeffs.map { case (a, b) =>
-      array_min(transform(col("sh"), s => pmod(shingleHash(s) * a + b, lit(Prime))))
+      array_min(transform(col("hs"), x => pmod(x * a + b, lit(Prime))))
     }.toIndexedSeq: _*).as("sig"))
 
-    // explode into b band buckets; bucket key = hash of the band's slice
-    val banded = sig.select(col("id"), col("sig"),
+    // explode into b band buckets — ids only: the 64-long signature array
+    // must NOT ride through the ×bands explode and the skew-cap shuffle
+    // (it would multiply the shuffle payload by bands); signatures re-join
+    // per surviving pair at the end.
+    val sigCached = sig.localCheckpoint(false)
+    val banded = sigCached.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bi => xxhash64(array_join(slice(col("sig"), bi * r + 1, lit(r)), "_")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -71,13 +79,16 @@ object Dedup {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket").orderBy("id")))
       .filter(col("rn") <= maxBucket)
-    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"), col("sig").as("sigA"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"), col("sig").as("sigB"))
-    a.join(b, Seq("band", "bucket")).filter(col("idA") < col("idB"))
+    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"))
+    val pairs = a.join(b, Seq("band", "bucket")).filter(col("idA") < col("idB"))
+      .select("idA", "idB").dropDuplicates("idA", "idB")
+    pairs
+      .join(sigCached.select(col("id").as("idA"), col("sig").as("sigA")), Seq("idA"))
+      .join(sigCached.select(col("id").as("idB"), col("sig").as("sigB")), Seq("idB"))
       .select(col("idA"), col("idB"),
         (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => (x === y).cast("int")),
           v => v === 1)).cast("double") / k).as("jaccardEstimate"))
-      .dropDuplicates("idA", "idB")
   }
 
   /** MinHash+LSH dedup end-to-end: candidates above the similarity threshold
@@ -85,7 +96,9 @@ object Dedup {
   def minhashDedup(docs: DataFrame, threshold: Double = 0.8,
       shingleSize: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, shingleSize).filter(col("jaccardEstimate") >= threshold * 0.7)
+    // materialized once — referenced by BOTH pair-side joins below
     val sets = docs.select(col("id"), array_distinct(shingles(col("text"), shingleSize)).as("set"))
+      .localCheckpoint(false)
     cands
       .join(sets.select(col("id").as("idA"), col("set").as("setA")), Seq("idA"))
       .join(sets.select(col("id").as("idB"), col("set").as("setB")), Seq("idB"))
