@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.graph.{GraphStats, PropertyGraph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Procedure surface — the reference's callable procedures and user-function
+ * registry (procedure-api/.../Procedure.java:111, UserFunction.java:103,
+ * built-ins in community/procedure/.../builtin/BuiltInProcedures.java:
+ * db.labels, db.relationshipTypes, db.propertyKeys, db.schema.*,
+ * db.index.fulltext.queryNodes, db.index.vector.queryNodes).
+ *
+ * A procedure here is a named (SparkSession, PropertyGraph, args) =>
+ * DataFrame — it returns a plan, so procedure calls compose with further
+ * transforms and stay lazily optimized. User registration is a concurrent
+ * map (the reference's global procedure registry); scalar user functions go
+ * through spark.udf / SparkSessionExtensions (see NormalizeUnicode for the
+ * native-Expression path, which is the preferred one — codegen, no boxing).
+ */
+object Procedures {
+
+  type Proc = (SparkSession, PropertyGraph, Seq[Any]) => DataFrame
+
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Proc]()
+
+  /** Register a user procedure (reference @Procedure annotation scan). */
+  def register(name: String, p: Proc): Unit = registry.put(name.toLowerCase, p)
+
+  def call(spark: SparkSession, g: PropertyGraph, name: String, args: Any*): DataFrame = {
+    val p = registry.get(name.toLowerCase)
+    require(p != null, s"unknown procedure $name — registered: ${names.mkString(", ")}")
+    p(spark, g, args)
+  }
+
+  def names: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keys.asScala.toSeq.sorted
+  }
+
+  // ---- built-ins (registered once at class load) ------------------------
+
+  register("db.labels", (_, g, _) =>
+    g.nodes.select(explode(col("labels")).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("nodeCount")))
+
+  register("db.relationshiptypes", (_, g, _) =>
+    g.rels.groupBy(col("type").as("relationshipType"))
+      .agg(count(lit(1)).as("relCount")))
+
+  register("db.propertykeys", (_, g, _) => {
+    val nodeKeys = g.nodes.columns.filterNot(Set("id", "labels"))
+    val relKeys = g.rels.columns.filterNot(Set("id", "src", "dst", "type"))
+    val s = g.nodes.sparkSession
+    import s.implicits._
+    (nodeKeys.map(k => (k, "node")) ++ relKeys.map(k => (k, "relationship")))
+      .toSeq.toDF("propertyKey", "entity")
+  })
+
+  /** db.schema.visualization: the (srcLabel)-[type]->(dstLabel) summary
+    * graph — exactly the count-store triples. */
+  register("db.schema.visualization", (_, g, _) =>
+    GraphStats.compute(g).tripleCounts
+      .select(col("srcLabel"), col("type"), col("dstLabel"), col("cnt")))
+
+  /** db.index.fulltext.queryNodes(textProp, query, k): BM25 over a node
+    * property (reference FulltextProcedures.java:90). */
+  register("db.index.fulltext.querynodes", (_, g, args) => {
+    val Seq(prop: String, query: String, k: Integer) = args.toSeq
+    Fulltext.bm25TopK(g.nodes.filter(col(prop).isNotNull), "id", prop, query, k)
+  })
+
+  /** db.index.vector.queryNodes(vecProp, k, queryVec): brute-force cosine
+    * top-k (reference VectorIndexProcedures.java:144). */
+  register("db.index.vector.querynodes", (spark, g, args) => {
+    val Seq(prop: String, k: Integer, qvec: Seq[_]) = args.toSeq
+    import spark.implicits._
+    val queries = Seq((0L, qvec.map(_.toString.toDouble).toArray))
+      .toDF("qid", "qvec")
+    Similarity.bruteForceTopK(
+      g.nodes.filter(col(prop).isNotNull).select(col("id"), col(prop).as("vec")),
+      queries, k).drop("qid")
+  })
+}

@@ -140,6 +140,28 @@ object TypeQueries {
              |  round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
              |  round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
              |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75
-             |FROM orders GROUP BY o_orderpriority""".stripMargin))
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // procedure surface: db.labels() ∪ db.relationshipTypes() counts
+    // (reference BuiltInProcedures) — the introspection a driver/UI calls.
+    QueryDef("q_procedures_introspect",
+      (s, d) => {
+        val g = graft.graph.TpchGraph.load(s, d)
+        graft.functions.Procedures.call(s, g, "db.labels")
+          .select(col("label").as("name"), col("nodeCount").as("cnt"))
+          .unionByName(graft.functions.Procedures.call(s, g, "db.relationshipTypes")
+            .select(col("relationshipType").as("name"), col("relCount").as("cnt")))
+      },
+      Some("""SELECT 'Region' AS name, count(*) AS cnt FROM region
+             |UNION ALL SELECT 'Nation', count(*) FROM nation
+             |UNION ALL SELECT 'Customer', count(*) FROM customer
+             |UNION ALL SELECT 'Supplier', count(*) FROM supplier
+             |UNION ALL SELECT 'Part', count(*) FROM part
+             |UNION ALL SELECT 'Order', count(*) FROM orders
+             |UNION ALL SELECT 'IN_REGION', count(*) FROM nation
+             |UNION ALL SELECT 'FROM', (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+             |UNION ALL SELECT 'PLACED', count(*) FROM orders
+             |UNION ALL SELECT 'CONTAINS', count(*) FROM lineitem
+             |UNION ALL SELECT 'SUPPLIED_BY', count(*) FROM lineitem""".stripMargin))
   )
 }

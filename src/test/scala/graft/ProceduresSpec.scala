@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.Procedures
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Procedure registry: built-ins + user registration. */
+class ProceduresSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("db.labels and db.relationshipTypes count the star fixture") {
+    val g = GraphFixtures.starGraph(spark, 5)
+    val labels = Procedures.call(spark, g, "db.labels").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels == Map("Center" -> 1L, "Ring" -> 5L))
+    val types = Procedures.call(spark, g, "db.relationshipTypes").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types == Map("T" -> 5L))
+  }
+
+  test("db.schema.visualization yields the label-type-label summary") {
+    val g = GraphFixtures.starGraph(spark, 3)
+    val rows = Procedures.call(spark, g, "db.schema.visualization").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("Center", "T", "Ring", 3L)))
+  }
+
+  test("db.index.fulltext.queryNodes ranks the matching node first") {
+    val g = GraphFixtures.graph(spark,
+      nodes = Seq((1L, Seq("Doc"), "spark joins and windows explained"),
+        (2L, Seq("Doc"), "gardening tips for spring"),
+        (3L, Seq("Doc"), "spark shuffle internals")),
+      rels = Seq.empty)
+    val top = Procedures.call(spark, g, "db.index.fulltext.queryNodes",
+      "name", "spark joins", Int.box(2)).collect()
+    assert(top.head.getAs[Long]("id") == 1L)
+    assert(top.map(_.getAs[Long]("id")).toSet == Set(1L, 3L))
+  }
+
+  test("user procedures register and dispatch") {
+    Procedures.register("my.top_degree", (s, g, args) => {
+      val k = args.head.asInstanceOf[Int]
+      g.rels.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("id")).limit(k)
+    })
+    val g = GraphFixtures.starGraph(spark, 4)
+    val r = Procedures.call(spark, g, "my.top_degree", 1).collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 4L)
+  }
+}
