@@ -58,18 +58,25 @@ object Ast {
   final case class NodePattern(variable: Option[String], labels: Seq[String],
       props: Seq[(String, Expr)])
 
-  /** `-[v:T1|T2 *min..max {k: e}]->` (oC_RelationshipPattern). */
+  /** `-[v:T1|T2 *min..max {k: e}]->` (oC_RelationshipPattern). A parsed
+    * quantified path pattern `((x)-[r:T]->(y)){min,max}` also lands here:
+    * varLength carries the quantifier and `qppVars` the inner group
+    * variables (x, r, y), which bind to per-path arrays. */
   final case class RelPattern(variable: Option[String], types: Seq[String],
-      dir: Dir, varLength: Option[(Int, Option[Int])], props: Seq[(String, Expr)])
+      dir: Dir, varLength: Option[(Int, Option[Int])], props: Seq[(String, Expr)],
+      qppVars: Option[(Option[String], Option[String], Option[String])] = None)
 
   /** A linear path: node (rel node)*. */
   final case class PathPattern(first: NodePattern, hops: Seq[(RelPattern, NodePattern)])
+
+  /** `p = shortestPath((a)-[:T*..d]->(b))` (reference FindShortestPaths). */
+  final case class ShortestPart(pathVar: Option[String], pattern: PathPattern)
 
   // ---- clauses ----------------------------------------------------------
 
   sealed trait Clause
   final case class MatchClause(optional: Boolean, patterns: Seq[PathPattern],
-      where: Option[Expr]) extends Clause
+      where: Option[Expr], shortest: Seq[ShortestPart] = Nil) extends Clause
   final case class UnwindClause(expr: Expr, alias: String) extends Clause
   final case class ReturnItem(expr: Expr, alias: Option[String])
   final case class SortItem(expr: Expr, ascending: Boolean)

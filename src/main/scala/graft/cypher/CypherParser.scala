@@ -231,17 +231,45 @@ object CypherParser extends RegexParsers {
     case None                 => RelPattern(None, Seq.empty, dir, None, Seq.empty)
   }
 
+  /** Quantified path pattern `((x)-[r:T]->(y)){min,max}` / `+` / `*`
+    * (GQL QPP, reference Trail): desugars to a RelPattern whose varLength is
+    * the quantifier and whose qppVars carry the inner group variables. */
+  private def qppQuantifier: Parser[(Int, Option[Int])] =
+    "{" ~> opt("""\d+""".r) ~ opt("," ~> opt("""\d+""".r)) <~ "}" ^^ {
+      case lo ~ None      => val n = lo.map(_.toInt).getOrElse(1); (n, Some(n)) // {n}
+      case lo ~ Some(hi)  => (lo.map(_.toInt).getOrElse(0), hi.map(_.toInt))   // {a,b}
+    } |
+    "+" ^^ (_ => (1, None)) |
+    "*" ^^ (_ => (0, None))
+
+  private def qppHop: Parser[(RelPattern, NodePattern)] =
+    ("(" ~> nodePattern ~ relPattern ~ nodePattern <~ ")") ~ qppQuantifier ~ nodePattern ^^ {
+      case inner ~ q ~ next =>
+        val (x ~ r ~ y) = inner
+        require(r.varLength.isEmpty, "nested quantifiers are not supported")
+        (r.copy(varLength = Some(q),
+          qppVars = Some((x.variable, r.variable, y.variable))), next)
+    }
+
   def pathPattern: Parser[PathPattern] =
-    nodePattern ~ rep(relPattern ~ nodePattern) ^^ {
-      case first ~ hops => PathPattern(first, hops.map { case r ~ n => (r, n) })
+    nodePattern ~ rep(qppHop | relPattern ~ nodePattern ^^ { case r ~ n => (r, n) }) ^^ {
+      case first ~ hops => PathPattern(first, hops)
     }
 
   // ---- clauses ----------------------------------------------------------
 
+  private def shortestPart: Parser[ShortestPart] =
+    opt(ident <~ "=") ~ ("(?i)shortestPath".r ~> "(" ~> pathPattern <~ ")") ^^ {
+      case v ~ p => ShortestPart(v, p)
+    }
+
   private def matchClause: Parser[Clause] =
-    opt(K("OPTIONAL")) ~ (K("MATCH") ~> rep1sep(pathPattern, ",")) ~
+    opt(K("OPTIONAL")) ~ (K("MATCH") ~>
+      rep1sep(shortestPart ^^ (Left(_)) | pathPattern ^^ (Right(_)), ",")) ~
       opt(K("WHERE") ~> expression) ^^ {
-      case o ~ ps ~ w => MatchClause(o.isDefined, ps, w)
+      case o ~ parts ~ w =>
+        MatchClause(o.isDefined, parts.collect { case Right(p) => p }, w,
+          parts.collect { case Left(s) => s })
     }
 
   private def unwindClause: Parser[Clause] =

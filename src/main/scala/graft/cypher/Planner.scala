@@ -42,6 +42,8 @@ object Planner {
   case object RelVar extends Binding
   case object RelListVar extends Binding
   case object ValueVar extends Binding
+  /** shortestPath path variable: carries `v$length` (+ reachable via it). */
+  case object PathVar extends Binding
 
   private case class Env(df: Option[DataFrame], binds: Map[String, Binding]) {
     def has(v: String): Boolean = binds.contains(v)
@@ -53,6 +55,10 @@ object Planner {
     def fresh(prefix: String): String = { counter += 1; s"__${prefix}_$counter" }
     /** stable per-plan seed for created-entity id hashing */
     val runTag: String = java.util.UUID.randomUUID().toString
+    /** count-store label cardinalities, computed at most once per plan —
+      * drives scan-side selection for doubly-unbound labeled paths */
+    lazy val labelCounts: Map[String, Long] =
+      graft.graph.GraphStats.compute(g).labelCountMap
   }
 
   def plan(spark: SparkSession, g: PropertyGraph, query: Query,
@@ -361,7 +367,9 @@ object Planner {
       case _                => ()
     }
     q.clauses.foreach {
-      case MatchClause(_, ps, w) => ps.foreach(walkPattern); w.foreach(walk)
+      case MatchClause(_, ps, w, sh) =>
+        ps.foreach(walkPattern); w.foreach(walk)
+        sh.foreach(s => walkPattern(s.pattern))
       case UnwindClause(e, _)    => walk(e)
       case WithClause(_, items, ob, sk, li, w) =>
         items.foreach(i => walk(i.expr)); ob.foreach(s => walk(s.expr))
@@ -387,9 +395,67 @@ object Planner {
       var cur = env
       val relVarsBefore = relVars(env)
       m.patterns.foreach { p => cur = planPath(ctx, cur, p) }
+      m.shortest.foreach { s => cur = planShortest(ctx, cur, s) }
       cur = applyUniqueness(cur, relVarsBefore)
       m.where.foreach { pred => cur = applyWhere(ctx, cur, pred) }
       cur
+    }
+  }
+
+  /** shortestPath((a)-[:T*..d]->(b)): BFS with target early-exit when both
+    * endpoints are bound (reference FindShortestPaths :2178); unreached
+    * pairs drop, like a failed MATCH. The path variable binds `v$length`. */
+  private def planShortest(ctx: Ctx, env: Env, s: ShortestPart): Env = {
+    val p = s.pattern
+    require(p.hops.size == 1, "shortestPath takes a single relationship pattern")
+    val (rel, toNode) = p.hops.head
+    val fromVar = p.first.variable.filter(env.has).getOrElse(
+      throw new IllegalArgumentException("shortestPath start node must be bound"))
+    val maxDepth = rel.varLength.flatMap(_._2).getOrElse(15)
+    var edges = rel.dir match {
+      case Out  => ctx.g.rels.select(col("src"), col("dst"))
+      case In   => ctx.g.rels.select(col("dst").as("src"), col("src").as("dst"))
+      case Both => ctx.g.undirectedRels.select(col("src"), col("dst"))
+    }
+    if (rel.types.nonEmpty) {
+      val typed = rel.dir match {
+        case Both => ctx.g.undirectedRels
+        case _    => ctx.g.rels
+      }
+      edges = (rel.dir match {
+        case In => typed.filter(col("type").isin(rel.types: _*))
+          .select(col("dst").as("src"), col("src").as("dst"))
+        case _  => typed.filter(col("type").isin(rel.types: _*))
+          .select(col("src"), col("dst"))
+      })
+    }
+    val pv = s.pathVar.getOrElse(ctx.fresh("p"))
+    val minHops = rel.varLength.map(_._1).getOrElse(1)
+    val df = env.df.get
+    toNode.variable.filter(env.has) match {
+      case Some(toVar) => // both bound: per-pair lengths with early exit
+        val pairs = df.select(col(fromVar).as("source"), col(toVar).as("target"))
+          .distinct()
+        val lens = graft.ops.Bfs.shortestPathLengths(edges, pairs, maxDepth)
+          .filter(col("dist") >= minHops)
+          .select(col("source"), col("target"), col("dist").as(s"$pv$$length"))
+        val joined = df.join(lens,
+          col(fromVar) === col("source") && col(toVar) === col("target"))
+          .drop("source", "target")
+        Env(Some(joined), env.binds + (pv -> PathVar))
+      case _ => // far node unbound: all reachable within maxDepth
+        val toVar = toNode.variable.getOrElse(ctx.fresh("n"))
+        val dists = graft.ops.Bfs.distances(edges,
+          df.select(col(fromVar).as("source")).distinct(), maxDepth)
+          .filter(col("dist") >= minHops)
+          .select(col("source"), col("node").as(toVar), col("dist").as(s"$pv$$length"))
+        var joined = df.join(dists, col(fromVar) === col("source")).drop("source")
+        if (toNode.labels.nonEmpty || toNode.props.nonEmpty ||
+            ctx.needed.getOrElse(toVar, Set.empty).nonEmpty) {
+          val scan = hydrated(ctx, nodeScan(ctx, toNode), toVar, ctx.g.nodes.columns.toSet)
+          joined = joined.join(scan, Seq(toVar))
+        }
+        Env(Some(joined), env.binds + (pv -> PathVar) + (toVar -> NodeVar))
     }
   }
 
@@ -510,14 +576,27 @@ object Planner {
   }
 
   private def planPath(ctx: Ctx, env: Env, p0: PathPattern): Env = {
-    // anchor on a bound endpoint: if only the LAST node is bound, traverse
-    // the path reversed so planning starts from bound rows instead of a
-    // cross join (the planner's one join-order heuristic; Catalyst handles
-    // the rest)
+    // anchor selection (the planner's join-order heuristic; Catalyst handles
+    // the rest): start from a bound endpoint if only one end is bound, and
+    // for doubly-unbound paths start from the SMALLER labeled end by
+    // count-store cardinality (reference cost model input, CountsStore.java)
     val firstBound = p0.first.variable.exists(env.has)
     val lastBound = p0.hops.lastOption.exists(_._2.variable.exists(env.has))
-    val p = if (!firstBound && lastBound && p0.hops.forall(_._1.varLength.isEmpty))
-      reversePath(p0) else p0
+    val reversible = p0.hops.forall(r => r._1.varLength.isEmpty && r._1.qppVars.isEmpty)
+    val p =
+      if (!firstBound && lastBound && reversible) reversePath(p0)
+      else if (!firstBound && !lastBound && reversible && p0.hops.nonEmpty) {
+        val fl = p0.first.labels
+        val ll = p0.hops.last._2.labels
+        val flip = (fl, ll) match {
+          case (Nil, l) if l.nonEmpty => true
+          case (f, l) if f.nonEmpty && l.nonEmpty =>
+            ll.map(x => ctx.labelCounts.getOrElse(x, Long.MaxValue)).min <
+              fl.map(x => ctx.labelCounts.getOrElse(x, Long.MaxValue)).min
+          case _ => false
+        }
+        if (flip) reversePath(p0) else p0
+      } else p0
     var (cur, fromVar) = bindNode(ctx, env, p.first)
     p.hops.foreach { case (rel, node) =>
       val (next, toVar) = expandHop(ctx, cur, fromVar, rel, node)
@@ -533,6 +612,20 @@ object Planner {
       r.copy(dir = r.dir match { case Out => In; case In => Out; case Both => Both })
     }
     PathPattern(nodes.head, rels.zip(nodes.tail))
+  }
+
+  /** Oriented + type-filtered (id, src, dst) edge view for Trail. */
+  private def orientTyped(g: PropertyGraph, types: Seq[String],
+      dir: Direction): DataFrame = {
+    val r0 = dir match {
+      case Direction.Out  => g.rels.select(col("id"), col("src"), col("dst"), col("type"))
+      case Direction.In   => g.rels.select(col("id"), col("dst").as("src"),
+        col("src").as("dst"), col("type"))
+      case Direction.Both => g.undirectedRels.select(col("id"), col("src"),
+        col("dst"), col("type"))
+    }
+    val f = if (types.isEmpty) r0 else r0.filter(col("type").isin(types: _*))
+    f.select("id", "src", "dst")
   }
 
   /** Bind a pattern node: scan (unbound) or constrain (bound). Returns the
@@ -623,11 +716,37 @@ object Planner {
         val dir = rel.dir match {
           case Out => Direction.Out; case In => Direction.In; case Both => Direction.Both
         }
-        val depthCol = ctx.fresh("depth")
-        val expanded = VarExpand.varExpand(g, env.df.get, fromVar, rel.types,
-          dir, min, max, toAlias = "__to", relsAlias = relVar, depthAlias = depthCol)
-          .drop(depthCol)
-        Env(Some(expanded), env.binds + (relVar -> RelListVar))
+        rel.qppVars match {
+          case None =>
+            val depthCol = ctx.fresh("depth")
+            val expanded = VarExpand.varExpand(g, env.df.get, fromVar, rel.types,
+              dir, min, max, toAlias = "__to", relsAlias = relVar, depthAlias = depthCol)
+              .drop(depthCol)
+            Env(Some(expanded), env.binds + (relVar -> RelListVar))
+          case Some((xVar, _, yVar)) =>
+            // quantified path pattern: Trail collects the group variables —
+            // x group = all but the last trail node, y group = all but the
+            // first, r group = the rel array
+            val nodesCol = ctx.fresh("qn")
+            val hopsCol = ctx.fresh("qh")
+            val expanded = graft.ops.Trail.trail(
+              orientTyped(g, rel.types, dir), env.df.get, fromVar, min, max,
+              endAlias = "__to", relsAlias = relVar, nodesAlias = nodesCol,
+              hopsAlias = hopsCol)
+            var out = expanded.drop(hopsCol)
+            var binds = env.binds + (relVar -> RelListVar)
+            xVar.foreach { v =>
+              out = out.withColumn(v,
+                slice(col(nodesCol), lit(1), greatest(size(col(nodesCol)) - 1, lit(0))))
+              binds += (v -> ValueVar)
+            }
+            yVar.foreach { v =>
+              out = out.withColumn(v,
+                slice(col(nodesCol), lit(2), greatest(size(col(nodesCol)) - 1, lit(0))))
+              binds += (v -> ValueVar)
+            }
+            Env(Some(out.drop(nodesCol)), binds)
+        }
     }
 
     val df = afterRel.df.get
@@ -943,7 +1062,11 @@ object Planner {
       case "left"  => a0.substr(lit(1), c(args(1)))
       case "right" => a0.substr(length(a0) - c(args(1)) + 1, c(args(1)))
       case "size" | "length" =>
-        if (isArrayTyped(env, a0)) size(a0) else length(a0)
+        args.head match {
+          case Variable(v) if env.binds.get(v).contains(PathVar) =>
+            col(s"$v$$length") // length(p) of a shortestPath variable
+          case _ => if (isArrayTyped(env, a0)) size(a0) else length(a0)
+        }
       case "tostring"  => a0.cast("string")
       case "tointeger" => a0.cast("long")
       case "tofloat"   => a0.cast("double")

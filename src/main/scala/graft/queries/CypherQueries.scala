@@ -160,6 +160,35 @@ object CypherQueries {
         |WHERE l_quantity >= 45 AND p_size > 40
         |GROUP BY p_brand""".stripMargin),
 
+    // shortestPath() with unbound far node: minimal hop counts from small
+    // customers to everything reachable over FROM/IN_REGION (nation=1,
+    // region=2 — each reached exactly once, unlike path enumeration).
+    cq("q_cypher_shortest",
+      """MATCH (c:Customer) WHERE c.key < 30
+        |MATCH p = shortestPath((c)-[:FROM|IN_REGION*..4]->(x))
+        |WHERE x.name IS NOT NULL
+        |RETURN c.key AS ckey, x.name AS reached, length(p) AS hops""".stripMargin,
+      """SELECT c_custkey AS ckey, n_name AS reached, 1 AS hops
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey < 30
+        |UNION ALL
+        |SELECT c_custkey, r_name, 2
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey WHERE c_custkey < 30""".stripMargin),
+
+    // quantified path pattern with group variables: size(r) plays depth.
+    cq("q_cypher_qpp",
+      """MATCH (c:Customer) ((a)-[r:FROM|IN_REGION]->(b)){1,2} (x)
+        |WHERE c.key < 200
+        |RETURN c.key AS c_key, x.name AS reached, size(r) AS depth""".stripMargin,
+      """SELECT c_custkey AS c_key, n_name AS reached, 1 AS depth
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_custkey < 200
+        |UNION ALL
+        |SELECT c_custkey, r_name, 2
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_custkey < 200""".stripMargin),
+
     // ---- write path through the Cypher surface (UpdateOps underneath):
     // each runs an updating query, then READS the updated snapshot back —
     // the oracle re-derives the post-update state relationally.

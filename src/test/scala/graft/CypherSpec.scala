@@ -267,4 +267,55 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getString(0) == "x" && r.getLong(1) == 1L && r.getLong(2) == 3L &&
       r.getLong(3) == 20L && r.getSeq[Long](4) == Seq(2L, 3L))
   }
+
+  test("shortestPath between bound endpoints binds length(p)") {
+    val rows = run(
+      """MATCH (a {name: 'Alice'}), (b:Person)
+        |MATCH p = shortestPath((a)-[:KNOWS*..6]->(b))
+        |RETURN b.name AS name, length(p) AS hops ORDER BY hops, name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    // Alice->Bob (1), Alice->Carol (1, direct beats via-Bob), Alice->..->Dave (2);
+    // zero-length self-path excluded (var-length min defaults to 1)
+    assert(rows.toSeq == Seq(("Bob", 1), ("Carol", 1), ("Dave", 2)))
+  }
+
+  test("shortestPath with unbound far node returns reachable set with distances") {
+    val rows = run(
+      """MATCH (a {name: 'Bob'})
+        |MATCH p = shortestPath((a)-[:KNOWS*..6]->(x))
+        |WHERE x.name <> 'Bob'
+        |RETURN x.name AS name, length(p) AS hops ORDER BY hops""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(rows.toSeq == Seq(("Carol", 1), ("Dave", 2)))
+  }
+
+  test("quantified path pattern collects group variables") {
+    val rows = run(
+      """MATCH (a {name: 'Alice'}) ((x)-[r:KNOWS]->(y)){2,2} (b)
+        |RETURN b.name AS name, size(r) AS hops, size(y) AS ys ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSeq == Seq(("Carol", 2, 2), ("Dave", 2, 2)))
+  }
+
+  test("QPP quantifiers: {n}, +, * parse and bound correctly") {
+    val plus = run(
+      """MATCH (a {name: 'Alice'}) ((x)-[r:KNOWS]->(y))+ (b)
+        |RETURN DISTINCT b.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(plus.toSeq == Seq("Bob", "Carol", "Dave"))
+    val star = run(
+      """MATCH (a {name: 'Carol'}) ((x)-[r:KNOWS]->(y))* (b)
+        |RETURN DISTINCT b.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(star.toSeq == Seq("Carol", "Dave")) // zero-length includes Carol
+  }
+
+  test("doubly-unbound labeled path anchors on the smaller label (stats)") {
+    // City(1) is smaller than Person(4): planner should flip to start at City;
+    // correctness must be identical either way
+    val rows = run(
+      "MATCH (p:Person)-[:LIVES_IN]->(c:City) RETURN p.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Alice", "Carol"))
+  }
 }
