@@ -278,6 +278,7 @@ object CypherParser extends RegexParsers {
     }
 
   private def returnItem: Parser[ReturnItem] =
+    "*" ~ guard("," | not(expression)) ^^ (_ => ReturnItem(Variable("*"), None)) |
     expression ~ opt(K("AS") ~> ident) ^^ { case e ~ a => ReturnItem(e, a) }
 
   private def sortItem: Parser[SortItem] =

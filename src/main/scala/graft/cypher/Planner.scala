@@ -492,10 +492,68 @@ object Planner {
       c match {
         case PatternExists(p, w, _)                  => planExists(ctx, e, p, w, anti = false)
         case UnaryOp("NOT", PatternExists(p, w, _))  => planExists(ctx, e, p, w, anti = true)
+        case other if containsPatternExists(other) =>
+          // pattern predicate under OR/XOR/CASE…: lower each EXISTS to a
+          // boolean flag column (LetSemiApply / SelectOrSemiApply family,
+          // reference LogicalPlan :2537/:3604), then filter the rewritten
+          // expression
+          val (env2, rewritten, flags) = lowerExists(ctx, e, other)
+          val filtered = env2.df.map(_.filter(compile(ctx, env2, rewritten)).drop(flags: _*))
+          env2.copy(df = filtered)
         case other =>
           e.copy(df = e.df.map(_.filter(compile(ctx, e, other))))
       }
     }
+  }
+
+  private def containsPatternExists(e: Expr): Boolean = e match {
+    case _: PatternExists       => true
+    case BinOp(_, l, r)         => containsPatternExists(l) || containsPatternExists(r)
+    case UnaryOp(_, o)          => containsPatternExists(o)
+    case IsNull(o, _)           => containsPatternExists(o)
+    case CaseExpr(s, ws, d)     =>
+      s.exists(containsPatternExists) ||
+        ws.exists(w => containsPatternExists(w._1) || containsPatternExists(w._2)) ||
+        d.exists(containsPatternExists)
+    case _                      => false
+  }
+
+  /** Replace every PatternExists inside `e` with a boolean flag variable
+    * whose column is computed via a left-outer flag join. Returns the
+    * augmented env, the rewritten expression, and the flag column names. */
+  private def lowerExists(ctx: Ctx, env0: Env, e: Expr): (Env, Expr, Seq[String]) = {
+    var env = env0
+    val flags = Seq.newBuilder[String]
+    def rewrite(x: Expr): Expr = x match {
+      case PatternExists(p, w, _) =>
+        val flag = ctx.fresh("exists")
+        val df = env.df.get
+        val refs = (patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty))
+          .filter(env.has).toSeq.sorted
+        require(refs.nonEmpty, "EXISTS pattern must reference a bound variable")
+        val keyCols = refKeyCols(df, refs)
+        val base = Env(Some(df.select(keyCols.map(col): _*).distinct()),
+          env.binds.view.filterKeys(refs.contains).toMap)
+        var sub = planPath(ctx, base, p)
+        w.foreach { pred => sub = applyWhere(ctx, sub, pred) }
+        val hit = sub.df.get.select(keyCols.map(col): _*).distinct()
+          .withColumn(flag, lit(true))
+        env = env.copy(df = Some(
+          df.join(hit, keyCols, "left_outer")
+            .withColumn(flag, coalesce(col(flag), lit(false)))),
+          binds = env.binds + (flag -> ValueVar))
+        flags += flag
+        Variable(flag)
+      case BinOp(op, l, r)   => BinOp(op, rewrite(l), rewrite(r))
+      case UnaryOp(op, o)    => UnaryOp(op, rewrite(o))
+      case IsNull(o, n)      => IsNull(rewrite(o), n)
+      case CaseExpr(s, ws, d) =>
+        CaseExpr(s.map(rewrite), ws.map { case (a, b) => (rewrite(a), rewrite(b)) },
+          d.map(rewrite))
+      case other => other
+    }
+    val rewritten = rewrite(e)
+    (env, rewritten, flags.result())
   }
 
   /** EXISTS {...} / NOT EXISTS: plan the sub-pattern from the distinct
@@ -786,11 +844,20 @@ object Planner {
 
   // ---- WITH / RETURN ----------------------------------------------------
 
-  private def planProjection(ctx: Ctx, env: Env, items: Seq[ReturnItem],
+  private def planProjection(ctx: Ctx, env: Env, items0: Seq[ReturnItem],
       distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
       limit: Option[Expr], isReturn: Boolean): Env = {
     val df = env.df.getOrElse(unit(ctx.spark))
     val inEnv = env.copy(df = Some(df))
+    // `*` expands to every user-named binding (pass-through), keeping any
+    // additional explicit items (`WITH *, x AS y`)
+    val items = items0.flatMap {
+      case ReturnItem(Variable("*"), _) =>
+        env.binds.collect {
+          case (v, b) if !v.startsWith("__") && b != PathVar => v
+        }.toSeq.sorted.map(v => ReturnItem(Variable(v), None))
+      case i => Seq(i)
+    }
     val hasAgg = items.exists(i => containsAgg(i.expr))
 
     final case class Out(alias: String, item: ReturnItem, passThrough: Option[String])

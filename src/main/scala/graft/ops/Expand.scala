@@ -54,6 +54,17 @@ object Expand {
       .drop("__s", "__d")
   }
 
+  /** ProjectEndpoints (LogicalPlan.scala:3115): a bound relationship id
+    * column resolves to its (start, end) nodes — one equi-join against the
+    * rels table, directed or either-orientation. */
+  def projectEndpoints(g: PropertyGraph, input: DataFrame, relCol: String,
+      startAlias: String, endAlias: String,
+      direction: Direction = Direction.Out): DataFrame = {
+    val r = oriented(g, direction)
+      .select(col("id").as("__rid"), col("src").as(startAlias), col("dst").as(endAlias))
+    input.join(r, col(relCol) === col("__rid")).drop("__rid")
+  }
+
   /** OptionalExpandAll (OptionalExpandAllPipe): left-outer join — rows with
     * no matching rel survive with NULL rel/to, optionally gated by an extra
     * predicate evaluated inside the join condition (so non-matches are kept,

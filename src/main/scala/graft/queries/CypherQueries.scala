@@ -160,6 +160,16 @@ object CypherQueries {
         |WHERE l_quantity >= 45 AND p_size > 40
         |GROUP BY p_brand""".stripMargin),
 
+    // SelectOrAntiSemiApply :3604 — pattern predicate under OR lowers to a
+    // flag join instead of a plain semi/anti join.
+    cq("q_cypher_select_or_anti",
+      """MATCH (p:Part)
+        |WHERE p.psize > 49 OR NOT EXISTS { (:Order)-[:CONTAINS]->(p) }
+        |RETURN count(*) AS n""".stripMargin,
+      """SELECT count(*) AS n FROM part
+        |WHERE p_size > 49 OR NOT EXISTS
+        |  (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin),
+
     // shortestPath() with unbound far node: minimal hop counts from small
     // customers to everything reachable over FROM/IN_REGION (nation=1,
     // region=2 — each reached exactly once, unlike path enumeration).

@@ -89,6 +89,41 @@ object PathQueries {
              |    row_number() OVER (PARTITION BY custkey, partkey ORDER BY dist, e1, e2) AS rn
              |  FROM cand)
              |SELECT custkey, partkey, round(dist, 2) AS dist, e1 || ',' || e2 AS path
-             |FROM ranked WHERE rn = 1""".stripMargin))
+             |FROM ranked WHERE rn = 1""".stripMargin)),
+
+    // ProjectEndpoints :3115 — bound rel ids resolve to their endpoints
+    // (id scheme from TpchGraph: PLACED id = (23<<44)+orderkey).
+    QueryDef("q_project_endpoints",
+      (s, d) => {
+        val g = graft.graph.TpchGraph.load(s, d)
+        val relIds = g.relsByType("PLACED").filter(col("id") % 7 === 0)
+          .select(col("id").as("r"))
+        graft.ops.Expand.projectEndpoints(g, relIds, "r", "c", "o")
+          .join(g.nodes.select(col("id").as("c"), col("key").as("ckey")), "c")
+          .join(g.nodes.select(col("id").as("o"), col("key").as("okey")), "o")
+          .select(col("ckey"), col("okey"))
+      },
+      Some("""SELECT o_custkey AS ckey, CAST(o_orderkey AS BIGINT) AS okey
+             |FROM orders WHERE (404620279021568 + o_orderkey) % 7 = 0""".stripMargin)),
+
+    // ConditionalApply :1108 — the subplan (order aggregation) runs only for
+    // rows satisfying the condition; other rows pass through null-extended.
+    QueryDef("q_conditional_apply",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey").as("ckey"), col("c_acctbal"))
+        val (hit, miss) = (cust.filter(col("c_acctbal") > 0),
+          cust.filter(!(col("c_acctbal") > 0)))
+        val applied = hit.join(
+          t(s, d, "orders").groupBy(col("o_custkey").as("ckey"))
+            .agg(count(lit(1)).as("n_orders")),
+          Seq("ckey"), "left_outer")
+          .select(col("ckey"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        applied.unionByName(miss.select(col("ckey"), lit(null).cast("long").as("n_orders")))
+      },
+      Some("""SELECT c_custkey AS ckey,
+             |  CASE WHEN c_acctbal > 0 THEN (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+             |  ELSE NULL END AS n_orders
+             |FROM customer""".stripMargin))
   )
 }

@@ -318,4 +318,28 @@ class CypherSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(rows.toSeq == Seq("Alice", "Carol"))
   }
+
+  test("pattern predicate under OR lowers to a flag (SelectOrSemiApply)") {
+    val rows = run(
+      """MATCH (p:Person)
+        |WHERE p.age > 38 OR EXISTS { (p)-[:LIVES_IN]->(:City) }
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Alice", "Carol", "Dave"))
+    val anti = run(
+      """MATCH (p:Person)
+        |WHERE p.age < 26 OR NOT EXISTS { (p)-[:LIVES_IN]->(:City) }
+        |RETURN p.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(anti.toSeq == Seq("Bob", "Dave"))
+  }
+
+  test("RETURN * and WITH *, extra AS") {
+    val cols = run("MATCH (p:Person)-[k:KNOWS]->(q) RETURN *").columns.sorted
+    assert(cols.toSeq == Seq("k", "p", "q"))
+    val rows = run(
+      """MATCH (p:Person {name: 'Alice'})
+        |WITH *, p.age AS a RETURN p.name AS n, a""".stripMargin).collect()(0)
+    assert(rows.getString(0) == "Alice" && rows.getLong(1) == 30L)
+  }
 }
