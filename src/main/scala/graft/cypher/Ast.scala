@@ -105,6 +105,9 @@ object Ast {
   final case class SetClause(items: Seq[SetItem]) extends Clause
   final case class RemoveClause(items: Seq[SetItem]) extends Clause
   final case class DeleteClause(variables: Seq[String], detach: Boolean) extends Clause
+  /** `FOREACH (v IN list | update…)` (reference Foreach :2082). */
+  final case class ForeachClause(variable: String, list: Expr,
+      updates: Seq[Clause]) extends Clause
 
   final case class SingleQuery(clauses: Seq[Clause])
   /** Top level: one or more single queries combined by UNION [ALL]. */

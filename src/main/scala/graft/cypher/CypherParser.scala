@@ -24,7 +24,7 @@ object CypherParser extends RegexParsers {
     "AND", "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS",
     "IS", "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END",
     "ASC", "DESC", "ASCENDING", "DESCENDING", "EXISTS",
-    "CREATE", "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "ON")
+    "CREATE", "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "ON", "FOREACH")
 
   /** Case-insensitive keyword with word boundary. */
   private def K(w: String): Parser[String] = ("(?i)" + w + "\\b").r ^^ (_ => w)
@@ -342,9 +342,18 @@ object CypherParser extends RegexParsers {
       case d ~ vs => DeleteClause(vs, d.isDefined)
     }
 
+  private def foreachClause: Parser[Clause] =
+    K("FOREACH") ~> "(" ~> ident ~ (K("IN") ~> expression) ~
+      ("|" ~> rep1(writeClause)) <~ ")" ^^ {
+      case v ~ l ~ us => ForeachClause(v, l, us)
+    }
+
+  private def writeClause: Parser[Clause] =
+    createClause | mergeClause | setClause | removeClause | deleteClause |
+      foreachClause
+
   private def clause: Parser[Clause] =
-    matchClause | unwindClause | createClause | mergeClause | setClause |
-      removeClause | deleteClause | withClause | returnClause
+    matchClause | unwindClause | writeClause | withClause | returnClause
 
   private def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 

@@ -104,6 +104,7 @@ object Planner {
       case s: SetClause    => planSetItems(ctx, env, s.items)
       case r: RemoveClause => planSetItems(ctx, env, r.items)
       case d: DeleteClause => planDelete(ctx, env, d)
+      case f: ForeachClause => planForeach(ctx, env, f)
       case r: ReturnClause =>
         returned = Some(planProjection(ctx, env, r.items, r.distinct, r.orderBy,
           r.skip, r.limit, isReturn = true).df.get)
@@ -314,6 +315,26 @@ object Planner {
     }
   }
 
+  /** FOREACH (v IN list | updates): scoped UNWIND feeding the update
+    * clauses; bindings do NOT escape (reference Foreach :2082 semantics). */
+  private def planForeach(ctx: Ctx, env: Env, f: ForeachClause): Env = {
+    val df = env.df.getOrElse(unit(ctx.spark))
+    val inner0 = Env(
+      Some(df.withColumn(f.variable, explode(compile(ctx, env.copy(df = Some(df)), f.list)))),
+      env.binds + (f.variable -> ValueVar))
+    var inner = inner0
+    f.updates.foreach {
+      case c: CreateClause  => inner = planCreate(ctx, inner, c)
+      case m: MergeClause   => inner = planMerge(ctx, inner, m)
+      case s: SetClause     => planSetItems(ctx, inner, s.items)
+      case r: RemoveClause  => planSetItems(ctx, inner, r.items)
+      case d: DeleteClause  => planDelete(ctx, inner, d)
+      case nested: ForeachClause => inner = planForeach(ctx, inner, nested)
+      case other => throw new IllegalArgumentException(s"FOREACH cannot contain $other")
+    }
+    env // bindings inside FOREACH are scoped — outer env unchanged
+  }
+
   private def planDelete(ctx: Ctx, env: Env, d: DeleteClause): Unit = {
     val df = env.df.getOrElse(
       throw new IllegalArgumentException("DELETE needs bound rows"))
@@ -366,6 +387,17 @@ object Planner {
       case SetProp(_, _, v) => walk(v)
       case _                => ()
     }
+    def walkForeach(f: ForeachClause): Unit = {
+      walk(f.list)
+      f.updates.foreach {
+        case CreateClause(ps)       => ps.foreach(walkPattern)
+        case MergeClause(p, om, oc) =>
+          walkPattern(p); walkSetItems(om); walkSetItems(oc)
+        case SetClause(items)       => walkSetItems(items)
+        case nested: ForeachClause  => walkForeach(nested)
+        case _                      => ()
+      }
+    }
     q.clauses.foreach {
       case MatchClause(_, ps, w, sh) =>
         ps.foreach(walkPattern); w.foreach(walk)
@@ -383,6 +415,7 @@ object Planner {
       case SetClause(items)      => walkSetItems(items)
       case RemoveClause(_)       => ()
       case DeleteClause(_, _)    => ()
+      case f: ForeachClause      => walkForeach(f)
     }
     acc.toMap
   }

@@ -120,4 +120,18 @@ class CypherWriteSpec extends AnyFunSuite {
         |MATCH (y:Young) RETURN count(*) AS n""".stripMargin)
     assert(ret.get.collect()(0).getLong(0) == 1L)
   }
+
+  test("FOREACH applies scoped updates per list element") {
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      "FOREACH (nm IN ['P1', 'P2'] | CREATE (:Tag {name: nm}))")
+    val tags = g2.nodes.filter(array_contains(col("labels"), "Tag"))
+      .select("name").collect().map(_.getString(0)).sorted
+    assert(tags.toSeq == Seq("P1", "P2"))
+    // FOREACH over a matched collection, setting per-element
+    val (g3, _) = Cypher.execute(spark, freshGraph,
+      """MATCH (p:Person)
+        |WITH collect(p) AS ps
+        |FOREACH (x IN ps | SET x:Visited)""".stripMargin)
+    assert(g3.nodes.filter(array_contains(col("labels"), "Visited")).count() == 3)
+  }
 }
