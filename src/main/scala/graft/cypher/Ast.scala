@@ -43,6 +43,9 @@ object Ast {
   /** `EXISTS { MATCH <pattern> [WHERE …] }` / bare pattern predicate in WHERE. */
   final case class PatternExists(pattern: PathPattern, where: Option[Expr],
       negated: Boolean) extends Expr
+  /** `COUNT { <pattern> [WHERE …] }` subquery expression
+    * (NestedPlanExpression in the reference). */
+  final case class PatternCount(pattern: PathPattern, where: Option[Expr]) extends Expr
   /** List comprehension `[x IN list WHERE p | e]`. */
   final case class ListComprehension(variable: String, list: Expr,
       where: Option[Expr], projection: Option[Expr]) extends Expr

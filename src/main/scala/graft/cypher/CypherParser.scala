@@ -165,6 +165,12 @@ object CypherParser extends RegexParsers {
     } |
     K("EXISTS") ~> "(" ~> pathPattern <~ ")" ^^ (p => PatternExists(p, None, negated = false))
 
+  private def countSubquery: Parser[Expr] =
+    "(?i)count".r ~> "{" ~> opt(K("MATCH")) ~> pathPattern ~
+      opt(K("WHERE") ~> expression) <~ "}" ^^ {
+      case p ~ w => PatternCount(p, w)
+    }
+
   private def listComprehension: Parser[Expr] =
     "[" ~> ident ~ (K("IN") ~> expression) ~ opt(K("WHERE") ~> expression) ~
       opt("|" ~> expression) <~ "]" ^^ {
@@ -187,7 +193,7 @@ object CypherParser extends RegexParsers {
   private def mapLitExpr: Parser[Expr] = mapLit ^^ (m => MapLit(m))
 
   private def atom: Parser[Expr] =
-    literal | caseExpr | existsExpr | countStar | funcCall | param |
+    literal | caseExpr | existsExpr | countStar | countSubquery | funcCall | param |
     listComprehension | listLit | mapLitExpr |
     "(" ~> expression <~ ")" |
     ident ^^ Variable.apply

@@ -376,6 +376,7 @@ object Planner {
       case Index(l, i)        => walk(l); walk(i)
       case Slice(l, f, t)     => walk(l); f.foreach(walk); t.foreach(walk)
       case PatternExists(p, w, _) => walkPattern(p); w.foreach(walk)
+      case PatternCount(p, w)     => walkPattern(p); w.foreach(walk)
       case ListComprehension(_, l, w, p) => walk(l); w.foreach(walk); p.foreach(walk)
       case _ => ()
     }
@@ -541,9 +542,11 @@ object Planner {
 
   private def containsPatternExists(e: Expr): Boolean = e match {
     case _: PatternExists       => true
+    case _: PatternCount        => true
     case BinOp(_, l, r)         => containsPatternExists(l) || containsPatternExists(r)
     case UnaryOp(_, o)          => containsPatternExists(o)
     case IsNull(o, _)           => containsPatternExists(o)
+    case Func(_, args, _)       => args.exists(containsPatternExists)
     case CaseExpr(s, ws, d)     =>
       s.exists(containsPatternExists) ||
         ws.exists(w => containsPatternExists(w._1) || containsPatternExists(w._2)) ||
@@ -557,29 +560,43 @@ object Planner {
   private def lowerExists(ctx: Ctx, env0: Env, e: Expr): (Env, Expr, Seq[String]) = {
     var env = env0
     val flags = Seq.newBuilder[String]
+    def subPlan(p: PathPattern, w: Option[Expr]): (Seq[String], DataFrame) = {
+      val df = env.df.get
+      val refs = (patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty))
+        .filter(env.has).toSeq.sorted
+      require(refs.nonEmpty, "pattern subquery must reference a bound variable")
+      val keyCols = refKeyCols(df, refs)
+      val base = Env(Some(df.select(keyCols.map(col): _*).distinct()),
+        env.binds.view.filterKeys(refs.contains).toMap)
+      var sub = planPath(ctx, base, p)
+      w.foreach { pred => sub = applyWhere(ctx, sub, pred) }
+      (keyCols, sub.df.get)
+    }
     def rewrite(x: Expr): Expr = x match {
       case PatternExists(p, w, _) =>
         val flag = ctx.fresh("exists")
-        val df = env.df.get
-        val refs = (patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty))
-          .filter(env.has).toSeq.sorted
-        require(refs.nonEmpty, "EXISTS pattern must reference a bound variable")
-        val keyCols = refKeyCols(df, refs)
-        val base = Env(Some(df.select(keyCols.map(col): _*).distinct()),
-          env.binds.view.filterKeys(refs.contains).toMap)
-        var sub = planPath(ctx, base, p)
-        w.foreach { pred => sub = applyWhere(ctx, sub, pred) }
-        val hit = sub.df.get.select(keyCols.map(col): _*).distinct()
-          .withColumn(flag, lit(true))
+        val (keyCols, sub) = subPlan(p, w)
+        val hit = sub.select(keyCols.map(col): _*).distinct().withColumn(flag, lit(true))
         env = env.copy(df = Some(
-          df.join(hit, keyCols, "left_outer")
+          env.df.get.join(hit, keyCols, "left_outer")
             .withColumn(flag, coalesce(col(flag), lit(false)))),
           binds = env.binds + (flag -> ValueVar))
         flags += flag
         Variable(flag)
+      case PatternCount(p, w) =>
+        val cnt = ctx.fresh("cnt")
+        val (keyCols, sub) = subPlan(p, w)
+        val counts = sub.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as(cnt))
+        env = env.copy(df = Some(
+          env.df.get.join(counts, keyCols, "left_outer")
+            .withColumn(cnt, coalesce(col(cnt), lit(0L)))),
+          binds = env.binds + (cnt -> ValueVar))
+        flags += cnt
+        Variable(cnt)
       case BinOp(op, l, r)   => BinOp(op, rewrite(l), rewrite(r))
       case UnaryOp(op, o)    => UnaryOp(op, rewrite(o))
       case IsNull(o, n)      => IsNull(rewrite(o), n)
+      case Func(n, args, d)  => Func(n, args.map(rewrite), d)
       case CaseExpr(s, ws, d) =>
         CaseExpr(s.map(rewrite), ws.map { case (a, b) => (rewrite(a), rewrite(b)) },
           d.map(rewrite))
@@ -636,6 +653,7 @@ object Planner {
     case Slice(l, f, t)       =>
       exprVars(l) ++ f.map(exprVars).getOrElse(Set.empty) ++ t.map(exprVars).getOrElse(Set.empty)
     case PatternExists(p, w, _) => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
+    case PatternCount(p, w)     => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
     case ListComprehension(v, l, w, pr) =>
       (exprVars(l) ++ w.map(exprVars).getOrElse(Set.empty) ++
         pr.map(exprVars).getOrElse(Set.empty)) - v
@@ -880,17 +898,27 @@ object Planner {
   private def planProjection(ctx: Ctx, env: Env, items0: Seq[ReturnItem],
       distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
       limit: Option[Expr], isReturn: Boolean): Env = {
-    val df = env.df.getOrElse(unit(ctx.spark))
-    val inEnv = env.copy(df = Some(df))
     // `*` expands to every user-named binding (pass-through), keeping any
     // additional explicit items (`WITH *, x AS y`)
-    val items = items0.flatMap {
+    val starExpanded = items0.flatMap {
       case ReturnItem(Variable("*"), _) =>
         env.binds.collect {
           case (v, b) if !v.startsWith("__") && b != PathVar => v
         }.toSeq.sorted.map(v => ReturnItem(Variable(v), None))
       case i => Seq(i)
     }
+    // EXISTS{} / COUNT{} subqueries in projection items lower to flag/count
+    // columns first (NestedPlanExpression)
+    var loweredEnv = env.copy(df = Some(env.df.getOrElse(unit(ctx.spark))))
+    val items = starExpanded.map { i =>
+      if (containsPatternExists(i.expr)) {
+        val (e2, rewritten, _) = lowerExists(ctx, loweredEnv, i.expr)
+        loweredEnv = e2
+        i.copy(expr = rewritten)
+      } else i
+    }
+    val df = loweredEnv.df.get
+    val inEnv = loweredEnv
     val hasAgg = items.exists(i => containsAgg(i.expr))
 
     final case class Out(alias: String, item: ReturnItem, passThrough: Option[String])
@@ -1109,8 +1137,10 @@ object Planner {
           listCol = transform(listCol, x => compile(ctx, env, p, lambdas + (v -> x)))
         }
         listCol
-      case pe: PatternExists => throw new IllegalArgumentException(
-        "pattern predicates are only supported as top-level WHERE conjuncts")
+      case _: PatternExists | _: PatternCount =>
+        throw new IllegalArgumentException(
+          "pattern subqueries must appear in WHERE or projection items " +
+            "(where they lower to joins), not nested in unsupported positions")
     }
   }
 
@@ -1197,6 +1227,32 @@ object Planner {
       case "coalesce" => coalesce(args.map(c): _*)
       case "date"     => to_date(a0)
       case "datetime" => to_timestamp(a0)
+      // temporal durations (graft.functions.Durations — 4-field struct)
+      case "duration"            => graft.functions.Durations.parseIso(a0)
+      case "duration.between"    => graft.functions.Durations.betweenDates(a0, c(args(1)))
+      case "duration.indays"     => graft.functions.Durations.inDays(a0, c(args(1)))
+      case "duration.inseconds"  => graft.functions.Durations.inSeconds(a0, c(args(1)))
+      // spatial points (graft.functions.Spatial)
+      case "point" => args.head match {
+        case MapLit(entries) =>
+          val m = entries.toMap
+          def get(k: String) = m.get(k).map(c)
+          (get("longitude"), get("latitude")) match {
+            case (Some(x), Some(y)) => graft.functions.Spatial.geoPoint(x, y)
+            case _ =>
+              val srid = m.get("srid") match {
+                case Some(Lit(s: Long)) => s.toInt
+                case _                  => graft.functions.Spatial.SridCartesian
+              }
+              graft.functions.Spatial.point(
+                get("x").getOrElse(lit(null)), get("y").getOrElse(lit(null)), srid)
+          }
+        case other => throw new IllegalArgumentException("point() takes a map literal")
+      }
+      case "distance" | "point.distance" =>
+        graft.functions.Spatial.distance(a0, c(args(1)))
+      case "point.withinbbox" =>
+        graft.functions.Spatial.withinBBox(a0, c(args(1)), c(args(2)))
       case other => throw new IllegalArgumentException(s"unsupported function: $other()")
     }
   }

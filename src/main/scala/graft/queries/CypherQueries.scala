@@ -160,6 +160,18 @@ object CypherQueries {
         |WHERE l_quantity >= 45 AND p_size > 40
         |GROUP BY p_brand""".stripMargin),
 
+    // COUNT{} subquery expression (NestedPlanExpression :2880) — per-row
+    // correlated count lowered to a decorrelated aggregate join.
+    cq("q_cypher_count_subquery",
+      """MATCH (n:Nation)
+        |RETURN n.name AS nation,
+        |  COUNT { (n)<-[:FROM]-(:Customer) } AS customers,
+        |  COUNT { (n)<-[:FROM]-(:Supplier) } AS suppliers""".stripMargin,
+      """SELECT n_name AS nation,
+        |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS customers,
+        |  (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS suppliers
+        |FROM nation""".stripMargin),
+
     // SelectOrAntiSemiApply :3604 — pattern predicate under OR lowers to a
     // flag join instead of a plain semi/anti join.
     cq("q_cypher_select_or_anti",

@@ -342,4 +342,32 @@ class CypherSpec extends AnyFunSuite {
         |WITH *, p.age AS a RETURN p.name AS n, a""".stripMargin).collect()(0)
     assert(rows.getString(0) == "Alice" && rows.getLong(1) == 30L)
   }
+
+  test("COUNT {} subquery in projection and WHERE") {
+    val rows = run(
+      """MATCH (p:Person)
+        |RETURN p.name AS name, COUNT { (p)-[:KNOWS]->() } AS friends
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("Alice", 2L), ("Bob", 1L), ("Carol", 1L), ("Dave", 0L)))
+    val filtered = run(
+      """MATCH (p:Person) WHERE COUNT { (p)-[:KNOWS]->() } >= 2
+        |RETURN p.name AS name""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(filtered.toSeq == Seq("Alice"))
+  }
+
+  test("duration() and point() functions through Cypher") {
+    val d = run("RETURN duration('P1Y2M3DT4H') AS d").collect()(0)
+      .getStruct(0)
+    assert(d.getLong(0) == 14 && d.getLong(1) == 3 && d.getLong(2) == 4 * 3600)
+    val dist = run(
+      "RETURN distance(point({x: 0, y: 0}), point({x: 3, y: 4})) AS m").collect()(0)
+      .getDouble(0)
+    assert(dist == 5.0)
+    val geo = run(
+      "RETURN distance(point({longitude: 0, latitude: 0}), point({longitude: 1, latitude: 0})) AS m")
+      .collect()(0).getDouble(0)
+    assert(math.abs(geo - 111319.0) < 100)
+  }
 }
