@@ -1,0 +1,62 @@
+package graft
+
+import graft.cypher.Cypher
+import graft.graph.TpchGraph
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-quality gates (the 100 TB contract, not just correctness): Cypher-
+ * compiled plans must push property predicates into the parquet scans
+ * (through the hydration joins), prune unread columns, and broadcast small
+ * join sides. Failing these means a plan regression even if results match.
+ */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private lazy val g = TpchGraph.load(spark, "/root/testdata/sf0.001")
+
+  private def executedPlan(q: String): String = {
+    val df = Cypher.run(spark, g, q)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("far-node property predicate pushes down to the parquet scan") {
+    val plan = executedPlan(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE o.totalprice > 100000
+        |RETURN c.name AS name, count(o) AS n""".stripMargin)
+    // the o.totalprice filter must reach the orders scan as a pushed filter
+    // (raw column name o_totalprice after the hydration projection is seen
+    // through), not sit above the join
+    assert(plan.contains("GreaterThan(o_totalprice,100000"),
+      s"totalprice filter not pushed to scan:\n${plan.take(3000)}")
+  }
+
+  test("hydration reads only referenced property columns (column pruning)") {
+    val df = Cypher.run(spark, g,
+      "MATCH (c:Customer) WHERE c.acctbal > 0 RETURN c.name AS name")
+    val plan = df.queryExecution.executedPlan.toString
+    // the nodes scan must not read unrelated property columns
+    val readSchemas = plan.split("\n").filter(_.contains("ReadSchema")).mkString
+    assert(!readSchemas.contains("totalprice") && !readSchemas.contains("psize"),
+      s"unreferenced columns read:\n$readSchemas")
+  }
+
+  test("small side of an expand joins via broadcast") {
+    val plan = executedPlan(
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN n.name AS nation, r.name AS region""".stripMargin)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"no broadcast in small-dims join:\n${plan.take(2000)}")
+  }
+
+  test("whole-stage codegen covers the expression pipeline") {
+    val df = Cypher.run(spark, g,
+      """MATCH (c:Customer) WHERE c.name ENDS WITH '1'
+        |RETURN toUpper(c.name) AS u, c.acctbal * 2 AS b""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark whole-stage-codegen stages in the simple form
+    assert(plan.contains("*("), "expression pipeline fell out of codegen")
+    // the string predicate itself must also push down
+    assert(plan.contains("StringEndsWith(c_name,1)"), "ENDS WITH not pushed")
+  }
+}
