@@ -46,6 +46,9 @@ object Ast {
   /** `COUNT { <pattern> [WHERE …] }` subquery expression
     * (NestedPlanExpression in the reference). */
   final case class PatternCount(pattern: PathPattern, where: Option[Expr]) extends Expr
+  /** Map projection `v {.key, alias: expr}` → struct. */
+  final case class MapProjection(subject: Expr,
+      items: Seq[Either[String, (String, Expr)]]) extends Expr
   /** List comprehension `[x IN list WHERE p | e]`. */
   final case class ListComprehension(variable: String, list: Expr,
       where: Option[Expr], projection: Option[Expr]) extends Expr
@@ -111,6 +114,9 @@ object Ast {
   /** `FOREACH (v IN list | update…)` (reference Foreach :2082). */
   final case class ForeachClause(variable: String, list: Expr,
       updates: Seq[Clause]) extends Clause
+  /** `CALL proc.name(args) [YIELD a, b]` (reference procedure calls). */
+  final case class CallClause(procedure: String, args: Seq[Expr],
+      yields: Seq[String]) extends Clause
 
   final case class SingleQuery(clauses: Seq[Clause])
   /** Top level: one or more single queries combined by UNION [ALL]. */

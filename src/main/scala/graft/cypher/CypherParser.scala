@@ -24,7 +24,8 @@ object CypherParser extends RegexParsers {
     "AND", "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS",
     "IS", "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END",
     "ASC", "DESC", "ASCENDING", "DESCENDING", "EXISTS",
-    "CREATE", "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "ON", "FOREACH")
+    "CREATE", "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "ON", "FOREACH",
+    "CALL", "YIELD")
 
   /** Case-insensitive keyword with word boundary. */
   private def K(w: String): Parser[String] = ("(?i)" + w + "\\b").r ^^ (_ => w)
@@ -144,12 +145,18 @@ object CypherParser extends RegexParsers {
   /** `.prop`, `[idx]`, `[a..b]` postfixes on an atom. */
   private def postfixAtom: Parser[Expr] =
     atom ~ rep(
+      ("{" ~> repsep(mapProjItem, ",") <~ "}") ^^ (
+        items => (e: Expr) => MapProjection(e, items)) |
       "." ~> symName ^^ (k => (e: Expr) => Prop(e, k)) |
       ("[" ~> opt(expression) ~ (".." ~> opt(expression)) <~ "]") ^^ {
         case f ~ t => (e: Expr) => Slice(e, f, t)
       } |
       ("[" ~> expression <~ "]") ^^ (i => (e: Expr) => Index(e, i))
     ) ^^ { case h ~ fs => fs.foldLeft(h)((e, f) => f(e)) }
+
+  private def mapProjItem: Parser[Either[String, (String, Expr)]] =
+    "." ~> symName ^^ (Left(_)) |
+    symName ~ (":" ~> expression) ^^ { case k ~ v => Right((k, v)) }
 
   private def caseExpr: Parser[Expr] =
     K("CASE") ~> opt(not(K("WHEN")) ~> expression) ~
@@ -358,8 +365,15 @@ object CypherParser extends RegexParsers {
     createClause | mergeClause | setClause | removeClause | deleteClause |
       foreachClause
 
+  private def callClause: Parser[Clause] =
+    K("CALL") ~> funcName ~ opt("(" ~> repsep(expression, ",") <~ ")") ~
+      opt(K("YIELD") ~> rep1sep(ident, ",")) ^^ {
+      case name ~ args ~ ys =>
+        CallClause(name, args.getOrElse(Seq.empty), ys.getOrElse(Seq.empty))
+    }
+
   private def clause: Parser[Clause] =
-    matchClause | unwindClause | writeClause | withClause | returnClause
+    matchClause | unwindClause | writeClause | callClause | withClause | returnClause
 
   private def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 

@@ -125,6 +125,8 @@ object Planner {
         w.where.foreach { pred =>
           env = env.copy(df = env.df.map(_.filter(compile(ctx, env, pred))))
         }
+      case cc: CallClause =>
+        env = planCall(ctx, env, cc)
       case r: ReturnClause =>
         env = planProjection(ctx, env, r.items, r.distinct, r.orderBy, r.skip,
           r.limit, isReturn = true)
@@ -361,6 +363,16 @@ object Planner {
       case Prop(Variable(v), k) => add(v, k)
       case Prop(s, _)           => walk(s)
       case Func("labels", Seq(Variable(v)), _)    => add(v, "labels")
+      case Func("properties" | "keys", Seq(Variable(v)), _) => add(v, "*")
+      case MapProjection(sub, items) =>
+        sub match {
+          case Variable(v) => items.foreach {
+            case Left(k)       => add(v, k)
+            case Right((_, e)) => walk(e)
+          }
+          case other => walk(other); items.foreach {
+            case Right((_, e)) => walk(e); case _ => () }
+        }
       case Func("type", Seq(Variable(v)), _)      => add(v, "type")
       case Func("startnode", Seq(Variable(v)), _) => add(v, "src")
       case Func("endnode", Seq(Variable(v)), _)   => add(v, "dst")
@@ -417,6 +429,7 @@ object Planner {
       case RemoveClause(_)       => ()
       case DeleteClause(_, _)    => ()
       case f: ForeachClause      => walkForeach(f)
+      case CallClause(_, args, _) => args.foreach(walk)
     }
     acc.toMap
   }
@@ -654,6 +667,9 @@ object Planner {
       exprVars(l) ++ f.map(exprVars).getOrElse(Set.empty) ++ t.map(exprVars).getOrElse(Set.empty)
     case PatternExists(p, w, _) => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
     case PatternCount(p, w)     => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
+    case MapProjection(sub, items) =>
+      exprVars(sub) ++ items.flatMap {
+        case Right((_, e)) => exprVars(e); case _ => Set.empty[String] }
     case ListComprehension(v, l, w, pr) =>
       (exprVars(l) ++ w.map(exprVars).getOrElse(Set.empty) ++
         pr.map(exprVars).getOrElse(Set.empty)) - v
@@ -779,7 +795,9 @@ object Planner {
     * the query reads from v. */
   private def hydrated(ctx: Ctx, scan: DataFrame, v: String,
       available: Set[String]): DataFrame = {
-    val props = ctx.needed.getOrElse(v, Set.empty).filter(available).toSeq.sorted
+    val needed = ctx.needed.getOrElse(v, Set.empty)
+    val props =
+      (if (needed("*")) available - "id" else needed.filter(available)).toSeq.sorted
     scan.select((col("id").as(v) +: props.map(p => col(p).as(s"$v$$$p"))): _*)
   }
 
@@ -880,6 +898,30 @@ object Planner {
         }
       (Env(Some(out), afterRel.binds + (toVar -> NodeVar)), toVar)
     }
+  }
+
+  /** CALL proc(args) [YIELD cols]: procedure result (a DataFrame plan)
+    * joins the current rows — cross join, since procedure args are
+    * literals/parameters (correlated CALL is not supported). */
+  private def planCall(ctx: Ctx, env: Env, cc: CallClause): Env = {
+    def const(e: Expr): Any = e match {
+      case Lit(v)        => v
+      case Param(n)      => ctx.params(n)
+      case ListLit(xs)   => xs.map(const)
+      case UnaryOp("-", Lit(v: Long))   => -v
+      case UnaryOp("-", Lit(v: Double)) => -v
+      case other => throw new IllegalArgumentException(
+        s"CALL arguments must be literals or parameters, got $other")
+    }
+    val result0 = graft.functions.Procedures.call(
+      ctx.spark, ctx.g, cc.procedure, cc.args.map(const): _*)
+    val result = if (cc.yields.isEmpty) result0
+      else result0.select(cc.yields.map(col): _*)
+    val df = env.df match {
+      case None      => result
+      case Some(cur) => cur.crossJoin(result)
+    }
+    Env(Some(df), env.binds ++ result.columns.map(_ -> (ValueVar: Binding)))
   }
 
   // ---- UNWIND -----------------------------------------------------------
@@ -1014,6 +1056,8 @@ object Planner {
     case Slice(l, f, t)       =>
       containsAgg(l) || f.exists(containsAgg) || t.exists(containsAgg)
     case ListLit(xs)          => xs.exists(containsAgg)
+    case MapProjection(_, items) =>
+      items.exists { case Right((_, e)) => containsAgg(e); case _ => false }
     case _                    => false
   }
 
@@ -1137,6 +1181,13 @@ object Planner {
           listCol = transform(listCol, x => compile(ctx, env, p, lambdas + (v -> x)))
         }
         listCol
+      case MapProjection(subject, items) =>
+        val fields = items.map {
+          case Left(k) =>
+            c(Prop(subject, k)).as(k)
+          case Right((k, v)) => c(v).as(k)
+        }
+        struct(fields: _*)
       case _: PatternExists | _: PatternCount =>
         throw new IllegalArgumentException(
           "pattern subqueries must appear in WHERE or projection items " +
@@ -1167,6 +1218,23 @@ object Planner {
       case "percentiledisc" => percentile_approx(a0, c(args(1)), lit(100000))
       // entity accessors (hydrated columns)
       case "id" => a0
+      case "properties" | "keys" =>
+        val v = args.head match {
+          case Variable(x) => x
+          case other => throw new IllegalArgumentException(s"$name() needs a variable")
+        }
+        val propCols = env.df.map(_.columns.toSeq).getOrElse(Seq.empty)
+          .filter(cn => cn.startsWith(v + "$") && cn != s"$v$$labels").sorted
+        require(propCols.nonEmpty, s"no hydrated properties for $v")
+        if (name == "properties")
+          // Cypher returns a map; columnar engines return a STRUCT of the
+          // hydrated properties (documented divergence — field set is the
+          // union schema, NULL for absent)
+          struct(propCols.map(cn => col(cn).as(cn.drop(v.length + 1))): _*)
+        else
+          concat(propCols.map(cn =>
+            when(col(cn).isNotNull, array(lit(cn.drop(v.length + 1))))
+              .otherwise(array().cast("array<string>"))): _*)
       case "labels" | "type" | "startnode" | "endnode" =>
         val key = name match {
           case "labels" => "labels"; case "type" => "type"

@@ -66,19 +66,19 @@ object Procedures {
   /** db.index.fulltext.queryNodes(textProp, query, k): BM25 over a node
     * property (reference FulltextProcedures.java:90). */
   register("db.index.fulltext.querynodes", (_, g, args) => {
-    val Seq(prop: String, query: String, k: Integer) = args.toSeq
-    Fulltext.bm25TopK(g.nodes.filter(col(prop).isNotNull), "id", prop, query, k)
+    val Seq(prop: String, query: String, k: Number) = args.toSeq
+    Fulltext.bm25TopK(g.nodes.filter(col(prop).isNotNull), "id", prop, query, k.intValue)
   })
 
   /** db.index.vector.queryNodes(vecProp, k, queryVec): brute-force cosine
     * top-k (reference VectorIndexProcedures.java:144). */
   register("db.index.vector.querynodes", (spark, g, args) => {
-    val Seq(prop: String, k: Integer, qvec: Seq[_]) = args.toSeq
+    val Seq(prop: String, k: Number, qvec: Seq[_]) = args.toSeq
     import spark.implicits._
     val queries = Seq((0L, qvec.map(_.toString.toDouble).toArray))
       .toDF("qid", "qvec")
     Similarity.bruteForceTopK(
       g.nodes.filter(col(prop).isNotNull).select(col("id"), col(prop).as("vec")),
-      queries, k).drop("qid")
+      queries, k.intValue).drop("qid")
   })
 }

@@ -370,4 +370,24 @@ class CypherSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(math.abs(geo - 111319.0) < 100)
   }
+
+  test("CALL procedure with YIELD joins results into the pipeline") {
+    val rows = run(
+      "CALL db.labels() YIELD label, nodeCount RETURN label, nodeCount ORDER BY label")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("Admin", 1L), ("City", 1L), ("Person", 4L)))
+  }
+
+  test("map projection and properties()/keys()") {
+    val m = run(
+      "MATCH (p:Person {name: 'Alice'}) RETURN p {.name, .age, double_age: p.age * 2} AS m")
+      .collect()(0).getStruct(0)
+    assert(m.getString(0) == "Alice" && m.getLong(1) == 30L && m.getLong(2) == 60L)
+    val k = run("MATCH (p:Person {name: 'Dave'}) RETURN keys(p) AS ks")
+      .collect()(0).getSeq[String](0)
+    assert(k.contains("name") && k.contains("age") && !k.contains("city"))
+    val pr = run("MATCH (p:Person {name: 'Bob'}) RETURN properties(p) AS pm")
+      .collect()(0).getStruct(0)
+    assert(pr.getAs[String]("name") == "Bob" && pr.getAs[String]("city") == "Bergen")
+  }
 }
