@@ -160,6 +160,18 @@ object CypherQueries {
         |WHERE l_quantity >= 45 AND p_size > 40
         |GROUP BY p_brand""".stripMargin),
 
+    // MultiNodeIndexSeek :2790 — two pushed-filter scans (brand equality,
+    // acctbal range) feeding a two-hop join.
+    cq("q_cypher_multi_seek",
+      """MATCH (p:Part {brand: 'Brand#13'})<-[:CONTAINS]-(o:Order)-[:SUPPLIED_BY]->(s:Supplier)
+        |WHERE s.acctbal > 5000
+        |RETURN count(*) AS n""".stripMargin,
+      """SELECT count(*) AS n
+        |FROM lineitem l1 JOIN part ON l1.l_partkey = p_partkey
+        |JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+        |JOIN supplier ON l2.l_suppkey = s_suppkey
+        |WHERE p_brand = 'Brand#13' AND s_acctbal > 5000""".stripMargin),
+
     // COUNT{} subquery expression (NestedPlanExpression :2880) — per-row
     // correlated count lowered to a decorrelated aggregate join.
     cq("q_cypher_count_subquery",

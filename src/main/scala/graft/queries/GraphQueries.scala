@@ -195,6 +195,18 @@ object GraphQueries {
              |WHERE e1.src <> e2.dst
              |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = e1.src AND e.dst = e2.dst)""".stripMargin)),
 
+    // SubtractionNodeByLabelsScan :4106 — Customer AND NOT Debtor, after a
+    // Cypher write pass adds the Debtor label to negative-balance customers.
+    QueryDef("q_label_subtraction",
+      (s, d) => {
+        val (g2, _) = graft.cypher.Cypher.execute(s, TpchGraph.load(s, d),
+          "MATCH (c:Customer) WHERE c.acctbal < 0 SET c:Debtor")
+        g2.nodesBySubtraction(Seq("Customer"), Seq("Debtor"))
+          .agg(count(lit(1)).as("n"), min(col("key")).as("min_key"))
+      },
+      Some("""SELECT count(*) AS n, min(c_custkey) AS min_key
+             |FROM customer WHERE NOT (c_acctbal < 0)""".stripMargin)),
+
     // Undirected expand (UndirectedAllRelationshipsScan :4220): degree per
     // node label treating edges as undirected — 2|E| endpoints total.
     QueryDef("q_undirected_degree",
