@@ -25,6 +25,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    reference materializes a NodeValue; a columnar engine returns the key —
  *    project properties explicitly to read them).
  *  - unbounded var-length (`*`) is capped at 10 hops.
+ *  - Cypher's cross-type orderability (ORDER BY over mixed Node/String/
+ *    Number values, reference Values comparator) cannot arise here: columns
+ *    are statically typed, so mixed-type sorts are rejected at compile time
+ *    instead of silently ordered by type rank.
  */
 object Cypher {
 

@@ -47,4 +47,22 @@ class ProceduresSpec extends AnyFunSuite {
     val r = Procedures.call(spark, g, "my.top_degree", 1).collect()(0)
     assert(r.getLong(0) == 0L && r.getLong(1) == 4L)
   }
+
+  test("user aggregation functions register through spark.udaf (UserAggregationFunction analog)") {
+    import org.apache.spark.sql.expressions.Aggregator
+    import org.apache.spark.sql.{Encoder, Encoders}
+    val gmean = new Aggregator[Double, (Double, Long), Double] {
+      def zero = (0.0, 0L)
+      def reduce(b: (Double, Long), a: Double) = (b._1 + math.log(a), b._2 + 1)
+      def merge(x: (Double, Long), y: (Double, Long)) = (x._1 + y._1, x._2 + y._2)
+      def finish(r: (Double, Long)) = math.exp(r._1 / r._2)
+      def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+    spark.udf.register("gmean", org.apache.spark.sql.functions.udaf(gmean))
+    import spark.implicits._
+    val r = Seq(1.0, 10.0, 100.0).toDF("x")
+      .agg(org.apache.spark.sql.functions.expr("gmean(x)")).collect()(0).getDouble(0)
+    assert(math.abs(r - 10.0) < 1e-9)
+  }
 }
