@@ -117,6 +117,9 @@ object Ast {
   /** `CALL proc.name(args) [YIELD a, b]` (reference procedure calls). */
   final case class CallClause(procedure: String, args: Seq[Expr],
       yields: Seq[String]) extends Clause
+  /** `CALL { <inner query> }` — uncorrelated subquery (reference
+    * CALL-subquery / TransactionApply family, batch semantics). */
+  final case class CallSubquery(inner: SingleQuery) extends Clause
 
   final case class SingleQuery(clauses: Seq[Clause])
   /** Top level: one or more single queries combined by UNION [ALL]. */

@@ -365,6 +365,9 @@ object CypherParser extends RegexParsers {
     createClause | mergeClause | setClause | removeClause | deleteClause |
       foreachClause
 
+  private def callSubquery: Parser[Clause] =
+    K("CALL") ~> "{" ~> singleQuery <~ "}" ^^ CallSubquery.apply
+
   private def callClause: Parser[Clause] =
     K("CALL") ~> funcName ~ opt("(" ~> repsep(expression, ",") <~ ")") ~
       opt(K("YIELD") ~> rep1sep(ident, ",")) ^^ {
@@ -373,7 +376,8 @@ object CypherParser extends RegexParsers {
     }
 
   private def clause: Parser[Clause] =
-    matchClause | unwindClause | writeClause | callClause | withClause | returnClause
+    matchClause | unwindClause | writeClause | callSubquery | callClause |
+      withClause | returnClause
 
   private def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 

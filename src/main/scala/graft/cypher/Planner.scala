@@ -127,6 +127,8 @@ object Planner {
         }
       case cc: CallClause =>
         env = planCall(ctx, env, cc)
+      case cs: CallSubquery =>
+        env = planCallSubquery(ctx, env, cs)
       case r: ReturnClause =>
         env = planProjection(ctx, env, r.items, r.distinct, r.orderBy, r.skip,
           r.limit, isReturn = true)
@@ -430,6 +432,7 @@ object Planner {
       case DeleteClause(_, _)    => ()
       case f: ForeachClause      => walkForeach(f)
       case CallClause(_, args, _) => args.foreach(walk)
+      case CallSubquery(_)        => () // separate scope, walked when planned
     }
     acc.toMap
   }
@@ -922,6 +925,18 @@ object Planner {
       case Some(cur) => cur.crossJoin(result)
     }
     Env(Some(df), env.binds ++ result.columns.map(_ -> (ValueVar: Binding)))
+  }
+
+  /** CALL { inner }: the uncorrelated inner query plans against the same
+    * graph; its RETURN columns join every outer row (cross join — inner
+    * result is usually an aggregate/small set). */
+  private def planCallSubquery(ctx: Ctx, env: Env, cs: CallSubquery): Env = {
+    val inner = planSingle(ctx.spark, ctx.g, cs.inner, ctx.params)
+    val df = env.df match {
+      case None      => inner
+      case Some(cur) => cur.crossJoin(inner)
+    }
+    Env(Some(df), env.binds ++ inner.columns.map(_ -> (ValueVar: Binding)))
   }
 
   // ---- UNWIND -----------------------------------------------------------

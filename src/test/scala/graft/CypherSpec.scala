@@ -390,4 +390,13 @@ class CypherSpec extends AnyFunSuite {
       .collect()(0).getStruct(0)
     assert(pr.getAs[String]("name") == "Bob" && pr.getAs[String]("city") == "Bergen")
   }
+
+  test("CALL { subquery } joins an uncorrelated aggregate to every row") {
+    val rows = run(
+      """MATCH (p:Person)
+        |CALL { MATCH (q:Person) RETURN max(q.age) AS oldest }
+        |RETURN p.name AS name, oldest ORDER BY name LIMIT 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("Alice", 40L), ("Bob", 40L)))
+  }
 }
