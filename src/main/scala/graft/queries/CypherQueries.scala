@@ -160,6 +160,21 @@ object CypherQueries {
         |WHERE l_quantity >= 45 AND p_size > 40
         |GROUP BY p_brand""".stripMargin),
 
+    // CALL procedure + CALL{} subquery through the Cypher surface.
+    cq("q_cypher_call",
+      """CALL db.relationshipTypes() YIELD relationshipType, relCount
+        |CALL { MATCH (n:Nation) RETURN count(*) AS nations }
+        |RETURN relationshipType, relCount, nations""".stripMargin,
+      """SELECT t AS relationshipType, CAST(c AS BIGINT) AS relCount,
+        |  (SELECT count(*) FROM nation) AS nations
+        |FROM (
+        |  SELECT 'IN_REGION' AS t, (SELECT count(*) FROM nation) AS c
+        |  UNION ALL SELECT 'FROM',
+        |    (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+        |  UNION ALL SELECT 'PLACED', (SELECT count(*) FROM orders)
+        |  UNION ALL SELECT 'CONTAINS', (SELECT count(*) FROM lineitem)
+        |  UNION ALL SELECT 'SUPPLIED_BY', (SELECT count(*) FROM lineitem))""".stripMargin),
+
     // MultiNodeIndexSeek :2790 — two pushed-filter scans (brand equality,
     // acctbal range) feeding a two-hop join.
     cq("q_cypher_multi_seek",
