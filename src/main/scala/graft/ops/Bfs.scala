@@ -122,11 +122,13 @@ object Bfs {
     var i = 0
     while (remaining > 0 && i < roundsCap) {
       i += 1
+      // lazy checkpoint: the convergence count below is the action that
+      // materializes it, so each round costs ONE job instead of two
       ptr = ptr.alias("a")
         .join(ptr.alias("b"), col("a.p") === col("b.node"))
         .select(col("a.node").as("node"), col("b.p").as("p"),
           (col("a.r") + col("b.r")).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // converged when every pointer rests on a chain head (fixpoint)
       remaining = ptr.join(heads, col("p") === col("__head"), "left_anti").count()
     }
@@ -190,7 +192,8 @@ object Bfs {
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      e = smallStar(largeStar(e)).localCheckpoint()
+      // lazy: fingerprint() below materializes the checkpoint in one job
+      e = smallStar(largeStar(e)).localCheckpoint(false)
       val cur = fingerprint(e)
       converged = cur == prev
       prev = cur
