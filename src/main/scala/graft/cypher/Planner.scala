@@ -1130,7 +1130,25 @@ object Planner {
         val n = s"$v$$$k"
         if (env.df.exists(_.columns.contains(n))) col(n)
         else lit(null) // Cypher: missing property IS NULL
-      case Prop(s, k)  => c(s).getItem(k)
+      case Prop(s, k)  =>
+        val sc = c(s)
+        // temporal component access (Cypher d.year / d.month / …) when the
+        // subject is a DATE/TIMESTAMP value rather than an entity
+        if (isTemporalTyped(env, sc))
+          k.toLowerCase match {
+            case "year" => year(sc).cast("long")
+            case "month" => month(sc).cast("long")
+            case "day" => dayofmonth(sc).cast("long")
+            case "hour" => hour(sc).cast("long")
+            case "minute" => minute(sc).cast("long")
+            case "second" => second(sc).cast("long")
+            case "week" => weekofyear(sc).cast("long")
+            case "dayofweek" => dayofweek(sc).cast("long")
+            case "ordinalday" => dayofyear(sc).cast("long")
+            case "quarter" => quarter(sc).cast("long")
+            case _ => sc.getItem(k)
+          }
+        else sc.getItem(k)
       case CountStar   => count(lit(1))
       case Func(name, args, distinct) => compileFunc(ctx, env, name, args, distinct, lambdas)
       case BinOp(op, l, r) => op match {
@@ -1308,8 +1326,26 @@ object Planner {
       case "last"  => element_at(a0, -1)
       case "tail"  => slice(a0, lit(2), greatest(size(a0) - 1, lit(0)))
       case "coalesce" => coalesce(args.map(c): _*)
-      case "date"     => to_date(a0)
-      case "datetime" => to_timestamp(a0)
+      case "date" => args.head match {
+        case MapLit(es) => // date({year, month, day}) construction
+          val m = es.toMap
+          make_date(c(m("year")), c(m.getOrElse("month", Lit(1L))),
+            c(m.getOrElse("day", Lit(1L))))
+        case _ => to_date(a0)
+      }
+      case "datetime" => args.head match {
+        case MapLit(es) =>
+          val m = es.toMap
+          def g(k: String, dflt: Long) = c(m.getOrElse(k, Lit(dflt)))
+          make_timestamp(g("year", 1970), g("month", 1), g("day", 1),
+            g("hour", 0), g("minute", 0), g("second", 0))
+        case _ => to_timestamp(a0)
+      }
+      // date.truncate('month', d) / datetime.truncate('hour', ts)
+      case "date.truncate" =>
+        date_trunc(constString(args.head), c(args(1))).cast("date")
+      case "datetime.truncate" =>
+        date_trunc(constString(args.head), c(args(1)))
       // temporal durations (graft.functions.Durations — 4-field struct)
       case "duration"            => graft.functions.Durations.parseIso(a0)
       case "duration.between"    => graft.functions.Durations.betweenDates(a0, c(args(1)))
@@ -1349,6 +1385,22 @@ object Planner {
   private def regexp_quote(c: Column): Column =
     // quote regex metacharacters so replace() is literal, matching Cypher
     regexp_replace(c, lit("""([\\.\[\]\{\}\(\)\*\+\?\^\$\|])"""), lit("""\\$1"""))
+
+  private def constString(e: Expr): String = e match {
+    case Lit(s: String) => s
+    case other => throw new IllegalArgumentException(s"expected string literal, got $other")
+  }
+
+  /** Temporal dispatch for component property access. */
+  private def isTemporalTyped(env: Env, c: Column): Boolean =
+    env.df.exists { df =>
+      scala.util.Try(df.select(c).schema.head.dataType).toOption.exists {
+        case org.apache.spark.sql.types.DateType => true
+        case org.apache.spark.sql.types.TimestampType => true
+        case org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }
+    }
 
   /** Type dispatch for size(): arrays use size(), strings length(). */
   private def isArrayTyped(env: Env, c: Column): Boolean =

@@ -160,6 +160,15 @@ object CypherQueries {
         |WHERE l_quantity >= 45 AND p_size > 40
         |GROUP BY p_brand""".stripMargin),
 
+    // temporal construction/truncation/component access through Cypher.
+    cq("q_cypher_temporal",
+      """MATCH (o:Order) WHERE o.key < 2000
+        |RETURN o.orderdate.year AS y,
+        |  date.truncate('month', o.orderdate) AS m, count(*) AS n""".stripMargin,
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  date_trunc('month', o_orderdate) AS m, count(*) AS n
+        |FROM orders WHERE o_orderkey < 2000 GROUP BY 1, 2""".stripMargin),
+
     // CALL procedure + CALL{} subquery through the Cypher surface.
     cq("q_cypher_call",
       """CALL db.relationshipTypes() YIELD relationshipType, relCount

@@ -399,4 +399,16 @@ class CypherSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(rows.toSeq == Seq(("Alice", 40L), ("Bob", 40L)))
   }
+
+  test("temporal construction, truncation and component access") {
+    val r = run(
+      """RETURN date({year: 2024, month: 2, day: 29}) AS d,
+        |datetime({year: 2024, month: 2, day: 29, hour: 12}) AS ts,
+        |date('2024-03-15').year AS y, date('2024-03-15').month AS m,
+        |date.truncate('month', date('2024-03-15')) AS tm""".stripMargin).collect()(0)
+    assert(r.get(0).toString == "2024-02-29")
+    assert(r.get(1).toString.startsWith("2024-02-29 12:00"))
+    assert(r.getLong(2) == 2024L && r.getLong(3) == 3L)
+    assert(r.get(4).toString == "2024-03-01")
+  }
 }
