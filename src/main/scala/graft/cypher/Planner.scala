@@ -413,7 +413,7 @@ object Planner {
         case _                      => ()
       }
     }
-    q.clauses.foreach {
+    def walkClause(cl: Clause): Unit = cl match {
       case MatchClause(_, ps, w, sh) =>
         ps.foreach(walkPattern); w.foreach(walk)
         sh.foreach(s => walkPattern(s.pattern))
@@ -432,8 +432,9 @@ object Planner {
       case DeleteClause(_, _)    => ()
       case f: ForeachClause      => walkForeach(f)
       case CallClause(_, args, _) => args.foreach(walk)
-      case CallSubquery(_)        => () // separate scope, walked when planned
+      case CallSubquery(inner)    => inner.clauses.foreach(walkClause)
     }
+    q.clauses.foreach(walkClause)
     acc.toMap
   }
 
@@ -927,17 +928,66 @@ object Planner {
     Env(Some(df), env.binds ++ result.columns.map(_ -> (ValueVar: Binding)))
   }
 
-  /** CALL { inner }: the uncorrelated inner query plans against the same
-    * graph; its RETURN columns join every outer row (cross join — inner
-    * result is usually an aggregate/small set). */
+  /** CALL { inner }: uncorrelated form cross-joins the inner RETURN to every
+    * outer row; correlated form (inner starts with an importing
+    * `WITH x, y`) decorrelates — the sub-plan runs once over the DISTINCT
+    * imported keys and joins back, so per-row subqueries cost one grouped
+    * pass instead of a loop. Divergence (documented): a correlated inner
+    * aggregation over zero matches drops the outer row (use COUNT{} for
+    * zero-preserving counts). */
   private def planCallSubquery(ctx: Ctx, env: Env, cs: CallSubquery): Env = {
-    val inner = planSingle(ctx.spark, ctx.g, cs.inner, ctx.params)
-    val df = env.df match {
-      case None      => inner
-      case Some(cur) => cur.crossJoin(inner)
+    val importing = cs.inner.clauses.headOption match {
+      case Some(WithClause(false, items, Nil, None, None, None))
+        if env.df.isDefined && items.nonEmpty && items.forall {
+          case ReturnItem(Variable(v), alias) =>
+            env.has(v) && alias.forall(_ == v)
+          case _ => false
+        } => Some(items.map { case ReturnItem(Variable(v), _) => v })
+      case _ => None
     }
-    Env(Some(df), env.binds ++ inner.columns.map(_ -> (ValueVar: Binding)))
+    importing match {
+      case Some(refs0) =>
+        val refs = refs0.sorted
+        val df = env.df.get
+        val keyCols = refKeyCols(df, refs)
+        var sub = Env(Some(df.select(keyCols.map(col): _*).distinct()),
+          env.binds.view.filterKeys(refs.contains).toMap)
+        cs.inner.clauses.tail.foreach {
+          case m: MatchClause  => sub = planMatch(ctx, sub, m)
+          case u: UnwindClause => sub = planUnwind(ctx, sub, u)
+          case w: WithClause =>
+            sub = planProjection(ctx, sub, withRefs(refs, w.items), w.distinct,
+              w.orderBy, w.skip, w.limit, isReturn = false)
+            w.where.foreach { pred =>
+              sub = sub.copy(df = sub.df.map(_.filter(compile(ctx, sub, pred))))
+            }
+          case r: ReturnClause =>
+            sub = planProjection(ctx, sub, withRefs(refs, r.items), r.distinct,
+              r.orderBy, r.skip, r.limit, isReturn = true)
+          case other => throw new IllegalArgumentException(
+            s"unsupported clause in correlated CALL subquery: $other")
+        }
+        val newCols = sub.df.get.columns.filterNot(refs.contains)
+        Env(Some(df.join(sub.df.get, refs)),
+          env.binds ++ newCols.map(_ -> (ValueVar: Binding)))
+      case None =>
+        val inner = planSingle(ctx.spark, ctx.g, cs.inner, ctx.params)
+        val df = env.df match {
+          case None      => inner
+          case Some(cur) => cur.crossJoin(inner)
+        }
+        Env(Some(df), env.binds ++ inner.columns.map(_ -> (ValueVar: Binding)))
+    }
   }
+
+  /** prepend the imported variables to a projection so the correlation key
+    * survives the subquery's WITH/RETURN (and groups any aggregation). */
+  private def withRefs(refs: Seq[String], items: Seq[ReturnItem]): Seq[ReturnItem] =
+    refs.map(v => ReturnItem(Variable(v), None)) ++
+      items.filterNot {
+        case ReturnItem(Variable(v), a) => refs.contains(v) && a.forall(_ == v)
+        case _ => false
+      }
 
   // ---- UNWIND -----------------------------------------------------------
 

@@ -411,4 +411,14 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getLong(2) == 2024L && r.getLong(3) == 3L)
     assert(r.get(4).toString == "2024-03-01")
   }
+
+  test("correlated CALL { WITH x ... } runs per imported key") {
+    val rows = run(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:KNOWS]->(q) RETURN max(q.age) AS oldestFriend }
+        |RETURN p.name AS name, oldestFriend ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // Dave has no outgoing KNOWS → row dropped (documented divergence)
+    assert(rows.toSeq == Seq(("Alice", 35L), ("Bob", 35L), ("Carol", 40L)))
+  }
 }
