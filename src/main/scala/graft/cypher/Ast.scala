@@ -49,6 +49,12 @@ object Ast {
   /** Map projection `v {.key, alias: expr}` → struct. */
   final case class MapProjection(subject: Expr,
       items: Seq[Either[String, (String, Expr)]]) extends Expr
+  /** `all/any/none/single(x IN list WHERE pred)` iterator predicates. */
+  final case class IterPredicate(kind: String, variable: String, list: Expr,
+      pred: Expr) extends Expr
+  /** `reduce(acc = init, x IN list | expr)`. */
+  final case class Reduce(acc: String, init: Expr, variable: String, list: Expr,
+      step: Expr) extends Expr
   /** List comprehension `[x IN list WHERE p | e]`. */
   final case class ListComprehension(variable: String, list: Expr,
       where: Option[Expr], projection: Option[Expr]) extends Expr

@@ -178,6 +178,18 @@ object CypherParser extends RegexParsers {
       case p ~ w => PatternCount(p, w)
     }
 
+  private def iterPredicate: Parser[Expr] =
+    ("""(?i)(all|any|none|single)""".r <~ "(") ~ ident ~ (K("IN") ~> expression) ~
+      (K("WHERE") ~> expression) <~ ")" ^^ {
+      case kind ~ v ~ l ~ p => IterPredicate(kind.toLowerCase, v, l, p)
+    }
+
+  private def reduceExpr: Parser[Expr] =
+    "(?i)reduce".r ~> "(" ~> ident ~ ("=" ~> expression) ~ ("," ~> ident) ~
+      (K("IN") ~> expression) ~ ("|" ~> expression) <~ ")" ^^ {
+      case acc ~ init ~ v ~ l ~ step => Reduce(acc, init, v, l, step)
+    }
+
   private def listComprehension: Parser[Expr] =
     "[" ~> ident ~ (K("IN") ~> expression) ~ opt(K("WHERE") ~> expression) ~
       opt("|" ~> expression) <~ "]" ^^ {
@@ -200,7 +212,8 @@ object CypherParser extends RegexParsers {
   private def mapLitExpr: Parser[Expr] = mapLit ^^ (m => MapLit(m))
 
   private def atom: Parser[Expr] =
-    literal | caseExpr | existsExpr | countStar | countSubquery | funcCall | param |
+    literal | caseExpr | existsExpr | countStar | countSubquery |
+    iterPredicate | reduceExpr | funcCall | param |
     listComprehension | listLit | mapLitExpr |
     "(" ~> expression <~ ")" |
     ident ^^ Variable.apply

@@ -392,6 +392,8 @@ object Planner {
       case PatternExists(p, w, _) => walkPattern(p); w.foreach(walk)
       case PatternCount(p, w)     => walkPattern(p); w.foreach(walk)
       case ListComprehension(_, l, w, p) => walk(l); w.foreach(walk); p.foreach(walk)
+      case IterPredicate(_, _, l, pr) => walk(l); walk(pr)
+      case Reduce(_, init, _, l, st)  => walk(init); walk(l); walk(st)
       case _ => ()
     }
     def walkPattern(p: PathPattern): Unit = {
@@ -677,6 +679,9 @@ object Planner {
     case ListComprehension(v, l, w, pr) =>
       (exprVars(l) ++ w.map(exprVars).getOrElse(Set.empty) ++
         pr.map(exprVars).getOrElse(Set.empty)) - v
+    case IterPredicate(_, v, l, pr) => (exprVars(l) ++ exprVars(pr)) - v
+    case Reduce(a, init, v, l, st)  =>
+      exprVars(init) ++ exprVars(l) ++ (exprVars(st) - a - v)
     case _ => Set.empty
   }
 
@@ -1255,6 +1260,18 @@ object Planner {
         val from = f.map(c).getOrElse(lit(0))
         val to = t.map(c).getOrElse(size(lc))
         slice(lc, (from + 1).cast("int"), (to - from).cast("int"))
+      case IterPredicate(kind, v, l, pred) =>
+        val lc = c(l)
+        val p: Column => Column = x => compile(ctx, env, pred, lambdas + (v -> x))
+        kind match {
+          case "all"    => forall(lc, p)
+          case "any"    => exists(lc, p)
+          case "none"   => !exists(lc, p)
+          case "single" => size(filter(lc, p)) === 1
+        }
+      case Reduce(acc, init, v, l, step) =>
+        aggregate(c(l), c(init), (a, x) =>
+          compile(ctx, env, step, lambdas + (acc -> a) + (v -> x)))
       case ListComprehension(v, l, where, proj) =>
         var listCol = c(l)
         where.foreach { w =>

@@ -421,4 +421,16 @@ class CypherSpec extends AnyFunSuite {
     // Dave has no outgoing KNOWS → row dropped (documented divergence)
     assert(rows.toSeq == Seq(("Alice", 35L), ("Bob", 35L), ("Carol", 40L)))
   }
+
+  test("all/any/none/single iterator predicates and reduce()") {
+    val r = run(
+      """RETURN all(x IN [2, 4, 6] WHERE x % 2 = 0) AS a,
+        |any(x IN [1, 3, 4] WHERE x > 3) AS b,
+        |none(x IN [1, 3] WHERE x > 5) AS c,
+        |single(x IN [1, 2, 3] WHERE x = 2) AS d,
+        |reduce(acc = 0, x IN [1, 2, 3, 4] | acc + x) AS s,
+        |reduce(acc = 1, x IN [1, 2, 3, 4] | acc * x) AS prod""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getLong(4) == 10L && r.getLong(5) == 24L)
+  }
 }
