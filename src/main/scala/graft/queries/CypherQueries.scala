@@ -160,6 +160,16 @@ object CypherQueries {
         |WHERE l_quantity >= 45 AND p_size > 40
         |GROUP BY p_brand""".stripMargin),
 
+    // correlated CALL subquery: per-nation aggregate over imported key.
+    cq("q_cypher_call_correlated",
+      """MATCH (n:Nation)
+        |CALL { WITH n MATCH (n)<-[:FROM]-(c:Customer)
+        |       RETURN round(avg(c.acctbal), 2) AS avg_bal }
+        |RETURN n.name AS nation, avg_bal""".stripMargin,
+      """SELECT n_name AS nation, round(avg(c_acctbal), 2) AS avg_bal
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin),
+
     // temporal construction/truncation/component access through Cypher.
     cq("q_cypher_temporal",
       """MATCH (o:Order) WHERE o.key < 2000
