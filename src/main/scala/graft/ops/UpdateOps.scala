@@ -211,4 +211,15 @@ object UpdateOps {
 
   def deleteRels(g: PropertyGraph, relIds: DataFrame): PropertyGraph =
     g.copy(rels = g.rels.join(relIds.select(col("id")), Seq("id"), "left_anti"))
+
+  /** AssertSameNode (LogicalPlan.scala:999): MERGE against several unique
+    * constraints must resolve every seek to the SAME node — enforced inside
+    * the plan via assert_true, so the violation fails the job (the
+    * reference throws MergeConstraintConflictException) instead of silently
+    * fanning out. */
+  def assertSameNode(df: DataFrame, a: String, b: String): DataFrame =
+    df.withColumn("__assert",
+        assert_true(col(a) === col(b),
+          lit(s"MERGE unique-constraint conflict: $a and $b resolved to different nodes")))
+      .drop("__assert")
 }

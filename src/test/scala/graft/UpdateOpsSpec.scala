@@ -122,4 +122,14 @@ class UpdateOpsSpec extends AnyFunSuite {
     assert(g2.rels.select("id").collect().map(_.getLong(0)).toSet === Set(101L))
     assert(g2.nodes.count() === 3)
   }
+
+  test("assertSameNode passes when seeks agree, fails the job otherwise") {
+    import spark.implicits._
+    val ok = Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(UpdateOps.assertSameNode(ok, "a", "b").count() == 2)
+    val bad = Seq((1L, 2L)).toDF("a", "b")
+    intercept[org.apache.spark.SparkRuntimeException] {
+      UpdateOps.assertSameNode(bad, "a", "b").count()
+    }
+  }
 }
