@@ -120,7 +120,7 @@ object CypherParser extends RegexParsers {
     ) ^^ { case h ~ fs => fs.foldLeft(h)((e, f) => f(e)) }
 
   private def addExpr: Parser[Expr] =
-    mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ {
+    mulExpr ~ rep(("||" | "+" | "-") ~ mulExpr) ^^ {
       case h ~ t => t.foldLeft(h) { case (l, op ~ r) => BinOp(op, l, r) }
     }
 

@@ -365,6 +365,7 @@ object Planner {
       case Prop(Variable(v), k) => add(v, k)
       case Prop(s, _)           => walk(s)
       case Func("labels", Seq(Variable(v)), _)    => add(v, "labels")
+      case Func("relationships" | "rels", Seq(Variable(v)), _) => add(v, "rels")
       case Func("properties" | "keys", Seq(Variable(v)), _) => add(v, "*")
       case MapProjection(sub, items) =>
         sub match {
@@ -485,6 +486,40 @@ object Planner {
     val pv = s.pathVar.getOrElse(ctx.fresh("p"))
     val minHops = rel.varLength.map(_._1).getOrElse(1)
     val df = env.df.get
+    val needPath = ctx.needed.getOrElse(pv, Set.empty).contains("rels")
+    if (needPath) {
+      // PathPropagatingBFS: unit-weight frontier relaxation carries the
+      // rel-id path; dist == hop count
+      val typed = rel.dir match {
+        case Both => ctx.g.undirectedRels
+        case _    => ctx.g.rels
+      }
+      val filtered = if (rel.types.isEmpty) typed
+        else typed.filter(col("type").isin(rel.types: _*))
+      val wEdges = (rel.dir match {
+        case In => filtered.select(col("id"), col("dst").as("src"), col("src").as("dst"))
+        case _  => filtered.select(col("id"), col("src"), col("dst"))
+      }).withColumn("weight", lit(1.0))
+      val toVar = toNode.variable.getOrElse(ctx.fresh("n"))
+      val sp = graft.ops.WeightedPaths.shortestPaths(wEdges,
+        df.select(col(fromVar).as("source")).distinct(), maxIter = maxDepth)
+        .filter(col("dist") >= minHops)
+        .select(col("source"), col("node").as(toVar),
+          col("dist").cast("int").as(s"$pv$$length"), col("path").as(s"$pv$$rels"))
+      var joined = df.join(sp, col(fromVar) === col("source")).drop("source")
+      toNode.variable.filter(env.has) match {
+        case Some(tv) => // bound far node: constrain
+          return Env(Some(joined.filter(col(tv) === col(toVar)).drop(toVar)),
+            env.binds + (pv -> PathVar))
+        case _ =>
+          if (toNode.labels.nonEmpty || toNode.props.nonEmpty ||
+              ctx.needed.getOrElse(toVar, Set.empty).nonEmpty) {
+            val scan = hydrated(ctx, nodeScan(ctx, toNode), toVar, ctx.g.nodes.columns.toSet)
+            joined = joined.join(scan, Seq(toVar))
+          }
+          return Env(Some(joined), env.binds + (pv -> PathVar) + (toVar -> NodeVar))
+      }
+    }
     toNode.variable.filter(env.has) match {
       case Some(toVar) => // both bound: per-pair lengths with early exit
         val pairs = df.select(col(fromVar).as("source"), col(toVar).as("target"))
@@ -1208,6 +1243,7 @@ object Planner {
       case Func(name, args, distinct) => compileFunc(ctx, env, name, args, distinct, lambdas)
       case BinOp(op, l, r) => op match {
         case "+"  => c(l) + c(r)
+        case "||" => concat(c(l), c(r)) // Cypher 5 string/list concatenation
         case "-"  => c(l) - c(r)
         case "*"  => c(l) * c(r)
         case "/"  => c(l) / c(r)
@@ -1364,6 +1400,13 @@ object Planner {
           case Variable(v) if env.binds.get(v).contains(PathVar) =>
             col(s"$v$$length") // length(p) of a shortestPath variable
           case _ => if (isArrayTyped(env, a0)) size(a0) else length(a0)
+        }
+      case "relationships" | "rels" =>
+        args.head match {
+          case Variable(v) if env.binds.get(v).contains(PathVar) =>
+            col(s"$v$$rels") // rel-id sequence of a shortestPath variable
+          case other => throw new IllegalArgumentException(
+            "relationships() takes a shortestPath variable")
         }
       case "tostring"  => a0.cast("string")
       case "tointeger" => a0.cast("long")

@@ -160,6 +160,25 @@ object CypherQueries {
         |WHERE l_quantity >= 45 AND p_size > 40
         |GROUP BY p_brand""".stripMargin),
 
+    // PathPropagatingBFS :2880 — shortestPath with the rel-id path in the
+    // output (unit-weight frontier relaxation); path unique per pair here.
+    cq("q_cypher_shortest_path_out",
+      """MATCH (c:Customer) WHERE c.key < 20
+        |MATCH p = shortestPath((c)-[:FROM|IN_REGION*..4]->(x))
+        |WHERE x.name IS NOT NULL
+        |RETURN c.key AS ckey, x.name AS reached, length(p) AS hops,
+        |  reduce(acc = '', r IN relationships(p) | acc || ',' || toString(r)) AS path""".stripMargin,
+      // rel-id scheme: FROM id = (22<<44)+custkey, IN_REGION id = (21<<44)+nationkey
+      """SELECT c_custkey AS ckey, n_name AS reached, 1 AS hops,
+        |  ',' || CAST(387028092977152 + c_custkey AS VARCHAR) AS path
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey < 20
+        |UNION ALL
+        |SELECT c_custkey, r_name, 2,
+        |  ',' || CAST(387028092977152 + c_custkey AS VARCHAR) ||
+        |  ',' || CAST(369435906932736 + n_nationkey AS VARCHAR)
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey WHERE c_custkey < 20""".stripMargin),
+
     // correlated CALL subquery: per-nation aggregate over imported key.
     cq("q_cypher_call_correlated",
       """MATCH (n:Nation)

@@ -433,4 +433,18 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
     assert(r.getLong(4) == 10L && r.getLong(5) == 24L)
   }
+
+  test("shortestPath exposes relationships(p) when requested (path output)") {
+    val rows = run(
+      """MATCH (a {name: 'Alice'})
+        |MATCH p = shortestPath((a)-[:KNOWS*..6]->(x))
+        |WHERE x.name = 'Dave'
+        |RETURN length(p) AS hops, relationships(p) AS rels""".stripMargin)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getInt(0) == 2)
+    // Alice -12-> Carol -13-> Dave is the unique 2-hop path
+    assert(r.getSeq[Long](1) == Seq(12L, 13L))
+  }
 }
