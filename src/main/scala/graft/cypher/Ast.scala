@@ -81,8 +81,10 @@ object Ast {
   /** A linear path: node (rel node)*. */
   final case class PathPattern(first: NodePattern, hops: Seq[(RelPattern, NodePattern)])
 
-  /** `p = shortestPath((a)-[:T*..d]->(b))` (reference FindShortestPaths). */
-  final case class ShortestPart(pathVar: Option[String], pattern: PathPattern)
+  /** `p = shortestPath((a)-[:T*..d]->(b))` (reference FindShortestPaths);
+    * `all = true` for allShortestPaths (every minimal-hop tie). */
+  final case class ShortestPart(pathVar: Option[String], pattern: PathPattern,
+      all: Boolean = false)
 
   // ---- clauses ----------------------------------------------------------
 

@@ -285,8 +285,9 @@ object CypherParser extends RegexParsers {
   // ---- clauses ----------------------------------------------------------
 
   private def shortestPart: Parser[ShortestPart] =
-    opt(ident <~ "=") ~ ("(?i)shortestPath".r ~> "(" ~> pathPattern <~ ")") ^^ {
-      case v ~ p => ShortestPart(v, p)
+    opt(ident <~ "=") ~ "(?i)(allShortestPaths|shortestPath)".r ~
+      ("(" ~> pathPattern <~ ")") ^^ {
+      case v ~ kw ~ p => ShortestPart(v, p, kw.toLowerCase.startsWith("all"))
     }
 
   private def matchClause: Parser[Clause] =

@@ -487,6 +487,38 @@ object Planner {
     val minHops = rel.varLength.map(_._1).getOrElse(1)
     val df = env.df.get
     val needPath = ctx.needed.getOrElse(pv, Set.empty).contains("rels")
+    if (s.all) {
+      // allShortestPaths: every minimal-hop tie, path always bound
+      val typed = rel.dir match {
+        case Both => ctx.g.undirectedRels
+        case _    => ctx.g.rels
+      }
+      val filtered = if (rel.types.isEmpty) typed
+        else typed.filter(col("type").isin(rel.types: _*))
+      val idEdges = rel.dir match {
+        case In => filtered.select(col("id"), col("dst").as("src"), col("src").as("dst"))
+        case _  => filtered.select(col("id"), col("src"), col("dst"))
+      }
+      val toVar = toNode.variable.getOrElse(ctx.fresh("n"))
+      val sp = graft.ops.Bfs.allShortestPaths(idEdges,
+        df.select(col(fromVar).as("source")).distinct(), maxDepth)
+        .filter(col("dist") >= minHops)
+        .select(col("source"), col("node").as(toVar),
+          col("dist").as(s"$pv$$length"), col("path").as(s"$pv$$rels"))
+      var joined = df.join(sp, col(fromVar) === col("source")).drop("source")
+      toNode.variable.filter(env.has) match {
+        case Some(tv) =>
+          return Env(Some(joined.filter(col(tv) === col(toVar)).drop(toVar)),
+            env.binds + (pv -> PathVar))
+        case _ =>
+          if (toNode.labels.nonEmpty || toNode.props.nonEmpty ||
+              ctx.needed.getOrElse(toVar, Set.empty).nonEmpty) {
+            val scan = hydrated(ctx, nodeScan(ctx, toNode), toVar, ctx.g.nodes.columns.toSet)
+            joined = joined.join(scan, Seq(toVar))
+          }
+          return Env(Some(joined), env.binds + (pv -> PathVar) + (toVar -> NodeVar))
+      }
+    }
     if (needPath) {
       // PathPropagatingBFS: unit-weight frontier relaxation carries the
       // rel-id path; dist == hop count

@@ -92,6 +92,43 @@ object Bfs {
   }
 
   /**
+   * allShortestPaths (reference graph-algo AllPaths/ShortestPath with
+   * all-ties semantics, Cypher `allShortestPaths()`): every minimal-hop
+   * path, not just one. Depth-synchronized BFS carrying rel-id path
+   * arrays: a node's paths are frozen at the depth it is first reached —
+   * ties at that depth all survive, longer paths never expand. Path count
+   * can be exponential on dense graphs (inherent to the semantics — the
+   * reference enumerates the same set serially); maxDepth bounds the walk.
+   *
+   * @param edges (id, src, dst) pre-oriented/filtered
+   * @param sources (source)
+   * @return (source, node, dist, path ARRAY<LONG> of rel ids) — one row per
+   *         distinct shortest path
+   */
+  def allShortestPaths(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src").as("__s"), col("dst").as("__d"),
+      col("id").as("__e")).localCheckpoint(false)
+    var frontier = sources.select(col("source"), col("source").as("node"),
+        lit(0).as("dist"), array().cast("array<long>").as("path"))
+      .localCheckpoint()
+    var visited = frontier.select("source", "node")
+    val out = Seq.newBuilder[DataFrame]
+    out += frontier
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      frontier = frontier.join(e, col("node") === col("__s"))
+        .select(col("source"), col("__d").as("node"), lit(depth).as("dist"),
+          concat(col("path"), array(col("__e"))).as("path"))
+        .join(visited, Seq("source", "node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(frontier.select("source", "node").distinct())
+      out += frontier
+    }
+    out.result().reduce(_ unionByName _)
+  }
+
+  /**
    * List ranking by pointer doubling (Wyllie's algorithm) — the scale path
    * for BFS over CHAIN-shaped graphs (successor relations with in/out
    * degree ≤ 1, e.g. the reference's per-node relationship linked lists,

