@@ -64,6 +64,33 @@ object Trail {
     out.result().reduce(_ unionByName _)
   }
 
+  /**
+   * SHORTEST k paths (GQL / reference StatefulShortestPath,
+   * LogicalPlan.scala:2290 + NFA.scala): for each (source, target) pair the
+   * k shortest TRAILS by hop count, ties broken by the lexicographically
+   * smallest rel-id sequence — deterministic, like the reference's NFA
+   * product-graph search but expressed as bounded trail enumeration + a
+   * per-pair rank. The linear pattern here covers the common
+   * `SHORTEST k ((a)-[r]->(b))` form; arbitrary NFA patterns reduce to
+   * pre-filtering `edges`.
+   *
+   * @param edges (id, src, dst) oriented/filtered
+   * @param pairs (source, target)
+   * @return (source, target, hops, path ARRAY<LONG>, rank 1..k)
+   */
+  def shortestK(edges: DataFrame, pairs: DataFrame, k: Int, maxDepth: Int): DataFrame = {
+    val sources = pairs.select(col("source").as("__tsrc")).distinct()
+      .withColumn("__start", col("__tsrc"))
+    val trails = trail(edges, sources, "__start", min = 0, max = maxDepth)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "target").orderBy(col("hops").asc, col("path").asc)
+    trails
+      .join(pairs, col("end") === col("target") && col("__tsrc") === col("source"))
+      .select(col("source"), col("target"), col("hops"), col("trail_rels").as("path"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** PropertyGraph convenience: orient + type-filter the rels table. */
   def trail(g: PropertyGraph, input: DataFrame, fromCol: String,
       relTypes: Seq[String], direction: Direction, min: Int, max: Int): DataFrame = {

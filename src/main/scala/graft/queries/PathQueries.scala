@@ -91,6 +91,40 @@ object PathQueries {
              |SELECT custkey, partkey, round(dist, 2) AS dist, e1 || ',' || e2 AS path
              |FROM ranked WHERE rn = 1""".stripMargin)),
 
+    // StatefulShortestPath / SHORTEST k (LogicalPlan.scala:2290 + NFA.scala)
+    // — the 2 shortest customer→part trails over PLACED/CONTAINS, ranked by
+    // (hops, rel-id sequence); every such trail is 2 hops, so ties resolve
+    // purely on the deterministic path order.
+    QueryDef("q_shortest_k",
+      (s, d) => {
+        val g = graft.graph.TpchGraph.load(s, d)
+        val placed = g.relsByType("PLACED").select(col("id"), col("src"), col("dst"))
+        val contains = g.relsByType("CONTAINS").select(col("id"), col("src"), col("dst"))
+        val custs = g.nodesByLabel("Customer").filter(col("key") < 20)
+          .select(col("id").as("source"), col("key").as("source_key"))
+        val parts = g.nodesByLabel("Part").select(col("id").as("target"), col("key").as("part_key"))
+        val pairs = custs.join(placed, col("source") === col("src"))
+          .select(col("source"), col("dst").as("o"))
+          .join(contains.select(col("src").as("o"), col("dst").as("target")), "o")
+          .select("source", "target").distinct()
+        graft.ops.Trail.shortestK(placed.unionByName(contains), pairs, k = 2, maxDepth = 2)
+          .join(custs, "source").join(parts, "target")
+          .select(col("source_key"), col("part_key"), col("hops"),
+            array_join(col("path"), ",").as("path"), col("rank"))
+      },
+      Some("""WITH cand AS (
+             |  SELECT c_custkey AS source_key, l_partkey AS part_key,
+             |    CAST(404620279021568 + o_orderkey AS BIGINT) AS e1,
+             |    CAST(422212465065984 + o_orderkey * 16 + l_linenumber AS BIGINT) AS e2
+             |  FROM customer JOIN orders ON o_custkey = c_custkey
+             |  JOIN lineitem ON l_orderkey = o_orderkey
+             |  WHERE c_custkey < 20),
+             |ranked AS (SELECT *, row_number() OVER (
+             |    PARTITION BY source_key, part_key ORDER BY e1, e2) AS rank FROM cand)
+             |SELECT source_key, part_key, 2 AS hops,
+             |  e1 || ',' || e2 AS path, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 2""".stripMargin)),
+
     // ProjectEndpoints :3115 — bound rel ids resolve to their endpoints
     // (id scheme from TpchGraph: PLACED id = (23<<44)+orderkey).
     QueryDef("q_project_endpoints",

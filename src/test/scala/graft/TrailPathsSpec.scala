@@ -90,4 +90,19 @@ class TrailPathsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows((0L, 4L, 8.0)) && rows((2L, 4L, 4.0)) && rows((2L, 2L, 0.0)))
   }
+
+  test("shortestK returns the k shortest trails per pair, deterministic ties") {
+    import spark.implicits._
+    val edges = Seq((100L, 0L, 1L), (101L, 0L, 2L), (102L, 1L, 3L),
+      (103L, 2L, 3L), (105L, 0L, 3L)).toDF("id", "src", "dst")
+    val pairs = Seq((0L, 3L)).toDF("source", "target")
+    val got = graft.ops.Trail.shortestK(edges, pairs, k = 3, maxDepth = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(r.fieldIndex("rank")),
+        r.getSeq[Long](r.fieldIndex("path"))))
+    assert(got.toSeq == Seq(
+      (1, Seq(105L)),          // 1 hop
+      (2, Seq(100L, 102L)),    // 2 hops, smaller rel ids
+      (3, Seq(101L, 103L))))   // 2 hops, larger rel ids
+  }
 }
