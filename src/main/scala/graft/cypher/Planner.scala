@@ -262,17 +262,27 @@ object Planner {
         case _  => (col(fromVar), col(toVar))
       }
       val tpe = rel.types.head
-      val props = rel.props.map { case (k, e) => compile(ctx, env, e).as(k) }
-      val source = df.select((xxhash64(lit(ctx.runTag), lit("mr"), sCol, dCol).as("id") +:
+      val keyProps = rel.props.map { case (k, e) => k -> compile(ctx, env, e) }
+      val props = keyProps.map { case (k, c) => c.as(k) }
+      // id derives from the FULL pattern key (type + inline props included):
+      // two MERGEs of different types/props between the same endpoints must
+      // create distinct rels with distinct ids
+      val newId = xxhash64((lit(ctx.runTag) +: lit("mr") +: lit(tpe) +:
+        sCol +: dCol +: keyProps.map(_._2)): _*)
+      val source = df.select((newId.as("id") +:
         sCol.as("src") +: dCol.as("dst") +: lit(tpe).as("type") +: props): _*)
         .distinct()
-      ctx.g = UpdateOps.mergeRels(ctx.g, source)
-      // bind the rel id: matched rels keep their original id — re-resolve
-      val withRel = df.join(
-        ctx.g.rels.filter(col("type") === tpe)
-          .select(col("id").as(rv), col("src").as("__ms"), col("dst").as("__md")),
-        sCol === col("__ms") && dCol === col("__md"))
-        .drop("__ms", "__md")
+      ctx.g = UpdateOps.mergeRels(ctx.g, source, keyProps = keyProps.map(_._1))
+      // bind the rel id: matched rels keep their original id — re-resolve on
+      // the full key (props null-safe, mirroring mergeRels' match condition)
+      val relSide = ctx.g.rels.filter(col("type") === tpe)
+        .select((col("id").as(rv) +: col("src").as("__ms") +: col("dst").as("__md") +:
+          keyProps.map { case (k, _) => col(k).as(s"__mp_$k") }): _*)
+      val joinCond = keyProps.foldLeft(sCol === col("__ms") && dCol === col("__md")) {
+        case (c, (k, v)) => c && (v <=> col(s"__mp_$k"))
+      }
+      val withRel = df.join(relSide, joinCond)
+        .drop(("__ms" +: "__md" +: keyProps.map(kv => s"__mp_${kv._1}")): _*)
       Env(Some(withRel), env.binds + (rv -> RelVar))
     }
   }
@@ -656,7 +666,10 @@ object Planner {
         env.binds.view.filterKeys(refs.contains).toMap)
       var sub = planPath(ctx, base, p)
       w.foreach { pred => sub = applyWhere(ctx, sub, pred) }
-      (keyCols, sub.df.get)
+      // join back on entity identity only (the reference's SemiApply keys on
+      // ids): hydrated `v$prop` columns can be NULL and using-joins are
+      // null-unsafe, so a NULL property must not make the key miss
+      (refs, sub.df.get)
     }
     def rewrite(x: Expr): Expr = x match {
       case PatternExists(p, w, _) =>
@@ -707,13 +720,17 @@ object Planner {
       env.binds.view.filterKeys(refs.contains).toMap)
     var sub = planPath(ctx, base, p)
     where.foreach { w => sub = applyWhere(ctx, sub, w) }
-    val key = sub.df.get.select(keyCols.map(col): _*).distinct()
-    env.copy(df = Some(df.join(key, keyCols, if (anti) "left_anti" else "left_semi")))
+    // semi/anti-join on the variable ids only: `v$prop` hydrated columns may
+    // be NULL (union schema across labels) and using-joins are null-unsafe
+    val key = sub.df.get.select(refs.map(col): _*).distinct()
+    env.copy(df = Some(df.join(key, refs, if (anti) "left_anti" else "left_semi")))
   }
 
-  /** Join keys for a decorrelated sub-plan: the referenced variables plus
-    * their already-hydrated `v$prop` columns (functionally dependent on the
-    * id, so adding them to the key is safe — and the sub-plan may read them). */
+  /** Columns a decorrelated sub-plan needs from the outer row: the referenced
+    * variables plus their already-hydrated `v$prop` columns (functionally
+    * dependent on the id; the sub-plan may read them). Only the `refs`
+    * themselves may be used as join-back keys — property columns can be NULL
+    * and using-column joins are null-unsafe. */
   private def refKeyCols(df: DataFrame, refs: Seq[String]): Seq[String] =
     refs ++ df.columns.filter(c => refs.exists(r => c.startsWith(r + "$")))
 
@@ -772,7 +789,11 @@ object Planner {
     m.patterns.foreach { p => sub = planPath(ctx, sub, p) }
     sub = applyUniqueness(sub, relVarsBefore)
     m.where.foreach { pred => sub = applyWhere(ctx, sub, pred) }
-    val joined = df.join(sub.df.get, keyCols, "left_outer")
+    // join back on the variable ids only (null-unsafe using-join must not
+    // key on nullable `v$prop` columns); drop the sub-plan's carried copies
+    // of the outer property columns first — df already has them
+    val joined = df.join(sub.df.get.drop(keyCols.filterNot(refs.contains): _*),
+      refs, "left_outer")
     Env(Some(joined), env.binds ++ sub.binds)
   }
 
@@ -1419,7 +1440,11 @@ object Planner {
       case "ltrim"     => ltrim(a0)
       case "rtrim"     => rtrim(a0)
       case "reverse"   => reverse(a0)
-      case "replace"   => regexp_replace(a0, regexp_quote(c(args(1))), c(args(2)))
+      case "replace"   =>
+        // Cypher replace() is fully literal: quote the search regex AND
+        // escape \ and $ in the replacement (else group refs / escapes fire)
+        regexp_replace(a0, regexp_quote(c(args(1))),
+          regexp_replace(c(args(2)), "([\\\\$])", "\\\\$1"))
       case "split"     => split(a0, javaQuote(args(1)))
       case "substring" =>
         // Cypher 0-based start

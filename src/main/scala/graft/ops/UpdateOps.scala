@@ -128,8 +128,14 @@ object UpdateOps {
   def setRelPropertiesFromSource(g: PropertyGraph, source: DataFrame): PropertyGraph =
     g.copy(rels = applySource(g.rels, source))
 
-  private def applySource(target: DataFrame, source: DataFrame): DataFrame = {
+  private def applySource(target0: DataFrame, source: DataFrame): DataFrame = {
     val props = source.columns.filter(_ != "id")
+    // SET of a property key the graph has never seen extends the schema
+    // (NULL for untouched rows) — same schema-free semantics as createNodes
+    val known = target0.columns.toSet
+    val target = source.schema.fields
+      .filter(f => f.name != "id" && !known(f.name))
+      .foldLeft(target0)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
     // last-write-wins per id, deterministically (max over the value struct)
     val dedup = source.groupBy("id")
       .agg(max(struct(props.map(col).toIndexedSeq: _*)).as("__s"))
@@ -161,14 +167,23 @@ object UpdateOps {
   def mergeRels(
       g: PropertyGraph, source: DataFrame,
       onMatch: Map[String, Column] = Map.empty,
-      onCreate: Map[String, Column] = Map.empty): PropertyGraph = {
+      onCreate: Map[String, Column] = Map.empty,
+      keyProps: Seq[String] = Nil): PropertyGraph = {
+    // property columns the rels table has never seen extend the schema, so
+    // inserted rows keep them (and keyProps can always resolve)
+    val known = g.rels.columns.toSet
+    val target = source.schema.fields.filterNot(f => known(f.name))
+      .foldLeft(g.rels)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
     val src = source.columns.foldLeft(source)((d, c) => d.withColumnRenamed(c, s"src_$c"))
-    val joined = g.rels.join(src,
+    // Cypher MERGE (a)-[r:T {k:v}]->(b) matches on the WHOLE pattern: the
+    // inline property map is part of the key (null-safe — props may be NULL)
+    val cond = keyProps.foldLeft(
       col("src") === col("src_src") && col("dst") === col("src_dst") &&
-        col("type") === col("src_type"), "full_outer")
+        col("type") === col("src_type"))((c, k) => c && (col(k) <=> col(s"src_$k")))
+    val joined = target.join(src, cond, "full_outer")
     val matched = col("id").isNotNull && col("src_id").isNotNull
     val insertOnly = col("id").isNull
-    val outCols = g.rels.columns.map { c =>
+    val outCols = target.columns.map { c =>
       val base = c match {
         case "id" | "src" | "dst" | "type" => coalesce(col(c), col(s"src_$c"))
         case _ =>
@@ -218,8 +233,8 @@ object UpdateOps {
     * reference throws MergeConstraintConflictException) instead of silently
     * fanning out. */
   def assertSameNode(df: DataFrame, a: String, b: String): DataFrame =
-    df.withColumn("__assert",
-        assert_true(col(a) === col(b),
-          lit(s"MERGE unique-constraint conflict: $a and $b resolved to different nodes")))
-      .drop("__assert")
+    // anchored in a filter (not a dropped column) so column pruning /
+    // CollapseProject can never legally eliminate the check
+    df.filter(when(col(a) === col(b), lit(true)).otherwise(raise_error(
+      lit(s"MERGE unique-constraint conflict: $a and $b resolved to different nodes"))))
 }

@@ -180,12 +180,16 @@ object CypherQueries {
         |JOIN region ON n_regionkey = r_regionkey WHERE c_custkey < 20""".stripMargin),
 
     // correlated CALL subquery: per-nation aggregate over imported key.
+    // avg is computed as round(sum)/count: the exact sum has 2 decimals so
+    // rounding it is never at a half-ulp boundary, unlike avg() whose
+    // summation-order noise can flip round(x.xx5, 2) between engines.
     cq("q_cypher_call_correlated",
       """MATCH (n:Nation)
         |CALL { WITH n MATCH (n)<-[:FROM]-(c:Customer)
-        |       RETURN round(avg(c.acctbal), 2) AS avg_bal }
+        |       RETURN round(round(sum(c.acctbal), 2) / count(c.acctbal), 4) AS avg_bal }
         |RETURN n.name AS nation, avg_bal""".stripMargin,
-      """SELECT n_name AS nation, round(avg(c_acctbal), 2) AS avg_bal
+      """SELECT n_name AS nation,
+        |  round(round(sum(c_acctbal), 2) / count(c_acctbal), 4) AS avg_bal
         |FROM nation JOIN customer ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin),
 
