@@ -68,25 +68,65 @@ object Trail {
    * SHORTEST k paths (GQL / reference StatefulShortestPath,
    * LogicalPlan.scala:2290 + NFA.scala): for each (source, target) pair the
    * k shortest TRAILS by hop count, ties broken by the lexicographically
-   * smallest rel-id sequence — deterministic, like the reference's NFA
-   * product-graph search but expressed as bounded trail enumeration + a
-   * per-pair rank. The linear pattern here covers the common
-   * `SHORTEST k ((a)-[r]->(b))` form; arbitrary NFA patterns reduce to
-   * pre-filtering `edges`.
+   * smallest rel-id sequence — deterministic.
+   *
+   * Depth-synchronized frontier search, the Spark analog of the reference's
+   * product-graph BFS: each round expands the frontier one hop and keeps
+   * only the k best `(hops, path)` partial trails per (source, node). Work
+   * per round is bounded by |reached nodes| × k — NOT by the number of
+   * trails, which is exponential in depth on dense graphs. Because shorter
+   * partials always outrank longer ones, rows kept in earlier rounds are
+   * never evicted, so the per-node budget is maintained with an incremental
+   * (source, node) → count table instead of re-ranking history each round.
    *
    * @param edges (id, src, dst) oriented/filtered
    * @param pairs (source, target)
    * @return (source, target, hops, path ARRAY<LONG>, rank 1..k)
    */
   def shortestK(edges: DataFrame, pairs: DataFrame, k: Int, maxDepth: Int): DataFrame = {
-    val sources = pairs.select(col("source").as("__tsrc")).distinct()
-      .withColumn("__start", col("__tsrc"))
-    val trails = trail(edges, sources, "__start", min = 0, max = maxDepth)
+    require(k >= 1 && maxDepth >= 0 && maxDepth <= 30,
+      s"shortestK bounds out of range: k=$k maxDepth=$maxDepth")
+    val e = edges.select(col("id").as("__er"), col("src").as("__es"), col("dst").as("__ed"))
+    // candidates within one round share a hop count — rank on path only
+    val wNew = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "end").orderBy(col("path").asc)
+
+    var frontier = pairs.select("source").distinct()
+      .select(col("source"), col("source").as("end"), lit(0).as("hops"),
+        array().cast("array<long>").as("path"))
+      .localCheckpoint()
+    val keptPieces = Seq.newBuilder[DataFrame]
+    keptPieces += frontier
+    var counts = frontier.groupBy("source", "end").agg(count(lit(1)).as("__have"))
+      .localCheckpoint()
+
+    var d = 0
+    while (d < maxDepth && !frontier.isEmpty) {
+      val expanded = frontier.join(e,
+          col("end") === col("__es") && !array_contains(col("path"), col("__er")))
+        .select(col("source"), col("__ed").as("end"), (col("hops") + 1).as("hops"),
+          concat(col("path"), array(col("__er"))).as("path"))
+      val newKept = expanded
+        .withColumn("__rk", row_number().over(wNew))
+        .join(counts, Seq("source", "end"), "left_outer")
+        .filter(col("__rk") + coalesce(col("__have"), lit(0L)) <= k)
+        .drop("__rk", "__have")
+        .localCheckpoint()
+      counts = counts.join(
+          newKept.groupBy("source", "end").agg(count(lit(1)).as("__new")),
+          Seq("source", "end"), "full_outer")
+        .select(col("source"), col("end"),
+          (coalesce(col("__have"), lit(0L)) + coalesce(col("__new"), lit(0L))).as("__have"))
+        .localCheckpoint()
+      keptPieces += newKept
+      frontier = newKept
+      d += 1
+    }
+    val kept = keptPieces.result().reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "target").orderBy(col("hops").asc, col("path").asc)
-    trails
-      .join(pairs, col("end") === col("target") && col("__tsrc") === col("source"))
-      .select(col("source"), col("target"), col("hops"), col("trail_rels").as("path"))
+    kept.join(pairs, Seq("source")).filter(col("end") === col("target"))
+      .select(col("source"), col("target"), col("hops"), col("path"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

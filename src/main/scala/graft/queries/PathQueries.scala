@@ -125,6 +125,49 @@ object PathQueries {
              |  e1 || ',' || e2 AS path, CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 2""".stripMargin)),
 
+    // SHORTEST k at depth: 25-node circulant graph with +1 and -1 edges, so
+    // 2-hop cycles exist and trails revisit nodes within maxDepth=6 —
+    // exercising rel-uniqueness AND the per-(source,node) top-k pruning of
+    // the frontier search against an exhaustive recursive-CTE oracle.
+    QueryDef("q_shortest_k_deep",
+      (s, d) => {
+        val nation = t(s, d, "nation").select(col("n_nationkey").cast("long").as("key"))
+        val edges = nation.select((col("key") + 1000).as("id"), col("key").as("src"),
+            ((col("key") + 1) % 25).as("dst"))
+          .unionByName(nation.select((col("key") + 2000).as("id"), col("key").as("src"),
+            ((col("key") + 24) % 25).as("dst")))
+        val pairs = nation.filter(col("key") < 5).select(col("key").as("source"))
+          .crossJoin(nation.select(col("key").as("target")))
+        Trail.shortestK(edges, pairs, k = 3, maxDepth = 6)
+          .select(col("source"), col("target"), col("hops"),
+            array_join(col("path"), ",").as("path"), col("rank"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey + 1000 AS BIGINT) AS id,
+             |    CAST(n_nationkey AS BIGINT) AS src,
+             |    CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
+             |  UNION ALL
+             |  SELECT CAST(n_nationkey + 2000 AS BIGINT),
+             |    CAST(n_nationkey AS BIGINT),
+             |    CAST((n_nationkey + 24) % 25 AS BIGINT) FROM nation),
+             |walk AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS source,
+             |    CAST(n_nationkey AS BIGINT) AS node, 0 AS hops,
+             |    CAST([] AS BIGINT[]) AS path
+             |  FROM nation WHERE n_nationkey < 5
+             |  UNION ALL
+             |  SELECT w.source, e.dst, w.hops + 1, list_append(w.path, e.id)
+             |  FROM walk w JOIN e ON e.src = w.node
+             |  WHERE w.hops < 6 AND NOT list_contains(w.path, e.id)),
+             |ranked AS (
+             |  SELECT source, node AS target, hops, path,
+             |    row_number() OVER (PARTITION BY source, node ORDER BY hops, path) AS rank
+             |  FROM walk)
+             |SELECT source, target, hops,
+             |  coalesce(array_to_string(path, ','), '') AS path,
+             |  CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 3""".stripMargin)),
+
     // ProjectEndpoints :3115 — bound rel ids resolve to their endpoints
     // (id scheme from TpchGraph: PLACED id = (23<<44)+orderkey).
     QueryDef("q_project_endpoints",
