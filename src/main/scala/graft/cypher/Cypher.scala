@@ -24,7 +24,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *  - RETURN of a bare node/relationship variable yields its LONG id (the
  *    reference materializes a NodeValue; a columnar engine returns the key —
  *    project properties explicitly to read them).
- *  - unbounded var-length (`*`) is capped at 10 hops.
+ *  - unbounded var-length (`*`) runs to exhaustion when the query is
+ *    endpoints-only (unused rel variable feeding DISTINCT / min-max
+ *    aggregation — planned as frontier BFS); when paths must be
+ *    enumerated it requires an explicit upper bound and raises otherwise.
  *  - Cypher's cross-type orderability (ORDER BY over mixed Node/String/
  *    Number values, reference Values comparator) cannot arise here: columns
  *    are statically typed, so mixed-type sorts are rejected at compile time

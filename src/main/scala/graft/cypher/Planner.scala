@@ -50,7 +50,10 @@ object Planner {
   }
 
   private class Ctx(val spark: SparkSession, var g: PropertyGraph,
-      val params: Map[String, Any], val needed: Map[String, Set[String]]) {
+      val params: Map[String, Any], val needed: Map[String, Set[String]],
+      val pruneRels: java.util.Set[RelPattern] =
+        java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[RelPattern, java.lang.Boolean]())) {
     private var counter = 0
     def fresh(prefix: String): String = { counter += 1; s"__${prefix}_$counter" }
     /** stable per-plan seed for created-entity id hashing */
@@ -87,7 +90,7 @@ object Planner {
       params: Map[String, Any]): (PropertyGraph, Option[DataFrame]) = {
     require(query.parts.size == 1, "UNION is not supported in updating queries")
     val q = query.parts.head
-    val ctx = new Ctx(spark, g, params, neededProps(q))
+    val ctx = new Ctx(spark, g, params, neededProps(q), pruneEligibleRels(q))
     var env = Env(None, Map.empty)
     var returned: Option[DataFrame] = None
     q.clauses.foreach {
@@ -114,7 +117,7 @@ object Planner {
 
   private def planSingle(spark: SparkSession, g: PropertyGraph,
       q: SingleQuery, params: Map[String, Any]): DataFrame = {
-    val ctx = new Ctx(spark, g, params, neededProps(q))
+    val ctx = new Ctx(spark, g, params, neededProps(q), pruneEligibleRels(q))
     var env = Env(None, Map.empty)
     q.clauses.foreach {
       case m: MatchClause  => env = planMatch(ctx, env, m)
@@ -449,6 +452,105 @@ object Planner {
     }
     q.clauses.foreach(walkClause)
     acc.toMap
+  }
+
+  /** Every variable name referenced by any expression in the query — the
+    * conservative "is this variable ever read" oracle behind the pruning
+    * rewrite (pattern variables themselves are NOT reads; property maps,
+    * WHERE, projections, SET/DELETE targets and subqueries are). */
+  private def referencedVars(q: SingleQuery): Set[String] = {
+    val acc = scala.collection.mutable.Set.empty[String]
+    def walk(e: Expr): Unit = acc ++= exprVars(e)
+    def walkPattern(p: PathPattern): Unit = {
+      (p.first +: p.hops.map(_._2)).foreach(n => n.props.foreach(kv => walk(kv._2)))
+      p.hops.map(_._1).foreach(r => r.props.foreach(kv => walk(kv._2)))
+    }
+    def walkSetItems(items: Seq[SetItem]): Unit = items.foreach {
+      case SetProp(v, _, value)   => acc += v; walk(value)
+      case SetLabelsItem(v, _)    => acc += v
+      case RemoveProp(v, _)       => acc += v
+      case RemoveLabelsItem(v, _) => acc += v
+    }
+    def walkClause(cl: Clause): Unit = cl match {
+      case MatchClause(_, ps, w, sh) =>
+        ps.foreach(walkPattern); w.foreach(walk)
+        sh.foreach(s => walkPattern(s.pattern))
+      case UnwindClause(e, _) => walk(e)
+      case WithClause(_, items, ob, sk, li, w) =>
+        items.foreach(i => walk(i.expr)); ob.foreach(s => walk(s.expr))
+        sk.foreach(walk); li.foreach(walk); w.foreach(walk)
+      case ReturnClause(_, items, ob, sk, li) =>
+        items.foreach(i => walk(i.expr)); ob.foreach(s => walk(s.expr))
+        sk.foreach(walk); li.foreach(walk)
+      case CreateClause(ps) =>
+        // CREATE between bound endpoints reads the endpoint variables
+        ps.foreach { p =>
+          walkPattern(p)
+          acc ++= (p.first +: p.hops.map(_._2)).flatMap(_.variable)
+        }
+      case MergeClause(p, om, oc) =>
+        walkPattern(p)
+        acc ++= (p.first +: p.hops.map(_._2)).flatMap(_.variable)
+        walkSetItems(om); walkSetItems(oc)
+      case SetClause(items)     => walkSetItems(items)
+      case RemoveClause(items)  => walkSetItems(items)
+      case DeleteClause(vs, _)  => acc ++= vs
+      case ForeachClause(_, list, updates) => walk(list); updates.foreach(walkClause)
+      case CallClause(_, args, _) => args.foreach(walk)
+      case CallSubquery(inner)    => inner.clauses.foreach(walkClause)
+    }
+    q.clauses.foreach(walkClause)
+    acc.toSet
+  }
+
+  /** Does this projection collapse row multiplicity? True for DISTINCT and
+    * for aggregations whose every aggregate is multiplicity-insensitive
+    * (min/max or DISTINCT-qualified) — the reference pruningVarExpander's
+    * "distinctness horizon". */
+  private def collapsesMultiplicity(distinct: Boolean, items: Seq[ReturnItem]): Boolean =
+    distinct || {
+      def itemOk(e: Expr): Boolean = e match {
+        case Func(n, args, d) if aggFns(n) =>
+          (n == "min" || n == "max" || d) && !args.exists(containsAgg)
+        case e if !containsAgg(e) => true // grouping key
+        case _ => false // count(*), sum, collect, avg… see every path
+      }
+      items.exists(i => containsAgg(i.expr)) && items.forall(i => itemOk(i.expr))
+    }
+
+  /** The reference's pruningVarExpander rewrite (cypher-planner
+    * plans/rewriter/pruningVarExpander.scala): a var-length hop whose rel /
+    * group variables are never read, feeding straight into a projection that
+    * collapses multiplicity, only needs DISTINCT endpoints — planned as
+    * frontier BFS (Bfs.pruningExpand, |V|-bounded) instead of trail
+    * enumeration (path-count-bounded). Restricted to minHops <= 1, where
+    * BFS distance + the self-cycle correction is exactly "exists a trail of
+    * length in [min,max]"; deeper minimums keep VarExpand. */
+  private def pruneEligibleRels(q: SingleQuery): java.util.Set[RelPattern] = {
+    val out = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[RelPattern, java.lang.Boolean]())
+    lazy val refs = referencedVars(q)
+    q.clauses.zip(q.clauses.drop(1)).foreach {
+      case (m: MatchClause, next) =>
+        val collapses = next match {
+          case w: WithClause   => collapsesMultiplicity(w.distinct, w.items)
+          case r: ReturnClause => collapsesMultiplicity(r.distinct, r.items)
+          case _               => false
+        }
+        if (collapses && !m.optional && m.shortest.isEmpty && m.patterns.size == 1) {
+          m.patterns.head.hops match {
+            case Seq((rel, _)) if rel.varLength.exists(_._1 <= 1) &&
+                rel.props.isEmpty &&
+                !rel.variable.exists(refs) &&
+                rel.qppVars.forall(g => !g._1.exists(refs) &&
+                  !g._2.exists(refs) && !g._3.exists(refs)) =>
+              out.add(rel)
+            case _ => ()
+          }
+        }
+      case _ => ()
+    }
+    out
   }
 
   // ---- MATCH ------------------------------------------------------------
@@ -936,10 +1038,27 @@ object Planner {
       case Some((min, maxOpt)) =>
         require(rel.props.isEmpty,
           "property map on a var-length relationship is not supported")
-        val max = maxOpt.getOrElse(10) // unbounded `*`: statically capped
         val dir = rel.dir match {
           case Out => Direction.Out; case In => Direction.In; case Both => Direction.Both
         }
+        if (ctx.pruneRels.contains(rel)) {
+          // endpoints-only: pruningVarExpander rewrite — frontier BFS keeps
+          // |V|-bounded state; unbounded `*` iterates to an empty frontier
+          val edges = orientTyped(g, rel.types, dir).select("src", "dst")
+          val srcs = env.df.get.select(col(fromVar).as("source")).distinct()
+          val reach = graft.ops.Bfs.pruningExpand(
+            edges, srcs, min, maxOpt.getOrElse(Int.MaxValue))
+          val joined = env.df.get.join(
+            reach.select(col("source"), col("node").as("__to")),
+            col(fromVar) === col("source")).drop("source")
+          // no rel/group bindings: eligibility means nothing reads them
+          Env(Some(joined), env.binds)
+        } else {
+        val max = maxOpt.getOrElse(throw new IllegalArgumentException(
+          "unbounded var-length pattern requires path enumeration — add an " +
+          "upper bound (e.g. [*1..8]), or make the query endpoints-only " +
+          "(unused rel variable + DISTINCT / min/max aggregation) so the " +
+          "pruning rewrite applies"))
         rel.qppVars match {
           case None =>
             val depthCol = ctx.fresh("depth")
@@ -970,6 +1089,7 @@ object Planner {
               binds += (v -> ValueVar)
             }
             Env(Some(out.drop(nodesCol)), binds)
+        }
         }
     }
 

@@ -73,13 +73,32 @@ object Bfs {
     visited
   }
 
-  /** PruningVarExpand: distinct nodes reachable in [minHops, maxHops] —
-    * endpoints only, no path enumeration (the whole point of the pruning
-    * variant: frontier size is bounded by |V|, not by path count). */
-  def pruningExpand(edges: DataFrame, sources: DataFrame, minHops: Int, maxHops: Int): DataFrame =
-    distances(edges, sources, maxHops)
-      .filter(col("dist") >= minHops && col("dist") <= maxHops)
+  /** PruningVarExpand: distinct nodes with SOME trail of length in
+    * [minHops, maxHops] — endpoints only, no path enumeration (the whole
+    * point of the pruning variant: frontier size is bounded by |V|, not by
+    * path count). Exact for minHops <= 1: BFS distance covers every node
+    * except the source itself, which for minHops = 1 is reachable iff some
+    * in-neighbor u of the source sits at dist <= maxHops-1 (the shortest
+    * path to u is node-simple, so appending u→source is a valid trail).
+    * minHops >= 2 would need trail semantics — callers keep VarExpand.
+    * maxHops = Int.MaxValue walks to an empty frontier (unbounded `*`). */
+  def pruningExpand(edges: DataFrame, sources: DataFrame, minHops: Int, maxHops: Int): DataFrame = {
+    require(minHops <= 1,
+      s"pruningExpand is exact only for minHops <= 1, got $minHops")
+    val d = distances(edges, sources, maxHops)
+    val base = d.filter(col("dist") >= minHops && col("dist") <= maxHops)
       .select("source", "node", "dist")
+    if (minHops == 0) base
+    else {
+      val selfCycles = d
+        .join(edges.select(col("src").as("node"), col("dst").as("__t")), "node")
+        .filter(col("__t") === col("source") && col("dist") <= maxHops - 1)
+        .groupBy(col("source"))
+        .agg((min(col("dist")) + 1).cast("int").as("dist"))
+        .select(col("source"), col("source").as("node"), col("dist"))
+      base.unionByName(selfCycles)
+    }
+  }
 
   /**
    * Single-pair shortest path length (FindShortestPaths :2178). Returns

@@ -64,6 +64,20 @@ object CypherQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE c_custkey < 200""".stripMargin),
 
+    // endpoints-only var-length → pruningVarExpander rewrite (frontier BFS,
+    // no path enumeration — gated by PlanAuditSpec); unbounded upper end
+    // walks to frontier exhaustion. Parts sit exactly 2 hops out
+    // (PLACED then CONTAINS), nations/orders at 1 — the :Part filter keeps
+    // the reachable set single-label.
+    cq("q_cypher_var_expand_pruned",
+      """MATCH (c:Customer)-[*1..]->(n:Part)
+        |WHERE c.key < 50
+        |RETURN DISTINCT c.key AS c_key, n.key AS p_key""".stripMargin,
+      """SELECT DISTINCT c_custkey AS c_key, CAST(l_partkey AS BIGINT) AS p_key
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_custkey < 50""".stripMargin),
+
     // OPTIONAL MATCH + aggregation over the optional side
     cq("q_cypher_optional",
       """MATCH (n:Nation)

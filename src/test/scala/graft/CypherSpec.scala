@@ -461,4 +461,48 @@ class CypherSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1)))
     assert(rows.toSeq == Seq(("Bob", 1), ("Carol", 1), ("Dave", 2)))
   }
+
+  test("endpoints-only unbounded * walks a 12-deep chain to exhaustion") {
+    val nodeSchema = StructType(Seq(
+      StructField("id", LongType), StructField("labels", ArrayType(StringType)),
+      StructField("name", StringType)))
+    val relSchema = StructType(Seq(
+      StructField("id", LongType), StructField("src", LongType),
+      StructField("dst", LongType), StructField("type", StringType)))
+    val chain = PropertyGraph(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        (0L to 12L).map(i => Row(i, Seq("N"), s"n$i")), 2), nodeSchema),
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        (0L until 12L).map(i => Row(100L + i, i, i + 1, "NEXT")), 2), relSchema))
+    val names = Cypher.run(spark, chain,
+      "MATCH (a:N {name: 'n0'})-[*]->(b) RETURN DISTINCT b.name AS name")
+      .collect().map(_.getString(0)).toSet
+    assert(names == (1 to 12).map(i => s"n$i").toSet) // depth 12 reached, no cap
+  }
+
+  test("path-enumerating unbounded * raises instead of silently capping") {
+    val ex = intercept[IllegalArgumentException] {
+      run("MATCH (a {name: 'Alice'})-[rs*]->(b) RETURN b.name AS n, size(rs) AS len")
+    }
+    assert(ex.getMessage.contains("upper bound"))
+  }
+
+  test("cycle back to the source satisfies [*1..] under the pruning rewrite") {
+    val nodeSchema = StructType(Seq(
+      StructField("id", LongType), StructField("labels", ArrayType(StringType)),
+      StructField("name", StringType)))
+    val relSchema = StructType(Seq(
+      StructField("id", LongType), StructField("src", LongType),
+      StructField("dst", LongType), StructField("type", StringType)))
+    // triangle 1->2->3->1: every node reaches ITSELF via the 3-cycle
+    val tri = PropertyGraph(
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq("N"), "a"), Row(2L, Seq("N"), "b"), Row(3L, Seq("N"), "c")), 2), nodeSchema),
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(10L, 1L, 2L, "T"), Row(11L, 2L, 3L, "T"), Row(12L, 3L, 1L, "T")), 2), relSchema))
+    val reached = Cypher.run(spark, tri,
+      "MATCH (s:N {name: 'a'})-[*1..3]->(b) RETURN DISTINCT b.name AS name")
+      .collect().map(_.getString(0)).toSet
+    assert(reached == Set("a", "b", "c")) // includes the source via the cycle
+  }
 }

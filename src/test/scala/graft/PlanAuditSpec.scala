@@ -49,6 +49,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no broadcast in small-dims join:\n${plan.take(2000)}")
   }
 
+  test("endpoints-only var-length compiles to pruning BFS, not trail enumeration") {
+    val plan = executedPlan(
+      """MATCH (c:Customer)-[*1..2]->(n:Part)
+        |WHERE c.key < 50 RETURN DISTINCT n.key AS pkey""".stripMargin)
+    // VarExpand's per-path uniqueness filter is array_contains over the
+    // accumulated rel array; the pruning rewrite must not carry paths at all
+    assert(!plan.contains("array_contains"),
+      s"var-length expansion still enumerates paths:\n${plan.take(3000)}")
+  }
+
+  test("path-enumerating var-length still carries the rel array") {
+    // rel variable IS read → pruning must NOT kick in
+    val plan = executedPlan(
+      """MATCH (c:Customer)-[rs*1..2]->(n:Part)
+        |WHERE c.key < 50 RETURN DISTINCT n.key AS pkey, size(rs) AS len""".stripMargin)
+    assert(plan.contains("array_contains"), "rel-reading var-length lost its paths")
+  }
+
   test("whole-stage codegen covers the expression pipeline") {
     val df = Cypher.run(spark, g,
       """MATCH (c:Customer) WHERE c.name ENDS WITH '1'
