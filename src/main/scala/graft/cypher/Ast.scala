@@ -125,9 +125,12 @@ object Ast {
   /** `CALL proc.name(args) [YIELD a, b]` (reference procedure calls). */
   final case class CallClause(procedure: String, args: Seq[Expr],
       yields: Seq[String]) extends Clause
-  /** `CALL { <inner query> }` — uncorrelated subquery (reference
-    * CALL-subquery / TransactionApply family, batch semantics). */
-  final case class CallSubquery(inner: SingleQuery) extends Clause
+  /** `CALL { <inner query> } [IN TRANSACTIONS [OF n ROWS]]` — subquery
+    * (reference CALL-subquery / TransactionApply-TransactionForeach family,
+    * LogicalPlan.scala:4039/:4100). `inTransactionsOf` batches the inner
+    * write over chunks of n input rows with a commit per chunk. */
+  final case class CallSubquery(inner: SingleQuery,
+      inTransactionsOf: Option[Long] = None) extends Clause
 
   final case class SingleQuery(clauses: Seq[Clause])
   /** Top level: one or more single queries combined by UNION [ALL]. */

@@ -48,8 +48,10 @@ object Cypher {
    * before the write — re-MATCH against the returned graph to observe them.
    */
   def execute(spark: SparkSession, graph: PropertyGraph, query: String,
-      params: Map[String, Any] = Map.empty): (PropertyGraph, Option[DataFrame]) =
-    Planner.execute(spark, graph, CypherParser.parse(query), params)
+      params: Map[String, Any] = Map.empty,
+      txCommit: PropertyGraph => PropertyGraph = Planner.defaultTxCommit)
+      : (PropertyGraph, Option[DataFrame]) =
+    Planner.execute(spark, graph, CypherParser.parse(query), params, txCommit)
 
   /** Parse-only entry, for tooling/tests. */
   def parse(query: String): Ast.Query = CypherParser.parse(query)

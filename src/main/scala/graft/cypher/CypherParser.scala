@@ -380,7 +380,13 @@ object CypherParser extends RegexParsers {
       foreachClause
 
   private def callSubquery: Parser[Clause] =
-    K("CALL") ~> "{" ~> singleQuery <~ "}" ^^ CallSubquery.apply
+    (K("CALL") ~> "{" ~> singleQuery <~ "}") ~
+      opt(K("IN") ~> K("TRANSACTIONS") ~>
+        opt(K("OF") ~> """\d+""".r <~ K("ROWS"))) ^^ {
+      case q ~ None       => CallSubquery(q)
+      case q ~ Some(size) => // reference default batch size: 1000 rows
+        CallSubquery(q, Some(size.map(_.toLong).getOrElse(1000L)))
+    }
 
   private def callClause: Parser[Clause] =
     K("CALL") ~> funcName ~ opt("(" ~> repsep(expression, ",") <~ ")") ~

@@ -56,6 +56,8 @@ object Planner {
           new java.util.IdentityHashMap[RelPattern, java.lang.Boolean]())) {
     private var counter = 0
     def fresh(prefix: String): String = { counter += 1; s"__${prefix}_$counter" }
+    /** per-transaction commit hook for CALL {} IN TRANSACTIONS */
+    var txCommit: PropertyGraph => PropertyGraph = Planner.defaultTxCommit
     /** stable per-plan seed for created-entity id hashing */
     val runTag: String = java.util.UUID.randomUUID().toString
     /** count-store label cardinalities, computed at most once per plan —
@@ -86,11 +88,21 @@ object Planner {
     * observe earlier writes (the reference's Eager semantics hold because
     * each write produces a new immutable snapshot that subsequent clauses
     * plan against). */
+  /** Default per-transaction "commit": materialize the snapshot (eager
+    * localCheckpoint — cuts lineage and makes the batch's effects concrete,
+    * like a flushed transaction). Pass a GraphStore-backed callback to
+    * Cypher.execute for durable versioned commits. */
+  val defaultTxCommit: PropertyGraph => PropertyGraph =
+    g => PropertyGraph(g.nodes.localCheckpoint(), g.rels.localCheckpoint())
+
   def execute(spark: SparkSession, g: PropertyGraph, query: Query,
-      params: Map[String, Any]): (PropertyGraph, Option[DataFrame]) = {
+      params: Map[String, Any],
+      txCommit: PropertyGraph => PropertyGraph = defaultTxCommit)
+      : (PropertyGraph, Option[DataFrame]) = {
     require(query.parts.size == 1, "UNION is not supported in updating queries")
     val q = query.parts.head
     val ctx = new Ctx(spark, g, params, neededProps(q), pruneEligibleRels(q))
+    ctx.txCommit = txCommit
     var env = Env(None, Map.empty)
     var returned: Option[DataFrame] = None
     q.clauses.foreach {
@@ -108,6 +120,12 @@ object Planner {
       case r: RemoveClause => planSetItems(ctx, env, r.items)
       case d: DeleteClause => planDelete(ctx, env, d)
       case f: ForeachClause => planForeach(ctx, env, f)
+      case cc: CallClause  => env = planCall(ctx, env, cc)
+      case cs: CallSubquery =>
+        env = cs.inTransactionsOf match {
+          case Some(n) => planCallInTransactions(ctx, env, cs, n)
+          case None    => planCallSubquery(ctx, env, cs)
+        }
       case r: ReturnClause =>
         returned = Some(planProjection(ctx, env, r.items, r.distinct, r.orderBy,
           r.skip, r.limit, isReturn = true).df.get)
@@ -448,7 +466,7 @@ object Planner {
       case DeleteClause(_, _)    => ()
       case f: ForeachClause      => walkForeach(f)
       case CallClause(_, args, _) => args.foreach(walk)
-      case CallSubquery(inner)    => inner.clauses.foreach(walkClause)
+      case CallSubquery(inner, _) => inner.clauses.foreach(walkClause)
     }
     q.clauses.foreach(walkClause)
     acc.toMap
@@ -497,7 +515,7 @@ object Planner {
       case DeleteClause(vs, _)  => acc ++= vs
       case ForeachClause(_, list, updates) => walk(list); updates.foreach(walkClause)
       case CallClause(_, args, _) => args.foreach(walk)
-      case CallSubquery(inner)    => inner.clauses.foreach(walkClause)
+      case CallSubquery(inner, _) => inner.clauses.foreach(walkClause)
     }
     q.clauses.foreach(walkClause)
     acc.toSet
@@ -1149,6 +1167,8 @@ object Planner {
     * aggregation over zero matches drops the outer row (use COUNT{} for
     * zero-preserving counts). */
   private def planCallSubquery(ctx: Ctx, env: Env, cs: CallSubquery): Env = {
+    require(cs.inTransactionsOf.isEmpty,
+      "CALL {} IN TRANSACTIONS mutates the graph — use Cypher.execute")
     val importing = cs.inner.clauses.headOption match {
       case Some(WithClause(false, items, Nil, None, None, None))
         if env.df.isDefined && items.nonEmpty && items.forall {
@@ -1191,6 +1211,76 @@ object Planner {
         }
         Env(Some(df), env.binds ++ inner.columns.map(_ -> (ValueVar: Binding)))
     }
+  }
+
+  /** CALL { <writes> } IN TRANSACTIONS OF n ROWS (reference TransactionApply
+    * LogicalPlan.scala:4039 / TransactionForeach :4100,
+    * pipes/TransactionForeachPipe.scala): the inner updating query runs over
+    * chunks of n input rows with a commit (ctx.txCommit) after every chunk —
+    * the bulk-load idiom that bounds per-transaction state. Chunks are
+    * processed sequentially, as in the reference; within a chunk every write
+    * is the usual set-based batch operator, so a 100 TB load is
+    * |rows|/n sequential commits of fully-distributed jobs. */
+  private def planCallInTransactions(ctx: Ctx, env: Env, cs: CallSubquery,
+      n: Long): Env = {
+    require(n >= 1, s"IN TRANSACTIONS OF $n ROWS: batch size must be >= 1")
+    val df0 = env.df.getOrElse(unit(ctx.spark))
+    val importing = cs.inner.clauses.headOption match {
+      case Some(WithClause(false, items, Nil, None, None, None))
+        if items.nonEmpty && items.forall {
+          case ReturnItem(Variable(v), alias) => env.has(v) && alias.forall(_ == v)
+          case _ => false
+        } => Some(items.map { case ReturnItem(Variable(v), _) => v })
+      case _ => None
+    }
+    val innerClauses = if (importing.isDefined) cs.inner.clauses.tail else cs.inner.clauses
+    require(!innerClauses.exists { case _: ReturnClause => true; case _ => false },
+      "CALL {} IN TRANSACTIONS with an inner RETURN is not supported — " +
+        "use TransactionForeach shape (side effects only)")
+    val keep = importing match {
+      case Some(refs) => refKeyCols(df0, refs.sorted)
+      case None       => df0.columns.toSeq
+    }
+    val binds = importing match {
+      case Some(refs) => env.binds.view.filterKeys(refs.contains).toMap
+      case None       => env.binds
+    }
+    // number rows once (driver-side batching is inherently sequential — the
+    // reference's transaction batching is too); the single-partition window
+    // only carries the narrow key columns
+    val rowId = ctx.fresh("txrow")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(monotonically_increasing_id())
+    val numbered = df0.select(keep.map(col): _*)
+      .withColumn(rowId, row_number().over(w)).localCheckpoint()
+    val total = numbered.count()
+    var start = 1L
+    while (start <= total) {
+      val batch = numbered
+        .filter(col(rowId) >= start && col(rowId) < start + n).drop(rowId)
+      var inner = Env(Some(batch), binds)
+      innerClauses.foreach {
+        case m: MatchClause   => inner = planMatch(ctx, inner, m)
+        case u: UnwindClause  => inner = planUnwind(ctx, inner, u)
+        case wc: WithClause =>
+          inner = planProjection(ctx, inner, wc.items, wc.distinct, wc.orderBy,
+            wc.skip, wc.limit, isReturn = false)
+          wc.where.foreach { pred =>
+            inner = inner.copy(df = inner.df.map(_.filter(compile(ctx, inner, pred))))
+          }
+        case c: CreateClause  => inner = planCreate(ctx, inner, c)
+        case m: MergeClause   => inner = planMerge(ctx, inner, m)
+        case s: SetClause     => planSetItems(ctx, inner, s.items)
+        case r: RemoveClause  => planSetItems(ctx, inner, r.items)
+        case d: DeleteClause  => planDelete(ctx, inner, d)
+        case f: ForeachClause => planForeach(ctx, inner, f)
+        case other => throw new IllegalArgumentException(
+          s"unsupported clause in CALL IN TRANSACTIONS: $other")
+      }
+      ctx.g = ctx.txCommit(ctx.g) // transaction boundary
+      start += n
+    }
+    env // TransactionForeach: input rows pass through unchanged
   }
 
   /** prepend the imported variables to a projection so the correlation key

@@ -315,6 +315,24 @@ object CypherQueries {
       },
       Some("SELECT DISTINCT c_mktsegment AS segment FROM customer")),
 
+    // CALL {} IN TRANSACTIONS OF n ROWS: batched MERGE over the customer
+    // segments — 5 distinct segments upserted across multiple 40-row
+    // commits; idempotent across batches (later batches MATCH the nodes
+    // earlier commits created).
+    QueryDef("q_cypher_tx_batch",
+      (s, d) => {
+        val (g2, _) = Cypher.execute(s, TpchGraph.load(s, d),
+          """MATCH (c:Customer) WHERE c.key <= 200
+            |CALL { WITH c
+            |  MERGE (seg:Segment {name: c.mktsegment})
+            |  ON CREATE SET seg.firstSeen = c.key
+            |} IN TRANSACTIONS OF 40 ROWS""".stripMargin)
+        Cypher.run(s, g2,
+          "MATCH (seg:Segment) RETURN seg.name AS segment ORDER BY segment")
+      },
+      Some("""SELECT DISTINCT c_mktsegment AS segment FROM customer
+             |WHERE c_custkey <= 200 ORDER BY segment""".stripMargin)),
+
     QueryDef("q_cypher_write_set",
       (s, d) => {
         val (g2, _) = Cypher.execute(s, TpchGraph.load(s, d),

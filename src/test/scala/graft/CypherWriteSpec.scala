@@ -134,4 +134,32 @@ class CypherWriteSpec extends AnyFunSuite {
         |FOREACH (x IN ps | SET x:Visited)""".stripMargin)
     assert(g3.nodes.filter(array_contains(col("labels"), "Visited")).count() == 3)
   }
+
+  test("CALL {} IN TRANSACTIONS batches writes with a commit per chunk") {
+    var commits = 0
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      """MATCH (p:Person)
+        |CALL { WITH p
+        |  CREATE (:Log {who: p.name})
+        |} IN TRANSACTIONS OF 1 ROWS""".stripMargin,
+      txCommit = { g => commits += 1
+        graft.graph.PropertyGraph(g.nodes.localCheckpoint(), g.rels.localCheckpoint()) })
+    assert(commits == 3, s"expected one commit per single-row batch, got $commits")
+    val logs = g2.nodes.filter(array_contains(col("labels"), "Log"))
+      .select("who").collect().map(_.getString(0)).sorted
+    assert(logs.toSeq == Seq("Alice", "Bob", "Carol"))
+  }
+
+  test("IN TRANSACTIONS MERGE sees earlier batches' commits (no duplicates)") {
+    var commits = 0
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      """MATCH (p:Person)
+        |CALL { WITH p
+        |  MERGE (c:CityTag {name: 'X'})
+        |} IN TRANSACTIONS OF 2 ROWS""".stripMargin,
+      txCommit = { g => commits += 1
+        graft.graph.PropertyGraph(g.nodes.localCheckpoint(), g.rels.localCheckpoint()) })
+    assert(commits == 2) // 3 persons / 2-row batches
+    assert(g2.nodes.filter(array_contains(col("labels"), "CityTag")).count() == 1)
+  }
 }
