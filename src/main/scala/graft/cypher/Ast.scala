@@ -46,6 +46,12 @@ object Ast {
   /** `COUNT { <pattern> [WHERE …] }` subquery expression
     * (NestedPlanExpression in the reference). */
   final case class PatternCount(pattern: PathPattern, where: Option[Expr]) extends Expr
+  /** Pattern comprehension `[(n)-->(b) WHERE … | expr]` and
+    * `COLLECT { MATCH <pattern> [WHERE …] RETURN expr }` — both lower to the
+    * RollUpApply shape (reference
+    * ReplacePatternComprehensionWithCollectSubquery.scala). */
+  final case class PatternComprehension(pattern: PathPattern, where: Option[Expr],
+      projection: Expr) extends Expr
   /** Map projection `v {.key, alias: expr}` → struct. */
   final case class MapProjection(subject: Expr,
       items: Seq[Either[String, (String, Expr)]]) extends Expr

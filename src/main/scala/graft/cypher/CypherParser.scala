@@ -196,6 +196,20 @@ object CypherParser extends RegexParsers {
       case v ~ l ~ w ~ p => ListComprehension(v, l, w, p)
     }
 
+  /** `[(a)-[:T]->(b) WHERE … | expr]` — starts with a node pattern, which
+    * disambiguates it from list literals/comprehensions. */
+  private def patternComprehension: Parser[Expr] =
+    "[" ~> pathPattern ~ opt(K("WHERE") ~> expression) ~
+      ("|" ~> expression) <~ "]" ^^ {
+      case p ~ w ~ proj => PatternComprehension(p, w, proj)
+    }
+
+  private def collectSubquery: Parser[Expr] =
+    "(?i)collect".r ~> "{" ~> opt(K("MATCH")) ~> pathPattern ~
+      opt(K("WHERE") ~> expression) ~ (K("RETURN") ~> expression) <~ "}" ^^ {
+      case p ~ w ~ proj => PatternComprehension(p, w, proj)
+    }
+
   private def countStar: Parser[Expr] =
     "(?i)count\\s*\\(\\s*\\*\\s*\\)".r ^^ (_ => CountStar)
 
@@ -213,8 +227,8 @@ object CypherParser extends RegexParsers {
 
   private def atom: Parser[Expr] =
     literal | caseExpr | existsExpr | countStar | countSubquery |
-    iterPredicate | reduceExpr | funcCall | param |
-    listComprehension | listLit | mapLitExpr |
+    collectSubquery | iterPredicate | reduceExpr | funcCall | param |
+    patternComprehension | listComprehension | listLit | mapLitExpr |
     "(" ~> expression <~ ")" |
     ident ^^ Variable.apply
 

@@ -423,6 +423,8 @@ object Planner {
       case Slice(l, f, t)     => walk(l); f.foreach(walk); t.foreach(walk)
       case PatternExists(p, w, _) => walkPattern(p); w.foreach(walk)
       case PatternCount(p, w)     => walkPattern(p); w.foreach(walk)
+      case PatternComprehension(p, w, proj) =>
+        walkPattern(p); w.foreach(walk); walk(proj)
       case ListComprehension(_, l, w, p) => walk(l); w.foreach(walk); p.foreach(walk)
       case IterPredicate(_, _, l, pr) => walk(l); walk(pr)
       case Reduce(_, init, _, l, st)  => walk(init); walk(l); walk(st)
@@ -757,8 +759,9 @@ object Planner {
   }
 
   private def containsPatternExists(e: Expr): Boolean = e match {
-    case _: PatternExists       => true
-    case _: PatternCount        => true
+    case _: PatternExists        => true
+    case _: PatternCount         => true
+    case _: PatternComprehension => true
     case BinOp(_, l, r)         => containsPatternExists(l) || containsPatternExists(r)
     case UnaryOp(_, o)          => containsPatternExists(o)
     case IsNull(o, _)           => containsPatternExists(o)
@@ -776,9 +779,10 @@ object Planner {
   private def lowerExists(ctx: Ctx, env0: Env, e: Expr): (Env, Expr, Seq[String]) = {
     var env = env0
     val flags = Seq.newBuilder[String]
-    def subPlan(p: PathPattern, w: Option[Expr]): (Seq[String], DataFrame) = {
+    def subPlan(p: PathPattern, w: Option[Expr],
+        extra: Set[String] = Set.empty): (Seq[String], Env) = {
       val df = env.df.get
-      val refs = (patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty))
+      val refs = (patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty) ++ extra)
         .filter(env.has).toSeq.sorted
       require(refs.nonEmpty, "pattern subquery must reference a bound variable")
       val keyCols = refKeyCols(df, refs)
@@ -789,13 +793,14 @@ object Planner {
       // join back on entity identity only (the reference's SemiApply keys on
       // ids): hydrated `v$prop` columns can be NULL and using-joins are
       // null-unsafe, so a NULL property must not make the key miss
-      (refs, sub.df.get)
+      (refs, sub)
     }
     def rewrite(x: Expr): Expr = x match {
       case PatternExists(p, w, _) =>
         val flag = ctx.fresh("exists")
         val (keyCols, sub) = subPlan(p, w)
-        val hit = sub.select(keyCols.map(col): _*).distinct().withColumn(flag, lit(true))
+        val hit = sub.df.get.select(keyCols.map(col): _*).distinct()
+          .withColumn(flag, lit(true))
         env = env.copy(df = Some(
           env.df.get.join(hit, keyCols, "left_outer")
             .withColumn(flag, coalesce(col(flag), lit(false)))),
@@ -805,13 +810,34 @@ object Planner {
       case PatternCount(p, w) =>
         val cnt = ctx.fresh("cnt")
         val (keyCols, sub) = subPlan(p, w)
-        val counts = sub.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as(cnt))
+        val counts = sub.df.get.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as(cnt))
         env = env.copy(df = Some(
           env.df.get.join(counts, keyCols, "left_outer")
             .withColumn(cnt, coalesce(col(cnt), lit(0L)))),
           binds = env.binds + (cnt -> ValueVar))
         flags += cnt
         Variable(cnt)
+      case PatternComprehension(p, w, proj) =>
+        // RollUpApply (reference LogicalPlan RollUpApply /
+        // ReplacePatternComprehensionWithCollectSubquery): plan the pattern
+        // from the distinct referenced keys, collect the projection per key,
+        // left-outer join back, no-match → empty list. Documented
+        // divergence: element order is deterministic (sorted), not
+        // storage order — Cypher leaves it unspecified.
+        val lcol = ctx.fresh("pc")
+        val (keyCols, sub) = subPlan(p, w, exprVars(proj))
+        val collected = sub.df.get
+          .withColumn("__pcv", compile(ctx, sub, proj))
+          .groupBy(keyCols.map(col): _*)
+          .agg(sort_array(collect_list(col("__pcv"))).as(lcol))
+        val listType = collected.schema(lcol).dataType
+        env = env.copy(df = Some(
+          env.df.get.join(collected, keyCols, "left_outer")
+            .withColumn(lcol, coalesce(col(lcol), array().cast(listType)))),
+          binds = env.binds + (lcol -> ValueVar))
+        flags += lcol
+        Variable(lcol)
       case BinOp(op, l, r)   => BinOp(op, rewrite(l), rewrite(r))
       case UnaryOp(op, o)    => UnaryOp(op, rewrite(o))
       case IsNull(o, n)      => IsNull(rewrite(o), n)
@@ -877,6 +903,8 @@ object Planner {
       exprVars(l) ++ f.map(exprVars).getOrElse(Set.empty) ++ t.map(exprVars).getOrElse(Set.empty)
     case PatternExists(p, w, _) => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
     case PatternCount(p, w)     => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
+    case PatternComprehension(p, w, proj) =>
+      patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty) ++ exprVars(proj)
     case MapProjection(sub, items) =>
       exprVars(sub) ++ items.flatMap {
         case Right((_, e)) => exprVars(e); case _ => Set.empty[String] }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.cypher.Cypher
 import graft.graph.TpchGraph
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * The correctness gate for the Cypher surface: every query here is a Cypher
@@ -314,6 +315,24 @@ object CypherQueries {
         Cypher.run(s, g2, "MATCH (seg:Segment) RETURN seg.name AS segment")
       },
       Some("SELECT DISTINCT c_mktsegment AS segment FROM customer")),
+
+    // pattern comprehension [(c)-[:PLACED]->(o) | o.key] — RollUpApply
+    // lowering; empty matches yield [] (not a dropped row). Arrays compare
+    // as joined strings per the oracle convention.
+    QueryDef("q_cypher_pattern_comprehension",
+      (s, d) => {
+        val df = Cypher.run(s, TpchGraph.load(s, d),
+          """MATCH (c:Customer) WHERE c.key <= 50
+            |RETURN c.key AS ckey, [(c)-[:PLACED]->(o) | o.key] AS orders""".stripMargin)
+        df.select(col("ckey"), array_join(col("orders"), ",").as("orders"),
+          size(col("orders")).as("n"))
+      },
+      Some("""SELECT c_custkey AS ckey,
+             |  coalesce(string_agg(o_orderkey, ',' ORDER BY o_orderkey), '') AS orders,
+             |  CAST(count(o_orderkey) AS INT) AS n
+             |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |WHERE c_custkey <= 50
+             |GROUP BY c_custkey""".stripMargin)),
 
     // CALL {} IN TRANSACTIONS OF n ROWS: batched MERGE over the customer
     // segments — 5 distinct segments upserted across multiple 40-row

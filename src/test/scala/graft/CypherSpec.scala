@@ -462,6 +462,45 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("Bob", 1), ("Carol", 1), ("Dave", 2)))
   }
 
+  test("pattern comprehension collects per-row lists, [] on no match") {
+    val rows = run(
+      """MATCH (a:Person)
+        |RETURN a.name AS name, [(a)-[:KNOWS]->(b) | b.name] AS friends
+        |ORDER BY name""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList)
+    assert(rows.toSeq == Seq(
+      "Alice" -> List("Bob", "Carol"), "Bob" -> List("Carol"),
+      "Carol" -> List("Dave"), "Dave" -> List()))
+  }
+
+  test("pattern comprehension WHERE filters inside the sub-pattern") {
+    val rows = run(
+      """MATCH (a:Person {name: 'Alice'})
+        |RETURN [(a)-[:KNOWS]->(b) WHERE b.age > 26 | b.name] AS older""".stripMargin)
+      .collect()(0).getSeq[String](0).toList
+    assert(rows == List("Carol"))
+  }
+
+  test("COLLECT subquery equals the comprehension form") {
+    val rows = run(
+      """MATCH (a:Person)
+        |RETURN a.name AS name,
+        |  COLLECT { MATCH (a)-[:KNOWS]->(b) RETURN b.name } AS friends
+        |ORDER BY name""".stripMargin).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList)
+    assert(rows.toSeq == Seq(
+      "Alice" -> List("Bob", "Carol"), "Bob" -> List("Carol"),
+      "Carol" -> List("Dave"), "Dave" -> List()))
+  }
+
+  test("pattern comprehension usable inside expressions (size)") {
+    val n = run(
+      """MATCH (a:Person {name: 'Alice'})
+        |RETURN size([(a)-[:KNOWS]->(b) | b.name]) AS n""".stripMargin)
+      .collect()(0).getInt(0)
+    assert(n == 2)
+  }
+
   test("endpoints-only unbounded * walks a 12-deep chain to exhaustion") {
     val nodeSchema = StructType(Seq(
       StructField("id", LongType), StructField("labels", ArrayType(StringType)),
