@@ -397,6 +397,7 @@ object Planner {
       case Prop(s, _)           => walk(s)
       case Func("labels", Seq(Variable(v)), _)    => add(v, "labels")
       case Func("relationships" | "rels", Seq(Variable(v)), _) => add(v, "rels")
+      case Func("nodes", Seq(Variable(v)), _)     => add(v, "nodes")
       case Func("properties" | "keys", Seq(Variable(v)), _) => add(v, "*")
       case MapProjection(sub, items) =>
         sub match {
@@ -618,7 +619,8 @@ object Planner {
     val pv = s.pathVar.getOrElse(ctx.fresh("p"))
     val minHops = rel.varLength.map(_._1).getOrElse(1)
     val df = env.df.get
-    val needPath = ctx.needed.getOrElse(pv, Set.empty).contains("rels")
+    val pvNeeded = ctx.needed.getOrElse(pv, Set.empty)
+    val needPath = pvNeeded.contains("rels") || pvNeeded.contains("nodes")
     if (s.all) {
       // allShortestPaths: every minimal-hop tie, path always bound
       val typed = rel.dir match {
@@ -636,7 +638,8 @@ object Planner {
         df.select(col(fromVar).as("source")).distinct(), maxDepth)
         .filter(col("dist") >= minHops)
         .select(col("source"), col("node").as(toVar),
-          col("dist").as(s"$pv$$length"), col("path").as(s"$pv$$rels"))
+          col("dist").as(s"$pv$$length"), col("path").as(s"$pv$$rels"),
+          col("nodes").as(s"$pv$$nodes"))
       var joined = df.join(sp, col(fromVar) === col("source")).drop("source")
       toNode.variable.filter(env.has) match {
         case Some(tv) =>
@@ -669,7 +672,8 @@ object Planner {
         df.select(col(fromVar).as("source")).distinct(), maxIter = maxDepth)
         .filter(col("dist") >= minHops)
         .select(col("source"), col("node").as(toVar),
-          col("dist").cast("int").as(s"$pv$$length"), col("path").as(s"$pv$$rels"))
+          col("dist").cast("int").as(s"$pv$$length"), col("path").as(s"$pv$$rels"),
+          col("nodes").as(s"$pv$$nodes"))
       var joined = df.join(sp, col(fromVar) === col("source")).drop("source")
       toNode.variable.filter(env.has) match {
         case Some(tv) => // bound far node: constrain
@@ -1702,6 +1706,13 @@ object Planner {
             col(s"$v$$rels") // rel-id sequence of a shortestPath variable
           case other => throw new IllegalArgumentException(
             "relationships() takes a shortestPath variable")
+        }
+      case "nodes" =>
+        args.head match {
+          case Variable(v) if env.binds.get(v).contains(PathVar) =>
+            col(s"$v$$nodes") // node-id sequence incl. both endpoints
+          case other => throw new IllegalArgumentException(
+            "nodes() takes a shortestPath variable")
         }
       case "tostring"  => a0.cast("string")
       case "tointeger" => a0.cast("long")

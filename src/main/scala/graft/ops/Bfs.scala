@@ -121,14 +121,16 @@ object Bfs {
    *
    * @param edges (id, src, dst) pre-oriented/filtered
    * @param sources (source)
-   * @return (source, node, dist, path ARRAY<LONG> of rel ids) — one row per
-   *         distinct shortest path
+   * @return (source, node, dist, path ARRAY<LONG> of rel ids,
+   *         nodes ARRAY<LONG> of node ids incl. both endpoints) — one row
+   *         per distinct shortest path
    */
   def allShortestPaths(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select(col("src").as("__s"), col("dst").as("__d"),
       col("id").as("__e")).localCheckpoint(false)
     var frontier = sources.select(col("source"), col("source").as("node"),
-        lit(0).as("dist"), array().cast("array<long>").as("path"))
+        lit(0).as("dist"), array().cast("array<long>").as("path"),
+        array(col("source")).as("nodes"))
       .localCheckpoint()
     var visited = frontier.select("source", "node")
     val out = Seq.newBuilder[DataFrame]
@@ -138,7 +140,8 @@ object Bfs {
       depth += 1
       frontier = frontier.join(e, col("node") === col("__s"))
         .select(col("source"), col("__d").as("node"), lit(depth).as("dist"),
-          concat(col("path"), array(col("__e"))).as("path"))
+          concat(col("path"), array(col("__e"))).as("path"),
+          concat(col("nodes"), array(col("__d"))).as("nodes"))
         .join(visited, Seq("source", "node"), "left_anti")
         .localCheckpoint()
       visited = visited.unionByName(frontier.select("source", "node").distinct())

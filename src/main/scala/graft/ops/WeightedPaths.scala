@@ -33,7 +33,8 @@ object WeightedPaths {
    * @param maxIter round cap = max hops of any shortest path; throws if
    *                exhausted before convergence rather than returning
    *                silently-wrong distances
-   * @return (source, node, dist, path ARRAY<LONG> of edge ids)
+   * @return (source, node, dist, path ARRAY<LONG> of edge ids,
+   *         nodes ARRAY<LONG> of visited node ids incl. both endpoints)
    */
   def shortestPaths(edges: DataFrame, sources: DataFrame, maxIter: Int = 50): DataFrame = {
     val e = edges.select(col("src").as("__s"), col("dst").as("__d"),
@@ -41,7 +42,8 @@ object WeightedPaths {
       .localCheckpoint(false)
 
     var best = sources.select(col("source"), col("source").as("node"),
-      lit(0.0).as("dist"), array().cast("array<long>").as("path"))
+      lit(0.0).as("dist"), array().cast("array<long>").as("path"),
+      array(col("source")).as("nodes"))
       .localCheckpoint()
     var frontier = best
     var iter = 0
@@ -51,15 +53,19 @@ object WeightedPaths {
       val relaxed = frontier.join(e, col("node") === col("__s"))
         .select(col("source"), col("__d").as("node"),
           (col("dist") + col("__w")).as("dist"),
-          concat(col("path"), array(col("__e"))).as("path"))
+          concat(col("path"), array(col("__e"))).as("path"),
+          concat(col("nodes"), array(col("__d"))).as("nodes"))
       // per-(source,node) minimum over old best ∪ newly relaxed; struct
       // ordering = (dist, path) so equal-distance ties resolve
-      // deterministically to the smallest edge-id sequence
+      // deterministically to the smallest edge-id sequence (the node array
+      // is functionally determined by the edge path, so trailing it in the
+      // struct never affects the ordering)
       val merged = best.unionByName(relaxed)
         .groupBy("source", "node")
-        .agg(min(struct(col("dist"), col("path"))).as("__m"))
+        .agg(min(struct(col("dist"), col("path"), col("nodes"))).as("__m"))
         .select(col("source"), col("node"),
-          col("__m.dist").as("dist"), col("__m.path").as("path"))
+          col("__m.dist").as("dist"), col("__m.path").as("path"),
+          col("__m.nodes").as("nodes"))
         .localCheckpoint()
       // next frontier: strictly improved entries only
       frontier = merged.join(

@@ -194,6 +194,28 @@ object CypherQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey WHERE c_custkey < 20""".stripMargin),
 
+    // nodes(p) — the node-id sequence of a shortestPath (reference
+    // functions/Nodes.scala), carried alongside the rel-id path.
+    // node-id scheme: Customer = (3<<44)+key, Nation = (2<<44)+key,
+    // Region = (1<<44)+key.
+    cq("q_cypher_shortest_nodes_out",
+      """MATCH (c:Customer) WHERE c.key < 20
+        |MATCH p = shortestPath((c)-[:FROM|IN_REGION*..4]->(x))
+        |WHERE x.name IS NOT NULL
+        |RETURN c.key AS ckey, x.name AS reached, length(p) AS hops,
+        |  reduce(acc = '', n IN nodes(p) | acc || ',' || toString(n)) AS nds""".stripMargin,
+      """SELECT c_custkey AS ckey, n_name AS reached, 1 AS hops,
+        |  ',' || CAST(52776558133248 + c_custkey AS VARCHAR) ||
+        |  ',' || CAST(35184372088832 + n_nationkey AS VARCHAR) AS nds
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey < 20
+        |UNION ALL
+        |SELECT c_custkey, r_name, 2,
+        |  ',' || CAST(52776558133248 + c_custkey AS VARCHAR) ||
+        |  ',' || CAST(35184372088832 + n_nationkey AS VARCHAR) ||
+        |  ',' || CAST(17592186044416 + r_regionkey AS VARCHAR)
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey WHERE c_custkey < 20""".stripMargin),
+
     // correlated CALL subquery: per-nation aggregate over imported key.
     // avg is computed as round(sum)/count: the exact sum has 2 decimals so
     // rounding it is never at a half-ulp boundary, unlike avg() whose

@@ -448,6 +448,18 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1) == Seq(12L, 13L))
   }
 
+  test("nodes(p) exposes the node sequence of a shortest path") {
+    val r = run(
+      """MATCH (a {name: 'Alice'})
+        |MATCH p = shortestPath((a)-[:KNOWS*..6]->(x))
+        |WHERE x.name = 'Dave'
+        |RETURN nodes(p) AS ns, relationships(p) AS rs""".stripMargin)
+      .collect()(0)
+    // Alice(1) -> Carol(3) -> Dave(4), rels 12, 13
+    assert(r.getSeq[Long](0) == Seq(1L, 3L, 4L))
+    assert(r.getSeq[Long](1) == Seq(12L, 13L))
+  }
+
   test("allShortestPaths returns every tie") {
     // two minimal 2-hop routes Alice->..->Dave? only one exists; use Bob:
     // Alice-KNOWS->Bob and Alice-KNOWS->Carol are both 1-hop minimal to
