@@ -62,8 +62,11 @@ object Bfs {
         .join(visited.select("source", "node"), Seq("source", "node"), "left_anti")
         .withColumn("dist", lit(depth))
         .localCheckpoint()
-      // visited stays a lazy union of already-checkpointed frontier deltas
+      // visited is a lazy union of already-checkpointed frontier deltas,
+      // re-materialized as ONE table every few rounds: without compaction a
+      // depth-D walk scans O(D) deltas per anti-join → O(D²) total
       visited = visited.unionByName(frontier)
+      if (depth % 4 == 0) visited = visited.localCheckpoint()
       remaining = (remaining, targets) match {
         case (Some(r), Some(t)) =>
           Some(r - frontier.join(t, Seq("source", "node"), "left_semi").count())
@@ -145,6 +148,7 @@ object Bfs {
         .join(visited, Seq("source", "node"), "left_anti")
         .localCheckpoint()
       visited = visited.unionByName(frontier.select("source", "node").distinct())
+      if (depth % 4 == 0) visited = visited.localCheckpoint() // compact deltas
       out += frontier
     }
     out.result().reduce(_ unionByName _)

@@ -109,4 +109,16 @@ class GraphOpsSpec extends AnyFunSuite {
     val all = Bfs.allShortestPaths(edges, Seq(0L).toDF("source"), maxDepth = 5)
     assert(all.filter(col("node") === 3L && col("dist") =!= 2).count() == 0)
   }
+
+  test("deep BFS (depth 25) completes with compacted visited set") {
+    // 25-deep chain: exercises the every-4-rounds visited re-checkpoint —
+    // without compaction the round-25 anti-join plan unions 24 deltas
+    val edges = (0L until 25L).map(i => (i, i + 1)).toDF("src", "dst")
+    val d = Bfs.distances(edges, Seq(0L).toDF("source"), maxDepth = 30)
+    assert(d.count() == 26)
+    assert(d.filter(col("node") === 25L).select("dist").collect()(0).getInt(0) == 25)
+    val deep = Bfs.allShortestPaths(
+      edges.withColumn("id", col("dst") + 1000), Seq(0L).toDF("source"), maxDepth = 30)
+    assert(deep.filter(col("node") === 25L).select("dist").collect()(0).getInt(0) == 25)
+  }
 }
