@@ -28,10 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    endpoints-only (unused rel variable feeding DISTINCT / min-max
  *    aggregation — planned as frontier BFS); when paths must be
  *    enumerated it requires an explicit upper bound and raises otherwise.
- *  - Cypher's cross-type orderability (ORDER BY over mixed Node/String/
- *    Number values, reference Values comparator) cannot arise here: columns
- *    are statically typed, so mixed-type sorts are rejected at compile time
- *    instead of silently ordered by type rank.
+ *  - Cypher's cross-type orderability (reference Values comparator): mixed
+ *    literal lists (`UNWIND [1,'a',true,null]`) compile to a sortable
+ *    struct encoding whose field order reproduces the global type-rank
+ *    order (String < Boolean < Number, null last ascending);
+ *    toString() decodes. Mixed values from other sources (columns are
+ *    statically typed) remain compile-time errors. NULL placement in ORDER
+ *    BY follows Cypher (last ASC, first DESC).
  */
 object Cypher {
 

@@ -1421,8 +1421,10 @@ object Planner {
       projected = df.select((projCols ++ extra): _*)
       if (distinct) projected = projected.distinct()
       if (sortCols.nonEmpty)
+        // Cypher null placement: last when ascending, first when descending
+        // (reference values comparator) — the opposite of Spark's default
         projected = projected.orderBy(sortCols.map { case (n, _, asc) =>
-          if (asc) col(n).asc else col(n).desc }: _*)
+          if (asc) col(n).asc_nulls_last else col(n).desc_nulls_first }: _*)
       projected = projected.drop(sortCols.collect {
         case (n, c, _) if c != null => n }: _*)
       newBinds = outs.map(o => o.alias ->
@@ -1434,7 +1436,7 @@ object Planner {
       val postEnv = Env(Some(projected), newBinds)
       projected = projected.orderBy(orderBy.map { s =>
         val c = compile(ctx, postEnv, s.expr)
-        if (s.ascending) c.asc else c.desc
+        if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
       }: _*)
     }
     skip.foreach { e => projected = projected.offset(constInt(ctx, e)) }
@@ -1500,6 +1502,18 @@ object Planner {
     def c(x: Expr): Column = compile(ctx, env, x, lambdas)
     e match {
       case Lit(v)      => lit(v)
+      case ListLit(xs) if isMixedLitList(xs) =>
+        // mixed-type literal list (e.g. UNWIND [1,'a',true,null]): encode
+        // every element as the orderability struct so a single Spark column
+        // can hold it AND ORDER BY reproduces Cypher's cross-type global
+        // order (SURVEY §4.3 sortable-encoding item; reference values
+        // comparator). toString() decodes the display text.
+        array(xs.map {
+          case Lit(null)       => graft.functions.Orderability.nullValue
+          case Lit(s: String)  => graft.functions.Orderability.string(lit(s))
+          case Lit(b: Boolean) => graft.functions.Orderability.boolean(lit(b))
+          case e               => graft.functions.Orderability.number(c(e))
+        }: _*)
       case ListLit(xs) => array(xs.map(c): _*)
       case MapLit(es)  => map(es.flatMap { case (k, v) => Seq(lit(k), c(v)) }: _*)
       case Param(n)    => litAny(ctx.params.getOrElse(n,
@@ -1714,7 +1728,9 @@ object Planner {
           case other => throw new IllegalArgumentException(
             "nodes() takes a shortestPath variable")
         }
-      case "tostring"  => a0.cast("string")
+      case "tostring"  =>
+        if (isOrderabilityTyped(env, a0)) graft.functions.Orderability.repr(a0)
+        else a0.cast("string")
       case "tointeger" => a0.cast("long")
       case "tofloat"   => a0.cast("double")
       case "toboolean" => a0.cast("boolean")
@@ -1824,4 +1840,27 @@ object Planner {
       scala.util.Try(df.select(c).schema.head.dataType).toOption
         .exists(_.isInstanceOf[ArrayType])
     }
+
+  private def isOrderabilityTyped(env: Env, c: Column): Boolean =
+    env.df.exists { df =>
+      scala.util.Try(df.select(c).schema.head.dataType).toOption
+        .exists(graft.functions.Orderability.isEncoded)
+    }
+
+  /** literal kinds for the orderability encoding: encode only when the list
+    * mixes >1 non-null kind (string/boolean/number) — homogeneous lists
+    * (incl. with nulls) keep their native Spark type. */
+  private def isMixedLitList(xs: Seq[Expr]): Boolean = {
+    def kind(e: Expr): Option[Char] = e match {
+      case Lit(null)                      => Some('z')
+      case Lit(_: String)                 => Some('s')
+      case Lit(_: Boolean)                => Some('b')
+      case Lit(_: Long) | Lit(_: Double)  => Some('n')
+      case UnaryOp("-", Lit(_: Long))     => Some('n')
+      case UnaryOp("-", Lit(_: Double))   => Some('n')
+      case _                              => None
+    }
+    val kinds = xs.map(kind)
+    kinds.forall(_.isDefined) && (kinds.flatten.toSet - 'z').size > 1
+  }
 }

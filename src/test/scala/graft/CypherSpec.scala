@@ -513,6 +513,30 @@ class CypherSpec extends AnyFunSuite {
     assert(n == 2)
   }
 
+  test("mixed-type ORDER BY follows Cypher orderability type ranks") {
+    // reference order: String < Boolean < Number, null LAST ascending
+    val asc = run(
+      """UNWIND [3, 'b', null, 1.5, true, 'a', 2] AS x
+        |RETURN toString(x) AS s ORDER BY x""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(asc.toSeq == Seq("a", "b", "true", "1.5", "2", "3", "null"))
+    // descending reverses, null first
+    val desc = run(
+      """UNWIND [3, 'b', null, 1.5, true, 'a', 2] AS x
+        |RETURN toString(x) AS s ORDER BY x DESC""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(desc.toSeq == Seq("null", "3", "2", "1.5", "true", "b", "a"))
+  }
+
+  test("ORDER BY on a plain column puts nulls last ASC, first DESC") {
+    val asc = run("MATCH (p:Person) RETURN p.city AS c ORDER BY c")
+      .collect().map(r => Option(r.getString(0)))
+    assert(asc.last.isEmpty && asc.init.forall(_.isDefined)) // Dave's null city last
+    val desc = run("MATCH (p:Person) RETURN p.city AS c ORDER BY c DESC")
+      .collect().map(r => Option(r.getString(0)))
+    assert(desc.head.isEmpty)
+  }
+
   test("endpoints-only unbounded * walks a 12-deep chain to exhaustion") {
     val nodeSchema = StructType(Seq(
       StructField("id", LongType), StructField("labels", ArrayType(StringType)),
