@@ -38,9 +38,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object Cypher {
 
+  /** LRU caches mirroring the reference's QueryCache (QueryCache.scala:122,
+    * 1000-entry default): parse results keyed by query text, planned
+    * DataFrames keyed by (text, params) and validated against the graph
+    * snapshot by reference (a new snapshot must re-plan). Read-only plans
+    * are immutable DataFrames, so handing the same instance back is safe;
+    * updating queries (execute) are never cached — each run re-plans with a
+    * fresh runTag. */
+  private final class Lru[K, V](max: Int)
+      extends java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      size > max
+  }
+  private val parseCache = new Lru[String, Ast.Query](1000)
+  private val planCache =
+    new Lru[(String, Map[String, Any]),
+      (java.lang.ref.WeakReference[PropertyGraph], DataFrame)](256)
+  /** cache observability (specs + operational parity with the reference's
+    * cache hit/miss metrics) */
+  @volatile var planCacheHits: Long = 0L
+
   def run(spark: SparkSession, graph: PropertyGraph, query: String,
-      params: Map[String, Any] = Map.empty): DataFrame =
-    Planner.plan(spark, graph, CypherParser.parse(query), params)
+      params: Map[String, Any] = Map.empty): DataFrame = {
+    val key = (query, params)
+    val cached = planCache.synchronized {
+      Option(planCache.get(key)).collect {
+        case (ref, df) if ref.get != null && (ref.get eq graph) => df
+      }
+    }
+    cached match {
+      case Some(df) => planCacheHits += 1; df
+      case None =>
+        val df = Planner.plan(spark, graph, parse(query), params)
+        planCache.synchronized {
+          planCache.put(key, (new java.lang.ref.WeakReference(graph), df))
+        }
+        df
+    }
+  }
 
   /**
    * Updating queries (CREATE / MERGE / SET / REMOVE / DELETE, freely mixed
@@ -54,8 +89,10 @@ object Cypher {
       params: Map[String, Any] = Map.empty,
       txCommit: PropertyGraph => PropertyGraph = Planner.defaultTxCommit)
       : (PropertyGraph, Option[DataFrame]) =
-    Planner.execute(spark, graph, CypherParser.parse(query), params, txCommit)
+    Planner.execute(spark, graph, parse(query), params, txCommit)
 
-  /** Parse-only entry, for tooling/tests. */
-  def parse(query: String): Ast.Query = CypherParser.parse(query)
+  /** Parse entry (cached), also used by run/execute. */
+  def parse(query: String): Ast.Query = parseCache.synchronized {
+    parseCache.computeIfAbsent(query, q => CypherParser.parse(q))
+  }
 }

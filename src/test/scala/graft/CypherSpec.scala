@@ -3,6 +3,7 @@ package graft
 import graft.cypher.Cypher
 import graft.graph.PropertyGraph
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -511,6 +512,24 @@ class CypherSpec extends AnyFunSuite {
         |RETURN size([(a)-[:KNOWS]->(b) | b.name]) AS n""".stripMargin)
       .collect()(0).getInt(0)
     assert(n == 2)
+  }
+
+  test("plan cache: repeated query on the same snapshot skips parse/plan") {
+    val q = "MATCH (n:Person) WHERE n.age > 20 RETURN count(*) AS c"
+    val d1 = Cypher.run(spark, g, q)
+    val hits0 = Cypher.planCacheHits
+    val d2 = Cypher.run(spark, g, q)
+    assert(d2 eq d1, "second run must return the cached plan instance")
+    assert(Cypher.planCacheHits == hits0 + 1)
+    // a NEW graph snapshot must re-plan (no stale reads)
+    val g2 = g.copy(nodes = g.nodes.filter(lit(true)))
+    val d3 = Cypher.run(spark, g2, q)
+    assert(!(d3 eq d1))
+    // different params re-plan too
+    val qp = "MATCH (n:Person) WHERE n.age > $min RETURN count(*) AS c"
+    val p1 = Cypher.run(spark, g, qp, Map("min" -> 20L))
+    val p2 = Cypher.run(spark, g, qp, Map("min" -> 30L))
+    assert(!(p1 eq p2))
   }
 
   test("mixed-type ORDER BY follows Cypher orderability type ranks") {
