@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph ranking / counting algorithms (surplus per SURVEY §2.10 — the
+ * reference ships its algo library in community/graph-algo; PageRank and
+ * triangle counting are the canonical additions next to the shortest-path
+ * family already covered).
+ */
+object Ranking {
+
+  /**
+   * PageRank by synchronous power iteration (Pregel formulation):
+   *   rank_{t+1}(v) = (1-d) + d * Σ_{u→v} rank_t(u) / outdeg(u)
+   * No dangling-mass redistribution (same per-node form the usual graph
+   * libraries use). Init rank = (1-d), the fixed point for in-degree-0
+   * nodes, so DAGs converge in longest-path iterations exactly.
+   *
+   * Each iteration is one join on src + one aggregate on dst — both
+   * hash-partition on the node key at cluster scale; ranks are
+   * lazily checkpointed per round so the final action sees a flat plan.
+   *
+   * @param edges (src, dst)
+   * @return (node, rank)
+   */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1,
+      s"bad pageRank config: iterations=$iterations damping=$damping")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(false)
+    var ranks = nodes.withColumn("rank", lit(1.0 - damping))
+    var i = 0
+    while (i < iterations) {
+      val contrib = e
+        .join(ranks.join(outDeg, "node"), col("src") === col("node"))
+        .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("__in"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    ranks
+  }
+
+  /**
+   * Triangle enumeration over the undirected simple graph: canonicalize
+   * every edge to (u < v), join wedges a<b<c on the shared middle node,
+   * close them against the edge set. One row per distinct triangle —
+   * the standard two-join MapReduce formulation; at scale both joins
+   * hash-partition on node ids and the canonical orientation keeps each
+   * triangle counted exactly once.
+   *
+   * @param edges (src, dst) — direction ignored
+   * @return (a, b, c) with a < b < c, one row per triangle
+   */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(false)
+    val wedges = und.select(col("u").as("a"), col("v").as("b"))
+      .join(und.select(col("u").as("b"), col("v").as("c")), "b")
+    wedges.join(und.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Per-node triangle participation counts (a node appears in each of its
+    * triangles once per corner role). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val t = triangles(edges)
+    t.select(col("a").as("node"))
+      .unionByName(t.select(col("b").as("node")))
+      .unionByName(t.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+}

@@ -194,6 +194,23 @@ object CypherQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey WHERE c_custkey < 20""".stripMargin),
 
+    // NodeIndexScan (IS NOT NULL existence scan, SURVEY §2 #11): the union
+    // node schema has totalprice only on Orders, so the existence scan
+    // selects exactly that label's rows without naming it.
+    cq("q_node_index_scan",
+      """MATCH (n) WHERE n.totalprice IS NOT NULL
+        |RETURN count(*) AS n, round(sum(n.totalprice), 2) AS total""".stripMargin,
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders""".stripMargin),
+
+    // Relationship index seek variants (SURVEY §2 #13): range predicate over
+    // a relationship property (qty) + existence scan over shipdate.
+    cq("q_rel_index_range",
+      """MATCH ()-[r:CONTAINS]->() WHERE r.qty >= 45
+        |RETURN count(*) AS n, round(sum(r.qty), 2) AS total_qty""".stripMargin,
+      """SELECT count(*) AS n, round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem WHERE l_quantity >= 45""".stripMargin),
+
     // nodes(p) — the node-id sequence of a shortestPath (reference
     // functions/Nodes.scala), carried alongside the rel-id path.
     // node-id scheme: Customer = (3<<44)+key, Nation = (2<<44)+key,

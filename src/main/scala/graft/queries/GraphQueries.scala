@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.graph.{Direction, TpchGraph}
-import graft.ops.{Bfs, Expand, Triadic, VarExpand}
+import graft.ops.{Bfs, Expand, Ranking, Trail, Triadic, VarExpand}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -148,6 +148,98 @@ object GraphQueries {
       },
       Some("""SELECT o_custkey AS custkey, CAST(count(*) - 1 AS INT) AS chain_hops
              |FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    // Trail semantics on a CYCLIC graph: 25-node circulant ring with +1/-1
+    // edges (2-hop cycles), so rel-uniqueness rejection actually fires —
+    // unlike linear-chain q_trail. Exhaustive recursive-CTE oracle.
+    QueryDef("q_trail_cyclic",
+      (s, d) => {
+        val nation = t(s, d, "nation").select(col("n_nationkey").cast("long").as("key"))
+        val edges = nation.select((col("key") + 1000).as("id"), col("key").as("src"),
+            ((col("key") + 1) % 25).as("dst"))
+          .unionByName(nation.select((col("key") + 2000).as("id"), col("key").as("src"),
+            ((col("key") + 24) % 25).as("dst")))
+        val starts = nation.filter(col("key") < 5).select(col("key").as("start"))
+        Trail.trail(edges, starts, "start", min = 1, max = 4)
+          .select(col("start"), col("end"), col("hops"),
+            array_join(col("trail_rels"), ",").as("path"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey + 1000 AS BIGINT) AS id,
+             |    CAST(n_nationkey AS BIGINT) AS src,
+             |    CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
+             |  UNION ALL
+             |  SELECT CAST(n_nationkey + 2000 AS BIGINT),
+             |    CAST(n_nationkey AS BIGINT),
+             |    CAST((n_nationkey + 24) % 25 AS BIGINT) FROM nation),
+             |walk AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS start,
+             |    CAST(n_nationkey AS BIGINT) AS node, 0 AS hops,
+             |    CAST([] AS BIGINT[]) AS path
+             |  FROM nation WHERE n_nationkey < 5
+             |  UNION ALL
+             |  SELECT w.start, e.dst, w.hops + 1, list_append(w.path, e.id)
+             |  FROM walk w JOIN e ON e.src = w.node
+             |  WHERE w.hops < 4 AND NOT list_contains(w.path, e.id))
+             |SELECT start, node AS "end", hops,
+             |  coalesce(array_to_string(path, ','), '') AS path
+             |FROM walk WHERE hops >= 1""".stripMargin)),
+
+    // PageRank (power iteration, Pregel form) over the Customer/Supplier →
+    // Nation → Region DAG: converges exactly in 3 iterations there, so the
+    // oracle is the closed-form rank per tier.
+    QueryDef("q_pagerank",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val edges = g.rels.filter(col("type").isin("FROM", "IN_REGION"))
+          .select(col("src"), col("dst"))
+        val ranks = Ranking.pageRank(edges, iterations = 5, damping = 0.85)
+        g.nodes.select(col("id").as("node"), col("labels"), col("key"))
+          .join(ranks, "node")
+          .filter(array_contains(col("labels"), "Nation") ||
+            array_contains(col("labels"), "Region"))
+          .select(element_at(col("labels"), 1).as("label"), col("key"),
+            round(col("rank"), 4).as("rank"))
+      },
+      Some("""WITH members AS (
+             |  SELECT n_nationkey, n_regionkey,
+             |    (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) +
+             |    (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS m
+             |  FROM nation),
+             |nranks AS (
+             |  SELECT n_nationkey, n_regionkey,
+             |    0.15 + 0.85 * 0.15 * m AS rank FROM members)
+             |SELECT 'Nation' AS label, CAST(n_nationkey AS BIGINT) AS key,
+             |  round(rank, 4) AS rank FROM nranks
+             |UNION ALL
+             |SELECT 'Region', CAST(r_regionkey AS BIGINT),
+             |  round(0.15 + 0.85 * (SELECT sum(rank) FROM nranks
+             |    WHERE n_regionkey = r_regionkey), 4)
+             |FROM region""".stripMargin)),
+
+    // Triangle counting: nations linked iff same region → each region is a
+    // clique; triangles = Σ C(|region|, 3), counted by the two-join
+    // canonical-orientation enumeration.
+    QueryDef("q_triangle_count",
+      (s, d) => {
+        val n = t(s, d, "nation")
+        val edges = n.alias("a").join(n.alias("b"),
+            col("a.n_regionkey") === col("b.n_regionkey") &&
+              col("a.n_nationkey") < col("b.n_nationkey"))
+          .select(col("a.n_nationkey").cast("long").as("src"),
+            col("b.n_nationkey").cast("long").as("dst"))
+        val total = Ranking.triangles(edges).agg(count(lit(1)).as("triangles"))
+        val perNode = Ranking.triangleCounts(edges)
+          .agg(sum(col("triangles")).as("corner_sum"))
+        total.crossJoin(perNode) // corner_sum must equal 3 * triangles
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS triangles,
+             |  CAST(3 * count(*) AS BIGINT) AS corner_sum
+             |FROM nation a
+             |JOIN nation b ON b.n_regionkey = a.n_regionkey
+             |  AND a.n_nationkey < b.n_nationkey
+             |JOIN nation c ON c.n_regionkey = a.n_regionkey
+             |  AND b.n_nationkey < c.n_nationkey""".stripMargin)),
 
     // Connected components (graph-algo surplus; reference ships shortest-path
     // variants in community/graph-algo) — nations linked iff same region;

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Ranking
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank / triangle counting golden tests on hand-computed graphs. */
+class RankingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("pageRank on a DAG matches the closed form") {
+    // a -> b, c -> b, b -> d  (d = 0.85)
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val r = Ranking.pageRank(edges, iterations = 5).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.15) < 1e-9)
+    assert(math.abs(r(3L) - 0.15) < 1e-9)
+    val b = 0.15 + 0.85 * (0.15 + 0.15)
+    assert(math.abs(r(2L) - b) < 1e-9)
+    assert(math.abs(r(4L) - (0.15 + 0.85 * b)) < 1e-9)
+  }
+
+  test("pageRank split contributions divide by out-degree") {
+    // hub 1 -> {2, 3}: each sink gets rank(1)/2
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val r = Ranking.pageRank(edges, iterations = 3).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(2L) - (0.15 + 0.85 * 0.075)) < 1e-9)
+    assert(r(2L) == r(3L))
+  }
+
+  test("pageRank on a 2-cycle converges toward 1.0") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    var expected = 0.15
+    (1 to 20).foreach(_ => expected = 0.15 + 0.85 * expected)
+    val r = Ranking.pageRank(edges, iterations = 20).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - expected) < 1e-9 && math.abs(r(2L) - expected) < 1e-9)
+  }
+
+  test("triangles enumerates each triangle once, any edge orientation") {
+    // triangle 1-2-3 (mixed directions) + dangling edge 3-4
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val t = Ranking.triangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t.toSeq == Seq((1L, 2L, 3L)))
+    val counts = Ranking.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("two shared-edge triangles count separately") {
+    // 1-2-3 and 1-2-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    assert(Ranking.triangles(edges).count() == 2)
+    val counts = Ranking.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+}
