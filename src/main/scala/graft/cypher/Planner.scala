@@ -124,7 +124,11 @@ object Planner {
       case cs: CallSubquery =>
         env = cs.inTransactionsOf match {
           case Some(n) => planCallInTransactions(ctx, env, cs, n)
-          case None    => planCallSubquery(ctx, env, cs)
+          case None if cs.inner.clauses.exists(isWrite) =>
+            // SubqueryForeach (reference LogicalPlan :3877): write-CALL{}
+            // without IN TRANSACTIONS = one implicit transaction over all rows
+            planCallInTransactions(ctx, env, cs, Long.MaxValue)
+          case None => planCallSubquery(ctx, env, cs)
         }
       case r: ReturnClause =>
         returned = Some(planProjection(ctx, env, r.items, r.distinct, r.orderBy,
@@ -1287,9 +1291,12 @@ object Planner {
       .withColumn(rowId, row_number().over(w)).localCheckpoint()
     val total = numbered.count()
     var start = 1L
-    while (start <= total) {
+    var done = total == 0
+    while (!done) {
+      // overflow-safe upper bound (n = Long.MaxValue means "one batch")
+      val hi = if (n >= Long.MaxValue - start) Long.MaxValue else start + n
       val batch = numbered
-        .filter(col(rowId) >= start && col(rowId) < start + n).drop(rowId)
+        .filter(col(rowId) >= start && col(rowId) < hi).drop(rowId)
       var inner = Env(Some(batch), binds)
       innerClauses.foreach {
         case m: MatchClause   => inner = planMatch(ctx, inner, m)
@@ -1310,7 +1317,8 @@ object Planner {
           s"unsupported clause in CALL IN TRANSACTIONS: $other")
       }
       ctx.g = ctx.txCommit(ctx.g) // transaction boundary
-      start += n
+      done = hi > total
+      start = hi
     }
     env // TransactionForeach: input rows pass through unchanged
   }

@@ -135,6 +135,17 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(g3.nodes.filter(array_contains(col("labels"), "Visited")).count() == 3)
   }
 
+  test("write-CALL{} without IN TRANSACTIONS runs as one implicit transaction") {
+    var commits = 0
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      """MATCH (p:Person)
+        |CALL { WITH p CREATE (:Log {who: p.name}) }""".stripMargin,
+      txCommit = { g => commits += 1
+        graft.graph.PropertyGraph(g.nodes.localCheckpoint(), g.rels.localCheckpoint()) })
+    assert(commits == 1, s"expected a single implicit transaction, got $commits")
+    assert(g2.nodes.filter(array_contains(col("labels"), "Log")).count() == 3)
+  }
+
   test("CALL {} IN TRANSACTIONS batches writes with a commit per chunk") {
     var commits = 0
     val (g2, _) = Cypher.execute(spark, freshGraph,
