@@ -138,6 +138,20 @@ object Ast {
   final case class CallSubquery(inner: SingleQuery,
       inTransactionsOf: Option[Long] = None) extends Clause
 
+  // ---- schema commands (reference SchemaLogicalPlan.scala: CreateIndex,
+  //      CreateConstraint, DropIndexOnName, ShowIndexes, ShowConstraints) --
+
+  /** `CREATE INDEX name FOR (n:Label) ON (n.prop)` */
+  final case class CreateIndexClause(name: String, label: String,
+      prop: String) extends Clause
+  /** `CREATE CONSTRAINT name FOR (n:Label) REQUIRE n.prop IS UNIQUE |
+    * IS NOT NULL | IS NODE KEY` → kind unique/exists/node_key */
+  final case class CreateConstraintClause(name: String, label: String,
+      prop: String, kind: String) extends Clause
+  final case class DropSchemaClause(isIndex: Boolean, name: String) extends Clause
+  /** `SHOW INDEXES` / `SHOW CONSTRAINTS` */
+  final case class ShowSchemaClause(indexes: Boolean) extends Clause
+
   final case class SingleQuery(clauses: Seq[Clause])
   /** Top level: one or more single queries combined by UNION [ALL]. */
   final case class Query(parts: Seq[SingleQuery], unionAll: Boolean)

@@ -393,6 +393,41 @@ object CypherParser extends RegexParsers {
     createClause | mergeClause | setClause | removeClause | deleteClause |
       foreachClause
 
+  // ---- schema commands (CREATE INDEX/CONSTRAINT, DROP, SHOW) -------------
+
+  private def schemaTarget: Parser[(String, String)] =
+    (K("FOR") ~> "(" ~> ident ~ (":" ~> symName) <~ ")") >> { case v ~ label =>
+      (K("REQUIRE") | K("ON")) ~> opt("(") ~> (ident <~ ".") ~ symName <~ opt(")") ^? (
+        { case v2 ~ prop if v2 == v => (label, prop) },
+        { case v2 ~ _ => s"schema command variable mismatch: $v vs $v2" })
+    }
+
+  private def createConstraintClause: Parser[Clause] =
+    (K("CREATE") ~> K("CONSTRAINT") ~> ident) ~ schemaTarget ~
+      (K("IS") ~> (K("UNIQUE") ^^ (_ => "unique") |
+        (K("NOT") ~ K("NULL")) ^^ (_ => "exists") |
+        (K("NODE") ~ K("KEY")) ^^ (_ => "node_key"))) ^^ {
+      case name ~ ((label, prop)) ~ kind =>
+        CreateConstraintClause(name, label, prop, kind)
+    }
+
+  private def createIndexClause: Parser[Clause] =
+    (K("CREATE") ~> K("INDEX") ~> ident) ~ schemaTarget ^^ {
+      case name ~ ((label, prop)) => CreateIndexClause(name, label, prop)
+    }
+
+  private def dropSchemaClause: Parser[Clause] =
+    K("DROP") ~> (K("INDEX") ^^ (_ => true) | K("CONSTRAINT") ^^ (_ => false)) ~ ident ^^ {
+      case isIndex ~ name => DropSchemaClause(isIndex, name)
+    }
+
+  private def showSchemaClause: Parser[Clause] =
+    K("SHOW") ~> (K("INDEXES") ^^ (_ => true) | K("CONSTRAINTS") ^^ (_ => false)) ^^
+      ShowSchemaClause.apply
+
+  private def schemaClause: Parser[Clause] =
+    createConstraintClause | createIndexClause | dropSchemaClause | showSchemaClause
+
   private def callSubquery: Parser[Clause] =
     (K("CALL") ~> "{" ~> singleQuery <~ "}") ~
       opt(K("IN") ~> K("TRANSACTIONS") ~>
@@ -410,8 +445,8 @@ object CypherParser extends RegexParsers {
     }
 
   private def clause: Parser[Clause] =
-    matchClause | unwindClause | writeClause | callSubquery | callClause |
-      withClause | returnClause
+    matchClause | unwindClause | schemaClause | writeClause | callSubquery |
+      callClause | withClause | returnClause
 
   private def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 

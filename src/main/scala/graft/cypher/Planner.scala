@@ -79,7 +79,8 @@ object Planner {
 
   private def isWrite(c: Clause): Boolean = c match {
     case _: CreateClause | _: MergeClause | _: SetClause | _: RemoveClause |
-         _: DeleteClause => true
+         _: DeleteClause | _: CreateIndexClause | _: CreateConstraintClause |
+         _: DropSchemaClause => true
     case _ => false
   }
 
@@ -130,11 +131,34 @@ object Planner {
             planCallInTransactions(ctx, env, cs, Long.MaxValue)
           case None => planCallSubquery(ctx, env, cs)
         }
+      case c: CreateIndexClause =>
+        ctx.g = graft.graph.Schema.createIndex(ctx.g, c.name, c.label, c.prop)
+      case c: CreateConstraintClause =>
+        ctx.g = graft.graph.Schema.createConstraint(ctx.g, c.name, c.label,
+          c.prop, c.kind)
+      case d: DropSchemaClause =>
+        ctx.g = if (d.isIndex) graft.graph.Schema.dropIndex(ctx.g, d.name)
+          else graft.graph.Schema.dropConstraint(ctx.g, d.name)
+      case s: ShowSchemaClause =>
+        returned = Some(showSchema(ctx, s))
       case r: ReturnClause =>
         returned = Some(planProjection(ctx, env, r.items, r.distinct, r.orderBy,
           r.skip, r.limit, isReturn = true).df.get)
     }
     (ctx.g, returned)
+  }
+
+  private def showSchema(ctx: Ctx, s: ShowSchemaClause): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    if (s.indexes)
+      ctx.g.schema.indexes
+        .map(i => (i.name, i.label, i.prop, i.kind)).sortBy(_._1)
+        .toDF("name", "label", "property", "type")
+    else
+      ctx.g.schema.constraints
+        .map(c => (c.name, c.label, c.prop, c.kind)).sortBy(_._1)
+        .toDF("name", "label", "property", "type")
   }
 
   private def planSingle(spark: SparkSession, g: PropertyGraph,
@@ -154,6 +178,10 @@ object Planner {
         env = planCall(ctx, env, cc)
       case cs: CallSubquery =>
         env = planCallSubquery(ctx, env, cs)
+      case s: ShowSchemaClause =>
+        env = Env(Some(showSchema(ctx, s)),
+          Map("name" -> ValueVar, "label" -> ValueVar,
+            "property" -> ValueVar, "type" -> ValueVar))
       case r: ReturnClause =>
         env = planProjection(ctx, env, r.items, r.distinct, r.orderBy, r.skip,
           r.limit, isReturn = true)
@@ -474,6 +502,7 @@ object Planner {
       case f: ForeachClause      => walkForeach(f)
       case CallClause(_, args, _) => args.foreach(walk)
       case CallSubquery(inner, _) => inner.clauses.foreach(walkClause)
+      case _ => () // schema commands carry no expressions
     }
     q.clauses.foreach(walkClause)
     acc.toMap
@@ -523,6 +552,7 @@ object Planner {
       case ForeachClause(_, list, updates) => walk(list); updates.foreach(walkClause)
       case CallClause(_, args, _) => args.foreach(walk)
       case CallSubquery(inner, _) => inner.clauses.foreach(walkClause)
+      case _ => () // schema commands carry no expressions
     }
     q.clauses.foreach(walkClause)
     acc.toSet

@@ -63,6 +63,20 @@ object Procedures {
     GraphStats.compute(g).tripleCounts
       .select(col("srcLabel"), col("type"), col("dstLabel"), col("cnt")))
 
+  /** db.indexes / db.constraints: schema catalog introspection (reference
+    * BuiltInProcedures db.indexes / SHOW commands). */
+  register("db.indexes", (spark, g, _) => {
+    import spark.implicits._
+    g.schema.indexes.map(i => (i.name, i.label, i.prop, i.kind))
+      .toDF("name", "label", "property", "type")
+  })
+
+  register("db.constraints", (spark, g, _) => {
+    import spark.implicits._
+    g.schema.constraints.map(c => (c.name, c.label, c.prop, c.kind))
+      .toDF("name", "label", "property", "type")
+  })
+
   /** db.index.fulltext.queryNodes(textProp, query, k): BM25 over a node
     * property (reference FulltextProcedures.java:90). */
   register("db.index.fulltext.querynodes", (_, g, args) => {

@@ -31,8 +31,14 @@ final class GraphStore(spark: SparkSession, dir: String) {
   }
 
   /** Write the graph as the next version; returns the new version number.
-    * Write-then-flip: a crash mid-write leaves _latest untouched. */
-  def commit(g: PropertyGraph): Long = {
+    * Write-then-flip: a crash mid-write leaves _latest untouched.
+    * Constraints are re-validated first — a violating snapshot never
+    * commits (transaction-time enforcement, batch style) — and index
+    * layout (range partition + sort on the indexed property) is applied so
+    * parquet min/max stats prune files on indexed predicates. */
+  def commit(g0: PropertyGraph): Long = {
+    Schema.validate(g0)
+    val g = Schema.applyLayout(g0)
     val next = currentVersion + 1
     g.nodes.write.mode("overwrite").parquet(s"$dir/v$next/nodes")
     g.rels.write.mode("overwrite").parquet(s"$dir/v$next/rels")

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
  * min-max pruning apply); absent properties are NULL, matching Cypher's
  * "missing property IS NULL" semantics exactly.
  */
-final case class PropertyGraph(nodes: DataFrame, rels: DataFrame) {
+final case class PropertyGraph(nodes: DataFrame, rels: DataFrame,
+    schema: GraphSchema = GraphSchema.empty) {
 
   /** NodeByLabelScan (reference LogicalPlan.scala:2703): label predicate on
     * the labels array. With nodes partitioned by primary label this becomes
@@ -78,7 +79,7 @@ final case class PropertyGraph(nodes: DataFrame, rels: DataFrame) {
     case Direction.Both => undirectedRels.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
   }
 
-  def cache(): PropertyGraph = PropertyGraph(nodes.cache(), rels.cache())
+  def cache(): PropertyGraph = copy(nodes = nodes.cache(), rels = rels.cache())
 }
 
 sealed trait Direction

@@ -194,6 +194,24 @@ object CypherQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey WHERE c_custkey < 20""".stripMargin),
 
+    // Schema commands (reference SchemaLogicalPlan.scala): CREATE
+    // CONSTRAINT validates the data (nation names are unique), CREATE INDEX
+    // records the layout, SHOW surfaces the catalog.
+    QueryDef("q_cypher_schema_commands",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val (g2, _) = Cypher.execute(s, g,
+          "CREATE CONSTRAINT uq_nation FOR (n:Nation) REQUIRE n.name IS UNIQUE")
+        val (g3, _) = Cypher.execute(s, g2,
+          "CREATE INDEX idx_cust_key FOR (c:Customer) ON (c.key)")
+        Cypher.run(s, g3, "SHOW CONSTRAINTS")
+          .unionByName(Cypher.run(s, g3, "SHOW INDEXES"))
+      },
+      Some("""SELECT 'uq_nation' AS name, 'Nation' AS label,
+             |  'name' AS property, 'unique' AS type
+             |UNION ALL
+             |SELECT 'idx_cust_key', 'Customer', 'key', 'range'""".stripMargin)),
+
     // NodeIndexScan (IS NOT NULL existence scan, SURVEY §2 #11): the union
     // node schema has totalprice only on Orders, so the existence scan
     // selects exactly that label's rows without naming it.
