@@ -1687,8 +1687,13 @@ object Planner {
       case "count"   => if (distinct) count_distinct(a0) else count(a0)
       case "sum"     => sum(a0)
       case "avg"     => avg(a0)
-      case "min"     => min(a0)
-      case "max"     => max(a0)
+      case "min" | "max" =>
+        // cross-type min/max (reference MinMaxFunction.scala): orderability-
+        // encoded values compare by the struct's type-rank order; encoded
+        // NULLs (rank 15) must be skipped like real NULLs are
+        val v = if (isOrderabilityTyped(env, a0))
+          when(a0.getField("rank") =!= 15, a0) else a0
+        if (name == "min") min(v) else max(v)
       case "collect" =>
         // Cypher collect() skips NULLs; collect_list already does.
         if (distinct) collect_set(a0) else collect_list(a0)

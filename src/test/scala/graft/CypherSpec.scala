@@ -532,6 +532,15 @@ class CypherSpec extends AnyFunSuite {
     assert(!(p1 eq p2))
   }
 
+  test("min/max over mixed-type values follow orderability, skipping null") {
+    val r = run(
+      """UNWIND [3, 'b', null, true, 'a'] AS x
+        |RETURN toString(min(x)) AS lo, toString(max(x)) AS hi""".stripMargin)
+      .collect()(0)
+    // String < Boolean < Number; null never wins either side
+    assert(r.getString(0) == "a" && r.getString(1) == "3")
+  }
+
   test("mixed-type ORDER BY follows Cypher orderability type ranks") {
     // reference order: String < Boolean < Number, null LAST ascending
     val asc = run(
