@@ -93,8 +93,14 @@ object Bfs {
       .select("source", "node", "dist")
     if (minHops == 0) base
     else {
+      // only edges pointing BACK INTO a source can close a self-cycle —
+      // semi-join first (sources are broadcast-small) so the correction
+      // never shuffles the full edge table
+      val back = edges
+        .join(sources.select(col("source").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src").as("node"), col("dst").as("__t"))
       val selfCycles = d
-        .join(edges.select(col("src").as("node"), col("dst").as("__t")), "node")
+        .join(back, "node")
         .filter(col("__t") === col("source") && col("dist") <= maxHops - 1)
         .groupBy(col("source"))
         .agg((min(col("dist")) + 1).cast("int").as("dist"))
