@@ -49,19 +49,26 @@ object Bfs {
       .select(col("source"), col("source").as("node"), lit(0).as("dist"))
       .localCheckpoint() // eager: each round's plan is one join + one
                          // anti-join over materialized RDDs, not history
+    var fCnt = frontier.count()
     var visited = frontier
     var remaining = targets.map { t =>
       t.count() - frontier.join(t, Seq("source", "node"), "left_semi").count()
     }
     var depth = 0
-    while (depth < maxDepth && remaining.forall(_ > 0) && !frontier.isEmpty) {
+    while (depth < maxDepth && remaining.forall(_ > 0) && fCnt > 0) {
       depth += 1
-      frontier = frontier.join(e, col("node") === col("__s"))
+      // checkpointed RDDs carry no size stats, so Spark would shuffle the
+      // FULL edge table every round; broadcasting a small frontier turns
+      // the round into a map-side probe of edges instead (count is free —
+      // the frontier is already materialized)
+      val f = if (fCnt <= 2000000) broadcast(frontier) else frontier
+      frontier = f.join(e, col("node") === col("__s"))
         .select(col("source"), col("__d").as("node"))
         .distinct()
         .join(visited.select("source", "node"), Seq("source", "node"), "left_anti")
         .withColumn("dist", lit(depth))
         .localCheckpoint()
+      fCnt = frontier.count()
       // visited is a lazy union of already-checkpointed frontier deltas,
       // re-materialized as ONE table every few rounds: without compaction a
       // depth-D walk scans O(D) deltas per anti-join → O(D²) total
@@ -141,18 +148,22 @@ object Bfs {
         lit(0).as("dist"), array().cast("array<long>").as("path"),
         array(col("source")).as("nodes"))
       .localCheckpoint()
+    var fCnt = frontier.count()
     var visited = frontier.select("source", "node")
     val out = Seq.newBuilder[DataFrame]
     out += frontier
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && fCnt > 0) {
       depth += 1
-      frontier = frontier.join(e, col("node") === col("__s"))
+      // path rows are wide (arrays) — lower broadcast bar than distances
+      val f = if (fCnt <= 200000) broadcast(frontier) else frontier
+      frontier = f.join(e, col("node") === col("__s"))
         .select(col("source"), col("__d").as("node"), lit(depth).as("dist"),
           concat(col("path"), array(col("__e"))).as("path"),
           concat(col("nodes"), array(col("__d"))).as("nodes"))
         .join(visited, Seq("source", "node"), "left_anti")
         .localCheckpoint()
+      fCnt = frontier.count()
       visited = visited.unionByName(frontier.select("source", "node").distinct())
       if (depth % 4 == 0) visited = visited.localCheckpoint() // compact deltas
       out += frontier

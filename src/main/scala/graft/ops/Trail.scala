@@ -101,8 +101,12 @@ object Trail {
       .localCheckpoint()
 
     var d = 0
-    while (d < maxDepth && !frontier.isEmpty) {
-      val expanded = frontier.join(e,
+    var fCnt = frontier.count()
+    while (d < maxDepth && fCnt > 0) {
+      // per-node budget bounds the frontier at |reached| × k — broadcast
+      // when small so expansion probes edges map-side
+      val f = if (fCnt <= 200000) broadcast(frontier) else frontier
+      val expanded = f.join(e,
           col("end") === col("__es") && !array_contains(col("path"), col("__er")))
         .select(col("source"), col("__ed").as("end"), (col("hops") + 1).as("hops"),
           concat(col("path"), array(col("__er"))).as("path"))
@@ -112,14 +116,16 @@ object Trail {
         .filter(col("__rk") + coalesce(col("__have"), lit(0L)) <= k)
         .drop("__rk", "__have")
         .localCheckpoint()
+      // lazy: next round's join materializes it in the same job
       counts = counts.join(
           newKept.groupBy("source", "end").agg(count(lit(1)).as("__new")),
           Seq("source", "end"), "full_outer")
         .select(col("source"), col("end"),
           (coalesce(col("__have"), lit(0L)) + coalesce(col("__new"), lit(0L))).as("__have"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       keptPieces += newKept
       frontier = newKept
+      fCnt = frontier.count()
       d += 1
     }
     val kept = keptPieces.result().reduce(_ unionByName _)

@@ -46,11 +46,15 @@ object WeightedPaths {
       array(col("source")).as("nodes"))
       .localCheckpoint()
     var frontier = best
+    var fCnt = frontier.count()
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       iter += 1
-      val relaxed = frontier.join(e, col("node") === col("__s"))
+      // small frontiers broadcast: relaxation probes edges map-side instead
+      // of shuffling the full edge table (checkpointed RDDs have no stats)
+      val f = if (fCnt <= 200000) broadcast(frontier) else frontier
+      val relaxed = f.join(e, col("node") === col("__s"))
         .select(col("source"), col("__d").as("node"),
           (col("dist") + col("__w")).as("dist"),
           concat(col("path"), array(col("__e"))).as("path"),
@@ -75,7 +79,8 @@ object WeightedPaths {
         .drop("__old")
         .localCheckpoint()
       best = merged
-      done = frontier.isEmpty
+      fCnt = frontier.count()
+      done = fCnt == 0
     }
     require(done, s"shortestPaths did not converge within $maxIter rounds " +
       "(negative cycle or maxIter too small)")
