@@ -55,6 +55,31 @@ object EventQueries {
              |  count(*) AS n_events
              |FROM g GROUP BY user_id""".stripMargin)),
 
+    // Sliding windows (streaming: window($"ts","1 hour","30 minutes")) —
+    // each event lands in exactly two windows; the oracle materializes both
+    // 30-minute-aligned window starts per event.
+    QueryDef("q_events_sliding",
+      (s, d) => graft.streaming.EventStreams.slidingCounts(events(s, d)),
+      Some("""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+             |  count(*) AS n
+             |FROM (
+             |  SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS ws, event_type
+             |  FROM events
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES,
+             |    event_type
+             |  FROM events)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Streaming-dedup batch twin: dropDuplicates on the business key
+    // (user_id, event_type) — the ingest-side exact-dedup stage.
+    QueryDef("q_events_dedup",
+      (s, d) => graft.streaming.EventStreams
+        .dedupEvents(events(s, d), Seq("user_id", "event_type"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // Exact count(DISTINCT …) per group.
     QueryDef("q_events_distinct_users",
       (s, d) => events(s, d)

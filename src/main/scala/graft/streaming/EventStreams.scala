@@ -67,6 +67,32 @@ object EventStreams {
         col("w.end").as("session_end"), col("n_events"))
   }
 
+  /** Sliding-window rates: each event lands in width/slide windows — the
+    * third canonical window shape next to tumbling and session. Works
+    * identically on a batch DataFrame (batch twin q_events_sliding). */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    withWm
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"))
+  }
+
+  /** Streaming deduplication on a business key within the watermark — the
+    * ingest-side exact-dedup stage of a training-data pipeline (late
+    * duplicates beyond the delay age out of the state store; batch twin is
+    * a plain dropDuplicates). */
+  def dedupEvents(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   /** Per-type distinct users — streaming uses approx_count_distinct because
     * exact distinct needs unbounded state; batch twin q_events_distinct_users
     * is exact. */

@@ -73,6 +73,38 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming sliding windows equal the batch aggregation") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    runStream("sliding", EventStreams.slidingCounts(stream))
+    val streamed = spark.table("sliding").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStreams.slidingCounts(batchEvents).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("streaming dedup within watermark equals batch dropDuplicates") {
+    // duplicate every event id by replaying the stream dir twice into a new
+    // dir — the dedup stage must collapse them back to the originals
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_events_dup").toString
+    val ev = spark.read.parquet(streamDir)
+    ev.coalesce(1).write.mode("append").parquet(dupDir)
+    ev.coalesce(1).write.mode("append").parquet(dupDir)
+    val stream = EventStreams.readEvents(spark, dupDir, maxFilesPerTrigger = 2)
+    val q = EventStreams.dedupEvents(stream)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = EventStreams.dedupEvents(batchEvents)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("incremental micro-batches: stream really ran more than one batch") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val q = EventStreams.tumblingCounts(stream).writeStream
