@@ -1780,7 +1780,35 @@ object Planner {
       case "abs"   => abs(a0)
       case "ceil"  => ceil(a0).cast("double")
       case "floor" => floor(a0).cast("double")
-      case "round" => round(a0, if (args.size > 1) constInt(ctx, args(1)) else 0)
+      case "round" =>
+        val scale = if (args.size > 1) constInt(ctx, args(1)) else 0
+        if (args.size <= 2) round(a0, scale)
+        else {
+          // Cypher round(value, precision, mode) — reference
+          // expressions/functions Round with java.math.RoundingMode
+          val mode = args(2) match {
+            case Lit(s: String) => s.toUpperCase
+            case other => throw new IllegalArgumentException(
+              s"round() mode must be a string literal, got $other")
+          }
+          val f = pow(lit(10.0), lit(scale))
+          mode match {
+            case "HALF_UP"   => round(a0, scale)
+            case "HALF_EVEN" => bround(a0, scale)
+            case "UP"        => signum(a0) * ceil(abs(a0) * f) / f
+            case "DOWN"      => signum(a0) * floor(abs(a0) * f) / f
+            case "CEILING"   => ceil(a0 * f) / f
+            case "FLOOR"     => floor(a0 * f) / f
+            case "HALF_DOWN" => signum(a0) * ceil(abs(a0) * f - 0.5) / f
+            case other => throw new IllegalArgumentException(
+              s"unknown round() mode $other")
+          }
+        }
+      case "elementid" =>
+        // reference elementId() returns "<entity>:<db-uuid>:<id>"; the
+        // columnar analog is the decimal id string (documented divergence —
+        // stable within a graph, which is what users key on)
+        a0.cast("string")
       case "sqrt"  => sqrt(a0)
       case "sign"  => signum(a0)
       case "exp"   => exp(a0)

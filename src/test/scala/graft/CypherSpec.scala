@@ -514,6 +514,20 @@ class CypherSpec extends AnyFunSuite {
     assert(n == 2)
   }
 
+  test("round() modes and elementId()") {
+    val r = run(
+      """RETURN round(1.249, 1, 'UP') AS up, round(-1.251, 1, 'UP') AS upn,
+        |  round(1.25, 1, 'HALF_DOWN') AS hd, round(1.35, 1, 'HALF_EVEN') AS he,
+        |  round(-1.21, 1, 'CEILING') AS ce, round(1.29, 1, 'FLOOR') AS fl,
+        |  round(1.25, 1, 'DOWN') AS dn""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.3 && r.getDouble(1) == -1.3)
+    assert(r.getDouble(2) == 1.2 && r.getDouble(3) == 1.4)
+    assert(r.getDouble(4) == -1.2 && r.getDouble(5) == 1.2 && r.getDouble(6) == 1.2)
+    val e = run("MATCH (p:Person {name: 'Alice'}) RETURN elementId(p) AS eid")
+      .collect()(0).getString(0)
+    assert(e == "1")
+  }
+
   test("plan cache: repeated query on the same snapshot skips parse/plan") {
     val q = "MATCH (n:Person) WHERE n.age > 20 RETURN count(*) AS c"
     val d1 = Cypher.run(spark, g, q)
