@@ -91,6 +91,78 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * IVF-flat ANN (FAISS-style inverted file; the alternative scale
+   * architecture to sign-LSH): k-means the corpus into nList Voronoi
+   * cells, search only each query's nProbe nearest cells with exact
+   * cosine rerank.
+   *
+   * Scale shape: centroids are TINY (nList × dim doubles) and live on the
+   * driver like any other broadcast statistic, so corpus-side cell
+   * assignment is a map-side argmax over a literal centroid array — one
+   * codegen'd higher-order function, NO shuffle, no window. Each k-means
+   * iteration costs one posexplode + mean shuffle (inherent). At cluster
+   * scale the assigned corpus persists partitioned by cell id; queries
+   * probe nProbe cells so the big side is joined on the cell key only.
+   * Deterministic init (id-hash order) — results are reproducible, but
+   * float mean accumulation order keeps this a recall-tested (not
+   * oracle-hashed) operator, like lshTopK.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nList: Int = 64, nProbe: Int = 8, kmeansIters: Int = 2): DataFrame = {
+    val c = corpus.select(col("id"), asDouble(col("vec")).as("v"))
+      .localCheckpoint(false)
+    var cents: Array[(Int, Array[Double])] = c
+      .withColumn("__h", xxhash64(col("id"))).orderBy("__h").limit(nList)
+      .select("v").collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    var it = 0
+    while (it < kmeansIters) {
+      cents = assignCells(c, cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      it += 1
+    }
+    val assigned = assignCells(c, cents) // at scale: persist partitioned by cid
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centsDf = cents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
+      .toDF("cid", "cv")
+    val q = queries.select(col("qid"), asDouble(col("qvec")).as("qv"))
+    val wq = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centsDf))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select("qid", "qv", "cid")
+    // a corpus row lives in exactly one cell → no (qid, id) duplicates
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Map-side nearest-centroid assignment: argmax over a literal centroid
+    * array via `aggregate` — fully codegen'd, no shuffle. */
+  private def assignCells(c: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    val centArr = array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), lit(v).as("cv")) }: _*)
+    c.withColumn("__best",
+        aggregate(centArr,
+          struct(lit(Double.MinValue).as("s"), lit(-1).as("cid")),
+          (acc, cen) => {
+            val s = cosine(col("v"), cen.getField("cv"))
+            when(s > acc.getField("s"),
+              struct(s.as("s"), cen.getField("cid").as("cid"))).otherwise(acc)
+          }))
+      .select(col("id"), col("v"), col("__best.cid").as("cid"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by LSH
     * bucket so the pair join never goes quadratic in the corpus. Buckets are
     * capped at `maxBucket` rows (same skew guard as Dedup.minhashCandidates):

@@ -92,6 +92,20 @@ object PipelineQueries {
       },
       None),
 
+    // IVF-flat ANN: k-means cells + nProbe search + exact rerank. Like
+    // q_knn_lsh, approximate by construction — recall gated in
+    // SimilaritySpec; rows-only here.
+    QueryDef("q_knn_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfTopK(corpus, queries, 10, nList = 32, nProbe = 8)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("id"))
+      },
+      None),
+
     QueryDef("q_cosine_near_dup",
       (s, d) => {
         val emb = t(s, d, "embeddings")

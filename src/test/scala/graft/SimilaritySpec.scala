@@ -55,6 +55,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall too low: $recall")
   }
 
+  test("IVF top-k recall ≥ 0.9 against brute force on clustered vectors") {
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(20)(Array.fill(dim)(rng.nextGaussian()))
+    val data = (0L until 300L).map { i =>
+      val c = centers((i % 20).toInt)
+      (i, c.map(x => (x + 0.15 * rng.nextGaussian()).toFloat))
+    }
+    val corpus = data.toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, 9).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val approx = Similarity.ivfTopK(corpus, queries, 9, nList = 16, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall too low: $recall")
+  }
+
+  test("IVF is deterministic across runs (fixed init, fixed iteration count)") {
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 2)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    def run() = Similarity.ivfTopK(corpus, queries, 5, nList = 8, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id"))).toSet
+    assert(run() == run())
+  }
+
   test("cosineNearDup finds planted duplicate vector") {
     val base = Array.fill(8)(1.0f)
     val dup = base.clone(); dup(0) = 0.99f
