@@ -54,6 +54,23 @@ object TypeQueries {
              |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
              |WHERE l_orderkey < 2000 GROUP BY l_orderkey""".stripMargin)),
 
+    // duration AVG aggregate — component-wise floored mean (SURVEY §2.5
+    // duration-aware aggregation, reference AvgFunction duration path).
+    QueryDef("q_duration_avg",
+      (s, d) => {
+        val li = t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+        val base = li.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"),
+            Durations.inDays(col("o_orderdate"), col("l_shipdate")).as("dur"))
+        base.groupBy(col("l_orderkey").as("okey"))
+          .agg(Durations.avgDuration(col("dur")).as("a"))
+          .select(col("okey"), col("a.days").as("days"))
+      },
+      Some("""SELECT l_orderkey AS okey,
+             |  CAST(floor(avg(datediff('day', o_orderdate, l_shipdate))) AS BIGINT) AS days
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |WHERE l_orderkey < 2000 GROUP BY l_orderkey""".stripMargin)),
+
     // spatial: deterministic WGS-84 points derived from customer keys,
     // haversine distance to the origin + cartesian bbox filter.
     QueryDef("q_spatial_distance",
