@@ -72,9 +72,17 @@ object Ast {
   case object In extends Dir    // <-[]-
   case object Both extends Dir  // -[]-
 
-  /** `(v:L1:L2 {k: e, …})` (oC_NodePattern). */
+  /** Label expression atom: `L` or `!L` (Cypher 5 label expressions). */
+  final case class LabelAtom(name: String, negated: Boolean)
+
+  /** `(v:L1:L2 {k: e, …})` (oC_NodePattern). `labels` is the plain
+    * AND-of-positive-labels fast path; `labelExpr` carries a Cypher 5 label
+    * expression (`:A|B`, `:A&B`, `:!A` — disjunction of conjunctions of
+    * atoms, the surface form of Union/Intersection/SubtractionNodeByLabels
+    * scans) when the pattern uses one. */
   final case class NodePattern(variable: Option[String], labels: Seq[String],
-      props: Seq[(String, Expr)])
+      props: Seq[(String, Expr)],
+      labelExpr: Option[Seq[Seq[LabelAtom]]] = None)
 
   /** `-[v:T1|T2 *min..max {k: e}]->` (oC_RelationshipPattern). A parsed
     * quantified path pattern `((x)-[r:T]->(y)){min,max}` also lands here:

@@ -237,9 +237,27 @@ object CypherParser extends RegexParsers {
   private def mapLit: Parser[Seq[(String, Expr)]] =
     "{" ~> repsep(symName ~ (":" ~> expression), ",") <~ "}" ^^ (_.map { case k ~ v => (k, v) })
 
+  // Cypher 5 label expressions: each `:`-group is a |-disjunction of
+  // &-conjunctions of (possibly !-negated) labels; multiple `:` groups AND.
+  private def labelAtom: Parser[LabelAtom] =
+    opt("!") ~ symName ^^ { case n ~ l => LabelAtom(l, n.isDefined) }
+  private def labelGroup: Parser[Seq[Seq[LabelAtom]]] =
+    rep1sep(rep1sep(labelAtom, "&"), "|")
+
   def nodePattern: Parser[NodePattern] =
-    "(" ~> opt(ident) ~ rep(":" ~> symName) ~ opt(mapLit) <~ ")" ^^ {
-      case v ~ ls ~ m => NodePattern(v, ls, m.getOrElse(Seq.empty))
+    "(" ~> opt(ident) ~ rep(":" ~> labelGroup) ~ opt(mapLit) <~ ")" ^^ {
+      case v ~ groups ~ m =>
+        val simple = groups.forall(g =>
+          g.size == 1 && g.head.forall(!_.negated))
+        if (simple) // plain `:A:B` — AND of positive labels
+          NodePattern(v, groups.flatMap(_.head.map(_.name)), m.getOrElse(Seq.empty))
+        else {
+          // AND the groups: distribute into one disjunction of conjunctions
+          val dnf = groups.foldLeft(Seq(Seq.empty[LabelAtom])) { (acc, g) =>
+            for (a <- acc; conj <- g) yield a ++ conj
+          }
+          NodePattern(v, Nil, m.getOrElse(Seq.empty), Some(dnf))
+        }
     }
 
   private def relTypes: Parser[Seq[String]] =

@@ -214,6 +214,8 @@ object Planner {
             s"CREATE cannot re-specify bound node $v")
           v
         case other =>
+          require(np.labelExpr.isEmpty,
+            "CREATE requires concrete labels, not a label expression")
           val v = other.getOrElse(ctx.fresh("cn"))
           varIdx += 1
           df = df.withColumn(v,
@@ -269,6 +271,8 @@ object Planner {
       val np = p.first
       val v = np.variable.getOrElse(ctx.fresh("mn"))
       require(np.props.nonEmpty, "node MERGE needs a key property map")
+      require(np.labelExpr.isEmpty,
+        "MERGE requires concrete labels, not a label expression")
       val keyCols = np.props.map { case (k, e) =>
         k -> compile(ctx, env, e) }
       // compute key values per row
@@ -680,7 +684,7 @@ object Planner {
           return Env(Some(joined.filter(col(tv) === col(toVar)).drop(toVar)),
             env.binds + (pv -> PathVar))
         case _ =>
-          if (toNode.labels.nonEmpty || toNode.props.nonEmpty ||
+          if (toNode.labels.nonEmpty || toNode.labelExpr.nonEmpty || toNode.props.nonEmpty ||
               ctx.needed.getOrElse(toVar, Set.empty).nonEmpty) {
             val scan = hydrated(ctx, nodeScan(ctx, toNode), toVar, ctx.g.nodes.columns.toSet)
             joined = joined.join(scan, Seq(toVar))
@@ -714,7 +718,7 @@ object Planner {
           return Env(Some(joined.filter(col(tv) === col(toVar)).drop(toVar)),
             env.binds + (pv -> PathVar))
         case _ =>
-          if (toNode.labels.nonEmpty || toNode.props.nonEmpty ||
+          if (toNode.labels.nonEmpty || toNode.labelExpr.nonEmpty || toNode.props.nonEmpty ||
               ctx.needed.getOrElse(toVar, Set.empty).nonEmpty) {
             val scan = hydrated(ctx, nodeScan(ctx, toNode), toVar, ctx.g.nodes.columns.toSet)
             joined = joined.join(scan, Seq(toVar))
@@ -740,7 +744,7 @@ object Planner {
           .filter(col("dist") >= minHops)
           .select(col("source"), col("node").as(toVar), col("dist").as(s"$pv$$length"))
         var joined = df.join(dists, col(fromVar) === col("source")).drop("source")
-        if (toNode.labels.nonEmpty || toNode.props.nonEmpty ||
+        if (toNode.labels.nonEmpty || toNode.labelExpr.nonEmpty || toNode.props.nonEmpty ||
             ctx.needed.getOrElse(toVar, Set.empty).nonEmpty) {
           val scan = hydrated(ctx, nodeScan(ctx, toNode), toVar, ctx.g.nodes.columns.toSet)
           joined = joined.join(scan, Seq(toVar))
@@ -1044,7 +1048,7 @@ object Planner {
       case Some(v) if env.has(v) =>
         require(env.binds(v) == NodeVar, s"$v is not a node variable")
         var df = env.df.get
-        if (np.labels.nonEmpty || np.props.nonEmpty) {
+        if (np.labels.nonEmpty || np.labelExpr.nonEmpty || np.props.nonEmpty) {
           val filtered = nodeScan(ctx, np)
           df = df.join(filtered.select(col("id").as(v)), Seq(v), "left_semi")
         }
@@ -1065,6 +1069,18 @@ object Planner {
   private def nodeScan(ctx: Ctx, np: NodePattern): DataFrame = {
     var scan = ctx.g.nodes
     np.labels.foreach { l => scan = scan.filter(array_contains(col("labels"), l)) }
+    // label expression `:A|B&!C` — disjunction of conjunctions over
+    // (possibly negated) membership tests; the surface form of the
+    // Union/Intersection/SubtractionNodeByLabels scans (SURVEY §2.1 #3-5)
+    np.labelExpr.foreach { dnf =>
+      val pred = dnf.map { conj =>
+        conj.map { a =>
+          val c = array_contains(col("labels"), a.name)
+          if (a.negated) !c else c
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+      scan = scan.filter(pred)
+    }
     np.props.foreach { case (k, e) =>
       // property absent from the schema: Cypher `{k: v}` on a missing
       // property matches nothing (NULL = v is never true)
@@ -1182,14 +1198,14 @@ object Planner {
       require(env.binds(node.variable.get) == NodeVar,
         s"${node.variable.get} is not a node variable")
       var out = df.filter(col("__to") === col(toVar)).drop("__to")
-      if (node.labels.nonEmpty || node.props.nonEmpty) {
+      if (node.labels.nonEmpty || node.labelExpr.nonEmpty || node.props.nonEmpty) {
         val filtered = nodeScan(ctx, node)
         out = out.join(filtered.select(col("id").as(toVar)), Seq(toVar), "left_semi")
       }
       (afterRel.copy(df = Some(out)), toVar)
     } else {
       val renamed = df.withColumnRenamed("__to", toVar)
-      val needsJoin = node.labels.nonEmpty || node.props.nonEmpty ||
+      val needsJoin = node.labels.nonEmpty || node.labelExpr.nonEmpty || node.props.nonEmpty ||
         ctx.needed.getOrElse(toVar, Set.empty).nonEmpty
       val out =
         if (!needsJoin) renamed

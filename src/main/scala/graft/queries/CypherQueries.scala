@@ -194,6 +194,13 @@ object CypherQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey WHERE c_custkey < 20""".stripMargin),
 
+    // label expression scan `:A|B` — UnionNodeByLabelsScan surface form.
+    cq("q_cypher_label_expr",
+      """MATCH (n:Customer|Supplier) WHERE n.key < 30
+        |RETURN count(*) AS n""".stripMargin,
+      """SELECT (SELECT count(*) FROM customer WHERE c_custkey < 30) +
+        |  (SELECT count(*) FROM supplier WHERE s_suppkey < 30) AS n""".stripMargin),
+
     // Schema commands (reference SchemaLogicalPlan.scala): CREATE
     // CONSTRAINT validates the data (nation names are unique), CREATE INDEX
     // records the layout, SHOW surfaces the catalog.

@@ -514,6 +514,18 @@ class CypherSpec extends AnyFunSuite {
     assert(n == 2)
   }
 
+  test("label expressions :A|B, :A&B, :!A") {
+    assert(run("MATCH (n:Person|City) RETURN count(*) AS c")
+      .collect()(0).getLong(0) == 5)
+    assert(run("MATCH (n:Person&!Admin) RETURN count(*) AS c")
+      .collect()(0).getLong(0) == 3)
+    assert(run("MATCH (n:Person&Admin) RETURN n.name AS nm")
+      .collect().map(_.getString(0)).toSeq == Seq("Dave"))
+    // far-node label expression filters the expand target
+    assert(run("MATCH (a {name: 'Carol'})-[:KNOWS]->(b:Person&Admin) " +
+      "RETURN b.name AS nm").collect().map(_.getString(0)).toSeq == Seq("Dave"))
+  }
+
   test("round() modes and elementId()") {
     val r = run(
       """RETURN round(1.249, 1, 'UP') AS up, round(-1.251, 1, 'UP') AS upn,
