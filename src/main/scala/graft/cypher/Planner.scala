@@ -599,7 +599,6 @@ object Planner {
         if (collapses && !m.optional && m.shortest.isEmpty && m.patterns.size == 1) {
           m.patterns.head.hops match {
             case Seq((rel, _)) if rel.varLength.exists(_._1 <= 1) &&
-                rel.props.isEmpty &&
                 !rel.variable.exists(refs) &&
                 rel.qppVars.forall(g => !g._1.exists(refs) &&
                   !g._2.exists(refs) && !g._3.exists(refs)) =>
@@ -1026,15 +1025,20 @@ object Planner {
     PathPattern(nodes.head, rels.zip(nodes.tail))
   }
 
-  /** Oriented + type-filtered (id, src, dst) edge view for Trail. */
+  /** Oriented + type-filtered (id, src, dst) edge view for Trail. The
+    * optional predicate (var-length inline property map) is applied BEFORE
+    * orientation drops the property columns. */
   private def orientTyped(g: PropertyGraph, types: Seq[String],
-      dir: Direction): DataFrame = {
+      dir: Direction, pre: Option[Column] = None): DataFrame = {
+    val base = dir match {
+      case Direction.Both => g.undirectedRels
+      case _              => g.rels
+    }
+    val filtered = pre.fold(base)(base.filter)
     val r0 = dir match {
-      case Direction.Out  => g.rels.select(col("id"), col("src"), col("dst"), col("type"))
-      case Direction.In   => g.rels.select(col("id"), col("dst").as("src"),
+      case Direction.In => filtered.select(col("id"), col("dst").as("src"),
         col("src").as("dst"), col("type"))
-      case Direction.Both => g.undirectedRels.select(col("id"), col("src"),
-        col("dst"), col("type"))
+      case _ => filtered.select(col("id"), col("src"), col("dst"), col("type"))
     }
     val f = if (types.isEmpty) r0 else r0.filter(col("type").isin(types: _*))
     f.select("id", "src", "dst")
@@ -1136,15 +1140,22 @@ object Planner {
           .drop("__from")
         Env(Some(joined), env.binds + (relVar -> RelVar))
       case Some((min, maxOpt)) =>
-        require(rel.props.isEmpty,
-          "property map on a var-length relationship is not supported")
+        // inline property map on a var-length rel: EVERY traversed rel must
+        // match → a pre-orientation edge filter (reference VarLengthExpand
+        // per-step relationship predicate)
+        val edgeFilter: Option[Column] =
+          if (rel.props.isEmpty) None
+          else Some(rel.props.map { case (k, e) =>
+            if (g.rels.columns.contains(k)) col(k) === constExpr(ctx, e)
+            else lit(false)
+          }.reduce(_ && _))
         val dir = rel.dir match {
           case Out => Direction.Out; case In => Direction.In; case Both => Direction.Both
         }
         if (ctx.pruneRels.contains(rel)) {
           // endpoints-only: pruningVarExpander rewrite — frontier BFS keeps
           // |V|-bounded state; unbounded `*` iterates to an empty frontier
-          val edges = orientTyped(g, rel.types, dir).select("src", "dst")
+          val edges = orientTyped(g, rel.types, dir, edgeFilter).select("src", "dst")
           val srcs = env.df.get.select(col(fromVar).as("source")).distinct()
           val reach = graft.ops.Bfs.pruningExpand(
             edges, srcs, min, maxOpt.getOrElse(Int.MaxValue))
@@ -1163,7 +1174,8 @@ object Planner {
           case None =>
             val depthCol = ctx.fresh("depth")
             val expanded = VarExpand.varExpand(g, env.df.get, fromVar, rel.types,
-              dir, min, max, toAlias = "__to", relsAlias = relVar, depthAlias = depthCol)
+              dir, min, max, toAlias = "__to", relsAlias = relVar,
+              depthAlias = depthCol, edgeFilter = edgeFilter)
               .drop(depthCol)
             Env(Some(expanded), env.binds + (relVar -> RelListVar))
           case Some((xVar, _, yVar)) =>
@@ -1173,9 +1185,9 @@ object Planner {
             val nodesCol = ctx.fresh("qn")
             val hopsCol = ctx.fresh("qh")
             val expanded = graft.ops.Trail.trail(
-              orientTyped(g, rel.types, dir), env.df.get, fromVar, min, max,
-              endAlias = "__to", relsAlias = relVar, nodesAlias = nodesCol,
-              hopsAlias = hopsCol)
+              orientTyped(g, rel.types, dir, edgeFilter), env.df.get, fromVar,
+              min, max, endAlias = "__to", relsAlias = relVar,
+              nodesAlias = nodesCol, hopsAlias = hopsCol)
             var out = expanded.drop(hopsCol)
             var binds = env.binds + (relVar -> RelListVar)
             xVar.foreach { v =>

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.graph.{Direction, PropertyGraph}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -38,14 +38,23 @@ object VarExpand {
       relTypes: Seq[String], direction: Direction,
       minHops: Int, maxHops: Int,
       toAlias: String = "end", relsAlias: String = "rels",
-      depthAlias: String = "depth"): DataFrame = {
+      depthAlias: String = "depth",
+      edgeFilter: Option[Column] = None): DataFrame = {
     require(minHops >= 0 && maxHops >= minHops && maxHops <= 30,
       s"varExpand bounds out of range: $minHops..$maxHops")
 
-    val r0 = direction match {
-      case Direction.Out  => g.rels
-      case Direction.In   => g.rels.select(col("id"), col("dst").as("src"), col("src").as("dst"), col("type"))
+    // per-step predicate over raw rel columns (e.g. the inline property map
+    // of `[r:T*1..3 {k: v}]` — every traversed rel must match) is applied
+    // BEFORE orientation drops property columns
+    val base = direction match {
       case Direction.Both => g.undirectedRels
+      case _              => g.rels
+    }
+    val pre = edgeFilter.fold(base)(base.filter)
+    val r0 = direction match {
+      case Direction.In => pre.select(col("id"), col("dst").as("src"),
+        col("src").as("dst"), col("type"))
+      case _ => pre
     }
     val filtered = if (relTypes.isEmpty) r0 else r0.filter(col("type").isin(relTypes: _*))
     val edges = filtered

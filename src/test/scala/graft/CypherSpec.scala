@@ -514,6 +514,21 @@ class CypherSpec extends AnyFunSuite {
     assert(n == 2)
   }
 
+  test("var-length rel with inline property map filters every step") {
+    // only Bob->Carol carries since=2018: a var-length walk restricted to
+    // that property reaches Carol from Bob and nothing deeper
+    val fromBob = run(
+      """MATCH (a {name: 'Bob'})-[rs:KNOWS*1..3 {since: 2018}]->(b)
+        |RETURN b.name AS nm, size(rs) AS len""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(fromBob == Set(("Carol", 1)))
+    // Alice has no qualifying out-edge → empty, even though unfiltered
+    // 1..3-hop walks reach everyone
+    assert(run(
+      """MATCH (a {name: 'Alice'})-[rs:KNOWS*1..3 {since: 2018}]->(b)
+        |RETURN b.name AS nm""".stripMargin).collect().isEmpty)
+  }
+
   test("label expressions :A|B, :A&B, :!A") {
     assert(run("MATCH (n:Person|City) RETURN count(*) AS c")
       .collect()(0).getLong(0) == 5)
