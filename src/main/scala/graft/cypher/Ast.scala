@@ -82,7 +82,8 @@ object Ast {
     * scans) when the pattern uses one. */
   final case class NodePattern(variable: Option[String], labels: Seq[String],
       props: Seq[(String, Expr)],
-      labelExpr: Option[Seq[Seq[LabelAtom]]] = None)
+      labelExpr: Option[Seq[Seq[LabelAtom]]] = None,
+      where: Option[Expr] = None) // Cypher 5 inline `(n:L WHERE n.x > 1)`
 
   /** `-[v:T1|T2 *min..max {k: e}]->` (oC_RelationshipPattern). A parsed
     * quantified path pattern `((x)-[r:T]->(y)){min,max}` also lands here:

@@ -245,18 +245,20 @@ object CypherParser extends RegexParsers {
     rep1sep(rep1sep(labelAtom, "&"), "|")
 
   def nodePattern: Parser[NodePattern] =
-    "(" ~> opt(ident) ~ rep(":" ~> labelGroup) ~ opt(mapLit) <~ ")" ^^ {
-      case v ~ groups ~ m =>
+    "(" ~> opt(ident) ~ rep(":" ~> labelGroup) ~ opt(mapLit) ~
+      opt(K("WHERE") ~> expression) <~ ")" ^^ {
+      case v ~ groups ~ m ~ w =>
         val simple = groups.forall(g =>
           g.size == 1 && g.head.forall(!_.negated))
         if (simple) // plain `:A:B` — AND of positive labels
-          NodePattern(v, groups.flatMap(_.head.map(_.name)), m.getOrElse(Seq.empty))
+          NodePattern(v, groups.flatMap(_.head.map(_.name)),
+            m.getOrElse(Seq.empty), None, w)
         else {
           // AND the groups: distribute into one disjunction of conjunctions
           val dnf = groups.foldLeft(Seq(Seq.empty[LabelAtom])) { (acc, g) =>
             for (a <- acc; conj <- g) yield a ++ conj
           }
-          NodePattern(v, Nil, m.getOrElse(Seq.empty), Some(dnf))
+          NodePattern(v, Nil, m.getOrElse(Seq.empty), Some(dnf), w)
         }
     }
 

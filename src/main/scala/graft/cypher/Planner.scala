@@ -210,12 +210,12 @@ object Planner {
     c.patterns.foreach { p =>
       def handleNode(np: NodePattern): String = np.variable match {
         case Some(v) if binds.contains(v) =>
-          require(np.labels.isEmpty && np.props.isEmpty,
+          require(np.labels.isEmpty && np.props.isEmpty && np.where.isEmpty,
             s"CREATE cannot re-specify bound node $v")
           v
         case other =>
-          require(np.labelExpr.isEmpty,
-            "CREATE requires concrete labels, not a label expression")
+          require(np.labelExpr.isEmpty && np.where.isEmpty,
+            "CREATE patterns take concrete labels and no WHERE")
           val v = other.getOrElse(ctx.fresh("cn"))
           varIdx += 1
           df = df.withColumn(v,
@@ -271,8 +271,8 @@ object Planner {
       val np = p.first
       val v = np.variable.getOrElse(ctx.fresh("mn"))
       require(np.props.nonEmpty, "node MERGE needs a key property map")
-      require(np.labelExpr.isEmpty,
-        "MERGE requires concrete labels, not a label expression")
+      require(np.labelExpr.isEmpty && np.where.isEmpty,
+        "MERGE patterns take concrete labels and no WHERE")
       val keyCols = np.props.map { case (k, e) =>
         k -> compile(ctx, env, e) }
       // compute key values per row
@@ -468,7 +468,9 @@ object Planner {
       case _ => ()
     }
     def walkPattern(p: PathPattern): Unit = {
-      (p.first +: p.hops.map(_._2)).foreach(n => n.props.foreach(kv => walk(kv._2)))
+      (p.first +: p.hops.map(_._2)).foreach { n =>
+        n.props.foreach(kv => walk(kv._2)); n.where.foreach(walk)
+      }
       p.hops.map(_._1).foreach(r => r.props.foreach(kv => walk(kv._2)))
     }
     def walkSetItems(items: Seq[SetItem]): Unit = items.foreach {
@@ -520,7 +522,9 @@ object Planner {
     val acc = scala.collection.mutable.Set.empty[String]
     def walk(e: Expr): Unit = acc ++= exprVars(e)
     def walkPattern(p: PathPattern): Unit = {
-      (p.first +: p.hops.map(_._2)).foreach(n => n.props.foreach(kv => walk(kv._2)))
+      (p.first +: p.hops.map(_._2)).foreach { n =>
+        n.props.foreach(kv => walk(kv._2)); n.where.foreach(walk)
+      }
       p.hops.map(_._1).foreach(r => r.props.foreach(kv => walk(kv._2)))
     }
     def walkSetItems(items: Seq[SetItem]): Unit = items.foreach {
@@ -921,9 +925,13 @@ object Planner {
   private def refKeyCols(df: DataFrame, refs: Seq[String]): Seq[String] =
     refs ++ df.columns.filter(c => refs.exists(r => c.startsWith(r + "$")))
 
+  /** Variables referenced by a pattern: its own bindings plus anything the
+    * inline node WHEREs read (for decorrelation key computation — callers
+    * filter by env.has, so new bindings drop out). */
   private def patternVars(p: PathPattern): Set[String] =
     ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
-      p.hops.map(_._1).flatMap(_.variable)).toSet
+      p.hops.map(_._1).flatMap(_.variable)).toSet ++
+      (p.first +: p.hops.map(_._2)).flatMap(_.where).flatMap(exprVars)
 
   private def exprVars(e: Expr): Set[String] = e match {
     case Variable(v)          => Set(v)
@@ -1056,15 +1064,22 @@ object Planner {
           val filtered = nodeScan(ctx, np)
           df = df.join(filtered.select(col("id").as(v)), Seq(v), "left_semi")
         }
+        np.where.foreach { w =>
+          df = df.filter(compile(ctx, env.copy(df = Some(df)), w))
+        }
         (env.copy(df = Some(df)), v)
       case other =>
         val v = other.getOrElse(ctx.fresh("n"))
         val scan = hydrated(ctx, nodeScan(ctx, np), v, g.nodes.columns.toSet)
-        val df = env.df match {
+        var df = env.df match {
           case None      => scan
           case Some(cur) => cur.crossJoin(scan) // disconnected pattern part
         }
-        (Env(Some(df), env.binds + (v -> NodeVar)), v)
+        val env2 = Env(Some(df), env.binds + (v -> NodeVar))
+        np.where.foreach { w =>
+          df = df.filter(compile(ctx, env2.copy(df = Some(df)), w))
+        }
+        (env2.copy(df = Some(df)), v)
     }
   }
 
@@ -1214,18 +1229,25 @@ object Planner {
         val filtered = nodeScan(ctx, node)
         out = out.join(filtered.select(col("id").as(toVar)), Seq(toVar), "left_semi")
       }
+      node.where.foreach { w =>
+        out = out.filter(compile(ctx, afterRel.copy(df = Some(out)), w))
+      }
       (afterRel.copy(df = Some(out)), toVar)
     } else {
       val renamed = df.withColumnRenamed("__to", toVar)
       val needsJoin = node.labels.nonEmpty || node.labelExpr.nonEmpty || node.props.nonEmpty ||
         ctx.needed.getOrElse(toVar, Set.empty).nonEmpty
-      val out =
+      var out =
         if (!needsJoin) renamed
         else {
           val scan = hydrated(ctx, nodeScan(ctx, node), toVar, ctx.g.nodes.columns.toSet)
           renamed.join(scan, Seq(toVar))
         }
-      (Env(Some(out), afterRel.binds + (toVar -> NodeVar)), toVar)
+      val env2 = Env(Some(out), afterRel.binds + (toVar -> NodeVar))
+      node.where.foreach { w =>
+        out = out.filter(compile(ctx, env2.copy(df = Some(out)), w))
+      }
+      (env2.copy(df = Some(out)), toVar)
     }
   }
 

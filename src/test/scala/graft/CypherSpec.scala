@@ -514,6 +514,19 @@ class CypherSpec extends AnyFunSuite {
     assert(n == 2)
   }
 
+  test("inline WHERE inside node patterns (Cypher 5)") {
+    val rows = run(
+      "MATCH (p:Person WHERE p.age > 28) RETURN p.name AS n ORDER BY n")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Alice", "Carol", "Dave"))
+    // far-node inline WHERE may reference earlier pattern variables
+    val cross = run(
+      """MATCH (a:Person {name: 'Alice'})-[:KNOWS]->(b WHERE b.age < a.age)
+        |RETURN b.name AS n ORDER BY n""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(cross.toSeq == Seq("Bob")) // Carol(35) is not younger than Alice(30)
+  }
+
   test("var-length rel with inline property map filters every step") {
     // only Bob->Carol carries since=2018: a var-length walk restricted to
     // that property reaches Carol from Bob and nothing deeper
