@@ -91,7 +91,8 @@ object Ast {
     * variables (x, r, y), which bind to per-path arrays. */
   final case class RelPattern(variable: Option[String], types: Seq[String],
       dir: Dir, varLength: Option[(Int, Option[Int])], props: Seq[(String, Expr)],
-      qppVars: Option[(Option[String], Option[String], Option[String])] = None)
+      qppVars: Option[(Option[String], Option[String], Option[String])] = None,
+      where: Option[Expr] = None) // Cypher 5 inline `[r:T WHERE r.x > 1]`
 
   /** A linear path: node (rel node)*. */
   final case class PathPattern(first: NodePattern, hops: Seq[(RelPattern, NodePattern)])

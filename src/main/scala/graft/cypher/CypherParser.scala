@@ -275,9 +275,11 @@ object CypherParser extends RegexParsers {
         }
     }
 
-  private def relDetail: Parser[(Option[String], Seq[String], Option[(Int, Option[Int])], Seq[(String, Expr)])] =
-    "[" ~> opt(ident) ~ opt(relTypes) ~ opt(varLength) ~ opt(mapLit) <~ "]" ^^ {
-      case v ~ ts ~ vl ~ m => (v, ts.getOrElse(Seq.empty), vl, m.getOrElse(Seq.empty))
+  private def relDetail: Parser[(Option[String], Seq[String], Option[(Int, Option[Int])], Seq[(String, Expr)], Option[Expr])] =
+    "[" ~> opt(ident) ~ opt(relTypes) ~ opt(varLength) ~ opt(mapLit) ~
+      opt(K("WHERE") ~> expression) <~ "]" ^^ {
+      case v ~ ts ~ vl ~ m ~ w =>
+        (v, ts.getOrElse(Seq.empty), vl, m.getOrElse(Seq.empty), w)
     }
 
   def relPattern: Parser[RelPattern] =
@@ -285,10 +287,10 @@ object CypherParser extends RegexParsers {
     ("-" ~> opt(relDetail) <~ "->") ^^ (d => mk(d, Out)) |
     ("-" ~> opt(relDetail) <~ "-") ^^ (d => mk(d, Both))
 
-  private def mk(d: Option[(Option[String], Seq[String], Option[(Int, Option[Int])], Seq[(String, Expr)])],
+  private def mk(d: Option[(Option[String], Seq[String], Option[(Int, Option[Int])], Seq[(String, Expr)], Option[Expr])],
       dir: Dir): RelPattern = d match {
-    case Some((v, ts, vl, m)) => RelPattern(v, ts, dir, vl, m)
-    case None                 => RelPattern(None, Seq.empty, dir, None, Seq.empty)
+    case Some((v, ts, vl, m, w)) => RelPattern(v, ts, dir, vl, m, where = w)
+    case None => RelPattern(None, Seq.empty, dir, None, Seq.empty)
   }
 
   /** Quantified path pattern `((x)-[r:T]->(y)){min,max}` / `+` / `*`

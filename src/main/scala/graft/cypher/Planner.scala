@@ -471,7 +471,9 @@ object Planner {
       (p.first +: p.hops.map(_._2)).foreach { n =>
         n.props.foreach(kv => walk(kv._2)); n.where.foreach(walk)
       }
-      p.hops.map(_._1).foreach(r => r.props.foreach(kv => walk(kv._2)))
+      p.hops.map(_._1).foreach { r =>
+        r.props.foreach(kv => walk(kv._2)); r.where.foreach(walk)
+      }
     }
     def walkSetItems(items: Seq[SetItem]): Unit = items.foreach {
       case SetProp(_, _, v) => walk(v)
@@ -525,7 +527,9 @@ object Planner {
       (p.first +: p.hops.map(_._2)).foreach { n =>
         n.props.foreach(kv => walk(kv._2)); n.where.foreach(walk)
       }
-      p.hops.map(_._1).foreach(r => r.props.foreach(kv => walk(kv._2)))
+      p.hops.map(_._1).foreach { r =>
+        r.props.foreach(kv => walk(kv._2)); r.where.foreach(walk)
+      }
     }
     def walkSetItems(items: Seq[SetItem]): Unit = items.foreach {
       case SetProp(v, _, value)   => acc += v; walk(value)
@@ -931,7 +935,8 @@ object Planner {
   private def patternVars(p: PathPattern): Set[String] =
     ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
       p.hops.map(_._1).flatMap(_.variable)).toSet ++
-      (p.first +: p.hops.map(_._2)).flatMap(_.where).flatMap(exprVars)
+      (p.first +: p.hops.map(_._2)).flatMap(_.where).flatMap(exprVars) ++
+      p.hops.map(_._1).flatMap(_.where).flatMap(exprVars)
 
   private def exprVars(e: Expr): Set[String] = e match {
     case Variable(v)          => Set(v)
@@ -1124,6 +1129,9 @@ object Planner {
   private def expandHop(ctx: Ctx, env: Env, fromVar: String, rel: RelPattern,
       node: NodePattern): (Env, String) = {
     val g = ctx.g
+    require(rel.varLength.isEmpty || rel.where.isEmpty,
+      "WHERE inside a var-length relationship pattern is not supported — " +
+        "use an inline property map or a post-pattern WHERE")
     val relVar = rel.variable.getOrElse(ctx.fresh("r"))
     val toBound = node.variable.exists(env.has)
     val toVar = node.variable.getOrElse(ctx.fresh("n"))
@@ -1229,7 +1237,7 @@ object Planner {
         val filtered = nodeScan(ctx, node)
         out = out.join(filtered.select(col("id").as(toVar)), Seq(toVar), "left_semi")
       }
-      node.where.foreach { w =>
+      (node.where ++ rel.where).foreach { w =>
         out = out.filter(compile(ctx, afterRel.copy(df = Some(out)), w))
       }
       (afterRel.copy(df = Some(out)), toVar)
@@ -1244,7 +1252,7 @@ object Planner {
           renamed.join(scan, Seq(toVar))
         }
       val env2 = Env(Some(out), afterRel.binds + (toVar -> NodeVar))
-      node.where.foreach { w =>
+      (node.where ++ rel.where).foreach { w =>
         out = out.filter(compile(ctx, env2.copy(df = Some(out)), w))
       }
       (env2.copy(df = Some(out)), toVar)

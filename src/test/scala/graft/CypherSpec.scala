@@ -527,6 +527,14 @@ class CypherSpec extends AnyFunSuite {
     assert(cross.toSeq == Seq("Bob")) // Carol(35) is not younger than Alice(30)
   }
 
+  test("inline WHERE inside relationship patterns (Cypher 5)") {
+    val rows = run(
+      """MATCH (a:Person)-[r:KNOWS WHERE r.since >= 2018]->(b)
+        |RETURN a.name AS a, b.name AS b ORDER BY a, b""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("Alice", "Carol"), ("Bob", "Carol"), ("Carol", "Dave")))
+  }
+
   test("var-length rel with inline property map filters every step") {
     // only Bob->Carol carries since=2018: a var-length walk restricted to
     // that property reaches Carol from Bob and nothing deeper
