@@ -641,6 +641,9 @@ object Planner {
     val p = s.pattern
     require(p.hops.size == 1, "shortestPath takes a single relationship pattern")
     val (rel, toNode) = p.hops.head
+    require(p.first.where.isEmpty && toNode.where.isEmpty && rel.where.isEmpty,
+      "inline WHERE is not supported inside shortestPath patterns — " +
+        "filter before/after the MATCH")
     val fromVar = p.first.variable.filter(env.has).getOrElse(
       throw new IllegalArgumentException("shortestPath start node must be bound"))
     val maxDepth = rel.varLength.flatMap(_._2).getOrElse(15)
