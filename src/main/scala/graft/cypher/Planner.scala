@@ -1290,9 +1290,10 @@ object Planner {
     * outer row; correlated form (inner starts with an importing
     * `WITH x, y`) decorrelates — the sub-plan runs once over the DISTINCT
     * imported keys and joins back, so per-row subqueries cost one grouped
-    * pass instead of a loop. Divergence (documented): a correlated inner
-    * aggregation over zero matches drops the outer row (use COUNT{} for
-    * zero-preserving counts). */
+    * pass instead of a loop. A pure-aggregation inner (every RETURN item
+    * aggregates, straight MATCH/UNWIND body) joins back LEFT OUTER with
+    * count-aggregates coalesced to 0 — Cypher's aggregation-over-zero-rows
+    * semantics, so zero-match outer rows survive. */
   private def planCallSubquery(ctx: Ctx, env: Env, cs: CallSubquery): Env = {
     require(cs.inTransactionsOf.isEmpty,
       "CALL {} IN TRANSACTIONS mutates the graph — use Cypher.execute")
@@ -1328,8 +1329,34 @@ object Planner {
             s"unsupported clause in correlated CALL subquery: $other")
         }
         val newCols = sub.df.get.columns.filterNot(refs.contains)
-        Env(Some(df.join(sub.df.get, refs)),
-          env.binds ++ newCols.map(_ -> (ValueVar: Binding)))
+        // aggregation over zero matches must yield one row (count 0, null
+        // sums), not drop the outer row: eligible when the final RETURN is
+        // all-aggregates and the body is plain MATCH/UNWIND
+        val retOpt = cs.inner.clauses.lastOption.collect { case r: ReturnClause => r }
+        val zeroPreserving = retOpt.exists(r =>
+          r.items.nonEmpty && r.items.forall(i => containsAgg(i.expr)) &&
+            r.skip.isEmpty && r.limit.isEmpty &&
+            cs.inner.clauses.tail.dropRight(1).forall {
+              case m: MatchClause  => !m.optional
+              case _: UnwindClause => true
+              case _               => false
+            })
+        if (zeroPreserving) {
+          val countish = retOpt.get.items.collect {
+            case i if (i.expr match {
+              case CountStar         => true
+              case Func("count", _, _) => true
+              case _                 => false
+            }) => i.alias.getOrElse(defaultAlias(i.expr))
+          }.toSet
+          var joined = df.join(sub.df.get, refs, "left_outer")
+          countish.intersect(newCols.toSet).foreach { c =>
+            joined = joined.withColumn(c, coalesce(col(c), lit(0L)))
+          }
+          Env(Some(joined), env.binds ++ newCols.map(_ -> (ValueVar: Binding)))
+        } else
+          Env(Some(df.join(sub.df.get, refs)),
+            env.binds ++ newCols.map(_ -> (ValueVar: Binding)))
       case None =>
         val inner = planSingle(ctx.spark, ctx.g, cs.inner, ctx.params)
         val df = env.df match {

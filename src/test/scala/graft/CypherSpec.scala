@@ -413,14 +413,29 @@ class CypherSpec extends AnyFunSuite {
     assert(r.get(4).toString == "2024-03-01")
   }
 
+  test("correlated CALL aggregation preserves zero-match rows (count 0)") {
+    val rows = run(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:KNOWS]->(f)
+        |       RETURN count(f) AS friends, sum(f.age) AS total }
+        |RETURN p.name AS name, friends, total ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // Dave knows nobody: row survives with count 0 and NULL sum
+    assert(rows.toSeq == Seq(("Alice", 2L, 60L), ("Bob", 1L, 35L),
+      ("Carol", 1L, 40L), ("Dave", 0L, -1L)))
+  }
+
   test("correlated CALL { WITH x ... } runs per imported key") {
     val rows = run(
       """MATCH (p:Person)
         |CALL { WITH p MATCH (p)-[:KNOWS]->(q) RETURN max(q.age) AS oldestFriend }
         |RETURN p.name AS name, oldestFriend ORDER BY name""".stripMargin)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    // Dave has no outgoing KNOWS → row dropped (documented divergence)
-    assert(rows.toSeq == Seq(("Alice", 35L), ("Bob", 35L), ("Carol", 40L)))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    // Dave has no outgoing KNOWS → row survives with NULL max
+    assert(rows.toSeq == Seq(("Alice", 35L), ("Bob", 35L), ("Carol", 40L),
+      ("Dave", -1L)))
   }
 
   test("all/any/none/single iterator predicates and reduce()") {
