@@ -27,6 +27,32 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  /** Fixed-size overlapping token-window chunks — the context-window
+    * splitting stage of a training-data pipeline. Returns
+    * ARRAY<STRUCT<idx INT, chunk STRING, n_tokens INT>>; stride =
+    * size - overlap, last window may be short, chunk count =
+    * max(1, ceil((n - overlap) / stride)) for non-empty docs (0 for empty).
+    * Pure codegen'd higher-order functions — explode downstream to get one
+    * row per chunk. */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"bad chunking config: size=$size overlap=$overlap")
+    val step = size - overlap
+    val toks = tokens(text)
+    val n = org.apache.spark.sql.functions.size(toks)
+    val nChunks =
+      greatest(lit(1), floor((n - overlap + step - 1) / lit(step.toDouble)).cast("int"))
+    // sequence(a, b) with b < a counts DOWN — guard the empty-doc case
+    val windows = transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1), i => {
+      val piece = slice(toks, i * step + 1, lit(size))
+      struct(i.cast("int").as("idx"),
+        array_join(piece, " ").as("chunk"),
+        org.apache.spark.sql.functions.size(piece).cast("int").as("n_tokens"))
+    })
+    when(n > 0, windows)
+      .otherwise(array().cast("array<struct<idx:int,chunk:string,n_tokens:int>>"))
+  }
+
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** Fraction of tokens that are English stopwords. */

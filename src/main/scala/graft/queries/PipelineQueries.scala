@@ -129,6 +129,29 @@ object PipelineQueries {
              |  n_chars
              |FROM documents""".stripMargin)),
 
+    // Context-window chunking: 50-token windows, 10-token overlap — the
+    // training-data splitting stage; oracle re-derives windows with
+    // generate_series + list_slice.
+    QueryDef("q_text_chunks",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.chunks(col("text"), 50, 10)).as("c"))
+        .select(col("doc_id"), col("c.idx").as("idx"),
+          col("c.chunk").as("chunk"), col("c.n_tokens").as("n_tokens")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS toks
+             |  FROM documents),
+             |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+             |c AS (SELECT doc_id, toks, n,
+             |    greatest(1, CAST(floor((n + 29) / 40.0) AS INT)) AS nc FROM n),
+             |e AS (SELECT doc_id, toks, n,
+             |    unnest(generate_series(0, nc - 1)) AS i FROM c)
+             |SELECT doc_id, CAST(i AS INT) AS idx,
+             |  array_to_string(list_slice(toks, i*40 + 1, least(i*40 + 50, n)), ' ') AS chunk,
+             |  CAST(least(i*40 + 50, n) - i*40 AS INT) AS n_tokens
+             |FROM e""".stripMargin)),
+
     // Language-ID heuristic (stopword hit rate) — deterministic formula,
     // identical on both sides.
     QueryDef("q_lang_id",
