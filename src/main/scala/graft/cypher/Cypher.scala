@@ -60,6 +60,16 @@ object Cypher {
 
   def run(spark: SparkSession, graph: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty): DataFrame = {
+    // EXPLAIN <query> (reference EXPLAIN): one row per physical-plan line
+    val explained = "(?is)^\\s*EXPLAIN\\b(.*)".r
+    query match {
+      case explained(rest) =>
+        import spark.implicits._
+        return run(spark, graph, rest, params)
+          .queryExecution.executedPlan.toString
+          .split("\n").toSeq.toDF("plan")
+      case _ => ()
+    }
     val key = (query, params)
     val cached = planCache.synchronized {
       Option(planCache.get(key)).collect {

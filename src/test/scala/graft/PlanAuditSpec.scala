@@ -67,6 +67,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("array_contains"), "rel-reading var-length lost its paths")
   }
 
+  test("relationship property range predicate pushes down to the rel scan") {
+    val plan = executedPlan(
+      "MATCH ()-[r:CONTAINS]->() WHERE r.qty >= 45 RETURN count(*) AS n")
+    // qty aliases l_quantity in the TpchGraph projection; the range filter
+    // must reach the lineitem parquet scan (and null-qty union branches
+    // should be pruned away entirely)
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45"),
+      s"rel property filter not pushed:\n${plan.take(3000)}")
+  }
+
+  test("EXPLAIN returns the physical plan as rows") {
+    val rows = Cypher.run(spark, g,
+      "EXPLAIN MATCH (c:Customer) WHERE c.key < 10 RETURN c.name AS n")
+      .collect().map(_.getString(0))
+    assert(rows.nonEmpty && rows.mkString("\n").contains("Scan parquet"))
+  }
+
   test("whole-stage codegen covers the expression pipeline") {
     val df = Cypher.run(spark, g,
       """MATCH (c:Customer) WHERE c.name ENDS WITH '1'
