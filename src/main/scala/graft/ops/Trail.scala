@@ -137,6 +137,109 @@ object Trail {
       .filter(col("rank") <= k)
   }
 
+  /** One linear-NFA segment: a var-length leg `-[:T*min..max]->` with its
+    * own (oriented, filtered) edge set. */
+  final case class PathSegment(edges: DataFrame, min: Int, max: Int)
+
+  /**
+   * SHORTEST k over a CONCATENATION of var-length segments — the general
+   * linear-NFA form of the reference's StatefulShortestPath
+   * (LogicalPlan.scala:2290 + NFA.scala:157): `(a)-[:X*1..3]->()-[:Y*..2]->(b)`
+   * compiles to segments; the search runs on the product graph whose state
+   * is (node, segment, hopsInSegment).
+   *
+   * Depth-synchronized rounds: each round expands every active state one
+   * edge within its segment, then takes the epsilon closure (advance to the
+   * next segment once the current one's minimum is met, resetting the
+   * in-segment hop count — applied to fixpoint so min-0 segments can be
+   * skipped). Per (source, node, segment, hopsInSegment) state only the k
+   * best (hops, path) rows survive a round, so work per round is bounded by
+   * |reached states| × k, not by the trail count. Relationship uniqueness
+   * (trail semantics) holds across the WHOLE path, like a Cypher MATCH.
+   *
+   * @param pairs (source, target)
+   * @return (source, target, hops, path ARRAY<LONG>, rank 1..k)
+   */
+  def shortestKSegments(segments: Seq[PathSegment], pairs: DataFrame,
+      k: Int): DataFrame = {
+    require(segments.nonEmpty && k >= 1, "need segments and k >= 1")
+    segments.foreach(s => require(s.min >= 0 && s.max >= s.min && s.max <= 30,
+      s"segment bounds out of range: ${s.min}..${s.max}"))
+    val maxTotal = segments.map(_.max).sum
+    require(maxTotal <= 60, s"total path bound too large: $maxTotal")
+    val nSeg = segments.size
+    val mins = lit(segments.map(_.min).toArray)
+    val maxs = lit(segments.map(_.max).toArray)
+    val eBySeg = segments.map(s => s.edges
+      .select(col("id").as("__er"), col("src").as("__es"), col("dst").as("__ed"))
+      .localCheckpoint(false))
+
+    val wState = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "end", "seg", "segHops")
+      .orderBy(col("hops").asc, col("path").asc)
+    def pruneStates(df: DataFrame): DataFrame = df
+      .withColumn("__rk", row_number().over(wState))
+      .filter(col("__rk") <= k).drop("__rk")
+    // epsilon closure: advance past segments whose minimum is satisfied
+    // (seg == nSeg is the accepting state); at most nSeg advances chain
+    def closure(df0: DataFrame): DataFrame = {
+      var cur = df0
+      val acc = Seq.newBuilder[DataFrame]
+      acc += df0
+      var i = 0
+      while (i < nSeg) {
+        cur = cur
+          .filter(col("seg") < nSeg &&
+            col("segHops") >= try_element_at(mins, col("seg") + 1))
+          .select(col("source"), col("end"), (col("seg") + 1).as("seg"),
+            lit(0).as("segHops"), col("hops"), col("path"))
+        acc += cur
+        i += 1
+      }
+      acc.result().reduce(_ unionByName _)
+    }
+
+    var frontier = pruneStates(closure(
+      pairs.select("source").distinct()
+        .select(col("source"), col("source").as("end"), lit(0).as("seg"),
+          lit(0).as("segHops"), lit(0).as("hops"),
+          array().cast("array<long>").as("path"))))
+      .localCheckpoint()
+    val finished = Seq.newBuilder[DataFrame]
+    finished += frontier.filter(col("seg") === nSeg)
+    var depth = 0
+    var active = frontier
+      .filter(col("seg") < nSeg &&
+        col("segHops") < try_element_at(maxs, col("seg") + 1))
+      .localCheckpoint(false)
+    while (depth < maxTotal && !active.isEmpty) {
+      val expanded = (0 until nSeg).map { i =>
+        active.filter(col("seg") === i)
+          .join(eBySeg(i), col("end") === col("__es") &&
+            !array_contains(col("path"), col("__er")))
+          .select(col("source"), col("__ed").as("end"), col("seg"),
+            (col("segHops") + 1).as("segHops"), (col("hops") + 1).as("hops"),
+            concat(col("path"), array(col("__er"))).as("path"))
+      }.reduce(_ unionByName _)
+      frontier = pruneStates(closure(expanded)).localCheckpoint()
+      finished += frontier.filter(col("seg") === nSeg)
+      active = frontier
+        .filter(col("seg") < nSeg &&
+          col("segHops") < try_element_at(maxs, col("seg") + 1))
+        .localCheckpoint(false)
+      depth += 1
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "target").orderBy(col("hops").asc, col("path").asc)
+    finished.result().reduce(_ unionByName _)
+      .join(pairs, Seq("source")).filter(col("end") === col("target"))
+      .select(col("source"), col("target"), col("hops"), col("path"))
+      // identical paths can reach acceptance via different epsilon timings
+      .dropDuplicates("source", "target", "path")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** PropertyGraph convenience: orient + type-filter the rels table. */
   def trail(g: PropertyGraph, input: DataFrame, fromCol: String,
       relTypes: Seq[String], direction: Direction, min: Int, max: Int): DataFrame = {

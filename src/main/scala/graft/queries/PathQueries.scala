@@ -168,6 +168,48 @@ object PathQueries {
              |  CAST(rank AS INT) AS rank
              |FROM ranked WHERE rank <= 3""".stripMargin)),
 
+    // SHORTEST k over a segment CONCATENATION (linear NFA product-graph
+    // search): forward +1 leg *1..3 then backward -1 leg *1..3 on the
+    // 25-node ring. Every (i, j) hop combination is a valid trail (edge id
+    // spaces are disjoint), so the oracle enumerates them in closed form
+    // and ranks by (hops, path).
+    QueryDef("q_shortest_k_nfa",
+      (s, d) => {
+        val nation = t(s, d, "nation").select(col("n_nationkey").cast("long").as("key"))
+        val fwd = nation.select((col("key") + 1000).as("id"), col("key").as("src"),
+          ((col("key") + 1) % 25).as("dst"))
+        val bwd = nation.select((col("key") + 2000).as("id"), col("key").as("src"),
+          ((col("key") + 24) % 25).as("dst"))
+        val pairs = nation.filter(col("key") < 5).select(col("key").as("source"))
+          .crossJoin(nation.select(col("key").as("target")))
+        Trail.shortestKSegments(
+          Seq(Trail.PathSegment(fwd, 1, 3), Trail.PathSegment(bwd, 1, 3)),
+          pairs, k = 2)
+          .select(col("source"), col("target"), col("hops"),
+            array_join(col("path"), ",").as("path"), col("rank"))
+      },
+      Some("""WITH combos AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS s, i.i AS i, j.j AS j
+             |  FROM nation,
+             |    (SELECT unnest(generate_series(1, 3)) AS i) i,
+             |    (SELECT unnest(generate_series(1, 3)) AS j) j
+             |  WHERE n_nationkey < 5),
+             |paths AS (
+             |  SELECT s AS source, ((s + i - j) % 25 + 25) % 25 AS target,
+             |    CAST(i + j AS INT) AS hops,
+             |    array_to_string(list_concat(
+             |      [CAST(1000 + (s + x) % 25 AS BIGINT) for x in generate_series(0, i - 1)],
+             |      [CAST(2000 + ((s + i - x) % 25 + 25) % 25 AS BIGINT) for x in generate_series(0, j - 1)]
+             |    ), ',') AS path
+             |  FROM combos),
+             |ranked AS (
+             |  SELECT source, target, hops, path,
+             |    row_number() OVER (PARTITION BY source, target
+             |      ORDER BY hops, string_split(path, ',')) AS rank
+             |  FROM paths)
+             |SELECT source, target, hops, path, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 2""".stripMargin)),
+
     // ProjectEndpoints :3115 — bound rel ids resolve to their endpoints
     // (id scheme from TpchGraph: PLACED id = (23<<44)+orderkey).
     QueryDef("q_project_endpoints",

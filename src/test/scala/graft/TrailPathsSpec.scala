@@ -105,4 +105,54 @@ class TrailPathsSpec extends AnyFunSuite {
       (2, Seq(100L, 102L)),    // 2 hops, smaller rel ids
       (3, Seq(101L, 103L))))   // 2 hops, larger rel ids
   }
+
+  test("shortestKSegments walks a typed segment concatenation (linear NFA)") {
+    import spark.implicits._
+    import graft.ops.Trail.PathSegment
+    // X edges: 0->1->2; Y edges: 2->3, 1->3; pattern [:X*1..2][:Y*1..1]
+    val x = Seq((100L, 0L, 1L), (101L, 1L, 2L)).toDF("id", "src", "dst")
+    val y = Seq((200L, 2L, 3L), (201L, 1L, 3L)).toDF("id", "src", "dst")
+    val pairs = Seq((0L, 3L)).toDF("source", "target")
+    val got = graft.ops.Trail.shortestKSegments(
+      Seq(PathSegment(x, 1, 2), PathSegment(y, 1, 1)), pairs, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(r.fieldIndex("rank")), r.getInt(r.fieldIndex("hops")),
+        r.getSeq[Long](r.fieldIndex("path"))))
+    assert(got.toSeq == Seq(
+      (1, 2, Seq(100L, 201L)),        // 1 X-hop then Y
+      (2, 3, Seq(100L, 101L, 200L)))) // 2 X-hops then Y
+  }
+
+  test("shortestKSegments skips min-0 segments (epsilon closure)") {
+    import spark.implicits._
+    import graft.ops.Trail.PathSegment
+    val x = Seq((100L, 0L, 1L)).toDF("id", "src", "dst")
+    val y = Seq((200L, 0L, 5L), (201L, 1L, 5L)).toDF("id", "src", "dst")
+    val pairs = Seq((0L, 5L)).toDF("source", "target")
+    val got = graft.ops.Trail.shortestKSegments(
+      Seq(PathSegment(x, 0, 1), PathSegment(y, 1, 1)), pairs, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(r.fieldIndex("rank")),
+        r.getSeq[Long](r.fieldIndex("path"))))
+    // X segment is skippable: direct Y edge 0->5 ranks first (1 hop)
+    assert(got.toSeq == Seq((1, Seq(200L)), (2, Seq(100L, 201L))))
+  }
+
+  test("shortestKSegments enforces rel uniqueness across segments") {
+    import spark.implicits._
+    import graft.ops.Trail.PathSegment
+    // shared edge set in both segments: edge 100 cannot be reused
+    val e = Seq((100L, 0L, 1L), (101L, 1L, 0L)).toDF("id", "src", "dst")
+    val pairs = Seq((0L, 1L)).toDF("source", "target")
+    val got = graft.ops.Trail.shortestKSegments(
+      Seq(PathSegment(e, 1, 2), PathSegment(e, 1, 2)), pairs, k = 5)
+      .collect().map(r => r.getSeq[Long](r.fieldIndex("path")))
+    // only 0->1->0->1 would need edge 100 twice → the sole 2-seg trail is
+    // impossible beyond the 100,101,100 reuse; valid: [100,101,100]? no —
+    // uniqueness forbids it; valid result: [100] consumed by seg1 and seg2
+    // must still move ≥1 → no trail of that shape … except seg1=[100],
+    // seg2 needs an edge from 1: only 101 (to 0) ≠ target → nothing; and
+    // seg1=[100,101] (back at 0), seg2 from 0: only 100 — already used.
+    assert(got.isEmpty)
+  }
 }
