@@ -98,9 +98,12 @@ object Ast {
   final case class PathPattern(first: NodePattern, hops: Seq[(RelPattern, NodePattern)])
 
   /** `p = shortestPath((a)-[:T*..d]->(b))` (reference FindShortestPaths);
-    * `all = true` for allShortestPaths (every minimal-hop tie). */
+    * `all = true` for allShortestPaths (every minimal-hop tie);
+    * `k = Some(n)` for the GQL `SHORTEST n <pattern>` selector (reference
+    * StatefulShortestPath) — the pattern may concatenate several var-length
+    * legs. */
   final case class ShortestPart(pathVar: Option[String], pattern: PathPattern,
-      all: Boolean = false)
+      all: Boolean = false, k: Option[Int] = None)
 
   // ---- clauses ----------------------------------------------------------
 

@@ -324,6 +324,10 @@ object CypherParser extends RegexParsers {
     opt(ident <~ "=") ~ "(?i)(allShortestPaths|shortestPath)".r ~
       ("(" ~> pathPattern <~ ")") ^^ {
       case v ~ kw ~ p => ShortestPart(v, p, kw.toLowerCase.startsWith("all"))
+    } |
+    // GQL path selector: `[p =] SHORTEST k <pattern>` (StatefulShortestPath)
+    opt(ident <~ "=") ~ (K("SHORTEST") ~> """\d+""".r) ~ pathPattern ^^ {
+      case v ~ kk ~ p => ShortestPart(v, p, all = false, k = Some(kk.toInt))
     }
 
   private def matchClause: Parser[Clause] =

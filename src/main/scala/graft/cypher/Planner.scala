@@ -638,6 +638,7 @@ object Planner {
     * endpoints are bound (reference FindShortestPaths :2178); unreached
     * pairs drop, like a failed MATCH. The path variable binds `v$length`. */
   private def planShortest(ctx: Ctx, env: Env, s: ShortestPart): Env = {
+    if (s.k.isDefined) return planShortestK(ctx, env, s)
     val p = s.pattern
     require(p.hops.size == 1, "shortestPath takes a single relationship pattern")
     val (rel, toNode) = p.hops.head
@@ -760,6 +761,68 @@ object Planner {
           joined = joined.join(scan, Seq(toVar))
         }
         Env(Some(joined), env.binds + (pv -> PathVar) + (toVar -> NodeVar))
+    }
+  }
+
+  /** `SHORTEST k <pattern>` — compiles the (possibly multi-leg) pattern to
+    * Trail.shortestKSegments (linear-NFA product-graph search). Intermediate
+    * nodes must be unconstrained (they are NFA states, not join points);
+    * endpoints behave like shortestPath endpoints. Binds pv$length and
+    * pv$rels per returned path (up to k per pair). */
+  private def planShortestK(ctx: Ctx, env: Env, s: ShortestPart): Env = {
+    val p = s.pattern
+    val kk = s.k.get
+    require(p.hops.nonEmpty, "SHORTEST k needs a relationship pattern")
+    val fromVar = p.first.variable.filter(env.has).getOrElse(
+      throw new IllegalArgumentException("SHORTEST k start node must be bound"))
+    val toNode = p.hops.last._2
+    require(p.first.where.isEmpty && toNode.where.isEmpty,
+      "inline WHERE is not supported in SHORTEST k patterns")
+    p.hops.dropRight(1).map(_._2).foreach { n =>
+      require(n.labels.isEmpty && n.labelExpr.isEmpty && n.props.isEmpty &&
+        n.where.isEmpty && !n.variable.exists(env.has),
+        "SHORTEST k intermediate nodes must be unconstrained")
+    }
+    val segs = p.hops.map { case (r, _) =>
+      require(r.qppVars.isEmpty && r.where.isEmpty,
+        "SHORTEST k legs take types/bounds/property maps only")
+      val (mn, mxOpt) = r.varLength.getOrElse((1, Some(1)))
+      val mx = mxOpt.getOrElse(throw new IllegalArgumentException(
+        "SHORTEST k legs need a bounded upper end (e.g. *1..4)"))
+      val pre = if (r.props.isEmpty) None
+        else Some(r.props.map { case (key, e) =>
+          if (ctx.g.rels.columns.contains(key)) col(key) === constExpr(ctx, e)
+          else lit(false)
+        }.reduce(_ && _))
+      val dir = r.dir match {
+        case Out => Direction.Out; case In => Direction.In; case Both => Direction.Both
+      }
+      graft.ops.Trail.PathSegment(orientTyped(ctx.g, r.types, dir, pre), mn, mx)
+    }
+    val pv = s.pathVar.getOrElse(ctx.fresh("p"))
+    val df = env.df.get
+    val toBound = toNode.variable.exists(env.has)
+    val toVar = toNode.variable.getOrElse(ctx.fresh("n"))
+    val pairs =
+      if (toBound) df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct()
+      else df.select(col(fromVar).as("source")).distinct()
+        .crossJoin(nodeScan(ctx, toNode).select(col("id").as("target")))
+    val res = graft.ops.Trail.shortestKSegments(segs, pairs, kk)
+      .select(col("source"), col("target"),
+        col("hops").cast("int").as(s"$pv$$length"), col("path").as(s"$pv$$rels"))
+    if (toBound) {
+      val joined = df.join(res,
+        col(fromVar) === col("source") && col(toVar) === col("target"))
+        .drop("source", "target")
+      Env(Some(joined), env.binds + (pv -> PathVar))
+    } else {
+      var joined = df.join(res, col(fromVar) === col("source"))
+        .drop("source").withColumnRenamed("target", toVar)
+      if (ctx.needed.getOrElse(toVar, Set.empty).nonEmpty) {
+        val scan = hydrated(ctx, nodeScan(ctx, toNode), toVar, ctx.g.nodes.columns.toSet)
+        joined = joined.join(scan, Seq(toVar))
+      }
+      Env(Some(joined), env.binds + (pv -> PathVar) + (toVar -> NodeVar))
     }
   }
 

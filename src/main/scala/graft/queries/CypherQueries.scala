@@ -236,6 +236,28 @@ object CypherQueries {
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS total_qty
         |FROM lineitem WHERE l_quantity >= 45""".stripMargin),
 
+    // GQL SHORTEST k selector through the Cypher surface (reference
+    // StatefulShortestPath): two typed legs, k best trails per pair by
+    // (hops, path). Every customer→order→part trail is exactly 2 hops, so
+    // ties resolve purely on the deterministic rel-id order.
+    cq("q_cypher_shortest_k",
+      """MATCH (c:Customer) WHERE c.key < 20
+        |MATCH p = SHORTEST 2 (c)-[:PLACED*1..1]->()-[:CONTAINS*1..1]->(x:Part)
+        |RETURN c.key AS source_key, x.key AS part_key, length(p) AS hops,
+        |  reduce(acc = '', r IN relationships(p) | acc || ',' || toString(r)) AS path""".stripMargin,
+      """WITH cand AS (
+        |  SELECT c_custkey AS source_key, CAST(l_partkey AS BIGINT) AS part_key,
+        |    CAST(404620279021568 + o_orderkey AS BIGINT) AS e1,
+        |    CAST(422212465065984 + o_orderkey * 16 + l_linenumber AS BIGINT) AS e2
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_custkey < 20),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY source_key, part_key ORDER BY e1, e2) AS rn FROM cand)
+        |SELECT source_key, part_key, 2 AS hops,
+        |  ',' || e1 || ',' || e2 AS path
+        |FROM ranked WHERE rn <= 2""".stripMargin),
+
     // nodes(p) — the node-id sequence of a shortestPath (reference
     // functions/Nodes.scala), carried alongside the rel-id path.
     // node-id scheme: Customer = (3<<44)+key, Nation = (2<<44)+key,

@@ -464,6 +464,18 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1) == Seq(12L, 13L))
   }
 
+  test("SHORTEST k selector returns the k best trails per pair") {
+    val rows = run(
+      """MATCH (a {name: 'Alice'})
+        |MATCH p = SHORTEST 2 (a)-[:KNOWS*1..3]->(x)
+        |WHERE x.name = 'Carol'
+        |RETURN length(p) AS hops, relationships(p) AS rels
+        |ORDER BY hops""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toList))
+    // direct 1-hop (rel 12) beats Alice->Bob->Carol (rels 10, 11)
+    assert(rows.toSeq == Seq((1, List(12L)), (2, List(10L, 11L))))
+  }
+
   test("nodes(p) exposes the node sequence of a shortest path") {
     val r = run(
       """MATCH (a {name: 'Alice'})
