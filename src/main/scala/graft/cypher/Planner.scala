@@ -1922,12 +1922,15 @@ object Planner {
           case other => throw new IllegalArgumentException(
             "nodes() takes a shortestPath variable")
         }
-      case "tostring"  =>
+      case "tostring" | "tostringornull" =>
         if (isOrderabilityTyped(env, a0)) graft.functions.Orderability.repr(a0)
         else a0.cast("string")
-      case "tointeger" => a0.cast("long")
-      case "tofloat"   => a0.cast("double")
-      case "toboolean" => a0.cast("boolean")
+      // Cypher conversions return NULL on unconvertible input (ANSI casts
+      // would throw); toInteger truncates numeric strings like the reference
+      case "tointeger" | "tointegerornull" =>
+        a0.try_cast("double").try_cast("long")
+      case "tofloat" | "tofloatornull"     => a0.try_cast("double")
+      case "toboolean" | "tobooleanornull" => a0.try_cast("boolean")
       case "abs"   => abs(a0)
       case "ceil"  => ceil(a0).cast("double")
       case "floor" => floor(a0).cast("double")

@@ -29,6 +29,16 @@ class CypherNullSemanticsSpec extends AnyFunSuite {
 
   private def run(q: String) = Cypher.run(spark, g, q)
 
+  test("conversions return NULL on unconvertible input, not an error") {
+    val r = run(
+      """RETURN toInteger('abc') AS a, toInteger('4.7') AS b,
+        |  toFloat('x') AS c, toBoolean('maybe') AS d,
+        |  toBoolean('true') AS e, toIntegerOrNull('7') AS f""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0) && r.getLong(1) == 4L && r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getBoolean(4) && r.getLong(5) == 7L)
+  }
+
   test("NULL comparisons filter out (ternary logic), IS NULL catches them") {
     assert(run("MATCH (n:P) WHERE n.age > 5 RETURN count(*) AS c")
       .collect()(0).getLong(0) == 2) // null age row excluded
