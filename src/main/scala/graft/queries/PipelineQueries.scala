@@ -228,6 +228,43 @@ object PipelineQueries {
     // payloads (UTF-8 bytes), then content-hash dedup + byte sizing — the
     // metadata pass every image/audio corpus runs before decode. Oracle
     // hashes the same bytes in DuckDB.
+    // REAL audio decode round trip: build canonical WAV payloads (PCM16
+    // samples derived from nation keys) as binary IN Spark, decode them
+    // back with wavSamples, compute RMS/peak/zero-crossings — the oracle
+    // re-derives the features from the closed-form sample values, so any
+    // decode bug (endianness, offset, sign) breaks the hash match.
+    QueryDef("q_multimodal_audio",
+      (s, d) => {
+        def le32(x: Int) = Array(x.toByte, (x >> 8).toByte, (x >> 16).toByte, (x >> 24).toByte)
+        def le16(x: Int) = Array(x.toByte, (x >> 8).toByte)
+        val header: Array[Byte] =
+          "RIFF".getBytes("ASCII") ++ le32(36 + 8) ++ "WAVE".getBytes("ASCII") ++
+          "fmt ".getBytes("ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+          le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+          "data".getBytes("ASCII") ++ le32(8)
+        val headerHex = header.map("%02X".format(_)).mkString
+        def le16hex(c: org.apache.spark.sql.Column) = {
+          val h = lpad(hex(pmod(c.cast("long"), lit(65536L))), 4, "0")
+          concat(h.substr(3, 2), h.substr(1, 2))
+        }
+        val k = col("n_nationkey").cast("long")
+        val wav = unhex(concat(lit(headerHex),
+          le16hex(k * 3), le16hex(-k * 2), le16hex(k + 1000), le16hex(-k * 5)))
+        t(s, d, "nation").filter(col("n_nationkey").between(1, 24))
+          .select(k.as("key"), wav.as("payload"))
+          .select(col("key"),
+            graft.functions.Multimodal.sniffMime(col("payload")).as("mime"),
+            round(graft.functions.Multimodal.wavRms(col("payload")), 4).as("rms"),
+            graft.functions.Multimodal.wavPeak(col("payload")).as("peak"),
+            graft.functions.Multimodal.wavZeroCrossings(col("payload")).as("zc"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS key, 'audio/wav' AS mime,
+             |  round(sqrt((9.0*n_nationkey*n_nationkey + 4.0*n_nationkey*n_nationkey +
+             |    (1000.0+n_nationkey)*(1000.0+n_nationkey) +
+             |    25.0*n_nationkey*n_nationkey) / 4), 4) AS rms,
+             |  CAST(1000 + n_nationkey AS INT) AS peak, 3 AS zc
+             |FROM nation WHERE n_nationkey BETWEEN 1 AND 24""".stripMargin)),
+
     QueryDef("q_multimodal_binary",
       (s, d) => graft.functions.Multimodal.dedupExact(
         t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),

@@ -82,6 +82,32 @@ class MultimodalSpec extends AnyFunSuite {
       row.getLong(2) == 480L && row.getLong(3) > 0)
   }
 
+  test("WAV PCM16 decode is REAL: samples, RMS, peak, zero crossings") {
+    import spark.implicits._
+    def le16(x: Int) = Array(x.toByte, (x >> 8).toByte)
+    // canonical 44-byte header (data chunk declared) + 4 known samples
+    val pcm: Array[Int] = Array(1000, -1000, 32767, -32768)
+    val full = wavBytes(8000, 1) ++
+      "data".getBytes("ASCII") ++
+      Array((pcm.length * 2).toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      pcm.flatMap(le16)
+    val df = Seq((1L, full)).toDF("id", "payload")
+    val s = df.select(Multimodal.wavSamples(col("payload"), 16)).collect()(0)
+      .getSeq[Int](0)
+    assert(s == Seq(1000, -1000, 32767, -32768))
+    val rms = df.select(Multimodal.wavRms(col("payload"))).collect()(0).getDouble(0)
+    val expected = math.sqrt(pcm.map(x => x.toDouble * x).sum / 4)
+    assert(math.abs(rms - expected) < 1e-9)
+    assert(df.select(Multimodal.wavPeak(col("payload"))).collect()(0).getInt(0) == 32768)
+    assert(df.select(Multimodal.wavZeroCrossings(col("payload")))
+      .collect()(0).getInt(0) == 3) // +,-,+,- alternates three times
+    // non-WAV payloads yield empty samples / NULL features
+    val png = Seq((2L, pngBytes(4, 4))).toDF("id", "payload")
+    assert(png.select(Multimodal.wavSamples(col("payload"), 16))
+      .collect()(0).getSeq[Int](0).isEmpty)
+    assert(png.select(Multimodal.wavRms(col("payload"))).collect()(0).isNullAt(0))
+  }
+
   test("decodeBatches: stub features are deterministic and batch plumbing preserves rows") {
     val out1 = Multimodal.decodeBatches(payloads, "id", "payload", dim = 4, batchSize = 2)
     val out2 = Multimodal.decodeBatches(payloads, "id", "payload", dim = 4, batchSize = 3)
