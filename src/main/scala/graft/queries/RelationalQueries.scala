@@ -12,9 +12,20 @@ import org.apache.spark.sql.functions._
  * reference inventory (LogicalPlan.scala line refs in SURVEY §2).
  */
 object RelationalQueries {
+
   import QueryDef.t
 
-  val defs: Seq[QueryDef] = Seq(
+  /** Skew-salted two-phase distinct count (graft.ops.Skew) — must equal
+    * plain count(DISTINCT) exactly. */
+  private val skewDefs: Seq[QueryDef] = Seq(
+    QueryDef("q_skew_distinct",
+      (s, d) => graft.ops.Skew.saltedDistinctCount(
+        t(s, d, "lineitem").select(col("l_orderkey").as("okey"), col("l_suppkey")),
+        "okey", "l_suppkey", salts = 8),
+      Some("""SELECT l_orderkey AS okey, count(DISTINCT l_suppkey) AS n_distinct
+             |FROM lineitem GROUP BY l_orderkey""".stripMargin)))
+
+  val defs: Seq[QueryDef] = skewDefs ++ Seq(
 
     // Aggregation :728 (EagerAggregationPipe) — TPC-H Q1 shape: partial agg
     // map-side, single shuffle on the (tiny) grouping key.
