@@ -112,13 +112,18 @@ object Similarity {
       nList: Int = 64, nProbe: Int = 8, kmeansIters: Int = 2): DataFrame = {
     val c = corpus.select(col("id"), asDouble(col("vec")).as("v"))
       .localCheckpoint(false)
-    var cents: Array[(Int, Array[Double])] = c
-      .withColumn("__h", xxhash64(col("id"))).orderBy("__h").limit(nList)
+    // centroids train on a deterministic SAMPLE (id-hash order) — standard
+    // IVF practice: training cost is sample-sized, only the single final
+    // assignment pass touches the full corpus
+    val trainSet = c.withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h").limit(math.max(nList * 32, 1024)).drop("__h")
+      .localCheckpoint(false)
+    var cents: Array[(Int, Array[Double])] = trainSet.limit(nList)
       .select("v").collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
     var it = 0
     while (it < kmeansIters) {
-      cents = assignCells(c, cents)
+      cents = assignCells(trainSet, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cid")
