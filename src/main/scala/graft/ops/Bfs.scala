@@ -41,7 +41,11 @@ object Bfs {
    */
   def distancesImpl(edges: DataFrame, sources: DataFrame, maxDepth: Int,
       targetPairs: Option[DataFrame]): DataFrame = {
+    // reachability only sees distinct (src, dst): parallel edges (e.g. one
+    // per lineitem between the same order and part) would be rescanned
+    // every round otherwise — dedupe once into the materialized edge set
     val e = edges.select(col("src").as("__s"), col("dst").as("__d"))
+      .distinct()
       .localCheckpoint(false)
     val targets = targetPairs.map(
       _.select(col("source"), col("target").as("node")).distinct().localCheckpoint())
