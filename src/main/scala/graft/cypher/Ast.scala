@@ -162,8 +162,8 @@ object Ast {
   final case class CreateConstraintClause(name: String, label: String,
       prop: String, kind: String) extends Clause
   final case class DropSchemaClause(isIndex: Boolean, name: String) extends Clause
-  /** `SHOW INDEXES` / `SHOW CONSTRAINTS` */
-  final case class ShowSchemaClause(indexes: Boolean) extends Clause
+  /** `SHOW INDEXES` / `SHOW CONSTRAINTS` / `SHOW PROCEDURES` */
+  final case class ShowSchemaClause(what: String) extends Clause
 
   final case class SingleQuery(clauses: Seq[Clause])
   /** Top level: one or more single queries combined by UNION [ALL]. */

@@ -448,8 +448,9 @@ object CypherParser extends RegexParsers {
     }
 
   private def showSchemaClause: Parser[Clause] =
-    K("SHOW") ~> (K("INDEXES") ^^ (_ => true) | K("CONSTRAINTS") ^^ (_ => false)) ^^
-      ShowSchemaClause.apply
+    K("SHOW") ~> (K("INDEXES") ^^ (_ => "indexes") |
+      K("CONSTRAINTS") ^^ (_ => "constraints") |
+      K("PROCEDURES") ^^ (_ => "procedures")) ^^ ShowSchemaClause.apply
 
   private def schemaClause: Parser[Clause] =
     createConstraintClause | createIndexClause | dropSchemaClause | showSchemaClause

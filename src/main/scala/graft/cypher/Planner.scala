@@ -151,14 +151,18 @@ object Planner {
   private def showSchema(ctx: Ctx, s: ShowSchemaClause): DataFrame = {
     val spark = ctx.spark
     import spark.implicits._
-    if (s.indexes)
-      ctx.g.schema.indexes
-        .map(i => (i.name, i.label, i.prop, i.kind)).sortBy(_._1)
-        .toDF("name", "label", "property", "type")
-    else
-      ctx.g.schema.constraints
-        .map(c => (c.name, c.label, c.prop, c.kind)).sortBy(_._1)
-        .toDF("name", "label", "property", "type")
+    s.what match {
+      case "indexes" =>
+        ctx.g.schema.indexes
+          .map(i => (i.name, i.label, i.prop, i.kind)).sortBy(_._1)
+          .toDF("name", "label", "property", "type")
+      case "constraints" =>
+        ctx.g.schema.constraints
+          .map(c => (c.name, c.label, c.prop, c.kind)).sortBy(_._1)
+          .toDF("name", "label", "property", "type")
+      case "procedures" =>
+        graft.functions.Procedures.names.toDF("name")
+    }
   }
 
   private def planSingle(spark: SparkSession, g: PropertyGraph,
@@ -179,9 +183,8 @@ object Planner {
       case cs: CallSubquery =>
         env = planCallSubquery(ctx, env, cs)
       case s: ShowSchemaClause =>
-        env = Env(Some(showSchema(ctx, s)),
-          Map("name" -> ValueVar, "label" -> ValueVar,
-            "property" -> ValueVar, "type" -> ValueVar))
+        val df = showSchema(ctx, s)
+        env = Env(Some(df), df.columns.map(_ -> (ValueVar: Binding)).toMap)
       case r: ReturnClause =>
         env = planProjection(ctx, env, r.items, r.distinct, r.orderBy, r.skip,
           r.limit, isReturn = true)

@@ -77,6 +77,9 @@ class SchemaSpec extends AnyFunSuite {
     assert(viaProc.toSeq == Seq("uq_name"))
     val (g4, _) = Cypher.execute(spark, g3, "DROP CONSTRAINT uq_name")
     assert(Cypher.run(spark, g4, "SHOW CONSTRAINTS").collect().isEmpty)
+    val procs = Cypher.run(spark, g4, "SHOW PROCEDURES").collect()
+      .map(_.getString(0))
+    assert(procs.contains("db.labels") && procs.contains("db.constraints"))
     // writes that would violate a live constraint are caught at commit time
     intercept[IllegalStateException] {
       Schema.validate(g3.copy(nodes = g3.nodes.unionByName(
