@@ -812,7 +812,8 @@ object Planner {
         .crossJoin(nodeScan(ctx, toNode).select(col("id").as("target")))
     val res = graft.ops.Trail.shortestKSegments(segs, pairs, kk)
       .select(col("source"), col("target"),
-        col("hops").cast("int").as(s"$pv$$length"), col("path").as(s"$pv$$rels"))
+        col("hops").cast("int").as(s"$pv$$length"), col("path").as(s"$pv$$rels"),
+        col("nodes").as(s"$pv$$nodes"))
     if (toBound) {
       val joined = df.join(res,
         col(fromVar) === col("source") && col(toVar) === col("target"))

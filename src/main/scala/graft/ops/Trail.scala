@@ -158,7 +158,8 @@ object Trail {
    * (trail semantics) holds across the WHOLE path, like a Cypher MATCH.
    *
    * @param pairs (source, target)
-   * @return (source, target, hops, path ARRAY<LONG>, rank 1..k)
+   * @return (source, target, hops, path ARRAY<LONG>, nodes ARRAY<LONG>,
+   *         rank 1..k)
    */
   def shortestKSegments(segments: Seq[PathSegment], pairs: DataFrame,
       k: Int): DataFrame = {
@@ -192,7 +193,7 @@ object Trail {
           .filter(col("seg") < nSeg &&
             col("segHops") >= try_element_at(mins, col("seg") + 1))
           .select(col("source"), col("end"), (col("seg") + 1).as("seg"),
-            lit(0).as("segHops"), col("hops"), col("path"))
+            lit(0).as("segHops"), col("hops"), col("path"), col("nodes"))
         acc += cur
         i += 1
       }
@@ -203,7 +204,8 @@ object Trail {
       pairs.select("source").distinct()
         .select(col("source"), col("source").as("end"), lit(0).as("seg"),
           lit(0).as("segHops"), lit(0).as("hops"),
-          array().cast("array<long>").as("path"))))
+          array().cast("array<long>").as("path"),
+          array(col("source")).as("nodes"))))
       .localCheckpoint()
     val finished = Seq.newBuilder[DataFrame]
     finished += frontier.filter(col("seg") === nSeg)
@@ -219,7 +221,8 @@ object Trail {
             !array_contains(col("path"), col("__er")))
           .select(col("source"), col("__ed").as("end"), col("seg"),
             (col("segHops") + 1).as("segHops"), (col("hops") + 1).as("hops"),
-            concat(col("path"), array(col("__er"))).as("path"))
+            concat(col("path"), array(col("__er"))).as("path"),
+            concat(col("nodes"), array(col("__ed"))).as("nodes"))
       }.reduce(_ unionByName _)
       frontier = pruneStates(closure(expanded)).localCheckpoint()
       finished += frontier.filter(col("seg") === nSeg)
@@ -233,7 +236,7 @@ object Trail {
       .partitionBy("source", "target").orderBy(col("hops").asc, col("path").asc)
     finished.result().reduce(_ unionByName _)
       .join(pairs, Seq("source")).filter(col("end") === col("target"))
-      .select(col("source"), col("target"), col("hops"), col("path"))
+      .select(col("source"), col("target"), col("hops"), col("path"), col("nodes"))
       // identical paths can reach acceptance via different epsilon timings
       .dropDuplicates("source", "target", "path")
       .withColumn("rank", row_number().over(w))

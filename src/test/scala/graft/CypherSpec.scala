@@ -474,6 +474,13 @@ class CypherSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getSeq[Long](1).toList))
     // direct 1-hop (rel 12) beats Alice->Bob->Carol (rels 10, 11)
     assert(rows.toSeq == Seq((1, List(12L)), (2, List(10L, 11L))))
+    // nodes(p) is carried for SHORTEST k paths too
+    val ns = run(
+      """MATCH (a {name: 'Alice'})
+        |MATCH p = SHORTEST 1 (a)-[:KNOWS*1..3]->(x)
+        |WHERE x.name = 'Dave' RETURN nodes(p) AS ns""".stripMargin)
+      .collect()(0).getSeq[Long](0).toList
+    assert(ns == List(1L, 3L, 4L)) // Alice -> Carol -> Dave
   }
 
   test("nodes(p) exposes the node sequence of a shortest path") {
