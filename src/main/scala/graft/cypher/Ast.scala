@@ -94,8 +94,12 @@ object Ast {
       qppVars: Option[(Option[String], Option[String], Option[String])] = None,
       where: Option[Expr] = None) // Cypher 5 inline `[r:T WHERE r.x > 1]`
 
-  /** A linear path: node (rel node)*. */
-  final case class PathPattern(first: NodePattern, hops: Seq[(RelPattern, NodePattern)])
+  /** A linear path: node (rel node)*. `name` carries a path-variable binding
+    * `p = (a)-[r]->(b)` (reference front-end projectNamedPaths rewriter /
+    * ProjectNamedPath expression) — the planner then projects the node-id
+    * sequence, rel-id sequence and hop count as `p$nodes`/`p$rels`/`p$length`. */
+  final case class PathPattern(first: NodePattern, hops: Seq[(RelPattern, NodePattern)],
+      name: Option[String] = None)
 
   /** `p = shortestPath((a)-[:T*..d]->(b))` (reference FindShortestPaths);
     * `all = true` for allShortestPaths (every minimal-hop tie);

@@ -330,9 +330,13 @@ object CypherParser extends RegexParsers {
       case v ~ kk ~ p => ShortestPart(v, p, all = false, k = Some(kk.toInt))
     }
 
+  /** `p = (a)-[r]->(b)` — plain named path (reference ProjectNamedPath). */
+  private def namedPathPattern: Parser[PathPattern] =
+    opt(ident <~ "=") ~ pathPattern ^^ { case n ~ p => p.copy(name = n) }
+
   private def matchClause: Parser[Clause] =
     opt(K("OPTIONAL")) ~ (K("MATCH") ~>
-      rep1sep(shortestPart ^^ (Left(_)) | pathPattern ^^ (Right(_)), ",")) ~
+      rep1sep(shortestPart ^^ (Left(_)) | namedPathPattern ^^ (Right(_)), ",")) ~
       opt(K("WHERE") ~> expression) ^^ {
       case o ~ parts ~ w =>
         MatchClause(o.isDefined, parts.collect { case Right(p) => p }, w,

@@ -429,9 +429,26 @@ object Planner {
     * `labels(v)`, `type(r)`, `startNode(r)`, `endNode(r)`), so each variable
     * is hydrated exactly once, at bind time. */
   private def neededProps(q: SingleQuery): Map[String, Set[String]] = {
+    // path variables: a bare reference (RETURN p / WITH p) needs the full
+    // rel + node sequences, not just p$length
+    val pathVars: Set[String] = {
+      val acc = scala.collection.mutable.Set.empty[String]
+      def pc(cl: Clause): Unit = cl match {
+        case MatchClause(_, ps, _, sh) =>
+          ps.foreach(p => acc ++= p.name)
+          sh.foreach(s => acc ++= s.pathVar)
+        case CallSubquery(inner, _) => inner.clauses.foreach(pc)
+        case _ => ()
+      }
+      q.clauses.foreach(pc)
+      acc.toSet
+    }
     val acc = scala.collection.mutable.Map.empty[String, Set[String]]
     def add(v: String, p: String): Unit = acc(v) = acc.getOrElse(v, Set.empty) + p
     def walk(e: Expr): Unit = e match {
+      // length(p) needs only p$length (always bound) — not the sequences
+      case Func("length" | "size", Seq(Variable(v)), _) if pathVars(v) => ()
+      case Variable(v) if pathVars(v) => add(v, "rels"); add(v, "nodes")
       case Prop(Variable(v), k) => add(v, k)
       case Prop(s, _)           => walk(s)
       case Func("labels", Seq(Variable(v)), _)    => add(v, "labels")
@@ -607,7 +624,8 @@ object Planner {
           case r: ReturnClause => collapsesMultiplicity(r.distinct, r.items)
           case _               => false
         }
-        if (collapses && !m.optional && m.shortest.isEmpty && m.patterns.size == 1) {
+        if (collapses && !m.optional && m.shortest.isEmpty && m.patterns.size == 1 &&
+            m.patterns.head.name.isEmpty) {
           m.patterns.head.hops match {
             case Seq((rel, _)) if rel.varLength.exists(_._1 <= 1) &&
                 !rel.variable.exists(refs) &&
@@ -685,7 +703,10 @@ object Planner {
         case In => filtered.select(col("id"), col("dst").as("src"), col("src").as("dst"))
         case _  => filtered.select(col("id"), col("src"), col("dst"))
       }
-      val toVar = toNode.variable.getOrElse(ctx.fresh("n"))
+      // bound far node: BFS output needs a fresh name, else the equality
+      // filter below would reference an ambiguous column
+      val toVar = if (toNode.variable.exists(env.has)) ctx.fresh("n")
+        else toNode.variable.getOrElse(ctx.fresh("n"))
       val sp = graft.ops.Bfs.allShortestPaths(idEdges,
         df.select(col(fromVar).as("source")).distinct(), maxDepth)
         .filter(col("dist") >= minHops)
@@ -719,7 +740,8 @@ object Planner {
         case In => filtered.select(col("id"), col("dst").as("src"), col("src").as("dst"))
         case _  => filtered.select(col("id"), col("src"), col("dst"))
       }).withColumn("weight", lit(1.0))
-      val toVar = toNode.variable.getOrElse(ctx.fresh("n"))
+      val toVar = if (toNode.variable.exists(env.has)) ctx.fresh("n")
+        else toNode.variable.getOrElse(ctx.fresh("n"))
       val sp = graft.ops.WeightedPaths.shortestPaths(wEdges,
         df.select(col(fromVar).as("source")).distinct(), maxIter = maxDepth)
         .filter(col("dist") >= minHops)
@@ -1070,6 +1092,7 @@ object Planner {
   }
 
   private def planPath(ctx: Ctx, env: Env, p0: PathPattern): Env = {
+    if (p0.name.isDefined) return planNamedPath(ctx, env, p0.name.get, p0)
     // anchor selection (the planner's join-order heuristic; Catalyst handles
     // the rest): start from a bound endpoint if only one end is bound, and
     // for doubly-unbound paths start from the SMALLER labeled end by
@@ -1106,6 +1129,57 @@ object Planner {
       r.copy(dir = r.dir match { case Out => In; case In => Out; case Both => Both })
     }
     PathPattern(nodes.head, rels.zip(nodes.tail))
+  }
+
+  /** `p = (a)-[r]->(b)…` — plain named path (reference ProjectNamedPath /
+    * front-end projectNamedPaths rewriter): plans the pattern left-to-right
+    * with every element bound to a (possibly fresh) variable, then projects
+    * the node-id sequence, rel-id sequence and hop count as `p$nodes` /
+    * `p$rels` / `p$length`, the same columns shortestPath variables bind.
+    * Var-length hops route through Trail (which carries the per-hop node
+    * sequence); anchor reversal is skipped so the projected sequences match
+    * the written pattern order. */
+  private def planNamedPath(ctx: Ctx, env: Env, pv: String, p0: PathPattern): Env = {
+    val first = if (p0.first.variable.isDefined) p0.first
+      else p0.first.copy(variable = Some(ctx.fresh("n")))
+    val hops = p0.hops.map { case (r, n) =>
+      require(r.qppVars.isEmpty, "a named path cannot wrap a quantified path pattern")
+      (if (r.variable.isDefined) r else r.copy(variable = Some(ctx.fresh("r"))),
+        if (n.variable.isDefined) n else n.copy(variable = Some(ctx.fresh("n"))))
+    }
+    var (cur, fromVar) = bindNode(ctx, env, first)
+    val firstVar = fromVar
+    val relFrags = Seq.newBuilder[Column]
+    val nodeFrags = Seq.newBuilder[Column]
+    val dropCols = Seq.newBuilder[String]
+    hops.foreach { case (rel, node) =>
+      val relVar = rel.variable.get
+      if (rel.varLength.isEmpty) {
+        val (next, toVar) = expandHop(ctx, cur, fromVar, rel, node)
+        cur = next
+        relFrags += array(col(relVar))
+        nodeFrags += array(col(toVar))
+        fromVar = toVar
+      } else {
+        val nodesCol = ctx.fresh("pn")
+        val (next, toVar) = expandHop(ctx, cur, fromVar, rel, node, Some(nodesCol))
+        cur = next
+        relFrags += col(relVar)
+        nodeFrags += slice(col(nodesCol), lit(2),
+          greatest(size(col(nodesCol)) - 1, lit(0)))
+        dropCols += nodesCol
+        fromVar = toVar
+      }
+    }
+    val relsC = relFrags.result()
+    val pvRels = if (relsC.isEmpty) array().cast("array<long>") else concat(relsC: _*)
+    val pvNodes = concat((array(col(firstVar)) +: nodeFrags.result()): _*)
+    val df = cur.df.get
+      .withColumn(s"$pv$$rels", pvRels)
+      .withColumn(s"$pv$$nodes", pvNodes)
+      .withColumn(s"$pv$$length", size(col(s"$pv$$rels")))
+      .drop(dropCols.result(): _*)
+    Env(Some(df), cur.binds + (pv -> PathVar))
   }
 
   /** Oriented + type-filtered (id, src, dst) edge view for Trail. The
@@ -1195,9 +1269,11 @@ object Planner {
   }
 
   /** One hop: single-rel equi-join (Expand All/Into semantics) or a
-    * var-length expansion via VarExpand. */
+    * var-length expansion via VarExpand. `pathNodesAlias` (named paths)
+    * forces the var-length branch through Trail, keeping the per-hop node
+    * sequence in the given column. */
   private def expandHop(ctx: Ctx, env: Env, fromVar: String, rel: RelPattern,
-      node: NodePattern): (Env, String) = {
+      node: NodePattern, pathNodesAlias: Option[String] = None): (Env, String) = {
     val g = ctx.g
     require(rel.varLength.isEmpty || rel.where.isEmpty,
       "WHERE inside a var-length relationship pattern is not supported — " +
@@ -1245,7 +1321,17 @@ object Planner {
         val dir = rel.dir match {
           case Out => Direction.Out; case In => Direction.In; case Both => Direction.Both
         }
-        if (ctx.pruneRels.contains(rel)) {
+        if (pathNodesAlias.isDefined) {
+          // named path: Trail carries the node sequence alongside the rels
+          val max = maxOpt.getOrElse(throw new IllegalArgumentException(
+            "a named var-length path needs a bounded upper end (e.g. [*1..6])"))
+          val hopsCol = ctx.fresh("ph")
+          val expanded = graft.ops.Trail.trail(
+            orientTyped(g, rel.types, dir, edgeFilter), env.df.get, fromVar,
+            min, max, endAlias = "__to", relsAlias = relVar,
+            nodesAlias = pathNodesAlias.get, hopsAlias = hopsCol).drop(hopsCol)
+          Env(Some(expanded), env.binds + (relVar -> RelListVar))
+        } else if (ctx.pruneRels.contains(rel)) {
           // endpoints-only: pruningVarExpander rewrite — frontier BFS keeps
           // |V|-bounded state; unbounded `*` iterates to an empty frontier
           val edges = orientTyped(g, rel.types, dir, edgeFilter).select("src", "dst")
@@ -1559,8 +1645,12 @@ object Planner {
     final case class Out(alias: String, item: ReturnItem, passThrough: Option[String])
     val outs = items.map { i =>
       val pass = i.expr match {
+        // path variables have no column of their own: pass their p$* columns
+        // through WITH (binding preserved), but materialize the path struct
+        // in RETURN (no compile-time pass)
         case Variable(v) if env.has(v) && env.binds(v) != ValueVar &&
-          i.alias.forall(_ == v) => Some(v)
+          i.alias.forall(_ == v) &&
+          !(isReturn && env.binds(v) == PathVar) => Some(v)
         case _ => None
       }
       Out(i.alias.getOrElse(defaultAlias(i.expr)), i, pass)
@@ -1580,6 +1670,7 @@ object Planner {
       val (keys, aggs) = outs.partition(o => !containsAgg(o.item.expr))
       val keyCols = keys.flatMap { o =>
         o.passThrough match {
+          case Some(v) if env.binds(v) == PathVar => carried(v).map(col)
           case Some(v) => col(v).as(o.alias) +: carried(v).map(col)
           case None    => Seq(compile(ctx, inEnv, o.item.expr).as(o.alias))
         }
@@ -1593,6 +1684,7 @@ object Planner {
     } else {
       val projCols = outs.flatMap { o =>
         o.passThrough match {
+          case Some(v) if env.binds(v) == PathVar => carried(v).map(col)
           case Some(v) => col(v).as(o.alias) +: carried(v).map(col)
           case None    => Seq(compile(ctx, inEnv, o.item.expr).as(o.alias))
         }
@@ -1712,11 +1804,17 @@ object Planner {
       case Param(n)    => litAny(ctx.params.getOrElse(n,
         throw new IllegalArgumentException(s"missing parameter $$$n")))
       case Variable(v) =>
-        lambdas.getOrElse(v, {
-          require(env.has(v) || env.df.exists(_.columns.contains(v)),
-            s"variable `$v` not defined")
-          col(v)
-        })
+        lambdas.getOrElse(v,
+          if (env.binds.get(v).contains(PathVar))
+            // RETURN p — the path value (SURVEY §1.4: a path is
+            // STRUCT{nodes, rels}); length carried for convenience
+            struct(col(s"$v$$nodes").as("nodes"), col(s"$v$$rels").as("rels"),
+              col(s"$v$$length").as("length"))
+          else {
+            require(env.has(v) || env.df.exists(_.columns.contains(v)),
+              s"variable `$v` not defined")
+            col(v)
+          })
       case Prop(Variable(v), k) if env.has(v) &&
           (env.binds(v) == NodeVar || env.binds(v) == RelVar) =>
         val n = s"$v$$$k"

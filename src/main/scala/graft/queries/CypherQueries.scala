@@ -194,6 +194,25 @@ object CypherQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey WHERE c_custkey < 20""".stripMargin),
 
+    // Named plain path (reference ProjectNamedPath): p = fixed 2-hop pattern;
+    // nodes(p)/relationships(p)/length(p) must follow written pattern order.
+    cq("q_cypher_named_path",
+      """MATCH p = (c:Customer {key: 7})-[:PLACED]->(o:Order)-[l:CONTAINS]->(pt:Part)
+        |RETURN o.key AS okey, length(p) AS hops,
+        |  reduce(acc = '', r IN relationships(p) | acc || ',' || toString(r)) AS rels,
+        |  reduce(acc = '', n IN nodes(p) | acc || ',' || toString(n)) AS ns
+        |ORDER BY okey, rels""".stripMargin,
+      // id scheme (TpchGraph.scala): Customer 3<<44 + key, Order 6<<44 + key,
+      // Part 5<<44 + key; PLACED 23<<44 + orderkey, CONTAINS 24<<44 + okey*16+line
+      """SELECT o_orderkey AS okey, 2 AS hops,
+        |  ',' || CAST(404620279021568 + o_orderkey AS VARCHAR) ||
+        |  ',' || CAST(422212465065984 + l_orderkey * 16 + l_linenumber AS VARCHAR) AS rels,
+        |  ',' || CAST(52776558133255 AS VARCHAR) ||
+        |  ',' || CAST(105553116266496 + o_orderkey AS VARCHAR) ||
+        |  ',' || CAST(87960930222080 + l_partkey AS VARCHAR) AS ns
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_custkey = 7 ORDER BY okey, rels""".stripMargin),
+
     // label expression scan `:A|B` — UnionNodeByLabelsScan surface form.
     cq("q_cypher_label_expr",
       """MATCH (n:Customer|Supplier) WHERE n.key < 30

@@ -704,4 +704,63 @@ class CypherSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(reached == Set("a", "b", "c")) // includes the source via the cycle
   }
+
+  test("named path over fixed hops binds nodes/relationships/length") {
+    val rows = run(
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b)-[:KNOWS]->(c)
+        |RETURN c.name AS name, length(p) AS len,
+        |       relationships(p) AS rels, nodes(p) AS ns
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getSeq[Long](2), r.getSeq[Long](3)))
+    assert(rows.toSeq == Seq(
+      ("Carol", 2, Seq(10L, 11L), Seq(1L, 2L, 3L)),
+      ("Dave", 2, Seq(12L, 13L), Seq(1L, 3L, 4L))))
+  }
+
+  test("named path with a var-length hop enumerates per-path sequences") {
+    val rows = run(
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(x)
+        |RETURN x.name AS name, nodes(p) AS ns, relationships(p) AS rels,
+        |       length(p) AS len
+        |ORDER BY len, name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    assert(rows.toSeq == Seq(
+      ("Bob", Seq(1L, 2L), Seq(10L)),
+      ("Carol", Seq(1L, 3L), Seq(12L)),
+      ("Carol", Seq(1L, 2L, 3L), Seq(10L, 11L)),
+      ("Dave", Seq(1L, 3L, 4L), Seq(12L, 13L))))
+  }
+
+  test("RETURN p materializes the path as a {nodes, rels, length} struct") {
+    val rows = run(
+      """MATCH p = (a:Person {name: 'Bob'})-[:KNOWS]->(c)
+        |RETURN p""".stripMargin).collect()
+    assert(rows.length == 1)
+    val p = rows.head.getStruct(0)
+    assert(p.getSeq[Long](p.fieldIndex("nodes")) == Seq(2L, 3L))
+    assert(p.getSeq[Long](p.fieldIndex("rels")) == Seq(11L))
+    assert(p.getInt(p.fieldIndex("length")) == 1)
+  }
+
+  test("WITH passes a named path through; accessors still work after") {
+    val rows = run(
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b)
+        |WITH p, b
+        |WHERE b.age < 30
+        |RETURN nodes(p) AS ns, length(p) AS len""".stripMargin)
+      .collect().map(r => (r.getSeq[Long](0), r.getInt(1)))
+    assert(rows.toSeq == Seq((Seq(1L, 2L), 1)))
+  }
+
+  test("mixed named path: fixed hop then var-length hop concatenates in order") {
+    val rows = run(
+      """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b {name: 'Bob'})-[:KNOWS*1..2]->(x)
+        |RETURN x.name AS name, nodes(p) AS ns, relationships(p) AS rels
+        |ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    assert(rows.toSeq == Seq(
+      ("Carol", Seq(1L, 2L, 3L), Seq(10L, 11L)),
+      ("Dave", Seq(1L, 2L, 3L, 4L), Seq(10L, 11L, 13L))))
+  }
 }
