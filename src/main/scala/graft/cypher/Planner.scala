@@ -1988,9 +1988,13 @@ object Planner {
       // scalar functions
       case "toupper"   => upper(a0)
       case "tolower"   => lower(a0)
-      case "trim"      => trim(a0)
-      case "ltrim"     => ltrim(a0)
-      case "rtrim"     => rtrim(a0)
+      // Cypher 5 trim variants take an optional trim-character argument
+      case "trim" | "btrim" =>
+        if (args.size > 1) trim(a0, constString(args(1))) else trim(a0)
+      case "ltrim" =>
+        if (args.size > 1) ltrim(a0, constString(args(1))) else ltrim(a0)
+      case "rtrim" =>
+        if (args.size > 1) rtrim(a0, constString(args(1))) else rtrim(a0)
       case "reverse"   => reverse(a0)
       case "replace"   =>
         // Cypher replace() is fully literal: quote the search regex AND
@@ -2073,11 +2077,60 @@ object Planner {
       case "sin"   => sin(a0)
       case "cos"   => cos(a0)
       case "tan"   => tan(a0)
+      case "cot"   => lit(1.0) / tan(a0)
       case "atan"  => atan(a0)
+      case "acos"  => acos(a0)
+      case "asin"  => asin(a0)
       case "atan2" => atan2(a0, c(args(1)))
+      case "degrees" => degrees(a0)
+      case "radians" => radians(a0)
+      // haversin(x) = sin²(x/2) (reference functions/Haversin.scala)
+      case "haversin" => (lit(1.0) - cos(a0)) / lit(2.0)
+      case "isnan"    => isnan(a0.cast("double"))
       case "pi"    => lit(math.Pi)
       case "e"     => lit(math.E)
       case "rand"  => rand()
+      case "randomuuid" => expr("uuid()")
+      // timestamp() = millis since epoch (reference functions/Timestamp.scala)
+      case "timestamp"  => unix_millis(current_timestamp())
+      case "char_length" | "character_length" => length(a0).cast("long")
+      case "isempty" =>
+        if (isArrayTyped(env, a0)) size(a0) === 0 else length(a0) === 0
+      case "nullif" => nullif(a0, c(args(1)))
+      case "exists" => a0.isNotNull // legacy exists(n.prop)
+      case "valuetype" =>
+        // compile-time type from the schema (reference functions/ValueType
+        // .scala returns the CIP-100 type name; value-dependence collapses
+        // to the NULL/NOT NULL split in a columnar engine)
+        val dt = env.df.map(_.select(a0).schema.head.dataType)
+        when(a0.isNull, lit("NULL"))
+          .otherwise(lit(dt.map(cypherTypeName).getOrElse("ANY") + " NOT NULL"))
+      // list coercions: element-wise, NULL on unconvertible input
+      case "tostringlist"  => transform(a0, _.try_cast("string"))
+      case "tofloatlist"   => transform(a0, _.try_cast("double"))
+      case "tointegerlist" => transform(a0, _.try_cast("double").try_cast("long"))
+      case "tobooleanlist" => transform(a0, _.try_cast("boolean"))
+      case "normalize" =>
+        val form = args.drop(1).headOption match {
+          case None                => "NFC"
+          case Some(Lit(s: String)) => s.toUpperCase
+          case Some(Variable(f))   => f.toUpperCase // bare NFD keyword form
+          case Some(other) => throw new IllegalArgumentException(
+            s"normalize() form must be NFC/NFD/NFKC/NFKD, got $other")
+        }
+        call_function("unicode_normalize", a0, lit(form))
+      // vector similarity (reference VectorSimilarityCosine/Euclidean →
+      // Lucene VectorSimilarityFunction scores, both scaled into (0, 1])
+      case "vector.similarity.cosine" =>
+        val (x, y) = (graft.functions.Similarity.asDouble(a0),
+          graft.functions.Similarity.asDouble(c(args(1))))
+        (lit(1.0) + graft.functions.Similarity.cosine(x, y)) / lit(2.0)
+      case "vector.similarity.euclidean" =>
+        val (x, y) = (graft.functions.Similarity.asDouble(a0),
+          graft.functions.Similarity.asDouble(c(args(1))))
+        val d2 = aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v)
+        lit(1.0) / (lit(1.0) + d2)
       case "range" =>
         if (args.size >= 3) sequence(a0, c(args(1)), c(args(2)))
         else sequence(a0, c(args(1)))
@@ -2100,6 +2153,15 @@ object Planner {
             g("hour", 0), g("minute", 0), g("second", 0))
         case _ => to_timestamp(a0)
       }
+      // wall-clock datetime without zone → TimestampNTZ (SURVEY §1.4)
+      case "localdatetime" => args.head match {
+        case MapLit(es) =>
+          val m = es.toMap
+          def g(k: String, dflt: Long) = c(m.getOrElse(k, Lit(dflt)))
+          make_timestamp_ntz(g("year", 1970), g("month", 1), g("day", 1),
+            g("hour", 0), g("minute", 0), g("second", 0))
+        case _ => to_timestamp_ntz(a0)
+      }
       // date.truncate('month', d) / datetime.truncate('hour', ts)
       case "date.truncate" =>
         date_trunc(constString(args.head), c(args(1))).cast("date")
@@ -2110,6 +2172,7 @@ object Planner {
       case "duration.between"    => graft.functions.Durations.betweenDates(a0, c(args(1)))
       case "duration.indays"     => graft.functions.Durations.inDays(a0, c(args(1)))
       case "duration.inseconds"  => graft.functions.Durations.inSeconds(a0, c(args(1)))
+      case "duration.inmonths"   => graft.functions.Durations.inMonths(a0, c(args(1)))
       // spatial points (graft.functions.Spatial)
       case "point" => args.head match {
         case MapLit(entries) =>
@@ -2148,6 +2211,25 @@ object Planner {
   private def constString(e: Expr): String = e match {
     case Lit(s: String) => s
     case other => throw new IllegalArgumentException(s"expected string literal, got $other")
+  }
+
+  /** CIP-100 type name for valueType() (reference expressions/functions/
+    * ValueType.scala → CypherTypeName rendering). */
+  private def cypherTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => "INTEGER"
+      case DoubleType | FloatType | _: DecimalType       => "FLOAT"
+      case StringType       => "STRING"
+      case BooleanType      => "BOOLEAN"
+      case DateType         => "DATE"
+      case TimestampType    => "ZONED DATETIME"
+      case TimestampNTZType => "LOCAL DATETIME"
+      case BinaryType       => "BYTEARRAY"
+      case ArrayType(e, _)  => s"LIST<${cypherTypeName(e)} NOT NULL>"
+      case _: MapType | _: StructType => "MAP"
+      case _ => "ANY"
+    }
   }
 
   /** Temporal dispatch for component property access. */

@@ -59,6 +59,12 @@ object Durations {
     duration(lit(0L), datediff(to, from).cast("long"), lit(0L), lit(0L))
 
   /** duration.inSeconds for TIMESTAMP columns. */
+  /** duration.inMonths: whole months between two temporals, truncated
+    * toward zero (reference DurationValue.approximate / TemporalFunctions). */
+  def inMonths(from: Column, to: Column): Column =
+    duration(months_between(to, from, roundOff = false).cast("long"),
+      lit(0L), lit(0L), lit(0L))
+
   def inSeconds(from: Column, to: Column): Column =
     duration(lit(0L), lit(0L), (unix_micros(to) - unix_micros(from)) / 1000000L,
       ((unix_micros(to) - unix_micros(from)) % 1000000L) * 1000L)

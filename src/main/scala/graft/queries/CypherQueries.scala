@@ -194,6 +194,54 @@ object CypherQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey WHERE c_custkey < 20""".stripMargin),
 
+    // Scalar-function tail (reference expressions/functions catalog): math
+    // tail, trim variants, char_length, isEmpty, nullIf, valueType, list
+    // coercions, vector similarity scores, localdatetime, duration.inMonths.
+    cq("q_cypher_fn_tail",
+      """MATCH (n:Nation) WHERE n.key < 3
+        |RETURN n.key AS k,
+        |  round(degrees(asin(0.5)), 4) AS deg,
+        |  round(radians(180), 4) AS rad,
+        |  round(acos(0.5), 4) AS ac,
+        |  round(cot(1.0), 4) AS ct,
+        |  round(haversin(1.0), 4) AS hav,
+        |  isNaN(1.5) AS nan,
+        |  btrim('xxhixx', 'x') AS bt,
+        |  ltrim('xxhi', 'x') AS lt,
+        |  rtrim('hixx', 'x') AS rt,
+        |  char_length(n.name) AS cl,
+        |  isEmpty('') AS ie,
+        |  nullIf(n.name, 'ALGERIA') AS ni,
+        |  valueType(n.name) AS vt,
+        |  toIntegerList(['1', '2', 'x'])[0] AS til,
+        |  toStringList([7, 8])[1] AS tsl,
+        |  round(vector.similarity.euclidean([1.0, 2.0], [1.0, 2.0]), 4) AS veuc,
+        |  round(vector.similarity.cosine([1.0, 0.0], [0.0, 1.0]), 4) AS vcos,
+        |  localdatetime('2020-01-02T03:04:05') AS ldt,
+        |  duration.inMonths(date('2020-01-15'), date('2021-03-20')).months AS mon
+        |ORDER BY k""".stripMargin,
+      """SELECT n_nationkey AS k,
+        |  round(degrees(asin(0.5)), 4) AS deg,
+        |  round(radians(180), 4) AS rad,
+        |  round(acos(0.5), 4) AS ac,
+        |  round(cot(1.0), 4) AS ct,
+        |  round((1 - cos(1.0)) / 2, 4) AS hav,
+        |  isnan(CAST(1.5 AS DOUBLE)) AS nan,
+        |  trim('xxhixx', 'x') AS bt,
+        |  ltrim('xxhi', 'x') AS lt,
+        |  rtrim('hixx', 'x') AS rt,
+        |  length(n_name) AS cl,
+        |  length('') = 0 AS ie,
+        |  nullif(n_name, 'ALGERIA') AS ni,
+        |  'STRING NOT NULL' AS vt,
+        |  CAST(1 AS BIGINT) AS til,
+        |  '8' AS tsl,
+        |  CAST(1.0 AS DOUBLE) AS veuc,
+        |  CAST(0.5 AS DOUBLE) AS vcos,
+        |  TIMESTAMP '2020-01-02 03:04:05' AS ldt,
+        |  CAST(14 AS BIGINT) AS mon
+        |FROM nation WHERE n_nationkey < 3 ORDER BY k""".stripMargin),
+
     // Named plain path (reference ProjectNamedPath): p = fixed 2-hop pattern;
     // nodes(p)/relationships(p)/length(p) must follow written pattern order.
     cq("q_cypher_named_path",

@@ -705,6 +705,27 @@ class CypherSpec extends AnyFunSuite {
     assert(reached == Set("a", "b", "c")) // includes the source via the cycle
   }
 
+  test("function tail: normalize/isNaN/randomUUID/timestamp/list coercions") {
+    val r = run(
+      """MATCH (p:Person {name: 'Alice'})
+        |RETURN normalize('café', NFC) AS nfc,
+        |       normalize('café', NFD) AS nfd,
+        |       isNaN(sqrt(-1.0)) AS nan,
+        |       randomUUID() AS uuid,
+        |       timestamp() AS ts,
+        |       toIntegerList(['1', 'x', '3']) AS til,
+        |       toBooleanList(['true', 'nope']) AS tbl,
+        |       valueType(p.age) AS vt""".stripMargin).collect().head
+    assert(r.getString(0) == "café")           // NFC composes
+    assert(r.getString(1) == "café")          // NFD decomposes
+    assert(r.getBoolean(2))
+    assert(r.getString(3).matches("[0-9a-f-]{36}"))
+    assert(r.getLong(4) > 1600000000000L)           // millis since epoch
+    assert(r.getSeq[Any](5) == Seq(1L, null, 3L))
+    assert(r.getSeq[Any](6) == Seq(true, null))
+    assert(r.getString(7) == "INTEGER NOT NULL")
+  }
+
   test("named path over fixed hops binds nodes/relationships/length") {
     val rows = run(
       """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b)-[:KNOWS]->(c)
