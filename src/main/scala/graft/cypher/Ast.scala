@@ -129,6 +129,10 @@ object Ast {
   sealed trait SetItem
   /** `SET v.key = expr` */
   final case class SetProp(variable: String, key: String, value: Expr) extends SetItem
+  /** `SET v = {map}` (replace — other properties null out) / `SET v += {map}`
+    * (merge) — reference SetNodePropertiesFromMap / SetPropertiesFromMap. */
+  final case class SetPropsFromMap(variable: String, map: Expr,
+      additive: Boolean) extends SetItem
   /** `SET v:Label1:Label2` */
   final case class SetLabelsItem(variable: String, labels: Seq[String]) extends SetItem
   /** `REMOVE v.key` */

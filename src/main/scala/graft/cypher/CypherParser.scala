@@ -380,8 +380,14 @@ object CypherParser extends RegexParsers {
   // ---- write clauses ----------------------------------------------------
 
   private def setItem: Parser[SetItem] =
+    ident ~ ("+=" ~> expression) ^^ {
+      case v ~ e => SetPropsFromMap(v, e, additive = true)
+    } |
     ident ~ ("." ~> symName) ~ ("=" ~> expression) ^^ {
       case v ~ k ~ e => SetProp(v, k, e)
+    } |
+    ident ~ ("=" ~> expression) ^^ {
+      case v ~ e => SetPropsFromMap(v, e, additive = false)
     } |
     ident ~ rep1(":" ~> symName) ^^ { case v ~ ls => SetLabelsItem(v, ls) }
 

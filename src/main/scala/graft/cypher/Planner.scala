@@ -375,6 +375,30 @@ object Planner {
           case RelVar  => ctx.g = UpdateOps.setRelPropertiesFromSource(ctx.g, source)
           case other   => throw new IllegalArgumentException(s"cannot SET on $other")
         }
+      case SetPropsFromMap(v, m, additive) =>
+        val entries = m match {
+          case MapLit(es) => es
+          case other => throw new IllegalArgumentException(
+            "SET from a map needs a literal map — the columnar schema is static")
+        }
+        val kind = env.binds.getOrElse(v,
+          throw new IllegalArgumentException(s"unknown variable $v"))
+        val cols = entries.map { case (k, e) => compile(ctx, env, e).as(k) }
+        def sourceWith(target: DataFrame, keep: Set[String]): DataFrame = {
+          // replace form: every property column outside the map nulls out
+          val others =
+            if (additive) Seq.empty
+            else target.columns.filterNot(keep ++ entries.map(_._1)).toSeq
+              .map(p => lit(null).cast(target.schema(p).dataType).as(p))
+          df.select((col(v).as("id") +: (cols ++ others)): _*)
+        }
+        kind match {
+          case NodeVar => ctx.g = UpdateOps.setNodePropertiesFromSource(ctx.g,
+            sourceWith(ctx.g.nodes, Set("id", "labels")))
+          case RelVar  => ctx.g = UpdateOps.setRelPropertiesFromSource(ctx.g,
+            sourceWith(ctx.g.rels, Set("id", "src", "dst", "type")))
+          case other   => throw new IllegalArgumentException(s"cannot SET on $other")
+        }
       case RemoveProp(v, key) =>
         val source = df.select(col(v).as("id"), lit(null).as(key))
         env.binds(v) match {
@@ -496,8 +520,9 @@ object Planner {
       }
     }
     def walkSetItems(items: Seq[SetItem]): Unit = items.foreach {
-      case SetProp(_, _, v) => walk(v)
-      case _                => ()
+      case SetProp(_, _, v)         => walk(v)
+      case SetPropsFromMap(_, m, _) => walk(m)
+      case _                        => ()
     }
     def walkForeach(f: ForeachClause): Unit = {
       walk(f.list)
@@ -553,6 +578,7 @@ object Planner {
     }
     def walkSetItems(items: Seq[SetItem]): Unit = items.foreach {
       case SetProp(v, _, value)   => acc += v; walk(value)
+      case SetPropsFromMap(v, m, _) => acc += v; walk(m)
       case SetLabelsItem(v, _)    => acc += v
       case RemoveProp(v, _)       => acc += v
       case RemoveLabelsItem(v, _) => acc += v

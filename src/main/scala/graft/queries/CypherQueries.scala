@@ -516,6 +516,33 @@ object CypherQueries {
       Some("""SELECT 'JUMBO' AS priority, count(*) AS n FROM orders
              |WHERE o_totalprice > 400000 HAVING count(*) > 0""".stripMargin)),
 
+    // SET from map: += merges (comment survives, null removes mktsegment),
+    // = replaces (every other property nulls out).
+    QueryDef("q_cypher_set_map",
+      (s, d) => {
+        val (g2, _) = Cypher.execute(s, TpchGraph.load(s, d),
+          """MATCH (c:Customer) WHERE c.key <= 20
+            |SET c += {grade: 'gold', mktsegment: null}""".stripMargin)
+        val (g3, _) = Cypher.execute(s, g2,
+          """MATCH (c:Customer) WHERE c.key > 20 AND c.key <= 25
+            |SET c = {grade: 'reset'}""".stripMargin)
+        // replace-form rows lose `key` too (SET c = {...} removes every
+        // other property) — they are only findable via the new grade
+        Cypher.run(s, g3,
+          """MATCH (c:Customer) WHERE c.key <= 25 OR c.grade = 'reset'
+            |RETURN c.key AS k, c.grade AS grade, c.mktsegment AS seg,
+            |       c.name AS name
+            |ORDER BY k""".stripMargin)
+      },
+      Some("""SELECT c_custkey AS k, 'gold' AS grade,
+             |  CAST(NULL AS VARCHAR) AS seg, c_name AS name
+             |FROM customer WHERE c_custkey <= 20
+             |UNION ALL
+             |SELECT CAST(NULL AS BIGINT), 'reset', CAST(NULL AS VARCHAR),
+             |  CAST(NULL AS VARCHAR)
+             |FROM customer WHERE c_custkey > 20 AND c_custkey <= 25
+             |ORDER BY k""".stripMargin)),
+
     QueryDef("q_cypher_write_delete",
       (s, d) => {
         val (g2, _) = Cypher.execute(s, TpchGraph.load(s, d),

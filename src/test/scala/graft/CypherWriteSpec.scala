@@ -173,4 +173,33 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(commits == 2) // 3 persons / 2-row batches
     assert(g2.nodes.filter(array_contains(col("labels"), "CityTag")).count() == 1)
   }
+
+  test("SET r += map merges relationship properties; null entry removes") {
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      """MATCH (:Person {name: 'Alice'})-[r:KNOWS]->()
+        |SET r += {weight: 5, since: null}""".stripMargin)
+    val r = Cypher.run(spark, g2,
+      "MATCH (:Person)-[r:KNOWS]->() RETURN r.weight AS w, r.since AS s").collect()(0)
+    assert(r.getLong(0) == 5L && r.isNullAt(1))
+  }
+
+  test("SET n = map replaces: unnamed properties null out, labels survive") {
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      "MATCH (p:Person {name: 'Bob'}) SET p = {nick: 'bobby'}")
+    val rows = Cypher.run(spark, g2,
+      """MATCH (p:Person) WHERE p.nick = 'bobby'
+        |RETURN p.nick AS nick, p.name AS name, p.age AS age""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "bobby")
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+  }
+
+  test("MERGE ON MATCH SET += map form applies through merge actions") {
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      """MERGE (p:Person {name: 'Alice'})
+        |ON MATCH SET p += {vip: true}""".stripMargin)
+    val r = Cypher.run(spark, g2,
+      "MATCH (p:Person {name: 'Alice'}) RETURN p.vip AS v").collect()(0)
+    assert(r.getBoolean(0))
+  }
 }
