@@ -34,6 +34,11 @@ object Ast {
   final case class IsNull(operand: Expr, negated: Boolean) extends Expr
   /** STARTS WITH | ENDS WITH | CONTAINS | =~ */
   final case class StringPred(op: String, lhs: Expr, rhs: Expr) extends Expr
+  /** `x IS [NOT] :: TYPE [NOT NULL]` — Cypher 5 type predicate expression
+    * (reference expressions/TypePredicateExpression). `tpe` is the
+    * normalized CIP-100 type name. */
+  final case class TypePredicate(operand: Expr, tpe: String, notNull: Boolean,
+      negated: Boolean) extends Expr
   final case class CaseExpr(subject: Option[Expr], whens: Seq[(Expr, Expr)],
       default: Option[Expr]) extends Expr
   /** `list[idx]` */

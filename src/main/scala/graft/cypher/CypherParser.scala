@@ -108,13 +108,29 @@ object CypherParser extends RegexParsers {
         preds.reduce(BinOp("AND", _, _))
     }
 
-  /** IN / STARTS WITH / ENDS WITH / CONTAINS / IS [NOT] NULL postfixes. */
+  /** Cypher 5 type spec for `IS :: TYPE`: name [NOT NULL], LIST<...> nests. */
+  private def typeSpec: Parser[(String, Boolean)] =
+    typeNameP ~ opt(K("NOT") ~ K("NULL")) ^^ { case t ~ nn => (t, nn.isDefined) }
+
+  private def typeNameP: Parser[String] =
+    (K("LIST") ~> "<" ~> typeSpec <~ ">") ^^ {
+      case (t, nn) => s"LIST<$t${if (nn) " NOT NULL" else ""}>" } |
+    (K("LOCAL") ~ "(?i)datetime\\b".r) ^^ (_ => "LOCAL DATETIME") |
+    (K("ZONED") ~ "(?i)datetime\\b".r) ^^ (_ => "ZONED DATETIME") |
+    "[a-zA-Z]+".r ^^ (_.toUpperCase)
+
+  /** IN / STARTS WITH / ENDS WITH / CONTAINS / IS [NOT] NULL / IS [NOT] ::
+    * postfixes. */
   private def postfixPred: Parser[Expr] =
     addExpr ~ rep(
       K("IN") ~> addExpr ^^ (r => (e: Expr) => BinOp("IN", e, r)) |
       (K("STARTS") ~ K("WITH")) ~> addExpr ^^ (r => (e: Expr) => StringPred("STARTS WITH", e, r)) |
       (K("ENDS") ~ K("WITH")) ~> addExpr ^^ (r => (e: Expr) => StringPred("ENDS WITH", e, r)) |
       K("CONTAINS") ~> addExpr ^^ (r => (e: Expr) => StringPred("CONTAINS", e, r)) |
+      ((K("IS") ~ K("NOT") ~ "::") ~> typeSpec) ^^ (
+        t => (e: Expr) => TypePredicate(e, t._1, t._2, negated = true)) |
+      ((K("IS") ~ "::") ~> typeSpec) ^^ (
+        t => (e: Expr) => TypePredicate(e, t._1, t._2, negated = false)) |
       (K("IS") ~ K("NOT") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = true)) |
       (K("IS") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = false))
     ) ^^ { case h ~ fs => fs.foldLeft(h)((e, f) => f(e)) }
@@ -334,10 +350,20 @@ object CypherParser extends RegexParsers {
   private def namedPathPattern: Parser[PathPattern] =
     opt(ident <~ "=") ~ pathPattern ^^ { case n ~ p => p.copy(name = n) }
 
+  /** Planner hints (reference UsingIndexHint/UsingScanHint/UsingJoinHint):
+    * accepted for source compatibility and ignored — scan and join choices
+    * are delegated to Catalyst/AQE costing (documented divergence). */
+  private def usingHint: Parser[Unit] =
+    K("USING") ~> (
+      (K("INDEX") ~ opt(K("SEEK")) ~ ident ~ ":" ~ symName ~ "(" ~
+        rep1sep(symName, ",") ~ ")") ^^ (_ => ()) |
+      (K("SCAN") ~ ident ~ ":" ~ symName) ^^ (_ => ()) |
+      (K("JOIN") ~ K("ON") ~ rep1sep(ident, ",")) ^^ (_ => ()))
+
   private def matchClause: Parser[Clause] =
     opt(K("OPTIONAL")) ~ (K("MATCH") ~>
       rep1sep(shortestPart ^^ (Left(_)) | namedPathPattern ^^ (Right(_)), ",")) ~
-      opt(K("WHERE") ~> expression) ^^ {
+      (rep(usingHint) ~> opt(K("WHERE") ~> expression)) ^^ {
       case o ~ parts ~ w =>
         MatchClause(o.isDefined, parts.collect { case Right(p) => p }, w,
           parts.collect { case Left(s) => s })
@@ -460,7 +486,8 @@ object CypherParser extends RegexParsers {
   private def showSchemaClause: Parser[Clause] =
     K("SHOW") ~> (K("INDEXES") ^^ (_ => "indexes") |
       K("CONSTRAINTS") ^^ (_ => "constraints") |
-      K("PROCEDURES") ^^ (_ => "procedures")) ^^ ShowSchemaClause.apply
+      K("PROCEDURES") ^^ (_ => "procedures") |
+      K("FUNCTIONS") ^^ (_ => "functions")) ^^ ShowSchemaClause.apply
 
   private def schemaClause: Parser[Clause] =
     createConstraintClause | createIndexClause | dropSchemaClause | showSchemaClause

@@ -162,7 +162,38 @@ object Planner {
           .toDF("name", "label", "property", "type")
       case "procedures" =>
         graft.functions.Procedures.names.toDF("name")
+      case "functions" =>
+        functionCatalog.sortBy(_._1).toDF("name", "category")
     }
+  }
+
+  /** SHOW FUNCTIONS catalog (reference ShowFunctionsCommand.scala): every
+    * function name compileFunc dispatches, with its category. */
+  val functionCatalog: Seq[(String, String)] = {
+    val agg = Seq("count", "sum", "avg", "min", "max", "collect", "stdev",
+      "stdevp", "percentileCont", "percentileDisc")
+    val scalar = Seq("coalesce", "head", "last", "tail", "size", "length",
+      "elementId", "id", "properties", "keys", "labels", "type", "startNode",
+      "endNode", "nodes", "relationships", "range", "reverse", "exists",
+      "isEmpty", "nullIf", "valueType", "randomUUID", "timestamp", "rand",
+      "toString", "toStringOrNull", "toInteger", "toIntegerOrNull", "toFloat",
+      "toFloatOrNull", "toBoolean", "toBooleanOrNull", "toStringList",
+      "toIntegerList", "toFloatList", "toBooleanList")
+    val math = Seq("abs", "ceil", "floor", "round", "sign", "sqrt", "exp",
+      "log", "log10", "sin", "cos", "tan", "cot", "asin", "acos", "atan",
+      "atan2", "degrees", "radians", "haversin", "isNaN", "pi", "e")
+    val string = Seq("toUpper", "toLower", "trim", "ltrim", "rtrim", "btrim",
+      "replace", "split", "substring", "left", "right", "normalize",
+      "char_length", "character_length")
+    val temporal = Seq("date", "datetime", "localdatetime", "date.truncate",
+      "datetime.truncate", "duration", "duration.between", "duration.inDays",
+      "duration.inSeconds", "duration.inMonths")
+    val spatial = Seq("point", "point.distance", "point.withinBBox", "distance")
+    val vector = Seq("vector.similarity.cosine", "vector.similarity.euclidean")
+    agg.map(_ -> "aggregating") ++ scalar.map(_ -> "scalar") ++
+      math.map(_ -> "numeric") ++ string.map(_ -> "string") ++
+      temporal.map(_ -> "temporal") ++ spatial.map(_ -> "spatial") ++
+      vector.map(_ -> "vector")
   }
 
   private def planSingle(spark: SparkSession, g: PropertyGraph,
@@ -497,6 +528,7 @@ object Planner {
       case BinOp(_, l, r)     => walk(l); walk(r)
       case UnaryOp(_, o)      => walk(o)
       case IsNull(o, _)       => walk(o)
+      case TypePredicate(o, _, _, _) => walk(o)
       case StringPred(_, l, r) => walk(l); walk(r)
       case CaseExpr(s, ws, d) =>
         s.foreach(walk); ws.foreach { case (a, b) => walk(a); walk(b) }; d.foreach(walk)
@@ -1065,6 +1097,7 @@ object Planner {
     case BinOp(_, l, r)       => exprVars(l) ++ exprVars(r)
     case UnaryOp(_, o)        => exprVars(o)
     case IsNull(o, _)         => exprVars(o)
+    case TypePredicate(o, _, _, _) => exprVars(o)
     case StringPred(_, l, r)  => exprVars(l) ++ exprVars(r)
     case CaseExpr(s, ws, d)   =>
       s.map(exprVars).getOrElse(Set.empty) ++
@@ -1761,6 +1794,7 @@ object Planner {
     case BinOp(_, l, r)       => containsAgg(l) || containsAgg(r)
     case UnaryOp(_, o)        => containsAgg(o)
     case IsNull(o, _)         => containsAgg(o)
+    case TypePredicate(o, _, _, _) => containsAgg(o)
     case StringPred(_, l, r)  => containsAgg(l) || containsAgg(r)
     case CaseExpr(s, ws, d)   =>
       s.exists(containsAgg) || ws.exists(w => containsAgg(w._1) || containsAgg(w._2)) ||
@@ -1894,6 +1928,18 @@ object Planner {
       case UnaryOp("-", o)   => negate(c(o))
       case UnaryOp(op, _)    => throw new IllegalArgumentException(s"unary $op")
       case IsNull(o, neg)    => if (neg) c(o).isNotNull else c(o).isNull
+      case TypePredicate(o, t, notNull, neg) =>
+        // schema types are static in a columnar engine, so the type test
+        // folds to a constant; only the NULL split is evaluated per row
+        // (reference TypePredicateExpression: NULL IS :: T is true unless
+        // the spec says NOT NULL)
+        val sc = c(o)
+        val matches = env.df.map(_.select(sc).schema.head.dataType)
+          .exists(dt => sparkTypeSatisfies(dt, t))
+        val base =
+          if (notNull) sc.isNotNull && lit(matches)
+          else when(sc.isNull, lit(true)).otherwise(lit(matches))
+        if (neg) !base else base
       case StringPred(op, l, r) => op match {
         case "STARTS WITH" => c(l).startsWith(c(r))
         case "ENDS WITH"   => c(l).endsWith(c(r))
@@ -2255,6 +2301,40 @@ object Planner {
       case ArrayType(e, _)  => s"LIST<${cypherTypeName(e)} NOT NULL>"
       case _: MapType | _: StructType => "MAP"
       case _ => "ANY"
+    }
+  }
+
+  /** Does a Spark type satisfy a normalized CIP-100 type name (for
+    * `IS :: TYPE`)? */
+  private def sparkTypeSatisfies(dt: org.apache.spark.sql.types.DataType,
+      t: String): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case "ANY" => true
+      case "INTEGER" => dt match {
+        case LongType | IntegerType | ShortType | ByteType => true; case _ => false }
+      case "FLOAT" => dt match {
+        case DoubleType | FloatType | _: DecimalType => true; case _ => false }
+      case "STRING"  => dt == StringType
+      case "BOOLEAN" => dt == BooleanType
+      case "DATE"    => dt == DateType
+      case "ZONED DATETIME" | "DATETIME" => dt == TimestampType
+      case "LOCAL DATETIME" => dt == TimestampNTZType
+      case "DURATION" => dt match {
+        case s: StructType => s.fieldNames.contains("months") &&
+          s.fieldNames.contains("nanos")
+        case _ => false }
+      case "POINT" => dt match {
+        case s: StructType => s.fieldNames.contains("srid"); case _ => false }
+      case "MAP" => dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
+      case list if list.startsWith("LIST<") =>
+        val inner = list.stripPrefix("LIST<").stripSuffix(">")
+          .stripSuffix(" NOT NULL")
+        dt match {
+          case ArrayType(e, _) => sparkTypeSatisfies(e, inner)
+          case _ => false
+        }
+      case _ => false
     }
   }
 

@@ -242,6 +242,18 @@ object CypherQueries {
         |  CAST(14 AS BIGINT) AS mon
         |FROM nation WHERE n_nationkey < 3 ORDER BY k""".stripMargin),
 
+    // Cypher 5 type predicate `IS :: TYPE` — folds against the static
+    // columnar schema, NULL split per row (reference TypePredicateExpression).
+    cq("q_cypher_type_predicate",
+      """MATCH (c:Customer) WHERE c.key <= 10 AND c.name IS :: STRING
+        |RETURN c.key AS k, c.acctbal IS :: FLOAT AS isf,
+        |       c.key IS NOT :: STRING AS nis,
+        |       c.name IS :: STRING NOT NULL AS nn
+        |ORDER BY k""".stripMargin,
+      """SELECT c_custkey AS k, true AS isf, true AS nis,
+        |  c_name IS NOT NULL AS nn
+        |FROM customer WHERE c_custkey <= 10 ORDER BY k""".stripMargin),
+
     // Named plain path (reference ProjectNamedPath): p = fixed 2-hop pattern;
     // nodes(p)/relationships(p)/length(p) must follow written pattern order.
     cq("q_cypher_named_path",

@@ -726,6 +726,34 @@ class CypherSpec extends AnyFunSuite {
     assert(r.getString(7) == "INTEGER NOT NULL")
   }
 
+  test("IS :: type predicates fold against the static schema") {
+    val r = run(
+      """MATCH (p:Person {name: 'Alice'})
+        |RETURN p.age IS :: INTEGER AS a,
+        |       p.name IS :: STRING NOT NULL AS b,
+        |       p.age IS :: STRING AS c,
+        |       p.age IS NOT :: STRING AS d,
+        |       [1, 2] IS :: LIST<INTEGER> AS e,
+        |       p.missing IS :: INTEGER AS f""".stripMargin).collect().head
+    assert((r.getBoolean(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+      r.getBoolean(4), r.getBoolean(5)) == (true, true, false, true, true, true))
+  }
+
+  test("SHOW FUNCTIONS lists the function catalog") {
+    val names = run("SHOW FUNCTIONS").collect().map(_.getString(0)).toSet
+    assert(Set("collect", "percentileCont", "vector.similarity.cosine",
+      "duration.between", "char_length", "normalize").subsetOf(names))
+  }
+
+  test("USING hints are accepted and ignored") {
+    val rows = run(
+      """MATCH (p:Person)
+        |USING INDEX p:Person(age)
+        |WHERE p.age > 28
+        |RETURN count(*) AS n""".stripMargin).collect()
+    assert(rows.head.getLong(0) == 3L)
+  }
+
   test("named path over fixed hops binds nodes/relationships/length") {
     val rows = run(
       """MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b)-[:KNOWS]->(c)
