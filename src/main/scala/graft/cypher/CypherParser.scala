@@ -15,8 +15,9 @@ import Ast._
  */
 object CypherParser extends RegexParsers {
 
-  // comments: // to end of line
-  override protected val whiteSpace = """(\s|//[^\n]*)+""".r
+  // comments: // to end of line, /* ... */ block (non-nesting, like the
+  // reference grammar's BLOCK_COMMENT lexer rule)
+  override protected val whiteSpace = """(\s|//[^\n]*|/\*(?s:.*?)\*/)+""".r
 
   private val reserved = Set(
     "MATCH", "OPTIONAL", "WHERE", "RETURN", "WITH", "UNWIND", "AS",
@@ -48,13 +49,22 @@ object CypherParser extends RegexParsers {
   // ---- literals ---------------------------------------------------------
 
   private def numberLit: Parser[Expr] =
+    """-?0[xX][0-9a-fA-F]+""".r ^^ (s =>
+      Lit(java.lang.Long.parseLong(s.replaceFirst("0[xX]", ""), 16) *
+        (if (s.startsWith("-")) -1L else 1L))) |
+    """-?0[oO][0-7]+""".r ^^ (s =>
+      Lit(java.lang.Long.parseLong(s.replaceFirst("0[oO]", ""), 8) *
+        (if (s.startsWith("-")) -1L else 1L))) |
     """-?\d+\.\d+([eE][+-]?\d+)?""".r ^^ (s => Lit(s.toDouble)) |
     """-?\d+[eE][+-]?\d+""".r ^^ (s => Lit(s.toDouble)) |
     """-?\d+""".r ^^ (s => Lit(s.toLong))
 
+  // doubled quotes ('' / "") are the in-kind escape, as in the reference
   private def stringLit: Parser[Expr] =
-    """'(\\.|[^'\\])*'""".r ^^ (s => Lit(unescape(s.substring(1, s.length - 1)))) |
-    """"(\\.|[^"\\])*"""".r ^^ (s => Lit(unescape(s.substring(1, s.length - 1))))
+    """'(''|\\.|[^'\\])*'""".r ^^ (s =>
+      Lit(unescape(s.substring(1, s.length - 1).replace("''", "'")))) |
+    """"(""|\\.|[^"\\])*"""".r ^^ (s =>
+      Lit(unescape(s.substring(1, s.length - 1).replace("\"\"", "\""))))
 
   private def unescape(s: String): String = {
     val b = new StringBuilder
@@ -62,11 +72,18 @@ object CypherParser extends RegexParsers {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
+        // (increments handled per-case below)
         s.charAt(i + 1) match {
-          case 'n' => b.append('\n'); case 't' => b.append('\t')
-          case 'r' => b.append('\r'); case other => b.append(other)
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case 'u' if i + 5 < s.length => // \uXXXX BMP escape
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => b.append(other); i += 2
         }
-        i += 2
       } else { b.append(c); i += 1 }
     }
     b.toString
@@ -171,15 +188,51 @@ object CypherParser extends RegexParsers {
     ) ^^ { case h ~ fs => fs.foldLeft(h)((e, f) => f(e)) }
 
   private def mapProjItem: Parser[Either[String, (String, Expr)]] =
+    ("." ~ "*") ^^ (_ => Left("*")) | // n{.*} — all properties
     "." ~> symName ^^ (Left(_)) |
-    symName ~ (":" ~> expression) ^^ { case k ~ v => Right((k, v)) }
+    symName ~ (":" ~> expression) ^^ { case k ~ v => Right((k, v)) } |
+    ident ^^ (v => Right((v, Variable(v)))) // {x} shorthand for {x: x}
+
+  /** Cypher 5 extended CASE: with a subject, each WHEN may be a bare value
+    * (equality), a comparison/IS NULL/IS ::/STARTS WITH/... applied to the
+    * subject, or a comma list of such alternatives (OR). Desugared at parse
+    * time into the generic predicate form, matching the reference's
+    * normalizeCaseExpressions rewrite. */
+  private def extWhenAlt: Parser[Expr => Expr] =
+    (K("IS") ~ K("NOT") ~ K("NULL")) ^^ (_ => (s: Expr) => IsNull(s, negated = true)) |
+    (K("IS") ~ K("NULL")) ^^ (_ => (s: Expr) => IsNull(s, negated = false)) |
+    ((K("IS") ~ K("NOT") ~ "::") ~> typeSpec) ^^ (
+      t => (s: Expr) => TypePredicate(s, t._1, t._2, negated = true)) |
+    ((K("IS") ~ "::") ~> typeSpec) ^^ (
+      t => (s: Expr) => TypePredicate(s, t._1, t._2, negated = false)) |
+    (K("STARTS") ~ K("WITH")) ~> addExpr ^^ (
+      r => (s: Expr) => StringPred("STARTS WITH", s, r)) |
+    (K("ENDS") ~ K("WITH")) ~> addExpr ^^ (
+      r => (s: Expr) => StringPred("ENDS WITH", s, r)) |
+    K("CONTAINS") ~> addExpr ^^ (r => (s: Expr) => StringPred("CONTAINS", s, r)) |
+    K("IN") ~> addExpr ^^ (r => (s: Expr) => BinOp("IN", s, r)) |
+    ("<>" | "<=" | ">=" | "=~" | "=" | "<" | ">") ~ addExpr ^^ {
+      case op ~ r => (s: Expr) =>
+        if (op == "=~") StringPred("=~", s, r) else BinOp(op, s, r)
+    } |
+    expression ^^ (v => (s: Expr) => BinOp("=", s, v))
 
   private def caseExpr: Parser[Expr] =
-    K("CASE") ~> opt(not(K("WHEN")) ~> expression) ~
-      rep1(K("WHEN") ~> expression ~ (K("THEN") ~> expression)) ~
-      opt(K("ELSE") ~> expression) <~ K("END") ^^ {
-      case subj ~ whens ~ dflt =>
-        CaseExpr(subj, whens.map { case w ~ t => (w, t) }, dflt)
+    K("CASE") ~> opt(not(K("WHEN")) ~> expression) >> {
+      case None => // generic form: WHEN <predicate>
+        rep1(K("WHEN") ~> expression ~ (K("THEN") ~> expression)) ~
+          opt(K("ELSE") ~> expression) <~ K("END") ^^ {
+          case whens ~ dflt =>
+            CaseExpr(None, whens.map { case w ~ t => (w, t) }, dflt)
+        }
+      case Some(subj) => // subject form, incl. extended WHEN operators
+        rep1(K("WHEN") ~> rep1sep(extWhenAlt, ",") ~ (K("THEN") ~> expression)) ~
+          opt(K("ELSE") ~> expression) <~ K("END") ^^ {
+          case whens ~ dflt =>
+            CaseExpr(None, whens.map { case alts ~ t =>
+              (alts.map(f => f(subj)).reduce(BinOp("OR", _, _)), t)
+            }, dflt)
+        }
     }
 
   private def existsExpr: Parser[Expr] =
@@ -229,6 +282,22 @@ object CypherParser extends RegexParsers {
   private def countStar: Parser[Expr] =
     "(?i)count\\s*\\(\\s*\\*\\s*\\)".r ^^ (_ => CountStar)
 
+  /** SQL-style trim spec (Cypher 5): trim([BOTH|LEADING|TRAILING] [chars]
+    * FROM input) — desugars onto the 2-arg trim/ltrim/rtrim functions. */
+  private def trimSpecExpr: Parser[Expr] =
+    "(?i)trim".r ~> "(" ~>
+      opt("(?i)(BOTH|LEADING|TRAILING)\\b".r) ~
+      opt(not(K("FROM")) ~> expression) ~
+      (K("FROM") ~> expression) <~ ")" ^^ {
+      case spec ~ chars ~ input =>
+        val fn = spec.map(_.toUpperCase) match {
+          case Some("LEADING")  => "ltrim"
+          case Some("TRAILING") => "rtrim"
+          case _                => "trim"
+        }
+        Func(fn, input +: chars.toSeq, distinct = false)
+    }
+
   private def funcCall: Parser[Expr] =
     funcName ~ ("(" ~> opt(K("DISTINCT")) ~ repsep(expression, ",") <~ ")") ^^ {
       case name ~ (d ~ args) => Func(name.toLowerCase, args, d.isDefined)
@@ -243,7 +312,8 @@ object CypherParser extends RegexParsers {
 
   private def atom: Parser[Expr] =
     literal | caseExpr | existsExpr | countStar | countSubquery |
-    collectSubquery | iterPredicate | reduceExpr | funcCall | param |
+    collectSubquery | iterPredicate | reduceExpr | trimSpecExpr |
+    funcCall | param |
     patternComprehension | listComprehension | listLit | mapLitExpr |
     "(" ~> expression <~ ")" |
     ident ^^ Variable.apply
@@ -256,7 +326,7 @@ object CypherParser extends RegexParsers {
   // Cypher 5 label expressions: each `:`-group is a |-disjunction of
   // &-conjunctions of (possibly !-negated) labels; multiple `:` groups AND.
   private def labelAtom: Parser[LabelAtom] =
-    opt("!") ~ symName ^^ { case n ~ l => LabelAtom(l, n.isDefined) }
+    opt("!") ~ ("%" | symName) ^^ { case n ~ l => LabelAtom(l, n.isDefined) }
   private def labelGroup: Parser[Seq[Seq[LabelAtom]]] =
     rep1sep(rep1sep(labelAtom, "&"), "|")
 
@@ -265,7 +335,7 @@ object CypherParser extends RegexParsers {
       opt(K("WHERE") ~> expression) <~ ")" ^^ {
       case v ~ groups ~ m ~ w =>
         val simple = groups.forall(g =>
-          g.size == 1 && g.head.forall(!_.negated))
+          g.size == 1 && g.head.forall(a => !a.negated && a.name != "%"))
         if (simple) // plain `:A:B` — AND of positive labels
           NodePattern(v, groups.flatMap(_.head.map(_.name)),
             m.getOrElse(Seq.empty), None, w)

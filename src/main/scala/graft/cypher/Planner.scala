@@ -80,7 +80,8 @@ object Planner {
   private def isWrite(c: Clause): Boolean = c match {
     case _: CreateClause | _: MergeClause | _: SetClause | _: RemoveClause |
          _: DeleteClause | _: CreateIndexClause | _: CreateConstraintClause |
-         _: DropSchemaClause => true
+         _: DropSchemaClause | _: ForeachClause => true
+    case CallSubquery(inner, _) => inner.clauses.exists(isWrite)
     case _ => false
   }
 
@@ -102,7 +103,7 @@ object Planner {
       : (PropertyGraph, Option[DataFrame]) = {
     require(query.parts.size == 1, "UNION is not supported in updating queries")
     val q = query.parts.head
-    val ctx = new Ctx(spark, g, params, neededProps(q), pruneEligibleRels(q))
+    val ctx = new Ctx(spark, g, params, neededProps(q, params), pruneEligibleRels(q))
     ctx.txCommit = txCommit
     var env = Env(None, Map.empty)
     var returned: Option[DataFrame] = None
@@ -198,7 +199,7 @@ object Planner {
 
   private def planSingle(spark: SparkSession, g: PropertyGraph,
       q: SingleQuery, params: Map[String, Any]): DataFrame = {
-    val ctx = new Ctx(spark, g, params, neededProps(q), pruneEligibleRels(q))
+    val ctx = new Ctx(spark, g, params, neededProps(q, params), pruneEligibleRels(q))
     var env = Env(None, Map.empty)
     q.clauses.foreach {
       case m: MatchClause  => env = planMatch(ctx, env, m)
@@ -483,7 +484,8 @@ object Planner {
   /** Map var → property names read anywhere in the query (`v.prop`,
     * `labels(v)`, `type(r)`, `startNode(r)`, `endNode(r)`), so each variable
     * is hydrated exactly once, at bind time. */
-  private def neededProps(q: SingleQuery): Map[String, Set[String]] = {
+  private def neededProps(q: SingleQuery,
+      params: Map[String, Any] = Map.empty): Map[String, Set[String]] = {
     // path variables: a bare reference (RETURN p / WITH p) needs the full
     // rel + node sequences, not just p$length
     val pathVars: Set[String] = {
@@ -532,6 +534,11 @@ object Planner {
       case StringPred(_, l, r) => walk(l); walk(r)
       case CaseExpr(s, ws, d) =>
         s.foreach(walk); ws.foreach { case (a, b) => walk(a); walk(b) }; d.foreach(walk)
+      case Index(Variable(v), Lit(k: String)) if !pathVars(v) =>
+        add(v, k) // dynamic property access n['key'] with constant key
+      case Index(Variable(v), Param(p)) if !pathVars(v) &&
+          params.get(p).exists(_.isInstanceOf[String]) =>
+        add(v, params(p).asInstanceOf[String])
       case Index(l, i)        => walk(l); walk(i)
       case Slice(l, f, t)     => walk(l); f.foreach(walk); t.foreach(walk)
       case PatternExists(p, w, _) => walkPattern(p); w.foreach(walk)
@@ -1302,7 +1309,10 @@ object Planner {
     np.labelExpr.foreach { dnf =>
       val pred = dnf.map { conj =>
         conj.map { a =>
-          val c = array_contains(col("labels"), a.name)
+          // `%` is the GQL any-label wildcard: node has at least one label
+          val c =
+            if (a.name == "%") size(col("labels")) > 0
+            else array_contains(col("labels"), a.name)
           if (a.negated) !c else c
         }.reduce(_ && _)
       }.reduce(_ || _)
@@ -1902,11 +1912,59 @@ object Planner {
       case CountStar   => count(lit(1))
       case Func(name, args, distinct) => compileFunc(ctx, env, name, args, distinct, lambdas)
       case BinOp(op, l, r) => op match {
-        case "+"  => c(l) + c(r)
+        // `+` is type-dispatched like the reference's Add (runtime
+        // commands/expressions/Add.scala): numeric add, string concat
+        // ('a'+1 = 'a1'), list concat/append/prepend, temporal + duration.
+        case "+" =>
+          val (lc, rc) = (c(l), c(r))
+          val (lt, rt) = (dataTypeOf(env, lc), dataTypeOf(env, rc))
+          import org.apache.spark.sql.types._
+          (lt, rt) match {
+            case (Some(StringType), Some(StringType)) => concat(lc, rc)
+            case (Some(StringType), Some(_)) => concat(lc, rc.cast("string"))
+            case (Some(_), Some(StringType)) => concat(lc.cast("string"), rc)
+            case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
+            case (Some(_: ArrayType), Some(_)) => concat(lc, array(rc))
+            case (Some(_), Some(_: ArrayType)) => concat(array(lc), rc)
+            case _ if isDurationType(lt) && isDurationType(rt) =>
+              graft.functions.Durations.plus(lc, rc)
+            case (Some(DateType), _) if isDurationType(rt) =>
+              graft.functions.Durations.addToDate(lc, rc)
+            case (_, Some(DateType)) if isDurationType(lt) =>
+              graft.functions.Durations.addToDate(rc, lc)
+            case (Some(TimestampType | TimestampNTZType), _) if isDurationType(rt) =>
+              graft.functions.Durations.addToTimestamp(lc, rc)
+            case (_, Some(TimestampType | TimestampNTZType)) if isDurationType(lt) =>
+              graft.functions.Durations.addToTimestamp(rc, lc)
+            case _ => lc + rc
+          }
         case "||" => concat(c(l), c(r)) // Cypher 5 string/list concatenation
-        case "-"  => c(l) - c(r)
-        case "*"  => c(l) * c(r)
-        case "/"  => c(l) / c(r)
+        case "-" =>
+          val (lc, rc) = (c(l), c(r))
+          val (lt, rt) = (dataTypeOf(env, lc), dataTypeOf(env, rc))
+          import org.apache.spark.sql.types._
+          (lt, rt) match {
+            case _ if isDurationType(lt) && isDurationType(rt) =>
+              graft.functions.Durations.minus(lc, rc)
+            case (Some(DateType), _) if isDurationType(rt) =>
+              graft.functions.Durations.addToDate(lc,
+                graft.functions.Durations.times(rc, lit(-1L)))
+            case (Some(TimestampType | TimestampNTZType), _) if isDurationType(rt) =>
+              graft.functions.Durations.addToTimestamp(lc,
+                graft.functions.Durations.times(rc, lit(-1L)))
+            case _ => lc - rc
+          }
+        case "*" =>
+          val (lc, rc) = (c(l), c(r))
+          val (lt, rt) = (dataTypeOf(env, lc), dataTypeOf(env, rc))
+          if (isDurationType(lt)) graft.functions.Durations.times(lc, rc)
+          else if (isDurationType(rt)) graft.functions.Durations.times(rc, lc)
+          else lc * rc
+        case "/" =>
+          val (lc, rc) = (c(l), c(r))
+          if (isDurationType(dataTypeOf(env, lc)))
+            graft.functions.Durations.times(lc, lit(1.0) / rc)
+          else lc / rc
         case "%"  => c(l) % c(r)
         case "^"  => pow(c(l), c(r))
         case "="  => c(l) === c(r)
@@ -1959,6 +2017,23 @@ object Planner {
         val start = when(branches.head._1, branches.head._2)
         val chained = branches.tail.foldLeft(start) { case (acc, (p, v)) => acc.when(p, v) }
         default.fold(chained)(d => chained.otherwise(c(d)))
+      case Index(Variable(v), i) if env.has(v) &&
+          (env.binds(v) == NodeVar || env.binds(v) == RelVar) =>
+        // dynamic property access n[key] — key must be resolvable at plan
+        // time (literal or parameter); columns are static in a columnar
+        // engine, so a truly per-row dynamic key has no hydration to read
+        val key = i match {
+          case Lit(k: String) => k
+          case Param(p) => ctx.params.getOrElse(p,
+            throw new IllegalArgumentException(s"missing parameter $$$p")) match {
+            case k: String => k
+            case other => throw new IllegalArgumentException(
+              s"dynamic property key must be a string, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"dynamic property access needs a literal or parameter key, got $other")
+        }
+        c(Prop(Variable(v), key))
       case Index(l, i) =>
         val ic = c(i)
         // Cypher 0-based; negative = from end (element_at is 1-based/±)
@@ -1990,10 +2065,20 @@ object Planner {
         }
         listCol
       case MapProjection(subject, items) =>
-        val fields = items.map {
+        val fields = items.flatMap {
+          case Left("*") => // n{.*}: every hydrated property of the entity
+            val v = subject match {
+              case Variable(x) => x
+              case other => throw new IllegalArgumentException(
+                s"{.*} projection needs an entity variable, got $other")
+            }
+            env.df.map(_.columns.toSeq).getOrElse(Seq.empty)
+              .filter(cn => cn.startsWith(v + "$") && cn != s"$v$$labels")
+              .sorted
+              .map(cn => col(cn).as(cn.drop(v.length + 1)))
           case Left(k) =>
-            c(Prop(subject, k)).as(k)
-          case Right((k, v)) => c(v).as(k)
+            Seq(c(Prop(subject, k)).as(k))
+          case Right((k, v)) => Seq(c(v).as(k))
         }
         struct(fields: _*)
       case _: PatternExists | _: PatternCount =>
@@ -2167,7 +2252,11 @@ object Planner {
       case "timestamp"  => unix_millis(current_timestamp())
       case "char_length" | "character_length" => length(a0).cast("long")
       case "isempty" =>
-        if (isArrayTyped(env, a0)) size(a0) === 0 else length(a0) === 0
+        dataTypeOf(env, a0) match { // LIST / MAP use size, STRING length
+          case Some(_: org.apache.spark.sql.types.ArrayType) |
+               Some(_: org.apache.spark.sql.types.MapType) => size(a0) === 0
+          case _ => length(a0) === 0
+        }
       case "nullif" => nullif(a0, c(args(1)))
       case "exists" => a0.isNotNull // legacy exists(n.prop)
       case "valuetype" =>
@@ -2190,6 +2279,9 @@ object Planner {
           case Some(other) => throw new IllegalArgumentException(
             s"normalize() form must be NFC/NFD/NFKC/NFKD, got $other")
         }
+        // lazy per-session registration: works on any SparkSession, not
+        // only ones built via GraftSession.builder's extensions hook
+        graft.functions.expressions.NormalizeUnicode.ensureRegistered(ctx.spark)
         call_function("unicode_normalize", a0, lit(form))
       // vector similarity (reference VectorSimilarityCosine/Euclidean →
       // Lucene VectorSimilarityFunction scores, both scaled into (0, 1])
@@ -2210,29 +2302,46 @@ object Planner {
       case "last"  => element_at(a0, -1)
       case "tail"  => slice(a0, lit(2), greatest(size(a0) - 1, lit(0)))
       case "coalesce" => coalesce(args.map(c): _*)
-      case "date" => args.head match {
-        case MapLit(es) => // date({year, month, day}) construction
+      case "date" => args.headOption match {
+        case None => current_date() // date() = today (reference clock default)
+        case Some(MapLit(es)) => // date({year, month, day}) construction
           val m = es.toMap
           make_date(c(m("year")), c(m.getOrElse("month", Lit(1L))),
             c(m.getOrElse("day", Lit(1L))))
-        case _ => to_date(a0)
+        case Some(_) => to_date(a0)
       }
-      case "datetime" => args.head match {
-        case MapLit(es) =>
+      case "datetime" => args.headOption match {
+        case None => current_timestamp()
+        case Some(MapLit(es)) =>
           val m = es.toMap
-          def g(k: String, dflt: Long) = c(m.getOrElse(k, Lit(dflt)))
-          make_timestamp(g("year", 1970), g("month", 1), g("day", 1),
-            g("hour", 0), g("minute", 0), g("second", 0))
-        case _ => to_timestamp(a0)
+          // epoch forms (reference TemporalValue.parse epochMillis/Seconds)
+          if (m.contains("epochMillis")) timestamp_millis(c(m("epochMillis")))
+          else if (m.contains("epochSeconds"))
+            timestamp_seconds(c(m("epochSeconds")))
+          else {
+            def g(k: String, dflt: Long) = c(m.getOrElse(k, Lit(dflt)))
+            make_timestamp(g("year", 1970), g("month", 1), g("day", 1),
+              g("hour", 0), g("minute", 0), g("second", 0))
+          }
+        case Some(_) => to_timestamp(a0)
       }
       // wall-clock datetime without zone → TimestampNTZ (SURVEY §1.4)
-      case "localdatetime" => args.head match {
-        case MapLit(es) =>
+      case "localdatetime" => args.headOption match {
+        case None => localtimestamp()
+        case Some(MapLit(es)) =>
           val m = es.toMap
           def g(k: String, dflt: Long) = c(m.getOrElse(k, Lit(dflt)))
           make_timestamp_ntz(g("year", 1970), g("month", 1), g("day", 1),
             g("hour", 0), g("minute", 0), g("second", 0))
-        case _ => to_timestamp_ntz(a0)
+        case Some(_) => to_timestamp_ntz(a0)
+      }
+      // TIME values: Spark has no time-of-day type — represented as the
+      // wall-clock string HH:mm:ss.SSS (documented divergence; component
+      // access goes through datetime()). time('10:30:00') normalizes text.
+      case "time" | "localtime" => args.headOption match {
+        case None => date_format(current_timestamp(), "HH:mm:ss.SSS")
+        case Some(_) =>
+          date_format(to_timestamp(concat(lit("1970-01-01T"), a0)), "HH:mm:ss.SSS")
       }
       // date.truncate('month', d) / datetime.truncate('hour', ts)
       case "date.truncate" =>
@@ -2240,7 +2349,18 @@ object Planner {
       case "datetime.truncate" =>
         date_trunc(constString(args.head), c(args(1)))
       // temporal durations (graft.functions.Durations — 4-field struct)
-      case "duration"            => graft.functions.Durations.parseIso(a0)
+      case "duration" => args.head match {
+        case MapLit(es) => // duration({years, months, days, hours, …})
+          val m = es.toMap
+          def g(k: String) = c(m.getOrElse(k, Lit(0L))).cast("long")
+          graft.functions.Durations.duration(
+            g("years") * 12 + g("months"),
+            g("weeks") * 7 + g("days"),
+            g("hours") * 3600 + g("minutes") * 60 + g("seconds"),
+            g("milliseconds") * 1000000L + g("microseconds") * 1000L +
+              g("nanoseconds"))
+        case _ => graft.functions.Durations.parseIso(a0)
+      }
       case "duration.between"    => graft.functions.Durations.betweenDates(a0, c(args(1)))
       case "duration.indays"     => graft.functions.Durations.inDays(a0, c(args(1)))
       case "duration.inseconds"  => graft.functions.Durations.inSeconds(a0, c(args(1)))
@@ -2337,6 +2457,21 @@ object Planner {
       case _ => false
     }
   }
+
+  /** Static type of a compiled column, resolved against the current frame —
+    * drives type dispatch for `+`/`-`/`*` (the reference dispatches on
+    * runtime AnyValue types; a columnar engine knows them at plan time). */
+  private def dataTypeOf(env: Env, c: Column): Option[org.apache.spark.sql.types.DataType] =
+    env.df.flatMap(df =>
+      scala.util.Try(df.select(c).schema.head.dataType).toOption)
+
+  /** graft's duration type: STRUCT<months,days,seconds,nanos> (Durations). */
+  private def isDurationType(dt: Option[org.apache.spark.sql.types.DataType]): Boolean =
+    dt.exists {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fieldNames.toSeq == Seq("months", "days", "seconds", "nanos")
+      case _ => false
+    }
 
   /** Temporal dispatch for component property access. */
   private def isTemporalTyped(env: Env, c: Column): Boolean =

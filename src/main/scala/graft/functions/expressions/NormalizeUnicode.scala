@@ -52,4 +52,16 @@ object NormalizeUnicode {
       FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[NormalizeUnicode].getName, "unicode_normalize"),
       (args: Seq[Expression]) => build(args)))
+
+  /** Idempotent per-session registration for sessions not built through
+    * GraftSession.builder (the Cypher planner calls this lazily so
+    * normalize() works against any SparkSession). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("unicode_normalize")
+    if (!reg.functionExists(id))
+      reg.registerFunction(id,
+        new ExpressionInfo(classOf[NormalizeUnicode].getName, "unicode_normalize"),
+        (args: Seq[Expression]) => build(args))
+  }
 }

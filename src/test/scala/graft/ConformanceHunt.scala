@@ -1,0 +1,157 @@
+package graft
+
+import graft.graph.TpchGraph
+import org.apache.spark.sql.SparkSession
+
+/** Scratch battery: run a wide sweep of realistic Cypher queries and report
+  * which fail to parse/plan/execute. Not a spec — a gap-finding tool. */
+object ConformanceHunt {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("hunt").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val g = TpchGraph.load(spark, "/root/testdata/sf0.001")
+
+    val qs: Seq[(String, String)] = Seq(
+      "bare_node_return" -> "MATCH (n:Region) RETURN n LIMIT 3",
+      "inline_props" -> "MATCH (n:Customer {mktsegment: 'BUILDING'}) RETURN count(*) AS c",
+      "type_fn" -> "MATCH ()-[r:PLACED]->() RETURN type(r) AS t, count(*) AS c",
+      "pattern_predicate" -> "MATCH (c:Customer) WHERE (c)-[:PLACED]->(:Order) RETURN count(c) AS c",
+      "not_pattern_predicate" -> "MATCH (c:Customer) WHERE NOT (c)-[:PLACED]->() RETURN count(c) AS c",
+      "pattern_pred_with_prop" -> "MATCH (c:Customer) WHERE (c)-[:PLACED]->({orderstatus: 'F'}) RETURN count(c) AS c",
+      "size_pattern_comprehension" -> "MATCH (c:Customer) RETURN c.name AS name, size([(c)-[:PLACED]->(o) | o.totalprice]) AS n LIMIT 5",
+      "list_slice" -> "RETURN [1,2,3,4][1..3] AS s",
+      "list_index_neg" -> "RETURN [1,2,3][-1] AS x",
+      "list_comprehension_pow" -> "RETURN [x IN range(1,10) WHERE x % 2 = 0 | x^2] AS xs",
+      "param_arith" -> "RETURN $p + 1 AS x",
+      "path_fns" -> "MATCH p=(a:Nation)-[:IN_REGION]->(b) RETURN length(p) AS l, size(nodes(p)) AS nn, size(relationships(p)) AS nr LIMIT 3",
+      "with_where" -> "MATCH (n:Nation) WITH n.regionkey AS rk, count(*) AS c WHERE c > 3 RETURN rk, c",
+      "with_order_limit" -> "MATCH (n:Customer) WITH n ORDER BY n.acctbal DESC LIMIT 5 RETURN n.name AS name",
+      "map_projection" -> "MATCH (n:Region) RETURN n{.name} AS m LIMIT 2",
+      "map_projection_star" -> "MATCH (n:Region) RETURN n{.*} AS m LIMIT 2",
+      "properties_fn" -> "MATCH (n:Region) RETURN properties(n) AS p LIMIT 2",
+      "case_simple" -> "RETURN CASE 1 WHEN 1 THEN 'a' ELSE 'b' END AS x",
+      "case_generic" -> "RETURN CASE WHEN 1 > 2 THEN 'a' WHEN 2 > 1 THEN 'b' ELSE 'c' END AS x",
+      "case_extended_when" -> "MATCH (n:Region) RETURN CASE n.name WHEN IS NOT NULL THEN 1 ELSE 0 END AS x LIMIT 2",
+      "foreach_create" -> "FOREACH (x IN [1,2] | CREATE (:Tmp {v: x}))",
+      "call_uncorrelated" -> "CALL { MATCH (n:Region) RETURN count(n) AS c } RETURN c",
+      "call_proc_yield" -> "CALL db.labels() YIELD label RETURN label ORDER BY label LIMIT 3",
+      "dynamic_prop_access" -> "MATCH (n:Region) RETURN n[$key] AS v LIMIT 2",
+      "dynamic_prop_literal" -> "MATCH (n:Region) RETURN n['name'] AS v LIMIT 2",
+      "reduce_fn" -> "RETURN reduce(s = 0, x IN [1,2,3] | s + x) AS total",
+      "quantifiers" -> "RETURN all(x IN [1,2] WHERE x > 0) AS a, any(x IN [1,2] WHERE x > 1) AS b, none(x IN [1,2] WHERE x > 5) AS c, single(x IN [1,2] WHERE x = 1) AS d",
+      "temporal_arith_plus" -> "RETURN date('2024-01-01') + duration({days: 3}) AS d",
+      "temporal_arith_minus" -> "RETURN datetime('2024-01-05T10:00:00Z') - duration({hours: 4}) AS d",
+      "duration_between" -> "RETURN duration.between(date('2024-01-01'), date('2024-03-05')) AS d",
+      "duration_indays" -> "RETURN duration.inDays(date('2024-01-01'), date('2024-03-05')) AS d",
+      "duration_mult" -> "RETURN duration({days: 2}) * 3 AS d",
+      "shortest_fn" -> "MATCH p = shortestPath((a:Nation {name:'FRANCE'})-[*..4]-(b:Nation {name:'CHINA'})) RETURN length(p) AS l",
+      "qpp" -> "MATCH (a:Nation)(()-[:IN_REGION]->()){1,1}(b:Region) RETURN count(*) AS c",
+      "gql_plus_quantifier" -> "MATCH (a:Nation)-[:IN_REGION]->+(b) RETURN count(*) AS c",
+      "gql_star_quantifier" -> "MATCH (a:Nation)-[:IN_REGION]->*(b:Region) RETURN count(*) AS c",
+      "any_shortest" -> "MATCH ANY SHORTEST (a:Nation {name:'FRANCE'})-[:IN_REGION*..4]-(b:Nation {name:'CHINA'}) RETURN count(*) AS c",
+      "shortest_k_paths" -> "MATCH SHORTEST 2 PATHS (a:Nation {name:'FRANCE'})-[*..4]-(b:Nation {name:'CHINA'}) RETURN count(*) AS c",
+      "show_functions" -> "SHOW FUNCTIONS",
+      "trim_extended" -> "RETURN trim(BOTH 'x' FROM 'xxaxx') AS t",
+      "trim_simple" -> "RETURN trim('  a  ') AS t",
+      "exists_prop_fn" -> "MATCH (n:Region) WHERE exists(n.name) RETURN count(*) AS c",
+      "is_not_null" -> "MATCH (n:Region) WHERE n.name IS NOT NULL RETURN count(*) AS c",
+      "starts_ends_contains" -> "MATCH (n:Nation) WHERE n.name STARTS WITH 'A' OR n.name ENDS WITH 'A' OR n.name CONTAINS 'RAN' RETURN count(*) AS c",
+      "in_list" -> "MATCH (n:Nation) WHERE n.name IN ['FRANCE','CHINA'] RETURN count(*) AS c",
+      "backtick_var" -> "MATCH (`my node`:Region) RETURN `my node`.name AS n LIMIT 2",
+      "block_comment" -> "/* hi */ MATCH (n:Region) RETURN count(*) AS c // trailing",
+      "limit_param" -> "MATCH (n:Region) RETURN n.name AS name ORDER BY name LIMIT $n",
+      "union_all" -> "RETURN 1 AS x UNION ALL RETURN 1 AS x",
+      "count_subquery_where" -> "MATCH (c:Customer) WHERE COUNT { (c)-[:PLACED]->() } > 5 RETURN count(*) AS c",
+      "exists_subquery_full" -> "MATCH (c:Customer) WHERE EXISTS { MATCH (c)-[:PLACED]->(o) WHERE o.totalprice > 1000 } RETURN count(*) AS c",
+      "collect_subquery" -> "MATCH (r:Region) RETURN r.name AS name, COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r) RETURN n.name ORDER BY n.name } AS nations ORDER BY name",
+      "optional_match_where" -> "MATCH (n:Nation) OPTIONAL MATCH (n)-[:IN_REGION]->(r) WHERE r.name = 'ASIA' RETURN count(r) AS c",
+      "optional_call" -> "MATCH (n:Region) OPTIONAL CALL { WITH n MATCH (x:Nation)-[:IN_REGION]->(n) RETURN x LIMIT 1 } RETURN count(*) AS c",
+      "merge_on_create" -> "MERGE (n:Tmp2 {k: 1}) ON CREATE SET n.created = true ON MATCH SET n.matched = true RETURN n.k AS k",
+      "remove_prop" -> "MATCH (n:Region) REMOVE n.comment RETURN count(*) AS c",
+      "remove_label" -> "MATCH (n:Region) REMOVE n:Scratch RETURN count(*) AS c",
+      "set_label" -> "MATCH (n:Region) SET n:Area RETURN count(*) AS c",
+      "delete_detach" -> "MATCH (n:NopeLabel) DETACH DELETE n",
+      "unwind_nested" -> "UNWIND [[1,2],[3]] AS xs UNWIND xs AS x RETURN sum(x) AS s",
+      "point_fn" -> "RETURN point({x: 1.0, y: 2.0}) AS p",
+      "point_distance" -> "RETURN point.distance(point({x:0.0,y:0.0}), point({x:3.0,y:4.0})) AS d",
+      "keys_fn" -> "MATCH (n:Region) RETURN keys(n) AS k LIMIT 1",
+      "labels_fn" -> "MATCH (n:Region) RETURN labels(n) AS l LIMIT 1",
+      "id_elementid" -> "MATCH (n:Region) RETURN id(n) AS i, elementId(n) AS e LIMIT 1",
+      "coalesce_nullif" -> "RETURN coalesce(null, 2) AS a, nullIf(1, 1) AS b",
+      "tostring_list" -> "RETURN toStringList(['1', '2']) AS a, toIntegerList(['1','2']) AS b, toFloatList(['1.5']) AS c, toBooleanList(['true']) AS d",
+      "tostring_or_null" -> "RETURN toStringOrNull(1) AS a, toIntegerOrNull('x') AS b, toFloatOrNull('y') AS c, toBooleanOrNull('z') AS d",
+      "percent_mod_pow" -> "RETURN 7 % 3 AS m, 2^10 AS p",
+      "string_concat_plus" -> "RETURN 'a' + 'b' AS s",
+      "list_concat_plus" -> "RETURN [1] + [2, 3] AS l",
+      "regex_full" -> "MATCH (n:Nation) WHERE n.name =~ '(?i)fr.*' RETURN count(*) AS c",
+      "distinct_with" -> "MATCH (n:Nation) WITH DISTINCT n.regionkey AS rk RETURN count(*) AS c",
+      "order_by_expr" -> "MATCH (n:Nation) RETURN n.name AS name ORDER BY size(n.name) DESC, name LIMIT 3",
+      "skip_only" -> "MATCH (n:Region) RETURN n.name AS name ORDER BY name SKIP 2",
+      "xor_op" -> "RETURN true XOR false AS x",
+      "not_op" -> "RETURN NOT false AS x",
+      "null_prop_eq" -> "MATCH (n:Region) WHERE n.nonexistent = 1 RETURN count(*) AS c",
+      "undirected_rel" -> "MATCH (a:Nation)-[:IN_REGION]-(b) RETURN count(*) AS c",
+      "multi_rel_types" -> "MATCH (a)-[r:IN_REGION|PLACED]->(b) RETURN count(*) AS c",
+      "var_length_props" -> "MATCH (a:Nation)-[:IN_REGION*1..2 {}]->(b) RETURN count(*) AS c",
+      "named_path_plain" -> "MATCH p = (a:Nation)-[:IN_REGION]->(b) RETURN length(p) AS l LIMIT 2",
+      "label_expr_or" -> "MATCH (n:Region|Nation) RETURN count(*) AS c",
+      "label_expr_not" -> "MATCH (n:!Region) RETURN count(n) > 0 AS c",
+      "label_wildcard" -> "MATCH (n:%) RETURN count(*) AS c",
+      "is_typed" -> "RETURN 1 IS :: INTEGER AS a, 'x' IS NOT :: INTEGER AS b",
+      "call_in_tx" -> "MATCH (n:Region) CALL { WITH n CREATE (:Copy {k: n.name}) } IN TRANSACTIONS OF 2 ROWS",
+      "normalize_fn" -> "RETURN normalize('a\\u0301') = 'á' AS eq",
+      "split_join" -> "RETURN split('a,b,c', ',') AS parts",
+      "substring_fns" -> "RETURN substring('hello', 1, 3) AS s, left('hello', 2) AS l, right('hello', 2) AS r",
+      "char_length" -> "RETURN char_length('abc') AS a, character_length('abc') AS b, size('abc') AS c",
+      "isempty" -> "RETURN isEmpty([]) AS a, isEmpty('') AS b, isEmpty({}) AS c",
+      "head_last_tail" -> "RETURN head([1,2,3]) AS h, last([1,2,3]) AS l, tail([1,2,3]) AS t",
+      "range_step" -> "RETURN range(0, 10, 2) AS r",
+      "abs_sign" -> "RETURN abs(-3) AS a, sign(-2) AS s",
+      "rand_uuid" -> "RETURN rand() >= 0 AS r, size(randomUUID()) > 0 AS u",
+      "timestamp_fn" -> "RETURN timestamp() > 0 AS t",
+      "date_components" -> "RETURN date('2024-03-05').year AS y, date('2024-03-05').month AS m, date('2024-03-05').day AS d",
+      "datetime_components" -> "RETURN datetime('2024-03-05T10:30:00Z').hour AS h, datetime('2024-03-05T10:30:00Z').minute AS m",
+      "duration_components" -> "RETURN duration({days: 400}).days AS d, duration('P1Y2M3D').months AS m",
+      "date_trunc" -> "RETURN date.truncate('month', date('2024-03-15')) AS d, datetime.truncate('day', datetime('2024-03-15T10:00:00Z')) AS dt",
+      "date_realtime" -> "RETURN date() IS NOT NULL AS a, datetime() IS NOT NULL AS b, localdatetime() IS NOT NULL AS c, time() IS NOT NULL AS t",
+      "pattern_comprehension_where" -> "MATCH (c:Customer) RETURN [(c)-[:PLACED]->(o) WHERE o.totalprice > 1000 | o.orderkey] AS ks LIMIT 3",
+      "pattern_expr_in_return" -> "MATCH (c:Customer) RETURN exists((c)-[:PLACED]->()) AS has LIMIT 3",
+      "count_star_no_match" -> "MATCH (n:NoSuchLabel) RETURN count(*) AS c",
+      "aggregation_null_skip" -> "UNWIND [1, null, 3] AS x RETURN count(x) AS c, sum(x) AS s, avg(x) AS a, collect(x) AS l",
+      "min_max_strings" -> "UNWIND ['b','a','c'] AS x RETURN min(x) AS mn, max(x) AS mx",
+      "stdev" -> "UNWIND [1.0,2.0,3.0] AS x RETURN stdev(x) AS s, stdevp(x) AS p",
+      "percentile" -> "UNWIND [1.0,2.0,3.0,4.0] AS x RETURN percentileCont(x, 0.5) AS pc, percentileDisc(x, 0.5) AS pd",
+      "nested_map_literal" -> "RETURN {a: {b: [1,2]}}.a.b[0] AS v",
+      "exists_fn_on_map" -> "WITH {a: 1} AS m RETURN m.a AS v",
+      "with_star_extra" -> "MATCH (n:Region) WITH *, n.name AS nm RETURN count(nm) AS c",
+      "return_star" -> "MATCH (n:Region) RETURN * LIMIT 1",
+      "escaped_quote" -> "RETURN 'it''s' AS s, \"dq\" AS d",
+      "unicode_escape" -> "RETURN 'caf\\u00e9' AS s",
+      "integer_formats" -> "RETURN 0x10 AS hex, 0o17 AS oct, 1e3 AS sci",
+      "round_modes" -> "RETURN round(2.5) AS a, round(2.4444, 2) AS b, round(2.5, 0, 'DOWN') AS c"
+    )
+
+    var fails = List.empty[(String, String)]
+    qs.foreach { case (name, q) =>
+      try {
+        val df = graft.cypher.Cypher.run(spark, g, q,
+          Map("p" -> 1, "key" -> "name", "n" -> 3))
+        df.collect()
+        println(s"PASS $name")
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(2).mkString(" | ").take(300)
+          println(s"FAIL $name :: $msg")
+          fails ::= (name, msg)
+      }
+    }
+    println(s"\n=== ${fails.size} failures of ${qs.size} ===")
+    fails.reverse.foreach { case (n, m) => println(s"  $n: $m") }
+    spark.stop()
+  }
+}
