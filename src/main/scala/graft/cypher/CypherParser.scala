@@ -310,11 +310,21 @@ object CypherParser extends RegexParsers {
 
   private def mapLitExpr: Parser[Expr] = mapLit ^^ (m => MapLit(m))
 
+  /** Bare pattern in expression position — `WHERE (c)-[:T]->(:Order)` —
+    * is an existence predicate (reference rewriter
+    * normalizeExistsPatternExpressions.scala). Requires ≥1 hop so plain
+    * parenthesized expressions are untouched. */
+  private def patternPredicate: Parser[Expr] =
+    pathPattern ^? (
+      { case p if p.hops.nonEmpty => PatternExists(p, None, negated = false) },
+      _ => "single node is not a pattern predicate")
+
   private def atom: Parser[Expr] =
     literal | caseExpr | existsExpr | countStar | countSubquery |
     collectSubquery | iterPredicate | reduceExpr | trimSpecExpr |
     funcCall | param |
     patternComprehension | listComprehension | listLit | mapLitExpr |
+    patternPredicate |
     "(" ~> expression <~ ")" |
     ident ^^ Variable.apply
 

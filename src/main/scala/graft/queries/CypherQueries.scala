@@ -104,6 +104,17 @@ object CypherQueries {
       """SELECT count(*) AS n_unsold FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin),
 
+    // bare pattern predicate in WHERE (reference rewriter
+    // normalizeExistsPatternExpressions): `(s)<--(:Order)` without the
+    // EXISTS keyword, plus a negated one under OR → flag lowering
+    cq("q_cypher_pattern_predicate",
+      """MATCH (s:Supplier)
+        |WHERE (s)<-[:SUPPLIED_BY]-(:Order) OR s.acctbal < 0
+        |RETURN count(*) AS n_kept""".stripMargin,
+      """SELECT count(*) AS n_kept FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |   OR s_acctbal < 0""".stripMargin),
+
     // WITH pipeline: aggregate → filter on the aggregate → re-aggregate
     cq("q_cypher_with_pipeline",
       """MATCH (c:Customer)-[:PLACED]->(o:Order)

@@ -168,6 +168,47 @@ class CypherSurfaceSpec extends AnyFunSuite {
     assert(r.getLong(0) == 2L) // ghost has no labels
   }
 
+  test("bare pattern predicate in WHERE filters to matching rows") {
+    val rows = Cypher.run(spark, g,
+      "MATCH (a:Person) WHERE (a)-[:KNOWS]->() RETURN a.name AS name")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("Alice"))
+  }
+
+  test("negated bare pattern predicate keeps only non-matching rows") {
+    val rows = Cypher.run(spark, g,
+      "MATCH (a:Person) WHERE NOT (a)-[:KNOWS]->() RETURN a.name AS name")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("Bob"))
+  }
+
+  test("bare pattern predicate with inline target properties") {
+    val rows = Cypher.run(spark, g,
+      "MATCH (a:Person) WHERE (a)-[:KNOWS]->({name: 'Bob'}) RETURN a.name AS name")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("Alice"))
+  }
+
+  test("bare pattern predicate under OR lowers to a flag column") {
+    val rows = Cypher.run(spark, g,
+      "MATCH (a:Person) WHERE (a)-[:KNOWS]->() OR a.age = 25 " +
+        "RETURN a.name AS name ORDER BY name")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("Alice", "Bob"))
+  }
+
+  test("undirected bare pattern predicate sees both endpoints") {
+    val rows = Cypher.run(spark, g,
+      "MATCH (a:Person) WHERE (a)-[:KNOWS]-() RETURN a.name AS name ORDER BY name")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("Alice", "Bob"))
+  }
+
+  test("parenthesized plain expressions are untouched by the pattern-predicate atom") {
+    val r = one("RETURN (1 + 2) * 3 AS x, ('a') AS s")
+    assert(r.getLong(0) == 9L && r.getString(1) == "a")
+  }
+
   test("FOREACH via run() raises the execute() guidance") {
     val e = intercept[IllegalArgumentException] {
       Cypher.run(spark, g, "FOREACH (x IN [1] | CREATE (:T {v: x}))").collect()
