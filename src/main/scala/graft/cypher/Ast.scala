@@ -56,7 +56,8 @@ object Ast {
     * RollUpApply shape (reference
     * ReplacePatternComprehensionWithCollectSubquery.scala). */
   final case class PatternComprehension(pattern: PathPattern, where: Option[Expr],
-      projection: Expr) extends Expr
+      projection: Expr, orderBy: Seq[SortItem] = Nil,
+      skip: Option[Expr] = None, limit: Option[Expr] = None) extends Expr
   /** Map projection `v {.key, alias: expr}` → struct. */
   final case class MapProjection(subject: Expr,
       items: Seq[Either[String, (String, Expr)]]) extends Expr
@@ -162,7 +163,8 @@ object Ast {
     * LogicalPlan.scala:4039/:4100). `inTransactionsOf` batches the inner
     * write over chunks of n input rows with a commit per chunk. */
   final case class CallSubquery(inner: SingleQuery,
-      inTransactionsOf: Option[Long] = None) extends Clause
+      inTransactionsOf: Option[Long] = None,
+      optional: Boolean = false) extends Clause
 
   // ---- schema commands (reference SchemaLogicalPlan.scala: CreateIndex,
   //      CreateConstraint, DropIndexOnName, ShowIndexes, ShowConstraints) --

@@ -275,8 +275,10 @@ object CypherParser extends RegexParsers {
 
   private def collectSubquery: Parser[Expr] =
     "(?i)collect".r ~> "{" ~> opt(K("MATCH")) ~> pathPattern ~
-      opt(K("WHERE") ~> expression) ~ (K("RETURN") ~> expression) <~ "}" ^^ {
-      case p ~ w ~ proj => PatternComprehension(p, w, proj)
+      opt(K("WHERE") ~> expression) ~ (K("RETURN") ~> expression) ~
+      opt(orderBy) ~ opt(skipP) ~ opt(limitP) <~ "}" ^^ {
+      case p ~ w ~ proj ~ ob ~ sk ~ li =>
+        PatternComprehension(p, w, proj, ob.getOrElse(Nil), sk, li)
     }
 
   private def countStar: Parser[Expr] =
@@ -409,8 +411,18 @@ object CypherParser extends RegexParsers {
           qppVars = Some((x.variable, r.variable, y.variable))), next)
     }
 
+  /** GQL quantified relationship `-[:T]->+` / `->*` / `->{a,b}` — shorthand
+    * for the one-hop QPP, desugared onto varLength like `*a..b`. */
+  private def quantifiedRelHop: Parser[(RelPattern, NodePattern)] =
+    relPattern ~ qppQuantifier ~ nodePattern ^^ {
+      case r ~ q ~ n =>
+        require(r.varLength.isEmpty, "nested quantifiers are not supported")
+        (r.copy(varLength = Some(q)), n)
+    }
+
   def pathPattern: Parser[PathPattern] =
-    nodePattern ~ rep(qppHop | relPattern ~ nodePattern ^^ { case r ~ n => (r, n) }) ^^ {
+    nodePattern ~ rep(qppHop | quantifiedRelHop |
+      relPattern ~ nodePattern ^^ { case r ~ n => (r, n) }) ^^ {
       case first ~ hops => PathPattern(first, hops)
     }
 
@@ -421,8 +433,17 @@ object CypherParser extends RegexParsers {
       ("(" ~> pathPattern <~ ")") ^^ {
       case v ~ kw ~ p => ShortestPart(v, p, kw.toLowerCase.startsWith("all"))
     } |
-    // GQL path selector: `[p =] SHORTEST k <pattern>` (StatefulShortestPath)
-    opt(ident <~ "=") ~ (K("SHORTEST") ~> """\d+""".r) ~ pathPattern ^^ {
+    // GQL path selectors (reference StatefulShortestPath selectors):
+    // ANY SHORTEST ≡ SHORTEST 1; ALL SHORTEST ≡ allShortestPaths;
+    // SHORTEST k [PATHS]
+    opt(ident <~ "=") ~ (K("ANY") ~> K("SHORTEST") ~> pathPattern) ^^ {
+      case v ~ p => ShortestPart(v, p, all = false, k = Some(1))
+    } |
+    opt(ident <~ "=") ~ (K("ALL") ~> K("SHORTEST") ~> pathPattern) ^^ {
+      case v ~ p => ShortestPart(v, p, all = true)
+    } |
+    opt(ident <~ "=") ~ (K("SHORTEST") ~> """\d+""".r) ~
+      (opt(K("PATHS")) ~> pathPattern) ^^ {
       case v ~ kk ~ p => ShortestPart(v, p, all = false, k = Some(kk.toInt))
     }
 
@@ -573,12 +594,13 @@ object CypherParser extends RegexParsers {
     createConstraintClause | createIndexClause | dropSchemaClause | showSchemaClause
 
   private def callSubquery: Parser[Clause] =
-    (K("CALL") ~> "{" ~> singleQuery <~ "}") ~
+    opt(K("OPTIONAL")) ~ (K("CALL") ~> "{" ~> singleQuery <~ "}") ~
       opt(K("IN") ~> K("TRANSACTIONS") ~>
         opt(K("OF") ~> """\d+""".r <~ K("ROWS"))) ^^ {
-      case q ~ None       => CallSubquery(q)
-      case q ~ Some(size) => // reference default batch size: 1000 rows
-        CallSubquery(q, Some(size.map(_.toLong).getOrElse(1000L)))
+      case o ~ q ~ None       => CallSubquery(q, optional = o.isDefined)
+      case o ~ q ~ Some(size) => // reference default batch size: 1000 rows
+        CallSubquery(q, Some(size.map(_.toLong).getOrElse(1000L)),
+          optional = o.isDefined)
     }
 
   private def callClause: Parser[Clause] =

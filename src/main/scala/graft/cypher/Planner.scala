@@ -81,7 +81,7 @@ object Planner {
     case _: CreateClause | _: MergeClause | _: SetClause | _: RemoveClause |
          _: DeleteClause | _: CreateIndexClause | _: CreateConstraintClause |
          _: DropSchemaClause | _: ForeachClause => true
-    case CallSubquery(inner, _) => inner.clauses.exists(isWrite)
+    case CallSubquery(inner, _, _) => inner.clauses.exists(isWrite)
     case _ => false
   }
 
@@ -313,14 +313,21 @@ object Planner {
       // compute key values per row
       var keyed = df
       keyCols.foreach { case (k, c) => keyed = keyed.withColumn(s"__mk_$k", c) }
-      // existing node per key (min id when several match the key pattern)
+      // existing node per key (min id when several match the key pattern);
+      // a key property the graph has never seen matches nothing — every row
+      // creates (createNodes extends the schema with the new column)
       var scan = ctx.g.nodes
       np.labels.foreach(l => scan = scan.filter(array_contains(col("labels"), l)))
-      val existing = scan
-        .groupBy(np.props.map { case (k, _) => col(k).as(s"__mk_$k") }: _*)
-        .agg(min(col("id")).as("__mid"))
-      val joined = keyed.join(existing,
-        np.props.map { case (k, _) => s"__mk_$k" }, "left_outer")
+      val joined =
+        if (np.props.exists { case (k, _) => !scan.columns.contains(k) })
+          keyed.withColumn("__mid", lit(null).cast("long"))
+        else {
+          val existing = scan
+            .groupBy(np.props.map { case (k, _) => col(k).as(s"__mk_$k") }: _*)
+            .agg(min(col("id")).as("__mid"))
+          keyed.join(existing,
+            np.props.map { case (k, _) => s"__mk_$k" }, "left_outer")
+        }
       // deterministic id from the key → MERGE is idempotent across runs
       val newId = xxhash64((lit(ctx.runTag) +: lit("m") +:
         np.props.map { case (k, _) => col(s"__mk_$k") }): _*)
@@ -494,7 +501,7 @@ object Planner {
         case MatchClause(_, ps, _, sh) =>
           ps.foreach(p => acc ++= p.name)
           sh.foreach(s => acc ++= s.pathVar)
-        case CallSubquery(inner, _) => inner.clauses.foreach(pc)
+        case CallSubquery(inner, _, _) => inner.clauses.foreach(pc)
         case _ => ()
       }
       q.clauses.foreach(pc)
@@ -543,8 +550,9 @@ object Planner {
       case Slice(l, f, t)     => walk(l); f.foreach(walk); t.foreach(walk)
       case PatternExists(p, w, _) => walkPattern(p); w.foreach(walk)
       case PatternCount(p, w)     => walkPattern(p); w.foreach(walk)
-      case PatternComprehension(p, w, proj) =>
+      case PatternComprehension(p, w, proj, ord, sk, li) =>
         walkPattern(p); w.foreach(walk); walk(proj)
+        ord.foreach(s => walk(s.expr)); sk.foreach(walk); li.foreach(walk)
       case ListComprehension(_, l, w, p) => walk(l); w.foreach(walk); p.foreach(walk)
       case IterPredicate(_, _, l, pr) => walk(l); walk(pr)
       case Reduce(_, init, _, l, st)  => walk(init); walk(l); walk(st)
@@ -593,7 +601,7 @@ object Planner {
       case DeleteClause(_, _)    => ()
       case f: ForeachClause      => walkForeach(f)
       case CallClause(_, args, _) => args.foreach(walk)
-      case CallSubquery(inner, _) => inner.clauses.foreach(walkClause)
+      case CallSubquery(inner, _, _) => inner.clauses.foreach(walkClause)
       case _ => () // schema commands carry no expressions
     }
     q.clauses.foreach(walkClause)
@@ -648,7 +656,7 @@ object Planner {
       case DeleteClause(vs, _)  => acc ++= vs
       case ForeachClause(_, list, updates) => walk(list); updates.foreach(walkClause)
       case CallClause(_, args, _) => args.foreach(walk)
-      case CallSubquery(inner, _) => inner.clauses.foreach(walkClause)
+      case CallSubquery(inner, _, _) => inner.clauses.foreach(walkClause)
       case _ => () // schema commands carry no expressions
     }
     q.clauses.foreach(walkClause)
@@ -723,14 +731,22 @@ object Planner {
   /** shortestPath((a)-[:T*..d]->(b)): BFS with target early-exit when both
     * endpoints are bound (reference FindShortestPaths :2178); unreached
     * pairs drop, like a failed MATCH. The path variable binds `v$length`. */
-  private def planShortest(ctx: Ctx, env: Env, s: ShortestPart): Env = {
-    if (s.k.isDefined) return planShortestK(ctx, env, s)
+  private def planShortest(ctx: Ctx, envIn: Env, s: ShortestPart): Env = {
+    if (s.k.isDefined) return planShortestK(ctx, envIn, s)
     val p = s.pattern
     require(p.hops.size == 1, "shortestPath takes a single relationship pattern")
     val (rel, toNode) = p.hops.head
     require(p.first.where.isEmpty && toNode.where.isEmpty && rel.where.isEmpty,
       "inline WHERE is not supported inside shortestPath patterns — " +
         "filter before/after the MATCH")
+    // endpoints need not be pre-bound (the reference plans both sides then
+    // FindShortestPaths): an inline-filtered start like
+    // `shortestPath((a:L {k:v})-[*..d]-(b))` binds here via its own scan;
+    // a propertied target binds too so the per-pair early-exit BFS applies
+    val env = {
+      val e1 = bindEndpoint(ctx, envIn, p.first)
+      if (toNode.props.nonEmpty) bindEndpoint(ctx, e1, toNode) else e1
+    }
     val fromVar = p.first.variable.filter(env.has).getOrElse(
       throw new IllegalArgumentException("shortestPath start node must be bound"))
     val maxDepth = rel.varLength.flatMap(_._2).getOrElse(15)
@@ -859,10 +875,15 @@ object Planner {
     * nodes must be unconstrained (they are NFA states, not join points);
     * endpoints behave like shortestPath endpoints. Binds pv$length and
     * pv$rels per returned path (up to k per pair). */
-  private def planShortestK(ctx: Ctx, env: Env, s: ShortestPart): Env = {
+  private def planShortestK(ctx: Ctx, envIn: Env, s: ShortestPart): Env = {
     val p = s.pattern
     val kk = s.k.get
     require(p.hops.nonEmpty, "SHORTEST k needs a relationship pattern")
+    val env = {
+      val e1 = bindEndpoint(ctx, envIn, p.first)
+      val t = p.hops.last._2
+      if (t.props.nonEmpty) bindEndpoint(ctx, e1, t) else e1
+    }
     val fromVar = p.first.variable.filter(env.has).getOrElse(
       throw new IllegalArgumentException("SHORTEST k start node must be bound"))
     val toNode = p.hops.last._2
@@ -1024,22 +1045,60 @@ object Planner {
           binds = env.binds + (cnt -> ValueVar))
         flags += cnt
         Variable(cnt)
-      case PatternComprehension(p, w, proj) =>
+      case PatternComprehension(p, w, proj, ord, skipE, limitE) =>
         // RollUpApply (reference LogicalPlan RollUpApply /
         // ReplacePatternComprehensionWithCollectSubquery): plan the pattern
         // from the distinct referenced keys, collect the projection per key,
-        // left-outer join back, no-match → empty list. Documented
-        // divergence: element order is deterministic (sorted), not
-        // storage order — Cypher leaves it unspecified.
+        // left-outer join back, no-match → empty list. Without ORDER BY the
+        // element order is deterministic (sorted) — Cypher leaves it
+        // unspecified. COLLECT{… ORDER BY k SKIP s LIMIT n} sorts inside the
+        // collected array (array_sort comparator, null-is-largest per Cypher
+        // orderability, value tie-break for determinism) then slices — one
+        // shuffle regardless of ordering/pagination.
         val lcol = ctx.fresh("pc")
-        val (keyCols, sub) = subPlan(p, w, exprVars(proj))
-        val collected = sub.df.get
-          .withColumn("__pcv", compile(ctx, sub, proj))
-          .groupBy(keyCols.map(col): _*)
-          .agg(sort_array(collect_list(col("__pcv"))).as(lcol))
-        val listType = collected.schema(lcol).dataType
+        val (keyCols, sub) = subPlan(p, w,
+          exprVars(proj) ++ ord.flatMap(s => exprVars(s.expr)))
+        val collected = if (ord.isEmpty) {
+          sub.df.get
+            .withColumn("__pcv", compile(ctx, sub, proj))
+            .groupBy(keyCols.map(col): _*)
+            .agg(sort_array(collect_list(col("__pcv"))).as(lcol))
+        } else {
+          val fields = ord.zipWithIndex.map { case (s, i) =>
+            compile(ctx, sub, s.expr).as(s"k$i") } :+
+            compile(ctx, sub, proj).as("v")
+          val cmp = (l: Column, r: Column) => {
+            val tie = when(l.getField("v").isNull || r.getField("v").isNull, lit(0))
+              .when(l.getField("v") < r.getField("v"), lit(-1))
+              .when(l.getField("v") > r.getField("v"), lit(1))
+              .otherwise(lit(0))
+            ord.zipWithIndex.foldRight(tie) { case ((s, i), next) =>
+              val (lk, rk) = (l.getField(s"k$i"), r.getField(s"k$i"))
+              val lt = if (s.ascending) -1 else 1
+              when(lk.isNull && rk.isNull, next)
+                .when(lk.isNull, lit(-lt)).when(rk.isNull, lit(lt))
+                .when(lk < rk, lit(lt)).when(lk > rk, lit(-lt))
+                .otherwise(next)
+            }
+          }
+          sub.df.get
+            .withColumn("__pcs", struct(fields: _*))
+            .groupBy(keyCols.map(col): _*)
+            .agg(transform(array_sort(collect_list(col("__pcs")), cmp),
+              x => x.getField("v")).as(lcol))
+        }
+        val sliced =
+          if (skipE.isEmpty && limitE.isEmpty) collected
+          else {
+            val start = skipE.map(e => compile(ctx, env, e).cast("int"))
+              .getOrElse(lit(0)) + lit(1)
+            val len = limitE.map(e => compile(ctx, env, e).cast("int"))
+              .getOrElse(size(col(lcol)))
+            collected.withColumn(lcol, slice(col(lcol), start, len))
+          }
+        val listType = sliced.schema(lcol).dataType
         env = env.copy(df = Some(
-          env.df.get.join(collected, keyCols, "left_outer")
+          env.df.get.join(sliced, keyCols, "left_outer")
             .withColumn(lcol, coalesce(col(lcol), array().cast(listType)))),
           binds = env.binds + (lcol -> ValueVar))
         flags += lcol
@@ -1115,8 +1174,10 @@ object Planner {
       exprVars(l) ++ f.map(exprVars).getOrElse(Set.empty) ++ t.map(exprVars).getOrElse(Set.empty)
     case PatternExists(p, w, _) => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
     case PatternCount(p, w)     => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
-    case PatternComprehension(p, w, proj) =>
-      patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty) ++ exprVars(proj)
+    case PatternComprehension(p, w, proj, ord, sk, li) =>
+      patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty) ++ exprVars(proj) ++
+        ord.flatMap(s => exprVars(s.expr)) ++
+        sk.map(exprVars).getOrElse(Set.empty) ++ li.map(exprVars).getOrElse(Set.empty)
     case MapProjection(sub, items) =>
       exprVars(sub) ++ items.flatMap {
         case Right((_, e)) => exprVars(e); case _ => Set.empty[String] }
@@ -1300,6 +1361,23 @@ object Planner {
 
   /** nodes filtered by the pattern's labels + inline property map —
     * predicates sit directly on the scan so they push down to parquet. */
+  /** Bind a shortest-path endpoint that isn't bound yet by its own node
+    * scan (labels + inline props pushed to the parquet scan). A selective
+    * seek yields few rows, so the cross join stays broadcast-sized; an
+    * unfiltered endpoint is left unbound for the BFS branches to handle. */
+  private def bindEndpoint(ctx: Ctx, env: Env, np: NodePattern): Env =
+    np.variable match {
+      case Some(v) if !env.has(v) &&
+          (np.labels.nonEmpty || np.labelExpr.nonEmpty || np.props.nonEmpty) =>
+        val scan = hydrated(ctx, nodeScan(ctx, np), v, ctx.g.nodes.columns.toSet)
+        val df = env.df match {
+          case Some(cur) => cur.crossJoin(scan)
+          case None      => scan
+        }
+        Env(Some(df), env.binds + (v -> NodeVar))
+      case _ => env
+    }
+
   private def nodeScan(ctx: Ctx, np: NodePattern): DataFrame = {
     var scan = ctx.g.nodes
     np.labels.foreach { l => scan = scan.filter(array_contains(col("labels"), l)) }
@@ -1577,13 +1655,20 @@ object Planner {
           }
           Env(Some(joined), env.binds ++ newCols.map(_ -> (ValueVar: Binding)))
         } else
-          Env(Some(df.join(sub.df.get, refs)),
+          // OPTIONAL CALL (reference OptionalCallSubquery): rows whose
+          // subquery produced nothing survive with NULL yields
+          Env(Some(df.join(sub.df.get, refs,
+            if (cs.optional) "left_outer" else "inner")),
             env.binds ++ newCols.map(_ -> (ValueVar: Binding)))
       case None =>
         val inner = planSingle(ctx.spark, ctx.g, cs.inner, ctx.params)
-        val df = env.df match {
-          case None      => inner
-          case Some(cur) => cur.crossJoin(inner)
+        val df = (env.df, cs.optional) match {
+          case (None, false)      => inner
+          case (None, true)       =>
+            // OPTIONAL CALL as first clause: one all-NULL row when empty
+            ctx.spark.range(1).drop("id").join(inner, lit(true), "left_outer")
+          case (Some(cur), false) => cur.crossJoin(inner)
+          case (Some(cur), true)  => cur.join(inner, lit(true), "left_outer")
         }
         Env(Some(df), env.binds ++ inner.columns.map(_ -> (ValueVar: Binding)))
     }

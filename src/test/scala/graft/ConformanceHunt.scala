@@ -50,8 +50,11 @@ object ConformanceHunt {
       "duration_mult" -> "RETURN duration({days: 2}) * 3 AS d",
       "shortest_fn" -> "MATCH p = shortestPath((a:Nation {name:'FRANCE'})-[*..4]-(b:Nation {name:'CHINA'})) RETURN length(p) AS l",
       "qpp" -> "MATCH (a:Nation)(()-[:IN_REGION]->()){1,1}(b:Region) RETURN count(*) AS c",
-      "gql_plus_quantifier" -> "MATCH (a:Nation)-[:IN_REGION]->+(b) RETURN count(*) AS c",
-      "gql_star_quantifier" -> "MATCH (a:Nation)-[:IN_REGION]->*(b:Region) RETURN count(*) AS c",
+      // unbounded `+`/`*` path ENUMERATION raises by design (round-3 verdict
+      // item 5); endpoints-only DISTINCT takes the pruning-BFS rewrite
+      "gql_plus_quantifier" -> "MATCH (a:Nation)-[:IN_REGION]->+(b) RETURN count(DISTINCT b) AS c",
+      "gql_star_quantifier" -> "MATCH (a:Nation)-[:IN_REGION]->*(b:Region) RETURN count(DISTINCT b) AS c",
+      "gql_bounded_plus" -> "MATCH (a:Nation)-[:IN_REGION]->{1,2}(b) RETURN count(*) AS c",
       "any_shortest" -> "MATCH ANY SHORTEST (a:Nation {name:'FRANCE'})-[:IN_REGION*..4]-(b:Nation {name:'CHINA'}) RETURN count(*) AS c",
       "shortest_k_paths" -> "MATCH SHORTEST 2 PATHS (a:Nation {name:'FRANCE'})-[*..4]-(b:Nation {name:'CHINA'}) RETURN count(*) AS c",
       "show_functions" -> "SHOW FUNCTIONS",
@@ -135,12 +138,18 @@ object ConformanceHunt {
       "round_modes" -> "RETURN round(2.5) AS a, round(2.4444, 2) AS b, round(2.5, 0, 'DOWN') AS c"
     )
 
+    val params = Map[String, Any]("p" -> 1, "key" -> "name", "n" -> 3)
     var fails = List.empty[(String, String)]
     qs.foreach { case (name, q) =>
       try {
-        val df = graft.cypher.Cypher.run(spark, g, q,
-          Map("p" -> 1, "key" -> "name", "n" -> 3))
-        df.collect()
+        try {
+          graft.cypher.Cypher.run(spark, g, q, params).collect()
+        } catch {
+          case e: IllegalArgumentException
+              if Option(e.getMessage).exists(_.contains("Cypher.execute")) =>
+            val (_, rows) = graft.cypher.Cypher.execute(spark, g, q, params)
+            rows.foreach(_.collect())
+        }
         println(s"PASS $name")
       } catch {
         case e: Throwable =>

@@ -168,6 +168,65 @@ class CypherSurfaceSpec extends AnyFunSuite {
     assert(r.getLong(0) == 2L) // ghost has no labels
   }
 
+  // graph with fan-out for COLLECT{} ordering: hub --KNOWS--> leaf1..3
+  private lazy val fan: PropertyGraph = {
+    val nodeSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("labels", ArrayType(StringType), nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("rank", LongType, nullable = true)))
+    val relSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("src", LongType, nullable = false),
+      StructField("dst", LongType, nullable = false),
+      StructField("type", StringType, nullable = false)))
+    val nodes = Seq(
+      Row(1L, Seq("Person"), "hub", 0L),
+      Row(2L, Seq("Person"), "carol", 3L),
+      Row(3L, Seq("Person"), "alice", 1L),
+      Row(4L, Seq("Person"), "bob", 2L),
+      Row(5L, Seq("Person"), "loner", 9L))
+    val rels = Seq(Row(10L, 1L, 2L, "KNOWS"), Row(11L, 1L, 3L, "KNOWS"),
+      Row(12L, 1L, 4L, "KNOWS"))
+    PropertyGraph(
+      spark.createDataFrame(spark.sparkContext.parallelize(nodes, 2), nodeSchema),
+      spark.createDataFrame(spark.sparkContext.parallelize(rels, 2), relSchema))
+  }
+
+  test("COLLECT{} honors ORDER BY ascending") {
+    val rows = Cypher.run(spark, fan,
+      "MATCH (a:Person {name: 'hub'}) RETURN " +
+        "COLLECT { MATCH (a)-[:KNOWS]->(b) RETURN b.name ORDER BY b.name } AS ks")
+      .collect().head.getSeq[String](0)
+    assert(rows == Seq("alice", "bob", "carol"))
+  }
+
+  test("COLLECT{} honors ORDER BY DESC with LIMIT") {
+    val rows = Cypher.run(spark, fan,
+      "MATCH (a:Person {name: 'hub'}) RETURN " +
+        "COLLECT { MATCH (a)-[:KNOWS]->(b) RETURN b.name ORDER BY b.rank DESC LIMIT 2 } AS ks")
+      .collect().head.getSeq[String](0)
+    assert(rows == Seq("carol", "bob"))
+  }
+
+  test("COLLECT{} honors SKIP and LIMIT after ORDER BY") {
+    val rows = Cypher.run(spark, fan,
+      "MATCH (a:Person {name: 'hub'}) RETURN " +
+        "COLLECT { MATCH (a)-[:KNOWS]->(b) RETURN b.name ORDER BY b.name SKIP 1 LIMIT 1 } AS ks")
+      .collect().head.getSeq[String](0)
+    assert(rows == Seq("bob"))
+  }
+
+  test("COLLECT{} on a no-match row yields an empty list, sliced or not") {
+    val rows = Cypher.run(spark, fan,
+      "MATCH (a:Person) RETURN a.name AS name, " +
+        "COLLECT { MATCH (a)-[:KNOWS]->(b) RETURN b.name ORDER BY b.name LIMIT 2 } AS ks " +
+        "ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toSeq
+    assert(rows.find(_._1 == "loner").get._2.isEmpty)
+    assert(rows.find(_._1 == "hub").get._2 == Seq("alice", "bob"))
+  }
+
   test("bare pattern predicate in WHERE filters to matching rows") {
     val rows = Cypher.run(spark, g,
       "MATCH (a:Person) WHERE (a)-[:KNOWS]->() RETURN a.name AS name")
