@@ -1613,18 +1613,62 @@ object Planner {
         val keyCols = refKeyCols(df, refs)
         var sub = Env(Some(df.select(keyCols.map(col): _*).distinct()),
           env.binds.view.filterKeys(refs.contains).toMap)
+        // ORDER BY/SKIP/LIMIT inside a correlated subquery act PER INPUT
+        // ROW (the reference runs the inner query once per argument row):
+        // a global sort-limit would keep n rows across all keys, not n per
+        // key — so pagination compiles to a row_number window partitioned
+        // by the importing keys, applied before the projection.
+        def perKeyPage(aliasMap: Map[String, Expr], ob: Seq[SortItem],
+            sk: Option[Expr], li: Option[Expr]): Unit =
+          if (sk.isDefined || li.isDefined) {
+            val sortCols =
+              if (ob.isEmpty) Seq(lit(1))
+              else ob.map { s =>
+                val e = s.expr match {
+                  case Variable(v) if aliasMap.contains(v) => aliasMap(v)
+                  case e0 => e0
+                }
+                val c = compile(ctx, sub, e)
+                if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
+              }
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(refs.map(col): _*).orderBy(sortCols: _*)
+            var df2 = sub.df.get.withColumn("__rn", row_number().over(w))
+            val lo = sk.map(e => constExpr(ctx, e).cast("long")).getOrElse(lit(0L))
+            df2 = df2.filter(col("__rn") > lo)
+            li.foreach { e =>
+              df2 = df2.filter(col("__rn") <= lo + constExpr(ctx, e).cast("long"))
+            }
+            sub = sub.copy(df = Some(df2.drop("__rn")))
+          }
+        // pagination before the projection when items are plain (ORDER BY
+        // may read pre-projection variables; aliases resolve via the map),
+        // after it when they aggregate (sort keys only exist post-agg)
+        def projectPaged(items: Seq[ReturnItem], distinct: Boolean,
+            ob: Seq[SortItem], sk: Option[Expr], li: Option[Expr],
+            isReturn: Boolean): Unit =
+          if (items.exists(i => containsAgg(i.expr))) {
+            sub = planProjection(ctx, sub, withRefs(refs, items), distinct,
+              Nil, None, None, isReturn)
+            perKeyPage(Map.empty, ob, sk, li)
+          } else {
+            perKeyPage(items.collect {
+              case ReturnItem(e, Some(a)) => a -> e }.toMap, ob, sk, li)
+            sub = planProjection(ctx, sub, withRefs(refs, items), distinct,
+              Nil, None, None, isReturn)
+          }
         cs.inner.clauses.tail.foreach {
           case m: MatchClause  => sub = planMatch(ctx, sub, m)
           case u: UnwindClause => sub = planUnwind(ctx, sub, u)
           case w: WithClause =>
-            sub = planProjection(ctx, sub, withRefs(refs, w.items), w.distinct,
-              w.orderBy, w.skip, w.limit, isReturn = false)
+            projectPaged(w.items, w.distinct, w.orderBy, w.skip, w.limit,
+              isReturn = false)
             w.where.foreach { pred =>
               sub = sub.copy(df = sub.df.map(_.filter(compile(ctx, sub, pred))))
             }
           case r: ReturnClause =>
-            sub = planProjection(ctx, sub, withRefs(refs, r.items), r.distinct,
-              r.orderBy, r.skip, r.limit, isReturn = true)
+            projectPaged(r.items, r.distinct, r.orderBy, r.skip, r.limit,
+              isReturn = true)
           case other => throw new IllegalArgumentException(
             s"unsupported clause in correlated CALL subquery: $other")
         }

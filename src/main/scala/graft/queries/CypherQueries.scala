@@ -492,6 +492,65 @@ object CypherQueries {
       },
       Some("SELECT DISTINCT c_mktsegment AS segment FROM customer")),
 
+    // COLLECT{} with ORDER BY DESC + LIMIT — the sort/slice happens inside
+    // the collected array (array_sort comparator + slice), one shuffle
+    QueryDef("q_cypher_collect_order",
+      (s, d) => {
+        val df = Cypher.run(s, TpchGraph.load(s, d),
+          """MATCH (r:Region)
+            |RETURN r.name AS rname,
+            |  COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r)
+            |            RETURN n.name ORDER BY n.name DESC LIMIT 3 } AS top3""".stripMargin)
+        df.select(col("rname"), array_join(col("top3"), ",").as("top3"))
+      },
+      Some("""SELECT r_name AS rname,
+             |  coalesce(string_agg(n_name, ',' ORDER BY n_name DESC), '') AS top3
+             |FROM region LEFT JOIN (
+             |  SELECT n_regionkey, n_name,
+             |    row_number() OVER (PARTITION BY n_regionkey
+             |                       ORDER BY n_name DESC) AS rn
+             |  FROM nation) n ON n.n_regionkey = r_regionkey AND n.rn <= 3
+             |GROUP BY r_name""".stripMargin)),
+
+    // OPTIONAL CALL {} with per-input-row ORDER BY ... LIMIT 1: customers
+    // without a qualifying order survive with a NULL yield; the inner
+    // pagination is a row_number window partitioned by the importing key
+    cq("q_cypher_optional_call",
+      """MATCH (c:Customer) WHERE c.key <= 80
+        |OPTIONAL CALL { WITH c
+        |  MATCH (c)-[:PLACED]->(o:Order) WHERE o.totalprice > 400000
+        |  RETURN o.key AS big_order ORDER BY o.totalprice DESC, o.key LIMIT 1 }
+        |RETURN c.key AS ckey, big_order""".stripMargin,
+      """SELECT ckey, big_order FROM (
+        |  SELECT c_custkey AS ckey, o_orderkey AS big_order,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM customer LEFT JOIN orders
+        |    ON o_custkey = c_custkey AND o_totalprice > 400000
+        |  WHERE c_custkey <= 80) WHERE rn = 1""".stripMargin),
+
+    // shortestPath with inline-filtered (previously unbound) endpoints:
+    // both bind via their own seeks, then the per-pair early-exit BFS runs
+    cq("q_cypher_shortest_inline",
+      """MATCH p = shortestPath(
+        |  (a:Nation {name: 'NATION_1'})-[:IN_REGION*..2]-(b:Nation {name: 'NATION_6'}))
+        |RETURN length(p) AS hops""".stripMargin,
+      """SELECT 2 AS hops FROM nation a, nation b
+        |WHERE a.n_name = 'NATION_1' AND b.n_name = 'NATION_6'
+        |  AND a.n_regionkey = b.n_regionkey""".stripMargin),
+
+    // GQL quantified relationship ->{1,2}: paths of 1 hop (orders) plus
+    // 2 hops (order->CONTAINS->part = lineitems) per customer
+    cq("q_cypher_gql_quantifier",
+      """MATCH (c:Customer)-[:PLACED|CONTAINS]->{1,2}(x)
+        |WHERE c.key <= 20
+        |RETURN c.key AS ckey, count(*) AS paths""".stripMargin,
+      """SELECT c_custkey AS ckey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+        |  + (SELECT count(*) FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |     WHERE o_custkey = c_custkey) AS paths
+        |FROM customer WHERE c_custkey <= 20""".stripMargin),
+
     // pattern comprehension [(c)-[:PLACED]->(o) | o.key] — RollUpApply
     // lowering; empty matches yield [] (not a dropped row). Arrays compare
     // as joined strings per the oracle convention.
