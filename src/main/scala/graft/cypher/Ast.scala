@@ -58,6 +58,9 @@ object Ast {
   final case class PatternComprehension(pattern: PathPattern, where: Option[Expr],
       projection: Expr, orderBy: Seq[SortItem] = Nil,
       skip: Option[Expr] = None, limit: Option[Expr] = None) extends Expr
+  /** `n:Label` / `n:A|B&!C` as a boolean expression (reference HasLabels /
+    * label-expression predicate): DNF over (possibly negated) label atoms. */
+  final case class HasLabel(subject: Expr, dnf: Seq[Seq[LabelAtom]]) extends Expr
   /** Map projection `v {.key, alias: expr}` → struct. */
   final case class MapProjection(subject: Expr,
       items: Seq[Either[String, (String, Expr)]]) extends Expr
@@ -162,9 +165,16 @@ object Ast {
     * (reference CALL-subquery / TransactionApply-TransactionForeach family,
     * LogicalPlan.scala:4039/:4100). `inTransactionsOf` batches the inner
     * write over chunks of n input rows with a commit per chunk. */
-  final case class CallSubquery(inner: SingleQuery,
+  final case class CallSubquery(innerQ: Query,
       inTransactionsOf: Option[Long] = None,
-      optional: Boolean = false) extends Clause
+      optional: Boolean = false) extends Clause {
+    /** Single-part body (the common case; unions reject where unsupported). */
+    def inner: SingleQuery = {
+      require(innerQ.parts.size == 1,
+        "this CALL {} shape does not support UNION bodies")
+      innerQ.parts.head
+    }
+  }
 
   // ---- schema commands (reference SchemaLogicalPlan.scala: CreateIndex,
   //      CreateConstraint, DropIndexOnName, ShowIndexes, ShowConstraints) --

@@ -149,7 +149,9 @@ object CypherParser extends RegexParsers {
       ((K("IS") ~ "::") ~> typeSpec) ^^ (
         t => (e: Expr) => TypePredicate(e, t._1, t._2, negated = false)) |
       (K("IS") ~ K("NOT") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = true)) |
-      (K("IS") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = false))
+      (K("IS") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = false)) |
+      // `n:Label` / `n:A|B&!C` label-expression predicate (HasLabels)
+      not("::") ~> ":" ~> labelGroup ^^ (g => (e: Expr) => HasLabel(e, g))
     ) ^^ { case h ~ fs => fs.foldLeft(h)((e, f) => f(e)) }
 
   private def addExpr: Parser[Expr] =
@@ -594,7 +596,7 @@ object CypherParser extends RegexParsers {
     createConstraintClause | createIndexClause | dropSchemaClause | showSchemaClause
 
   private def callSubquery: Parser[Clause] =
-    opt(K("OPTIONAL")) ~ (K("CALL") ~> "{" ~> singleQuery <~ "}") ~
+    opt(K("OPTIONAL")) ~ (K("CALL") ~> "{" ~> query <~ "}") ~
       opt(K("IN") ~> K("TRANSACTIONS") ~>
         opt(K("OF") ~> """\d+""".r <~ K("ROWS"))) ^^ {
       case o ~ q ~ None       => CallSubquery(q, optional = o.isDefined)

@@ -81,7 +81,7 @@ object Planner {
     case _: CreateClause | _: MergeClause | _: SetClause | _: RemoveClause |
          _: DeleteClause | _: CreateIndexClause | _: CreateConstraintClause |
          _: DropSchemaClause | _: ForeachClause => true
-    case CallSubquery(inner, _, _) => inner.clauses.exists(isWrite)
+    case CallSubquery(q, _, _) => q.parts.exists(_.clauses.exists(isWrite))
     case _ => false
   }
 
@@ -417,8 +417,18 @@ object Planner {
       case SetPropsFromMap(v, m, additive) =>
         val entries = m match {
           case MapLit(es) => es
+          case Param(n) => ctx.params.getOrElse(n,
+            throw new IllegalArgumentException(s"missing parameter $$$n")) match {
+            case mm: Map[_, _] => anyToLitExpr(mm) match {
+              case MapLit(es) => es
+              case _ => Seq.empty
+            }
+            case other => throw new IllegalArgumentException(
+              s"SET from a non-map parameter $$$n ($other)")
+          }
           case other => throw new IllegalArgumentException(
-            "SET from a map needs a literal map — the columnar schema is static")
+            "SET from a map needs a literal map or map parameter — " +
+              "the columnar schema is static")
         }
         val kind = env.binds.getOrElse(v,
           throw new IllegalArgumentException(s"unknown variable $v"))
@@ -501,7 +511,7 @@ object Planner {
         case MatchClause(_, ps, _, sh) =>
           ps.foreach(p => acc ++= p.name)
           sh.foreach(s => acc ++= s.pathVar)
-        case CallSubquery(inner, _, _) => inner.clauses.foreach(pc)
+        case CallSubquery(q, _, _) => q.parts.foreach(_.clauses.foreach(pc))
         case _ => ()
       }
       q.clauses.foreach(pc)
@@ -538,6 +548,8 @@ object Planner {
       case UnaryOp(_, o)      => walk(o)
       case IsNull(o, _)       => walk(o)
       case TypePredicate(o, _, _, _) => walk(o)
+      case HasLabel(o, _)     =>
+        o match { case Variable(v) => add(v, "labels"); case _ => () }; walk(o)
       case StringPred(_, l, r) => walk(l); walk(r)
       case CaseExpr(s, ws, d) =>
         s.foreach(walk); ws.foreach { case (a, b) => walk(a); walk(b) }; d.foreach(walk)
@@ -601,7 +613,7 @@ object Planner {
       case DeleteClause(_, _)    => ()
       case f: ForeachClause      => walkForeach(f)
       case CallClause(_, args, _) => args.foreach(walk)
-      case CallSubquery(inner, _, _) => inner.clauses.foreach(walkClause)
+      case CallSubquery(q, _, _) => q.parts.foreach(_.clauses.foreach(walkClause))
       case _ => () // schema commands carry no expressions
     }
     q.clauses.foreach(walkClause)
@@ -656,7 +668,7 @@ object Planner {
       case DeleteClause(vs, _)  => acc ++= vs
       case ForeachClause(_, list, updates) => walk(list); updates.foreach(walkClause)
       case CallClause(_, args, _) => args.foreach(walk)
-      case CallSubquery(inner, _, _) => inner.clauses.foreach(walkClause)
+      case CallSubquery(q, _, _) => q.parts.foreach(_.clauses.foreach(walkClause))
       case _ => () // schema commands carry no expressions
     }
     q.clauses.foreach(walkClause)
@@ -967,7 +979,7 @@ object Planner {
       case BinOp("AND", l, r) => conjuncts(l) ++ conjuncts(r)
       case other              => Seq(other)
     }
-    conjuncts(pred).foldLeft(env) { (e, c) =>
+    conjuncts(pred).foldLeft(enrichPathElems(ctx, env, Seq(pred))) { (e, c) =>
       c match {
         case PatternExists(p, w, _)                  => planExists(ctx, e, p, w, anti = false)
         case UnaryOp("NOT", PatternExists(p, w, _))  => planExists(ctx, e, p, w, anti = true)
@@ -1164,6 +1176,7 @@ object Planner {
     case UnaryOp(_, o)        => exprVars(o)
     case IsNull(o, _)         => exprVars(o)
     case TypePredicate(o, _, _, _) => exprVars(o)
+    case HasLabel(o, _)       => exprVars(o)
     case StringPred(_, l, r)  => exprVars(l) ++ exprVars(r)
     case CaseExpr(s, ws, d)   =>
       s.map(exprVars).getOrElse(Set.empty) ++
@@ -1361,6 +1374,90 @@ object Planner {
 
   /** nodes filtered by the pattern's labels + inline property map —
     * predicates sit directly on the scan so they push down to parquet. */
+  /** Lambdas over path elements — `all(r IN relationships(p) WHERE
+    * type(r) = …)`, `[x IN nodes(p) | labels(x)]` — need per-element
+    * type/labels. Hydrate a parallel array (`p$reltypes` / `p$nodelabels`)
+    * by exploding the DISTINCT paths, joining the rels/nodes table, and
+    * re-collecting in position order: cost scales with distinct-path count
+    * × path length, never with the outer row count. */
+  private def pathElemNeeds(e: Expr): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    def uses(body: Expr, v: String, fn: String): Boolean = body match {
+      case Func(`fn`, Seq(Variable(`v`)), _) => true
+      case Func(_, args, _)   => args.exists(uses(_, v, fn))
+      case BinOp(_, l, r)     => uses(l, v, fn) || uses(r, v, fn)
+      case UnaryOp(_, o)      => uses(o, v, fn)
+      case IsNull(o, _)       => uses(o, v, fn)
+      case StringPred(_, l, r) => uses(l, v, fn) || uses(r, v, fn)
+      case Index(l, i)        => uses(l, v, fn) || uses(i, v, fn)
+      case Slice(l, f, t)     => uses(l, v, fn) ||
+        f.exists(uses(_, v, fn)) || t.exists(uses(_, v, fn))
+      case CaseExpr(s, ws, d) => s.exists(uses(_, v, fn)) ||
+        ws.exists(w => uses(w._1, v, fn) || uses(w._2, v, fn)) ||
+        d.exists(uses(_, v, fn))
+      case ListLit(xs)        => xs.exists(uses(_, v, fn))
+      case MapLit(es)         => es.exists(kv => uses(kv._2, v, fn))
+      case _ => false
+    }
+    def lam(v: String, list: Expr, bodies: Seq[Expr]): Unit = list match {
+      case Func("relationships" | "rels", Seq(Variable(pv)), _)
+          if bodies.exists(uses(_, v, "type")) => out += ((pv, "reltypes"))
+      case Func("nodes", Seq(Variable(pv)), _)
+          if bodies.exists(uses(_, v, "labels")) => out += ((pv, "nodelabels"))
+      case _ => ()
+    }
+    def walk(x: Expr): Unit = x match {
+      case IterPredicate(_, v, l, pr) => lam(v, l, Seq(pr)); walk(l); walk(pr)
+      case ListComprehension(v, l, w, pr) =>
+        lam(v, l, w.toSeq ++ pr.toSeq); walk(l); w.foreach(walk); pr.foreach(walk)
+      case Reduce(_, init, v, l, st) =>
+        lam(v, l, Seq(st)); walk(init); walk(l); walk(st)
+      case Func(_, args, _)   => args.foreach(walk)
+      case BinOp(_, l, r)     => walk(l); walk(r)
+      case UnaryOp(_, o)      => walk(o)
+      case IsNull(o, _)       => walk(o)
+      case StringPred(_, l, r) => walk(l); walk(r)
+      case Index(l, i)        => walk(l); walk(i)
+      case Slice(l, f, t)     => walk(l); f.foreach(walk); t.foreach(walk)
+      case CaseExpr(s, ws, d) =>
+        s.foreach(walk); ws.foreach { w => walk(w._1); walk(w._2) }; d.foreach(walk)
+      case ListLit(xs)        => xs.foreach(walk)
+      case MapLit(es)         => es.foreach(kv => walk(kv._2))
+      case _ => ()
+    }
+    walk(e)
+    out.result()
+  }
+
+  private def enrichPathElems(ctx: Ctx, env: Env, exprs: Seq[Expr]): Env = {
+    val needs = exprs.flatMap(pathElemNeeds).distinct
+    if (needs.isEmpty || env.df.isEmpty) return env
+    var df = env.df.get
+    needs.foreach { case (pv, kind) =>
+      val (src, enriched) =
+        if (kind == "reltypes") (s"$pv$$rels", s"$pv$$reltypes")
+        else (s"$pv$$nodes", s"$pv$$nodelabels")
+      if (df.columns.contains(src) && !df.columns.contains(enriched)) {
+        val lookup =
+          if (kind == "reltypes")
+            ctx.g.rels.select(col("id").as("__eid"), col("type").as("__val"))
+          else ctx.g.nodes.select(col("id").as("__eid"), col("labels").as("__val"))
+        val uniq = df.select(col(src).as("__pe")).distinct()
+        val pos = uniq.select(col("__pe"),
+          posexplode(col("__pe")).as(Seq("__pos", "__eid")))
+        val agg = pos.join(lookup, Seq("__eid"))
+          .groupBy("__pe")
+          .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__val")))),
+            x => x.getField("__val")).as(enriched))
+        val joined = df.join(agg, col(src) === col("__pe"), "left_outer").drop("__pe")
+        val listType = joined.schema(enriched).dataType
+        df = joined.withColumn(enriched,
+          coalesce(col(enriched), array().cast(listType)))
+      }
+    }
+    env.copy(df = Some(df))
+  }
+
   /** Bind a shortest-path endpoint that isn't bound yet by its own node
     * scan (labels + inline props pushed to the parquet scan). A selective
     * seek yields few rows, so the cross join stays broadcast-sized; an
@@ -1597,6 +1694,20 @@ object Planner {
   private def planCallSubquery(ctx: Ctx, env: Env, cs: CallSubquery): Env = {
     require(cs.inTransactionsOf.isEmpty,
       "CALL {} IN TRANSACTIONS mutates the graph — use Cypher.execute")
+    if (cs.innerQ.parts.size > 1) {
+      // UNION body: plan the whole union (uncorrelated — importing WITH
+      // inside union branches is not supported) and splice like the
+      // uncorrelated single-part case
+      val inner = plan(ctx.spark, ctx.g, cs.innerQ, ctx.params)
+      val df = (env.df, cs.optional) match {
+        case (None, false)      => inner
+        case (None, true)       =>
+          ctx.spark.range(1).drop("id").join(inner, lit(true), "left_outer")
+        case (Some(cur), false) => cur.crossJoin(inner)
+        case (Some(cur), true)  => cur.join(inner, lit(true), "left_outer")
+      }
+      return Env(Some(df), env.binds ++ inner.columns.map(_ -> (ValueVar: Binding)))
+    }
     val importing = cs.inner.clauses.headOption match {
       case Some(WithClause(false, items, Nil, None, None, None))
         if env.df.isDefined && items.nonEmpty && items.forall {
@@ -1814,9 +1925,11 @@ object Planner {
 
   // ---- WITH / RETURN ----------------------------------------------------
 
-  private def planProjection(ctx: Ctx, env: Env, items0: Seq[ReturnItem],
+  private def planProjection(ctx: Ctx, envIn: Env, items0: Seq[ReturnItem],
       distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
       limit: Option[Expr], isReturn: Boolean): Env = {
+    val env = enrichPathElems(ctx, envIn,
+      items0.map(_.expr) ++ orderBy.map(_.expr))
     // `*` expands to every user-named binding (pass-through), keeping any
     // additional explicit items (`WITH *, x AS y`)
     val starExpanded = items0.flatMap {
@@ -1934,6 +2047,7 @@ object Planner {
     case UnaryOp(_, o)        => containsAgg(o)
     case IsNull(o, _)         => containsAgg(o)
     case TypePredicate(o, _, _, _) => containsAgg(o)
+    case HasLabel(o, _)       => containsAgg(o)
     case StringPred(_, l, r)  => containsAgg(l) || containsAgg(r)
     case CaseExpr(s, ws, d)   =>
       s.exists(containsAgg) || ws.exists(w => containsAgg(w._1) || containsAgg(w._2)) ||
@@ -1976,10 +2090,58 @@ object Planner {
     case null       => lit(null)
     case s: Seq[_]  => array(s.map(litAny): _*)
     case a: Array[_] => array(a.toSeq.map(litAny): _*)
-    case other      => lit(other)
+    case m: Map[_, _] =>
+      // map parameter used as a value: STRUCT of its entries, matching the
+      // properties() convention (maps are structs in the columnar engine)
+      struct(m.toSeq.map { case (k, x) => litAny(x).as(k.toString) }: _*)
+    case other      => lit(normNum(other))
+  }
+
+  /** Cypher integers are 64-bit and floats are doubles — narrow JVM
+    * parameter types widen on entry (reference values module coercion). */
+  private def normNum(v: Any): Any = v match {
+    case i: Int    => i.toLong
+    case s: Short  => s.toLong
+    case b: Byte   => b.toLong
+    case f: Float  => f.toDouble
+    case other     => other
+  }
+
+  /** Map/list parameter → literal AST, so `$m` works anywhere a literal map
+    * does (SET n += $m, MERGE {k: $m.key}, …). */
+  private def anyToLitExpr(v: Any): Expr = v match {
+    case null        => Lit(null)
+    case s: Seq[_]   => ListLit(s.map(anyToLitExpr))
+    case a: Array[_] => ListLit(a.toSeq.map(anyToLitExpr))
+    case m: Map[_, _] =>
+      MapLit(m.toSeq.map { case (k, x) => k.toString -> anyToLitExpr(x) })
+    case other       => Lit(normNum(other))
   }
 
   // ---- expression compilation -------------------------------------------
+
+  /** Element source for a lambda: when iterating `relationships(p)` /
+    * `nodes(p)` and the enriched parallel array exists, zip ids with
+    * types/labels so `type(r)` / `labels(x)` resolve per element. Returns
+    * (list column, per-element lambda bindings, unwrap-to-raw-element). */
+  private def elemIter(ctx: Ctx, env: Env, lambdas: Map[String, Column],
+      v: String, l: Expr): (Column, Column => Map[String, Column],
+        Option[Column => Column]) = l match {
+    case Func("relationships" | "rels", Seq(Variable(pv)), _)
+        if env.df.exists(_.columns.contains(s"$pv$$reltypes")) =>
+      (zip_with(col(s"$pv$$rels"), col(s"$pv$$reltypes"),
+        (i, t) => struct(i.as("id"), t.as("tp"))),
+        x => Map(v -> x.getField("id"), s"$v$$type" -> x.getField("tp")),
+        Some((x: Column) => x.getField("id")))
+    case Func("nodes", Seq(Variable(pv)), _)
+        if env.df.exists(_.columns.contains(s"$pv$$nodelabels")) =>
+      (zip_with(col(s"$pv$$nodes"), col(s"$pv$$nodelabels"),
+        (i, t) => struct(i.as("id"), t.as("lb"))),
+        x => Map(v -> x.getField("id"), s"$v$$labels" -> x.getField("lb")),
+        Some((x: Column) => x.getField("id")))
+    case _ =>
+      (compile(ctx, env, l, lambdas), x => Map(v -> x), None)
+  }
 
   private def compile(ctx: Ctx, env: Env, e: Expr,
       lambdas: Map[String, Column] = Map.empty): Column = {
@@ -2019,6 +2181,18 @@ object Planner {
         val n = s"$v$$$k"
         if (env.df.exists(_.columns.contains(n))) col(n)
         else lit(null) // Cypher: missing property IS NULL
+      case Prop(Param(n), k) =>
+        // `$m.key` on a map parameter folds at plan time (values may be
+        // heterogeneous, so no single Spark map type could hold them)
+        ctx.params.getOrElse(n, throw new IllegalArgumentException(
+          s"missing parameter $$$n")) match {
+          case m: Map[_, _] =>
+            litAny(m.asInstanceOf[Map[String, Any]].getOrElse(k, null))
+          case other => throw new IllegalArgumentException(
+            s"property access on non-map parameter $$$n ($other)")
+        }
+      case Prop(MapLit(es), k) =>
+        es.find(_._1 == k).map(kv => c(kv._2)).getOrElse(lit(null))
       case Prop(s, k)  =>
         val sc = c(s)
         // temporal component access (Cypher d.year / d.month / …) when the
@@ -2115,6 +2289,20 @@ object Planner {
       case UnaryOp("-", o)   => negate(c(o))
       case UnaryOp(op, _)    => throw new IllegalArgumentException(s"unary $op")
       case IsNull(o, neg)    => if (neg) c(o).isNotNull else c(o).isNull
+      case HasLabel(subject, dnf) =>
+        // label-expression predicate over a node variable's hydrated labels
+        val labelsCol = subject match {
+          case Variable(v) if env.has(v) => col(s"$v$$labels")
+          case other => throw new IllegalArgumentException(
+            s"label predicate needs a bound node variable, got $other")
+        }
+        dnf.map { conj =>
+          conj.map { a =>
+            val t = if (a.name == "%") size(labelsCol) > 0
+              else array_contains(labelsCol, a.name)
+            if (a.negated) !t else t
+          }.reduce(_ && _)
+        }.reduce(_ || _)
       case TypePredicate(o, t, notNull, neg) =>
         // schema types are static in a columnar engine, so the type test
         // folds to a constant; only the NULL split is evaluated per row
@@ -2173,8 +2361,8 @@ object Planner {
         val to = t.map(c).getOrElse(size(lc))
         slice(lc, (from + 1).cast("int"), (to - from).cast("int"))
       case IterPredicate(kind, v, l, pred) =>
-        val lc = c(l)
-        val p: Column => Column = x => compile(ctx, env, pred, lambdas + (v -> x))
+        val (lc, bind, _) = elemIter(ctx, env, lambdas, v, l)
+        val p: Column => Column = x => compile(ctx, env, pred, lambdas ++ bind(x))
         kind match {
           case "all"    => forall(lc, p)
           case "any"    => exists(lc, p)
@@ -2182,15 +2370,22 @@ object Planner {
           case "single" => size(filter(lc, p)) === 1
         }
       case Reduce(acc, init, v, l, step) =>
-        aggregate(c(l), c(init), (a, x) =>
-          compile(ctx, env, step, lambdas + (acc -> a) + (v -> x)))
+        val (lc, bind, _) = elemIter(ctx, env, lambdas, v, l)
+        aggregate(lc, c(init), (a, x) =>
+          compile(ctx, env, step, lambdas + (acc -> a) ++ bind(x)))
       case ListComprehension(v, l, where, proj) =>
-        var listCol = c(l)
+        val (lc0, bind, unwrap) = elemIter(ctx, env, lambdas, v, l)
+        var listCol = lc0
         where.foreach { w =>
-          listCol = filter(listCol, x => compile(ctx, env, w, lambdas + (v -> x)))
+          listCol = filter(listCol, x => compile(ctx, env, w, lambdas ++ bind(x)))
         }
-        proj.foreach { p =>
-          listCol = transform(listCol, x => compile(ctx, env, p, lambdas + (v -> x)))
+        proj match {
+          case Some(p) =>
+            listCol = transform(listCol,
+              x => compile(ctx, env, p, lambdas ++ bind(x)))
+          case None =>
+            // no projection: yield the raw element, not the zipped struct
+            unwrap.foreach(u => listCol = transform(listCol, u))
         }
         listCol
       case MapProjection(subject, items) =>
@@ -2268,7 +2463,8 @@ object Planner {
           case "startnode" => "src"; case "endnode" => "dst"
         }
         args.head match {
-          case Variable(v) => col(s"$v$$$key")
+          case Variable(v) => // lambda over enriched path elements first
+            lambdas.getOrElse(s"$v$$$key", col(s"$v$$$key"))
           case other => throw new IllegalArgumentException(s"$name() needs a variable")
         }
       // scalar functions

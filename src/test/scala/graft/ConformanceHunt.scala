@@ -135,10 +135,69 @@ object ConformanceHunt {
       "escaped_quote" -> "RETURN 'it''s' AS s, \"dq\" AS d",
       "unicode_escape" -> "RETURN 'caf\\u00e9' AS s",
       "integer_formats" -> "RETURN 0x10 AS hex, 0o17 AS oct, 1e3 AS sci",
-      "round_modes" -> "RETURN round(2.5) AS a, round(2.4444, 2) AS b, round(2.5, 0, 'DOWN') AS c"
+      "round_modes" -> "RETURN round(2.5) AS a, round(2.4444, 2) AS b, round(2.5, 0, 'DOWN') AS c",
+      // ---- wave 2 ----
+      "label_predicate_where" -> "MATCH (n) WHERE n:Region RETURN count(*) AS c",
+      "label_predicate_or" -> "MATCH (n) WHERE n:Region OR n:Nation RETURN count(*) AS c",
+      "label_predicate_expr" -> "MATCH (n) RETURN n:Region AS isR, count(*) AS c ORDER BY isR",
+      "where_exists_lowercase" -> "MATCH (c:Customer) WHERE exists { (c)-[:PLACED]->() } RETURN count(*) AS c",
+      "count_subq_full_match" -> "MATCH (r:Region) RETURN r.name AS name, COUNT { MATCH (n:Nation)-[:IN_REGION]->(r) } AS nn ORDER BY name",
+      "with_agg_chain" -> "MATCH (n:Nation)-[:IN_REGION]->(r) WITH r.name AS rn, count(*) AS c WITH max(c) AS mx RETURN mx",
+      "collect_unwind_roundtrip" -> "MATCH (n:Nation) WITH collect(n.name) AS names UNWIND names AS x RETURN count(x) AS c",
+      "collect_slice" -> "MATCH (n:Nation) WITH collect(n.name) AS names RETURN names[0..3] AS head3",
+      "collect_distinct_size" -> "MATCH (n:Nation) RETURN size(collect(DISTINCT n.regionkey)) AS k",
+      "var_length_rel_prop" -> "MATCH (o:Order)-[r:CONTAINS*1..1 {linenumber: 1}]->(p:Part) RETURN count(*) AS c",
+      "rel_var_in_path_hof" -> "MATCH p = (a:Nation)-[:IN_REGION]->(b) WHERE all(r IN relationships(p) WHERE type(r) = 'IN_REGION') RETURN count(*) AS c",
+      "nodes_path_names" -> "MATCH p = (a:Nation {name:'NATION_1'})-[:IN_REGION]->(b) RETURN [x IN nodes(p) | labels(x)[0]] AS ls",
+      "case_in_agg" -> "MATCH (o:Order) RETURN sum(CASE WHEN o.totalprice > 100000 THEN 1 ELSE 0 END) AS big",
+      "order_by_null_placement" -> "UNWIND [3, null, 1] AS x RETURN x ORDER BY x",
+      "order_by_desc_nulls" -> "UNWIND [3, null, 1] AS x RETURN x ORDER BY x DESC",
+      "distinct_multi" -> "MATCH (n:Nation) RETURN DISTINCT n.regionkey AS rk, n.regionkey % 2 AS par ORDER BY rk",
+      "param_map_access" -> "RETURN $m.a AS a, $m.xs[1] AS x",
+      "param_in_list_pred" -> "MATCH (n:Nation) WHERE n.name IN $names RETURN count(*) AS c",
+      "unwind_keys" -> "MATCH (r:Region) WITH r LIMIT 1 UNWIND keys(r) AS k RETURN count(k) > 0 AS has",
+      "toint_substring" -> "RETURN toInteger(substring('NATION_17', 7)) AS n",
+      "datetime_compare" -> "RETURN datetime('2024-01-01T00:00:00Z') < datetime('2024-06-01T00:00:00Z') AS lt",
+      "date_compare_order" -> "UNWIND [date('2024-03-01'), date('2024-01-01')] AS d RETURN d ORDER BY d LIMIT 1",
+      "duration_compare" -> "RETURN duration({days: 2}) < duration({days: 3}) AS lt",
+      "temporal_prop_of_order" -> "MATCH (o:Order) RETURN max(o.orderdate) AS last",
+      "string_rev_rpad" -> "RETURN reverse('abc') AS r, lTrim('  x') AS l, rTrim('x  ') AS t",
+      "split_index" -> "RETURN split('a-b-c', '-')[1] AS mid",
+      "nested_case" -> "RETURN CASE WHEN true THEN CASE WHEN false THEN 1 ELSE 2 END ELSE 3 END AS x",
+      "exists_nested_prop" -> "MATCH (c:Customer) WHERE c.acctbal IS NOT NULL AND NOT (c)-[:PLACED]->() RETURN count(*) AS c",
+      "merge_rel_on_create" -> "MATCH (a:Nation {name:'NATION_1'}), (b:Nation {name:'NATION_6'}) MERGE (a)-[r:ALLY]->(b) ON CREATE SET r.since = 2024 RETURN r.since AS s",
+      "set_plus_eq_param" -> "MATCH (n:Region) WITH n LIMIT 1 SET n += $m RETURN n.a AS a",
+      "create_multi_rel" -> "CREATE (a:X {k:1})-[:R1]->(b:Y {k:2})-[:R2]->(c:Z {k:3}) RETURN a.k + b.k + c.k AS s",
+      "delete_then_count" -> "CREATE (t:Doomed {k: 99}) WITH t DETACH DELETE t RETURN 1 AS ok",
+      "foreach_nested_list" -> "FOREACH (xs IN [[1,2],[3]] | FOREACH (x IN xs | CREATE (:FN {v: x})))",
+      "optional_match_agg" -> "MATCH (r:Region) OPTIONAL MATCH (r)<-[:IN_REGION]-(n:Nation {name: 'NOPE'}) RETURN r.name AS name, count(n) AS c ORDER BY name",
+      "union_three" -> "RETURN 1 AS x UNION RETURN 2 AS x UNION RETURN 3 AS x",
+      "union_distinct_dedup" -> "RETURN 1 AS x UNION RETURN 1 AS x",
+      "call_subq_union" -> "CALL { MATCH (r:Region) RETURN r.name AS nm UNION ALL MATCH (n:Nation) RETURN n.name AS nm } RETURN count(nm) AS c",
+      "with_skip_limit" -> "MATCH (n:Nation) WITH n.name AS nm ORDER BY nm SKIP 5 LIMIT 10 RETURN count(*) AS c",
+      "where_on_with_agg" -> "MATCH (n:Nation) WITH n.regionkey AS rk, collect(n.name) AS names WHERE size(names) >= 5 RETURN count(*) AS c",
+      "pattern_in_case" -> "MATCH (c:Customer) RETURN CASE WHEN (c)-[:PLACED]->() THEN 'buyer' ELSE 'dormant' END AS kind, count(*) AS c",
+      "size_of_pattern_count" -> "MATCH (c:Customer) WITH c LIMIT 5 RETURN c.key AS k, COUNT { (c)-[:PLACED]->() } AS n ORDER BY k",
+      "chained_hops_four" -> "MATCH (c:Customer)-[:PLACED]->(o)-[:CONTAINS]->(p:Part), (o)-[:SUPPLIED_BY]->(s:Supplier) WHERE c.key = 1 RETURN count(*) AS c",
+      "self_join_pattern" -> "MATCH (a:Nation)-[:IN_REGION]->(r)<-[:IN_REGION]-(b:Nation) WHERE a.name < b.name RETURN count(*) AS c",
+      "shortest_between_bound" -> "MATCH (a:Nation {name:'NATION_1'}), (b:Nation {name:'NATION_6'}) MATCH p = shortestPath((a)-[*..3]-(b)) RETURN length(p) AS l",
+      "id_lookup_where" -> "MATCH (n:Region) WITH id(n) AS i LIMIT 1 MATCH (m) WHERE id(m) = i RETURN count(*) AS c",
+      "props_equal_map" -> "MATCH (r:Region {name: 'AFRICA'}) RETURN properties(r) = properties(r) AS eq",
+      "null_in_arithmetic" -> "RETURN 1 + null AS a, null * 2 AS b, null = null AS c, null IS NULL AS d",
+      "in_with_nulls" -> "RETURN 1 IN [1, null] AS a, 2 IN [1, null] AS b",
+      // nested lists must be type-homogeneous (columnar arrays; [1,[2]] is
+      // a documented divergence)
+      "list_equality" -> "RETURN [1,2] = [1,2] AS a, [1,2] = [1,3] AS b, [[1],[2]] = [[1],[2]] AS c",
+      "string_lt" -> "RETURN 'a' < 'b' AS lt, 'abc' <= 'abd' AS le",
+      "elementid_roundtrip" -> "MATCH (n:Region) WITH elementId(n) AS e LIMIT 1 MATCH (m) WHERE elementId(m) = e RETURN count(*) AS c",
+      "orderby_agg_alias" -> "MATCH (n:Nation) RETURN n.regionkey AS rk, count(*) AS c ORDER BY c DESC, rk LIMIT 2",
+      "with_expr_reuse" -> "MATCH (o:Order) WITH o.totalprice / 1000 AS kp RETURN floor(max(kp)) AS mk",
+      "not_in_list" -> "MATCH (n:Nation) WHERE NOT n.name IN ['NATION_1'] RETURN count(*) AS c"
     )
 
-    val params = Map[String, Any]("p" -> 1, "key" -> "name", "n" -> 3)
+    val params = Map[String, Any]("p" -> 1, "key" -> "name", "n" -> 3,
+      "m" -> Map("a" -> 1, "xs" -> Seq(10, 20)),
+      "names" -> Seq("NATION_1", "NATION_6"))
     var fails = List.empty[(String, String)]
     qs.foreach { case (name, q) =>
       try {

