@@ -30,10 +30,23 @@ object Bench {
       try force(fn(spark, sfDir)) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // The harness keeps only a ~2000-char tail of the output, so the JSON
+    // line must stay short: 4dp values, and per-query entries for the
+    // slowest 55 only (the fast tail is timing noise anyway). The complete
+    // per-query map goes to bench_full.json alongside the repo.
+    def f(v: Double): String = f"$v%.4f"
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val full =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},""" +
+        s""""queries":${jsonMap(results)},"sf":"$sfDir"}"""
+    val fw = new java.io.PrintWriter("bench_full.json")
+    try fw.println(full) finally fw.close()
+    val headline = results.sortBy(-_._2).take(55).sortBy(_._1)
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},""" +
+        s""""queries":${jsonMap(headline)},"sf":"$sfDir"}""")
   }
 }
