@@ -141,8 +141,19 @@ class CypherSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(rows.toSeq == Seq(10L, 20L, 30L))
     val p = run("UNWIND $xs AS x RETURN x AS v ORDER BY v", Map("xs" -> Seq(5, 6)))
-      .collect().map(_.getInt(0))
-    assert(p.toSeq == Seq(5, 6))
+      .collect().map(_.getLong(0))
+    assert(p.toSeq == Seq(5L, 6L))
+  }
+
+  test("integer parameters are 64-bit (LongType) regardless of Scala literal width") {
+    // Cypher integers are 64-bit; Int-valued params must widen to LongType.
+    val small = run("RETURN $a + 1 AS v", Map("a" -> 41)).collect()
+    assert(small.head.getLong(0) == 42L)
+    val big = run("RETURN $b AS v", Map("b" -> 9007199254740993L)).collect()
+    assert(big.head.getLong(0) == 9007199254740993L)
+    val listed = run("UNWIND $xs AS x RETURN x AS v ORDER BY v",
+      Map("xs" -> Seq(2147483648L, 1))).collect().map(_.getLong(0))
+    assert(listed.toSeq == Seq(1L, 2147483648L))
   }
 
   test("UNION and UNION ALL") {
