@@ -97,10 +97,10 @@ object Similarity {
    * cells, search only each query's nProbe nearest cells with exact
    * cosine rerank.
    *
-   * Scale shape: centroids are TINY (nList × dim doubles) and live on the
-   * driver like any other broadcast statistic, so corpus-side cell
-   * assignment is a map-side argmax over a literal centroid array — one
-   * codegen'd higher-order function, NO shuffle, no window. Each k-means
+   * Scale shape: centroids are TINY (nList × dim doubles) and ship as a
+   * broadcast one-row relation, so corpus-side cell assignment is a
+   * map-side argmax (`aggregate` over the broadcast centroid array) — NO
+   * shuffle, no window, no plan-embedded literals. Each k-means
    * iteration costs one posexplode + mean shuffle (inherent). At cluster
    * scale the assigned corpus persists partitioned by cell id; queries
    * probe nProbe cells so the big side is joined on the cell key only.
@@ -112,35 +112,63 @@ object Similarity {
       nList: Int = 64, nProbe: Int = 8, kmeansIters: Int = 2): DataFrame = {
     val c = corpus.select(col("id"), asDouble(col("vec")).as("v"))
       .localCheckpoint(false)
-    // centroids train on a deterministic SAMPLE (id-hash order) — standard
-    // IVF practice: training cost is sample-sized, only the single final
-    // assignment pass touches the full corpus
-    val trainSet = c.withColumn("__h", xxhash64(col("id")))
-      .orderBy("__h").limit(math.max(nList * 32, 1024)).drop("__h")
-      .localCheckpoint(false)
-    var cents: Array[(Int, Array[Double])] = trainSet.limit(nList)
-      .select("v").collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    // Centroids train on a deterministic SAMPLE (id-hash order), bounded at
+    // nList*32 rows REGARDLESS of corpus size — standard IVF practice
+    // (FAISS trains on a bounded sample). Because the sample is bounded,
+    // the k-means loop runs on the DRIVER: one collect of ≤nList*32
+    // vectors, then plain-array iterations, instead of kmeansIters Spark
+    // jobs of two shuffles each. Only the single final assignment pass
+    // touches the full corpus.
+    val train: Array[Array[Double]] = c
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h").limit(math.max(nList * 32, 1024))
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    def unitOf(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    def dotArr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var cents: Array[Array[Double]] = train.take(nList)
+    val dim = if (train.nonEmpty) train(0).length else 0
     var it = 0
-    while (it < kmeansIters) {
-      cents = assignCells(trainSet, cents)
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cid")
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    while (it < kmeansIters && cents.nonEmpty) {
+      // cosine assignment == dot against unit centroids (norm(v) is
+      // constant per row, so it never changes the argmax)
+      val u = cents.map(unitOf)
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      train.foreach { v =>
+        var best = 0; var bs = Double.MinValue; var i = 0
+        while (i < u.length) {
+          val s = dotArr(v, u(i)); if (s > bs) { bs = s; best = i }; i += 1
+        }
+        counts(best) += 1
+        var d = 0; while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) == 0) cents(i) // empty cell keeps its centroid
+        else sums(i).map(_ / counts(i))
+      }.toArray
       it += 1
     }
-    val assigned = assignCells(c, cents) // at scale: persist partitioned by cid
+    // Ship UNIT centroids everywhere downstream: cell ranking by cosine is
+    // identical to ranking by dot against the unit vector, and dot is one
+    // array pass instead of three.
+    val unitCents: Array[(Int, Array[Double])] =
+      cents.map(unitOf).zipWithIndex.map { case (v, i) => (i, v) }
+    val assigned = assignCells(c, unitCents) // at scale: persist partitioned by cid
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centsDf = cents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
+    val centsDf = unitCents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
       .toDF("cid", "cv")
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qv"))
     val wq = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)
     val probes = q.crossJoin(broadcast(centsDf))
-      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("csim", dot(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select("qid", "qv", "cid")
     // a corpus row lives in exactly one cell → no (qid, id) duplicates
@@ -151,17 +179,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Map-side nearest-centroid assignment: argmax over a literal centroid
-    * array via `aggregate` — fully codegen'd, no shuffle. */
+  /** Map-side nearest-centroid assignment: argmax via `aggregate` over the
+    * centroid array, which ships as BROADCAST DATA (a one-row relation
+    * holding all centroids), not as plan-embedded literals. Literal
+    * centroids serialize nList×dim doubles into every task binary and blow
+    * past codegen/task-size limits at realistic nList (≥4096); a broadcast
+    * one-row crossJoin ships them once per executor and keeps the
+    * assignment a pure map (no shuffle, no window). Centroids must be
+    * UNIT vectors: argmax of dot(v, unit(c)) equals argmax of
+    * cosine(v, c) (norm(v) is constant per row), and dot is one array
+    * pass per centroid instead of three. The array is sorted by cid so
+    * tie-breaks ("first strictly greater wins") are deterministic. */
   private def assignCells(c: DataFrame,
-      cents: Array[(Int, Array[Double])]): DataFrame = {
-    val centArr = array(cents.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), lit(v).as("cv")) }: _*)
-    c.withColumn("__best",
-        aggregate(centArr,
+      unitCents: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val centsRow = unitCents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("cid", "cv")
+      .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("__cents"))
+    c.crossJoin(broadcast(centsRow))
+      .withColumn("__best",
+        aggregate(col("__cents"),
           struct(lit(Double.MinValue).as("s"), lit(-1).as("cid")),
           (acc, cen) => {
-            val s = cosine(col("v"), cen.getField("cv"))
+            val s = dot(col("v"), cen.getField("cv"))
             when(s > acc.getField("s"),
               struct(s.as("s"), cen.getField("cid").as("cid"))).otherwise(acc)
           }))
