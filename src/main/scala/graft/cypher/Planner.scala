@@ -732,11 +732,43 @@ object Planner {
     else {
       var cur = env
       val relVarsBefore = relVars(env)
-      m.patterns.foreach { p => cur = planPath(ctx, cur, p) }
+      // selection pushdown (the reference planner plans Selection at the
+      // earliest point its dependencies exist): WHERE conjuncts apply as
+      // soon as all their variables are bound — in particular BEFORE any
+      // later expand / var-length hop, so traversals start from the
+      // filtered anchor set, not the whole label
+      val pending = new PendingWhere(m.where.map(splitConjuncts).getOrElse(Nil))
+      m.patterns.foreach { p =>
+        cur = planPath(ctx, cur, p, pending)
+        cur = flushReadyWhere(ctx, cur, pending)
+      }
       m.shortest.foreach { s => cur = planShortest(ctx, cur, s) }
       cur = applyUniqueness(cur, relVarsBefore)
-      m.where.foreach { pred => cur = applyWhere(ctx, cur, pred) }
+      val rest = pending.conjs
+      pending.conjs = Nil
+      rest.foreach { c => cur = applyWhere(ctx, cur, c) }
       cur
+    }
+  }
+
+  /** Conjuncts of a MATCH's WHERE awaiting their earliest application
+    * point. Row-wise predicates and pattern predicates both commute with
+    * the joins/expands that later pattern elements add, so applying a
+    * conjunct the moment its last variable binds is semantics-preserving
+    * (same split-conjunct three-valued logic as applyWhere). */
+  private final class PendingWhere(var conjs: List[Expr])
+
+  private def splitConjuncts(e: Expr): List[Expr] = e match {
+    case BinOp("AND", l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other              => List(other)
+  }
+
+  private def flushReadyWhere(ctx: Ctx, env: Env, pending: PendingWhere): Env = {
+    if (pending.conjs.isEmpty || env.df.isEmpty) env
+    else {
+      val (ready, rest) = pending.conjs.partition(c => exprVars(c).forall(env.has))
+      pending.conjs = rest
+      ready.foldLeft(env)((e, c) => applyWhere(ctx, e, c))
     }
   }
 
@@ -1220,9 +1252,17 @@ object Planner {
       env.binds.view.filterKeys(refs.contains).toMap)
     var sub = base
     val relVarsBefore = relVars(base)
-    m.patterns.foreach { p => sub = planPath(ctx, sub, p) }
+    // same selection pushdown as planMatch — WHERE belongs to the optional
+    // sub-plan, and within it each conjunct applies as early as possible
+    val pending = new PendingWhere(m.where.map(splitConjuncts).getOrElse(Nil))
+    m.patterns.foreach { p =>
+      sub = planPath(ctx, sub, p, pending)
+      sub = flushReadyWhere(ctx, sub, pending)
+    }
     sub = applyUniqueness(sub, relVarsBefore)
-    m.where.foreach { pred => sub = applyWhere(ctx, sub, pred) }
+    val rest = pending.conjs
+    pending.conjs = Nil
+    rest.foreach { pred => sub = applyWhere(ctx, sub, pred) }
     // join back on the variable ids only (null-unsafe using-join must not
     // key on nullable `v$prop` columns); drop the sub-plan's carried copies
     // of the outer property columns first — df already has them
@@ -1231,7 +1271,8 @@ object Planner {
     Env(Some(joined), env.binds ++ sub.binds)
   }
 
-  private def planPath(ctx: Ctx, env: Env, p0: PathPattern): Env = {
+  private def planPath(ctx: Ctx, env: Env, p0: PathPattern,
+      pending: PendingWhere = new PendingWhere(Nil)): Env = {
     if (p0.name.isDefined) return planNamedPath(ctx, env, p0.name.get, p0)
     // anchor selection (the planner's join-order heuristic; Catalyst handles
     // the rest): start from a bound endpoint if only one end is bound, and
@@ -1255,9 +1296,10 @@ object Planner {
         if (flip) reversePath(p0) else p0
       } else p0
     var (cur, fromVar) = bindNode(ctx, env, p.first)
+    cur = flushReadyWhere(ctx, cur, pending)
     p.hops.foreach { case (rel, node) =>
       val (next, toVar) = expandHop(ctx, cur, fromVar, rel, node)
-      cur = next
+      cur = flushReadyWhere(ctx, next, pending)
       fromVar = toVar
     }
     cur

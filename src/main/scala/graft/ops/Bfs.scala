@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
  *
  * Design (SURVEY §7.4 hard-part #5): never self-join-to-fixpoint over full
  * path sets — instead iterate a *frontier* (node, source) set, anti-joined
- * against the visited set. Each round's frontier is eagerly
- * `localCheckpoint`ed, so a round costs one shuffle-join frontier⋈edges plus
- * one anti-join against visited — the same asymptotics as Pregel, expressed
+ * against the visited set. Each round's frontier is a lazy
+ * `localCheckpoint` materialized by that round's single bookkeeping
+ * action, so a round costs ONE job: frontier⋈edges plus an anti-join
+ * against visited — the same asymptotics as Pregel, expressed
  * in DataFrames so AQE/broadcast still apply. The visited set is kept as a
  * lazy union of the per-round checkpointed frontier deltas (never
  * re-materialized wholesale — at depth D that would cost O(V·D) redundant
@@ -48,16 +49,29 @@ object Bfs {
       .distinct()
       .localCheckpoint(false)
     val targets = targetPairs.map(
-      _.select(col("source"), col("target").as("node")).distinct().localCheckpoint())
+      _.select(col("source"), col("target").as("node")).distinct()
+        .withColumn("__hit", lit(1)).localCheckpoint())
+    val tCnt = targets.map(_.count())
+    // ONE action per round (the listRanks pattern): frontiers are LAZY
+    // checkpoints, and the (rows, target-hits) aggregate below is the job
+    // that materializes them. An eager checkpoint + count + semi-join count
+    // would be three jobs a round; at ~1.5 s of fixed job overhead each,
+    // the constant — not the asymptotics — dominated deep walks.
+    def stats(f: DataFrame): (Long, Long) = targets match {
+      case Some(t) =>
+        val tb = if (tCnt.exists(_ <= 2000000L)) broadcast(t) else t
+        val r = f.join(tb, Seq("source", "node"), "left_outer")
+          .agg(count(lit(1)), count(col("__hit"))).first()
+        (r.getLong(0), r.getLong(1))
+      case None => (f.count(), 0L)
+    }
     var frontier = sources
       .select(col("source"), col("source").as("node"), lit(0).as("dist"))
-      .localCheckpoint() // eager: each round's plan is one join + one
-                         // anti-join over materialized RDDs, not history
-    var fCnt = frontier.count()
+      .localCheckpoint(false)
+    val s0 = stats(frontier)
+    var fCnt = s0._1
     var visited = frontier
-    var remaining = targets.map { t =>
-      t.count() - frontier.join(t, Seq("source", "node"), "left_semi").count()
-    }
+    var remaining = tCnt.map(_ - s0._2)
     var depth = 0
     while (depth < maxDepth && remaining.forall(_ > 0) && fCnt > 0) {
       depth += 1
@@ -71,18 +85,16 @@ object Bfs {
         .distinct()
         .join(visited.select("source", "node"), Seq("source", "node"), "left_anti")
         .withColumn("dist", lit(depth))
-        .localCheckpoint()
-      fCnt = frontier.count()
+        .localCheckpoint(false)
+      val s = stats(frontier) // materializes the round's checkpoint
+      fCnt = s._1
       // visited is a lazy union of already-checkpointed frontier deltas,
       // re-materialized as ONE table every few rounds: without compaction a
-      // depth-D walk scans O(D) deltas per anti-join → O(D²) total
+      // depth-D walk scans O(D) deltas per anti-join → O(D²) total. Lazy:
+      // the next round's stats job folds the compaction in.
       visited = visited.unionByName(frontier)
-      if (depth % 4 == 0) visited = visited.localCheckpoint()
-      remaining = (remaining, targets) match {
-        case (Some(r), Some(t)) =>
-          Some(r - frontier.join(t, Seq("source", "node"), "left_semi").count())
-        case _ => None
-      }
+      if (depth % 4 == 0) visited = visited.localCheckpoint(false)
+      remaining = remaining.map(_ - s._2)
     }
     visited
   }
@@ -148,10 +160,12 @@ object Bfs {
   def allShortestPaths(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select(col("src").as("__s"), col("dst").as("__d"),
       col("id").as("__e")).localCheckpoint(false)
+    // lazy checkpoints: each round's count() is the single job that
+    // materializes the frontier (the listRanks pattern — see distancesImpl)
     var frontier = sources.select(col("source"), col("source").as("node"),
         lit(0).as("dist"), array().cast("array<long>").as("path"),
         array(col("source")).as("nodes"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var fCnt = frontier.count()
     var visited = frontier.select("source", "node")
     val out = Seq.newBuilder[DataFrame]
@@ -166,10 +180,10 @@ object Bfs {
           concat(col("path"), array(col("__e"))).as("path"),
           concat(col("nodes"), array(col("__d"))).as("nodes"))
         .join(visited, Seq("source", "node"), "left_anti")
-        .localCheckpoint()
-      fCnt = frontier.count()
+        .localCheckpoint(false)
+      fCnt = frontier.count() // materializes the round's checkpoint
       visited = visited.unionByName(frontier.select("source", "node").distinct())
-      if (depth % 4 == 0) visited = visited.localCheckpoint() // compact deltas
+      if (depth % 4 == 0) visited = visited.localCheckpoint(false) // compact deltas
       out += frontier
     }
     out.result().reduce(_ unionByName _)
