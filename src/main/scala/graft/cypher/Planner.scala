@@ -280,21 +280,51 @@ object Planner {
     // freeze the generated ids before anything reads them twice
     val frozen = df.localCheckpoint()
     val envOut = Env(Some(frozen), binds)
-    newNodes.result().foreach { n =>
+    val nn = newNodes.result()
+    val nr = newRels.result()
+    nn.foreach { n =>
       val props = n.props.map { case (k, e) =>
         compile(ctx, envOut, e).as(k) }
       val rows = frozen.select((col(n.v).as("id") +:
         lit(n.labels.toArray).as("labels") +: props): _*)
       ctx.g = UpdateOps.createNodes(ctx.g, rows)
     }
-    newRels.result().foreach { r =>
+    nr.foreach { r =>
       val props = r.props.map { case (k, e) => compile(ctx, envOut, e).as(k) }
       val rows = frozen.select((col(r.v).as("id") +: col(r.from).as("src") +:
         col(r.to).as("dst") +: lit(r.tpe).as("type") +: props): _*)
       ctx.g = UpdateOps.createRels(ctx.g, rows)
     }
-    envOut
+    rehydrate(ctx, envOut, nn.map(_.v) ++ nr.map(_.v))
   }
+
+  /** Join-hydrate `v$prop` columns for entity variables bound by a WRITE:
+    * CREATE/MERGE bind bare ids (no hydrated scan underneath), so a
+    * downstream `RETURN n.prop` would otherwise read Cypher's
+    * missing-property NULL instead of the written value. Fetches only the
+    * query's needed properties, from the CURRENT (post-write) snapshot. */
+  private def rehydrate(ctx: Ctx, env: Env, vars: Seq[String]): Env =
+    vars.foldLeft(env) { (e, v) =>
+      val needed = ctx.needed.getOrElse(v, Set.empty)
+      val side0 = e.binds.get(v) match {
+        case Some(NodeVar) => Some(ctx.g.nodes)
+        case Some(RelVar)  => Some(ctx.g.rels)
+        case _             => None
+      }
+      (side0, e.df) match {
+        case (Some(s0), Some(df)) if needed.nonEmpty =>
+          val avail = s0.columns.toSet -- Set("id", "labels", "src", "dst", "type")
+          val props = (if (needed("*")) avail else needed.filter(avail)).toSeq.sorted
+          if (props.isEmpty) e
+          else {
+            val side = s0.select(
+              (col("id").as(v) +: props.map(p => col(p).as(s"$v$$$p"))): _*)
+            e.copy(df = Some(df.drop(props.map(p => s"$v$$$p"): _*)
+              .join(side, Seq(v), "left_outer")))
+          }
+        case _ => e
+      }
+    }
 
   /** MERGE on a single node pattern (match by labels + key properties,
     * create missing with ids derived from the key — idempotent), or on a
@@ -344,7 +374,7 @@ object Planner {
       val envOut = Env(Some(resolved.drop(np.props.map(kv => s"__mk_${kv._1}"): _*)
         .drop("__mid")), env.binds + (v -> NodeVar))
       applyMergeActions(ctx, envOut, v, m, col("__created"))
-      envOut.copy(df = envOut.df.map(_.drop("__created")))
+      rehydrate(ctx, envOut.copy(df = envOut.df.map(_.drop("__created"))), Seq(v))
     } else {
       require(p.hops.size == 1, "relationship MERGE supports a single hop")
       val (rel, toNode) = p.hops.head
@@ -382,7 +412,7 @@ object Planner {
       }
       val withRel = df.join(relSide, joinCond)
         .drop(("__ms" +: "__md" +: keyProps.map(kv => s"__mp_${kv._1}")): _*)
-      Env(Some(withRel), env.binds + (rv -> RelVar))
+      rehydrate(ctx, Env(Some(withRel), env.binds + (rv -> RelVar)), Seq(rv))
     }
   }
 
@@ -1878,7 +1908,13 @@ object Planner {
     * the bulk-load idiom that bounds per-transaction state. Chunks are
     * processed sequentially, as in the reference; within a chunk every write
     * is the usual set-based batch operator, so a 100 TB load is
-    * |rows|/n sequential commits of fully-distributed jobs. */
+    * |rows|/n sequential commits of fully-distributed jobs.
+    *
+    * With an inner RETURN (TransactionApply, not TransactionForeach), each
+    * batch's RETURN rows are materialized at that batch's commit point and
+    * the statement result is their union. Variables in scope afterwards are
+    * the subquery's scope (imported variables) plus the RETURN items —
+    * non-imported outer variables do not survive an inner RETURN. */
   private def planCallInTransactions(ctx: Ctx, env: Env, cs: CallSubquery,
       n: Long): Env = {
     require(n >= 1, s"IN TRANSACTIONS OF $n ROWS: batch size must be >= 1")
@@ -1892,9 +1928,12 @@ object Planner {
       case _ => None
     }
     val innerClauses = if (importing.isDefined) cs.inner.clauses.tail else cs.inner.clauses
-    require(!innerClauses.exists { case _: ReturnClause => true; case _ => false },
-      "CALL {} IN TRANSACTIONS with an inner RETURN is not supported — " +
-        "use TransactionForeach shape (side effects only)")
+    innerClauses.zipWithIndex.foreach {
+      case (_: ReturnClause, i) => require(i == innerClauses.size - 1,
+        "RETURN must be the final clause of CALL {} IN TRANSACTIONS")
+      case _ => ()
+    }
+    val hasReturn = innerClauses.lastOption.exists(_.isInstanceOf[ReturnClause])
     val keep = importing match {
       case Some(refs) => refKeyCols(df0, refs.sorted)
       case None       => df0.columns.toSeq
@@ -1903,22 +1942,19 @@ object Planner {
       case Some(refs) => env.binds.view.filterKeys(refs.contains).toMap
       case None       => env.binds
     }
-    // number rows once (driver-side batching is inherently sequential — the
-    // reference's transaction batching is too); the single-partition window
-    // only carries the narrow key columns
+    // number rows once, WITHOUT a single-partition global window: batch
+    // *execution* is inherently sequential (matching the reference), but
+    // the numbering stays distributed — zipWithIndex counts rows per
+    // partition in one job, derives cumulative offsets on the driver
+    // (#partitions longs), and numbers within partitions in parallel
     val rowId = ctx.fresh("txrow")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(monotonically_increasing_id())
-    val numbered = df0.select(keep.map(col): _*)
-      .withColumn(rowId, row_number().over(w)).localCheckpoint()
+    val numbered = numberRows(df0.select(keep.map(col): _*), rowId)
+      .localCheckpoint()
     val total = numbered.count()
-    var start = 1L
-    var done = total == 0
-    while (!done) {
-      // overflow-safe upper bound (n = Long.MaxValue means "one batch")
-      val hi = if (n >= Long.MaxValue - start) Long.MaxValue else start + n
-      val batch = numbered
-        .filter(col(rowId) >= start && col(rowId) < hi).drop(rowId)
+    val keepVars = binds.keys.toSeq.sorted
+    val batchResults = Seq.newBuilder[DataFrame]
+    var resultBinds: Map[String, Binding] = Map.empty
+    def runBatch(batch: DataFrame, commit: Boolean): Unit = {
       var inner = Env(Some(batch), binds)
       innerClauses.foreach {
         case m: MatchClause   => inner = planMatch(ctx, inner, m)
@@ -1929,6 +1965,11 @@ object Planner {
           wc.where.foreach { pred =>
             inner = inner.copy(df = inner.df.map(_.filter(compile(ctx, inner, pred))))
           }
+        case r: ReturnClause  =>
+          // imported variables prepended so the correlation columns survive
+          // (and group any aggregation, as in correlated CALL {})
+          inner = planProjection(ctx, inner, withRefs(keepVars, r.items),
+            r.distinct, r.orderBy, r.skip, r.limit, isReturn = true)
         case c: CreateClause  => inner = planCreate(ctx, inner, c)
         case m: MergeClause   => inner = planMerge(ctx, inner, m)
         case s: SetClause     => planSetItems(ctx, inner, s.items)
@@ -1938,11 +1979,45 @@ object Planner {
         case other => throw new IllegalArgumentException(
           s"unsupported clause in CALL IN TRANSACTIONS: $other")
       }
-      ctx.g = ctx.txCommit(ctx.g) // transaction boundary
+      if (hasReturn) {
+        // materialize the batch's rows AT its commit point: later batches
+        // mutate the graph, and TransactionApply reports per-batch state
+        batchResults += inner.df.get.localCheckpoint()
+        resultBinds = inner.binds
+      }
+      if (commit) ctx.g = ctx.txCommit(ctx.g) // transaction boundary
+    }
+    var start = 1L
+    var done = total == 0
+    while (!done) {
+      // overflow-safe upper bound (n = Long.MaxValue means "one batch")
+      val hi = if (n >= Long.MaxValue - start) Long.MaxValue else start + n
+      runBatch(numbered.filter(col(rowId) >= start && col(rowId) < hi)
+        .drop(rowId), commit = true)
       done = hi > total
       start = hi
     }
-    env // TransactionForeach: input rows pass through unchanged
+    if (hasReturn) {
+      if (total == 0) // schema-only pass over zero rows, no commit
+        runBatch(numbered.limit(0).drop(rowId), commit = false)
+      Env(Some(batchResults.result().reduce(_ unionByName _)),
+        binds ++ resultBinds)
+    } else env // TransactionForeach: input rows pass through unchanged
+  }
+
+  /** Sequential 1-based row numbers WITHOUT a single-partition global
+    * window: RDD zipWithIndex computes per-partition counts in one job,
+    * derives cumulative offsets on the driver (#partitions longs), and
+    * numbers within partitions in parallel — the numbering order is
+    * partition order, the same order monotonically_increasing_id induces. */
+  private[graft] def numberRows(df: DataFrame, rowId: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        rowId, org.apache.spark.sql.types.LongType, nullable = false))
+    df.sparkSession.createDataFrame(
+      df.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      schema)
   }
 
   /** prepend the imported variables to a projection so the correlation key

@@ -587,6 +587,24 @@ object CypherQueries {
       Some("""SELECT DISTINCT c_mktsegment AS segment FROM customer
              |WHERE c_custkey <= 200 ORDER BY segment""".stripMargin)),
 
+    // CALL {} IN TRANSACTIONS with an inner RETURN (TransactionApply, not
+    // Foreach — reference LogicalPlan.scala:4039): per-batch RETURN rows
+    // union into the statement result, batched-upsert-then-report.
+    QueryDef("q_cypher_tx_batch_return",
+      (s, d) => {
+        val (_, rows) = Cypher.execute(s, TpchGraph.load(s, d),
+          """MATCH (c:Customer) WHERE c.key <= 120
+            |CALL { WITH c
+            |  MERGE (seg:Segment {name: c.mktsegment})
+            |  RETURN c.key AS ckey, seg.name AS segname
+            |} IN TRANSACTIONS OF 50 ROWS
+            |RETURN ckey, segname ORDER BY ckey""".stripMargin)
+        rows.get
+      },
+      Some("""SELECT c_custkey AS ckey, c_mktsegment AS segname
+             |FROM customer WHERE c_custkey <= 120
+             |ORDER BY ckey""".stripMargin)),
+
     QueryDef("q_cypher_write_set",
       (s, d) => {
         val (g2, _) = Cypher.execute(s, TpchGraph.load(s, d),

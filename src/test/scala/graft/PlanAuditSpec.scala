@@ -84,6 +84,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.mkString("\n").contains("Scan parquet"))
   }
 
+  test("tx-batch row numbering has no single-partition global window/sort") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 10000, 1, 8).select(col("id").as("k"))
+    val numbered = graft.cypher.Planner.numberRows(df, "rid")
+    val plan = numbered.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"numbering funnels through a global window/sort:\n${plan.take(2000)}")
+    // still a correct dense 1..N numbering
+    val ids = numbered.select("rid").collect().map(_.getLong(0)).sorted
+    assert(ids.head == 1L && ids.last == 10000L && ids.distinct.length == 10000)
+  }
+
   test("whole-stage codegen covers the expression pipeline") {
     val df = Cypher.run(spark, g,
       """MATCH (c:Customer) WHERE c.name ENDS WITH '1'
