@@ -945,10 +945,12 @@ object Planner {
   }
 
   /** `SHORTEST k <pattern>` — compiles the (possibly multi-leg) pattern to
-    * Trail.shortestKSegments (linear-NFA product-graph search). Intermediate
-    * nodes must be unconstrained (they are NFA states, not join points);
-    * endpoints behave like shortestPath endpoints. Binds pv$length and
-    * pv$rels per returned path (up to k per pair). */
+    * Trail.shortestKSegments (linear-NFA product-graph search). Interior
+    * nodes may carry labels, label alternations and property maps — they
+    * compile to per-state boundary node sets (reference NFA.scala:157) —
+    * but cannot reuse bound variables (no join points mid-NFA); endpoints
+    * behave like shortestPath endpoints. Binds pv$length and pv$rels per
+    * returned path (up to k per pair). */
   private def planShortestK(ctx: Ctx, envIn: Env, s: ShortestPart): Env = {
     val p = s.pattern
     val kk = s.k.get
@@ -963,12 +965,21 @@ object Planner {
     val toNode = p.hops.last._2
     require(p.first.where.isEmpty && toNode.where.isEmpty,
       "inline WHERE is not supported in SHORTEST k patterns")
-    p.hops.dropRight(1).map(_._2).foreach { n =>
-      require(n.labels.isEmpty && n.labelExpr.isEmpty && n.props.isEmpty &&
-        n.where.isEmpty && !n.variable.exists(env.has),
-        "SHORTEST k intermediate nodes must be unconstrained")
+    val interiors = p.hops.dropRight(1).map(_._2)
+    interiors.foreach { n =>
+      require(n.where.isEmpty && !n.variable.exists(env.has),
+        "SHORTEST k intermediate nodes cannot reuse bound variables or " +
+          "carry inline WHERE")
     }
-    val segs = p.hops.map { case (r, _) =>
+    // per-state node predicates (reference NFA.scala:157): labels, label
+    // alternations (:A|:B) and property maps on interior nodes become the
+    // boundary node set a path must cross between consecutive legs; the
+    // last leg's end is the target, constrained by the pair/accept step
+    val boundaries = interiors.map { n =>
+      if (n.labels.isEmpty && n.labelExpr.isEmpty && n.props.isEmpty) None
+      else Some(nodeScan(ctx, n).select("id"))
+    } :+ None
+    val segs = p.hops.zip(boundaries).map { case ((r, _), bnd) =>
       require(r.qppVars.isEmpty && r.where.isEmpty,
         "SHORTEST k legs take types/bounds/property maps only")
       val (mn, mxOpt) = r.varLength.getOrElse((1, Some(1)))
@@ -982,17 +993,26 @@ object Planner {
       val dir = r.dir match {
         case Out => Direction.Out; case In => Direction.In; case Both => Direction.Both
       }
-      graft.ops.Trail.PathSegment(orientTyped(ctx.g, r.types, dir, pre), mn, mx)
+      graft.ops.Trail.PathSegment(orientTyped(ctx.g, r.types, dir, pre), mn, mx, bnd)
     }
     val pv = s.pathVar.getOrElse(ctx.fresh("p"))
     val df = env.df.get
     val toBound = toNode.variable.exists(env.has)
     val toVar = toNode.variable.getOrElse(ctx.fresh("n"))
-    val pairs =
-      if (toBound) df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct()
-      else df.select(col(fromVar).as("source")).distinct()
-        .crossJoin(nodeScan(ctx, toNode).select(col("id").as("target")))
-    val res = graft.ops.Trail.shortestKSegments(segs, pairs, kk)
+    val res0 =
+      if (toBound)
+        graft.ops.Trail.shortestKSegments(segs,
+          df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(), kk)
+      else {
+        // unbound target: source-driven search, accepted ends semi-joined
+        // against the label scan — never a sources × candidates cartesian
+        val targetIds =
+          if (toNode.labels.isEmpty && toNode.labelExpr.isEmpty) None
+          else Some(nodeScan(ctx, toNode).select(col("id").as("target")))
+        graft.ops.Trail.shortestKSegmentsTo(segs,
+          df.select(col(fromVar).as("source")).distinct(), targetIds, kk)
+      }
+    val res = res0
       .select(col("source"), col("target"),
         col("hops").cast("int").as(s"$pv$$length"), col("path").as(s"$pv$$rels"),
         col("nodes").as(s"$pv$$nodes"))

@@ -138,8 +138,14 @@ object Trail {
   }
 
   /** One linear-NFA segment: a var-length leg `-[:T*min..max]->` with its
-    * own (oriented, filtered) edge set. */
-  final case class PathSegment(edges: DataFrame, min: Int, max: Int)
+    * own (oriented, filtered) edge set. `boundary` is the optional
+    * node-id set (column `id`) the segment must END on — the per-state
+    * node predicate of the reference's NFA (NFA.scala:157): labels, label
+    * alternations and property maps on the interior node between this leg
+    * and the next. None = unconstrained (and always None on the last
+    * segment, whose end is the target). */
+  final case class PathSegment(edges: DataFrame, min: Int, max: Int,
+      boundary: Option[DataFrame] = None)
 
   /**
    * SHORTEST k over a CONCATENATION of var-length segments — the general
@@ -162,7 +168,29 @@ object Trail {
    *         rank 1..k)
    */
   def shortestKSegments(segments: Seq[PathSegment], pairs: DataFrame,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    shortestKImpl(segments, pairs.select("source").distinct(), k,
+      fin => fin.join(pairs, Seq("source")).filter(col("end") === col("target")))
+
+  /**
+   * Unbound-target SHORTEST k: search from the distinct `sources` and
+   * accept EVERY reached end node (optionally restricted to the node-id
+   * set `targetNodes`, e.g. a label scan). The search is source-driven, so
+   * no sources × candidate-targets cartesian is ever materialized — with
+   * |sources| = 10⁶ and |V| = 10⁹ the pair-seeded form would shuffle a
+   * 10¹⁵-row relation before the first BFS round; this form's accept step
+   * is one semi-join on the (far smaller) reached set.
+   */
+  def shortestKSegmentsTo(segments: Seq[PathSegment], sources: DataFrame,
+      targetNodes: Option[DataFrame], k: Int): DataFrame =
+    shortestKImpl(segments, sources.select("source").distinct(), k, fin => {
+      val t = fin.withColumn("target", col("end"))
+      targetNodes.fold(t)(tn =>
+        t.join(tn.select("target").distinct(), Seq("target"), "left_semi"))
+    })
+
+  private def shortestKImpl(segments: Seq[PathSegment], sources: DataFrame,
+      k: Int, accept: DataFrame => DataFrame): DataFrame = {
     require(segments.nonEmpty && k >= 1, "need segments and k >= 1")
     segments.foreach(s => require(s.min >= 0 && s.max >= s.min && s.max <= 30,
       s"segment bounds out of range: ${s.min}..${s.max}"))
@@ -182,26 +210,38 @@ object Trail {
       .withColumn("__rk", row_number().over(wState))
       .filter(col("__rk") <= k).drop("__rk")
     // epsilon closure: advance past segments whose minimum is satisfied
-    // (seg == nSeg is the accepting state); at most nSeg advances chain
+    // (seg == nSeg is the accepting state). Advances run in ascending
+    // segment order — seg only grows, so every chain of advances is
+    // covered — and each advance out of segment i semi-joins that
+    // segment's boundary node set (the NFA's per-state node predicate):
+    // a path may only leave segment i on a node matching the interior
+    // node pattern between leg i and leg i+1.
     def closure(df0: DataFrame): DataFrame = {
-      var cur = df0
       val acc = Seq.newBuilder[DataFrame]
       acc += df0
+      var carry: Option[DataFrame] = None // rows advanced into segment i
       var i = 0
       while (i < nSeg) {
-        cur = cur
-          .filter(col("seg") < nSeg &&
-            col("segHops") >= try_element_at(mins, col("seg") + 1))
-          .select(col("source"), col("end"), (col("seg") + 1).as("seg"),
-            lit(0).as("segHops"), col("hops"), col("path"), col("nodes"))
-        acc += cur
+        val atI = df0.filter(col("seg") === i)
+        val cand = carry.fold(atI)(atI.unionByName(_))
+        var adv = cand.filter(
+          col("segHops") >= try_element_at(mins, col("seg") + 1))
+        segments(i).boundary.foreach { b =>
+          adv = adv.join(b.select(col("id").as("end")).distinct(),
+            Seq("end"), "left_semi")
+        }
+        val advanced = adv.select(col("source"), col("end"),
+          (col("seg") + 1).as("seg"), lit(0).as("segHops"),
+          col("hops"), col("path"), col("nodes"))
+        acc += advanced
+        carry = Some(advanced)
         i += 1
       }
       acc.result().reduce(_ unionByName _)
     }
 
     var frontier = pruneStates(closure(
-      pairs.select("source").distinct()
+      sources
         .select(col("source"), col("source").as("end"), lit(0).as("seg"),
           lit(0).as("segHops"), lit(0).as("hops"),
           array().cast("array<long>").as("path"),
@@ -234,8 +274,7 @@ object Trail {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "target").orderBy(col("hops").asc, col("path").asc)
-    finished.result().reduce(_ unionByName _)
-      .join(pairs, Seq("source")).filter(col("end") === col("target"))
+    accept(finished.result().reduce(_ unionByName _))
       .select(col("source"), col("target"), col("hops"), col("path"), col("nodes"))
       // identical paths can reach acceptance via different epsilon timings
       .dropDuplicates("source", "target", "path")

@@ -348,6 +348,20 @@ object CypherQueries {
         |  ',' || e1 || ',' || e2 AS path
         |FROM ranked WHERE rn <= 2""".stripMargin),
 
+    // general-NFA SHORTEST: labeled + property-filtered INTERIOR node
+    // (reference NFA.scala:157 per-state node predicates) — only paths
+    // through open ('O') orders count; closed-order paths to the same part
+    // must not appear even when shorter lexicographically.
+    cq("q_shortest_nfa_labeled",
+      """MATCH (c:Customer) WHERE c.key < 20
+        |MATCH p = SHORTEST 1 (c)-[:PLACED*1..1]->(:Order {status: 'O'})-[:CONTAINS*1..1]->(x:Part)
+        |RETURN c.key AS source_key, x.key AS part_key, length(p) AS hops""".stripMargin,
+      """SELECT DISTINCT c_custkey AS source_key,
+        |  CAST(l_partkey AS BIGINT) AS part_key, 2 AS hops
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_custkey < 20 AND o_orderstatus = 'O'""".stripMargin),
+
     // nodes(p) — the node-id sequence of a shortestPath (reference
     // functions/Nodes.scala), carried alongside the rel-id path.
     // node-id scheme: Customer = (3<<44)+key, Nation = (2<<44)+key,

@@ -84,6 +84,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.mkString("\n").contains("Scan parquet"))
   }
 
+  test("unbound-target SHORTEST has no cartesian pair seed") {
+    val plan = executedPlan(
+      """MATCH p = SHORTEST 2 (c:Customer {key: 1})-[:PLACED]->{1,2}(o:Order)
+        |RETURN length(p) AS len, o.key AS okey""".stripMargin)
+    assert(!plan.contains("CartesianProduct"),
+      s"unbound-target SHORTEST seeds sources × all candidate targets:\n${plan.take(3000)}")
+  }
+
   test("tx-batch row numbering has no single-partition global window/sort") {
     import org.apache.spark.sql.functions.col
     val df = spark.range(0, 10000, 1, 8).select(col("id").as("k"))

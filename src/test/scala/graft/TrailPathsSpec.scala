@@ -123,6 +123,34 @@ class TrailPathsSpec extends AnyFunSuite {
       (2, 3, Seq(100L, 101L, 200L)))) // 2 X-hops then Y
   }
 
+  test("shortestKSegments boundary restricts where a segment may end") {
+    import spark.implicits._
+    import graft.ops.Trail.PathSegment
+    // X edges: 0->1, 0->2; Y edges: 1->3, 2->3. Boundary {1} on the X
+    // segment: only the path through node 1 may advance into Y.
+    val x = Seq((100L, 0L, 1L), (101L, 0L, 2L)).toDF("id", "src", "dst")
+    val y = Seq((200L, 1L, 3L), (201L, 2L, 3L)).toDF("id", "src", "dst")
+    val bnd = Seq(Tuple1(1L)).toDF("id")
+    val pairs = Seq((0L, 3L)).toDF("source", "target")
+    val got = graft.ops.Trail.shortestKSegments(
+      Seq(PathSegment(x, 1, 1, Some(bnd)), PathSegment(y, 1, 1)), pairs, k = 3)
+      .collect().map(r => r.getSeq[Long](r.fieldIndex("path")))
+    assert(got.toSeq == Seq(Seq(100L, 200L))) // via node 1 only
+  }
+
+  test("shortestKSegmentsTo searches unbound targets without a pair seed") {
+    import spark.implicits._
+    import graft.ops.Trail.PathSegment
+    val x = Seq((100L, 0L, 1L), (101L, 1L, 2L), (102L, 1L, 3L)).toDF("id", "src", "dst")
+    val sources = Seq(Tuple1(0L)).toDF("source")
+    val targets = Seq(Tuple1(2L), Tuple1(3L)).toDF("target")
+    val got = graft.ops.Trail.shortestKSegmentsTo(
+      Seq(PathSegment(x, 1, 2)), sources, Some(targets), k = 1)
+      .orderBy("target").collect()
+      .map(r => (r.getLong(r.fieldIndex("target")), r.getInt(r.fieldIndex("hops"))))
+    assert(got.toSeq == Seq((2L, 2), (3L, 2)))
+  }
+
   test("shortestKSegments skips min-0 segments (epsilon closure)") {
     import spark.implicits._
     import graft.ops.Trail.PathSegment
