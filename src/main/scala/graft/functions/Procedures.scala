@@ -84,6 +84,52 @@ object Procedures {
     Fulltext.bm25TopK(g.nodes.filter(col(prop).isNotNull), "id", prop, query, k.intValue)
   })
 
+  /** graft.shortestPath.dijkstra(srcIds, dstIds, weightProp[,
+    * defaultWeight[, relTypes[, maxIter]]]) — the weighted-shortest-path
+    * procedure surface (reference graph-algo Dijkstra.java /
+    * DijkstraBidirectional.java; classic `algo.shortestPath`-style call).
+    * srcIds: node id or list; dstIds: node id / list / [] = every reached
+    * node (SSSP output — no sources × candidates pair set is ever built).
+    * Rels missing the weight property take `defaultWeight` when given and
+    * are excluded otherwise. Runs the frontier-parallel relaxation of
+    * WeightedPaths (a priority queue doesn't distribute).
+    * YIELDs (sourceNode, targetNode, totalCost, relIds, nodeIds). */
+  register("graft.shortestpath.dijkstra", (spark, g, args) => {
+    import spark.implicits._
+    def longs(a: Any): Seq[Long] = a match {
+      case n: Number  => Seq(n.longValue)
+      case xs: Seq[_] => xs.map { case n: Number => n.longValue }
+      case other => throw new IllegalArgumentException(
+        s"expected node id(s), got $other")
+    }
+    val srcs = longs(args(0))
+    val dsts = longs(args(1))
+    val prop = args(2).asInstanceOf[String]
+    val defaultW = args.lift(3).collect { case n: Number => n.doubleValue }
+    val types: Seq[String] = args.lift(4).map {
+      case xs: Seq[_] => xs.map(_.toString)
+      case s: String  => Seq(s)
+      case other => throw new IllegalArgumentException(
+        s"expected relationship type(s), got $other")
+    }.getOrElse(Seq.empty)
+    val maxIter = args.lift(5).collect { case n: Number => n.intValue }.getOrElse(50)
+    require(g.rels.columns.contains(prop), s"unknown relationship property $prop")
+    require(srcs.nonEmpty, "dijkstra needs at least one source node id")
+    val base = if (types.isEmpty) g.rels else g.rels.filter(col("type").isin(types: _*))
+    val w = defaultW match {
+      case Some(d) => coalesce(col(prop).cast("double"), lit(d))
+      case None    => col(prop).cast("double")
+    }
+    val edges0 = base.select(col("id"), col("src"), col("dst"), w.as("weight"))
+    val edges = if (defaultW.isDefined) edges0 else edges0.filter(col("weight").isNotNull)
+    val res = graft.ops.WeightedPaths.shortestPaths(edges, srcs.toDF("source"), maxIter)
+    val restricted =
+      if (dsts.isEmpty) res
+      else res.join(broadcast(dsts.toDF("node")), Seq("node"), "left_semi")
+    restricted.select(col("source").as("sourceNode"), col("node").as("targetNode"),
+      col("dist").as("totalCost"), col("path").as("relIds"), col("nodes").as("nodeIds"))
+  })
+
   /** db.index.vector.queryNodes(vecProp, k, queryVec): brute-force cosine
     * top-k (reference VectorIndexProcedures.java:144). */
   register("db.index.vector.querynodes", (spark, g, args) => {

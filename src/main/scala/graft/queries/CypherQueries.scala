@@ -348,6 +348,37 @@ object CypherQueries {
         |  ',' || e1 || ',' || e2 AS path
         |FROM ranked WHERE rn <= 2""".stripMargin),
 
+    // weighted shortest path on the procedure surface (reference
+    // graph-algo Dijkstra.java): CALL graft.shortestPath.dijkstra with an
+    // open target set, PLACED defaulting to weight 1, CONTAINS weighted by
+    // qty. Same tie-break contract as q_weighted_shortest (dist, then
+    // lexicographic edge ids). Node-id scheme: Customer = (3<<44)+key,
+    // Part = (5<<44)+key.
+    cq("q_cypher_weighted_shortest",
+      s"""CALL graft.shortestPath.dijkstra([${(0 until 50).map(52776558133248L + _).mkString(", ")}],
+         |  [], 'qty', 1.0, ['PLACED', 'CONTAINS'], 5)
+         |YIELD sourceNode, targetNode, totalCost, relIds
+         |WITH sourceNode, targetNode, totalCost, relIds
+         |WHERE targetNode >= 87960930222080 AND targetNode < 105553116266496
+         |RETURN sourceNode - 52776558133248 AS custkey,
+         |       targetNode - 87960930222080 AS partkey,
+         |       round(totalCost, 2) AS dist,
+         |       reduce(acc = '', r IN relIds | acc || ',' || toString(r)) AS path""".stripMargin,
+      """WITH cand AS (
+        |  SELECT c.c_custkey AS custkey, l.l_partkey AS partkey,
+        |    1.0 + l.l_quantity AS dist,
+        |    CAST(404620279021568 + o.o_orderkey AS BIGINT) AS e1,
+        |    CAST(422212465065984 + o.o_orderkey * 16 + l.l_linenumber AS BIGINT) AS e2
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE c.c_custkey < 50),
+        |ranked AS (SELECT *,
+        |    row_number() OVER (PARTITION BY custkey, partkey ORDER BY dist, e1, e2) AS rn
+        |  FROM cand)
+        |SELECT custkey, partkey, round(dist, 2) AS dist,
+        |  ',' || e1 || ',' || e2 AS path
+        |FROM ranked WHERE rn = 1""".stripMargin),
+
     // general-NFA SHORTEST: labeled + property-filtered INTERIOR node
     // (reference NFA.scala:157 per-state node predicates) — only paths
     // through open ('O') orders count; closed-order paths to the same part

@@ -37,6 +37,28 @@ class ProceduresSpec extends AnyFunSuite {
     assert(top.map(_.getAs[Long]("id")).toSet == Set(1L, 3L))
   }
 
+  test("graft.shortestPath.dijkstra takes the cheaper two-hop path via CALL…YIELD") {
+    import spark.implicits._
+    val nodes = Seq((0L, Seq("N"), "a"), (1L, Seq("N"), "b"), (2L, Seq("N"), "c"))
+      .toDF("id", "labels", "name")
+    val rels = Seq(
+      (100L, 0L, 1L, "T", 1.0), (101L, 1L, 2L, "T", 1.0), // 0->1->2 cost 2
+      (102L, 0L, 2L, "T", 5.0))                           // direct edge cost 5
+      .toDF("id", "src", "dst", "type", "w")
+    val g = graft.graph.PropertyGraph(nodes, rels)
+    val rows = graft.cypher.Cypher.run(spark, g,
+      """CALL graft.shortestPath.dijkstra(0, 2, 'w')
+        |YIELD targetNode, totalCost, relIds
+        |RETURN targetNode, totalCost, relIds""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 2L && rows.head.getDouble(1) == 2.0)
+    assert(rows.head.getSeq[Long](2) == Seq(100L, 101L))
+    // open target set ([]) returns every reached node
+    val all = Procedures.call(spark, g, "graft.shortestPath.dijkstra",
+      Seq(0L), Seq.empty, "w").collect()
+    assert(all.map(_.getAs[Long]("targetNode")).toSet == Set(0L, 1L, 2L))
+  }
+
   test("user procedures register and dispatch") {
     Procedures.register("my.top_degree", (s, g, args) => {
       val k = args.head.asInstanceOf[Int]
