@@ -33,20 +33,22 @@ object Bench {
     spark.stop()
     // The harness keeps only a ~2000-char tail of the output, so the JSON
     // line must stay short: 4dp values, and per-query entries for the
-    // slowest 55 only (the fast tail is timing noise anyway). The complete
-    // per-query map goes to bench_full.json alongside the repo.
-    def f(v: Double): String = f"$v%.4f"
+    // slowest 55 only (the fast tail is timing noise anyway; "reported"
+    // marks the truncation so n vs |queries| mismatches don't read as
+    // corruption). The complete per-query map goes to bench_full.json.
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def jesc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     def jsonMap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + jesc(k) + "\":" + f(v) }.mkString("{", ",", "}")
+    def line(rs: Seq[(String, Double)], total: Double, n: Int): String =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":$n,""" +
+        s""""reported":${rs.size},"queries":${jsonMap(rs)},"sf":"${jesc(sfDir)}"}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},""" +
-        s""""queries":${jsonMap(results)},"sf":"$sfDir"}"""
-    val fw = new java.io.PrintWriter("bench_full.json")
-    try fw.println(full) finally fw.close()
+    java.nio.file.Files.writeString( // throws on a failed/truncated write
+      java.nio.file.Paths.get("bench_full.json"),
+      line(results, total, results.size) + "\n")
     val headline = results.sortBy(-_._2).take(55).sortBy(_._1)
-    println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},""" +
-        s""""queries":${jsonMap(headline)},"sf":"$sfDir"}""")
+    println(line(headline, total, results.size))
   }
 }

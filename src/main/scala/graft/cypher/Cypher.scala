@@ -62,12 +62,38 @@ object Cypher {
       params: Map[String, Any] = Map.empty): DataFrame = {
     // EXPLAIN <query> (reference EXPLAIN): one row per physical-plan line
     val explained = "(?is)^\\s*EXPLAIN\\b(.*)".r
+    // PROFILE <query> (reference PROFILE, per-operator rows in the result
+    // plan): execute to completion, then walk the final (post-AQE) physical
+    // tree emitting each operator's runtime numOutputRows metric
+    val profiled = "(?is)^\\s*PROFILE\\b(.*)".r
     query match {
       case explained(rest) =>
         import spark.implicits._
         return run(spark, graph, rest, params)
           .queryExecution.executedPlan.toString
           .split("\n").toSeq.toDF("plan")
+      case profiled(rest) =>
+        import spark.implicits._
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        // plan FRESH (not from the plan cache): metric accumulators live on
+        // the physical plan, and a cached instance would report totals
+        // accumulated across every prior run of the same query
+        val df = Planner.plan(spark, graph, parse(rest), params)
+        // drive THIS QueryExecution to completion (a write would spawn its
+        // own QueryExecution and leave these metrics untouched)
+        df.queryExecution.toRdd.foreach(_ => ())
+        def walk(p: SparkPlan, depth: Int): Seq[(String, Int, Option[Long])] =
+          p match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth)
+            case q: QueryStageExec        => walk(q.plan, depth)
+            case _ =>
+              (p.nodeName, depth,
+                p.metrics.get("numOutputRows").map(_.value)) +:
+                p.children.flatMap(walk(_, depth + 1))
+          }
+        return walk(df.queryExecution.executedPlan, 0)
+          .toDF("operator", "depth", "rows")
       case _ => ()
     }
     val key = (query, params)

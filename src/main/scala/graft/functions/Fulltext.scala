@@ -26,12 +26,44 @@ object Fulltext {
     * non-alphanumeric runs, drop empties. */
   val TokenPattern = "[^a-z0-9]+"
 
+  /** Analyzer = (split pattern, lowercase?, stopwords) — the reference's
+    * per-index analyzer option (FulltextProcedures.java:202,
+    * db.index.fulltext.analyzers): `standard` lowercases and splits on
+    * non-alphanumerics, `whitespace` splits on blanks preserving case,
+    * `simple` keeps letter runs only, `english` = standard minus Lucene's
+    * English stopword set. */
+  final case class Analyzer(pattern: String, lowercase: Boolean,
+      stopwords: Set[String])
+
+  /** Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET. */
+  private val EnglishStopwords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  val Analyzers: Map[String, Analyzer] = Map(
+    "standard"   -> Analyzer(TokenPattern, lowercase = true, Set.empty),
+    "whitespace" -> Analyzer("\\s+", lowercase = false, Set.empty),
+    "simple"     -> Analyzer("[^a-z]+", lowercase = true, Set.empty),
+    "english"    -> Analyzer(TokenPattern, lowercase = true, EnglishStopwords))
+
+  private def analyzerOf(name: String): Analyzer =
+    Analyzers.getOrElse(name.toLowerCase, throw new IllegalArgumentException(
+      s"unknown analyzer $name — available: ${Analyzers.keys.toSeq.sorted.mkString(", ")}"))
+
   /** Posting lists: (id, term, tf). */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(split(lower(col(textCol)), TokenPattern)).as("term"))
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+      analyzer: String = "standard"): DataFrame = {
+    val a = analyzerOf(analyzer)
+    val base = if (a.lowercase) lower(col(textCol)) else col(textCol)
+    var toks = docs.select(col(idCol).as("id"),
+        explode(split(base, a.pattern)).as("term"))
       .filter(col("term") =!= "")
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    if (a.stopwords.nonEmpty)
+      toks = toks.filter(!col("term").isin(a.stopwords.toSeq: _*))
+    toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+  }
 
   /**
    * BM25 top-k for a bag-of-words query. Rank determinism across engines:
@@ -39,10 +71,14 @@ object Fulltext {
    * last-ulp summation differences cannot flip ranks.
    */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val terms = query.toLowerCase.split(TokenPattern).filter(_.nonEmpty).distinct.toSeq
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      analyzer: String = "standard"): DataFrame = {
+    val a = analyzerOf(analyzer)
+    val q = if (a.lowercase) query.toLowerCase else query
+    val terms = q.split(a.pattern).filter(_.nonEmpty)
+      .filterNot(a.stopwords).distinct.toSeq
     require(terms.nonEmpty, "empty query")
-    val tf = postings(docs, idCol, textCol)
+    val tf = postings(docs, idCol, textCol, analyzer)
     val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")) // 1 row
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))

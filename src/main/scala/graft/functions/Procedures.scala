@@ -77,11 +77,25 @@ object Procedures {
       .toDF("name", "label", "property", "type")
   })
 
-  /** db.index.fulltext.queryNodes(textProp, query, k): BM25 over a node
-    * property (reference FulltextProcedures.java:90). */
+  /** db.index.fulltext.queryNodes(textProp, query, k[, analyzer]): BM25
+    * over a node property (reference FulltextProcedures.java:90; analyzer
+    * selection per FulltextProcedures.java:202). */
   register("db.index.fulltext.querynodes", (_, g, args) => {
-    val Seq(prop: String, query: String, k: Number) = args.toSeq
-    Fulltext.bm25TopK(g.nodes.filter(col(prop).isNotNull), "id", prop, query, k.intValue)
+    val Seq(prop: String, query: String, k: Number) = args.take(3)
+    val analyzer = args.lift(3).map(_.toString).getOrElse("standard")
+    Fulltext.bm25TopK(g.nodes.filter(col(prop).isNotNull), "id", prop, query,
+      k.intValue, analyzer = analyzer)
+  })
+
+  /** db.index.fulltext.queryRelationships(textProp, query, k[, analyzer]):
+    * BM25 over a relationship property (reference
+    * FulltextProcedures.java:120). */
+  register("db.index.fulltext.queryrelationships", (_, g, args) => {
+    val Seq(prop: String, query: String, k: Number) = args.take(3)
+    val analyzer = args.lift(3).map(_.toString).getOrElse("standard")
+    require(g.rels.columns.contains(prop), s"unknown relationship property $prop")
+    Fulltext.bm25TopK(g.rels.filter(col(prop).isNotNull), "id", prop, query,
+      k.intValue, analyzer = analyzer)
   })
 
   /** graft.shortestPath.dijkstra(srcIds, dstIds, weightProp[,

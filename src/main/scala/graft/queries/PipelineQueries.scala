@@ -224,6 +224,42 @@ object PipelineQueries {
              |SELECT id, round(score, 4) AS score FROM scores
              |ORDER BY round(score, 4) DESC, id ASC LIMIT 20""".stripMargin)),
 
+    // Relationship fulltext (reference FulltextProcedures.java:120
+    // db.index.fulltext.queryRelationships): documents' text carried as a
+    // `caption` property on AUTHORED rels, queried via the procedure
+    // surface with the default analyzer. Same BM25 oracle as
+    // q_fulltext_bm25 — rel id = doc_id, so the id spaces line up.
+    QueryDef("q_fulltext_rels",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nodes = docs.select((col("doc_id") + 1000000).as("id"),
+          lit(Array("Document")).as("labels"))
+        val rels = docs.select(col("doc_id").as("id"),
+          lit(0L).as("src"), (col("doc_id") + 1000000).as("dst"),
+          lit("AUTHORED").as("type"), col("text").as("caption"))
+        graft.functions.Procedures.call(s,
+          graft.graph.PropertyGraph(nodes, rels),
+          "db.index.fulltext.queryRelationships",
+          "caption", "spark filter join window", Int.box(20))
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id AS id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+             |    FROM documents) WHERE term <> '' GROUP BY doc_id, term),
+             |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY id),
+             |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |q AS (SELECT unnest(['spark','filter','join','window']) AS term),
+             |scores AS (
+             |  SELECT tf.id, sum(
+             |    ln(1 + (corpus.n - dft.df + 0.5) / (dft.df + 0.5)) *
+             |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl))) AS score
+             |  FROM tf JOIN q USING (term) JOIN dl ON dl.id = tf.id
+             |  JOIN dft ON dft.term = tf.term CROSS JOIN corpus
+             |  GROUP BY tf.id)
+             |SELECT id, round(score, 4) AS score FROM scores
+             |ORDER BY round(score, 4) DESC, id ASC LIMIT 20""".stripMargin)),
+
     // Multimodal binary columns: documents' text re-materialized as BINARY
     // payloads (UTF-8 bytes), then content-hash dedup + byte sizing — the
     // metadata pass every image/audio corpus runs before decode. Oracle

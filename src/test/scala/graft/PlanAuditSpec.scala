@@ -77,6 +77,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rel property filter not pushed:\n${plan.take(3000)}")
   }
 
+  test("PROFILE executes and reports per-operator row counts") {
+    val rows = Cypher.run(spark, g,
+      """PROFILE MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part)
+        |WHERE c.key < 10 RETURN count(*) AS n""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    val counted = rows.filter(!_.isNullAt(2))
+    assert(counted.nonEmpty && counted.exists(_.getLong(2) > 0),
+      "no operator reported a runtime numOutputRows metric")
+  }
+
   test("EXPLAIN returns the physical plan as rows") {
     val rows = Cypher.run(spark, g,
       "EXPLAIN MATCH (c:Customer) WHERE c.key < 10 RETURN c.name AS n")

@@ -37,6 +37,42 @@ class ProceduresSpec extends AnyFunSuite {
     assert(top.map(_.getAs[Long]("id")).toSet == Set(1L, 3L))
   }
 
+  test("db.index.fulltext.queryRelationships ranks rels by a text property") {
+    import spark.implicits._
+    val nodes = Seq((1L, Seq("N"), "a"), (2L, Seq("N"), "b")).toDF("id", "labels", "name")
+    val rels = Seq(
+      (10L, 1L, 2L, "R", "spark joins and windows explained"),
+      (11L, 1L, 2L, "R", "gardening tips for spring"),
+      (12L, 1L, 2L, "R", "spark shuffle internals"))
+      .toDF("id", "src", "dst", "type", "caption")
+    val g = graft.graph.PropertyGraph(nodes, rels)
+    val top = Procedures.call(spark, g, "db.index.fulltext.queryRelationships",
+      "caption", "spark joins", Int.box(2)).collect()
+    assert(top.head.getAs[Long]("id") == 10L)
+    assert(top.map(_.getAs[Long]("id")).toSet == Set(10L, 12L))
+  }
+
+  test("fulltext analyzers: whitespace keeps case, english drops stopwords") {
+    val g = GraphFixtures.graph(spark,
+      nodes = Seq((1L, Seq("Doc"), "The Spark Engine"),
+        (2L, Seq("Doc"), "the spark engine"),
+        (3L, Seq("Doc"), "unrelated text")),
+      rels = Seq.empty)
+    // whitespace analyzer is case-sensitive: "Spark" hits doc 1 only
+    val ws = Procedures.call(spark, g, "db.index.fulltext.queryNodes",
+      "name", "Spark", Int.box(5), "whitespace").collect()
+    assert(ws.map(_.getAs[Long]("id")).toSeq == Seq(1L))
+    // standard analyzer lowercases: both spark docs match
+    val std = Procedures.call(spark, g, "db.index.fulltext.queryNodes",
+      "name", "spark", Int.box(5)).collect()
+    assert(std.map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+    // english analyzer: a stopword-only query has no effective terms
+    intercept[IllegalArgumentException] {
+      Procedures.call(spark, g, "db.index.fulltext.queryNodes",
+        "name", "the", Int.box(5), "english")
+    }
+  }
+
   test("graft.shortestPath.dijkstra takes the cheaper two-hop path via CALL…YIELD") {
     import spark.implicits._
     val nodes = Seq((0L, Seq("N"), "a"), (1L, Seq("N"), "b"), (2L, Seq("N"), "c"))
