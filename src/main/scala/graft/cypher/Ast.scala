@@ -179,9 +179,10 @@ object Ast {
   // ---- schema commands (reference SchemaLogicalPlan.scala: CreateIndex,
   //      CreateConstraint, DropIndexOnName, ShowIndexes, ShowConstraints) --
 
-  /** `CREATE INDEX name FOR (n:Label) ON (n.prop)` */
+  /** `CREATE [kind] INDEX name FOR (n:Label) ON (n.prop)` —
+    * kind ∈ range (default) / text / point / vector / fulltext */
   final case class CreateIndexClause(name: String, label: String,
-      prop: String) extends Clause
+      prop: String, kind: String = "range") extends Clause
   /** `CREATE CONSTRAINT name FOR (n:Label) REQUIRE n.prop IS UNIQUE |
     * IS NOT NULL | IS NODE KEY` → kind unique/exists/node_key */
   final case class CreateConstraintClause(name: String, label: String,

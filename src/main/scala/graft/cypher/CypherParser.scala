@@ -576,9 +576,19 @@ object CypherParser extends RegexParsers {
         CreateConstraintClause(name, label, prop, kind)
     }
 
+  /** `CREATE [RANGE|TEXT|POINT|VECTOR|FULLTEXT] INDEX name FOR (n:Label)
+    * ON (n.prop) [OPTIONS {…}]` — typed indexes per the reference
+    * (SchemaLogicalPlan CreateIndex index types; CREATE VECTOR INDEX per
+    * VectorIndexProcedures). OPTIONS (e.g. vector dimensions/similarity)
+    * parse and are advisory — the columnar layouts don't need them. */
   private def createIndexClause: Parser[Clause] =
-    (K("CREATE") ~> K("INDEX") ~> ident) ~ schemaTarget ^^ {
-      case name ~ ((label, prop)) => CreateIndexClause(name, label, prop)
+    (K("CREATE") ~> opt(
+      K("RANGE") ^^ (_ => "range") | K("TEXT") ^^ (_ => "text") |
+      K("POINT") ^^ (_ => "point") | K("VECTOR") ^^ (_ => "vector") |
+      K("FULLTEXT") ^^ (_ => "fulltext"))) ~
+      (K("INDEX") ~> ident) ~ schemaTarget ~ opt(K("OPTIONS") ~> mapLit) ^^ {
+      case kind ~ name ~ ((label, prop)) ~ _ =>
+        CreateIndexClause(name, label, prop, kind.getOrElse("range"))
     }
 
   private def dropSchemaClause: Parser[Clause] =

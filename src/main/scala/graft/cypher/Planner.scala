@@ -133,7 +133,7 @@ object Planner {
           case None => planCallSubquery(ctx, env, cs)
         }
       case c: CreateIndexClause =>
-        ctx.g = graft.graph.Schema.createIndex(ctx.g, c.name, c.label, c.prop)
+        ctx.g = graft.graph.Schema.createIndex(ctx.g, c.name, c.label, c.prop, c.kind)
       case c: CreateConstraintClause =>
         ctx.g = graft.graph.Schema.createConstraint(ctx.g, c.name, c.label,
           c.prop, c.kind)
@@ -187,7 +187,11 @@ object Planner {
       "replace", "split", "substring", "left", "right", "normalize",
       "char_length", "character_length")
     val temporal = Seq("date", "datetime", "localdatetime", "date.truncate",
-      "datetime.truncate", "duration", "duration.between", "duration.inDays",
+      "datetime.truncate", "localdatetime.truncate", "datetime.statement",
+      "datetime.transaction", "datetime.realtime", "date.statement",
+      "date.transaction", "date.realtime", "localdatetime.statement",
+      "localdatetime.transaction", "localdatetime.realtime",
+      "duration", "duration.between", "duration.inDays",
       "duration.inSeconds", "duration.inMonths")
     val spatial = Seq("point", "point.distance", "point.withinBBox", "distance")
     val vector = Seq("vector.similarity.cosine", "vector.similarity.euclidean")
@@ -2810,6 +2814,17 @@ object Planner {
         date_trunc(constString(args.head), c(args(1))).cast("date")
       case "datetime.truncate" =>
         date_trunc(constString(args.head), c(args(1)))
+      case "localdatetime.truncate" =>
+        date_trunc(constString(args.head), c(args(1))).cast("timestamp_ntz")
+      // clock variants (reference procedure/impl/temporal/*Function.java):
+      // statement and transaction clocks coincide in a single-statement
+      // engine; realtime is the wall clock — all three read one clock here
+      case "datetime.statement" | "datetime.transaction" | "datetime.realtime" =>
+        current_timestamp()
+      case "date.statement" | "date.transaction" | "date.realtime" =>
+        current_date()
+      case "localdatetime.statement" | "localdatetime.transaction" |
+           "localdatetime.realtime" => localtimestamp()
       // temporal durations (graft.functions.Durations — 4-field struct)
       case "duration" => args.head match {
         case MapLit(es) => // duration({years, months, days, hours, …})

@@ -77,13 +77,27 @@ object Procedures {
       .toDF("name", "label", "property", "type")
   })
 
-  /** db.index.fulltext.queryNodes(textProp, query, k[, analyzer]): BM25
-    * over a node property (reference FulltextProcedures.java:90; analyzer
-    * selection per FulltextProcedures.java:202). */
+  /** First arg of index procedures may be a catalog INDEX NAME (the
+    * reference's calling convention — procedures take the index, not the
+    * property) or a bare property name: resolve names of the wanted kind
+    * to (label-scoped rows, property). */
+  private def resolveIndex(g: PropertyGraph, arg: String, kind: String,
+      nodes: Boolean): (DataFrame, String) =
+    g.schema.indexes.find(i => i.name == arg && i.kind == kind) match {
+      case Some(i) if nodes => (g.nodesByLabel(i.label), i.prop)
+      case Some(i)          => (g.rels.filter(col("type") === i.label), i.prop)
+      case None if nodes    => (g.nodes, arg)
+      case None             => (g.rels, arg)
+    }
+
+  /** db.index.fulltext.queryNodes(indexNameOrProp, query, k[, analyzer]):
+    * BM25 over a node property (reference FulltextProcedures.java:90;
+    * analyzer selection per FulltextProcedures.java:202). */
   register("db.index.fulltext.querynodes", (_, g, args) => {
-    val Seq(prop: String, query: String, k: Number) = args.take(3)
+    val Seq(arg: String, query: String, k: Number) = args.take(3)
     val analyzer = args.lift(3).map(_.toString).getOrElse("standard")
-    Fulltext.bm25TopK(g.nodes.filter(col(prop).isNotNull), "id", prop, query,
+    val (rows, prop) = resolveIndex(g, arg, "fulltext", nodes = true)
+    Fulltext.bm25TopK(rows.filter(col(prop).isNotNull), "id", prop, query,
       k.intValue, analyzer = analyzer)
   })
 
@@ -91,10 +105,11 @@ object Procedures {
     * BM25 over a relationship property (reference
     * FulltextProcedures.java:120). */
   register("db.index.fulltext.queryrelationships", (_, g, args) => {
-    val Seq(prop: String, query: String, k: Number) = args.take(3)
+    val Seq(arg: String, query: String, k: Number) = args.take(3)
     val analyzer = args.lift(3).map(_.toString).getOrElse("standard")
-    require(g.rels.columns.contains(prop), s"unknown relationship property $prop")
-    Fulltext.bm25TopK(g.rels.filter(col(prop).isNotNull), "id", prop, query,
+    val (rows, prop) = resolveIndex(g, arg, "fulltext", nodes = false)
+    require(rows.columns.contains(prop), s"unknown relationship property $prop")
+    Fulltext.bm25TopK(rows.filter(col(prop).isNotNull), "id", prop, query,
       k.intValue, analyzer = analyzer)
   })
 
@@ -144,15 +159,18 @@ object Procedures {
       col("dist").as("totalCost"), col("path").as("relIds"), col("nodes").as("nodeIds"))
   })
 
-  /** db.index.vector.queryNodes(vecProp, k, queryVec): brute-force cosine
-    * top-k (reference VectorIndexProcedures.java:144). */
+  /** db.index.vector.queryNodes(indexNameOrProp, k, queryVec): brute-force
+    * cosine top-k (reference VectorIndexProcedures.java:144). Index names
+    * come from `CREATE VECTOR INDEX … FOR (n:Label) ON (n.prop)` and scope
+    * the scan to the indexed label. */
   register("db.index.vector.querynodes", (spark, g, args) => {
-    val Seq(prop: String, k: Number, qvec: Seq[_]) = args.toSeq
+    val Seq(arg: String, k: Number, qvec: Seq[_]) = args.take(3)
     import spark.implicits._
+    val (rows, prop) = resolveIndex(g, arg, "vector", nodes = true)
     val queries = Seq((0L, qvec.map(_.toString.toDouble).toArray))
       .toDF("qid", "qvec")
     Similarity.bruteForceTopK(
-      g.nodes.filter(col(prop).isNotNull).select(col("id"), col(prop).as("vec")),
+      rows.filter(col(prop).isNotNull).select(col("id"), col(prop).as("vec")),
       queries, k.intValue).drop("qid")
   })
 }

@@ -35,12 +35,17 @@ object GraphSchema {
 
 object Schema {
 
-  /** CREATE INDEX — records the layout declaration (applied at commit). */
+  /** CREATE INDEX — records the layout declaration (applied at commit).
+    * kind: range (layout driver) / text / point / vector / fulltext —
+    * non-range kinds are catalog entries that name-resolve in the
+    * matching procedures (db.index.vector.queryNodes, …). */
   def createIndex(g: PropertyGraph, name: String, label: String,
-      prop: String): PropertyGraph = {
+      prop: String, kind: String = "range"): PropertyGraph = {
+    require(Set("range", "text", "point", "vector", "fulltext")(kind),
+      s"unknown index kind $kind")
     require(!g.schema.indexes.exists(_.name == name), s"index $name already exists")
     g.copy(schema = g.schema.copy(
-      indexes = g.schema.indexes :+ IndexDef(name, label, prop)))
+      indexes = g.schema.indexes :+ IndexDef(name, label, prop, kind)))
   }
 
   /** CREATE CONSTRAINT — validates the existing data first (reference
@@ -102,7 +107,7 @@ object Schema {
     * table — the same limitation any sort-based layout has; additional
     * indexes still benefit from pushdown + dictionary stats.) */
   def applyLayout(g: PropertyGraph): PropertyGraph =
-    g.schema.indexes.headOption match {
+    g.schema.indexes.filter(_.kind == "range").headOption match {
       case Some(ix) if g.nodes.columns.contains(ix.prop) =>
         g.copy(nodes = g.nodes
           .repartitionByRange(col(ix.prop))

@@ -145,6 +145,18 @@ class CypherSpec extends AnyFunSuite {
     assert(p.toSeq == Seq(5L, 6L))
   }
 
+  test("temporal clock variants and localdatetime.truncate evaluate") {
+    val r = run(
+      """RETURN datetime.statement() AS a, date.realtime() AS b,
+        |localdatetime.transaction() AS c,
+        |localdatetime.truncate('month',
+        |  localdatetime({year: 2024, month: 5, day: 17})) AS t""".stripMargin)
+      .collect().head
+    assert(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+    assert(r.getAs[java.time.LocalDateTime](3) ==
+      java.time.LocalDateTime.of(2024, 5, 1, 0, 0))
+  }
+
   test("integer parameters are 64-bit (LongType) regardless of Scala literal width") {
     // Cypher integers are 64-bit; Int-valued params must widen to LongType.
     val small = run("RETURN $a + 1 AS v", Map("a" -> 41)).collect()

@@ -24,6 +24,29 @@ class SchemaSpec extends AnyFunSuite {
       spark.createDataFrame(spark.sparkContext.parallelize(Seq.empty[Row], 1), relSchema))
   }
 
+  test("CREATE VECTOR INDEX catalogs the index; procedures resolve it by name") {
+    import spark.implicits._
+    val nodes = Seq(
+      (1L, Seq("Doc"), Seq(1.0f, 0.0f)), (2L, Seq("Doc"), Seq(0.0f, 1.0f)),
+      (3L, Seq("Other"), Seq(1.0f, 0.1f))) // outside the indexed label
+      .toDF("id", "labels", "vec")
+    val rels = Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "type")
+    val g = PropertyGraph(nodes, rels)
+    val (g2, _) = Cypher.execute(spark, g,
+      """CREATE VECTOR INDEX v_ix FOR (n:Doc) ON (n.vec)
+        |OPTIONS {dimensions: 2, similarity: 'cosine'}""".stripMargin)
+    val shown = Cypher.run(spark, g2, "SHOW INDEXES").collect()
+      .map(r => (r.getString(0), r.getString(3)))
+    assert(shown.contains(("v_ix", "vector")))
+    // name resolution scopes the scan to :Doc — node 3 matches the query
+    // vector best but is outside the index
+    val top = graft.functions.Procedures.call(spark, g2,
+      "db.index.vector.queryNodes", "v_ix", Int.box(1), Seq(1.0, 0.0)).collect()
+    assert(top.map(_.getAs[Long]("id")).toSeq == Seq(1L))
+    // a vector index never drives the range sort layout
+    assert(Schema.applyLayout(g2).nodes eq g2.nodes)
+  }
+
   test("unique constraint validates on creation and rejects duplicates") {
     val clean = graph(Seq(1L -> "a", 2L -> "b", 3L -> null))
     // nulls are ignored by uniqueness (Cypher semantics)
