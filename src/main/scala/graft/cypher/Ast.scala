@@ -161,13 +161,19 @@ object Ast {
   /** `CALL proc.name(args) [YIELD a, b]` (reference procedure calls). */
   final case class CallClause(procedure: String, args: Seq[Expr],
       yields: Seq[String]) extends Clause
-  /** `CALL { <inner query> } [IN TRANSACTIONS [OF n ROWS]]` — subquery
+  /** `CALL { <inner query> } [IN TRANSACTIONS [OF n ROWS]
+    * [ON ERROR CONTINUE|BREAK|FAIL] [REPORT STATUS AS s]]` — subquery
     * (reference CALL-subquery / TransactionApply-TransactionForeach family,
     * LogicalPlan.scala:4039/:4100). `inTransactionsOf` batches the inner
-    * write over chunks of n input rows with a commit per chunk. */
+    * write over chunks of n input rows with a commit per chunk; a failed
+    * batch rolls back and `onError` decides whether the statement fails
+    * (default), skips on (continue), or stops starting batches (break);
+    * `statusVar` binds the per-row {started, committed, errorMessage}. */
   final case class CallSubquery(innerQ: Query,
       inTransactionsOf: Option[Long] = None,
-      optional: Boolean = false) extends Clause {
+      optional: Boolean = false,
+      onError: String = "fail",
+      statusVar: Option[String] = None) extends Clause {
     /** Single-part body (the common case; unions reject where unsupported). */
     def inner: SingleQuery = {
       require(innerQ.parts.size == 1,

@@ -608,11 +608,15 @@ object CypherParser extends RegexParsers {
   private def callSubquery: Parser[Clause] =
     opt(K("OPTIONAL")) ~ (K("CALL") ~> "{" ~> query <~ "}") ~
       opt(K("IN") ~> K("TRANSACTIONS") ~>
-        opt(K("OF") ~> """\d+""".r <~ K("ROWS"))) ^^ {
-      case o ~ q ~ None       => CallSubquery(q, optional = o.isDefined)
-      case o ~ q ~ Some(size) => // reference default batch size: 1000 rows
+        opt(K("OF") ~> """\d+""".r <~ K("ROWS")) ~
+        opt(K("ON") ~> K("ERROR") ~> (K("CONTINUE") ^^ (_ => "continue") |
+          K("BREAK") ^^ (_ => "break") | K("FAIL") ^^ (_ => "fail"))) ~
+        opt(K("REPORT") ~> K("STATUS") ~> K("AS") ~> ident)) ^^ {
+      case o ~ q ~ None => CallSubquery(q, optional = o.isDefined)
+      case o ~ q ~ Some(size ~ onErr ~ status) => // reference default: 1000 rows
         CallSubquery(q, Some(size.map(_.toLong).getOrElse(1000L)),
-          optional = o.isDefined)
+          optional = o.isDefined, onError = onErr.getOrElse("fail"),
+          statusVar = status)
     }
 
   private def callClause: Parser[Clause] =

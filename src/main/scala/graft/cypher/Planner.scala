@@ -81,7 +81,7 @@ object Planner {
     case _: CreateClause | _: MergeClause | _: SetClause | _: RemoveClause |
          _: DeleteClause | _: CreateIndexClause | _: CreateConstraintClause |
          _: DropSchemaClause | _: ForeachClause => true
-    case CallSubquery(q, _, _) => q.parts.exists(_.clauses.exists(isWrite))
+    case c: CallSubquery => c.innerQ.parts.exists(_.clauses.exists(isWrite))
     case _ => false
   }
 
@@ -545,7 +545,7 @@ object Planner {
         case MatchClause(_, ps, _, sh) =>
           ps.foreach(p => acc ++= p.name)
           sh.foreach(s => acc ++= s.pathVar)
-        case CallSubquery(q, _, _) => q.parts.foreach(_.clauses.foreach(pc))
+        case c: CallSubquery => c.innerQ.parts.foreach(_.clauses.foreach(pc))
         case _ => ()
       }
       q.clauses.foreach(pc)
@@ -647,7 +647,7 @@ object Planner {
       case DeleteClause(_, _)    => ()
       case f: ForeachClause      => walkForeach(f)
       case CallClause(_, args, _) => args.foreach(walk)
-      case CallSubquery(q, _, _) => q.parts.foreach(_.clauses.foreach(walkClause))
+      case c: CallSubquery => c.innerQ.parts.foreach(_.clauses.foreach(walkClause))
       case _ => () // schema commands carry no expressions
     }
     q.clauses.foreach(walkClause)
@@ -702,7 +702,7 @@ object Planner {
       case DeleteClause(vs, _)  => acc ++= vs
       case ForeachClause(_, list, updates) => walk(list); updates.foreach(walkClause)
       case CallClause(_, args, _) => args.foreach(walk)
-      case CallSubquery(q, _, _) => q.parts.foreach(_.clauses.foreach(walkClause))
+      case c: CallSubquery => c.innerQ.parts.foreach(_.clauses.foreach(walkClause))
       case _ => () // schema commands carry no expressions
     }
     q.clauses.foreach(walkClause)
@@ -1958,9 +1958,16 @@ object Planner {
       case _ => ()
     }
     val hasReturn = innerClauses.lastOption.exists(_.isInstanceOf[ReturnClause])
+    require(cs.statusVar.isEmpty || !hasReturn,
+      "REPORT STATUS is supported on the Foreach shape (no inner RETURN)")
+    require(cs.statusVar.isEmpty || cs.onError != "fail",
+      "REPORT STATUS requires ON ERROR CONTINUE or ON ERROR BREAK")
     val keep = importing match {
-      case Some(refs) => refKeyCols(df0, refs.sorted)
-      case None       => df0.columns.toSeq
+      // REPORT STATUS returns the full input rows + status, so every
+      // outer column rides along the numbering (inner scope is still the
+      // imported variables only — `binds` below)
+      case Some(refs) if cs.statusVar.isEmpty => refKeyCols(df0, refs.sorted)
+      case _                                  => df0.columns.toSeq
     }
     val binds = importing match {
       case Some(refs) => env.binds.view.filterKeys(refs.contains).toMap
@@ -1976,9 +1983,9 @@ object Planner {
       .localCheckpoint()
     val total = numbered.count()
     val keepVars = binds.keys.toSeq.sorted
-    val batchResults = Seq.newBuilder[DataFrame]
+    val batchResults = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var resultBinds: Map[String, Binding] = Map.empty
-    def runBatch(batch: DataFrame, commit: Boolean): Unit = {
+    def runBatch(batch: DataFrame, commit: Boolean): Option[DataFrame] = {
       var inner = Env(Some(batch), binds)
       innerClauses.foreach {
         case m: MatchClause   => inner = planMatch(ctx, inner, m)
@@ -2003,30 +2010,61 @@ object Planner {
         case other => throw new IllegalArgumentException(
           s"unsupported clause in CALL IN TRANSACTIONS: $other")
       }
-      if (hasReturn) {
+      val out = if (hasReturn) {
         // materialize the batch's rows AT its commit point: later batches
         // mutate the graph, and TransactionApply reports per-batch state
-        batchResults += inner.df.get.localCheckpoint()
         resultBinds = inner.binds
-      }
+        Some(inner.df.get.localCheckpoint())
+      } else None
       if (commit) ctx.g = ctx.txCommit(ctx.g) // transaction boundary
+      out
     }
+    // per-batch status rows for ON ERROR / REPORT STATUS (reference
+    // TransactionApply's statusses): a failed batch ROLLS BACK — snapshots
+    // are immutable, so rollback is restoring the pre-batch pointer
+    val statuses = Seq.newBuilder[(Long, Long, Boolean, Boolean, String)]
+    var broke = false
     var start = 1L
     var done = total == 0
     while (!done) {
       // overflow-safe upper bound (n = Long.MaxValue means "one batch")
       val hi = if (n >= Long.MaxValue - start) Long.MaxValue else start + n
-      runBatch(numbered.filter(col(rowId) >= start && col(rowId) < hi)
-        .drop(rowId), commit = true)
+      if (broke) statuses += ((start, hi, false, false, null))
+      else {
+        val before = ctx.g
+        try {
+          runBatch(numbered.filter(col(rowId) >= start && col(rowId) < hi)
+            .drop(rowId), commit = true).foreach(batchResults += _)
+          statuses += ((start, hi, true, true, null))
+        } catch {
+          case e: Exception if cs.onError != "fail" =>
+            ctx.g = before // rollback
+            statuses += ((start, hi, true, false, e.getMessage))
+            if (cs.onError == "break") broke = true
+        }
+      }
       done = hi > total
       start = hi
     }
     if (hasReturn) {
-      if (total == 0) // schema-only pass over zero rows, no commit
+      if (batchResults.isEmpty) // schema-only pass, no commit
         runBatch(numbered.limit(0).drop(rowId), commit = false)
-      Env(Some(batchResults.result().reduce(_ unionByName _)),
-        binds ++ resultBinds)
-    } else env // TransactionForeach: input rows pass through unchanged
+          .foreach(batchResults += _)
+      Env(Some(batchResults.reduce(_ unionByName _)), binds ++ resultBinds)
+    } else cs.statusVar match {
+      case Some(sv) =>
+        val spark = ctx.spark
+        import spark.implicits._
+        val stDf = statuses.result().toDF("__lo", "__hi", "__started",
+          "__committed", "__err")
+        val joined = numbered.join(broadcast(stDf),
+            col(rowId) >= col("__lo") && col(rowId) < col("__hi"), "left_outer")
+          .withColumn(sv, struct(col("__started").as("started"),
+            col("__committed").as("committed"), col("__err").as("errorMessage")))
+          .drop(rowId, "__lo", "__hi", "__started", "__committed", "__err")
+        Env(Some(joined), env.binds + (sv -> ValueVar))
+      case None => env // TransactionForeach: input rows pass through
+    }
   }
 
   /** Sequential 1-based row numbers WITHOUT a single-partition global
@@ -2408,7 +2446,21 @@ object Planner {
           val (lc, rc) = (c(l), c(r))
           if (isDurationType(dataTypeOf(env, lc)))
             graft.functions.Durations.times(lc, lit(1.0) / rc)
-          else lc / rc
+          else {
+            // Cypher `/` on two integers is INTEGER division (reference
+            // Divide.java: 10/3 = 3, errors on /0); Spark's `/` would cast
+            // to double. try_divide+floor won't match truncate-toward-zero
+            // for negatives, so divide then cast (ANSI cast of ±Inf raises,
+            // preserving the division-by-zero error).
+            import org.apache.spark.sql.types._
+            def integral(t: Option[DataType]) = t.exists {
+              case LongType | IntegerType | ShortType | ByteType => true
+              case _ => false
+            }
+            if (integral(dataTypeOf(env, lc)) && integral(dataTypeOf(env, rc)))
+              (lc / rc).cast("long")
+            else lc / rc
+          }
         case "%"  => c(l) % c(r)
         case "^"  => pow(c(l), c(r))
         case "="  => c(l) === c(r)

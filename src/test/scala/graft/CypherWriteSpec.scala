@@ -161,6 +161,49 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(logs.toSeq == Seq("Alice", "Bob", "Carol"))
   }
 
+  test("IN TRANSACTIONS ON ERROR CONTINUE rolls back the failed batch and reports status") {
+    // batch with x=0 fails (ANSI divide-by-zero inside the CREATE); its
+    // writes roll back, other batches commit, status reports per row
+    val (g2, rows) = Cypher.execute(spark, freshGraph,
+      """UNWIND [1, 0, 2] AS x
+        |CALL { WITH x
+        |  CREATE (:Calc {v: 10 / x})
+        |} IN TRANSACTIONS OF 1 ROWS ON ERROR CONTINUE REPORT STATUS AS s
+        |RETURN x, s.started AS started, s.committed AS committed
+        |ORDER BY x""".stripMargin)
+    val got = rows.get.collect().map(r =>
+      (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((0L, true, false), (1L, true, true), (2L, true, true)))
+    val vs = g2.nodes.filter(array_contains(col("labels"), "Calc"))
+      .select("v").collect().map(_.getLong(0)).sorted
+    assert(vs.toSeq == Seq(5L, 10L)) // x=0's write rolled back
+  }
+
+  test("IN TRANSACTIONS ON ERROR BREAK stops starting later batches") {
+    val (g2, rows) = Cypher.execute(spark, freshGraph,
+      """UNWIND [1, 0, 2] AS x
+        |CALL { WITH x
+        |  CREATE (:Calc {v: 10 / x})
+        |} IN TRANSACTIONS OF 1 ROWS ON ERROR BREAK REPORT STATUS AS s
+        |RETURN x, s.started AS started, s.committed AS committed
+        |ORDER BY x""".stripMargin)
+    val got = rows.get.collect().map(r =>
+      (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq((0L, true, false), (1L, true, true), (2L, false, false)))
+    val vs = g2.nodes.filter(array_contains(col("labels"), "Calc"))
+      .select("v").collect().map(_.getLong(0))
+    assert(vs.toSeq == Seq(10L)) // only the first batch committed
+  }
+
+  test("IN TRANSACTIONS default ON ERROR FAIL propagates the batch error") {
+    intercept[Exception] {
+      Cypher.execute(spark, freshGraph,
+        """UNWIND [1, 0] AS x
+          |CALL { WITH x CREATE (:Calc {v: 10 / x}) }
+          |IN TRANSACTIONS OF 1 ROWS""".stripMargin)
+    }
+  }
+
   test("IN TRANSACTIONS MERGE sees earlier batches' commits (no duplicates)") {
     var commits = 0
     val (g2, _) = Cypher.execute(spark, freshGraph,
