@@ -92,10 +92,20 @@ object Planner {
     * plan against). */
   /** Default per-transaction "commit": materialize the snapshot (eager
     * localCheckpoint — cuts lineage and makes the batch's effects concrete,
-    * like a flushed transaction). Pass a GraphStore-backed callback to
-    * Cypher.execute for durable versioned commits. */
-  val defaultTxCommit: PropertyGraph => PropertyGraph =
-    g => PropertyGraph(g.nodes.localCheckpoint(), g.rels.localCheckpoint())
+    * like a flushed transaction). The schema catalog rides along, and a
+    * side that is ALREADY a materialized checkpoint (its plan is a bare
+    * RDD scan — e.g. rels across a node-only batch) is not re-checkpointed:
+    * without that, k batches re-materialize the untouched table k times.
+    * Pass a GraphStore-backed callback to Cypher.execute for durable
+    * versioned commits. */
+  val defaultTxCommit: PropertyGraph => PropertyGraph = { g =>
+    def ckpt(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.logical match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => df
+        case _ => df.localCheckpoint()
+      }
+    g.copy(nodes = ckpt(g.nodes), rels = ckpt(g.rels))
+  }
 
   def execute(spark: SparkSession, g: PropertyGraph, query: Query,
       params: Map[String, Any],

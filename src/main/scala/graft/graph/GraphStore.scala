@@ -27,7 +27,39 @@ final class GraphStore(spark: SparkSession, dir: String) {
     require(version >= 0, s"no committed version in $dir")
     PropertyGraph(
       spark.read.parquet(s"$dir/v$version/nodes"),
-      spark.read.parquet(s"$dir/v$version/rels"))
+      spark.read.parquet(s"$dir/v$version/rels"),
+      readSchema(version))
+  }
+
+  /** Schema catalog per version (the reference persists index/constraint
+    * descriptors in the schema store — SchemaStore.java): one
+    * tab-separated line per object, written before the pointer flip. */
+  private def schemaFile(version: Long) = Paths.get(s"$dir/v$version/schema.tsv")
+
+  private def readSchema(version: Long): GraphSchema = {
+    if (!Files.exists(schemaFile(version))) GraphSchema.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val lines = Files.readAllLines(schemaFile(version)).asScala.filter(_.nonEmpty)
+      GraphSchema(
+        lines.collect { case l if l.startsWith("index\t") =>
+          val Array(_, n, lb, p, k) = l.split("\t", -1)
+          IndexDef(n, lb, p, k)
+        }.toSeq,
+        lines.collect { case l if l.startsWith("constraint\t") =>
+          val Array(_, n, lb, p, k) = l.split("\t", -1)
+          ConstraintDef(n, lb, p, k)
+        }.toSeq)
+    }
+  }
+
+  private def writeSchema(version: Long, s: GraphSchema): Unit = {
+    val body =
+      (s.indexes.map(i => s"index\t${i.name}\t${i.label}\t${i.prop}\t${i.kind}") ++
+        s.constraints.map(c => s"constraint\t${c.name}\t${c.label}\t${c.prop}\t${c.kind}"))
+        .mkString("\n")
+    Files.createDirectories(schemaFile(version).getParent)
+    Files.writeString(schemaFile(version), body)
   }
 
   /** Write the graph as the next version; returns the new version number.
@@ -42,6 +74,7 @@ final class GraphStore(spark: SparkSession, dir: String) {
     val next = currentVersion + 1
     g.nodes.write.mode("overwrite").parquet(s"$dir/v$next/nodes")
     g.rels.write.mode("overwrite").parquet(s"$dir/v$next/rels")
+    writeSchema(next, g.schema)
     val tmp = Paths.get(dir, s"_latest.tmp$next")
     Files.createDirectories(Paths.get(dir))
     Files.writeString(tmp, next.toString)

@@ -220,7 +220,8 @@ object UpdateOps {
         .join(idsOnly.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
         .join(idsOnly.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
         .select(g.rels.columns.map(col).toIndexedSeq: _*)
-      PropertyGraph(g.nodes.join(idsOnly, Seq("id"), "left_anti"), keptRels)
+      g.copy(nodes = g.nodes.join(idsOnly, Seq("id"), "left_anti"),
+        rels = keptRels)
     }
   }
 

@@ -47,6 +47,25 @@ class SchemaSpec extends AnyFunSuite {
     assert(Schema.applyLayout(g2).nodes eq g2.nodes)
   }
 
+  test("schema catalog survives tx commits, DETACH DELETE, and store round-trips") {
+    val g = graph(Seq(1L -> "a", 2L -> "b"))
+    val g1 = Schema.createConstraint(g, "uq_n", "P", "name", "unique")
+    // per-batch commits must not drop the catalog (defaultTxCommit)
+    val (g2, _) = Cypher.execute(spark, g1,
+      """MATCH (p:P) CALL { WITH p CREATE (:Tag {name: p.name}) }
+        |IN TRANSACTIONS OF 1 ROWS""".stripMargin)
+    assert(g2.schema.constraints.map(_.name) == Seq("uq_n"))
+    // DETACH DELETE must not drop the catalog either
+    val (g3, _) = Cypher.execute(spark, g2,
+      "MATCH (p:P {name: 'a'}) DETACH DELETE p")
+    assert(g3.schema.constraints.map(_.name) == Seq("uq_n"))
+    // versioned store persists and restores the catalog
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_schema").toString
+    val store = new GraphStore(spark, dir)
+    store.commit(g3)
+    assert(store.load().schema.constraints == g3.schema.constraints)
+  }
+
   test("unique constraint validates on creation and rejects duplicates") {
     val clean = graph(Seq(1L -> "a", 2L -> "b", 3L -> null))
     // nulls are ignored by uniqueness (Cypher semantics)
