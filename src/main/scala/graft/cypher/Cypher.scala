@@ -29,12 +29,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    aggregation — planned as frontier BFS); when paths must be
  *    enumerated it requires an explicit upper bound and raises otherwise.
  *  - Cypher's cross-type orderability (reference Values comparator): mixed
- *    literal lists (`UNWIND [1,'a',true,null]`) compile to a sortable
- *    struct encoding whose field order reproduces the global type-rank
- *    order (String < Boolean < Number, null last ascending);
- *    toString() decodes. Mixed values from other sources (columns are
- *    statically typed) remain compile-time errors. NULL placement in ORDER
- *    BY follows Cypher (last ASC, first DESC).
+ *    literal lists (`UNWIND [1,'a',true,null]`) and CASE expressions whose
+ *    branches return different types compile to a sortable struct encoding
+ *    whose field order reproduces the global type-rank order
+ *    (String < Boolean < Number, null last ascending); toString() decodes.
+ *    Mixed values from other sources (columns are statically typed) remain
+ *    compile-time errors. NULL placement in ORDER BY follows Cypher
+ *    (last ASC, first DESC).
  */
 object Cypher {
 

@@ -2530,13 +2530,44 @@ object Planner {
         }
       }
       case CaseExpr(subject, whens, default) =>
-        val branches = subject match {
-          case Some(s) => whens.map { case (w, t) => (c(s) === c(w), c(t)) }
-          case None    => whens.map { case (w, t) => (c(w), c(t)) }
+        val conds = subject match {
+          case Some(s) => whens.map { case (w, _) => c(s) === c(w) }
+          case None    => whens.map { case (w, _) => c(w) }
         }
+        val vals = (whens.map(_._2) ++ default.toSeq).map(c)
+        // Cypher CASE may return a DIFFERENT type per branch (reference
+        // values are dynamically typed); a Spark column cannot. When the
+        // branch types mix among string/boolean/number, encode every
+        // branch as the orderability struct — the same single-column
+        // representation mixed literal lists use — so the CASE result
+        // still sorts in Cypher's global order and toString() decodes.
+        import org.apache.spark.sql.types._
+        def kind(dt: DataType): Option[String] = dt match {
+          case StringType  => Some("str")
+          case BooleanType => Some("bool")
+          case LongType | IntegerType | ShortType | ByteType | DoubleType |
+               FloatType | _: DecimalType => Some("num")
+          case NullType    => None // null literal: compatible with any kind
+          case other       => Some(other.simpleString)
+        }
+        val kinds = vals.flatMap(v => dataTypeOf(env, v)).flatMap(kind).distinct
+        val mixedEncodable =
+          kinds.size > 1 && kinds.forall(Set("str", "bool", "num"))
+        def encode(v: Column): Column =
+          dataTypeOf(env, v).flatMap(kind) match {
+            case Some("str")  => graft.functions.Orderability.string(v)
+            case Some("bool") => graft.functions.Orderability.boolean(v)
+            case Some("num")  => graft.functions.Orderability.number(v)
+            case _            => graft.functions.Orderability.nullValue
+          }
+        val branchVals = if (mixedEncodable) vals.map(encode) else vals
+        val branches = conds.zip(branchVals)
         val start = when(branches.head._1, branches.head._2)
         val chained = branches.tail.foldLeft(start) { case (acc, (p, v)) => acc.when(p, v) }
-        default.fold(chained)(d => chained.otherwise(c(d)))
+        if (default.isDefined) chained.otherwise(branchVals.last)
+        else if (mixedEncodable)
+          chained.otherwise(graft.functions.Orderability.nullValue)
+        else chained
       case Index(Variable(v), i) if env.has(v) &&
           (env.binds(v) == NodeVar || env.binds(v) == RelVar) =>
         // dynamic property access n[key] — key must be resolvable at plan

@@ -145,6 +145,23 @@ class CypherSpec extends AnyFunSuite {
     assert(p.toSeq == Seq(5L, 6L))
   }
 
+  test("CASE with mixed-type branches encodes to cross-type orderability") {
+    // String < Boolean < Number in the global order; toString decodes
+    val rows = run(
+      """UNWIND [1, 2, 3] AS x
+        |WITH CASE WHEN x = 1 THEN 2 WHEN x = 2 THEN 'one' ELSE true END AS v
+        |RETURN toString(v) AS s ORDER BY v""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("one", "true", "2"))
+    // no-default mixed CASE yields an encoded null that sorts last
+    val withNull = run(
+      """UNWIND [1, 2] AS x
+        |WITH CASE WHEN x = 1 THEN 'a' WHEN x = 99 THEN 0 END AS v
+        |RETURN toString(v) AS s ORDER BY v""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(withNull.toSeq == Seq("a", "null"))
+  }
+
   test("temporal clock variants and localdatetime.truncate evaluate") {
     val r = run(
       """RETURN datetime.statement() AS a, date.realtime() AS b,
