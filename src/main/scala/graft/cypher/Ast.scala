@@ -158,9 +158,10 @@ object Ast {
   /** `FOREACH (v IN list | update…)` (reference Foreach :2082). */
   final case class ForeachClause(variable: String, list: Expr,
       updates: Seq[Clause]) extends Clause
-  /** `CALL proc.name(args) [YIELD a, b]` (reference procedure calls). */
+  /** `CALL proc.name(args) [YIELD a, b [WHERE pred]]` (reference procedure
+    * calls; YIELD…WHERE filters the yielded rows in place). */
   final case class CallClause(procedure: String, args: Seq[Expr],
-      yields: Seq[String]) extends Clause
+      yields: Seq[String], where: Option[Expr] = None) extends Clause
   /** `CALL { <inner query> } [IN TRANSACTIONS [OF n ROWS]
     * [ON ERROR CONTINUE|BREAK|FAIL] [REPORT STATUS AS s]]` — subquery
     * (reference CALL-subquery / TransactionApply-TransactionForeach family,

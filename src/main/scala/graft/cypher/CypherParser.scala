@@ -621,9 +621,10 @@ object CypherParser extends RegexParsers {
 
   private def callClause: Parser[Clause] =
     K("CALL") ~> funcName ~ opt("(" ~> repsep(expression, ",") <~ ")") ~
-      opt(K("YIELD") ~> rep1sep(ident, ",")) ^^ {
+      opt(K("YIELD") ~> rep1sep(ident, ",") ~ opt(K("WHERE") ~> expression)) ^^ {
       case name ~ args ~ ys =>
-        CallClause(name, args.getOrElse(Seq.empty), ys.getOrElse(Seq.empty))
+        CallClause(name, args.getOrElse(Seq.empty),
+          ys.map(_._1).getOrElse(Seq.empty), ys.flatMap(_._2))
     }
 
   private def clause: Parser[Clause] =

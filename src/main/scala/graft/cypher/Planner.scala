@@ -656,7 +656,7 @@ object Planner {
       case RemoveClause(_)       => ()
       case DeleteClause(_, _)    => ()
       case f: ForeachClause      => walkForeach(f)
-      case CallClause(_, args, _) => args.foreach(walk)
+      case c: CallClause => c.args.foreach(walk); c.where.foreach(walk)
       case c: CallSubquery => c.innerQ.parts.foreach(_.clauses.foreach(walkClause))
       case _ => () // schema commands carry no expressions
     }
@@ -711,7 +711,7 @@ object Planner {
       case RemoveClause(items)  => walkSetItems(items)
       case DeleteClause(vs, _)  => acc ++= vs
       case ForeachClause(_, list, updates) => walk(list); updates.foreach(walkClause)
-      case CallClause(_, args, _) => args.foreach(walk)
+      case c: CallClause => c.args.foreach(walk); c.where.foreach(walk)
       case c: CallSubquery => c.innerQ.parts.foreach(_.clauses.foreach(walkClause))
       case _ => () // schema commands carry no expressions
     }
@@ -1786,7 +1786,9 @@ object Planner {
       case None      => result
       case Some(cur) => cur.crossJoin(result)
     }
-    Env(Some(df), env.binds ++ result.columns.map(_ -> (ValueVar: Binding)))
+    val out = Env(Some(df), env.binds ++ result.columns.map(_ -> (ValueVar: Binding)))
+    // YIELD … WHERE filters the yielded rows (may also read outer vars)
+    cc.where.fold(out)(w => applyWhere(ctx, out, w))
   }
 
   /** CALL { inner }: uncorrelated form cross-joins the inner RETURN to every

@@ -31,6 +31,20 @@ object Dedup {
       .groupBy("h")
       .agg(min("id").as("representative"), count(lit(1)).as("dupCount"))
 
+  /** Duplicate RESOLUTION: every doc mapped to its cluster's canonical id
+    * (min id among identical texts) plus a keep flag — the projection a
+    * pipeline actually applies after detection (`filter(keep)` drops the
+    * duplicates, or join on `canonical` re-points references). One
+    * hash-groupBy shuffle; min-by-hash is a partial aggregate, so the
+    * mapping costs the same as `exact` at 100 TB. */
+  def exactCanonical(docs: DataFrame): DataFrame = {
+    val canon = docs.select(col("id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min("id").as("canonical"))
+    docs.select(col("id"), md5(col("text")).as("h"))
+      .join(canon, "h")
+      .select(col("id"), col("canonical"), (col("id") === col("canonical")).as("keep"))
+  }
+
   private val Prime = 2147483647L // 2^31-1; minhash universe
 
   /** Deterministic per-row hash of a shingle into [0, Prime). */

@@ -113,6 +113,21 @@ object Procedures {
       k.intValue, analyzer = analyzer)
   })
 
+  /** db.index.vector.queryRelationships(indexNameOrProp, k, queryVec):
+    * brute-force cosine top-k over a relationship vector property
+    * (reference VectorIndexProcedures.java:197 queryRelationships). */
+  register("db.index.vector.queryrelationships", (spark, g, args) => {
+    val Seq(arg: String, k: Number, qvec: Seq[_]) = args.take(3)
+    import spark.implicits._
+    val (rows, prop) = resolveIndex(g, arg, "vector", nodes = false)
+    require(rows.columns.contains(prop), s"unknown relationship property $prop")
+    val queries = Seq((0L, qvec.map(_.toString.toDouble).toArray))
+      .toDF("qid", "qvec")
+    Similarity.bruteForceTopK(
+      rows.filter(col(prop).isNotNull).select(col("id"), col(prop).as("vec")),
+      queries, k.intValue).drop("qid")
+  })
+
   /** graft.shortestPath.dijkstra(srcIds, dstIds, weightProp[,
     * defaultWeight[, relTypes[, maxIter]]]) — the weighted-shortest-path
     * procedure surface (reference graph-algo Dijkstra.java /

@@ -27,6 +27,16 @@ object PipelineQueries {
              |  count(*) AS dupCount
              |FROM documents GROUP BY md5(text)""".stripMargin)),
 
+    // Duplicate RESOLUTION: doc → canonical id + keep flag, the projection
+    // a pipeline applies after detection (filter(keep) or re-point refs).
+    QueryDef("q_dedup_canonical",
+      (s, d) => Dedup.exactCanonical(docs(s, d))
+        .select(col("id"), col("canonical"), col("keep")),
+      Some("""SELECT doc_id AS id,
+             |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical,
+             |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+             |FROM documents""".stripMargin)),
+
     // Exact n-gram (word-set) Jaccard pairs within (lang, source) blocks —
     // the verification metric of the dedup family, blocked so the pair join
     // never goes quadratic in the corpus.

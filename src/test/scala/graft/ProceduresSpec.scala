@@ -73,6 +73,27 @@ class ProceduresSpec extends AnyFunSuite {
     }
   }
 
+  test("db.index.vector.queryRelationships ranks rels by a vector property") {
+    import spark.implicits._
+    val nodes = Seq((1L, Seq("N"), "a")).toDF("id", "labels", "name")
+    val rels = Seq(
+      (10L, 1L, 1L, "R", Seq(1.0f, 0.0f)),
+      (11L, 1L, 1L, "R", Seq(0.0f, 1.0f)))
+      .toDF("id", "src", "dst", "type", "vec")
+    val g = graft.graph.PropertyGraph(nodes, rels)
+    val top = Procedures.call(spark, g, "db.index.vector.queryRelationships",
+      "vec", Int.box(1), Seq(0.9, 0.1)).collect()
+    assert(top.map(_.getAs[Long]("id")).toSeq == Seq(10L))
+  }
+
+  test("CALL … YIELD … WHERE filters the yielded rows") {
+    val g = GraphFixtures.starGraph(spark, 4)
+    val rows = graft.cypher.Cypher.run(spark, g,
+      """CALL db.labels() YIELD label, nodeCount WHERE nodeCount > 1
+        |RETURN label""".stripMargin).collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Ring"))
+  }
+
   test("graft.shortestPath.dijkstra takes the cheaper two-hop path via CALL…YIELD") {
     import spark.implicits._
     val nodes = Seq((0L, Seq("N"), "a"), (1L, Seq("N"), "b"), (2L, Seq("N"), "c"))
