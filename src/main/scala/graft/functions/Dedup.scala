@@ -123,6 +123,26 @@ object Dedup {
       .select("idA", "idB", "jaccard")
   }
 
+  /** Near-duplicate CLUSTER resolution — the full pipeline a 100 TB dedup
+    * run executes: MinHash+LSH candidates, exact-Jaccard verification
+    * (minhashDedup), then CONNECTED COMPONENTS over the duplicate-pair
+    * graph so transitive duplicates (A≈B, B≈C but A̸≈C) land in ONE
+    * cluster, mapped to a canonical id (cluster minimum). Docs with no
+    * near-duplicate map to themselves. Components use the large-star/
+    * small-star contraction (O(log n) rounds), so the resolution step
+    * scales with the duplicate-pair graph, not the corpus.
+    * @return (id, canonical, keep) for EVERY input doc */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = minhashDedup(docs, threshold, shingleSize)
+      .select(col("idA").as("src"), col("idB").as("dst"))
+    val comp = graft.ops.Bfs.connectedComponents(pairs)
+    docs.select(col("id"))
+      .join(comp.withColumnRenamed("node", "id"), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("canonical"))
+      .withColumn("keep", col("id") === col("canonical"))
+  }
+
   /** 64-bit SimHash signature per document: sign of the per-bit weighted sum
     * of token hashes. Computed by explode + 64 conditional-sum aggregates
     * (one shuffle keyed by doc id; partial aggregation makes it map-mostly). */

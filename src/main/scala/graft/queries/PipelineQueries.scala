@@ -37,6 +37,16 @@ object PipelineQueries {
              |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
              |FROM documents""".stripMargin)),
 
+    // Near-dup CLUSTER resolution: minhash candidates → exact-Jaccard
+    // verify → connected components → canonical per cluster. xxhash64-
+    // seeded sketches aren't reproducible in DuckDB → rows-only; the
+    // planted-transitive-duplicate contract is locked in DedupSpec.
+    QueryDef("q_dedup_clusters",
+      (s, d) => Dedup.nearDupClusters(docs(s, d), threshold = 0.8)
+        .groupBy("keep").agg(count(lit(1)).as("n"))
+        .orderBy(col("keep")),
+      None),
+
     // Exact n-gram (word-set) Jaccard pairs within (lang, source) blocks —
     // the verification metric of the dedup family, blocked so the pair join
     // never goes quadratic in the corpus.

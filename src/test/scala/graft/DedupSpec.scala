@@ -42,6 +42,23 @@ class DedupSpec extends AnyFunSuite {
     assert(exactPair === 1.0, "identical docs must have estimate 1.0")
   }
 
+  test("nearDupClusters resolves transitive duplicates to one canonical id") {
+    // chain: 0 ≈ 1 ≈ 6 (each one edit apart; 0 vs 6 two edits, still ≥ 0.6
+    // Jaccard, but the point is the UNION of pairwise edges into a cluster)
+    val chained = docs.union(Seq(
+      (6L, nearDup.replace("rain", "snow"))).toDF("id", "text"))
+    val out = Dedup.nearDupClusters(chained, threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // 0, 1, 2, 6 all canonicalize to 0; exactly one keeper in the cluster
+    assert(out(0L) == (0L, true) && out(1L) == (0L, false) &&
+      out(2L) == (0L, false) && out(6L) == (0L, false))
+    // unrelated + the short pair keep their own clusters
+    assert(out(3L) == (3L, true))
+    assert(out(4L)._1 == out(5L)._1) // short texts cluster together
+    val keepers = out.values.count(_._2)
+    assert(keepers == 3, s"expected 3 clusters, got $out")
+  }
+
   test("simhash hamming distance is 0 for identical, small for near-dup") {
     val pairs = Dedup.simhashDedup(docs, maxHamming = 10).collect()
       .map(r => (r.getLong(1), r.getLong(0), r.getInt(2)))
