@@ -112,13 +112,37 @@ object Similarity {
       nList: Int = 64, nProbe: Int = 8, kmeansIters: Int = 2): DataFrame = {
     val c = corpus.select(col("id"), asDouble(col("vec")).as("v"))
       .localCheckpoint(false)
-    // Centroids train on a deterministic SAMPLE (id-hash order), bounded at
-    // nList*32 rows REGARDLESS of corpus size — standard IVF practice
-    // (FAISS trains on a bounded sample). Because the sample is bounded,
-    // the k-means loop runs on the DRIVER: one collect of ≤nList*32
-    // vectors, then plain-array iterations, instead of kmeansIters Spark
-    // jobs of two shuffles each. Only the single final assignment pass
-    // touches the full corpus.
+    val unitCents = trainUnitCentroids(c, nList, kmeansIters)
+    val assigned = assignCells(c, unitCents) // persisted form: saveIvfIndex
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centsDf = unitCents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
+      .toDF("cid", "cv")
+    val q = queries.select(col("qid"), asDouble(col("qvec")).as("qv"))
+    val wq = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centsDf))
+      .withColumn("csim", dot(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select("qid", "qv", "cid")
+    // a corpus row lives in exactly one cell → no (qid, id) duplicates
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Sample-trained k-means centroids, unit-normalized. Centroids train on
+    * a deterministic SAMPLE (id-hash order), bounded at nList*32 rows
+    * REGARDLESS of corpus size — standard IVF practice (FAISS trains on a
+    * bounded sample). Because the sample is bounded, the k-means loop runs
+    * on the DRIVER: one collect of ≤nList*32 vectors, then plain-array
+    * iterations, instead of kmeansIters Spark jobs of two shuffles each.
+    * UNIT centroids ship downstream: cell ranking by cosine is identical
+    * to ranking by dot against the unit vector, and dot is one array pass
+    * instead of three. */
+  private def trainUnitCentroids(c: DataFrame, nList: Int,
+      kmeansIters: Int): Array[(Int, Array[Double])] = {
     val train: Array[Array[Double]] = c
       .withColumn("__h", xxhash64(col("id")))
       .orderBy("__h").limit(math.max(nList * 32, 1024))
@@ -155,24 +179,48 @@ object Similarity {
       }.toArray
       it += 1
     }
-    // Ship UNIT centroids everywhere downstream: cell ranking by cosine is
-    // identical to ranking by dot against the unit vector, and dot is one
-    // array pass instead of three.
-    val unitCents: Array[(Int, Array[Double])] =
-      cents.map(unitOf).zipWithIndex.map { case (v, i) => (i, v) }
-    val assigned = assignCells(c, unitCents) // at scale: persist partitioned by cid
+    cents.map(unitOf).zipWithIndex.map { case (v, i) => (i, v) }
+  }
+
+  /**
+   * Persist an IVF layout: train centroids, assign every corpus row, write
+   * the cells as parquet PARTITIONED BY cid with the unit centroids
+   * alongside. This is the durable form of FAISS's inverted lists: a
+   * query touches nProbe cell partitions and parquet partition pruning
+   * skips every other file — at 100 TB the scan cost is
+   * corpus × nProbe / nList, not the corpus.
+   */
+  def saveIvfIndex(corpus: DataFrame, dir: String, nList: Int = 64,
+      kmeansIters: Int = 2): Unit = {
+    val c = corpus.select(col("id"), asDouble(col("vec")).as("v"))
+      .localCheckpoint(false)
+    val unitCents = trainUnitCentroids(c, nList, kmeansIters)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centsDf = unitCents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
-      .toDF("cid", "cv")
+    assignCells(c, unitCents).write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$dir/cells")
+    unitCents.map { case (cid, v) => (cid, v.toSeq) }.toSeq.toDF("cid", "cv")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Query a persisted IVF index (saveIvfIndex): rank cells by the stored
+    * unit centroids, then scan ONLY the probed cell partitions — the cid
+    * filter is a static partition filter, so pruning is file-level. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nProbe: Int = 8): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qv"))
     val wq = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)
-    val probes = q.crossJoin(broadcast(centsDf))
+    val probes = q.crossJoin(broadcast(cents))
       .withColumn("csim", dot(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select("qid", "qv", "cid")
-    // a corpus row lives in exactly one cell → no (qid, id) duplicates
-    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .localCheckpoint() // tiny: |queries| × nProbe rows
+    val probeCids = probes.select("cid").distinct().collect()
+      .map(_.get(0)).toSeq
+    val cells = spark.read.parquet(s"$dir/cells")
+      .filter(col("cid").isin(probeCids: _*))
+    val scored = cells.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)

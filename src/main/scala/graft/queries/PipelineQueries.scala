@@ -126,6 +126,23 @@ object PipelineQueries {
       },
       None),
 
+    // Persisted IVF layout: cells written partitioned by cid, queries scan
+    // ONLY the probed partitions (file-level pruning — the durable form of
+    // FAISS inverted lists). Rows-only like the other ANN sketches;
+    // equality-vs-in-memory and pruning gated in SimilaritySpec.
+    QueryDef("q_knn_ivf_indexed",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+        Similarity.saveIvfIndex(corpus, dir, nList = 32)
+        Similarity.ivfTopKIndexed(s, dir, queries, 10, nProbe = 8)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("id"))
+      },
+      None),
+
     QueryDef("q_cosine_near_dup",
       (s, d) => {
         val emb = t(s, d, "embeddings")

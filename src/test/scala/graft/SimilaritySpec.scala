@@ -85,6 +85,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("persisted IVF index matches in-memory IVF and prunes cell partitions") {
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 2)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIvfIndex(corpus, dir, nList = 8)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, queries, 5, nProbe = 3)
+    val inMem = Similarity.ivfTopK(corpus, queries, 5, nList = 8, nProbe = 3)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("id"))).toSet
+    assert(keyed(indexed) == keyed(inMem))
+    // the probed-cell filter must reach the scan as a PARTITION filter
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"cid probe filter not a partition filter:\n${plan.take(2000)}")
+  }
+
   test("cosineNearDup finds planted duplicate vector") {
     val base = Array.fill(8)(1.0f)
     val dup = base.clone(); dup(0) = 0.99f
