@@ -90,6 +90,22 @@ object EventQueries {
              |  count(*) AS n_events
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Stream-stream interval join batch twin: click→purchase funnel within
+    // 1 hour per user. Micros-exact comparison on both sides (Spark ts is
+    // TIMESTAMP(µs) after the nanos conversion; the oracle compares
+    // epoch_us so the boundary can't drift a nanosecond).
+    QueryDef("q_events_funnel",
+      (s, d) => {
+        val ev = events(s, d)
+        graft.streaming.EventStreams.funnelJoin(ev, ev)
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id,
+             |  p.event_id AS purchase_id, p.value AS purchase_value
+             |FROM events c JOIN events p ON p.user_id = c.user_id
+             |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND epoch_us(p.ts) > epoch_us(c.ts)
+             |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin)),
+
     // approx_count_distinct (HLL) — reference has exact-only aggregation
     // (SURVEY §2.5 gap); sketch estimates are implementation-specific →
     // rows-only check, accuracy asserted in AggregationSpec.

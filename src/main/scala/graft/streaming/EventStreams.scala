@@ -93,6 +93,36 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Stream-stream INTERVAL JOIN: pair each `leftType` event with the same
+    * user's `rightType` events that follow within `within` (funnel
+    * conversion — click→purchase attribution). Streaming needs watermarks
+    * on BOTH sides plus a bounded time-range condition so each side's
+    * state store can evict rows that can no longer match; the batch twin
+    * (q_events_funnel) is the identical join condition. The join keys on
+    * user_id, so both sides hash-partition the same way and at 100 TB the
+    * state is per-user-bounded, not global. */
+  def funnelJoin(left: DataFrame, right: DataFrame,
+      leftType: String = "click", rightType: String = "purchase",
+      within: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val l0 = left.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("l_ts"))
+    val r0 = right.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("event_id").as("purchase_id"),
+        col("ts").as("r_ts"), col("value").as("purchase_value"))
+    val (l, r) =
+      if (left.isStreaming)
+        (l0.withWatermark("l_ts", watermarkDelay),
+          r0.withWatermark("r_ts", watermarkDelay))
+      else (l0, r0)
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_value"))
+  }
+
   /** Per-type distinct users — streaming uses approx_count_distinct because
     * exact distinct needs unbounded state; batch twin q_events_distinct_users
     * is exact. */

@@ -105,6 +105,21 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("stream-stream funnel join equals the batch interval join") {
+    val stream = EventStreams.readEvents(spark, streamDir)
+    val joined = EventStreams.funnelJoin(stream, stream)
+    val q = joined.writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventStreams.funnelJoin(batchEvents, batchEvents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size} rows")
+    assert(batch.nonEmpty, "fixture produced no click->purchase pairs")
+  }
+
   test("incremental micro-batches: stream really ran more than one batch") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val q = EventStreams.tumblingCounts(stream).writeStream
