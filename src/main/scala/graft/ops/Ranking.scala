@@ -82,4 +82,47 @@ object Ranking {
       .unionByName(t.select(col("c").as("node")))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
+
+  /**
+   * Label propagation (community detection, Raghavan et al. 2007) with
+   * SYNCHRONOUS updates and deterministic tie-breaks: every node adopts
+   * the most frequent label among its undirected neighbors each round,
+   * ties resolved to the smallest label — so the result is reproducible
+   * (the usual async/random variant is not). Labels init to node ids.
+   * Each round is one join + two aggregates, all hash-partitioned on the
+   * node key; rounds are bounded by `iterations` (label prop oscillates on
+   * bipartite-ish structures rather than converging, so a fixed budget is
+   * the standard stop rule).
+   *
+   * @param edges (src, dst) — direction ignored
+   * @return (node, label) — nodes sharing a label form a community
+   */
+  def labelPropagation(edges: DataFrame, iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"bad iterations: $iterations")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val sym = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
+    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    var i = 0
+    while (i < iterations) {
+      // most frequent neighbor label; (count DESC, label ASC) via max of
+      // a (count, -label) struct so the round is two partial-aggregable
+      // aggregates, no window
+      val freq = sym
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("__n"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("__n"), (-col("label")).as("__neg"))).as("__m"))
+        .select(col("u").as("node"), (-col("__m.__neg")).as("label"))
+      labels = nodes.join(freq, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    labels
+  }
 }

@@ -217,6 +217,24 @@ object GraphQueries {
              |    WHERE n_regionkey = r_regionkey), 4)
              |FROM region""".stripMargin)),
 
+    // Label propagation (community detection; synchronous, deterministic
+    // min-tie-break) over the same-region nation cliques: a clique of
+    // size ≥ 3 stabilizes at its min member id within 2 rounds, so the
+    // oracle is the per-region minimum.
+    QueryDef("q_label_propagation",
+      (s, d) => {
+        val n = t(s, d, "nation")
+        val edges = n.alias("a").join(n.alias("b"),
+            col("a.n_regionkey") === col("b.n_regionkey") &&
+              col("a.n_nationkey") < col("b.n_nationkey"))
+          .select(col("a.n_nationkey").cast("long").as("src"),
+            col("b.n_nationkey").cast("long").as("dst"))
+        Ranking.labelPropagation(edges, iterations = 4)
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS node,
+             |  CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS label
+             |FROM nation""".stripMargin)),
+
     // Triangle counting: nations linked iff same region → each region is a
     // clique; triangles = Σ C(|region|, 3), counted by the two-join
     // canonical-orientation enumeration.

@@ -50,6 +50,20 @@ class RankingSpec extends AnyFunSuite {
     assert(counts == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("label propagation converges cliques to their minimum id") {
+    // two disjoint cliques; sync LPA stabilizes each at its min label
+    // within 2 rounds (round 1: non-min nodes adopt the min; round 2:
+    // the min node follows)
+    def clique(ids: Seq[Long]) =
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L)))
+      .toDF("src", "dst")
+    val labels = Ranking.labelPropagation(edges, iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), s"got $labels")
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L), s"got $labels")
+  }
+
   test("two shared-edge triangles count separately") {
     // 1-2-3 and 1-2-4
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (1L, 4L))
