@@ -100,4 +100,49 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
+
+  // ---- repetition signals (Gopher-style quality filters, Rae et al.
+  // 2021 §A1.1: documents dominated by repeated lines / n-grams are
+  // boilerplate or spam and get dropped before training) -----------------
+
+  /** Fraction of lines that are duplicates of an earlier line
+    * (0 = all lines distinct, →1 = one line repeated over and over).
+    * Lines split on newline, trimmed, empties ignored. */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+  }
+
+  /** Fraction of all tokens covered by occurrences of the single most
+    * frequent word n-gram (Gopher's top-n-gram fraction): high values
+    * mean one phrase dominates the document. The per-row count is a
+    * longest-equal-run scan over the SORTED shingle array — O(S log S)
+    * per document, not the O(S²) count-per-distinct-shingle form. */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val sorted = sort_array(shingles(text, n))
+    val top = aggregate(sorted,
+      struct(lit(null).cast("string").as("p"), lit(0).as("r"), lit(0).as("b")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("p"), acc.getField("r") + 1).otherwise(lit(1))
+        struct(x.as("p"), run.as("r"),
+          greatest(acc.getField("b"), run).as("b"))
+      },
+      acc => acc.getField("b"))
+    val total = tokenCount(text)
+    when(total === 0 || size(sorted) === 0, lit(0.0))
+      .otherwise((top * n).cast("double") / total)
+  }
+
+  /** Fraction of tokens inside word n-grams that occur more than once
+    * (duplicate-n-gram coverage — the companion Gopher signal to the
+    * top-n-gram fraction). Approximated as duplicated-shingle count × n
+    * over the token count, capped at 1. */
+  def duplicateNgramFraction(text: Column, n: Int): Column = {
+    val sh = shingles(text, n)
+    val dups = size(sh) - size(array_distinct(sh))
+    val total = tokenCount(text)
+    when(total === 0, lit(0.0))
+      .otherwise(least((dups * n).cast("double") / total, lit(1.0)))
+  }
 }

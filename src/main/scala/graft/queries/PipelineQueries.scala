@@ -153,6 +153,36 @@ object PipelineQueries {
       },
       None),
 
+    // Repetition quality signals (Gopher-style filters, Rae et al. 2021
+    // §A1.1): duplicate-line fraction, top-bigram coverage, duplicate-
+    // bigram coverage — the pre-training boilerplate/spam drop criteria.
+    QueryDef("q_text_repetition",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        round(TextFunctions.duplicateLineFraction(col("text")), 4).as("dup_line_frac"),
+        round(TextFunctions.topNgramFraction(col("text"), 2), 4).as("top_bigram_frac"),
+        round(TextFunctions.duplicateNgramFraction(col("text"), 2), 4).as("dup_bigram_frac")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, t,
+             |    CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+             |    ELSE list_transform(generate_series(1, len(t) - 1),
+             |      i -> array_to_string(t[i:i+1], ' ')) END AS s,
+             |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+             |      l -> l <> '') AS lines
+             |  FROM tok)
+             |SELECT doc_id,
+             |  round(CASE WHEN len(lines) = 0 THEN 0.0
+             |    ELSE (len(lines) - len(list_distinct(lines))) / len(lines)::double END, 4) AS dup_line_frac,
+             |  round(CASE WHEN len(t) = 0 OR len(s) = 0 THEN 0.0
+             |    ELSE list_max(list_transform(list_distinct(s),
+             |      g -> len(list_filter(s, x -> x = g)))) * 2 / len(t)::double END, 4) AS top_bigram_frac,
+             |  round(CASE WHEN len(t) = 0 THEN 0.0
+             |    ELSE least((len(s) - len(list_distinct(s))) * 2 / len(t)::double, 1.0) END, 4) AS dup_bigram_frac
+             |FROM sh""".stripMargin)),
+
     // Text analysis: token counts (whitespace + BPE-ish regex).
     QueryDef("q_token_count",
       (s, d) => t(s, d, "documents")

@@ -43,6 +43,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(a !== b)
   }
 
+  test("repetition signals: duplicate lines, top/duplicate bigram coverage") {
+    // 4 non-empty lines, 2 distinct → (4-2)/4 duplicated
+    val spammy = "spam spam\nreal line one\nspam spam\nspam spam"
+    assert(one[Double](duplicateLineFraction(col("t")), spammy) === 0.5)
+    assert(one[Double](duplicateLineFraction(col("t")), "a\nb\nc") === 0.0)
+    assert(one[Double](duplicateLineFraction(col("t")), "") === 0.0)
+    // "buy now buy now buy now": bigrams = [buy now, now buy, buy now,
+    // now buy, buy now] → top = "buy now"×3 → 3*2/6 tokens = 1.0
+    assert(one[Double](topNgramFraction(col("t"), 2), "buy now buy now buy now") === 1.0)
+    val varied = one[Double](topNgramFraction(col("t"), 2), "all words here are different ones")
+    assert(varied < 0.5)
+    // duplicated bigrams: 5 bigrams, 2 distinct → 3 dups × 2 / 6, capped 1.0
+    val dupFrac = one[Double](duplicateNgramFraction(col("t"), 2), "buy now buy now buy now")
+    assert(dupFrac === 1.0)
+    // 4 bigrams, 3 distinct → 1 dup × 2 / 5 tokens
+    val partial = one[Double](duplicateNgramFraction(col("t"), 2), "a b a b c")
+    assert(math.abs(partial - 2.0 / 5.0) < 1e-12)
+    assert(one[Double](duplicateNgramFraction(col("t"), 2), "a b c d") === 0.0)
+  }
+
   test("qualityScore in [0,1], higher for natural text") {
     val nat = one[Double](qualityScore(col("t")),
       "The quick brown fox jumps over the lazy dog and runs through the field with great joy.")
