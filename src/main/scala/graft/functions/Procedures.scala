@@ -129,14 +129,16 @@ object Procedures {
   })
 
   /** graft.shortestPath.dijkstra(srcIds, dstIds, weightProp[,
-    * defaultWeight[, relTypes[, maxIter]]]) — the weighted-shortest-path
-    * procedure surface (reference graph-algo Dijkstra.java /
-    * DijkstraBidirectional.java; classic `algo.shortestPath`-style call).
-    * srcIds: node id or list; dstIds: node id / list / [] = every reached
-    * node (SSSP output — no sources × candidates pair set is ever built).
-    * Rels missing the weight property take `defaultWeight` when given and
-    * are excluded otherwise. Runs the frontier-parallel relaxation of
-    * WeightedPaths (a priority queue doesn't distribute).
+    * defaultWeight[, relTypes[, maxIter[, direction]]]]) — the
+    * weighted-shortest-path procedure surface (reference graph-algo
+    * Dijkstra.java / DijkstraBidirectional.java; classic
+    * `algo.shortestPath`-style call). srcIds: node id or list; dstIds:
+    * node id / list / [] = every reached node (SSSP output — no
+    * sources × candidates pair set is ever built). Rels missing the
+    * weight property take `defaultWeight` when given and are excluded
+    * otherwise. direction OUT (default) / IN / BOTH orients the expansion
+    * like the reference's PathExpander. Runs the frontier-parallel
+    * relaxation of WeightedPaths (a priority queue doesn't distribute).
     * YIELDs (sourceNode, targetNode, totalCost, relIds, nodeIds). */
   register("graft.shortestpath.dijkstra", (spark, g, args) => {
     import spark.implicits._
@@ -157,6 +159,7 @@ object Procedures {
         s"expected relationship type(s), got $other")
     }.getOrElse(Seq.empty)
     val maxIter = args.lift(5).collect { case n: Number => n.intValue }.getOrElse(50)
+    val direction = args.lift(6).map(_.toString.toUpperCase).getOrElse("OUT")
     require(g.rels.columns.contains(prop), s"unknown relationship property $prop")
     require(srcs.nonEmpty, "dijkstra needs at least one source node id")
     val base = if (types.isEmpty) g.rels else g.rels.filter(col("type").isin(types: _*))
@@ -164,7 +167,16 @@ object Procedures {
       case Some(d) => coalesce(col(prop).cast("double"), lit(d))
       case None    => col(prop).cast("double")
     }
-    val edges0 = base.select(col("id"), col("src"), col("dst"), w.as("weight"))
+    val fwd = base.select(col("id"), col("src"), col("dst"), w.as("weight"))
+    val rev = base.select(col("id"), col("dst").as("src"), col("src").as("dst"),
+      w.as("weight"))
+    val edges0 = direction match {
+      case "OUT"  => fwd
+      case "IN"   => rev
+      case "BOTH" => fwd.unionByName(rev)
+      case other  => throw new IllegalArgumentException(
+        s"direction must be OUT, IN or BOTH, got $other")
+    }
     val edges = if (defaultW.isDefined) edges0 else edges0.filter(col("weight").isNotNull)
     val res = graft.ops.WeightedPaths.shortestPaths(edges, srcs.toDF("source"), maxIter)
     val restricted =

@@ -94,6 +94,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.mkString("\n").contains("Scan parquet"))
   }
 
+  test("funnel join pushes the event-type filters to both scans") {
+    val ev = TestSession.spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", graft.GraftSession.nanosToTimestamp(
+        org.apache.spark.sql.functions.col("ts")))
+    val plan = graft.streaming.EventStreams.funnelJoin(ev, ev)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(event_type,click)") &&
+      plan.contains("EqualTo(event_type,purchase)"),
+      s"event_type filters not pushed to the scans:\n${plan.take(3000)}")
+  }
+
   test("unbound-target SHORTEST has no cartesian pair seed") {
     val plan = executedPlan(
       """MATCH p = SHORTEST 2 (c:Customer {key: 1})-[:PLACED]->{1,2}(o:Order)

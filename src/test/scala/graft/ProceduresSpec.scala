@@ -114,6 +114,13 @@ class ProceduresSpec extends AnyFunSuite {
     val all = Procedures.call(spark, g, "graft.shortestPath.dijkstra",
       Seq(0L), Seq.empty, "w").collect()
     assert(all.map(_.getAs[Long]("targetNode")).toSet == Set(0L, 1L, 2L))
+    // direction IN walks edges backwards; BOTH reaches everything from 2
+    val in = Procedures.call(spark, g, "graft.shortestPath.dijkstra",
+      Seq(2L), Seq(0L), "w", Double.box(1.0), Seq.empty, Int.box(50), "IN").collect()
+    assert(in.length == 1 && in.head.getAs[Double]("totalCost") == 2.0)
+    val both = Procedures.call(spark, g, "graft.shortestPath.dijkstra",
+      Seq(1L), Seq.empty, "w", Double.box(1.0), Seq.empty, Int.box(50), "BOTH").collect()
+    assert(both.map(_.getAs[Long]("targetNode")).toSet == Set(0L, 1L, 2L))
   }
 
   test("user procedures register and dispatch") {
