@@ -93,13 +93,21 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), lit(1000000007L)), lit(2147483647L)))
 
-  /** Word n-gram shingles (n consecutive tokens joined by space). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles from a pre-materialized token ARRAY column.
+    * Spark expressions are trees, not DAGs: a lambda that references a
+    * big subtree re-evaluates it PER ELEMENT, so hot paths must pass a
+    * real column here (materialized via withColumn), not `tokens(text)`
+    * inline — with an attribute reference the per-element work is just
+    * the slice. */
+  def shinglesOf(toks: Column, n: Int): Column =
     when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
-  }
+
+  /** Word n-gram shingles (n consecutive tokens joined by space).
+    * Convenience form; for per-row hot paths materialize the token array
+    * first and use shinglesOf. */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
   // ---- repetition signals (Gopher-style quality filters, Rae et al.
   // 2021 §A1.1: documents dominated by repeated lines / n-grams are
@@ -118,9 +126,10 @@ object TextFunctions {
     * frequent word n-gram (Gopher's top-n-gram fraction): high values
     * mean one phrase dominates the document. The per-row count is a
     * longest-equal-run scan over the SORTED shingle array — O(S log S)
-    * per document, not the O(S²) count-per-distinct-shingle form. */
-  def topNgramFraction(text: Column, n: Int): Column = {
-    val sorted = sort_array(shingles(text, n))
+    * per document, not the O(S²) count-per-distinct-shingle form.
+    * `sh`/`nToks` should be pre-materialized columns (see shinglesOf). */
+  def topNgramFractionOf(sh: Column, nToks: Column, n: Int): Column = {
+    val sorted = sort_array(sh)
     val top = aggregate(sorted,
       struct(lit(null).cast("string").as("p"), lit(0).as("r"), lit(0).as("b")),
       (acc, x) => {
@@ -129,20 +138,23 @@ object TextFunctions {
           greatest(acc.getField("b"), run).as("b"))
       },
       acc => acc.getField("b"))
-    val total = tokenCount(text)
-    when(total === 0 || size(sorted) === 0, lit(0.0))
-      .otherwise((top * n).cast("double") / total)
+    when(nToks === 0 || size(sh) === 0, lit(0.0))
+      .otherwise((top * n).cast("double") / nToks)
   }
+
+  def topNgramFraction(text: Column, n: Int): Column =
+    topNgramFractionOf(shingles(text, n), tokenCount(text), n)
 
   /** Fraction of tokens inside word n-grams that occur more than once
     * (duplicate-n-gram coverage — the companion Gopher signal to the
     * top-n-gram fraction). Approximated as duplicated-shingle count × n
     * over the token count, capped at 1. */
-  def duplicateNgramFraction(text: Column, n: Int): Column = {
-    val sh = shingles(text, n)
+  def duplicateNgramFractionOf(sh: Column, nToks: Column, n: Int): Column = {
     val dups = size(sh) - size(array_distinct(sh))
-    val total = tokenCount(text)
-    when(total === 0, lit(0.0))
-      .otherwise(least((dups * n).cast("double") / total, lit(1.0)))
+    when(nToks === 0, lit(0.0))
+      .otherwise(least((dups * n).cast("double") / nToks, lit(1.0)))
   }
+
+  def duplicateNgramFraction(text: Column, n: Int): Column =
+    duplicateNgramFractionOf(shingles(text, n), tokenCount(text), n)
 }

@@ -157,10 +157,17 @@ object PipelineQueries {
     // §A1.1): duplicate-line fraction, top-bigram coverage, duplicate-
     // bigram coverage — the pre-training boilerplate/spam drop criteria.
     QueryDef("q_text_repetition",
-      (s, d) => t(s, d, "documents").select(col("doc_id"),
-        round(TextFunctions.duplicateLineFraction(col("text")), 4).as("dup_line_frac"),
-        round(TextFunctions.topNgramFraction(col("text"), 2), 4).as("top_bigram_frac"),
-        round(TextFunctions.duplicateNgramFraction(col("text"), 2), 4).as("dup_bigram_frac")),
+      (s, d) => t(s, d, "documents")
+        // tokens/shingles materialize ONCE per row: lambda-heavy signal
+        // expressions re-evaluate inline subtrees per element otherwise
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .withColumn("__sh", TextFunctions.shinglesOf(col("__toks"), 2))
+        .select(col("doc_id"),
+          round(TextFunctions.duplicateLineFraction(col("text")), 4).as("dup_line_frac"),
+          round(TextFunctions.topNgramFractionOf(col("__sh"), size(col("__toks")), 2), 4)
+            .as("top_bigram_frac"),
+          round(TextFunctions.duplicateNgramFractionOf(col("__sh"), size(col("__toks")), 2), 4)
+            .as("dup_bigram_frac")),
       Some("""WITH tok AS (
              |  SELECT doc_id, text,
              |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS t
