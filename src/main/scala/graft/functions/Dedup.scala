@@ -69,10 +69,14 @@ object Dedup {
 
     // hash each DISTINCT shingle exactly once; the k permutations then run
     // over the small pre-hashed array (previously xxhash64 re-ran per
-    // coefficient — k× the hashing work for identical minima)
-    val sh = docs.select(col("id"),
-      array_distinct(transform(shingles(col("text"), shingleSize),
-        s => shingleHash(s))).as("hs"))
+    // coefficient — k× the hashing work for identical minima). Tokens
+    // materialize as a column first: shingle lambdas referencing an inline
+    // tokenize subtree would re-run it per shingle (trees, not DAGs).
+    val sh = docs
+      .withColumn("__toks", tokens(col("text")))
+      .select(col("id"),
+        array_distinct(transform(shinglesOf(col("__toks"), shingleSize),
+          s => shingleHash(s))).as("hs"))
     val sig = sh.select(col("id"), array(coeffs.map { case (a, b) =>
       array_min(transform(col("hs"), x => pmod(x * a + b, lit(Prime))))
     }.toIndexedSeq: _*).as("sig"))
@@ -111,7 +115,9 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, shingleSize).filter(col("jaccardEstimate") >= threshold * 0.7)
     // materialized once — referenced by BOTH pair-side joins below
-    val sets = docs.select(col("id"), array_distinct(shingles(col("text"), shingleSize)).as("set"))
+    val sets = docs
+      .withColumn("__toks", tokens(col("text")))
+      .select(col("id"), array_distinct(shinglesOf(col("__toks"), shingleSize)).as("set"))
       .localCheckpoint(false)
     cands
       .join(sets.select(col("id").as("idA"), col("set").as("setA")), Seq("idA"))

@@ -34,11 +34,16 @@ object TextFunctions {
     * max(1, ceil((n - overlap) / stride)) for non-empty docs (0 for empty).
     * Pure codegen'd higher-order functions — explode downstream to get one
     * row per chunk. */
-  def chunks(text: Column, size: Int, overlap: Int): Column = {
+  def chunks(text: Column, size: Int, overlap: Int): Column =
+    chunksOf(tokens(text), size, overlap)
+
+  /** chunks() over a pre-materialized token ARRAY column — use this form
+    * in hot paths (the per-chunk lambda slices `toks`; an inline tokenize
+    * subtree would re-run once per chunk). */
+  def chunksOf(toks: Column, size: Int, overlap: Int): Column = {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"bad chunking config: size=$size overlap=$overlap")
     val step = size - overlap
-    val toks = tokens(text)
     val n = org.apache.spark.sql.functions.size(toks)
     val nChunks =
       greatest(lit(1), floor((n - overlap + step - 1) / lit(step.toDouble)).cast("int"))

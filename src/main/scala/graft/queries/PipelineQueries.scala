@@ -208,8 +208,9 @@ object PipelineQueries {
     // generate_series + list_slice.
     QueryDef("q_text_chunks",
       (s, d) => t(s, d, "documents")
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
         .select(col("doc_id"),
-          explode(TextFunctions.chunks(col("text"), 50, 10)).as("c"))
+          explode(TextFunctions.chunksOf(col("__toks"), 50, 10)).as("c"))
         .select(col("doc_id"), col("c.idx").as("idx"),
           col("c.chunk").as("chunk"), col("c.n_tokens").as("n_tokens")),
       Some("""WITH t AS (
