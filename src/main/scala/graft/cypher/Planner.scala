@@ -1021,7 +1021,7 @@ object Planner {
         // unbound target: source-driven search, accepted ends semi-joined
         // against the label scan — never a sources × candidates cartesian
         val targetIds =
-          if (toNode.labels.isEmpty && toNode.labelExpr.isEmpty) None
+          if (toNode.labels.isEmpty && toNode.labelExpr.isEmpty && toNode.props.isEmpty) None
           else Some(nodeScan(ctx, toNode).select(col("id").as("target")))
         graft.ops.Trail.shortestKSegmentsTo(segs,
           df.select(col(fromVar).as("source")).distinct(), targetIds, kk)
@@ -2460,17 +2460,18 @@ object Planner {
             graft.functions.Durations.times(lc, lit(1.0) / rc)
           else {
             // Cypher `/` on two integers is INTEGER division (reference
-            // Divide.java: 10/3 = 3, errors on /0); Spark's `/` would cast
-            // to double. try_divide+floor won't match truncate-toward-zero
-            // for negatives, so divide then cast (ANSI cast of ±Inf raises,
-            // preserving the division-by-zero error).
+            // Divide.java: 10/3 = 3, truncates toward zero, errors on /0).
+            // Spark's `/` casts to double (inexact past 2^53), so use the
+            // built-in `div` (IntegralDivide): exact 64-bit long division
+            // that truncates toward zero and raises DIVIDE_BY_ZERO under
+            // ANSI — never a silent Long.MaxValue.
             import org.apache.spark.sql.types._
             def integral(t: Option[DataType]) = t.exists {
               case LongType | IntegerType | ShortType | ByteType => true
               case _ => false
             }
             if (integral(dataTypeOf(env, lc)) && integral(dataTypeOf(env, rc)))
-              (lc / rc).cast("long")
+              call_function("div", lc, rc)
             else lc / rc
           }
         case "%"  => c(l) % c(r)

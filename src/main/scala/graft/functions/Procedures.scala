@@ -97,6 +97,7 @@ object Procedures {
     val Seq(arg: String, query: String, k: Number) = args.take(3)
     val analyzer = args.lift(3).map(_.toString).getOrElse("standard")
     val (rows, prop) = resolveIndex(g, arg, "fulltext", nodes = true)
+    require(rows.columns.contains(prop), s"unknown node property $prop")
     Fulltext.bm25TopK(rows.filter(col(prop).isNotNull), "id", prop, query,
       k.intValue, analyzer = analyzer)
   })
@@ -194,6 +195,7 @@ object Procedures {
     val Seq(arg: String, k: Number, qvec: Seq[_]) = args.take(3)
     import spark.implicits._
     val (rows, prop) = resolveIndex(g, arg, "vector", nodes = true)
+    require(rows.columns.contains(prop), s"unknown node property $prop")
     val queries = Seq((0L, qvec.map(_.toString.toDouble).toArray))
       .toDF("qid", "qvec")
     Similarity.bruteForceTopK(

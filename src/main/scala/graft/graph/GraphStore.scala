@@ -54,6 +54,13 @@ final class GraphStore(spark: SparkSession, dir: String) {
   }
 
   private def writeSchema(version: Long, s: GraphSchema): Unit = {
+    // The catalog is line/tab-delimited; a tab or newline inside a name,
+    // label, or property would corrupt the line and break readSchema's
+    // field split on the next load — reject it up front with a clear error.
+    for (f <- s.indexes.flatMap(i => Seq(i.name, i.label, i.prop, i.kind)) ++
+           s.constraints.flatMap(c => Seq(c.name, c.label, c.prop, c.kind)))
+      require(!f.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+        s"schema object field contains a tab/newline (not storable): ${f.take(40)}")
     val body =
       (s.indexes.map(i => s"index\t${i.name}\t${i.label}\t${i.prop}\t${i.kind}") ++
         s.constraints.map(c => s"constraint\t${c.name}\t${c.label}\t${c.prop}\t${c.kind}"))

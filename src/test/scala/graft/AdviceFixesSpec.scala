@@ -114,4 +114,32 @@ class AdviceFixesSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.getString(0) == "c$1st" && r.getString(1) == "a$0z")
   }
+
+  test("unbound-target SHORTEST applies the target's inline property map") {
+    // targets constrained to {name:'x'} = node 1 only; node 1's own shortest
+    // reachable node is 2 (1 hop, name NULL) so an unconstrained search
+    // would return length 1 for a=1 instead of the 2-hop loop back to 1
+    val rows = Cypher.run(spark, g,
+      """MATCH p = SHORTEST 1 (a:P)-[:T*1..2]->({name: 'x'})
+        |RETURN a.id AS i, length(p) AS l ORDER BY i""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSeq
+    assert(rows == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("integer division is exact past 2^53 and truncates toward zero") {
+    val r = Cypher.run(spark, g,
+      "RETURN 9007199254740993 / 1 AS big, -7 / 2 AS neg, 10 / 3 AS pos")
+      .collect()(0)
+    // via double, 2^53+1 would round to 9007199254740992
+    assert(r.getLong(0) == 9007199254740993L)
+    assert(r.getLong(1) == -3L && r.getLong(2) == 3L)
+  }
+
+  test("fulltext/vector node procedures reject unknown properties clearly") {
+    val e = intercept[Exception] {
+      Cypher.run(spark, g,
+        "CALL db.index.fulltext.queryNodes('no_such_prop', 'x', 5)").collect()
+    }
+    assert(e.getMessage.contains("unknown node property"))
+  }
 }
