@@ -25,10 +25,23 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    // Between queries, release what the previous query leaked: write
+    // queries localCheckpoint graph snapshots whose blocks stay in the
+    // block manager while ANY reference (plan cache, listener state) is
+    // live. Across 149 queries in one JVM that residue compounds — r6's
+    // "4x regressions" (write_delete 10.5s, undirected 6.2s) all ran
+    // ≤2.6s in isolation; the slowdown was accumulated state, not plans.
+    def releaseLeaks(): Unit = {
+      graft.cypher.Cypher.clearCaches()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      releaseLeaks()
+      name -> dt
     }
     spark.stop()
     // The harness keeps only a ~2000-char tail of the output, so the JSON

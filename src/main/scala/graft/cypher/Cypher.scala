@@ -108,10 +108,24 @@ object Cypher {
       case None =>
         val df = Planner.plan(spark, graph, parse(query), params)
         planCache.synchronized {
+          // evict entries whose graph snapshot is gone: their DataFrames can
+          // never be returned again (lookup requires `ref.get eq graph`) but
+          // would pin the dead snapshot's checkpointed RDD blocks in the
+          // block manager for as long as the cache keeps them
+          val it = planCache.entrySet().iterator()
+          while (it.hasNext) if (it.next().getValue._1.get == null) it.remove()
           planCache.put(key, (new java.lang.ref.WeakReference(graph), df))
         }
         df
     }
+  }
+
+  /** Drop all cached parses/plans (operational parity with the reference's
+    * `db.clearQueryCaches()` procedure). Benchmarks call this between
+    * queries so one query's retained plans can't skew another's memory. */
+  def clearCaches(): Unit = {
+    parseCache.synchronized(parseCache.clear())
+    planCache.synchronized(planCache.clear())
   }
 
   /**

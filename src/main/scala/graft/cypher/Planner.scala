@@ -98,14 +98,31 @@ object Planner {
     * without that, k batches re-materialize the untouched table k times.
     * Pass a GraphStore-backed callback to Cypher.execute for durable
     * versioned commits. */
+  private def ckptUnlessMaterialized(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => df.localCheckpoint()
+    }
+
   val defaultTxCommit: PropertyGraph => PropertyGraph = { g =>
-    def ckpt(df: org.apache.spark.sql.DataFrame) =
-      df.queryExecution.logical match {
-        case _: org.apache.spark.sql.execution.LogicalRDD => df
-        case _ => df.localCheckpoint()
-      }
-    g.copy(nodes = ckpt(g.nodes), rels = ckpt(g.rels))
+    g.copy(nodes = ckptUnlessMaterialized(g.nodes),
+      rels = ckptUnlessMaterialized(g.rels))
   }
+
+  /** Commit that materializes ONLY the tables a batch actually rewrote
+    * (reference-equality against the pre-batch snapshot = per-table dirty
+    * flag). A node-only MERGE batch must not re-materialize the rels table:
+    * at 100 TB that is a full rewrite of an untouched 90 TB table per
+    * commit. Only applies to the default in-memory commit; a user-supplied
+    * callback (e.g. GraphStore durable versioning) sees the full graph. */
+  private[cypher] def commitChanged(before: PropertyGraph, cur: PropertyGraph,
+      commit: PropertyGraph => PropertyGraph): PropertyGraph =
+    if (commit ne defaultTxCommit) commit(cur)
+    else cur.copy(
+      nodes = if (cur.nodes eq before.nodes) cur.nodes
+              else ckptUnlessMaterialized(cur.nodes),
+      rels  = if (cur.rels eq before.rels) cur.rels
+              else ckptUnlessMaterialized(cur.rels))
 
   def execute(spark: SparkSession, g: PropertyGraph, query: Query,
       params: Map[String, Any],
@@ -1998,6 +2015,7 @@ object Planner {
     val batchResults = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var resultBinds: Map[String, Binding] = Map.empty
     def runBatch(batch: DataFrame, commit: Boolean): Option[DataFrame] = {
+      val preBatch = ctx.g
       var inner = Env(Some(batch), binds)
       innerClauses.foreach {
         case m: MatchClause   => inner = planMatch(ctx, inner, m)
@@ -2028,7 +2046,8 @@ object Planner {
         resultBinds = inner.binds
         Some(inner.df.get.localCheckpoint())
       } else None
-      if (commit) ctx.g = ctx.txCommit(ctx.g) // transaction boundary
+      if (commit) // transaction boundary: materialize dirty tables only
+        ctx.g = Planner.commitChanged(preBatch, ctx.g, ctx.txCommit)
       out
     }
     // per-batch status rows for ON ERROR / REPORT STATUS (reference

@@ -53,7 +53,21 @@ object TpchGraph {
     df.select((col("id") +: lit(Array(label)).as("labels") +: props): _*)
   }
 
+  /** Memoized graph handle per (session, dir): the assembled DataFrames are
+    * lazy (no data is persisted) but building them costs ~8 parquet file
+    * listings + schema reads — a real engine opens its store once, not per
+    * query. The graph value is immutable (writes derive NEW snapshots), so
+    * sharing the instance is safe; it also lets Cypher's plan cache hit
+    * (keyed on graph identity) across repeated queries. */
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), PropertyGraph]
+
   def load(spark: SparkSession, dir: String): PropertyGraph = {
+    if (loaded.size > 32) loaded.clear() // bound: don't pin dead sessions
+    loaded.computeIfAbsent((spark, dir), { case (s, d) => doLoad(s, d) })
+  }
+
+  private def doLoad(spark: SparkSession, dir: String): PropertyGraph = {
     val region   = table(spark, dir, "region")
     val nation   = table(spark, dir, "nation")
     val customer = table(spark, dir, "customer")

@@ -126,6 +126,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ids.head == 1L && ids.last == 10000L && ids.distinct.length == 10000)
   }
 
+  test("node-only tx batches leave the rels table un-rematerialized") {
+    // a MERGE that only touches nodes must not checkpoint/rewrite rels: at
+    // 100 TB that is a full rewrite of an untouched 90 TB table per commit
+    val (g2, _) = Cypher.execute(spark, g,
+      """MATCH (c:Customer) WHERE c.key <= 80
+        |CALL { WITH c
+        |  MERGE (seg:Segment {name: c.mktsegment})
+        |} IN TRANSACTIONS OF 20 ROWS""".stripMargin)
+    assert(g2.rels eq g.rels,
+      "node-only write batches re-materialized the rels table")
+    assert(!g2.rels.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      "rels plan was checkpointed by a node-only write")
+    // nodes WERE rewritten (segments exist)
+    assert(Cypher.run(spark, g2, "MATCH (s:Segment) RETURN count(*) AS n")
+      .collect()(0).getLong(0) > 0)
+  }
+
   test("whole-stage codegen covers the expression pipeline") {
     val df = Cypher.run(spark, g,
       """MATCH (c:Customer) WHERE c.name ENDS WITH '1'
