@@ -101,7 +101,13 @@ object Ast {
   final case class RelPattern(variable: Option[String], types: Seq[String],
       dir: Dir, varLength: Option[(Int, Option[Int])], props: Seq[(String, Expr)],
       qppVars: Option[(Option[String], Option[String], Option[String])] = None,
-      where: Option[Expr] = None) // Cypher 5 inline `[r:T WHERE r.x > 1]`
+      where: Option[Expr] = None, // Cypher 5 inline `[r:T WHERE r.x > 1]`
+      // Alternation BETWEEN path shapes inside a quantified group —
+      // `(-[:X]->() | -[:Y]->()-[:Z]->()){1,3}` (GQL path-term alternation,
+      // reference NFA.scala general regular path patterns): each branch is
+      // a fixed-hop chain; varLength carries the group quantifier (counted
+      // in branch traversals, not rels).
+      branches: Option[Seq[Seq[(RelPattern, NodePattern)]]] = None)
 
   /** A linear path: node (rel node)*. `name` carries a path-variable binding
     * `p = (a)-[r]->(b)` (reference front-end projectNamedPaths rewriter /

@@ -404,6 +404,27 @@ object CypherParser extends RegexParsers {
     "+" ^^ (_ => (1, None)) |
     "*" ^^ (_ => (0, None))
 
+  /** Alternation between path shapes inside a quantified group:
+    * `(-[:X]->() | -[:Y]->()-[:Z]->()){1,3}` — each branch a fixed-hop
+    * chain starting from the current node (GQL path-term alternation;
+    * reference NFA.scala arbitrary regular path patterns). Desugars to a
+    * RelPattern carrying the branches, quantified in branch traversals. */
+  private def altBranch: Parser[Seq[(RelPattern, NodePattern)]] =
+    rep1(relPattern ~ nodePattern ^^ { case r ~ n => (r, n) })
+
+  private def altQppHop: Parser[(RelPattern, NodePattern)] =
+    ("(" ~> altBranch ~ rep1("|" ~> altBranch) <~ ")") ~ qppQuantifier ~
+      nodePattern ^^ {
+      case (b0 ~ bs) ~ q ~ next =>
+        val branches = b0 +: bs
+        branches.flatten.foreach { case (r, _) =>
+          require(r.varLength.isEmpty,
+            "alternation branches take fixed-length hops (no nested quantifiers)")
+        }
+        (RelPattern(None, Seq.empty, Out, Some(q), Seq.empty,
+          branches = Some(branches)), next)
+    }
+
   private def qppHop: Parser[(RelPattern, NodePattern)] =
     ("(" ~> nodePattern ~ relPattern ~ nodePattern <~ ")") ~ qppQuantifier ~ nodePattern ^^ {
       case inner ~ q ~ next =>
@@ -423,7 +444,7 @@ object CypherParser extends RegexParsers {
     }
 
   def pathPattern: Parser[PathPattern] =
-    nodePattern ~ rep(qppHop | quantifiedRelHop |
+    nodePattern ~ rep(altQppHop | qppHop | quantifiedRelHop |
       relPattern ~ nodePattern ^^ { case r ~ n => (r, n) }) ^^ {
       case first ~ hops => PathPattern(first, hops)
     }

@@ -637,6 +637,10 @@ object Planner {
       }
       p.hops.map(_._1).foreach { r =>
         r.props.foreach(kv => walk(kv._2)); r.where.foreach(walk)
+        r.branches.foreach(_.foreach(_.foreach { case (br, bn) =>
+          br.props.foreach(kv => walk(kv._2)); br.where.foreach(walk)
+          bn.props.foreach(kv => walk(kv._2)); bn.where.foreach(walk)
+        }))
       }
     }
     def walkSetItems(items: Seq[SetItem]): Unit = items.foreach {
@@ -694,6 +698,10 @@ object Planner {
       }
       p.hops.map(_._1).foreach { r =>
         r.props.foreach(kv => walk(kv._2)); r.where.foreach(walk)
+        r.branches.foreach(_.foreach(_.foreach { case (br, bn) =>
+          br.props.foreach(kv => walk(kv._2)); br.where.foreach(walk)
+          bn.props.foreach(kv => walk(kv._2)); bn.where.foreach(walk)
+        }))
       }
     }
     def walkSetItems(items: Seq[SetItem]): Unit = items.foreach {
@@ -998,33 +1006,41 @@ object Planner {
       "inline WHERE is not supported in SHORTEST k patterns")
     val interiors = p.hops.dropRight(1).map(_._2)
     interiors.foreach { n =>
-      require(n.where.isEmpty && !n.variable.exists(env.has),
-        "SHORTEST k intermediate nodes cannot reuse bound variables or " +
-          "carry inline WHERE")
+      require(!n.variable.exists(env.has),
+        "SHORTEST k intermediate nodes cannot reuse bound variables")
     }
     // per-state node predicates (reference NFA.scala:157): labels, label
-    // alternations (:A|:B) and property maps on interior nodes become the
-    // boundary node set a path must cross between consecutive legs; the
-    // last leg's end is the target, constrained by the pair/accept step
-    val boundaries = interiors.map { n =>
-      if (n.labels.isEmpty && n.labelExpr.isEmpty && n.props.isEmpty) None
-      else Some(nodeScan(ctx, n).select("id"))
-    } :+ None
+    // alternations (:A|:B), property maps AND inline WHERE on interior
+    // nodes become the boundary node set a path must cross between
+    // consecutive legs; the last leg's end is the target, constrained by
+    // the pair/accept step
+    val boundaries = interiors.map(boundarySet(ctx, _)) :+ None
     val segs = p.hops.zip(boundaries).map { case ((r, _), bnd) =>
-      require(r.qppVars.isEmpty && r.where.isEmpty,
-        "SHORTEST k legs take types/bounds/property maps only")
       val (mn, mxOpt) = r.varLength.getOrElse((1, Some(1)))
       val mx = mxOpt.getOrElse(throw new IllegalArgumentException(
         "SHORTEST k legs need a bounded upper end (e.g. *1..4)"))
-      val pre = if (r.props.isEmpty) None
-        else Some(r.props.map { case (key, e) =>
-          if (ctx.g.rels.columns.contains(key)) col(key) === constExpr(ctx, e)
-          else lit(false)
-        }.reduce(_ && _))
-      val dir = r.dir match {
-        case Out => Direction.Out; case In => Direction.In; case Both => Direction.Both
+      r.branches match {
+        case Some(bs) =>
+          // alternation between path shapes: each branch compiles to a
+          // composite edge relation (whole-branch traversals); their union
+          // is the segment's edge set, quantified in branch traversals
+          val comp = bs.map(branchEdges(ctx, _)).reduce(_ unionByName _)
+          graft.ops.Trail.PathSegment(comp, mn, mx, bnd, composite = true)
+        case None =>
+          require(r.qppVars.isEmpty && r.where.isEmpty,
+            "SHORTEST k legs take types/bounds/property maps only")
+          val pre = if (r.props.isEmpty) None
+            else Some(r.props.map { case (key, e) =>
+              if (ctx.g.rels.columns.contains(key)) col(key) === constExpr(ctx, e)
+              else lit(false)
+            }.reduce(_ && _))
+          val dir = r.dir match {
+            case Out => Direction.Out; case In => Direction.In
+            case Both => Direction.Both
+          }
+          graft.ops.Trail.PathSegment(orientTyped(ctx.g, r.types, dir, pre),
+            mn, mx, bnd)
       }
-      graft.ops.Trail.PathSegment(orientTyped(ctx.g, r.types, dir, pre), mn, mx, bnd)
     }
     val pv = s.pathVar.getOrElse(ctx.fresh("p"))
     val df = env.df.get
@@ -1061,6 +1077,68 @@ object Planner {
       }
       Env(Some(joined), env.binds + (pv -> PathVar) + (toVar -> NodeVar))
     }
+  }
+
+  /** Per-state node predicate → boundary node-id set (`id` column):
+    * labels / label expressions / property maps via nodeScan; an inline
+    * WHERE lands on the same scan, hydrated so `v.prop` resolves
+    * (reference NFA.scala:157 per-state predicates). */
+  private def boundarySet(ctx: Ctx, n: NodePattern): Option[DataFrame] =
+    if (n.labels.isEmpty && n.labelExpr.isEmpty && n.props.isEmpty &&
+        n.where.isEmpty) None
+    else n.where match {
+      case None => Some(nodeScan(ctx, n).select("id"))
+      case Some(w) =>
+        val v = n.variable.getOrElse(ctx.fresh("bn"))
+        val scan = hydrated(ctx, nodeScan(ctx, n), v, ctx.g.nodes.columns.toSet)
+        val mini = Env(Some(scan), Map(v -> NodeVar))
+        Some(scan.filter(compile(ctx, mini, w)).select(col(v).as("id")))
+    }
+
+  /** One alternation branch — a fixed chain of single hops — compiled to a
+    * composite edge relation: each row is one whole-branch traversal
+    * `(__es, __ed, __ers ARRAY<LONG>, __ens ARRAY<LONG>, __elen)`. Interior
+    * node patterns apply per traversal (semi-join on their boundary set);
+    * rel ids within a traversal are pairwise distinct so trail semantics
+    * hold inside a branch as well as across the accumulated path. */
+  private def branchEdges(ctx: Ctx,
+      hops: Seq[(Ast.RelPattern, Ast.NodePattern)]): DataFrame = {
+    require(hops.nonEmpty, "empty alternation branch")
+    var cur: DataFrame = null
+    hops.zipWithIndex.foreach { case ((r, n), i) =>
+      require(r.varLength.isEmpty && r.qppVars.isEmpty && r.branches.isEmpty,
+        "alternation branches take fixed single hops")
+      val pre = if (r.props.isEmpty) None
+        else Some(r.props.map { case (key, e) =>
+          if (ctx.g.rels.columns.contains(key)) col(key) === constExpr(ctx, e)
+          else lit(false)
+        }.reduce(_ && _))
+      val dir = r.dir match {
+        case Out => Direction.Out; case In => Direction.In
+        case Both => Direction.Both
+      }
+      val e = orientTyped(ctx.g, r.types, dir, pre)
+        .select(col("id").as(s"__r$i"), col("src").as(s"__s$i"),
+          col("dst").as(s"__d$i"))
+      cur =
+        if (i == 0) e
+        else {
+          val uniq = (0 until i).map(j => col(s"__r$i") =!= col(s"__r$j"))
+            .reduce(_ && _)
+          cur.join(e, col(s"__d${i - 1}") === col(s"__s$i") && uniq)
+        }
+      // the hop's end-node pattern constrains EVERY traversal of the
+      // branch (boundarySet covers labels, props and inline WHERE)
+      boundarySet(ctx, n).foreach { b =>
+        cur = cur.join(b.withColumnRenamed("id", s"__d$i"), Seq(s"__d$i"),
+          "left_semi")
+      }
+    }
+    val last = hops.size - 1
+    cur.select(col("__s0").as("__es"), col(s"__d$last").as("__ed"),
+      array((0 to last).map(i => col(s"__r$i")): _*).as("__ers"),
+      array((0 to last).map(i => col(s"__d$i")): _*).as("__ens"),
+      lit(hops.size).as("__elen"))
   }
 
   private def relVars(env: Env): Set[String] =
@@ -1642,6 +1720,8 @@ object Planner {
   private def expandHop(ctx: Ctx, env: Env, fromVar: String, rel: RelPattern,
       node: NodePattern, pathNodesAlias: Option[String] = None): (Env, String) = {
     val g = ctx.g
+    require(rel.branches.isEmpty,
+      "path-shape alternation is supported inside SHORTEST patterns only")
     require(rel.varLength.isEmpty || rel.where.isEmpty,
       "WHERE inside a var-length relationship pattern is not supported — " +
         "use an inline property map or a post-pattern WHERE")

@@ -145,7 +145,12 @@ object Trail {
     * and the next. None = unconstrained (and always None on the last
     * segment, whose end is the target). */
   final case class PathSegment(edges: DataFrame, min: Int, max: Int,
-      boundary: Option[DataFrame] = None)
+      boundary: Option[DataFrame] = None,
+      // composite = edges are whole sub-path traversals (alternation
+      // branches): (__es, __ed, __ers ARRAY<LONG>, __ens ARRAY<LONG>,
+      // __elen INT) instead of single rels (id, src, dst). The segment's
+      // min/max then count branch traversals, not rels.
+      composite: Boolean = false)
 
   /**
    * SHORTEST k over a CONCATENATION of var-length segments — the general
@@ -199,9 +204,19 @@ object Trail {
     val nSeg = segments.size
     val mins = lit(segments.map(_.min).toArray)
     val maxs = lit(segments.map(_.max).toArray)
-    val eBySeg = segments.map(s => s.edges
-      .select(col("id").as("__er"), col("src").as("__es"), col("dst").as("__ed"))
-      .localCheckpoint(false))
+    // every segment in composite form: one "expansion step" = one rel for
+    // a plain var-length leg, one whole branch traversal for an
+    // alternation segment — the state machinery is identical either way
+    val eBySeg = segments.map { s =>
+      val c =
+        if (s.composite) s.edges
+          .select(col("__es"), col("__ed"), col("__ers"), col("__ens"),
+            col("__elen"))
+        else s.edges.select(col("src").as("__es"), col("dst").as("__ed"),
+          array(col("id")).as("__ers"), array(col("dst")).as("__ens"),
+          lit(1).as("__elen"))
+      c.localCheckpoint(false)
+    }
 
     val wState = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "end", "seg", "segHops")
@@ -258,11 +273,12 @@ object Trail {
       val expanded = (0 until nSeg).map { i =>
         active.filter(col("seg") === i)
           .join(eBySeg(i), col("end") === col("__es") &&
-            !array_contains(col("path"), col("__er")))
+            !arrays_overlap(col("path"), col("__ers")))
           .select(col("source"), col("__ed").as("end"), col("seg"),
-            (col("segHops") + 1).as("segHops"), (col("hops") + 1).as("hops"),
-            concat(col("path"), array(col("__er"))).as("path"),
-            concat(col("nodes"), array(col("__ed"))).as("nodes"))
+            (col("segHops") + 1).as("segHops"),
+            (col("hops") + col("__elen")).as("hops"),
+            concat(col("path"), col("__ers")).as("path"),
+            concat(col("nodes"), col("__ens")).as("nodes"))
       }.reduce(_ unionByName _)
       frontier = pruneStates(closure(expanded)).localCheckpoint()
       finished += frontier.filter(col("seg") === nSeg)

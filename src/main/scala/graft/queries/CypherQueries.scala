@@ -393,6 +393,42 @@ object CypherQueries {
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_custkey < 20 AND o_orderstatus = 'O'""".stripMargin),
 
+    // non-linear NFA: alternation BETWEEN path shapes inside a quantified
+    // group (reference NFA.scala arbitrary regular path patterns) —
+    // `(-[:FROM]->() | -[:PLACED]->()-[:SUPPLIED_BY]->()){1,2}` reaches the
+    // customer's nation in 1 rel, its suppliers in one 2-rel branch
+    // traversal, and supplier nations in 3 rels (branch2 then branch1);
+    // SHORTEST 1 keeps the min-hop path per (customer, target) pair, so a
+    // supplier nation that IS the customer's own nation stays at 1 hop.
+    cq("q_shortest_nfa_alt",
+      """MATCH (c:Customer) WHERE c.key < 20
+        |MATCH p = SHORTEST 1 (c) (-[:FROM]->()|-[:PLACED]->()-[:SUPPLIED_BY]->()){1,2} (x)
+        |RETURN c.key AS ckey, x AS target, length(p) AS hops""".stripMargin,
+      """WITH own AS (
+        |  SELECT c_custkey AS ckey,
+        |    CAST((CAST(2 AS BIGINT) << 44) + c_nationkey AS BIGINT) AS target,
+        |    1 AS hops
+        |  FROM customer WHERE c_custkey < 20),
+        |sups AS (
+        |  SELECT DISTINCT c_custkey AS ckey,
+        |    CAST((CAST(4 AS BIGINT) << 44) + l_suppkey AS BIGINT) AS target,
+        |    2 AS hops
+        |  FROM customer JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_custkey < 20),
+        |supnat AS (
+        |  SELECT DISTINCT c.c_custkey AS ckey,
+        |    CAST((CAST(2 AS BIGINT) << 44) + s.s_nationkey AS BIGINT) AS target,
+        |    3 AS hops
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  WHERE c.c_custkey < 20)
+        |SELECT ckey, target, CAST(MIN(hops) AS INT) AS hops
+        |FROM (SELECT * FROM own UNION ALL SELECT * FROM sups
+        |      UNION ALL SELECT * FROM supnat) u
+        |GROUP BY ckey, target""".stripMargin),
+
     // nodes(p) — the node-id sequence of a shortestPath (reference
     // functions/Nodes.scala), carried alongside the rel-id path.
     // node-id scheme: Customer = (3<<44)+key, Nation = (2<<44)+key,

@@ -523,6 +523,40 @@ class CypherSpec extends AnyFunSuite {
     assert(ns == List(1L, 3L, 4L)) // Alice -> Carol -> Dave
   }
 
+  test("SHORTEST supports alternation between path shapes") {
+    // s -X(10)-> m1 -X(11)-> t   and   s -Y(20)-> m2 -Z(21)-> t
+    val ag = GraphFixtures.graph(spark,
+      Seq((1L, Seq("N"), "s"), (2L, Seq("N"), "m1"), (3L, Seq("N"), "m2"),
+        (5L, Seq("N"), "t")),
+      Seq((10L, 1L, 2L, "X"), (11L, 2L, 5L, "X"),
+        (20L, 1L, 3L, "Y"), (21L, 3L, 5L, "Z")))
+    val rows = Cypher.run(spark, ag,
+      """MATCH p = SHORTEST 2 (a {name: 's'}) (-[:X]->()|-[:Y]->()-[:Z]->()){1,2} (b {name: 't'})
+        |RETURN length(p) AS hops, relationships(p) AS rels
+        |ORDER BY rels""".stripMargin)
+      .collect().map(r => (r.getAs[Number](0).intValue, r.getSeq[Long](1).toList))
+    assert(rows.toSeq == Seq((2, List(10L, 11L)), (2, List(20L, 21L))))
+    // the quantifier counts BRANCH TRAVERSALS: {1,1} fits only the
+    // two-rel Y-Z branch (the X route needs two traversals)
+    val one = Cypher.run(spark, ag,
+      """MATCH p = SHORTEST 2 (a {name: 's'}) (-[:X]->()|-[:Y]->()-[:Z]->()){1,1} (b {name: 't'})
+        |RETURN relationships(p) AS rels""".stripMargin)
+      .collect().map(_.getSeq[Long](0).toList)
+    assert(one.toSeq == Seq(List(20L, 21L)))
+  }
+
+  test("SHORTEST k interior node inline WHERE constrains the boundary") {
+    val viaCarol = run(
+      """MATCH p = SHORTEST 1 (a {name: 'Alice'})-[:KNOWS*1..2]->(x WHERE x.name = 'Carol')-[:KNOWS*1..2]->(b {name: 'Dave'})
+        |RETURN length(p) AS hops""".stripMargin).collect()
+    assert(viaCarol.map(_.getAs[Number](0).intValue).toSeq == Seq(2))
+    // forcing the interior through Bob lengthens the path to 3
+    val viaBob = run(
+      """MATCH p = SHORTEST 1 (a {name: 'Alice'})-[:KNOWS*1..2]->(x WHERE x.name = 'Bob')-[:KNOWS*1..2]->(b {name: 'Dave'})
+        |RETURN length(p) AS hops""".stripMargin).collect()
+    assert(viaBob.map(_.getAs[Number](0).intValue).toSeq == Seq(3))
+  }
+
   test("nodes(p) exposes the node sequence of a shortest path") {
     val r = run(
       """MATCH (a {name: 'Alice'})
