@@ -33,9 +33,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    branches return different types compile to a sortable struct encoding
  *    whose field order reproduces the global type-rank order
  *    (String < Boolean < Number, null last ascending); toString() decodes.
- *    Mixed values from other sources (columns are statically typed) remain
- *    compile-time errors. NULL placement in ORDER BY follows Cypher
- *    (last ASC, first DESC).
+ *    Mixed-type COLUMNS from UNION branches of different types lift into
+ *    the same encoding (top-level results decode to their toString() text;
+ *    inside CALL {} the encoding is kept so outer ORDER BY / min / max /
+ *    DISTINCT follow the global value order). Non-scalar type mixes
+ *    (arrays vs scalars, …) remain compile-time errors. NULL placement in
+ *    ORDER BY follows Cypher (last ASC, first DESC).
  */
 object Cypher {
 

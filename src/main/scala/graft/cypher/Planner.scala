@@ -67,14 +67,62 @@ object Planner {
   }
 
   def plan(spark: SparkSession, g: PropertyGraph, query: Query,
-      params: Map[String, Any]): DataFrame = {
+      params: Map[String, Any]): DataFrame =
+    plan(spark, g, query, params, decodeTop = true)
+
+  /** decodeTop: top-level queries decode reconciled mixed-type union
+    * columns to their toString() text; a nested CALL {} union keeps the
+    * orderability encoding so the OUTER query's ORDER BY / min / max /
+    * DISTINCT still follow Cypher's global value order. */
+  private[cypher] def plan(spark: SparkSession, g: PropertyGraph, query: Query,
+      params: Map[String, Any], decodeTop: Boolean): DataFrame = {
     val parts = query.parts.map { part =>
       require(!part.clauses.exists(isWrite),
         "write clauses require Cypher.execute (returns the updated graph)")
       planSingle(spark, g, part, params)
     }
-    val unioned = parts.reduce(_ unionByName _)
-    if (query.unionAll || parts.size == 1) unioned else unioned.distinct()
+    val (aligned, reconciled) = reconcileUnionTypes(parts)
+    val unioned = aligned.reduce(_ unionByName _)
+    val merged =
+      if (query.unionAll || parts.size == 1) unioned else unioned.distinct()
+    if (decodeTop)
+      reconciled.foldLeft(merged)((df, n) =>
+        df.withColumn(n, graft.functions.Orderability.repr(col(n))))
+    else merged
+  }
+
+  /** UNION branches whose columns disagree on static type (reference
+    * community/values AnyValues global comparator — any two values are
+    * comparable): lift each branch's column into the cross-type
+    * orderability encoding (Orderability.scala) so the union resolves,
+    * UNION DISTINCT dedups with value semantics (1 <> '1'), and downstream
+    * sorts/aggregates follow the global type-rank order. Only
+    * scalar-orderable mixes (string/boolean/number/null) are lifted;
+    * other type conflicts keep the existing unionByName error. */
+  private def reconcileUnionTypes(parts: Seq[DataFrame])
+      : (Seq[DataFrame], Seq[String]) = {
+    if (parts.size <= 1) return (parts, Nil)
+    import org.apache.spark.sql.types._
+    def enc(dt: DataType, c: Column): Option[Column] = dt match {
+      case t if graft.functions.Orderability.isEncoded(t) => Some(c)
+      case StringType     => Some(graft.functions.Orderability.string(c))
+      case BooleanType    => Some(graft.functions.Orderability.boolean(c))
+      case _: NumericType => Some(graft.functions.Orderability.number(c))
+      case NullType       => Some(graft.functions.Orderability.nullValue)
+      case _              => None
+    }
+    val shared = parts.map(_.columns.toSet).reduce(_ intersect _)
+    val mixed = parts.head.columns.toSeq.filter { n =>
+      shared(n) && {
+        val dts = parts.map(_.schema(n).dataType).distinct
+        dts.size > 1 && dts.forall(dt => enc(dt, col(n)).isDefined)
+      }
+    }
+    if (mixed.isEmpty) (parts, Nil)
+    else (parts.map { p =>
+      mixed.foldLeft(p)((acc, n) =>
+        acc.withColumn(n, enc(acc.schema(n).dataType, col(n)).get))
+    }, mixed)
   }
 
   private def isWrite(c: Clause): Boolean = c match {
@@ -1903,7 +1951,8 @@ object Planner {
       // UNION body: plan the whole union (uncorrelated — importing WITH
       // inside union branches is not supported) and splice like the
       // uncorrelated single-part case
-      val inner = plan(ctx.spark, ctx.g, cs.innerQ, ctx.params)
+      val inner = plan(ctx.spark, ctx.g, cs.innerQ, ctx.params,
+        decodeTop = false)
       val df = (env.df, cs.optional) match {
         case (None, false)      => inner
         case (None, true)       =>

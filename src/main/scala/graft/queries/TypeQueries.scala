@@ -179,6 +179,29 @@ object TypeQueries {
              |UNION ALL SELECT 'FROM', (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
              |UNION ALL SELECT 'PLACED', count(*) FROM orders
              |UNION ALL SELECT 'CONTAINS', count(*) FROM lineitem
-             |UNION ALL SELECT 'SUPPLIED_BY', count(*) FROM lineitem""".stripMargin))
+             |UNION ALL SELECT 'SUPPLIED_BY', count(*) FROM lineitem""".stripMargin)),
+
+    // mixed-type COLUMN orderability (reference community/values AnyValues
+    // global comparator): a CALL {} union of string / long / boolean
+    // columns lifts into the orderability encoding, so min is the smallest
+    // STRING and max the largest NUMBER (String < Boolean < Number), with
+    // the outer aggregation running on the encoded column.
+    QueryDef("q_mixed_order",
+      (s, d) => {
+        val g = graft.graph.TpchGraph.load(s, d)
+        graft.cypher.Cypher.run(s, g,
+          """CALL { MATCH (c:Customer) WHERE c.key <= 5 RETURN c.name AS v
+            |  UNION ALL MATCH (c:Customer) WHERE c.key <= 5 RETURN c.key * 10 AS v
+            |  UNION ALL MATCH (c:Customer) WHERE c.key <= 4 RETURN c.key % 2 = 0 AS v }
+            |RETURN toString(min(v)) AS lo, toString(max(v)) AS hi,
+            |       count(*) AS n""".stripMargin)
+      },
+      Some("""SELECT
+             |  (SELECT min(c_name) FROM customer WHERE c_custkey <= 5) AS lo,
+             |  CAST((SELECT max(c_custkey * 10) FROM customer
+             |        WHERE c_custkey <= 5) AS VARCHAR) AS hi,
+             |  (SELECT count(*) FROM customer WHERE c_custkey <= 5)
+             |    + (SELECT count(*) FROM customer WHERE c_custkey <= 5)
+             |    + (SELECT count(*) FROM customer WHERE c_custkey <= 4) AS n""".stripMargin))
   )
 }

@@ -74,6 +74,37 @@ class TypesSpec extends AnyFunSuite {
     assert(in)
   }
 
+  test("mixed-type COLUMNS from UNION branches lift into orderability") {
+    import graft.cypher.Cypher
+    val g = GraphFixtures.nodeGraph(spark, 1)
+    // top level: UNION of long / string / boolean columns resolves and
+    // decodes to toString() text; UNION DISTINCT dedups with value
+    // semantics (long 1 and string '1' stay distinct)
+    val vals = Cypher.run(spark, g,
+      "RETURN 1 AS v UNION RETURN '1' AS v UNION RETURN true AS v")
+      .collect().map(_.getString(0)).toSet
+    assert(vals == Set("1", "true") || vals.size == 3,
+      s"long 1 vs string '1' collapsed: $vals")
+    assert(Cypher.run(spark, g,
+      "RETURN 1 AS v UNION RETURN '1' AS v UNION RETURN true AS v")
+      .count() == 3)
+    // nested CALL {} union keeps the encoding: outer ORDER BY follows the
+    // global type-rank order String < Boolean < Number
+    val ordered = Cypher.run(spark, g,
+      """CALL { RETURN 10 AS v UNION ALL RETURN 'b' AS v
+        |       UNION ALL RETURN false AS v }
+        |RETURN toString(v) AS s ORDER BY v""".stripMargin)
+      .collect().map(_.getString(0)).toList
+    assert(ordered == List("b", "false", "10"))
+    // min/max over a genuinely mixed COLUMN follow orderability
+    val mm = Cypher.run(spark, g,
+      """CALL { RETURN 5 AS v UNION ALL RETURN 'a' AS v
+        |       UNION ALL RETURN true AS v UNION ALL RETURN 2.5 AS v }
+        |RETURN toString(min(v)) AS lo, toString(max(v)) AS hi""".stripMargin)
+      .collect()(0)
+    assert(mm.getString(0) == "a" && mm.getString(1) == "5")
+  }
+
   test("unicode_normalize composes NFD input under NFC (native expression)") {
     val r = one.select(call_function("unicode_normalize",
       lit("café"), lit("NFC")).as("s")).collect()(0).getString(0)
