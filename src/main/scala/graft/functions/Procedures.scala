@@ -187,6 +187,93 @@ object Procedures {
       col("dist").as("totalCost"), col("path").as("relIds"), col("nodes").as("nodeIds"))
   })
 
+  /** Shared edge preparation for the single-pair path procedures:
+    * type-filter + weight column (defaultWeight fills missing, else rels
+    * without the property are excluded). */
+  private def weightedEdges(g: graft.graph.PropertyGraph, prop: String,
+      defaultW: Option[Double], types: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(g.rels.columns.contains(prop), s"unknown relationship property $prop")
+    val base = if (types.isEmpty) g.rels else g.rels.filter(col("type").isin(types: _*))
+    val w = defaultW match {
+      case Some(d) => coalesce(col(prop).cast("double"), lit(d))
+      case None    => col(prop).cast("double")
+    }
+    val e = base.select(col("id"), col("src"), col("dst"), w.as("weight"))
+    if (defaultW.isDefined) e else e.filter(col("weight").isNotNull)
+  }
+
+  private def relTypesArg(a: Option[Any]): Seq[String] = a.map {
+    case xs: Seq[_] => xs.map(_.toString)
+    case s: String  => Seq(s)
+    case other => throw new IllegalArgumentException(
+      s"expected relationship type(s), got $other")
+  }.getOrElse(Seq.empty)
+
+  /** graft.shortestPath.bidirectional(srcId, dstId, weightProp[,
+    * defaultWeight[, relTypes[, maxIter]]]) — meet-in-the-middle
+    * single-pair search (reference graph-algo DijkstraBidirectional.java):
+    * O(b^(d/2)) states per side instead of the forward search's O(b^d).
+    * YIELDs (sourceNode, targetNode, totalCost, relIds, nodeIds). */
+  register("graft.shortestpath.bidirectional", (spark, g, args) => {
+    val Seq(src: Number, dst: Number, prop: String) = args.take(3)
+    val defaultW = args.lift(3).collect { case n: Number => n.doubleValue }
+    val types = relTypesArg(args.lift(4))
+    val maxIter = args.lift(5).collect { case n: Number => n.intValue }.getOrElse(200)
+    graft.ops.WeightedPaths.bidirectional(
+      weightedEdges(g, prop, defaultW, types), src.longValue, dst.longValue, maxIter)
+      .select(col("source").as("sourceNode"), col("target").as("targetNode"),
+        col("dist").as("totalCost"), col("path").as("relIds"),
+        col("nodes").as("nodeIds"))
+  })
+
+  /** graft.shortestPath.astar(srcId, dstId, weightProp, xProp, yProp[,
+    * defaultWeight[, relTypes[, scale[, maxIter]]]]) — A* single-pair
+    * search (reference graph-algo AStar.java + EstimateEvaluator): node
+    * coordinates come from two node properties; h = euclidean distance to
+    * the target x scale. Admissibility (exactness) requires edge weights
+    * >= scale x coordinate distance between endpoints. */
+  register("graft.shortestpath.astar", (spark, g, args) => {
+    val Seq(src: Number, dst: Number, prop: String) = args.take(3)
+    val xProp = args(3).asInstanceOf[String]
+    val yProp = args(4).asInstanceOf[String]
+    val defaultW = args.lift(5).collect { case n: Number => n.doubleValue }
+    val types = relTypesArg(args.lift(6))
+    val scale = args.lift(7).collect { case n: Number => n.doubleValue }.getOrElse(1.0)
+    val maxIter = args.lift(8).collect { case n: Number => n.intValue }.getOrElse(50)
+    require(g.nodes.columns.contains(xProp) && g.nodes.columns.contains(yProp),
+      s"unknown node coordinate properties $xProp/$yProp")
+    val coords = g.nodes.select(col("id"), col(xProp).as("x"), col(yProp).as("y"))
+    graft.ops.WeightedPaths.astar(weightedEdges(g, prop, defaultW, types),
+      coords, src.longValue, dst.longValue, scale, maxIter)
+      .select(col("source").as("sourceNode"), col("target").as("targetNode"),
+        col("dist").as("totalCost"), col("path").as("relIds"),
+        col("nodes").as("nodeIds"))
+  })
+
+  /** graft.allSimplePaths(srcId, dstId, maxDepth[, relTypes[, direction]])
+    * — bounded simple-path (node-unique) enumeration between two nodes
+    * (reference graph-algo AllSimplePaths.java). direction OUT (default) /
+    * IN / BOTH. YIELDs (hops, relIds, nodeIds). */
+  register("graft.allsimplepaths", (spark, g, args) => {
+    val Seq(src: Number, dst: Number, depth: Number) = args.take(3)
+    val types = relTypesArg(args.lift(3))
+    val direction = args.lift(4).map(_.toString.toUpperCase).getOrElse("OUT")
+    val base = if (types.isEmpty) g.rels
+      else g.rels.filter(col("type").isin(types: _*))
+    val fwd = base.select(col("id"), col("src"), col("dst"))
+    val rev = base.select(col("id"), col("dst").as("src"), col("src").as("dst"))
+    val edges = direction match {
+      case "OUT"  => fwd
+      case "IN"   => rev
+      case "BOTH" => fwd.unionByName(rev)
+      case other  => throw new IllegalArgumentException(
+        s"direction must be OUT, IN or BOTH, got $other")
+    }
+    graft.ops.Bfs.allSimplePaths(edges, src.longValue, dst.longValue,
+        depth.intValue)
+      .select(col("hops"), col("path").as("relIds"), col("nodes").as("nodeIds"))
+  })
+
   /** db.index.vector.queryNodes(indexNameOrProp, k, queryVec): brute-force
     * cosine top-k (reference VectorIndexProcedures.java:144). Index names
     * come from `CREATE VECTOR INDEX … FOR (n:Label) ON (n.prop)` and scope

@@ -304,4 +304,45 @@ object Bfs {
     allNodes.join(assigned, Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
+
+  /**
+   * All SIMPLE paths source → target with length ≤ maxDepth (reference
+   * graph-algo AllSimplePaths.java / AllPaths.java): node-uniqueness, the
+   * stricter-than-trail rule — no node may repeat, so a path that touches
+   * the target ends there. Bounded unrolled expansion; enumeration is
+   * inherently exponential in depth, hence the hard bound (the reference
+   * walks the same set serially with its traversal framework).
+   *
+   * @param edges (id, src, dst) pre-oriented/filtered
+   * @return (hops INT, path ARRAY<LONG> rel ids, nodes ARRAY<LONG> node
+   *         ids incl. both endpoints) — one row per distinct simple path
+   */
+  def allSimplePaths(edges: DataFrame, source: Long, target: Long,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 15,
+      s"allSimplePaths depth out of range: $maxDepth (max 15)")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("id").as("__er"), col("src").as("__es"),
+      col("dst").as("__ed")).localCheckpoint(false)
+    var level = Seq(source).toDF("end")
+      .select(col("end"), array(col("end")).as("nodes"),
+        array().cast("array<long>").as("path"))
+    val out = Seq.newBuilder[DataFrame]
+    var k = 1
+    while (k <= maxDepth) {
+      // prefixes at the target are complete (node-uniqueness means they
+      // can never return) — only extend the rest
+      level = level.filter(col("end") =!= target)
+        .join(e, col("end") === col("__es") &&
+          !array_contains(col("nodes"), col("__ed")))
+        .select(col("__ed").as("end"),
+          concat(col("nodes"), array(col("__ed"))).as("nodes"),
+          concat(col("path"), array(col("__er"))).as("path"))
+      out += level.filter(col("end") === target)
+        .select(lit(k).as("hops"), col("path"), col("nodes"))
+      k += 1
+    }
+    out.result().reduce(_ unionByName _)
+  }
 }

@@ -93,4 +93,179 @@ object WeightedPaths {
     val all = shortestPaths(edges, pairs.select("source").distinct(), maxIter)
     pairs.join(all.withColumnRenamed("node", "target"), Seq("source", "target"))
   }
+
+  /**
+   * Bidirectional single-pair search (reference graph-algo
+   * DijkstraBidirectional.java): Dijkstra-ordered bucket expansion from the
+   * source over forward edges and from the target over reversed edges,
+   * expanding the smaller frontier each round. Each round settles the
+   * minimum-distance bucket (every label < the bucket head is final under
+   * non-negative weights — Dijkstra's invariant, frontier-parallel over
+   * ties), so the classic termination bound applies: stop when
+   * topF + topB >= mu (best meeting distance so far; one side exhausted =
+   * +inf). On branching graphs this touches O(b^(d/2)) states per side
+   * where the forward-only search touches O(b^d).
+   *
+   * @return (one-row DataFrame (source, target, dist, path, nodes) — empty
+   *         if unreachable, touched = total frontier rows expanded)
+   */
+  def bidirectionalWithStats(edges: DataFrame, source: Long, target: Long,
+      maxIter: Int = 200): (DataFrame, Long) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eps = 1e-9
+    val fwd = edges.select(col("src").as("__s"), col("dst").as("__d"),
+      col("weight").as("__w"), col("id").as("__e")).localCheckpoint(false)
+    val bwd = edges.select(col("dst").as("__s"), col("src").as("__d"),
+      col("weight").as("__w"), col("id").as("__e")).localCheckpoint(false)
+
+    // per side: best labels + open (labeled, not yet expanded)
+    case class Side(e: DataFrame, var best: DataFrame, var open: DataFrame,
+        var top: Double, var openCnt: Long)
+    def init(root: Long, e: DataFrame): Side = {
+      val s0 = Seq(root).toDF("node")
+        .select(col("node"), lit(0.0).as("dist"),
+          array().cast("array<long>").as("path"), array(col("node")).as("nodes"))
+        .localCheckpoint()
+      Side(e, s0, s0, 0.0, 1L)
+    }
+    val f = init(source, fwd)
+    val b = init(target, bwd)
+
+    var mu = Double.PositiveInfinity
+    var touched = 0L
+    var iter = 0
+    def topOr(s: Side): Double = if (s.openCnt == 0) Double.PositiveInfinity else s.top
+    while (topOr(f) + topOr(b) < mu && iter < maxIter) {
+      iter += 1
+      val s = if (f.openCnt > 0 && (b.openCnt == 0 || f.openCnt <= b.openCnt)) f else b
+      val bucket = s.open.filter(col("dist") <= s.top + eps).localCheckpoint(false)
+      val bucketCnt = bucket.count()
+      touched += bucketCnt
+      val relaxed = broadcast(bucket).join(s.e, col("node") === col("__s"))
+        .select(col("__d").as("node"), (col("dist") + col("__w")).as("dist"),
+          concat(col("path"), array(col("__e"))).as("path"),
+          concat(col("nodes"), array(col("__d"))).as("nodes"))
+      val merged = s.best.unionByName(relaxed)
+        .groupBy("node")
+        .agg(min(struct(col("dist"), col("path"), col("nodes"))).as("__m"))
+        .select(col("node"), col("__m.dist").as("dist"),
+          col("__m.path").as("path"), col("__m.nodes").as("nodes"))
+        .localCheckpoint()
+      val improved = relaxed.groupBy("node")
+        .agg(min(struct(col("dist"), col("path"), col("nodes"))).as("__m"))
+        .select(col("node"), col("__m.dist").as("dist"))
+        .join(s.best.select(col("node"), col("dist").as("__old")),
+          Seq("node"), "left_outer")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select("node")
+      val newOpen = s.open.filter(col("dist") > s.top + eps)
+        .select("node")
+        .unionByName(improved)
+        .distinct()
+        .join(merged, Seq("node"))
+        .localCheckpoint()
+      s.best = merged
+      s.open = newOpen
+      s.openCnt = newOpen.count()
+      if (s.openCnt > 0)
+        s.top = newOpen.agg(min(col("dist"))).first().getDouble(0)
+      // meeting check: min over nodes labeled by BOTH sides
+      val meet = f.best.select(col("node"), col("dist").as("__fd"))
+        .join(b.best.select(col("node"), col("dist").as("__bd")), Seq("node"))
+        .agg(min(col("__fd") + col("__bd")).as("m")).first()
+      if (!meet.isNullAt(0)) mu = math.min(mu, meet.getDouble(0))
+    }
+    require(topOr(f) + topOr(b) >= mu,
+      s"bidirectional search did not converge within $maxIter rounds")
+    if (mu.isInfinity)
+      return (f.best.filter(lit(false))
+        .select(lit(source).as("source"), lit(target).as("target"),
+          col("dist"), col("path"), col("nodes")), touched)
+    // stitch: forward best + reversed backward best at the best meeting
+    // node; backward path/nodes were collected target-outward, so reverse
+    val joined = f.best.select(col("node"), col("dist").as("__fd"),
+        col("path").as("__fp"), col("nodes").as("__fn"))
+      .join(b.best.select(col("node"), col("dist").as("__bd"),
+        col("path").as("__bp"), col("nodes").as("__bn")), Seq("node"))
+      .select((col("__fd") + col("__bd")).as("dist"),
+        concat(col("__fp"), reverse(col("__bp"))).as("path"),
+        concat(col("__fn"), reverse(slice(col("__bn"), lit(1),
+          greatest(size(col("__bn")) - 1, lit(0))))).as("nodes"))
+      .orderBy(col("dist").asc, col("path").asc).limit(1)
+    (joined.select(lit(source).as("source"), lit(target).as("target"),
+      col("dist"), col("path"), col("nodes")), touched)
+  }
+
+  def bidirectional(edges: DataFrame, source: Long, target: Long,
+      maxIter: Int = 200): DataFrame =
+    bidirectionalWithStats(edges, source, target, maxIter)._1
+
+  /**
+   * A* single-pair search (reference graph-algo AStar.java with its
+   * EstimateEvaluator): frontier-parallel relaxation where every frontier
+   * row carries f = dist + h(node) and rows with f > mu (the best known
+   * complete distance) are pruned. With an ADMISSIBLE heuristic
+   * (h(v) <= true remaining cost — the caller guarantees edge weights >=
+   * scale x coordinate distance) no prefix of an optimal path is ever
+   * pruned, so the result is exact; the heuristic only shrinks the
+   * explored state space toward the goal.
+   *
+   * @param coords (id, x DOUBLE, y DOUBLE) node coordinates; h = euclidean
+   *               distance to the target's coords x scale
+   */
+  def astar(edges: DataFrame, coords: DataFrame, source: Long, target: Long,
+      scale: Double = 1.0, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").as("__s"), col("dst").as("__d"),
+      col("weight").as("__w"), col("id").as("__e")).localCheckpoint(false)
+    val cs = coords.select(col("id").as("node"), col("x").cast("double"),
+      col("y").cast("double"))
+    val t = cs.filter(col("node") === target).select("x", "y").first()
+    val (tx, ty) = (t.getDouble(0), t.getDouble(1))
+    val h = sqrt(pow(col("x") - tx, 2) + pow(col("y") - ty, 2)) * scale
+
+    var best = Seq(source).toDF("node")
+      .select(col("node"), lit(0.0).as("dist"),
+        array().cast("array<long>").as("path"), array(col("node")).as("nodes"))
+      .localCheckpoint()
+    var frontier = best
+    var mu = Double.PositiveInfinity
+    var iter = 0
+    var fCnt = 1L
+    while (fCnt > 0 && iter < maxIter) {
+      iter += 1
+      val relaxed = broadcast(frontier).join(e, col("node") === col("__s"))
+        .select(col("__d").as("node"), (col("dist") + col("__w")).as("dist"),
+          concat(col("path"), array(col("__e"))).as("path"),
+          concat(col("nodes"), array(col("__d"))).as("nodes"))
+      val merged = best.unionByName(relaxed)
+        .groupBy("node")
+        .agg(min(struct(col("dist"), col("path"), col("nodes"))).as("__m"))
+        .select(col("node"), col("__m.dist").as("dist"),
+          col("__m.path").as("path"), col("__m.nodes").as("nodes"))
+        .localCheckpoint()
+      val tgt = merged.filter(col("node") === target)
+        .agg(min(col("dist"))).first()
+      if (!tgt.isNullAt(0)) mu = math.min(mu, tgt.getDouble(0))
+      frontier = merged.join(
+          best.select(col("node"), col("dist").as("__old")),
+          Seq("node"), "left_outer")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .drop("__old")
+        .join(cs, Seq("node"), "left_outer")
+        // goal-directed pruning: a frontier row whose optimistic total
+        // dist + h already exceeds the best complete path cannot improve
+        .filter(col("x").isNull || col("dist") + h <= lit(mu))
+        .drop("x", "y")
+        .localCheckpoint()
+      best = merged
+      fCnt = frontier.count()
+    }
+    require(fCnt == 0, s"astar did not converge within $maxIter rounds")
+    best.filter(col("node") === target)
+      .select(lit(source).as("source"), col("node").as("target"),
+        col("dist"), col("path"), col("nodes"))
+  }
 }

@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
 object PathQueries {
   import QueryDef.t
 
+  /** 10x10 weighted grid graph derived from the customer table: node k at
+    * (row, col) = (k/10, k%10) with coordinates as properties; right edges
+    * weigh 1+k%3, down edges 1+k%5 (type E). Deterministic and
+    * scale-invariant (keys 1..100 exist at every SF). */
+  private def gridGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.graph.PropertyGraph = {
+    val base = t(s, d, "customer").filter(col("c_custkey") <= 100)
+      .select((col("c_custkey") - 1).cast("long").as("id"))
+    val nodes = base.select(col("id"), array(lit("G")).as("labels"),
+      (col("id") / 10).cast("long").as("row"), (col("id") % 10).as("col"))
+    val right = base.filter(col("id") % 10 < 9)
+      .select((col("id") + 1000).as("id"), col("id").as("src"),
+        (col("id") + 1).as("dst"), lit("E").as("type"),
+        (lit(1.0) + col("id") % 3).as("w"))
+    val down = base.filter(col("id") < 90)
+      .select((col("id") + 2000).as("id"), col("id").as("src"),
+        (col("id") + 10).as("dst"), lit("E").as("type"),
+        (lit(1.0) + col("id") % 5).as("w"))
+    graft.graph.PropertyGraph(nodes, right.unionByName(down))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Trail {1,3} over the per-customer order-succession chain, collecting
@@ -243,6 +264,65 @@ object PathQueries {
       Some("""SELECT c_custkey AS ckey,
              |  CASE WHEN c_acctbal > 0 THEN (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
              |  ELSE NULL END AS n_orders
-             |FROM customer""".stripMargin))
+             |FROM customer""".stripMargin)),
+
+    // A* on the Cypher procedure surface (reference graph-algo AStar.java
+    // + geoEstimateEvaluator): a 10x10 weighted grid graph derived from
+    // the customer table (node k at (row, col) = (k/10, k%10); right edges
+    // weigh 1+k%3, down edges 1+k%5), coordinates stored as node
+    // properties. h = euclidean distance x 1.0 is admissible (every edge
+    // weight >= 1 >= unit step), so the result is the exact shortest
+    // distance 0 -> 99 — the oracle recomputes it by enumerating all
+    // monotone grid paths with a recursive CTE.
+    QueryDef("q_cypher_astar",
+      (s, d) => graft.cypher.Cypher.run(s, gridGraph(s, d),
+        """CALL graft.shortestPath.astar(0, 99, 'w', 'row', 'col')
+          |YIELD totalCost, relIds
+          |RETURN totalCost AS dist, size(relIds) AS hops""".stripMargin),
+      Some("""WITH RECURSIVE grid AS (
+             |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
+             |  WHERE c_custkey <= 100),
+             |e AS (
+             |  SELECT k AS s, k + 1 AS d, 1.0 + (k % 3) AS w FROM grid
+             |  WHERE k % 10 < 9
+             |  UNION ALL
+             |  SELECT k, k + 10, 1.0 + (k % 5) FROM grid WHERE k < 90),
+             |p AS (
+             |  SELECT CAST(0 AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS dist,
+             |    0 AS hops
+             |  UNION ALL
+             |  SELECT e.d, p.dist + e.w, p.hops + 1 FROM p
+             |  JOIN e ON e.s = p.node WHERE p.hops < 18)
+             |SELECT min(dist) AS dist, CAST(18 AS INT) AS hops
+             |FROM p WHERE node = 99""".stripMargin)),
+
+    // allSimplePaths on the procedure surface (reference graph-algo
+    // AllSimplePaths.java): UNDIRECTED simple paths 0 -> 33 on the grid
+    // with length <= 8 — the 20 monotone 6-hop paths plus every 8-hop
+    // path that takes one backtracking detour; node-uniqueness is what
+    // keeps the undirected walk from oscillating. The oracle enumerates
+    // the same set with a recursive CTE carrying the visited list.
+    QueryDef("q_all_simple_paths",
+      (s, d) => graft.cypher.Cypher.run(s, gridGraph(s, d),
+        """CALL graft.allSimplePaths(0, 33, 8, ['E'], 'BOTH')
+          |YIELD hops, relIds
+          |RETURN hops, count(*) AS n""".stripMargin),
+      Some("""WITH RECURSIVE grid AS (
+             |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
+             |  WHERE c_custkey <= 100),
+             |e0 AS (
+             |  SELECT k AS s, k + 1 AS d FROM grid WHERE k % 10 < 9
+             |  UNION ALL SELECT k, k + 10 FROM grid WHERE k < 90),
+             |e AS (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),
+             |p AS (
+             |  SELECT CAST(0 AS BIGINT) AS node, [CAST(0 AS BIGINT)] AS visited,
+             |    0 AS hops
+             |  UNION ALL
+             |  SELECT e.d, list_append(p.visited, e.d), p.hops + 1
+             |  FROM p JOIN e ON e.s = p.node
+             |  WHERE p.hops < 8 AND p.node <> 33
+             |    AND NOT list_contains(p.visited, e.d))
+             |SELECT CAST(hops AS INT) AS hops, count(*) AS n
+             |FROM p WHERE node = 33 GROUP BY hops""".stripMargin))
   )
 }
