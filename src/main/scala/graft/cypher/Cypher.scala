@@ -24,10 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *  - RETURN of a bare node/relationship variable yields its LONG id (the
  *    reference materializes a NodeValue; a columnar engine returns the key —
  *    project properties explicitly to read them).
- *  - unbounded var-length (`*`) runs to exhaustion when the query is
- *    endpoints-only (unused rel variable feeding DISTINCT / min-max
- *    aggregation — planned as frontier BFS); when paths must be
- *    enumerated it requires an explicit upper bound and raises otherwise.
+ *  - unbounded var-length (`*`): endpoints-only queries plan as frontier
+ *    BFS (|V|-bounded state); path enumeration iterates the trail
+ *    expansion to an empty frontier — relationship uniqueness terminates
+ *    it, exactly like the reference's VarLengthExpand (a runaway guard
+ *    raises after 1000 rounds instead of looping forever).
  *  - Cypher's cross-type orderability (reference Values comparator): mixed
  *    literal lists (`UNWIND [1,'a',true,null]`) and CASE expressions whose
  *    branches return different types compile to a sortable struct encoding

@@ -1817,14 +1817,21 @@ object Planner {
           case Out => Direction.Out; case In => Direction.In; case Both => Direction.Both
         }
         if (pathNodesAlias.isDefined) {
-          // named path: Trail carries the node sequence alongside the rels
-          val max = maxOpt.getOrElse(throw new IllegalArgumentException(
-            "a named var-length path needs a bounded upper end (e.g. [*1..6])"))
+          // named path: Trail carries the node sequence alongside the rels;
+          // unbounded `*` iterates to an empty frontier (rel-uniqueness
+          // terminates, like the reference's VarLengthExpand)
           val hopsCol = ctx.fresh("ph")
-          val expanded = graft.ops.Trail.trail(
-            orientTyped(g, rel.types, dir, edgeFilter), env.df.get, fromVar,
-            min, max, endAlias = "__to", relsAlias = relVar,
-            nodesAlias = pathNodesAlias.get, hopsAlias = hopsCol).drop(hopsCol)
+          val oriented = orientTyped(g, rel.types, dir, edgeFilter)
+          val expanded = (maxOpt match {
+            case Some(max) => graft.ops.Trail.trail(
+              oriented, env.df.get, fromVar, min, max, endAlias = "__to",
+              relsAlias = relVar, nodesAlias = pathNodesAlias.get,
+              hopsAlias = hopsCol)
+            case None => graft.ops.Trail.trailToExhaustion(
+              oriented, env.df.get, fromVar, min, endAlias = "__to",
+              relsAlias = relVar, nodesAlias = pathNodesAlias.get,
+              hopsAlias = hopsCol)
+          }).drop(hopsCol)
           Env(Some(expanded), env.binds + (relVar -> RelListVar))
         } else if (ctx.pruneRels.contains(rel)) {
           // endpoints-only: pruningVarExpander rewrite — frontier BFS keeps
@@ -1839,18 +1846,24 @@ object Planner {
           // no rel/group bindings: eligibility means nothing reads them
           Env(Some(joined), env.binds)
         } else {
-        val max = maxOpt.getOrElse(throw new IllegalArgumentException(
-          "unbounded var-length pattern requires path enumeration — add an " +
-          "upper bound (e.g. [*1..8]), or make the query endpoints-only " +
-          "(unused rel variable + DISTINCT / min/max aggregation) so the " +
-          "pruning rewrite applies"))
         rel.qppVars match {
           case None =>
             val depthCol = ctx.fresh("depth")
-            val expanded = VarExpand.varExpand(g, env.df.get, fromVar, rel.types,
-              dir, min, max, toAlias = "__to", relsAlias = relVar,
-              depthAlias = depthCol, edgeFilter = edgeFilter)
-              .drop(depthCol)
+            val expanded = (maxOpt match {
+              case Some(max) =>
+                VarExpand.varExpand(g, env.df.get, fromVar, rel.types,
+                  dir, min, max, toAlias = "__to", relsAlias = relVar,
+                  depthAlias = depthCol, edgeFilter = edgeFilter)
+              case None =>
+                // unbounded enumeration: iterate to an empty frontier
+                // (rel-uniqueness terminates, reference VarLengthExpand)
+                val nodesCol = ctx.fresh("vn")
+                graft.ops.Trail.trailToExhaustion(
+                  orientTyped(g, rel.types, dir, edgeFilter), env.df.get,
+                  fromVar, min, endAlias = "__to", relsAlias = relVar,
+                  nodesAlias = nodesCol, hopsAlias = depthCol)
+                  .drop(nodesCol)
+            }).drop(depthCol)
             Env(Some(expanded), env.binds + (relVar -> RelListVar))
           case Some((xVar, _, yVar)) =>
             // quantified path pattern: Trail collects the group variables —
@@ -1858,10 +1871,15 @@ object Planner {
             // first, r group = the rel array
             val nodesCol = ctx.fresh("qn")
             val hopsCol = ctx.fresh("qh")
-            val expanded = graft.ops.Trail.trail(
-              orientTyped(g, rel.types, dir, edgeFilter), env.df.get, fromVar,
-              min, max, endAlias = "__to", relsAlias = relVar,
-              nodesAlias = nodesCol, hopsAlias = hopsCol)
+            val oriented = orientTyped(g, rel.types, dir, edgeFilter)
+            val expanded = maxOpt match {
+              case Some(max) => graft.ops.Trail.trail(
+                oriented, env.df.get, fromVar, min, max, endAlias = "__to",
+                relsAlias = relVar, nodesAlias = nodesCol, hopsAlias = hopsCol)
+              case None => graft.ops.Trail.trailToExhaustion(
+                oriented, env.df.get, fromVar, min, endAlias = "__to",
+                relsAlias = relVar, nodesAlias = nodesCol, hopsAlias = hopsCol)
+            }
             var out = expanded.drop(hopsCol)
             var binds = env.binds + (relVar -> RelListVar)
             xVar.foreach { v =>

@@ -65,6 +65,58 @@ object Trail {
   }
 
   /**
+   * Unbounded trail — `[*]` / `[*2..]` WITH path enumeration: iterate the
+   * one-hop expansion to an EMPTY frontier, exactly how the reference
+   * terminates unbounded VarLengthExpand (relationship uniqueness: every
+   * path may use each rel at most once, so the frontier must die within
+   * |rels| rounds; in practice within the graph's longest trail). Driver
+   * loop with per-round checkpoints instead of plan-time unrolling —
+   * the plan cannot encode an unknown depth. Same output contract as
+   * trail(). The roundCap is a runaway guard for pathological inputs
+   * (a clique enumerates factorially many trails long before 1000
+   * rounds), not a semantic bound.
+   */
+  def trailToExhaustion(edges: DataFrame, input: DataFrame, fromCol: String,
+      min: Int,
+      endAlias: String = "end", relsAlias: String = "trail_rels",
+      nodesAlias: String = "trail_nodes", hopsAlias: String = "hops",
+      edgePredicate: Option[Column] = None, roundCap: Int = 1000): DataFrame = {
+    require(min >= 0, s"trail bounds out of range: $min..")
+    val e0 = edges.select(col("id").as("__er"), col("src").as("__es"),
+      col("dst").as("__ed"))
+    val e = edgePredicate.fold(e0)(p => edges.filter(p)
+      .select(col("id").as("__er"), col("src").as("__es"), col("dst").as("__ed")))
+      .localCheckpoint(false)
+
+    var level = input
+      .withColumn(endAlias, col(fromCol))
+      .withColumn(nodesAlias, array(col(fromCol)))
+      .withColumn(relsAlias, array().cast("array<long>"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[DataFrame]
+    if (min == 0) out += level.withColumn(hopsAlias, lit(0))
+    var k = 1
+    var levelCnt = level.count()
+    while (levelCnt > 0 && k <= roundCap) {
+      level = level
+        .join(e, col(endAlias) === col("__es") &&
+          !array_contains(col(relsAlias), col("__er")))
+        .withColumn(relsAlias, concat(col(relsAlias), array(col("__er"))))
+        .withColumn(nodesAlias, concat(col(nodesAlias), array(col("__ed"))))
+        .withColumn(endAlias, col("__ed"))
+        .drop("__es", "__ed", "__er")
+        .localCheckpoint()
+      levelCnt = level.count()
+      if (levelCnt > 0 && k >= min) out += level.withColumn(hopsAlias, lit(k))
+      k += 1
+    }
+    require(levelCnt == 0,
+      s"unbounded trail still expanding after $roundCap rounds — " +
+        "bound the pattern explicitly")
+    out.result().reduce(_ unionByName _)
+  }
+
+  /**
    * SHORTEST k paths (GQL / reference StatefulShortestPath,
    * LogicalPlan.scala:2290 + NFA.scala): for each (source, target) pair the
    * k shortest TRAILS by hop count, ties broken by the lexicographically

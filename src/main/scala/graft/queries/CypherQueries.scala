@@ -393,6 +393,23 @@ object CypherQueries {
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_custkey < 20 AND o_orderstatus = 'O'""".stripMargin),
 
+    // unbounded var-length WITH path enumeration (reference VarLengthExpand
+    // without an upper bound, terminating via relationship uniqueness):
+    // the FROM|IN_REGION lattice is a 2-level DAG, so the frontier dies
+    // after customer->nation->region — no bound required.
+    cq("q_cypher_var_unbounded",
+      """MATCH (c:Customer) WHERE c.key <= 50
+        |MATCH p = (c)-[:FROM|IN_REGION*]->(x)
+        |RETURN c.key AS ckey, length(p) AS hops, x AS target""".stripMargin,
+      """SELECT c_custkey AS ckey, 1 AS hops,
+        |  CAST((CAST(2 AS BIGINT) << 44) + c_nationkey AS BIGINT) AS target
+        |FROM customer WHERE c_custkey <= 50
+        |UNION ALL
+        |SELECT c_custkey, 2,
+        |  CAST((CAST(1 AS BIGINT) << 44) + n_regionkey AS BIGINT)
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_custkey <= 50""".stripMargin),
+
     // non-linear NFA: alternation BETWEEN path shapes inside a quantified
     // group (reference NFA.scala arbitrary regular path patterns) —
     // `(-[:FROM]->() | -[:PLACED]->()-[:SUPPLIED_BY]->()){1,2}` reaches the

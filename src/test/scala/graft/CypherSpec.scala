@@ -523,6 +523,23 @@ class CypherSpec extends AnyFunSuite {
     assert(ns == List(1L, 3L, 4L)) // Alice -> Carol -> Dave
   }
 
+  test("unbounded var-length enumerates every trail to exhaustion") {
+    val rows = run(
+      """MATCH p = (a {name: 'Alice'})-[:KNOWS*]->(x)
+        |RETURN x.name AS name, length(p) AS hops ORDER BY name, hops""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).intValue)).toSeq
+    // every KNOWS trail from Alice: B(1), C(1 direct, 2 via B),
+    // D(2 via direct C, 3 via B-C) — rel-uniqueness terminates the loop
+    assert(rows == Seq(("Bob", 1), ("Carol", 1), ("Carol", 2),
+      ("Dave", 2), ("Dave", 3)))
+    // lower bound applies: *2.. drops the 1-hop trails
+    val lo = run(
+      """MATCH p = (a {name: 'Alice'})-[:KNOWS*2..]->(x)
+        |RETURN x.name AS name, length(p) AS hops ORDER BY name, hops""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).intValue)).toSeq
+    assert(lo == Seq(("Carol", 2), ("Dave", 2), ("Dave", 3)))
+  }
+
   test("SHORTEST supports alternation between path shapes") {
     // s -X(10)-> m1 -X(11)-> t   and   s -Y(20)-> m2 -Z(21)-> t
     val ag = GraphFixtures.graph(spark,
@@ -753,11 +770,16 @@ class CypherSpec extends AnyFunSuite {
     assert(names == (1 to 12).map(i => s"n$i").toSet) // depth 12 reached, no cap
   }
 
-  test("path-enumerating unbounded * raises instead of silently capping") {
-    val ex = intercept[IllegalArgumentException] {
-      run("MATCH (a {name: 'Alice'})-[rs*]->(b) RETURN b.name AS n, size(rs) AS len")
-    }
-    assert(ex.getMessage.contains("upper bound"))
+  test("path-enumerating unbounded * with a rel variable runs to exhaustion") {
+    // rs binds the rel list, so this can't take the endpoints-only pruning
+    // rewrite — it enumerates trails until the frontier dies (was a
+    // compile-time rejection before trailToExhaustion)
+    val rows = run(
+      "MATCH (a {name: 'Alice'})-[rs:KNOWS*]->(b) " +
+        "RETURN b.name AS n, size(rs) AS len ORDER BY n, len")
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).intValue)).toSeq
+    assert(rows == Seq(("Bob", 1), ("Carol", 1), ("Carol", 2),
+      ("Dave", 2), ("Dave", 3)))
   }
 
   test("cycle back to the source satisfies [*1..] under the pruning rewrite") {
