@@ -202,6 +202,24 @@ object Procedures {
     if (defaultW.isDefined) e else e.filter(col("weight").isNotNull)
   }
 
+  /** (id, src, dst) rel relation oriented per the direction argument the
+    * graph-algo procedures share (reference Direction.OUTGOING/INCOMING/
+    * BOTH on the PathExpander). */
+  private def orientedEdges(g: graft.graph.PropertyGraph, types: Seq[String],
+      direction: String): org.apache.spark.sql.DataFrame = {
+    val base = if (types.isEmpty) g.rels
+      else g.rels.filter(col("type").isin(types: _*))
+    val fwd = base.select(col("id"), col("src"), col("dst"))
+    val rev = base.select(col("id"), col("dst").as("src"), col("src").as("dst"))
+    direction match {
+      case "OUT"  => fwd
+      case "IN"   => rev
+      case "BOTH" => fwd.unionByName(rev)
+      case other  => throw new IllegalArgumentException(
+        s"direction must be OUT, IN or BOTH, got $other")
+    }
+  }
+
   private def relTypesArg(a: Option[Any]): Seq[String] = a.map {
     case xs: Seq[_] => xs.map(_.toString)
     case s: String  => Seq(s)
@@ -256,22 +274,41 @@ object Procedures {
     * IN / BOTH. YIELDs (hops, relIds, nodeIds). */
   register("graft.allsimplepaths", (spark, g, args) => {
     val Seq(src: Number, dst: Number, depth: Number) = args.take(3)
-    val types = relTypesArg(args.lift(3))
-    val direction = args.lift(4).map(_.toString.toUpperCase).getOrElse("OUT")
-    val base = if (types.isEmpty) g.rels
-      else g.rels.filter(col("type").isin(types: _*))
-    val fwd = base.select(col("id"), col("src"), col("dst"))
-    val rev = base.select(col("id"), col("dst").as("src"), col("src").as("dst"))
-    val edges = direction match {
-      case "OUT"  => fwd
-      case "IN"   => rev
-      case "BOTH" => fwd.unionByName(rev)
-      case other  => throw new IllegalArgumentException(
-        s"direction must be OUT, IN or BOTH, got $other")
-    }
+    val edges = orientedEdges(g, relTypesArg(args.lift(3)),
+      args.lift(4).map(_.toString.toUpperCase).getOrElse("OUT"))
     graft.ops.Bfs.allSimplePaths(edges, src.longValue, dst.longValue,
         depth.intValue)
       .select(col("hops"), col("path").as("relIds"), col("nodes").as("nodeIds"))
+  })
+
+  /** graft.pathsWithLength(srcId, dstId, depth[, relTypes[, direction[,
+    * allowLoops]]]) — paths of EXACTLY the given length (reference
+    * graph-algo ExactDepthPathFinder.java / GraphAlgoFactory
+    * .pathsWithLength): node-unique by default; allowLoops=true relaxes to
+    * relationship-uniqueness (the reference's RELATIONSHIP_GLOBAL mode), so
+    * paths may revisit nodes but not rels. YIELDs (hops, relIds, nodeIds). */
+  register("graft.pathswithlength", (spark, g, args) => {
+    val Seq(src: Number, dst: Number, depth: Number) = args.take(3)
+    val edges = orientedEdges(g, relTypesArg(args.lift(3)),
+      args.lift(4).map(_.toString.toUpperCase).getOrElse("OUT"))
+    val allowLoops = args.lift(5).collect {
+      case b: java.lang.Boolean => b.booleanValue }.getOrElse(false)
+    val d = depth.intValue
+    if (allowLoops) {
+      import spark.implicits._
+      graft.ops.Trail.trail(edges, Seq(src.longValue).toDF("__src"), "__src",
+          d, d, endAlias = "__to", relsAlias = "relIds",
+          nodesAlias = "nodeIds", hopsAlias = "hops")
+        .filter(col("__to") === dst.longValue)
+        .select(col("hops"), col("relIds"), col("nodeIds"))
+    } else {
+      // node-uniqueness: a simple path of length d is an allSimplePaths row
+      // at exactly d hops (touching the target earlier would repeat it)
+      graft.ops.Bfs.allSimplePaths(edges, src.longValue, dst.longValue, d)
+        .filter(col("hops") === d)
+        .select(col("hops"), col("path").as("relIds"),
+          col("nodes").as("nodeIds"))
+    }
   })
 
   /** db.index.vector.queryNodes(indexNameOrProp, k, queryVec): brute-force

@@ -323,6 +323,37 @@ object PathQueries {
              |  WHERE p.hops < 8 AND p.node <> 33
              |    AND NOT list_contains(p.visited, e.d))
              |SELECT CAST(hops AS INT) AS hops, count(*) AS n
-             |FROM p WHERE node = 33 GROUP BY hops""".stripMargin))
+             |FROM p WHERE node = 33 GROUP BY hops""".stripMargin)),
+
+    // pathsWithLength on the procedure surface (reference graph-algo
+    // ExactDepthPathFinder.java, allowLoops=true → RELATIONSHIP_GLOBAL
+    // uniqueness): undirected trails 0 -> 33 of EXACTLY 8 hops — nodes may
+    // repeat, rels may not, so this counts strictly more paths than the
+    // node-unique q_all_simple_paths 8-hop rows. The oracle walks the same
+    // set with a recursive CTE carrying the used-rel-id list (grid edge ids
+    // are deterministic: right = node+1000, down = node+2000).
+    QueryDef("q_paths_with_length",
+      (s, d) => graft.cypher.Cypher.run(s, gridGraph(s, d),
+        """CALL graft.pathsWithLength(0, 33, 8, ['E'], 'BOTH', true)
+          |YIELD hops, relIds
+          |RETURN count(*) AS n""".stripMargin),
+      Some("""WITH RECURSIVE grid AS (
+             |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
+             |  WHERE c_custkey <= 100),
+             |e0 AS (
+             |  SELECT k + 1000 AS rid, k AS s, k + 1 AS d FROM grid
+             |  WHERE k % 10 < 9
+             |  UNION ALL SELECT k + 2000, k, k + 10 FROM grid WHERE k < 90),
+             |e AS (
+             |  SELECT rid, s, d FROM e0 UNION ALL SELECT rid, d, s FROM e0),
+             |p AS (
+             |  SELECT CAST(0 AS BIGINT) AS node, CAST([] AS BIGINT[]) AS used,
+             |    0 AS hops
+             |  UNION ALL
+             |  SELECT e.d, list_append(p.used, e.rid), p.hops + 1
+             |  FROM p JOIN e ON e.s = p.node
+             |  WHERE p.hops < 8 AND NOT list_contains(p.used, e.rid))
+             |SELECT count(*) AS n FROM p
+             |WHERE node = 33 AND hops = 8""".stripMargin))
   )
 }

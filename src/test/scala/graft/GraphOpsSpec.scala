@@ -184,6 +184,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows.forall(_.last == 3L))
   }
 
+  test("pathsWithLength finds exact-depth paths; allowLoops relaxes to rel-uniqueness") {
+    import graft.functions.Procedures
+    // diamond with a tail and a back-edge: 0->1->3, 0->2->3, 3->4, 4->0
+    val g = graft.graph.PropertyGraph(
+      Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+        .select(col("id"), array(lit("N")).as("labels")),
+      Seq((10L, 0L, 1L), (11L, 0L, 2L), (12L, 1L, 3L),
+        (13L, 2L, 3L), (14L, 3L, 4L), (15L, 4L, 0L))
+        .toDF("id", "src", "dst").withColumn("type", lit("E")))
+    val exact = Procedures.call(spark, g, "graft.pathsWithLength", 0L, 4L, 3L)
+      .select("relIds").collect().map(_.getSeq[Long](0).toList).toSet
+    assert(exact == Set(List(10L, 12L, 14L), List(11L, 13L, 14L)))
+    // node-unique default: the 4-hop closed walks revisit the start — none
+    assert(Procedures.call(spark, g, "graft.pathsWithLength", 0L, 0L, 4L)
+      .count() == 0)
+    // allowLoops (reference RELATIONSHIP_GLOBAL): both closed 4-hop trails
+    // through the diamond count, each rel still used at most once
+    val loops = Procedures.call(spark, g, "graft.pathsWithLength",
+        0L, 0L, 4L, Seq("E"), "OUT", true)
+      .select("relIds").collect().map(_.getSeq[Long](0).toList).toSet
+    assert(loops == Set(List(10L, 12L, 14L, 15L), List(11L, 13L, 14L, 15L)))
+  }
+
   test("astar equals dijkstra on a weighted grid and prunes off-goal states") {
     import graft.ops.WeightedPaths
     // 6x6 grid, right/down edges, weight 1 + small deterministic variation
