@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus curation — the training-data pipeline stages downstream of dedup:
+ * benchmark decontamination, PII redaction, deterministic splits, and
+ * sequence packing. No reference analog (neo4j is a graph store); these are
+ * the operations a 100 TB pretraining corpus needs between raw documents
+ * and training shards, built on the same Spark-first rules as the dedup
+ * family: broadcast the small side, hash before shuffling, never collect
+ * more than a bounded statistic to the driver.
+ */
+object Curation {
+
+  /**
+   * Benchmark decontamination: flag corpus documents sharing at least one
+   * word n-gram with a benchmark/eval set (the standard n-gram-overlap
+   * decontamination test applied before training).
+   *
+   * Scale shape: the benchmark is thousands of rows vs a 100 TB corpus, so
+   * its distinct shingles broadcast; corpus shingles reduce to 8-byte
+   * xxhash64 keys before the join, the join itself is map-side, and the
+   * per-doc overlap count partial-aggregates. The corpus is never shuffled
+   * by shingle.
+   *
+   * @return (idCol, overlap_ngrams LONG) — one row per contaminated doc;
+   *         clean docs are absent (left-anti of this = the keep set)
+   */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "id", textCol: String = "text"): DataFrame = {
+    def hashedShingles(df: DataFrame, cols: Column*): DataFrame = df
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .select(cols :+ explode(TextFunctions.shinglesOf(col("__toks"), n)).as("__ng"): _*)
+      .withColumn("__ngh", xxhash64(col("__ng"))).drop("__ng")
+    val bench = broadcast(
+      hashedShingles(benchmark).select("__ngh").distinct())
+    hashedShingles(corpus, col(idCol))
+      .dropDuplicates(idCol, "__ngh")
+      .join(bench, "__ngh")
+      .groupBy(idCol).agg(count(lit(1)).as("overlap_ngrams"))
+  }
+
+  /**
+   * PII redaction: emails, IPv4 addresses, and phone-number-shaped digit
+   * runs replaced with typed placeholders. Applied in that order (emails
+   * and IPs contain digit runs a phone pattern would otherwise shred).
+   * Pure codegen'd regexp_replace — no UDF; patterns are RE2-compatible
+   * (no lookaround) so external auditors can replay them.
+   */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+?\\d[\\d -]{7,}\\d"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "[EMAIL]"),
+        ip, "[IP]"),
+      phone, "[PHONE]")
+  }
+
+  /**
+   * Deterministic train/val/test split on a stable content-independent
+   * key: first hex digit of md5 of the id — 12/16 train, 2/16 val,
+   * 2/16 test. Pure map-side, reproducible across engines and runs (no
+   * seed state), and stable under corpus growth: a document's split never
+   * changes when other documents are added or removed.
+   */
+  def splitLabel(id: Column): Column = {
+    val h = substring(md5(id.cast("string")), 1, 1)
+    when(h.isin("c", "d"), "val")
+      .when(h.isin("e", "f"), "test")
+      .otherwise("train")
+  }
+
+  /**
+   * Sequence packing (concat-and-chunk): lay documents end to end in id
+   * order and cut the stream into fixed token-budget packs — the standard
+   * pretraining shard layout. Each doc gets its global token offset, its
+   * first pack id, and the number of packs it straddles.
+   *
+   * Scale shape: the global prefix sum is the classic two-phase scan —
+   * range-repartition by id (the one unavoidable shuffle: packing IS a
+   * global order), per-partition window cumsum, then per-partition base
+   * offsets (one bounded row per partition) broadcast back. No
+   * single-partition window, no driver-side iteration; the checkpoint pins
+   * partitioning so both passes see identical partition ids.
+   *
+   * @return (idCol, tokCol, offset LONG, pack LONG, packs INT)
+   */
+  def assignPacks(df: DataFrame, idCol: String, tokCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"pack budget must be positive: $budget")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(parts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val perPart = ranged.groupBy("__pid")
+      .agg(sum(col(tokCol).cast("long")).as("__psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = perPart.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
+      (pid, acc + s) }.init
+      .zip(perPart).map { case ((_, base), (pid, _)) => (pid, base) }
+    import spark.implicits._
+    val baseDf = broadcast(bases.toSeq.toDF("__pid", "__base"))
+    val w = Window.partitionBy("__pid").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(baseDf, "__pid")
+      .withColumn("offset",
+        coalesce(sum(col(tokCol).cast("long")).over(w), lit(0L)) + col("__base"))
+      .withColumn("pack", floor(col("offset") / budget))
+      .withColumn("packs", when(col(tokCol) <= 0, lit(1)).otherwise(
+        (floor((col("offset") + col(tokCol) - 1) / budget) - col("pack") + 1)
+          .cast("int")))
+      .drop("__pid", "__base")
+  }
+}

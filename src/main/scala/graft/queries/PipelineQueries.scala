@@ -382,6 +382,91 @@ object PipelineQueries {
         "doc_id", "payload"),
       Some("""SELECT sha256(text) AS h, min(doc_id) AS representative,
              |  count(*) AS dupCount, max(CAST(strlen(text) AS BIGINT)) AS bytes
-             |FROM documents GROUP BY 1""".stripMargin))
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // Benchmark decontamination: corpus docs sharing any word 3-gram with
+    // the "benchmark" slice (doc_id % 41 = 0). Benchmark shingles
+    // broadcast; corpus shingles reduce to xxhash64 keys (equality-only —
+    // the oracle recomputes with the actual strings).
+    QueryDef("q_decontaminate",
+      (s, d) => {
+        val all = docs(s, d)
+        graft.functions.Curation.decontaminate(
+          all.filter(col("id") % 41 =!= 0), all.filter(col("id") % 41 === 0),
+          n = 3)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS ws
+             |  FROM documents),
+             |ngrams AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(ws) - 2, 0) + 1),
+             |    i -> array_to_string(ws[i:i+2], ' '))) AS ng
+             |  FROM toks),
+             |bench AS (SELECT DISTINCT ng FROM ngrams WHERE doc_id % 41 = 0)
+             |SELECT doc_id AS id, count(DISTINCT ng) AS overlap_ngrams
+             |FROM ngrams JOIN bench USING (ng)
+             |WHERE doc_id % 41 <> 0 GROUP BY doc_id""".stripMargin)),
+
+    // PII redaction: emails / IPv4 / phone-shaped digit runs replaced with
+    // typed placeholders. Synthetic PII is appended deterministically from
+    // doc_id so both engines redact the same strings; results compare by
+    // md5 of the redacted text.
+    QueryDef("q_redact_pii",
+      (s, d) => docs(s, d).select(col("id"),
+        md5(graft.functions.Curation.redactPii(concat(
+          col("text"), lit(" contact user"), col("id"),
+          lit("@example.com at 10.1.2."), col("id") % 250,
+          lit(" or +1 555 010 "), lit(1000) + col("id") % 9000))).as("h")),
+      Some("""SELECT doc_id AS id,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(
+             |    concat(text, ' contact user', doc_id, '@example.com at 10.1.2.',
+             |      doc_id % 250, ' or +1 555 010 ', 1000 + doc_id % 9000),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+             |    '\+?\d[\d -]{7,}\d', '[PHONE]', 'g')) AS h
+             |FROM documents""".stripMargin)),
+
+    // Deterministic content-independent train/val/test split: first hex
+    // digit of md5(doc_id) — 12/16, 2/16, 2/16. A doc's split never
+    // changes as the corpus grows (no seeded shuffle to replay).
+    QueryDef("q_split_deterministic",
+      (s, d) => docs(s, d)
+        .select(graft.functions.Curation.splitLabel(col("id")).as("split"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+        .groupBy("split").agg(count(lit(1)).as("n"), sum("ntok").as("tokens")),
+      Some("""WITH lab AS (SELECT
+             |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+             |         THEN 'val'
+             |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f')
+             |         THEN 'test' ELSE 'train' END AS split,
+             |    len(list_filter(string_split_regex(text, '\s+'),
+             |      w -> length(w) > 0)) AS ntok
+             |  FROM documents)
+             |SELECT split, count(*) AS n, sum(ntok) AS tokens
+             |FROM lab GROUP BY split""".stripMargin)),
+
+    // Sequence packing (concat-and-chunk, 512-token packs): global token
+    // offset per doc in id order via the two-phase distributed prefix sum,
+    // then pack id + straddle count. The oracle's single-node window
+    // cumsum must agree exactly with the range-partitioned scan.
+    QueryDef("q_pack_sequences",
+      (s, d) => graft.functions.Curation.assignPacks(
+        docs(s, d).select(col("id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ntok")),
+        "id", "ntok", budget = 512),
+      Some("""WITH toks AS (SELECT doc_id AS id,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |      w -> length(w) > 0)) AS BIGINT) AS ntok
+             |  FROM documents),
+             |off AS (SELECT id, ntok,
+             |    COALESCE(sum(ntok) OVER (ORDER BY id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+             |  FROM toks)
+             |SELECT id, ntok, "offset", "offset" // 512 AS pack,
+             |  CAST(CASE WHEN ntok <= 0 THEN 1
+             |    ELSE ("offset" + ntok - 1) // 512 - "offset" // 512 + 1
+             |    END AS INT) AS packs
+             |FROM off""".stripMargin))
   )
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the corpus-curation ops: decontamination overlap
+  * counts, PII redaction patterns, split determinism, and the two-phase
+  * prefix-sum packing against a hand-computed layout. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("decontaminate counts distinct overlapping n-grams per corpus doc") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different words here nothing shared at all"),
+      (3L, "quick brown fox somewhere else quick brown fox again"))
+      .toDF("id", "text")
+    val bench = Seq((100L, "a quick brown fox appeared")).toDF("id", "text")
+    val got = Curation.decontaminate(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bench 3-grams: {a quick brown, quick brown fox, brown fox appeared}
+    // doc 1 shares "quick brown fox"; doc 3 shares it too (twice in text,
+    // counted once); doc 2 is clean and absent from the result
+    assert(got == Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("redactPii replaces emails, IPs, and phone runs with placeholders") {
+    val out = Seq(
+      "mail alice.smith+x@sub.example.org now",
+      "server at 192.168.1.200 port",
+      "call +44 20 7946 0958 today",
+      "no pii in this sentence").toDF("t")
+      .select(Curation.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq(
+      "mail [EMAIL] now",
+      "server at [IP] port",
+      "call [PHONE] today",
+      "no pii in this sentence"))
+  }
+
+  test("splitLabel is deterministic, content-independent, and covers all splits") {
+    val ids = (0L until 1000L).toDF("id")
+    val counts = ids.select(Curation.splitLabel(col("id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 12/16 - 2/16 - 2/16 within loose tolerance at n=1000
+    assert(counts("train") > 600 && counts("val") > 60 && counts("test") > 60)
+    // stable under corpus growth: the same id maps identically in a subset
+    val sub = (0L until 100L).toDF("id")
+      .select(col("id"), Curation.splitLabel(col("id")).as("s"))
+    val full = ids.select(col("id"), Curation.splitLabel(col("id")).as("s"))
+    assert(sub.except(full).count() == 0)
+  }
+
+  test("assignPacks computes the global prefix sum and straddle counts") {
+    // budget 10: offsets 0,4,12,12,19 — doc 30 straddles packs 0-1,
+    // doc 40 is empty (packs=1), doc 50 straddles 1-2
+    val df = Seq((10L, 4L), (20L, 8L), (30L, 0L), (40L, 7L), (50L, 6L))
+      .toDF("id", "ntok")
+    val got = Curation.assignPacks(df, "id", "ntok", budget = 10)
+      .orderBy("id")
+      .select("id", "offset", "pack", "packs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (10L, 0L, 0L, 1), (20L, 4L, 0L, 2), (30L, 12L, 1L, 1),
+      (40L, 12L, 1L, 1), (50L, 19L, 1L, 2)))
+  }
+
+  test("assignPacks matches a single-partition cumsum at any partitioning") {
+    val n = 500
+    val df = (0 until n).map(i => ((i * 7 + 3).toLong, (i % 37).toLong))
+      .toDF("id", "ntok")
+    val expected = df.orderBy("id").collect()
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), r) =>
+        (r.getLong(0), acc, acc + r.getLong(1)) }.drop(1)
+      .map { case (id, off, _) => (id, off) }.toMap
+    val got = Curation.assignPacks(df.repartition(13), "id", "ntok", 512)
+      .select("id", "offset").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}
