@@ -20,7 +20,8 @@ object PathQueries {
     * scale-invariant (keys 1..100 exist at every SF). */
   private def gridGraph(s: org.apache.spark.sql.SparkSession,
       d: String): graft.graph.PropertyGraph = {
-    val base = t(s, d, "customer").filter(col("c_custkey") <= 100)
+    val base = t(s, d, "customer")
+      .filter(col("c_custkey").between(1, 100))
       .select((col("c_custkey") - 1).cast("long").as("id"))
     val nodes = base.select(col("id"), array(lit("G")).as("labels"),
       (col("id") / 10).cast("long").as("row"), (col("id") % 10).as("col"))
@@ -281,7 +282,7 @@ object PathQueries {
           |RETURN totalCost AS dist, size(relIds) AS hops""".stripMargin),
       Some("""WITH RECURSIVE grid AS (
              |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
-             |  WHERE c_custkey <= 100),
+             |  WHERE c_custkey BETWEEN 1 AND 100),
              |e AS (
              |  SELECT k AS s, k + 1 AS d, 1.0 + (k % 3) AS w FROM grid
              |  WHERE k % 10 < 9
@@ -309,7 +310,7 @@ object PathQueries {
           |RETURN hops, count(*) AS n""".stripMargin),
       Some("""WITH RECURSIVE grid AS (
              |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
-             |  WHERE c_custkey <= 100),
+             |  WHERE c_custkey BETWEEN 1 AND 100),
              |e0 AS (
              |  SELECT k AS s, k + 1 AS d FROM grid WHERE k % 10 < 9
              |  UNION ALL SELECT k, k + 10 FROM grid WHERE k < 90),
@@ -339,7 +340,7 @@ object PathQueries {
           |RETURN count(*) AS n""".stripMargin),
       Some("""WITH RECURSIVE grid AS (
              |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
-             |  WHERE c_custkey <= 100),
+             |  WHERE c_custkey BETWEEN 1 AND 100),
              |e0 AS (
              |  SELECT k + 1000 AS rid, k AS s, k + 1 AS d FROM grid
              |  WHERE k % 10 < 9

@@ -220,9 +220,17 @@ class GraphOpsSpec extends AnyFunSuite {
     val target = (w * w - 1).toLong
     val exact = WeightedPaths.shortestPaths(edges, Seq(0L).toDF("source"))
       .filter(col("node") === target).select("dist").collect()(0).getDouble(0)
+    // default: the small-edge-set probe takes the driver-local PQ path
     val got = WeightedPaths.astar(edges, coords, 0L, target)
       .select("dist", "path").collect()(0)
     assert(got.getDouble(0) == exact)
     assert(got.getSeq[Long](1).size == 2 * (w - 1)) // all grid paths: 10 hops
+    // distributed frontier loop (forced past the local threshold) returns
+    // the identical deterministic tie-break
+    val dist = WeightedPaths.astar(edges, coords, 0L, target,
+        localEdgeThreshold = 0)
+      .select("dist", "path").collect()(0)
+    assert(dist.getDouble(0) == got.getDouble(0))
+    assert(dist.getSeq[Long](1) == got.getSeq[Long](1))
   }
 }
