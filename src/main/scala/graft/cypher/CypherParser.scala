@@ -405,10 +405,11 @@ object CypherParser extends RegexParsers {
     "*" ^^ (_ => (0, None))
 
   /** Alternation between path shapes inside a quantified group:
-    * `(-[:X]->() | -[:Y]->()-[:Z]->()){1,3}` — each branch a fixed-hop
-    * chain starting from the current node (GQL path-term alternation;
-    * reference NFA.scala arbitrary regular path patterns). Desugars to a
-    * RelPattern carrying the branches, quantified in branch traversals. */
+    * `(-[:X]->() | -[:Y]->()-[:Z]->()){1,3}` — each branch a chain of
+    * single or BOUNDED var-length hops (`-[:X*1..2]->`) starting from the
+    * current node (GQL path-term alternation; reference NFA.scala
+    * arbitrary regular path patterns). Desugars to a RelPattern carrying
+    * the branches, quantified in branch traversals. */
   private def altBranch: Parser[Seq[(RelPattern, NodePattern)]] =
     rep1(relPattern ~ nodePattern ^^ { case r ~ n => (r, n) })
 
@@ -418,8 +419,8 @@ object CypherParser extends RegexParsers {
       case (b0 ~ bs) ~ q ~ next =>
         val branches = b0 +: bs
         branches.flatten.foreach { case (r, _) =>
-          require(r.varLength.isEmpty,
-            "alternation branches take fixed-length hops (no nested quantifiers)")
+          require(r.varLength.forall(_._2.isDefined),
+            "var-length hops inside an alternation need a bounded upper end")
         }
         (RelPattern(None, Seq.empty, Out, Some(q), Seq.empty,
           branches = Some(branches)), next)

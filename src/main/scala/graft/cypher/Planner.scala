@@ -1143,19 +1143,23 @@ object Planner {
         Some(scan.filter(compile(ctx, mini, w)).select(col(v).as("id")))
     }
 
-  /** One alternation branch — a fixed chain of single hops — compiled to a
-    * composite edge relation: each row is one whole-branch traversal
+  /** One alternation branch — a chain of hops, each a single rel or a
+    * BOUNDED var-length rel (`-[:X*1..2]->`) — compiled to a composite edge
+    * relation: each row is one whole-branch traversal
     * `(__es, __ed, __ers ARRAY<LONG>, __ens ARRAY<LONG>, __elen)`. Interior
-    * node patterns apply per traversal (semi-join on their boundary set);
-    * rel ids within a traversal are pairwise distinct so trail semantics
-    * hold inside a branch as well as across the accumulated path. */
+    * node patterns apply per traversal at each hop's END node (var-length
+    * interiors are unconstrained, standard Cypher); rel ids within a
+    * traversal are pairwise distinct — including across hops — so trail
+    * semantics hold inside a branch as well as across the accumulated
+    * path. `__elen` is the traversal's actual rel count, so quantifiers
+    * still count traversals while path length counts rels. */
   private def branchEdges(ctx: Ctx,
       hops: Seq[(Ast.RelPattern, Ast.NodePattern)]): DataFrame = {
     require(hops.nonEmpty, "empty alternation branch")
     var cur: DataFrame = null
     hops.zipWithIndex.foreach { case ((r, n), i) =>
-      require(r.varLength.isEmpty && r.qppVars.isEmpty && r.branches.isEmpty,
-        "alternation branches take fixed single hops")
+      require(r.qppVars.isEmpty && r.branches.isEmpty,
+        "alternation branches take single or bounded var-length hops")
       val pre = if (r.props.isEmpty) None
         else Some(r.props.map { case (key, e) =>
           if (ctx.g.rels.columns.contains(key)) col(key) === constExpr(ctx, e)
@@ -1166,27 +1170,51 @@ object Planner {
         case Both => Direction.Both
       }
       val e = orientTyped(ctx.g, r.types, dir, pre)
-        .select(col("id").as(s"__r$i"), col("src").as(s"__s$i"),
-          col("dst").as(s"__d$i"))
-      cur =
-        if (i == 0) e
+        .select(col("id").as("__r"), col("src").as("__s"), col("dst").as("__d"))
+      val (min, max) = r.varLength match {
+        case None => (1, 1)
+        case Some((mn, mxOpt)) => (mn, mxOpt.getOrElse(
+          throw new IllegalArgumentException(
+            "var-length hops inside an alternation need a bounded upper " +
+              "end (e.g. [*1..3])")))
+      }
+      // extend every accumulated traversal by one rel of this hop
+      def step(df: DataFrame): DataFrame = df
+        .join(e, col("__ed") === col("__s") &&
+          !array_contains(col("__ers"), col("__r")))
+        .select(col("__es"), col("__d").as("__ed"),
+          concat(col("__ers"), array(col("__r"))).as("__ers"),
+          concat(col("__ens"), array(col("__d"))).as("__ens"))
+      // bring cur to this hop's level `min` …
+      if (cur == null) {
+        if (min == 0)
+          // zero-able first hop: zero-length traversals from every node
+          cur = ctx.g.nodes.select(col("id").as("__es"), col("id").as("__ed"),
+            array().cast("array<long>").as("__ers"),
+            array().cast("array<long>").as("__ens"))
         else {
-          val uniq = (0 until i).map(j => col(s"__r$i") =!= col(s"__r$j"))
-            .reduce(_ && _)
-          cur.join(e, col(s"__d${i - 1}") === col(s"__s$i") && uniq)
+          cur = e.select(col("__s").as("__es"), col("__d").as("__ed"),
+            array(col("__r")).as("__ers"), array(col("__d")).as("__ens"))
+          (2 to min).foreach(_ => cur = step(cur))
         }
+      } else {
+        (1 to min).foreach(_ => cur = step(cur))
+      }
+      // … then union the longer levels up to max
+      var level = cur
+      (min + 1 to max).foreach { _ =>
+        level = step(level)
+        cur = cur.unionByName(level)
+      }
       // the hop's end-node pattern constrains EVERY traversal of the
       // branch (boundarySet covers labels, props and inline WHERE)
       boundarySet(ctx, n).foreach { b =>
-        cur = cur.join(b.withColumnRenamed("id", s"__d$i"), Seq(s"__d$i"),
+        cur = cur.join(b.withColumnRenamed("id", "__ed"), Seq("__ed"),
           "left_semi")
       }
     }
-    val last = hops.size - 1
-    cur.select(col("__s0").as("__es"), col(s"__d$last").as("__ed"),
-      array((0 to last).map(i => col(s"__r$i")): _*).as("__ers"),
-      array((0 to last).map(i => col(s"__d$i")): _*).as("__ens"),
-      lit(hops.size).as("__elen"))
+    cur.select(col("__es"), col("__ed"), col("__ers"), col("__ens"),
+      size(col("__ers")).as("__elen"))
   }
 
   private def relVars(env: Env): Set[String] =

@@ -355,6 +355,21 @@ object PathQueries {
              |  FROM p JOIN e ON e.s = p.node
              |  WHERE p.hops < 8 AND NOT list_contains(p.used, e.rid))
              |SELECT count(*) AS n FROM p
-             |WHERE node = 33 AND hops = 8""".stripMargin))
+             |WHERE node = 33 AND hops = 8""".stripMargin)),
+
+    // SHORTEST with VAR-LENGTH branches inside an alternation (reference
+    // NFA.scala arbitrary regular path patterns): {1,2} traversals of
+    // (E*1..2 | E*3..3) reach exactly the rel-path lengths 1..6, so on the
+    // monotone grid every node at Manhattan distance d <= 6 from node 0 is
+    // found at min hops = d. The oracle is that closed form.
+    QueryDef("q_shortest_nfa_varlen",
+      (s, d) => graft.cypher.Cypher.run(s, gridGraph(s, d),
+        """MATCH p = SHORTEST 1 (a {row: 0, col: 0}) (-[:E*1..2]->()|-[:E*3..3]->()){1,2} (x)
+          |RETURN x AS target, length(p) AS hops""".stripMargin),
+      Some("""SELECT CAST(c_custkey - 1 AS BIGINT) AS target,
+             |  CAST((c_custkey - 1) // 10 + (c_custkey - 1) % 10 AS INT) AS hops
+             |FROM customer
+             |WHERE c_custkey BETWEEN 1 AND 100
+             |  AND (c_custkey - 1) // 10 + (c_custkey - 1) % 10 BETWEEN 1 AND 6""".stripMargin))
   )
 }

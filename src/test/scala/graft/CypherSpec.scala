@@ -562,6 +562,26 @@ class CypherSpec extends AnyFunSuite {
     assert(one.toSeq == Seq(List(20L, 21L)))
   }
 
+  test("SHORTEST alternation branches may take bounded var-length hops") {
+    // s -X(10)-> m -X(11)-> t   and   s -Y(20)-> t
+    val ag = GraphFixtures.graph(spark,
+      Seq((1L, Seq("N"), "s"), (2L, Seq("N"), "m"), (5L, Seq("N"), "t")),
+      Seq((10L, 1L, 2L, "X"), (11L, 2L, 5L, "X"), (20L, 1L, 5L, "Y")))
+    val rows = Cypher.run(spark, ag,
+      """MATCH p = SHORTEST 2 (a {name: 's'}) (-[:X*1..2]->()|-[:Y]->()){1,1} (b {name: 't'})
+        |RETURN length(p) AS hops, relationships(p) AS rels
+        |ORDER BY hops""".stripMargin)
+      .collect().map(r => (r.getAs[Number](0).intValue, r.getSeq[Long](1).toList))
+    // one traversal each: Y direct (1 rel) and the X*2 chain (2 rels)
+    assert(rows.toSeq == Seq((1, List(20L)), (2, List(10L, 11L))))
+    // the X route needs its full var-length range: [*1..1] can't reach t
+    val capped = Cypher.run(spark, ag,
+      """MATCH p = SHORTEST 2 (a {name: 's'}) (-[:X*1..1]->()|-[:Y]->()){1,1} (b {name: 't'})
+        |RETURN relationships(p) AS rels""".stripMargin)
+      .collect().map(_.getSeq[Long](0).toList)
+    assert(capped.toSeq == Seq(List(20L)))
+  }
+
   test("SHORTEST k interior node inline WHERE constrains the boundary") {
     val viaCarol = run(
       """MATCH p = SHORTEST 1 (a {name: 'Alice'})-[:KNOWS*1..2]->(x WHERE x.name = 'Carol')-[:KNOWS*1..2]->(b {name: 'Dave'})
