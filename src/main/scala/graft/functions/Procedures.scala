@@ -281,6 +281,22 @@ object Procedures {
       .select(col("hops"), col("path").as("relIds"), col("nodes").as("nodeIds"))
   })
 
+  /** graft.allPaths(srcId, dstId, maxDepth[, relTypes[, direction]]) —
+    * every path between two nodes up to maxDepth under RELATIONSHIP_PATH
+    * uniqueness (reference graph-algo AllPaths.java): rels may not repeat
+    * within a path, nodes may. YIELDs (hops, relIds, nodeIds). */
+  register("graft.allpaths", (spark, g, args) => {
+    val Seq(src: Number, dst: Number, depth: Number) = args.take(3)
+    val edges = orientedEdges(g, relTypesArg(args.lift(3)),
+      args.lift(4).map(_.toString.toUpperCase).getOrElse("OUT"))
+    import spark.implicits._
+    graft.ops.Trail.trail(edges, Seq(src.longValue).toDF("__src"), "__src",
+        1, depth.intValue, endAlias = "__to", relsAlias = "relIds",
+        nodesAlias = "nodeIds", hopsAlias = "hops")
+      .filter(col("__to") === dst.longValue)
+      .select(col("hops"), col("relIds"), col("nodeIds"))
+  })
+
   /** graft.pathsWithLength(srcId, dstId, depth[, relTypes[, direction[,
     * allowLoops]]]) — paths of EXACTLY the given length (reference
     * graph-algo ExactDepthPathFinder.java / GraphAlgoFactory

@@ -357,6 +357,34 @@ object PathQueries {
              |SELECT count(*) AS n FROM p
              |WHERE node = 33 AND hops = 8""".stripMargin)),
 
+    // allPaths on the procedure surface (reference graph-algo
+    // AllPaths.java, RELATIONSHIP_PATH uniqueness): every trail 0 -> 33 of
+    // length <= 8 on the undirected grid, counted per length — supersets
+    // the node-unique q_all_simple_paths rows at each depth.
+    QueryDef("q_all_paths",
+      (s, d) => graft.cypher.Cypher.run(s, gridGraph(s, d),
+        """CALL graft.allPaths(0, 33, 8, ['E'], 'BOTH')
+          |YIELD hops, relIds
+          |RETURN hops, count(*) AS n""".stripMargin),
+      Some("""WITH RECURSIVE grid AS (
+             |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
+             |  WHERE c_custkey BETWEEN 1 AND 100),
+             |e0 AS (
+             |  SELECT k + 1000 AS rid, k AS s, k + 1 AS d FROM grid
+             |  WHERE k % 10 < 9
+             |  UNION ALL SELECT k + 2000, k, k + 10 FROM grid WHERE k < 90),
+             |e AS (
+             |  SELECT rid, s, d FROM e0 UNION ALL SELECT rid, d, s FROM e0),
+             |p AS (
+             |  SELECT CAST(0 AS BIGINT) AS node, CAST([] AS BIGINT[]) AS used,
+             |    0 AS hops
+             |  UNION ALL
+             |  SELECT e.d, list_append(p.used, e.rid), p.hops + 1
+             |  FROM p JOIN e ON e.s = p.node
+             |  WHERE p.hops < 8 AND NOT list_contains(p.used, e.rid))
+             |SELECT CAST(hops AS INT) AS hops, count(*) AS n
+             |FROM p WHERE node = 33 GROUP BY hops""".stripMargin)),
+
     // SHORTEST with VAR-LENGTH branches inside an alternation (reference
     // NFA.scala arbitrary regular path patterns): {1,2} traversals of
     // (E*1..2 | E*3..3) reach exactly the rel-path lengths 1..6, so on the
