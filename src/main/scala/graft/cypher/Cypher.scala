@@ -37,9 +37,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    Mixed-type COLUMNS from UNION branches of different types lift into
  *    the same encoding (top-level results decode to their toString() text;
  *    inside CALL {} the encoding is kept so outer ORDER BY / min / max /
- *    DISTINCT follow the global value order). Non-scalar type mixes
- *    (arrays vs scalars, …) remain compile-time errors. NULL placement in
- *    ORDER BY follows Cypher (last ASC, first DESC).
+ *    DISTINCT follow the global value order). LISTS of scalars participate
+ *    (rank List < String, element-wise global order, shorter prefix
+ *    first); lists of lists and map mixes remain compile-time errors.
+ *    NULL placement in ORDER BY follows Cypher (last ASC, first DESC).
  */
 object Cypher {
 

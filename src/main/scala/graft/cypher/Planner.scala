@@ -96,21 +96,15 @@ object Planner {
     * comparable): lift each branch's column into the cross-type
     * orderability encoding (Orderability.scala) so the union resolves,
     * UNION DISTINCT dedups with value semantics (1 <> '1'), and downstream
-    * sorts/aggregates follow the global type-rank order. Only
-    * scalar-orderable mixes (string/boolean/number/null) are lifted;
+    * sorts/aggregates follow the global type-rank order. Orderable mixes
+    * (string/boolean/number/null and lists of those scalars) are lifted;
     * other type conflicts keep the existing unionByName error. */
   private def reconcileUnionTypes(parts: Seq[DataFrame])
       : (Seq[DataFrame], Seq[String]) = {
     if (parts.size <= 1) return (parts, Nil)
     import org.apache.spark.sql.types._
-    def enc(dt: DataType, c: Column): Option[Column] = dt match {
-      case t if graft.functions.Orderability.isEncoded(t) => Some(c)
-      case StringType     => Some(graft.functions.Orderability.string(c))
-      case BooleanType    => Some(graft.functions.Orderability.boolean(c))
-      case _: NumericType => Some(graft.functions.Orderability.number(c))
-      case NullType       => Some(graft.functions.Orderability.nullValue)
-      case _              => None
-    }
+    def enc(dt: DataType, c: Column): Option[Column] =
+      graft.functions.Orderability.encodeAny(dt, c)
     val shared = parts.map(_.columns.toSet).reduce(_ intersect _)
     val mixed = parts.head.columns.toSeq.filter { n =>
       shared(n) && {
@@ -2539,10 +2533,23 @@ object Planner {
         // can hold it AND ORDER BY reproduces Cypher's cross-type global
         // order (SURVEY §4.3 sortable-encoding item; reference values
         // comparator). toString() decodes the display text.
+        def elemLit(x: Expr): Column = x match {
+          case Lit(null)       => graft.functions.Orderability.elemNull
+          case Lit(s: String)  => graft.functions.Orderability.elemString(lit(s))
+          case Lit(b: Boolean) => graft.functions.Orderability.elemBoolean(lit(b))
+          case _: ListLit => throw new IllegalArgumentException(
+            "lists of lists have no orderability encoding")
+          case e => graft.functions.Orderability.elemNumber(c(e))
+        }
         array(xs.map {
           case Lit(null)       => graft.functions.Orderability.nullValue
           case Lit(s: String)  => graft.functions.Orderability.string(lit(s))
           case Lit(b: Boolean) => graft.functions.Orderability.boolean(lit(b))
+          case ListLit(ys) if ys.nonEmpty =>
+            graft.functions.Orderability.listOfEncoded(array(ys.map(elemLit): _*))
+          case ListLit(_) => graft.functions.Orderability.listOfEncoded(
+            array().cast(
+              "array<struct<rank:int,s:string,b:boolean,d:double,repr:string>>"))
           case e               => graft.functions.Orderability.number(c(e))
         }: _*)
       case ListLit(xs) => array(xs.map(c): _*)
@@ -2744,19 +2751,19 @@ object Planner {
           case BooleanType => Some("bool")
           case LongType | IntegerType | ShortType | ByteType | DoubleType |
                FloatType | _: DecimalType => Some("num")
+          case ArrayType(et, _)
+            if graft.functions.Orderability.elemEncoderFor(et).isDefined =>
+            Some("list")
           case NullType    => None // null literal: compatible with any kind
           case other       => Some(other.simpleString)
         }
         val kinds = vals.flatMap(v => dataTypeOf(env, v)).flatMap(kind).distinct
         val mixedEncodable =
-          kinds.size > 1 && kinds.forall(Set("str", "bool", "num"))
+          kinds.size > 1 && kinds.forall(Set("str", "bool", "num", "list"))
         def encode(v: Column): Column =
-          dataTypeOf(env, v).flatMap(kind) match {
-            case Some("str")  => graft.functions.Orderability.string(v)
-            case Some("bool") => graft.functions.Orderability.boolean(v)
-            case Some("num")  => graft.functions.Orderability.number(v)
-            case _            => graft.functions.Orderability.nullValue
-          }
+          dataTypeOf(env, v).flatMap(dt =>
+            graft.functions.Orderability.encodeAny(dt, v))
+            .getOrElse(graft.functions.Orderability.nullValue)
         val branchVals = if (mixedEncodable) vals.map(encode) else vals
         val branches = conds.zip(branchVals)
         val start = when(branches.head._1, branches.head._2)
@@ -3275,6 +3282,7 @@ object Planner {
       case Lit(_: Long) | Lit(_: Double)  => Some('n')
       case UnaryOp("-", Lit(_: Long))     => Some('n')
       case UnaryOp("-", Lit(_: Double))   => Some('n')
+      case _: ListLit                     => Some('l')
       case _                              => None
     }
     val kinds = xs.map(kind)

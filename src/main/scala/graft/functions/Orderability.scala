@@ -27,26 +27,84 @@ import org.apache.spark.sql.types.{DataType, StructType}
  */
 object Orderability {
 
-  /** field layout of the encoded struct — used to recognize encoded columns */
-  val StructFields: Seq[String] = Seq("rank", "s", "b", "d", "repr")
+  /** field layout of the encoded struct — used to recognize encoded
+    * columns. `l` carries list payloads: an array of ELEMENT structs (the
+    * scalar layout without `l` — one nesting level; lists of lists stay a
+    * compile-time rejection). Spark orders arrays element-wise with
+    * shorter-prefix-first, exactly Cypher's list orderability, and a
+    * struct containing an array field remains orderable, so the single
+    * field-by-field struct comparison still reproduces the global order. */
+  val StructFields: Seq[String] = Seq("rank", "s", "b", "d", "l", "repr")
+
+  /** element-struct layout inside list payloads */
+  val ElemFields: Seq[String] = Seq("rank", "s", "b", "d", "repr")
 
   // type ranks per the CIP order; only the relative order matters
+  private val RankList = 8 // List < temporals < … < String per the CIP
   private val RankString = 12
   private val RankBoolean = 13
   private val RankNumber = 14
   private val RankNull = 15 // null sorts last ascending, first descending
 
   def string(c: Column): Column =
-    enc(lit(RankString), c, nullBool, nullDouble, c)
+    enc(lit(RankString), c, nullBool, nullDouble, nullList, c)
 
   def boolean(c: Column): Column =
-    enc(lit(RankBoolean), nullStr, c, nullDouble, c.cast("string"))
+    enc(lit(RankBoolean), nullStr, c, nullDouble, nullList, c.cast("string"))
 
   def number(c: Column): Column =
-    enc(lit(RankNumber), nullStr, nullBool, c.cast("double"), c.cast("string"))
+    enc(lit(RankNumber), nullStr, nullBool, c.cast("double"), nullList,
+      c.cast("string"))
 
   def nullValue: Column =
-    enc(lit(RankNull), nullStr, nullBool, nullDouble, lit("null"))
+    enc(lit(RankNull), nullStr, nullBool, nullDouble, nullList, lit("null"))
+
+  /** list whose elements are already ELEMENT structs */
+  def listOfEncoded(es: Column): Column =
+    enc(lit(RankList), nullStr, nullBool, nullDouble, es,
+      concat(lit("["),
+        array_join(transform(es, e => e.getField("repr")), ", "), lit("]")))
+
+  /** list of scalar elements — element-wise global order via the element
+    * encoder, shorter list first on a prefix tie (Spark array ordering) */
+  def list(c: Column, elem: Column => Column): Column =
+    listOfEncoded(transform(c, elem))
+
+  // element-level encoders (null-aware: a null ELEMENT sorts last among
+  // elements, reference AnyValues comparator)
+  def elemString(c: Column): Column =
+    elemNullAware(c, eenc(lit(RankString), c, nullBool, nullDouble, c))
+  def elemBoolean(c: Column): Column =
+    elemNullAware(c,
+      eenc(lit(RankBoolean), nullStr, c, nullDouble, c.cast("string")))
+  def elemNumber(c: Column): Column =
+    elemNullAware(c, eenc(lit(RankNumber), nullStr, nullBool,
+      c.cast("double"), c.cast("string")))
+  def elemNull: Column =
+    eenc(lit(RankNull), nullStr, nullBool, nullDouble, lit("null"))
+
+  /** element encoder for a list's scalar element type; None = not an
+    * orderability-encodable element (maps, nested lists, …) */
+  def elemEncoderFor(dt: DataType): Option[Column => Column] = dt match {
+    case org.apache.spark.sql.types.StringType  => Some(elemString)
+    case org.apache.spark.sql.types.BooleanType => Some(elemBoolean)
+    case _: org.apache.spark.sql.types.NumericType => Some(elemNumber)
+    case org.apache.spark.sql.types.NullType    => Some(_ => elemNull)
+    case _ => None
+  }
+
+  /** lift any statically-typed column into the encoding (pass-through for
+    * already-encoded); None = not encodable at this type */
+  def encodeAny(dt: DataType, c: Column): Option[Column] = dt match {
+    case t if isEncoded(t) => Some(c)
+    case org.apache.spark.sql.types.StringType  => Some(string(c))
+    case org.apache.spark.sql.types.BooleanType => Some(boolean(c))
+    case _: org.apache.spark.sql.types.NumericType => Some(number(c))
+    case org.apache.spark.sql.types.NullType    => Some(nullValue)
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      elemEncoderFor(et).map(f => list(c, f))
+    case _ => None
+  }
 
   /** display text of an encoded value (Cypher toString semantics). */
   def repr(c: Column): Column = c.getField("repr")
@@ -59,7 +117,18 @@ object Orderability {
   private def nullStr = lit(null).cast("string")
   private def nullBool = lit(null).cast("boolean")
   private def nullDouble = lit(null).cast("double")
+  private def nullList = lit(null)
+    .cast("array<struct<rank:int,s:string,b:boolean,d:double,repr:string>>")
 
-  private def enc(rank: Column, s: Column, b: Column, d: Column, repr: Column): Column =
+  private def elemNullAware(c: Column, e: Column): Column =
+    when(c.isNull, elemNull).otherwise(e)
+
+  private def enc(rank: Column, s: Column, b: Column, d: Column, l: Column,
+      repr: Column): Column =
+    struct(rank.as("rank"), s.as("s"), b.as("b"), d.as("d"), l.as("l"),
+      repr.as("repr"))
+
+  private def eenc(rank: Column, s: Column, b: Column, d: Column,
+      repr: Column): Column =
     struct(rank.as("rank"), s.as("s"), b.as("b"), d.as("d"), repr.as("repr"))
 }

@@ -202,6 +202,25 @@ object TypeQueries {
              |        WHERE c_custkey <= 5) AS VARCHAR) AS hi,
              |  (SELECT count(*) FROM customer WHERE c_custkey <= 5)
              |    + (SELECT count(*) FROM customer WHERE c_custkey <= 5)
-             |    + (SELECT count(*) FROM customer WHERE c_custkey <= 4) AS n""".stripMargin))
+             |    + (SELECT count(*) FROM customer WHERE c_custkey <= 4) AS n""".stripMargin)),
+
+    // LIST columns in the cross-type order (reference AnyValues: List rank
+    // below String/Number; lists compare element-wise): min over a
+    // list/string/number mixed column is the smallest LIST, max the
+    // largest number. Keys 1..5 exist at every SF, so the extremes are the
+    // closed-form literals the oracle states.
+    QueryDef("q_mixed_order_list",
+      (s, d) => {
+        val g = graft.graph.TpchGraph.load(s, d)
+        graft.cypher.Cypher.run(s, g,
+          """CALL { MATCH (c:Customer) WHERE c.key >= 1 AND c.key <= 5 RETURN [c.key, c.key * 2] AS v
+            |  UNION ALL MATCH (c:Customer) WHERE c.key >= 1 AND c.key <= 5 RETURN c.name AS v
+            |  UNION ALL MATCH (c:Customer) WHERE c.key >= 1 AND c.key <= 5 RETURN c.key AS v }
+            |RETURN toString(min(v)) AS lo, toString(max(v)) AS hi,
+            |       count(*) AS n""".stripMargin)
+      },
+      Some("""SELECT '[1, 2]' AS lo, '5' AS hi,
+             |  CAST(3 * (SELECT count(*) FROM customer WHERE c_custkey BETWEEN 1 AND 5)
+             |    AS BIGINT) AS n""".stripMargin))
   )
 }

@@ -105,6 +105,31 @@ class TypesSpec extends AnyFunSuite {
     assert(mm.getString(0) == "a" && mm.getString(1) == "5")
   }
 
+  test("LIST columns participate in cross-type orderability") {
+    import graft.cypher.Cypher
+    val g = GraphFixtures.nodeGraph(spark, 1)
+    // union of list / string / number columns: lists rank below strings;
+    // lists order element-wise with the global element order
+    val ordered = Cypher.run(spark, g,
+      """CALL { RETURN [2, 1] AS v UNION ALL RETURN 'a' AS v
+        |       UNION ALL RETURN [1, 9] AS v UNION ALL RETURN 7 AS v }
+        |RETURN toString(v) AS s ORDER BY v""".stripMargin)
+      .collect().map(_.getString(0)).toList
+    assert(ordered == List("[1, 9]", "[2, 1]", "a", "7"))
+    // shorter list first on a prefix tie; min picks the smallest list
+    val mm = Cypher.run(spark, g,
+      """CALL { RETURN [1, 2, 3] AS v UNION ALL RETURN [1, 2] AS v
+        |       UNION ALL RETURN 'z' AS v }
+        |RETURN toString(min(v)) AS lo, toString(max(v)) AS hi""".stripMargin)
+      .collect()(0)
+    assert(mm.getString(0) == "[1, 2]" && mm.getString(1) == "z")
+    // mixed LITERAL list with a nested list element sorts by rank too
+    val lit = Cypher.run(spark, g,
+      "UNWIND [[2], 'x', 3, null] AS v RETURN toString(v) AS s ORDER BY v")
+      .collect().map(_.getString(0)).toList
+    assert(lit == List("[2]", "x", "3", "null"))
+  }
+
   test("unicode_normalize composes NFD input under NFC (native expression)") {
     val r = one.select(call_function("unicode_normalize",
       lit("café"), lit("NFC")).as("s")).collect()(0).getString(0)
