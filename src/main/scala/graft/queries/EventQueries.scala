@@ -113,6 +113,29 @@ object EventQueries {
       (s, d) => events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users")),
-      None)
+      None),
+
+    // Event-time sequence detection (flatMapGroupsWithState custom state):
+    // greedy earliest signup→click→purchase per user with strictly
+    // increasing event time. The oracle pins the FIRST completion per user
+    // — nested earliest-after-earliest mins are exactly the greedy machine
+    // (full multi-completion equality incl. streaming replay is locked in
+    // EventStreamsSpec).
+    QueryDef("q_events_sequence",
+      (s, d) => graft.streaming.EventStreams.sequenceDetect(
+          events(s, d), Seq("signup", "click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(min(col("completed_us")).as("first_us")),
+      Some("""WITH a AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+             |    WHERE event_type = 'signup' GROUP BY user_id),
+             |b AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+             |    JOIN a ON a.user_id = e.user_id
+             |    WHERE e.event_type = 'click' AND epoch_us(e.ts) > a.t1
+             |    GROUP BY e.user_id),
+             |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+             |    JOIN b ON b.user_id = e.user_id
+             |    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > b.t2
+             |    GROUP BY e.user_id)
+             |SELECT user_id, t3 AS first_us FROM c""".stripMargin))
   )
 }

@@ -133,4 +133,95 @@ object EventStreams {
     withWm.groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
   }
+
+  /** one buffered event in the sequence-detector state (micros, id, type) */
+  case class SeqEv(us: Long, eventId: Long, tpe: String)
+
+  /** per-user detector state: progress index into the type sequence, the
+    * event time of the last accepted step, and events the watermark has
+    * not yet released */
+  case class SeqSt(idx: Int, lastUs: Long, pending: Seq[SeqEv])
+
+  /** Event-time SEQUENCE DETECTION per user (`flatMapGroupsWithState` —
+    * the custom-state operator SURVEY §2.11 names): emit a row each time a
+    * user's events complete `types` in order with strictly increasing
+    * event time (greedy earliest match, deterministic tie-break on
+    * (time, event_id); after a completion the machine restarts and the
+    * next sequence must start strictly later).
+    *
+    * The streaming form is the textbook CORRECT event-time state machine:
+    * out-of-order arrivals buffer in state and are processed only once the
+    * watermark passes them, in event-time order — so arrival order never
+    * changes the answer. An event-time timeout re-fires the group when the
+    * watermark crosses its oldest buffered event, so buffered events flush
+    * even if the user goes quiet. State per user is bounded by the
+    * watermark delay window (pending) plus two scalars — at 100 TB the
+    * state store holds |active users| × delay-window events, keyed and
+    * hash-partitioned by user_id like every other per-user stage.
+    *
+    * @return (user_id LONG, completed_us LONG epoch-micros) — one row per
+    *         completed sequence; batch input runs the same machine over
+    *         fully-sorted per-user events (the oracle-checked twin)
+    */
+  def sequenceDetect(events: DataFrame, types: Seq[String],
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    require(types.nonEmpty, "sequence needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // greedy machine over time-ordered events
+    def machine(idx0: Int, last0: Long, evs: Seq[SeqEv]): (Int, Long, Seq[Long]) = {
+      var idx = idx0
+      var last = last0
+      val done = Seq.newBuilder[Long]
+      evs.foreach { e =>
+        if (e.tpe == types(idx) && e.us > last) {
+          idx += 1
+          last = e.us
+          if (idx == types.length) { done += e.us; idx = 0 }
+        }
+      }
+      (idx, last, done.result())
+    }
+    val rows = events.select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type"))
+    if (!events.isStreaming) {
+      rows.withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("us"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long, String)]) =>
+          val evs = it.map(t => SeqEv(t._3, t._2, t._4)).toSeq
+            .sortBy(e => (e.us, e.eventId))
+          machine(0, Long.MinValue, evs)._3.map(us => (uid, us)).iterator
+        }.toDF("user_id", "completed_us")
+    } else {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      // the watermark column must flow into the stateful operator's input
+      // for EventTimeTimeout, so ts stays in the projection
+      rows.withWatermark("ts", watermarkDelay)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("us"), col("event_type"),
+          col("ts"))
+        .as[(Long, Long, Long, String, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[SeqSt, (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, it: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+              state: GroupState[SeqSt]) =>
+            val st = state.getOption.getOrElse(SeqSt(0, Long.MinValue, Seq.empty))
+            val all = st.pending ++ it.map(t => SeqEv(t._3, t._2, t._4))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // release only what the watermark guarantees complete, in
+            // event-time order; the rest stays buffered
+            val (ready, pending) = all.partition(_.us <= wmUs)
+            val (idx, last, done) =
+              machine(st.idx, st.lastUs, ready.sortBy(e => (e.us, e.eventId)))
+            state.update(SeqSt(idx, last, pending))
+            if (pending.nonEmpty)
+              // re-fire when the watermark reaches the oldest buffered event
+              state.setTimeoutTimestamp(pending.map(_.us).min / 1000L + 1)
+            done.map(us => (uid, us)).iterator
+        }.toDF("user_id", "completed_us")
+    }
+  }
 }

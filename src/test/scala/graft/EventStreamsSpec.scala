@@ -120,6 +120,62 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture produced no click->purchase pairs")
   }
 
+  test("streaming sequence detection equals the batch machine") {
+    // the buffered state machine only releases events the watermark has
+    // passed, so a sentinel event far past the real data must flush the
+    // tail (real deployments simply keep receiving data)
+    val seqDir = java.nio.file.Files.createTempDirectory("graft_events_seq").toString
+    val ev = spark.read.parquet(streamDir)
+    ev.coalesce(1).write.mode("append").parquet(seqDir)
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getLong(0)
+    ev.limit(1)
+      .withColumn("ts", lit(maxTs + 7L * 24 * 3600 * 1000000000L))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("sentinel"))
+      .coalesce(1).write.mode("append").parquet(seqDir)
+
+    val types = Seq("signup", "click", "purchase")
+    val stream = EventStreams.readEvents(spark, seqDir)
+    val q = EventStreams.sequenceDetect(stream, types)
+      .writeStream.format("memory").queryName("seqdet")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("seqdet").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStreams.sequenceDetect(batchEvents, types).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture produced no completed sequences")
+    assert(streamed == batch,
+      s"stream ${streamed.size} vs batch ${batch.size} completions")
+  }
+
+  test("sequence detection is arrival-order independent") {
+    // shuffle arrival order WITHIN each micro-batch file: the watermark
+    // buffering must still process events in event-time order
+    val types = Seq("signup", "click", "purchase")
+    val shufDir = java.nio.file.Files.createTempDirectory("graft_events_shuf").toString
+    val ev = spark.read.parquet(streamDir)
+    ev.orderBy(hash(col("event_id"))).coalesce(1)
+      .write.mode("append").parquet(shufDir)
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getLong(0)
+    ev.limit(1)
+      .withColumn("ts", lit(maxTs + 7L * 24 * 3600 * 1000000000L))
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("sentinel"))
+      .coalesce(1).write.mode("append").parquet(shufDir)
+    val q = EventStreams.sequenceDetect(EventStreams.readEvents(spark, shufDir), types)
+      .writeStream.format("memory").queryName("seqshuf")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("seqshuf").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStreams.sequenceDetect(batchEvents, types).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("incremental micro-batches: stream really ran more than one batch") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val q = EventStreams.tumblingCounts(stream).writeStream
