@@ -176,6 +176,40 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming graph ingestion converges to the batch graph, idempotently") {
+    import graft.streaming.GraphIngest
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val q = GraphIngest.ingestGraph(EventStreams.readEvents(spark, streamDir), storeDir)
+    q.processAllAvailable()
+    q.stop()
+    val store = new graft.graph.GraphStore(spark, storeDir)
+    assert(store.currentVersion >= 2, "each micro-batch should commit a version")
+    val g = store.load()
+    val ev = batchEvents
+    val nUsers = ev.select("user_id").distinct.count()
+    val nEvents = ev.select("event_id").distinct.count()
+    assert(g.nodes.count() == nUsers + nEvents)
+    assert(g.rels.count() == nEvents)
+    // ON MATCH kept the running last-seen timestamp per user
+    val expSeen = ev.groupBy("user_id").agg(max(unix_micros(col("ts"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotSeen = g.nodes.filter(array_contains(col("labels"), "User"))
+      .select("id", "seen_us")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSeen == expSeen)
+    // at-least-once: replaying the WHOLE stream into the same store is a
+    // no-op (merge identities derive from user_id/event_id)
+    val q2 = GraphIngest.ingestGraph(EventStreams.readEvents(spark, streamDir), storeDir)
+    q2.processAllAvailable()
+    q2.stop()
+    val g2 = new graft.graph.GraphStore(spark, storeDir).load()
+    assert(g2.nodes.count() == nUsers + nEvents && g2.rels.count() == nEvents)
+    val seen2 = g2.nodes.filter(array_contains(col("labels"), "User"))
+      .select("id", "seen_us")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seen2 == expSeen)
+  }
+
   test("incremental micro-batches: stream really ran more than one batch") {
     val stream = EventStreams.readEvents(spark, streamDir)
     val q = EventStreams.tumblingCounts(stream).writeStream
