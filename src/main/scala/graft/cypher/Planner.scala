@@ -891,9 +891,9 @@ object Planner {
     val p = s.pattern
     require(p.hops.size == 1, "shortestPath takes a single relationship pattern")
     val (rel, toNode) = p.hops.head
-    require(p.first.where.isEmpty && toNode.where.isEmpty && rel.where.isEmpty,
-      "inline WHERE is not supported inside shortestPath patterns — " +
-        "filter before/after the MATCH")
+    require(rel.where.isEmpty,
+      "WHERE inside a var-length relationship pattern is not supported " +
+        "(Cypher allows it on single-hop relationship patterns only)")
     // endpoints need not be pre-bound (the reference plans both sides then
     // FindShortestPaths): an inline-filtered start like
     // `shortestPath((a:L {k:v})-[*..d]-(b))` binds here via its own scan;
@@ -924,7 +924,26 @@ object Planner {
     }
     val pv = s.pathVar.getOrElse(ctx.fresh("p"))
     val minHops = rel.varLength.map(_._1).getOrElse(1)
-    val df = env.df.get
+    // endpoint inline WHERE: bound sides semi-join their boundary set
+    // up-front (endpoint predicates select the endpoints; the search runs
+    // between the survivors); an unbound target's WHERE filters the
+    // reached set per pair below
+    val df = {
+      var d = env.df.get
+      if (p.first.where.nonEmpty)
+        boundarySet(ctx, p.first).foreach(b =>
+          d = d.join(b.withColumnRenamed("id", fromVar), Seq(fromVar), "left_semi"))
+      toNode.variable.filter(env.has).foreach { tv =>
+        if (toNode.where.nonEmpty)
+          boundarySet(ctx, toNode).foreach(b =>
+            d = d.join(b.withColumnRenamed("id", tv), Seq(tv), "left_semi"))
+      }
+      d
+    }
+    def applyTargetWhere(d: DataFrame, tv: String): DataFrame =
+      if (toNode.where.isEmpty || toNode.variable.exists(env.has)) d
+      else boundarySet(ctx, toNode).fold(d)(b =>
+        d.join(b.withColumnRenamed("id", tv), Seq(tv), "left_semi"))
     val pvNeeded = ctx.needed.getOrElse(pv, Set.empty)
     val needPath = pvNeeded.contains("rels") || pvNeeded.contains("nodes")
     if (s.all) {
@@ -960,7 +979,8 @@ object Planner {
             val scan = hydrated(ctx, nodeScan(ctx, toNode), toVar, ctx.g.nodes.columns.toSet)
             joined = joined.join(scan, Seq(toVar))
           }
-          return Env(Some(joined), env.binds + (pv -> PathVar) + (toVar -> NodeVar))
+          return Env(Some(applyTargetWhere(joined, toVar)),
+            env.binds + (pv -> PathVar) + (toVar -> NodeVar))
       }
     }
     if (needPath) {
@@ -995,7 +1015,8 @@ object Planner {
             val scan = hydrated(ctx, nodeScan(ctx, toNode), toVar, ctx.g.nodes.columns.toSet)
             joined = joined.join(scan, Seq(toVar))
           }
-          return Env(Some(joined), env.binds + (pv -> PathVar) + (toVar -> NodeVar))
+          return Env(Some(applyTargetWhere(joined, toVar)),
+            env.binds + (pv -> PathVar) + (toVar -> NodeVar))
       }
     }
     toNode.variable.filter(env.has) match {
@@ -1021,7 +1042,8 @@ object Planner {
           val scan = hydrated(ctx, nodeScan(ctx, toNode), toVar, ctx.g.nodes.columns.toSet)
           joined = joined.join(scan, Seq(toVar))
         }
-        Env(Some(joined), env.binds + (pv -> PathVar) + (toVar -> NodeVar))
+        Env(Some(applyTargetWhere(joined, toVar)),
+          env.binds + (pv -> PathVar) + (toVar -> NodeVar))
     }
   }
 
@@ -1044,8 +1066,6 @@ object Planner {
     val fromVar = p.first.variable.filter(env.has).getOrElse(
       throw new IllegalArgumentException("SHORTEST k start node must be bound"))
     val toNode = p.hops.last._2
-    require(p.first.where.isEmpty && toNode.where.isEmpty,
-      "inline WHERE is not supported in SHORTEST k patterns")
     val interiors = p.hops.dropRight(1).map(_._2)
     interiors.foreach { n =>
       require(!n.variable.exists(env.has),
@@ -1085,9 +1105,18 @@ object Planner {
       }
     }
     val pv = s.pathVar.getOrElse(ctx.fresh("p"))
-    val df = env.df.get
+    // endpoint inline WHERE (GQL allows it on any pattern node): the bound
+    // side semi-joins its boundary set — same compilation as interiors
+    def filterEndpoint(d: DataFrame, np: Ast.NodePattern, vcol: String): DataFrame =
+      if (np.where.isEmpty) d
+      else boundarySet(ctx, np).fold(d)(b =>
+        d.join(b.withColumnRenamed("id", vcol), Seq(vcol), "left_semi"))
     val toBound = toNode.variable.exists(env.has)
     val toVar = toNode.variable.getOrElse(ctx.fresh("n"))
+    val df = {
+      val d0 = filterEndpoint(env.df.get, p.first, fromVar)
+      if (toBound) filterEndpoint(d0, toNode, toVar) else d0
+    }
     val res0 =
       if (toBound)
         graft.ops.Trail.shortestKSegments(segs,
@@ -1095,9 +1124,11 @@ object Planner {
       else {
         // unbound target: source-driven search, accepted ends semi-joined
         // against the label scan — never a sources × candidates cartesian
+        // (boundarySet folds the label/props scan AND any inline WHERE)
         val targetIds =
-          if (toNode.labels.isEmpty && toNode.labelExpr.isEmpty && toNode.props.isEmpty) None
-          else Some(nodeScan(ctx, toNode).select(col("id").as("target")))
+          if (toNode.labels.isEmpty && toNode.labelExpr.isEmpty &&
+            toNode.props.isEmpty && toNode.where.isEmpty) None
+          else boundarySet(ctx, toNode).map(_.select(col("id").as("target")))
         graft.ops.Trail.shortestKSegmentsTo(segs,
           df.select(col(fromVar).as("source")).distinct(), targetIds, kk)
       }
@@ -1735,8 +1766,11 @@ object Planner {
     * unfiltered endpoint is left unbound for the BFS branches to handle. */
   private def bindEndpoint(ctx: Ctx, env: Env, np: NodePattern): Env =
     np.variable match {
+      // an inline WHERE binds too — both callers (planShortest/planShortestK)
+      // re-apply the predicate via the boundary-set semi-join afterwards
       case Some(v) if !env.has(v) &&
-          (np.labels.nonEmpty || np.labelExpr.nonEmpty || np.props.nonEmpty) =>
+          (np.labels.nonEmpty || np.labelExpr.nonEmpty || np.props.nonEmpty ||
+            np.where.nonEmpty) =>
         val scan = hydrated(ctx, nodeScan(ctx, np), v, ctx.g.nodes.columns.toSet)
         val df = env.df match {
           case Some(cur) => cur.crossJoin(scan)

@@ -417,6 +417,23 @@ object CypherQueries {
     // traversal, and supplier nations in 3 rels (branch2 then branch1);
     // SHORTEST 1 keeps the min-hop path per (customer, target) pair, so a
     // supplier nation that IS the customer's own nation stays at 1 hop.
+    // endpoint inline WHERE in SHORTEST (GQL node predicates on the start
+    // AND the unbound target — boundary-set semi-joins, no cartesian):
+    // targets are nation 2 (1 hop via FROM) and region 2 (2 hops via
+    // FROM then IN_REGION).
+    cq("q_cypher_shortest_endpoint_where",
+      """MATCH p = SHORTEST 1 (c:Customer WHERE c.key < 10)-[:FROM|IN_REGION*1..2]->(x WHERE x.key = 2)
+        |RETURN c.key AS ckey, x AS target, length(p) AS hops""".stripMargin,
+      """SELECT c_custkey AS ckey,
+        |  CAST((CAST(2 AS BIGINT) << 44) + 2 AS BIGINT) AS target,
+        |  1 AS hops
+        |FROM customer WHERE c_custkey < 10 AND c_nationkey = 2
+        |UNION ALL
+        |SELECT c_custkey,
+        |  CAST((CAST(1 AS BIGINT) << 44) + 2 AS BIGINT), 2
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_custkey < 10 AND n_regionkey = 2""".stripMargin),
+
     cq("q_shortest_nfa_alt",
       """MATCH (c:Customer) WHERE c.key < 20
         |MATCH p = SHORTEST 1 (c) (-[:FROM]->()|-[:PLACED]->()-[:SUPPLIED_BY]->()){1,2} (x)

@@ -594,6 +594,26 @@ class CypherSpec extends AnyFunSuite {
     assert(viaBob.map(_.getAs[Number](0).intValue).toSeq == Seq(3))
   }
 
+  test("SHORTEST k and shortestPath accept inline WHERE on endpoints") {
+    val k = run(
+      """MATCH p = SHORTEST 1 (a WHERE a.name = 'Alice')-[:KNOWS*1..3]->(b WHERE b.name = 'Dave')
+        |RETURN length(p) AS hops""".stripMargin).collect()
+    assert(k.map(_.getAs[Number](0).intValue).toSeq == Seq(2))
+    // unbound target selected by its WHERE (boundary-set semi-join, no
+    // post-hoc cartesian)
+    val sp = run(
+      """MATCH (a {name: 'Alice'})
+        |MATCH p = shortestPath((a)-[:KNOWS*..6]->(x WHERE x.name = 'Dave'))
+        |RETURN x.name AS n, length(p) AS hops""".stripMargin).collect()
+    assert(sp.map(r => (r.getString(0), r.getAs[Number](1).intValue)).toSeq ==
+      Seq(("Dave", 2)))
+    // a predicate nothing satisfies yields no rows, like a failed MATCH
+    assert(run(
+      """MATCH (a {name: 'Alice'})
+        |MATCH p = shortestPath((a)-[:KNOWS*..6]->(x WHERE x.name = 'Nobody'))
+        |RETURN length(p) AS hops""".stripMargin).count() == 0)
+  }
+
   test("nodes(p) exposes the node sequence of a shortest path") {
     val r = run(
       """MATCH (a {name: 'Alice'})
