@@ -76,6 +76,26 @@ object Curation {
   }
 
   /**
+   * Deterministic per-stratum downsampling (language/domain rebalancing —
+   * the standard corpus-mixing step): keep a row iff the first two hex
+   * digits of md5(id) compare below the stratum's threshold (fixed-width
+   * lowercase hex compares in numeric order). Map-side, seedless,
+   * reproducible across engines and runs, and per-row independent —
+   * growing the corpus never flips an earlier keep decision. Rates
+   * quantize to 1/256.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    def thr(r: Double): String =
+      if (r >= 1.0) "zz" // sorts above every hex pair: keep everything
+      else f"${math.max(0, (r * 256).round.toInt)}%02x"
+    val thrCol = rates.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultRate))) {
+      case (acc, (k, r)) => when(col(strataCol) === k, lit(thr(r))).otherwise(acc)
+    }
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 2) < thrCol)
+  }
+
+  /**
    * Sequence packing (concat-and-chunk): lay documents end to end in id
    * order and cut the stream into fixed token-budget packs — the standard
    * pretraining shard layout. Each doc gets its global token offset, its

@@ -203,6 +203,23 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Append vectors to a persisted IVF index WITHOUT retraining: new rows
+    * assign to the STORED centroids map-side and append into their cell
+    * partitions — the maintenance path an ANN store needs at 100 TB, where
+    * re-running saveIvfIndex on every ingest batch would rewrite the
+    * corpus (the reference's Lucene HNSW likewise grows by segment, not by
+    * rebuild). Queries see appended vectors immediately (cells are read
+    * per query); recall degrades only as the data distribution drifts from
+    * the trained centroids — retrain with saveIvfIndex when it does. */
+  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val c = newVectors.select(col("id"), asDouble(col("vec")).as("v"))
+    assignCells(c, cents).write.mode("append")
+      .partitionBy("cid").parquet(s"$dir/cells")
+  }
+
   /** Query a persisted IVF index (saveIvfIndex): rank cells by the stored
     * unit centroids, then scan ONLY the probed cell partitions — the cid
     * filter is a static partition filter, so pruning is file-level. */

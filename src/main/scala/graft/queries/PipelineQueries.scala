@@ -446,6 +446,20 @@ object PipelineQueries {
              |SELECT split, count(*) AS n, sum(ntok) AS tokens
              |FROM lab GROUP BY split""".stripMargin)),
 
+    // Deterministic stratified downsampling (corpus mixing): keep all
+    // English, half of French, a quarter of everything else — md5-keyed
+    // per-row decisions both engines replay exactly.
+    QueryDef("q_stratified_sample",
+      (s, d) => graft.functions.Curation.stratifiedSample(
+          docs(s, d), "id", "lang",
+          Map("en" -> 1.0, "fr" -> 0.5), defaultRate = 0.25)
+        .groupBy("lang").agg(count(lit(1)).as("n")),
+      Some("""SELECT lang, count(*) AS n FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+             |  CASE lang WHEN 'en' THEN 'zz' WHEN 'fr' THEN '80'
+             |  ELSE '40' END
+             |GROUP BY lang""".stripMargin)),
+
     // Sequence packing (concat-and-chunk, 512-token packs): global token
     // offset per doc in id order via the two-phase distributed prefix sum,
     // then pack id + straddle count. The oracle's single-node window

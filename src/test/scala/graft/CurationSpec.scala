@@ -55,6 +55,24 @@ class CurationSpec extends AnyFunSuite {
     assert(sub.except(full).count() == 0)
   }
 
+  test("stratifiedSample hits per-stratum rates deterministically") {
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "en" else "xx"))
+      .toDF("id", "lang")
+    val kept = Curation.stratifiedSample(df, "id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.25)
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") == 1000) // rate 1.0 keeps every row
+    assert(counts("xx") > 350 && counts("xx") < 650, s"xx=${counts("xx")}")
+    // deterministic: the same call yields the same row set
+    assert(Curation.stratifiedSample(df, "id", "lang",
+      Map("en" -> 1.0), 0.25).except(kept).count() == 0)
+    // stable under growth: decisions on a subset match the full corpus
+    val sub = Curation.stratifiedSample(df.filter(col("id") < 100), "id",
+      "lang", Map("en" -> 1.0), 0.25)
+    assert(sub.except(kept.filter(col("id") < 100)).count() == 0)
+  }
+
   test("assignPacks computes the global prefix sum and straddle counts") {
     // budget 10: offsets 0,4,12,12,19 — doc 30 straddles packs 0-1,
     // doc 40 is empty (packs=1), doc 50 straddles 1-2
