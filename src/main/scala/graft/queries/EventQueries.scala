@@ -115,6 +115,27 @@ object EventQueries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users")),
       None),
 
+    // Graph ingestion (batch twin of GraphIngest.ingestGraph): one MERGE
+    // batch of the whole events table into a fresh store, then the graph's
+    // per-label node counts, rel count, and the ON MATCH-maintained
+    // last-seen maximum — all re-derivable relationally.
+    QueryDef("q_graph_ingest",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_q_ingest").toString
+        graft.streaming.GraphIngest.ingestBatch(events(s, d), dir)
+        val g = new graft.graph.GraphStore(s, dir).load()
+        val users = g.nodes.filter(array_contains(col("labels"), "User"))
+        val evs = g.nodes.filter(array_contains(col("labels"), "Event"))
+        users.agg(count(lit(1)).as("n_users"), max(col("seen_us")).as("max_seen"))
+          .crossJoin(evs.agg(count(lit(1)).as("n_events")))
+          .crossJoin(g.rels.agg(count(lit(1)).as("n_rels")))
+      },
+      Some("""SELECT
+             |  (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+             |  (SELECT max(epoch_us(ts)) FROM events) AS max_seen,
+             |  (SELECT count(DISTINCT event_id) FROM events) AS n_events,
+             |  (SELECT count(DISTINCT event_id) FROM events) AS n_rels""".stripMargin)),
+
     // Event-time sequence detection (flatMapGroupsWithState custom state):
     // greedy earliest signup→click→purchase per user with strictly
     // increasing event time. The oracle pins the FIRST completion per user
