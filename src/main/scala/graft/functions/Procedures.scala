@@ -292,7 +292,7 @@ object Procedures {
     import spark.implicits._
     graft.ops.Trail.trail(edges, Seq(src.longValue).toDF("__src"), "__src",
         1, depth.intValue, endAlias = "__to", relsAlias = "relIds",
-        nodesAlias = "nodeIds", hopsAlias = "hops")
+        nodesAlias = "nodeIds", hopsAlias = "hops", checkpointEvery = 3)
       .filter(col("__to") === dst.longValue)
       .select(col("hops"), col("relIds"), col("nodeIds"))
   })
@@ -314,7 +314,7 @@ object Procedures {
       import spark.implicits._
       graft.ops.Trail.trail(edges, Seq(src.longValue).toDF("__src"), "__src",
           d, d, endAlias = "__to", relsAlias = "relIds",
-          nodesAlias = "nodeIds", hopsAlias = "hops")
+          nodesAlias = "nodeIds", hopsAlias = "hops", checkpointEvery = 3)
         .filter(col("__to") === dst.longValue)
         .select(col("hops"), col("relIds"), col("nodeIds"))
     } else {

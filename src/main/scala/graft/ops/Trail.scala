@@ -35,7 +35,8 @@ object Trail {
       min: Int, max: Int,
       endAlias: String = "end", relsAlias: String = "trail_rels",
       nodesAlias: String = "trail_nodes", hopsAlias: String = "hops",
-      edgePredicate: Option[Column] = None): DataFrame = {
+      edgePredicate: Option[Column] = None,
+      checkpointEvery: Int = 0): DataFrame = {
     require(min >= 0 && max >= min && max <= 30,
       s"trail bounds out of range: $min..$max")
     val e0 = edges.select(col("id").as("__er"), col("src").as("__es"), col("dst").as("__ed"))
@@ -58,6 +59,11 @@ object Trail {
         .withColumn(nodesAlias, concat(col(nodesAlias), array(col("__ed"))))
         .withColumn(endAlias, col("__ed"))
         .drop("__es", "__ed", "__er")
+      // deep unrolls (8+ self-joins) spend more time in analysis/codegen
+      // than in rows — an occasional lazy lineage reset keeps the plan the
+      // optimizer sees shallow; off by default (short unrolls fuse better)
+      if (checkpointEvery > 0 && k % checkpointEvery == 0 && k < max)
+        level = level.localCheckpoint(false)
       if (k >= min) out += level.withColumn(hopsAlias, lit(k))
       k += 1
     }
