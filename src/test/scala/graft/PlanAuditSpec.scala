@@ -144,6 +144,36 @@ class PlanAuditSpec extends AnyFunSuite {
       .collect()(0).getLong(0) > 0)
   }
 
+  test("decontaminate broadcasts the benchmark side; corpus never shuffles by shingle") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = (0L until 100L).map(i => (i, s"alpha beta gamma delta $i"))
+      .toDF("id", "text")
+    val bench = Seq((0L, "alpha beta gamma")).toDF("id", "text")
+    val plan = graft.functions.Curation.decontaminate(corpus, bench, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"benchmark shingles not broadcast:\n${plan.take(3000)}")
+    // the shingle join key must be the 8-byte hash, not the n-gram string
+    assert(plan.contains("xxhash64"), "shingles not hashed before the join")
+  }
+
+  test("splitLabel and stratifiedSample are pure map-side (no exchange)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang")
+    val split = df.select(graft.functions.Curation.splitLabel(col("id")))
+      .queryExecution.executedPlan.toString
+    assert(!split.contains("Exchange"), s"splitLabel shuffles:\n$split")
+    val sampled = graft.functions.Curation.stratifiedSample(
+        df, "id", "lang", Map("en" -> 0.5), 0.25)
+      .queryExecution.executedPlan.toString
+    assert(!sampled.contains("Exchange"), s"stratifiedSample shuffles:\n$sampled")
+  }
+
   test("whole-stage codegen covers the expression pipeline") {
     val df = Cypher.run(spark, g,
       """MATCH (c:Customer) WHERE c.name ENDS WITH '1'
