@@ -443,7 +443,7 @@ object PipelineQueries {
              |    len(list_filter(string_split_regex(text, '\s+'),
              |      w -> length(w) > 0)) AS ntok
              |  FROM documents)
-             |SELECT split, count(*) AS n, sum(ntok) AS tokens
+             |SELECT split, count(*) AS n, CAST(sum(ntok) AS BIGINT) AS tokens
              |FROM lab GROUP BY split""".stripMargin)),
 
     // Deterministic stratified downsampling (corpus mixing): keep all
@@ -474,8 +474,9 @@ object PipelineQueries {
              |      w -> length(w) > 0)) AS BIGINT) AS ntok
              |  FROM documents),
              |off AS (SELECT id, ntok,
-             |    COALESCE(sum(ntok) OVER (ORDER BY id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+             |    CAST(COALESCE(sum(ntok) OVER (ORDER BY id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS "offset"
              |  FROM toks)
              |SELECT id, ntok, "offset", "offset" // 512 AS pack,
              |  CAST(CASE WHEN ntok <= 0 THEN 1

@@ -51,6 +51,21 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         fails.append(name); continue
     # numeric tolerance compare
     ok = True
+    # driver-hash emulation: an integer column on one side vs float on the
+    # other (e.g. DuckDB sum(BIGINT) -> HUGEINT -> float64) stringifies
+    # differently ("123" vs "123.0") and fails the driver's value hash even
+    # when numerically equal — flag it here so it can't pass locally.
+    for c in a.columns:
+        ai = pd.api.types.is_integer_dtype(a[c])
+        bi = pd.api.types.is_integer_dtype(b[c])
+        af = pd.api.types.is_float_dtype(a[c])
+        bf = pd.api.types.is_float_dtype(b[c])
+        if (ai and bf) or (af and bi):
+            print(f"{name}: DTYPE MISMATCH col={c} spark={a[c].dtype} oracle={b[c].dtype}")
+            ok = False
+    if not ok:
+        fails.append(name)
+        continue
     for c in a.columns:
         if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
             import numpy as np
