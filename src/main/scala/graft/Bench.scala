@@ -31,8 +31,15 @@ object Bench {
     // live. Across 149 queries in one JVM that residue compounds — r6's
     // "4x regressions" (write_delete 10.5s, undirected 6.2s) all ran
     // ≤2.6s in isolation; the slowdown was accumulated state, not plans.
+    // Memos are dropped FIRST: a DataFrame still reachable after the sweep
+    // (e.g. via the TpchGraph handle memo) that references a
+    // localCheckpoint'ed RDD would hit missing-block errors on reuse —
+    // truncated lineage cannot recompute. With every cross-query reference
+    // cleared before the sweep, the unpersisted blocks are all orphans.
     def releaseLeaks(): Unit = {
       graft.cypher.Cypher.clearCaches()
+      graft.graph.TpchGraph.clearMemo()
+      spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }

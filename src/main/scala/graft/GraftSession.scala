@@ -16,6 +16,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the status listeners run even with the UI off; default retention
+      // (1000 executions / jobs / stages, each with a full metrics graph)
+      // accumulates real heap across a 166-query bench JVM — cap it
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       // engine extensions: native expressions (unicode_normalize, …)
       .withExtensions(graft.functions.expressions.NormalizeUnicode.inject)
 

@@ -106,15 +106,35 @@ object Planner {
     def enc(dt: DataType, c: Column): Option[Column] =
       graft.functions.Orderability.encodeAny(dt, c)
     val shared = parts.map(_.columns.toSet).reduce(_ intersect _)
-    val mixed = parts.head.columns.toSeq.filter { n =>
-      shared(n) && {
-        val dts = parts.map(_.schema(n).dataType).distinct
-        dts.size > 1 && dts.forall(dt => enc(dt, col(n)).isDefined)
-      }
+    // numeric-only width mixes (LONG branch vs DOUBLE branch, possibly with
+    // a NULL-literal branch) stay NUMBERS: Cypher compares integers and
+    // floats numerically, so `RETURN 1 UNION RETURN 2.5` is 1/2.5 — lifting
+    // them into the encoding would stringify values and break 1-vs-1.0
+    // UNION DISTINCT equivalence. Widen to long unless a fractional type
+    // participates, then double.
+    def numericTarget(dts: Seq[DataType]): Option[DataType] =
+      if (dts.exists(_.isInstanceOf[NumericType]) &&
+          dts.forall(dt => dt == NullType || dt.isInstanceOf[NumericType])) {
+        val frac = dts.exists {
+          case DoubleType | FloatType | _: DecimalType => true
+          case _ => false
+        }
+        Some(if (frac) DoubleType else LongType)
+      } else None
+    val byName = parts.head.columns.toSeq.filter(shared).map { n =>
+      n -> parts.map(_.schema(n).dataType).distinct
+    }.filter(_._2.size > 1)
+    val widen = byName.flatMap { case (n, dts) =>
+      numericTarget(dts).map(n -> _) }.toMap
+    val mixed = byName.collect {
+      case (n, dts) if !widen.contains(n) &&
+        dts.forall(dt => enc(dt, col(n)).isDefined) => n
     }
-    if (mixed.isEmpty) (parts, Nil)
+    if (mixed.isEmpty && widen.isEmpty) (parts, Nil)
     else (parts.map { p =>
-      mixed.foldLeft(p)((acc, n) =>
+      val w = widen.foldLeft(p) { case (acc, (n, t)) =>
+        acc.withColumn(n, col(n).cast(t)) }
+      mixed.foldLeft(w)((acc, n) =>
         acc.withColumn(n, enc(acc.schema(n).dataType, col(n)).get))
     }, mixed)
   }

@@ -86,9 +86,15 @@ object Curation {
    */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    def thr(r: Double): String =
+    def thr(r: Double): String = {
+      // rates in [255.5/256, 1.0) round to 256, whose hex is the 3-char
+      // '100' — lexicographically BELOW '11'..'ff', which would silently
+      // keep ~6% instead of ~100%; saturate the rounded bucket to 0xff
+      // (quantization already makes 255/256 the largest sub-1.0 rate)
+      val bucket = math.min(0xff, math.max(0, (r * 256).round.toInt))
       if (r >= 1.0) "zz" // sorts above every hex pair: keep everything
-      else f"${math.max(0, (r * 256).round.toInt)}%02x"
+      else f"$bucket%02x"
+    }
     val thrCol = rates.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultRate))) {
       case (acc, (k, r)) => when(col(strataCol) === k, lit(thr(r))).otherwise(acc)
     }

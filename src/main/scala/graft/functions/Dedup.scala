@@ -114,17 +114,23 @@ object Dedup {
   def minhashDedup(docs: DataFrame, threshold: Double = 0.8,
       shingleSize: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, shingleSize).filter(col("jaccardEstimate") >= threshold * 0.7)
-    // materialized once — referenced by BOTH pair-side joins below
+    // materialized once — referenced by BOTH pair-side joins below. The
+    // verify sets are 8-byte xxhash64 keys, not shingle STRINGS: the
+    // per-pair intersect compares longs (~10x smaller rows through the two
+    // joins), and |A∪B| = |A|+|B|-|A∩B| skips building the union array.
+    // Full 64-bit hashes (not the mod-Prime minhash universe) keep the
+    // collision rate ~|shingles|²/2^64 — far below sketch noise.
     val sets = docs
       .withColumn("__toks", tokens(col("text")))
-      .select(col("id"), array_distinct(shinglesOf(col("__toks"), shingleSize)).as("set"))
+      .select(col("id"), array_distinct(
+        transform(shinglesOf(col("__toks"), shingleSize), s => xxhash64(s))).as("set"))
+      .withColumn("sz", size(col("set")))
       .localCheckpoint(false)
     cands
-      .join(sets.select(col("id").as("idA"), col("set").as("setA")), Seq("idA"))
-      .join(sets.select(col("id").as("idB"), col("set").as("setB")), Seq("idB"))
-      .withColumn("jaccard",
-        size(array_intersect(col("setA"), col("setB"))).cast("double") /
-          size(array_union(col("setA"), col("setB"))))
+      .join(sets.select(col("id").as("idA"), col("set").as("setA"), col("sz").as("szA")), Seq("idA"))
+      .join(sets.select(col("id").as("idB"), col("set").as("setB"), col("sz").as("szB")), Seq("idB"))
+      .withColumn("inter", size(array_intersect(col("setA"), col("setB"))).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("szA") + col("szB") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("idA", "idB", "jaccard")
   }
@@ -151,7 +157,10 @@ object Dedup {
 
   /** 64-bit SimHash signature per document: sign of the per-bit weighted sum
     * of token hashes. Computed by explode + 64 conditional-sum aggregates
-    * (one shuffle keyed by doc id; partial aggregation makes it map-mostly). */
+    * (one shuffle keyed by doc id; partial aggregation makes it map-mostly).
+    * A shuffle-free per-row formulation (64 HOF `aggregate`s) was measured
+    * 2.6x SLOWER: higher-order-function lambdas evaluate interpreted, while
+    * this shape stays inside whole-stage codegen end to end. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("id"), explode(tokens(col("text"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
@@ -185,14 +194,21 @@ object Dedup {
     * the verification metric, and a standalone dedup for modest blocks.
     * blockCols bound the quadratic join (never all-pairs at scale). */
   def ngramJaccardPairs(docs: DataFrame, blockCols: Seq[String], threshold: Double): DataFrame = {
-    val sets = docs.select((col("id") +: wordSet(col("text")).as("set") +:
-      blockCols.map(col)): _*)
-    val a = sets.select((col("id").as("idA") +: col("set").as("setA") +: blockCols.map(col)): _*)
-    val b = sets.select((col("id").as("idB") +: col("set").as("setB") +: blockCols.map(col)): _*)
+    // word sets reduce to 8-byte xxhash64 keys before the quadratic stage:
+    // the per-pair intersect compares longs instead of strings and the
+    // block join shuffles ~10x smaller rows; |A∪B| = |A|+|B|-|A∩B| skips
+    // the per-pair union array. Collisions (~|vocab|²/2^64) are negligible.
+    val sets = docs.select((col("id") +:
+        transform(wordSet(col("text")), t => xxhash64(t)).as("set") +:
+        blockCols.map(col)): _*)
+      .withColumn("sz", size(col("set")))
+    val a = sets.select((col("id").as("idA") +: col("set").as("setA") +:
+      col("sz").as("szA") +: blockCols.map(col)): _*)
+    val b = sets.select((col("id").as("idB") +: col("set").as("setB") +:
+      col("sz").as("szB") +: blockCols.map(col)): _*)
     a.join(b, blockCols).filter(col("idA") < col("idB"))
-      .withColumn("jaccard",
-        size(array_intersect(col("setA"), col("setB"))).cast("double") /
-          size(array_union(col("setA"), col("setB"))))
+      .withColumn("inter", size(array_intersect(col("setA"), col("setB"))).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("szA") + col("szB") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("idA", "idB", "jaccard")
   }

@@ -67,6 +67,13 @@ object TpchGraph {
     loaded.computeIfAbsent((spark, dir), { case (s, d) => doLoad(s, d) })
   }
 
+  /** Drop the memo. Benchmarks call this before sweeping persistent RDDs:
+    * a graph handle surviving the sweep could reference a lazily
+    * localCheckpoint'ed snapshot whose blocks the sweep just freed — and a
+    * truncated-lineage RDD cannot recompute (missing-block errors, not
+    * slowness). Clearing first means nothing live spans the sweep. */
+  def clearMemo(): Unit = loaded.clear()
+
   private def doLoad(spark: SparkSession, dir: String): PropertyGraph = {
     val region   = table(spark, dir, "region")
     val nation   = table(spark, dir, "nation")

@@ -48,6 +48,7 @@ object Trail {
       .withColumn(nodesAlias, array(col(fromCol)))
       .withColumn(relsAlias, array().cast("array<long>"))
     val out = Seq.newBuilder[DataFrame]
+    out += level.filter(lit(false)).withColumn(hopsAlias, lit(0))
     if (min == 0) out += level.withColumn(hopsAlias, lit(0))
 
     var k = 1
@@ -100,6 +101,10 @@ object Trail {
       .withColumn(relsAlias, array().cast("array<long>"))
       .localCheckpoint()
     val out = Seq.newBuilder[DataFrame]
+    // zero-row seed with the output schema: an empty input frontier, or a
+    // `[*n..]` on a graph whose longest trail is < n, must return zero
+    // rows — without the seed the final reduce would be an empty.reduce
+    out += level.filter(lit(false)).withColumn(hopsAlias, lit(0))
     if (min == 0) out += level.withColumn(hopsAlias, lit(0))
     var k = 1
     var levelCnt = level.count()

@@ -55,6 +55,14 @@ object GraphIngest {
       if (store.currentVersion >= 0) store.load() else emptyGraph(spark)
     val ev = batch.select(col("event_id"), col("user_id"),
       col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+    // ids ≥ 2^44 would cross the Event tag range and silently conflate
+    // distinct nodes under MERGE — abort the batch with a clear error
+    // instead (one bounded aggregate, not a per-row driver check)
+    val oob = ev.filter(col("event_id") >= EventTag || col("event_id") < 0 ||
+      col("user_id") >= EventTag || col("user_id") < 0).count()
+    require(oob == 0,
+      s"$oob event(s) with event_id/user_id outside [0, 2^44) — would " +
+        "collide the Event node tag range (GraphIngest.EventTag)")
 
     val users = ev.groupBy(col("user_id").as("id"))
       .agg(max(col("us")).as("seen_us"))

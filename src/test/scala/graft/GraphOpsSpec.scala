@@ -67,11 +67,25 @@ class GraphOpsSpec extends AnyFunSuite {
   test("connectedComponents on a 1000-node chain converges (O(log n) rounds)") {
     // chain diameter 999: neighbor-min propagation would need ~999 rounds;
     // star contraction must finish within maxIter=25 ≈ 2·log2(1000)+c
+    // localEdgeThreshold = 0 forces the distributed contraction loop — the
+    // driver-local union-find fast path must not steal this test's coverage
     val edges = (0L until 999L).map(i => (i, i + 1)).toDF("src", "dst")
-    val comp = Bfs.connectedComponents(edges, maxIter = 25)
+    val comp = Bfs.connectedComponents(edges, maxIter = 25, localEdgeThreshold = 0)
     val comps = comp.select("component").distinct().collect().map(_.getLong(0))
     assert(comps === Array(0L))
     assert(comp.count() === 1000)
+  }
+
+  test("connectedComponents local fast path matches the distributed loop") {
+    val rng = new scala.util.Random(7)
+    val edges = (0 until 400).map(_ =>
+      (rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+    val local = Bfs.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Bfs.connectedComponents(edges, localEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
   }
 
   test("connectedComponents separates disjoint components") {
