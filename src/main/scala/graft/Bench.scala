@@ -31,14 +31,17 @@ object Bench {
     // live. Across 149 queries in one JVM that residue compounds — r6's
     // "4x regressions" (write_delete 10.5s, undirected 6.2s) all ran
     // ≤2.6s in isolation; the slowdown was accumulated state, not plans.
-    // Memos are dropped FIRST: a DataFrame still reachable after the sweep
-    // (e.g. via the TpchGraph handle memo) that references a
-    // localCheckpoint'ed RDD would hit missing-block errors on reuse —
-    // truncated lineage cannot recompute. With every cross-query reference
-    // cleared before the sweep, the unpersisted blocks are all orphans.
+    // Caches are dropped FIRST: a DataFrame still reachable after the sweep
+    // that references a localCheckpoint'ed RDD would hit missing-block
+    // errors on reuse — truncated lineage cannot recompute. The plan cache
+    // (which holds checkpoint-backed write snapshots) is cleared; the
+    // TpchGraph memo deliberately SURVIVES the sweep: its frames are
+    // pristine parquet lineage (doLoad never persists or checkpoints), so
+    // unpersisting can't strand them, and re-assembling the graph (8
+    // parquet listings + schema reads) would otherwise add ~0.4s to every
+    // one of ~120 graph queries.
     def releaseLeaks(): Unit = {
       graft.cypher.Cypher.clearCaches()
-      graft.graph.TpchGraph.clearMemo()
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

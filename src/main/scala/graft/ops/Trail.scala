@@ -178,7 +178,9 @@ object Trail {
         .join(counts, Seq("source", "end"), "left_outer")
         .filter(col("__rk") + coalesce(col("__have"), lit(0L)) <= k)
         .drop("__rk", "__have")
-        .localCheckpoint()
+        // lazy: the count() below materializes it — one job per round, not
+        // a checkpoint job followed by a count job
+        .localCheckpoint(false)
       // lazy: next round's join materializes it in the same job
       counts = counts.join(
           newKept.groupBy("source", "end").agg(count(lit(1)).as("__new")),
@@ -318,21 +320,27 @@ object Trail {
       acc.result().reduce(_ unionByName _)
     }
 
+    // one action per round: materializes the (lazy) frontier checkpoint AND
+    // returns the count of still-expandable states — replacing an eager
+    // checkpoint job + a separate isEmpty job
+    val isActive = col("seg") < nSeg &&
+      col("segHops") < try_element_at(maxs, col("seg") + 1)
+    def materializeAndCountActive(f: DataFrame): Long =
+      f.agg(count(when(isActive, 1))).first().getLong(0)
+
     var frontier = pruneStates(closure(
       sources
         .select(col("source"), col("source").as("end"), lit(0).as("seg"),
           lit(0).as("segHops"), lit(0).as("hops"),
           array().cast("array<long>").as("path"),
           array(col("source")).as("nodes"))))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val finished = Seq.newBuilder[DataFrame]
     finished += frontier.filter(col("seg") === nSeg)
     var depth = 0
-    var active = frontier
-      .filter(col("seg") < nSeg &&
-        col("segHops") < try_element_at(maxs, col("seg") + 1))
-      .localCheckpoint(false)
-    while (depth < maxTotal && !active.isEmpty) {
+    var activeCnt = materializeAndCountActive(frontier)
+    while (depth < maxTotal && activeCnt > 0) {
+      val active = frontier.filter(isActive)
       val expanded = (0 until nSeg).map { i =>
         active.filter(col("seg") === i)
           .join(eBySeg(i), col("end") === col("__es") &&
@@ -343,12 +351,9 @@ object Trail {
             concat(col("path"), col("__ers")).as("path"),
             concat(col("nodes"), col("__ens")).as("nodes"))
       }.reduce(_ unionByName _)
-      frontier = pruneStates(closure(expanded)).localCheckpoint()
+      frontier = pruneStates(closure(expanded)).localCheckpoint(false)
       finished += frontier.filter(col("seg") === nSeg)
-      active = frontier
-        .filter(col("seg") < nSeg &&
-          col("segHops") < try_element_at(maxs, col("seg") + 1))
-        .localCheckpoint(false)
+      activeCnt = materializeAndCountActive(frontier)
       depth += 1
     }
     val w = org.apache.spark.sql.expressions.Window
