@@ -102,6 +102,47 @@ object Curation {
   }
 
   /**
+   * Bigram language-model quality score — the CCNet-style "perplexity
+   * against a reference LM" corpus filter (Wenzek et al., CCNet, 2020),
+   * self-trained here: fit add-α-smoothed bigram/unigram counts on the
+   * corpus itself, then score each document by the mean negative log
+   * probability of its bigram instances (lower = more typical text; the
+   * curation step drops the high-perplexity tail).
+   *
+   * Scale shape: the two count tables are VOCABULARY-bounded (one
+   * partial-aggregating explode pass each over the corpus — the groupBy
+   * output is |vocab| / |bigram vocab| rows no matter how big the corpus),
+   * and scoring is two joins keyed on those tables. Nothing quadratic, no
+   * driver iteration; the single driver-side scalar is the vocabulary size.
+   *
+   * @return (idCol, nll DOUBLE) — one row per doc with ≥1 bigram;
+   *         nll = -avg ln P(w2|w1), rounded to 4dp for engine parity
+   */
+  def bigramLmScore(df: DataFrame, idCol: String = "id",
+      textCol: String = "text", alpha: Double = 0.5): DataFrame = {
+    val toks = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+    // shinglesOf degenerates below n tokens (returns the whole joined doc
+    // as one shingle) — bigram passes take only docs with a real bigram
+    val biDocs = toks.filter(size(col("__toks")) >= 2)
+    val big = biDocs.select(
+        explode(TextFunctions.shinglesOf(col("__toks"), 2)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__cb"))
+    // vocabulary size: the one bounded driver statistic (a LONG)
+    val v = uni.count()
+    biDocs.select(col(idCol),
+        explode(TextFunctions.shinglesOf(col("__toks"), 2)).as("__b"))
+      .join(big, "__b")
+      .withColumn("__w", element_at(split(col("__b"), " "), 1))
+      .join(uni, "__w")
+      .groupBy(idCol)
+      .agg(round(-avg(log((col("__cb") + alpha) / (col("__cu") + alpha * v))), 4)
+        .as("nll"))
+  }
+
+  /**
    * Sequence packing (concat-and-chunk): lay documents end to end in id
    * order and cut the stream into fixed token-budget packs — the standard
    * pretraining shard layout. Each doc gets its global token offset, its

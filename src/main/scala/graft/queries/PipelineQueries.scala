@@ -460,6 +460,29 @@ object PipelineQueries {
              |  ELSE '40' END
              |GROUP BY lang""".stripMargin)),
 
+    // Bigram-LM quality scoring (CCNet-style perplexity filter): add-0.5
+    // smoothed bigram model self-trained on the corpus; each doc scored by
+    // mean negative log P(w2|w1) over its bigram instances. Count tables
+    // are vocabulary-bounded; the corpus is never collected.
+    QueryDef("q_lm_quality",
+      (s, d) => graft.functions.Curation.bigramLmScore(docs(s, d)),
+      Some("""WITH toks AS (SELECT doc_id, list_filter(
+             |    string_split_regex(text, '\s+'), w -> length(w) > 0) AS ws
+             |  FROM documents),
+             |big AS (SELECT doc_id, unnest(list_transform(
+             |    range(1, greatest(len(ws) - 1, 0) + 1),
+             |    i -> array_to_string(ws[i:i+1], ' '))) AS b
+             |  FROM toks),
+             |cb AS (SELECT b, count(*) AS cb FROM big GROUP BY b),
+             |cu AS (SELECT w, count(*) AS cu
+             |  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+             |v AS (SELECT count(*) AS v FROM cu)
+             |SELECT doc_id AS id,
+             |  round(-avg(ln((cb + 0.5) / (cu + 0.5 * v))), 4) AS nll
+             |FROM big JOIN cb USING (b)
+             |  JOIN cu ON split_part(b, ' ', 1) = cu.w, v
+             |GROUP BY doc_id""".stripMargin)),
+
     // Sequence packing (concat-and-chunk, 512-token packs): global token
     // offset per doc in id order via the two-phase distributed prefix sum,
     // then pack id + straddle count. The oracle's single-node window

@@ -100,4 +100,17 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
   }
+
+  test("bigramLmScore ranks repetitive text as more probable than unique text") {
+    val docs = Seq(
+      (1L, "ab cd ab cd ab cd ab cd ab cd ab cd"),   // one dominant bigram
+      (2L, "qq ww ee rr tt yy uu ii oo pp zz xx"),   // all bigrams unique
+      (3L, "ab cd ab cd ef gh"),                      // mixed
+      (4L, "solo")).toDF("id", "text")                // no bigram: absent
+    val got = Curation.bigramLmScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) < got(3L) && got(3L) < got(2L),
+      s"expected nll(repetitive) < nll(mixed) < nll(unique): $got")
+  }
 }
