@@ -274,6 +274,154 @@ object Similarity {
       .select(col("id"), col("v"), col("__best.cid").as("cid"))
   }
 
+  /**
+   * Product-quantization ANN (Jégou/Douze/Schmid, "Product Quantization
+   * for Nearest Neighbor Search", TPAMI 2011) — the memory-scale path for
+   * ANN over a 100 TB corpus: each unit-normalized vector compresses to m
+   * one-byte codes (64 fp32 dims → 8 bytes here, 32×), and queries scan
+   * the CODES with per-subspace lookup tables (asymmetric distance, ADC)
+   * instead of touching raw vectors.
+   *
+   * Train: per-subspace k-means (2^nBits centroids) on the same bounded
+   * deterministic sample as IVF — driver arrays, zero Spark jobs beyond
+   * one bounded collect. Codebooks ship as a broadcast one-row relation
+   * (assignCells precedent — never plan literals). Encode: one map-side
+   * pass, argmax dot per subspace. Query: per (query, subspace) a
+   * 2^nBits-entry LUT of dot(q_j, c_{j,i}); score = Σ_j LUT[j][code_j]
+   * ≈ dot(q, x) = cosine on unit vectors.
+   *
+   * Quantization blurs ranks among near-ties, so the standard refine stage
+   * follows (FAISS IVFPQ+refine): ADC produces a shortlist of rerank×k
+   * candidates per query, and only THAT shortlist joins back to the raw
+   * vectors for exact-cosine re-ranking — at 100 TB the exact math touches
+   * |queries|×rerank×k rows, not the corpus. rerank = 0 disables (pure ADC).
+   *
+   * @param corpus  (id LONG, vec ARRAY<FLOAT|DOUBLE>), dim divisible by m
+   * @param queries (qid LONG, qvec …) — small; broadcast
+   * @return (qid, id, sim, rank) rank 1..k, self excluded
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      nBits: Int = 8, kmeansIters: Int = 4, rerank: Int = 4): DataFrame = {
+    require(m >= 1 && nBits >= 2 && nBits <= 8, s"pq params out of range: m=$m nBits=$nBits")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // norm materializes as a column BEFORE the per-element divide: a lambda
+    // referencing the norm subtree would re-evaluate it per element
+    // (trees, not DAGs) — 64 norms per row instead of one
+    def unitized(df: DataFrame, vCol: String): DataFrame = df
+      .withColumn("__n", norm(col(vCol)))
+      .withColumn(vCol, when(col("__n") === 0.0, col(vCol))
+        .otherwise(transform(col(vCol), x => x / col("__n"))))
+      .drop("__n")
+    val c = unitized(
+        corpus.select(col("id"), asDouble(col("vec")).as("v")), "v")
+      .localCheckpoint(false)
+
+    // bounded deterministic training sample (FAISS practice: PQ codebooks
+    // train on a sample, not the corpus) — driver k-means per subspace
+    val nCents = 1 << nBits
+    val train: Array[Array[Double]] = c
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h").limit(math.max(nCents * 16, 1024))
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(train.nonEmpty, "pqTopK: empty corpus")
+    val dim = train(0).length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val books: Seq[(Int, Seq[(Int, Seq[Double])])] = (0 until m).map { j =>
+      val slices = train.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      j -> kmeansArrays(slices, nCents, kmeansIters).zipWithIndex
+        .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
+    }
+    // one-row broadcast relation: codebook[j][cid] = centroid vector,
+    // both levels sorted so element_at indexing is positional
+    val cbRow = books.flatMap { case (j, cents) =>
+      cents.map { case (cid, cv) => (j, cid, cv) } }
+      .toDF("j", "cid", "cv")
+      .groupBy("j").agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+      .agg(sort_array(collect_list(struct(col("j"), col("cents")))).as("__cb"))
+
+    // encode: m argmax-dot scans over the broadcast codebook — map-side only
+    val encoded = c.crossJoin(broadcast(cbRow))
+      .withColumn("code", transform(sequence(lit(0), lit(m - 1)), j => {
+        val qs = slice(col("v"), j * sub + 1, lit(sub))
+        aggregate(element_at(col("__cb"), j + 1).getField("cents"),
+          struct(lit(Double.MinValue).as("s"), lit(-1).as("cid")),
+          (acc, cen) => {
+            val s = dot(qs, cen.getField("cv"))
+            when(s > acc.getField("s"),
+              struct(s.as("s"), cen.getField("cid").as("cid"))).otherwise(acc)
+          }).getField("cid")
+      }))
+      .select("id", "code")
+      .localCheckpoint(false)
+
+    // per-query ADC lookup tables over the same broadcast codebook
+    val luts = unitized(
+        queries.select(col("qid"), asDouble(col("qvec")).as("qv")), "qv")
+      .crossJoin(broadcast(cbRow))
+      .withColumn("lut", transform(col("__cb"), je =>
+        transform(je.getField("cents"), cen =>
+          dot(slice(col("qv"), je.getField("j") * sub + 1, lit(sub)),
+            cen.getField("cv")))))
+      .select("qid", "lut")
+    // score codes: m table lookups per (corpus row, query) — no vector math
+    val scored = encoded.join(broadcast(luts), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        aggregate(zip_with(col("code"), col("lut"),
+          (cd, l) => element_at(l, cd + 1)), lit(0.0), (acc, v) => acc + v)
+          .as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    if (rerank <= 0)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    else {
+      val shortlist = scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k * rerank)
+        .select("qid", "id")
+      val qv = unitized(
+        queries.select(col("qid"), asDouble(col("qvec")).as("qv")), "qv")
+      shortlist
+        .join(c, Seq("id"))
+        .join(broadcast(qv), Seq("qid"))
+        .select(col("qid"), col("id"), dot(col("v"), col("qv")).as("sim"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+  }
+
+  /** Plain-array k-means on the driver (bounded inputs only): deterministic
+    * init from the first kC points, L2 assignment, empty clusters keep
+    * their previous centroid. */
+  private def kmeansArrays(train: Array[Array[Double]], kC: Int,
+      iters: Int): Array[Array[Double]] = {
+    val dim = train(0).length
+    var cents = train.take(kC).map(_.clone())
+    if (cents.length < kC) cents = cents ++ Array.fill(kC - cents.length)(new Array[Double](dim))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kC)(new Array[Double](dim))
+      val cnt = new Array[Long](kC)
+      train.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var ci = 0
+        while (ci < kC) { val dd = d2(v, cents(ci)); if (dd < bd) { bd = dd; best = ci }; ci += 1 }
+        cnt(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { ci =>
+        if (cnt(ci) == 0) cents(ci)
+        else sums(ci).map(_ / cnt(ci))
+      }.toArray
+      it += 1
+    }
+    cents
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked by LSH
     * bucket so the pair join never goes quadratic in the corpus. Buckets are
     * capped at `maxBucket` rows (same skew guard as Dedup.minhashCandidates):

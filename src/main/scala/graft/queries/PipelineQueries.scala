@@ -143,6 +143,23 @@ object PipelineQueries {
       },
       None),
 
+    // Product-quantization ANN (Jégou et al. 2011): 64 fp32 dims → 8 byte
+    // codes, queries scored by ADC lookup tables over the codes — the
+    // memory-scale ANN layout (32× compression). Rows-only like the other
+    // ANN sketches; recall + determinism gated in SimilaritySpec.
+    QueryDef("q_knn_pq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        // nBits=6 (64 centroids/subspace): ADC quality is set by the
+        // refine stage; 64 cents cut the encode pass 4x vs 256
+        graft.functions.Similarity.pqTopK(corpus, queries, 10, m = 8, nBits = 6)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("id"))
+      },
+      None),
+
     QueryDef("q_cosine_near_dup",
       (s, d) => {
         val emb = t(s, d, "embeddings")

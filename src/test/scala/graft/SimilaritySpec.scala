@@ -74,6 +74,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall too low: $recall")
   }
 
+  test("PQ top-k recall ≥ 0.9 against brute force on clustered vectors") {
+    // PQ compresses 16 fp32 dims to 4 byte codes; ADC scoring over the
+    // codes must still recover the cluster neighborhood
+    val rng = new scala.util.Random(13)
+    val dim = 16
+    val centers = Array.fill(20)(Array.fill(dim)(rng.nextGaussian()))
+    val data = (0L until 300L).map { i =>
+      val c = centers((i % 20).toInt)
+      (i, c.map(x => (x + 0.1 * rng.nextGaussian()).toFloat))
+    }
+    val corpus = data.toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, 9).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val approx = Similarity.pqTopK(corpus, queries, 9, m = 4, nBits = 6)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ recall too low: $recall")
+  }
+
+  test("PQ is deterministic across runs") {
+    val corpus = (0L until 80L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 29 + d * 11) % 17 - 8).toFloat))).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 2)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    def run() = Similarity.pqTopK(corpus, queries, 5, m = 4, nBits = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("id"))).toSet
+    assert(run() == run())
+  }
+
   test("IVF is deterministic across runs (fixed init, fixed iteration count)") {
     val corpus = (0L until 60L).map(i =>
       (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))).toDF("id", "vec")
