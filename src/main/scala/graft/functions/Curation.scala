@@ -143,6 +143,72 @@ object Curation {
   }
 
   /**
+   * Per-document top-k keywords by tf-idf — the classic relevance signal,
+   * used in curation for topic tagging and diversity-aware sampling.
+   * idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn convention); score =
+   * tf · idf, ties broken by term text. Document-frequency table is
+   * VOCABULARY-bounded; term frequencies partial-aggregate; the only
+   * driver scalar is the corpus row count.
+   *
+   * @return (idCol, term, score DOUBLE 4dp, rank 1..k)
+   */
+  def tfidfTopTerms(df: DataFrame, k: Int, idCol: String = "id",
+      textCol: String = "text"): DataFrame = {
+    val n = df.count()
+    val terms = df.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score", round(
+        col("__tf") * (log((lit(n) + 1.0) / (col("__df") + 1.0)) + 1.0), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rank"))
+  }
+
+  /**
+   * Corpus mixing weights: per-stratum sampling weight that reshapes the
+   * corpus token distribution to a target share map (the static form of
+   * domain reweighting à la DoReMi / The Pile's mixture weights). A
+   * stratum's weight = target share / actual token share; a downstream
+   * sampler multiplies per-row keep probabilities (or epoch counts) by it.
+   * One aggregate pass — strata cardinality is tiny by construction.
+   *
+   * @return (strataCol, docs LONG, tokens LONG, share DOUBLE 4dp,
+   *         weight DOUBLE 4dp); strata absent from `targetShares` get the
+   *         residual target mass split by their actual shares (weight 1
+   *         scaling within the residual)
+   */
+  def mixWeights(df: DataFrame, strataCol: String,
+      targetShares: Map[String, Double], tokCol: Column): DataFrame = {
+    val targetCol = targetShares.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (s, t)) =>
+        when(col(strataCol) === s, lit(t)).otherwise(acc) }
+    val agg = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("docs"), sum(tokCol.cast("long")).as("tokens"))
+      .withColumn("__target", targetCol)
+    // corpus totals via a broadcast one-row join, NOT an unpartitioned
+    // window (which would funnel through a single partition — harmless on
+    // a strata table but the wrong habit for the 100 TB contract)
+    val tot = agg.agg(sum(col("tokens")).as("__total"),
+      sum(when(col("__target").isNull, col("tokens")).otherwise(0L))
+        .as("__unlTok"))
+    val share = col("tokens").cast("double") / col("__total")
+    // residual mass (1 - Σ explicit targets) distributes over unlisted
+    // strata proportionally to their actual shares → their weight is the
+    // residual scale, uniform across them
+    val weight = when(col("__target").isNotNull, col("__target") / share)
+      .otherwise((lit(1.0) - lit(targetShares.values.sum)) /
+        (col("__unlTok").cast("double") / col("__total")))
+    agg.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("docs"), col("tokens"),
+        round(share, 4).as("share"), round(weight, 4).as("weight"))
+  }
+
+  /**
    * Sequence packing (concat-and-chunk): lay documents end to end in id
    * order and cut the stream into fixed token-budget packs — the standard
    * pretraining shard layout. Each doc gets its global token offset, its

@@ -500,6 +500,47 @@ object PipelineQueries {
              |  JOIN cu ON split_part(b, ' ', 1) = cu.w, v
              |GROUP BY doc_id""".stripMargin)),
 
+    // Per-doc top-3 tf-idf keywords (smoothed sklearn idf), ties by term.
+    QueryDef("q_tfidf",
+      (s, d) => graft.functions.Curation.tfidfTopTerms(
+        docs(s, d).filter(col("id") < 200), k = 3),
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+             |n AS (SELECT count(*) AS n FROM docs),
+             |terms AS (SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(text, '\s+'), w -> length(w) > 0)) AS term
+             |  FROM docs),
+             |tf AS (SELECT doc_id, term, count(*) AS tf
+             |  FROM terms GROUP BY doc_id, term),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |scored AS (SELECT doc_id, term,
+             |    round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+             |  FROM tf JOIN dfreq USING (term), n)
+             |SELECT doc_id AS id, term, score, CAST(rank AS INT) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, term ASC) AS rank FROM scored)
+             |WHERE rank <= 3""".stripMargin)),
+
+    // Corpus mixing weights: reshape the token distribution to target
+    // shares (en 60%, fr 20%, residual split by actual share).
+    QueryDef("q_mix_weights",
+      (s, d) => graft.functions.Curation.mixWeights(
+        docs(s, d).withColumn("ntok",
+          TextFunctions.tokenCount(col("text")).cast("long")),
+        "lang", Map("en" -> 0.6, "fr" -> 0.2), col("ntok")),
+      Some("""WITH agg AS (SELECT lang, count(*) AS docs,
+             |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+             |      w -> length(w) > 0))) AS BIGINT) AS tokens,
+             |    CASE lang WHEN 'en' THEN 0.6 WHEN 'fr' THEN 0.2 END AS t
+             |  FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total,
+             |    CAST(sum(CASE WHEN t IS NULL THEN tokens ELSE 0 END) AS DOUBLE)
+             |      AS unl
+             |  FROM agg)
+             |SELECT lang, docs, tokens, round(tokens / total, 4) AS share,
+             |  round(CASE WHEN t IS NOT NULL THEN t / (tokens / total)
+             |    ELSE (1.0 - 0.8) / (unl / total) END, 4) AS weight
+             |FROM agg, tot""".stripMargin)),
+
     // Sequence packing (concat-and-chunk, 512-token packs): global token
     // offset per doc in id order via the two-phase distributed prefix sum,
     // then pack id + straddle count. The oracle's single-node window

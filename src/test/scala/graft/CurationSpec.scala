@@ -113,4 +113,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L) < got(3L) && got(3L) < got(2L),
       s"expected nll(repetitive) < nll(mixed) < nll(unique): $got")
   }
+
+  test("mixWeights: explicit targets get target/share, residual splits uniformly") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      ("en", 60L), ("en", 20L),   // 80 tokens, share 0.5
+      ("fr", 40L),                 // share 0.25
+      ("de", 20L), ("es", 20L))    // unlisted: 0.125 each
+      .toDF("lang", "ntok")
+    val got = graft.functions.Curation.mixWeights(
+        docs, "lang", Map("en" -> 0.6, "fr" -> 0.2), col("ntok"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("en") == (0.5, 1.2))      // 0.6 / 0.5
+    assert(got("fr") == (0.25, 0.8))     // 0.2 / 0.25
+    // residual 0.2 over unlisted share 0.25 -> uniform scale 0.8
+    assert(got("de") == (0.125, 0.8) && got("es") == (0.125, 0.8))
+  }
 }
