@@ -43,7 +43,11 @@ object Bench {
     def releaseLeaks(): Unit = {
       graft.cypher.Cypher.clearCaches()
       spark.sharedState.cacheManager.clearCache()
+      // warm adjacency caches owned by live graph handles are exempt
+      // (RddGuard): truncated-lineage blocks cannot recompute once freed
+      val keep = graft.graph.RddGuard.liveIds()
       spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => keep(r.id))
         .foreach(_.unpersist(blocking = false))
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -926,14 +926,14 @@ object Planner {
       throw new IllegalArgumentException("shortestPath start node must be bound"))
     val maxDepth = rel.varLength.flatMap(_._2).getOrElse(15)
     var edges = rel.dir match {
-      case Out  => ctx.g.rels.select(col("src"), col("dst"))
-      case In   => ctx.g.rels.select(col("dst").as("src"), col("src").as("dst"))
-      case Both => ctx.g.undirectedRels.select(col("src"), col("dst"))
+      case Out  => ctx.g.topology.select(col("src"), col("dst"))
+      case In   => ctx.g.topology.select(col("dst").as("src"), col("src").as("dst"))
+      case Both => ctx.g.undirectedTopo.select(col("src"), col("dst"))
     }
     if (rel.types.nonEmpty) {
       val typed = rel.dir match {
-        case Both => ctx.g.undirectedRels
-        case _    => ctx.g.rels
+        case Both => ctx.g.undirectedTopo
+        case _    => ctx.g.topology
       }
       edges = (rel.dir match {
         case In => typed.filter(col("type").isin(rel.types: _*))
@@ -969,8 +969,8 @@ object Planner {
     if (s.all) {
       // allShortestPaths: every minimal-hop tie, path always bound
       val typed = rel.dir match {
-        case Both => ctx.g.undirectedRels
-        case _    => ctx.g.rels
+        case Both => ctx.g.undirectedTopo
+        case _    => ctx.g.topology
       }
       val filtered = if (rel.types.isEmpty) typed
         else typed.filter(col("type").isin(rel.types: _*))
@@ -1007,8 +1007,8 @@ object Planner {
       // PathPropagatingBFS: unit-weight frontier relaxation carries the
       // rel-id path; dist == hop count
       val typed = rel.dir match {
-        case Both => ctx.g.undirectedRels
-        case _    => ctx.g.rels
+        case Both => ctx.g.undirectedTopo
+        case _    => ctx.g.topology
       }
       val filtered = if (rel.types.isEmpty) typed
         else typed.filter(col("type").isin(rel.types: _*))
@@ -1649,9 +1649,11 @@ object Planner {
     * orientation drops the property columns. */
   private def orientTyped(g: PropertyGraph, types: Seq[String],
       dir: Direction, pre: Option[Column] = None): DataFrame = {
+    // no inline property predicate → warm compact topology; with one the
+    // raw rels keep the property columns the predicate reads
     val base = dir match {
-      case Direction.Both => g.undirectedRels
-      case _              => g.rels
+      case Direction.Both => if (pre.isEmpty) g.undirectedTopo else g.undirectedRels
+      case _              => if (pre.isEmpty) g.topology else g.rels
     }
     val filtered = pre.fold(base)(base.filter)
     val r0 = dir match {

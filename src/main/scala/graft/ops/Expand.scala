@@ -22,12 +22,15 @@ import org.apache.spark.sql.functions._
  */
 object Expand {
 
+  // every expand variant projects only (id, src, dst) — the warm compact
+  // topology serves them all; rel-property predicates hydrate separately
+  // against the parquet-lineage rels table (pushdown preserved there)
   private def oriented(g: PropertyGraph, direction: Direction): DataFrame = direction match {
-    case Direction.Out  => g.rels
+    case Direction.Out  => g.topology
     case Direction.In   =>
-      g.rels.withColumnRenamed("src", "__d").withColumnRenamed("dst", "src")
-        .withColumnRenamed("__d", "dst")
-    case Direction.Both => g.undirectedRels
+      g.topology.select(col("id"), col("dst").as("src"),
+        col("src").as("dst"), col("type"))
+    case Direction.Both => g.undirectedTopo
   }
 
   /** ExpandAll: for each row, traverse rels of node `fromCol` matching

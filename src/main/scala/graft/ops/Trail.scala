@@ -370,9 +370,9 @@ object Trail {
   def trail(g: PropertyGraph, input: DataFrame, fromCol: String,
       relTypes: Seq[String], direction: Direction, min: Int, max: Int): DataFrame = {
     val r0 = direction match {
-      case Direction.Out  => g.rels.select(col("id"), col("src"), col("dst"), col("type"))
-      case Direction.In   => g.rels.select(col("id"), col("dst").as("src"), col("src").as("dst"), col("type"))
-      case Direction.Both => g.undirectedRels.select(col("id"), col("src"), col("dst"), col("type"))
+      case Direction.Out  => g.topology
+      case Direction.In   => g.topology.select(col("id"), col("dst").as("src"), col("src").as("dst"), col("type"))
+      case Direction.Both => g.undirectedTopo
     }
     val filtered = if (relTypes.isEmpty) r0 else r0.filter(col("type").isin(relTypes: _*))
     trail(filtered.select("id", "src", "dst"), input, fromCol, min, max)

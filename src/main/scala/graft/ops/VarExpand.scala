@@ -46,9 +46,11 @@ object VarExpand {
     // per-step predicate over raw rel columns (e.g. the inline property map
     // of `[r:T*1..3 {k: v}]` — every traversed rel must match) is applied
     // BEFORE orientation drops property columns
+    // no per-step property predicate → the warm compact topology suffices;
+    // with one, raw rels keep the property columns the filter reads
     val base = direction match {
-      case Direction.Both => g.undirectedRels
-      case _              => g.rels
+      case Direction.Both => if (edgeFilter.isEmpty) g.undirectedTopo else g.undirectedRels
+      case _              => if (edgeFilter.isEmpty) g.topology else g.rels
     }
     val pre = edgeFilter.fold(base)(base.filter)
     val r0 = direction match {
