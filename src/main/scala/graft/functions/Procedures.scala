@@ -331,6 +331,68 @@ object Procedures {
     * cosine top-k (reference VectorIndexProcedures.java:144). Index names
     * come from `CREATE VECTOR INDEX … FOR (n:Label) ON (n.prop)` and scope
     * the scan to the indexed label. */
+  /** graft.centrality.closeness(sourceIds[, relTypes[, direction[,
+    * maxDepth]]]) — closeness + harmonic centrality from the given pivot
+    * nodes (empty list = every node: exact, O(|V|·|E|) — pass pivots at
+    * scale). YIELDs (node, reached, closeness, harmonic). */
+  register("graft.centrality.closeness", (spark, g, args) => {
+    import spark.implicits._
+    val srcs = args(0) match {
+      case xs: Seq[_] => xs.map { case n: Number => n.longValue }
+      case n: Number  => Seq(n.longValue)
+      case other => throw new IllegalArgumentException(
+        s"expected source node id(s), got $other")
+    }
+    val edges = orientedEdges(g, relTypesArg(args.lift(1)),
+      args.lift(2).map(_.toString.toUpperCase).getOrElse("OUT"))
+    val maxDepth = args.lift(3).collect { case n: Number => n.intValue }
+      .getOrElse(15)
+    val sources = if (srcs.nonEmpty) srcs.toDF("source")
+      else g.nodes.select(col("id").as("source"))
+    graft.ops.Centrality.closenessHarmonic(edges, sources, maxDepth)
+  })
+
+  /** graft.centrality.betweenness(sourceIds[, relTypes[, direction[,
+    * maxDepth]]]) — Brandes betweenness; empty source list = exact (all
+    * nodes), otherwise the pivot-sampled estimate (scale by
+    * |V|/|pivots| downstream). YIELDs (node, betweenness). */
+  register("graft.centrality.betweenness", (spark, g, args) => {
+    import spark.implicits._
+    val srcs = args(0) match {
+      case xs: Seq[_] => xs.map { case n: Number => n.longValue }
+      case n: Number  => Seq(n.longValue)
+      case other => throw new IllegalArgumentException(
+        s"expected source node id(s), got $other")
+    }
+    val edges = orientedEdges(g, relTypesArg(args.lift(1)),
+      args.lift(2).map(_.toString.toUpperCase).getOrElse("OUT"))
+    val maxDepth = args.lift(3).collect { case n: Number => n.intValue }
+      .getOrElse(15)
+    val sources = if (srcs.nonEmpty) srcs.toDF("source")
+      else g.nodes.select(col("id").as("source"))
+    graft.ops.Centrality.betweenness(edges, sources, maxDepth)
+  })
+
+  /** graft.kcore(k[, relTypes]) — members of the k-core of the
+    * undirected graph. YIELDs (node). */
+  register("graft.kcore", (spark, g, args) => {
+    val k = args(0) match { case n: Number => n.intValue }
+    val edges = orientedEdges(g, relTypesArg(args.lift(1)), "OUT")
+    graft.ops.Centrality.kCore(edges, k)
+  })
+
+  /** graft.nodesimilarity(topK[, relTypes[, direction[, fanoutCap]]]) —
+    * Jaccard node similarity over out-neighborhoods, top-k pairs per
+    * node. YIELDs (n1, n2, similarity, rank). */
+  register("graft.nodesimilarity", (spark, g, args) => {
+    val k = args(0) match { case n: Number => n.intValue }
+    val edges = orientedEdges(g, relTypesArg(args.lift(1)),
+      args.lift(2).map(_.toString.toUpperCase).getOrElse("OUT"))
+    val cap = args.lift(3).collect { case n: Number => n.intValue }
+      .getOrElse(100000)
+    graft.ops.Centrality.nodeSimilarity(edges, k, cap)
+  })
+
   register("db.index.vector.querynodes", (spark, g, args) => {
     val Seq(arg: String, k: Number, qvec: Seq[_]) = args.take(3)
     import spark.implicits._

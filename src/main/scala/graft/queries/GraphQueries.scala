@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.graph.{Direction, TpchGraph}
-import graft.ops.{Bfs, Expand, Ranking, Trail, Triadic, VarExpand}
+import graft.ops.{Bfs, Centrality, Expand, Ranking, Trail, Triadic, VarExpand}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -343,6 +343,163 @@ object GraphQueries {
              |  UNION ALL SELECT 'Order', l_orderkey FROM lineitem
              |  UNION ALL SELECT 'Supplier', l_suppkey FROM lineitem)
              |SELECT label, count(*) AS total_degree, count(DISTINCT k) AS n_nodes
-             |FROM endp GROUP BY label""".stripMargin))
+             |FROM endp GROUP BY label""".stripMargin)),
+
+    // Closeness + harmonic centrality (Centrality.closenessHarmonic,
+    // reference community/graph-algo closeness; harmonic per Boldi &
+    // Vigna 2014) on a directed 25-node ring with +3 chords — strongly
+    // connected, diameter 9, nontrivial distance spectrum. The oracle
+    // recomputes every pairwise distance by recursive-CTE walk
+    // enumeration — an independent single-node formulation.
+    QueryDef("q_closeness",
+      (s, d) => {
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("k"))
+        val edges = n.select(col("k").as("src"), ((col("k") + 1) % 25).as("dst"))
+          .unionByName(n.select(col("k").as("src"), ((col("k") + 3) % 25).as("dst")))
+        Centrality.closenessHarmonic(edges, n.select(col("k").as("source")),
+          maxDepth = 12)
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+             |    CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
+             |  UNION ALL
+             |  SELECT CAST(n_nationkey AS BIGINT),
+             |    CAST((n_nationkey + 3) % 25 AS BIGINT) FROM nation),
+             |walks AS (
+             |  SELECT src AS s, dst AS t, [src, dst] AS path, 1 AS len FROM e
+             |  UNION ALL
+             |  SELECT w.s, e.dst, list_append(w.path, e.dst), w.len + 1
+             |  FROM walks w JOIN e ON e.src = w.t
+             |  WHERE w.len < 10 AND NOT list_contains(w.path, e.dst)),
+             |sp AS (SELECT s, t, min(len) AS m FROM walks WHERE s <> t
+             |  GROUP BY s, t)
+             |SELECT s AS node, count(*) AS reached,
+             |  round(count(*) / CAST(sum(m) AS DOUBLE), 4) AS closeness,
+             |  round(sum(1 / CAST(m AS DOUBLE)), 4) AS harmonic
+             |FROM sp GROUP BY s""".stripMargin)),
+
+    // Betweenness centrality — Brandes forward-σ/backward-δ frontier form
+    // (Centrality.betweenness) on the same ring+chord graph, exact (all
+    // 25 sources). The oracle enumerates ALL shortest paths per pair by
+    // recursive CTE and counts interior-node pass-throughs weighted by
+    // 1/σ(s,t) — the textbook definition, computed a completely
+    // different way.
+    QueryDef("q_betweenness",
+      (s, d) => {
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("k"))
+        val edges = n.select(col("k").as("src"), ((col("k") + 1) % 25).as("dst"))
+          .unionByName(n.select(col("k").as("src"), ((col("k") + 3) % 25).as("dst")))
+        Centrality.betweenness(edges, n.select(col("k").as("source")),
+          maxDepth = 12)
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+             |    CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
+             |  UNION ALL
+             |  SELECT CAST(n_nationkey AS BIGINT),
+             |    CAST((n_nationkey + 3) % 25 AS BIGINT) FROM nation),
+             |walks AS (
+             |  SELECT src AS s, dst AS t, [src, dst] AS path, 1 AS len FROM e
+             |  UNION ALL
+             |  SELECT w.s, e.dst, list_append(w.path, e.dst), w.len + 1
+             |  FROM walks w JOIN e ON e.src = w.t
+             |  WHERE w.len < 10 AND NOT list_contains(w.path, e.dst)),
+             |sp AS (SELECT s, t, min(len) AS m FROM walks WHERE s <> t
+             |  GROUP BY s, t),
+             |shortest AS (SELECT w.s, w.t, w.path FROM walks w
+             |  JOIN sp ON sp.s = w.s AND sp.t = w.t AND w.len = sp.m),
+             |sigma AS (SELECT s, t, count(*) AS c FROM shortest GROUP BY s, t),
+             |thru AS (SELECT sh.s, sh.t, u.v AS v, count(*) AS cv
+             |  FROM shortest sh, unnest(sh.path[2:-2]) AS u(v)
+             |  GROUP BY sh.s, sh.t, u.v)
+             |SELECT v AS node,
+             |  round(sum(CAST(cv AS DOUBLE) / sigma.c), 4) AS betweenness
+             |FROM thru JOIN sigma USING (s, t)
+             |GROUP BY v HAVING sum(CAST(cv AS DOUBLE) / sigma.c) > 0""".stripMargin)),
+
+    // k-core by iterative peeling (Centrality.kCore): a nation ring (all
+    // degree ≥ 2), a 10-customer path that must peel inward over 5 rounds,
+    // and a 3-customer triangle that survives. The oracle unrolls seven
+    // peel rounds in chained CTEs — enough for this fixture's fixpoint.
+    QueryDef("q_kcore",
+      (s, d) => {
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("k"))
+        val c = t(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("k"))
+        val ring = n.select(col("k").as("src"), ((col("k") + 1) % 25).as("dst"))
+        val path = c.filter(col("k").between(1, 9))
+          .select((col("k") + 100).as("src"), (col("k") + 101).as("dst"))
+        val tri = c.filter(col("k").between(1, 3)).as("a")
+          .join(c.filter(col("k").between(1, 3)).as("b"),
+            col("a.k") < col("b.k"))
+          .select((col("a.k") + 200).as("src"), (col("b.k") + 200).as("dst"))
+        Centrality.kCore(ring.unionByName(path).unionByName(tri), k = 2)
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+             |    CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
+             |  UNION ALL
+             |  SELECT CAST(c_custkey + 100 AS BIGINT),
+             |    CAST(c_custkey + 101 AS BIGINT) FROM customer
+             |  WHERE c_custkey BETWEEN 1 AND 9
+             |  UNION ALL
+             |  SELECT CAST(a.c_custkey + 200 AS BIGINT),
+             |    CAST(b.c_custkey + 200 AS BIGINT)
+             |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+             |  WHERE a.c_custkey BETWEEN 1 AND 3 AND b.c_custkey BETWEEN 1 AND 3),
+             |e0 AS (SELECT src, dst FROM base
+             |  UNION SELECT dst, src FROM base),
+             |n1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 2),
+             |e1 AS (SELECT e0.src, e0.dst FROM e0
+             |  WHERE src IN (SELECT src FROM n1) AND dst IN (SELECT src FROM n1)),
+             |n2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 2),
+             |e2 AS (SELECT e1.src, e1.dst FROM e1
+             |  WHERE src IN (SELECT src FROM n2) AND dst IN (SELECT src FROM n2)),
+             |n3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 2),
+             |e3 AS (SELECT e2.src, e2.dst FROM e2
+             |  WHERE src IN (SELECT src FROM n3) AND dst IN (SELECT src FROM n3)),
+             |n4 AS (SELECT src FROM e3 GROUP BY src HAVING count(*) >= 2),
+             |e4 AS (SELECT e3.src, e3.dst FROM e3
+             |  WHERE src IN (SELECT src FROM n4) AND dst IN (SELECT src FROM n4)),
+             |n5 AS (SELECT src FROM e4 GROUP BY src HAVING count(*) >= 2),
+             |e5 AS (SELECT e4.src, e4.dst FROM e4
+             |  WHERE src IN (SELECT src FROM n5) AND dst IN (SELECT src FROM n5)),
+             |n6 AS (SELECT src FROM e5 GROUP BY src HAVING count(*) >= 2),
+             |e6 AS (SELECT e5.src, e5.dst FROM e5
+             |  WHERE src IN (SELECT src FROM n6) AND dst IN (SELECT src FROM n6)),
+             |n7 AS (SELECT src FROM e6 GROUP BY src HAVING count(*) >= 2),
+             |e7 AS (SELECT e6.src, e6.dst FROM e6
+             |  WHERE src IN (SELECT src FROM n7) AND dst IN (SELECT src FROM n7))
+             |SELECT DISTINCT src AS node FROM e7""".stripMargin)),
+
+    // Node similarity (gds.nodeSimilarity shape): Jaccard over supplier
+    // out-neighborhoods in the supplier→part bipartite graph from
+    // lineitem, top-5 pairs per supplier, ties by partner id. Candidate
+    // pairs come from the shared-neighbor self-join; the fanout cap that
+    // bounds hub cost at scale is left at its default (no part's supplier
+    // fanout approaches it here, so the result is exact).
+    QueryDef("q_node_similarity",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val edges = li.select(col("l_suppkey").cast("long").as("src"),
+          col("l_partkey").cast("long").as("dst"))
+        Centrality.nodeSimilarity(edges, topK = 5)
+      },
+      Some("""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+             |    CAST(l_partkey AS BIGINT) AS dst FROM lineitem),
+             |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+             |inter AS (SELECT a.src AS n1, b.src AS n2, count(*) AS i
+             |  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+             |  GROUP BY a.src, b.src),
+             |sim AS (SELECT n1, n2,
+             |    round(CAST(i AS DOUBLE) / (d1.d + d2.d - i), 4) AS similarity
+             |  FROM inter JOIN deg d1 ON d1.src = n1 JOIN deg d2 ON d2.src = n2)
+             |SELECT n1, n2, similarity, CAST(rank AS INT) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY n1
+             |    ORDER BY similarity DESC, n2 ASC) AS rank FROM sim)
+             |WHERE rank <= 5""".stripMargin))
   )
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.Centrality
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Centrality / node-similarity semantics on hand-checkable fixtures —
+  * deliberately ASYMMETRIC graphs (the oracle query q_betweenness runs on
+  * a vertex-transitive ring where every node scores the same; these pin
+  * the per-node values). */
+class CentralitySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  test("betweenness on a directed path counts interior pass-throughs") {
+    import spark.implicits._
+    // 1→2→3→4: through 2 pass (1,3),(1,4); through 3 pass (1,4),(2,4)
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val r = Centrality.betweenness(e, Seq(1L, 2L, 3L, 4L).toDF("source"), 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(2L -> 2.0, 3L -> 2.0))
+  }
+
+  test("betweenness splits dependency across equal shortest paths") {
+    import spark.implicits._
+    // diamond 1→{2,3}→4: σ(1,4)=2, δ shares 0.5/0.5
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L)
+    val r = Centrality.betweenness(e, Seq(1L, 2L, 3L, 4L).toDF("source"), 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(2L -> 0.5, 3L -> 0.5))
+  }
+
+  test("closeness and harmonic on a directed path") {
+    import spark.implicits._
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val r = Centrality.closenessHarmonic(e, Seq(1L, 3L).toDF("source"), 10)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getDouble(2), x.getDouble(3))))
+      .toMap
+    // from 1: dists 1,2,3 → closeness 3/6, harmonic 1+1/2+1/3
+    assert(r(1L) == ((3L, 0.5, 1.8333)))
+    // from 3: dist 1 → closeness 1, harmonic 1
+    assert(r(3L) == ((1L, 1.0, 1.0)))
+  }
+
+  test("kCore peels a tail and keeps the triangle") {
+    // triangle {1,2,3} + tail 3-4-5: 2-core = triangle only, and the tail
+    // must peel over two rounds (5 first, then 4)
+    val e = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L)
+    val r = Centrality.kCore(e, 2).collect().map(_.getLong(0)).toSet
+    assert(r == Set(1L, 2L, 3L))
+    assert(Centrality.kCore(e, 3).count() == 0)
+  }
+
+  test("nodeSimilarity computes exact Jaccard with deterministic ranks") {
+    // N(1)={10,11,12}, N(2)={10,11,13}, N(3)={12}
+    val e = edges(1L -> 10L, 1L -> 11L, 1L -> 12L,
+      2L -> 10L, 2L -> 11L, 2L -> 13L, 3L -> 12L)
+    val r = Centrality.nodeSimilarity(e, topK = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r == Map((1L, 2L) -> 0.5, (1L, 3L) -> 0.3333))
+  }
+
+  test("nodeSimilarity fanout cap drops hub-generated pairs but keeps exact degrees") {
+    // shared neighbor 99 has fanout 3 > cap 2 → no pairs generated via it
+    val e = edges(1L -> 99L, 2L -> 99L, 3L -> 99L, 1L -> 10L, 2L -> 10L)
+    val r = Centrality.nodeSimilarity(e, topK = 5, fanoutCap = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    // only pair (1,2) via neighbor 10; degrees still count 99: 1/(2+2-1)
+    assert(r == Map((1L, 2L) -> 0.3333))
+  }
+}

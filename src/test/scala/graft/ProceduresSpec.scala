@@ -123,6 +123,29 @@ class ProceduresSpec extends AnyFunSuite {
     assert(both.map(_.getAs[Long]("targetNode")).toSet == Set(0L, 1L, 2L))
   }
 
+  test("centrality procedures dispatch through CALL with typed args") {
+    // star: center 0 → ring 1..4; betweenness 0 from all sources, and
+    // closeness from the center only
+    val g = GraphFixtures.starGraph(spark, 4)
+    val bt = Procedures.call(spark, g, "graft.centrality.betweenness",
+      Seq.empty[Long]).collect()
+    assert(bt.isEmpty) // star center is source/target only, never interior
+    val cl = Procedures.call(spark, g, "graft.centrality.closeness",
+      Seq(Long.box(0L))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cl == Seq((0L, 4L, 1.0))) // four dist-1 neighbors
+    val core = Procedures.call(spark, g, "graft.kcore", Int.box(1))
+      .collect().map(_.getLong(0)).toSet
+    assert(core == Set(0L, 1L, 2L, 3L, 4L))
+    assert(Procedures.call(spark, g, "graft.kcore", Int.box(2)).count() == 0)
+    val sim = Procedures.call(spark, g, "graft.nodesimilarity",
+      Int.box(3), Seq("T"), "IN").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // ring nodes all point at... star has center→ring only; IN orientation
+    // gives ring→center edges, so every ring pair shares {center}: J=1
+    assert(sim.size == 6 && sim.values.forall(_ == 1.0))
+  }
+
   test("user procedures register and dispatch") {
     Procedures.register("my.top_degree", (s, g, args) => {
       val k = args.head.asInstanceOf[Int]
