@@ -146,8 +146,12 @@ object Dedup {
     * @return (id, canonical, keep) for EVERY input doc */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
       shingleSize: Int = 3): DataFrame = {
+    // materialize the pair list ONCE: connectedComponents runs two actions
+    // (small-graph probe + union-find collect, or per-round fingerprints),
+    // and each would otherwise re-execute the whole LSH+verify pipeline
     val pairs = minhashDedup(docs, threshold, shingleSize)
       .select(col("idA").as("src"), col("idB").as("dst"))
+      .localCheckpoint(false)
     val comp = graft.ops.Bfs.connectedComponents(pairs)
     docs.select(col("id"))
       .join(comp.withColumnRenamed("node", "id"), Seq("id"), "left_outer")
