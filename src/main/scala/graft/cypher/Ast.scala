@@ -180,7 +180,8 @@ object Ast {
       inTransactionsOf: Option[Long] = None,
       optional: Boolean = false,
       onError: String = "fail",
-      statusVar: Option[String] = None) extends Clause {
+      statusVar: Option[String] = None,
+      concurrent: Boolean = false) extends Clause {
     /** Single-part body (the common case; unions reject where unsupported). */
     def inner: SingleQuery = {
       require(innerQ.parts.size == 1,

@@ -627,18 +627,25 @@ object CypherParser extends RegexParsers {
   private def schemaClause: Parser[Clause] =
     createConstraintClause | createIndexClause | dropSchemaClause | showSchemaClause
 
+  /** `IN [k] CONCURRENT TRANSACTIONS`: k is a scheduler hint in the
+    * reference (worker-pool width) — parsed and validated, not needed
+    * here: Spark's parallelism lives inside each distributed batch job. */
   private def callSubquery: Parser[Clause] =
     opt(K("OPTIONAL")) ~ (K("CALL") ~> "{" ~> query <~ "}") ~
-      opt(K("IN") ~> K("TRANSACTIONS") ~>
-        opt(K("OF") ~> """\d+""".r <~ K("ROWS")) ~
-        opt(K("ON") ~> K("ERROR") ~> (K("CONTINUE") ^^ (_ => "continue") |
-          K("BREAK") ^^ (_ => "break") | K("FAIL") ^^ (_ => "fail"))) ~
-        opt(K("REPORT") ~> K("STATUS") ~> K("AS") ~> ident)) ^^ {
+      opt(K("IN") ~> opt("""\d+""".r) ~ opt(K("CONCURRENT")) ~
+        (K("TRANSACTIONS") ~>
+          opt(K("OF") ~> """\d+""".r <~ K("ROWS")) ~
+          opt(K("ON") ~> K("ERROR") ~> (K("CONTINUE") ^^ (_ => "continue") |
+            K("BREAK") ^^ (_ => "break") | K("FAIL") ^^ (_ => "fail"))) ~
+          opt(K("REPORT") ~> K("STATUS") ~> K("AS") ~> ident))) ^^ {
       case o ~ q ~ None => CallSubquery(q, optional = o.isDefined)
-      case o ~ q ~ Some(size ~ onErr ~ status) => // reference default: 1000 rows
+      case o ~ q ~ Some(conc ~ isConc ~ (size ~ onErr ~ status)) =>
+        require(conc.isEmpty || isConc.isDefined,
+          "a transaction concurrency needs the CONCURRENT keyword: " +
+            "IN <n> CONCURRENT TRANSACTIONS") // reference default: 1000 rows
         CallSubquery(q, Some(size.map(_.toLong).getOrElse(1000L)),
           optional = o.isDefined, onError = onErr.getOrElse("fail"),
-          statusVar = status)
+          statusVar = status, concurrent = isConc.isDefined)
     }
 
   private def callClause: Parser[Clause] =

@@ -2275,6 +2275,20 @@ object Planner {
         ctx.g = Planner.commitChanged(preBatch, ctx.g, ctx.txCommit)
       out
     }
+    // CONCURRENT TRANSACTIONS (reference runs batches on a worker pool,
+    // each reading the snapshot it started from — no batch sees a sibling's
+    // writes). Spark-first translation: every batch reads the SAME
+    // pre-statement snapshot, so the union of their inputs is ONE
+    // set-based distributed job with a single commit — the parallelism the
+    // reference buys with its pool is already inside the job, and the
+    // commit count drops from ⌈rows/n⌉ to 1. ON ERROR CONTINUE/BREAK and
+    // REPORT STATUS need per-batch error isolation, so they keep the
+    // sequential loop below.
+    if (cs.concurrent && cs.onError == "fail" && cs.statusVar.isEmpty) {
+      val out = runBatch(numbered.drop(rowId), commit = true)
+      return if (hasReturn) Env(Some(out.get), binds ++ resultBinds) else env
+    }
+
     // per-batch status rows for ON ERROR / REPORT STATUS (reference
     // TransactionApply's statusses): a failed batch ROLLS BACK — snapshots
     // are immutable, so rollback is restoring the pre-batch pointer

@@ -702,6 +702,24 @@ object CypherQueries {
       Some("""SELECT DISTINCT c_mktsegment AS segment FROM customer
              |WHERE c_custkey <= 200 ORDER BY segment""".stripMargin)),
 
+    // CALL {} IN k CONCURRENT TRANSACTIONS (Cypher 5 concurrent batch
+    // form): every batch reads the pre-statement snapshot (no batch sees a
+    // sibling's writes), which on Spark collapses to one set-based job
+    // with a single commit. Same final graph as the sequential form for
+    // the conflict-free body, ~n× fewer commits.
+    QueryDef("q_cypher_tx_concurrent",
+      (s, d) => {
+        val (g2, _) = Cypher.execute(s, TpchGraph.load(s, d),
+          """MATCH (c:Customer) WHERE c.key <= 300
+            |CALL { WITH c
+            |  MERGE (seg:Segment {name: c.mktsegment})
+            |} IN 4 CONCURRENT TRANSACTIONS OF 50 ROWS""".stripMargin)
+        Cypher.run(s, g2,
+          "MATCH (seg:Segment) RETURN seg.name AS segment ORDER BY segment")
+      },
+      Some("""SELECT DISTINCT c_mktsegment AS segment FROM customer
+             |WHERE c_custkey <= 300 ORDER BY segment""".stripMargin)),
+
     // CALL {} IN TRANSACTIONS with an inner RETURN (TransactionApply, not
     // Foreach — reference LogicalPlan.scala:4039): per-batch RETURN rows
     // union into the statement result, batched-upsert-then-report.

@@ -161,6 +161,31 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(logs.toSeq == Seq("Alice", "Bob", "Carol"))
   }
 
+  test("IN CONCURRENT TRANSACTIONS commits once; batches share the start snapshot") {
+    var commits = 0
+    val (g2, rows) = Cypher.execute(spark, freshGraph,
+      """MATCH (p:Person)
+        |CALL { WITH p
+        |  CREATE (l:Log {who: p.name})
+        |  RETURN l.who AS who
+        |} IN 2 CONCURRENT TRANSACTIONS OF 1 ROWS
+        |RETURN who ORDER BY who""".stripMargin,
+      txCommit = { g => commits += 1
+        graft.graph.PropertyGraph(g.nodes.localCheckpoint(), g.rels.localCheckpoint()) })
+    assert(commits == 1, s"concurrent batches must merge into one commit, got $commits")
+    assert(rows.get.collect().map(_.getString(0)).toSeq ==
+      Seq("Alice", "Bob", "Carol"))
+    assert(g2.nodes.filter(array_contains(col("labels"), "Log")).count() == 3)
+  }
+
+  test("a concurrency number without CONCURRENT is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Cypher.execute(spark, freshGraph,
+        "MATCH (p:Person) CALL { WITH p CREATE (:X) } IN 4 TRANSACTIONS")
+    }
+    assert(e.getMessage.contains("CONCURRENT"))
+  }
+
   test("IN TRANSACTIONS ON ERROR CONTINUE rolls back the failed batch and reports status") {
     // batch with x=0 fails (ANSI divide-by-zero inside the CREATE); its
     // writes roll back, other batches commit, status reports per row
