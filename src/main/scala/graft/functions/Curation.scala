@@ -209,6 +209,50 @@ object Curation {
   }
 
   /**
+   * Deterministic global shuffle + shard assignment — the training-shard
+   * writer's layout step: order rows by a seedless pseudo-random key
+   * (md5 of salt:id — reproducible across engines, runs, and cluster
+   * sizes; a new salt is a fresh epoch permutation) and deal them into
+   * `numShards` shards round-robin, so shard sizes differ by at most one
+   * and each shard is itself in key order (a reader streaming one shard
+   * sees an unbiased sample of the corpus).
+   *
+   * Scale shape: the global rank is the same two-phase scan as
+   * [[assignPacks]] — range-repartition by key, per-partition window
+   * rank, per-partition base offsets (one bounded row per partition)
+   * broadcast back. No single-partition window, no driver iteration.
+   *
+   * @return (idCol, shard LONG 0..numShards-1, pos LONG position within
+   *         the shard)
+   */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+      salt: String): DataFrame = {
+    require(numShards >= 1, s"numShards must be positive: $numShards")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .withColumn("__key", md5(concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))))
+      .repartitionByRange(parts, col("__key"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val perPart = ranged.groupBy("__pid")
+      .agg(count(lit(1)).as("__pn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = perPart.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c) }.init
+      .zip(perPart).map { case ((_, base), (pid, _)) => (pid, base) }
+    import spark.implicits._
+    val baseDf = broadcast(bases.toSeq.toDF("__pid", "__base"))
+    val w = Window.partitionBy("__pid").orderBy(col("__key"), col(idCol))
+    ranged.join(baseDf, "__pid")
+      .withColumn("__rank",
+        row_number().over(w).cast("long") - 1L + col("__base"))
+      .select(col(idCol), (col("__rank") % numShards).as("shard"),
+        floor(col("__rank") / numShards).as("pos"))
+  }
+
+  /**
    * Sequence packing (concat-and-chunk): lay documents end to end in id
    * order and cut the stream into fixed token-budget packs — the standard
    * pretraining shard layout. Each doc gets its global token offset, its

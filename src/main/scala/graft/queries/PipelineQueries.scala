@@ -541,6 +541,19 @@ object PipelineQueries {
              |    ELSE (1.0 - 0.8) / (unl / total) END, 4) AS weight
              |FROM agg, tot""".stripMargin)),
 
+    // Deterministic epoch shuffle + round-robin shard assignment: global
+    // rank in md5('epoch0:'||id) order via the two-phase distributed
+    // scan; shard = rank % 8, pos = rank / 8. The oracle's single-node
+    // window rank must agree exactly with the range-partitioned form.
+    QueryDef("q_shard_assign",
+      (s, d) => graft.functions.Curation.shuffleShards(
+        docs(s, d).select(col("id")), "id", numShards = 8, salt = "epoch0"),
+      Some("""SELECT doc_id AS id, rnk % 8 AS shard, rnk // 8 AS pos
+             |FROM (SELECT doc_id, CAST(row_number() OVER (
+             |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |    AS BIGINT) - 1 AS rnk
+             |  FROM documents)""".stripMargin)),
+
     // Sequence packing (concat-and-chunk, 512-token packs): global token
     // offset per doc in id order via the two-phase distributed prefix sum,
     // then pack id + straddle count. The oracle's single-node window

@@ -129,4 +129,28 @@ class CurationSpec extends AnyFunSuite {
     // residual 0.2 over unlisted share 0.25 -> uniform scale 0.8
     assert(got("de") == (0.125, 0.8) && got("es") == (0.125, 0.8))
   }
+
+  test("shuffleShards: round-robin balance, dense per-shard positions, fresh epoch per salt") {
+    import spark.implicits._
+    val ids = (1L to 103L).toDF("id")
+    val r = graft.functions.Curation.shuffleShards(ids, "id", 8, "epoch0")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // round-robin: shard sizes differ by at most one
+    val sizes = r.groupBy(_._2).view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1 && r.length == 103)
+    // positions are dense 0..size-1 within each shard
+    r.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // a different salt is a different permutation (some doc moves shards)
+    val r2 = graft.functions.Curation.shuffleShards(ids, "id", 8, "epoch1")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val m = r.map(x => x._1 -> x._2).toMap
+    assert((1L to 103L).exists(i => m(i) != r2(i)))
+    // and the same salt replays identically
+    val r3 = graft.functions.Curation.shuffleShards(
+      ids.repartition(7), "id", 8, "epoch0")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.forall { case (i, s, p) => r3(i) == ((s, p)) })
+  }
 }
