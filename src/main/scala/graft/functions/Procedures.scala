@@ -381,6 +381,18 @@ object Procedures {
     graft.ops.Centrality.kCore(edges, k)
   })
 
+  /** graft.hyperball(maxT[, relTypes[, direction[, log2m]]]) — HyperBall
+    * approximate neighborhood function N(t) (Boldi & Vigna 2013).
+    * YIELDs (t, nf). */
+  register("graft.hyperball", (spark, g, args) => {
+    val maxT = args(0) match { case n: Number => n.intValue }
+    val edges = orientedEdges(g, relTypesArg(args.lift(1)),
+      args.lift(2).map(_.toString.toUpperCase).getOrElse("OUT"))
+    val log2m = args.lift(3).collect { case n: Number => n.intValue }
+      .getOrElse(8)
+    graft.ops.Centrality.hyperBall(edges, maxT, log2m)
+  })
+
   /** graft.nodesimilarity(topK[, relTypes[, direction[, fanoutCap]]]) —
     * Jaccard node similarity over out-neighborhoods, top-k pairs per
     * node. YIELDs (n1, n2, similarity, rank). */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -167,6 +167,95 @@ object Centrality {
     }
     require(stable, s"kCore did not converge in $maxIter peels")
     e.select(col("src").as("node")).distinct()
+  }
+
+  /**
+   * HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
+   * Centralities with HyperBall", 2013): the approximate neighborhood
+   * function N(t) = Σ_v |{w : d(v,w) ≤ t}| via per-node HyperLogLog
+   * counters max-merged along edges each round — THE way to compute
+   * distance statistics (effective diameter, average distance) on graphs
+   * where exact all-pairs BFS is hopeless. State is |V| fixed-size
+   * register arrays (m = 2^log2m ints); a round is one join + one
+   * grouped merge, both hash-partitioned on node id; the only driver
+   * value per round is one double (that round's estimate).
+   *
+   * Registers use the standard HLL split of one 64-bit hash: low log2m
+   * bits pick the register, ρ = trailing-zero count of the high bits + 1.
+   * Estimation is the HLL-with-linear-counting form (αm·m²/Σ2^-reg;
+   * |zeros| linear counting below 2.5m). Everything — init, merge,
+   * estimate — is codegen'd higher-order array functions; no UDF.
+   *
+   * @param edges (src, dst) — balls grow along OUT-edges
+   * @return (t INT, nf DOUBLE): estimated N(t) for t = 0..convergence
+   *         (N stops growing) or maxT, whichever first
+   */
+  def hyperBall(edges: DataFrame, maxT: Int, log2m: Int = 8): DataFrame = {
+    require(log2m >= 4 && log2m <= 12, s"log2m out of range: $log2m")
+    val m = 1 << log2m
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    // one 64-bit hash per node: low bits index the register, the ρ of the
+    // high bits is the register value. ρ via the isolate-lowest-set-bit
+    // trick (h & -h is a power of two, so log2 of it is exact)
+    val h = xxhash64(col("node"), lit("hyperball"))
+    val hi = shiftrightunsigned(h, log2m)
+    val rho = when(hi === 0, lit(64 - log2m + 1)).otherwise(
+      (log2(hi.bitwiseAND(-hi).cast("double")) + 1).cast("int"))
+    val idx = pmod(h, lit(m.toLong)).cast("int")
+    var counters = nodes
+      .withColumn("__c", transform(sequence(lit(0), lit(m - 1)),
+        i => when(i === idx, rho).otherwise(lit(0))))
+      .localCheckpoint(false)
+    // HLL estimate of one counter array, codegen'd HOFs end to end
+    def estimate(c: Column): Column = {
+      val invSum = aggregate(c, lit(0.0),
+        (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
+      val zeros = size(filter(c, r => r === 0)).cast("double")
+      val raw = lit(alpha * m * m) / invSum
+      when(raw <= 2.5 * m && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
+    }
+    def total(c: DataFrame): Double =
+      c.agg(sum(estimate(col("__c")))).first().getDouble(0)
+    val curve = Seq.newBuilder[(Int, Double)]
+    var prev = total(counters) // materializes the round's checkpoint
+    curve += ((0, prev))
+    var t = 0
+    var grown = true
+    while (grown && t < maxT) {
+      t += 1
+      // ball(v) ∪= ball(u) for v→u: pull each successor's counter to its
+      // predecessors, max-merge per node. collect_list is bounded by
+      // out-degree × m ints — cap hub degrees upstream if needed.
+      val pulled = e.join(counters.withColumnRenamed("node", "dst")
+          .withColumnRenamed("__c", "__cn"), Seq("dst"))
+        .select(col("src").as("node"), col("__cn"))
+      val merged = counters.unionByName(
+          pulled.withColumnRenamed("__cn", "__c"))
+        .groupBy("node")
+        .agg(aggregate(collect_list(col("__c")),
+          transform(sequence(lit(0), lit(m - 1)), _ => lit(0)),
+          (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))).as("__c"))
+        .localCheckpoint(false)
+      val cur = total(merged)
+      counters = merged
+      // monotone by construction; strict growth below a relative epsilon
+      // means the balls stopped expanding (convergence = diameter reached)
+      grown = cur > prev * (1 + 1e-12)
+      if (grown) { curve += ((t, cur)); prev = cur }
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    curve.result().toDF("t", "nf")
   }
 
   /**

@@ -475,6 +475,21 @@ object GraphQueries {
              |  WHERE src IN (SELECT src FROM n7) AND dst IN (SELECT src FROM n7))
              |SELECT DISTINCT src AS node FROM e7""".stripMargin)),
 
+    // HyperBall neighborhood function (Boldi & Vigna 2013) on the same
+    // ring+chord graph: per-node HLL counters max-merged along edges, one
+    // double collected per round. Probabilistic — rows-only here; the
+    // CentralitySpec pins the curve against exact BFS within HLL error
+    // and convergence exactly at the diameter.
+    QueryDef("q_hyperball",
+      (s, d) => {
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("k"))
+        val edges = n.select(col("k").as("src"), ((col("k") + 1) % 25).as("dst"))
+          .unionByName(n.select(col("k").as("src"), ((col("k") + 3) % 25).as("dst")))
+        Centrality.hyperBall(edges, maxT = 15, log2m = 8)
+      },
+      None),
+
     // Node similarity (gds.nodeSimilarity shape): Jaccard over supplier
     // out-neighborhoods in the supplier→part bipartite graph from
     // lineitem, top-5 pairs per supplier, ties by partner id. Candidate

@@ -55,6 +55,30 @@ class CentralitySpec extends AnyFunSuite {
     assert(Centrality.kCore(e, 3).count() == 0)
   }
 
+  test("hyperBall tracks the exact neighborhood function within HLL error") {
+    import spark.implicits._
+    val ring = (0L until 25L)
+      .flatMap(i => Seq((i, (i + 1) % 25), (i, (i + 3) % 25)))
+      .toDF("src", "dst")
+    val exact = graft.ops.Bfs
+      .distances(ring, (0L until 25L).toDF("source"), 12)
+      .groupBy("dist").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exactNf = (0 to 9).map(t =>
+      t -> (0 to t).map(d => exact.getOrElse(d, 0L)).sum)
+    val hb = Centrality.hyperBall(ring, maxT = 15, log2m = 8)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // converges exactly at the diameter (9): N(9) = 625 = all pairs
+    assert(hb.keys.max == 9, s"expected convergence at t=9, got ${hb.keys.max}")
+    exactNf.foreach { case (t, nf) =>
+      assert(math.abs(hb(t) - nf) / nf < 0.12,
+        s"t=$t exact=$nf approx=${hb(t)}")
+    }
+    // monotone curve
+    val c = (0 to 9).map(hb)
+    assert(c == c.sorted)
+  }
+
   test("nodeSimilarity computes exact Jaccard with deterministic ranks") {
     // N(1)={10,11,12}, N(2)={10,11,13}, N(3)={12}
     val e = edges(1L -> 10L, 1L -> 11L, 1L -> 12L,
