@@ -381,6 +381,25 @@ object Procedures {
     graft.ops.Centrality.kCore(edges, k)
   })
 
+  /** graft.randomwalks(steps, walksPerNode[, relTypes[, direction]]) —
+    * deterministic hash-seeded walk corpus from every node (DeepWalk
+    * input layer). YIELDs (walk, step, node). */
+  register("graft.randomwalks", (spark, g, args) => {
+    val steps = args(0) match { case n: Number => n.intValue }
+    val per = args(1) match { case n: Number => n.intValue }
+    val edges = orientedEdges(g, relTypesArg(args.lift(2)),
+      args.lift(3).map(_.toString.toUpperCase).getOrElse("OUT"))
+    graft.ops.Walks.randomWalks(edges,
+      g.nodes.select(col("id").as("start")), steps, per)
+  })
+
+  /** graft.topologicallayers([relTypes]) — longest-path DAG layering;
+    * throws on cycles. YIELDs (node, layer). */
+  register("graft.topologicallayers", (spark, g, args) => {
+    val edges = orientedEdges(g, relTypesArg(args.lift(0)), "OUT")
+    graft.ops.Walks.topologicalLayers(edges)
+  })
+
   /** graft.hyperball(maxT[, relTypes[, direction[, log2m]]]) — HyperBall
     * approximate neighborhood function N(t) (Boldi & Vigna 2013).
     * YIELDs (t, nf). */

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Walk-based graph utilities: deterministic random-walk corpus generation
+ * (the DeepWalk/node2vec input layer — walks ARE the training data an
+ * embedding pipeline consumes) and DAG layering.
+ *
+ * Same scale rules as the rest of the ops package: per-step state is one
+ * row of ids per active walk, steps are join + aggregate pairs
+ * hash-partitioned on node id, frontiers lazily checkpointed.
+ */
+object Walks {
+
+  /**
+   * Deterministic "random" walks (DeepWalk, Perozzi et al. 2014; the
+   * corpus-generation step of every walk-based embedding pipeline). From
+   * every start node, `walksPerNode` walks of exactly `steps` hops; at
+   * each hop the walk at node v moves to the out-neighbor minimizing
+   * md5(salt:walkId:step:v:dst) — uniform per (walk, step), SEEDLESS:
+   * replayable bit-for-bit in any engine with md5 (the same trick as
+   * [[graft.functions.Curation.splitLabel]]), stable under partitioning,
+   * and fresh per walk id and per step. Walks at sink nodes (no
+   * out-neighbor) stop early.
+   *
+   * Scale shape: state is (walkId, node) per active walk; a hop is one
+   * join on the current node key plus a per-walk min — the argmin rides
+   * the same aggregate via struct-min, so a hop is ONE shuffle. Nothing
+   * accumulates driver-side; emitted rows stream into the result union.
+   *
+   * @param edges (src, dst)
+   * @param starts (start LONG) — distinct start nodes
+   * @return (walk LONG, step INT, node LONG): step 0 is the start node;
+   *         walk = startId * walksPerNode + j for j < walksPerNode
+   */
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+      walksPerNode: Int = 1, salt: String = "walk"): DataFrame = {
+    require(steps >= 1 && walksPerNode >= 1,
+      s"bad walk config: steps=$steps walksPerNode=$walksPerNode")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    var frontier = starts.select(col("start")).distinct()
+      .withColumn("__j", explode(sequence(lit(0), lit(walksPerNode - 1))))
+      .select((col("start") * walksPerNode + col("__j")).as("walk"),
+        col("start").as("node"))
+      .localCheckpoint(false)
+    val out = Seq.newBuilder[DataFrame]
+    out += frontier.withColumn("step", lit(0))
+    var i = 0
+    var active = frontier.count()
+    while (i < steps && active > 0) {
+      i += 1
+      val step = i
+      // argmin by hash: min over a (hash, dst) struct picks the
+      // lexicographically-first hash and carries its dst along — one
+      // aggregate, no window, no second join
+      val scored = frontier.join(e, frontier("node") === e("src"))
+        .select(col("walk"),
+          struct(md5(concat_ws(":", lit(salt), col("walk"), lit(step),
+            col("src"), col("dst"))).as("h"), col("dst")).as("__sc"))
+      frontier = scored.groupBy("walk")
+        .agg(min(col("__sc")).as("__m"))
+        .select(col("walk"), col("__m.dst").as("node"))
+        .localCheckpoint(false)
+      active = frontier.count()
+      if (active > 0) out += frontier.withColumn("step", lit(step))
+    }
+    out.result().reduce(_ unionByName _)
+      .select(col("walk"), col("step").cast("int").as("step"), col("node"))
+  }
+
+  /**
+   * Longest-path DAG layering (topological generations — the batch
+   * scheduler's view of a dependency graph): layer(v) = length of the
+   * longest path from any root to v. Bellman-Ford-style relaxation:
+   * layer'(w) = max(layer(w), 1 + max over v→w layer(v)) per round, to
+   * fixpoint — rounds = DAG depth, each one join + one grouped max.
+   * Throws on cycles (a cycle relaxes forever) instead of silently
+   * returning wrong layers — the cycle-detection contract of every
+   * topological sort.
+   *
+   * @param edges (src, dst) — must be a DAG
+   * @return (node, layer INT); roots (no incoming edge) are layer 0
+   */
+  def topologicalLayers(edges: DataFrame, maxDepth: Int = 1000): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var layers = nodes.withColumn("layer", lit(0))
+      .localCheckpoint(false)
+    var changed = Long.MaxValue
+    var i = 0
+    while (changed > 0 && i < maxDepth) {
+      i += 1
+      val relaxed = e.join(layers.withColumnRenamed("node", "src")
+          .withColumnRenamed("layer", "__ls"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg((max(col("__ls")) + 1).as("__cand"))
+      val next = layers.join(relaxed, Seq("node"), "left_outer")
+        .select(col("node"),
+          greatest(col("layer"), coalesce(col("__cand"), lit(0))).as("layer"))
+        .localCheckpoint(false)
+      // one action materializes the round AND counts still-moving nodes
+      changed = next.join(layers.withColumnRenamed("layer", "__old"),
+          Seq("node"))
+        .filter(col("layer") =!= col("__old")).count()
+      layers = next
+    }
+    require(changed == 0,
+      s"topologicalLayers did not converge in $maxDepth rounds — the graph has a cycle")
+    layers.select(col("node"), col("layer").cast("int").as("layer"))
+  }
+}

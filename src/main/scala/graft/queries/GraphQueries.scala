@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.graph.{Direction, TpchGraph}
-import graft.ops.{Bfs, Centrality, Expand, Ranking, Trail, Triadic, VarExpand}
+import graft.ops.{Bfs, Centrality, Expand, Ranking, Trail, Triadic, VarExpand, Walks}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -489,6 +489,67 @@ object GraphQueries {
         Centrality.hyperBall(edges, maxT = 15, log2m = 8)
       },
       None),
+
+    // Deterministic random-walk corpus (DeepWalk's input layer): 2 walks
+    // × 8 steps from every ring+chord node; each hop moves to the
+    // out-neighbor minimizing md5(salt:walk:step:src:dst) — seedless and
+    // engine-replayable, so the DuckDB oracle regenerates the EXACT same
+    // walks from a precomputed argmin choice table + recursive CTE.
+    QueryDef("q_random_walks",
+      (s, d) => {
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("k"))
+        val edges = n.select(col("k").as("src"), ((col("k") + 1) % 25).as("dst"))
+          .unionByName(n.select(col("k").as("src"), ((col("k") + 3) % 25).as("dst")))
+        Walks.randomWalks(edges, n.select(col("k").as("start")),
+          steps = 8, walksPerNode = 2)
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+             |    CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
+             |  UNION ALL
+             |  SELECT CAST(n_nationkey AS BIGINT),
+             |    CAST((n_nationkey + 3) % 25 AS BIGINT) FROM nation),
+             |w0 AS (SELECT CAST(n_nationkey * 2 + j AS BIGINT) AS walk,
+             |    CAST(n_nationkey AS BIGINT) AS node
+             |  FROM nation, (SELECT unnest([0, 1]) AS j)),
+             |ch AS (SELECT w.walk, s.step, e.src, e.dst, row_number() OVER (
+             |    PARTITION BY w.walk, s.step, e.src
+             |    ORDER BY md5(concat_ws(':', 'walk', w.walk, s.step, e.src,
+             |      e.dst))) AS rk
+             |  FROM (SELECT DISTINCT walk FROM w0) w,
+             |    (SELECT unnest(range(1, 9)) AS step) s, e),
+             |wk AS (
+             |  SELECT walk, 0 AS step, node FROM w0
+             |  UNION ALL
+             |  SELECT w.walk, w.step + 1, c.dst
+             |  FROM wk w JOIN ch c ON c.walk = w.walk AND c.step = w.step + 1
+             |    AND c.src = w.node AND c.rk = 1
+             |  WHERE w.step < 8)
+             |SELECT walk, CAST(step AS INT) AS step, node FROM wk""".stripMargin)),
+
+    // Longest-path DAG layering (topological generations) over the
+    // region→nation→customer→order containment DAG — multi-round
+    // Bellman-Ford relaxation must settle every type at its depth.
+    QueryDef("q_topo_layers",
+      (s, d) => {
+        val n = t(s, d, "nation"); val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        val edges = n.select((col("n_regionkey").cast("long") + 900000000L).as("src"),
+            (col("n_nationkey").cast("long") + 800000000L).as("dst"))
+          .unionByName(c.select((col("c_nationkey").cast("long") + 800000000L).as("src"),
+            (col("c_custkey").cast("long") + 700000000L).as("dst")))
+          .unionByName(o.select((col("o_custkey").cast("long") + 700000000L).as("src"),
+            col("o_orderkey").cast("long").as("dst")))
+        Walks.topologicalLayers(edges)
+          .groupBy("layer").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT layer, count(*) AS n FROM (
+             |  SELECT DISTINCT n_regionkey, 0 AS layer FROM nation
+             |  UNION ALL SELECT n_nationkey, 1 FROM nation
+             |  UNION ALL SELECT c_custkey, 2 FROM customer
+             |  UNION ALL SELECT o_orderkey, 3 FROM orders)
+             |GROUP BY layer""".stripMargin)),
 
     // Node similarity (gds.nodeSimilarity shape): Jaccard over supplier
     // out-neighborhoods in the supplier→part bipartite graph from

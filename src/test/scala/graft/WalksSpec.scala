@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Walks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Walk corpus generation + DAG layering semantics. */
+class WalksSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  test("randomWalks: deterministic, correct length, edges followed, sinks stop") {
+    import spark.implicits._
+    // 1→2→3 chain plus a branch 1→4; 4 is a sink
+    val e = edges(1L -> 2L, 2L -> 3L, 1L -> 4L)
+    val run1 = Walks.randomWalks(e, Seq(1L).toDF("start"), steps = 3,
+      walksPerNode = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val run2 = Walks.randomWalks(e, Seq(1L).toDF("start"), steps = 3,
+      walksPerNode = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(run1.toSeq == run2.toSeq, "walks must replay identically")
+    // every step-0 row is the start; every transition is a real edge
+    val byWalk = run1.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byWalk.size == 4 && byWalk.values.forall(_.head == 1L))
+    val edgeSet = Set((1L, 2L), (2L, 3L), (1L, 4L))
+    byWalk.values.foreach { path =>
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(edgeSet((a, b)), s"$a->$b not an edge")
+        case _ => ()
+      }
+      // ended at 4 (sink, stopped early) or walked the full 3 steps to 3's
+      // sink... 3 is also a sink: either way length <= 4 and > 1
+      assert(path.length >= 2 && path.length <= 4)
+    }
+    // different walk ids from the same start can diverge (hash freshness):
+    // with 4 walks over a 2-way branch, both branches should appear
+    assert(byWalk.values.map(_(1)).toSet == Set(2L, 4L))
+  }
+
+  test("topologicalLayers: longest path wins, roots at 0, cycle throws") {
+    // diamond with a long arm: 1→2→3→5, 1→4→5 — layer(5) = 3 (longest)
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 5L, 1L -> 4L, 4L -> 5L)
+    val r = Walks.topologicalLayers(e).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 3))
+    val cyc = intercept[IllegalArgumentException] {
+      Walks.topologicalLayers(edges(1L -> 2L, 2L -> 1L), maxDepth = 10)
+    }
+    assert(cyc.getMessage.contains("cycle"))
+  }
+}
