@@ -170,6 +170,147 @@ object Centrality {
   }
 
   /**
+   * Strongly connected components — trim + forward-backward reachability
+   * (Hong, Rodia & Olukotun, "On Fast Parallel Detection of Strongly
+   * Connected Components", SC'13; the standard distributed SCC recipe):
+   *
+   *  trim — nodes missing an in- or out-edge in the remaining graph are
+   *  singleton SCCs; peel to fixpoint (kills the DAG skeleton fast);
+   *
+   *  pivot — the minimum remaining id; its SCC = forward-reachable ∩
+   *  backward-reachable ([[Bfs.distances]] both orientations); remove,
+   *  repeat.
+   *
+   * Each trim round is two aggregates + two semi-joins; each pivot round
+   * two frontier BFS runs. Like [[Bfs.connectedComponents]], a LIMIT
+   * probe on the raw edge stream routes small pair graphs to a
+   * driver-local iterative Tarjan (2 jobs total) — the distributed loop
+   * is spec-covered via localEdgeThreshold = 0.
+   *
+   * @param edges (src, dst) directed; self-loops ignored
+   * @return (node, component) — component = min node id of the SCC
+   */
+  def stronglyConnectedComponents(edges: DataFrame, maxIter: Int = 50,
+      maxDepth: Int = 1024, localEdgeThreshold: Int = 200000): DataFrame = {
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    if (localEdgeThreshold > 0 &&
+        raw.limit(localEdgeThreshold + 1).count() <= localEdgeThreshold)
+      return localScc(edges.sparkSession, raw)
+    var e = raw.distinct().localCheckpoint(false)
+    val done = Seq.newBuilder[DataFrame]
+    var remaining = e.count()
+    var i = 0
+    while (remaining > 0 && i < maxIter) {
+      i += 1
+      // trim to fixpoint: a node without BOTH an in- and an out-edge in
+      // the remaining graph cannot sit on a cycle
+      var trimmed = true
+      while (trimmed && remaining > 0) {
+        val keep = e.select(col("src").as("node"))
+          .intersect(e.select(col("dst").as("node")))
+        val next = e
+          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(false)
+        val cnt = next.count()
+        trimmed = cnt < remaining
+        e = next; remaining = cnt
+      }
+      if (remaining > 0) {
+        val pivot = e.agg(least(min(col("src")), min(col("dst")))).first().getLong(0)
+        val spark = e.sparkSession
+        import spark.implicits._
+        val pv = Seq(pivot).toDF("source")
+        val fwd = Bfs.distances(e, pv, maxDepth).select(col("node"))
+        val bwd = Bfs.distances(
+          e.select(col("dst").as("src"), col("src").as("dst")), pv, maxDepth)
+          .select(col("node"))
+        val scc = fwd.intersect(bwd).localCheckpoint() // includes the pivot
+        // pivot = min remaining id and pivot ∈ scc ⇒ min(scc) = pivot
+        done += scc.select(col("node"), lit(pivot).as("component"))
+        e = e.join(scc.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+          .join(scc.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+          .localCheckpoint(false)
+        remaining = e.count()
+      }
+    }
+    require(remaining == 0,
+      s"SCC did not converge in $maxIter pivot rounds")
+    val spark = edges.sparkSession
+    val nontrivial = done.result()
+      .reduceOption(_ unionByName _)
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("node", "component")
+      }
+    // everything never assigned to a nontrivial SCC is its own singleton
+    val allNodes = raw.select(col("src").as("node"))
+      .unionByName(raw.select(col("dst").as("node"))).distinct()
+    allNodes.join(nontrivial, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** iterative (explicit-stack) Tarjan over a collected bounded edge list;
+    * component = min id of the SCC, matching the distributed form */
+  private def localScc(spark: org.apache.spark.sql.SparkSession,
+      raw: DataFrame): DataFrame = {
+    val pairs = raw.distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    val low = scala.collection.mutable.HashMap.empty[Long, Int]
+    val onStack = scala.collection.mutable.HashSet.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val comp = scala.collection.mutable.HashMap.empty[Long, Long]
+    var counter = 0
+    for (root <- nodes if !index.contains(root)) {
+      // explicit work stack of (node, next-neighbor-offset)
+      val work = scala.collection.mutable.ArrayBuffer((root, 0))
+      while (work.nonEmpty) {
+        val (v, off) = work.last
+        if (off == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack += v; onStack += v
+        }
+        val ns = adj.getOrElse(v, Array.empty[Long])
+        var k = off
+        var descended = false
+        while (k < ns.length && !descended) {
+          val w = ns(k)
+          if (!index.contains(w)) {
+            work(work.length - 1) = (v, k + 1)
+            work += ((w, 0))
+            descended = true
+          } else {
+            if (onStack(w)) low(v) = math.min(low(v), index(w))
+            k += 1
+          }
+        }
+        if (!descended) {
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = -1L
+            while (w != v) {
+              w = stack.remove(stack.length - 1); onStack -= w; members += w
+            }
+            val cid = members.min
+            members.foreach(m => comp(m) = cid)
+          }
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val (p, _) = work.last
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    import spark.implicits._
+    nodes.toSeq.map(n => (n, comp(n))).toDF("node", "component")
+  }
+
+  /**
    * HyperBall (Boldi & Vigna, "In-Core Computation of Geometric
    * Centralities with HyperBall", 2013): the approximate neighborhood
    * function N(t) = Σ_v |{w : d(v,w) ≤ t}| via per-node HyperLogLog

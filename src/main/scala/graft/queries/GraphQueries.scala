@@ -475,6 +475,49 @@ object GraphQueries {
              |  WHERE src IN (SELECT src FROM n7) AND dst IN (SELECT src FROM n7))
              |SELECT DISTINCT src AS node FROM e7""".stripMargin)),
 
+    // Strongly connected components (trim + forward-backward pivot; the
+    // driver-local Tarjan fast path fires here — the distributed loop is
+    // CentralitySpec-covered): a directed 25-ring (one SCC), a directed
+    // 9-edge path (singletons), and a 3-cycle. The oracle computes mutual
+    // reachability from the recursive-CTE transitive closure.
+    QueryDef("q_scc",
+      (s, d) => {
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("k"))
+        val c = t(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("k"))
+        val ring = n.select(col("k").as("src"), ((col("k") + 1) % 25).as("dst"))
+        val path = c.filter(col("k").between(1, 9))
+          .select((col("k") + 100).as("src"), (col("k") + 101).as("dst"))
+        val tri = c.filter(col("k").between(1, 3))
+          .select((col("k") + 200).as("src"), ((col("k") % 3) + 201).as("dst"))
+        Centrality.stronglyConnectedComponents(
+          ring.unionByName(path).unionByName(tri))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+             |    CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst FROM nation
+             |  UNION ALL
+             |  SELECT CAST(c_custkey + 100 AS BIGINT),
+             |    CAST(c_custkey + 101 AS BIGINT) FROM customer
+             |  WHERE c_custkey BETWEEN 1 AND 9
+             |  UNION ALL
+             |  SELECT CAST(c_custkey + 200 AS BIGINT),
+             |    CAST((c_custkey % 3) + 201 AS BIGINT) FROM customer
+             |  WHERE c_custkey BETWEEN 1 AND 3),
+             |reach AS (
+             |  SELECT src AS s, dst AS t FROM e
+             |  UNION
+             |  SELECT r.s, e.dst FROM reach r JOIN e ON e.src = r.t),
+             |nodes AS (SELECT DISTINCT node FROM (
+             |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |mutual AS (SELECT a.s AS v, min(a.t) AS mn
+             |  FROM reach a JOIN reach b ON b.s = a.t AND b.t = a.s
+             |  GROUP BY a.s)
+             |SELECT n.node, CAST(coalesce(least(n.node, m.mn), n.node)
+             |  AS BIGINT) AS component
+             |FROM nodes n LEFT JOIN mutual m ON m.v = n.node""".stripMargin)),
+
     // HyperBall neighborhood function (Boldi & Vigna 2013) on the same
     // ring+chord graph: per-node HLL counters max-merged along edges, one
     // double collected per round. Probabilistic — rows-only here; the

@@ -55,6 +55,21 @@ class CentralitySpec extends AnyFunSuite {
     assert(Centrality.kCore(e, 3).count() == 0)
   }
 
+  test("SCC distributed loop: trim peels the DAG, pivot rounds find cycles") {
+    // 3-cycle {1,2,3} + tail 3→4→5 + back-edge pair 6⇄7 feeding 1
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L,
+      6L -> 7L, 7L -> 6L, 7L -> 1L)
+    // localEdgeThreshold = 0 forces the distributed trim + FW-BW path
+    val r = Centrality.stronglyConnectedComponents(e, localEdgeThreshold = 0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 6L))
+    // and the driver Tarjan fast path agrees exactly
+    val fast = Centrality.stronglyConnectedComponents(e)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(fast == r)
+  }
+
   test("hyperBall tracks the exact neighborhood function within HLL error") {
     import spark.implicits._
     val ring = (0L until 25L)
