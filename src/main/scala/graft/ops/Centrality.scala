@@ -38,7 +38,25 @@ object Centrality {
    * @return (node, reached LONG, closeness DOUBLE 4dp, harmonic DOUBLE 4dp)
    */
   def closenessHarmonic(edges: DataFrame, sources: DataFrame,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, localEdgeThreshold: Int = 200000): DataFrame = {
+    val local = smallGraph(edges, sources, localEdgeThreshold)
+    if (local.isDefined) {
+      // driver-local BFS per source (the connectedComponents/astar fast-
+      // path precedent): a diameter-D exact sweep costs 2·D driver rounds
+      // distributed — on a probe-small graph that is all job overhead
+      val (adj, srcs) = local.get
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return srcs.map { s =>
+        val dist = localBfs(adj, s, maxDepth)
+        val reached = dist.size - 1 // minus self
+        val sumD = dist.valuesIterator.sum.toDouble
+        val harm = dist.valuesIterator.filter(_ > 0).map(1.0 / _).sum
+        (s, reached.toLong,
+          if (reached == 0) 0.0 else round4(reached / sumD), round4(harm))
+      }.filter(_._2 > 0)
+        .toDF("node", "reached", "closeness", "harmonic")
+    }
     val d = Bfs.distances(edges, sources, maxDepth)
       .filter(col("dist") > 0)
     d.groupBy(col("source").as("node"))
@@ -46,6 +64,42 @@ object Centrality {
         round(count(lit(1)).cast("double") / sum(col("dist")), 4)
           .as("closeness"),
         round(sum(lit(1.0) / col("dist")), 4).as("harmonic"))
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** LIMIT-probe guard shared by the driver-local fast paths: Some((adj,
+    * sources)) when BOTH the edge list and the source set are bounded —
+    * the probes never scan past threshold+1 rows. */
+  private def smallGraph(edges: DataFrame, sources: DataFrame,
+      threshold: Int): Option[(Map[Long, Array[Long]], Seq[Long])] = {
+    if (threshold <= 0) return None
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    if (raw.limit(threshold + 1).count() > threshold) return None
+    if (sources.limit(threshold + 1).count() > threshold) return None
+    val pairs = raw.distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val srcs = sources.select(col("source").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    Some((adj, srcs))
+  }
+
+  /** single-source BFS over a driver-local adjacency; returns dist map
+    * (source included at 0) */
+  private def localBfs(adj: Map[Long, Array[Long]], s: Long,
+      maxDepth: Int): scala.collection.mutable.LongMap[Int] = {
+    val dist = scala.collection.mutable.LongMap[Int](s -> 0)
+    var frontier = List(s)
+    var d = 0
+    while (frontier.nonEmpty && d < maxDepth) {
+      d += 1
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+        .filter(w => !dist.contains(w))
+        .distinct
+      frontier.foreach(w => dist(w) = d)
+    }
+    dist
   }
 
   /**
@@ -72,7 +126,56 @@ object Centrality {
    *         are absent
    */
   def betweenness(edges: DataFrame, sources: DataFrame,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, localEdgeThreshold: Int = 200000): DataFrame = {
+    val local = smallGraph(edges, sources, localEdgeThreshold)
+    if (local.isDefined) {
+      // textbook per-source Brandes on the driver — 2·diameter·|pivots|
+      // distributed rounds collapse to 2 jobs on a probe-small graph
+      val (adj, srcs) = local.get
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val acc = scala.collection.mutable.LongMap.empty[Double]
+      srcs.foreach { s =>
+        val dist = scala.collection.mutable.LongMap[Int](s -> 0)
+        val sigma = scala.collection.mutable.LongMap[Double](s -> 1.0)
+        val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var frontier = List(s)
+        var d = 0
+        while (frontier.nonEmpty && d < maxDepth) {
+          d += 1
+          val next = scala.collection.mutable.LinkedHashSet.empty[Long]
+          frontier.foreach { v =>
+            adj.getOrElse(v, Array.empty[Long]).foreach { w =>
+              if (!dist.contains(w)) next += w
+            }
+          }
+          frontier.foreach { v =>
+            adj.getOrElse(v, Array.empty[Long]).foreach { w =>
+              if (next.contains(w))
+                sigma(w) = sigma.getOrElse(w, 0.0) + sigma(v)
+            }
+          }
+          next.foreach { w => dist(w) = d; order += w }
+          frontier = next.toList
+        }
+        // successor-accumulation Brandes: process nodes by descending
+        // dist (reverse BFS order), pulling into each node from its
+        // out-neighbors one level deeper
+        val delta = scala.collection.mutable.LongMap.empty[Double]
+        (order.reverseIterator ++ Iterator.single(s)).foreach { v =>
+          val dv = dist(v)
+          var sum = 0.0
+          adj.getOrElse(v, Array.empty[Long]).foreach { w =>
+            if (dist.get(w).contains(dv + 1))
+              sum += sigma(v) / sigma(w) * (1.0 + delta.getOrElse(w, 0.0))
+          }
+          delta(v) = sum
+          if (v != s) acc(v) = acc.getOrElse(v, 0.0) + sum
+        }
+      }
+      return acc.toSeq.map { case (n, b) => (n, round4(b)) }
+        .filter(_._2 > 0).toDF("node", "betweenness")
+    }
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(false)
 

@@ -84,9 +84,17 @@ object Walks {
    * @param edges (src, dst) — must be a DAG
    * @return (node, layer INT); roots (no incoming edge) are layer 0
    */
-  def topologicalLayers(edges: DataFrame, maxDepth: Int = 1000): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(false)
+  def topologicalLayers(edges: DataFrame, maxDepth: Int = 1000,
+      localEdgeThreshold: Int = 200000): DataFrame = {
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // probe-small DAGs take a driver-local Kahn longest-path (the
+    // connectedComponents/astar fast-path precedent — a depth-D DAG costs
+    // D+1 distributed rounds of pure job overhead at this size); the
+    // distributed loop below is spec-covered via localEdgeThreshold = 0
+    if (localEdgeThreshold > 0 &&
+        raw.limit(localEdgeThreshold + 1).count() <= localEdgeThreshold)
+      return localLayers(edges.sparkSession, raw, maxDepth)
+    val e = raw.distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var layers = nodes.withColumn("layer", lit(0))
@@ -99,18 +107,50 @@ object Walks {
           .withColumnRenamed("layer", "__ls"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg((max(col("__ls")) + 1).as("__cand"))
+      // the moved flag rides the round's frame, so ONE action both
+      // materializes the new layers and counts still-moving nodes — no
+      // second compare-join against the previous round
       val next = layers.join(relaxed, Seq("node"), "left_outer")
         .select(col("node"),
-          greatest(col("layer"), coalesce(col("__cand"), lit(0))).as("layer"))
+          greatest(col("layer"), coalesce(col("__cand"), lit(0))).as("layer"),
+          (coalesce(col("__cand"), lit(0)) > col("layer")).as("__moved"))
         .localCheckpoint(false)
-      // one action materializes the round AND counts still-moving nodes
-      changed = next.join(layers.withColumnRenamed("layer", "__old"),
-          Seq("node"))
-        .filter(col("layer") =!= col("__old")).count()
-      layers = next
+      changed = next.filter(col("__moved")).count()
+      layers = next.drop("__moved")
     }
     require(changed == 0,
       s"topologicalLayers did not converge in $maxDepth rounds — the graph has a cycle")
     layers.select(col("node"), col("layer").cast("int").as("layer"))
+  }
+
+  /** driver-local longest-path layering (Kahn order) over a bounded edge
+    * list; throws on cycles like the distributed form */
+  private def localLayers(spark: org.apache.spark.sql.SparkSession,
+      raw: DataFrame, maxDepth: Int): DataFrame = {
+    val pairs = raw.distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val indeg = scala.collection.mutable.LongMap.empty[Int]
+    pairs.foreach { case (s, d) =>
+      indeg.getOrElseUpdate(s, 0); indeg(d) = indeg.getOrElse(d, 0) + 1 }
+    val layer = scala.collection.mutable.LongMap.empty[Int]
+    var frontier = indeg.iterator.collect { case (n, 0) => n }.toList
+    frontier.foreach(n => layer(n) = 0)
+    var processed = 0
+    while (frontier.nonEmpty) {
+      val nextF = scala.collection.mutable.ListBuffer.empty[Long]
+      frontier.foreach { v =>
+        processed += 1
+        adj.getOrElse(v, Array.empty[Long]).foreach { w =>
+          layer(w) = math.max(layer.getOrElse(w, 0), layer(v) + 1)
+          indeg(w) -= 1
+          if (indeg(w) == 0) nextF += w
+        }
+      }
+      frontier = nextF.toList
+    }
+    require(processed == indeg.size,
+      "topologicalLayers: the graph has a cycle")
+    import spark.implicits._
+    layer.toSeq.map { case (n, l) => (n, l) }.toDF("node", "layer")
   }
 }

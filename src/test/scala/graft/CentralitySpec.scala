@@ -20,30 +20,39 @@ class CentralitySpec extends AnyFunSuite {
     import spark.implicits._
     // 1→2→3→4: through 2 pass (1,3),(1,4); through 3 pass (1,4),(2,4)
     val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
-    val r = Centrality.betweenness(e, Seq(1L, 2L, 3L, 4L).toDF("source"), 10)
-      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
-    assert(r == Map(2L -> 2.0, 3L -> 2.0))
+    for (thr <- Seq(0, 200000)) { // distributed loop AND local fast path
+      val r = Centrality.betweenness(e, Seq(1L, 2L, 3L, 4L).toDF("source"),
+          10, localEdgeThreshold = thr)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(r == Map(2L -> 2.0, 3L -> 2.0), s"threshold=$thr")
+    }
   }
 
   test("betweenness splits dependency across equal shortest paths") {
     import spark.implicits._
     // diamond 1→{2,3}→4: σ(1,4)=2, δ shares 0.5/0.5
     val e = edges(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L)
-    val r = Centrality.betweenness(e, Seq(1L, 2L, 3L, 4L).toDF("source"), 10)
-      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
-    assert(r == Map(2L -> 0.5, 3L -> 0.5))
+    for (thr <- Seq(0, 200000)) {
+      val r = Centrality.betweenness(e, Seq(1L, 2L, 3L, 4L).toDF("source"),
+          10, localEdgeThreshold = thr)
+        .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(r == Map(2L -> 0.5, 3L -> 0.5), s"threshold=$thr")
+    }
   }
 
   test("closeness and harmonic on a directed path") {
     import spark.implicits._
     val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L)
-    val r = Centrality.closenessHarmonic(e, Seq(1L, 3L).toDF("source"), 10)
-      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getDouble(2), x.getDouble(3))))
-      .toMap
-    // from 1: dists 1,2,3 → closeness 3/6, harmonic 1+1/2+1/3
-    assert(r(1L) == ((3L, 0.5, 1.8333)))
-    // from 3: dist 1 → closeness 1, harmonic 1
-    assert(r(3L) == ((1L, 1.0, 1.0)))
+    for (thr <- Seq(0, 200000)) {
+      val r = Centrality.closenessHarmonic(e, Seq(1L, 3L).toDF("source"),
+          10, localEdgeThreshold = thr)
+        .collect().map(x => (x.getLong(0), (x.getLong(1), x.getDouble(2), x.getDouble(3))))
+        .toMap
+      // from 1: dists 1,2,3 → closeness 3/6, harmonic 1+1/2+1/3
+      assert(r(1L) == ((3L, 0.5, 1.8333)), s"threshold=$thr")
+      // from 3: dist 1 → closeness 1, harmonic 1
+      assert(r(3L) == ((1L, 1.0, 1.0)), s"threshold=$thr")
+    }
   }
 
   test("kCore peels a tail and keeps the triangle") {

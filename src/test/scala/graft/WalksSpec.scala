@@ -46,12 +46,16 @@ class WalksSpec extends AnyFunSuite {
   test("topologicalLayers: longest path wins, roots at 0, cycle throws") {
     // diamond with a long arm: 1→2→3→5, 1→4→5 — layer(5) = 3 (longest)
     val e = edges(1L -> 2L, 2L -> 3L, 3L -> 5L, 1L -> 4L, 4L -> 5L)
-    val r = Walks.topologicalLayers(e).collect()
-      .map(x => x.getLong(0) -> x.getInt(1)).toMap
-    assert(r == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 3))
-    val cyc = intercept[IllegalArgumentException] {
-      Walks.topologicalLayers(edges(1L -> 2L, 2L -> 1L), maxDepth = 10)
+    for (thr <- Seq(0, 200000)) { // distributed loop AND local fast path
+      val r = Walks.topologicalLayers(e, localEdgeThreshold = thr).collect()
+        .map(x => x.getLong(0) -> x.getInt(1)).toMap
+      assert(r == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 3),
+        s"threshold=$thr")
+      val cyc = intercept[IllegalArgumentException] {
+        Walks.topologicalLayers(edges(1L -> 2L, 2L -> 1L), maxDepth = 10,
+          localEdgeThreshold = thr)
+      }
+      assert(cyc.getMessage.contains("cycle"), s"threshold=$thr")
     }
-    assert(cyc.getMessage.contains("cycle"))
   }
 }
