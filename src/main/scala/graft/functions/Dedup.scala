@@ -159,6 +159,109 @@ object Dedup {
       .withColumn("keep", col("id") === col("canonical"))
   }
 
+  /**
+   * Persisted MinHash signature store — the incremental (daily-crawl)
+   * dedup layout: the historical corpus is sketched ONCE into
+   *   `path/docs`  (id, sig ARRAY<LONG> k-minhash, set ARRAY<LONG> hashed
+   *                 shingles, sz) — per-doc verification payload;
+   *   `path/bands` (band, bucket, id), partitioned by band — the LSH
+   *                 candidate index;
+   * and each day's batch dedups against it touching only matched buckets
+   * (broadcast of the batch's bucket keys), then appends its own
+   * sketches. Sketch coefficients are fixed-seed, so signatures written
+   * months apart stay comparable — the property the whole layout rests
+   * on. At 100 TB the store is the only full-corpus artifact; no batch
+   * operation rescans corpus text.
+   */
+  def saveMinhashStore(docs: DataFrame, path: String, shingleSize: Int = 3,
+      k: Int = 64, bands: Int = 16, append: Boolean = false): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    val sk = docSketches(docs, shingleSize, k).localCheckpoint(false)
+    sk.write.mode(mode).parquet(s"$path/docs")
+    bandBuckets(sk, k, bands).write.mode(mode)
+      .partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /**
+   * Incremental near-dup: the new batch against the persisted store —
+   * candidates from band-bucket matches (the batch side broadcasts; only
+   * store buckets the batch actually hashes into produce rows), skew cap
+   * applied per matched bucket, signature-estimate prefilter, exact
+   * shingle-Jaccard verify — the same pipeline as [[minhashDedup]] with
+   * the corpus side read from the store instead of resketched.
+   * @return (newId, oldId, jaccard) — verified pairs ≥ threshold
+   */
+  def minhashDedupIncremental(newDocs: DataFrame, path: String,
+      threshold: Double = 0.8, shingleSize: Int = 3, k: Int = 64,
+      bands: Int = 16, maxBucket: Int = 64): DataFrame = {
+    val spark = newDocs.sparkSession
+    val sk = docSketches(newDocs, shingleSize, k).localCheckpoint(false)
+    val newBands = bandBuckets(sk, k, bands)
+    val storeBands = spark.read.parquet(s"$path/bands")
+    val matched = storeBands.join(
+        broadcast(newBands.select(col("band"), col("bucket")).distinct()),
+        Seq("band", "bucket"), "left_semi")
+    // cap per MATCHED bucket only — the window never sees unmatched store
+    val capped = matched.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket").orderBy("id")))
+      .filter(col("rn") <= maxBucket)
+    val pairs = newBands.select(col("band"), col("bucket"), col("id").as("newId"))
+      .join(capped.select(col("band"), col("bucket"), col("id").as("oldId")),
+        Seq("band", "bucket"))
+      .filter(col("newId") =!= col("oldId"))
+      .select("newId", "oldId").dropDuplicates("newId", "oldId")
+    val store = spark.read.parquet(s"$path/docs")
+    val est = pairs
+      .join(sk.select(col("id").as("newId"), col("sig").as("sigA")), Seq("newId"))
+      .join(store.select(col("id").as("oldId"), col("sig").as("sigB"),
+        col("set").as("setB"), col("sz").as("szB")), Seq("oldId"))
+      .filter(size(filter(zip_with(col("sigA"), col("sigB"),
+          (x, y) => (x === y).cast("int")), v => v === 1))
+        .cast("double") / k >= threshold * 0.7)
+    est
+      .join(sk.select(col("id").as("newId"), col("set").as("setA"),
+        col("sz").as("szA")), Seq("newId"))
+      .withColumn("inter",
+        size(array_intersect(col("setA"), col("setB"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (col("szA") + col("szB") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("newId", "oldId", "jaccard")
+  }
+
+  /** per-doc sketch row: k-minhash signature + hashed shingle set (the
+    * store schema; coefficients fixed-seed so sketches are comparable
+    * across runs and appends) */
+  private def docSketches(docs: DataFrame, shingleSize: Int,
+      k: Int): DataFrame = {
+    val rng = new scala.util.Random(42)
+    val coeffs = Array.fill(k)((1L + rng.nextInt((Prime - 1).toInt),
+      rng.nextInt(Prime.toInt).toLong))
+    docs
+      .withColumn("__toks", tokens(col("text")))
+      .withColumn("set", array_distinct(
+        transform(shinglesOf(col("__toks"), shingleSize), s => xxhash64(s))))
+      .withColumn("hs", array_distinct(
+        transform(shinglesOf(col("__toks"), shingleSize), s => shingleHash(s))))
+      .select(col("id"),
+        array(coeffs.map { case (a, b) =>
+          array_min(transform(col("hs"), x => pmod(x * a + b, lit(Prime))))
+        }.toIndexedSeq: _*).as("sig"),
+        col("set"), size(col("set")).as("sz"))
+  }
+
+  /** LSH band buckets of a sketch table: (band, bucket, id) */
+  private def bandBuckets(sketches: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    sketches.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bi => xxhash64(array_join(slice(col("sig"), bi * r + 1, lit(r)), "_")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   /** 64-bit SimHash signature per document: sign of the per-bit weighted sum
     * of token hashes. Computed by explode + 64 conditional-sum aggregates
     * (one shuffle keyed by doc id; partial aggregation makes it map-mostly).

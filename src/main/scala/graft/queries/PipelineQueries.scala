@@ -47,6 +47,26 @@ object PipelineQueries {
         .orderBy(col("keep")),
       None),
 
+    // Incremental (daily-crawl) dedup: sketch the first 80% of the corpus
+    // into a persisted MinHash store, then dedup the remaining 20% batch
+    // against it — candidates touch only the buckets the batch hashes
+    // into, corpus text is never rescanned. Probabilistic pipeline:
+    // DedupSpec proves batch-vs-store pairs equal the full recompute
+    // (including after an append); rows-only here.
+    QueryDef("q_dedup_incremental",
+      (s, d) => {
+        val all = docs(s, d)
+        val cut = 400L
+        val store = s"${System.getProperty("java.io.tmpdir")}/graft_mhstore_" +
+          Integer.toHexString(d.hashCode)
+        Dedup.saveMinhashStore(all.filter(col("id") < cut), store)
+        Dedup.minhashDedupIncremental(all.filter(col("id") >= cut), store,
+            threshold = 0.8)
+          .agg(count(lit(1)).as("pairs"),
+            countDistinct(col("newId")).as("dup_new_docs"))
+      },
+      None),
+
     // Exact n-gram (word-set) Jaccard pairs within (lang, source) blocks —
     // the verification metric of the dedup family, blocked so the pair join
     // never goes quadratic in the corpus.

@@ -42,6 +42,35 @@ class DedupSpec extends AnyFunSuite {
     assert(exactPair === 1.0, "identical docs must have estimate 1.0")
   }
 
+  test("incremental store dedup matches the full recompute on cross pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("mhstore").toString
+    val corpus = docs // ids 0..5
+    val batch = Seq(
+      (10L, base.replace("quick", "swift")), // near-dup of 0/2
+      (11L, "entirely novel sentence about glaciers calving into arctic seas under midnight sun")
+    ).toDF("id", "text")
+    Dedup.saveMinhashStore(corpus, dir)
+    val inc = Dedup.minhashDedupIncremental(batch, dir, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // ground truth: full recompute over corpus ∪ batch, cross pairs only
+    val full = Dedup.minhashDedup(corpus.unionByName(batch), threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        if (a >= 10L && b < 10L) Some((a, b) -> j)
+        else if (b >= 10L && a < 10L) Some((b, a) -> j)
+        else None
+      }.toMap
+    assert(inc == full, s"incremental=$inc full=$full")
+    assert(inc.keys.map(_._1).toSet.contains(10L) && !inc.keys.exists(_._1 == 11L))
+    // append the batch; a later near-dup of doc 10 must now match it too
+    Dedup.saveMinhashStore(batch, dir, append = true)
+    val batch2 = Seq((20L, base.replace("quick", "swift")
+      .replace("dog", "hound"))).toDF("id", "text")
+    val inc2 = Dedup.minhashDedupIncremental(batch2, dir, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc2.contains((20L, 10L)), s"append not visible: $inc2")
+  }
+
   test("nearDupClusters resolves transitive duplicates to one canonical id") {
     // chain: 0 ≈ 1 ≈ 6 (each one edit apart; 0 vs 6 two edits, still ≥ 0.6
     // Jaccard, but the point is the UNION of pairwise edges into a cluster)
