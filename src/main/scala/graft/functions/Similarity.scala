@@ -275,6 +275,59 @@ object Similarity {
   }
 
   /**
+   * Distributed spherical k-means (Lloyd) over an embedding column — the
+   * clustering stage of semantic dedup, topic-stratified sampling, and
+   * diversity-aware mixing. Deterministic and engine-replayable end to
+   * end: init = the k lowest-id vectors as centroids (cid in id order),
+   * assignment = map-side argmax of dot against UNIT centroids shipped as
+   * the broadcast one-row relation ([[Similarity]]'s assignCells — never
+   * plan literals), update = per-(cluster, dim) mean via posexplode
+   * partial aggregation (k·dim driver scalars per iteration — the only
+   * driver state), re-unitized for the next round. Empty clusters keep
+   * their previous centroid. At 100 TB each iteration is one map pass +
+   * one k·dim-bounded aggregate; the corpus is never collected.
+   *
+   * @param vecs (id LONG, vec ARRAY<FLOAT|DOUBLE>)
+   * @return (id, cluster INT) — assignment after `iters` rounds
+   */
+  def kmeansAssign(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, s"bad kmeans config: k=$k iters=$iters")
+    def unitOf(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val c = vecs.select(col("id"), asDouble(col("vec")).as("v"))
+      .localCheckpoint(false)
+    var cents: Array[(Int, Array[Double])] = c.orderBy("id").limit(k)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](1).toArray) }
+    var assigned: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      it += 1
+      assigned = assignCells(c, cents.map { case (cid, v) => (cid, unitOf(v)) })
+      if (it < iters) {
+        val stats = assigned.select(col("cid"), posexplode(col("v")))
+          .groupBy("cid", "pos")
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .collect().map(r => (r.getInt(0), r.getInt(1),
+            r.getDouble(2) / r.getLong(3)))
+        val byCid = stats.groupBy(_._1)
+        cents = cents.map { case (cid, prev) =>
+          byCid.get(cid) match {
+            case Some(rows) =>
+              val m = prev.clone()
+              rows.foreach { case (_, pos, mean) => m(pos) = mean }
+              (cid, m)
+            case None => (cid, prev) // empty cluster: keep centroid
+          }
+        }
+      }
+    }
+    assigned.select(col("id"), col("cid").cast("int").as("cluster"))
+  }
+
+  /**
    * Product-quantization ANN (Jégou/Douze/Schmid, "Product Quantization
    * for Nearest Neighbor Search", TPAMI 2011) — the memory-scale path for
    * ANN over a 100 TB corpus: each unit-normalized vector compresses to m

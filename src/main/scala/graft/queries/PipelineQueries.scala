@@ -118,6 +118,40 @@ object PipelineQueries {
              |    ORDER BY sim DESC, id ASC) AS INT) AS rank, id
              |FROM scored QUALIFY rank <= 10""".stripMargin)),
 
+    // Distributed spherical k-means (Lloyd, 2 iterations, k=4) — the
+    // clustering stage of semantic stratification. Deterministic init (k
+    // lowest-id vectors, cid in id order) and fp64 math end to end, so
+    // the DuckDB oracle replays the exact assignments: argmax cosine per
+    // round, per-(cluster, dim) mean update between rounds.
+    QueryDef("q_kmeans",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.kmeansAssign(
+          emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          k = 4, iters = 2)
+      },
+      Some("""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             |    FROM embeddings),
+             |init AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1
+             |    AS INT) AS cid
+             |  FROM (SELECT id FROM emb ORDER BY id LIMIT 4)),
+             |c0 AS (SELECT i.cid, e.v FROM init i JOIN emb e USING (id)),
+             |d1 AS (SELECT e.id, c.cid, list_cosine_similarity(e.v, c.v) AS s
+             |  FROM emb e, c0 c),
+             |a1 AS (SELECT id, cid FROM (SELECT id, cid, row_number() OVER (
+             |    PARTITION BY id ORDER BY s DESC, cid ASC) AS rk FROM d1)
+             |  WHERE rk = 1),
+             |pos AS (SELECT unnest(range(1, 65)) AS ord),
+             |m1 AS (SELECT a.cid, p.ord, avg(e.v[p.ord]) AS cv
+             |  FROM a1 a JOIN emb e USING (id), pos p GROUP BY a.cid, p.ord),
+             |c1 AS (SELECT cid, list(cv ORDER BY ord) AS v FROM m1 GROUP BY cid),
+             |d2 AS (SELECT e.id, c.cid, list_cosine_similarity(e.v, c.v) AS s
+             |  FROM emb e, c1 c),
+             |a2 AS (SELECT id, cid FROM (SELECT id, cid, row_number() OVER (
+             |    PARTITION BY id ORDER BY s DESC, cid ASC) AS rk FROM d2)
+             |  WHERE rk = 1)
+             |SELECT id, CAST(cid AS INT) AS cluster FROM a2""".stripMargin)),
+
     // LSH-bucketed ANN (scale path) + embedding-cosine near-dup pairs —
     // approximate by construction: recall measured against brute force in
     // SimilaritySpec; rows-only here.

@@ -33,6 +33,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("kmeansAssign separates obvious blobs, deterministically") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f)), (2L, Array(0.9f, 0.0f, 0.1f)),
+      (3L, Array(1.0f, 0.1f, 0.05f)),
+      (10L, Array(0.0f, 1.0f, 0.05f)), (11L, Array(0.1f, 0.9f, 0.0f)),
+      (12L, Array(0.05f, 1.0f, 0.1f))
+    ).toDF("id", "vec")
+    val r1 = Similarity.kmeansAssign(vecs, k = 2, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val blobA = Set(1L, 2L, 3L).map(r1)
+    val blobB = Set(10L, 11L, 12L).map(r1)
+    assert(blobA.size == 1 && blobB.size == 1 && blobA != blobB,
+      s"blobs not separated: $r1")
+    val r2 = Similarity.kmeansAssign(vecs, k = 2, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r1 == r2, "kmeans must replay identically")
+  }
+
   test("LSH top-k multiprobe recall ≥ 0.9 against brute force on clustered vectors") {
     // clustered corpus — the workload ANN is for: each point's true top-k is
     // its own cluster, angularly close, so sign-LSH + hamming-1 multiprobe
