@@ -209,6 +209,71 @@ object Curation {
   }
 
   /**
+   * Temperature-scaled sampling weights (the mT5/XLM-R α-sampling rule,
+   * Conneau et al. 2020): q_i ∝ p_i^α for token share p_i, α ∈ (0, 1]
+   * flattens the distribution toward uniform (α = 1 keeps it). A
+   * stratum's weight = q_i / p_i — the factor a downstream sampler
+   * multiplies per-row keep probabilities (or epoch counts) by. One
+   * aggregate pass; strata cardinality is tiny by construction.
+   * Complements [[mixWeights]] (explicit target shares) with the
+   * closed-form temperature rule.
+   *
+   * @return (strataCol, tokens LONG, share DOUBLE 4dp, weight DOUBLE 4dp)
+   */
+  def temperatureWeights(df: DataFrame, strataCol: String, tokCol: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    val agg = df.groupBy(strataCol)
+      .agg(sum(tokCol.cast("long")).as("tokens"))
+    val tot = agg.agg(sum(col("tokens")).as("__total"),
+      sum(pow(col("tokens").cast("double"), alpha)).as("__zsum"))
+    val share = col("tokens").cast("double") / col("__total")
+    val q = pow(col("tokens").cast("double"), alpha) / col("__zsum")
+    agg.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("tokens"),
+        round(share, 4).as("share"), round(q / share, 4).as("weight"))
+  }
+
+  /**
+   * Global quality-quantile bucketing — the curriculum / quality-tier
+   * assignment step: rank every document by a score (e.g. the
+   * [[bigramLmScore]] perplexity) and cut the corpus into n equal-ish
+   * buckets, bucket = floor(rank·n / total) with rank 0-based in
+   * (score, id) order — a closed form any engine reproduces exactly,
+   * unlike ntile's ceil/floor split. Rank uses the same two-phase
+   * distributed scan as [[shuffleShards]]: range-repartition by the sort
+   * key, per-partition window rank, broadcast base offsets. No
+   * single-partition window.
+   *
+   * @return (idCol, score, bucket INT 0..n-1)
+   */
+  def qualityBuckets(df: DataFrame, idCol: String, scoreCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.select(col(idCol), col(scoreCol))
+      .repartitionByRange(parts, col(scoreCol), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val perPart = ranged.groupBy("__pid")
+      .agg(count(lit(1)).as("__pn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = perPart.map(_._2).sum
+    val bases = perPart.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c) }.init
+      .zip(perPart).map { case ((_, base), (pid, _)) => (pid, base) }
+    import spark.implicits._
+    val baseDf = broadcast(bases.toSeq.toDF("__pid", "__base"))
+    val w = Window.partitionBy("__pid").orderBy(col(scoreCol), col(idCol))
+    ranged.join(baseDf, "__pid")
+      .withColumn("__rank",
+        row_number().over(w).cast("long") - 1L + col("__base"))
+      .select(col(idCol), col(scoreCol),
+        floor(col("__rank") * nBuckets / total).cast("int").as("bucket"))
+  }
+
+  /**
    * Deterministic global shuffle + shard assignment — the training-shard
    * writer's layout step: order rows by a seedless pseudo-random key
    * (md5 of salt:id — reproducible across engines, runs, and cluster

@@ -608,6 +608,40 @@ object PipelineQueries {
              |    AS BIGINT) - 1 AS rnk
              |  FROM documents)""".stripMargin)),
 
+    // Temperature-scaled sampling weights (mT5/XLM-R α-sampling, α=0.5):
+    // q ∝ share^α flattens the language distribution toward uniform.
+    QueryDef("q_temperature_weights",
+      (s, d) => graft.functions.Curation.temperatureWeights(
+        docs(s, d).withColumn("ntok",
+          TextFunctions.tokenCount(col("text")).cast("long")),
+        "lang", col("ntok"), alpha = 0.5),
+      Some("""WITH agg AS (SELECT lang,
+             |    CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+             |      w -> length(w) > 0))) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total,
+             |    sum(pow(tokens, 0.5)) AS zsum FROM agg)
+             |SELECT lang, tokens, round(tokens / total, 4) AS share,
+             |  round((pow(tokens, 0.5) / zsum) / (tokens / total), 4) AS weight
+             |FROM agg, tot""".stripMargin)),
+
+    // Global quality-quantile bucketing (curriculum tiers): rank by
+    // (n_chars, id) via the two-phase distributed scan, bucket =
+    // floor(rank·4 / total) — the oracle's single-node window rank must
+    // agree exactly with the range-partitioned form.
+    QueryDef("q_quality_buckets",
+      (s, d) => graft.functions.Curation.qualityBuckets(
+        t(s, d, "documents").select(col("doc_id").as("id"),
+          col("n_chars").as("score")),
+        "id", "score", nBuckets = 4),
+      Some("""WITH ranked AS (SELECT doc_id AS id, n_chars AS score,
+             |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             |      - 1 AS rnk,
+             |    count(*) OVER () AS total
+             |  FROM documents)
+             |SELECT id, score, CAST(rnk * 4 // total AS INT) AS bucket
+             |FROM ranked""".stripMargin)),
+
     // Sequence packing (concat-and-chunk, 512-token packs): global token
     // offset per doc in id order via the two-phase distributed prefix sum,
     // then pack id + straddle count. The oracle's single-node window
