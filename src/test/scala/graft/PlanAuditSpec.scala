@@ -174,6 +174,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!sampled.contains("Exchange"), s"stratifiedSample shuffles:\n$sampled")
   }
 
+  test("shard/bucket ranking uses range partitioning, never a global single-partition sort") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 1000L).toDF("id")
+    // the range repartition sits behind the checkpoint boundary, so the
+    // final plan's guarantee is: the rank window partitions by __pid
+    // (per-partition, parallel) and nothing funnels into one partition
+    val plan = graft.functions.Curation.shuffleShards(df, "id", 8, "e0")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"shuffleShards rank window is not per-partition:\n${plan.take(2000)}")
+    assert(!plan.contains("SinglePartition"),
+      s"shuffleShards funnels through one partition:\n${plan.take(2000)}")
+    val qb = graft.functions.Curation.qualityBuckets(
+        df.withColumn("score", col("id") % 7), "id", "score", 4)
+      .queryExecution.executedPlan.toString
+    assert(qb.contains("windowspecdefinition(__pid"),
+      s"qualityBuckets rank window is not per-partition:\n${qb.take(2000)}")
+    assert(!qb.contains("SinglePartition"),
+      s"qualityBuckets funnels through one partition:\n${qb.take(2000)}")
+  }
+
+  test("kmeans assignment ships centroids as broadcast data, not plan literals") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = (0L until 200L)
+      .map(i => (i, Array.fill(8)((i % 5).toFloat))).toDF("id", "vec")
+    val assigned = graft.functions.Similarity.kmeansAssign(vecs, 3, 2)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroids not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"kmeans assignment shuffles the corpus:\n${plan.take(2000)}")
+  }
+
+  test("node similarity joins pairs on ids; no cartesian product") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val e = (0L until 300L).map(i => (i % 30, i % 50)).toDF("src", "dst")
+    val plan = graft.ops.Centrality.nodeSimilarity(e, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"node similarity went cartesian:\n${plan.take(2000)}")
+  }
+
   test("whole-stage codegen covers the expression pipeline") {
     val df = Cypher.run(spark, g,
       """MATCH (c:Customer) WHERE c.name ENDS WITH '1'
