@@ -925,23 +925,28 @@ object Planner {
     val fromVar = p.first.variable.filter(env.has).getOrElse(
       throw new IllegalArgumentException("shortestPath start node must be bound"))
     val maxDepth = rel.varLength.flatMap(_._2).getOrElse(15)
-    var edges = rel.dir match {
-      case Out  => ctx.g.topology.select(col("src"), col("dst"))
-      case In   => ctx.g.topology.select(col("dst").as("src"), col("src").as("dst"))
-      case Both => ctx.g.undirectedTopo.select(col("src"), col("dst"))
-    }
-    if (rel.types.nonEmpty) {
-      val typed = rel.dir match {
-        case Both => ctx.g.undirectedTopo
-        case _    => ctx.g.topology
-      }
-      edges = (rel.dir match {
-        case In => typed.filter(col("type").isin(rel.types: _*))
+    // untyped searches iterate the warm DISTINCT pair set (deduped and
+    // checkpointed once per snapshot); typed ones filter the topology and
+    // let the BFS dedupe the filtered result itself
+    val (edges, edgesDeduped) =
+      if (rel.types.isEmpty) ((rel.dir match {
+        case Out  => ctx.g.topologyPairs
+        case In   => ctx.g.topologyPairs
           .select(col("dst").as("src"), col("src").as("dst"))
-        case _  => typed.filter(col("type").isin(rel.types: _*))
-          .select(col("src"), col("dst"))
-      })
-    }
+        case Both => ctx.g.undirectedTopoPairs
+      }), true)
+      else {
+        val typed = rel.dir match {
+          case Both => ctx.g.undirectedTopo
+          case _    => ctx.g.topology
+        }
+        ((rel.dir match {
+          case In => typed.filter(col("type").isin(rel.types: _*))
+            .select(col("dst").as("src"), col("src").as("dst"))
+          case _  => typed.filter(col("type").isin(rel.types: _*))
+            .select(col("src"), col("dst"))
+        }), false)
+      }
     val pv = s.pathVar.getOrElse(ctx.fresh("p"))
     val minHops = rel.varLength.map(_._1).getOrElse(1)
     // endpoint inline WHERE: bound sides semi-join their boundary set
@@ -1043,7 +1048,8 @@ object Planner {
       case Some(toVar) => // both bound: per-pair lengths with early exit
         val pairs = df.select(col(fromVar).as("source"), col(toVar).as("target"))
           .distinct()
-        val lens = graft.ops.Bfs.shortestPathLengths(edges, pairs, maxDepth)
+        val lens = graft.ops.Bfs.shortestPathLengths(edges, pairs, maxDepth,
+          edgesDeduped)
           .filter(col("dist") >= minHops)
           .select(col("source"), col("target"), col("dist").as(s"$pv$$length"))
         val joined = df.join(lens,
@@ -1053,7 +1059,8 @@ object Planner {
       case _ => // far node unbound: all reachable within maxDepth
         val toVar = toNode.variable.getOrElse(ctx.fresh("n"))
         val dists = graft.ops.Bfs.distances(edges,
-          df.select(col(fromVar).as("source")).distinct(), maxDepth)
+          df.select(col(fromVar).as("source")).distinct(), maxDepth,
+          edgesDeduped)
           .filter(col("dist") >= minHops)
           .select(col("source"), col("node").as(toVar), col("dist").as(s"$pv$$length"))
         var joined = df.join(dists, col(fromVar) === col("source")).drop("source")
@@ -1914,10 +1921,14 @@ object Planner {
         } else if (ctx.pruneRels.contains(rel)) {
           // endpoints-only: pruningVarExpander rewrite — frontier BFS keeps
           // |V|-bounded state; unbounded `*` iterates to an empty frontier
-          val edges = orientTyped(g, rel.types, dir, edgeFilter).select("src", "dst")
+          val (edges, deduped) =
+            if (rel.types.isEmpty && edgeFilter.isEmpty)
+              (g.orientedPairs(dir), true)
+            else (orientTyped(g, rel.types, dir, edgeFilter)
+              .select("src", "dst"), false)
           val srcs = env.df.get.select(col(fromVar).as("source")).distinct()
           val reach = graft.ops.Bfs.pruningExpand(
-            edges, srcs, min, maxOpt.getOrElse(Int.MaxValue))
+            edges, srcs, min, maxOpt.getOrElse(Int.MaxValue), deduped)
           val joined = env.df.get.join(
             reach.select(col("source"), col("node").as("__to")),
             col(fromVar) === col("source")).drop("source")

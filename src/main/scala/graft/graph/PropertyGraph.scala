@@ -52,6 +52,47 @@ final case class PropertyGraph(nodes: DataFrame, rels: DataFrame,
     topology.unionByName(topology.select(col("id"), col("dst").as("src"),
       col("src").as("dst"), col("type")))
 
+  /**
+   * Warm DISTINCT (src, dst) reachability pairs — what every untyped
+   * BFS/shortest/pruning traversal actually iterates over. Deduped and
+   * checkpointed ONCE per snapshot (parallel edges — e.g. one rel per
+   * lineitem between the same order and part — would otherwise be
+   * re-deduped by every query); RddGuard-protected like [[topology]].
+   */
+  @transient lazy val topologyPairs: DataFrame = {
+    val t = topology.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    t.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        RddGuard.protect(lr.rdd.id, this)
+      case _ => ()
+    }
+    t
+  }
+
+  /** Distinct undirected reachability pairs (both orientations). */
+  @transient lazy val undirectedTopoPairs: DataFrame = {
+    val t = topologyPairs
+      .unionByName(topologyPairs.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    t.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        RddGuard.protect(lr.rdd.id, this)
+      case _ => ()
+    }
+    t
+  }
+
+  /** The distinct-pair set oriented for a traversal direction. */
+  def orientedPairs(dir: Direction): DataFrame = dir match {
+    case Direction.Out  => topologyPairs
+    case Direction.In   => topologyPairs
+      .select(col("dst").as("src"), col("src").as("dst"))
+    case Direction.Both => undirectedTopoPairs
+  }
+
   /** NodeByLabelScan (reference LogicalPlan.scala:2703): label predicate on
     * the labels array. With nodes partitioned by primary label this becomes
     * partition pruning at scale. */

@@ -30,8 +30,9 @@ object Bfs {
    *                together in the same frontier (source is part of the key)
    * @return (source, node, dist) with dist in [0, maxDepth], minimal hops
    */
-  def distances(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame =
-    distancesImpl(edges, sources, maxDepth, None)
+  def distances(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+      edgesDeduped: Boolean = false): DataFrame =
+    distancesImpl(edges, sources, maxDepth, None, edgesDeduped)
 
   /**
    * BFS with target early-exit: stops as soon as every (source, target)
@@ -41,13 +42,18 @@ object Bfs {
    * counted on the already-materialized frontier, no extra materialization.
    */
   def distancesImpl(edges: DataFrame, sources: DataFrame, maxDepth: Int,
-      targetPairs: Option[DataFrame]): DataFrame = {
+      targetPairs: Option[DataFrame],
+      edgesDeduped: Boolean = false): DataFrame = {
     // reachability only sees distinct (src, dst): parallel edges (e.g. one
     // per lineitem between the same order and part) would be rescanned
-    // every round otherwise — dedupe once into the materialized edge set
-    val e = edges.select(col("src").as("__s"), col("dst").as("__d"))
-      .distinct()
-      .localCheckpoint(false)
+    // every round otherwise — dedupe once into the materialized edge set.
+    // Callers holding a warm pre-deduped pair set (PropertyGraph
+    // .topologyPairs) pass edgesDeduped = true and skip that whole pass.
+    val e =
+      if (edgesDeduped) edges.select(col("src").as("__s"), col("dst").as("__d"))
+      else edges.select(col("src").as("__s"), col("dst").as("__d"))
+        .distinct()
+        .localCheckpoint(false)
     val targets = targetPairs.map(
       _.select(col("source"), col("target").as("node")).distinct()
         .withColumn("__hit", lit(1)).localCheckpoint())
@@ -108,10 +114,11 @@ object Bfs {
     * path to u is node-simple, so appending u→source is a valid trail).
     * minHops >= 2 would need trail semantics — callers keep VarExpand.
     * maxHops = Int.MaxValue walks to an empty frontier (unbounded `*`). */
-  def pruningExpand(edges: DataFrame, sources: DataFrame, minHops: Int, maxHops: Int): DataFrame = {
+  def pruningExpand(edges: DataFrame, sources: DataFrame, minHops: Int,
+      maxHops: Int, edgesDeduped: Boolean = false): DataFrame = {
     require(minHops <= 1,
       s"pruningExpand is exact only for minHops <= 1, got $minHops")
-    val d = distances(edges, sources, maxHops)
+    val d = distances(edges, sources, maxHops, edgesDeduped)
     val base = d.filter(col("dist") >= minHops && col("dist") <= maxHops)
       .select("source", "node", "dist")
     if (minHops == 0) base
@@ -137,8 +144,10 @@ object Bfs {
    * (source, target, dist) for reached pairs. Multi-source forward BFS with
    * early exit once every requested pair is reached.
    */
-  def shortestPathLengths(edges: DataFrame, pairs: DataFrame, maxDepth: Int): DataFrame = {
-    val d = distancesImpl(edges, pairs.select("source").distinct(), maxDepth, Some(pairs))
+  def shortestPathLengths(edges: DataFrame, pairs: DataFrame, maxDepth: Int,
+      edgesDeduped: Boolean = false): DataFrame = {
+    val d = distancesImpl(edges, pairs.select("source").distinct(), maxDepth,
+      Some(pairs), edgesDeduped)
     pairs.join(d.withColumnRenamed("node", "target"), Seq("source", "target"))
   }
 

@@ -102,10 +102,9 @@ object GraphQueries {
     QueryDef("q_pruning_expand",
       (s, d) => {
         val g = TpchGraph.load(s, d)
-        val edges = g.rels.select(col("src"), col("dst"))
         val sources = g.nodesByLabel("Customer").filter(col("key") < 100)
           .select(col("id").as("source"))
-        Bfs.pruningExpand(edges, sources, 1, 2)
+        Bfs.pruningExpand(g.topologyPairs, sources, 1, 2, edgesDeduped = true)
           .join(g.nodes.select(col("id").as("node"), element_at(col("labels"), 1).as("label")), "node")
           .groupBy(col("label"), col("dist")).agg(count(lit(1)).as("n"))
       },
