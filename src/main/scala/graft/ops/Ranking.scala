@@ -12,6 +12,50 @@ import org.apache.spark.sql.functions._
 object Ranking {
 
   /**
+   * Degree distribution — the first profiling query on any graph (the
+   * reference exposes degree stats through db.stats): per-degree node
+   * counts for the chosen orientation. Two aggregates, both
+   * hash-partitioned on 8-byte keys; nodes with zero edges in the chosen
+   * orientation are absent (join the node table downstream if isolated
+   * nodes matter).
+   *
+   * @param edges (src, dst)
+   * @return (degree LONG, n LONG) sorted nowhere — order downstream
+   */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n"))
+
+  /**
+   * Clustering coefficients over the undirected simple graph:
+   * local C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) and the global
+   * (transitivity) ratio 3·triangles / wedges. Reuses the canonical
+   * two-join triangle enumeration ([[triangles]]); wedges come from the
+   * degree aggregate — nothing new shuffles.
+   *
+   * @param edges (src, dst) — direction ignored
+   * @return (node, degree LONG, triangles LONG, coeff DOUBLE 4dp) for
+   *         nodes with degree ≥ 2
+   */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(false)
+    val deg = canon.select(col("u").as("node"))
+      .unionByName(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(canon.select(col("u").as("src"), col("v").as("dst")))
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+          (col("degree") * (col("degree") - 1)), 4).as("coeff"))
+  }
+
+  /**
    * PageRank by synchronous power iteration (Pregel formulation):
    *   rank_{t+1}(v) = (1-d) + d * Σ_{u→v} rank_t(u) / outdeg(u)
    * No dangling-mass redistribution (same per-node form the usual graph

@@ -474,6 +474,56 @@ object GraphQueries {
              |  WHERE src IN (SELECT src FROM n7) AND dst IN (SELECT src FROM n7))
              |SELECT DISTINCT src AS node FROM e7""".stripMargin)),
 
+    // Degree distribution (db.stats-style graph profiling): orders per
+    // customer, histogrammed.
+    QueryDef("q_degree_distribution",
+      (s, d) => Ranking.degreeDistribution(
+        t(s, d, "orders").select(col("o_custkey").cast("long").as("src"),
+          col("o_orderkey").cast("long").as("dst"))),
+      Some("""SELECT degree, count(*) AS n FROM (
+             |  SELECT CAST(count(*) AS BIGINT) AS degree
+             |  FROM orders GROUP BY o_custkey)
+             |GROUP BY degree""".stripMargin)),
+
+    // Local clustering coefficients on region cliques + a cross-region
+    // ring: clique interiors stay at 1.0, ring-bridged nodes dilute — the
+    // oracle recounts triangles with its own 3-join.
+    QueryDef("q_clustering_coeff",
+      (s, d) => {
+        val n = t(s, d, "nation")
+        val clique = n.alias("a").join(n.alias("b"),
+            col("a.n_regionkey") === col("b.n_regionkey") &&
+              col("a.n_nationkey") < col("b.n_nationkey"))
+          .select(col("a.n_nationkey").cast("long").as("src"),
+            col("b.n_nationkey").cast("long").as("dst"))
+        val ring = n.select(col("n_nationkey").cast("long").as("src"),
+          ((col("n_nationkey") + 1) % 25).cast("long").as("dst"))
+        Ranking.clusteringCoefficients(clique.unionByName(ring))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(a.n_nationkey AS BIGINT) AS u,
+             |    CAST(b.n_nationkey AS BIGINT) AS v
+             |  FROM nation a JOIN nation b
+             |  ON a.n_regionkey = b.n_regionkey
+             |    AND a.n_nationkey < b.n_nationkey
+             |  UNION
+             |  SELECT CAST(least(n_nationkey, (n_nationkey + 1) % 25) AS BIGINT),
+             |    CAST(greatest(n_nationkey, (n_nationkey + 1) % 25) AS BIGINT)
+             |  FROM nation),
+             |deg AS (SELECT node, count(*) AS degree FROM (
+             |    SELECT u AS node FROM base UNION ALL SELECT v FROM base)
+             |  GROUP BY node),
+             |corners AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |  FROM base e1 JOIN base e2 ON e2.u = e1.v
+             |  JOIN base e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |tri AS (SELECT un.node, count(*) AS t
+             |  FROM corners, unnest([a, b, c]) AS un(node) GROUP BY un.node)
+             |SELECT d.node, d.degree, coalesce(t.t, 0) AS triangles,
+             |  round(2 * coalesce(t.t, 0) /
+             |    CAST(d.degree * (d.degree - 1) AS DOUBLE), 4) AS coeff
+             |FROM deg d LEFT JOIN tri t ON t.node = d.node
+             |WHERE d.degree >= 2""".stripMargin)),
+
     // Strongly connected components (trim + forward-backward pivot; the
     // driver-local Tarjan fast path fires here — the distributed loop is
     // CentralitySpec-covered): a directed 25-ring (one SCC), a directed
