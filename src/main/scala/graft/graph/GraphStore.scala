@@ -90,6 +90,42 @@ final class GraphStore(spark: SparkSession, dir: String) {
     next
   }
 
+  /**
+   * Version diff — the changelog a downstream consumer (CDC feed,
+   * incremental index maintenance, cache invalidation) reads between two
+   * committed snapshots: per node/rel id, whether it was added, removed,
+   * or changed (any non-id column differs — detected by a row hash over
+   * the columns sorted by name, so column order and schema extension
+   * don't produce false positives on shared columns). Three anti/inner
+   * joins per table, all hash-partitioned on id; no full-row shuffles —
+   * rows reduce to (id, hash) before comparing.
+   *
+   * @return (kind 'node'|'rel', change 'added'|'removed'|'changed', id)
+   */
+  def diff(vOld: Long, vNew: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = load(vOld); val b = load(vNew)
+    def hashed(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.filter(_ != "id").map(col)
+      df.select(col("id"), xxhash64(to_json(struct(cols.toIndexedSeq: _*))).as("__h"))
+    }
+    def tableDiff(old: org.apache.spark.sql.DataFrame,
+        nw: org.apache.spark.sql.DataFrame, kind: String) = {
+      val oh = hashed(old).localCheckpoint(false)
+      val nh = hashed(nw).localCheckpoint(false)
+      val added = nh.join(oh, Seq("id"), "left_anti")
+        .select(lit(kind).as("kind"), lit("added").as("change"), col("id"))
+      val removed = oh.join(nh, Seq("id"), "left_anti")
+        .select(lit(kind).as("kind"), lit("removed").as("change"), col("id"))
+      val changed = nh.join(oh.withColumnRenamed("__h", "__ho"), Seq("id"))
+        .filter(col("__h") =!= col("__ho"))
+        .select(lit(kind).as("kind"), lit("changed").as("change"), col("id"))
+      added.unionByName(removed).unionByName(changed)
+    }
+    tableDiff(a.nodes, b.nodes, "node")
+      .unionByName(tableDiff(a.rels, b.rels, "rel"))
+  }
+
   /** Monotonic id block for CREATE (the reference's id allocator,
     * distributed-friendly: reserve a range, assign within it). */
   def nextIdRange(g: PropertyGraph, n: Long): (Long, Long) = {

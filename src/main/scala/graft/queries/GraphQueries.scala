@@ -474,6 +474,51 @@ object GraphQueries {
              |  WHERE src IN (SELECT src FROM n7) AND dst IN (SELECT src FROM n7))
              |SELECT DISTINCT src AS node FROM e7""".stripMargin)),
 
+    // Version diff (GraphStore.diff — the CDC changelog between two
+    // committed snapshots): two customer-derived versions with disjoint
+    // key windows and a property rewrite; added/removed/changed per
+    // node/rel id, detected via sorted-column row hashes. Oracle derives
+    // the same change sets from key arithmetic.
+    QueryDef("q_graph_diff",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_diffstore_" +
+          Integer.toHexString(d.hashCode)
+        def del(p: java.io.File): Unit = {
+          if (p.isDirectory) p.listFiles.foreach(del)
+          p.delete(); ()
+        }
+        del(new java.io.File(dir))
+        val store = new graft.graph.GraphStore(s, dir)
+        val key = col("c_custkey").cast("long")
+        val g0 = graft.graph.PropertyGraph(
+          c.filter(key <= 300).select(key.as("id"),
+            array(lit("Customer")).as("labels"), col("c_acctbal").as("acctbal")),
+          c.filter(key < 200).select(key.as("id"), key.as("src"),
+            (key + 1).as("dst"), lit("NEXT").as("type")))
+        val g1 = graft.graph.PropertyGraph(
+          c.filter(key.between(100, 400)).select(key.as("id"),
+            array(lit("Customer")).as("labels"),
+            when(key <= 150, col("c_acctbal") * 2)
+              .otherwise(col("c_acctbal")).as("acctbal")),
+          c.filter(key.between(150, 350)).select(key.as("id"), key.as("src"),
+            (key + 1).as("dst"), lit("NEXT").as("type")))
+        store.commit(g0); store.commit(g1)
+        store.diff(0, 1)
+      },
+      Some("""SELECT 'node' AS kind, 'added' AS change,
+             |  CAST(c_custkey AS BIGINT) AS id FROM customer
+             |WHERE c_custkey BETWEEN 301 AND 400
+             |UNION ALL SELECT 'node', 'removed', CAST(c_custkey AS BIGINT)
+             |FROM customer WHERE c_custkey <= 99
+             |UNION ALL SELECT 'node', 'changed', CAST(c_custkey AS BIGINT)
+             |FROM customer
+             |WHERE c_custkey BETWEEN 100 AND 150 AND c_acctbal <> 0
+             |UNION ALL SELECT 'rel', 'added', CAST(c_custkey AS BIGINT)
+             |FROM customer WHERE c_custkey BETWEEN 200 AND 350
+             |UNION ALL SELECT 'rel', 'removed', CAST(c_custkey AS BIGINT)
+             |FROM customer WHERE c_custkey <= 149""".stripMargin)),
+
     // Degree distribution (db.stats-style graph profiling): orders per
     // customer, histogrammed.
     QueryDef("q_degree_distribution",
