@@ -96,6 +96,54 @@ object Ranking {
   }
 
   /**
+   * Personalized PageRank (Haveliwala 2002, "Topic-Sensitive PageRank"):
+   * the teleport mass restarts at the SOURCE set instead of uniformly —
+   *   rank_{t+1}(v) = (1−d)·1[v ∈ S]/|S| + d · Σ_{u→v} rank_t(u)/outdeg(u)
+   * — the similarity-to-my-seeds ranking behind recommendation and
+   * related-entity queries. Same per-iteration shape as [[pageRank]]
+   * (one join + one aggregate, hash-partitioned on node ids); the source
+   * set joins as a DataFrame, |S| is the one driver scalar.
+   *
+   * @param edges (src, dst); sources (source LONG)
+   * @return (node, rank) — nodes with rank 0 included (they're in the
+   *         graph, just unreachable from the seeds)
+   */
+  def personalizedPageRank(edges: DataFrame, sources: DataFrame,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1,
+      s"bad pageRank config: iterations=$iterations damping=$damping")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    val s = sources.select(col("source").as("node")).distinct()
+      .localCheckpoint(false)
+    val nS = s.count()
+    require(nS > 0, "personalized PageRank needs a non-empty source set")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .unionByName(s).distinct().localCheckpoint(false)
+    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__deg"))
+    val teleport = lit(1.0 - damping) / nS
+    var ranks = nodes.join(s.withColumn("__s", lit(1)), Seq("node"), "left_outer")
+      .select(col("node"),
+        when(col("__s").isNotNull, teleport).otherwise(lit(0.0)).as("rank"))
+      .localCheckpoint(false)
+    var i = 0
+    while (i < iterations) {
+      val contrib = e
+        .join(ranks.join(outDeg, "node"), col("src") === col("node"))
+        .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(s.withColumn("__s", lit(1)), Seq("node"), "left_outer")
+        .join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (when(col("__s").isNotNull, teleport).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    ranks
+  }
+
+  /**
    * Triangle enumeration over the undirected simple graph: canonicalize
    * every edge to (u < v), join wedges a<b<c on the shared middle node,
    * close them against the edge set. One row per distinct triangle —

@@ -216,6 +216,40 @@ object GraphQueries {
              |    WHERE n_regionkey = r_regionkey), 4)
              |FROM region""".stripMargin)),
 
+    // Personalized PageRank (Haveliwala 2002): teleport mass restarts at
+    // the BUILDING-segment customers; on the Customer→Nation→Region DAG
+    // the ranks close-form per tier, which the oracle computes directly.
+    QueryDef("q_personalized_pagerank",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val edges = g.rels.filter(col("type").isin("FROM", "IN_REGION"))
+          .select(col("src"), col("dst"))
+        val sources = g.nodesByLabel("Customer")
+          .filter(col("mktsegment") === "BUILDING")
+          .select(col("id").as("source"))
+        val ranks = Ranking.personalizedPageRank(edges, sources, iterations = 5)
+        g.nodes.select(col("id").as("node"), col("labels"), col("key"))
+          .join(ranks, "node")
+          .filter(array_contains(col("labels"), "Nation") ||
+            array_contains(col("labels"), "Region"))
+          .select(element_at(col("labels"), 1).as("label"), col("key"),
+            round(col("rank"), 4).as("rank"))
+      },
+      Some("""WITH s AS (SELECT c_custkey, c_nationkey FROM customer
+             |  WHERE c_mktsegment = 'BUILDING'),
+             |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM s),
+             |nr AS (SELECT n_nationkey, n_regionkey,
+             |    0.85 * 0.15 * (SELECT count(*) FROM s
+             |      WHERE c_nationkey = n_nationkey) / ns AS rank
+             |  FROM nation, cnt)
+             |SELECT 'Nation' AS label, CAST(n_nationkey AS BIGINT) AS key,
+             |  round(rank, 4) AS rank FROM nr
+             |UNION ALL
+             |SELECT 'Region', CAST(r_regionkey AS BIGINT),
+             |  round(0.85 * (SELECT sum(rank) FROM nr
+             |    WHERE n_regionkey = r_regionkey), 4)
+             |FROM region""".stripMargin)),
+
     // Label propagation (community detection; synchronous, deterministic
     // min-tie-break) over the same-region nation cliques: a clique of
     // size ≥ 3 stabilizes at its min member id within 2 rounds, so the
