@@ -25,6 +25,7 @@ object GraftSession {
       .config("spark.ui.retainedTasks", "1000")
       // engine extensions: native expressions (unicode_normalize, …)
       .withExtensions(graft.functions.expressions.NormalizeUnicode.inject)
+      .withExtensions(graft.functions.expressions.IntArrayMaxAgg.inject)
 
   /** events.ts read under nanosAsLong is LONG nanos → TimestampType (µs).
     * Integer division (`div`), not `/`: epoch nanos exceed double's 2^53

@@ -436,6 +436,7 @@ object Centrality {
    */
   def hyperBall(edges: DataFrame, maxT: Int, log2m: Int = 8): DataFrame = {
     require(log2m >= 4 && log2m <= 12, s"log2m out of range: $log2m")
+    graft.functions.expressions.IntArrayMaxAgg.ensureRegistered(edges.sparkSession)
     val m = 1 << log2m
     val alpha = m match {
       case 16 => 0.673
@@ -478,17 +479,17 @@ object Centrality {
     while (grown && t < maxT) {
       t += 1
       // ball(v) ∪= ball(u) for v→u: pull each successor's counter to its
-      // predecessors, max-merge per node. collect_list is bounded by
-      // out-degree × m ints — cap hub degrees upstream if needed.
+      // predecessors, max-merge per node. int_array_max (a native
+      // TypedImperativeAggregate) folds registers as rows stream through —
+      // constant memory per node and map-side partials, so hub in-degree
+      // never buffers d × m ints the way collect_list would.
       val pulled = e.join(counters.withColumnRenamed("node", "dst")
           .withColumnRenamed("__c", "__cn"), Seq("dst"))
         .select(col("src").as("node"), col("__cn"))
       val merged = counters.unionByName(
           pulled.withColumnRenamed("__cn", "__c"))
         .groupBy("node")
-        .agg(aggregate(collect_list(col("__c")),
-          transform(sequence(lit(0), lit(m - 1)), _ => lit(0)),
-          (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))).as("__c"))
+        .agg(call_function("int_array_max", col("__c")).as("__c"))
         .localCheckpoint(false)
       val cur = total(merged)
       counters = merged
