@@ -858,9 +858,10 @@ object Planner {
 
   // ---- MATCH ------------------------------------------------------------
 
-  private def planMatch(ctx: Ctx, env: Env, m: MatchClause): Env = {
-    if (m.optional && env.df.isDefined) planOptionalMatch(ctx, env, m)
+  private def planMatch(ctx: Ctx, env: Env, mIn: MatchClause): Env = {
+    if (mIn.optional && env.df.isDefined) planOptionalMatch(ctx, env, mIn)
     else {
+      val m = pushStepPredicates(env, mIn)
       var cur = env
       val relVarsBefore = relVars(env)
       // selection pushdown (the reference planner plans Selection at the
@@ -894,6 +895,103 @@ object Planner {
     case other              => List(other)
   }
 
+  /** Conservative variable rename inside a scalar predicate (used by the
+    * all()/none() step-predicate pushdown). Returns None when the
+    * expression holds a construct the rename doesn't model (lambdas that
+    * could shadow, pattern subqueries) — the caller then leaves the
+    * conjunct as a post-filter, which is always correct. */
+  private def renameVarOpt(e: Expr, from: String, to: String): Option[Expr] = {
+    def r(x: Expr): Option[Expr] = x match {
+      case Variable(`from`)  => Some(Variable(to))
+      case v: Variable       => Some(v)
+      case l: Lit            => Some(l)
+      case p: Param          => Some(p)
+      case Prop(s, k)        => r(s).map(Prop(_, k))
+      case BinOp(op, a, b)   => for (x1 <- r(a); x2 <- r(b)) yield BinOp(op, x1, x2)
+      case UnaryOp(op, o)    => r(o).map(UnaryOp(op, _))
+      case IsNull(o, n)      => r(o).map(IsNull(_, n))
+      case StringPred(op, a, b) =>
+        for (x1 <- r(a); x2 <- r(b)) yield StringPred(op, x1, x2)
+      case TypePredicate(o, t, nn, neg) => r(o).map(TypePredicate(_, t, nn, neg))
+      case HasLabel(s, d)    => r(s).map(HasLabel(_, d))
+      case Func(n, args, d)  =>
+        val rs = args.map(r)
+        if (rs.forall(_.isDefined)) Some(Func(n, rs.map(_.get), d)) else None
+      case ListLit(xs)       =>
+        val rs = xs.map(r)
+        if (rs.forall(_.isDefined)) Some(ListLit(rs.map(_.get))) else None
+      case Index(l, i)       => for (x1 <- r(l); x2 <- r(i)) yield Index(x1, x2)
+      case Slice(l, f, t)    =>
+        for {
+          x1 <- r(l)
+          ff <- f.fold[Option[Option[Expr]]](Some(None))(y => r(y).map(Some(_)))
+          tt <- t.fold[Option[Option[Expr]]](Some(None))(y => r(y).map(Some(_)))
+        } yield Slice(x1, ff, tt)
+      case CaseExpr(s, ws, d) =>
+        val s2 = s.map(r); val d2 = d.map(r)
+        val ws2 = ws.map { case (a, b) => (r(a), r(b)) }
+        if (s2.exists(_.isEmpty) || d2.exists(_.isEmpty) ||
+            ws2.exists(t => t._1.isEmpty || t._2.isEmpty)) None
+        else Some(CaseExpr(s2.map(_.get), ws2.map(t => (t._1.get, t._2.get)),
+          d2.map(_.get)))
+      case _ => None
+    }
+    r(e)
+  }
+
+  /** `WHERE all(x IN relationships(p) WHERE pred)` / `none(...)` over a
+    * var-length path is the classic spelling of a per-step relationship
+    * predicate (the reference rewrites it into VarLengthExpand —
+    * pushdownPropertyReads / VarLengthRewriter): move `pred` into every
+    * var-length hop of p's pattern as an inline WHERE and drop the
+    * conjunct, so the traversal walks a pre-filtered edge set instead of
+    * enumerating every path and post-filtering. Fires only when every hop
+    * of the pattern is var-length, the predicate sees only the iteration
+    * variable, and the path variable is bound by THIS clause; anything
+    * else keeps the (always-correct) post-filter. */
+  private def pushStepPredicates(env: Env, m: MatchClause): MatchClause = {
+    if (m.where.isEmpty) return m
+    var patterns = m.patterns.toVector
+    val kept = List.newBuilder[Expr]
+    splitConjuncts(m.where.get).foreach {
+      case ip @ IterPredicate(kind @ ("all" | "none"), v,
+          Func("relationships" | "rels", Seq(Variable(pv)), _), pred)
+          if !env.has(pv) =>
+        val idx = patterns.indexWhere(_.name.contains(pv))
+        val eligible = idx >= 0 && {
+          val p = patterns(idx)
+          p.hops.nonEmpty && p.hops.forall(_._1.varLength.isDefined) &&
+            exprVars(pred).subsetOf(Set(v))
+        }
+        val base = if (kind == "none") UnaryOp("NOT", pred) else pred
+        val pushed: Option[Vector[PathPattern]] = if (!eligible) None else {
+          val p = patterns(idx)
+          val hops2 = p.hops.toVector.map { case (rl, nd) =>
+            // anonymous rels get a `__`-prefixed name: bound but invisible
+            // to RETURN * (same convention as ctx.fresh)
+            val rv = rl.variable.getOrElse(s"__step_$v")
+            renameVarOpt(base, v, rv).map { rp =>
+              (rl.copy(variable = Some(rv),
+                where = Some(rl.where.fold(rp)(w => BinOp("AND", w, rp)))), nd)
+            }
+          }
+          if (hops2.forall(_.isDefined))
+            Some(patterns.updated(idx, p.copy(hops = hops2.map(_.get))))
+          else None
+        }
+        pushed match {
+          case Some(ps) => patterns = ps
+          case None     => kept += ip
+        }
+      case c => kept += c
+    }
+    val where2 = kept.result() match {
+      case Nil => None
+      case cs  => Some(cs.reduce(BinOp("AND", _, _)))
+    }
+    m.copy(patterns = patterns.toSeq, where = where2)
+  }
+
   private def flushReadyWhere(ctx: Ctx, env: Env, pending: PendingWhere): Env = {
     if (pending.conjs.isEmpty || env.df.isEmpty) env
     else {
@@ -911,9 +1009,14 @@ object Planner {
     val p = s.pattern
     require(p.hops.size == 1, "shortestPath takes a single relationship pattern")
     val (rel, toNode) = p.hops.head
-    require(rel.where.isEmpty,
-      "WHERE inside a var-length relationship pattern is not supported " +
-        "(Cypher allows it on single-hop relationship patterns only)")
+    // per-step rel WHERE (Cypher 5 inline `[r*.. WHERE r.x > 1]`) — every
+    // traversed rel must satisfy it → the search walks a pre-filtered
+    // edge set (stepFilteredRels)
+    val stepDf = stepFilteredRels(ctx, rel)
+    val dirConv = rel.dir match {
+      case Out => Direction.Out; case In => Direction.In
+      case Both => Direction.Both
+    }
     // endpoints need not be pre-bound (the reference plans both sides then
     // FindShortestPaths): an inline-filtered start like
     // `shortestPath((a:L {k:v})-[*..d]-(b))` binds here via its own scan;
@@ -929,24 +1032,14 @@ object Planner {
     // checkpointed once per snapshot); typed ones filter the topology and
     // let the BFS dedupe the filtered result itself
     val (edges, edgesDeduped) =
-      if (rel.types.isEmpty) ((rel.dir match {
+      if (rel.types.isEmpty && stepDf.isEmpty) ((rel.dir match {
         case Out  => ctx.g.topologyPairs
         case In   => ctx.g.topologyPairs
           .select(col("dst").as("src"), col("src").as("dst"))
         case Both => ctx.g.undirectedTopoPairs
       }), true)
-      else {
-        val typed = rel.dir match {
-          case Both => ctx.g.undirectedTopo
-          case _    => ctx.g.topology
-        }
-        ((rel.dir match {
-          case In => typed.filter(col("type").isin(rel.types: _*))
-            .select(col("dst").as("src"), col("src").as("dst"))
-          case _  => typed.filter(col("type").isin(rel.types: _*))
-            .select(col("src"), col("dst"))
-        }), false)
-      }
+      else (orientTyped(ctx.g, rel.types, dirConv, None, stepDf)
+        .select("src", "dst"), false)
     val pv = s.pathVar.getOrElse(ctx.fresh("p"))
     val minHops = rel.varLength.map(_._1).getOrElse(1)
     // endpoint inline WHERE: bound sides semi-join their boundary set
@@ -973,16 +1066,7 @@ object Planner {
     val needPath = pvNeeded.contains("rels") || pvNeeded.contains("nodes")
     if (s.all) {
       // allShortestPaths: every minimal-hop tie, path always bound
-      val typed = rel.dir match {
-        case Both => ctx.g.undirectedTopo
-        case _    => ctx.g.topology
-      }
-      val filtered = if (rel.types.isEmpty) typed
-        else typed.filter(col("type").isin(rel.types: _*))
-      val idEdges = rel.dir match {
-        case In => filtered.select(col("id"), col("dst").as("src"), col("src").as("dst"))
-        case _  => filtered.select(col("id"), col("src"), col("dst"))
-      }
+      val idEdges = orientTyped(ctx.g, rel.types, dirConv, None, stepDf)
       // bound far node: BFS output needs a fresh name, else the equality
       // filter below would reference an ambiguous column
       val toVar = if (toNode.variable.exists(env.has)) ctx.fresh("n")
@@ -1011,16 +1095,8 @@ object Planner {
     if (needPath) {
       // PathPropagatingBFS: unit-weight frontier relaxation carries the
       // rel-id path; dist == hop count
-      val typed = rel.dir match {
-        case Both => ctx.g.undirectedTopo
-        case _    => ctx.g.topology
-      }
-      val filtered = if (rel.types.isEmpty) typed
-        else typed.filter(col("type").isin(rel.types: _*))
-      val wEdges = (rel.dir match {
-        case In => filtered.select(col("id"), col("dst").as("src"), col("src").as("dst"))
-        case _  => filtered.select(col("id"), col("src"), col("dst"))
-      }).withColumn("weight", lit(1.0))
+      val wEdges = orientTyped(ctx.g, rel.types, dirConv, None, stepDf)
+        .withColumn("weight", lit(1.0))
       val toVar = if (toNode.variable.exists(env.has)) ctx.fresh("n")
         else toNode.variable.getOrElse(ctx.fresh("n"))
       val sp = graft.ops.WeightedPaths.shortestPaths(wEdges,
@@ -1116,8 +1192,8 @@ object Planner {
           val comp = bs.map(branchEdges(ctx, _)).reduce(_ unionByName _)
           graft.ops.Trail.PathSegment(comp, mn, mx, bnd, composite = true)
         case None =>
-          require(r.qppVars.isEmpty && r.where.isEmpty,
-            "SHORTEST k legs take types/bounds/property maps only")
+          require(r.qppVars.isEmpty,
+            "SHORTEST k legs take types/bounds/property maps/WHERE only")
           val pre = if (r.props.isEmpty) None
             else Some(r.props.map { case (key, e) =>
               if (ctx.g.rels.columns.contains(key)) col(key) === constExpr(ctx, e)
@@ -1127,7 +1203,8 @@ object Planner {
             case Out => Direction.Out; case In => Direction.In
             case Both => Direction.Both
           }
-          graft.ops.Trail.PathSegment(orientTyped(ctx.g, r.types, dir, pre),
+          graft.ops.Trail.PathSegment(
+            orientTyped(ctx.g, r.types, dir, pre, stepFilteredRels(ctx, r)),
             mn, mx, bnd)
       }
     }
@@ -1655,12 +1732,25 @@ object Planner {
     * optional predicate (var-length inline property map) is applied BEFORE
     * orientation drops the property columns. */
   private def orientTyped(g: PropertyGraph, types: Seq[String],
-      dir: Direction, pre: Option[Column] = None): DataFrame = {
+      dir: Direction, pre: Option[Column] = None,
+      baseRels: Option[DataFrame] = None): DataFrame = {
     // no inline property predicate → warm compact topology; with one the
-    // raw rels keep the property columns the predicate reads
-    val base = dir match {
-      case Direction.Both => if (pre.isEmpty) g.undirectedTopo else g.undirectedRels
-      case _              => if (pre.isEmpty) g.topology else g.rels
+    // raw rels keep the property columns the predicate reads. A caller
+    // that pre-filtered the raw rels (per-step WHERE) overrides the base.
+    val base = baseRels match {
+      case Some(b) => dir match {
+        case Direction.Both =>
+          val swapped = b
+            .withColumnRenamed("src", "__tmp_src")
+            .withColumnRenamed("dst", "src")
+            .withColumnRenamed("__tmp_src", "dst")
+          b.unionByName(swapped.select(b.columns.map(col).toIndexedSeq: _*))
+        case _ => b
+      }
+      case None => dir match {
+        case Direction.Both => if (pre.isEmpty) g.undirectedTopo else g.undirectedRels
+        case _              => if (pre.isEmpty) g.topology else g.rels
+      }
     }
     val filtered = pre.fold(base)(base.filter)
     val r0 = dir match {
@@ -1671,6 +1761,30 @@ object Planner {
     val f = if (types.isEmpty) r0 else r0.filter(col("type").isin(types: _*))
     f.select("id", "src", "dst")
   }
+
+  /** Per-step WHERE on a var-length relationship (Cypher 5
+    * `[r:T* WHERE r.x > 1]`, reference VarLengthExpandPipe.scala:83-123
+    * relationship predicate): the predicate runs once per traversed rel
+    * and may only see that rel, so it compiles to a pre-traversal filter
+    * over the RAW rels table — the BFS/Trail then walks the reduced edge
+    * set (predicate evaluated |E| times total, not once per partial path).
+    * Returns a filtered frame with g.rels' schema, or None when no WHERE. */
+  private def stepFilteredRels(ctx: Ctx, rel: RelPattern): Option[DataFrame] =
+    rel.where.map { w =>
+      val relVar = rel.variable.getOrElse(ctx.fresh("r"))
+      val refs = exprVars(w)
+      require(refs.subsetOf(Set(relVar)),
+        "WHERE inside a var-length relationship pattern may reference " +
+          s"only the relationship variable itself (got: ${refs.mkString(", ")})")
+      val rels = ctx.g.rels
+      val raw = rels.columns.toSeq
+      // hydrated view alongside the raw columns: r -> id, r$p -> p — the
+      // main expression compiler then resolves r.p / type(r) / startNode(r)
+      val hydrated = rels.select((raw.map(col) :+ col("id").as(relVar)) ++
+        raw.filterNot(_ == "id").map(p => col(p).as(s"$relVar$$$p")): _*)
+      val env = Env(Some(hydrated), Map(relVar -> RelVar))
+      hydrated.filter(compile(ctx, env, w)).select(raw.map(col): _*)
+    }
 
   /** Bind a pattern node: scan (unbound) or constrain (bound). Returns the
     * environment plus the (possibly generated) variable name. */
@@ -1855,9 +1969,6 @@ object Planner {
     val g = ctx.g
     require(rel.branches.isEmpty,
       "path-shape alternation is supported inside SHORTEST patterns only")
-    require(rel.varLength.isEmpty || rel.where.isEmpty,
-      "WHERE inside a var-length relationship pattern is not supported — " +
-        "use an inline property map or a post-pattern WHERE")
     val relVar = rel.variable.getOrElse(ctx.fresh("r"))
     val toBound = node.variable.exists(env.has)
     val toVar = node.variable.getOrElse(ctx.fresh("n"))
@@ -1891,13 +2002,15 @@ object Planner {
       case Some((min, maxOpt)) =>
         // inline property map on a var-length rel: EVERY traversed rel must
         // match → a pre-orientation edge filter (reference VarLengthExpand
-        // per-step relationship predicate)
+        // per-step relationship predicate); an inline WHERE likewise
+        // pre-filters the raw rels (stepFilteredRels)
         val edgeFilter: Option[Column] =
           if (rel.props.isEmpty) None
           else Some(rel.props.map { case (k, e) =>
             if (g.rels.columns.contains(k)) col(k) === constExpr(ctx, e)
             else lit(false)
           }.reduce(_ && _))
+        val stepDf = stepFilteredRels(ctx, rel)
         val dir = rel.dir match {
           case Out => Direction.Out; case In => Direction.In; case Both => Direction.Both
         }
@@ -1906,7 +2019,7 @@ object Planner {
           // unbounded `*` iterates to an empty frontier (rel-uniqueness
           // terminates, like the reference's VarLengthExpand)
           val hopsCol = ctx.fresh("ph")
-          val oriented = orientTyped(g, rel.types, dir, edgeFilter)
+          val oriented = orientTyped(g, rel.types, dir, edgeFilter, stepDf)
           val expanded = (maxOpt match {
             case Some(max) => graft.ops.Trail.trail(
               oriented, env.df.get, fromVar, min, max, endAlias = "__to",
@@ -1922,9 +2035,9 @@ object Planner {
           // endpoints-only: pruningVarExpander rewrite — frontier BFS keeps
           // |V|-bounded state; unbounded `*` iterates to an empty frontier
           val (edges, deduped) =
-            if (rel.types.isEmpty && edgeFilter.isEmpty)
+            if (rel.types.isEmpty && edgeFilter.isEmpty && stepDf.isEmpty)
               (g.orientedPairs(dir), true)
-            else (orientTyped(g, rel.types, dir, edgeFilter)
+            else (orientTyped(g, rel.types, dir, edgeFilter, stepDf)
               .select("src", "dst"), false)
           val srcs = env.df.get.select(col(fromVar).as("source")).distinct()
           val reach = graft.ops.Bfs.pruningExpand(
@@ -1942,13 +2055,14 @@ object Planner {
               case Some(max) =>
                 VarExpand.varExpand(g, env.df.get, fromVar, rel.types,
                   dir, min, max, toAlias = "__to", relsAlias = relVar,
-                  depthAlias = depthCol, edgeFilter = edgeFilter)
+                  depthAlias = depthCol, edgeFilter = edgeFilter,
+                  baseRels = stepDf)
               case None =>
                 // unbounded enumeration: iterate to an empty frontier
                 // (rel-uniqueness terminates, reference VarLengthExpand)
                 val nodesCol = ctx.fresh("vn")
                 graft.ops.Trail.trailToExhaustion(
-                  orientTyped(g, rel.types, dir, edgeFilter), env.df.get,
+                  orientTyped(g, rel.types, dir, edgeFilter, stepDf), env.df.get,
                   fromVar, min, endAlias = "__to", relsAlias = relVar,
                   nodesAlias = nodesCol, hopsAlias = depthCol)
                   .drop(nodesCol)
@@ -1960,7 +2074,7 @@ object Planner {
             // first, r group = the rel array
             val nodesCol = ctx.fresh("qn")
             val hopsCol = ctx.fresh("qh")
-            val oriented = orientTyped(g, rel.types, dir, edgeFilter)
+            val oriented = orientTyped(g, rel.types, dir, edgeFilter, stepDf)
             val expanded = maxOpt match {
               case Some(max) => graft.ops.Trail.trail(
                 oriented, env.df.get, fromVar, min, max, endAlias = "__to",
@@ -1995,7 +2109,8 @@ object Planner {
         val filtered = nodeScan(ctx, node)
         out = out.join(filtered.select(col("id").as(toVar)), Seq(toVar), "left_semi")
       }
-      (node.where ++ rel.where).foreach { w =>
+      // var-length rel WHERE was consumed as a per-step pre-filter
+      (node.where ++ rel.where.filter(_ => rel.varLength.isEmpty)).foreach { w =>
         out = out.filter(compile(ctx, afterRel.copy(df = Some(out)), w))
       }
       (afterRel.copy(df = Some(out)), toVar)
@@ -2010,7 +2125,8 @@ object Planner {
           renamed.join(scan, Seq(toVar))
         }
       val env2 = Env(Some(out), afterRel.binds + (toVar -> NodeVar))
-      (node.where ++ rel.where).foreach { w =>
+      // var-length rel WHERE was consumed as a per-step pre-filter
+      (node.where ++ rel.where.filter(_ => rel.varLength.isEmpty)).foreach { w =>
         out = out.filter(compile(ctx, env2.copy(df = Some(out)), w))
       }
       (env2.copy(df = Some(out)), toVar)

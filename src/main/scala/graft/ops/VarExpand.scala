@@ -39,7 +39,8 @@ object VarExpand {
       minHops: Int, maxHops: Int,
       toAlias: String = "end", relsAlias: String = "rels",
       depthAlias: String = "depth",
-      edgeFilter: Option[Column] = None): DataFrame = {
+      edgeFilter: Option[Column] = None,
+      baseRels: Option[DataFrame] = None): DataFrame = {
     require(minHops >= 0 && maxHops >= minHops && maxHops <= 30,
       s"varExpand bounds out of range: $minHops..$maxHops")
 
@@ -47,10 +48,22 @@ object VarExpand {
     // of `[r:T*1..3 {k: v}]` — every traversed rel must match) is applied
     // BEFORE orientation drops property columns
     // no per-step property predicate → the warm compact topology suffices;
-    // with one, raw rels keep the property columns the filter reads
-    val base = direction match {
-      case Direction.Both => if (edgeFilter.isEmpty) g.undirectedTopo else g.undirectedRels
-      case _              => if (edgeFilter.isEmpty) g.topology else g.rels
+    // with one, raw rels keep the property columns the filter reads. A
+    // caller that pre-filtered the raw rels (per-step WHERE) overrides.
+    val base = baseRels match {
+      case Some(b) => direction match {
+        case Direction.Both =>
+          val swapped = b
+            .withColumnRenamed("src", "__tmp_src")
+            .withColumnRenamed("dst", "src")
+            .withColumnRenamed("__tmp_src", "dst")
+          b.unionByName(swapped.select(b.columns.map(col).toIndexedSeq: _*))
+        case _ => b
+      }
+      case None => direction match {
+        case Direction.Both => if (edgeFilter.isEmpty) g.undirectedTopo else g.undirectedRels
+        case _              => if (edgeFilter.isEmpty) g.topology else g.rels
+      }
     }
     val pre = edgeFilter.fold(base)(base.filter)
     val r0 = direction match {

@@ -79,6 +79,32 @@ object CypherQueries {
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_custkey < 50""".stripMargin),
 
+    // per-step WHERE inside a var-length pattern (Cypher 5 inline form;
+    // reference VarLengthExpandPipe.scala:83-123 relationship predicate):
+    // every traversed rel must satisfy it — compiled to an edge-set
+    // pre-filter (stepFilteredRels), so the predicate is evaluated |E|
+    // times total, not once per partial path. PLACED rels carry no qty
+    // (the IS NULL arm admits them); CONTAINS rels filter on qty.
+    cq("q_cypher_var_expand_where",
+      """MATCH (c:Customer)-[rs:PLACED|CONTAINS*2..2 WHERE rs.qty IS NULL OR rs.qty >= 45]->(p:Part)
+        |WHERE c.key < 100
+        |RETURN c.key AS c_key, p.key AS p_key, size(rs) AS depth""".stripMargin,
+      """SELECT c_custkey AS c_key, CAST(l_partkey AS BIGINT) AS p_key, 2 AS depth
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_custkey < 100 AND l_quantity >= 45""".stripMargin),
+
+    // per-step WHERE inside shortestPath: the BFS walks the pre-filtered
+    // edge set (every Part sits exactly 2 hops out via PLACED→CONTAINS)
+    cq("q_cypher_shortest_step_where",
+      """MATCH (c:Customer) WHERE c.key < 20
+        |MATCH p = shortestPath((c)-[r:PLACED|CONTAINS* WHERE r.qty IS NULL OR r.qty >= 45]->(x:Part))
+        |RETURN c.key AS c_key, x.key AS p_key, length(p) AS hops""".stripMargin,
+      """SELECT DISTINCT c_custkey AS c_key, CAST(l_partkey AS BIGINT) AS p_key, 2 AS hops
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_custkey < 20 AND l_quantity >= 45""".stripMargin),
+
     // OPTIONAL MATCH + aggregation over the optional side
     cq("q_cypher_optional",
       """MATCH (n:Nation)

@@ -948,4 +948,53 @@ class CypherSpec extends AnyFunSuite {
       ("Carol", Seq(1L, 2L, 3L), Seq(10L, 11L)),
       ("Dave", Seq(1L, 2L, 3L, 4L), Seq(10L, 11L, 13L))))
   }
+
+  // Per-step WHERE inside var-length patterns (Cypher 5 inline form;
+  // reference VarLengthExpandPipe relationship predicate): every traversed
+  // rel must satisfy it. KNOWS edges: 10(1→2 @2015) 11(2→3 @2018)
+  // 12(1→3 @2020) 13(3→4 @2021).
+  test("var-length per-step WHERE prunes every traversal step") {
+    val rows = run(
+      """MATCH (a:Person {name: 'Alice'})-[rs:KNOWS*1..2 WHERE rs.since >= 2018]->(x)
+        |RETURN x.name AS name, size(rs) AS depth ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    // edge 10 (2015) is pruned, so Bob is unreachable; Carol via 12, Dave on
+    assert(rows.toSeq == Seq(("Carol", 1), ("Dave", 2)))
+  }
+
+  test("shortestPath per-step WHERE forces the detour, not the pruned direct edge") {
+    val rows = run(
+      """MATCH p = shortestPath((a:Person {name: 'Alice'})-[r:KNOWS*..4 WHERE r.since < 2020]->(x))
+        |RETURN x.name AS name, length(p) AS hops ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    // direct Alice→Carol (edge 12 @2020) is pruned: Carol now costs 2 hops
+    // via Bob; Dave is unreachable (edge 13 @2021)
+    assert(rows.toSeq == Seq(("Bob", 1), ("Carol", 2)))
+  }
+
+  test("named-path var-length per-step WHERE runs through Trail") {
+    val rows = run(
+      """MATCH p = (a:Person {name: 'Alice'})-[rs:KNOWS*1..3 WHERE rs.since >= 2018]->(x)
+        |RETURN x.name AS name, relationships(p) AS rels ORDER BY name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    assert(rows.toSeq == Seq(("Carol", Seq(12L)), ("Dave", Seq(12L, 13L))))
+  }
+
+  test("undirected var-length per-step WHERE filters both orientations") {
+    val rows = run(
+      """MATCH (b:Person {name: 'Bob'})-[rs:KNOWS*1..1 WHERE rs.since >= 2018]-(x)
+        |RETURN x.name AS name ORDER BY name""".stripMargin)
+      .collect().map(_.getString(0))
+    // edge 11 (2→3 @2018) passes in the out direction; edge 10 (@2015)
+    // would have reached Alice but is pruned
+    assert(rows.toSeq == Seq("Carol"))
+  }
+
+  test("per-step WHERE may only reference the rel variable itself") {
+    val e = intercept[IllegalArgumentException] {
+      run("""MATCH (a:Person)-[rs:KNOWS*1..2 WHERE rs.since > a.age]->(x)
+            |RETURN x.name AS name""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("only the relationship variable"))
+  }
 }
