@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session factory with the engine's baseline configuration (BASELINE.md):
   * AQE on, shuffle partitions sized to local cores (not 200), UTC, and
@@ -32,4 +33,16 @@ object GraftSession {
     * exact range, so float division could be ±1µs off vs DuckDB. */
   def nanosToTimestamp(tsNanos: Column): Column =
     timestamp_micros((tsNanos.cast("decimal(20,0)") / lit(1000)).cast("long"))
+
+  /** Normalize an event-time column to TimestampType whatever physical type
+    * the driver generated this round: TIMESTAMP(NANOS) parquet arrives as
+    * LONG nanos (under nanosAsLong), tz-naive TIMESTAMP(MICROS) arrives as
+    * TIMESTAMP_NTZ (session timezone is UTC, so the cast is
+    * value-preserving), native TIMESTAMP passes through. */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case LongType         => df.withColumn(c, nanosToTimestamp(col(c)))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case _                => df
+    }
 }

@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
  * versions share the same expressions; these oracle-checked batch forms
  * pin their semantics.
  *
- * events.ts is TIMESTAMP(NANOS) parquet — read as LONG nanos (see
- * GraftSession) and converted; DuckDB reads the same column natively.
+ * events.ts arrives as whatever physical type the driver generated
+ * (LONG nanos under nanosAsLong, or tz-naive TIMESTAMP(MICROS)) —
+ * GraftSession.normalizeTs converts either to TimestampType; DuckDB reads
+ * the same column natively.
  */
 object EventQueries {
   import QueryDef.t
 
   private def events(s: org.apache.spark.sql.SparkSession, d: String) =
-    t(s, d, "events").withColumn("ts", GraftSession.nanosToTimestamp(col("ts")))
+    GraftSession.normalizeTs(t(s, d, "events"))
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -21,23 +21,18 @@ import org.apache.spark.sql.types._
  */
 object EventStreams {
 
-  /** Schema of the driver's events table AFTER nanos→timestamp conversion
-    * (parquet TIMESTAMP(NANOS) arrives as LONG under nanosAsLong). */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Streaming source: file-based micro-batches over an events directory.
     * At cluster scale the same transforms run off Kafka — only this reader
-    * changes. */
+    * changes. The schema is taken from the files themselves (one footer
+    * read) so the stream tracks whatever physical ts type the driver
+    * generated; normalizeTs converts it to TimestampType either way. */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumn("ts", GraftSession.nanosToTimestamp(col("ts")))
+    GraftSession.normalizeTs(
+      spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
 
   /** Tumbling-window counts + sums per event type. With a watermark the
     * state store evicts windows older than the delay — bounded memory on an

@@ -31,8 +31,7 @@ class EventStreamsSpec extends AnyFunSuite {
   }
 
   private def batchEvents =
-    spark.read.parquet(srcParquet)
-      .withColumn("ts", GraftSession.nanosToTimestamp(col("ts")))
+    GraftSession.normalizeTs(spark.read.parquet(srcParquet))
 
   private def runStream(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
     val q = df.writeStream.format("memory").queryName(name)
@@ -120,6 +119,21 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture produced no click->purchase pairs")
   }
 
+  /** One event a week past max(ts) — written in whatever physical ts type
+    * the source files carry, so the appended file unions cleanly. */
+  private def sentinelRow(ev: org.apache.spark.sql.DataFrame) = {
+    val bumped = ev.agg(max(col("ts")).as("ts")).withColumn("ts",
+      ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("ts") + 7L * 24 * 3600 * 1000000000L
+        case _ => col("ts") + expr("INTERVAL 7 DAYS")
+      })
+    ev.limit(1).drop("ts").crossJoin(bumped)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("event_type", lit("sentinel"))
+      .select(ev.columns.map(col): _*)
+  }
+
   test("streaming sequence detection equals the batch machine") {
     // the buffered state machine only releases events the watermark has
     // passed, so a sentinel event far past the real data must flush the
@@ -127,12 +141,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val seqDir = java.nio.file.Files.createTempDirectory("graft_events_seq").toString
     val ev = spark.read.parquet(streamDir)
     ev.coalesce(1).write.mode("append").parquet(seqDir)
-    val maxTs = ev.agg(max(col("ts"))).collect()(0).getLong(0)
-    ev.limit(1)
-      .withColumn("ts", lit(maxTs + 7L * 24 * 3600 * 1000000000L))
-      .withColumn("user_id", lit(-1L))
-      .withColumn("event_type", lit("sentinel"))
-      .coalesce(1).write.mode("append").parquet(seqDir)
+    sentinelRow(ev).coalesce(1).write.mode("append").parquet(seqDir)
 
     val types = Seq("signup", "click", "purchase")
     val stream = EventStreams.readEvents(spark, seqDir)
@@ -158,12 +167,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val ev = spark.read.parquet(streamDir)
     ev.orderBy(hash(col("event_id"))).coalesce(1)
       .write.mode("append").parquet(shufDir)
-    val maxTs = ev.agg(max(col("ts"))).collect()(0).getLong(0)
-    ev.limit(1)
-      .withColumn("ts", lit(maxTs + 7L * 24 * 3600 * 1000000000L))
-      .withColumn("user_id", lit(-1L))
-      .withColumn("event_type", lit("sentinel"))
-      .coalesce(1).write.mode("append").parquet(shufDir)
+    sentinelRow(ev).coalesce(1).write.mode("append").parquet(shufDir)
     val q = EventStreams.sequenceDetect(EventStreams.readEvents(spark, shufDir), types)
       .writeStream.format("memory").queryName("seqshuf")
       .outputMode("append").start()

@@ -95,10 +95,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("funnel join pushes the event-type filters to both scans") {
-    val ev = TestSession.spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", graft.GraftSession.nanosToTimestamp(
-        org.apache.spark.sql.functions.col("ts")))
+    val ev = graft.GraftSession.normalizeTs(TestSession.spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet"))
     val plan = graft.streaming.EventStreams.funnelJoin(ev, ev)
       .queryExecution.executedPlan.toString
     assert(plan.contains("EqualTo(event_type,click)") &&
