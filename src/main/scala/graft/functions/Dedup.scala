@@ -297,6 +297,62 @@ object Dedup {
       .select("idA", "idB", "hamming").dropDuplicates("idA", "idB")
   }
 
+  /**
+   * Exact-substring duplicate SPANS (the Lee et al. 2022 "Deduplicating
+   * Training Data Makes Language Models Better" ExactSubstr operator,
+   * re-expressed for Spark): every maximal character range of a document
+   * that is covered by a length-`k` substring occurring >= 2 times anywhere
+   * in the corpus (other documents or elsewhere in the same one). The
+   * pipeline step that consumes this trims the spans out of the text.
+   *
+   * The reference implementation builds a suffix array over the whole
+   * corpus — a single-node construction. The Spark-native equivalent is
+   * gram-positional: (1) explode each doc into its len-k+1 positional
+   * k-grams, reduced immediately to 8-byte xxhash64 keys so the shuffle
+   * rows stay narrow; (2) one map-side-combinable groupBy finds grams with
+   * global count >= 2; (3) a semi-join marks duplicated positions; (4) a
+   * per-document window merges overlapping [pos, pos+k) covers into maximal
+   * spans. Shuffle profile at 100 TB: stage 2 keys are 8-byte hashes
+   * (partial aggregation collapses the long tail of unique grams map-side),
+   * stage 3 re-shuffles only the surviving duplicate grams, stage 4
+   * partitions by doc id — never wider than the corpus itself, and the
+   * quadratic suffix-array memory of the reference design is gone entirely.
+   * Collisions (~positions²/2^64) can only over-mark a span, never crash.
+   *
+   * Output: (id LONG, start LONG, end LONG, chars LONG) — 1-based inclusive
+   * character interval [start, end], one row per maximal duplicated span.
+   */
+  def exactSubstrSpans(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= k)
+      .select(col("id"),
+        explode(sequence(lit(1), col("len") - (k - 1))).as("pos"),
+        col("text"))
+      .select(col("id"), col("pos"),
+        xxhash64(col("text").substr(col("pos"), lit(k))).as("gh"))
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gh")
+    val dupPos = grams.join(dupGrams, Seq("gh"), "left_semi")
+    val w = Window.partitionBy("id").orderBy("pos")
+    dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      // a new span starts when this gram's cover [pos, pos+k-1] no longer
+      // overlaps-or-abuts the previous cover (positions are sorted, so the
+      // running max covered end is lag(pos)+k-1)
+      .withColumn("newg",
+        when(col("prev").isNull || col("pos") > col("prev") + (k - 1), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("newg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("end"))
+      .withColumn("chars", col("end") - col("start") + 1)
+      .select("id", "start", "end", "chars")
+  }
+
   /** Exact word-set Jaccard similarity for all pairs within a blocking key —
     * the verification metric, and a standalone dedup for modest blocks.
     * blockCols bound the quadratic join (never all-pairs at scale). */

@@ -84,6 +84,28 @@ object PipelineQueries {
              |WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
              |      len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5""".stripMargin)),
 
+    // ExactSubstr duplicate spans (Lee et al. 2022): maximal character
+    // ranges covered by a 40-char substring that occurs >= 2 times anywhere
+    // in the corpus. Gram-positional Spark design (hashed k-grams + one
+    // count shuffle + per-doc interval merge) replaces the reference
+    // suffix-array build; fully deterministic → exact DuckDB oracle.
+    QueryDef("q_dedup_substr",
+      (s, d) => Dedup.exactSubstrSpans(docs(s, d), k = 40),
+      Some("""WITH d AS (SELECT doc_id AS id, text, length(text) AS n FROM documents),
+             |p AS (SELECT id, i AS pos, substr(text, CAST(i AS INT), 40) AS gram
+             |  FROM d, LATERAL (SELECT unnest(range(1, n - 38)) AS i) t
+             |  WHERE n >= 40),
+             |r AS (SELECT gram FROM p GROUP BY gram HAVING count(*) >= 2),
+             |dp AS (SELECT p.id, p.pos FROM p JOIN r USING (gram)),
+             |f AS (SELECT id, pos, CASE WHEN lag(pos) OVER w IS NULL
+             |      OR pos > lag(pos) OVER w + 39 THEN 1 ELSE 0 END AS newg
+             |  FROM dp WINDOW w AS (PARTITION BY id ORDER BY pos)),
+             |g AS (SELECT id, pos, sum(newg) OVER (PARTITION BY id ORDER BY pos) AS grp
+             |  FROM f)
+             |SELECT id, min(pos) AS start, max(pos) + 39 AS "end",
+             |  max(pos) + 39 - min(pos) + 1 AS chars
+             |FROM g GROUP BY id, grp""".stripMargin)),
+
     // MinHash+LSH near-dup (sketch → band-bucket join → exact verify).
     // Probabilistic pipeline: validated against exact Jaccard in DedupSpec;
     // rows-only check here.
