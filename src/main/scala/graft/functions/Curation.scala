@@ -152,6 +152,52 @@ object Curation {
    *
    * @return (idCol, term, score DOUBLE 4dp, rank 1..k)
    */
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+   * Models via Importance Resampling"): score every document by how much
+   * more likely its tokens are under the target distribution than under
+   * the raw-corpus distribution, estimated with add-α-smoothed unigram
+   * counts over the shared corpus vocabulary. The weight is the mean
+   * per-token-occurrence log ratio ln(p_target(w)/p_raw(w)); the
+   * downstream resampling step keeps documents with probability
+   * proportional to exp(weight) (graft's stratifiedSample/qualityBuckets
+   * consume the emitted weights).
+   *
+   * Scale shape: one token-count shuffle with map-side partial aggregation
+   * (result is vocabulary-bounded), totals as a broadcast one-row
+   * relation, the per-token log-ratio table joins back to the exploded
+   * corpus on the token key, and the per-doc mean partial-aggregates —
+   * the same profile as tf-idf, and the corpus text shuffles only once.
+   *
+   * @param isTarget row predicate defining the target distribution (a
+   *                 curated high-quality subset of the same frame)
+   * @return (id, dsir_weight DOUBLE, ntok LONG) — weight 0.0 for docs with
+   *         no tokens
+   */
+  def dsirWeights(df: DataFrame, isTarget: Column, idCol: String = "id",
+      textCol: String = "text", alpha: Double = 1.0): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), isTarget.as("__tgt"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("__w"))
+    val stats = toks.groupBy("__w").agg(
+      count(lit(1)).as("__rc"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tc"))
+    val totals = stats.agg(sum("__rc").as("__rtot"), sum("__tc").as("__ttot"),
+      count(lit(1)).as("__vocab"))
+    val lw = stats.crossJoin(broadcast(totals))
+      .select(col("__w"),
+        (log((col("__tc") + alpha) / (col("__ttot") + lit(alpha) * col("__vocab"))) -
+          log((col("__rc") + alpha) / (col("__rtot") + lit(alpha) * col("__vocab"))))
+          .as("__lw"))
+    val perDoc = toks.join(lw, Seq("__w"))
+      .groupBy("id")
+      .agg(avg(col("__lw")).as("dsir_weight"), count(lit(1)).as("ntok"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"),
+        coalesce(col("ntok"), lit(0L)).as("ntok"))
+  }
+
   def tfidfTopTerms(df: DataFrame, k: Int, idCol: String = "id",
       textCol: String = "text"): DataFrame = {
     val n = df.count()

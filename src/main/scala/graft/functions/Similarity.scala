@@ -328,6 +328,50 @@ object Similarity {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): cluster the embedding
+   * space, then within each cluster drop every member whose cosine
+   * similarity to a kept member reaches `tau`, keeping — per the paper —
+   * the candidate with the LOWEST similarity to its cluster centroid
+   * (rank = centroid-sim ascending, ties by id; a member is dropped iff
+   * some lower-ranked member is within tau).
+   *
+   * Scale shape: clustering is the bounded-state spherical k-means above
+   * (k·dim driver scalars); the final per-cluster mean centroid is one
+   * posexplode aggregate reassembled as an array column (no collect); the
+   * quadratic pair check is confined WITHIN clusters — k is chosen so
+   * |cluster| ≈ corpus/k stays small (the paper runs 50k clusters for
+   * LAION-440M), so the self-join shuffles on cluster id and never goes
+   * corpus-quadratic. Cosine is scale-invariant, so the mean centroid
+   * needs no re-normalization for ranking.
+   *
+   * @return (id LONG, cluster INT, keep BOOLEAN) — one row per input vector
+   */
+  def semanticDedup(vecs: DataFrame, k: Int, iters: Int, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs.select(col("id"), asDouble(col("vec")).as("v"))
+    val member = v.join(kmeansAssign(v.select(col("id"), col("v").as("vec")), k, iters), Seq("id"))
+    val cent = member.select(col("cluster"), posexplode(col("v")))
+      .groupBy("cluster", "pos").agg(avg(col("col")).as("m"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m")).as("cv"))
+    val ranked = member.join(cent, Seq("cluster"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(cosine(col("v"), col("cv")).asc, col("id").asc)))
+      .drop("cv")
+    val a = ranked.select(col("cluster"), col("rk").as("rkA"), col("v").as("vA"))
+    val b = ranked.select(col("cluster"), col("rk").as("rkB"),
+      col("id").as("idB"), col("v").as("vB"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("rkA") < col("rkB") && cosine(col("vA"), col("vB")) >= tau)
+      .select(col("idB").as("id")).distinct().withColumn("dropped", lit(true))
+    ranked.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("dropped").isNull.as("keep"))
+  }
+
+  /**
    * Product-quantization ANN (Jégou/Douze/Schmid, "Product Quantization
    * for Nearest Neighbor Search", TPAMI 2011) — the memory-scale path for
    * ANN over a 100 TB corpus: each unit-normalized vector compresses to m

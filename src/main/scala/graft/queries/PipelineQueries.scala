@@ -174,6 +174,52 @@ object PipelineQueries {
              |  WHERE rk = 1)
              |SELECT id, CAST(cid AS INT) AS cluster FROM a2""".stripMargin)),
 
+    // SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    // within each cluster drop members within cosine tau of a kept,
+    // lower-centroid-sim member. Deterministic end to end (same replayed
+    // k-means as q_kmeans + a final mean centroid + ranked pair prune), so
+    // the whole pipeline oracle-checks in DuckDB. tau=0.45 sits 5.5e-4
+    // from the nearest corpus pair — no fp-boundary flakes cross-engine.
+    QueryDef("q_dedup_semantic",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.semanticDedup(
+          emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          k = 4, iters = 2, tau = 0.45)
+      },
+      Some("""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             |    FROM embeddings),
+             |init AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1
+             |    AS INT) AS cid
+             |  FROM (SELECT id FROM emb ORDER BY id LIMIT 4)),
+             |c0 AS (SELECT i.cid, e.v FROM init i JOIN emb e USING (id)),
+             |d1 AS (SELECT e.id, c.cid, list_cosine_similarity(e.v, c.v) AS s
+             |  FROM emb e, c0 c),
+             |a1 AS (SELECT id, cid FROM (SELECT id, cid, row_number() OVER (
+             |    PARTITION BY id ORDER BY s DESC, cid ASC) AS rk FROM d1)
+             |  WHERE rk = 1),
+             |pos AS (SELECT unnest(range(1, 65)) AS ord),
+             |m1 AS (SELECT a.cid, p.ord, avg(e.v[p.ord]) AS cv
+             |  FROM a1 a JOIN emb e USING (id), pos p GROUP BY a.cid, p.ord),
+             |c1 AS (SELECT cid, list(cv ORDER BY ord) AS v FROM m1 GROUP BY cid),
+             |d2 AS (SELECT e.id, c.cid, list_cosine_similarity(e.v, c.v) AS s
+             |  FROM emb e, c1 c),
+             |a2 AS (SELECT id, cid FROM (SELECT id, cid, row_number() OVER (
+             |    PARTITION BY id ORDER BY s DESC, cid ASC) AS rk FROM d2)
+             |  WHERE rk = 1),
+             |m2 AS (SELECT a.cid, p.ord, avg(e.v[p.ord]) AS cv
+             |  FROM a2 a JOIN emb e USING (id), pos p GROUP BY a.cid, p.ord),
+             |c2 AS (SELECT cid, list(cv ORDER BY ord) AS v FROM m2 GROUP BY cid),
+             |rnk AS (SELECT a.id, a.cid, e.v, row_number() OVER (
+             |    PARTITION BY a.cid
+             |    ORDER BY list_cosine_similarity(e.v, c.v) ASC, a.id ASC) AS rk
+             |  FROM a2 a JOIN emb e USING (id) JOIN c2 c ON a.cid = c.cid),
+             |drp AS (SELECT DISTINCT b.id FROM rnk a JOIN rnk b
+             |  ON a.cid = b.cid AND a.rk < b.rk
+             |  AND list_cosine_similarity(a.v, b.v) >= 0.45)
+             |SELECT r.id, CAST(r.cid AS INT) AS cluster, d.id IS NULL AS keep
+             |FROM rnk r LEFT JOIN drp d ON r.id = d.id""".stripMargin)),
+
     // LSH-bucketed ANN (scale path) + embedding-cosine near-dup pairs —
     // approximate by construction: recall measured against brute force in
     // SimilaritySpec; rows-only here.
@@ -595,6 +641,32 @@ object PipelineQueries {
              |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
              |    ORDER BY score DESC, term ASC) AS rank FROM scored)
              |WHERE rank <= 3""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023): mean per-token log ratio
+    // of add-1-smoothed unigram probabilities, target = English docs vs
+    // the whole corpus. Deterministic up to fp summation order → 4dp.
+    QueryDef("q_dsir_weights",
+      (s, d) => graft.functions.Curation.dsirWeights(
+        docs(s, d), isTarget = col("lang") === "en")
+        .select(col("id"), round(col("dsir_weight"), 4).as("dsir_weight"),
+          col("ntok")),
+      Some("""WITH d AS (SELECT doc_id AS id, lang, text FROM documents),
+             |tk AS (SELECT id, lang = 'en' AS tgt,
+             |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             |      w -> length(w) > 0)) AS w
+             |  FROM d),
+             |st AS (SELECT w, count(*) AS rc, count(*) FILTER (tgt) AS tc
+             |  FROM tk GROUP BY w),
+             |tot AS (SELECT CAST(sum(rc) AS DOUBLE) AS rtot,
+             |    CAST(sum(tc) AS DOUBLE) AS ttot, count(*) AS vocab FROM st),
+             |lw AS (SELECT w, ln((tc + 1.0) / (ttot + vocab))
+             |    - ln((rc + 1.0) / (rtot + vocab)) AS lw
+             |  FROM st, tot),
+             |pd AS (SELECT t.id, avg(l.lw) AS wt, count(*) AS ntok
+             |  FROM tk t JOIN lw l USING (w) GROUP BY t.id)
+             |SELECT d.id, round(coalesce(pd.wt, 0.0), 4) AS dsir_weight,
+             |  coalesce(pd.ntok, 0) AS ntok
+             |FROM d LEFT JOIN pd USING (id)""".stripMargin)),
 
     // Corpus mixing weights: reshape the token distribution to target
     // shares (en 60%, fr 20%, residual split by actual share).

@@ -11,6 +11,23 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
 
+  test("dsirWeights ranks target-like docs above mixed above off-target") {
+    val d = Seq(
+      (1L, "good fine good"), (2L, "good fine nice"), // target
+      (3L, "bad ugly bad"),                           // raw only
+      (4L, "good bad"),                               // mixed
+      (5L, "")                                        // empty
+    ).toDF("id", "text")
+    val w = Curation.dsirWeights(d, isTarget = col("id") <= 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(w.size === 5)
+    assert(w(1L)._1 > w(4L)._1 && w(4L)._1 > w(3L)._1,
+      s"expected target > mixed > off-target: $w")
+    assert(w(1L)._1 > 0 && w(3L)._1 < 0, s"signs: $w")
+    assert(w(5L) === ((0.0, 0L)), s"empty doc: ${w(5L)}")
+    assert(w(4L)._2 === 2L, s"ntok counts occurrences: ${w(4L)}")
+  }
+
   test("decontaminate counts distinct overlapping n-grams per corpus doc") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -97,6 +97,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!m.contains((0L, 3L)), "unrelated pair must not survive")
   }
 
+  test("exactSubstrSpans finds planted cross-doc and periodic in-doc spans") {
+    val shared = ('a' to 'z').mkString + "0123456789ABCDEFGHIJKLMN" // 50 chars
+    val d = Seq(
+      (1L, "Q" * 10 + shared + "R" * 10),  // shared at chars 11..60
+      (2L, "S" * 10 + shared + "T" * 10),
+      (3L, ('a' to 'z').mkString + ('A' to 'Z').mkString), // 52 uniq chars
+      (4L, "ab" * 40)                      // period-2: every 40-gram repeats
+    ).toDF("id", "text")
+    val spans = Dedup.exactSubstrSpans(d, k = 40).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(spans(1L) === Set((11L, 60L, 50L)), s"doc1: ${spans.get(1L)}")
+    assert(spans(2L) === Set((11L, 60L, 50L)), s"doc2: ${spans.get(2L)}")
+    assert(!spans.contains(3L), "unique doc must produce no spans")
+    assert(spans(4L) === Set((1L, 80L, 80L)), s"doc4: ${spans.get(4L)}")
+  }
+
   test("ngramJaccardPairs computes exact word-set jaccard") {
     val d = Seq((0L, "a b c d", "x"), (1L, "a b c e", "x"), (2L, "z", "x"))
       .toDF("id", "text", "blk")

@@ -175,6 +175,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cells.select("id").distinct().count() == 60)
   }
 
+  test("semanticDedup drops exactly one of a planted identical pair, keeps distinct members") {
+    // two well-separated blobs; ids 2 and 3 are identical vectors in blob A
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f)), (2L, Array(0.9f, 0.0f, 0.1f)),
+      (3L, Array(0.9f, 0.0f, 0.1f)),
+      (10L, Array(0.0f, 1.0f, 0.05f)), (11L, Array(0.1f, 0.9f, 0.0f))
+    ).toDF("id", "vec")
+    val out = Similarity.semanticDedup(vecs, k = 2, iters = 3, tau = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 5)
+    // identical pair: tie on centroid-sim breaks by id → 2 kept, 3 dropped
+    assert(out(2L) && !out(3L), s"expected keep(2) drop(3): $out")
+    assert(out(1L) && out(10L) && out(11L), s"distinct members must survive: $out")
+    val rerun = Similarity.semanticDedup(vecs, k = 2, iters = 3, tau = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == rerun, "semanticDedup must replay identically")
+  }
+
   test("cosineNearDup finds planted duplicate vector") {
     val base = Array.fill(8)(1.0f)
     val dup = base.clone(); dup(0) = 0.99f
