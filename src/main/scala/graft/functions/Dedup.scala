@@ -332,9 +332,12 @@ object Dedup {
         col("text"))
       .select(col("id"), col("pos"),
         xxhash64(col("text").substr(col("pos"), lit(k))).as("gh"))
-    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select("gh")
-    val dupPos = grams.join(dupGrams, Seq("gh"), "left_semi")
+    // duplicated positions in ONE shuffle: a count window keyed on the gram
+    // hash (an aggregate + semi-join back would re-evaluate the explode
+    // subtree twice and shuffle it twice)
+    val dupPos = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("c") >= 2).select("id", "pos")
     val w = Window.partitionBy("id").orderBy("pos")
     dupPos
       .withColumn("prev", lag(col("pos"), 1).over(w))

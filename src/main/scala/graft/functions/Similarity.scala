@@ -351,21 +351,29 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val v = vecs.select(col("id"), asDouble(col("vec")).as("v"))
     val member = v.join(kmeansAssign(v.select(col("id"), col("v").as("vec")), k, iters), Seq("id"))
+    // final per-cluster MEAN centroid over the raw vectors (matches the
+    // oracle replay; cosine ranking is invariant to centroid scale)
     val cent = member.select(col("cluster"), posexplode(col("v")))
       .groupBy("cluster", "pos").agg(avg(col("col")).as("m"))
       .groupBy("cluster")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x("m")).as("cv"))
+    // unit-normalize each vector ONCE so the quadratic pair stage needs a
+    // single fused dot per pair instead of dot + two norms
     val ranked = member.join(cent, Seq("cluster"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("cluster")
           .orderBy(cosine(col("v"), col("cv")).asc, col("id").asc)))
-      .drop("cv")
-    val a = ranked.select(col("cluster"), col("rk").as("rkA"), col("v").as("vA"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("u", when(col("nrm") === 0, col("v"))
+        .otherwise(transform(col("v"), x => x / col("nrm"))))
+      .select("id", "cluster", "rk", "u")
+      .localCheckpoint(false) // reused by both pair sides + the output join
+    val a = ranked.select(col("cluster"), col("rk").as("rkA"), col("u").as("uA"))
     val b = ranked.select(col("cluster"), col("rk").as("rkB"),
-      col("id").as("idB"), col("v").as("vB"))
+      col("id").as("idB"), col("u").as("uB"))
     val dropped = a.join(b, Seq("cluster"))
-      .filter(col("rkA") < col("rkB") && cosine(col("vA"), col("vB")) >= tau)
+      .filter(col("rkA") < col("rkB") && dot(col("uA"), col("uB")) >= tau)
       .select(col("idB").as("id")).distinct().withColumn("dropped", lit(true))
     ranked.join(dropped, Seq("id"), "left")
       .select(col("id"), col("cluster"), col("dropped").isNull.as("keep"))

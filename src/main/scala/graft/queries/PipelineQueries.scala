@@ -185,13 +185,13 @@ object PipelineQueries {
         val emb = t(s, d, "embeddings")
         Similarity.semanticDedup(
           emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
-          k = 4, iters = 2, tau = 0.45)
+          k = 8, iters = 2, tau = 0.45)
       },
       Some("""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              |    FROM embeddings),
              |init AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1
              |    AS INT) AS cid
-             |  FROM (SELECT id FROM emb ORDER BY id LIMIT 4)),
+             |  FROM (SELECT id FROM emb ORDER BY id LIMIT 8)),
              |c0 AS (SELECT i.cid, e.v FROM init i JOIN emb e USING (id)),
              |d1 AS (SELECT e.id, c.cid, list_cosine_similarity(e.v, c.v) AS s
              |  FROM emb e, c0 c),

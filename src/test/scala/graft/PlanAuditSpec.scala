@@ -220,6 +220,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"node similarity went cartesian:\n${plan.take(2000)}")
   }
 
+  test("exactSubstrSpans hashes grams and stays off cartesian joins") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0L until 50L).map(i => (i, ("x" * 30) + s"unique $i tail " + ("y" * 30)))
+      .toDF("id", "text")
+    val plan = graft.functions.Dedup.exactSubstrSpans(docs, 40)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), "grams not reduced to hashes before the shuffle")
+    assert(!plan.contains("CartesianProduct"),
+      s"substring dedup went cartesian:\n${plan.take(2000)}")
+    // exactly one gram-keyed exchange + one doc-keyed exchange feed the two
+    // windows — the gram count must NOT aggregate-then-rejoin (twice the
+    // explode, twice the shuffle)
+    val exchanges = plan.split("\n").count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"extra shuffles in span pipeline ($exchanges):\n${plan.take(3000)}")
+  }
+
+  test("semanticDedup's pair stage joins on cluster id with single-dot pairs") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = (0L until 120L)
+      .map(i => (i, Array.tabulate(8)(j => ((i % 4) + j).toFloat))).toDF("id", "vec")
+    val plan = graft.functions.Similarity.semanticDedup(vecs, 2, 2, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic dedup went corpus-cartesian:\n${plan.take(2000)}")
+  }
+
   test("whole-stage codegen covers the expression pipeline") {
     val df = Cypher.run(spark, g,
       """MATCH (c:Customer) WHERE c.name ENDS WITH '1'
