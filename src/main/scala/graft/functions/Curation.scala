@@ -102,6 +102,47 @@ object Curation {
   }
 
   /**
+   * Gopher rule-based quality filter (Rae et al. 2021 §A1.1): the
+   * word-level document filters — word count in [minWords, maxWords],
+   * mean word length in [3, 10], symbol-to-word ratio ('#' and '...')
+   * below 0.1, ≥80 % of words containing an alphabetic character, and at
+   * least two English stopwords. Emits every signal plus per-document
+   * `keep`, so downstream stages can re-cut thresholds without recomputing.
+   *
+   * Scale shape: a single narrow map over the corpus — every signal is a
+   * codegen'd higher-order function on the materialized token array (one
+   * tokenize per row, attribute-referenced so lambdas don't re-evaluate the
+   * split), no shuffle, no UDF.
+   */
+  def gopherRules(df: DataFrame, idCol: String = "id", textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    df.withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      .withColumn("mean_word_len",
+        when(col("n_words") === 0, lit(0.0)).otherwise(round(
+          aggregate(col("__toks"), lit(0L), (a, t) => a + length(t))
+            .cast("double") / col("n_words"), 4)))
+      .withColumn("stopword_count", TextFunctions.stopwordCount(col(textCol)))
+      .withColumn("symbol_ratio",
+        (regexp_count(col(textCol), lit("#")) +
+          regexp_count(col(textCol), lit("\\.\\.\\."))).cast("double") /
+          greatest(col("n_words"), lit(1L)))
+      .withColumn("alpha_word_ratio",
+        when(col("n_words") === 0, lit(0.0)).otherwise(
+          size(filter(col("__toks"), t => t.rlike("[A-Za-z]")))
+            .cast("double") / col("n_words")))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3, 10) &&
+          col("symbol_ratio") < 0.1 &&
+          col("alpha_word_ratio") >= 0.8 &&
+          col("stopword_count") >= 2)
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("stopword_count"), round(col("symbol_ratio"), 4).as("symbol_ratio"),
+        round(col("alpha_word_ratio"), 4).as("alpha_word_ratio"), col("keep"))
+  }
+
+  /**
    * Bigram language-model quality score — the CCNet-style "perplexity
    * against a reference LM" corpus filter (Wenzek et al., CCNet, 2020),
    * self-trained here: fit add-α-smoothed bigram/unigram counts on the

@@ -327,6 +327,38 @@ object Procedures {
     }
   })
 
+  /** graft.allPairsShortestPaths(weightProp[, defaultWeight[, relTypes[,
+    * direction[, maxIter]]]]) — all-pairs shortest path costs (reference
+    * graph-algo FloydWarshall.java, which is O(V^3) time / O(V^2) memory
+    * and documented for small dense graphs; same operating envelope here).
+    * Every node seeds ONE shared Bellman-Ford frontier, so the work is
+    * O(V·E) spread over hop-bounded rounds with two (source, node)-keyed
+    * shuffles per round — nothing materializes a V×V matrix, and at 100 TB
+    * the caller restricts to a subgraph or pivot set first (as with
+    * closeness centrality). YIELDs (sourceNode, targetNode, totalCost);
+    * the self-pair (v, v, 0.0) is included, matching FloydWarshall's
+    * zero-initialized diagonal. */
+  register("graft.allpairsshortestpaths", (spark, g, args) => {
+    val prop = args(0).asInstanceOf[String]
+    val defaultW = args.lift(1).collect { case n: Number => n.doubleValue }
+    val types = relTypesArg(args.lift(2))
+    val direction = args.lift(3).map(_.toString.toUpperCase).getOrElse("OUT")
+    val maxIter = args.lift(4).collect { case n: Number => n.intValue }.getOrElse(50)
+    val we = weightedEdges(g, prop, defaultW, types)
+    val rev = we.select(col("id"), col("dst").as("src"), col("src").as("dst"),
+      col("weight"))
+    val e = direction match {
+      case "OUT"  => we
+      case "IN"   => rev
+      case "BOTH" => we.unionByName(rev)
+      case other  => throw new IllegalArgumentException(
+        s"direction must be OUT, IN or BOTH, got $other")
+    }
+    graft.ops.WeightedPaths.shortestPaths(e, g.nodes.select(col("id").as("source")), maxIter)
+      .select(col("source").as("sourceNode"), col("node").as("targetNode"),
+        col("dist").as("totalCost"))
+  })
+
   /** db.index.vector.queryNodes(indexNameOrProp, k, queryVec): brute-force
     * cosine top-k (reference VectorIndexProcedures.java:144). Index names
     * come from `CREATE VECTOR INDEX … FOR (n:Label) ON (n.prop)` and scope

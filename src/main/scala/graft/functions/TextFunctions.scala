@@ -60,6 +60,11 @@ object TextFunctions {
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  /** Number of tokens that are English stopwords (Gopher's "must contain
+    * ≥2 stopwords" rule counts hits, not the ratio). */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(lower(text)), t => t.isin(enStop.map(lit): _*))).cast("long")
+
   /** Fraction of tokens that are English stopwords. */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(lower(text))
@@ -162,4 +167,22 @@ object TextFunctions {
 
   def duplicateNgramFraction(text: Column, n: Int): Column =
     duplicateNgramFractionOf(shingles(text, n), tokenCount(text), n)
+
+  /** Shannon entropy (bits/char) of the document's character distribution —
+    * the classic randomness/spam signal (near 0 = one repeated char, ~4.x =
+    * normal prose, high = encoded blobs/minified junk). Newlines are
+    * excluded ('.' does not match them — same in RE2, so the oracle
+    * replays exactly). Computed entirely map-side with higher-order
+    * functions over the char array: per-row cost is
+    * O(|distinct chars| × |chars|), no shuffle, no UDF. The distinct pass
+    * keeps first-occurrence order, so the fp summation order is
+    * deterministic per document. */
+  def charEntropy(text: Column): Column = {
+    val chars = regexp_extract_all(text, lit("."), lit(0))
+    val n = size(chars).cast("double")
+    val counts = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast("double"))
+    when(n === 0, lit(0.0)).otherwise(
+      -aggregate(counts, lit(0.0), (acc, k) => acc + (k / n) * log2(k / n)))
+  }
 }

@@ -385,6 +385,34 @@ object PathQueries {
              |SELECT CAST(hops AS INT) AS hops, count(*) AS n
              |FROM p WHERE node = 33 GROUP BY hops""".stripMargin)),
 
+    // All-pairs shortest path costs on the directed weighted grid
+    // (reference graph-algo FloydWarshall.java): every node seeds one
+    // shared Bellman-Ford frontier — no V×V matrix, no per-pair jobs. The
+    // grid's right/down orientation is a DAG, so the oracle's recursive
+    // CTE enumerates every monotone path (hop-bounded at 18) and takes the
+    // per-pair minimum.
+    QueryDef("q_all_pairs_shortest",
+      (s, d) => graft.cypher.Cypher.run(s, gridGraph(s, d),
+        """CALL graft.allPairsShortestPaths('w')
+          |YIELD sourceNode, targetNode, totalCost
+          |RETURN sourceNode, targetNode, totalCost""".stripMargin),
+      Some("""WITH RECURSIVE grid AS (
+             |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
+             |  WHERE c_custkey BETWEEN 1 AND 100),
+             |e AS (
+             |  SELECT k AS s, k + 1 AS d, 1.0 + k % 3 AS w FROM grid
+             |  WHERE k % 10 < 9
+             |  UNION ALL SELECT k, k + 10, 1.0 + k % 5 FROM grid WHERE k < 90),
+             |p AS (
+             |  SELECT k AS src, k AS node, CAST(0 AS DOUBLE) AS dist, 0 AS hops
+             |  FROM grid
+             |  UNION ALL
+             |  SELECT p.src, e.d, p.dist + e.w, p.hops + 1
+             |  FROM p JOIN e ON e.s = p.node WHERE p.hops < 18)
+             |SELECT src AS sourceNode, node AS targetNode,
+             |  min(dist) AS totalCost
+             |FROM p GROUP BY 1, 2""".stripMargin)),
+
     // SHORTEST with VAR-LENGTH branches inside an alternation (reference
     // NFA.scala arbitrary regular path patterns): {1,2} traversals of
     // (E*1..2 | E*3..3) reach exactly the rel-path lengths 1..6, so on the

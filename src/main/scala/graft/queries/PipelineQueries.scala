@@ -402,6 +402,53 @@ object PipelineQueries {
              |SELECT doc_id, round(len_score * 0.3 + alpha * 0.3 + punct_score * 0.2 + stop_score * 0.2, 4) AS quality
              |FROM m""".stripMargin)),
 
+    // Gopher rule-based quality filters (Rae et al. 2021 §A1.1): word
+    // count, mean word length, symbol-to-word ratio, alphabetic-word
+    // ratio, stopword count — each signal plus the combined keep verdict,
+    // replayed exactly by the oracle. One narrow map, no shuffle.
+    QueryDef("q_gopher_rules",
+      (s, d) => graft.functions.Curation.gopherRules(docs(s, d)),
+      Some("""WITH tk AS (SELECT doc_id AS id, text,
+             |    list_filter(string_split_regex(text, '\s+'),
+             |      w -> length(w) > 0) AS ws
+             |  FROM documents),
+             |sig AS (SELECT id,
+             |    CAST(len(ws) AS BIGINT) AS n_words,
+             |    CASE WHEN len(ws) = 0 THEN 0.0 ELSE round(
+             |      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+             |        / len(ws), 4) END AS mean_word_len,
+             |    CAST(len(list_filter(ws, w -> list_contains(
+             |      ['the','a','of','and','to','in','is','on','for','with'],
+             |      lower(w)))) AS BIGINT) AS stopword_count,
+             |    CAST(len(regexp_extract_all(text, '#'))
+             |      + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+             |      / greatest(len(ws), 1) AS symbol_ratio,
+             |    CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+             |      CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+             |        AS DOUBLE) / len(ws) END AS alpha_word_ratio
+             |  FROM tk)
+             |SELECT id, n_words, mean_word_len, stopword_count,
+             |  round(symbol_ratio, 4) AS symbol_ratio,
+             |  round(alpha_word_ratio, 4) AS alpha_word_ratio,
+             |  n_words BETWEEN 50 AND 100000
+             |    AND mean_word_len BETWEEN 3 AND 10
+             |    AND symbol_ratio < 0.1 AND alpha_word_ratio >= 0.8
+             |    AND stopword_count >= 2 AS keep
+             |FROM sig""".stripMargin)),
+
+    // Character-entropy quality signal (bits/char): low = repeated-char
+    // spam, high = encoded blobs. Map-side higher-order functions only; the
+    // oracle re-derives the same distribution with an unnest + groupBy.
+    QueryDef("q_char_entropy",
+      (s, d) => docs(s, d).select(col("id"),
+        round(TextFunctions.charEntropy(col("text")), 4).as("entropy")),
+      Some("""WITH ch AS (SELECT doc_id AS id,
+             |    unnest(regexp_extract_all(text, '.')) AS c FROM documents),
+             |cc AS (SELECT id, c, count(*) AS k FROM ch GROUP BY id, c),
+             |n AS (SELECT id, CAST(sum(k) AS DOUBLE) AS n FROM cc GROUP BY id)
+             |SELECT cc.id, round(-sum((k / n) * log2(k / n)), 4) AS entropy
+             |FROM cc JOIN n USING (id) GROUP BY cc.id""".stripMargin)),
+
     // Document fingerprints: order-insensitive md5 over the sorted word set
     // (oracle-checked) — the rolling-hash variant is spec-tested.
     QueryDef("q_fingerprint",

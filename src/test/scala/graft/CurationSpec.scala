@@ -28,6 +28,30 @@ class CurationSpec extends AnyFunSuite {
     assert(w(4L)._2 === 2L, s"ntok counts occurrences: ${w(4L)}")
   }
 
+  test("gopherRules computes word-level signals and the keep verdict") {
+    val d = Seq(
+      (1L, ("word " * 60).trim),                         // no stopwords
+      (2L, ("the a " * 30).trim + " " + ("customer " * 30).trim),
+      (3L, "the a short doc"),                           // word-count fail
+      (4L, ("#### " * 60).trim)                          // symbols, no alpha
+    ).toDF("id", "text")
+    val m = Curation.gopherRules(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Long]("n_words") == 60L)
+    assert(m(1L).getAs[Double]("mean_word_len") == 4.0)
+    assert(m(1L).getAs[Long]("stopword_count") == 0L)
+    assert(!m(1L).getAs[Boolean]("keep"), "no stopwords must fail")
+    // doc 2: 90 words, mean (30*3 + 30*1 + 30*8)/90 = 4.0, 60 stopwords
+    assert(m(2L).getAs[Long]("n_words") == 90L)
+    assert(m(2L).getAs[Double]("mean_word_len") == 4.0)
+    assert(m(2L).getAs[Long]("stopword_count") == 60L)
+    assert(m(2L).getAs[Boolean]("keep"))
+    assert(!m(3L).getAs[Boolean]("keep"), "4 words < minWords")
+    assert(m(4L).getAs[Double]("symbol_ratio") == 4.0)
+    assert(m(4L).getAs[Double]("alpha_word_ratio") == 0.0)
+    assert(!m(4L).getAs[Boolean]("keep"))
+  }
+
   test("decontaminate counts distinct overlapping n-grams per corpus doc") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -123,6 +123,31 @@ class ProceduresSpec extends AnyFunSuite {
     assert(both.map(_.getAs[Long]("targetNode")).toSet == Set(0L, 1L, 2L))
   }
 
+  test("graft.allPairsShortestPaths covers every pair incl. the diagonal") {
+    import spark.implicits._
+    val nodes = Seq((1L, Seq("N")), (2L, Seq("N")), (3L, Seq("N")))
+      .toDF("id", "labels")
+    val rels = Seq(
+      (10L, 1L, 2L, "T", 1.0), (11L, 2L, 3L, "T", 1.0), // 1->2->3 cost 2
+      (12L, 1L, 3L, "T", 3.0))                          // direct cost 3
+      .toDF("id", "src", "dst", "type", "w")
+    val g = graft.graph.PropertyGraph(nodes, rels)
+    val got = Procedures.call(spark, g, "graft.allPairsShortestPaths", "w")
+      .collect()
+      .map(r => (r.getAs[Long]("sourceNode"), r.getAs[Long]("targetNode")) ->
+        r.getAs[Double]("totalCost")).toMap
+    assert(got == Map(
+      (1L, 1L) -> 0.0, (1L, 2L) -> 1.0, (1L, 3L) -> 2.0,
+      (2L, 2L) -> 0.0, (2L, 3L) -> 1.0, (3L, 3L) -> 0.0))
+    // BOTH symmetrizes: every pair reachable, d(3,1) = 2 via reversed edges
+    val both = Procedures.call(spark, g, "graft.allPairsShortestPaths",
+      "w", Double.box(1.0), Seq.empty, "BOTH").collect()
+    assert(both.length == 9)
+    val b = both.map(r => (r.getAs[Long]("sourceNode"),
+      r.getAs[Long]("targetNode")) -> r.getAs[Double]("totalCost")).toMap
+    assert(b((3L, 1L)) == 2.0 && b((2L, 1L)) == 1.0)
+  }
+
   test("centrality procedures dispatch through CALL with typed args") {
     // star: center 0 → ring 1..4; betweenness 0 from all sources, and
     // closeness from the center only

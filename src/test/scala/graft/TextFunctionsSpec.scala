@@ -63,6 +63,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one[Double](duplicateNgramFraction(col("t"), 2), "a b c d") === 0.0)
   }
 
+  test("charEntropy matches hand-computed distributions") {
+    assert(one[Double](charEntropy(col("t")), "aaaa") === 0.0)
+    assert(one[Double](charEntropy(col("t")), "abab") === 1.0)
+    assert(one[Double](charEntropy(col("t")), "abcd") === 2.0)
+    assert(one[Double](charEntropy(col("t")), "") === 0.0)
+    val aab = one[Double](charEntropy(col("t")), "aab")
+    val expected = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3)) / math.log(2)
+    assert(math.abs(aab - expected) < 1e-12)
+    // newlines are excluded: "a\nb" has 2 counted chars, entropy 1.0
+    assert(one[Double](charEntropy(col("t")), "a\nb") === 1.0)
+  }
+
   test("qualityScore in [0,1], higher for natural text") {
     val nat = one[Double](qualityScore(col("t")),
       "The quick brown fox jumps over the lazy dog and runs through the field with great joy.")
