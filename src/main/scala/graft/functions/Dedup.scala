@@ -233,7 +233,7 @@ object Dedup {
   /** per-doc sketch row: k-minhash signature + hashed shingle set (the
     * store schema; coefficients fixed-seed so sketches are comparable
     * across runs and appends) */
-  private def docSketches(docs: DataFrame, shingleSize: Int,
+  private[graft] def docSketches(docs: DataFrame, shingleSize: Int,
       k: Int): DataFrame = {
     val rng = new scala.util.Random(42)
     val coeffs = Array.fill(k)((1L + rng.nextInt((Prime - 1).toInt),
@@ -252,7 +252,7 @@ object Dedup {
   }
 
   /** LSH band buckets of a sketch table: (band, bucket, id) */
-  private def bandBuckets(sketches: DataFrame, k: Int,
+  private[graft] def bandBuckets(sketches: DataFrame, k: Int,
       bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands

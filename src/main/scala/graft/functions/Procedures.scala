@@ -354,7 +354,8 @@ object Procedures {
       case other  => throw new IllegalArgumentException(
         s"direction must be OUT, IN or BOTH, got $other")
     }
-    graft.ops.WeightedPaths.shortestPaths(e, g.nodes.select(col("id").as("source")), maxIter)
+    graft.ops.WeightedPaths.allPairsDistances(
+        e, g.nodes.select(col("id").as("source")), maxIter)
       .select(col("source").as("sourceNode"), col("node").as("targetNode"),
         col("dist").as("totalCost"))
   })

@@ -87,6 +87,89 @@ object WeightedPaths {
     best
   }
 
+  /**
+   * All-pairs shortest path COSTS (reference graph-algo FloydWarshall.java
+   * — O(V³)/O(V²), documented for small dense graphs). Two shapes behind
+   * one surface:
+   *  - bounded inputs (LIMIT-probed, never scans past the threshold): the
+   *    reference's own regime — per-source binary-heap Dijkstra on the
+   *    driver, V ≤ threshold sources over E ≤ threshold edges, microseconds
+   *    each; paying ~hop-count distributed rounds of driver-loop latency
+   *    for a graph that fits in one task would be a constant-factor loss
+   *    with zero scale benefit.
+   *  - past the threshold: distance-ONLY multi-source Bellman-Ford — the
+   *    [[shortestPaths]] loop minus the path/nodes arrays, so every
+   *    shuffled row is a fixed-width (source, node, dist) triple. APSP
+   *    output is costs, so carrying paths would multiply the shuffle
+   *    payload for nothing.
+   * @return (source, node, dist) incl. the zero-cost diagonal
+   */
+  def allPairsDistances(edges: DataFrame, sources: DataFrame,
+      maxIter: Int = 50, localThreshold: Int = 10000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("src"), col("dst"), col("weight").cast("double"))
+    if (localThreshold > 0 &&
+        e0.limit(localThreshold + 1).count() <= localThreshold &&
+        sources.limit(localThreshold + 1).count() <= localThreshold) {
+      val es = e0.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // Dijkstra's settled-node argument needs non-negative weights; the
+      // distributed relaxation below has no such precondition
+      if (es.forall(_._3 >= 0)) {
+        val srcs = sources.select(col("source").cast("long"))
+          .collect().map(_.getLong(0))
+        val adj = es.groupBy(_._1).map { case (s, xs) =>
+          s -> xs.map(x => (x._2, x._3)) }
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        for (src <- srcs) {
+          val dist = scala.collection.mutable.HashMap.empty[Long, Double]
+          val pq = scala.collection.mutable.PriorityQueue
+            .empty[(Double, Long)](Ordering.by(x => -x._1))
+          pq.enqueue((0.0, src))
+          while (pq.nonEmpty) {
+            val (d, u) = pq.dequeue()
+            if (!dist.contains(u)) {
+              dist(u) = d
+              out += ((src, u, d))
+              adj.getOrElse(u, Array.empty[(Long, Double)]).foreach {
+                case (v, w) => if (!dist.contains(v)) pq.enqueue((d + w, v))
+              }
+            }
+          }
+        }
+        return out.result().toDF("source", "node", "dist")
+      }
+    }
+    val e = e0.select(col("src").as("__s"), col("dst").as("__d"),
+      col("weight").as("__w")).localCheckpoint(false)
+    var best = sources.select(col("source"), col("source").as("node"),
+      lit(0.0).as("dist")).localCheckpoint()
+    var frontier = best
+    var fCnt = frontier.count()
+    var iter = 0
+    while (fCnt > 0 && iter < maxIter) {
+      iter += 1
+      val f = if (fCnt <= 1000000) broadcast(frontier) else frontier
+      val relaxed = f.join(e, col("node") === col("__s"))
+        .select(col("source"), col("__d").as("node"),
+          (col("dist") + col("__w")).as("dist"))
+      val merged = best.unionByName(relaxed)
+        .groupBy("source", "node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      frontier = merged.join(
+          best.select(col("source"), col("node"), col("dist").as("__old")),
+          Seq("source", "node"), "left_outer")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .drop("__old")
+        .localCheckpoint()
+      best = merged
+      fCnt = frontier.count()
+    }
+    require(fCnt == 0, s"allPairsDistances did not converge within " +
+      s"$maxIter rounds (negative cycle or maxIter too small)")
+    best
+  }
+
   /** Shortest path lengths+paths restricted to requested (source, target)
     * pairs. */
   def shortestPathsTo(edges: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {

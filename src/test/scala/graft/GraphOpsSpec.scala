@@ -177,6 +177,24 @@ class GraphOpsSpec extends AnyFunSuite {
       s"bidirectional touched $touched >= forward's $forwardStates states")
   }
 
+  test("allPairsDistances: driver-local Dijkstra equals the distributed loop") {
+    import graft.ops.WeightedPaths
+    val edges = broom.rels.select(col("id"), col("src"), col("dst"),
+      (lit(1.0) + col("src") % 3).as("weight"))
+    val sources = broom.nodes.select(col("id").as("source"))
+    val local = WeightedPaths.allPairsDistances(edges, sources)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val dist = WeightedPaths.allPairsDistances(edges, sources,
+        localThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(local == dist, "fast path must equal the distributed loop")
+    assert(local((0L, 0L)) == 0.0, "diagonal present at cost 0")
+    // both agree with the full path-carrying formulation
+    val viaPaths = WeightedPaths.shortestPaths(edges, sources)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(local == viaPaths)
+  }
+
   test("allSimplePaths enumerates node-unique paths and stops at the target") {
     // diamond with a tail and a back-edge: 0->1->3, 0->2->3, 3->4, 4->0
     val edges = Seq((10L, 0L, 1L), (11L, 0L, 2L), (12L, 1L, 3L),
