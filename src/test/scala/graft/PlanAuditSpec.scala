@@ -172,6 +172,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!sampled.contains("Exchange"), s"stratifiedSample shuffles:\n$sampled")
   }
 
+  test("gopherRules and charEntropy are pure map-side (no exchange, no UDF)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 50L).map(i => (i, s"the a sample doc number $i with words"))
+      .toDF("id", "text")
+    val gr = graft.functions.Curation.gopherRules(df)
+      .queryExecution.executedPlan.toString
+    assert(!gr.contains("Exchange"), s"gopherRules shuffles:\n$gr")
+    assert(!gr.contains("BatchEvalPython") && !gr.contains("SQLUDF"),
+      "gopherRules must stay UDF-free")
+    val ce = df.select(graft.functions.TextFunctions.charEntropy(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!ce.contains("Exchange"), s"charEntropy shuffles:\n$ce")
+  }
+
+  test("streaming near-dup sketches never shuffle the signature array") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 50L).map(i => (i, s"words for bucket hashing $i"))
+      .toDF("id", "text")
+    // the banded (id, band, bucket) relation is what reaches the state
+    // store exchange — 3 fixed-width columns, no sig/shingle payload
+    val banded = graft.streaming.NearDupStream.bandedSketches(df)
+    assert(banded.columns.toSeq == Seq("id", "band", "bucket"))
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"banded sketches must be map-side (state op adds its own keyed exchange):\n$plan")
+  }
+
   test("shard/bucket ranking uses range partitioning, never a global single-partition sort") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
