@@ -155,6 +155,9 @@ object Ast {
   /** `REMOVE v:Label` */
   final case class RemoveLabelsItem(variable: String, labels: Seq[String]) extends SetItem
 
+  /** `FINISH` (reference finishClause, GQL): explicit no-result terminator —
+    * the query executes (including writes) and returns zero rows. */
+  final case class FinishClause() extends Clause
   final case class CreateClause(patterns: Seq[PathPattern]) extends Clause
   final case class MergeClause(pattern: PathPattern, onMatch: Seq[SetItem],
       onCreate: Seq[SetItem]) extends Clause

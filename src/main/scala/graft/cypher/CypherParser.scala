@@ -25,8 +25,8 @@ object CypherParser extends RegexParsers {
     "AND", "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS",
     "IS", "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END",
     "ASC", "DESC", "ASCENDING", "DESCENDING", "EXISTS",
-    "CREATE", "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "ON", "FOREACH",
-    "CALL", "YIELD")
+    "CREATE", "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "NODETACH", "ON",
+    "FOREACH", "CALL", "YIELD", "INSERT", "FINISH")
 
   /** Case-insensitive keyword with word boundary. */
   private def K(w: String): Parser[String] = ("(?i)" + w + "\\b").r ^^ (_ => w)
@@ -546,8 +546,11 @@ object CypherParser extends RegexParsers {
     ident ~ ("." ~> symName) ^^ { case v ~ k => RemoveProp(v, k) } |
     ident ~ rep1(":" ~> symName) ^^ { case v ~ ls => RemoveLabelsItem(v, ls) }
 
+  /** CREATE, plus the GQL-conformance `INSERT` spelling (reference
+    * insertClause): same pattern surface — `&`-conjoined positive labels
+    * already parse through labelGroup and collapse to a plain label list. */
   private def createClause: Parser[Clause] =
-    K("CREATE") ~> rep1sep(pathPattern, ",") ^^ CreateClause.apply
+    (K("CREATE") | K("INSERT")) ~> rep1sep(pathPattern, ",") ^^ CreateClause.apply
 
   private def mergeClause: Parser[Clause] =
     K("MERGE") ~> pathPattern ~
@@ -565,9 +568,11 @@ object CypherParser extends RegexParsers {
   private def removeClause: Parser[Clause] =
     K("REMOVE") ~> rep1sep(removeItem, ",") ^^ RemoveClause.apply
 
+  /** `[DETACH|NODETACH] DELETE` — NODETACH (reference deleteClause) is the
+    * explicit spelling of the default: error on attached relationships. */
   private def deleteClause: Parser[Clause] =
-    opt(K("DETACH")) ~ (K("DELETE") ~> rep1sep(ident, ",")) ^^ {
-      case d ~ vs => DeleteClause(vs, d.isDefined)
+    opt(K("DETACH") | K("NODETACH")) ~ (K("DELETE") ~> rep1sep(ident, ",")) ^^ {
+      case d ~ vs => DeleteClause(vs, d.contains("DETACH"))
     }
 
   private def foreachClause: Parser[Clause] =
@@ -656,9 +661,12 @@ object CypherParser extends RegexParsers {
           ys.map(_._1).getOrElse(Seq.empty), ys.flatMap(_._2))
     }
 
+  private def finishClause: Parser[Clause] =
+    K("FINISH") ^^ (_ => FinishClause())
+
   private def clause: Parser[Clause] =
     matchClause | unwindClause | schemaClause | writeClause | callSubquery |
-      callClause | withClause | returnClause
+      callClause | withClause | returnClause | finishClause
 
   private def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 

@@ -234,6 +234,8 @@ object Planner {
       case r: ReturnClause =>
         returned = Some(planProjection(ctx, env, r.items, r.distinct, r.orderBy,
           r.skip, r.limit, isReturn = true).df.get)
+      case _: FinishClause =>
+        returned = None // explicit no-result terminator; writes still commit
     }
     (ctx.g, returned)
   }
@@ -313,6 +315,11 @@ object Planner {
       case r: ReturnClause =>
         env = planProjection(ctx, env, r.items, r.distinct, r.orderBy, r.skip,
           r.limit, isReturn = true)
+      case _: FinishClause =>
+        // FINISH (reference finishClause): evaluate nothing further, return
+        // zero rows — the read side of a query is side-effect free, so the
+        // empty relation IS the full semantics
+        env = Env(Some(ctx.spark.emptyDataFrame), Map.empty)
       case other => throw new IllegalArgumentException(s"unexpected clause $other")
     }
     env.df.getOrElse(

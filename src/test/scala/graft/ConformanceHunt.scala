@@ -192,7 +192,11 @@ object ConformanceHunt {
       "elementid_roundtrip" -> "MATCH (n:Region) WITH elementId(n) AS e LIMIT 1 MATCH (m) WHERE elementId(m) = e RETURN count(*) AS c",
       "orderby_agg_alias" -> "MATCH (n:Nation) RETURN n.regionkey AS rk, count(*) AS c ORDER BY c DESC, rk LIMIT 2",
       "with_expr_reuse" -> "MATCH (o:Order) WITH o.totalprice / 1000 AS kp RETURN floor(max(kp)) AS mk",
-      "not_in_list" -> "MATCH (n:Nation) WHERE NOT n.name IN ['NATION_1'] RETURN count(*) AS c"
+      "not_in_list" -> "MATCH (n:Nation) WHERE NOT n.name IN ['NATION_1'] RETURN count(*) AS c",
+      "finish_read" -> "MATCH (n:Region) FINISH",
+      "finish_write" -> "CREATE (:Tmp {v: 1}) FINISH",
+      "insert_gql" -> "INSERT (:Tmp&Extra {v: 2})",
+      "nodetach_unattached" -> "CREATE (x:Lonely) NODETACH DELETE x"
     )
 
     val params = Map[String, Any]("p" -> 1, "key" -> "name", "n" -> 3,

@@ -121,6 +121,35 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(ret.get.collect()(0).getLong(0) == 1L)
   }
 
+  test("INSERT is the GQL spelling of CREATE, incl. &-conjoined labels") {
+    val (g2, _) = Cypher.execute(spark, freshGraph,
+      "INSERT (s:Senior&Retired {name: 'Dora'})")
+    val row = Cypher.run(spark, g2,
+      "MATCH (s:Senior:Retired) RETURN s.name AS n").collect()
+    assert(row.map(_.getString(0)).toSeq == Seq("Dora"))
+  }
+
+  test("FINISH terminates with no result; writes still commit") {
+    val (g2, ret) = Cypher.execute(spark, freshGraph,
+      "MATCH (p:Person) WHERE p.age >= 30 CREATE (s:Senior {name: p.name}) FINISH")
+    assert(ret.isEmpty, "FINISH must produce no result rows")
+    assert(Cypher.run(spark, g2, "MATCH (s:Senior) RETURN count(*) AS c")
+      .collect()(0).getLong(0) == 2L)
+    // read-only FINISH: zero rows, no error about a missing RETURN
+    assert(Cypher.run(spark, freshGraph, "MATCH (p:Person) FINISH")
+      .collect().isEmpty)
+  }
+
+  test("NODETACH DELETE is the explicit default: refuses attached nodes") {
+    val ex = intercept[Exception] {
+      val (g2, _) = Cypher.execute(spark, freshGraph,
+        "MATCH (p:Person {name: 'Alice'}) NODETACH DELETE p")
+      g2.nodes.count()
+    }
+    assert(ex.getMessage.contains("incident relationships"),
+      s"unexpected: ${ex.getMessage}")
+  }
+
   test("FOREACH applies scoped updates per list element") {
     val (g2, _) = Cypher.execute(spark, freshGraph,
       "FOREACH (nm IN ['P1', 'P2'] | CREATE (:Tag {name: nm}))")
