@@ -28,6 +28,26 @@ object Ranking {
       .groupBy("degree").agg(count(lit(1)).as("n"))
 
   /**
+   * Directed degree assortativity (Newman 2002): the Pearson correlation,
+   * over edges, of the source's out-degree with the target's in-degree —
+   * the standard "do hubs link to hubs" profiling metric next to the
+   * degree distribution. Two degree aggregates plus two id-keyed joins
+   * back to the edge list, then one global `corr` (a partial-aggregating
+   * co-moment — no row ever leaves its partition until the final combine).
+   *
+   * @param edges (src, dst) — multi-edges count once
+   * @return one row (assortativity DOUBLE 4dp)
+   */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val outd = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    val ind = e.groupBy("dst").agg(count(lit(1)).as("__id"))
+    e.join(outd, Seq("src")).join(ind, Seq("dst"))
+      .agg(round(corr(col("__od").cast("double"),
+        col("__id").cast("double")), 4).as("assortativity"))
+  }
+
+  /**
    * Clustering coefficients over the undirected simple graph:
    * local C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) and the global
    * (transitivity) ratio 3·triangles / wedges. Reuses the canonical

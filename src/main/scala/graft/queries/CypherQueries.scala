@@ -624,6 +624,18 @@ object CypherQueries {
       },
       Some("SELECT c_custkey AS ckey FROM customer WHERE c_acctbal < 0")),
 
+    // INSERT (GQL spelling of CREATE, &-conjoined labels) + FINISH (the
+    // explicit no-result terminator): the write commits with zero returned
+    // rows; the follow-up read sees both labels.
+    QueryDef("q_cypher_insert_finish",
+      (s, d) => {
+        val (g2, ret) = Cypher.execute(s, TpchGraph.load(s, d),
+          "MATCH (n:Nation) INSERT (:Audited&Tagged {nkey: n.key}) FINISH")
+        require(ret.isEmpty, "FINISH must yield no result")
+        Cypher.run(s, g2, "MATCH (a:Audited:Tagged) RETURN a.nkey AS nkey")
+      },
+      Some("SELECT CAST(n_nationkey AS BIGINT) AS nkey FROM nation")),
+
     QueryDef("q_cypher_write_merge",
       (s, d) => {
         val (g2, _) = Cypher.execute(s, TpchGraph.load(s, d),

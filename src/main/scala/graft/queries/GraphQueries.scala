@@ -564,6 +564,22 @@ object GraphQueries {
              |  FROM orders GROUP BY o_custkey)
              |GROUP BY degree""".stripMargin)),
 
+    // Directed degree assortativity (Newman 2002) on the supplier→part
+    // incidence graph: do high-fanout suppliers supply high-fanin parts?
+    // One corr over edge-joined degrees; the oracle replays it with
+    // DuckDB's corr.
+    QueryDef("q_assortativity",
+      (s, d) => Ranking.degreeAssortativity(
+        t(s, d, "lineitem").select(col("l_suppkey").cast("long").as("src"),
+          col("l_partkey").cast("long").as("dst"))),
+      Some("""WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+             |    CAST(l_partkey AS BIGINT) AS dst FROM lineitem),
+             |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+             |ind AS (SELECT dst, count(*) AS id FROM e GROUP BY dst)
+             |SELECT round(corr(CAST(od.od AS DOUBLE),
+             |  CAST(ind.id AS DOUBLE)), 4) AS assortativity
+             |FROM e JOIN od USING (src) JOIN ind USING (dst)""".stripMargin)),
+
     // Local clustering coefficients on region cliques + a cross-region
     // ring: clique interiors stay at 1.0, ring-bridged nodes dilute — the
     // oracle recounts triangles with its own 3-join.

@@ -413,6 +413,32 @@ object PathQueries {
              |  min(dist) AS totalCost
              |FROM p GROUP BY 1, 2""".stripMargin)),
 
+    // Per-node eccentricity over the weighted grid (graph profiling on top
+    // of APSP — ecc(v) = max over reachable targets of d(v, t); the graph
+    // diameter is the max row). Reuses the FloydWarshall surface, so the
+    // oracle is the same recursive-CTE minimum plus a per-source max.
+    QueryDef("q_eccentricity",
+      (s, d) => graft.cypher.Cypher.run(s, gridGraph(s, d),
+        """CALL graft.allPairsShortestPaths('w')
+          |YIELD sourceNode, targetNode, totalCost
+          |RETURN sourceNode AS node, max(totalCost) AS eccentricity""".stripMargin),
+      Some("""WITH RECURSIVE grid AS (
+             |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
+             |  WHERE c_custkey BETWEEN 1 AND 100),
+             |e AS (
+             |  SELECT k AS s, k + 1 AS d, 1.0 + k % 3 AS w FROM grid
+             |  WHERE k % 10 < 9
+             |  UNION ALL SELECT k, k + 10, 1.0 + k % 5 FROM grid WHERE k < 90),
+             |p AS (
+             |  SELECT k AS src, k AS node, CAST(0 AS DOUBLE) AS dist, 0 AS hops
+             |  FROM grid
+             |  UNION ALL
+             |  SELECT p.src, e.d, p.dist + e.w, p.hops + 1
+             |  FROM p JOIN e ON e.s = p.node WHERE p.hops < 18),
+             |sp AS (SELECT src, node, min(dist) AS dist FROM p GROUP BY 1, 2)
+             |SELECT src AS node, max(dist) AS eccentricity
+             |FROM sp GROUP BY src""".stripMargin)),
+
     // SHORTEST with VAR-LENGTH branches inside an alternation (reference
     // NFA.scala arbitrary regular path patterns): {1,2} traversals of
     // (E*1..2 | E*3..3) reach exactly the rel-path lengths 1..6, so on the
