@@ -1655,13 +1655,20 @@ object Planner {
     val p =
       if (!firstBound && lastBound && reversible) reversePath(p0)
       else if (!firstBound && !lastBound && reversible && p0.hops.nonEmpty) {
+        // end score = count-store cardinality × 0.1 per inline property
+        // seek (reference PlannerDefaults.scala:36 default equality
+        // selectivity) — an equality-seeked end beats a merely-labeled one
+        def score(n: NodePattern): Double =
+          (if (n.labels.isEmpty) Double.MaxValue
+           else n.labels.map(x =>
+             ctx.labelCounts.getOrElse(x, Long.MaxValue)).min.toDouble) *
+            math.pow(0.1, n.props.size)
         val fl = p0.first.labels
         val ll = p0.hops.last._2.labels
         val flip = (fl, ll) match {
           case (Nil, l) if l.nonEmpty => true
           case (f, l) if f.nonEmpty && l.nonEmpty =>
-            ll.map(x => ctx.labelCounts.getOrElse(x, Long.MaxValue)).min <
-              fl.map(x => ctx.labelCounts.getOrElse(x, Long.MaxValue)).min
+            score(p0.hops.last._2) < score(p0.first)
           case _ => false
         }
         if (flip) reversePath(p0) else p0
@@ -1997,12 +2004,25 @@ object Planner {
         def orient(from: Column, to: Column): DataFrame =
           r.select((col("id").as(relVar) +: from.as("__from") +: to.as("__to") +:
             relNeeded.map(p => col(p).as(s"$relVar$$$p"))): _*)
-        val edges = rel.dir match {
+        val edges0 = rel.dir match {
           case Out  => orient(col("src"), col("dst"))
           case In   => orient(col("dst"), col("src"))
           case Both => orient(col("src"), col("dst"))
             .unionByName(orient(col("dst"), col("src")))
         }
+        // MultiNodeIndexSeek shape (reference :multi-seek): an inline
+        // property SEEK on the unbound far end prunes the rel relation
+        // BEFORE the frontier join — left-to-right join order would
+        // otherwise drag the full rel table through the first join (and
+        // at scale broadcast/shuffle it unfiltered) only to discard
+        // (1 - selectivity) of it at the far-node join one step later.
+        // The semi-join is against the same nodeScan the far-node bind
+        // reuses; equality-seek selectivity makes the pruned side the
+        // small one (reference PlannerDefaults equality selectivity 0.1).
+        val edges = if (!toBound && node.props.nonEmpty)
+          edges0.join(nodeScan(ctx, node).select(col("id").as("__to")),
+            Seq("__to"), "left_semi")
+          else edges0
         val joined = env.df.get.join(edges, col(fromVar) === col("__from"))
           .drop("__from")
         Env(Some(joined), env.binds + (relVar -> RelVar))
