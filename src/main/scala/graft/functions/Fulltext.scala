@@ -93,4 +93,71 @@ object Fulltext {
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
+
+  /**
+   * Persisted inverted index — the durable counterpart of [[bm25TopK]]'s
+   * in-flight posting lists, playing the role of Lucene's segment files
+   * (reference: fulltext indexes persist per-index Lucene directories).
+   * Layout under `path`:
+   *   postings/ (term, id, tf)  partitioned by bucket = xxhash64(term) mod B
+   *   df/       (term, df)      partitioned the same way
+   *   doclen/   (id, dl)
+   *   stats/    one row (n, avgdl, buckets, analyzer)
+   * A query analyzes its terms, computes their buckets WITH THE SAME
+   * xxhash64 expression, and reads only those partitions — at 100 TB the
+   * scan cost is |query terms| buckets out of B, not the corpus, and the
+   * index is built once per corpus version instead of per query.
+   */
+  def saveTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, analyzer: String = "standard", buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val tf = postings(docs, idCol, textCol, analyzer).localCheckpoint(false)
+    val bucket = pmod(xxhash64(col("term")), lit(buckets.toLong)).as("bucket")
+    tf.withColumn("bucket", bucket)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    tf.groupBy("term").agg(count(lit(1)).as("df")).withColumn("bucket", bucket)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df")
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+      .withColumn("buckets", lit(buckets))
+      .withColumn("analyzer", lit(analyzer))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a persisted index: identical scores/ranks to
+    * [[bm25TopK]] over the indexed corpus, but only the query terms'
+    * hash-bucket partitions are read (partition-pruned scans — gated by
+    * PlanAuditSpec). */
+  def queryTextIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val st = spark.read.parquet(s"$path/stats").first()
+    val (n, avgdl) = (st.getAs[Long]("n"), st.getAs[Double]("avgdl"))
+    val buckets = st.getAs[Int]("buckets")
+    val a = analyzerOf(st.getAs[String]("analyzer"))
+    val q = if (a.lowercase) query.toLowerCase else query
+    val terms = q.split(a.pattern).filter(_.nonEmpty)
+      .filterNot(a.stopwords).distinct.toSeq
+    require(terms.nonEmpty, "empty query")
+    // bucket ids via the SAME xxhash64 expression the writer used — one
+    // bounded job over |terms| rows, never a driver-side hash reimplementation
+    import spark.implicits._
+    val termBuckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong))).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    def pruned(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub")
+        .filter(col("bucket").isin(termBuckets: _*))
+        .filter(col("term").isin(terms: _*)).drop("bucket")
+    val dl = spark.read.parquet(s"$path/doclen")
+    val w = lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)
+    val score = log(w) * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+    pruned("postings")
+      .join(dl, "id")
+      .join(pruned("df"), "term")
+      .groupBy("id").agg(round(sum(score), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
 }

@@ -116,6 +116,46 @@ object Ranking {
   }
 
   /**
+   * Weighted PageRank: each node distributes its rank across out-edges
+   * proportionally to edge weight instead of uniformly —
+   *   contrib(u→v) = rank(u) · w(u→v) / Σ_x w(u→x)
+   * (the GDS-style relationship-weighted variant). Same per-iteration
+   * shape as [[pageRank]]: one join + one partial-aggregating sum, both
+   * hash-partitioned on 8-byte node ids; the only extra state is the
+   * per-node out-weight total, computed once.
+   *
+   * @param edges (src, dst, weight DOUBLE > 0); multi-edges each carry
+   *              their own weight
+   */
+  def weightedPageRank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1,
+      s"bad pageRank config: iterations=$iterations damping=$damping")
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double")).localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outW = e.groupBy(col("src").as("node")).agg(sum("weight").as("__w"))
+      .localCheckpoint(false)
+    var ranks = nodes.withColumn("rank", lit(1.0 - damping))
+    var i = 0
+    while (i < iterations) {
+      val contrib = e
+        .join(ranks.join(outW, "node"), col("src") === col("node"))
+        .select(col("dst").as("node"),
+          (col("rank") * col("weight") / col("__w")).as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("__in"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    ranks
+  }
+
+  /**
    * Personalized PageRank (Haveliwala 2002, "Topic-Sensitive PageRank"):
    * the teleport mass restarts at the SOURCE set instead of uniformly —
    *   rank_{t+1}(v) = (1−d)·1[v ∈ S]/|S| + d · Σ_{u→v} rank_t(u)/outdeg(u)

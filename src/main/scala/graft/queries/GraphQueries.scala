@@ -564,6 +564,30 @@ object GraphQueries {
              |  FROM orders GROUP BY o_custkey)
              |GROUP BY degree""".stripMargin)),
 
+    // Weighted PageRank (GDS-style relationship-weighted variant) on the
+    // order→part incidence graph, weight = quantity: orders are sources
+    // (rank fixed at 1-d), so part ranks close to
+    // 0.15 + 0.85·Σ 0.15·qty/out-weight after one iteration and stay
+    // there — the oracle computes that closed form; running 3 iterations
+    // exercises the loop and must not drift.
+    QueryDef("q_pagerank_weighted",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val edges = li.select(col("l_orderkey").cast("long").as("src"),
+          (col("l_partkey").cast("long") + 1000000000L).as("dst"),
+          col("l_quantity").as("weight"))
+        Ranking.weightedPageRank(edges, iterations = 3)
+          .filter(col("node") >= 1000000000L)
+          .select((col("node") - 1000000000L).as("part"),
+            round(col("rank"), 4).as("rank"))
+      },
+      Some("""WITH ow AS (SELECT l_orderkey AS o, sum(l_quantity) AS ow
+             |  FROM lineitem GROUP BY 1)
+             |SELECT CAST(l_partkey AS BIGINT) AS part,
+             |  round(0.15 + 0.85 * sum(0.15 * l_quantity / ow.ow), 4) AS rank
+             |FROM lineitem JOIN ow ON l_orderkey = ow.o
+             |GROUP BY l_partkey""".stripMargin)),
+
     // Directed degree assortativity (Newman 2002) on the supplier→part
     // incidence graph: do high-fanout suppliers supply high-fanin parts?
     // One corr over edge-joined degrees; the oracle replays it with

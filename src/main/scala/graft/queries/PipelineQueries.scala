@@ -485,6 +485,37 @@ object PipelineQueries {
              |SELECT id, round(score, 4) AS score FROM scores
              |ORDER BY round(score, 4) DESC, id ASC LIMIT 20""".stripMargin)),
 
+    // Persisted fulltext index: the same BM25 top-20 served from the
+    // on-disk bucket-partitioned posting lists — build + partition-pruned
+    // query (only the query terms' hash buckets are read). Same oracle as
+    // q_fulltext_bm25: the index must not change a single score or rank.
+    QueryDef("q_fulltext_indexed",
+      (s, d) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ftidx_" +
+          Integer.toHexString(d.hashCode)
+        graft.functions.Fulltext.saveTextIndex(
+          t(s, d, "documents"), "doc_id", "text", path)
+        graft.functions.Fulltext.queryTextIndex(
+          s, path, "spark filter join window", k = 20)
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id AS id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+             |    FROM documents) WHERE term <> '' GROUP BY doc_id, term),
+             |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY id),
+             |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |q AS (SELECT unnest(['spark','filter','join','window']) AS term),
+             |scores AS (
+             |  SELECT tf.id, sum(
+             |    ln(1 + (corpus.n - dft.df + 0.5) / (dft.df + 0.5)) *
+             |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl))) AS score
+             |  FROM tf JOIN q USING (term) JOIN dl ON dl.id = tf.id
+             |  JOIN dft ON dft.term = tf.term CROSS JOIN corpus
+             |  GROUP BY tf.id)
+             |SELECT id, round(score, 4) AS score FROM scores
+             |ORDER BY round(score, 4) DESC, id ASC LIMIT 20""".stripMargin)),
+
     // Relationship fulltext (reference FulltextProcedures.java:120
     // db.index.fulltext.queryRelationships): documents' text carried as a
     // `caption` property on AUTHORED rels, queried via the procedure

@@ -21,6 +21,25 @@ class RankingSpec extends AnyFunSuite {
     assert(math.abs(r(4L) - (0.15 + 0.85 * b)) < 1e-9)
   }
 
+  test("weightedPageRank distributes by out-weight, not out-degree") {
+    // 1 -> 2 (w 3), 1 -> 3 (w 1): node 1 keeps rank 0.15, and 3/4 of its
+    // contribution goes to node 2
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0)).toDF("src", "dst", "weight")
+    val r = Ranking.weightedPageRank(edges, iterations = 3).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.15) < 1e-9)
+    assert(math.abs(r(2L) - (0.15 + 0.85 * 0.15 * 3.0 / 4.0)) < 1e-9)
+    assert(math.abs(r(3L) - (0.15 + 0.85 * 0.15 * 1.0 / 4.0)) < 1e-9)
+    // uniform weights reduce to plain pageRank
+    val uni = Ranking.weightedPageRank(
+      Seq((1L, 2L, 1.0), (1L, 3L, 1.0)).toDF("src", "dst", "weight"),
+      iterations = 3).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val plain = Ranking.pageRank(
+      Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"),
+      iterations = 3).collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    uni.foreach { case (k, v) => assert(math.abs(v - plain(k)) < 1e-9) }
+  }
+
   test("pageRank split contributions divide by out-degree") {
     // hub 1 -> {2, 3}: each sink gets rank(1)/2
     val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
