@@ -178,7 +178,11 @@ object Dedup {
     val mode = if (append) "append" else "overwrite"
     val sk = docSketches(docs, shingleSize, k).localCheckpoint(false)
     sk.write.mode(mode).parquet(s"$path/docs")
-    bandBuckets(sk, k, bands).write.mode(mode)
+    // cluster rows by the partition column before partitionBy: without it
+    // every write task emits one file PER band (tasks × bands small files
+    // — a listing-cost problem at 100 TB); clustered, each band lands in
+    // as few files as the tasks that own it
+    bandBuckets(sk, k, bands).repartition(col("band")).write.mode(mode)
       .partitionBy("band").parquet(s"$path/bands")
   }
 

@@ -113,9 +113,12 @@ object Fulltext {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val tf = postings(docs, idCol, textCol, analyzer).localCheckpoint(false)
     val bucket = pmod(xxhash64(col("term")), lit(buckets.toLong)).as("bucket")
-    tf.withColumn("bucket", bucket)
+    // cluster by the partition column before partitionBy so each bucket
+    // lands in few files, not one per write task (see saveMinhashStore)
+    tf.withColumn("bucket", bucket).repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     tf.groupBy("term").agg(count(lit(1)).as("df")).withColumn("bucket", bucket)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/df")
     val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
     dl.write.mode("overwrite").parquet(s"$path/doclen")
