@@ -624,6 +624,32 @@ object CypherQueries {
       },
       Some("SELECT c_custkey AS ckey FROM customer WHERE c_acctbal < 0")),
 
+    // Bulk-interchange round-trip (reference neo4j-admin database import,
+    // header grammar import-util/.../csv/Type.java): export the
+    // Nation/Region subgraph as import-tool CSVs, read them back, and
+    // query the REIMPORTED graph — label/type/property fidelity is the
+    // oracle's business.
+    QueryDef("q_export_roundtrip",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val sub = graft.graph.PropertyGraph(
+          g.nodes.filter(array_contains(col("labels"), "Nation") ||
+            array_contains(col("labels"), "Region")),
+          g.rels.filter(col("type") === "IN_REGION"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+          Integer.toHexString(d.hashCode)
+        graft.sources.ExportCsv.exportGraph(sub, dir)
+        val g2 = graft.sources.ExportCsv.importGraph(s, dir)
+        Cypher.run(s, g2,
+          """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+            |RETURN r.name AS region, count(*) AS nations,
+            |  min(n.name) AS first_nation""".stripMargin)
+      },
+      Some("""SELECT r_name AS region, count(*) AS nations,
+             |  min(n_name) AS first_nation
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin)),
+
     // INSERT (GQL spelling of CREATE, &-conjoined labels) + FINISH (the
     // explicit no-result terminator): the write commits with zero returned
     // rows; the follow-up read sees both labels.
