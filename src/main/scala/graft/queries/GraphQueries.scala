@@ -564,6 +564,36 @@ object GraphQueries {
              |  FROM orders GROUP BY o_custkey)
              |GROUP BY degree""".stripMargin)),
 
+    // Deterministic node-induced subgraph sample (md5-keyed, seedless —
+    // the decimation step before prototyping on the full graph): sample
+    // the Customer/Nation FROM subgraph at 25 % and count survivors; the
+    // oracle replays the exact md5 keep decisions on the tagged node ids.
+    QueryDef("q_graph_sample",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val custBase = TpchGraph.LabelBase("Customer")
+        val supBase = TpchGraph.LabelBase("Supplier")
+        val sub = graft.graph.PropertyGraph(
+          g.nodes.filter(array_contains(col("labels"), "Customer") ||
+            array_contains(col("labels"), "Nation")),
+          g.rels.filter(col("type") === "FROM" &&
+            col("src").between(custBase, supBase - 1)))
+        val sampled = graft.ops.Sampling.nodeSample(sub, 0.25)
+        sampled.nodes.select(
+            sum(array_contains(col("labels"), "Customer").cast("long"))
+              .as("n_customers"),
+            sum(array_contains(col("labels"), "Nation").cast("long"))
+              .as("n_nations"))
+          .crossJoin(sampled.rels.agg(count(lit(1)).as("n_rels")))
+      },
+      Some("""WITH c AS (SELECT c_custkey AS k, c_nationkey AS nk FROM customer
+             |  WHERE substr(md5(CAST(52776558133248 + c_custkey AS VARCHAR)), 1, 2) < '40'),
+             |n AS (SELECT n_nationkey AS k FROM nation
+             |  WHERE substr(md5(CAST(35184372088832 + n_nationkey AS VARCHAR)), 1, 2) < '40')
+             |SELECT (SELECT count(*) FROM c) AS n_customers,
+             |  (SELECT count(*) FROM n) AS n_nations,
+             |  (SELECT count(*) FROM c JOIN n ON c.nk = n.k) AS n_rels""".stripMargin)),
+
     // Weighted PageRank (GDS-style relationship-weighted variant) on the
     // order→part incidence graph, weight = quantity: orders are sources
     // (rank fixed at 1-d), so part ranks close to

@@ -177,6 +177,24 @@ class GraphOpsSpec extends AnyFunSuite {
       s"bidirectional touched $touched >= forward's $forwardStates states")
   }
 
+  test("nodeSample keeps md5-decided nodes and induces rels on survivors") {
+    import graft.ops.Sampling
+    val g = broom
+    assert(Sampling.nodeSample(g, 1.0).nodes.count() == g.nodes.count())
+    assert(Sampling.nodeSample(g, 0.0).nodes.count() == 0)
+    val s = Sampling.nodeSample(g, 0.5)
+    val kept = s.nodes.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < g.nodes.count())
+    val rels = s.rels.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rels.forall { case (a, b) => kept(a) && kept(b) },
+      "induced rels must connect kept nodes only")
+    // deterministic: same decisions on a second call
+    val again = Sampling.nodeSample(g, 0.5).nodes.select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
+
   test("allPairsDistances: driver-local Dijkstra equals the distributed loop") {
     import graft.ops.WeightedPaths
     val edges = broom.rels.select(col("id"), col("src"), col("dst"),
