@@ -413,6 +413,38 @@ object PathQueries {
              |  min(dist) AS totalCost
              |FROM p GROUP BY 1, 2""".stripMargin)),
 
+    // Landmark distance sketch (Potamias et al. 2009): exact distances to
+    // and from 3 landmarks built once; every pair query becomes two
+    // id-keyed joins + a min (the triangle-inequality upper bound) — no
+    // traversal at read time. The oracle derives the same estimates from
+    // its recursive-CTE hop distances restricted to the landmark rows.
+    QueryDef("q_landmark_distance",
+      (s, d) => {
+        val g = gridGraph(s, d)
+        val e = g.rels.select(col("id"), col("src"), col("dst"),
+          lit(1.0).as("weight"))
+        val (toL, fromL) = graft.ops.Landmarks.build(
+          e, Seq(0L, 55L, 99L), maxIter = 30)
+        graft.ops.Landmarks.estimateAll(toL, fromL)
+      },
+      Some("""WITH RECURSIVE grid AS (
+             |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
+             |  WHERE c_custkey BETWEEN 1 AND 100),
+             |e AS (
+             |  SELECT k AS s, k + 1 AS d FROM grid WHERE k % 10 < 9
+             |  UNION ALL SELECT k, k + 10 FROM grid WHERE k < 90),
+             |p AS (
+             |  SELECT k AS src, k AS node, 0 AS hops FROM grid
+             |  UNION ALL
+             |  SELECT p.src, e.d, p.hops + 1
+             |  FROM p JOIN e ON e.s = p.node WHERE p.hops < 18),
+             |sp AS (SELECT src, node, CAST(min(hops) AS DOUBLE) AS dist
+             |  FROM p GROUP BY 1, 2)
+             |SELECT a.src AS u, b.node AS v, min(a.dist + b.dist) AS estimate
+             |FROM sp a JOIN sp b ON a.node = b.src
+             |WHERE a.node IN (0, 55, 99)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Per-node eccentricity over the weighted grid (graph profiling on top
     // of APSP — ecc(v) = max over reachable targets of d(v, t); the graph
     // diameter is the max row). Reuses the FloydWarshall surface, so the

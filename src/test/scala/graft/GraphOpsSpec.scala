@@ -177,6 +177,28 @@ class GraphOpsSpec extends AnyFunSuite {
       s"bidirectional touched $touched >= forward's $forwardStates states")
   }
 
+  test("landmark estimates are triangle upper bounds, exact through a landmark") {
+    import graft.ops.{Landmarks, WeightedPaths}
+    // chain 0 -> 1 -> ... -> 9 with landmark 5: every pair crossing 5 is
+    // exact; pairs on the same side still route via 5 (upper bound)
+    val edges = (0L until 9L).map(i => (i, i, i + 1, 1.0))
+      .toDF("id", "src", "dst", "weight")
+    val (toL, fromL) = Landmarks.build(edges, Seq(5L))
+    val est = Landmarks.estimateAll(toL, fromL).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = WeightedPaths.allPairsDistances(edges,
+        (0L until 10L).toDF("source"), localThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    est.foreach { case (pair, e) =>
+      assert(e >= exact(pair) - 1e-9, s"estimate below exact for $pair")
+    }
+    assert(est((2L, 8L)) == exact((2L, 8L)), "crossing pair must be exact")
+    assert(est((0L, 5L)) == 5.0 && est((5L, 9L)) == 4.0)
+    // same-side pair 6->8 routes via 5? 6 cannot reach 5 on the chain —
+    // absent from the sketch (no common landmark route)
+    assert(!est.contains((6L, 8L)))
+  }
+
   test("nodeSample keeps md5-decided nodes and induces rels on survivors") {
     import graft.ops.Sampling
     val g = broom
