@@ -449,6 +449,55 @@ object PipelineQueries {
              |SELECT cc.id, round(-sum((k / n) * log2(k / n)), 4) AS entropy
              |FROM cc JOIN n USING (id) GROUP BY cc.id""".stripMargin)),
 
+    // The composed curation pipeline end to end — quality filter (Gopher
+    // rules) → exact dedup among survivors → deterministic split → per-split
+    // doc/token accounting — one lazily-planned DAG, exactly how the
+    // stages chain in production; the oracle replays every stage in order.
+    QueryDef("q_curation_pipeline",
+      (s, d) => {
+        val base = docs(s, d)
+        val kept = graft.functions.Curation.gopherRules(base)
+          .filter(col("keep")).select("id")
+        val survivors = base.join(kept, "id")
+        val canon = Dedup.exactCanonical(survivors)
+          .filter(col("keep")).select("id")
+        survivors.join(canon, "id")
+          .select(graft.functions.Curation.splitLabel(col("id")).as("split"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"), sum("ntok").as("tokens"))
+      },
+      Some("""WITH tk AS (SELECT doc_id AS id, text,
+             |    list_filter(string_split_regex(text, '\s+'),
+             |      w -> length(w) > 0) AS ws
+             |  FROM documents),
+             |keepers AS (SELECT id, text, ws FROM tk
+             |  WHERE len(ws) BETWEEN 50 AND 100000
+             |    AND (CASE WHEN len(ws) = 0 THEN 0.0 ELSE round(
+             |      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+             |        / len(ws), 4) END) BETWEEN 3 AND 10
+             |    AND CAST(len(regexp_extract_all(text, '#'))
+             |      + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+             |      / greatest(len(ws), 1) < 0.1
+             |    AND CAST(len(list_filter(ws,
+             |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+             |      / len(ws) >= 0.8
+             |    AND len(list_filter(ws, w -> list_contains(
+             |      ['the','a','of','and','to','in','is','on','for','with'],
+             |      lower(w)))) >= 2),
+             |ded AS (SELECT id, ws,
+             |    min(id) OVER (PARTITION BY md5(text)) AS canon
+             |  FROM keepers),
+             |lab AS (SELECT
+             |    CASE WHEN substr(md5(CAST(id AS VARCHAR)), 1, 1) IN ('c','d')
+             |         THEN 'val'
+             |         WHEN substr(md5(CAST(id AS VARCHAR)), 1, 1) IN ('e','f')
+             |         THEN 'test' ELSE 'train' END AS split,
+             |    len(ws) AS ntok
+             |  FROM ded WHERE id = canon)
+             |SELECT split, count(*) AS n, CAST(sum(ntok) AS BIGINT) AS tokens
+             |FROM lab GROUP BY split""".stripMargin)),
+
     // Document fingerprints: order-insensitive md5 over the sorted word set
     // (oracle-checked) — the rolling-hash variant is spec-tested.
     QueryDef("q_fingerprint",
