@@ -268,6 +268,64 @@ object Procedures {
         col("nodes").as("nodeIds"))
   })
 
+  /** graft.louvain([relTypes[, maxRounds[, levels]]]) — Louvain community
+    * detection over the undirected projection (Blondel et al. 2008; the
+    * ecosystem's flagship community algorithm — see Ranking.louvain for
+    * the synchronous distributed formulation). YIELDs (nodeId,
+    * communityId) with community ids canonicalized to the smallest
+    * member node id. */
+  register("graft.louvain", (spark, g, args) => {
+    val types = relTypesArg(args.lift(0))
+    val maxRounds = args.lift(1).collect { case n: Number => n.intValue }.getOrElse(12)
+    val levels = args.lift(2).collect { case n: Number => n.intValue }.getOrElse(2)
+    val base = if (types.isEmpty) g.rels
+      else g.rels.filter(col("type").isin(types: _*))
+    graft.ops.Ranking.louvain(base.select(col("src"), col("dst")),
+        maxRounds, levels)
+      .select(col("node").as("nodeId"), col("community").as("communityId"))
+  })
+
+  /** graft.shortestPath.kCheapest(srcIds, dstIds, k, weightProp[,
+    * defaultWeight[, relTypes[, maxDepth[, direction]]]]) — ranked
+    * k-cheapest trails per (source, target) with a hop cap (reference
+    * graph-algo Dijkstra.java findAllPaths returns the equal-cost tie
+    * set; this extends it to a ranked top-k, the Yen's-shape output).
+    * YIELDs (sourceNode, targetNode, totalCost, hops, relIds, rank). */
+  register("graft.shortestpath.kcheapest", (spark, g, args) => {
+    import spark.implicits._
+    def longs(a: Any): Seq[Long] = a match {
+      case n: Number  => Seq(n.longValue)
+      case xs: Seq[_] => xs.map { case n: Number => n.longValue }
+      case other => throw new IllegalArgumentException(
+        s"expected node id(s), got $other")
+    }
+    val srcs = longs(args(0))
+    val dsts = longs(args(1))
+    val k = args(2).asInstanceOf[Number].intValue
+    val prop = args(3).asInstanceOf[String]
+    val defaultW = args.lift(4).collect { case n: Number => n.doubleValue }
+    val types = relTypesArg(args.lift(5))
+    val maxDepth = args.lift(6).collect { case n: Number => n.intValue }.getOrElse(20)
+    val direction = args.lift(7).map(_.toString.toUpperCase).getOrElse("OUT")
+    require(srcs.nonEmpty && dsts.nonEmpty,
+      "kCheapest needs source and target node id(s)")
+    val we = weightedEdges(g, prop, defaultW, types)
+    val edges = direction match {
+      case "OUT"  => we
+      case "IN"   => we.select(col("id"), col("dst").as("src"),
+        col("src").as("dst"), col("weight"))
+      case "BOTH" => we.unionByName(we.select(col("id"), col("dst").as("src"),
+        col("src").as("dst"), col("weight")))
+      case other  => throw new IllegalArgumentException(
+        s"direction must be OUT, IN or BOTH, got $other")
+    }
+    val pairs = srcs.toDF("source").crossJoin(dsts.toDF("target"))
+    graft.ops.WeightedPaths.kCheapest(edges, pairs, k, maxDepth)
+      .select(col("source").as("sourceNode"), col("target").as("targetNode"),
+        col("dist").as("totalCost"), col("hops"), col("path").as("relIds"),
+        col("rank"))
+  })
+
   /** graft.allSimplePaths(srcId, dstId, maxDepth[, relTypes[, direction]])
     * — bounded simple-path (node-unique) enumeration between two nodes
     * (reference graph-algo AllSimplePaths.java). direction OUT (default) /

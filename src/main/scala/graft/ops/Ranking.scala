@@ -277,4 +277,177 @@ object Ranking {
     }
     labels
   }
+
+  /**
+   * Undirected modularity Q of a community assignment (Newman 2006; the
+   * quality metric behind the reference GDS community family — the
+   * reference core ships label propagation-style clustering via its graph
+   * algorithms, and modularity is the standard score for any partition):
+   * Q = Σ_c [ L_c/m − (D_c/2m)² ] with L_c intra-community edge weight,
+   * D_c the community's total degree, m the total edge weight. One
+   * edge-dedup, one degree aggregate, two broadcast-joined sums — no
+   * iteration, partial-aggregable throughout.
+   *
+   * @param edges  (src, dst[, weight]) — direction ignored, parallel
+   *               edges collapse to one (weight = first) like the
+   *               undirected scans
+   * @param assign (node, community)
+   * @return one row (modularity DOUBLE rounded 6dp, communities BIGINT)
+   */
+  def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val w = if (edges.columns.contains("weight")) col("weight").cast("double")
+      else lit(1.0)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), w.as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(min(col("w")).as("w"))
+      .localCheckpoint(false)
+    val a = broadcast(assign.select(col("node"), col("community")))
+    val tagged = und
+      .join(a.withColumnRenamed("node", "u").withColumnRenamed("community", "cu"), "u")
+      .join(a.withColumnRenamed("node", "v").withColumnRenamed("community", "cv"), "v")
+      .localCheckpoint(false)
+    val m = tagged.agg(sum("w")).first().getDouble(0)
+    val deg = tagged.select(col("cu").as("c"), col("w"))
+      .unionByName(tagged.select(col("cv").as("c"), col("w")))
+      .groupBy("c").agg(sum("w").as("d"))
+    val intra = tagged.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c")).agg(sum("w").as("l"))
+    deg.join(intra, Seq("c"), "left_outer")
+      .select((coalesce(col("l"), lit(0.0)) / m
+        - pow(col("d") / (2 * m), 2)).as("q"))
+      .agg(round(sum("q"), 6).as("modularity"),
+        count(lit(1)).as("communities"))
+  }
+
+  /**
+   * Louvain community detection (Blondel et al. 2008; the reference
+   * ecosystem's flagship community algorithm): greedy modularity
+   * optimization in two phases per level — local moving, then community
+   * contraction — repeated for `levels` levels.
+   *
+   * The single-machine formulation moves one node at a time off a queue;
+   * that ordering doesn't distribute. Here each local-moving round is
+   * SYNCHRONOUS and deterministic: every eligible node computes its best
+   * neighboring community by modularity gain (argmax over
+   * S_uc − k_u·D_c/2m, ties to the smallest community id) and all
+   * improving moves apply at once. Synchronous moving can oscillate two
+   * adjacent nodes between each other's communities, so rounds alternate
+   * a parity gate — only nodes with (id + round) % 2 == 0 may move —
+   * the standard distributed-Louvain damping (Que et al. 2015). Rounds
+   * stop after two consecutive move-free rounds (both parities clean) or
+   * `maxRounds`. Each round is a constant number of hash joins +
+   * partial-aggregable sums on the node key; contraction is one
+   * aggregate; nothing scans past |E| per round, so the shape survives
+   * 100 TB the same way label propagation does.
+   *
+   * @param edges (src, dst[, weight]) — direction ignored, parallel
+   *              edges collapse to one
+   * @return (node, community) — community ids canonicalized to the
+   *         smallest member node id
+   */
+  def louvain(edges: DataFrame, maxRounds: Int = 12, levels: Int = 2): DataFrame = {
+    require(maxRounds >= 1 && levels >= 1, "louvain needs rounds and levels >= 1")
+    val w0 = if (edges.columns.contains("weight")) col("weight").cast("double")
+      else lit(1.0)
+    // level-0 graph: undirected dedup, no self loops (self weight appears
+    // only through contraction, tracked separately below)
+    var g = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), w0.as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(min(col("w")).as("w"))
+      .localCheckpoint()
+    // per-node self-loop weight (intra weight of the contracted community)
+    var self = g.sparkSession.range(0).select(col("id").as("u"),
+      lit(0.0).as("sw"))
+    // node -> community at the FINEST level (composed across levels)
+    var flat: DataFrame = null
+
+    for (_ <- 1 to levels) {
+      val sym = g.select(col("u"), col("v"), col("w"))
+        .unionByName(g.select(col("v").as("u"), col("u").as("v"), col("w")))
+        .localCheckpoint(false)
+      val nodes = sym.select(col("u")).distinct()
+        .unionByName(self.select("u")).distinct().localCheckpoint()
+      // k_u includes twice the self weight (standard degree convention)
+      val deg = nodes
+        .join(sym.groupBy("u").agg(sum("w").as("kw")), Seq("u"), "left_outer")
+        .join(self.withColumnRenamed("sw", "__sw"), Seq("u"), "left_outer")
+        .select(col("u"), (coalesce(col("kw"), lit(0.0))
+          + lit(2.0) * coalesce(col("__sw"), lit(0.0))).as("k"))
+        .localCheckpoint()
+      val m2 = deg.agg(sum("k")).first().getDouble(0) // = 2m
+      require(m2 > 0, "louvain needs at least one edge")
+      var assign = nodes.withColumn("comm", col("u")).localCheckpoint()
+      var cleanRounds = 0
+      var r = 0
+      while (cleanRounds < 2 && r < maxRounds) {
+        val dc = assign.join(deg, "u").groupBy("comm").agg(sum("k").as("d"))
+        // S_uc: weight from u to each neighboring community
+        val suc = sym
+          .join(assign.select(col("u").as("v"), col("comm").as("c")), "v")
+          .groupBy("u", "c").agg(sum("w").as("s"))
+        // candidate value(u, c) = S_uc − k_u·(D_c − [c = own] k_u)/2m;
+        // own community always among candidates (S_ua may be 0 for an
+        // isolated-in-community node)
+        val own = assign.select(col("u"), col("comm").as("c"))
+          .join(suc, Seq("u", "c"), "left_outer")
+          .select(col("u"), col("c"), coalesce(col("s"), lit(0.0)).as("s"))
+        val cand = suc.unionByName(own)
+          .groupBy("u", "c").agg(max("s").as("s"))
+          .join(assign, "u").join(deg, "u")
+          .join(dc.withColumnRenamed("comm", "c"), "c")
+          .select(col("u"), col("c"), col("comm"),
+            (col("s") - col("k") * (col("d")
+              - when(col("c") === col("comm"), col("k")).otherwise(lit(0.0)))
+              / m2).as("val"))
+        val best = cand
+          .groupBy("u")
+          .agg(max(struct(col("val"), (-col("c")).as("nc"))).as("__b"),
+            max(when(col("c") === col("comm"), col("val"))).as("ownVal"))
+          .select(col("u"), (-col("__b.nc")).as("bc"),
+            col("__b.val").as("bv"), col("ownVal"))
+        val next = assign.join(best, Seq("u"), "left_outer")
+          .select(col("u"), when(
+              col("bv") > col("ownVal") + 1e-9 &&
+              ((col("u") + r) % 2 === 0), col("bc"))
+            .otherwise(col("comm")).as("comm"),
+            (col("comm") =!= when(
+              col("bv") > col("ownVal") + 1e-9 &&
+              ((col("u") + r) % 2 === 0), col("bc"))
+            .otherwise(col("comm"))).as("__moved"))
+          .localCheckpoint()
+        val moves = next.filter(col("__moved")).count()
+        assign = next.drop("__moved")
+        cleanRounds = if (moves == 0) cleanRounds + 1 else 0
+        r += 1
+      }
+      flat = if (flat == null) assign.select(col("u").as("node"), col("comm"))
+        else flat.select(col("node"), col("comm").as("comm0"))
+          .join(assign.select(col("u").as("comm0"), col("comm")), "comm0")
+          .select(col("node"), col("comm"))
+      flat = flat.localCheckpoint()
+      // contract: communities become nodes; intra weight becomes self weight
+      val mapped = g
+        .join(assign.select(col("u"), col("comm").as("cu")), "u")
+        .join(assign.select(col("u").as("v"), col("comm").as("cv")), "v")
+        .select(col("cu"), col("cv"), col("w"))
+      self = mapped.filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("u")).agg(sum("w").as("sw"))
+        .unionByName(self.join(assign, "u")
+          .groupBy(col("comm").as("u")).agg(sum("sw").as("sw")))
+        .groupBy("u").agg(sum("sw").as("sw"))
+        .localCheckpoint()
+      g = mapped.filter(col("cu") =!= col("cv"))
+        .select(least(col("cu"), col("cv")).as("u"),
+          greatest(col("cu"), col("cv")).as("v"), col("w"))
+        .groupBy("u", "v").agg(sum("w").as("w"))
+        .localCheckpoint()
+    }
+    // canonical community id = smallest member node id
+    val canon = flat.groupBy("comm").agg(min("node").as("community"))
+    flat.join(canon, "comm").select(col("node"), col("community"))
+  }
 }

@@ -170,6 +170,73 @@ object WeightedPaths {
     best
   }
 
+  /**
+   * K cheapest paths per (source, target) under relationship-uniqueness
+   * (trail semantics, like every Cypher MATCH) with a hop cap — the
+   * batched generalization of the reference Dijkstra PathFinder's
+   * findAllPaths (community/graph-algo/.../impl/path/Dijkstra.java
+   * returns ALL equal-cost cheapest paths; k beyond the tie set extends
+   * that surface to ranked k-cheapest output, the shape Yen's algorithm
+   * produces on a single machine).
+   *
+   * Depth-synchronized frontier rounds, the weighted sibling of
+   * [[graft.ops.Trail.shortestK]]: round r holds every surviving partial
+   * with exactly r hops, and per (source, node) only the k best
+   * (dist, path) partials OF THAT ROUND survive. Hop-synchronized
+   * pruning is what makes the budget exact on acyclic search spaces: a
+   * final top-k path's r-hop prefix must rank top-k at its node among
+   * r-hop partials, because k cheaper same-hop partials would extend by
+   * the same suffix into k cheaper full paths. Work per round is bounded
+   * by |reached| × k, never by the path count — the priority queue the
+   * single-machine formulation needs is replaced by one window rank per
+   * round over (source, node).
+   *
+   * @param edges (id LONG, src LONG, dst LONG, weight DOUBLE >= 0)
+   * @param pairs (source, target)
+   * @return (source, target, dist, hops, path ARRAY<LONG>, rank 1..k)
+   */
+  def kCheapest(edges: DataFrame, pairs: DataFrame, k: Int,
+      maxDepth: Int): DataFrame = {
+    require(k >= 1 && maxDepth >= 1 && maxDepth <= 30,
+      s"kCheapest bounds out of range: k=$k maxDepth=$maxDepth")
+    val e = edges.select(col("id").as("__er"), col("src").as("__es"),
+      col("dst").as("__ed"), col("weight").cast("double").as("__ew"))
+    val wRound = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "end").orderBy(col("dist").asc, col("path").asc)
+
+    var frontier = pairs.select("source").distinct()
+      .select(col("source"), col("source").as("end"), lit(0.0).as("dist"),
+        lit(0).as("hops"), array().cast("array<long>").as("path"))
+      .localCheckpoint()
+    val keptPieces = Seq.newBuilder[DataFrame]
+    keptPieces += frontier
+    var d = 0
+    var fCnt = frontier.count()
+    while (d < maxDepth && fCnt > 0) {
+      val f = if (fCnt <= 200000) broadcast(frontier) else frontier
+      val kept = f.join(e,
+          col("end") === col("__es") && !array_contains(col("path"), col("__er")))
+        .select(col("source"), col("__ed").as("end"),
+          (col("dist") + col("__ew")).as("dist"), (col("hops") + 1).as("hops"),
+          concat(col("path"), array(col("__er"))).as("path"))
+        .withColumn("__rk", row_number().over(wRound))
+        .filter(col("__rk") <= k)
+        .drop("__rk")
+        .localCheckpoint(false) // the count() below materializes it
+      keptPieces += kept
+      frontier = kept
+      fCnt = frontier.count()
+      d += 1
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "target").orderBy(col("dist").asc, col("path").asc)
+    keptPieces.result().reduce(_ unionByName _)
+      .join(pairs, Seq("source")).filter(col("end") === col("target"))
+      .select(col("source"), col("target"), col("dist"), col("hops"), col("path"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Shortest path lengths+paths restricted to requested (source, target)
     * pairs. */
   def shortestPathsTo(edges: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {

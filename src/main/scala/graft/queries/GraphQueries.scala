@@ -268,6 +268,68 @@ object GraphQueries {
              |  CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS label
              |FROM nation""".stripMargin)),
 
+    // Louvain community detection on a ring of 25 six-cliques (customer
+    // keys 1..150; bridge edge from each clique's last node to the next
+    // clique's first): the canonical Louvain fixture — single bridges
+    // can't outweigh clique cohesion, so the modularity optimum is one
+    // community per clique and the greedy local-moving rounds find it
+    // deterministically. Canonical community id = smallest member.
+    QueryDef("q_louvain",
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .filter(col("c_custkey").between(1, 150))
+          .select((col("c_custkey") - 1).cast("long").as("k"))
+        val intra = base.alias("a").join(base.alias("b"),
+            floor(col("a.k") / 6) === floor(col("b.k") / 6) &&
+              col("a.k") < col("b.k"))
+          .select(col("a.k").as("src"), col("b.k").as("dst"))
+        val bridges = base.filter(col("k") % 6 === 5)
+          .select(col("k").as("src"), ((col("k") + 1) % 150).as("dst"))
+        Ranking.louvain(intra.unionByName(bridges))
+      },
+      Some("""SELECT CAST(c_custkey - 1 AS BIGINT) AS node,
+             |  CAST(6 * ((c_custkey - 1) // 6) AS BIGINT) AS community
+             |FROM customer WHERE c_custkey BETWEEN 1 AND 150""".stripMargin)),
+
+    // Modularity of a community assignment (Newman's Q — the score the
+    // Louvain rounds optimize) on the same ring-of-cliques fixture with
+    // the clique partition: the oracle recomputes Q from the edge list
+    // with plain SQL aggregation.
+    QueryDef("q_modularity",
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .filter(col("c_custkey").between(1, 150))
+          .select((col("c_custkey") - 1).cast("long").as("k"))
+        val intra = base.alias("a").join(base.alias("b"),
+            floor(col("a.k") / 6) === floor(col("b.k") / 6) &&
+              col("a.k") < col("b.k"))
+          .select(col("a.k").as("src"), col("b.k").as("dst"))
+        val bridges = base.filter(col("k") % 6 === 5)
+          .select(col("k").as("src"), ((col("k") + 1) % 150).as("dst"))
+        val assign = base.select(col("k").as("node"),
+          (floor(col("k") / 6) * 6).cast("long").as("community"))
+        Ranking.modularity(intra.unionByName(bridges), assign)
+      },
+      Some("""WITH n AS (SELECT CAST(c_custkey - 1 AS BIGINT) AS k
+             |  FROM customer WHERE c_custkey BETWEEN 1 AND 150),
+             |e AS (
+             |  SELECT a.k AS u, b.k AS v FROM n a JOIN n b
+             |  ON a.k // 6 = b.k // 6 AND a.k < b.k
+             |  UNION ALL
+             |  SELECT k, (k + 1) % 150 FROM n WHERE k % 6 = 5),
+             |tagged AS (SELECT u, v, 6 * (u // 6) AS cu, 6 * (v // 6) AS cv
+             |  FROM e),
+             |m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM tagged),
+             |deg AS (SELECT c, CAST(count(*) AS DOUBLE) AS d FROM (
+             |    SELECT cu AS c FROM tagged
+             |    UNION ALL SELECT cv FROM tagged) GROUP BY c),
+             |intra AS (SELECT cu AS c, CAST(count(*) AS DOUBLE) AS l
+             |  FROM tagged WHERE cu = cv GROUP BY cu)
+             |SELECT round(sum(coalesce(intra.l, 0) / m.m
+             |    - (deg.d / (2 * m.m)) ^ 2), 6) AS modularity,
+             |  count(*) AS communities
+             |FROM deg LEFT JOIN intra ON intra.c = deg.c, m""".stripMargin)),
+
     // Triangle counting: nations linked iff same region → each region is a
     // clique; triangles = Σ C(|region|, 3), counted by the two-join
     // canonical-orientation enumeration.

@@ -385,6 +385,43 @@ object PathQueries {
              |SELECT CAST(hops AS INT) AS hops, count(*) AS n
              |FROM p WHERE node = 33 GROUP BY hops""".stripMargin)),
 
+    // Ranked k-cheapest paths on the procedure surface (reference
+    // graph-algo Dijkstra.java findAllPaths returns the equal-cost tie
+    // set; kCheapest extends it to a ranked top-k). Directed weighted
+    // grid = a DAG, so the hop-synchronized per-(source, node) top-k
+    // pruning is exact and the oracle can enumerate every monotone path
+    // with its cost in a recursive CTE, ranking by (dist, path) with
+    // DuckDB's elementwise list comparison — the same total order as the
+    // engine's array<long> sort.
+    QueryDef("q_k_cheapest",
+      (s, d) => graft.cypher.Cypher.run(s, gridGraph(s, d),
+        """CALL graft.shortestPath.kCheapest([0], [33, 66], 4, 'w')
+          |YIELD targetNode, totalCost, hops, relIds, rank
+          |RETURN targetNode, totalCost AS dist, hops, relIds, rank""".stripMargin)
+        .select(col("targetNode"), col("dist"), col("hops"),
+          array_join(col("relIds"), ",").as("path"), col("rank")),
+      Some("""WITH RECURSIVE grid AS (
+             |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
+             |  WHERE c_custkey BETWEEN 1 AND 100),
+             |e AS (
+             |  SELECT k + 1000 AS rid, k AS s, k + 1 AS d, 1.0 + (k % 3) AS w
+             |  FROM grid WHERE k % 10 < 9
+             |  UNION ALL
+             |  SELECT k + 2000, k, k + 10, 1.0 + (k % 5) FROM grid WHERE k < 90),
+             |p AS (
+             |  SELECT CAST(0 AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS dist,
+             |    0 AS hops, CAST([] AS BIGINT[]) AS path
+             |  UNION ALL
+             |  SELECT e.d, p.dist + e.w, p.hops + 1, list_append(p.path, e.rid)
+             |  FROM p JOIN e ON e.s = p.node WHERE p.hops < 12),
+             |ranked AS (
+             |  SELECT node AS targetNode, dist, hops, path,
+             |    row_number() OVER (PARTITION BY node ORDER BY dist, path) AS rank
+             |  FROM p WHERE node IN (33, 66))
+             |SELECT targetNode, dist, CAST(hops AS INT) AS hops,
+             |  array_to_string(path, ',') AS path, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 4""".stripMargin)),
+
     // All-pairs shortest path costs on the directed weighted grid
     // (reference graph-algo FloydWarshall.java): every node seeds one
     // shared Bellman-Ford frontier — no V×V matrix, no per-pair jobs. The

@@ -92,4 +92,62 @@ class RankingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
+
+  /** Ring of `q` cliques of size `s` (nodes 0 .. q*s-1): all intra-clique
+    * pairs plus one bridge from each clique's last node to the next
+    * clique's first. */
+  private def ringOfCliques(q: Int, s: Int) = {
+    val n = q * s
+    val intra = for {
+      c <- 0 until q; i <- 0 until s; j <- i + 1 until s
+    } yield (c * s + i.toLong, c * s + j.toLong)
+    val bridges = (0 until q).map(c =>
+      ((c * s + s - 1).toLong, ((c + 1) * s % n).toLong))
+    (intra ++ bridges).toDF("src", "dst")
+  }
+
+  test("louvain recovers the cliques on a ring of cliques") {
+    val got = Ranking.louvain(ringOfCliques(8, 5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 40)
+    (0 until 40).foreach(n => assert(got(n.toLong) == (n / 5) * 5,
+      s"node $n in community ${got(n.toLong)}"))
+  }
+
+  test("louvain is deterministic across runs") {
+    val e = ringOfCliques(6, 4)
+    val a = Ranking.louvain(e).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = Ranking.louvain(e).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("louvain contraction merges sub-communities across levels") {
+    // two 4-cliques joined by TWO bridges, far apart from another pair:
+    // level-2 contraction must still leave the 4-cliques separate (single
+    // pair of bridges never outweighs clique cohesion at this size), and
+    // every node lands with its clique
+    val got = Ranking.louvain(ringOfCliques(4, 6)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 24).foreach(n => assert(got(n.toLong) == (n / 6) * 6))
+  }
+
+  test("modularity matches the hand-computed Q of a clique partition") {
+    // ring of 4 cliques of 5: m = 4*10+4 = 44, per clique L = 10 (+1
+    // bridge out, 1 in): D = 5*4 + 2 = 22
+    val edges = ringOfCliques(4, 5)
+    val assign = (0 until 20).map(n => (n.toLong, (n / 5 * 5).toLong))
+      .toDF("node", "community")
+    val row = Ranking.modularity(edges, assign).first()
+    val m = 44.0
+    val expected = 4 * (10.0 / m - math.pow(22.0 / (2 * m), 2))
+    assert(math.abs(row.getDouble(0) - math.rint(expected * 1e6) / 1e6) < 1e-9)
+    assert(row.getLong(1) == 4L)
+  }
+
+  test("modularity of the all-in-one partition is zero") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val assign = Seq((0L, 0L), (1L, 0L), (2L, 0L)).toDF("node", "community")
+    val row = Ranking.modularity(edges, assign).first()
+    assert(math.abs(row.getDouble(0)) < 1e-9)
+  }
 }

@@ -183,4 +183,38 @@ class TrailPathsSpec extends AnyFunSuite {
     // seg1=[100,101] (back at 0), seg2 from 0: only 100 — already used.
     assert(got.isEmpty)
   }
+
+  test("kCheapest ranks by cost then path, not by hops") {
+    import spark.implicits._
+    // 0->3 three ways: direct edge cost 10 (1 hop), via 1 cost 2+3=5
+    // (2 hops), via 2 cost 1+1=2 (2 hops) — cheapest is the 2-hop path
+    val e = Seq(
+      (100L, 0L, 3L, 10.0),
+      (101L, 0L, 1L, 2.0), (102L, 1L, 3L, 3.0),
+      (103L, 0L, 2L, 1.0), (104L, 2L, 3L, 1.0)
+    ).toDF("id", "src", "dst", "weight")
+    val pairs = Seq((0L, 3L)).toDF("source", "target")
+    val got = WeightedPaths.kCheapest(e, pairs, k = 3, maxDepth = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getDouble(r.fieldIndex("dist")),
+        r.getSeq[Long](r.fieldIndex("path")).toList, r.getInt(r.fieldIndex("rank"))))
+    assert(got.toList == List(
+      (2.0, List(103L, 104L), 1),
+      (5.0, List(101L, 102L), 2),
+      (10.0, List(100L), 3)))
+  }
+
+  test("kCheapest breaks cost ties by the lexicographic edge path") {
+    import spark.implicits._
+    // two equal-cost 0->2 paths; the smaller first-edge id ranks first
+    val e = Seq(
+      (200L, 0L, 1L, 1.0), (201L, 1L, 2L, 1.0),
+      (300L, 0L, 4L, 1.0), (301L, 4L, 2L, 1.0)
+    ).toDF("id", "src", "dst", "weight")
+    val pairs = Seq((0L, 2L)).toDF("source", "target")
+    val got = WeightedPaths.kCheapest(e, pairs, k = 2, maxDepth = 3)
+      .orderBy("rank").collect()
+      .map(r => r.getSeq[Long](r.fieldIndex("path")).toList)
+    assert(got.toList == List(List(200L, 201L), List(300L, 301L)))
+  }
 }
