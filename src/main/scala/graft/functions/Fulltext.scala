@@ -94,6 +94,141 @@ object Fulltext {
       .limit(k)
   }
 
+  /** One parsed clause of the boolean mini-language: occur ∈ MUST(+)/
+    * MUST_NOT(-)/SHOULD(default), quoted text = phrase. */
+  final case class BoolClause(occur: Char, text: String, phrase: Boolean)
+
+  /** Parse the Lucene-style subset the reference's fulltext procedures
+    * accept (FulltextProcedures.java queryNodes takes a Lucene query
+    * string): `+required -prohibited "a phrase" loose terms`. */
+  def parseBooleanQuery(query: String): Seq[BoolClause] = {
+    val Pat = """([+-]?)(?:"([^"]*)"|(\S+))""".r
+    Pat.findAllMatchIn(query).map { m =>
+      val occur = if (m.group(1).isEmpty) 'S' else m.group(1).head match {
+        case '+' => 'M'
+        case '-' => 'N'
+      }
+      val (text, phrase) = Option(m.group(2)) match {
+        case Some(p) => (p, true)
+        case None    => (m.group(3), false)
+      }
+      BoolClause(occur, text, phrase)
+    }.toSeq.filter(_.text.nonEmpty)
+  }
+
+  /**
+   * Boolean + phrase BM25 top-k — the query-syntax surface of the
+   * reference's `db.index.fulltext.queryNodes` (Lucene boolean queries:
+   * MUST / MUST_NOT / SHOULD clauses and quoted phrases).
+   *
+   * Semantics (Lucene's, minus per-field boosts, with two documented
+   * simplifications):
+   *  - `+term` / `+"a phrase"`: document must match;
+   *  - `-term` / `-"a phrase"`: document must not match;
+   *  - bare terms are SHOULD: each match adds BM25 score, and when the
+   *    query has no required clause at least one SHOULD term must match;
+   *  - any non-negated phrase is treated as REQUIRED (divergence 1:
+   *    Lucene would let a bare phrase be optional), and phrases filter
+   *    without scoring (divergence 2: Lucene scores phrase frequency) —
+   *    both keep every clause SQL-expressible for the oracle;
+   *  - scoring: BM25 over the MUST + SHOULD term clauses, rounded 4dp
+   *    before ranking, ties to the smaller id. A document selected by
+   *    required clauses alone scores 0 and ranks last.
+   *
+   * Phrase matching tests adjacency on the ANALYZED token stream: the
+   * text is lowercased and every non-token run collapses to one space,
+   * so `"fast  Merge"` matches `fast merge batch`. Term filters are
+   * posting-list semi/anti-joins (never a corpus regex scan); the one
+   * full-text pass happens only when the query actually has phrases.
+   */
+  def booleanTopK(docs: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      analyzer: String = "standard"): DataFrame = {
+    val a = analyzerOf(analyzer)
+    def analyzeTerms(s: String): Seq[String] = {
+      val base = if (a.lowercase) s.toLowerCase else s
+      base.split(a.pattern).filter(_.nonEmpty).filterNot(a.stopwords).toSeq
+    }
+    val clauses = parseBooleanQuery(query)
+    require(clauses.nonEmpty, "empty boolean query")
+    val scoringTerms = clauses.filter(c => !c.phrase && c.occur != 'N')
+      .flatMap(c => analyzeTerms(c.text)).distinct
+    val mustTerms = clauses.filter(c => !c.phrase && c.occur == 'M')
+      .flatMap(c => analyzeTerms(c.text)).distinct
+    val notTerms = clauses.filter(c => !c.phrase && c.occur == 'N')
+      .flatMap(c => analyzeTerms(c.text)).distinct
+    def phraseNeedle(s: String): String = analyzeTerms(s).mkString(" ")
+    val mustPhrases = clauses.filter(c => c.phrase && c.occur != 'N')
+      .map(c => phraseNeedle(c.text)).filter(_.nonEmpty)
+    val notPhrases = clauses.filter(c => c.phrase && c.occur == 'N')
+      .map(c => phraseNeedle(c.text)).filter(_.nonEmpty)
+    val hasMust = mustTerms.nonEmpty || mustPhrases.nonEmpty
+    require(scoringTerms.nonEmpty || hasMust,
+      "query needs at least one scoring or required clause")
+
+    val tf = postings(docs, idCol, textCol, analyzer).localCheckpoint(false)
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    // candidate set: phrase filters need one analyzed-text pass; term
+    // filters stay on the posting lists
+    val phraseCands: Option[DataFrame] =
+      if (mustPhrases.isEmpty && notPhrases.isEmpty) None
+      else {
+        val base = if (a.lowercase) lower(col(textCol)) else col(textCol)
+        val norm = concat(lit(" "),
+          array_join(filter(split(base, a.pattern), t => t =!= ""), " "),
+          lit(" "))
+        val pred = (mustPhrases.map(p => norm.contains(s" $p ")) ++
+          notPhrases.map(p => !norm.contains(s" $p ")))
+          .reduce(_ && _)
+        Some(docs.filter(pred).select(col(idCol).as("id")))
+      }
+    var cands: DataFrame =
+      if (hasMust) {
+        // intersection of the required clauses — a doc needs no SHOULD
+        // match once it satisfies every MUST
+        var c: DataFrame = null
+        for (t <- mustTerms) {
+          val s = tf.filter(col("term") === t).select("id")
+          c = if (c == null) s else c.join(s, Seq("id"), "left_semi")
+        }
+        phraseCands.foreach(p =>
+          c = if (c == null) p else c.join(p, Seq("id"), "left_semi"))
+        c
+      } else {
+        // pure-SHOULD query: at least one scoring term must match (and
+        // any MUST_NOT phrase filter still applies)
+        var c = tf.filter(col("term").isin(scoringTerms: _*))
+          .select("id").distinct()
+        phraseCands.foreach(p => c = c.join(p, Seq("id"), "left_semi"))
+        c
+      }
+    if (notTerms.nonEmpty)
+      cands = cands.join(
+        tf.filter(col("term").isin(notTerms: _*)).select("id").distinct(),
+        Seq("id"), "left_anti")
+
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val w = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored =
+      if (scoringTerms.isEmpty)
+        cands.select(col("id"), lit(0.0).as("score"))
+      else {
+        val scores = tf.filter(col("term").isin(scoringTerms: _*))
+          .join(dl, "id")
+          .join(dft, "term")
+          .crossJoin(broadcast(corpus))
+          .groupBy("id").agg(round(sum(w), 4).as("score"))
+        cands.select("id").distinct()
+          .join(scores, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("score"), lit(0.0)).as("score"))
+      }
+    scored.orderBy(col("score").desc, col("id").asc).limit(k)
+  }
+
   /**
    * Persisted inverted index — the durable counterpart of [[bm25TopK]]'s
    * in-flight posting lists, playing the role of Lucene's segment files

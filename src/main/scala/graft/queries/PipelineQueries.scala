@@ -534,6 +534,44 @@ object PipelineQueries {
              |SELECT id, round(score, 4) AS score FROM scores
              |ORDER BY round(score, 4) DESC, id ASC LIMIT 20""".stripMargin)),
 
+    // Boolean + phrase query syntax (the Lucene-subset surface of the
+    // reference's db.index.fulltext.queryNodes): MUST term, MUST phrase
+    // (adjacency on the analyzed token stream), MUST_NOT term, two SHOULD
+    // terms contributing BM25 score. The oracle replays every clause as
+    // posting-list membership filters plus one normalized-text contains.
+    QueryDef("q_fulltext_boolean",
+      (s, d) => graft.functions.Fulltext.booleanTopK(
+        t(s, d, "documents"), "doc_id", "text",
+        query = "+spark \"fast merge\" -window table batch", k = 20),
+      Some("""WITH tf AS (
+             |  SELECT doc_id AS id, term, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+             |    FROM documents) WHERE term <> '' GROUP BY doc_id, term),
+             |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY id),
+             |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |ph AS (SELECT doc_id AS id FROM documents
+             |  WHERE contains(' ' || array_to_string(list_filter(
+             |      string_split_regex(lower(text), '[^a-z0-9]+'),
+             |      t -> t <> ''), ' ') || ' ', ' fast merge ')),
+             |eligible AS (
+             |  SELECT DISTINCT id FROM tf
+             |  WHERE term IN ('spark', 'table', 'batch')
+             |    AND id IN (SELECT id FROM tf WHERE term = 'spark')
+             |    AND id IN (SELECT id FROM ph)
+             |    AND id NOT IN (SELECT id FROM tf WHERE term = 'window')),
+             |q AS (SELECT unnest(['spark', 'table', 'batch']) AS term),
+             |scores AS (
+             |  SELECT tf.id, sum(
+             |    ln(1 + (corpus.n - dft.df + 0.5) / (dft.df + 0.5)) *
+             |    (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl))) AS score
+             |  FROM tf JOIN q USING (term) JOIN dl ON dl.id = tf.id
+             |  JOIN dft ON dft.term = tf.term CROSS JOIN corpus
+             |  WHERE tf.id IN (SELECT id FROM eligible)
+             |  GROUP BY tf.id)
+             |SELECT id, round(score, 4) AS score FROM scores
+             |ORDER BY round(score, 4) DESC, id ASC LIMIT 20""".stripMargin)),
+
     // Persisted fulltext index: the same BM25 top-20 served from the
     // on-disk bucket-partitioned posting lists — build + partition-pruned
     // query (only the query terms' hash buckets are read). Same oracle as

@@ -42,4 +42,43 @@ class FulltextIndexSpec extends AnyFunSuite {
     assert(scanLine.get.contains("bucket"),
       s"PartitionFilters does not prune on bucket:\n${scanLine.get}")
   }
+
+  test("parseBooleanQuery splits occurs, phrases and bare terms") {
+    val cs = Fulltext.parseBooleanQuery("""+spark -"bad phrase" "a b" x""")
+    assert(cs == Seq(
+      Fulltext.BoolClause('M', "spark", phrase = false),
+      Fulltext.BoolClause('N', "bad phrase", phrase = true),
+      Fulltext.BoolClause('S', "a b", phrase = true),
+      Fulltext.BoolClause('S', "x", phrase = false)))
+  }
+
+  test("booleanTopK applies MUST / MUST_NOT / phrase semantics") {
+    // +spark: docs 1, 4; -cluster drops 1; phrase keeps only exact
+    // adjacency
+    val ids = Fulltext.booleanTopK(corpus, "doc_id", "text",
+      "+spark -cluster rank", k = 10).collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(4L), s"got $ids")
+    // a non-negated phrase is REQUIRED (documented divergence): only doc
+    // 3 contains "filter pushdown"; it lacks spark so it scores 0 but is
+    // still returned
+    val phrase = Fulltext.booleanTopK(corpus, "doc_id", "text",
+      "\"filter pushdown\" spark", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(phrase == Seq((3L, 0.0)), s"got $phrase")
+  }
+
+  test("booleanTopK phrase matches the analyzed stream, not raw text") {
+    val df = Seq((1L, "Fast,   MERGE ahead"), (2L, "fast stop merge"))
+      .toDF("doc_id", "text")
+    val ids = Fulltext.booleanTopK(df, "doc_id", "text",
+      "+\"fast merge\" ahead", k = 10).collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L), s"got $ids")
+  }
+
+  test("booleanTopK without MUST requires at least one SHOULD match") {
+    val ids = Fulltext.booleanTopK(corpus, "doc_id", "text",
+      "entropy -minhash rank", k = 10).collect().map(_.getLong(0)).toSeq
+    // doc 5 has entropy but also minhash (dropped); doc 2 has rank
+    assert(ids == Seq(2L), s"got $ids")
+  }
 }
