@@ -122,7 +122,11 @@ object Ast {
     * StatefulShortestPath) — the pattern may concatenate several var-length
     * legs. */
   final case class ShortestPart(pathVar: Option[String], pattern: PathPattern,
-      all: Boolean = false, k: Option[Int] = None)
+      all: Boolean = false, k: Option[Int] = None,
+      // SHORTEST k GROUPS (GQL selector; reference StatefulShortestPath
+      // .Selector.ShortestGroups): every path whose length falls in the k
+      // smallest distinct lengths per pair
+      groups: Boolean = false)
 
   // ---- clauses ----------------------------------------------------------
 

@@ -467,8 +467,10 @@ object CypherParser extends RegexParsers {
       case v ~ p => ShortestPart(v, p, all = true)
     } |
     opt(ident <~ "=") ~ (K("SHORTEST") ~> """\d+""".r) ~
-      (opt(K("PATHS")) ~> pathPattern) ^^ {
-      case v ~ kk ~ p => ShortestPart(v, p, all = false, k = Some(kk.toInt))
+      (opt(K("PATH") | K("PATHS")) ~> opt(K("GROUPS"))) ~ pathPattern ^^ {
+      case v ~ kk ~ g ~ p =>
+        ShortestPart(v, p, all = false, k = Some(kk.toInt),
+          groups = g.isDefined)
     }
 
   /** `p = (a)-[r]->(b)` — plain named path (reference ProjectNamedPath). */

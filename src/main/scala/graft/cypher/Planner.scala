@@ -1229,7 +1229,22 @@ object Planner {
       if (toBound) filterEndpoint(d0, toNode, toVar) else d0
     }
     val res0 =
-      if (toBound)
+      if (s.groups) {
+        // SHORTEST k GROUPS (reference Selector.ShortestGroups): whole
+        // length-groups survive, so the search runs the distinct-arrival-
+        // round budget of Trail.shortestGroups. Scoped to a single
+        // unconstrained var-length leg with a bound target — the common
+        // selector shape; segment concatenations keep the per-path
+        // selector
+        require(segs.size == 1 && !segs.head.composite &&
+          segs.head.boundary.isEmpty,
+          "SHORTEST k GROUPS supports a single var-length relationship " +
+            "pattern (no alternation or interior predicates)")
+        require(toBound, "SHORTEST k GROUPS needs a bound target node")
+        graft.ops.Trail.shortestGroups(segs.head.edges,
+          df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(),
+          kk, segs.head.min, segs.head.max)
+      } else if (toBound)
         graft.ops.Trail.shortestKSegments(segs,
           df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(), kk)
       else {

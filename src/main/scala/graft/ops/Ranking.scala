@@ -347,7 +347,8 @@ object Ranking {
    * @return (node, community) — community ids canonicalized to the
    *         smallest member node id
    */
-  def louvain(edges: DataFrame, maxRounds: Int = 12, levels: Int = 2): DataFrame = {
+  def louvain(edges: DataFrame, maxRounds: Int = 12, levels: Int = 2,
+      localThreshold: Int = 20000): DataFrame = {
     require(maxRounds >= 1 && levels >= 1, "louvain needs rounds and levels >= 1")
     val w0 = if (edges.columns.contains("weight")) col("weight").cast("double")
       else lit(1.0)
@@ -359,6 +360,23 @@ object Ranking {
       .filter(col("u") =!= col("v"))
       .groupBy("u", "v").agg(min(col("w")).as("w"))
       .localCheckpoint()
+    // Small-graph fast path: classic sequential greedy (the single-machine
+    // formulation the paper describes) over a collected edge list — the
+    // distributed rounds below cost ~2 driver jobs each, which for a graph
+    // that fits in one task is pure scheduling latency. The LIMIT probe
+    // reads at most threshold+1 rows; past it, the frontier-parallel rounds
+    // are the only shape that survives 100 TB. Both paths greedily optimize
+    // the same modularity with deterministic (gain desc, community asc)
+    // tie-breaks; on tie-heavy graphs they may settle different local
+    // optima (sequential moves see earlier moves within a round,
+    // synchronous ones don't) — each is individually deterministic.
+    if (localThreshold > 0 &&
+        g.limit(localThreshold + 1).count() <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      return localLouvain(es, maxRounds, levels).toSeq.toDF("node", "community")
+    }
     // per-node self-loop weight (intra weight of the contracted community)
     var self = g.sparkSession.range(0).select(col("id").as("u"),
       lit(0.0).as("sw"))
@@ -449,5 +467,86 @@ object Ranking {
     // canonical community id = smallest member node id
     val canon = flat.groupBy("comm").agg(min("node").as("community"))
     flat.join(canon, "comm").select(col("node"), col("community"))
+  }
+
+  /** Sequential greedy Louvain over a bounded, deduped, undirected edge
+    * list — node order ascending, immediate move application, (gain desc,
+    * community asc) tie-break, contraction between levels. Returns
+    * node -> canonical (min-member) community. */
+  private def localLouvain(edges: Array[(Long, Long, Double)],
+      maxRounds: Int, levels: Int): Map[Long, Long] = {
+    require(edges.nonEmpty, "louvain needs at least one edge")
+    // current level's graph
+    var adj: Map[Long, Array[(Long, Double)]] =
+      (edges.map(e => (e._1, (e._2, e._3))) ++
+        edges.map(e => (e._2, (e._1, e._3))))
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2) }
+    var self: Map[Long, Double] = Map.empty
+    // original node -> current-level node
+    var mapping: Map[Long, Long] =
+      adj.keysIterator.map(n => n -> n).toMap
+
+    for (_ <- 1 to levels) {
+      val nodes = adj.keys.toArray.sorted
+      val k = nodes.map(n =>
+        n -> (adj(n).map(_._2).sum + 2 * self.getOrElse(n, 0.0))).toMap
+      val m2 = k.values.sum
+      val comm = scala.collection.mutable.HashMap(nodes.map(n => n -> n): _*)
+      val commDeg = scala.collection.mutable.HashMap(nodes.map(n => n -> k(n)): _*)
+      var moved = true
+      var r = 0
+      while (moved && r < maxRounds) {
+        moved = false
+        r += 1
+        for (u <- nodes) {
+          val a = comm(u)
+          val su = scala.collection.mutable.HashMap.empty[Long, Double]
+          adj(u).foreach { case (v, w) =>
+            if (v != u) su(comm(v)) = su.getOrElse(comm(v), 0.0) + w }
+          def value(c: Long): Double =
+            su.getOrElse(c, 0.0) -
+              k(u) * (commDeg(c) - (if (c == a) k(u) else 0.0)) / m2
+          // ascending candidate order + strictly-better update = argmax by
+          // (gain desc, community asc), moving only on strict improvement —
+          // the same rule as the distributed rounds
+          val cands = (su.keys ++ Iterator(a)).toArray.distinct.sorted
+          var bestC = a; var bestV = value(a)
+          cands.foreach { c =>
+            val v = value(c)
+            if (v > bestV + 1e-9) { bestC = c; bestV = v }
+          }
+          if (bestC != a) {
+            commDeg(a) -= k(u); commDeg(bestC) += k(u); comm(u) = bestC
+            moved = true
+          }
+        }
+      }
+      mapping = mapping.map { case (orig, cur) => orig -> comm(cur) }
+      // contract: communities become nodes
+      val newSelf = scala.collection.mutable.HashMap.empty[Long, Double]
+      self.foreach { case (n, w) =>
+        val c = comm(n); newSelf(c) = newSelf.getOrElse(c, 0.0) + w }
+      val newEdges = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+      adj.foreach { case (u, vs) => vs.foreach { case (v, w) =>
+        if (u < v) { // each undirected edge once
+          val (cu, cv) = (comm(u), comm(v))
+          if (cu == cv) newSelf(cu) = newSelf.getOrElse(cu, 0.0) + w
+          else {
+            val key = (math.min(cu, cv), math.max(cu, cv))
+            newEdges(key) = newEdges.getOrElse(key, 0.0) + w
+          }
+        }
+      }}
+      self = newSelf.toMap
+      adj = (newEdges.toSeq.map { case ((u, v), w) => (u, (v, w)) } ++
+          newEdges.toSeq.map { case ((u, v), w) => (v, (u, w)) } ++
+          self.keys.map(n => (n, (n, 0.0))).toSeq) // keep isolated supernodes
+        .groupBy(_._1)
+        .map { case (kk, xs) => kk -> xs.map(_._2).filter(x => x._1 != kk).toArray }
+    }
+    // canonical min-member ids
+    val minOf = mapping.toSeq.groupBy(_._2)
+      .map { case (c, xs) => c -> xs.map(_._1).min }
+    mapping.map { case (n, c) => n -> minOf(c) }
   }
 }

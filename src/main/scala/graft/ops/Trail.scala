@@ -202,6 +202,147 @@ object Trail {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * SHORTEST k GROUPS (GQL group selector; reference StatefulShortestPath
+   * .Selector.ShortestGroups, LogicalPlan.scala:2290): for each
+   * (source, target) pair, EVERY trail whose hop count falls within the k
+   * smallest distinct lengths — path groups share a length, and whole
+   * groups are kept or dropped together.
+   *
+   * Depth-synchronized frontier rounds like [[shortestK]], but the
+   * per-(source, node) budget counts DISTINCT ARRIVAL ROUNDS, not paths:
+   * a node stays expandable for its first `k + min − 1` arrival depths
+   * and every trail of those depths survives. Budget correctness: if a
+   * final path of length L ranks within the k smallest valid lengths of
+   * its target, its prefix at interior v arrives at some depth r; were r
+   * NOT among v's first k+min−1 arrival depths, the earlier arrivals
+   * would extend by the same suffix into k+min−1 distinct lengths < L,
+   * of which at most min−1 fall below the validity floor — leaving ≥ k
+   * valid lengths < L, contradicting the rank. Work per round is bounded
+   * by the group sizes themselves (the operator's output is the groups).
+   *
+   * @return (source, target, hops, path, nodes, group 1..k) — group is
+   *         the dense rank of the path's length for its pair
+   */
+  def shortestGroups(edges: DataFrame, pairs: DataFrame, k: Int,
+      min: Int, maxDepth: Int, localThreshold: Int = 10000): DataFrame = {
+    require(k >= 1 && min >= 0 && maxDepth >= math.max(min, 1) && maxDepth <= 30,
+      s"shortestGroups bounds out of range: k=$k min=$min maxDepth=$maxDepth")
+    val budget = (k + math.max(0, min - 1)).toLong
+    // Small-input fast path (the astar/kCheapest pattern): replicate the
+    // EXACT round DP on the driver — per-round trail expansion gated by
+    // the same distinct-arrival-round budget — so results are identical
+    // while the ~maxDepth driver jobs of scheduling latency disappear.
+    // LIMIT probes only; past the threshold the distributed rounds run.
+    if (localThreshold > 0 &&
+        edges.limit(localThreshold + 1).count() <= localThreshold &&
+        pairs.limit(localThreshold + 1).count() <= localThreshold) {
+      val es = edges.select(col("id"), col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val ps = pairs.select(col("source"), col("target")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      return localShortestGroups(edges.sparkSession, es, ps, k, min,
+        maxDepth, budget.toInt)
+    }
+    val e = edges.select(col("id").as("__er"), col("src").as("__es"),
+      col("dst").as("__ed"))
+    var frontier = pairs.select("source").distinct()
+      .select(col("source"), col("source").as("end"), lit(0).as("hops"),
+        array().cast("array<long>").as("path"),
+        array(col("source")).as("nodes"))
+      .localCheckpoint()
+    val pieces = Seq.newBuilder[DataFrame]
+    pieces += frontier
+    var counts = frontier.groupBy("source", "end")
+      .agg(lit(1L).as("__rounds")).localCheckpoint(false)
+    var d = 0
+    var fCnt = frontier.count()
+    while (d < maxDepth && fCnt > 0) {
+      val f = if (fCnt <= 200000) broadcast(frontier) else frontier
+      val expanded = f.join(e,
+          col("end") === col("__es") && !array_contains(col("path"), col("__er")))
+        .select(col("source"), col("__ed").as("end"), (col("hops") + 1).as("hops"),
+          concat(col("path"), array(col("__er"))).as("path"),
+          concat(col("nodes"), array(col("__ed"))).as("nodes"))
+      val newKept = expanded
+        .join(counts, Seq("source", "end"), "left_outer")
+        .filter(coalesce(col("__rounds"), lit(0L)) < budget)
+        .drop("__rounds")
+        .localCheckpoint(false) // the count() below materializes it
+      counts = counts.join(
+          newKept.select("source", "end").distinct().withColumn("__arr", lit(1L)),
+          Seq("source", "end"), "full_outer")
+        .select(col("source"), col("end"),
+          (coalesce(col("__rounds"), lit(0L)) + coalesce(col("__arr"), lit(0L)))
+            .as("__rounds"))
+        .localCheckpoint(false)
+      pieces += newKept
+      frontier = newKept
+      fCnt = frontier.count()
+      d += 1
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "target").orderBy(col("hops").asc)
+    pieces.result().reduce(_ unionByName _)
+      .join(pairs, Seq("source")).filter(col("end") === col("target"))
+      .filter(col("hops") >= min)
+      .select(col("source"), col("target"), col("hops"), col("path"), col("nodes"))
+      .withColumn("group", dense_rank().over(w))
+      .filter(col("group") <= k)
+  }
+
+  /** Driver-local replica of [[shortestGroups]]'s round DP over collected
+    * (bounded) inputs: identical budget, trail constraint and final
+    * dense-rank, so the output matches the distributed rounds row for
+    * row. */
+  private def localShortestGroups(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long, Long)], pairs: Array[(Long, Long)], k: Int,
+      min: Int, maxDepth: Int, budget: Int): DataFrame = {
+    import spark.implicits._
+    val adj = edges.groupBy(_._2) // src -> [(id, src, dst)]
+    val sources = pairs.map(_._1).distinct
+    // (source, end) -> partials of the current round
+    var level: Map[(Long, Long), Seq[(Vector[Long], Vector[Long])]] =
+      sources.map(s => (s, s) -> Seq((Vector.empty[Long], Vector(s)))).toMap
+    val rounds = scala.collection.mutable.HashMap.empty[(Long, Long), Int]
+    level.keys.foreach(key => rounds(key) = 1)
+    val kept = Seq.newBuilder[(Long, Long, Int, Vector[Long], Vector[Long])]
+    level.foreach { case ((s, e), ps) =>
+      ps.foreach { case (p, ns) => kept += ((s, e, 0, p, ns)) } }
+    var d = 0
+    while (d < maxDepth && level.nonEmpty) {
+      d += 1
+      val next = scala.collection.mutable.HashMap
+        .empty[(Long, Long), scala.collection.mutable.ArrayBuffer[(Vector[Long], Vector[Long])]]
+      level.foreach { case ((src, end), ps) =>
+        ps.foreach { case (path, nodes) =>
+          adj.getOrElse(end, Array.empty[(Long, Long, Long)]).foreach {
+            case (eid, _, dst) =>
+              if (!path.contains(eid) && rounds.getOrElse((src, dst), 0) < budget)
+                next.getOrElseUpdate((src, dst),
+                  scala.collection.mutable.ArrayBuffer.empty) +=
+                  ((path :+ eid, nodes :+ dst))
+          }
+        }
+      }
+      level = next.iterator.map { case (key, buf) => key -> buf.toSeq }.toMap
+      level.keys.foreach(key => rounds(key) = rounds.getOrElse(key, 0) + 1)
+      level.foreach { case ((s, e), ps) =>
+        ps.foreach { case (p, ns) => kept += ((s, e, d, p, ns)) } }
+    }
+    val wanted = pairs.toSet
+    val rows = kept.result()
+      .filter(r => wanted((r._1, r._2)) && r._3 >= min)
+      .groupBy(r => (r._1, r._2))
+      .flatMap { case ((s, t), rs) =>
+        val lens = rs.map(_._3).distinct.sorted
+        val grp = lens.zipWithIndex.toMap
+        rs.filter(r => grp(r._3) < k)
+          .map(r => (s, t, r._3, r._4, r._5, grp(r._3) + 1))
+      }.toSeq
+    rows.toDF("source", "target", "hops", "path", "nodes", "group")
+  }
+
   /** One linear-NFA segment: a var-length leg `-[:T*min..max]->` with its
     * own (oriented, filtered) edge set. `boundary` is the optional
     * node-id set (column `id`) the segment must END on — the per-state

@@ -196,9 +196,25 @@ object WeightedPaths {
    * @return (source, target, dist, hops, path ARRAY<LONG>, rank 1..k)
    */
   def kCheapest(edges: DataFrame, pairs: DataFrame, k: Int,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, localThreshold: Int = 10000): DataFrame = {
     require(k >= 1 && maxDepth >= 1 && maxDepth <= 30,
       s"kCheapest bounds out of range: k=$k maxDepth=$maxDepth")
+    // Small-input fast path (the pattern of astar/allPairsDistances): the
+    // distributed rounds cost a driver job each — pure scheduling latency
+    // on a graph that fits in one task. The LIMIT probes read at most
+    // threshold+1 rows; the local loop replicates the EXACT same DP
+    // (per-round per-(source,node) top-k by (dist, path-lex)), so results
+    // are identical, not merely equivalent.
+    if (localThreshold > 0 &&
+        edges.limit(localThreshold + 1).count() <= localThreshold &&
+        pairs.limit(localThreshold + 1).count() <= localThreshold) {
+      val es = edges.select(col("id"), col("src"), col("dst"),
+          col("weight").cast("double")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val ps = pairs.select(col("source"), col("target")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      return localKCheapest(edges.sparkSession, es, ps, k, maxDepth)
+    }
     val e = edges.select(col("id").as("__er"), col("src").as("__es"),
       col("dst").as("__ed"), col("weight").cast("double").as("__ew"))
     val wRound = org.apache.spark.sql.expressions.Window
@@ -441,6 +457,75 @@ object WeightedPaths {
     best.filter(col("node") === target)
       .select(lit(source).as("source"), col("node").as("target"),
         col("dist"), col("path"), col("nodes"))
+  }
+
+  /** Driver-local replica of [[kCheapest]]'s round DP over a collected
+    * (bounded) edge set — same per-round per-(source, node) top-k by
+    * (dist, path-lexicographic), same trail constraint, same final
+    * ranking, so the output matches the distributed formulation row for
+    * row. */
+  private def localKCheapest(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long, Long, Double)], pairs: Array[(Long, Long)],
+      k: Int, maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    def lexLess(a: Vector[Long], b: Vector[Long]): Boolean = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        if (a(i) != b(i)) return a(i) < b(i)
+        i += 1
+      }
+      a.length < b.length
+    }
+    val pOrd = new Ordering[(Double, Vector[Long])] {
+      def compare(x: (Double, Vector[Long]), y: (Double, Vector[Long])): Int = {
+        val c = java.lang.Double.compare(x._1, y._1)
+        if (c != 0) c
+        else if (x._2 == y._2) 0
+        else if (lexLess(x._2, y._2)) -1 else 1
+      }
+    }
+    val adj = edges.groupBy(_._2) // src -> [(id, src, dst, w)]
+    val sources = pairs.map(_._1).distinct
+    var level: Map[(Long, Long), Seq[(Double, Vector[Long])]] =
+      sources.map(s => (s, s) -> Seq((0.0, Vector.empty[Long]))).toMap
+    val kept = Seq.newBuilder[(Long, Long, Double, Int, Vector[Long])]
+    level.foreach { case ((s, e), ps) =>
+      ps.foreach { case (dd, p) => kept += ((s, e, dd, 0, p)) } }
+    var d = 0
+    while (d < maxDepth && level.nonEmpty) {
+      d += 1
+      val next = scala.collection.mutable.HashMap
+        .empty[(Long, Long), scala.collection.mutable.ArrayBuffer[(Double, Vector[Long])]]
+      level.foreach { case ((src, end), ps) =>
+        ps.foreach { case (dist, path) =>
+          adj.getOrElse(end, Array.empty[(Long, Long, Long, Double)]).foreach {
+            case (eid, _, dst, w) =>
+              if (!path.contains(eid))
+                next.getOrElseUpdate((src, dst),
+                  scala.collection.mutable.ArrayBuffer.empty) +=
+                  ((dist + w, path :+ eid))
+          }
+        }
+      }
+      level = next.iterator.map { case (key, buf) =>
+        key -> buf.sorted(pOrd).take(k).toSeq }.toMap
+      level.foreach { case ((s, e), ps) =>
+        ps.foreach { case (dd, p) => kept += ((s, e, dd, d, p)) } }
+    }
+    val wanted = pairs.toSet
+    val rows = kept.result()
+      .filter(r => wanted((r._1, r._2)))
+      .groupBy(r => (r._1, r._2))
+      .flatMap { case ((s, t), rs) =>
+        rs.sortBy(r => (r._3, r._5))(Ordering.Tuple2(Ordering.Double.TotalOrdering,
+            new Ordering[Vector[Long]] {
+              def compare(a: Vector[Long], b: Vector[Long]): Int =
+                if (a == b) 0 else if (lexLess(a, b)) -1 else 1
+            }))
+          .take(k).zipWithIndex
+          .map { case (r, i) => (s, t, r._3, r._4, r._5, i + 1) }
+      }.toSeq
+    rows.toDF("source", "target", "dist", "hops", "path", "rank")
   }
 
   /** Driver-local single-pair Dijkstra over a collected (bounded) edge set,

@@ -121,6 +121,16 @@ class RankingSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("louvain distributed rounds agree with the local fast path") {
+    val e = ringOfCliques(7, 5)
+    val local = Ranking.louvain(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val dist = Ranking.louvain(e, localThreshold = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(local.sameElements(dist),
+      s"local=${local.take(10).toSeq}… dist=${dist.take(10).toSeq}…")
+  }
+
   test("louvain contraction merges sub-communities across levels") {
     // two 4-cliques joined by TWO bridges, far apart from another pair:
     // level-2 contraction must still leave the 4-cliques separate (single

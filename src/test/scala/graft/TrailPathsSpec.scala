@@ -204,6 +204,45 @@ class TrailPathsSpec extends AnyFunSuite {
       (10.0, List(100L), 3)))
   }
 
+  test("kCheapest local fast path replicates the distributed DP exactly") {
+    import spark.implicits._
+    // diamond with a cycle back-edge so trails can revisit nodes
+    val e = Seq(
+      (100L, 0L, 1L, 1.0), (101L, 1L, 2L, 1.0), (102L, 2L, 0L, 1.0),
+      (103L, 0L, 2L, 2.5), (104L, 2L, 3L, 0.5), (105L, 1L, 3L, 4.0)
+    ).toDF("id", "src", "dst", "weight")
+    val pairs = Seq((0L, 3L)).toDF("source", "target")
+    def run(th: Int) = WeightedPaths.kCheapest(e, pairs, k = 4, maxDepth = 6, th)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getSeq[Long](4).toList, r.getInt(5))).sortBy(_._6)
+    assert(run(10000).toList == run(0).toList)
+  }
+
+  test("shortestGroups keeps whole length-groups and both paths agree") {
+    import spark.implicits._
+    // 4-cycle with both orientations: 0 -> 2 trails have lengths 2 (two
+    // of them) and 4 — SHORTEST 1 GROUPS returns exactly the two 2-hop
+    // paths, SHORTEST 2 GROUPS adds every 4-hop trail
+    val e = Seq(
+      (100L, 0L, 1L), (101L, 1L, 2L), (102L, 2L, 3L), (103L, 3L, 0L),
+      (200L, 1L, 0L), (201L, 2L, 1L), (202L, 3L, 2L), (203L, 0L, 3L)
+    ).toDF("id", "src", "dst")
+    val pairs = Seq((0L, 2L)).toDF("source", "target")
+    def run(th: Int) = graft.ops.Trail.shortestGroups(e, pairs, k = 2,
+        min = 1, maxDepth = 5, localThreshold = th)
+      .collect().map(r => (r.getInt(r.fieldIndex("hops")),
+        r.getSeq[Long](r.fieldIndex("path")).toList,
+        r.getInt(r.fieldIndex("group")))).sortBy(x => (x._1, x._2.mkString(",")))
+    val local = run(10000)
+    assert(local.count(_._1 == 2) == 2, s"got ${local.toList}")
+    assert(local.forall(x => (x._1 == 2) == (x._3 == 1)))
+    val one = graft.ops.Trail.shortestGroups(e, pairs, k = 1,
+        min = 1, maxDepth = 5)
+      .collect().map(r => r.getInt(r.fieldIndex("hops"))).toSeq
+    assert(one.sorted == Seq(2, 2), s"got $one")
+    assert(local.toList == run(0).toList, "local and distributed disagree")
+  }
+
   test("kCheapest breaks cost ties by the lexicographic edge path") {
     import spark.implicits._
     // two equal-cost 0->2 paths; the smaller first-edge id ranks first
