@@ -285,6 +285,30 @@ object Procedures {
       .select(col("node").as("nodeId"), col("community").as("communityId"))
   })
 
+  /** graft.hits([relTypes[, iterations]]) — HITS hubs & authorities
+    * (Kleinberg 1999) over the directed projection; see Centrality.hits.
+    * YIELDs (nodeId, hub, authority). */
+  register("graft.hits", (spark, g, args) => {
+    val types = relTypesArg(args.lift(0))
+    val iters = args.lift(1).collect { case n: Number => n.intValue }.getOrElse(3)
+    val base = if (types.isEmpty) g.rels
+      else g.rels.filter(col("type").isin(types: _*))
+    graft.ops.Centrality.hits(base.select("src", "dst"), iters)
+      .select(col("node").as("nodeId"), col("hub"), col("authority"))
+  })
+
+  /** graft.eigenvector([relTypes[, iterations[, direction]]]) —
+    * eigenvector centrality power iteration; direction BOTH symmetrizes.
+    * YIELDs (nodeId, score). */
+  register("graft.eigenvector", (spark, g, args) => {
+    val types = relTypesArg(args.lift(0))
+    val iters = args.lift(1).collect { case n: Number => n.intValue }.getOrElse(10)
+    val direction = args.lift(2).map(_.toString.toUpperCase).getOrElse("OUT")
+    val edges = orientedEdges(g, types, direction).select("src", "dst")
+    graft.ops.Centrality.eigenvector(edges, iters)
+      .select(col("node").as("nodeId"), col("score"))
+  })
+
   /** graft.shortestPath.kCheapest(srcIds, dstIds, k, weightProp[,
     * defaultWeight[, relTypes[, maxDepth[, direction]]]]) — ranked
     * k-cheapest trails per (source, target) with a hop cap (reference

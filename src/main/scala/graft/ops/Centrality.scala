@@ -541,4 +541,83 @@ object Centrality {
       .filter(col("rank") <= topK)
       .select(col("n1"), col("n2"), col("similarity"), col("rank"))
   }
+
+  /**
+   * HITS hubs & authorities (Kleinberg 1999; the reference ecosystem
+   * ships it in its graph-data-science centrality family). Synchronous
+   * power iteration with L2 normalization after each half-step:
+   *   a ← normalize(Aᵀ h),  h ← normalize(A a)
+   * starting from h = 1. Deterministic: fixed iteration count, no
+   * convergence race. Each half-step is one join + one partial-aggregable
+   * sum hash-partitioned on node ids, plus a one-row norm broadcast — the
+   * shape scales like PageRank (state = (node, value) pairs).
+   *
+   * @param edges (src, dst) directed
+   * @return (node, hub DOUBLE 6dp, authority DOUBLE 6dp)
+   */
+  def hits(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"bad iterations: $iterations")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    def normalized(df: DataFrame, c: String): DataFrame = {
+      val norm = df.agg(sqrt(sum(pow(col(c), 2))).as("__n"))
+      df.crossJoin(broadcast(norm))
+        .select(col("node"), (col(c) / col("__n")).as(c))
+    }
+    var h = nodes.withColumn("hub", lit(1.0))
+    var a = nodes.withColumn("authority", lit(0.0))
+    var i = 0
+    while (i < iterations) {
+      val a0 = e.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum("hub").as("authority"))
+      a = normalized(nodes.join(a0, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("authority"), lit(0.0)).as("authority")),
+        "authority").localCheckpoint(false)
+      val h0 = e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum("authority").as("hub"))
+      h = normalized(nodes.join(h0, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")),
+        "hub").localCheckpoint(false)
+      i += 1
+    }
+    h.join(a, "node")
+      .select(col("node"), round(col("hub"), 6).as("hub"),
+        round(col("authority"), 6).as("authority"))
+  }
+
+  /**
+   * Eigenvector centrality (Bonacich 1987; reference ecosystem
+   * gds.eigenvector): power iteration x ← normalize(Aᵀ x) from a uniform
+   * start, fixed iteration budget (deterministic — the standard stop rule
+   * for a distributed formulation, like [[Ranking.labelPropagation]]).
+   * Directed: a node's score sums its in-neighbors'; symmetrize upstream
+   * for the undirected form. Same per-round shape as PageRank minus the
+   * teleport.
+   *
+   * @return (node, score DOUBLE 6dp)
+   */
+  def eigenvector(edges: DataFrame, iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, s"bad iterations: $iterations")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var x = nodes.withColumn("score", lit(1.0))
+    var i = 0
+    while (i < iterations) {
+      val x0 = e.join(x.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum("score").as("score"))
+      val merged = nodes.join(x0, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("score"), lit(0.0)).as("score"))
+      val norm = merged.agg(sqrt(sum(pow(col("score"), 2))).as("__n")).first()
+        .getDouble(0)
+      require(norm > 0,
+        "eigenvector centrality washed out to zero — the graph has no " +
+          "cycle feeding mass back; use pageRank (teleport) on DAGs")
+      x = merged.select(col("node"), (col("score") / norm).as("score"))
+        .localCheckpoint(false)
+      i += 1
+    }
+    x.select(col("node"), round(col("score"), 6).as("score"))
+  }
 }

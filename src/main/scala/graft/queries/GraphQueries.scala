@@ -268,6 +268,59 @@ object GraphQueries {
              |  CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS label
              |FROM nation""".stripMargin)),
 
+    // HITS hubs & authorities (Kleinberg 1999) on the bipartite FROM
+    // edges (Customer/Supplier -> Nation): the L2-normalized power
+    // iteration closed-forms to powers of the nations' member counts —
+    // after t = 2 iterations authority(n) = m²/√Σm⁴ and every member of n
+    // carries hub m²/√Σm⁵ (min = max per nation proves uniformity).
+    QueryDef("q_hits",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val from = g.rels.filter(col("type") === "FROM")
+        val r = Centrality.hits(from.select("src", "dst"), iterations = 2)
+        val nations = g.nodesByLabel("Nation")
+          .select(col("id").as("node"), col("key"))
+        val auth = nations.join(r, "node").select(col("key"), col("authority"))
+        val hubs = from.select(col("src").as("node"), col("dst"))
+          .join(r.select(col("node"), col("hub")), "node")
+          .groupBy(col("dst").as("node"))
+          .agg(max("hub").as("member_hub"), min("hub").as("member_hub_min"))
+          .join(nations, "node")
+          .select(col("key"), col("member_hub"), col("member_hub_min"))
+        auth.join(hubs, "key")
+      },
+      Some("""WITH members AS (
+             |  SELECT n_nationkey,
+             |    CAST((SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) +
+             |      (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)
+             |      AS DOUBLE) AS m
+             |  FROM nation),
+             |norms AS (SELECT sum(power(m, 4)) AS s4, sum(power(m, 5)) AS s5
+             |  FROM members)
+             |SELECT CAST(n_nationkey AS BIGINT) AS key,
+             |  round(power(m, 2) / sqrt(s4), 6) AS authority,
+             |  round(power(m, 2) / sqrt(s5), 6) AS member_hub,
+             |  round(power(m, 2) / sqrt(s5), 6) AS member_hub_min
+             |FROM members, norms""".stripMargin)),
+
+    // Eigenvector centrality (power iteration, no teleport) on the
+    // directed 25-nation ring: a k-regular strongly-connected graph keeps
+    // the uniform vector exactly — the oracle is 1/√25 per node, which
+    // verifies normalization and the fixed-point shape; discrimination is
+    // spec-gated on a planted-hub fixture.
+    QueryDef("q_eigenvector",
+      (s, d) => {
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("key"))
+        val edges = n.select(col("key").as("src"),
+          ((col("key") + 1) % 25).as("dst"))
+        Centrality.eigenvector(edges, iterations = 5)
+          .select(col("node").as("key"), col("score"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS key,
+             |  round(1 / sqrt(25.0), 6) AS score
+             |FROM nation""".stripMargin)),
+
     // Louvain community detection on a ring of 25 six-cliques (customer
     // keys 1..150; bridge edge from each clique's last node to the next
     // clique's first): the canonical Louvain fixture — single bridges

@@ -120,4 +120,34 @@ class CentralitySpec extends AnyFunSuite {
     // only pair (1,2) via neighbor 10; degrees still count 99: 1/(2+2-1)
     assert(r == Map((1L, 2L) -> 0.3333))
   }
+
+  test("hits closed form on a two-hub bipartite fixture") {
+    import spark.implicits._
+    // hubs 1, 2 -> authority 10; hub 2 -> authority 11 as well.
+    // t=1: a(10) = 2, a(11) = 1 → /√5; h(1) = 2/√5, h(2) = 3/√5 →
+    // norm = √(13/5): h(1) = 2/√13, h(2) = 3/√13
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val r = Centrality.hits(e, iterations = 1).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(r(1L) == (r6(2 / math.sqrt(13)), 0.0))
+    assert(r(2L) == (r6(3 / math.sqrt(13)), 0.0))
+    assert(r(10L) == (0.0, r6(2 / math.sqrt(5))))
+    assert(r(11L) == (0.0, r6(1 / math.sqrt(5))))
+  }
+
+  test("eigenvector centrality ranks the clique attachment over the pendant") {
+    import spark.implicits._
+    // undirected K4 (1..4) + pendant 5 attached to 1
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Centrality.eigenvector(e, iterations = 30).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L), s"attachment must outrank plain clique nodes: $r")
+    assert(r(2L) == r(3L) && r(3L) == r(4L), s"symmetric nodes must tie: $r")
+    assert(r(5L) < r(2L), s"pendant must rank last: $r")
+    val norm = math.sqrt(r.values.map(v => v * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"L2 norm drifted: $norm")
+  }
 }
