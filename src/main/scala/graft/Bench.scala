@@ -55,6 +55,11 @@ object Bench {
       try force(fn(spark, sfDir)) catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9
       releaseLeaks()
+      // bill GC of the previous query's garbage to the gap between
+      // queries, not to whichever later query happens to trigger the
+      // collection — across ~200 queries in one JVM those deferred pauses
+      // read as phantom multi-x regressions of innocent queries
+      System.gc()
       name -> dt
     }
     spark.stop()

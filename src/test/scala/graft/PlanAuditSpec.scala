@@ -281,6 +281,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"semantic dedup went corpus-cartesian:\n${plan.take(2000)}")
   }
 
+  // The iterative ops checkpoint each round, so the *interesting* joins
+  // live inside materialization jobs the final plan string can't show.
+  // These gates audit what remains visible post-execution: the final
+  // adaptive plan must broadcast its small sides (AQE conversion) and the
+  // per-community / per-node aggregates must keep map-side combine.
+  test("modularity keeps partial aggregation and AQE-broadcasts the tail join") {
+    import spark.implicits._
+    val edges = (0L until 2000L).map(i => (i, (i + 1) % 2000)).toDF("src", "dst")
+    val assign = (0L until 2000L).map(i => (i, i / 500)).toDF("node", "community")
+    val df = graft.ops.Ranking.modularity(edges, assign)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum"),
+      s"modularity aggregate lost map-side combine:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"deg/intra join should AQE-broadcast its 4-row side:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), "modularity built a cartesian")
+  }
+
+  test("hits final join AQE-broadcasts; rounds never build a cartesian") {
+    import spark.implicits._
+    val edges = (0L until 3000L).map(i => (i, i % 50 + 10000L)).toDF("src", "dst")
+    val df = graft.ops.Centrality.hits(edges, iterations = 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hub/authority join should AQE-broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), "hits built a cartesian")
+  }
+
   test("whole-stage codegen covers the expression pipeline") {
     val df = Cypher.run(spark, g,
       """MATCH (c:Customer) WHERE c.name ENDS WITH '1'
