@@ -285,6 +285,39 @@ object Procedures {
       .select(col("node").as("nodeId"), col("community").as("communityId"))
   })
 
+  /** graft.minimumSpanningTree(weightProp[, defaultWeight[, relTypes]])
+    * — minimum spanning forest over the undirected projection (Borůvka;
+    * the ecosystem's spanning-tree surface runs single-machine Prim).
+    * YIELDs (relId, sourceNode, targetNode, weight). */
+  register("graft.minimumspanningtree", (spark, g, args) => {
+    val prop = args(0).asInstanceOf[String]
+    val defaultW = args.lift(1).collect { case n: Number => n.doubleValue }
+    val types = relTypesArg(args.lift(2))
+    graft.ops.SpanningTree.minimumSpanningForest(
+        weightedEdges(g, prop, defaultW, types))
+      .select(col("id").as("relId"), col("src").as("sourceNode"),
+        col("dst").as("targetNode"), col("weight"))
+  })
+
+  /** graft.fastRP([relTypes[, dim[, iterationWeights[, seed]]]]) — FastRP
+    * node embeddings (Chen et al. 2019; the ecosystem's default
+    * embedding) over the undirected projection. YIELDs (nodeId,
+    * embedding). */
+  register("graft.fastrp", (spark, g, args) => {
+    val types = relTypesArg(args.lift(0))
+    val dim = args.lift(1).collect { case n: Number => n.intValue }.getOrElse(64)
+    val weights = args.lift(2).collect {
+      case xs: Seq[_] => xs.map { case n: Number => n.doubleValue }
+    }.getOrElse(Seq(0.0, 1.0, 1.0))
+    val seed = args.lift(3).collect { case n: Number => n.longValue }.getOrElse(42L)
+    val base = if (types.isEmpty) g.rels
+      else g.rels.filter(col("type").isin(types: _*))
+    val sym = base.select(col("src"), col("dst"))
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+    graft.ops.Walks.fastRP(sym, dim, weights, seed)
+      .select(col("node").as("nodeId"), col("embedding"))
+  })
+
   /** graft.hits([relTypes[, iterations]]) — HITS hubs & authorities
     * (Kleinberg 1999) over the directed projection; see Centrality.hits.
     * YIELDs (nodeId, hub, authority). */

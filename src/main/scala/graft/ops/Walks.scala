@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -152,5 +152,84 @@ object Walks {
       "topologicalLayers: the graph has a cycle")
     import spark.implicits._
     layer.toSeq.map { case (n, l) => (n, l) }.toDF("node", "layer")
+  }
+
+  /**
+   * FastRP node embeddings (Chen et al. 2019, "Fast and Accurate Network
+   * Embeddings via Very Sparse Random Projection" — the default node
+   * embedding of the reference's graph-data-science ecosystem).
+   *
+   * Construction, all deterministic:
+   *  1. init: very sparse Achlioptas projection — component j of node n is
+   *     +√3 / −√3 / 0 with probability 1/6, 1/6, 2/3, drawn from
+   *     xxhash64(n, seed, j) so both engines and reruns regenerate the
+   *     identical matrix (no RNG state, no driver loop);
+   *  2. k propagation rounds: v ← L2-normalize(mean over in-neighbors of
+   *     v_prev) — one join + one elementwise sum + one norm per round;
+   *  3. output: L2-normalized Σ_t weight_t · v_t.
+   *
+   * Elementwise sums run as (node, pos, value) triples — posexplode,
+   * partial-aggregable sum, re-assembly via sorted collect — so a round
+   * shuffles |V|·dim fixed-width rows, never whole vectors through a
+   * groupBy, and nothing is quadratic in the neighborhood size. Dimension
+   * is a constant (64–512 in practice), so the expansion factor is fixed
+   * and every stage stays in whole-stage codegen.
+   *
+   * @param edges (src, dst) — symmetrize upstream for undirected
+   *              embeddings; messages flow src → dst
+   * @param iterationWeights weight per propagation round (index 0 = the
+   *                         round-1 result), GDS-style
+   * @return (node, embedding ARRAY<DOUBLE> L2-normalized)
+   */
+  def fastRP(edges: DataFrame, dim: Int = 64,
+      iterationWeights: Seq[Double] = Seq(0.0, 1.0, 1.0),
+      seed: Long = 42L): DataFrame = {
+    require(dim >= 2 && iterationWeights.nonEmpty,
+      s"fastRP needs dim >= 2 and at least one iteration weight")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val s3 = math.sqrt(3.0)
+    // component j from the hash of (node, seed, j): 0 → +√3, 1 → −√3,
+    // 2..5 → 0 (P = 1/6, 1/6, 2/3 — Achlioptas sparse projection)
+    val init = transform(sequence(lit(0), lit(dim - 1)), j => {
+      val h = pmod(xxhash64(col("node"), lit(seed), j), lit(6L))
+      when(h === 0, lit(s3)).when(h === 1, lit(-s3)).otherwise(lit(0.0))
+    })
+    def l2norm(vecCol: Column): Column =
+      sqrt(aggregate(vecCol, lit(0.0), (acc, x) => acc + x * x))
+    def normalized(vecCol: Column): Column = {
+      val n = l2norm(vecCol)
+      when(n > 0, transform(vecCol, x => x / n)).otherwise(vecCol)
+    }
+    val inDeg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("__deg"))
+    var v = nodes.select(col("node"), normalized(init).as("vec"))
+      .localCheckpoint(false)
+    var acc: DataFrame = null
+    for (w <- iterationWeights) {
+      // mean over in-neighbors, elementwise as (node, pos, value) triples
+      val summed = e.join(v.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("node", "pos").agg(sum("x").as("x"))
+        .groupBy("node")
+        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("__px"))
+        .join(inDeg, "node")
+        .select(col("node"),
+          transform(col("__px"), p => p("x") / col("__deg")).as("vec"))
+      // nodes with no in-neighbors keep a zero vector for the round
+      v = nodes.join(summed, Seq("node"), "left_outer")
+        .select(col("node"), normalized(coalesce(col("vec"),
+          array_repeat(lit(0.0), dim))).as("vec"))
+        .localCheckpoint(false)
+      val weighted = v.select(col("node"),
+        transform(col("vec"), x => x * w).as("wv"))
+      acc = if (acc == null) weighted.withColumnRenamed("wv", "emb")
+        else acc.join(weighted, "node")
+          .select(col("node"),
+            zip_with(col("emb"), col("wv"), (a, b) => a + b).as("emb"))
+          .localCheckpoint(false)
+    }
+    acc.select(col("node"), normalized(col("emb")).as("embedding"))
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.graph.{Direction, TpchGraph}
-import graft.ops.{Bfs, Centrality, Expand, Ranking, Trail, Triadic, VarExpand, Walks}
+import graft.ops.{Bfs, Centrality, Expand, Ranking, SpanningTree, Trail, Triadic, VarExpand, Walks}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -267,6 +267,68 @@ object GraphQueries {
       Some("""SELECT CAST(n_nationkey AS BIGINT) AS node,
              |  CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS label
              |FROM nation""".stripMargin)),
+
+    // Minimum spanning tree (Borůvka) on the 25-nation weighted ring plus
+    // heavy chord edges: the MST of a cycle is the cycle minus its
+    // heaviest edge under the (weight, id) total order, and the weight-10
+    // chords must never be chosen — both derivable in closed form, so the
+    // oracle ranks the ring edges and drops exactly one.
+    QueryDef("q_mst",
+      (s, d) => {
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("key"))
+        val ring = n.select((col("key") + 1000).as("id"), col("key").as("src"),
+          ((col("key") + 1) % 25).as("dst"),
+          (lit(1.0) + col("key") % 7).as("weight"))
+        val chords = n.select((col("key") + 2000).as("id"), col("key").as("src"),
+          ((col("key") + 5) % 25).as("dst"), lit(10.0).as("weight"))
+        SpanningTree.minimumSpanningForest(ring.unionByName(chords))
+          .orderBy("id")
+      },
+      Some("""WITH ring AS (
+             |  SELECT CAST(n_nationkey + 1000 AS BIGINT) AS id,
+             |    CAST(n_nationkey AS BIGINT) AS src,
+             |    CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst,
+             |    CAST(1 + n_nationkey % 7 AS DOUBLE) AS weight
+             |  FROM nation),
+             |ranked AS (SELECT *, row_number() OVER (
+             |    ORDER BY weight DESC, id DESC) AS rn FROM ring)
+             |SELECT id, src, dst, weight FROM ranked WHERE rn > 1
+             |ORDER BY id""".stripMargin)),
+
+    // FastRP node embeddings (Chen et al. 2019; the ecosystem's default
+    // embedding) on the same-region nation cliques. The projection matrix
+    // is xxhash64-seeded so DuckDB cannot replay the raw vectors; the
+    // oracle instead pins the structural guarantee the embedding exists
+    // for — every region's mean intra-clique cosine beats the global
+    // cross-region mean — plus the row set itself.
+    QueryDef("q_fastrp",
+      (s, d) => {
+        val n = t(s, d, "nation")
+        val sym = n.alias("a").join(n.alias("b"),
+            col("a.n_regionkey") === col("b.n_regionkey") &&
+              col("a.n_nationkey") =!= col("b.n_nationkey"))
+          .select(col("a.n_nationkey").cast("long").as("src"),
+            col("b.n_nationkey").cast("long").as("dst"))
+        val emb = Walks.fastRP(sym, dim = 16)
+        val reg = n.select(col("n_nationkey").cast("long").as("node"),
+          col("n_regionkey").cast("long").as("region"))
+        val e2 = emb.join(reg, "node")
+        val pairs = e2.alias("x").join(e2.alias("y"),
+            col("x.node") < col("y.node"))
+          .select(col("x.region").as("r1"), col("y.region").as("r2"),
+            aggregate(zip_with(col("x.embedding"), col("y.embedding"),
+              (a, b) => a * b), lit(0.0), (acc, v) => acc + v).as("cos"))
+        val inter = pairs.filter(col("r1") =!= col("r2"))
+          .agg(avg("cos").as("interMean"))
+        pairs.filter(col("r1") === col("r2"))
+          .groupBy(col("r1").as("region")).agg(avg("cos").as("intra"))
+          .crossJoin(broadcast(inter))
+          .select(col("region"),
+            (col("intra") > col("interMean")).as("intra_gt_inter"))
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS region,
+             |  true AS intra_gt_inter FROM region""".stripMargin)),
 
     // HITS hubs & authorities (Kleinberg 1999) on the bipartite FROM
     // edges (Customer/Supplier -> Nation): the L2-normalized power

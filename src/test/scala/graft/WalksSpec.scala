@@ -58,4 +58,47 @@ class WalksSpec extends AnyFunSuite {
       assert(cyc.getMessage.contains("cycle"), s"threshold=$thr")
     }
   }
+
+  private def cliquePair = {
+    import spark.implicits._
+    // two disjoint K5s: 0..4 and 10..14, symmetric edges
+    val und = for {
+      base <- Seq(0L, 10L); i <- 0 until 5; j <- i + 1 until 5
+    } yield (base + i, base + j)
+    (und ++ und.map(_.swap)).toDF("src", "dst")
+  }
+
+  test("fastRP embeddings are unit-norm, right-dimensional and deterministic") {
+    val a = Walks.fastRP(cliquePair, dim = 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Walks.fastRP(cliquePair, dim = 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a.keySet.size == 10)
+    a.foreach { case (n, v) =>
+      assert(v.length == 32)
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"node $n norm $norm")
+      assert(v == b(n), s"node $n not deterministic")
+    }
+    // a different seed moves the embeddings
+    val c = Walks.fastRP(cliquePair, dim = 32, seed = 7L).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a.keys.exists(n => a(n) != c(n)), "seed had no effect")
+  }
+
+  test("fastRP places clique members closer than cross-clique pairs") {
+    val emb = Walks.fastRP(cliquePair, dim = 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double =
+      x.zip(y).map { case (a, b) => a * b }.sum // unit vectors
+    val ids = emb.keys.toSeq.sorted
+    val (intra, inter) = (for {
+      i <- ids; j <- ids if i < j
+    } yield ((i / 10 == j / 10), cos(emb(i), emb(j))))
+      .partition(_._1)
+    val intraMean = intra.map(_._2).sum / intra.size
+    val interMean = inter.map(_._2).sum / inter.size
+    assert(intraMean > interMean + 0.2,
+      s"intra $intraMean should clearly beat inter $interMean")
+  }
 }
