@@ -196,7 +196,26 @@ object ConformanceHunt {
       "finish_read" -> "MATCH (n:Region) FINISH",
       "finish_write" -> "CREATE (:Tmp {v: 1}) FINISH",
       "insert_gql" -> "INSERT (:Tmp&Extra {v: 2})",
-      "nodetach_unattached" -> "CREATE (x:Lonely) NODETACH DELETE x"
+      "nodetach_unattached" -> "CREATE (x:Lonely) NODETACH DELETE x",
+      // r11 surface
+      "shortest_groups" -> ("MATCH (a:Nation {key: 0}), (b:Nation {key: 3}) " +
+        "MATCH p = SHORTEST 2 GROUPS (a)-[:IN_REGION*1..4]-(b) RETURN length(p) AS l, count(*) AS c"),
+      "shortest_path_keyword" -> ("MATCH (a:Nation {key: 0}), (b:Region {key: 0}) " +
+        "MATCH p = SHORTEST 1 PATH (a)-[:IN_REGION*1..2]->(b) RETURN length(p) AS l"),
+      "call_louvain" -> "CALL graft.louvain(['IN_REGION']) YIELD nodeId, communityId RETURN count(*) AS c",
+      "call_hits" -> "CALL graft.hits(['FROM'], 2) YIELD nodeId, hub, authority RETURN count(*) AS c",
+      "call_eigenvector" -> "CALL graft.eigenvector(['IN_REGION'], 3, 'BOTH') YIELD nodeId, score RETURN count(*) AS c",
+      "call_fastrp" -> "CALL graft.fastRP(['IN_REGION'], 8) YIELD nodeId, embedding RETURN count(*) AS c, size(collect(embedding)[0]) AS d",
+      "call_mst" -> "CALL graft.minimumSpanningTree('qty', 1.0, ['CONTAINS']) YIELD relId, weight RETURN count(*) AS c",
+      "call_kcheapest" -> ("CALL graft.shortestPath.kCheapest([0], [52776558133249], 2, 'qty', 1.0) " +
+        "YIELD targetNode, totalCost, rank RETURN count(*) AS c"),
+      // extended edge cases
+      "shortest_groups_min0" -> ("MATCH (a:Nation {key: 0}), (b:Nation {key: 0}) " +
+        "MATCH p = SHORTEST 1 GROUPS (a)-[:IN_REGION*0..2]-(b) RETURN length(p) AS l, count(*) AS c"),
+      "union_num_widen" -> "RETURN 1 AS v UNION ALL RETURN 2.5 AS v",
+      "union_distinct_numeq" -> "RETURN 1 AS v UNION RETURN 1.0 AS v",
+      "percentile_group" -> "MATCH (o:Order) RETURN o.orderstatus AS s, percentileCont(o.totalprice, 0.5) AS p ORDER BY s",
+      "nested_case_in_agg" -> "MATCH (n:Nation) RETURN sum(CASE WHEN n.regionkey = 0 THEN 1 ELSE 0 END) AS z"
     )
 
     val params = Map[String, Any]("p" -> 1, "key" -> "name", "n" -> 3,
