@@ -534,6 +534,28 @@ object PipelineQueries {
              |SELECT id, round(score, 4) AS score FROM scores
              |ORDER BY round(score, 4) DESC, id ASC LIMIT 20""".stripMargin)),
 
+    // JSONL round-trip (the LLM-training interchange format): export the
+    // documents table as JSONL (name-sorted keys, nulls omitted), read
+    // it back with an explicit schema, and aggregate — the oracle runs
+    // the same aggregate on the original table, so any serialization
+    // loss (encoding, truncation, type drift) breaks the hash.
+    QueryDef("q_jsonl_roundtrip",
+      (s, d) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+          Integer.toHexString(d.hashCode)
+        val src = docs(s, d).select(col("id"), col("text"), col("lang"),
+          col("source"))
+        graft.sources.Jsonl.save(src, path)
+        graft.sources.Jsonl.load(s, path, Some(src.schema))
+          .groupBy("lang").agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).as("chars"),
+            countDistinct("source").as("sources"))
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |  CAST(sum(length(text)) AS BIGINT) AS chars,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS sources
+             |FROM documents GROUP BY lang""".stripMargin)),
+
     // Boolean + phrase query syntax (the Lucene-subset surface of the
     // reference's db.index.fulltext.queryNodes): MUST term, MUST phrase
     // (adjacency on the analyzed token stream), MUST_NOT term, two SHOULD
