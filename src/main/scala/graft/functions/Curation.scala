@@ -419,6 +419,61 @@ object Curation {
    *
    * @return (idCol, tokCol, offset LONG, pack LONG, packs INT)
    */
+  /**
+   * Deterministic negative sampling for contrastive training pairs
+   * (the DPR / CLIP-style batch-construction step): for each
+   * (query, positive) pair, pick k pseudo-random negatives from a pool,
+   * reproducible across engines, runs and corpus repartitions.
+   *
+   * The pool gets a dense 0..n-1 index via the two-phase range-partition
+   * prefix (the [[assignPacks]] pattern — no single-partition window);
+   * probe j of query q targets index
+   * ((q mod 100000)·2654435761 + j·40503) mod n — pure integer
+   * arithmetic, so DuckDB replays it exactly and no value can overflow a
+   * BIGINT. Probes run k+4 deep, drop the positive and duplicate hits
+   * (keeping the earliest probe), and the first k survivors win. Every
+   * stage is a hash join or bounded window on the query id; the pool is
+   * scanned once.
+   *
+   * @return (qid, pos, neg, slot 1..k)
+   */
+  def negativeSamples(pairs: DataFrame, qidCol: String, posCol: String,
+      pool: DataFrame, poolIdCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1 negatives, got $k")
+    val spark = pairs.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ids = pool.select(col(poolIdCol).as("__pid_id")).distinct()
+      .repartitionByRange(parts, col("__pid_id"))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    val counts = ids.groupBy("__part").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    require(n > k, s"pool size $n must exceed k=$k")
+    val bases = counts.scanLeft((0, 0L)) { case ((_, acc), (p, c)) =>
+      (p, acc + c) }.init.zip(counts).map { case ((_, b), (p, _)) => (p, b) }
+    import spark.implicits._
+    val baseDf = broadcast(bases.toSeq.toDF("__part", "__base"))
+    val wIdx = Window.partitionBy("__part").orderBy(col("__pid_id"))
+    val indexed = ids.join(baseDf, "__part")
+      .select(col("__pid_id"),
+        (row_number().over(wIdx) - 1 + col("__base")).as("__idx"))
+    val probes = pairs.select(col(qidCol).as("qid"), col(posCol).as("pos"))
+      .select(col("qid"), col("pos"),
+        explode(sequence(lit(0), lit(k + 3))).as("__j"))
+      .withColumn("__idx",
+        ((col("qid") % 100000L) * 2654435761L + col("__j") * 40503L) % n)
+    val wDedup = Window.partitionBy("qid", "__pid_id").orderBy("__j")
+    val wSlot = Window.partitionBy("qid").orderBy("__j")
+    probes.join(indexed, "__idx")
+      .filter(col("__pid_id") =!= col("pos"))
+      .withColumn("__first", row_number().over(wDedup))
+      .filter(col("__first") === 1)
+      .withColumn("slot", row_number().over(wSlot))
+      .filter(col("slot") <= k)
+      .select(col("qid"), col("pos"), col("__pid_id").as("neg"), col("slot"))
+  }
+
   def assignPacks(df: DataFrame, idCol: String, tokCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"pack budget must be positive: $budget")

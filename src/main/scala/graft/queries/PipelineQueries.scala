@@ -534,6 +534,40 @@ object PipelineQueries {
              |SELECT id, round(score, 4) AS score FROM scores
              |ORDER BY round(score, 4) DESC, id ASC LIMIT 20""".stripMargin)),
 
+    // Deterministic negative sampling (DPR/CLIP batch construction): 4
+    // pseudo-random customer negatives per (order, customer) positive
+    // pair, multiplicative-hash probes over a two-phase dense pool index
+    // — pure integer arithmetic, so the oracle replays every probe, the
+    // positive/duplicate drops, and the slot ranks exactly.
+    QueryDef("q_negative_samples",
+      (s, d) => graft.functions.Curation.negativeSamples(
+        t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey").cast("long").as("q"),
+            col("o_custkey").cast("long").as("p")),
+        "q", "p",
+        t(s, d, "customer").select(col("c_custkey").cast("long").as("cid")),
+        "cid", k = 4),
+      Some("""WITH pool AS (
+             |  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS pid FROM customer),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pool),
+             |idx AS (SELECT pid, row_number() OVER (ORDER BY pid) - 1 AS i
+             |  FROM pool),
+             |probes AS (
+             |  SELECT CAST(o_orderkey AS BIGINT) AS qid,
+             |    CAST(o_custkey AS BIGINT) AS pos, j.j AS j,
+             |    ((o_orderkey % 100000) * 2654435761 + j.j * 40503) % n.n AS i
+             |  FROM orders, (SELECT unnest(generate_series(0, 7)) AS j) j, n
+             |  WHERE o_orderkey < 2000),
+             |hit AS (SELECT qid, pos, j, pid FROM probes
+             |  JOIN idx USING (i) WHERE pid <> pos),
+             |ded AS (SELECT *, row_number() OVER (
+             |    PARTITION BY qid, pid ORDER BY j) AS f FROM hit),
+             |slotted AS (SELECT qid, pos, pid AS neg, row_number() OVER (
+             |    PARTITION BY qid ORDER BY j) AS slot
+             |  FROM ded WHERE f = 1)
+             |SELECT qid, pos, neg, CAST(slot AS INT) AS slot
+             |FROM slotted WHERE slot <= 4""".stripMargin)),
+
     // JSONL round-trip (the LLM-training interchange format): export the
     // documents table as JSONL (name-sorted keys, nulls omitted), read
     // it back with an explicit schema, and aggregate — the oracle runs

@@ -194,4 +194,26 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
     assert(r.forall { case (i, s, p) => r3(i) == ((s, p)) })
   }
+
+  test("negativeSamples: k per query, positive excluded, repartition-stable") {
+    import spark.implicits._
+    val pairs = (1L to 40L).map(q => (q, q % 10 + 100L)).toDF("q", "p")
+    val pool = (100L to 149L).toDF("cid")
+    val r = graft.functions.Curation.negativeSamples(
+        pairs, "q", "p", pool, "cid", k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+    val byQ = r.groupBy(_._1)
+    assert(byQ.keySet == (1L to 40L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 3, s"query $q got ${rows.length} negatives")
+      assert(rows.map(_._4).sorted.sameElements(Array(1, 2, 3)))
+      assert(rows.forall(x => x._3 != x._2), s"query $q sampled its positive")
+      assert(rows.map(_._3).distinct.length == 3, s"query $q repeated a negative")
+    }
+    // repartitioning the pool must not move a single sample
+    val r2 = graft.functions.Curation.negativeSamples(
+        pairs.repartition(5), "q", "p", pool.repartition(7), "cid", k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+    assert(r.sorted.sameElements(r2.sorted))
+  }
 }
