@@ -51,6 +51,33 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * Hard-negative mining (the contrastive-training companion of
+   * [[graft.functions.Curation.negativeSamples]]): per query, the top-k
+   * most similar corpus items carrying a DIFFERENT label — the negatives
+   * that actually move a contrastive loss, vs. the uniform random ones.
+   * Same broadcast-queries / codegen-dot-product shape as
+   * [[bruteForceTopK]]; the label disagreement lands in the join
+   * condition, so excluded rows never reach the scorer. For 100 TB corpora
+   * the candidate stage swaps in the LSH/IVF shortlist and this exact
+   * ranking runs over the shortlist.
+   *
+   * @param corpus  (id, vec, label)
+   * @param queries (qid, qvec, qlabel)
+   * @return (qid, id, sim 4dp, rank 1..k)
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.select(col("id"), asDouble(col("vec")).as("v"),
+        col("label"))
+      .join(broadcast(queries.select(col("qid"), asDouble(col("qvec")).as("qv"),
+        col("qlabel"))),
+        col("id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("v"), col("qv")), 4).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: component h[j][d] derived from
     * xxhash64(j, d) — identical on every executor without shipping state.
     * Vector dimension is taken from the array itself (size(vec)), so no

@@ -140,6 +140,33 @@ object PipelineQueries {
              |    ORDER BY sim DESC, id ASC) AS INT) AS rank, id
              |FROM scored QUALIFY rank <= 10""".stripMargin)),
 
+    // Hard-negative mining: per query vector, the 5 most similar
+    // embeddings with a DIFFERENT class label — the negatives a
+    // contrastive loss actually learns from. Scores round to 4dp before
+    // the (sim DESC, id ASC) rank so both engines agree on every tie.
+    QueryDef("q_hard_negatives",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val corpus = emb.select(col("vec_id").as("id"),
+          col("embedding").as("vec"), col("label"))
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlabel"))
+        Similarity.hardNegatives(corpus, queries, 5)
+          .select(col("qid"), col("rank").cast("int").as("rank"), col("id"),
+            col("sim"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+             |    label AS ql FROM embeddings WHERE vec_id < 5),
+             |scored AS (SELECT q.qid, e.vec_id AS id,
+             |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4)
+             |      AS sim
+             |  FROM embeddings e, q
+             |  WHERE e.vec_id <> q.qid AND e.label <> q.ql)
+             |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+             |    ORDER BY sim DESC, id ASC) AS INT) AS rank, id, sim
+             |FROM scored QUALIFY rank <= 5""".stripMargin)),
+
     // Distributed spherical k-means (Lloyd, 2 iterations, k=4) — the
     // clustering stage of semantic stratification. Deterministic init (k
     // lowest-id vectors, cid in id order) and fp64 math end to end, so
