@@ -155,6 +155,50 @@ object Walks {
   }
 
   /**
+   * K-hop neighbor sampling with per-hop fanout caps — the GraphSAGE /
+   * GNN-training data-prep operator (Hamilton et al. 2017): from each
+   * seed, keep at most fanout(h) neighbors per visited node at hop h,
+   * chosen DETERMINISTICALLY by a multiplicative hash of (src, dst, hop)
+   * so runs, engines and repartitions agree — reproducible minibatches
+   * are the property GNN pipelines need from their sampler.
+   *
+   * Each hop is one join frontier×edges plus one bounded window per
+   * (seed, node) — work is seeds × Π fanouts rows, never the full
+   * neighborhood; hash ordering is pure integer arithmetic bounded away
+   * from BIGINT overflow (mod 1000003 operands), so an exact SQL replay
+   * exists.
+   *
+   * @param edges   (src, dst)
+   * @param seeds   (seed)
+   * @param fanouts max neighbors per node at each hop, outermost first
+   * @return (seed, hop 1.., src, dst) — the sampled edge per hop
+   */
+  def neighborSample(edges: DataFrame, seeds: DataFrame,
+      fanouts: Seq[Int]): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ >= 1),
+      s"fanouts must be positive: $fanouts")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
+    var frontier = seeds.select(col("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"))
+    val out = Seq.newBuilder[DataFrame]
+    fanouts.zipWithIndex.foreach { case (f, h) =>
+      val hop = h + 1
+      val ord = ((col("src") % 1000003L) * 2654435761L +
+        (col("dst") % 1000003L) * 40503L + lit(hop.toLong) * 97L) % 1000003L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("seed", "src").orderBy(ord.asc, col("dst").asc)
+      val sampled = frontier.join(e, col("node") === col("src"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= f)
+        .select(col("seed"), lit(hop).as("hop"), col("src"), col("dst"))
+        .localCheckpoint(false)
+      out += sampled
+      frontier = sampled.select(col("seed"), col("dst").as("node")).distinct()
+    }
+    out.result().reduce(_ unionByName _)
+  }
+
+  /**
    * FastRP node embeddings (Chen et al. 2019, "Fast and Accurate Network
    * Embeddings via Very Sparse Random Projection" — the default node
    * embedding of the reference's graph-data-science ecosystem).

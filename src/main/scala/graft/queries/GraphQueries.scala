@@ -268,6 +268,47 @@ object GraphQueries {
              |  CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS label
              |FROM nation""".stripMargin)),
 
+    // GNN neighbor sampling (GraphSAGE, Hamilton et al. 2017): from each
+    // Region seed, at most 2 nations at hop 1 and 3 members per nation
+    // at hop 2, chosen by the deterministic multiplicative hash — the
+    // oracle rebuilds the tagged ids and replays every rank, so the
+    // sampled minibatch matches edge for edge.
+    QueryDef("q_neighbor_sample",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val down = g.rels.filter(col("type") === "IN_REGION")
+          .select(col("dst").as("src"), col("src").as("dst"))
+          .unionByName(g.rels.filter(col("type") === "FROM")
+            .select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = g.nodesByLabel("Region").select(col("id").as("seed"))
+        Walks.neighborSample(down, seeds, Seq(2, 3))
+      },
+      Some("""WITH e1 AS (
+             |  SELECT CAST(17592186044416 + n_regionkey AS BIGINT) AS src,
+             |    CAST(35184372088832 + n_nationkey AS BIGINT) AS dst
+             |  FROM nation),
+             |e2 AS (
+             |  SELECT CAST(35184372088832 + c_nationkey AS BIGINT) AS src,
+             |    CAST(52776558133248 + c_custkey AS BIGINT) AS dst FROM customer
+             |  UNION ALL
+             |  SELECT CAST(35184372088832 + s_nationkey AS BIGINT),
+             |    CAST(70368744177664 + s_suppkey AS BIGINT) FROM supplier),
+             |h1 AS (SELECT src AS seed, 1 AS hop, src, dst, row_number() OVER (
+             |    PARTITION BY src ORDER BY
+             |      ((src % 1000003) * 2654435761 + (dst % 1000003) * 40503
+             |        + 1 * 97) % 1000003, dst) AS rk
+             |  FROM e1),
+             |f1 AS (SELECT seed, dst FROM h1 WHERE rk <= 2),
+             |h2 AS (SELECT f1.seed, 2 AS hop, e2.src, e2.dst, row_number() OVER (
+             |    PARTITION BY f1.seed, e2.src ORDER BY
+             |      ((e2.src % 1000003) * 2654435761 + (e2.dst % 1000003) * 40503
+             |        + 2 * 97) % 1000003, e2.dst) AS rk
+             |  FROM f1 JOIN e2 ON e2.src = f1.dst)
+             |SELECT seed, CAST(hop AS INT) AS hop, src, dst
+             |FROM h1 WHERE rk <= 2
+             |UNION ALL
+             |SELECT seed, CAST(hop AS INT), src, dst FROM h2 WHERE rk <= 3""".stripMargin)),
+
     // Minimum spanning tree (Borůvka) on the 25-nation weighted ring plus
     // heavy chord edges: the MST of a cycle is the cycle minus its
     // heaviest edge under the (weight, id) total order, and the weight-10

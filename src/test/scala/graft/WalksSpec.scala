@@ -86,6 +86,26 @@ class WalksSpec extends AnyFunSuite {
     assert(a.keys.exists(n => a(n) != c(n)), "seed had no effect")
   }
 
+  test("neighborSample caps fanout per hop and is repartition-stable") {
+    import spark.implicits._
+    // hub 1 with 5 children 10..14; each child has 3 grandchildren
+    val e1 = (10L to 14L).map(c => (1L, c))
+    val e2 = for (c <- 10L to 14L; g <- 1 to 3) yield (c, c * 100 + g)
+    val edges = (e1 ++ e2).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    val r = Walks.neighborSample(edges, seeds, Seq(2, 2)).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+    val hop1 = r.filter(_._2 == 1)
+    val hop2 = r.filter(_._2 == 2)
+    assert(hop1.length == 2, s"hop1 fanout: ${hop1.toSeq}")
+    assert(hop2.length == 4, s"hop2 fanout: ${hop2.toSeq}") // 2 nodes x 2
+    // hop-2 sources must be exactly the hop-1 sampled destinations
+    assert(hop2.map(_._3).toSet == hop1.map(_._4).toSet)
+    val r2 = Walks.neighborSample(edges.repartition(7), seeds, Seq(2, 2))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+    assert(r.sorted.sameElements(r2.sorted), "sampling moved under repartition")
+  }
+
   test("fastRP places clique members closer than cross-clique pairs") {
     val emb = Walks.fastRP(cliquePair, dim = 64).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
