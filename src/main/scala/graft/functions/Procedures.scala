@@ -299,6 +299,80 @@ object Procedures {
         col("dst").as("targetNode"), col("weight"))
   })
 
+  /** Shared melt for the db.schema.*TypeProperties procedures: per
+    * (group, property column), observed presence + mandatory flag from ONE
+    * wide aggregate pass; the collect is bounded by |groups| (labels/rel
+    * types), never data size. */
+  private def typeProperties(grouped: org.apache.spark.sql.DataFrame,
+      groupCol: String, propCols: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : Seq[(String, String, String, Boolean)] = {
+    val aggs = propCols.map { case (c, _) => count(col(c)).as(s"__n_$c") } :+
+      count(lit(1)).as("__total")
+    val stats = grouped.groupBy(groupCol).agg(aggs.head, aggs.tail: _*).collect()
+    stats.toSeq.flatMap { r =>
+      val grp = r.getString(0)
+      val total = r.getAs[Long]("__total")
+      propCols.flatMap { case (c, dt) =>
+        val n = r.getAs[Long](s"__n_$c")
+        if (n == 0) None
+        else Some((grp, c, cypherTypeName(dt), n == total))
+      }
+    }
+  }
+
+  private def cypherTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType => "Long"
+      case DoubleType | FloatType             => "Double"
+      case StringType                         => "String"
+      case BooleanType                        => "Boolean"
+      case DateType                           => "Date"
+      case TimestampNTZType                   => "LocalDateTime"
+      case TimestampType                      => "DateTime"
+      case ArrayType(StringType, _)           => "StringArray"
+      case ArrayType(LongType, _)             => "LongArray"
+      case ArrayType(DoubleType, _)           => "DoubleArray"
+      case other                              => other.simpleString
+    }
+  }
+
+  /** db.schema.nodeTypeProperties (reference BuiltInProcedures — the
+    * schema-introspection surface drivers and UIs call): per (label,
+    * property) the observed value type and whether every node of the
+    * label carries it. Computed FROM DATA, not from a catalog — one wide
+    * aggregate over the nodes relation. propertyTypes joins to a string
+    * (reference yields a list; a scalar keeps the row hash-comparable). */
+  register("db.schema.nodetypeproperties", (spark, g, args) => {
+    import spark.implicits._
+    val propCols = g.nodes.schema.fields
+      .filterNot(f => f.name == "id" || f.name == "labels" ||
+        f.dataType == org.apache.spark.sql.types.NullType)
+      .map(f => f.name -> f.dataType).toSeq
+    val base = g.nodes.select(
+      (explode(col("labels")).as("label") +: propCols.map(p => col(p._1))): _*)
+    typeProperties(base, "label", propCols)
+      .map { case (l, p, t, m) => (s":`$l`", l, p, t, m) }
+      .toDF("nodeType", "nodeLabels", "propertyName", "propertyTypes",
+        "mandatory")
+  })
+
+  /** db.schema.relTypeProperties — the relationship twin. */
+  register("db.schema.reltypeproperties", (spark, g, args) => {
+    import spark.implicits._
+    val propCols = g.rels.schema.fields
+      .filterNot(f => Set("id", "src", "dst", "type")(f.name) ||
+        f.dataType == org.apache.spark.sql.types.NullType)
+      .map(f => f.name -> f.dataType).toSeq
+    if (propCols.isEmpty)
+      Seq.empty[(String, String, String, Boolean)]
+        .toDF("relType", "propertyName", "propertyTypes", "mandatory")
+    else typeProperties(g.rels.select(
+        (col("type") +: propCols.map(p => col(p._1))): _*), "type", propCols)
+      .map { case (t, p, ty, m) => (s":`$t`", p, ty, m) }
+      .toDF("relType", "propertyName", "propertyTypes", "mandatory")
+  })
+
   /** graft.fastRP([relTypes[, dim[, iterationWeights[, seed]]]]) — FastRP
     * node embeddings (Chen et al. 2019; the ecosystem's default
     * embedding) over the undirected projection. YIELDs (nodeId,

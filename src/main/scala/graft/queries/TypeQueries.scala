@@ -181,6 +181,54 @@ object TypeQueries {
              |UNION ALL SELECT 'CONTAINS', count(*) FROM lineitem
              |UNION ALL SELECT 'SUPPLIED_BY', count(*) FROM lineitem""".stripMargin)),
 
+    // db.schema.nodeTypeProperties / relTypeProperties (reference
+    // BuiltInProcedures schema introspection): per (label/type, property)
+    // the observed value type and mandatory flag, computed FROM DATA by
+    // one wide aggregate — the oracle pins the expected catalog, so a
+    // drift in type mapping, union-schema null handling, or property
+    // presence breaks the hash.
+    QueryDef("q_schema_type_props",
+      (s, d) => {
+        val g = graft.graph.TpchGraph.load(s, d)
+        graft.functions.Procedures.call(s, g, "db.schema.nodeTypeProperties")
+          .select(col("nodeType").as("entity"), col("propertyName"),
+            col("propertyTypes"), col("mandatory"))
+          .unionByName(
+            graft.functions.Procedures.call(s, g, "db.schema.relTypeProperties")
+              .select(col("relType").as("entity"), col("propertyName"),
+                col("propertyTypes"), col("mandatory")))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (':`Customer`', 'acctbal', 'Double', true),
+             |  (':`Customer`', 'key', 'Long', true),
+             |  (':`Customer`', 'mktsegment', 'String', true),
+             |  (':`Customer`', 'name', 'String', true),
+             |  (':`Nation`', 'key', 'Long', true),
+             |  (':`Nation`', 'name', 'String', true),
+             |  (':`Order`', 'key', 'Long', true),
+             |  (':`Order`', 'orderdate', 'LocalDateTime', true),
+             |  (':`Order`', 'priority', 'String', true),
+             |  (':`Order`', 'status', 'String', true),
+             |  (':`Order`', 'totalprice', 'Double', true),
+             |  (':`Part`', 'brand', 'String', true),
+             |  (':`Part`', 'key', 'Long', true),
+             |  (':`Part`', 'name', 'String', true),
+             |  (':`Part`', 'psize', 'Long', true),
+             |  (':`Part`', 'ptype', 'String', true),
+             |  (':`Part`', 'retailprice', 'Double', true),
+             |  (':`Region`', 'key', 'Long', true),
+             |  (':`Region`', 'name', 'String', true),
+             |  (':`Supplier`', 'acctbal', 'Double', true),
+             |  (':`Supplier`', 'key', 'Long', true),
+             |  (':`Supplier`', 'name', 'String', true),
+             |  (':`CONTAINS`', 'discount', 'Double', true),
+             |  (':`CONTAINS`', 'price', 'Double', true),
+             |  (':`CONTAINS`', 'qty', 'Double', true),
+             |  (':`CONTAINS`', 'shipdate', 'LocalDateTime', true),
+             |  (':`CONTAINS`', 'tax', 'Double', true),
+             |  (':`SUPPLIED_BY`', 'qty', 'Double', true)
+             |) AS t(entity, propertyName, propertyTypes, mandatory)""".stripMargin)),
+
     // mixed-type COLUMN orderability (reference community/values AnyValues
     // global comparator): a CALL {} union of string / long / boolean
     // columns lifts into the orderability encoding, so min is the smallest
