@@ -1240,10 +1240,19 @@ object Planner {
           segs.head.boundary.isEmpty,
           "SHORTEST k GROUPS supports a single var-length relationship " +
             "pattern (no alternation or interior predicates)")
-        require(toBound, "SHORTEST k GROUPS needs a bound target node")
-        graft.ops.Trail.shortestGroups(segs.head.edges,
-          df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(),
-          kk, segs.head.min, segs.head.max)
+        if (toBound)
+          graft.ops.Trail.shortestGroups(segs.head.edges,
+            df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(),
+            kk, segs.head.min, segs.head.max)
+        else {
+          val targetIds =
+            if (toNode.labels.isEmpty && toNode.labelExpr.isEmpty &&
+              toNode.props.isEmpty && toNode.where.isEmpty) None
+            else boundarySet(ctx, toNode)
+          graft.ops.Trail.shortestGroupsTo(segs.head.edges,
+            df.select(col(fromVar).as("source")).distinct(), targetIds,
+            kk, segs.head.min, segs.head.max)
+        }
       } else if (toBound)
         graft.ops.Trail.shortestKSegments(segs,
           df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(), kk)

@@ -224,8 +224,31 @@ object Trail {
    * @return (source, target, hops, path, nodes, group 1..k) — group is
    *         the dense rank of the path's length for its pair
    */
+  /** Unbound-target SHORTEST k GROUPS: search from the sources and rank
+    * length-groups per (source, reached end), optionally restricted to
+    * `targetNodes` (column `id`) — source-driven like
+    * [[shortestKSegmentsTo]], so no sources × candidates pair set is ever
+    * built. */
+  def shortestGroupsTo(edges: DataFrame, sources: DataFrame,
+      targetNodes: Option[DataFrame], k: Int, min: Int, maxDepth: Int,
+      localThreshold: Int = 10000): DataFrame =
+    shortestGroupsImpl(edges, sources.select("source").distinct(), k, min,
+      maxDepth, localThreshold, fin => {
+        val t = fin.withColumn("target", col("end"))
+        targetNodes.fold(t)(tn => t.join(
+          tn.select(col("id").as("target")).distinct(),
+          Seq("target"), "left_semi"))
+      })
+
   def shortestGroups(edges: DataFrame, pairs: DataFrame, k: Int,
-      min: Int, maxDepth: Int, localThreshold: Int = 10000): DataFrame = {
+      min: Int, maxDepth: Int, localThreshold: Int = 10000): DataFrame =
+    shortestGroupsImpl(edges, pairs.select("source").distinct(), k, min,
+      maxDepth, localThreshold,
+      fin => fin.join(pairs, Seq("source")).filter(col("end") === col("target")))
+
+  private def shortestGroupsImpl(edges: DataFrame, sources: DataFrame, k: Int,
+      min: Int, maxDepth: Int, localThreshold: Int,
+      accept: DataFrame => DataFrame): DataFrame = {
     require(k >= 1 && min >= 0 && maxDepth >= math.max(min, 1) && maxDepth <= 30,
       s"shortestGroups bounds out of range: k=$k min=$min maxDepth=$maxDepth")
     val budget = (k + math.max(0, min - 1)).toLong
@@ -234,57 +257,57 @@ object Trail {
     // the same distinct-arrival-round budget — so results are identical
     // while the ~maxDepth driver jobs of scheduling latency disappear.
     // LIMIT probes only; past the threshold the distributed rounds run.
-    if (localThreshold > 0 &&
-        edges.limit(localThreshold + 1).count() <= localThreshold &&
-        pairs.limit(localThreshold + 1).count() <= localThreshold) {
-      val es = edges.select(col("id"), col("src"), col("dst")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val ps = pairs.select(col("source"), col("target")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      return localShortestGroups(edges.sparkSession, es, ps, k, min,
-        maxDepth, budget.toInt)
-    }
-    val e = edges.select(col("id").as("__er"), col("src").as("__es"),
-      col("dst").as("__ed"))
-    var frontier = pairs.select("source").distinct()
-      .select(col("source"), col("source").as("end"), lit(0).as("hops"),
-        array().cast("array<long>").as("path"),
-        array(col("source")).as("nodes"))
-      .localCheckpoint()
-    val pieces = Seq.newBuilder[DataFrame]
-    pieces += frontier
-    var counts = frontier.groupBy("source", "end")
-      .agg(lit(1L).as("__rounds")).localCheckpoint(false)
-    var d = 0
-    var fCnt = frontier.count()
-    while (d < maxDepth && fCnt > 0) {
-      val f = if (fCnt <= 200000) broadcast(frontier) else frontier
-      val expanded = f.join(e,
-          col("end") === col("__es") && !array_contains(col("path"), col("__er")))
-        .select(col("source"), col("__ed").as("end"), (col("hops") + 1).as("hops"),
-          concat(col("path"), array(col("__er"))).as("path"),
-          concat(col("nodes"), array(col("__ed"))).as("nodes"))
-      val newKept = expanded
-        .join(counts, Seq("source", "end"), "left_outer")
-        .filter(coalesce(col("__rounds"), lit(0L)) < budget)
-        .drop("__rounds")
-        .localCheckpoint(false) // the count() below materializes it
-      counts = counts.join(
-          newKept.select("source", "end").distinct().withColumn("__arr", lit(1L)),
-          Seq("source", "end"), "full_outer")
-        .select(col("source"), col("end"),
-          (coalesce(col("__rounds"), lit(0L)) + coalesce(col("__arr"), lit(0L)))
-            .as("__rounds"))
-        .localCheckpoint(false)
-      pieces += newKept
-      frontier = newKept
-      fCnt = frontier.count()
-      d += 1
-    }
+    val kept: DataFrame =
+      if (localThreshold > 0 &&
+          edges.limit(localThreshold + 1).count() <= localThreshold &&
+          sources.limit(localThreshold + 1).count() <= localThreshold) {
+        val es = edges.select(col("id"), col("src"), col("dst")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val ss = sources.select(col("source")).collect().map(_.getLong(0))
+        localKeptRows(edges.sparkSession, es, ss, maxDepth, budget.toInt)
+      } else {
+        val e = edges.select(col("id").as("__er"), col("src").as("__es"),
+          col("dst").as("__ed"))
+        var frontier = sources
+          .select(col("source"), col("source").as("end"), lit(0).as("hops"),
+            array().cast("array<long>").as("path"),
+            array(col("source")).as("nodes"))
+          .localCheckpoint()
+        val pieces = Seq.newBuilder[DataFrame]
+        pieces += frontier
+        var counts = frontier.groupBy("source", "end")
+          .agg(lit(1L).as("__rounds")).localCheckpoint(false)
+        var d = 0
+        var fCnt = frontier.count()
+        while (d < maxDepth && fCnt > 0) {
+          val f = if (fCnt <= 200000) broadcast(frontier) else frontier
+          val expanded = f.join(e,
+              col("end") === col("__es") && !array_contains(col("path"), col("__er")))
+            .select(col("source"), col("__ed").as("end"), (col("hops") + 1).as("hops"),
+              concat(col("path"), array(col("__er"))).as("path"),
+              concat(col("nodes"), array(col("__ed"))).as("nodes"))
+          val newKept = expanded
+            .join(counts, Seq("source", "end"), "left_outer")
+            .filter(coalesce(col("__rounds"), lit(0L)) < budget)
+            .drop("__rounds")
+            .localCheckpoint(false) // the count() below materializes it
+          counts = counts.join(
+              newKept.select("source", "end").distinct().withColumn("__arr", lit(1L)),
+              Seq("source", "end"), "full_outer")
+            .select(col("source"), col("end"),
+              (coalesce(col("__rounds"), lit(0L)) + coalesce(col("__arr"), lit(0L)))
+                .as("__rounds"))
+            .localCheckpoint(false)
+          pieces += newKept
+          frontier = newKept
+          fCnt = frontier.count()
+          d += 1
+        }
+        pieces.result().reduce(_ unionByName _)
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "target").orderBy(col("hops").asc)
-    pieces.result().reduce(_ unionByName _)
-      .join(pairs, Seq("source")).filter(col("end") === col("target"))
+    accept(kept)
       .filter(col("hops") >= min)
       .select(col("source"), col("target"), col("hops"), col("path"), col("nodes"))
       .withColumn("group", dense_rank().over(w))
@@ -295,12 +318,11 @@ object Trail {
     * (bounded) inputs: identical budget, trail constraint and final
     * dense-rank, so the output matches the distributed rounds row for
     * row. */
-  private def localShortestGroups(spark: org.apache.spark.sql.SparkSession,
-      edges: Array[(Long, Long, Long)], pairs: Array[(Long, Long)], k: Int,
-      min: Int, maxDepth: Int, budget: Int): DataFrame = {
+  private def localKeptRows(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long, Long)], sources: Array[Long],
+      maxDepth: Int, budget: Int): DataFrame = {
     import spark.implicits._
     val adj = edges.groupBy(_._2) // src -> [(id, src, dst)]
-    val sources = pairs.map(_._1).distinct
     // (source, end) -> partials of the current round
     var level: Map[(Long, Long), Seq[(Vector[Long], Vector[Long])]] =
       sources.map(s => (s, s) -> Seq((Vector.empty[Long], Vector(s)))).toMap
@@ -330,17 +352,7 @@ object Trail {
       level.foreach { case ((s, e), ps) =>
         ps.foreach { case (p, ns) => kept += ((s, e, d, p, ns)) } }
     }
-    val wanted = pairs.toSet
-    val rows = kept.result()
-      .filter(r => wanted((r._1, r._2)) && r._3 >= min)
-      .groupBy(r => (r._1, r._2))
-      .flatMap { case ((s, t), rs) =>
-        val lens = rs.map(_._3).distinct.sorted
-        val grp = lens.zipWithIndex.toMap
-        rs.filter(r => grp(r._3) < k)
-          .map(r => (s, t, r._3, r._4, r._5, grp(r._3) + 1))
-      }.toSeq
-    rows.toDF("source", "target", "hops", "path", "nodes", "group")
+    kept.result().toDF("source", "end", "hops", "path", "nodes")
   }
 
   /** One linear-NFA segment: a var-length leg `-[:T*min..max]->` with its

@@ -415,6 +415,20 @@ object PathQueries {
              |  FROM p WHERE node = 33 AND hops >= 1 GROUP BY hops)
              |SELECT hops, n FROM g ORDER BY hops LIMIT 2""".stripMargin)),
 
+    // SHORTEST k GROUPS with an UNBOUND, label+property-constrained
+    // target (source-driven search, accepted ends semi-joined against the
+    // boundary scan — no sources x candidates pair set): on the directed
+    // grid every monotone path 0 -> (2, c) has exactly 2+c hops, so group
+    // 1 holds all C(2+c, 2) of them — closed form per column.
+    QueryDef("q_cypher_shortest_groups_open",
+      (s, d) => graft.cypher.Cypher.run(s, gridGraph(s, d),
+        """MATCH (a:G {row: 0, col: 0})
+          |MATCH p = SHORTEST 1 GROUPS (a)-[:E*1..6]->(b:G {row: 2})
+          |RETURN b.col AS bcol, length(p) AS hops, count(*) AS n""".stripMargin),
+      Some("""SELECT CAST(c AS BIGINT) AS bcol, CAST(2 + c AS INT) AS hops,
+             |  CAST((c + 2) * (c + 1) / 2 AS BIGINT) AS n
+             |FROM (SELECT unnest(generate_series(0, 4)) AS c)""".stripMargin)),
+
     // Ranked k-cheapest paths on the procedure surface (reference
     // graph-algo Dijkstra.java findAllPaths returns the equal-cost tie
     // set; kCheapest extends it to a ranked top-k). Directed weighted
