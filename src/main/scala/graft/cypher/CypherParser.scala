@@ -467,15 +467,32 @@ object CypherParser extends RegexParsers {
       case v ~ p => ShortestPart(v, p, all = true)
     } |
     opt(ident <~ "=") ~ (K("SHORTEST") ~> """\d+""".r) ~
-      (opt(K("PATH") | K("PATHS")) ~> opt(K("GROUPS"))) ~ pathPattern ^^ {
+      (opt(K("PATH") | K("PATHS")) ~> opt(K("GROUPS") | K("GROUP"))) ~
+      pathPattern ^^ {
       case v ~ kk ~ g ~ p =>
         ShortestPart(v, p, all = false, k = Some(kk.toInt),
           groups = g.isDefined)
+    } |
+    // SHORTEST [PATH] GROUP without a count: k = 1 (reference selector
+    // grammar `SHORTEST UNSIGNED_DECIMAL_INTEGER? PATH? GROUP`)
+    opt(ident <~ "=") ~ (K("SHORTEST") ~> opt(K("PATH") | K("PATHS")) ~>
+      (K("GROUPS") | K("GROUP")) ~> pathPattern) ^^ {
+      case v ~ p => ShortestPart(v, p, all = false, k = Some(1), groups = true)
+    } |
+    // ANY [k] [PATH]: "any k paths" — satisfied deterministically by the
+    // k shortest (the reference leaves the choice to the implementation)
+    opt(ident <~ "=") ~ (K("ANY") ~> opt("""\d+""".r)) ~
+      (opt(K("PATH") | K("PATHS")) ~> pathPattern) ^^ {
+      case v ~ kk ~ p =>
+        ShortestPart(v, p, all = false, k = Some(kk.map(_.toInt).getOrElse(1)))
     }
 
-  /** `p = (a)-[r]->(b)` — plain named path (reference ProjectNamedPath). */
+  /** `p = (a)-[r]->(b)` — plain named path (reference ProjectNamedPath).
+    * An `ALL [PATH]` selector prefix is the explicit spelling of the
+    * default MATCH semantics (reference selector grammar `ALL PATH?`). */
   private def namedPathPattern: Parser[PathPattern] =
-    opt(ident <~ "=") ~ pathPattern ^^ { case n ~ p => p.copy(name = n) }
+    opt(ident <~ "=") ~ (opt(K("ALL") ~ opt(K("PATH") | K("PATHS"))) ~>
+      pathPattern) ^^ { case n ~ p => p.copy(name = n) }
 
   /** Planner hints (reference UsingIndexHint/UsingScanHint/UsingJoinHint):
     * accepted for source compatibility and ignored — scan and join choices

@@ -215,7 +215,17 @@ object ConformanceHunt {
       "union_num_widen" -> "RETURN 1 AS v UNION ALL RETURN 2.5 AS v",
       "union_distinct_numeq" -> "RETURN 1 AS v UNION RETURN 1.0 AS v",
       "percentile_group" -> "MATCH (o:Order) RETURN o.orderstatus AS s, percentileCont(o.totalprice, 0.5) AS p ORDER BY s",
-      "nested_case_in_agg" -> "MATCH (n:Nation) RETURN sum(CASE WHEN n.regionkey = 0 THEN 1 ELSE 0 END) AS z"
+      "nested_case_in_agg" -> "MATCH (n:Nation) RETURN sum(CASE WHEN n.regionkey = 0 THEN 1 ELSE 0 END) AS z",
+      "selector_any_k" -> ("MATCH (a:Nation {key: 0}), (b:Region {key: 0}) " +
+        "MATCH p = ANY 2 PATHS (a)-[:IN_REGION*1..2]->(b) RETURN length(p) AS l"),
+      "selector_any_bare" -> ("MATCH (a:Nation {key: 0}), (b:Region {key: 0}) " +
+        "MATCH p = ANY (a)-[:IN_REGION*1..2]->(b) RETURN length(p) AS l"),
+      "selector_all_path" -> ("MATCH (a:Nation {key: 0}) " +
+        "MATCH p = ALL PATHS (a)-[:IN_REGION*1..1]->(b) RETURN count(*) AS c"),
+      "selector_shortest_group_singular" -> ("MATCH (a:Nation {key: 0}), (b:Nation {key: 1}) " +
+        "MATCH p = SHORTEST PATH GROUP (a)-[:IN_REGION*1..4]-(b) RETURN count(*) AS c"),
+      "selector_shortest_2_group" -> ("MATCH (a:Nation {key: 0}), (b:Nation {key: 1}) " +
+        "MATCH p = SHORTEST 2 GROUP (a)-[:IN_REGION*1..4]-(b) RETURN length(p) AS l, count(*) AS c")
     )
 
     val params = Map[String, Any]("p" -> 1, "key" -> "name", "n" -> 3,
