@@ -111,6 +111,45 @@ object Multimodal {
       lit(0), (acc, x) => acc + x)).otherwise(lit(null))
   }
 
+  /**
+   * JPEG frame dimensions — a REAL marker-segment walk, not a fixed
+   * offset: JFIF streams interleave APPn/DQT/DHT segments of arbitrary
+   * length before the SOF frame header, so the parser must chain
+   * offsets (next = current + 2 + big-endian length). The walk runs as
+   * an `aggregate` fold over a bounded marker budget — state is
+   * (offset, height, width), each step either records SOF dimensions
+   * (markers C0–C3, C5–C7, C9–CB, CD–CF per ITU T.81) or hops the
+   * segment — all substring/conv codegen, no UDF. NULL when no SOF
+   * appears within the budget or the payload isn't a JPEG.
+   */
+  private def jpegDims(bin: Column, maxSegments: Int = 12): Column = {
+    def byteAt(off: Column): Column =
+      conv(hex(bin.substr(off, lit(1))), 16, 10).cast("long")
+    def beU16At(off: Column): Column =
+      conv(hex(bin.substr(off, lit(2))), 16, 10).cast("long")
+    val isJpeg = hex(substring(bin, 1, 2)) === "FFD8"
+    val zero = struct(lit(3L).as("off"), lit(null).cast("long").as("h"),
+      lit(null).cast("long").as("w"))
+    val walked = aggregate(sequence(lit(1), lit(maxSegments)), zero, (acc, _) => {
+      val off = acc.getField("off")
+      val m1 = byteAt(off)
+      val m2 = byteAt(off + 1)
+      val sof = m1 === 0xFF && ((m2 >= 0xC0 && m2 <= 0xCF) &&
+        m2 =!= 0xC4 && m2 =!= 0xC8 && m2 =!= 0xCC)
+      val segLen = beU16At(off + 2)
+      when(acc.getField("h").isNotNull || m1 =!= 0xFF || m2 === 0xD9, acc)
+        .when(sof, struct(off.as("off"),
+          beU16At(off + 5).as("h"), beU16At(off + 7).as("w")))
+        .otherwise(struct((off + 2 + segLen).as("off"),
+          acc.getField("h"), acc.getField("w")))
+    })
+    when(isJpeg, walked).otherwise(lit(null).cast(
+      "struct<off: bigint, h: bigint, w: bigint>"))
+  }
+
+  def jpegHeight(bin: Column): Column = jpegDims(bin).getField("h")
+  def jpegWidth(bin: Column): Column = jpegDims(bin).getField("w")
+
   /** Typed metadata struct: attach once, prune everywhere. */
   def describe(bin: Column): Column = struct(
     sniffMime(bin).as("mime"),

@@ -771,6 +771,32 @@ object PipelineQueries {
              |  count(*) AS dupCount, max(CAST(strlen(text) AS BIGINT)) AS bytes
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // JPEG frame-header parsing: each part synthesizes a real JFIF byte
+    // stream (SOI, APP0, DQT, then SOF0 carrying psize-derived dims) and
+    // the marker-segment WALK — offsets chained through variable-length
+    // segments as a codegen fold — must recover height/width. The oracle
+    // computes the planted dims directly; any walk misstep nulls or
+    // shifts them and breaks the hash.
+    QueryDef("q_multimodal_jpeg",
+      (s, d) => {
+        val h = lpad(hex(col("p_size") + 100), 4, "0")
+        val w = lpad(hex(col("p_size") + 200), 4, "0")
+        val jpeg = unhex(concat(
+          lit("FFD8"),                                       // SOI
+          lit("FFE000104A46494600010100000100010000"),       // APP0 (len 16)
+          lit("FFDB0005AABBCC"),                             // DQT (len 5)
+          lit("FFC0000B08"), h, w, lit("01011100")))         // SOF0 (len 11)
+        t(s, d, "part").filter(col("p_partkey") <= 200)
+          .select(col("p_partkey").cast("long").as("key"), jpeg.as("bin"))
+          .select(col("key"),
+            graft.functions.Multimodal.jpegHeight(col("bin")).as("h"),
+            graft.functions.Multimodal.jpegWidth(col("bin")).as("w"))
+      },
+      Some("""SELECT CAST(p_partkey AS BIGINT) AS key,
+             |  CAST(p_size + 100 AS BIGINT) AS h,
+             |  CAST(p_size + 200 AS BIGINT) AS w
+             |FROM part WHERE p_partkey <= 200""".stripMargin)),
+
     // Benchmark decontamination: corpus docs sharing any word 3-gram with
     // the "benchmark" slice (doc_id % 41 = 0). Benchmark shingles
     // broadcast; corpus shingles reduce to xxhash64 keys (equality-only —

@@ -119,4 +119,30 @@ class MultimodalSpec extends AnyFunSuite {
     val g1 = out1.filter(col("id") === 2).select("feature").collect()(0).getSeq[Double](0)
     assert(g1 == f1)
   }
+
+  test("jpegDims walks variable-length segments to the SOF header") {
+    import spark.implicits._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // SOI + APP0(16) + DQT(5) + SOF0: height 0x0140=320, width 0x01E0=480
+    val good = hx("FFD8" + "FFE000104A46494600010100000100010000" +
+      "FFDB0005AABBCC" + "FFC0000B08" + "0140" + "01E0" + "01011100")
+    // progressive SOF2 (C2) with different segment layout before it
+    val prog = hx("FFD8" + "FFDB0005AABBCC" + "FFDB0004BBCC" +
+      "FFC2000B08" + "0010" + "0020" + "01011100")
+    // DHT-only stream: no SOF within budget → nulls
+    val noSof = hx("FFD8" + "FFC400051F2F3F" + "FFD9")
+    val png = hx("89504E470D0A1A0A")
+    val df = Seq((1L, good), (2L, prog), (3L, noSof), (4L, png))
+      .toDF("id", "bin")
+      .select(col("id"),
+        graft.functions.Multimodal.jpegHeight(col("bin")).as("h"),
+        graft.functions.Multimodal.jpegWidth(col("bin")).as("w"))
+    val r = df.collect().map(x => x.getLong(0) ->
+      (Option(x.get(1)), Option(x.get(2)))).toMap
+    assert(r(1L) == (Some(320L), Some(480L)), s"got ${r(1L)}")
+    assert(r(2L) == (Some(16L), Some(32L)), s"got ${r(2L)}")
+    assert(r(3L) == (None, None))
+    assert(r(4L) == (None, None))
+  }
 }
