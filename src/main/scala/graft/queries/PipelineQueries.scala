@@ -771,6 +771,33 @@ object PipelineQueries {
              |  count(*) AS dupCount, max(CAST(strlen(text) AS BIGINT)) AS bytes
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // Z-ordered spatial layout (space-filling-curve clustering — the
+    // columnar analog of the reference's SpaceFillingCurve point index):
+    // customers scatter to pseudo-coordinates, the table persists
+    // partitioned by Morton-curve prefix, and the bbox query reads only
+    // intersecting curve cells (partition-pruned, gated in ZOrderSpec)
+    // before the exact predicate. The oracle filters the same box
+    // directly — pruning must be invisible to results.
+    QueryDef("q_spatial_zorder",
+      (s, d) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+          Integer.toHexString(d.hashCode)
+        val pts = t(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("key"),
+            (col("c_custkey") % 97).cast("double").as("px"),
+            (col("c_custkey") % 89).cast("double").as("py"))
+        graft.functions.Spatial.saveZOrdered(pts, "px", "py", path,
+          0.0, 97.0, 0.0, 89.0, bits = 12, prefixBits = 6)
+        graft.functions.Spatial.queryBBox(s, path, 10.0, 20.0, 30.0, 40.0)
+          .select(col("key"), col("px"), col("py"))
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS key,
+             |  CAST(c_custkey % 97 AS DOUBLE) AS px,
+             |  CAST(c_custkey % 89 AS DOUBLE) AS py
+             |FROM customer
+             |WHERE c_custkey % 97 BETWEEN 10 AND 30
+             |  AND c_custkey % 89 BETWEEN 20 AND 40""".stripMargin)),
+
     // JPEG frame-header parsing: each part synthesizes a real JFIF byte
     // stream (SOI, APP0, DQT, then SOF0 carrying psize-derived dims) and
     // the marker-segment WALK — offsets chained through variable-length
