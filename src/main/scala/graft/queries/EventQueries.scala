@@ -57,6 +57,70 @@ object EventQueries {
              |  count(*) AS n_events
              |FROM g GROUP BY user_id""".stripMargin)),
 
+    // Retention cohorts (the standard product-analytics matrix): users
+    // cohort by first-seen day; cell (cohort, offset) counts users active
+    // offset days later. Two aggregates — first-seen per user (partial-
+    // aggregable min), then distinct users per (cohort, offset).
+    QueryDef("q_events_retention",
+      (s, d) => {
+        val e = events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val first = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
+        e.join(first, "user_id")
+          .select(col("user_id"), col("cohort"),
+            datediff(col("day"), col("cohort")).cast("long").as("offset"))
+          .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            col("offset"))
+          .agg(countDistinct("user_id").as("active_users"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+             |first AS (SELECT user_id, min(day) AS cohort FROM e
+             |  GROUP BY user_id)
+             |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+             |  CAST(day - cohort AS BIGINT) AS "offset",
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+             |FROM e JOIN first USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent preceding click/view within 24h (ties cannot occur — event
+    // times are microsecond-distinct per user in the fixture, and the
+    // window orders on the full (us, event_id) pair anyway).
+    QueryDef("q_events_attribution",
+      (s, d) => {
+        val e = events(s, d).withColumn("us", unix_micros(col("ts")))
+        val touches = e.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("us").as("t_us"),
+            col("event_id").as("touch_id"), col("event_type").as("channel"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("p_us"),
+            col("event_id").as("purchase_id"), col("value"))
+        val w = Window.partitionBy("purchase_id")
+          .orderBy(col("t_us").desc, col("touch_id").desc)
+        purchases.join(touches, Seq("user_id"))
+          .filter(col("t_us") <= col("p_us") &&
+            col("t_us") > col("p_us") - 86400L * 1000000L)
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .groupBy("channel")
+          .agg(count(lit(1)).as("purchases"),
+            round(sum("value"), 2).as("attributed_value"))
+      },
+      Some("""WITH t AS (SELECT user_id, epoch_us(ts) AS t_us,
+             |    event_id AS touch_id, event_type AS channel FROM events
+             |  WHERE event_type IN ('click', 'view')),
+             |p AS (SELECT user_id, epoch_us(ts) AS p_us,
+             |    event_id AS purchase_id, value FROM events
+             |  WHERE event_type = 'purchase'),
+             |j AS (SELECT p.purchase_id, p.value, t.channel, row_number() OVER (
+             |    PARTITION BY p.purchase_id
+             |    ORDER BY t.t_us DESC, t.touch_id DESC) AS rk
+             |  FROM p JOIN t ON t.user_id = p.user_id
+             |  WHERE t.t_us <= p.p_us AND t.t_us > p.p_us - 86400000000)
+             |SELECT channel, count(*) AS purchases,
+             |  round(sum(value), 2) AS attributed_value
+             |FROM j WHERE rk = 1 GROUP BY channel""".stripMargin)),
+
     // Sliding windows (streaming: window($"ts","1 hour","30 minutes")) —
     // each event lands in exactly two windows; the oracle materializes both
     // 30-minute-aligned window starts per event.
