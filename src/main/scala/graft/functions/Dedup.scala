@@ -160,6 +160,50 @@ object Dedup {
   }
 
   /**
+   * Incremental near-dup cluster maintenance — the missing third of the
+   * daily-crawl story (sketch store → batch pair detection → THIS): fold
+   * a new batch's duplicate pairs into an existing (id, canonical)
+   * assignment without re-resolving the historical corpus. Pairs contract
+   * onto their current canonicals first, so the connected-components pass
+   * runs on the (small) graph of AFFECTED canonical ids — cost scales
+   * with the batch's pair graph plus the clusters it touches, never the
+   * corpus. Canonical ids stay the minimum member id, so an unaffected
+   * cluster's rows are bit-identical to a full recompute (spec-asserted,
+   * including the merge-two-old-clusters case).
+   *
+   * @param oldAssign (id, canonical) — prior assignment, self-mapped ids
+   *                  included or not (absent ids are their own canonical)
+   * @param newPairs  (src, dst) — verified duplicate pairs involving new
+   *                  and/or old ids
+   * @return (id, canonical) covering old ids ∪ pair endpoints
+   */
+  def incrementalClusters(oldAssign: DataFrame, newPairs: DataFrame): DataFrame = {
+    val assign = oldAssign.select(col("id"), col("canonical"))
+      .localCheckpoint(false)
+    // contract: relabel pair endpoints by their current canonical
+    def canonOf(c: String) = assign
+      .select(col("id").as(c), col("canonical").as(s"__c_$c"))
+    val contracted = newPairs.select(col("src"), col("dst"))
+      .join(canonOf("src"), Seq("src"), "left_outer")
+      .join(canonOf("dst"), Seq("dst"), "left_outer")
+      .select(coalesce(col("__c_src"), col("src")).as("src"),
+        coalesce(col("__c_dst"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val merged = graft.ops.Bfs.connectedComponents(contracted)
+      .localCheckpoint(false) // canonical-id graph only — batch-sized
+    // compose: old members follow their canonical's merge; endpoints of
+    // the new pairs (possibly brand-new ids) map directly
+    val endpoints = newPairs.select(col("src").as("id"))
+      .unionByName(newPairs.select(col("dst").as("id"))).distinct()
+      .join(assign.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("canonical"))
+    assign.unionByName(endpoints)
+      .join(merged.withColumnRenamed("node", "canonical")
+        .withColumnRenamed("component", "__new"), Seq("canonical"), "left_outer")
+      .select(col("id"), coalesce(col("__new"), col("canonical")).as("canonical"))
+  }
+
+  /**
    * Persisted MinHash signature store — the incremental (daily-crawl)
    * dedup layout: the historical corpus is sketched ONCE into
    *   `path/docs`  (id, sig ARRAY<LONG> k-minhash, set ARRAY<LONG> hashed

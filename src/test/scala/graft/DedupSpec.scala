@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.Dedup
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Quality tests for the probabilistic dedup family: the sketches (minhash,
@@ -121,5 +122,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out.length === 1)
     assert(out.head.getLong(0) === 0L && out.head.getLong(1) === 1L)
     assert(math.abs(out.head.getDouble(2) - 3.0 / 5.0) < 1e-12)
+  }
+
+  test("incrementalClusters equals the full recompute after a batch") {
+    import spark.implicits._
+    // day 1: clusters {1,2,3} (canonical 1) and {10, 11} (canonical 10);
+    // singletons 20, 21
+    val p1 = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val ids1 = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    def resolve(pairs: org.apache.spark.sql.DataFrame,
+        ids: org.apache.spark.sql.DataFrame) = {
+      val comp = graft.ops.Bfs.connectedComponents(pairs)
+      ids.join(comp.withColumnRenamed("node", "id"), Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("canonical"))
+    }
+    val day1 = resolve(p1, ids1)
+    // day 2: merge the two old clusters through new id 30, attach 21 to a
+    // brand-new pair, and add an untouched new pair (40, 41)
+    val p2 = Seq((3L, 30L), (30L, 11L), (21L, 31L), (40L, 41L))
+      .toDF("src", "dst")
+    val inc = Dedup.incrementalClusters(day1, p2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = resolve(p1.unionByName(p2),
+        Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L, 31L, 40L, 41L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"inc=$inc full=$full")
+    assert(inc(11L) == 1L, "merged cluster must take the global min id")
+    assert(inc(20L) == 20L, "untouched singleton must not move")
   }
 }
