@@ -543,6 +543,48 @@ object Centrality {
   }
 
   /**
+   * k-truss decomposition (Cohen 2008; the cohesive-subgraph sibling of
+   * [[kCore]] in the graph-data-science family): the maximal subgraph in
+   * which every edge closes at least k−2 triangles. Iterative support
+   * peeling — each round recounts per-edge triangle support on the
+   * surviving edge set (canonical-orientation wedge join, the
+   * [[Ranking.triangles]] shape) and drops under-supported edges;
+   * deletions cascade, so rounds repeat to fixpoint (bounded: each round
+   * either deletes or terminates). Edge-support counting is two
+   * partial-aggregable joins on node ids; nothing scans past the
+   * surviving |E| per round.
+   *
+   * @param edges (src, dst) — direction ignored
+   * @return surviving undirected edges (u, v) with u < v
+   */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var e = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var dropped = 1L
+    var it = 0
+    while (dropped > 0 && it < maxIter) {
+      it += 1
+      val tri = Ranking.triangles(e.select(col("u").as("src"), col("v").as("dst")))
+      // each triangle (a < b < c) supports edges (a,b), (b,c), (a,c)
+      val support = tri.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(tri.select(col("b").as("u"), col("c").as("v")))
+        .unionByName(tri.select(col("a").as("u"), col("c").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("__sup"))
+      val kept = e.join(support, Seq("u", "v"), "left_outer")
+        .filter(coalesce(col("__sup"), lit(0L)) >= k - 2)
+        .drop("__sup")
+        .localCheckpoint()
+      dropped = e.count() - kept.count()
+      e = kept
+    }
+    require(dropped == 0, s"kTruss did not converge within $maxIter rounds")
+    e
+  }
+
+  /**
    * HITS hubs & authorities (Kleinberg 1999; the reference ecosystem
    * ships it in its graph-data-science centrality family). Synchronous
    * power iteration with L2 normalization after each half-step:

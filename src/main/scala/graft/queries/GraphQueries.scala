@@ -268,6 +268,31 @@ object GraphQueries {
              |  CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS label
              |FROM nation""".stripMargin)),
 
+    // k-truss decomposition (Cohen 2008) on the ring of 25 six-cliques:
+    // intra-clique edges close 4 triangles each, bridges close none — the
+    // 4-truss is exactly the union of the cliques, which the oracle lists
+    // in closed form. Bridges must peel in round one and nothing may
+    // cascade further.
+    QueryDef("q_ktruss",
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .filter(col("c_custkey").between(1, 150))
+          .select((col("c_custkey") - 1).cast("long").as("k"))
+        val intra = base.alias("a").join(base.alias("b"),
+            floor(col("a.k") / 6) === floor(col("b.k") / 6) &&
+              col("a.k") < col("b.k"))
+          .select(col("a.k").as("src"), col("b.k").as("dst"))
+        val bridges = base.filter(col("k") % 6 === 5)
+          .select(col("k").as("src"), ((col("k") + 1) % 150).as("dst"))
+        Centrality.kTruss(intra.unionByName(bridges), k = 4)
+      },
+      Some("""SELECT a.k AS u, b.k AS v FROM
+             |  (SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
+             |   WHERE c_custkey BETWEEN 1 AND 150) a,
+             |  (SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
+             |   WHERE c_custkey BETWEEN 1 AND 150) b
+             |WHERE a.k // 6 = b.k // 6 AND a.k < b.k""".stripMargin)),
+
     // GNN neighbor sampling (GraphSAGE, Hamilton et al. 2017): from each
     // Region seed, at most 2 nations at hop 1 and 3 members per nation
     // at hop 2, chosen by the deterministic multiplicative hash — the

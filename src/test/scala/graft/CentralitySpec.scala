@@ -121,6 +121,26 @@ class CentralitySpec extends AnyFunSuite {
     assert(r == Map((1L, 2L) -> 0.3333))
   }
 
+  test("kTruss keeps cliques, peels bridges, and cascades deletions") {
+    import spark.implicits._
+    // K5 (1..5) + pendant bridge 5-6
+    val k5 = for (i <- 1L to 5L; j <- i + 1 to 5L) yield (i, j)
+    val e = (k5 :+ (5L, 6L)).toDF("src", "dst")
+    val t5 = Centrality.kTruss(e, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t5 == k5.toSet, s"5-truss of K5+bridge must be K5: $t5")
+    assert(Centrality.kTruss(e, k = 6).count() == 0, "6-truss must be empty")
+    // diamond 1-2-3 / 2-3-4: outer edges have support 1, the shared edge
+    // 2; dropping the outers removes the shared edge's triangles too —
+    // the 4-truss must cascade to empty, not stop after one round
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(Centrality.kTruss(diamond, k = 4).count() == 0,
+      "cascading deletion missed")
+    assert(Centrality.kTruss(diamond, k = 3).count() == 5,
+      "3-truss must keep both triangles")
+  }
+
   test("hits closed form on a two-hub bipartite fixture") {
     import spark.implicits._
     // hubs 1, 2 -> authority 10; hub 2 -> authority 11 as well.
