@@ -603,6 +603,14 @@ object Procedures {
     graft.ops.Centrality.kCore(edges, k)
   })
 
+  /** graft.ktruss(k[, relTypes]) — k-truss decomposition (see
+    * Centrality.kTruss). YIELDs (u, v) surviving undirected edges. */
+  register("graft.ktruss", (spark, g, args) => {
+    val k = args(0) match { case n: Number => n.intValue }
+    val edges = orientedEdges(g, relTypesArg(args.lift(1)), "OUT")
+    graft.ops.Centrality.kTruss(edges, k)
+  })
+
   /** graft.randomwalks(steps, walksPerNode[, relTypes[, direction]]) —
     * deterministic hash-seeded walk corpus from every node (DeepWalk
     * input layer). YIELDs (walk, step, node). */

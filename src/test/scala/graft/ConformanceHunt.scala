@@ -225,7 +225,13 @@ object ConformanceHunt {
       "selector_shortest_group_singular" -> ("MATCH (a:Nation {key: 0}), (b:Nation {key: 1}) " +
         "MATCH p = SHORTEST PATH GROUP (a)-[:IN_REGION*1..4]-(b) RETURN count(*) AS c"),
       "selector_shortest_2_group" -> ("MATCH (a:Nation {key: 0}), (b:Nation {key: 1}) " +
-        "MATCH p = SHORTEST 2 GROUP (a)-[:IN_REGION*1..4]-(b) RETURN length(p) AS l, count(*) AS c")
+        "MATCH p = SHORTEST 2 GROUP (a)-[:IN_REGION*1..4]-(b) RETURN length(p) AS l, count(*) AS c"),
+      "call_ktruss" -> "CALL graft.ktruss(3, ['IN_REGION']) YIELD u, v RETURN count(*) AS c",
+      "call_schema_node_props" -> ("CALL db.schema.nodeTypeProperties() " +
+        "YIELD nodeType, propertyName, mandatory WHERE mandatory " +
+        "RETURN nodeType, count(*) AS props ORDER BY nodeType"),
+      "call_schema_rel_props" -> ("CALL db.schema.relTypeProperties() " +
+        "YIELD relType, propertyName RETURN count(*) AS c")
     )
 
     val params = Map[String, Any]("p" -> 1, "key" -> "name", "n" -> 3,
