@@ -131,11 +131,102 @@ object EventStreams {
 
   /** one buffered event in the sequence-detector state (micros, id, type) */
   case class SeqEv(us: Long, eventId: Long, tpe: String)
+  case class AtEv(us: Long, eventId: Long, tpe: String, value: Double)
+  case class AtSt(lastUs: Long, lastId: Long, lastChannel: String,
+      pending: Seq[AtEv])
 
   /** per-user detector state: progress index into the type sequence, the
     * event time of the last accepted step, and events the watermark has
     * not yet released */
   case class SeqSt(idx: Int, lastUs: Long, pending: Seq[SeqEv])
+
+  /**
+   * Streaming LAST-TOUCH ATTRIBUTION per user — the stateful twin of the
+   * batch q_events_attribution query: each purchase credits the user's
+   * most recent preceding click/view within `windowUs`. Same event-time
+   * discipline as [[sequenceDetect]]: out-of-order arrivals buffer in
+   * state until the watermark passes them and are processed in
+   * (event-time, event-id) order with touches applied before same-instant
+   * purchases, so arrival order provably never changes an attribution.
+   * State per user = one last-touch scalar triple + the in-watermark
+   * buffer.
+   *
+   * @return (purchase_id, user_id, channel, value) — attributed
+   *         purchases only
+   */
+  def attributionDetect(events: DataFrame, touchTypes: Seq[String] =
+        Seq("click", "view"), purchaseType: String = "purchase",
+      windowUs: Long = 86400L * 1000000L,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touchSet = touchTypes.toSet
+    // ordered fold: touches before equal-time purchases (batch `<=`)
+    def ordKey(e: AtEv): (Long, Int, Long) =
+      (e.us, if (touchSet(e.tpe)) 0 else 1, e.eventId)
+    def machine(st0: AtSt, evs: Seq[AtEv]): (AtSt, Seq[(Long, String, Double)]) = {
+      var (lu, li, lc) = (st0.lastUs, st0.lastId, st0.lastChannel)
+      val out = Seq.newBuilder[(Long, String, Double)]
+      evs.foreach { e =>
+        if (touchSet(e.tpe)) { lu = e.us; li = e.eventId; lc = e.tpe }
+        else if (e.tpe == purchaseType && lc != null &&
+          lu <= e.us && lu > e.us - windowUs)
+          out += ((e.eventId, lc, e.value))
+      }
+      (AtSt(lu, li, lc, Seq.empty), out.result())
+    }
+    // The STREAMING plan must not pre-filter event types: Catalyst pushes
+    // the predicate through the watermark node into the scan, so filtered
+    // events would stop advancing event time and the flush of buffered
+    // state would stall on quiet channels (found the hard way — the
+    // sentinel rows of the stream=batch spec never reached the watermark).
+    // The machine itself ignores non-touch, non-purchase events; the
+    // batch branch filters freely.
+    val typeFilter = col("event_type").isin((touchTypes :+ purchaseType): _*)
+    val rows = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+    if (!events.isStreaming) {
+      rows.filter(typeFilter)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("us"), col("event_type"),
+          col("value"))
+        .as[(Long, Long, Long, String, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long, String, Double)]) =>
+          val evs = it.map(t => AtEv(t._3, t._2, t._4, t._5)).toSeq.sortBy(ordKey)
+          machine(AtSt(Long.MinValue, 0L, null, Seq.empty), evs)._2
+            .map { case (pid, ch, v) => (pid, uid, ch, v) }.iterator
+        }.toDF("purchase_id", "user_id", "channel", "value")
+    } else {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      rows.withWatermark("ts", watermarkDelay)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("us"), col("event_type"),
+          col("value"), col("ts"))
+        .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[AtSt, (Long, Long, String, Double)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, it: Iterator[(Long, Long, Long, String, Double, java.sql.Timestamp)],
+              state: GroupState[AtSt]) =>
+            val st = state.getOption.getOrElse(
+              AtSt(Long.MinValue, 0L, null, Seq.empty))
+            // irrelevant types advance the watermark upstream but never
+            // need buffering — state stays bounded by relevant traffic
+            val all = st.pending ++ it
+              .filter(t => touchSet(t._4) || t._4 == purchaseType)
+              .map(t => AtEv(t._3, t._2, t._4, t._5))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (ready, pending) = all.partition(_.us <= wmUs)
+            val (st1, done) = machine(st, ready.sortBy(ordKey))
+            state.update(st1.copy(pending = pending))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_.us).min / 1000L + 1)
+            done.map { case (pid, ch, v) => (pid, uid, ch, v) }.iterator
+        }.toDF("purchase_id", "user_id", "channel", "value")
+    }
+  }
 
   /** Event-time SEQUENCE DETECTION per user (`flatMapGroupsWithState` —
     * the custom-state operator SURVEY §2.11 names): emit a row each time a

@@ -159,6 +159,32 @@ class EventStreamsSpec extends AnyFunSuite {
       s"stream ${streamed.size} vs batch ${batch.size} completions")
   }
 
+  test("streaming last-touch attribution equals the batch machine") {
+    val atDir = java.nio.file.Files.createTempDirectory("graft_events_attr").toString
+    val ev = spark.read.parquet(streamDir)
+    // shuffle within the file too: attribution must be arrival-order-proof
+    ev.orderBy(hash(col("event_id"))).coalesce(1)
+      .write.mode("append").parquet(atDir)
+    // TWO sentinel files: the first advances the watermark past the real
+    // data, the second triggers the micro-batch in which the now-eligible
+    // event-time timeouts actually fire — without it the final flush
+    // races processAllAvailable/stop
+    sentinelRow(ev).coalesce(1).write.mode("append").parquet(atDir)
+    sentinelRow(ev).coalesce(1).write.mode("append").parquet(atDir)
+    val q = EventStreams.attributionDetect(EventStreams.readEvents(spark, atDir))
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val batch = EventStreams.attributionDetect(batchEvents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(batch.nonEmpty, "fixture produced no attributed purchases")
+    assert(streamed == batch,
+      s"stream ${streamed.size} vs batch ${batch.size} attributions")
+  }
+
   test("sequence detection is arrival-order independent") {
     // shuffle arrival order WITHIN each micro-batch file: the watermark
     // buffering must still process events in event-time order
