@@ -95,7 +95,14 @@ object EventStreams {
     * state store can evict rows that can no longer match; the batch twin
     * (q_events_funnel) is the identical join condition. The join keys on
     * user_id, so both sides hash-partition the same way and at 100 TB the
-    * state is per-user-bounded, not global. */
+    * state is per-user-bounded, not global.
+    *
+    * Liveness note (not correctness): the type filters sit below the
+    * watermarks, so each side's event time advances only with ITS type's
+    * traffic — a quiet side delays eviction/output but never changes the
+    * joined rows. attributionDetect documents the stronger variant (all
+    * types drive the watermark) for single-operator state machines, where
+    * a stalled watermark would also stall emission. */
   def funnelJoin(left: DataFrame, right: DataFrame,
       leftType: String = "click", rightType: String = "purchase",
       within: String = "1 hour",
