@@ -121,6 +121,29 @@ object EventQueries {
              |  round(sum(value), 2) AS attributed_value
              |FROM j WHERE rk = 1 GROUP BY channel""".stripMargin)),
 
+    // The attribution MACHINE at row level (batch mode of the streaming
+    // flatMapGroupsWithState twin): per-purchase attributed rows must
+    // match the SQL window-rank formulation exactly — this pins the
+    // machine's ordering discipline (touches before same-instant
+    // purchases, (us, id) tie-breaks) to the declarative semantics.
+    QueryDef("q_events_attribution_rows",
+      (s, d) => graft.streaming.EventStreams.attributionDetect(events(s, d))
+        .select(col("purchase_id"), col("user_id"), col("channel"),
+          round(col("value"), 2).as("value")),
+      Some("""WITH t AS (SELECT user_id, epoch_us(ts) AS t_us,
+             |    event_id AS touch_id, event_type AS channel FROM events
+             |  WHERE event_type IN ('click', 'view')),
+             |p AS (SELECT user_id, epoch_us(ts) AS p_us,
+             |    event_id AS purchase_id, value FROM events
+             |  WHERE event_type = 'purchase'),
+             |j AS (SELECT p.purchase_id, p.user_id, p.value, t.channel,
+             |    row_number() OVER (PARTITION BY p.purchase_id
+             |      ORDER BY t.t_us DESC, t.touch_id DESC) AS rk
+             |  FROM p JOIN t ON t.user_id = p.user_id
+             |  WHERE t.t_us <= p.p_us AND t.t_us > p.p_us - 86400000000)
+             |SELECT purchase_id, user_id, channel, round(value, 2) AS value
+             |FROM j WHERE rk = 1""".stripMargin)),
+
     // Sliding windows (streaming: window($"ts","1 hour","30 minutes")) —
     // each event lands in exactly two windows; the oracle materializes both
     // 30-minute-aligned window starts per event.
