@@ -959,6 +959,34 @@ object GraphQueries {
              |  AS BIGINT) AS component
              |FROM nodes n LEFT JOIN mutual m ON m.v = n.node""".stripMargin)),
 
+    // Condensation DAG of the SCC decomposition (the component-level
+    // graph every SCC consumer builds next): edges mapped through the
+    // component assignment, intra-component edges dropped, cross edges
+    // deduped. On the fixture only the 9 path edges survive — but a wrong
+    // SCC would leak ring or triangle edges into the output.
+    QueryDef("q_scc_condensation",
+      (s, d) => {
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("k"))
+        val c = t(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("k"))
+        val ring = n.select(col("k").as("src"), ((col("k") + 1) % 25).as("dst"))
+        val path = c.filter(col("k").between(1, 9))
+          .select((col("k") + 100).as("src"), (col("k") + 101).as("dst"))
+        val tri = c.filter(col("k").between(1, 3))
+          .select((col("k") + 200).as("src"), ((col("k") % 3) + 201).as("dst"))
+        val edges = ring.unionByName(path).unionByName(tri)
+        val comp = Centrality.stronglyConnectedComponents(edges)
+        edges
+          .join(comp.select(col("node").as("src"), col("component").as("cs")), "src")
+          .join(comp.select(col("node").as("dst"), col("component").as("cd")), "dst")
+          .filter(col("cs") =!= col("cd"))
+          .select(col("cs"), col("cd")).distinct()
+      },
+      Some("""SELECT CAST(c_custkey + 100 AS BIGINT) AS cs,
+             |  CAST(c_custkey + 101 AS BIGINT) AS cd
+             |FROM customer WHERE c_custkey BETWEEN 1 AND 9""".stripMargin)),
+
     // HyperBall neighborhood function (Boldi & Vigna 2013) on the same
     // ring+chord graph: per-node HLL counters max-merged along edges, one
     // double collected per round. Probabilistic — rows-only here; the
