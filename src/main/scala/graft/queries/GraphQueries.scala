@@ -396,6 +396,35 @@ object GraphQueries {
       Some("""SELECT CAST(r_regionkey AS BIGINT) AS region,
              |  true AS intra_gt_inter FROM region""".stripMargin)),
 
+    // FastRP -> kNN composition: every nation's nearest neighbor in
+    // embedding space must come from its own region — the retrieval-level
+    // guarantee (stronger than q_fastrp's mean separation) that makes
+    // the embedding usable for similarity search downstream.
+    QueryDef("q_fastrp_knn",
+      (s, d) => {
+        val n = t(s, d, "nation")
+        val sym = n.alias("a").join(n.alias("b"),
+            col("a.n_regionkey") === col("b.n_regionkey") &&
+              col("a.n_nationkey") =!= col("b.n_nationkey"))
+          .select(col("a.n_nationkey").cast("long").as("src"),
+            col("b.n_nationkey").cast("long").as("dst"))
+        val emb = Walks.fastRP(sym, dim = 16)
+        val reg = n.select(col("n_nationkey").cast("long").as("node"),
+          col("n_regionkey").cast("long").as("region"))
+        val e2 = emb.join(reg, "node")
+        val w = Window.partitionBy("node").orderBy(col("cos").desc, col("nb").asc)
+        e2.alias("x").join(e2.alias("y"), col("x.node") =!= col("y.node"))
+          .select(col("x.node").as("node"), col("x.region").as("r1"),
+            col("y.node").as("nb"), col("y.region").as("r2"),
+            aggregate(zip_with(col("x.embedding"), col("y.embedding"),
+              (a, b) => a * b), lit(0.0), (acc, v) => acc + v).as("cos"))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .select(col("node"), (col("r1") === col("r2")).as("nn_intra_region"))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS node,
+             |  true AS nn_intra_region FROM nation""".stripMargin)),
+
     // HITS hubs & authorities (Kleinberg 1999) on the bipartite FROM
     // edges (Customer/Supplier -> Nation): the L2-normalized power
     // iteration closed-forms to powers of the nations' member counts —

@@ -311,6 +311,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "hits built a cartesian")
   }
 
+  test("neighborSample windows stay per-(seed,node); no cartesian, no global sort") {
+    import spark.implicits._
+    val edges = (0L until 5000L).map(i => (i % 100, i)).toDF("src", "dst")
+    val seeds = (0L until 100L).toDF("seed")
+    val df = graft.ops.Walks.neighborSample(edges, seeds, Seq(3))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "sampler built a cartesian")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"sampler collapsed to one partition:\n${plan.take(1500)}")
+  }
+
+  test("negativeSamples broadcasts the partition bases; probes never cross-join") {
+    import spark.implicits._
+    val pairs = (1L to 5000L).map(q => (q, q % 50 + 100L)).toDF("q", "p")
+    val pool = (100L to 1099L).toDF("cid")
+    val df = graft.functions.Curation.negativeSamples(pairs, "q", "p",
+      pool, "cid", k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "sampler built a cartesian")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"partition bases should broadcast:\n${plan.take(1500)}")
+  }
+
   test("whole-stage codegen covers the expression pipeline") {
     val df = Cypher.run(spark, g,
       """MATCH (c:Customer) WHERE c.name ENDS WITH '1'
