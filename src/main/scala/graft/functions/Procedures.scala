@@ -457,6 +457,32 @@ object Procedures {
         col("rank"))
   })
 
+  /** graft.shortestPath.alt(srcId, dstId, weightProp, landmarkIds[,
+    * defaultWeight[, relTypes[, maxIter]]]) — ALT single-pair search
+    * (A* + Landmarks + Triangle inequality, Goldberg & Harrelson 2005):
+    * coordinate-free goal direction from precomputed landmark distance
+    * tables; see WeightedPaths.astarAlt. YIELDs (sourceNode, targetNode,
+    * totalCost, relIds, nodeIds). */
+  register("graft.shortestpath.alt", (spark, g, args) => {
+    val Seq(src: Number, dst: Number, prop: String) = args.take(3)
+    val lms = args(3) match {
+      case xs: Seq[_] => xs.map { case n: Number => n.longValue }
+      case n: Number  => Seq(n.longValue)
+      case other => throw new IllegalArgumentException(
+        s"expected landmark node id(s), got $other")
+    }
+    val defaultW = args.lift(4).collect { case n: Number => n.doubleValue }
+    val types = relTypesArg(args.lift(5))
+    val maxIter = args.lift(6).collect { case n: Number => n.intValue }.getOrElse(50)
+    val we = weightedEdges(g, prop, defaultW, types)
+    val (toL, fromL) = graft.ops.Landmarks.build(we, lms, maxIter)
+    graft.ops.WeightedPaths.astarAlt(we, toL, fromL,
+        src.longValue, dst.longValue, maxIter)
+      .select(col("source").as("sourceNode"), col("target").as("targetNode"),
+        col("dist").as("totalCost"), col("path").as("relIds"),
+        col("nodes").as("nodeIds"))
+  })
+
   /** graft.allSimplePaths(srcId, dstId, maxDepth[, relTypes[, direction]])
     * — bounded simple-path (node-unique) enumeration between two nodes
     * (reference graph-algo AllSimplePaths.java). direction OUT (default) /

@@ -528,6 +528,91 @@ object WeightedPaths {
     rows.toDF("source", "target", "dist", "hops", "path", "rank")
   }
 
+  /**
+   * ALT single-pair search — A* with Landmark lower bounds via the
+   * Triangle inequality (Goldberg & Harrelson, SODA 2005): for any
+   * landmark l, both d(v→l) − d(t→l) and d(l→t) − d(l→v) lower-bound
+   * d(v, t), so h(v) = max over landmarks of those differences is
+   * admissible and the goal-directed pruning is exact. Unlike
+   * [[astar]]'s geometric heuristic this needs NO coordinates — the
+   * precomputed [[Landmarks]] tables serve any graph, which is the whole
+   * point at 100 TB: the h-table build is |V|×|L| joins against the
+   * target's |L| broadcast rows, done once per query, and every round
+   * prunes frontier rows whose dist + h exceeds the best known complete
+   * path. Nodes missing from the tables take h = 0 (still admissible).
+   *
+   * @param toL   (node, landmark, dist) — d(node → landmark)
+   * @param fromL (landmark, node, dist) — d(landmark → node)
+   */
+  def astarAlt(edges: DataFrame, toL: DataFrame, fromL: DataFrame,
+      source: Long, target: Long, maxIter: Int = 50,
+      localEdgeThreshold: Int = 10000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").as("__s"), col("dst").as("__d"),
+      col("weight").as("__w"), col("id").as("__e")).localCheckpoint(false)
+    if (localEdgeThreshold > 0 &&
+        e.limit(localEdgeThreshold + 1).count() <= localEdgeThreshold) {
+      val rows = e.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      if (rows.forall(_._3 > 0)) {
+        return localDijkstraPair(spark, rows, source, target)
+      }
+    }
+    val tTo = toL.filter(col("node") === target)
+      .select(col("landmark"), col("dist").as("__tt"))
+    val tFrom = fromL.filter(col("node") === target)
+      .select(col("landmark"), col("dist").as("__tf"))
+    val hTab = toL.select(col("node"), col("landmark"), col("dist").as("__vt"))
+      .join(broadcast(tTo), Seq("landmark"))
+      .select(col("node"), (col("__vt") - col("__tt")).as("__lb"))
+      .unionByName(
+        fromL.select(col("landmark"), col("node"), col("dist").as("__vf"))
+          .join(broadcast(tFrom), Seq("landmark"))
+          .select(col("node"), (col("__tf") - col("__vf")).as("__lb")))
+      .groupBy("node").agg(greatest(max("__lb"), lit(0.0)).as("__h"))
+      .localCheckpoint()
+    var best = Seq(source).toDF("node")
+      .select(col("node"), lit(0.0).as("dist"),
+        array().cast("array<long>").as("path"), array(col("node")).as("nodes"))
+      .localCheckpoint()
+    var frontier = best
+    var mu = Double.PositiveInfinity
+    var iter = 0
+    var improvedCnt = 1L
+    while (improvedCnt > 0 && iter < maxIter) {
+      iter += 1
+      val relaxed = broadcast(frontier).join(e, col("node") === col("__s"))
+        .select(col("__d").as("node"), (col("dist") + col("__w")).as("dist"),
+          concat(col("path"), array(col("__e"))).as("path"),
+          concat(col("nodes"), array(col("__d"))).as("nodes"))
+      val merged = best.unionByName(relaxed)
+        .groupBy("node")
+        .agg(min(struct(col("dist"), col("path"), col("nodes"))).as("__m"))
+        .select(col("node"), col("__m.dist").as("dist"),
+          col("__m.path").as("path"), col("__m.nodes").as("nodes"))
+        .localCheckpoint()
+      val improved = merged.join(
+          best.select(col("node"), col("dist").as("__old")),
+          Seq("node"), "left_outer")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .drop("__old")
+      val st = improved.agg(count(lit(1)),
+        min(when(col("node") === target, col("dist")))).first()
+      improvedCnt = st.getLong(0)
+      if (!st.isNullAt(1)) mu = math.min(mu, st.getDouble(1))
+      frontier = improved
+        .join(hTab, Seq("node"), "left_outer")
+        .filter(col("__h").isNull || col("dist") + col("__h") <= lit(mu))
+        .drop("__h")
+      best = merged
+    }
+    require(improvedCnt == 0, s"astarAlt did not converge within $maxIter rounds")
+    best.filter(col("node") === target)
+      .select(lit(source).as("source"), col("node").as("target"),
+        col("dist"), col("path"), col("nodes"))
+  }
+
   /** Driver-local single-pair Dijkstra over a collected (bounded) edge set,
     * producing EXACTLY the distributed formulation's output: labels are
     * ordered by (dist, path-lexicographic), the same total order as

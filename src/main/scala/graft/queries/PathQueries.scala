@@ -297,6 +297,33 @@ object PathQueries {
              |SELECT min(dist) AS dist, CAST(18 AS INT) AS hops
              |FROM p WHERE node = 99""".stripMargin)),
 
+    // ALT on the procedure surface (A* + Landmarks + Triangle inequality,
+    // Goldberg & Harrelson 2005): the same exact 0 -> 99 distance as
+    // q_cypher_astar, but goal direction comes from landmark distance
+    // tables instead of coordinates — the variant that works on graphs
+    // with no geometry. Same monotone-path oracle.
+    QueryDef("q_cypher_astar_alt",
+      (s, d) => graft.cypher.Cypher.run(s, gridGraph(s, d),
+        """CALL graft.shortestPath.alt(0, 99, 'w', [0, 99])
+          |YIELD totalCost, relIds
+          |RETURN totalCost AS dist, size(relIds) AS hops""".stripMargin),
+      Some("""WITH RECURSIVE grid AS (
+             |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
+             |  WHERE c_custkey BETWEEN 1 AND 100),
+             |e AS (
+             |  SELECT k AS s, k + 1 AS d, 1.0 + (k % 3) AS w FROM grid
+             |  WHERE k % 10 < 9
+             |  UNION ALL
+             |  SELECT k, k + 10, 1.0 + (k % 5) FROM grid WHERE k < 90),
+             |p AS (
+             |  SELECT CAST(0 AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS dist,
+             |    0 AS hops
+             |  UNION ALL
+             |  SELECT e.d, p.dist + e.w, p.hops + 1 FROM p
+             |  JOIN e ON e.s = p.node WHERE p.hops < 18)
+             |SELECT min(dist) AS dist, CAST(18 AS INT) AS hops
+             |FROM p WHERE node = 99""".stripMargin)),
+
     // allSimplePaths on the procedure surface (reference graph-algo
     // AllSimplePaths.java): UNDIRECTED simple paths 0 -> 33 on the grid
     // with length <= 8 — the 20 monotone 6-hop paths plus every 8-hop

@@ -243,6 +243,28 @@ class TrailPathsSpec extends AnyFunSuite {
     assert(local.toList == run(0).toList, "local and distributed disagree")
   }
 
+  test("astarAlt is exact under landmark pruning (distributed path)") {
+    import spark.implicits._
+    // cheap chain 0->..->5 (weight 1) with expensive detours i -> 100+i
+    // -> 5 (weight 50 each); landmark = the target itself, so h is the
+    // exact remaining distance and detour frontier rows prune once the
+    // chain completes
+    val chain = (0L until 5L).map(i => (10 + i, i, i + 1, 1.0))
+    val detours = (0L until 5L).flatMap(i => Seq(
+      (100 + i, i, 100 + i, 50.0), (200 + i, 100 + i, 5L, 50.0)))
+    val e = (chain ++ detours).toDF("id", "src", "dst", "weight")
+    val (toL, fromL) = graft.ops.Landmarks.build(e, Seq(5L))
+    val alt = WeightedPaths.astarAlt(e, toL, fromL, 0L, 5L,
+        localEdgeThreshold = 0)
+      .collect().map(r => (r.getDouble(2), r.getSeq[Long](3).toList))
+    val plain = WeightedPaths.shortestPathsTo(e,
+        Seq((0L, 5L)).toDF("source", "target"))
+      .collect().map(r => (r.getDouble(r.fieldIndex("dist")),
+        r.getSeq[Long](r.fieldIndex("path")).toList))
+    assert(alt.toList == plain.toList, s"alt=${alt.toList} plain=${plain.toList}")
+    assert(alt.head._1 == 5.0 && alt.head._2 == (10L to 14L).toList)
+  }
+
   test("kCheapest breaks cost ties by the lexicographic edge path") {
     import spark.implicits._
     // two equal-cost 0->2 paths; the smaller first-edge id ranks first
