@@ -585,6 +585,37 @@ object Centrality {
   }
 
   /**
+   * Full truss decomposition: per-edge TRUSSNESS — the largest k for
+   * which the edge survives the k-truss ([[kTruss]]). Phases peel k = 3
+   * upward, each phase starting from the previous phase's survivors
+   * (edge sets only shrink, so no phase rescans removed edges); an edge
+   * removed in phase k carries trussness k−1, and edges outside any
+   * triangle carry the floor value 2.
+   *
+   * @return (u, v, trussness) for every undirected input edge
+   */
+  def trussDecomposition(edges: DataFrame, maxK: Int = 30): DataFrame = {
+    var cur = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val out = Seq.newBuilder[DataFrame]
+    var k = 3
+    var curCnt = cur.count()
+    while (curCnt > 0 && k <= maxK) {
+      val next = kTruss(cur.select(col("u").as("src"), col("v").as("dst")), k)
+        .localCheckpoint()
+      out += cur.join(next, Seq("u", "v"), "left_anti")
+        .withColumn("trussness", lit(k - 1))
+      cur = next
+      curCnt = cur.count()
+      k += 1
+    }
+    require(curCnt == 0, s"trussDecomposition exceeded maxK=$maxK")
+    out.result().reduce(_ unionByName _)
+  }
+
+  /**
    * HITS hubs & authorities (Kleinberg 1999; the reference ecosystem
    * ships it in its graph-data-science centrality family). Synchronous
    * power iteration with L2 normalization after each half-step:

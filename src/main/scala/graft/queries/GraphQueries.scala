@@ -293,6 +293,30 @@ object GraphQueries {
              |   WHERE c_custkey BETWEEN 1 AND 150) b
              |WHERE a.k // 6 = b.k // 6 AND a.k < b.k""".stripMargin)),
 
+    // Full truss decomposition on the same fixture: every intra-clique
+    // edge of a K6 closes 4 triangles (trussness 6), bridges close none
+    // (floor trussness 2) — both in closed form for the oracle.
+    QueryDef("q_truss_decomposition",
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .filter(col("c_custkey").between(1, 150))
+          .select((col("c_custkey") - 1).cast("long").as("k"))
+        val intra = base.alias("a").join(base.alias("b"),
+            floor(col("a.k") / 6) === floor(col("b.k") / 6) &&
+              col("a.k") < col("b.k"))
+          .select(col("a.k").as("src"), col("b.k").as("dst"))
+        val bridges = base.filter(col("k") % 6 === 5)
+          .select(col("k").as("src"), ((col("k") + 1) % 150).as("dst"))
+        Centrality.trussDecomposition(intra.unionByName(bridges))
+      },
+      Some("""WITH n AS (SELECT CAST(c_custkey - 1 AS BIGINT) AS k
+             |  FROM customer WHERE c_custkey BETWEEN 1 AND 150)
+             |SELECT a.k AS u, b.k AS v, 6 AS trussness FROM n a JOIN n b
+             |ON a.k // 6 = b.k // 6 AND a.k < b.k
+             |UNION ALL
+             |SELECT LEAST(k, (k + 1) % 150), GREATEST(k, (k + 1) % 150), 2
+             |FROM n WHERE k % 6 = 5""".stripMargin)),
+
     // GNN neighbor sampling (GraphSAGE, Hamilton et al. 2017): from each
     // Region seed, at most 2 nations at hop 1 and 3 members per nation
     // at hop 2, chosen by the deterministic multiplicative hash — the

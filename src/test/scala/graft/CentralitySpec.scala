@@ -141,6 +141,21 @@ class CentralitySpec extends AnyFunSuite {
       "3-truss must keep both triangles")
   }
 
+  test("trussDecomposition assigns exact trussness per edge") {
+    import spark.implicits._
+    // K4 (trussness 4) sharing node 4 with a triangle 4-5-6 (trussness 3)
+    // plus a pendant edge 6-7 (floor 2)
+    val k4 = for (i <- 1L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val e = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
+      .toDF("src", "dst")
+    val r = Centrality.trussDecomposition(e).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    k4.foreach(p => assert(r(p) == 4, s"$p: ${r(p)}"))
+    Seq((4L, 5L), (4L, 6L), (5L, 6L)).foreach(p =>
+      assert(r(p) == 3, s"$p: ${r(p)}"))
+    assert(r((6L, 7L)) == 2)
+  }
+
   test("hits closed form on a two-hub bipartite fixture") {
     import spark.implicits._
     // hubs 1, 2 -> authority 10; hub 2 -> authority 11 as well.
