@@ -155,6 +155,41 @@ object Walks {
   }
 
   /**
+   * Deterministic R-MAT graph generator (Chakrabarti, Zhan & Faloutsos,
+   * SDM 2004) — the standard synthetic power-law graph for scale testing
+   * (Graph500 uses the same recursion). Edge i descends `scale` levels of
+   * the adjacency-matrix quadrant recursion; the quadrant at each level
+   * comes from xxhash64(i, level, seed), so the corpus is pure map-side
+   * compute over `spark.range(edges)` — no RNG state, identical on every
+   * run, engine, and partitioning, and generating 10^10 edges is one
+   * embarrassingly-parallel projection.
+   *
+   * @param scale nodes = 2^scale
+   * @param a, b, c quadrant probabilities (d = 1-a-b-c); defaults are the
+   *                canonical skewed parameters
+   * @return (src, dst) — multi-edges and self-loops possible, as R-MAT
+   *         defines; dedup downstream if needed
+   */
+  def rmatEdges(spark: org.apache.spark.sql.SparkSession, scale: Int,
+      edges: Long, seed: Long = 42L, a: Double = 0.57, b: Double = 0.19,
+      c: Double = 0.19): DataFrame = {
+    require(scale >= 1 && scale <= 40 && edges > 0, "bad rmat config")
+    require(a > 0 && b > 0 && c > 0 && a + b + c < 1, "bad rmat skew")
+    val zero = struct(lit(0L).as("s"), lit(0L).as("d"))
+    val walked = aggregate(sequence(lit(0), lit(scale - 1)), zero, (acc, lvl) => {
+      val h = pmod(xxhash64(col("id"), lvl, lit(seed)), lit(1000000L))
+        .cast("double") / 1000000.0
+      val sBit = when(h >= a + b, lit(1L)).otherwise(lit(0L))
+      val dBit = when((h >= a && h < a + b) || h >= a + b + c, lit(1L))
+        .otherwise(lit(0L))
+      struct((acc.getField("s") * 2 + sBit).as("s"),
+        (acc.getField("d") * 2 + dBit).as("d"))
+    })
+    spark.range(edges).select(walked.as("__e"))
+      .select(col("__e.s").as("src"), col("__e.d").as("dst"))
+  }
+
+  /**
    * K-hop neighbor sampling with per-hop fanout caps — the GraphSAGE /
    * GNN-training data-prep operator (Hamilton et al. 2017): from each
    * seed, keep at most fanout(h) neighbors per visited node at hop h,

@@ -106,6 +106,38 @@ class WalksSpec extends AnyFunSuite {
     assert(r.sorted.sameElements(r2.sorted), "sampling moved under repartition")
   }
 
+  test("rmatEdges: deterministic, in-range, and genuinely skewed") {
+    import spark.implicits._
+    val g1 = Walks.rmatEdges(spark, scale = 10, edges = 20000)
+    val g2 = Walks.rmatEdges(spark, scale = 10, edges = 20000)
+    val a = g1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = g2.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b), "generator not deterministic")
+    assert(a.forall { case (s, d) => s >= 0 && s < 1024 && d >= 0 && d < 1024 })
+    // power-law-ish: the busiest node must far exceed the mean out-degree
+    val deg = a.groupBy(_._1).map(_._2.length)
+    val mean = a.length.toDouble / deg.size
+    assert(deg.max > 4 * mean, s"no skew: max=${deg.max} mean=$mean")
+    // a different seed moves the corpus
+    val c = Walks.rmatEdges(spark, scale = 10, edges = 20000, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!a.sameElements(c), "seed had no effect")
+  }
+
+  test("distributed CC equals local union-find on a skewed R-MAT corpus") {
+    // the generator's whole point: cross-validate an iterative algorithm's
+    // distributed formulation against its driver fast path on a graph with
+    // genuine power-law skew, not a hand fixture
+    val e = graft.ops.Walks.rmatEdges(spark, scale = 11, edges = 30000)
+      .filter(col("src") =!= col("dst"))
+    val local = graft.ops.Bfs.connectedComponents(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val dist = graft.ops.Bfs.connectedComponents(e, localEdgeThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(local.length == dist.length && local.sameElements(dist),
+      s"local ${local.length} rows vs dist ${dist.length}")
+  }
+
   test("fastRP places clique members closer than cross-clique pairs") {
     val emb = Walks.fastRP(cliquePair, dim = 64).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
