@@ -138,6 +138,18 @@ class WalksSpec extends AnyFunSuite {
       s"local ${local.length} rows vs dist ${dist.length}")
   }
 
+  test("distributed SCC equals local Tarjan on a skewed R-MAT corpus") {
+    val e = graft.ops.Walks.rmatEdges(spark, scale = 9, edges = 4000)
+      .filter(col("src") =!= col("dst"))
+    val local = graft.ops.Centrality.stronglyConnectedComponents(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val dist = graft.ops.Centrality.stronglyConnectedComponents(e,
+        localEdgeThreshold = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(local.length == dist.length && local.sameElements(dist),
+      s"local ${local.length} rows vs dist ${dist.length}")
+  }
+
   test("fastRP places clique members closer than cross-clique pairs") {
     val emb = Walks.fastRP(cliquePair, dim = 64).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
