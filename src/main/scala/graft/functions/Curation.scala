@@ -420,6 +420,32 @@ object Curation {
    * @return (idCol, tokCol, offset LONG, pack LONG, packs INT)
    */
   /**
+   * Corpus datasheet (the "data card" summary every released dataset
+   * ships): one aggregation pass over the corpus producing row/token/char
+   * totals, exact-duplicate rate, and per-language shares — the numbers a
+   * dataset README quotes. Everything is partial-aggregable (the dup rate
+   * rides on a distinct-count of content hashes), so the pass scales like
+   * any other groupBy; no driver loops, no sampling.
+   *
+   * @return one row per language plus the '__total' roll-up row:
+   *         (lang, docs, tokens, chars, distinct_texts, dup_rate 4dp)
+   */
+  def corpusReport(df: DataFrame, textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val toks = size(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+      .cast("long")
+    val base = df.select(col(langCol).as("lang"), toks.as("__t"),
+      length(col(textCol)).cast("long").as("__c"), md5(col(textCol)).as("__h"))
+    def agg1(g: org.apache.spark.sql.RelationalGroupedDataset) = g
+      .agg(count(lit(1)).as("docs"), sum("__t").as("tokens"),
+        sum("__c").as("chars"), countDistinct("__h").as("distinct_texts"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("distinct_texts") / col("docs"), 4))
+    agg1(base.groupBy("lang"))
+      .unionByName(agg1(base.withColumn("lang", lit("__total")).groupBy("lang")))
+  }
+
+  /**
    * Deterministic negative sampling for contrastive training pairs
    * (the DPR / CLIP-style batch-construction step): for each
    * (query, positive) pair, pick k pseudo-random negatives from a pool,

@@ -561,6 +561,24 @@ object PipelineQueries {
              |SELECT id, round(score, 4) AS score FROM scores
              |ORDER BY round(score, 4) DESC, id ASC LIMIT 20""".stripMargin)),
 
+    // Corpus datasheet: the data-card numbers (docs/tokens/chars,
+    // exact-dup rate, per-language shares plus the roll-up) in one
+    // partial-aggregable pass, replayed exactly by the oracle.
+    QueryDef("q_corpus_report",
+      (s, d) => graft.functions.Curation.corpusReport(docs(s, d)),
+      Some("""WITH base AS (SELECT lang,
+             |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+             |      t -> length(t) > 0)) AS BIGINT) AS t,
+             |    CAST(length(text) AS BIGINT) AS c, md5(text) AS h
+             |  FROM documents),
+             |rolled AS (SELECT lang, t, c, h FROM base
+             |  UNION ALL SELECT '__total', t, c, h FROM base)
+             |SELECT lang, count(*) AS docs, CAST(sum(t) AS BIGINT) AS tokens,
+             |  CAST(sum(c) AS BIGINT) AS chars,
+             |  CAST(count(DISTINCT h) AS BIGINT) AS distinct_texts,
+             |  round(1.0 - count(DISTINCT h) / count(*), 4) AS dup_rate
+             |FROM rolled GROUP BY lang""".stripMargin)),
+
     // Deterministic negative sampling (DPR/CLIP batch construction): 4
     // pseudo-random customer negatives per (order, customer) positive
     // pair, multiplicative-hash probes over a two-phase dense pool index
