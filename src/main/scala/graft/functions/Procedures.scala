@@ -629,6 +629,17 @@ object Procedures {
     graft.ops.Centrality.kCore(edges, k)
   })
 
+  /** graft.generate.rmat(scale, edges[, seed]) — deterministic R-MAT
+    * synthetic graph corpus (Chakrabarti et al. 2004; see
+    * Walks.rmatEdges). Ignores the bound graph — a generator, surfaced
+    * for scale experiments from the Cypher shell. YIELDs (src, dst). */
+  register("graft.generate.rmat", (spark, g, args) => {
+    val scale = args(0) match { case n: Number => n.intValue }
+    val nEdges = args(1) match { case n: Number => n.longValue }
+    val seed = args.lift(2).collect { case n: Number => n.longValue }.getOrElse(42L)
+    graft.ops.Walks.rmatEdges(spark, scale, nEdges, seed)
+  })
+
   /** graft.ktruss(k[, relTypes]) — k-truss decomposition (see
     * Centrality.kTruss). YIELDs (u, v) surviving undirected edges. */
   register("graft.ktruss", (spark, g, args) => {

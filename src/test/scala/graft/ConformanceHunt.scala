@@ -231,7 +231,11 @@ object ConformanceHunt {
         "YIELD nodeType, propertyName, mandatory WHERE mandatory " +
         "RETURN nodeType, count(*) AS props ORDER BY nodeType"),
       "call_schema_rel_props" -> ("CALL db.schema.relTypeProperties() " +
-        "YIELD relType, propertyName RETURN count(*) AS c")
+        "YIELD relType, propertyName RETURN count(*) AS c"),
+      "call_generate_rmat" -> ("CALL graft.generate.rmat(8, 500) YIELD src, dst " +
+        "RETURN count(*) AS c, max(src) < 256 AND max(dst) < 256 AS inRange"),
+      "call_alt" -> ("CALL graft.shortestPath.alt(35184372088832, 17592186044416, " +
+        "'qty', [17592186044416], 1.0, ['IN_REGION']) YIELD totalCost RETURN count(*) AS c")
     )
 
     val params = Map[String, Any]("p" -> 1, "key" -> "name", "n" -> 3,
