@@ -397,4 +397,55 @@ object Bfs {
     }
     out.result().reduce(_ unionByName _)
   }
+
+  /**
+   * TEMPORAL earliest-arrival paths (time-respecting reachability — Wu et
+   * al., VLDB 2014 "Path problems in temporal graphs"): a path may take
+   * edge (u, v, t) only if it arrives at u no later than t, and the
+   * answer per node is the earliest achievable arrival. The keep-the-min
+   * DP is exact because an earlier arrival admits a superset of outgoing
+   * edges (the continuation condition is arrival <= edge time), so
+   * dominated (later) arrivals never enable anything the kept one
+   * cannot. Each round is one join + one min-aggregate on (source, node)
+   * — the BFS-family shuffle shape, with an 8-byte time instead of a
+   * path payload.
+   *
+   * @param edges   (src, dst, ts LONG) — edge available at instant ts
+   * @param sources (source LONG[, t0 LONG]) — start instant, default 0
+   * @return (source, node, arrival LONG) including (s, s, t0)
+   */
+  def earliestArrival(edges: DataFrame, sources: DataFrame,
+      maxHops: Int = 50): DataFrame = {
+    val e = edges.select(col("src").as("__s"), col("dst").as("__d"),
+      col("ts").cast("long").as("__t")).localCheckpoint(false)
+    val s0 = if (sources.columns.contains("t0"))
+      sources.select(col("source"), col("t0").cast("long").as("arrival"))
+    else sources.select(col("source"), lit(0L).as("arrival"))
+    var best = s0.select(col("source"), col("source").as("node"),
+      col("arrival")).localCheckpoint()
+    var frontier = best
+    var fCnt = frontier.count()
+    var it = 0
+    while (fCnt > 0 && it < maxHops) {
+      it += 1
+      val f = if (fCnt <= 200000) broadcast(frontier) else frontier
+      val relaxed = f.join(e,
+          col("node") === col("__s") && col("arrival") <= col("__t"))
+        .select(col("source"), col("__d").as("node"), col("__t").as("arrival"))
+      val merged = best.unionByName(relaxed)
+        .groupBy("source", "node").agg(min("arrival").as("arrival"))
+        .localCheckpoint()
+      frontier = merged.join(
+          best.select(col("source"), col("node"), col("arrival").as("__old")),
+          Seq("source", "node"), "left_outer")
+        .filter(col("__old").isNull || col("arrival") < col("__old"))
+        .drop("__old")
+        .localCheckpoint()
+      best = merged
+      fCnt = frontier.count()
+    }
+    require(fCnt == 0,
+      s"earliestArrival did not converge within $maxHops rounds")
+    best
+  }
 }

@@ -293,6 +293,45 @@ object GraphQueries {
              |   WHERE c_custkey BETWEEN 1 AND 150) b
              |WHERE a.k // 6 = b.k // 6 AND a.k < b.k""".stripMargin)),
 
+    // Temporal earliest-arrival paths (time-respecting reachability, Wu
+    // et al. VLDB 2014): ring edges k -> k+1 and shortcut edges
+    // k -> k+5, both available at instant k — a path may continue only on
+    // edges no earlier than its arrival, so the wrap edges dead-end and
+    // shortcuts genuinely change arrivals (node 5 is reachable at t=0 via
+    // the shortcut vs t=4 on the ring). The oracle enumerates every
+    // time-respecting path with a recursive CTE and takes the min.
+    QueryDef("q_temporal_reach",
+      (s, d) => {
+        val n = t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("k"))
+        val ring = n.select(col("k").as("src"), ((col("k") + 1) % 25).as("dst"),
+          col("k").as("ts"))
+        val hops = n.select(col("k").as("src"), ((col("k") + 5) % 25).as("dst"),
+          col("k").as("ts"))
+        val sources = n.filter(col("k").isin(0L, 13L))
+          .select(col("k").as("source"))
+        Bfs.earliestArrival(ring.unionByName(hops), sources)
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+             |    CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst,
+             |    CAST(n_nationkey AS BIGINT) AS ts FROM nation
+             |  UNION ALL
+             |  SELECT CAST(n_nationkey AS BIGINT),
+             |    CAST((n_nationkey + 5) % 25 AS BIGINT),
+             |    CAST(n_nationkey AS BIGINT) FROM nation),
+             |r AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS source,
+             |    CAST(n_nationkey AS BIGINT) AS node,
+             |    CAST(0 AS BIGINT) AS arrival, 0 AS hops
+             |  FROM nation WHERE n_nationkey IN (0, 13)
+             |  UNION ALL
+             |  SELECT r.source, e.dst, e.ts, r.hops + 1
+             |  FROM r JOIN e ON e.src = r.node
+             |  WHERE r.arrival <= e.ts AND r.hops < 25)
+             |SELECT source, node, min(arrival) AS arrival
+             |FROM r GROUP BY source, node""".stripMargin)),
+
     // Full truss decomposition on the same fixture: every intra-clique
     // edge of a K6 closes 4 triangles (trussness 6), bridges close none
     // (floor trussness 2) — both in closed form for the oracle.

@@ -91,4 +91,20 @@ class VarExpandBfsSpec extends AnyFunSuite {
     assert((0L to 3L).forall(m(_) == 0L))
     assert((10L to 13L).forall(m(_) == 10L))
   }
+
+  test("earliestArrival respects time: late arrivals block earlier edges") {
+    import spark.implicits._
+    // 1 -(t5)-> 2 -(t3)-> 3: the 2->3 edge departs BEFORE arrival at 2,
+    // so that route is closed; 1 -(t1)-> 4 -(t2)-> 5 chains fine; a
+    // second, later 2 -(t9)-> 3 edge opens node 3 at t9
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 3L), (1L, 4L, 1L), (4L, 5L, 2L),
+      (2L, 3L, 9L)).toDF("src", "dst", "ts")
+    val r = Bfs.earliestArrival(e, Seq(1L).toDF("source"))
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r == Map(1L -> 0L, 2L -> 5L, 3L -> 9L, 4L -> 1L, 5L -> 2L), s"$r")
+    // a start instant after every edge reaches nothing
+    val late = Bfs.earliestArrival(e, Seq((1L, 100L)).toDF("source", "t0"))
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(late == Map(1L -> 100L), s"$late")
+  }
 }
