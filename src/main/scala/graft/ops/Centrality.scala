@@ -273,6 +273,41 @@ object Centrality {
   }
 
   /**
+   * Full core decomposition: per-node CORENESS — the largest k for which
+   * the node survives the k-core ([[kCore]]). Phases peel k = 1 upward,
+   * each phase starting from the previous survivors (node sets only
+   * shrink); a node removed in phase k carries coreness k−1. Isolated
+   * input appears only through edges, so the floor is 1.
+   *
+   * @return (node, coreness)
+   */
+  def coreDecomposition(edges: DataFrame, maxK: Int = 100): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    var cur = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val out = Seq.newBuilder[DataFrame]
+    var k = 2
+    var curCnt = cur.count()
+    while (curCnt > 0 && k <= maxK) {
+      // restrict edges to surviving nodes, then peel at k
+      val next = kCore(
+        e0.join(cur.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(cur.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi"),
+        k).localCheckpoint()
+      out += cur.join(next, Seq("node"), "left_anti")
+        .withColumn("coreness", lit(k - 1))
+      cur = next
+      curCnt = cur.count()
+      k += 1
+    }
+    require(curCnt == 0, s"coreDecomposition exceeded maxK=$maxK")
+    out.result().reduce(_ unionByName _)
+  }
+
+  /**
    * Strongly connected components — trim + forward-backward reachability
    * (Hong, Rodia & Olukotun, "On Fast Parallel Detection of Strongly
    * Connected Components", SC'13; the standard distributed SCC recipe):

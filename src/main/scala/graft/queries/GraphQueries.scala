@@ -293,6 +293,31 @@ object GraphQueries {
              |   WHERE c_custkey BETWEEN 1 AND 150) b
              |WHERE a.k // 6 = b.k // 6 AND a.k < b.k""".stripMargin)),
 
+    // Full core decomposition on a tiered fixture: a K4 (coreness 3), a
+    // K6 (coreness 5) and a 4-node chain (coreness 1), disjoint — closed
+    // form per tier for the oracle.
+    QueryDef("q_core_decomposition",
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .filter(col("c_custkey").between(1, 24))
+          .select((col("c_custkey") - 1).cast("long").as("k"))
+        val k4 = base.filter(col("k") < 4).alias("a")
+          .join(base.filter(col("k") < 4).alias("b"), col("a.k") < col("b.k"))
+          .select(col("a.k").as("src"), col("b.k").as("dst"))
+        val k6 = base.filter(col("k").between(10, 15)).alias("a")
+          .join(base.filter(col("k").between(10, 15)).alias("b"),
+            col("a.k") < col("b.k"))
+          .select(col("a.k").as("src"), col("b.k").as("dst"))
+        val chain = base.filter(col("k").between(20, 22))
+          .select(col("k").as("src"), (col("k") + 1).as("dst"))
+        Centrality.coreDecomposition(k4.unionByName(k6).unionByName(chain))
+      },
+      Some("""WITH n AS (SELECT CAST(c_custkey - 1 AS BIGINT) AS k
+             |  FROM customer WHERE c_custkey BETWEEN 1 AND 24)
+             |SELECT k AS node, 3 AS coreness FROM n WHERE k < 4
+             |UNION ALL SELECT k, 5 FROM n WHERE k BETWEEN 10 AND 15
+             |UNION ALL SELECT k, 1 FROM n WHERE k BETWEEN 20 AND 23""".stripMargin)),
+
     // Temporal earliest-arrival paths (time-respecting reachability, Wu
     // et al. VLDB 2014): ring edges k -> k+1 and shortcut edges
     // k -> k+5, both available at instant k — a path may continue only on
