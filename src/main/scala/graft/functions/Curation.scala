@@ -229,9 +229,19 @@ object Curation {
         (log((col("__tc") + alpha) / (col("__ttot") + lit(alpha) * col("__vocab"))) -
           log((col("__rc") + alpha) / (col("__rtot") + lit(alpha) * col("__vocab"))))
           .as("__lw"))
-    val perDoc = toks.join(lw, Seq("__w"))
+    // Per-doc mean as a distinct-token grouped reduction folded in sorted
+    // token order: fp summation order is then identical on every engine
+    // (and every partitioning), so 4-dp rounding downstream is stable.
+    val perTok = toks.groupBy("id", "__w").agg(count(lit(1)).as("__cnt"))
+    val perDoc = perTok.join(lw, Seq("__w"))
+      .select(col("id"), col("__cnt"),
+        struct(col("__w").as("w"), (col("__cnt") * col("__lw")).as("v")).as("__s"))
       .groupBy("id")
-      .agg(avg(col("__lw")).as("dsir_weight"), count(lit(1)).as("ntok"))
+      .agg(collect_list(col("__s")).as("__ss"), sum(col("__cnt")).as("ntok"))
+      .select(col("id"),
+        (aggregate(array_sort(col("__ss")), lit(0.0),
+          (acc, x) => acc + x.getField("v")) / col("ntok")).as("dsir_weight"),
+        col("ntok"))
     df.select(col(idCol).as("id"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"),

@@ -981,8 +981,11 @@ object PipelineQueries {
              |lw AS (SELECT w, ln((tc + 1.0) / (ttot + vocab))
              |    - ln((rc + 1.0) / (rtot + vocab)) AS lw
              |  FROM st, tot),
-             |pd AS (SELECT t.id, avg(l.lw) AS wt, count(*) AS ntok
-             |  FROM tk t JOIN lw l USING (w) GROUP BY t.id)
+             |pt AS (SELECT id, w, count(*) AS cnt FROM tk GROUP BY id, w),
+             |pd AS (SELECT p.id,
+             |    list_sum(list(p.cnt * l.lw ORDER BY p.w)) / sum(p.cnt) AS wt,
+             |    CAST(sum(p.cnt) AS BIGINT) AS ntok
+             |  FROM pt p JOIN lw l USING (w) GROUP BY p.id)
              |SELECT d.id, round(coalesce(pd.wt, 0.0), 4) AS dsir_weight,
              |  coalesce(pd.ntok, 0) AS ntok
              |FROM d LEFT JOIN pd USING (id)""".stripMargin)),
