@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -274,14 +275,120 @@ object Centrality {
 
   /**
    * Full core decomposition: per-node CORENESS — the largest k for which
-   * the node survives the k-core ([[kCore]]). Phases peel k = 1 upward,
-   * each phase starting from the previous survivors (node sets only
-   * shrink); a node removed in phase k carries coreness k−1. Isolated
-   * input appears only through edges, so the floor is 1.
+   * the node survives the k-core ([[kCore]]) — by distributed h-index
+   * propagation (Montresor, De Pellegrini & Miorandi, "Distributed
+   * k-Core Decomposition", 2011; Lü et al. 2016 h-index formulation):
+   * initialize c(v) = deg(v), then iterate
+   *   c(v) ← H({c(u) : u ~ v})
+   * to fixpoint, where H is the h-index (largest h such that ≥ h
+   * neighbors currently have estimate ≥ h). Estimates decrease
+   * monotonically and converge exactly to coreness.
    *
-   * @return (node, coreness)
+   * Scale shape: ONE iterative job whose round count is the convergence
+   * depth (empirically tens, independent of k_max) — unlike the k-phase
+   * peeling cascade whose driver-round count is Σ_k peels_k. Each round
+   * is an edge×estimate hash join plus a per-node h-index, computed
+   * without collecting neighbor lists: group neighbor estimates to
+   * (node, value, cnt), take a descending running count per node, and
+   * h = max(min(value, running)). All shuffles are key-partitioned on
+   * node id; state is one long per node. The peeling formulation is
+   * kept as [[coreDecompositionPeeling]] and cross-checked by spec.
+   *
+   * @return (node, coreness) — floor 1 (isolated nodes only appear
+   *         through edges)
    */
-  def coreDecomposition(edges: DataFrame, maxK: Int = 100): DataFrame = {
+  def coreDecomposition(edges: DataFrame, maxIter: Int = 200,
+      localEdgeThreshold: Int = 200000): DataFrame = {
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    // LIMIT-probe guard (same protocol as betweenness/SCC): graphs whose
+    // edge list fits the driver peel locally (Batagelj–Zaveršnik, 2 jobs
+    // total); the distributed h-index loop is spec-covered via
+    // localEdgeThreshold = 0
+    if (localEdgeThreshold > 0 &&
+        raw.limit(localEdgeThreshold + 1).count() <= localEdgeThreshold)
+      return localCoreness(edges.sparkSession, raw)
+    val canon = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+    val und = canon
+      .unionByName(canon.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false)
+    var cur = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(false)
+    var checksum = cur.agg(sum("c")).head().getLong(0)
+    var converged = checksum == 0
+    var i = 0
+    val byNode = Window.partitionBy("node").orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    while (!converged && i < maxIter) {
+      // neighbor estimates → h-index per node, via grouped counts + a
+      // descending running total (no per-node list materialization)
+      val next = und
+        .join(cur.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("c"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rt", sum(col("__cnt")).over(byNode))
+        .groupBy("node")
+        .agg(max(least(col("c"), col("__rt"))).as("c"))
+        .localCheckpoint(false)
+      val nextSum = next.agg(sum("c")).head().getLong(0)
+      converged = nextSum == checksum
+      cur = next; checksum = nextSum; i += 1
+    }
+    require(converged, s"coreDecomposition did not converge in $maxIter rounds")
+    cur.select(col("node"), col("c").cast("int").as("coreness"))
+  }
+
+  /** Driver-local coreness: Batagelj–Zaveršnik bucket peeling over a
+    * collected adjacency (min-heap with lazy deletion; O(E log V)). */
+  private def localCoreness(spark: org.apache.spark.sql.SparkSession,
+      raw: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pairs = raw
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.LongMap[List[Long]]()
+    pairs.foreach { case (u, v) =>
+      adj(u) = v :: adj.getOrElse(u, Nil)
+      adj(v) = u :: adj.getOrElse(v, Nil)
+    }
+    val deg = scala.collection.mutable.LongMap[Int]()
+    adj.foreach { case (n, ns) => deg(n) = ns.size }
+    val heap = scala.collection.mutable.PriorityQueue[(Int, Long)]()(
+      Ordering.by[(Int, Long), Int](_._1).reverse)
+    deg.foreach { case (n, d) => heap.enqueue((d, n)) }
+    val core = scala.collection.mutable.LongMap[Int]()
+    var k = 0
+    while (heap.nonEmpty) {
+      val (d, n) = heap.dequeue()
+      if (!core.contains(n) && d == deg(n)) { // skip stale heap entries
+        k = math.max(k, d)
+        core(n) = k
+        adj(n).foreach { m =>
+          if (!core.contains(m)) {
+            val nd = deg(m) - 1
+            deg(m) = nd
+            heap.enqueue((nd, m))
+          }
+        }
+      }
+    }
+    core.toSeq.map { case (n, c) => (n, c) }.toDF("node", "coreness")
+      .select(col("node"), col("coreness").cast("int"))
+  }
+
+  /**
+   * Peeling formulation of [[coreDecomposition]] (phases k = 2 upward,
+   * each phase a full [[kCore]] peel of the previous survivors; a node
+   * removed in phase k carries coreness k−1). Driver-round count is
+   * Σ_k peels_k — quadratic-ish in degeneracy, so this is the spec
+   * cross-check for the h-index form, not the production path.
+   */
+  def coreDecompositionPeeling(edges: DataFrame, maxK: Int = 100): DataFrame = {
     val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
       .localCheckpoint()
@@ -303,7 +410,7 @@ object Centrality {
       curCnt = cur.count()
       k += 1
     }
-    require(curCnt == 0, s"coreDecomposition exceeded maxK=$maxK")
+    require(curCnt == 0, s"coreDecompositionPeeling exceeded maxK=$maxK")
     out.result().reduce(_ unionByName _)
   }
 
@@ -629,7 +736,61 @@ object Centrality {
    *
    * @return (u, v, trussness) for every undirected input edge
    */
-  def trussDecomposition(edges: DataFrame, maxK: Int = 30): DataFrame = {
+  def trussDecomposition(edges: DataFrame, maxIter: Int = 200): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
+    // Triangles computed ONCE (the peeling cascade recomputed them every
+    // peel of every phase); melt each triangle (a<b<c) into its three
+    // (edge, other-edge-1, other-edge-2) incidences.
+    val tri = Ranking.triangles(und.select(col("u").as("src"), col("v").as("dst")))
+    def inc(e: (Column, Column), o1: (Column, Column), o2: (Column, Column)) =
+      tri.select(e._1.as("u"), e._2.as("v"), o1._1.as("p1"), o1._2.as("q1"),
+        o2._1.as("p2"), o2._2.as("q2"))
+    val ab = (col("a"), col("b")); val bc = (col("b"), col("c"))
+    val ac = (col("a"), col("c"))
+    val incidences = inc(ab, bc, ac).unionByName(inc(bc, ab, ac))
+      .unionByName(inc(ac, ab, bc)).localCheckpoint(false)
+    // σ(e) init = support; iterate σ(e) ← H({min(σ(e1), σ(e2))}) to
+    // fixpoint (Sariyüce, Seshadhri & Pinar, VLDB 2018 — local nucleus
+    // decomposition); trussness = σ∞ + 2. Same grouped-count h-index as
+    // [[coreDecomposition]]; round count = convergence depth, not Σ peels.
+    var cur = incidences.groupBy("u", "v").agg(count(lit(1)).as("s"))
+      .localCheckpoint(false)
+    var checksum = if (cur.isEmpty) 0L else cur.agg(sum("s")).head().getLong(0)
+    var converged = checksum == 0
+    var i = 0
+    val byEdge = Window.partitionBy("u", "v").orderBy(col("m").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    while (!converged && i < maxIter) {
+      val next = incidences
+        .join(cur.select(col("u").as("p1"), col("v").as("q1"),
+          col("s").as("s1")), Seq("p1", "q1"))
+        .join(cur.select(col("u").as("p2"), col("v").as("q2"),
+          col("s").as("s2")), Seq("p2", "q2"))
+        .select(col("u"), col("v"), least(col("s1"), col("s2")).as("m"))
+        .groupBy("u", "v", "m").agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rt", sum(col("__cnt")).over(byEdge))
+        .groupBy("u", "v")
+        .agg(max(least(col("m"), col("__rt"))).as("s"))
+        .localCheckpoint(false)
+      val nextSum = if (next.isEmpty) 0L else next.agg(sum("s")).head().getLong(0)
+      converged = nextSum == checksum
+      cur = next; checksum = nextSum; i += 1
+    }
+    require(converged, s"trussDecomposition did not converge in $maxIter rounds")
+    und.join(cur, Seq("u", "v"), "left_outer")
+      .select(col("u"), col("v"),
+        (coalesce(col("s"), lit(0L)) + 2).cast("int").as("trussness"))
+  }
+
+  /**
+   * Peeling formulation of [[trussDecomposition]] (phases k = 3 upward,
+   * each a full [[kTruss]] of the previous survivors) — kept as the spec
+   * cross-check for the h-index fixpoint form.
+   */
+  def trussDecompositionPeeling(edges: DataFrame, maxK: Int = 30): DataFrame = {
     var cur = edges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
@@ -646,7 +807,7 @@ object Centrality {
       curCnt = cur.count()
       k += 1
     }
-    require(curCnt == 0, s"trussDecomposition exceeded maxK=$maxK")
+    require(curCnt == 0, s"trussDecompositionPeeling exceeded maxK=$maxK")
     out.result().reduce(_ unionByName _)
   }
 

@@ -276,8 +276,8 @@ object GraphQueries {
     QueryDef("q_ktruss",
       (s, d) => {
         val base = t(s, d, "customer")
-          .filter(col("c_custkey").between(1, 150))
-          .select((col("c_custkey") - 1).cast("long").as("k"))
+          .filter(col("c_custkey").between(0, 149))
+          .select(col("c_custkey").cast("long").as("k"))
         val intra = base.alias("a").join(base.alias("b"),
             floor(col("a.k") / 6) === floor(col("b.k") / 6) &&
               col("a.k") < col("b.k"))
@@ -287,10 +287,10 @@ object GraphQueries {
         Centrality.kTruss(intra.unionByName(bridges), k = 4)
       },
       Some("""SELECT a.k AS u, b.k AS v FROM
-             |  (SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
-             |   WHERE c_custkey BETWEEN 1 AND 150) a,
-             |  (SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
-             |   WHERE c_custkey BETWEEN 1 AND 150) b
+             |  (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+             |   WHERE c_custkey BETWEEN 0 AND 149) a,
+             |  (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+             |   WHERE c_custkey BETWEEN 0 AND 149) b
              |WHERE a.k // 6 = b.k // 6 AND a.k < b.k""".stripMargin)),
 
     // Full core decomposition on a tiered fixture: a K4 (coreness 3), a
@@ -363,8 +363,8 @@ object GraphQueries {
     QueryDef("q_truss_decomposition",
       (s, d) => {
         val base = t(s, d, "customer")
-          .filter(col("c_custkey").between(1, 150))
-          .select((col("c_custkey") - 1).cast("long").as("k"))
+          .filter(col("c_custkey").between(0, 149))
+          .select(col("c_custkey").cast("long").as("k"))
         val intra = base.alias("a").join(base.alias("b"),
             floor(col("a.k") / 6) === floor(col("b.k") / 6) &&
               col("a.k") < col("b.k"))
@@ -373,8 +373,8 @@ object GraphQueries {
           .select(col("k").as("src"), ((col("k") + 1) % 150).as("dst"))
         Centrality.trussDecomposition(intra.unionByName(bridges))
       },
-      Some("""WITH n AS (SELECT CAST(c_custkey - 1 AS BIGINT) AS k
-             |  FROM customer WHERE c_custkey BETWEEN 1 AND 150)
+      Some("""WITH n AS (SELECT CAST(c_custkey AS BIGINT) AS k
+             |  FROM customer WHERE c_custkey BETWEEN 0 AND 149)
              |SELECT a.k AS u, b.k AS v, 6 AS trussness FROM n a JOIN n b
              |ON a.k // 6 = b.k // 6 AND a.k < b.k
              |UNION ALL
@@ -575,8 +575,8 @@ object GraphQueries {
     QueryDef("q_louvain",
       (s, d) => {
         val base = t(s, d, "customer")
-          .filter(col("c_custkey").between(1, 150))
-          .select((col("c_custkey") - 1).cast("long").as("k"))
+          .filter(col("c_custkey").between(0, 149))
+          .select(col("c_custkey").cast("long").as("k"))
         val intra = base.alias("a").join(base.alias("b"),
             floor(col("a.k") / 6) === floor(col("b.k") / 6) &&
               col("a.k") < col("b.k"))
@@ -585,9 +585,9 @@ object GraphQueries {
           .select(col("k").as("src"), ((col("k") + 1) % 150).as("dst"))
         Ranking.louvain(intra.unionByName(bridges))
       },
-      Some("""SELECT CAST(c_custkey - 1 AS BIGINT) AS node,
-             |  CAST(6 * ((c_custkey - 1) // 6) AS BIGINT) AS community
-             |FROM customer WHERE c_custkey BETWEEN 1 AND 150""".stripMargin)),
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS node,
+             |  CAST(6 * (c_custkey // 6) AS BIGINT) AS community
+             |FROM customer WHERE c_custkey BETWEEN 0 AND 149""".stripMargin)),
 
     // Modularity of a community assignment (Newman's Q — the score the
     // Louvain rounds optimize) on the same ring-of-cliques fixture with
@@ -596,8 +596,8 @@ object GraphQueries {
     QueryDef("q_modularity",
       (s, d) => {
         val base = t(s, d, "customer")
-          .filter(col("c_custkey").between(1, 150))
-          .select((col("c_custkey") - 1).cast("long").as("k"))
+          .filter(col("c_custkey").between(0, 149))
+          .select(col("c_custkey").cast("long").as("k"))
         val intra = base.alias("a").join(base.alias("b"),
             floor(col("a.k") / 6) === floor(col("b.k") / 6) &&
               col("a.k") < col("b.k"))
@@ -608,8 +608,8 @@ object GraphQueries {
           (floor(col("k") / 6) * 6).cast("long").as("community"))
         Ranking.modularity(intra.unionByName(bridges), assign)
       },
-      Some("""WITH n AS (SELECT CAST(c_custkey - 1 AS BIGINT) AS k
-             |  FROM customer WHERE c_custkey BETWEEN 1 AND 150),
+      Some("""WITH n AS (SELECT CAST(c_custkey AS BIGINT) AS k
+             |  FROM customer WHERE c_custkey BETWEEN 0 AND 149),
              |e AS (
              |  SELECT a.k AS u, b.k AS v FROM n a JOIN n b
              |  ON a.k // 6 = b.k // 6 AND a.k < b.k

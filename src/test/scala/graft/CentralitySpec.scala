@@ -64,6 +64,27 @@ class CentralitySpec extends AnyFunSuite {
     assert(Centrality.kCore(e, 3).count() == 0)
   }
 
+  test("coreDecomposition h-index propagation equals the peeling form") {
+    import spark.implicits._
+    // K4 (coreness 3) wearing a tail 3-10-11 (coreness 1), a triangle
+    // {20,21,22} (coreness 2) bridged to the K4 at 0, plus a 4-cycle
+    // 30-31-32-33 (coreness 2) — mixed shapes incl. the cyclic cases
+    // where naive degree thresholds over-estimate
+    val e = edges(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 2L, 1L -> 3L,
+      2L -> 3L, 3L -> 10L, 10L -> 11L, 20L -> 21L, 21L -> 22L, 20L -> 22L,
+      0L -> 20L, 30L -> 31L, 31L -> 32L, 32L -> 33L, 33L -> 30L)
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val peel = toMapOf(Centrality.coreDecompositionPeeling(e)
+      .select(col("node"), col("coreness").cast("int")))
+    for (thr <- Seq(0, 200000)) { // distributed h-index AND local BZ peel
+      val r = toMapOf(Centrality.coreDecomposition(e, localEdgeThreshold = thr))
+      assert(r == peel, s"threshold=$thr")
+      assert(r(0L) == 3 && r(10L) == 1 && r(11L) == 1 &&
+        r(20L) == 2 && r(30L) == 2, s"threshold=$thr")
+    }
+  }
+
   test("SCC distributed loop: trim peels the DAG, pivot rounds find cycles") {
     // 3-cycle {1,2,3} + tail 3→4→5 + back-edge pair 6⇄7 feeding 1
     val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L,
@@ -154,6 +175,10 @@ class CentralitySpec extends AnyFunSuite {
     Seq((4L, 5L), (4L, 6L), (5L, 6L)).foreach(p =>
       assert(r(p) == 3, s"$p: ${r(p)}"))
     assert(r((6L, 7L)) == 2)
+    // h-index fixpoint ≡ peeling cascade on the same mixed fixture
+    val peel = Centrality.trussDecompositionPeeling(e).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    assert(r == peel)
   }
 
   test("hits closed form on a two-hub bipartite fixture") {
