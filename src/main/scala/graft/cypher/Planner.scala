@@ -1013,7 +1013,7 @@ object Planner {
     * pairs drop, like a failed MATCH. The path variable binds `v$length`. */
   private def planShortest(ctx: Ctx, envIn: Env, s: ShortestPart): Env = {
     if (s.k.isDefined) return planShortestK(ctx, envIn, s)
-    val p = s.pattern
+    val p = namedStart(ctx, s.pattern)
     require(p.hops.size == 1, "shortestPath takes a single relationship pattern")
     val (rel, toNode) = p.hops.head
     // per-step rel WHERE (Cypher 5 inline `[r*.. WHERE r.x > 1]`) — every
@@ -1025,12 +1025,15 @@ object Planner {
       case Both => Direction.Both
     }
     // endpoints need not be pre-bound (the reference plans both sides then
-    // FindShortestPaths): an inline-filtered start like
-    // `shortestPath((a:L {k:v})-[*..d]-(b))` binds here via its own scan;
-    // a propertied target binds too so the per-pair early-exit BFS applies
+    // FindShortestPaths, LogicalPlan.scala:2178): an inline-filtered start
+    // like `shortestPath((a:L {k:v})-[*..d]-(b))` binds here via its own
+    // scan; a propertied target binds too so the per-pair early-exit BFS
+    // applies; a fully unconstrained start seeds from AllNodesScan
     val env = {
       val e1 = bindEndpoint(ctx, envIn, p.first)
-      if (toNode.props.nonEmpty) bindEndpoint(ctx, e1, toNode) else e1
+      val e2 = if (p.first.variable.exists(e1.has)) e1
+        else bindEndpoint(ctx, e1, p.first, force = true)
+      if (toNode.props.nonEmpty) bindEndpoint(ctx, e2, toNode) else e2
     }
     val fromVar = p.first.variable.filter(env.has).getOrElse(
       throw new IllegalArgumentException("shortestPath start node must be bound"))
@@ -1165,13 +1168,15 @@ object Planner {
     * behave like shortestPath endpoints. Binds pv$length and pv$rels per
     * returned path (up to k per pair). */
   private def planShortestK(ctx: Ctx, envIn: Env, s: ShortestPart): Env = {
-    val p = s.pattern
+    val p = namedStart(ctx, s.pattern)
     val kk = s.k.get
     require(p.hops.nonEmpty, "SHORTEST k needs a relationship pattern")
     val env = {
       val e1 = bindEndpoint(ctx, envIn, p.first)
+      val e2 = if (p.first.variable.exists(e1.has)) e1
+        else bindEndpoint(ctx, e1, p.first, force = true)
       val t = p.hops.last._2
-      if (t.props.nonEmpty) bindEndpoint(ctx, e1, t) else e1
+      if (t.props.nonEmpty) bindEndpoint(ctx, e2, t) else e2
     }
     val fromVar = p.first.variable.filter(env.has).getOrElse(
       throw new IllegalArgumentException("SHORTEST k start node must be bound"))
@@ -1941,17 +1946,27 @@ object Planner {
     env.copy(df = Some(df))
   }
 
+  /** Give an anonymous shortest-path start node a fresh variable so the
+    * unbound-start seed below has a name to bind. */
+  private def namedStart(ctx: Ctx, p: PathPattern): PathPattern =
+    if (p.first.variable.isDefined) p
+    else p.copy(first = p.first.copy(variable = Some(ctx.fresh("n"))))
+
   /** Bind a shortest-path endpoint that isn't bound yet by its own node
     * scan (labels + inline props pushed to the parquet scan). A selective
     * seek yields few rows, so the cross join stays broadcast-sized; an
-    * unfiltered endpoint is left unbound for the BFS branches to handle. */
-  private def bindEndpoint(ctx: Ctx, env: Env, np: NodePattern): Env =
+    * unfiltered endpoint is left unbound for the BFS branches to handle —
+    * except under `force`, where it binds via a full AllNodesScan (the
+    * reference plans SHORTEST from any leaf, FindShortestPaths
+    * LogicalPlan.scala:2178; the search then runs multi-source). */
+  private def bindEndpoint(ctx: Ctx, env: Env, np: NodePattern,
+      force: Boolean = false): Env =
     np.variable match {
       // an inline WHERE binds too — both callers (planShortest/planShortestK)
       // re-apply the predicate via the boundary-set semi-join afterwards
       case Some(v) if !env.has(v) &&
-          (np.labels.nonEmpty || np.labelExpr.nonEmpty || np.props.nonEmpty ||
-            np.where.nonEmpty) =>
+          (force || np.labels.nonEmpty || np.labelExpr.nonEmpty ||
+            np.props.nonEmpty || np.where.nonEmpty) =>
         val scan = hydrated(ctx, nodeScan(ctx, np), v, ctx.g.nodes.columns.toSet)
         val df = env.df match {
           case Some(cur) => cur.crossJoin(scan)

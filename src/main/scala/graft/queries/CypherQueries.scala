@@ -598,6 +598,16 @@ object CypherQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey WHERE c_custkey < 30""".stripMargin),
 
+    // shortestPath with BOTH endpoints unbound: the start seeds from
+    // AllNodesScan (reference FindShortestPaths plans from any leaf) and
+    // the search runs multi-source; only nations expand over IN_REGION.
+    cq("q_cypher_shortest_unbound",
+      """MATCH p = shortestPath((a)-[:IN_REGION*..3]->(b))
+        |WHERE a.name IS NOT NULL AND b.name IS NOT NULL
+        |RETURN a.name AS src, b.name AS dst, length(p) AS hops""".stripMargin,
+      """SELECT n_name AS src, r_name AS dst, 1 AS hops
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin),
+
     // quantified path pattern with group variables: size(r) plays depth.
     cq("q_cypher_qpp",
       """MATCH (c:Customer) ((a)-[r:FROM|IN_REGION]->(b)){1,2} (x)

@@ -330,6 +330,24 @@ class CypherSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("Carol", 1), ("Dave", 2)))
   }
 
+  test("shortestPath with both endpoints unbound seeds from AllNodesScan") {
+    val rows = run(
+      """MATCH p = shortestPath((a)-[:KNOWS*2..6]->(b))
+        |RETURN a.name AS src, b.name AS dst, length(p) AS hops
+        |ORDER BY src, dst""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // min 2 hops keeps it to genuine multi-hop shortest pairs:
+    // Alice⇒Dave via Carol (2), Bob⇒Dave via Carol (2)
+    assert(rows.toSeq == Seq(("Alice", "Dave", 2), ("Bob", "Dave", 2)))
+    // SHORTEST k form with an unbound start
+    val k = run(
+      """MATCH p = SHORTEST 1 (a)-[:KNOWS*2..3]->(b)
+        |WHERE b.name = 'Dave'
+        |RETURN a.name AS src, length(p) AS hops ORDER BY src""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(k.toSeq == Seq(("Alice", 2), ("Bob", 2)))
+  }
+
   test("quantified path pattern collects group variables") {
     val rows = run(
       """MATCH (a {name: 'Alice'}) ((x)-[r:KNOWS]->(y)){2,2} (b)
