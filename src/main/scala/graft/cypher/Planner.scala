@@ -190,8 +190,40 @@ object Planner {
       params: Map[String, Any],
       txCommit: PropertyGraph => PropertyGraph = defaultTxCommit)
       : (PropertyGraph, Option[DataFrame]) = {
-    require(query.parts.size == 1, "UNION is not supported in updating queries")
-    val q = query.parts.head
+    // UNION in an updating query (reference LogicalPlanProducer.planUnion
+    // :2546 places no single-part restriction): branches run in statement
+    // order within the one transaction — each sees the previous branches'
+    // writes (immutable snapshots thread through), and the RETURN streams
+    // union with the same cross-type reconciliation as read-only UNION.
+    if (query.parts.size > 1) {
+      var cur = g
+      val rets = Seq.newBuilder[DataFrame]
+      query.parts.foreach { part =>
+        val (g1, r) = executePart(spark, cur, part, params, txCommit)
+        cur = g1
+        r.foreach(rets += _)
+      }
+      val streams = rets.result()
+      val ret =
+        if (streams.isEmpty) None
+        else {
+          val (aligned, reconciled) = reconcileUnionTypes(streams)
+          val unioned = aligned.reduce(_ unionByName _)
+          val merged =
+            if (query.unionAll || streams.size == 1) unioned
+            else unioned.distinct()
+          Some(reconciled.foldLeft(merged)((df, n) =>
+            df.withColumn(n, graft.functions.Orderability.repr(col(n)))))
+        }
+      return (cur, ret)
+    }
+    executePart(spark, g, query.parts.head, params, txCommit)
+  }
+
+  private def executePart(spark: SparkSession, g: PropertyGraph,
+      q: SingleQuery, params: Map[String, Any],
+      txCommit: PropertyGraph => PropertyGraph)
+      : (PropertyGraph, Option[DataFrame]) = {
     val ctx = new Ctx(spark, g, params, neededProps(q, params), pruneEligibleRels(q))
     ctx.txCommit = txCommit
     var env = Env(None, Map.empty)

@@ -634,6 +634,34 @@ object CypherQueries {
       },
       Some("SELECT c_custkey AS ckey FROM customer WHERE c_acctbal < 0")),
 
+    // UNION in an updating query (reference planUnion has no single-part
+    // restriction): both branches' CREATEs commit in one statement, RETURN
+    // streams union, and a re-read of the snapshot sees both label sets.
+    QueryDef("q_cypher_union_write",
+      (s, d) => {
+        val (g2, ret) = Cypher.execute(s, TpchGraph.load(s, d),
+          """MATCH (c:Customer) WHERE c.acctbal < 0
+            |CREATE (:Debtor {ckey: c.key}) RETURN c.key AS key
+            |UNION ALL
+            |MATCH (n:Nation) CREATE (:Audited2 {nkey: n.key})
+            |RETURN n.key AS key""".stripMargin)
+        val returned = ret.get.count()
+        Cypher.run(s, g2,
+          """MATCH (x) WHERE x:Debtor OR x:Audited2
+            |RETURN labels(x)[0] AS lbl,
+            |  coalesce(x.ckey, x.nkey) AS key""".stripMargin)
+          .withColumn("union_rows", lit(returned))
+      },
+      Some("""SELECT 'Debtor' AS lbl, CAST(c_custkey AS BIGINT) AS key,
+             |  (SELECT count(*) FROM customer WHERE c_acctbal < 0) +
+             |  (SELECT count(*) FROM nation) AS union_rows
+             |FROM customer WHERE c_acctbal < 0
+             |UNION ALL
+             |SELECT 'Audited2', CAST(n_nationkey AS BIGINT),
+             |  (SELECT count(*) FROM customer WHERE c_acctbal < 0) +
+             |  (SELECT count(*) FROM nation)
+             |FROM nation""".stripMargin)),
+
     // Bulk-interchange round-trip (reference neo4j-admin database import,
     // header grammar import-util/.../csv/Type.java): export the
     // Nation/Region subgraph as import-tool CSVs, read them back, and

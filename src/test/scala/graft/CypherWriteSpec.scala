@@ -291,6 +291,30 @@ class CypherWriteSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
   }
 
+  test("UNION in updating query: both branches write, later sees earlier") {
+    val (g2, ret) = Cypher.execute(spark, freshGraph,
+      """CREATE (t:Tag {name: 'one'}) RETURN t.name AS name
+        |UNION ALL
+        |MATCH (t:Tag) CREATE (:Echo {of: t.name})
+        |RETURN t.name AS name""".stripMargin)
+    // branch 2 MATCHes the Tag created by branch 1 (statement-order
+    // visibility within the one transaction)
+    assert(ret.get.collect().map(_.getString(0)).toSeq == Seq("one", "one"))
+    val echoed = Cypher.run(spark, g2,
+      "MATCH (e:Echo) RETURN e.of AS of").collect().map(_.getString(0))
+    assert(echoed.toSeq == Seq("one"))
+  }
+
+  test("UNION DISTINCT in updating query dedups the returned streams") {
+    val (g2, ret) = Cypher.execute(spark, freshGraph,
+      """CREATE (:Mark {v: 1}) RETURN 'x' AS tag
+        |UNION
+        |CREATE (:Mark {v: 2}) RETURN 'x' AS tag""".stripMargin)
+    assert(ret.get.collect().map(_.getString(0)).toSeq == Seq("x"))
+    assert(Cypher.run(spark, g2, "MATCH (m:Mark) RETURN m.v AS v ORDER BY v")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("MERGE ON MATCH SET += map form applies through merge actions") {
     val (g2, _) = Cypher.execute(spark, freshGraph,
       """MERGE (p:Person {name: 'Alice'})
