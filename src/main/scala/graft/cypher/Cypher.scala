@@ -37,9 +37,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    Mixed-type COLUMNS from UNION branches of different types lift into
  *    the same encoding (top-level results decode to their toString() text;
  *    inside CALL {} the encoding is kept so outer ORDER BY / min / max /
- *    DISTINCT follow the global value order). LISTS of scalars participate
- *    (rank List < String, element-wise global order, shorter prefix
- *    first); lists of lists and map mixes remain compile-time errors.
+ *    DISTINCT follow the global value order). LISTS participate (rank
+ *    List < String, element-wise global order, shorter prefix first)
+ *    including nested lists up to 3 levels, and MAPS participate (rank
+ *    Map < List; reference MapValue order: size, then sorted keys, then
+ *    values); nesting beyond 3 levels remains a compile-time error.
  *    NULL placement in ORDER BY follows Cypher (last ASC, first DESC).
  */
 object Cypher {

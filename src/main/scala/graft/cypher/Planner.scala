@@ -2244,8 +2244,17 @@ object Planner {
       case other => throw new IllegalArgumentException(
         s"CALL arguments must be literals or parameters, got $other")
     }
-    val result0 = graft.functions.Procedures.call(
-      ctx.spark, ctx.g, cc.procedure, cc.args.map(const): _*)
+    // SCHEMA/WRITE-mode procedures return an updated snapshot that threads
+    // into later clauses (and out through Cypher.execute); plain read
+    // procedures return a lazy plan
+    val result0 = graft.functions.Procedures.graphProc(cc.procedure) match {
+      case Some(gp) =>
+        val (g2, df) = gp(ctx.spark, ctx.g, cc.args.map(const))
+        ctx.g = g2
+        df
+      case None => graft.functions.Procedures.call(
+        ctx.spark, ctx.g, cc.procedure, cc.args.map(const): _*)
+    }
     val result = if (cc.yields.isEmpty) result0
       else result0.select(cc.yields.map(col): _*)
     val df = env.df match {
@@ -2828,25 +2837,22 @@ object Planner {
         // can hold it AND ORDER BY reproduces Cypher's cross-type global
         // order (SURVEY §4.3 sortable-encoding item; reference values
         // comparator). toString() decodes the display text.
-        def elemLit(x: Expr): Column = x match {
-          case Lit(null)       => graft.functions.Orderability.elemNull
-          case Lit(s: String)  => graft.functions.Orderability.elemString(lit(s))
-          case Lit(b: Boolean) => graft.functions.Orderability.elemBoolean(lit(b))
-          case _: ListLit => throw new IllegalArgumentException(
-            "lists of lists have no orderability encoding")
-          case e => graft.functions.Orderability.elemNumber(c(e))
+        def encLit(depth: Int)(x: Expr): Column = {
+          val O = graft.functions.Orderability
+          x match {
+            case Lit(null)       => O.nullAt(depth)
+            case Lit(s: String)  => O.stringAt(depth, lit(s))
+            case Lit(b: Boolean) => O.booleanAt(depth, lit(b))
+            case ListLit(ys) if depth < O.MaxDepth =>
+              if (ys.isEmpty) O.listOfEncodedAt(depth, O.emptyElems(depth))
+              else O.listOfEncodedAt(depth,
+                array(ys.map(encLit(depth + 1)): _*))
+            case _: ListLit => throw new IllegalArgumentException(
+              s"orderability encoding supports ${O.MaxDepth} nesting levels")
+            case e => O.numberAt(depth, c(e))
+          }
         }
-        array(xs.map {
-          case Lit(null)       => graft.functions.Orderability.nullValue
-          case Lit(s: String)  => graft.functions.Orderability.string(lit(s))
-          case Lit(b: Boolean) => graft.functions.Orderability.boolean(lit(b))
-          case ListLit(ys) if ys.nonEmpty =>
-            graft.functions.Orderability.listOfEncoded(array(ys.map(elemLit): _*))
-          case ListLit(_) => graft.functions.Orderability.listOfEncoded(
-            array().cast(
-              "array<struct<rank:int,s:string,b:boolean,d:double,repr:string>>"))
-          case e               => graft.functions.Orderability.number(c(e))
-        }: _*)
+        array(xs.map(encLit(0)): _*)
       case ListLit(xs) => array(xs.map(c): _*)
       case MapLit(es)  => map(es.flatMap { case (k, v) => Seq(lit(k), c(v)) }: _*)
       case Param(n)    => litAny(ctx.params.getOrElse(n,
@@ -3046,15 +3052,18 @@ object Planner {
           case BooleanType => Some("bool")
           case LongType | IntegerType | ShortType | ByteType | DoubleType |
                FloatType | _: DecimalType => Some("num")
-          case ArrayType(et, _)
-            if graft.functions.Orderability.elemEncoderFor(et).isDefined =>
+          case t @ ArrayType(_, _)
+            if graft.functions.Orderability.encoderAt(0, t).isDefined =>
             Some("list")
+          case t @ (_: MapType | _: StructType)
+            if graft.functions.Orderability.encoderAt(0, t).isDefined =>
+            Some("map")
           case NullType    => None // null literal: compatible with any kind
           case other       => Some(other.simpleString)
         }
         val kinds = vals.flatMap(v => dataTypeOf(env, v)).flatMap(kind).distinct
         val mixedEncodable =
-          kinds.size > 1 && kinds.forall(Set("str", "bool", "num", "list"))
+          kinds.size > 1 && kinds.forall(Set("str", "bool", "num", "list", "map"))
         def encode(v: Column): Column =
           dataTypeOf(env, v).flatMap(dt =>
             graft.functions.Orderability.encodeAny(dt, v))

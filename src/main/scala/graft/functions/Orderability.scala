@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, MapType,
+  NullType, NumericType, StringType, StructType}
 
 /**
  * Cypher cross-type orderability (reference community/values
@@ -11,124 +12,199 @@ import org.apache.spark.sql.types.{DataType, StructType}
  * temporals < Duration < String < Boolean < Number, with NULL LAST
  * (and first under DESC).
  *
- * Columnar encoding: a STRUCT(rank, s, b, d, repr). Spark compares structs
- * field by field, so ordering the encoded value reproduces the global order
- * with no custom comparator, no UDF, full codegen:
+ * Columnar encoding: a STRUCT(rank, s, b, d, l, repr). Spark compares
+ * structs field by field, so ordering the encoded value reproduces the
+ * global order with no custom comparator, no UDF, full codegen:
  *  - `rank` separates types (type-rank order above);
- *  - exactly one payload field (`s` string / `b` boolean / `d` double) is
- *    non-null per value, so same-rank values compare by payload while the
- *    other payload fields tie as NULL = NULL;
+ *  - exactly one payload field (`s` string / `b` boolean / `d` double /
+ *    `l` nested list) is non-null per value, so same-rank values compare
+ *    by payload while the other payload fields tie as NULL = NULL;
  *  - `repr` trails the comparison fields (it is functionally determined by
  *    them, so it never influences ordering) and carries the display text
  *    that toString() returns.
  *
  * Numbers compare numerically across Long/Double via the `d` field —
- * exactly the reference's cross-numeric-type comparison.
+ * exactly the reference's cross-numeric-type comparison (and Spark puts
+ * double NaN after +Infinity, matching the reference's NaN placement).
+ *
+ * NESTING: `l` holds an array of element structs with the SAME field
+ * layout, recursively, down to [[MaxDepth]] payload levels (the deepest
+ * level is scalar-only). Spark orders arrays element-wise with
+ * shorter-prefix-first — exactly Cypher's list orderability — and a
+ * struct containing an array field remains orderable, so one
+ * field-by-field struct comparison reproduces the global order for
+ * arbitrarily mixed lists of lists. MAPS (reference MapValue
+ * .unsafeCompareTo: size first, then keys in sorted order, then values in
+ * sorted-key order) encode as rank Map, `d` = size, and `l` = the sorted
+ * key elements followed by the corresponding value elements — the struct
+ * comparison then replays exactly that sequence. Value mixes nested
+ * deeper than MaxDepth levels remain a compile-time rejection.
  */
 object Orderability {
 
+  /** payload levels below the column struct: level 0 is the column, its
+    * list elements are level 1, theirs level 2, …; the level-MaxDepth
+    * struct is scalar-only. Depth 3 covers lists of lists of lists and
+    * maps of lists of maps — beyond it the planner rejects at compile
+    * time, as before for any nesting. */
+  val MaxDepth = 3
+
   /** field layout of the encoded struct — used to recognize encoded
-    * columns. `l` carries list payloads: an array of ELEMENT structs (the
-    * scalar layout without `l` — one nesting level; lists of lists stay a
-    * compile-time rejection). Spark orders arrays element-wise with
-    * shorter-prefix-first, exactly Cypher's list orderability, and a
-    * struct containing an array field remains orderable, so the single
-    * field-by-field struct comparison still reproduces the global order. */
+    * columns. */
   val StructFields: Seq[String] = Seq("rank", "s", "b", "d", "l", "repr")
 
-  /** element-struct layout inside list payloads */
-  val ElemFields: Seq[String] = Seq("rank", "s", "b", "d", "repr")
-
   // type ranks per the CIP order; only the relative order matters
+  private val RankMap = 5 // Map < Node < Relationship < List (AnyValues :42)
   private val RankList = 8 // List < temporals < … < String per the CIP
   private val RankString = 12
   private val RankBoolean = 13
   private val RankNumber = 14
   private val RankNull = 15 // null sorts last ascending, first descending
 
-  def string(c: Column): Column =
-    enc(lit(RankString), c, nullBool, nullDouble, nullList, c)
+  /** DDL of the element struct at `depth` (for typed null/empty literals) */
+  private def structDdl(depth: Int): String =
+    if (depth >= MaxDepth) "struct<rank:int,s:string,b:boolean,d:double,repr:string>"
+    else s"struct<rank:int,s:string,b:boolean,d:double,l:array<${structDdl(depth + 1)}>,repr:string>"
 
-  def boolean(c: Column): Column =
-    enc(lit(RankBoolean), nullStr, c, nullDouble, nullList, c.cast("string"))
+  private def nullStr = lit(null).cast("string")
+  private def nullBool = lit(null).cast("boolean")
+  private def nullDouble = lit(null).cast("double")
+  private def nullListAt(depth: Int) =
+    lit(null).cast(s"array<${structDdl(depth + 1)}>")
 
-  def number(c: Column): Column =
-    enc(lit(RankNumber), nullStr, nullBool, c.cast("double"), nullList,
-      c.cast("string"))
+  /** typed empty element array for `depth`'s `l` payload */
+  def emptyElems(depth: Int = 0): Column =
+    array().cast(s"array<${structDdl(depth + 1)}>")
 
-  def nullValue: Column =
-    enc(lit(RankNull), nullStr, nullBool, nullDouble, nullList, lit("null"))
+  private def encAt(depth: Int, rank: Column, s: Column, b: Column,
+      d: Column, l: Column, repr: Column): Column =
+    if (depth >= MaxDepth)
+      struct(rank.as("rank"), s.as("s"), b.as("b"), d.as("d"),
+        repr.as("repr"))
+    else
+      struct(rank.as("rank"), s.as("s"), b.as("b"), d.as("d"), l.as("l"),
+        repr.as("repr"))
 
-  /** list whose elements are already ELEMENT structs */
-  def listOfEncoded(es: Column): Column =
-    enc(lit(RankList), nullStr, nullBool, nullDouble, es,
+  // ---- scalar encoders at any depth ------------------------------------
+
+  def stringAt(depth: Int, c: Column): Column =
+    nullAware(depth, c, encAt(depth, lit(RankString), c, nullBool, nullDouble,
+      nullListAt(depth), c))
+
+  def booleanAt(depth: Int, c: Column): Column =
+    nullAware(depth, c, encAt(depth, lit(RankBoolean), nullStr, c, nullDouble,
+      nullListAt(depth), c.cast("string")))
+
+  def numberAt(depth: Int, c: Column): Column =
+    nullAware(depth, c, encAt(depth, lit(RankNumber), nullStr, nullBool,
+      c.cast("double"), nullListAt(depth), c.cast("string")))
+
+  def nullAt(depth: Int): Column =
+    encAt(depth, lit(RankNull), nullStr, nullBool, nullDouble,
+      nullListAt(depth), lit("null"))
+
+  /** list at `depth` whose elements are already depth+1 structs */
+  def listOfEncodedAt(depth: Int, es: Column): Column =
+    encAt(depth, lit(RankList), nullStr, nullBool, nullDouble, es,
       concat(lit("["),
         array_join(transform(es, e => e.getField("repr")), ", "), lit("]")))
+
+  /** a null value at any position sorts last (reference AnyValues
+    * comparator: NO_VALUE is bigger than all other values) — wrap every
+    * value encoder */
+  private def nullAware(depth: Int, c: Column, e: Column): Column =
+    when(c.isNull, nullAt(depth)).otherwise(e)
+
+  // ---- top-level (column) aliases — the public surface pre-nesting -----
+
+  def string(c: Column): Column = stringAt(0, c)
+  def boolean(c: Column): Column = booleanAt(0, c)
+  def number(c: Column): Column = numberAt(0, c)
+  def nullValue: Column = nullAt(0)
+  def listOfEncoded(es: Column): Column = listOfEncodedAt(0, es)
 
   /** list of scalar elements — element-wise global order via the element
     * encoder, shorter list first on a prefix tie (Spark array ordering) */
   def list(c: Column, elem: Column => Column): Column =
     listOfEncoded(transform(c, elem))
 
-  // element-level encoders (null-aware: a null ELEMENT sorts last among
-  // elements, reference AnyValues comparator)
-  def elemString(c: Column): Column =
-    elemNullAware(c, eenc(lit(RankString), c, nullBool, nullDouble, c))
-  def elemBoolean(c: Column): Column =
-    elemNullAware(c,
-      eenc(lit(RankBoolean), nullStr, c, nullDouble, c.cast("string")))
-  def elemNumber(c: Column): Column =
-    elemNullAware(c, eenc(lit(RankNumber), nullStr, nullBool,
-      c.cast("double"), c.cast("string")))
-  def elemNull: Column =
-    eenc(lit(RankNull), nullStr, nullBool, nullDouble, lit("null"))
+  // legacy element-level encoders (depth-1 positions)
+  def elemString(c: Column): Column = stringAt(1, c)
+  def elemBoolean(c: Column): Column = booleanAt(1, c)
+  def elemNumber(c: Column): Column = numberAt(1, c)
+  def elemNull: Column = nullAt(1)
 
   /** element encoder for a list's scalar element type; None = not an
-    * orderability-encodable element (maps, nested lists, …) */
-  def elemEncoderFor(dt: DataType): Option[Column => Column] = dt match {
-    case org.apache.spark.sql.types.StringType  => Some(elemString)
-    case org.apache.spark.sql.types.BooleanType => Some(elemBoolean)
-    case _: org.apache.spark.sql.types.NumericType => Some(elemNumber)
-    case org.apache.spark.sql.types.NullType    => Some(_ => elemNull)
-    case _ => None
+    * orderability-encodable element at that depth */
+  def elemEncoderFor(dt: DataType): Option[Column => Column] =
+    encoderAt(1, dt)
+
+  /** encoder for `dt` at nesting `depth`; None = not encodable there
+    * (e.g. a list at the deepest level) */
+  def encoderAt(depth: Int, dt: DataType): Option[Column => Column] =
+    dt match {
+      case t if depth == 0 && isEncoded(t) => Some(identity)
+      case StringType     => Some(stringAt(depth, _))
+      case BooleanType    => Some(booleanAt(depth, _))
+      case _: NumericType => Some(numberAt(depth, _))
+      case NullType       => Some(_ => nullAt(depth))
+      case ArrayType(et, _) if depth < MaxDepth =>
+        encoderAt(depth + 1, et).map(f =>
+          (c: Column) => nullAware(depth, c,
+            listOfEncodedAt(depth, transform(c, f))))
+      case MapType(StringType, vt, _) if depth < MaxDepth =>
+        encoderAt(depth + 1, vt).map(f =>
+          (c: Column) => nullAware(depth, c, mapEnc(depth, c, f)))
+      case st: StructType if depth < MaxDepth =>
+        // literal maps / map projections compile to structs: a map value
+        // with statically-known sorted keys
+        val fs = st.fields.sortBy(_.name)
+        val encs = fs.map(fld => encoderAt(depth + 1, fld.dataType))
+        if (encs.exists(_.isEmpty)) None
+        else Some { (c: Column) =>
+          val keys = fs.map(fld => stringAt(depth + 1, lit(fld.name)))
+          val vals = fs.zip(encs).map { case (fld, enc) =>
+            enc.get(c.getField(fld.name)) }
+          val repr = concat(lit("{"), concat_ws(", ",
+            fs.zip(vals).map { case (fld, v) =>
+              concat(lit(fld.name + ": "), v.getField("repr")) }: _*),
+            lit("}"))
+          nullAware(depth, c,
+            encAt(depth, lit(RankMap), nullStr, nullBool,
+              lit(fs.length).cast("double"),
+              array((keys ++ vals): _*), repr))
+        }
+      case _ => None
+    }
+
+  /** MAP encoding (reference MapValue.unsafeCompareTo): `d` = size, `l` =
+    * sorted-key elements then value elements in sorted-key order. Keys
+    * sort with array_sort; values are fetched per sorted key so the value
+    * type never needs native Spark ordering (maps aren't orderable). */
+  private def mapEnc(depth: Int, c: Column, valEnc: Column => Column): Column = {
+    val sortedKeys = array_sort(map_keys(c))
+    val keyElems = transform(sortedKeys, k => stringAt(depth + 1, k))
+    val valElems = transform(sortedKeys, k => valEnc(element_at(c, k)))
+    val repr = concat(lit("{"),
+      array_join(transform(sortedKeys,
+        k => concat(k, lit(": "),
+          valEnc(element_at(c, k)).getField("repr"))), ", "),
+      lit("}"))
+    encAt(depth, lit(RankMap), nullStr, nullBool,
+      size(c).cast("double"), concat(keyElems, valElems), repr)
   }
 
   /** lift any statically-typed column into the encoding (pass-through for
     * already-encoded); None = not encodable at this type */
-  def encodeAny(dt: DataType, c: Column): Option[Column] = dt match {
-    case t if isEncoded(t) => Some(c)
-    case org.apache.spark.sql.types.StringType  => Some(string(c))
-    case org.apache.spark.sql.types.BooleanType => Some(boolean(c))
-    case _: org.apache.spark.sql.types.NumericType => Some(number(c))
-    case org.apache.spark.sql.types.NullType    => Some(nullValue)
-    case org.apache.spark.sql.types.ArrayType(et, _) =>
-      elemEncoderFor(et).map(f => list(c, f))
-    case _ => None
-  }
+  def encodeAny(dt: DataType, c: Column): Option[Column] =
+    encoderAt(0, dt).map(_(c))
 
-  /** display text of an encoded value (Cypher toString semantics). */
+  /** display text of an encoded value (Cypher toString semantics; map
+    * entries render in sorted-key order — the deterministic choice). */
   def repr(c: Column): Column = c.getField("repr")
 
   def isEncoded(dt: DataType): Boolean = dt match {
     case st: StructType => st.fieldNames.toSeq == StructFields
     case _              => false
   }
-
-  private def nullStr = lit(null).cast("string")
-  private def nullBool = lit(null).cast("boolean")
-  private def nullDouble = lit(null).cast("double")
-  private def nullList = lit(null)
-    .cast("array<struct<rank:int,s:string,b:boolean,d:double,repr:string>>")
-
-  private def elemNullAware(c: Column, e: Column): Column =
-    when(c.isNull, elemNull).otherwise(e)
-
-  private def enc(rank: Column, s: Column, b: Column, d: Column, l: Column,
-      repr: Column): Column =
-    struct(rank.as("rank"), s.as("s"), b.as("b"), d.as("d"), l.as("l"),
-      repr.as("repr"))
-
-  private def eenc(rank: Column, s: Column, b: Column, d: Column,
-      repr: Column): Column =
-    struct(rank.as("rank"), s.as("s"), b.as("b"), d.as("d"), repr.as("repr"))
 }

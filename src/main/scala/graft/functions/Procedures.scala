@@ -27,6 +27,22 @@ object Procedures {
   /** Register a user procedure (reference @Procedure annotation scan). */
   def register(name: String, p: Proc): Unit = registry.put(name.toLowerCase, p)
 
+  /** GRAPH procedures (the reference's SCHEMA / WRITE mode procedures,
+    * e.g. db.index.vector.createNodeIndex): return an updated snapshot
+    * alongside their result rows. The planner threads the snapshot into
+    * subsequent clauses; `Cypher.execute` returns it — under read-only
+    * `Cypher.run` the mutation is discarded with the statement. */
+  type GraphProc = (SparkSession, PropertyGraph, Seq[Any]) => (PropertyGraph, DataFrame)
+
+  private val graphRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, GraphProc]()
+
+  def registerGraph(name: String, p: GraphProc): Unit =
+    graphRegistry.put(name.toLowerCase, p)
+
+  def graphProc(name: String): Option[GraphProc] =
+    Option(graphRegistry.get(name.toLowerCase))
+
   def call(spark: SparkSession, g: PropertyGraph, name: String, args: Any*): DataFrame = {
     val p = registry.get(name.toLowerCase)
     require(p != null, s"unknown procedure $name — registered: ${names.mkString(", ")}")
@@ -35,7 +51,7 @@ object Procedures {
 
   def names: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    registry.keys.asScala.toSeq.sorted
+    (registry.keys.asScala.toSeq ++ graphRegistry.keys.asScala.toSeq).sorted
   }
 
   // ---- built-ins (registered once at class load) ------------------------
@@ -689,6 +705,71 @@ object Procedures {
     val cap = args.lift(3).collect { case n: Number => n.intValue }
       .getOrElse(100000)
     graft.ops.Centrality.nodeSimilarity(edges, k, cap)
+  })
+
+  /** db.index.vector.createNodeIndex(name, label, prop, dim, simFn) —
+    * reference VectorIndexProcedures.java:105 (SCHEMA mode): records a
+    * vector index catalog entry that db.index.vector.queryNodes resolves
+    * by name (scoping the scan to the label). simFn COSINE|EUCLIDEAN,
+    * case-insensitive, like the reference. */
+  registerGraph("db.index.vector.createnodeindex", (spark, g, args) => {
+    val Seq(name: String, label: String, prop: String) = args.take(3)
+    val dim = args.lift(3).collect { case n: Number => n.intValue }.getOrElse(1)
+    val sim = args.lift(4).map(_.toString.toUpperCase).getOrElse("COSINE")
+    require(dim >= 1, s"'vectorDimension' must be >= 1, got $dim")
+    require(Set("COSINE", "EUCLIDEAN")(sim),
+      s"unknown vector similarity function $sim")
+    val g2 = graft.graph.Schema.createIndex(g, name, label, prop, "vector")
+    import spark.implicits._
+    (g2, Seq((name, label, prop)).toDF("name", "label", "property"))
+  })
+
+  private def vectorArgs(args: Seq[Any]): (Seq[Long], String, Array[Float]) = {
+    val ids = args(0) match {
+      case xs: Seq[_] => xs.map { case n: Number => n.longValue }
+      case n: Number  => Seq(n.longValue)
+      case other => throw new IllegalArgumentException(
+        s"expected node/relationship id(s), got $other")
+    }
+    val vec = args(2) match {
+      case xs: Seq[_] => xs.map { case n: Number => n.floatValue }.toArray
+      case other => throw new IllegalArgumentException(
+        s"'vector' must be a list of numbers, got $other")
+    }
+    (ids, args(1).toString, vec)
+  }
+
+  /** db.create.setNodeVectorProperty(nodeIdOrIds, key, vector) — reference
+    * VectorIndexProcedures.java:197 (WRITE mode): stores the vector as
+    * float32 (`array<float>`) — the reference's "more space efficient
+    * representation than Cypher's SET", at half the footprint of Cypher's
+    * double lists. An existing column keeps its type (the value casts). */
+  registerGraph("db.create.setnodevectorproperty", (spark, g, args) => {
+    val (ids, key, vec) = vectorArgs(args)
+    val nodes2 =
+      if (g.nodes.columns.contains(key)) {
+        val dt = g.nodes.schema(key).dataType
+        g.nodes.withColumn(key,
+          when(col("id").isin(ids: _*), lit(vec).cast(dt)).otherwise(col(key)))
+      } else g.nodes.withColumn(key,
+        when(col("id").isin(ids: _*), lit(vec)))
+    import spark.implicits._
+    (g.copy(nodes = nodes2), ids.toDF("node"))
+  })
+
+  /** db.create.setRelationshipVectorProperty — the relationship twin
+    * (reference VectorIndexProcedures.java:217). */
+  registerGraph("db.create.setrelationshipvectorproperty", (spark, g, args) => {
+    val (ids, key, vec) = vectorArgs(args)
+    val rels2 =
+      if (g.rels.columns.contains(key)) {
+        val dt = g.rels.schema(key).dataType
+        g.rels.withColumn(key,
+          when(col("id").isin(ids: _*), lit(vec).cast(dt)).otherwise(col(key)))
+      } else g.rels.withColumn(key,
+        when(col("id").isin(ids: _*), lit(vec)))
+    import spark.implicits._
+    (g.copy(rels = rels2), ids.toDF("relationship"))
   })
 
   register("db.index.vector.querynodes", (spark, g, args) => {

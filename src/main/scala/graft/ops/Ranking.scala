@@ -334,8 +334,12 @@ object Ranking {
    * S_uc − k_u·D_c/2m, ties to the smallest community id) and all
    * improving moves apply at once. Synchronous moving can oscillate two
    * adjacent nodes between each other's communities, so rounds alternate
-   * a parity gate — only nodes with (id + round) % 2 == 0 may move —
-   * the standard distributed-Louvain damping (Que et al. 2015). Rounds
+   * a parity gate — only nodes with (xxhash64(id) mod 2 + round) % 2 == 0
+   * may move — the standard distributed-Louvain damping (Que et al. 2015).
+   * The parity comes from a hash, not the raw id: id-structured
+   * projections (all-even generator ids, shifted encodings) would
+   * otherwise gate every node onto the same rounds and reintroduce the
+   * synchronous two-node swap the gate exists to damp. Rounds
    * stop after two consecutive move-free rounds (both parities clean) or
    * `maxRounds`. Each round is a constant number of hash joins +
    * partial-aggregable sums on the node key; contraction is one
@@ -430,11 +434,11 @@ object Ranking {
         val next = assign.join(best, Seq("u"), "left_outer")
           .select(col("u"), when(
               col("bv") > col("ownVal") + 1e-9 &&
-              ((col("u") + r) % 2 === 0), col("bc"))
+              ((pmod(xxhash64(col("u")), lit(2)) + r) % 2 === 0), col("bc"))
             .otherwise(col("comm")).as("comm"),
             (col("comm") =!= when(
               col("bv") > col("ownVal") + 1e-9 &&
-              ((col("u") + r) % 2 === 0), col("bc"))
+              ((pmod(xxhash64(col("u")), lit(2)) + r) % 2 === 0), col("bc"))
             .otherwise(col("comm"))).as("__moved"))
           .localCheckpoint()
         val moves = next.filter(col("__moved")).count()

@@ -269,6 +269,28 @@ object TypeQueries {
       },
       Some("""SELECT '[1, 2]' AS lo, '5' AS hi,
              |  CAST(3 * (SELECT count(*) FROM customer WHERE c_custkey BETWEEN 1 AND 5)
+             |    AS BIGINT) AS n""".stripMargin)),
+
+    // NESTED orderability (reference AnyValues total order incl. virtual
+    // values): lists-of-lists compare element-wise recursively, maps rank
+    // BELOW lists (Map < List < String < Number) and compare size → sorted
+    // keys → values (MapValue.unsafeCompareTo). min over the five-way mix
+    // is the smallest MAP, max the largest number — closed form since keys
+    // 1..5 exist at every SF.
+    QueryDef("q_mixed_order_nested",
+      (s, d) => {
+        val g = graft.graph.TpchGraph.load(s, d)
+        graft.cypher.Cypher.run(s, g,
+          """CALL { MATCH (c:Customer) WHERE c.key >= 1 AND c.key <= 5 RETURN [[c.key], [c.key, 9]] AS v
+            |  UNION ALL MATCH (c:Customer) WHERE c.key >= 1 AND c.key <= 5 RETURN [c.key, c.key * 2] AS v
+            |  UNION ALL MATCH (c:Customer) WHERE c.key >= 1 AND c.key <= 5 RETURN {k: c.key} AS v
+            |  UNION ALL MATCH (c:Customer) WHERE c.key >= 1 AND c.key <= 5 RETURN c.name AS v
+            |  UNION ALL MATCH (c:Customer) WHERE c.key >= 1 AND c.key <= 5 RETURN c.key AS v }
+            |RETURN toString(min(v)) AS lo, toString(max(v)) AS hi,
+            |       count(*) AS n""".stripMargin)
+      },
+      Some("""SELECT '{k: 1}' AS lo, '5' AS hi,
+             |  CAST(5 * (SELECT count(*) FROM customer WHERE c_custkey BETWEEN 1 AND 5)
              |    AS BIGINT) AS n""".stripMargin))
   )
 }

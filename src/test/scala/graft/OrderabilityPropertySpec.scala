@@ -89,6 +89,99 @@ class OrderabilityPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- nested values: lists-of-lists and maps ---------------------------
+
+  private sealed trait W
+  private case class WNum(v: Long) extends W
+  private case class WStr(v: String) extends W
+  private case class WBool(v: Boolean) extends W
+  private case object WNull extends W
+  private case class WList(xs: List[W]) extends W
+  private case class WMap(m: Map[String, Long]) extends W
+
+  private def wGen(depth: Int): Gen[W] = {
+    val scalar = Gen.frequency(
+      3 -> Gen.choose(-99L, 99L).map(WNum.apply),
+      3 -> Gen.listOfN(3, Gen.alphaChar).map(cs => WStr(cs.mkString)),
+      1 -> Gen.oneOf(true, false).map(WBool.apply),
+      1 -> Gen.const(WNull))
+    if (depth >= 2) scalar
+    else Gen.frequency(
+      4 -> scalar,
+      3 -> Gen.choose(0, 3).flatMap(n =>
+        Gen.listOfN(n, wGen(depth + 1)).map(WList.apply)),
+      2 -> Gen.choose(0, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.listOfN(2, Gen.alphaChar).map(_.mkString),
+          Gen.choose(-9L, 9L))).map(kvs => WMap(kvs.toMap))))
+  }
+
+  /** reference comparator: CIP ranks (Map < List < String < Boolean <
+    * Number < null) + reference MapValue.unsafeCompareTo (size, sorted
+    * keys, values) + element-wise lists with shorter prefix first. */
+  private def wCmp(a: W, b: W): Int = {
+    def rank(w: W): Int = w match {
+      case _: WMap => 0; case _: WList => 1; case _: WStr => 2
+      case _: WBool => 3; case _: WNum => 4; case WNull => 5
+    }
+    val r = rank(a) - rank(b)
+    if (r != 0) r
+    else (a, b) match {
+      case (WStr(x), WStr(y))   => x.compareTo(y)
+      case (WBool(x), WBool(y)) => x.compareTo(y)
+      case (WNum(x), WNum(y))   => java.lang.Long.compare(x, y)
+      case (WList(xs), WList(ys)) =>
+        xs.zip(ys).iterator.map { case (x, y) => wCmp(x, y) }
+          .find(_ != 0).getOrElse(xs.size - ys.size)
+      case (WMap(x), WMap(y)) =>
+        if (x.size != y.size) x.size - y.size
+        else {
+          val (kx, ky) = (x.keys.toSeq.sorted, y.keys.toSeq.sorted)
+          kx.zip(ky).iterator.map { case (p, q) => p.compareTo(q) }
+            .find(_ != 0)
+            .getOrElse(kx.iterator.map(k => java.lang.Long.compare(x(k), y(k)))
+              .find(_ != 0).getOrElse(0))
+        }
+      case _ => 0
+    }
+  }
+
+  private def encW(depth: Int, w: W): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    w match {
+      case WNum(v)  => Orderability.numberAt(depth, lit(v))
+      case WStr(s)  => Orderability.stringAt(depth, lit(s))
+      case WBool(b) => Orderability.booleanAt(depth, lit(b))
+      case WNull    => Orderability.nullAt(depth)
+      case WList(Nil) =>
+        Orderability.listOfEncodedAt(depth, Orderability.emptyElems(depth))
+      case WList(xs) =>
+        Orderability.listOfEncodedAt(depth,
+          array(xs.map(encW(depth + 1, _)): _*))
+      case WMap(m) =>
+        val c =
+          if (m.isEmpty) map().cast("map<string,bigint>")
+          else map(m.toSeq.flatMap { case (k, v) =>
+            Seq(lit(k), lit(v)) }: _*)
+        Orderability.encoderAt(depth, MapType(StringType, LongType)).get(c)
+    }
+  }
+
+  test("nested encoded sort matches the reference comparator (lists, maps)") {
+    for (seed <- Seq(5L, 23L, 4242L)) {
+      val vs = (0 until 60).flatMap(i =>
+        wGen(0).apply(Gen.Parameters.default, Seed(seed + i))).toList
+      val df = spark.range(1)
+        .select(posexplode(array(vs.map(encW(0, _)): _*)).as(Seq("pos", "v")))
+      val sorted = df.orderBy(col("v").asc).select("pos")
+        .collect().toSeq.map(r => vs(r.getInt(0)))
+      sorted.sliding(2).foreach {
+        case Seq(x, y) =>
+          assert(wCmp(x, y) <= 0, s"out of order: $x !<= $y (seed $seed)")
+        case _ => ()
+      }
+    }
+  }
+
   test("descending encoded sort reverses the order with nulls first") {
     val vs = sample(120, 7L)
     val desc = sortedByEncoding(vs, asc = false)

@@ -171,6 +171,35 @@ class ProceduresSpec extends AnyFunSuite {
     assert(sim.size == 6 && sim.values.forall(_ == 1.0))
   }
 
+  test("db.index.vector.createNodeIndex registers a named index CALL-side") {
+    val g = GraphFixtures.nodeGraph(spark, 3, "Doc")
+    val (g2, _) = graft.cypher.Cypher.execute(spark, g,
+      "CALL db.index.vector.createNodeIndex('emb_idx', 'Doc', 'name', 4, 'cosine')")
+    assert(g2.schema.indexes.exists(i =>
+      i.name == "emb_idx" && i.label == "Doc" && i.prop == "name" &&
+        i.kind == "vector"))
+    // invalid similarity function rejected like the reference
+    intercept[IllegalArgumentException] {
+      graft.cypher.Cypher.execute(spark, g,
+        "CALL db.index.vector.createNodeIndex('x', 'Doc', 'name', 4, 'taxicab')")
+    }
+  }
+
+  test("db.create.setNodeVectorProperty stores float32 and queryNodes sees it") {
+    val g = GraphFixtures.nodeGraph(spark, 3, "Doc")
+    val (g2, _) = graft.cypher.Cypher.execute(spark, g,
+      "CALL db.create.setNodeVectorProperty(1, 'emb', [1.0, 0.0])")
+    // space-efficient representation: float32, not Cypher's double list
+    assert(g2.nodes.schema("emb").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.FloatType)
+    val (g3, _) = graft.cypher.Cypher.execute(spark, g2,
+      "CALL db.create.setNodeVectorProperty(2, 'emb', [0.0, 1.0])")
+    val top = Procedures.call(spark, g3, "db.index.vector.queryNodes",
+      "emb", Int.box(1), Seq(0.9, 0.1)).collect()
+    assert(top.head.getAs[Long]("id") == 1L)
+  }
+
   test("user procedures register and dispatch") {
     Procedures.register("my.top_degree", (s, g, args) => {
       val k = args.head.asInstanceOf[Int]
