@@ -464,11 +464,15 @@ object Curation {
    * The pool gets a dense 0..n-1 index via the two-phase range-partition
    * prefix (the [[assignPacks]] pattern — no single-partition window);
    * probe j of query q targets index
-   * ((q mod 100000)·2654435761 + j·40503) mod n — pure integer
-   * arithmetic, so DuckDB replays it exactly and no value can overflow a
-   * BIGINT. Probes run k+4 deep, drop the positive and duplicate hits
-   * (keeping the earliest probe), and the first k survivors win. Every
-   * stage is a hash join or bounded window on the query id; the pool is
+   * ((q mod 100000)·2654435761 + j) mod n — pure integer arithmetic, so
+   * DuckDB replays it exactly and no value can overflow a BIGINT. The
+   * per-query base is hashed; probes step CONSECUTIVELY from it, which
+   * makes the k+1 probe indices provably distinct mod n (an earlier
+   * stride-40503 variant could collide whole probe runs when n divided a
+   * stride multiple, silently under-filling slots). Distinct indices ⇒
+   * distinct pool ids, and only the positive can knock one out — so k+1
+   * probes always fill every slot 1..k (n > k is required). Every stage
+   * is a hash join or bounded window on the query id; the pool is
    * scanned once.
    *
    * @return (qid, pos, neg, slot 1..k)
@@ -496,9 +500,9 @@ object Curation {
         (row_number().over(wIdx) - 1 + col("__base")).as("__idx"))
     val probes = pairs.select(col(qidCol).as("qid"), col(posCol).as("pos"))
       .select(col("qid"), col("pos"),
-        explode(sequence(lit(0), lit(k + 3))).as("__j"))
+        explode(sequence(lit(0), lit(k))).as("__j"))
       .withColumn("__idx",
-        ((col("qid") % 100000L) * 2654435761L + col("__j") * 40503L) % n)
+        ((col("qid") % 100000L) * 2654435761L + col("__j")) % n)
     val wDedup = Window.partitionBy("qid", "__pid_id").orderBy("__j")
     val wSlot = Window.partitionBy("qid").orderBy("__j")
     probes.join(indexed, "__idx")

@@ -177,9 +177,15 @@ object Fulltext {
       if (mustPhrases.isEmpty && notPhrases.isEmpty) None
       else {
         val base = if (a.lowercase) lower(col(textCol)) else col(textCol)
-        val norm = concat(lit(" "),
-          array_join(filter(split(base, a.pattern), t => t =!= ""), " "),
-          lit(" "))
+        // the haystack must pass the SAME analyzer as the needle: under a
+        // stopword analyzer the needle has stopwords removed, so a
+        // stopword-keeping haystack could never contain a phrase that
+        // includes one ("jump over wall" → needle "jump wall")
+        val toks0 = filter(split(base, a.pattern), t => t =!= "")
+        val toks =
+          if (a.stopwords.isEmpty) toks0
+          else filter(toks0, t => !t.isInCollection(a.stopwords.toSeq))
+        val norm = concat(lit(" "), array_join(toks, " "), lit(" "))
         val pred = (mustPhrases.map(p => norm.contains(s" $p ")) ++
           notPhrases.map(p => !norm.contains(s" $p ")))
           .reduce(_ && _)

@@ -600,8 +600,8 @@ object PipelineQueries {
              |probes AS (
              |  SELECT CAST(o_orderkey AS BIGINT) AS qid,
              |    CAST(o_custkey AS BIGINT) AS pos, j.j AS j,
-             |    ((o_orderkey % 100000) * 2654435761 + j.j * 40503) % n.n AS i
-             |  FROM orders, (SELECT unnest(generate_series(0, 7)) AS j) j, n
+             |    ((o_orderkey % 100000) * 2654435761 + j.j) % n.n AS i
+             |  FROM orders, (SELECT unnest(generate_series(0, 4)) AS j) j, n
              |  WHERE o_orderkey < 2000),
              |hit AS (SELECT qid, pos, j, pid FROM probes
              |  JOIN idx USING (i) WHERE pid <> pos),

@@ -216,4 +216,21 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3)))
     assert(r.sorted.sameElements(r2.sorted))
   }
+
+  test("negativeSamples fills every slot even on tiny pools (k+1 of n)") {
+    import spark.implicits._
+    // n = k+1: the tightest legal pool. Consecutive probe indices are
+    // distinct mod n, so even when one probe hits the positive, all k
+    // slots fill — the stride-collision shortfall ADVICE flagged cannot
+    // occur by construction.
+    val pairs = (1L to 25L).map(q => (q, 100L + q % 4)).toDF("q", "p")
+    val pool = (100L to 103L).toDF("cid")
+    val r = graft.functions.Curation.negativeSamples(
+        pairs, "q", "p", pool, "cid", k = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(3)))
+    r.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(Array(1, 2, 3)),
+        s"query $q under-filled: ${rows.map(_._2).mkString(",")}")
+    }
+  }
 }

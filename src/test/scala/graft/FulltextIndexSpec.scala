@@ -75,6 +75,22 @@ class FulltextIndexSpec extends AnyFunSuite {
     assert(ids == Seq(1L), s"got $ids")
   }
 
+  test("booleanTopK phrase with a stopword matches under the english analyzer") {
+    // the needle drops 'the' (english stopwords), so the haystack must
+    // pass the same analyzer — otherwise "over the wall" could never
+    // match its own source text (needle 'over wall' is not a substring
+    // of the stopword-keeping stream)
+    val df = Seq((1L, "they jump over the wall quickly"),
+      (2L, "leap over wall now"), (3L, "jump the fence"))
+      .toDF("doc_id", "text")
+    val ids = Fulltext.booleanTopK(df, "doc_id", "text",
+      "+\"over the wall\" quickly", k = 10, analyzer = "english")
+      .collect().map(_.getLong(0)).toSeq
+    // both 1 (stopword elided between) and 2 (already adjacent) analyze
+    // to 'over wall' adjacency; 3 does not
+    assert(ids.toSet == Set(1L, 2L), s"got $ids")
+  }
+
   test("booleanTopK without MUST requires at least one SHOULD match") {
     val ids = Fulltext.booleanTopK(corpus, "doc_id", "text",
       "entropy -minhash rank", k = 10).collect().map(_.getLong(0)).toSeq
