@@ -1269,26 +1269,35 @@ object Planner {
       if (s.groups) {
         // SHORTEST k GROUPS (reference Selector.ShortestGroups): whole
         // length-groups survive, so the search runs the distinct-arrival-
-        // round budget of Trail.shortestGroups. Scoped to a single
-        // unconstrained var-length leg with a bound target — the common
-        // selector shape; segment concatenations keep the per-path
-        // selector
-        require(segs.size == 1 && !segs.head.composite &&
-          segs.head.boundary.isEmpty,
-          "SHORTEST k GROUPS supports a single var-length relationship " +
-            "pattern (no alternation or interior predicates)")
-        if (toBound)
-          graft.ops.Trail.shortestGroups(segs.head.edges,
-            df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(),
-            kk, segs.head.min, segs.head.max)
-        else {
-          val targetIds =
-            if (toNode.labels.isEmpty && toNode.labelExpr.isEmpty &&
-              toNode.props.isEmpty && toNode.where.isEmpty) None
-            else boundarySet(ctx, toNode)
-          graft.ops.Trail.shortestGroupsTo(segs.head.edges,
-            df.select(col(fromVar).as("source")).distinct(), targetIds,
-            kk, segs.head.min, segs.head.max)
+        // depth budget. A single plain var-length leg takes the
+        // shortestGroups fast path (driver-local replica for small
+        // inputs); alternation branches and interior node predicates run
+        // the same product-graph search as SHORTEST k with group pruning
+        // (Trail.shortestGroupsSegments).
+        val simple = segs.size == 1 && !segs.head.composite &&
+          segs.head.boundary.isEmpty
+        val targetIds =
+          if (toBound || (toNode.labels.isEmpty && toNode.labelExpr.isEmpty &&
+            toNode.props.isEmpty && toNode.where.isEmpty)) None
+          else boundarySet(ctx, toNode)
+        if (simple) {
+          if (toBound)
+            graft.ops.Trail.shortestGroups(segs.head.edges,
+              df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(),
+              kk, segs.head.min, segs.head.max)
+          else
+            graft.ops.Trail.shortestGroupsTo(segs.head.edges,
+              df.select(col(fromVar).as("source")).distinct(), targetIds,
+              kk, segs.head.min, segs.head.max)
+        } else {
+          if (toBound)
+            graft.ops.Trail.shortestGroupsSegments(segs,
+              df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(),
+              kk)
+          else
+            graft.ops.Trail.shortestGroupsSegmentsTo(segs,
+              df.select(col(fromVar).as("source")).distinct(),
+              targetIds.map(_.select(col("id").as("target"))), kk)
         }
       } else if (toBound)
         graft.ops.Trail.shortestKSegments(segs,

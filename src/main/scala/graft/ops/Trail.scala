@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
  */
 object Trail {
 
+  /** Extra distinct-arrival-depth budget for the SHORTEST k GROUPS family
+    * beyond the k+min−1 a clean suffix-extension argument needs: under
+    * trail semantics an earlier prefix can consume a suffix edge, making
+    * an arrival depth "dead" yet budget-consuming (see the
+    * [[shortestGroups]] exactness note) — each unit of slack tolerates
+    * one such dead depth per (source, node). */
+  val GroupsBudgetSlack = 2
+
   /**
    * @param edges (id LONG, src LONG, dst LONG) — pre-oriented/filtered
    * @param input rows with bound start-node column `fromCol`
@@ -211,15 +219,22 @@ object Trail {
    *
    * Depth-synchronized frontier rounds like [[shortestK]], but the
    * per-(source, node) budget counts DISTINCT ARRIVAL ROUNDS, not paths:
-   * a node stays expandable for its first `k + min − 1` arrival depths
-   * and every trail of those depths survives. Budget correctness: if a
-   * final path of length L ranks within the k smallest valid lengths of
-   * its target, its prefix at interior v arrives at some depth r; were r
-   * NOT among v's first k+min−1 arrival depths, the earlier arrivals
-   * would extend by the same suffix into k+min−1 distinct lengths < L,
-   * of which at most min−1 fall below the validity floor — leaving ≥ k
-   * valid lengths < L, contradicting the rank. Work per round is bounded
-   * by the group sizes themselves (the operator's output is the groups).
+   * a node stays expandable for its first `k + min − 1 + slack` arrival
+   * depths and every trail of those depths survives. Budget rationale: if
+   * a final path of length L ranks within the k smallest valid lengths of
+   * its target, its prefix at interior v arrives at some depth r; when
+   * earlier arrivals at v extend by the same EDGE-DISJOINT suffix, they
+   * produce k+min−1 distinct lengths < L of which at most min−1 fall
+   * below the validity floor — so r lands within the budget. Trail
+   * semantics does NOT guarantee the suffix is edge-disjoint from every
+   * earlier prefix (a prefix may already have consumed a suffix edge), so
+   * on cyclic graphs a group can in principle arrive only via prefixes
+   * beyond the budget: the result is EXACT on DAGs and on graphs whose
+   * shortest trails extend edge-disjointly (like [[kCheapest]]'s
+   * DAG-only exactness note), and the `GroupsBudgetSlack` over-provision
+   * absorbs the common cyclic shapes (e.g. a back-edge consuming one
+   * arrival depth). Work per round is bounded by the group sizes
+   * themselves (the operator's output is the groups).
    *
    * @return (source, target, hops, path, nodes, group 1..k) — group is
    *         the dense rank of the path's length for its pair
@@ -251,7 +266,7 @@ object Trail {
       accept: DataFrame => DataFrame): DataFrame = {
     require(k >= 1 && min >= 0 && maxDepth >= math.max(min, 1) && maxDepth <= 30,
       s"shortestGroups bounds out of range: k=$k min=$min maxDepth=$maxDepth")
-    val budget = (k + math.max(0, min - 1)).toLong
+    val budget = (k + math.max(0, min - 1) + GroupsBudgetSlack).toLong
     // Small-input fast path (the astar/kCheapest pattern): replicate the
     // EXACT round DP on the driver — per-round trail expansion gated by
     // the same distinct-arrival-round budget — so results are identical
@@ -414,6 +429,73 @@ object Trail {
 
   private def shortestKImpl(segments: Seq[PathSegment], sources: DataFrame,
       k: Int, accept: DataFrame => DataFrame): DataFrame = {
+    val wState = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "end", "seg", "segHops")
+      .orderBy(col("hops").asc, col("path").asc)
+    // per state only the k best (hops, path) rows survive a round, so work
+    // per round is bounded by |reached states| × k, not by the trail count
+    val finished = segmentSearch(segments, sources, k, df => df
+      .withColumn("__rk", row_number().over(wState))
+      .filter(col("__rk") <= k).drop("__rk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "target").orderBy(col("hops").asc, col("path").asc)
+    accept(finished)
+      .select(col("source"), col("target"), col("hops"), col("path"), col("nodes"))
+      // identical paths can reach acceptance via different epsilon timings
+      .dropDuplicates("source", "target", "path")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** SHORTEST k GROUPS over a segment concatenation — the general form
+    * (alternation branches, interior node predicates) of
+    * [[shortestGroups]]. Same product-graph search as [[shortestKSegments]]
+    * but with group semantics: per state, whole length-cohorts survive up
+    * to the distinct-arrival-length budget (k + Σmin + slack), and the
+    * final rank is a dense rank over path length so ties share a group.
+    * Like the single-leg form, the budget makes this EXACT when shortest
+    * trails extend by edge-disjoint suffixes (all DAGs); on cyclic graphs
+    * a group can in principle arrive only via prefixes beyond the budget
+    * (see [[shortestGroups]]'s note) — the slack absorbs the common cases. */
+  def shortestGroupsSegments(segments: Seq[PathSegment], pairs: DataFrame,
+      k: Int): DataFrame =
+    shortestGroupsSegImpl(segments, pairs.select("source").distinct(), k,
+      fin => fin.join(pairs, Seq("source")).filter(col("end") === col("target")))
+
+  /** Unbound-target [[shortestGroupsSegments]] (source-driven accept). */
+  def shortestGroupsSegmentsTo(segments: Seq[PathSegment], sources: DataFrame,
+      targetNodes: Option[DataFrame], k: Int): DataFrame =
+    shortestGroupsSegImpl(segments, sources.select("source").distinct(), k,
+      fin => {
+        val t = fin.withColumn("target", col("end"))
+        targetNodes.fold(t)(tn =>
+          t.join(tn.select("target").distinct(), Seq("target"), "left_semi"))
+      })
+
+  private def shortestGroupsSegImpl(segments: Seq[PathSegment],
+      sources: DataFrame, k: Int, accept: DataFrame => DataFrame): DataFrame = {
+    val budget = k + segments.map(_.min).sum + GroupsBudgetSlack
+    val wState = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "end", "seg", "segHops")
+      .orderBy(col("hops").asc)
+    val finished = segmentSearch(segments, sources, k, df => df
+      .withColumn("__rk", dense_rank().over(wState))
+      .filter(col("__rk") <= budget).drop("__rk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "target").orderBy(col("hops").asc)
+    accept(finished)
+      .select(col("source"), col("target"), col("hops"), col("path"), col("nodes"))
+      .dropDuplicates("source", "target", "path")
+      .withColumn("group", dense_rank().over(w))
+      .filter(col("group") <= k)
+  }
+
+  /** Shared product-graph search of the SHORTEST k family: runs the
+    * depth-synchronized segment rounds and returns every accepted
+    * (seg == nSeg) row; `pruneStates` bounds per-state growth (k-best rows
+    * for per-path selectors, length-cohort budgets for GROUPS). */
+  private def segmentSearch(segments: Seq[PathSegment], sources: DataFrame,
+      k: Int, pruneStates: DataFrame => DataFrame): DataFrame = {
     require(segments.nonEmpty && k >= 1, "need segments and k >= 1")
     segments.foreach(s => require(s.min >= 0 && s.max >= s.min && s.max <= 30,
       s"segment bounds out of range: ${s.min}..${s.max}"))
@@ -435,13 +517,6 @@ object Trail {
           lit(1).as("__elen"))
       c.localCheckpoint(false)
     }
-
-    val wState = org.apache.spark.sql.expressions.Window
-      .partitionBy("source", "end", "seg", "segHops")
-      .orderBy(col("hops").asc, col("path").asc)
-    def pruneStates(df: DataFrame): DataFrame = df
-      .withColumn("__rk", row_number().over(wState))
-      .filter(col("__rk") <= k).drop("__rk")
     // epsilon closure: advance past segments whose minimum is satisfied
     // (seg == nSeg is the accepting state). Advances run in ascending
     // segment order — seg only grows, so every chain of advances is
@@ -509,14 +584,7 @@ object Trail {
       activeCnt = materializeAndCountActive(frontier)
       depth += 1
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source", "target").orderBy(col("hops").asc, col("path").asc)
-    accept(finished.result().reduce(_ unionByName _))
-      .select(col("source"), col("target"), col("hops"), col("path"), col("nodes"))
-      // identical paths can reach acceptance via different epsilon timings
-      .dropDuplicates("source", "target", "path")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    finished.result().reduce(_ unionByName _)
   }
 
   /** PropertyGraph convenience: orient + type-filter the rels table. */

@@ -456,6 +456,38 @@ object PathQueries {
              |  CAST((c + 2) * (c + 1) / 2 AS BIGINT) AS n
              |FROM (SELECT unnest(generate_series(0, 4)) AS c)""".stripMargin)),
 
+    // SHORTEST k GROUPS over an ALTERNATION of path shapes (the general
+    // selector form: branches compile to composite whole-branch edges and
+    // the group search runs on the product graph): 1-rel and 2-rel
+    // branches quantified {1,4} cover every undirected trail of 1..8
+    // rels, so the two smallest length groups 0 -> 33 are the same
+    // {6, 8} the plain GROUPS query finds — the oracle enumerates trails
+    // and keeps the two smallest hop groups.
+    QueryDef("q_cypher_shortest_groups_alt",
+      (s, d) => graft.cypher.Cypher.run(s, gridGraph(s, d),
+        """MATCH (a:G {row: 0, col: 0}), (b:G {row: 3, col: 3})
+          |MATCH p = SHORTEST 2 GROUPS (a) (-[:E]-()|-[:E]-()-[:E]-()){1,4} (b)
+          |RETURN length(p) AS hops, count(*) AS n""".stripMargin),
+      Some("""WITH RECURSIVE grid AS (
+             |  SELECT CAST(c_custkey - 1 AS BIGINT) AS k FROM customer
+             |  WHERE c_custkey BETWEEN 1 AND 100),
+             |e0 AS (
+             |  SELECT k + 1000 AS rid, k AS s, k + 1 AS d FROM grid
+             |  WHERE k % 10 < 9
+             |  UNION ALL SELECT k + 2000, k, k + 10 FROM grid WHERE k < 90),
+             |e AS (
+             |  SELECT rid, s, d FROM e0 UNION ALL SELECT rid, d, s FROM e0),
+             |p AS (
+             |  SELECT CAST(0 AS BIGINT) AS node, CAST([] AS BIGINT[]) AS used,
+             |    0 AS hops
+             |  UNION ALL
+             |  SELECT e.d, list_append(p.used, e.rid), p.hops + 1
+             |  FROM p JOIN e ON e.s = p.node
+             |  WHERE p.hops < 8 AND NOT list_contains(p.used, e.rid)),
+             |g AS (SELECT CAST(hops AS INT) AS hops, count(*) AS n
+             |  FROM p WHERE node = 33 AND hops >= 1 GROUP BY hops)
+             |SELECT hops, n FROM g ORDER BY hops LIMIT 2""".stripMargin)),
+
     // Ranked k-cheapest paths on the procedure surface (reference
     // graph-algo Dijkstra.java findAllPaths returns the equal-cost tie
     // set; kCheapest extends it to a ranked top-k). Directed weighted

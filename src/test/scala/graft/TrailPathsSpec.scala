@@ -243,6 +243,55 @@ class TrailPathsSpec extends AnyFunSuite {
     assert(local.toList == run(0).toList, "local and distributed disagree")
   }
 
+  test("shortestGroups budget slack keeps groups behind dead-end arrivals") {
+    import spark.implicits._
+    // ADVICE counterexample: s=0 -> v=1, v -> t=2, t -> v, plus a 5-edge
+    // path s -> 10..13 -> v. v's arrival depths are 1, 3 (via s->v,v->t,
+    // t->v — a prefix that already consumed v->t and cannot extend) and
+    // 5; a bare k+min-1 = 2 budget prunes the depth-5 arrival and loses
+    // the unique length-6 trail to t. True group lengths: {2, 6}.
+    val e = Seq(
+      (100L, 0L, 1L), (101L, 1L, 2L), (102L, 2L, 1L),
+      (110L, 0L, 10L), (111L, 10L, 11L), (112L, 11L, 12L),
+      (113L, 12L, 13L), (114L, 13L, 1L)
+    ).toDF("id", "src", "dst")
+    val pairs = Seq((0L, 2L)).toDF("source", "target")
+    for (th <- Seq(10000, 0)) { // local replica AND distributed rounds
+      val hops = graft.ops.Trail.shortestGroups(e, pairs, k = 2,
+          min = 1, maxDepth = 8, localThreshold = th)
+        .collect().map(r => r.getInt(r.fieldIndex("hops"))).toSeq.sorted
+      assert(hops == Seq(2, 6), s"threshold=$th got $hops")
+    }
+  }
+
+  test("shortestGroupsSegments: alternation branches + interior predicate") {
+    import spark.implicits._
+    // leg 1 alternation: direct edge 0->1 (len 1) or two-hop 0->5->1
+    // (len 2); interior boundary {1}; leg 2: 1->2 (len 1). Groups to 2:
+    // lengths {2, 3}
+    val leg1a = Seq((300L, 0L, 1L)).toDF("id", "src", "dst")
+      .select(col("src").as("__es"), col("dst").as("__ed"),
+        array(col("id")).as("__ers"), array(col("dst")).as("__ens"),
+        lit(1).as("__elen"))
+    val leg1b = Seq((301L, 0L, 5L), (302L, 5L, 1L)).toDF("id", "src", "dst")
+    val leg1bComp = leg1b.alias("x").join(leg1b.alias("y"),
+        col("x.dst") === col("y.src") && col("x.src") === 0L)
+      .select(col("x.src").as("__es"), col("y.dst").as("__ed"),
+        array(col("x.id"), col("y.id")).as("__ers"),
+        array(col("x.dst"), col("y.dst")).as("__ens"), lit(2).as("__elen"))
+    val leg2 = Seq((400L, 1L, 2L)).toDF("id", "src", "dst")
+    val boundary = Seq(1L).toDF("id")
+    val segs = Seq(
+      graft.ops.Trail.PathSegment(leg1a.unionByName(leg1bComp), 1, 1,
+        Some(boundary), composite = true),
+      graft.ops.Trail.PathSegment(leg2, 1, 1))
+    val r = graft.ops.Trail.shortestGroupsSegments(segs,
+        Seq((0L, 2L)).toDF("source", "target"), k = 2)
+      .collect().map(x => (x.getInt(x.fieldIndex("hops")),
+        x.getInt(x.fieldIndex("group")))).sorted
+    assert(r.toSeq == Seq((2, 1), (3, 2)), s"got ${r.toList}")
+  }
+
   test("astarAlt is exact under landmark pruning (distributed path)") {
     import spark.implicits._
     // cheap chain 0->..->5 (weight 1) with expensive detours i -> 100+i
