@@ -196,13 +196,24 @@ object EventQueries {
              |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin)),
 
     // approx_count_distinct (HLL) — reference has exact-only aggregation
-    // (SURVEY §2.5 gap); sketch estimates are implementation-specific →
-    // rows-only check, accuracy asserted in AggregationSpec.
+    // (SURVEY §2.5 gap). Sketch estimates are implementation-specific, so
+    // the oracle pins the ERROR BOUND instead of the estimate: the engine
+    // emits the exact count plus a within-tolerance flag (|approx−exact|
+    // ≤ 2·rsd·exact at the default rsd 0.05), the oracle derives exact
+    // counts and asserts the flag true — a deterministic, hash-checkable
+    // row. Point estimates remain spec-pinned in AggregationSpec.
     QueryDef("q_events_approx_distinct",
       (s, d) => events(s, d)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users")),
-      None),
+        .agg(approx_count_distinct(col("user_id")).as("__approx"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users")) <=
+            lit(0.10) * col("exact_users")).as("within_tol")),
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  true AS within_tol
+             |FROM events GROUP BY event_type""".stripMargin)),
 
     // Graph ingestion (batch twin of GraphIngest.ingestGraph): one MERGE
     // batch of the whole events table into a fresh store, then the graph's
