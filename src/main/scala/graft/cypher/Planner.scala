@@ -56,6 +56,10 @@ object Planner {
           new java.util.IdentityHashMap[RelPattern, java.lang.Boolean]())) {
     private var counter = 0
     def fresh(prefix: String): String = { counter += 1; s"__${prefix}_$counter" }
+    /** statement-unique tag for created-entity id hashing: a per-clause
+      * index would repeat across CREATE/MERGE clauses of one statement
+      * (same runTag, same row ids) and collide the generated ids */
+    def freshIdTag(): Int = { counter += 1; counter }
     /** per-transaction commit hook for CALL {} IN TRANSACTIONS */
     var txCommit: PropertyGraph => PropertyGraph = Planner.defaultTxCommit
     /** stable per-plan seed for created-entity id hashing */
@@ -361,14 +365,13 @@ object Planner {
   // ---- write clauses (CREATE / MERGE / SET / REMOVE / DELETE) -----------
 
   /** CREATE: one new node per input row per unbound pattern node, rels
-    * between them. Created ids = xxhash64(runTag, varIdx, row ordinal) —
+    * between them. Created ids = xxhash64(runTag, statement-unique tag, row ordinal) —
     * frozen by an eager checkpoint so the nondeterministic ordinal can
     * never be recomputed differently. */
   private def planCreate(ctx: Ctx, env: Env, c: CreateClause): Env = {
     var df = env.df.getOrElse(unit(ctx.spark))
     var binds = env.binds
-    var varIdx = 0
-    case class NewNode(v: String, labels: Seq[String], props: Seq[(String, Expr)])
+        case class NewNode(v: String, labels: Seq[String], props: Seq[(String, Expr)])
     case class NewRel(v: String, tpe: String, from: String, to: String,
         props: Seq[(String, Expr)])
     val newNodes = Seq.newBuilder[NewNode]
@@ -384,9 +387,8 @@ object Planner {
           require(np.labelExpr.isEmpty && np.where.isEmpty,
             "CREATE patterns take concrete labels and no WHERE")
           val v = other.getOrElse(ctx.fresh("cn"))
-          varIdx += 1
           df = df.withColumn(v,
-            xxhash64(lit(ctx.runTag), lit(varIdx), monotonically_increasing_id()))
+            xxhash64(lit(ctx.runTag), lit(ctx.freshIdTag()), monotonically_increasing_id()))
           binds += (v -> NodeVar)
           newNodes += NewNode(v, np.labels, np.props)
           v
@@ -397,9 +399,8 @@ object Planner {
           "CREATE relationships need exactly one type and fixed length")
         val toVar = handleNode(node)
         val rv = rel.variable.getOrElse(ctx.fresh("cr"))
-        varIdx += 1
         df = df.withColumn(rv,
-          xxhash64(lit(ctx.runTag), lit(varIdx), monotonically_increasing_id()))
+          xxhash64(lit(ctx.runTag), lit(ctx.freshIdTag()), monotonically_increasing_id()))
         binds += (rv -> RelVar)
         val (s, d) = rel.dir match {
           case In => (toVar, fromVar)
@@ -490,8 +491,11 @@ object Planner {
           keyed.join(existing,
             np.props.map { case (k, _) => s"__mk_$k" }, "left_outer")
         }
-      // deterministic id from the key → MERGE is idempotent across runs
+      // deterministic id from the key → MERGE is idempotent across the
+      // clause's rows; the statement-unique tag keeps two MERGE clauses
+      // with equal keys but different labels from colliding ids
       val newId = xxhash64((lit(ctx.runTag) +: lit("m") +:
+        lit(ctx.freshIdTag()) +:
         np.props.map { case (k, _) => col(s"__mk_$k") }): _*)
       val resolved = joined
         .withColumn(v, coalesce(col("__mid"), newId))
@@ -2608,7 +2612,12 @@ object Planner {
 
   private def planUnwind(ctx: Ctx, env: Env, u: UnwindClause): Env = {
     val df = env.df.getOrElse(unit(ctx.spark))
-    val c = compile(ctx, env.copy(df = Some(df)), u.expr)
+    val c0 = compile(ctx, env.copy(df = Some(df)), u.expr)
+    // UNWIND null yields no rows (openCypher): a NullType literal needs an
+    // array cast for explode to accept it (null arrays explode to nothing)
+    val c = if (dataTypeOf(env.copy(df = Some(df)), c0)
+        .contains(org.apache.spark.sql.types.NullType)) c0.cast("array<string>")
+      else c0
     // explode: empty/null lists yield no rows — exactly Cypher's UNWIND
     Env(Some(df.withColumn(u.alias, explode(c))), env.binds + (u.alias -> ValueVar))
   }
@@ -2863,7 +2872,17 @@ object Planner {
         }
         array(xs.map(encLit(0)): _*)
       case ListLit(xs) => array(xs.map(c): _*)
-      case MapLit(es)  => map(es.flatMap { case (k, v) => Seq(lit(k), c(v)) }: _*)
+      case MapLit(es) if es.isEmpty => map()
+      case MapLit(es) =>
+        // homogeneous values → a real MapType; heterogeneous values (Cypher
+        // maps are freely mixed, e.g. {name: 'x', age: 30}) can't share one
+        // Spark map value type, so they compile to a named struct —
+        // property access reads either via getItem
+        val vals = es.map { case (k, v) => k -> c(v) }
+        val types = vals.map { case (_, vc) => dataTypeOf(env, vc) }
+        if (types.forall(_.isDefined) && types.flatten.distinct.size == 1)
+          map(vals.flatMap { case (k, vc) => Seq(lit(k), vc) }: _*)
+        else struct(vals.map { case (k, vc) => vc.as(k) }: _*)
       case Param(n)    => litAny(ctx.params.getOrElse(n,
         throw new IllegalArgumentException(s"missing parameter $$$n")))
       case Variable(v) =>
@@ -3104,8 +3123,9 @@ object Planner {
         c(Prop(Variable(v), key))
       case Index(l, i) =>
         val ic = c(i)
-        // Cypher 0-based; negative = from end (element_at is 1-based/±)
-        element_at(c(l), when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
+        // Cypher 0-based; negative = from end (element_at is 1-based/±);
+        // out-of-bounds is null, not an error (try_ under ANSI mode)
+        try_element_at(c(l), when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
       case Slice(l, f, t) =>
         val lc = c(l)
         val from = f.map(c).getOrElse(lit(0))
@@ -3170,7 +3190,13 @@ object Planner {
     name match {
       // aggregates (within groupBy().agg(...))
       case "count"   => if (distinct) count_distinct(a0) else count(a0)
-      case "sum"     => sum(a0)
+      // Cypher: sum over zero rows / all-null input is 0, not null
+      // (reference SumFunction's zero start value); a NullType input
+      // (e.g. a missing-everywhere property) sums to integer 0, not 0.0
+      case "sum"     =>
+        if (dataTypeOf(env, a0).contains(org.apache.spark.sql.types.NullType))
+          coalesce(max(lit(0L)), lit(0L)) // aggregate-shaped constant 0
+        else coalesce(sum(a0), lit(0L))
       case "avg"     => avg(a0)
       case "min" | "max" =>
         // cross-type min/max (reference MinMaxFunction.scala): orderability-
@@ -3303,7 +3329,7 @@ object Planner {
         // stable within a graph, which is what users key on)
         a0.cast("string")
       case "sqrt"  => sqrt(a0)
-      case "sign"  => signum(a0)
+      case "sign"  => signum(a0).cast("long") // Cypher sign() is INTEGER
       case "exp"   => exp(a0)
       case "log"   => log(a0)
       case "log10" => log10(a0)
