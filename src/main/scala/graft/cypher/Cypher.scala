@@ -139,9 +139,12 @@ object Cypher {
    * Updating queries (CREATE / MERGE / SET / REMOVE / DELETE, freely mixed
    * with read clauses): returns the updated graph snapshot plus the final
    * RETURN's rows if present. Writes become visible to subsequent clauses
-   * (Eager semantics via immutable snapshots). Documented divergence: a
-   * RETURN in the same query reads pre-update property values of rows bound
-   * before the write — re-MATCH against the returned graph to observe them.
+   * (Eager semantics via immutable snapshots), and SET/REMOVE refresh the
+   * touched variables' hydrated property columns so a trailing RETURN
+   * observes post-update values (openCypher visibility; TCK-pinned).
+   * Documented divergence: labels() of an already-bound variable still
+   * reads the statement-start snapshot — re-MATCH against the returned
+   * graph to observe label changes (see the TCK denylist).
    */
   def execute(spark: SparkSession, graph: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty,

@@ -243,8 +243,15 @@ object Planner {
         }
       case c: CreateClause => env = planCreate(ctx, env, c)
       case m: MergeClause  => env = planMerge(ctx, env, m)
-      case s: SetClause    => planSetItems(ctx, env, s.items)
-      case r: RemoveClause => planSetItems(ctx, env, r.items)
+      case s: SetClause    =>
+        planSetItems(ctx, env, s.items)
+        // a trailing RETURN observes the post-SET values (openCypher; the
+        // TCK pins it): refresh the touched variables' hydrated columns
+        // from the updated snapshot
+        env = rehydrate(ctx, env, setItemVars(s.items))
+      case r: RemoveClause =>
+        planSetItems(ctx, env, r.items)
+        env = rehydrate(ctx, env, setItemVars(r.items))
       case d: DeleteClause => planDelete(ctx, env, d)
       case f: ForeachClause => planForeach(ctx, env, f)
       case cc: CallClause  => env = planCall(ctx, env, cc)
@@ -563,6 +570,15 @@ object Planner {
     apply(m.onCreate, createdFlag)
     apply(m.onMatch, !createdFlag)
   }
+
+  private def setItemVars(items: Seq[SetItem]): Seq[String] =
+    items.map {
+      case SetProp(v, _, _)        => v
+      case SetPropsFromMap(v, _, _) => v
+      case SetLabelsItem(v, _)     => v
+      case RemoveProp(v, _)        => v
+      case RemoveLabelsItem(v, _)  => v
+    }.distinct
 
   private def planSetItems(ctx: Ctx, env: Env, items: Seq[SetItem]): Unit =
     planSetItemsOn(ctx, env, items)

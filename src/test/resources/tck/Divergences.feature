@@ -4,16 +4,16 @@
 
 Feature: Divergences
 
-  Scenario: RETURN after SET observes the updated property value
+  Scenario: labels read after SET label in the same statement sees the new label
     Given an empty graph
     And having executed:
       """
-      CREATE (:N {v: 1})
+      CREATE (:N {k: 1})
       """
     When executing query:
       """
-      MATCH (n:N) SET n.v = 2 RETURN n.v AS v
+      MATCH (n:N) SET n:Extra RETURN size(labels(n)) AS nl
       """
     Then the result should be, in any order:
-      | v |
-      | 2 |
+      | nl |
+      | 2  |

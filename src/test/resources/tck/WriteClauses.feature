@@ -163,6 +163,34 @@ Feature: WriteClauses
       | nodes |
       | 1     |
 
+  Scenario: RETURN after SET observes the updated property value
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {v: 1})
+      """
+    When executing query:
+      """
+      MATCH (n:N) SET n.v = 2 RETURN n.v AS v
+      """
+    Then the result should be, in any order:
+      | v |
+      | 2 |
+
+  Scenario: RETURN after REMOVE observes the removed property as null
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {v: 1})
+      """
+    When executing query:
+      """
+      MATCH (n:N) REMOVE n.v RETURN n.v AS v
+      """
+    Then the result should be, in any order:
+      | v    |
+      | null |
+
   Scenario: SET a label on an existing node
     Given an empty graph
     And having executed:
