@@ -2393,6 +2393,10 @@ object Planner {
           case r: ReturnClause =>
             projectPaged(r.items, r.distinct, r.orderBy, r.skip, r.limit,
               isReturn = true)
+          case cc: CallClause => sub = planCall(ctx, sub, cc)
+          case nested: CallSubquery if nested.inTransactionsOf.isEmpty &&
+              !nested.innerQ.parts.exists(_.clauses.exists(isWrite)) =>
+            sub = planCallSubquery(ctx, sub, nested)
           case other => throw new IllegalArgumentException(
             s"unsupported clause in correlated CALL subquery: $other")
         }

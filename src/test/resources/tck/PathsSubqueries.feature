@@ -162,6 +162,43 @@ Feature: PathsSubqueries
       | 2 | 20 |
       | 3 | 30 |
 
+  Scenario: Correlated CALL subquery containing a nested CALL subquery
+    Given an empty graph
+    When executing query:
+      """
+      UNWIND [1, 2] AS x
+      CALL {
+        WITH x
+        CALL { WITH x RETURN x * 100 AS h }
+        RETURN h + x AS y
+      }
+      RETURN x, y
+      """
+    Then the result should be, in any order:
+      | x | y   |
+      | 1 | 101 |
+      | 2 | 202 |
+
+  Scenario: Correlated CALL subquery with a procedure call inside
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:L1 {k: 1}), (:L2 {k: 2})
+      """
+    When executing query:
+      """
+      UNWIND [1] AS x
+      CALL {
+        WITH x
+        CALL db.labels() YIELD label
+        RETURN count(label) AS nlabels
+      }
+      RETURN x, nlabels
+      """
+    Then the result should be, in any order:
+      | x | nlabels |
+      | 1 | 2       |
+
   Scenario: Pattern comprehension collects per row
     Given an empty graph
     And having executed:
