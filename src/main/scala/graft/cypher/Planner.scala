@@ -2947,7 +2947,9 @@ object Planner {
             case "minute" => minute(sc).cast("long")
             case "second" => second(sc).cast("long")
             case "week" => weekofyear(sc).cast("long")
-            case "dayofweek" => dayofweek(sc).cast("long")
+            // Cypher dayOfWeek is ISO-8601 (Monday=1..Sunday=7); Spark's
+            // dayofweek() is Sunday=1 — weekday() is Monday=0, so +1
+            case "dayofweek" => (weekday(sc) + 1).cast("long")
             case "ordinalday" => dayofyear(sc).cast("long")
             case "quarter" => quarter(sc).cast("long")
             case _ => sc.getItem(k)
