@@ -453,8 +453,9 @@ object Planner {
       }
       (side0, e.df) match {
         case (Some(s0), Some(df)) if needed.nonEmpty =>
-          val avail = s0.columns.toSet -- Set("id", "labels", "src", "dst", "type")
-          val props = (if (needed("*")) avail else needed.filter(avail)).toSeq.sorted
+          val avail = s0.columns.toSet -- Set("id", "src", "dst", "type")
+          val props = (if (needed("*")) avail - "labels"
+            else needed.filter(avail)).toSeq.sorted
           if (props.isEmpty) e
           else {
             val side = s0.select(

@@ -1,6 +1,9 @@
-# Scenarios that pin DOCUMENTED divergences of graft from openCypher —
-# each is denylisted in denylist.txt with its reason, mirroring the
-# reference's per-engine TCK denylist mechanism.
+# Formerly the home of denylisted divergences. Both divergences pinned in
+# earlier iterations (RETURN-after-SET property staleness, labels()
+# staleness after SET label) are FIXED — SET/REMOVE rehydrate the touched
+# variables' property AND label columns, so the trailing RETURN observes
+# post-update values. The scenarios stay here as regression pins; the
+# denylist is empty until a genuine divergence appears.
 
 Feature: Divergences
 
