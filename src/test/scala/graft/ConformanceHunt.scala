@@ -7,10 +7,10 @@ import org.apache.spark.sql.SparkSession
   * which fail to parse/plan/execute. Not a spec — a gap-finding tool. */
 object ConformanceHunt {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
+    // GraftSession, not a bare builder: the engine's temporal surface
+    // needs its session config (UTC, extensions); a bare session fails
+    // DateType decoding on collect
+    val spark = GraftSession.builder("local[4]", "4")
       .appName("hunt").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val g = TpchGraph.load(spark, "/root/testdata/sf0.001")
