@@ -514,6 +514,44 @@ object Curation {
       .select(col("qid"), col("pos"), col("__pid_id").as("neg"), col("slot"))
   }
 
+  /**
+   * Document chunking: split each document into fixed-size token windows
+   * with `overlap` tokens shared between consecutive chunks — the
+   * context-window preparation stage between cleaning and packing in a
+   * pretraining/RAG pipeline (chunk, then embed or pack).
+   *
+   * Chunk starts step by `chunkSize - overlap`; the final chunk may be
+   * short; a document of ≤ chunkSize tokens (including an empty one)
+   * yields exactly one chunk. Deterministic — same input, same chunks,
+   * any partitioning.
+   *
+   * Scale shape: tokenize + per-row index explode + array slice — a
+   * narrow map with NO shuffle at any size; output rows ≈ corpus tokens
+   * / stride, each chunk built by one codegen'd slice.
+   *
+   * @return (id, chunk_idx INT 0.., chunk_text, ntok INT)
+   */
+  def chunkDocuments(df: DataFrame, chunkSize: Int, overlap: Int = 0,
+      idCol: String = "id", textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize: chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = df.select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("__t"))
+    val n = size(col("__t"))
+    val nChunks = when(n <= chunkSize, lit(1L))
+      .otherwise(ceil((n - chunkSize).cast("double") / stride).cast("long") + 1L)
+    toks
+      .select(col("id"), col("__t"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        slice(col("__t"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkSize)).as("__c"))
+      .select(col("id"), col("chunk_idx"),
+        array_join(col("__c"), " ").as("chunk_text"),
+        size(col("__c")).as("ntok"))
+  }
+
   def assignPacks(df: DataFrame, idCol: String, tokCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"pack budget must be positive: $budget")

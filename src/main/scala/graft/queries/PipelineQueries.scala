@@ -1080,6 +1080,31 @@ object PipelineQueries {
              |  CAST(CASE WHEN ntok <= 0 THEN 1
              |    ELSE ("offset" + ntok - 1) // 512 - "offset" // 512 + 1
              |    END AS INT) AS packs
-             |FROM off""".stripMargin))
+             |FROM off""".stripMargin)),
+
+    // Document chunking (fixed token windows, 8-token overlap): the
+    // context-window prep stage before embedding/packing. Deterministic
+    // slices, so the oracle replays every window boundary and the chunk
+    // text itself.
+    QueryDef("q_chunk_documents",
+      (s, d) => graft.functions.Curation.chunkDocuments(
+        docs(s, d), chunkSize = 64, overlap = 8),
+      Some("""WITH tk AS (SELECT doc_id AS id,
+             |    list_filter(string_split_regex(text, '\s+'),
+             |      w -> length(w) > 0) AS t
+             |  FROM documents),
+             |n AS (SELECT id, t,
+             |    CASE WHEN len(t) <= 64 THEN 1
+             |      ELSE CAST(ceil((len(t) - 64) / 56.0) AS BIGINT) + 1 END AS nc
+             |  FROM tk),
+             |c AS (SELECT id, t,
+             |    unnest(generate_series(0, nc - 1)) AS chunk_idx
+             |  FROM n)
+             |SELECT id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |  array_to_string(t[(chunk_idx * 56 + 1):(chunk_idx * 56 + 64)], ' ')
+             |    AS chunk_text,
+             |  CAST(len(t[(chunk_idx * 56 + 1):(chunk_idx * 56 + 64)]) AS INT)
+             |    AS ntok
+             |FROM c""".stripMargin))
   )
 }

@@ -217,6 +217,30 @@ class CurationSpec extends AnyFunSuite {
     assert(r.sorted.sameElements(r2.sorted))
   }
 
+  test("chunkDocuments windows with overlap; short and empty docs chunk once") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // short: one chunk
+      (3L, "")                     // empty: one empty chunk
+    ).toDF("id", "text")
+    val r = graft.functions.Curation.chunkDocuments(d, chunkSize = 4, overlap = 1)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getInt(3)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: stride 3 → ceil((10-4)/3)+1 = 3 chunks at starts 0,3,6 —
+    // every token covered, no degenerate tail window
+    assert(r.filter(_._1 == 1L).map(x => (x._3, x._4)).toSeq == Seq(
+      ("a b c d", 4), ("d e f g", 4), ("g h i j", 4)))
+    assert(r.filter(_._1 == 2L).toSeq == Seq((2L, 0, "x y", 2)))
+    assert(r.filter(_._1 == 3L).toSeq == Seq((3L, 0, "", 0)))
+    // consecutive chunks share exactly `overlap` tokens
+    val c1 = r.filter(_._1 == 1L).map(_._3.split(" ").toSeq).toSeq
+    c1.sliding(2).foreach {
+      case Seq(a, b) => assert(a.takeRight(1) == b.take(1), s"$a | $b")
+      case _ => ()
+    }
+  }
+
   test("negativeSamples fills every slot even on tiny pools (k+1 of n)") {
     import spark.implicits._
     // n = k+1: the tightest legal pool. Consecutive probe indices are
