@@ -1082,6 +1082,33 @@ object PipelineQueries {
              |    END AS INT) AS packs
              |FROM off""".stripMargin)),
 
+    // BPE tokenizer training (Sennrich et al. 2016): first-round adjacent
+    // character-pair statistics — the argmax input of merge 0 — replayed
+    // exactly in SQL (char pairs weighted by word frequency, end-of-word
+    // marker included, ties lexicographic).
+    QueryDef("q_bpe_pairs",
+      (s, d) => graft.functions.Bpe.pairStats(docs(s, d), k = 20),
+      Some("""WITH wc AS (SELECT wd, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |    SELECT unnest(list_filter(
+             |      string_split_regex(lower(text), '\s+'),
+             |      x -> length(x) > 0)) AS wd FROM documents) GROUP BY wd),
+             |p AS (
+             |  SELECT substr(wd, i, 1) AS l, substr(wd, i + 1, 1) AS r, cnt
+             |  FROM wc, LATERAL unnest(generate_series(1, length(wd) - 1)) AS t(i)
+             |  WHERE length(wd) >= 2
+             |  UNION ALL
+             |  SELECT substr(wd, length(wd), 1), '</w>', cnt FROM wc)
+             |SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
+             |FROM p GROUP BY l, r
+             |ORDER BY n DESC, l, r LIMIT 20""".stripMargin)),
+
+    // The full merge loop (rows-only: each round's argmax depends on the
+    // previous round's data-dependent merges — not expressible
+    // relationally; BpeSpec proves the loop against a reference BPE).
+    QueryDef("q_bpe_train",
+      (s, d) => graft.functions.Bpe.train(docs(s, d), merges = 12),
+      None),
+
     // Document chunking (fixed token windows, 8-token overlap): the
     // context-window prep stage before embedding/packing. Deterministic
     // slices, so the oracle replays every window boundary and the chunk
