@@ -3151,9 +3151,16 @@ object Planner {
         try_element_at(c(l), when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
       case Slice(l, f, t) =>
         val lc = c(l)
-        val from = f.map(c).getOrElse(lit(0))
-        val to = t.map(c).getOrElse(size(lc))
-        slice(lc, (from + 1).cast("int"), (to - from).cast("int"))
+        val n = size(lc)
+        // Cypher slice indices: 0-based half-open, NEGATIVE counts from the
+        // end, out-of-range clamps (never errors)
+        def norm(e: Column): Column = {
+          val i = e.cast("int")
+          when(i < 0, greatest(i + n, lit(0))).otherwise(least(i, n))
+        }
+        val from = norm(f.map(c).getOrElse(lit(0)))
+        val to = norm(t.map(c).getOrElse(n.cast("long")))
+        slice(lc, from + 1, greatest(to - from, lit(0)))
       case IterPredicate(kind, v, l, pred) =>
         val (lc, bind, _) = elemIter(ctx, env, lambdas, v, l)
         val p: Column => Column = x => compile(ctx, env, pred, lambdas ++ bind(x))
@@ -3324,7 +3331,11 @@ object Planner {
       case "floor" => floor(a0).cast("double")
       case "round" =>
         val scale = if (args.size > 1) constInt(ctx, args(1)) else 0
-        if (args.size <= 2) round(a0, scale)
+        // 1-arg round = Java Math.round (reference CypherFunctions.round
+        // :293): nearest integer, TIES TOWARD POSITIVE INFINITY — not
+        // HALF_UP (round(-2.5) is -2.0, not -3.0); result is FLOAT
+        if (args.size == 1) floor(a0 + lit(0.5)).cast("double")
+        else if (args.size == 2) round(a0, scale)
         else {
           // Cypher round(value, precision, mode) — reference
           // expressions/functions Round with java.math.RoundingMode
