@@ -919,7 +919,7 @@ object Planner {
   // ---- MATCH ------------------------------------------------------------
 
   private def planMatch(ctx: Ctx, env: Env, mIn: MatchClause): Env = {
-    if (mIn.optional && env.df.isDefined) planOptionalMatch(ctx, env, mIn)
+    if (mIn.optional) planOptionalMatch(ctx, env, mIn)
     else {
       val m = pushStepPredicates(env, mIn)
       var cur = env
@@ -1701,17 +1701,24 @@ object Planner {
     * variables it references, then left-outer join back (reference
     * logical Optional/Apply → here one decorrelated outer join). */
   private def planOptionalMatch(ctx: Ctx, env: Env, m: MatchClause): Env = {
-    val df = env.df.get
+    // a single unit row when nothing is bound yet (standalone OPTIONAL
+    // MATCH): the always-true left-outer join below then yields the
+    // matches, or one all-null row
+    val df = env.df.getOrElse(unit(ctx.spark))
     // key on every bound variable the pattern OR its WHERE references, so
     // the sub-plan can evaluate predicates that mix inner and outer vars
     val whereVars = m.where.map(exprVars).getOrElse(Set.empty)
     val refs = (m.patterns.flatMap(patternVars).toSet ++ whereVars)
       .filter(env.has).toSeq.sorted
-    require(refs.nonEmpty,
-      "OPTIONAL MATCH must reference at least one bound variable")
-    val keyCols = refKeyCols(df, refs)
-    val base = Env(Some(df.select(keyCols.map(col): _*).distinct()),
-      env.binds.view.filterKeys(refs.contains).toMap)
+    // disconnected OPTIONAL MATCH (no bound variable referenced — incl. a
+    // standalone one at statement start): plan the pattern standalone and
+    // preserve every outer row via an always-true left-outer join; zero
+    // matches yield the all-null row Cypher requires
+    val keyCols = if (refs.isEmpty) Nil else refKeyCols(df, refs)
+    val base =
+      if (refs.isEmpty) Env(None, Map.empty)
+      else Env(Some(df.select(keyCols.map(col): _*).distinct()),
+        env.binds.view.filterKeys(refs.contains).toMap)
     var sub = base
     val relVarsBefore = relVars(base)
     // same selection pushdown as planMatch — WHERE belongs to the optional
@@ -1728,8 +1735,10 @@ object Planner {
     // join back on the variable ids only (null-unsafe using-join must not
     // key on nullable `v$prop` columns); drop the sub-plan's carried copies
     // of the outer property columns first — df already has them
-    val joined = df.join(sub.df.get.drop(keyCols.filterNot(refs.contains): _*),
-      refs, "left_outer")
+    val joined =
+      if (refs.isEmpty) df.join(sub.df.get, lit(true), "left_outer")
+      else df.join(sub.df.get.drop(keyCols.filterNot(refs.contains): _*),
+        refs, "left_outer")
     Env(Some(joined), env.binds ++ sub.binds)
   }
 
