@@ -2964,6 +2964,36 @@ object Planner {
             case "quarter" => quarter(sc).cast("long")
             case _ => sc.getItem(k)
           }
+        else if (isDurationType(dataTypeOf(env, sc)))
+          // duration accessors (reference DurationValue.get / TemporalFields):
+          // derived components WITHIN each group — groups never convert
+          // into each other (a day is not always 24h under DST)
+          k.toLowerCase match {
+            case "years"    => (sc.getItem("months") / 12).cast("long")
+            case "quarters" => (sc.getItem("months") / 3).cast("long")
+            case "months"   => sc.getItem("months")
+            case "monthsofyear"    => sc.getItem("months") % 12
+            case "monthsofquarter" => sc.getItem("months") % 3
+            case "quartersofyear"  => (sc.getItem("months") / 3).cast("long") % 4
+            case "weeks"    => (sc.getItem("days") / 7).cast("long")
+            case "days"     => sc.getItem("days")
+            case "daysofweek" => sc.getItem("days") % 7
+            case "hours"    => (sc.getItem("seconds") / 3600).cast("long")
+            case "minutes"  => (sc.getItem("seconds") / 60).cast("long")
+            case "seconds"  => sc.getItem("seconds")
+            case "minutesofhour"   => (sc.getItem("seconds") / 60).cast("long") % 60
+            case "secondsofminute" => sc.getItem("seconds") % 60
+            case "milliseconds" =>
+              sc.getItem("seconds") * 1000 + (sc.getItem("nanos") / 1000000).cast("long")
+            case "microseconds" =>
+              sc.getItem("seconds") * 1000000L + (sc.getItem("nanos") / 1000).cast("long")
+            case "nanoseconds" =>
+              sc.getItem("seconds") * 1000000000L + sc.getItem("nanos")
+            case "millisecondsofsecond" => (sc.getItem("nanos") / 1000000).cast("long")
+            case "microsecondsofsecond" => (sc.getItem("nanos") / 1000).cast("long")
+            case "nanosecondsofsecond"  => sc.getItem("nanos")
+            case _ => sc.getItem(k)
+          }
         else sc.getItem(k)
       case CountStar   => count(lit(1))
       case Func(name, args, distinct) => compileFunc(ctx, env, name, args, distinct, lambdas)
