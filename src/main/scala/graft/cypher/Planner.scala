@@ -542,16 +542,40 @@ object Planner {
       // create distinct rels with distinct ids
       val newId = xxhash64((lit(ctx.runTag) +: lit("mr") +: lit(tpe) +:
         sCol +: dCol +: keyProps.map(_._2)): _*)
-      val source = df.select((newId.as("id") +:
+      val source0 = df.select((newId.as("id") +:
         sCol.as("src") +: dCol.as("dst") +: lit(tpe).as("type") +: props): _*)
         .distinct()
+      // UNDIRECTED rel MERGE `(a)-[:T]-(b)` matches EITHER orientation
+      // (reference MergePipe pattern match); only a pair connected in
+      // neither direction inserts (created left-to-right). mergeRels
+      // matches the forward orientation itself; pairs already connected in
+      // REVERSE leave the source set here.
+      val undirected = rel.dir == Both
+      val source =
+        if (!undirected) source0
+        else {
+          val rev = ctx.g.rels.filter(col("type") === tpe)
+            .select((col("src").as("__vs") +: col("dst").as("__vd") +:
+              keyProps.map { case (k, _) => col(k).as(s"__vp_$k") }): _*)
+          val revCond = keyProps.foldLeft(
+            col("src") === col("__vd") && col("dst") === col("__vs")) {
+            case (c, (k, _)) => c && (col(k) <=> col(s"__vp_$k"))
+          }
+          source0.join(rev, revCond, "left_anti")
+        }
       ctx.g = UpdateOps.mergeRels(ctx.g, source, keyProps = keyProps.map(_._1))
       // bind the rel id: matched rels keep their original id — re-resolve on
-      // the full key (props null-safe, mirroring mergeRels' match condition)
+      // the full key (props null-safe, mirroring mergeRels' match condition;
+      // either orientation for the undirected form)
       val relSide = ctx.g.rels.filter(col("type") === tpe)
         .select((col("id").as(rv) +: col("src").as("__ms") +: col("dst").as("__md") +:
           keyProps.map { case (k, _) => col(k).as(s"__mp_$k") }): _*)
-      val joinCond = keyProps.foldLeft(sCol === col("__ms") && dCol === col("__md")) {
+      val orient =
+        if (undirected)
+          (sCol === col("__ms") && dCol === col("__md")) ||
+            (sCol === col("__md") && dCol === col("__ms"))
+        else sCol === col("__ms") && dCol === col("__md")
+      val joinCond = keyProps.foldLeft(orient) {
         case (c, (k, v)) => c && (v <=> col(s"__mp_$k"))
       }
       val withRel = df.join(relSide, joinCond)
