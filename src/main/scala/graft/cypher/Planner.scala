@@ -731,6 +731,11 @@ object Planner {
       case Func("length" | "size", Seq(Variable(v)), _) if pathVars(v) => ()
       case Variable(v) if pathVars(v) => add(v, "rels"); add(v, "nodes")
       case Prop(Variable(v), k) => add(v, k)
+      // startNode(r).k / endNode(r).k: the endpoint's property hydrates
+      // through the rel (marker keys; expandHop joins the nodes table)
+      case Prop(Func(f @ ("startnode" | "endnode"), Seq(Variable(v)), _), k) =>
+        add(v, if (f == "startnode") "src" else "dst")
+        add(v, (if (f == "startnode") "__sn_" else "__en_") + k)
       case Prop(s, _)           => walk(s)
       case Func("labels", Seq(Variable(v)), _)    => add(v, "labels")
       case Func("relationships" | "rels", Seq(Variable(v)), _) => add(v, "rels")
@@ -2133,8 +2138,14 @@ object Planner {
           r = if (r.columns.contains(k)) r.filter(col(k) === constExpr(ctx, e))
           else r.filter(lit(false))
         }
-        val relNeeded = ctx.needed.getOrElse(relVar, Set.empty)
-          .filter(g.rels.columns.toSet).toSeq.sorted
+        val relNeeded0 = ctx.needed.getOrElse(relVar, Set.empty)
+        val relNeeded = (
+          if (relNeeded0("*"))
+            // properties(r): every rel property column (structural cols
+            // only when explicitly asked, e.g. by type()/startNode())
+            (g.rels.columns.toSet -- Set("id", "src", "dst", "type")) ++
+              relNeeded0.filter(g.rels.columns.toSet)
+          else relNeeded0.filter(g.rels.columns.toSet)).toSeq.sorted
         def orient(from: Column, to: Column): DataFrame =
           r.select((col("id").as(relVar) +: from.as("__from") +: to.as("__to") +:
             relNeeded.map(p => col(p).as(s"$relVar$$$p"))): _*)
@@ -2157,8 +2168,23 @@ object Planner {
           edges0.join(nodeScan(ctx, node).select(col("id").as("__to")),
             Seq("__to"), "left_semi")
           else edges0
-        val joined = env.df.get.join(edges, col(fromVar) === col("__from"))
+        var joined = env.df.get.join(edges, col(fromVar) === col("__from"))
           .drop("__from")
+        // startNode(r).k / endNode(r).k marker keys: join the endpoint's
+        // property in through the rel's ORIGINAL src/dst (hydrated above)
+        def endpointProps(marker: String, idCol: String): Unit = {
+          val props = relNeeded0.collect {
+            case s if s.startsWith(marker) => s.stripPrefix(marker)
+          }.filter(g.nodes.columns.toSet).toSeq.sorted
+          if (props.nonEmpty)
+            joined = joined.join(
+              g.nodes.select((col("id").as("__epid") +:
+                props.map(p => col(p).as(s"$relVar$$$marker$p"))): _*),
+              col(s"$relVar$$$idCol") === col("__epid"), "left_outer")
+              .drop("__epid")
+        }
+        endpointProps("__sn_", "src")
+        endpointProps("__en_", "dst")
         Env(Some(joined), env.binds + (relVar -> RelVar))
       case Some((min, maxOpt)) =>
         // inline property map on a var-length rel: EVERY traversed rel must
@@ -2968,6 +2994,11 @@ object Planner {
         }
       case Prop(MapLit(es), k) =>
         es.find(_._1 == k).map(kv => c(kv._2)).getOrElse(lit(null))
+      case Prop(Func(f @ ("startnode" | "endnode"), Seq(Variable(v)), _), k) =>
+        // hydrated through the rel by expandHop (marker columns); missing
+        // property IS NULL, like any other property read
+        val n = s"$v$$${if (f == "startnode") "__sn_" else "__en_"}$k"
+        if (env.df.exists(_.columns.contains(n))) col(n) else lit(null)
       case Prop(s, k)  =>
         val sc = c(s)
         // temporal component access (Cypher d.year / d.month / …) when the
@@ -3315,8 +3346,12 @@ object Planner {
           case Variable(x) => x
           case other => throw new IllegalArgumentException(s"$name() needs a variable")
         }
+        val isRel = env.binds.get(v).contains(RelVar)
+        val structural =
+          if (isRel) Set(s"$v$$src", s"$v$$dst", s"$v$$type") else Set(s"$v$$labels")
         val propCols = env.df.map(_.columns.toSeq).getOrElse(Seq.empty)
-          .filter(cn => cn.startsWith(v + "$") && cn != s"$v$$labels").sorted
+          .filter(cn => cn.startsWith(v + "$") && !structural(cn) &&
+            !cn.startsWith(s"$v$$__")).sorted
         require(propCols.nonEmpty, s"no hydrated properties for $v")
         if (name == "properties")
           // Cypher returns a map; columnar engines return a STRUCT of the
