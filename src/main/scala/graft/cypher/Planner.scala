@@ -3532,8 +3532,9 @@ object Planner {
       case "range" =>
         if (args.size >= 3) sequence(a0, c(args(1)), c(args(2)))
         else sequence(a0, c(args(1)))
-      case "head"  => element_at(a0, 1)
-      case "last"  => element_at(a0, -1)
+      // null on empty (Cypher), not an ANSI out-of-bounds error
+      case "head"  => try_element_at(a0, lit(1))
+      case "last"  => try_element_at(a0, lit(-1))
       case "tail"  => slice(a0, lit(2), greatest(size(a0) - 1, lit(0)))
       case "coalesce" => coalesce(args.map(c): _*)
       case "date" => args.headOption match {
