@@ -319,6 +319,34 @@ object PipelineQueries {
       },
       None),
 
+    // Exact brute-force twin of q_cosine_near_dup: every pair over the
+    // threshold (the LSH-bucketed form above trades recall for the
+    // bucketed join, so it stays rows-only; the exact pair set is
+    // relationally replayable — DuckDB list_cosine_similarity).
+    QueryDef("q_cosine_near_dup_exact",
+      (s, d) => {
+        // UNIT-NORMALIZE each vector once before the pair join: cosine
+        // then costs one dot fold per pair instead of dot + two norms
+        val emb = t(s, d, "embeddings")
+          .filter(col("vec_id") < 800)
+          .select(col("vec_id").as("id"),
+            Similarity.asDouble(col("embedding")).as("v"))
+          .select(col("id"), transform(col("v"),
+            x => x / sqrt(aggregate(col("v"), lit(0.0),
+              (acc, y) => acc + y * y))).as("u"))
+        val a = emb.select(col("id").as("idA"), col("u").as("uA"))
+        val b = emb.select(col("id").as("idB"), col("u").as("uB"))
+        a.crossJoin(b).filter(col("idA") < col("idB"))
+          .filter(aggregate(zip_with(col("uA"), col("uB"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) >= 0.40)
+          .select(col("idA"), col("idB"))
+      },
+      Some("""SELECT a.vec_id AS idA, b.vec_id AS idB
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE a.vec_id < 800 AND b.vec_id < 800
+             |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+             |""".stripMargin)),
+
     // Repetition quality signals (Gopher-style filters, Rae et al. 2021
     // §A1.1): duplicate-line fraction, top-bigram coverage, duplicate-
     // bigram coverage — the pre-training boilerplate/spam drop criteria.
