@@ -172,6 +172,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!sampled.contains("Exchange"), s"stratifiedSample shuffles:\n$sampled")
   }
 
+  test("chunkDocuments is pure map-side (no exchange, no UDF)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 50L).map(i => (i, "some words " * 40)).toDF("id", "text")
+    val plan = graft.functions.Curation.chunkDocuments(df, 64, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunkDocuments shuffles:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"chunkDocuments uses a UDF:\n$plan")
+  }
+
+  test("BPE pair counting partial-aggregates before its one shuffle") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq("low lower newest widest").toDF("text")
+    val plan = graft.functions.Bpe.pairStats(df, 10)
+      .queryExecution.executedPlan.toString
+    // two aggregates (word count, pair count), each with a map-side
+    // partial before its exchange
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"pairStats uses a UDF:\n$plan")
+  }
+
   test("gopherRules and charEntropy are pure map-side (no exchange, no UDF)") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
