@@ -258,7 +258,9 @@ object Planner {
       case cs: CallSubquery =>
         env = cs.inTransactionsOf match {
           case Some(n) => planCallInTransactions(ctx, env, cs, n)
-          case None if cs.inner.clauses.exists(isWrite) =>
+          // UNION bodies route through planCallSubquery, which plans the
+          // whole union — cs.inner (single-part accessor) must not force
+          case None if cs.innerQ.parts.exists(_.clauses.exists(isWrite)) =>
             // SubqueryForeach (reference LogicalPlan :3877): write-CALL{}
             // without IN TRANSACTIONS = one implicit transaction over all rows
             planCallInTransactions(ctx, env, cs, Long.MaxValue)
@@ -1546,10 +1548,13 @@ object Planner {
       val df = env.df.get
       val refs = (patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty) ++ extra)
         .filter(env.has).toSeq.sorted
-      require(refs.nonEmpty, "pattern subquery must reference a bound variable")
-      val keyCols = refKeyCols(df, refs)
-      val base = Env(Some(df.select(keyCols.map(col): _*).distinct()),
-        env.binds.view.filterKeys(refs.contains).toMap)
+      // refs empty = an UNCORRELATED pattern subquery: plan it standalone
+      // (runs once); callers join back with an always-true outer join
+      val keyCols = if (refs.isEmpty) Nil else refKeyCols(df, refs)
+      val base =
+        if (refs.isEmpty) Env(None, Map.empty)
+        else Env(Some(df.select(keyCols.map(col): _*).distinct()),
+          env.binds.view.filterKeys(refs.contains).toMap)
       var sub = planPath(ctx, base, p)
       w.foreach { pred => sub = applyWhere(ctx, sub, pred) }
       // join back on entity identity only (the reference's SemiApply keys on
@@ -1563,9 +1568,12 @@ object Planner {
         val (keyCols, sub) = subPlan(p, w)
         val hit = sub.df.get.select(keyCols.map(col): _*).distinct()
           .withColumn(flag, lit(true))
+        val joined =
+          if (keyCols.isEmpty)
+            env.df.get.join(hit.limit(1), lit(true), "left_outer")
+          else env.df.get.join(hit, keyCols, "left_outer")
         env = env.copy(df = Some(
-          env.df.get.join(hit, keyCols, "left_outer")
-            .withColumn(flag, coalesce(col(flag), lit(false)))),
+          joined.withColumn(flag, coalesce(col(flag), lit(false)))),
           binds = env.binds + (flag -> ValueVar))
         flags += flag
         Variable(flag)
@@ -1574,9 +1582,12 @@ object Planner {
         val (keyCols, sub) = subPlan(p, w)
         val counts = sub.df.get.groupBy(keyCols.map(col): _*)
           .agg(count(lit(1)).as(cnt))
+        val joined =
+          if (keyCols.isEmpty)
+            env.df.get.join(counts, lit(true), "left_outer")
+          else env.df.get.join(counts, keyCols, "left_outer")
         env = env.copy(df = Some(
-          env.df.get.join(counts, keyCols, "left_outer")
-            .withColumn(cnt, coalesce(col(cnt), lit(0L)))),
+          joined.withColumn(cnt, coalesce(col(cnt), lit(0L)))),
           binds = env.binds + (cnt -> ValueVar))
         flags += cnt
         Variable(cnt)
@@ -1632,9 +1643,11 @@ object Planner {
             collected.withColumn(lcol, slice(col(lcol), start, len))
           }
         val listType = sliced.schema(lcol).dataType
+        val joinedPc =
+          if (keyCols.isEmpty) env.df.get.join(sliced, lit(true), "left_outer")
+          else env.df.get.join(sliced, keyCols, "left_outer")
         env = env.copy(df = Some(
-          env.df.get.join(sliced, keyCols, "left_outer")
-            .withColumn(lcol, coalesce(col(lcol), array().cast(listType)))),
+          joinedPc.withColumn(lcol, coalesce(col(lcol), array().cast(listType)))),
           binds = env.binds + (lcol -> ValueVar))
         flags += lcol
         Variable(lcol)
@@ -1660,16 +1673,25 @@ object Planner {
       "EXISTS pattern requires bound variables"))
     val refs = (patternVars(p) ++ where.map(exprVars).getOrElse(Set.empty))
       .filter(env.has).toSeq.sorted
-    require(refs.nonEmpty, "EXISTS pattern must reference at least one bound variable")
-    val keyCols = refKeyCols(df, refs)
-    val base = Env(Some(df.select(keyCols.map(col): _*).distinct()),
-      env.binds.view.filterKeys(refs.contains).toMap)
+    // uncorrelated EXISTS: plan standalone; all rows keep (semi) or drop
+    // (anti) depending on whether the sub-pattern matched at all
+    val keyCols = if (refs.isEmpty) Nil else refKeyCols(df, refs)
+    val base =
+      if (refs.isEmpty) Env(None, Map.empty)
+      else Env(Some(df.select(keyCols.map(col): _*).distinct()),
+        env.binds.view.filterKeys(refs.contains).toMap)
     var sub = planPath(ctx, base, p)
     where.foreach { w => sub = applyWhere(ctx, sub, w) }
     // semi/anti-join on the variable ids only: `v$prop` hydrated columns may
     // be NULL (union schema across labels) and using-joins are null-unsafe
-    val key = sub.df.get.select(refs.map(col): _*).distinct()
-    env.copy(df = Some(df.join(key, refs, if (anti) "left_anti" else "left_semi")))
+    if (refs.isEmpty) {
+      val any = sub.df.get.limit(1)
+      env.copy(df = Some(
+        df.join(any, lit(true), if (anti) "left_anti" else "left_semi")))
+    } else {
+      val key = sub.df.get.select(refs.map(col): _*).distinct()
+      env.copy(df = Some(df.join(key, refs, if (anti) "left_anti" else "left_semi")))
+    }
   }
 
   /** Columns a decorrelated sub-plan needs from the outer row: the referenced
