@@ -140,11 +140,10 @@ object Cypher {
    * with read clauses): returns the updated graph snapshot plus the final
    * RETURN's rows if present. Writes become visible to subsequent clauses
    * (Eager semantics via immutable snapshots), and SET/REMOVE refresh the
-   * touched variables' hydrated property columns so a trailing RETURN
-   * observes post-update values (openCypher visibility; TCK-pinned).
-   * Documented divergence: labels() of an already-bound variable still
-   * reads the statement-start snapshot — re-MATCH against the returned
-   * graph to observe label changes (see the TCK denylist).
+   * touched variables' hydrated property AND label columns, so a trailing
+   * RETURN observes post-update values — including labels() after a SET
+   * label (openCypher visibility; both TCK-pinned, WriteClauses.feature +
+   * Divergences.feature; the TCK denylist is currently empty).
    */
   def execute(spark: SparkSession, graph: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty,

@@ -542,17 +542,21 @@ object Planner {
       // id derives from the FULL pattern key (type + inline props included):
       // two MERGEs of different types/props between the same endpoints must
       // create distinct rels with distinct ids
-      val newId = xxhash64((lit(ctx.runTag) +: lit("mr") +: lit(tpe) +:
-        sCol +: dCol +: keyProps.map(_._2)): _*)
-      val source0 = df.select((newId.as("id") +:
-        sCol.as("src") +: dCol.as("dst") +: lit(tpe).as("type") +: props): _*)
-        .distinct()
       // UNDIRECTED rel MERGE `(a)-[:T]-(b)` matches EITHER orientation
       // (reference MergePipe pattern match); only a pair connected in
-      // neither direction inserts (created left-to-right). mergeRels
-      // matches the forward orientation itself; pairs already connected in
-      // REVERSE leave the source set here.
+      // neither direction inserts. The pair CANONICALIZES (least, greatest)
+      // for the undirected form so input rows carrying both orientations of
+      // one pair — e.g. a symmetric MATCH product — collapse to ONE rel,
+      // like the reference's per-row merge observing the first row's write.
       val undirected = rel.dir == Both
+      val (s0, d0) =
+        if (undirected) (least(sCol, dCol), greatest(sCol, dCol))
+        else (sCol, dCol)
+      val newId = xxhash64((lit(ctx.runTag) +: lit("mr") +: lit(tpe) +:
+        s0 +: d0 +: keyProps.map(_._2)): _*)
+      val source0 = df.select((newId.as("id") +:
+        s0.as("src") +: d0.as("dst") +: lit(tpe).as("type") +: props): _*)
+        .distinct()
       val source =
         if (!undirected) source0
         else {
@@ -3017,10 +3021,16 @@ object Planner {
       case Prop(MapLit(es), k) =>
         es.find(_._1 == k).map(kv => c(kv._2)).getOrElse(lit(null))
       case Prop(Func(f @ ("startnode" | "endnode"), Seq(Variable(v)), _), k) =>
-        // hydrated through the rel by expandHop (marker columns); missing
-        // property IS NULL, like any other property read
+        // hydrated through the rel by expandHop (marker columns); a
+        // property absent from the node schema IS NULL, but a REAL node
+        // property whose marker never hydrated (rel bound by CREATE/MERGE
+        // or a var-length leg) must fail loudly, not silently null out
         val n = s"$v$$${if (f == "startnode") "__sn_" else "__en_"}$k"
-        if (env.df.exists(_.columns.contains(n))) col(n) else lit(null)
+        if (env.df.exists(_.columns.contains(n))) col(n)
+        else if (!ctx.g.nodes.columns.contains(k)) lit(null)
+        else throw new IllegalArgumentException(
+          s"$f($v).$k: endpoint properties hydrate for single-hop MATCH-bound " +
+            "relationships only — bind the endpoint node in the pattern instead")
       case Prop(s, k)  =>
         val sc = c(s)
         // temporal component access (Cypher d.year / d.month / …) when the
@@ -3342,8 +3352,10 @@ object Planner {
       case "sum"     =>
         if (dataTypeOf(env, a0).contains(org.apache.spark.sql.types.NullType))
           coalesce(max(lit(0L)), lit(0L)) // aggregate-shaped constant 0
+        else if (distinct) coalesce(sum_distinct(a0), lit(0L))
         else coalesce(sum(a0), lit(0L))
-      case "avg"     => avg(a0)
+      case "avg"     =>
+        if (distinct) sum_distinct(a0) / count_distinct(a0) else avg(a0)
       case "min" | "max" =>
         // cross-type min/max (reference MinMaxFunction.scala): orderability-
         // encoded values compare by the struct's type-rank order; encoded

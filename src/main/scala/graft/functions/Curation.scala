@@ -536,8 +536,10 @@ object Curation {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize: chunkSize=$chunkSize overlap=$overlap")
     val stride = chunkSize - overlap
+    // null text behaves like empty text (one empty chunk) — a null
+    // token array would otherwise null the chunk count and DROP the row
     val toks = df.select(col(idCol).as("id"),
-      TextFunctions.tokens(col(textCol)).as("__t"))
+      TextFunctions.tokens(coalesce(col(textCol), lit(""))).as("__t"))
     val n = size(col("__t"))
     val nChunks = when(n <= chunkSize, lit(1L))
       .otherwise(ceil((n - chunkSize).cast("double") / stride).cast("long") + 1L)

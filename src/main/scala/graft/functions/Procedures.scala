@@ -138,11 +138,18 @@ object Procedures {
     import spark.implicits._
     val (rows, prop) = resolveIndex(g, arg, "vector", nodes = false)
     require(rows.columns.contains(prop), s"unknown relationship property $prop")
+    val idx = g.schema.indexes.find(i => i.name == arg && i.kind == "vector")
+    val metric = idx.flatMap(_.options.get("vector.similarity"))
+      .getOrElse("COSINE")
+    idx.flatMap(_.options.get("vector.dimensions")).foreach { d =>
+      require(qvec.size == d.toInt,
+        s"query vector has ${qvec.size} dimensions; index $arg expects $d")
+    }
     val queries = Seq((0L, qvec.map(_.toString.toDouble).toArray))
       .toDF("qid", "qvec")
     Similarity.bruteForceTopK(
       rows.filter(col(prop).isNotNull).select(col("id"), col(prop).as("vec")),
-      queries, k.intValue).drop("qid")
+      queries, k.intValue, metric, excludeSelf = false).drop("qid")
   })
 
   /** graft.shortestPath.dijkstra(srcIds, dstIds, weightProp[,
@@ -719,7 +726,9 @@ object Procedures {
     require(dim >= 1, s"'vectorDimension' must be >= 1, got $dim")
     require(Set("COSINE", "EUCLIDEAN")(sim),
       s"unknown vector similarity function $sim")
-    val g2 = graft.graph.Schema.createIndex(g, name, label, prop, "vector")
+    val g2 = graft.graph.Schema.createIndex(g, name, label, prop, "vector",
+      options = Map("vector.dimensions" -> dim.toString,
+        "vector.similarity" -> sim))
     import spark.implicits._
     (g2, Seq((name, label, prop)).toDF("name", "label", "property"))
   })
@@ -777,10 +786,19 @@ object Procedures {
     import spark.implicits._
     val (rows, prop) = resolveIndex(g, arg, "vector", nodes = true)
     require(rows.columns.contains(prop), s"unknown node property $prop")
+    // honor the index's configured similarity function and dimension
+    // (createNodeIndex options; default COSINE for bare-property queries)
+    val idx = g.schema.indexes.find(i => i.name == arg && i.kind == "vector")
+    val metric = idx.flatMap(_.options.get("vector.similarity"))
+      .getOrElse("COSINE")
+    idx.flatMap(_.options.get("vector.dimensions")).foreach { d =>
+      require(qvec.size == d.toInt,
+        s"query vector has ${qvec.size} dimensions; index $arg expects $d")
+    }
     val queries = Seq((0L, qvec.map(_.toString.toDouble).toArray))
       .toDF("qid", "qvec")
     Similarity.bruteForceTopK(
       rows.filter(col(prop).isNotNull).select(col("id"), col(prop).as("vec")),
-      queries, k.intValue).drop("qid")
+      queries, k.intValue, metric, excludeSelf = false).drop("qid")
   })
 }

@@ -42,11 +42,28 @@ object Similarity {
    * @param queries (qid LONG, qvec ARRAY<FLOAT>) — small; broadcast
    * @return (qid, id, sim, rank) rank 1..k, self-match excluded
    */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      metric: String = "COSINE",
+      // self-exclusion is for kNN over one table (query ids ARE corpus
+      // ids); index queries pass false — their synthetic qid must not
+      // shadow a real corpus id
+      excludeSelf: Boolean = true): DataFrame = {
+    // EUCLIDEAN score = 1 / (1 + d²), the reference's Lucene similarity
+    // mapping (VectorSimilarityFunction.EUCLIDEAN) — both metrics land in
+    // (0, 1], higher = closer
+    def score(v: Column, qv: Column): Column = metric.toUpperCase match {
+      case "COSINE" => cosine(v, qv)
+      case "EUCLIDEAN" =>
+        lit(1.0) / (lit(1.0) + aggregate(
+          zip_with(v, qv, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      case other => throw new IllegalArgumentException(
+        s"unknown vector similarity function $other")
+    }
     val scored = corpus.select(col("id"), asDouble(col("vec")).as("v"))
       .join(broadcast(queries.select(col("qid"), asDouble(col("qvec")).as("qv"))),
-        col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("sim"))
+        if (excludeSelf) col("id") =!= col("qid") else lit(true))
+      .select(col("qid"), col("id"), score(col("v"), col("qv")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

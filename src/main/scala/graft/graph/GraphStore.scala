@@ -43,8 +43,14 @@ final class GraphStore(spark: SparkSession, dir: String) {
       val lines = Files.readAllLines(schemaFile(version)).asScala.filter(_.nonEmpty)
       GraphSchema(
         lines.collect { case l if l.startsWith("index\t") =>
-          val Array(_, n, lb, p, k) = l.split("\t", -1)
-          IndexDef(n, lb, p, k)
+          l.split("\t", -1) match {
+            case Array(_, n, lb, p, k) => IndexDef(n, lb, p, k)
+            case Array(_, n, lb, p, k, opts) =>
+              IndexDef(n, lb, p, k,
+                opts.split(";").filter(_.contains("=")).map { kv =>
+                  val Array(ok, ov) = kv.split("=", 2); ok -> ov
+                }.toMap)
+          }
         }.toSeq,
         lines.collect { case l if l.startsWith("constraint\t") =>
           val Array(_, n, lb, p, k) = l.split("\t", -1)
@@ -57,12 +63,17 @@ final class GraphStore(spark: SparkSession, dir: String) {
     // The catalog is line/tab-delimited; a tab or newline inside a name,
     // label, or property would corrupt the line and break readSchema's
     // field split on the next load — reject it up front with a clear error.
-    for (f <- s.indexes.flatMap(i => Seq(i.name, i.label, i.prop, i.kind)) ++
+    for (f <- s.indexes.flatMap(i => Seq(i.name, i.label, i.prop, i.kind) ++
+             i.options.flatMap(kv => Seq(kv._1, kv._2))) ++
            s.constraints.flatMap(c => Seq(c.name, c.label, c.prop, c.kind)))
       require(!f.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
         s"schema object field contains a tab/newline (not storable): ${f.take(40)}")
     val body =
-      (s.indexes.map(i => s"index\t${i.name}\t${i.label}\t${i.prop}\t${i.kind}") ++
+      (s.indexes.map { i =>
+        val opts = i.options.toSeq.sorted
+          .map { case (k, v) => s"$k=$v" }.mkString(";")
+        s"index\t${i.name}\t${i.label}\t${i.prop}\t${i.kind}\t$opts"
+      } ++
         s.constraints.map(c => s"constraint\t${c.name}\t${c.label}\t${c.prop}\t${c.kind}"))
         .mkString("\n")
     Files.createDirectories(schemaFile(version).getParent)

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
  * (UpdateOps returns g.copy(...)) carries the schema forward unchanged.
  */
 final case class IndexDef(name: String, label: String, prop: String,
-    kind: String = "range")
+    kind: String = "range",
+    // kind-specific config (reference IndexConfig): vector indexes carry
+    // vector.dimensions + vector.similarity ("COSINE" | "EUCLIDEAN")
+    options: Map[String, String] = Map.empty)
 
 final case class ConstraintDef(name: String, label: String, prop: String,
     kind: String) // "unique" | "exists" | "node_key"
@@ -40,12 +43,13 @@ object Schema {
     * non-range kinds are catalog entries that name-resolve in the
     * matching procedures (db.index.vector.queryNodes, …). */
   def createIndex(g: PropertyGraph, name: String, label: String,
-      prop: String, kind: String = "range"): PropertyGraph = {
+      prop: String, kind: String = "range",
+      options: Map[String, String] = Map.empty): PropertyGraph = {
     require(Set("range", "text", "point", "vector", "fulltext")(kind),
       s"unknown index kind $kind")
     require(!g.schema.indexes.exists(_.name == name), s"index $name already exists")
     g.copy(schema = g.schema.copy(
-      indexes = g.schema.indexes :+ IndexDef(name, label, prop, kind)))
+      indexes = g.schema.indexes :+ IndexDef(name, label, prop, kind, options)))
   }
 
   /** CREATE CONSTRAINT — validates the existing data first (reference

@@ -308,8 +308,7 @@ object Centrality {
     if (localEdgeThreshold > 0 &&
         raw.limit(localEdgeThreshold + 1).count() <= localEdgeThreshold)
       return localCoreness(edges.sparkSession, raw)
-    val canon = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
+    val canon = raw
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .distinct()
@@ -318,7 +317,7 @@ object Centrality {
       .localCheckpoint(false)
     var cur = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("c")).localCheckpoint(false)
-    var checksum = cur.agg(sum("c")).head().getLong(0)
+    var checksum = if (cur.isEmpty) 0L else cur.agg(sum("c")).head().getLong(0)
     var converged = checksum == 0
     var i = 0
     val byNode = Window.partitionBy("node").orderBy(col("c").desc)
@@ -334,7 +333,7 @@ object Centrality {
         .groupBy("node")
         .agg(max(least(col("c"), col("__rt"))).as("c"))
         .localCheckpoint(false)
-      val nextSum = next.agg(sum("c")).head().getLong(0)
+      val nextSum = if (next.isEmpty) 0L else next.agg(sum("c")).head().getLong(0)
       converged = nextSum == checksum
       cur = next; checksum = nextSum; i += 1
     }

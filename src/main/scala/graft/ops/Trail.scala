@@ -478,9 +478,36 @@ object Trail {
     val wState = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "end", "seg", "segHops")
       .orderBy(col("hops").asc)
-    val finished = segmentSearch(segments, sources, k, df => df
-      .withColumn("__rk", dense_rank().over(wState))
-      .filter(col("__rk") <= budget).drop("__rk"))
+    // Two prunes compose per round: (a) length-cohort budget WITHIN a
+    // state — only bites where lengths diverge inside one round, i.e.
+    // composite/alternation segments; (b) the single-leg distinct-ARRIVAL-
+    // ROUND budget on (source, end) — the bound that keeps plain multi-leg
+    // patterns from enumerating every trail to maxTotal (see
+    // [[shortestGroups]]'s budget rationale; pruneStates runs once per
+    // round, so the round counter threads through this closure).
+    var counts: DataFrame = null
+    val prune: DataFrame => DataFrame = { df0 =>
+      val cohorts = df0.withColumn("__rk", dense_rank().over(wState))
+        .filter(col("__rk") <= budget).drop("__rk")
+      val kept =
+        if (counts == null) cohorts
+        else cohorts.join(counts, Seq("source", "end"), "left_outer")
+          .filter(coalesce(col("__rounds"), lit(0L)) < budget)
+          .drop("__rounds")
+      val arrivals = kept.select("source", "end").distinct()
+        .withColumn("__arr", lit(1L))
+      counts = (
+        if (counts == null)
+          arrivals.select(col("source"), col("end"),
+            col("__arr").as("__rounds"))
+        else counts.join(arrivals, Seq("source", "end"), "full_outer")
+          .select(col("source"), col("end"),
+            (coalesce(col("__rounds"), lit(0L)) +
+              coalesce(col("__arr"), lit(0L))).as("__rounds"))
+        ).localCheckpoint(false)
+      kept
+    }
+    val finished = segmentSearch(segments, sources, k, prune)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "target").orderBy(col("hops").asc)
     accept(finished)

@@ -331,9 +331,12 @@ object PipelineQueries {
           .filter(col("vec_id") < 800)
           .select(col("vec_id").as("id"),
             Similarity.asDouble(col("embedding")).as("v"))
-          .select(col("id"), transform(col("v"),
-            x => x / sqrt(aggregate(col("v"), lit(0.0),
-              (acc, y) => acc + y * y))).as("u"))
+          // norm hoisted to its own column: inside the transform lambda
+          // the fold would re-evaluate per ELEMENT (O(d²) per vector)
+          .withColumn("__n", sqrt(aggregate(col("v"), lit(0.0),
+            (acc, y) => acc + y * y)))
+          .select(col("id"),
+            transform(col("v"), x => x / col("__n")).as("u"))
         val a = emb.select(col("id").as("idA"), col("u").as("uA"))
         val b = emb.select(col("id").as("idB"), col("u").as("uB"))
         a.crossJoin(b).filter(col("idA") < col("idB"))

@@ -73,6 +73,39 @@ Feature: WriteErrors
       | c |
       | 1 |
 
+  Scenario: Undirected MERGE over a symmetric row set creates one relationship
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:P {k: 1}), (:P {k: 2})
+      """
+    And having executed:
+      """
+      MATCH (a:P), (b:P) WHERE a.k <> b.k MERGE (a)-[:T]-(b)
+      """
+    When executing query:
+      """
+      MATCH ()-[r:T]->() RETURN count(r) AS c
+      """
+    Then the result should be, in any order:
+      | c |
+      | 1 |
+
+  Scenario: sum and avg honor DISTINCT
+    Given an empty graph
+    And having executed:
+      """
+      CREATE (:N {v: 5}), (:N {v: 5}), (:N {v: 3})
+      """
+    When executing query:
+      """
+      MATCH (n:N)
+      RETURN sum(DISTINCT n.v) AS s, avg(DISTINCT n.v) AS a
+      """
+    Then the result should be, in any order:
+      | s | a   |
+      | 8 | 4.0 |
+
   Scenario: SET with CASE expression value
     Given an empty graph
     And having executed:

@@ -233,6 +233,13 @@ class CurationSpec extends AnyFunSuite {
       ("a b c d", 4), ("d e f g", 4), ("g h i j", 4)))
     assert(r.filter(_._1 == 2L).toSeq == Seq((2L, 0, "x y", 2)))
     assert(r.filter(_._1 == 3L).toSeq == Seq((3L, 0, "", 0)))
+    // null text behaves like empty text — the row must NOT vanish
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val withNull = d.withColumn("text",
+      when(col("id") === 3L, lit(null)).otherwise(col("text")))
+    val rn = graft.functions.Curation.chunkDocuments(withNull, 4, 1)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getInt(3)))
+    assert(rn.filter(_._1 == 3L).toSeq == Seq((3L, 0, "", 0)))
     // consecutive chunks share exactly `overlap` tokens
     val c1 = r.filter(_._1 == 1L).map(_._3.split(" ").toSeq).toSeq
     c1.sliding(2).foreach {

@@ -200,6 +200,28 @@ class ProceduresSpec extends AnyFunSuite {
     assert(top.head.getAs[Long]("id") == 1L)
   }
 
+  test("vector index similarity function and dimension are honored") {
+    val g = GraphFixtures.nodeGraph(spark, 3, "Doc")
+    val (g2, _) = graft.cypher.Cypher.execute(spark, g,
+      """CALL db.create.setNodeVectorProperty([0, 1], 'emb', [0.0, 0.0])
+        |CALL db.index.vector.createNodeIndex('eidx', 'Doc', 'emb', 2, 'EUCLIDEAN')
+        |RETURN 1 AS ok""".stripMargin)
+    val (g3, _) = graft.cypher.Cypher.execute(spark, g2,
+      "CALL db.create.setNodeVectorProperty(0, 'emb', [1.0, 1.0])")
+    val (g4, _) = graft.cypher.Cypher.execute(spark, g3,
+      "CALL db.create.setNodeVectorProperty(1, 'emb', [5.0, 5.0])")
+    // euclidean: [1,1] is closer to [0,0] than [5,5]; cosine would TIE them
+    // (same direction), so a cosine-ranked result betrays the config
+    val top = Procedures.call(spark, g4, "db.index.vector.queryNodes",
+      "eidx", Int.box(1), Seq(0.1, 0.1)).collect()
+    assert(top.head.getAs[Long]("id") == 0L)
+    // wrong query dimension rejected
+    intercept[IllegalArgumentException] {
+      Procedures.call(spark, g4, "db.index.vector.queryNodes",
+        "eidx", Int.box(1), Seq(1.0, 2.0, 3.0)).collect()
+    }
+  }
+
   test("user procedures register and dispatch") {
     Procedures.register("my.top_degree", (s, g, args) => {
       val k = args.head.asInstanceOf[Int]
