@@ -995,10 +995,18 @@ object PipelineQueries {
     // DSIR importance weights (Xie et al. 2023): mean per-token log ratio
     // of add-1-smoothed unigram probabilities, target = English docs vs
     // the whole corpus. Deterministic up to fp summation order → 4dp.
+    // Hash-stability hardening (both sides, identically): a 1e-9 shift
+    // before rounding so cross-engine ln ULP noise can't flip a 4-dp
+    // boundary, and `+ 0.0` after so a weight that rounds to zero can't
+    // surface as IEEE -0.0 on one engine and +0.0 on the other (DuckDB's
+    // round keeps the sign of a negative zero; java BigDecimal drops it —
+    // observed as the single divergent row in CORRECTNESS_r09).
     QueryDef("q_dsir_weights",
       (s, d) => graft.functions.Curation.dsirWeights(
         docs(s, d), isTarget = col("lang") === "en")
-        .select(col("id"), round(col("dsir_weight"), 4).as("dsir_weight"),
+        .select(col("id"),
+          (round(col("dsir_weight") + lit(1e-9), 4) + lit(0.0))
+            .as("dsir_weight"),
           col("ntok")),
       Some("""WITH d AS (SELECT doc_id AS id, lang, text FROM documents),
              |tk AS (SELECT id, lang = 'en' AS tgt,
@@ -1017,7 +1025,8 @@ object PipelineQueries {
              |    list_sum(list(p.cnt * l.lw ORDER BY p.w)) / sum(p.cnt) AS wt,
              |    CAST(sum(p.cnt) AS BIGINT) AS ntok
              |  FROM pt p JOIN lw l USING (w) GROUP BY p.id)
-             |SELECT d.id, round(coalesce(pd.wt, 0.0), 4) AS dsir_weight,
+             |SELECT d.id,
+             |  round(coalesce(pd.wt, 0.0) + 1e-9, 4) + 0.0 AS dsir_weight,
              |  coalesce(pd.ntok, 0) AS ntok
              |FROM d LEFT JOIN pd USING (id)""".stripMargin)),
 

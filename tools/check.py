@@ -72,6 +72,18 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
             if not np.allclose(a[c].astype(float).fillna(-9e99),
                                b[c].astype(float).fillna(-9e99), rtol=1e-9, atol=1e-9):
                 ok = False
+            # Driver-hash emulation: the driver compares EXACT stringified
+            # values, so allclose-equal floats that stringify differently
+            # (-0.0 vs 0.0, ULP flips at a round() boundary) still fail
+            # the round gate. Flag them here so a local sweep can't pass
+            # what the driver would redline (bit us in r8/r9 on dsir).
+            elif not a[c].astype(str).equals(b[c].astype(str)):
+                bad = a[c].astype(str) != b[c].astype(str)
+                print(f"{name}: HASH MISMATCH col={c} "
+                      f"({int(bad.sum())} rows stringify differently, e.g. "
+                      f"{a[c][bad].astype(str).iloc[0]!r} vs "
+                      f"{b[c][bad].astype(str).iloc[0]!r})")
+                ok = False
         else:
             if not a[c].astype(str).equals(b[c].astype(str)):
                 ok = False
