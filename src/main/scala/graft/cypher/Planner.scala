@@ -3232,6 +3232,12 @@ object Planner {
           case t @ ArrayType(_, _)
             if graft.functions.Orderability.encoderAt(0, t).isDefined =>
             Some("list")
+          case t: StructType
+            if t.fieldNames.toSeq == graft.functions.Orderability.DurationFields =>
+            Some("dur")
+          case t: StructType
+            if t.fieldNames.toSeq == graft.functions.Orderability.PointFields =>
+            Some("point")
           case t @ (_: MapType | _: StructType)
             if graft.functions.Orderability.encoderAt(0, t).isDefined =>
             Some("map")
@@ -3239,8 +3245,8 @@ object Planner {
           case other       => Some(other.simpleString)
         }
         val kinds = vals.flatMap(v => dataTypeOf(env, v)).flatMap(kind).distinct
-        val mixedEncodable =
-          kinds.size > 1 && kinds.forall(Set("str", "bool", "num", "list", "map"))
+        val mixedEncodable = kinds.size > 1 &&
+          kinds.forall(Set("str", "bool", "num", "list", "map", "dur", "point"))
         def encode(v: Column): Column =
           dataTypeOf(env, v).flatMap(dt =>
             graft.functions.Orderability.encodeAny(dt, v))

@@ -53,9 +53,19 @@ object Orderability {
     * columns. */
   val StructFields: Seq[String] = Seq("rank", "s", "b", "d", "l", "repr")
 
+  /** graft's duration struct layout (Durations.scala) — recognized so a
+    * duration is encoded as a DURATION (ValueGroup.java:51), not a MAP. */
+  val DurationFields: Seq[String] = Seq("months", "days", "seconds", "nanos")
+
+  /** graft's point struct layout (Spatial.scala) — recognized so a point
+    * is encoded as GEOMETRY (ValueGroup.java:45), not a MAP. */
+  val PointFields: Seq[String] = Seq("x", "y", "srid")
+
   // type ranks per the CIP order; only the relative order matters
   private val RankMap = 5 // Map < Node < Relationship < List (AnyValues :42)
   private val RankList = 8 // List < temporals < … < String per the CIP
+  private val RankPoint = 9 // GEOMETRY before temporals (ValueGroup.java:45)
+  private val RankDuration = 11 // …temporals < DURATION < TEXT (ValueGroup.java:51)
   private val RankString = 12
   private val RankBoolean = 13
   private val RankNumber = 14
@@ -115,6 +125,69 @@ object Orderability {
   private def nullAware(depth: Int, c: Column, e: Column): Column =
     when(c.isNull, nullAt(depth)).otherwise(e)
 
+  /** DURATION encoder (reference DurationValue.COMPARATOR: average length
+    * in seconds — months·2 629 746 + days·86 400 + seconds, nanos NOT
+    * included — then nanos, months, days, seconds as tiebreaks). `d`
+    * carries the average length; the tiebreak chain rides in `l` as
+    * number elements, compared element-wise. Needs an `l` payload, so the
+    * deepest level stays a compile-time rejection. */
+  def durationAt(depth: Int, c: Column): Column = {
+    val m = c.getField("months"); val dy = c.getField("days")
+    val sc = c.getField("seconds"); val n = c.getField("nanos")
+    val avg = (m * 2629746L + dy * 86400L + sc).cast("double")
+    val ties = array(numberAt(depth + 1, n), numberAt(depth + 1, m),
+      numberAt(depth + 1, dy), numberAt(depth + 1, sc))
+    nullAware(depth, c, encAt(depth, lit(RankDuration), nullStr, nullBool,
+      avg, ties, durationRepr(c)))
+  }
+
+  /** ISO-8601 text per the reference's DurationValue.prettyPrint: zero
+    * components omitted, negative sub-second borrow, all-zero → PT0S. */
+  private def durationRepr(c: Column): Column = {
+    val months = c.getField("months"); val days = c.getField("days")
+    val secs = c.getField("seconds"); val nanos = c.getField("nanos")
+    def seg(v: Column, unit: String): Column =
+      when(v =!= 0L, concat(v.cast("string"), lit(unit))).otherwise(lit(""))
+    val years = ((months - months % 12) / 12).cast("long")
+    val remM = months % 12
+    // negative borrow: -1s + 5e8ns prints -0.5S (prettyPrint's s++/n-=1e9)
+    val negative = secs < 0 && nanos =!= 0L
+    val s2 = when(negative, secs + 1L).otherwise(secs)
+    val n2 = when(negative, nanos - 1000000000L).otherwise(nanos)
+    val hours = ((s2 - s2 % 3600L) / 3600L).cast("long")
+    val rem = s2 % 3600L
+    val mins = ((rem - rem % 60L) / 60L).cast("long")
+    val sfin = rem % 60L
+    val frac = when(n2 === 0L, lit("")).otherwise(concat(lit("."),
+      regexp_replace(lpad(abs(n2).cast("string"), 9, "0"), "0+$", "")))
+    val secSeg =
+      when(sfin =!= 0L, concat(
+          when(negative && sfin >= 0L && n2 =!= 0L, lit("-")).otherwise(lit("")),
+          sfin.cast("string"), frac, lit("S")))
+        .when(n2 =!= 0L, concat(
+          when(negative, lit("-")).otherwise(lit("")), lit("0"), frac, lit("S")))
+        .otherwise(lit(""))
+    val timePart = when(secs =!= 0L || nanos =!= 0L,
+      concat(lit("T"), seg(hours, "H"), seg(mins, "M"), secSeg))
+      .otherwise(lit(""))
+    val whole = concat(lit("P"), seg(years, "Y"), seg(remM, "M"),
+      seg(days, "D"), timePart)
+    when(whole === "P", lit("PT0S")).otherwise(whole)
+  }
+
+  /** GEOMETRY/point encoder (reference PointValue.compareTo: CRS code
+    * first, then coordinates in order). `d` = srid; x,y ride in `l`. */
+  def pointAt(depth: Int, c: Column): Column = {
+    val x = c.getField("x"); val y = c.getField("y")
+    val srid = c.getField("srid")
+    val crsName = when(srid === 4326, lit("wgs-84")).otherwise(lit("cartesian"))
+    val repr = concat(lit("point({x: "), x.cast("string"), lit(", y: "),
+      y.cast("string"), lit(", crs: '"), crsName, lit("'})"))
+    nullAware(depth, c, encAt(depth, lit(RankPoint), nullStr, nullBool,
+      srid.cast("double"),
+      array(numberAt(depth + 1, x), numberAt(depth + 1, y)), repr))
+  }
+
   // ---- top-level (column) aliases — the public surface pre-nesting -----
 
   def string(c: Column): Column = stringAt(0, c)
@@ -155,6 +228,17 @@ object Orderability {
       case MapType(StringType, vt, _) if depth < MaxDepth =>
         encoderAt(depth + 1, vt).map(f =>
           (c: Column) => nullAware(depth, c, mapEnc(depth, c, f)))
+      case st: StructType if depth < MaxDepth &&
+          st.fieldNames.toSeq == DurationFields =>
+        Some(durationAt(depth, _))
+      case st: StructType if depth < MaxDepth &&
+          st.fieldNames.toSeq == PointFields =>
+        Some(pointAt(depth, _))
+      case st: StructType if st.fieldNames.toSeq == StructFields =>
+        // an already-encoded struct below the column level: its `l` depth
+        // is pinned to where it was encoded, so re-nesting it would shear
+        // the layout — reject rather than mis-encode as a MAP
+        None
       case st: StructType if depth < MaxDepth =>
         // literal maps / map projections compile to structs: a map value
         // with statically-known sorted keys
