@@ -29,23 +29,40 @@ object Bpe {
 
   /** Train `merges` BPE merge rules over the corpus.
     *
+    * After the ONE corpus-scale word count, the dictionary is
+    * vocabulary-bounded — when it fits under `localThreshold` distinct
+    * words (LIMIT probe, the astar/kCheapest pattern), the merge loop
+    * runs DRIVER-LOCAL with incremental pair-count updates (the classic
+    * trainer loop: one argmax scan + delta updates on the words that
+    * contain the merged pair, what subword-nmt does) — a real 32k-merge
+    * vocabulary is 32k driver rounds over an in-memory dict, not 32k
+    * Spark jobs. Past the threshold the distributed per-round aggregate
+    * below runs instead; BpeSpec proves both paths produce the identical
+    * merge table.
+    *
     * @return (rank INT 0.., left, right, merged, pairCount LONG) — the
     *         merge table, highest-frequency pair first
     */
   def train(df: DataFrame, merges: Int, textCol: String = "text",
-      lowercase: Boolean = true): DataFrame = {
+      lowercase: Boolean = true, localThreshold: Int = 500000): DataFrame = {
     require(merges >= 1, s"need merges >= 1: $merges")
     val spark = df.sparkSession
     import spark.implicits._
     val base = if (lowercase) lower(col(textCol)) else col(textCol)
     // the ONE corpus-scale pass: word frequencies (vocabulary-bounded)
-    var words = df
+    val dict0 = df
       .select(explode(TextFunctions.tokens(base)).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__cnt"))
       // initial symbols = characters, with the end-of-word marker
       .select(col("__cnt"),
         concat(split(col("__w"), ""), array(lit(Eow))).as("__s"))
-      .localCheckpoint(false)
+    if (localThreshold > 0 &&
+        dict0.limit(localThreshold + 1).count() <= localThreshold) {
+      val rows = dict0.collect().map(r =>
+        (r.getLong(0), r.getSeq[String](1).toArray))
+      return localTrain(spark, rows, merges)
+    }
+    var words = dict0.localCheckpoint(false)
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 0
     while (rank < merges) {
@@ -77,6 +94,74 @@ object Bpe {
           .localCheckpoint(false)
         rank += 1
       }
+    }
+    out.result().toDF("rank", "left", "right", "merged", "pairCount")
+  }
+
+  /** The classic driver-local merge loop over the collected dictionary:
+    * exact pair counts maintained incrementally (remove a changed word's
+    * pair contributions, merge in place, re-add), a lazily-pruned
+    * pair→words index, and the same (count desc, left asc, right asc)
+    * argmax and leftmost-non-overlapping merge walk as the distributed
+    * fold — the two paths are bit-identical by construction. */
+  private def localTrain(spark: org.apache.spark.sql.SparkSession,
+      words: Array[(Long, Array[String])], merges: Int): DataFrame = {
+    import spark.implicits._
+    import scala.collection.mutable
+    val cnts = words.map(_._1)
+    val syms = words.map(w => mutable.ArrayBuffer.from(w._2))
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def touch(i: Int, sign: Long, index: Boolean): Unit = {
+      val s = syms(i); val c = cnts(i) * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val n = pairCount.getOrElse(p, 0L) + c
+        if (n == 0L) pairCount.remove(p) else pairCount(p) = n
+        if (index) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < words.length) { touch(i, 1L, index = true); i += 1 }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    while (rank < merges && pairCount.nonEmpty) {
+      var bestP: (String, String) = null
+      var bestN = 0L
+      pairCount.foreach { case (p, n) =>
+        if (bestP == null || n > bestN || (n == bestN &&
+            (p._1 < bestP._1 || (p._1 == bestP._1 && p._2 < bestP._2)))) {
+          bestP = p; bestN = n
+        }
+      }
+      val (l, r) = bestP
+      val m = l + r
+      out += ((rank, l, r, m, bestN))
+      // stale index entries (words whose pair was merged away earlier)
+      // fall out here: the exact pairCount said the pair still exists
+      // somewhere, and re-adding re-indexes under the new symbols
+      pairWords.remove(bestP).foreach(_.foreach { w =>
+        val s = syms(w)
+        var has = false
+        var j = 0
+        while (!has && j < s.length - 1) {
+          has = s(j) == l && s(j + 1) == r; j += 1
+        }
+        if (has) {
+          touch(w, -1L, index = false)
+          val merged = new mutable.ArrayBuffer[String](s.length)
+          s.foreach { sym =>
+            if (merged.nonEmpty && merged.last == l && sym == r)
+              merged(merged.length - 1) = m
+            else merged += sym
+          }
+          syms(w) = merged
+          touch(w, 1L, index = true)
+        }
+      })
+      rank += 1
     }
     out.result().toDF("rank", "left", "right", "merged", "pairCount")
   }

@@ -1146,7 +1146,7 @@ object PipelineQueries {
     // previous round's data-dependent merges — not expressible
     // relationally; BpeSpec proves the loop against a reference BPE).
     QueryDef("q_bpe_train",
-      (s, d) => graft.functions.Bpe.train(docs(s, d), merges = 12),
+      (s, d) => graft.functions.Bpe.train(docs(s, d), merges = 1000),
       None),
 
     // Document chunking (fixed token windows, 8-token overlap): the

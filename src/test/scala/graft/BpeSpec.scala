@@ -62,6 +62,16 @@ class BpeSpec extends AnyFunSuite {
     assert(got.take(2).map(x => x._1 + x._2).toSeq == Seq("es", "est"))
   }
 
+  test("driver-local merge loop equals the distributed rounds") {
+    import spark.implicits._
+    val docs = Seq("low low low low low", "lower lower", "newest newest newest",
+      "newest newest newest", "widest widest widest", "aa ab aa ba bb").toDF("text")
+    val local = Bpe.train(docs, merges = 10).collect().map(_.toString).toSeq
+    val dist = Bpe.train(docs, merges = 10, localThreshold = 0)
+      .collect().map(_.toString).toSeq
+    assert(local == dist, s"\nlocal: $local\ndist:  $dist")
+  }
+
   test("train is deterministic across partitionings") {
     import spark.implicits._
     val docs = Seq("aa ab aa ba bb aa ab", "ba ba bb aa").toDF("text")
