@@ -1,6 +1,7 @@
 package graft.cypher
 
 import graft.graph.{Direction, PropertyGraph}
+import graft.graph.PropertyGraph.{colProp, propCol}
 import graft.ops.{UpdateOps, VarExpand}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -426,13 +427,14 @@ object Planner {
     val nr = newRels.result()
     nn.foreach { n =>
       val props = n.props.map { case (k, e) =>
-        compile(ctx, envOut, e).as(k) }
+        compile(ctx, envOut, e).as(propCol(k)) }
       val rows = frozen.select((col(n.v).as("id") +:
         lit(n.labels.toArray).as("labels") +: props): _*)
       ctx.g = UpdateOps.createNodes(ctx.g, rows)
     }
     nr.foreach { r =>
-      val props = r.props.map { case (k, e) => compile(ctx, envOut, e).as(k) }
+      val props = r.props.map { case (k, e) =>
+        compile(ctx, envOut, e).as(propCol(k)) }
       val rows = frozen.select((col(r.v).as("id") +: col(r.from).as("src") +:
         col(r.to).as("dst") +: lit(r.tpe).as("type") +: props): _*)
       ctx.g = UpdateOps.createRels(ctx.g, rows)
@@ -456,12 +458,12 @@ object Planner {
       (side0, e.df) match {
         case (Some(s0), Some(df)) if needed.nonEmpty =>
           val avail = s0.columns.toSet -- Set("id", "src", "dst", "type")
-          val props = (if (needed("*")) avail - "labels"
-            else needed.filter(avail)).toSeq.sorted
+          val props = (if (needed("*")) (avail - "labels").map(colProp)
+            else needed.filter(n => avail(propCol(n)))).toSeq.sorted
           if (props.isEmpty) e
           else {
-            val side = s0.select(
-              (col("id").as(v) +: props.map(p => col(p).as(s"$v$$$p"))): _*)
+            val side = s0.select((col("id").as(v) +:
+              props.map(p => col(propCol(p)).as(s"$v$$$p"))): _*)
             e.copy(df = Some(df.drop(props.map(p => s"$v$$$p"): _*)
               .join(side, Seq(v), "left_outer")))
           }
@@ -492,11 +494,12 @@ object Planner {
       var scan = ctx.g.nodes
       np.labels.foreach(l => scan = scan.filter(array_contains(col("labels"), l)))
       val joined =
-        if (np.props.exists { case (k, _) => !scan.columns.contains(k) })
+        if (np.props.exists { case (k, _) => !scan.columns.contains(propCol(k)) })
           keyed.withColumn("__mid", lit(null).cast("long"))
         else {
           val existing = scan
-            .groupBy(np.props.map { case (k, _) => col(k).as(s"__mk_$k") }: _*)
+            .groupBy(np.props.map { case (k, _) =>
+              col(propCol(k)).as(s"__mk_$k") }: _*)
             .agg(min(col("id")).as("__mid"))
           keyed.join(existing,
             np.props.map { case (k, _) => s"__mk_$k" }, "left_outer")
@@ -514,7 +517,7 @@ object Planner {
       // insert the missing keys (distinct — one node per key, as MERGE requires)
       val inserts = resolved.filter(col("__created"))
         .select((col(v).as("id") +: lit(np.labels.toArray).as("labels") +:
-          np.props.map { case (k, _) => col(s"__mk_$k").as(k) }): _*)
+          np.props.map { case (k, _) => col(s"__mk_$k").as(propCol(k)) }): _*)
         .distinct()
       ctx.g = UpdateOps.createNodes(ctx.g, inserts)
       val envOut = Env(Some(resolved.drop(np.props.map(kv => s"__mk_${kv._1}"): _*)
@@ -538,7 +541,7 @@ object Planner {
       }
       val tpe = rel.types.head
       val keyProps = rel.props.map { case (k, e) => k -> compile(ctx, env, e) }
-      val props = keyProps.map { case (k, c) => c.as(k) }
+      val props = keyProps.map { case (k, c) => c.as(propCol(k)) }
       // id derives from the FULL pattern key (type + inline props included):
       // two MERGEs of different types/props between the same endpoints must
       // create distinct rels with distinct ids
@@ -562,20 +565,21 @@ object Planner {
         else {
           val rev = ctx.g.rels.filter(col("type") === tpe)
             .select((col("src").as("__vs") +: col("dst").as("__vd") +:
-              keyProps.map { case (k, _) => col(k).as(s"__vp_$k") }): _*)
+              keyProps.map { case (k, _) => col(propCol(k)).as(s"__vp_$k") }): _*)
           val revCond = keyProps.foldLeft(
             col("src") === col("__vd") && col("dst") === col("__vs")) {
             case (c, (k, _)) => c && (col(k) <=> col(s"__vp_$k"))
           }
           source0.join(rev, revCond, "left_anti")
         }
-      ctx.g = UpdateOps.mergeRels(ctx.g, source, keyProps = keyProps.map(_._1))
+      ctx.g = UpdateOps.mergeRels(ctx.g, source,
+        keyProps = keyProps.map(kv => propCol(kv._1)))
       // bind the rel id: matched rels keep their original id — re-resolve on
       // the full key (props null-safe, mirroring mergeRels' match condition;
       // either orientation for the undirected form)
       val relSide = ctx.g.rels.filter(col("type") === tpe)
         .select((col("id").as(rv) +: col("src").as("__ms") +: col("dst").as("__md") +:
-          keyProps.map { case (k, _) => col(k).as(s"__mp_$k") }): _*)
+          keyProps.map { case (k, _) => col(propCol(k)).as(s"__mp_$k") }): _*)
       val orient =
         if (undirected)
           (sCol === col("__ms") && dCol === col("__md")) ||
@@ -621,7 +625,8 @@ object Planner {
       case SetProp(v, key, value) =>
         val kind = env.binds.getOrElse(v,
           throw new IllegalArgumentException(s"unknown variable $v"))
-        val source = df.select(col(v).as("id"), compile(ctx, env, value).as(key))
+        val source = df.select(col(v).as("id"),
+          compile(ctx, env, value).as(propCol(key)))
         kind match {
           case NodeVar => ctx.g = UpdateOps.setNodePropertiesFromSource(ctx.g, source)
           case RelVar  => ctx.g = UpdateOps.setRelPropertiesFromSource(ctx.g, source)
@@ -645,12 +650,14 @@ object Planner {
         }
         val kind = env.binds.getOrElse(v,
           throw new IllegalArgumentException(s"unknown variable $v"))
-        val cols = entries.map { case (k, e) => compile(ctx, env, e).as(k) }
+        val cols = entries.map { case (k, e) =>
+          compile(ctx, env, e).as(propCol(k)) }
         def sourceWith(target: DataFrame, keep: Set[String]): DataFrame = {
           // replace form: every property column outside the map nulls out
           val others =
             if (additive) Seq.empty
-            else target.columns.filterNot(keep ++ entries.map(_._1)).toSeq
+            else target.columns
+              .filterNot(keep ++ entries.map(kv => propCol(kv._1))).toSeq
               .map(p => lit(null).cast(target.schema(p).dataType).as(p))
           df.select((col(v).as("id") +: (cols ++ others)): _*)
         }
@@ -662,7 +669,7 @@ object Planner {
           case other   => throw new IllegalArgumentException(s"cannot SET on $other")
         }
       case RemoveProp(v, key) =>
-        val source = df.select(col(v).as("id"), lit(null).as(key))
+        val source = df.select(col(v).as("id"), lit(null).as(propCol(key)))
         env.binds(v) match {
           case NodeVar => ctx.g = UpdateOps.setNodePropertiesFromSource(ctx.g, source)
           case RelVar  => ctx.g = UpdateOps.setRelPropertiesFromSource(ctx.g, source)
@@ -1296,7 +1303,8 @@ object Planner {
             "SHORTEST k legs take types/bounds/property maps/WHERE only")
           val pre = if (r.props.isEmpty) None
             else Some(r.props.map { case (key, e) =>
-              if (ctx.g.rels.columns.contains(key)) col(key) === constExpr(ctx, e)
+              if (ctx.g.rels.columns.contains(propCol(key)))
+                col(propCol(key)) === constExpr(ctx, e)
               else lit(false)
             }.reduce(_ && _))
           val dir = r.dir match {
@@ -1424,7 +1432,8 @@ object Planner {
         "alternation branches take single or bounded var-length hops")
       val pre = if (r.props.isEmpty) None
         else Some(r.props.map { case (key, e) =>
-          if (ctx.g.rels.columns.contains(key)) col(key) === constExpr(ctx, e)
+          if (ctx.g.rels.columns.contains(propCol(key)))
+            col(propCol(key)) === constExpr(ctx, e)
           else lit(false)
         }.reduce(_ && _))
       val dir = r.dir match {
@@ -1950,7 +1959,8 @@ object Planner {
       // hydrated view alongside the raw columns: r -> id, r$p -> p — the
       // main expression compiler then resolves r.p / type(r) / startNode(r)
       val hydrated = rels.select((raw.map(col) :+ col("id").as(relVar)) ++
-        raw.filterNot(_ == "id").map(p => col(p).as(s"$relVar$$$p")): _*)
+        raw.filterNot(_ == "id").map(p =>
+          col(p).as(s"$relVar$$${colProp(p)}")): _*)
       val env = Env(Some(hydrated), Map(relVar -> RelVar))
       hydrated.filter(compile(ctx, env, w)).select(raw.map(col): _*)
     }
@@ -2123,7 +2133,8 @@ object Planner {
     np.props.foreach { case (k, e) =>
       // property absent from the schema: Cypher `{k: v}` on a missing
       // property matches nothing (NULL = v is never true)
-      scan = if (scan.columns.contains(k)) scan.filter(col(k) === constExpr(ctx, e))
+      scan = if (scan.columns.contains(propCol(k)))
+        scan.filter(col(propCol(k)) === constExpr(ctx, e))
       else scan.filter(lit(false))
     }
     scan
@@ -2135,8 +2146,10 @@ object Planner {
       available: Set[String]): DataFrame = {
     val needed = ctx.needed.getOrElse(v, Set.empty)
     val props =
-      (if (needed("*")) available - "id" else needed.filter(available)).toSeq.sorted
-    scan.select((col("id").as(v) +: props.map(p => col(p).as(s"$v$$$p"))): _*)
+      (if (needed("*")) (available - "id").map(colProp)
+       else needed.filter(n => available(propCol(n)))).toSeq.sorted
+    scan.select((col("id").as(v) +:
+      props.map(p => col(propCol(p)).as(s"$v$$$p"))): _*)
   }
 
   /** One hop: single-rel equi-join (Expand All/Into semantics) or a
@@ -2161,7 +2174,8 @@ object Planner {
           if (rel.types.size == 1) r.filter(col("type") === rel.types.head)
           else r.filter(col("type").isin(rel.types: _*))
         rel.props.foreach { case (k, e) =>
-          r = if (r.columns.contains(k)) r.filter(col(k) === constExpr(ctx, e))
+          r = if (r.columns.contains(propCol(k)))
+            r.filter(col(propCol(k)) === constExpr(ctx, e))
           else r.filter(lit(false))
         }
         val relNeeded0 = ctx.needed.getOrElse(relVar, Set.empty)
@@ -2169,12 +2183,12 @@ object Planner {
           if (relNeeded0("*"))
             // properties(r): every rel property column (structural cols
             // only when explicitly asked, e.g. by type()/startNode())
-            (g.rels.columns.toSet -- Set("id", "src", "dst", "type")) ++
-              relNeeded0.filter(g.rels.columns.toSet)
-          else relNeeded0.filter(g.rels.columns.toSet)).toSeq.sorted
+            (g.rels.columns.toSet -- Set("id", "src", "dst", "type")).map(colProp) ++
+              relNeeded0.filter(n => g.rels.columns.toSet(propCol(n)))
+          else relNeeded0.filter(n => g.rels.columns.toSet(propCol(n)))).toSeq.sorted
         def orient(from: Column, to: Column): DataFrame =
           r.select((col("id").as(relVar) +: from.as("__from") +: to.as("__to") +:
-            relNeeded.map(p => col(p).as(s"$relVar$$$p"))): _*)
+            relNeeded.map(p => col(propCol(p)).as(s"$relVar$$$p"))): _*)
         val edges0 = rel.dir match {
           case Out  => orient(col("src"), col("dst"))
           case In   => orient(col("dst"), col("src"))
@@ -2201,11 +2215,11 @@ object Planner {
         def endpointProps(marker: String, idCol: String): Unit = {
           val props = relNeeded0.collect {
             case s if s.startsWith(marker) => s.stripPrefix(marker)
-          }.filter(g.nodes.columns.toSet).toSeq.sorted
+          }.filter(n => g.nodes.columns.toSet(propCol(n))).toSeq.sorted
           if (props.nonEmpty)
             joined = joined.join(
               g.nodes.select((col("id").as("__epid") +:
-                props.map(p => col(p).as(s"$relVar$$$marker$p"))): _*),
+                props.map(p => col(propCol(p)).as(s"$relVar$$$marker$p"))): _*),
               col(s"$relVar$$$idCol") === col("__epid"), "left_outer")
               .drop("__epid")
         }
@@ -2220,7 +2234,8 @@ object Planner {
         val edgeFilter: Option[Column] =
           if (rel.props.isEmpty) None
           else Some(rel.props.map { case (k, e) =>
-            if (g.rels.columns.contains(k)) col(k) === constExpr(ctx, e)
+            if (g.rels.columns.contains(propCol(k)))
+              col(propCol(k)) === constExpr(ctx, e)
             else lit(false)
           }.reduce(_ && _))
         val stepDf = stepFilteredRels(ctx, rel)
@@ -3027,7 +3042,7 @@ object Planner {
         // or a var-length leg) must fail loudly, not silently null out
         val n = s"$v$$${if (f == "startnode") "__sn_" else "__en_"}$k"
         if (env.df.exists(_.columns.contains(n))) col(n)
-        else if (!ctx.g.nodes.columns.contains(k)) lit(null)
+        else if (!ctx.g.nodes.columns.contains(propCol(k))) lit(null)
         else throw new IllegalArgumentException(
           s"$f($v).$k: endpoint properties hydrate for single-hop MATCH-bound " +
             "relationships only — bind the endpoint node in the pattern instead")

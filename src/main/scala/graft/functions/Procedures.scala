@@ -66,7 +66,9 @@ object Procedures {
 
   register("db.propertykeys", (_, g, _) => {
     val nodeKeys = g.nodes.columns.filterNot(Set("id", "labels"))
+      .map(graft.graph.PropertyGraph.colProp)
     val relKeys = g.rels.columns.filterNot(Set("id", "src", "dst", "type"))
+      .map(graft.graph.PropertyGraph.colProp)
     val s = g.nodes.sparkSession
     import s.implicits._
     (nodeKeys.map(k => (k, "node")) ++ relKeys.map(k => (k, "relationship")))
@@ -338,7 +340,8 @@ object Procedures {
       propCols.flatMap { case (c, dt) =>
         val n = r.getAs[Long](s"__n_$c")
         if (n == 0) None
-        else Some((grp, c, cypherTypeName(dt), n == total))
+        else Some((grp, graft.graph.PropertyGraph.colProp(c),
+          cypherTypeName(dt), n == total))
       }
     }
   }

@@ -160,6 +160,19 @@ object Direction {
 }
 
 object PropertyGraph {
+  /** Storage column for a Cypher property KEY. A property legally named
+    * `id` (`CREATE (n {id: 1})` — pervasive in the reference's acceptance
+    * corpus) must not collide with the structural id column, so it stores
+    * under an escaped name; every other key stores verbatim. Hydrated
+    * columns (`v$id`) keep the Cypher-visible name — only the storage
+    * layer escapes. (`labels`/`src`/`dst`/`type` as property names remain
+    * unsupported: the planner's needed-property bookkeeping shares those
+    * names with structural requests like labels(n)/type(r).) */
+  def propCol(key: String): String = if (key == "id") "p#id" else key
+
+  /** Cypher property name of a storage column (inverse of [[propCol]]). */
+  def colProp(column: String): String = if (column == "p#id") "id" else column
+
   /** Load a graph persisted as parquet (nodes/, rels/ under `dir`). */
   def load(spark: SparkSession, dir: String): PropertyGraph =
     PropertyGraph(

@@ -662,6 +662,28 @@ object CypherQueries {
              |  (SELECT count(*) FROM nation)
              |FROM nation""".stripMargin)),
 
+    // Writes inside a correlated CALL subquery (reference SubqueryForeach,
+    // LogicalPlan.scala:3897): per-outer-row CREATE against the statement
+    // snapshot — `MATCH … CALL { WITH n CREATE … }` is the everyday
+    // per-row-write idiom. The trailing RETURN observes the pre-CALL
+    // cardinality (the unit subquery yields one row per input), and a
+    // follow-up read proves every per-row write landed.
+    QueryDef("q_cypher_call_write",
+      (s, d) => {
+        val (g2, ret) = Cypher.execute(s, TpchGraph.load(s, d),
+          """MATCH (n:Nation) CALL { WITH n
+            |  CREATE (:NationLog {nkey: n.key, nm: n.name}) }
+            |RETURN count(*) AS outer_rows""".stripMargin)
+        val outerRows = ret.get.collect()(0).getLong(0)
+        Cypher.run(s, g2,
+          """MATCH (l:NationLog) RETURN l.nkey AS nkey, l.nm AS nm
+            |ORDER BY nkey""".stripMargin)
+          .withColumn("outer_rows", lit(outerRows))
+      },
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nm,
+             |  (SELECT count(*) FROM nation) AS outer_rows
+             |FROM nation""".stripMargin)),
+
     // Bulk-interchange round-trip (reference neo4j-admin database import,
     // header grammar import-util/.../csv/Type.java): export the
     // Nation/Region subgraph as import-tool CSVs, read them back, and

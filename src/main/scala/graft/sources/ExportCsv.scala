@@ -59,7 +59,8 @@ object ExportCsv {
     val nodes = g.nodes.select(
       (col("id").as("id:ID") +:
         array_join(col("labels"), ";").as(":LABEL") +:
-        nodeProps.map(f => col(f.name).as(s"${f.name}:${csvType(f.dataType)}"))
+        nodeProps.map(f => col(f.name).as(
+          s"${graft.graph.PropertyGraph.colProp(f.name)}:${csvType(f.dataType)}"))
           .toIndexedSeq): _*)
     nodes.write.mode("overwrite").option("header", "true").csv(s"$dir/nodes")
     val relProps = g.rels.schema.fields
@@ -68,7 +69,8 @@ object ExportCsv {
     val rels = g.rels.select(
       (col("src").as(":START_ID") +: col("dst").as(":END_ID") +:
         col("type").as(":TYPE") +: col("id").as("id:long") +:
-        relProps.map(f => col(f.name).as(s"${f.name}:${csvType(f.dataType)}"))
+        relProps.map(f => col(f.name).as(
+          s"${graft.graph.PropertyGraph.colProp(f.name)}:${csvType(f.dataType)}"))
           .toIndexedSeq): _*)
     rels.write.mode("overwrite").option("header", "true").csv(s"$dir/rels")
   }

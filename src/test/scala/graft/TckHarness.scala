@@ -434,7 +434,8 @@ object TckHarness {
       r.schema.fields.toSeq.collect {
         case f if !skip(f.name) && !f.name.contains("$") &&
             r.getAs[Any](f.name) != null =>
-          f.name -> anyToTck(r.getAs[Any](f.name))
+          graft.graph.PropertyGraph.colProp(f.name) ->
+            anyToTck(r.getAs[Any](f.name))
       }
     lazy val nodes: Map[Long, TckNode] = g.nodes.collect().map { r =>
       r.getAs[Long]("id") -> TckNode(
@@ -586,9 +587,19 @@ object TckHarness {
   def loadScenarios(dir: java.io.File): Seq[Scenario] = {
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".feature")).sortBy(_.getName)
-    files.flatMap { f =>
+    val raw = files.flatMap { f =>
       parseFeature(scala.io.Source.fromFile(f, "UTF-8").mkString,
         f.getName.stripSuffix(".feature"))
     }.toSeq
+    // a corpus may repeat a scenario name within a feature — disambiguate
+    // deterministically (file order) so test names and denylist keys are
+    // stable and unique
+    val seen = scala.collection.mutable.Map.empty[(String, String), Int]
+    raw.map { sc =>
+      val k = (sc.feature, sc.name)
+      val n = seen.getOrElse(k, 0) + 1
+      seen(k) = n
+      if (n == 1) sc else sc.copy(name = s"${sc.name} #$n")
+    }
   }
 }
