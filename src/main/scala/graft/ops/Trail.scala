@@ -406,9 +406,10 @@ object Trail {
    *         rank 1..k)
    */
   def shortestKSegments(segments: Seq[PathSegment], pairs: DataFrame,
-      k: Int): DataFrame =
+      k: Int, localThreshold: Int = 10000): DataFrame =
     shortestKImpl(segments, pairs.select("source").distinct(), k,
-      fin => fin.join(pairs, Seq("source")).filter(col("end") === col("target")))
+      fin => fin.join(pairs, Seq("source")).filter(col("end") === col("target")),
+      localThreshold)
 
   /**
    * Unbound-target SHORTEST k: search from the distinct `sources` and
@@ -420,23 +421,36 @@ object Trail {
    * is one semi-join on the (far smaller) reached set.
    */
   def shortestKSegmentsTo(segments: Seq[PathSegment], sources: DataFrame,
-      targetNodes: Option[DataFrame], k: Int): DataFrame =
+      targetNodes: Option[DataFrame], k: Int,
+      localThreshold: Int = 10000): DataFrame =
     shortestKImpl(segments, sources.select("source").distinct(), k, fin => {
       val t = fin.withColumn("target", col("end"))
       targetNodes.fold(t)(tn =>
         t.join(tn.select("target").distinct(), Seq("target"), "left_semi"))
-    })
+    }, localThreshold)
 
   private def shortestKImpl(segments: Seq[PathSegment], sources: DataFrame,
-      k: Int, accept: DataFrame => DataFrame): DataFrame = {
+      k: Int, accept: DataFrame => DataFrame,
+      localThreshold: Int = 10000): DataFrame = {
     val wState = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "end", "seg", "segHops")
       .orderBy(col("hops").asc, col("path").asc)
     // per state only the k best (hops, path) rows survive a round, so work
     // per round is bounded by |reached states| × k, not by the trail count
-    val finished = segmentSearch(segments, sources, k, df => df
+    // (local twin: same k-best by (hops, path) — Spark orders array<long>
+    // element-wise with shorter-prefix-first, exactly seqOrdering)
+    val pathOrd = scala.math.Ordering.Implicits.seqOrdering[Vector, Long]
+    val localPrune: Seq[LRow] => Seq[LRow] = rows =>
+      rows.groupBy(r => (r.source, r.end, r.seg, r.segHops))
+        .valuesIterator.flatMap(rs =>
+          rs.sortBy(r => (r.hops, r.path))(
+            scala.math.Ordering.Tuple2(scala.math.Ordering.Int, pathOrd))
+            .take(k))
+        .toSeq
+    val finished = segmentSearch(segments, sources, k, (df, _) => df
       .withColumn("__rk", row_number().over(wState))
-      .filter(col("__rk") <= k).drop("__rk"))
+      .filter(col("__rk") <= k).drop("__rk"), Some(localPrune),
+      localThreshold)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "target").orderBy(col("hops").asc, col("path").asc)
     accept(finished)
@@ -458,56 +472,96 @@ object Trail {
     * a group can in principle arrive only via prefixes beyond the budget
     * (see [[shortestGroups]]'s note) — the slack absorbs the common cases. */
   def shortestGroupsSegments(segments: Seq[PathSegment], pairs: DataFrame,
-      k: Int): DataFrame =
+      k: Int, localThreshold: Int = 10000): DataFrame =
     shortestGroupsSegImpl(segments, pairs.select("source").distinct(), k,
-      fin => fin.join(pairs, Seq("source")).filter(col("end") === col("target")))
+      fin => fin.join(pairs, Seq("source")).filter(col("end") === col("target")),
+      localThreshold)
 
   /** Unbound-target [[shortestGroupsSegments]] (source-driven accept). */
   def shortestGroupsSegmentsTo(segments: Seq[PathSegment], sources: DataFrame,
-      targetNodes: Option[DataFrame], k: Int): DataFrame =
+      targetNodes: Option[DataFrame], k: Int,
+      localThreshold: Int = 10000): DataFrame =
     shortestGroupsSegImpl(segments, sources.select("source").distinct(), k,
       fin => {
         val t = fin.withColumn("target", col("end"))
         targetNodes.fold(t)(tn =>
           t.join(tn.select("target").distinct(), Seq("target"), "left_semi"))
-      })
+      }, localThreshold)
 
   private def shortestGroupsSegImpl(segments: Seq[PathSegment],
-      sources: DataFrame, k: Int, accept: DataFrame => DataFrame): DataFrame = {
+      sources: DataFrame, k: Int, accept: DataFrame => DataFrame,
+      localThreshold: Int = 10000): DataFrame = {
     val budget = k + segments.map(_.min).sum + GroupsBudgetSlack
     val wState = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "end", "seg", "segHops")
       .orderBy(col("hops").asc)
     // Two prunes compose per round: (a) length-cohort budget WITHIN a
     // state — only bites where lengths diverge inside one round, i.e.
-    // composite/alternation segments; (b) the single-leg distinct-ARRIVAL-
-    // ROUND budget on (source, end) — the bound that keeps plain multi-leg
-    // patterns from enumerating every trail to maxTotal (see
-    // [[shortestGroups]]'s budget rationale; pruneStates runs once per
-    // round, so the round counter threads through this closure).
-    var counts: DataFrame = null
-    val prune: DataFrame => DataFrame = { df0 =>
-      val cohorts = df0.withColumn("__rk", dense_rank().over(wState))
-        .filter(col("__rk") <= budget).drop("__rk")
-      val kept =
-        if (counts == null) cohorts
-        else cohorts.join(counts, Seq("source", "end"), "left_outer")
-          .filter(coalesce(col("__rounds"), lit(0L)) < budget)
-          .drop("__rounds")
-      val arrivals = kept.select("source", "end").distinct()
-        .withColumn("__arr", lit(1L))
-      counts = (
-        if (counts == null)
-          arrivals.select(col("source"), col("end"),
-            col("__arr").as("__rounds"))
-        else counts.join(arrivals, Seq("source", "end"), "full_outer")
-          .select(col("source"), col("end"),
-            (coalesce(col("__rounds"), lit(0L)) +
-              coalesce(col("__arr"), lit(0L))).as("__rounds"))
-        ).localCheckpoint(false)
+    // composite/alternation segments; (b) the distinct-ARRIVAL-ROUND
+    // budget per product-graph state (source, end, seg) — the bound that
+    // keeps plain multi-leg patterns from enumerating every trail to
+    // maxTotal (see [[shortestGroups]]'s budget rationale; per-seg keying
+    // matches that per-state rationale — a shared (source, end) budget
+    // would let arrivals via one segment starve a prefix another
+    // segment's length-group still needs).
+    //
+    // The arrival counter rides IN the frontier as LEDGER rows
+    // (segHops = -1, count in `hops`, one per state) instead of a
+    // separate full_outer-joined, per-round-checkpointed counts relation:
+    // each round is then ONE window stage — partitioned by
+    // (source, end, seg), under which the (…, segHops) cohort window and
+    // the arrival bookkeeping are subsumed partitionings — and one
+    // frontier checkpoint, not two. Ledger rows are inert in the search
+    // (never active, never advanced, filtered from acceptance).
+    val prune: (DataFrame, DataFrame) => DataFrame = { (df0, prev) =>
+      val isLedger = col("segHops") === -1
+      val withLedger =
+        if (prev == null) df0 else df0.unionByName(prev.filter(isLedger))
+      val wL = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "end", "seg")
+      val wLo = wL.orderBy(col("segHops").asc)
+      val flagged = withLedger
+        // prior distinct-arrival-round count for this state (0 if new)
+        .withColumn("__pr",
+          coalesce(max(when(isLedger, col("hops"))).over(wL), lit(0)))
+        // (a) length-cohort rank — ledger rows sit alone in segHops = -1
+        .withColumn("__rk", dense_rank().over(wState))
+        .withColumn("__keep",
+          !isLedger && col("__rk") <= budget && col("__pr") < budget)
+        // did any row survive into this state this round?
+        .withColumn("__arr",
+          max(when(col("__keep"), 1).otherwise(0)).over(wL))
+        .withColumn("__rn", row_number().over(wLo))
+      val kept = flagged.filter(col("__keep"))
+        .drop("__pr", "__rk", "__keep", "__arr", "__rn")
+      val ledgerOut = flagged
+        .filter(col("__rn") === 1 && (col("__pr") > 0 || col("__arr") === 1))
+        .select(col("source"), col("end"), col("seg"),
+          lit(-1).as("segHops"), (col("__pr") + col("__arr")).as("hops"),
+          array().cast("array<long>").as("path"),
+          array().cast("array<long>").as("nodes"))
+      kept.unionByName(ledgerOut)
+    }
+    // local twin of the two prunes: smallest-`budget` distinct hop cohorts
+    // per (source, end, seg, segHops), then the per-(source, end, seg)
+    // distinct-arrival-round budget (checked before this round's arrivals
+    // increment it — the same timing as the ledger join above)
+    val rounds = scala.collection.mutable.HashMap.empty[(Long, Long, Int), Int]
+    val localPrune: Seq[LRow] => Seq[LRow] = { rows =>
+      val cohortKept = rows.groupBy(r => (r.source, r.end, r.seg, r.segHops))
+        .valuesIterator.flatMap { rs =>
+          val ok = rs.map(_.hops).distinct.sorted.take(budget).toSet
+          rs.filter(r => ok(r.hops))
+        }
+      val kept = cohortKept.filter(r =>
+        rounds.getOrElse((r.source, r.end, r.seg), 0) < budget).toSeq
+      kept.iterator.map(r => (r.source, r.end, r.seg)).toSet
+        .foreach((s: (Long, Long, Int)) =>
+          rounds(s) = rounds.getOrElse(s, 0) + 1)
       kept
     }
-    val finished = segmentSearch(segments, sources, k, prune)
+    val finished = segmentSearch(segments, sources, k, prune, Some(localPrune),
+      localThreshold)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "target").orderBy(col("hops").asc)
     accept(finished)
@@ -517,17 +571,113 @@ object Trail {
       .filter(col("group") <= k)
   }
 
+  /** A product-graph search row on the driver-local fast path. */
+  private[ops] final case class LRow(source: Long, end: Long, seg: Int,
+      segHops: Int, hops: Int, path: Vector[Long], nodes: Vector[Long])
+  private final case class LEdge(dst: Long, rels: Array[Long],
+      ns: Array[Long], len: Int)
+
+  /** Driver-local replica of [[segmentSearch]]'s round DP over collected
+    * (LIMIT-probed) inputs — identical closure/advance/boundary/expansion
+    * semantics, with the caller's prune policy supplied as a local
+    * function, so results match the distributed rounds row for row while
+    * the ~maxTotal Spark jobs of scheduling latency disappear (the
+    * astar/kCheapest/localKeptRows pattern; the NFA-family queries run on
+    * sub-threshold fixtures and were round-latency-bound). */
+  private def localSegmentSearch(segments: Seq[PathSegment],
+      sources: DataFrame, prune: Seq[LRow] => Seq[LRow]): DataFrame = {
+    val spark = sources.sparkSession
+    import spark.implicits._
+    val nSeg = segments.size
+    val mins = segments.map(_.min).toIndexedSeq
+    val maxs = segments.map(_.max).toIndexedSeq
+    val maxTotal = maxs.sum
+    val adj: IndexedSeq[Map[Long, Array[LEdge]]] = segments.map { s =>
+      val rows =
+        if (s.composite) s.edges
+          .select(col("__es"), col("__ed"), col("__ers"), col("__ens"),
+            col("__elen")).collect()
+          .map(r => (r.getLong(0), LEdge(r.getLong(1),
+            r.getSeq[Long](2).toArray, r.getSeq[Long](3).toArray,
+            r.getInt(4))))
+        else s.edges.select(col("src"), col("dst"), col("id")).collect()
+          .map(r => (r.getLong(0), LEdge(r.getLong(1),
+            Array(r.getLong(2)), Array(r.getLong(1)), 1)))
+      rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }.toIndexedSeq
+    val bounds: IndexedSeq[Option[Set[Long]]] = segments.map(
+      _.boundary.map(_.select(col("id")).collect().map(_.getLong(0)).toSet))
+      .toIndexedSeq
+    val srcs = sources.select(col("source")).distinct().collect()
+      .map(_.getLong(0))
+    def closure(rows: Seq[LRow]): Seq[LRow] = {
+      val out = Seq.newBuilder[LRow]
+      out ++= rows
+      var carry: Seq[LRow] = Nil
+      var i = 0
+      while (i < nSeg) {
+        val cand = rows.filter(_.seg == i) ++ carry
+        val advanced = cand
+          .filter(r => r.segHops >= mins(i) &&
+            bounds(i).forall(_.contains(r.end)))
+          .map(r => LRow(r.source, r.end, i + 1, 0, r.hops, r.path, r.nodes))
+        out ++= advanced
+        carry = advanced
+        i += 1
+      }
+      out.result()
+    }
+    def active(r: LRow): Boolean = r.seg < nSeg && r.segHops < maxs(r.seg)
+    var frontier = prune(closure(srcs.toSeq.map(s =>
+      LRow(s, s, 0, 0, 0, Vector.empty, Vector(s)))))
+    val finished = Seq.newBuilder[LRow]
+    finished ++= frontier.filter(_.seg == nSeg)
+    var depth = 0
+    while (depth < maxTotal && frontier.exists(active)) {
+      val expanded = frontier.filter(active).flatMap { r =>
+        adj(r.seg).getOrElse(r.end, Array.empty[LEdge]).iterator
+          .filter(e => !e.rels.exists(r.path.contains))
+          .map(e => LRow(r.source, e.dst, r.seg, r.segHops + 1,
+            r.hops + e.len, r.path ++ e.rels, r.nodes ++ e.ns))
+      }
+      frontier = prune(closure(expanded))
+      finished ++= frontier.filter(_.seg == nSeg)
+      depth += 1
+    }
+    finished.result()
+      .map(r => (r.source, r.end, r.seg, r.segHops, r.hops, r.path, r.nodes))
+      .toDF("source", "end", "seg", "segHops", "hops", "path", "nodes")
+  }
+
   /** Shared product-graph search of the SHORTEST k family: runs the
     * depth-synchronized segment rounds and returns every accepted
     * (seg == nSeg) row; `pruneStates` bounds per-state growth (k-best rows
-    * for per-path selectors, length-cohort budgets for GROUPS). */
+    * for per-path selectors, length-cohort budgets for GROUPS) and
+    * receives the previous CHECKPOINTED frontier (null on the first call)
+    * so it may carry per-state bookkeeping rows across rounds (GROUPS'
+    * segHops = -1 arrival ledger). When every input relation passes the
+    * LIMIT probe, the search instead runs driver-local through
+    * [[localSegmentSearch]] with the caller's `localPrune` policy —
+    * identical rows, none of the per-round job latency. */
   private def segmentSearch(segments: Seq[PathSegment], sources: DataFrame,
-      k: Int, pruneStates: DataFrame => DataFrame): DataFrame = {
+      k: Int, pruneStates: (DataFrame, DataFrame) => DataFrame,
+      localPrune: Option[Seq[LRow] => Seq[LRow]] = None,
+      localThreshold: Int = 10000): DataFrame = {
     require(segments.nonEmpty && k >= 1, "need segments and k >= 1")
     segments.foreach(s => require(s.min >= 0 && s.max >= s.min && s.max <= 30,
       s"segment bounds out of range: ${s.min}..${s.max}"))
     val maxTotal = segments.map(_.max).sum
     require(maxTotal <= 60, s"total path bound too large: $maxTotal")
+    localPrune match {
+      case Some(lp) if localThreshold > 0 &&
+          sources.limit(localThreshold + 1).count() <= localThreshold &&
+          segments.forall(s =>
+            s.edges.limit(localThreshold + 1).count() <= localThreshold &&
+            s.boundary.forall(
+              _.limit(localThreshold + 1).count() <= localThreshold)) =>
+        return localSegmentSearch(segments, sources, lp)
+      case _ => ()
+    }
     val nSeg = segments.size
     val mins = lit(segments.map(_.min).toArray)
     val maxs = lit(segments.map(_.max).toArray)
@@ -577,9 +727,11 @@ object Trail {
 
     // one action per round: materializes the (lazy) frontier checkpoint AND
     // returns the count of still-expandable states — replacing an eager
-    // checkpoint job + a separate isEmpty job
-    val isActive = col("seg") < nSeg &&
+    // checkpoint job + a separate isEmpty job. Ledger rows (segHops = -1)
+    // are never active and never accepted.
+    val isActive = col("segHops") >= 0 && col("seg") < nSeg &&
       col("segHops") < try_element_at(maxs, col("seg") + 1)
+    val isAccepted = col("seg") === nSeg && col("segHops") >= 0
     def materializeAndCountActive(f: DataFrame): Long =
       f.agg(count(when(isActive, 1))).first().getLong(0)
 
@@ -588,10 +740,10 @@ object Trail {
         .select(col("source"), col("source").as("end"), lit(0).as("seg"),
           lit(0).as("segHops"), lit(0).as("hops"),
           array().cast("array<long>").as("path"),
-          array(col("source")).as("nodes"))))
+          array(col("source")).as("nodes"))), null)
       .localCheckpoint(false)
     val finished = Seq.newBuilder[DataFrame]
-    finished += frontier.filter(col("seg") === nSeg)
+    finished += frontier.filter(isAccepted)
     var depth = 0
     var activeCnt = materializeAndCountActive(frontier)
     while (depth < maxTotal && activeCnt > 0) {
@@ -606,8 +758,8 @@ object Trail {
             concat(col("path"), col("__ers")).as("path"),
             concat(col("nodes"), col("__ens")).as("nodes"))
       }.reduce(_ unionByName _)
-      frontier = pruneStates(closure(expanded)).localCheckpoint(false)
-      finished += frontier.filter(col("seg") === nSeg)
+      frontier = pruneStates(closure(expanded), frontier).localCheckpoint(false)
+      finished += frontier.filter(isAccepted)
       activeCnt = materializeAndCountActive(frontier)
       depth += 1
     }

@@ -327,4 +327,38 @@ class TrailPathsSpec extends AnyFunSuite {
       .map(r => r.getSeq[Long](r.fieldIndex("path")).toList)
     assert(got.toList == List(List(200L, 201L), List(300L, 301L)))
   }
+
+  test("segment search: driver-local fast path equals the distributed rounds") {
+    import spark.implicits._
+    import graft.ops.Trail.PathSegment
+    // pseudo-random 12-node multigraph with cycles and parallel edges
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 40).map(i =>
+      (1000L + i, rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+    val edges = es.toDF("id", "src", "dst")
+    // a composite segment (alternation-branch shape): 1-rel pieces plus
+    // 2-rel pieces, like the planner emits for (-[:E]-()|-[:E]-()-[:E]-())
+    val one = es.map { case (i, a, b) => (a, b, Seq(i), Seq(b), 1) }
+    val two = for {
+      (i, a, b) <- es; (j, c, d) <- es if b == c && i != j
+    } yield (a, d, Seq(i, j), Seq(b, d), 2)
+    val comp = (one ++ two).toDF("__es", "__ed", "__ers", "__ens", "__elen")
+    val bnd = (0 until 12 by 2).map(i => Tuple1(i.toLong)).toDF("id")
+    val pairs = (0 until 4).flatMap(sx => (6 until 10).map(t =>
+      (sx.toLong, t.toLong))).toDF("source", "target")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    val segsK = Seq(PathSegment(edges, 1, 2, Some(bnd)),
+      PathSegment(edges, 0, 2))
+    assert(canon(graft.ops.Trail.shortestKSegments(segsK, pairs, k = 3)) ==
+      canon(graft.ops.Trail.shortestKSegments(segsK, pairs, k = 3,
+        localThreshold = 0)))
+
+    val segsG = Seq(PathSegment(comp, 1, 2, Some(bnd), composite = true),
+      PathSegment(edges, 1, 2))
+    assert(canon(graft.ops.Trail.shortestGroupsSegments(segsG, pairs, k = 2)) ==
+      canon(graft.ops.Trail.shortestGroupsSegments(segsG, pairs, k = 2,
+        localThreshold = 0)))
+  }
 }
