@@ -126,7 +126,12 @@ object Ast {
       // SHORTEST k GROUPS (GQL selector; reference StatefulShortestPath
       // .Selector.ShortestGroups): every path whose length falls in the k
       // smallest distinct lengths per pair
-      groups: Boolean = false)
+      groups: Boolean = false,
+      // parenthesized path-pattern WHERE `ANY SHORTEST ((a)-->+(b) WHERE …)`
+      // — applied to the selected paths (the reference filters BEFORE the
+      // selector inside the NFA; post-filtering is a documented divergence
+      // observable when a predicate-failing path displaces a shorter one)
+      where: Option[Expr] = None)
 
   // ---- clauses ----------------------------------------------------------
 

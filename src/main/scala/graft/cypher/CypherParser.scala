@@ -19,11 +19,15 @@ object CypherParser extends RegexParsers {
   // reference grammar's BLOCK_COMMENT lexer rule)
   override protected val whiteSpace = """(\s|//[^\n]*|/\*(?s:.*?)\*/)+""".r
 
+  // `IS` and `END` are CONTEXTUAL in the reference grammar (a variable may
+  // be named `end` — pervasive in the acceptance corpus; `collect(i) AS is`
+  // is legal): keyword uses (`IS NULL`, `CASE … END`) match via K() before
+  // the identifier alternative, so they need not be globally reserved.
   private val reserved = Set(
     "MATCH", "OPTIONAL", "WHERE", "RETURN", "WITH", "UNWIND", "AS",
     "ORDER", "BY", "SKIP", "LIMIT", "DISTINCT", "UNION", "ALL",
     "AND", "OR", "XOR", "NOT", "IN", "STARTS", "ENDS", "CONTAINS",
-    "IS", "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END",
+    "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE",
     "ASC", "DESC", "ASCENDING", "DESCENDING", "EXISTS",
     "CREATE", "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "NODETACH", "ON",
     "FOREACH", "CALL", "YIELD", "INSERT", "FINISH")
@@ -452,39 +456,55 @@ object CypherParser extends RegexParsers {
 
   // ---- clauses ----------------------------------------------------------
 
+  /** The pattern a GQL selector applies to: plain, or PARENTHESIZED with
+    * an optional inner path naming and an optional path-pattern WHERE —
+    * `ANY SHORTEST (p = (a)-->+(b) WHERE …)` (reference
+    * ParenthesizedPath). Returns (innerName, pattern, where). */
+  private def selGroup: Parser[(Option[String], PathPattern, Option[Expr])] =
+    ("(" ~> opt(ident <~ "=") ~ pathPattern ~
+        opt(K("WHERE") ~> expression) <~ ")") ^^ {
+      case n ~ p ~ w => (n, p, w)
+    } |
+    pathPattern ^^ (p => (None, p, None))
+
+  private def noise = opt(K("PATH") | K("PATHS"))
+
   private def shortestPart: Parser[ShortestPart] =
     opt(ident <~ "=") ~ "(?i)(allShortestPaths|shortestPath)".r ~
       ("(" ~> pathPattern <~ ")") ^^ {
       case v ~ kw ~ p => ShortestPart(v, p, kw.toLowerCase.startsWith("all"))
     } |
     // GQL path selectors (reference StatefulShortestPath selectors):
-    // ANY SHORTEST ≡ SHORTEST 1; ALL SHORTEST ≡ allShortestPaths;
-    // SHORTEST k [PATHS]
-    opt(ident <~ "=") ~ (K("ANY") ~> K("SHORTEST") ~> pathPattern) ^^ {
-      case v ~ p => ShortestPart(v, p, all = false, k = Some(1))
+    // ANY SHORTEST [PATH[S]] ≡ SHORTEST 1; ALL SHORTEST ≡ allShortestPaths;
+    // SHORTEST k [PATH[S]] [GROUP[S]]
+    opt(ident <~ "=") ~ (K("ANY") ~> K("SHORTEST") ~> noise ~> selGroup) ^^ {
+      case v ~ ((n, p, w)) =>
+        ShortestPart(v.orElse(n), p, all = false, k = Some(1), where = w)
     } |
-    opt(ident <~ "=") ~ (K("ALL") ~> K("SHORTEST") ~> pathPattern) ^^ {
-      case v ~ p => ShortestPart(v, p, all = true)
+    opt(ident <~ "=") ~ (K("ALL") ~> K("SHORTEST") ~> noise ~> selGroup) ^^ {
+      case v ~ ((n, p, w)) => ShortestPart(v.orElse(n), p, all = true, where = w)
     } |
     opt(ident <~ "=") ~ (K("SHORTEST") ~> """\d+""".r) ~
-      (opt(K("PATH") | K("PATHS")) ~> opt(K("GROUPS") | K("GROUP"))) ~
-      pathPattern ^^ {
-      case v ~ kk ~ g ~ p =>
-        ShortestPart(v, p, all = false, k = Some(kk.toInt),
-          groups = g.isDefined)
+      (noise ~> opt(K("GROUPS") | K("GROUP"))) ~ selGroup ^^ {
+      case v ~ kk ~ g ~ ((n, p, w)) =>
+        ShortestPart(v.orElse(n), p, all = false, k = Some(kk.toInt),
+          groups = g.isDefined, where = w)
     } |
     // SHORTEST [PATH] GROUP without a count: k = 1 (reference selector
     // grammar `SHORTEST UNSIGNED_DECIMAL_INTEGER? PATH? GROUP`)
-    opt(ident <~ "=") ~ (K("SHORTEST") ~> opt(K("PATH") | K("PATHS")) ~>
-      (K("GROUPS") | K("GROUP")) ~> pathPattern) ^^ {
-      case v ~ p => ShortestPart(v, p, all = false, k = Some(1), groups = true)
+    opt(ident <~ "=") ~ (K("SHORTEST") ~> noise ~>
+      (K("GROUPS") | K("GROUP")) ~> selGroup) ^^ {
+      case v ~ ((n, p, w)) =>
+        ShortestPart(v.orElse(n), p, all = false, k = Some(1), groups = true,
+          where = w)
     } |
     // ANY [k] [PATH]: "any k paths" — satisfied deterministically by the
     // k shortest (the reference leaves the choice to the implementation)
     opt(ident <~ "=") ~ (K("ANY") ~> opt("""\d+""".r)) ~
-      (opt(K("PATH") | K("PATHS")) ~> pathPattern) ^^ {
-      case v ~ kk ~ p =>
-        ShortestPart(v, p, all = false, k = Some(kk.map(_.toInt).getOrElse(1)))
+      (noise ~> selGroup) ^^ {
+      case v ~ kk ~ ((n, p, w)) =>
+        ShortestPart(v.orElse(n), p, all = false,
+          k = Some(kk.map(_.toInt).getOrElse(1)), where = w)
     }
 
   /** `p = (a)-[r]->(b)` — plain named path (reference ProjectNamedPath).
@@ -590,8 +610,12 @@ object CypherParser extends RegexParsers {
   /** `[DETACH|NODETACH] DELETE` — NODETACH (reference deleteClause) is the
     * explicit spelling of the default: error on attached relationships. */
   private def deleteClause: Parser[Clause] =
-    opt(K("DETACH") | K("NODETACH")) ~ (K("DELETE") ~> rep1sep(ident, ",")) ^^ {
-      case d ~ vs => DeleteClause(vs, d.contains("DETACH"))
+    // DELETE null is legal and a no-op (deleting NO_VALUE does nothing in
+    // the reference) — parsed as a discarded target
+    opt(K("DETACH") | K("NODETACH")) ~
+      (K("DELETE") ~> rep1sep(K("NULL") ^^ (_ => None) | ident ^^ (Some(_)),
+        ",")) ^^ {
+      case d ~ vs => DeleteClause(vs.flatten, d.contains("DETACH"))
     }
 
   private def foreachClause: Parser[Clause] =
@@ -614,12 +638,17 @@ object CypherParser extends RegexParsers {
     }
 
   private def createConstraintClause: Parser[Clause] =
-    (K("CREATE") ~> K("CONSTRAINT") ~> ident) ~ schemaTarget ~
+    // the name is optional (`CREATE CONSTRAINT FOR (p:Person) REQUIRE …`);
+    // an unnamed schema command gets a deterministic generated name, like
+    // the reference's generated constraint names
+    (K("CREATE") ~> K("CONSTRAINT") ~> opt(not(K("FOR")) ~> ident)) ~
+      schemaTarget ~
       (K("IS") ~> (K("UNIQUE") ^^ (_ => "unique") |
         (K("NOT") ~ K("NULL")) ^^ (_ => "exists") |
         (K("NODE") ~ K("KEY")) ^^ (_ => "node_key"))) ^^ {
       case name ~ ((label, prop)) ~ kind =>
-        CreateConstraintClause(name, label, prop, kind)
+        CreateConstraintClause(name.getOrElse(s"constraint_${label}_$prop"),
+          label, prop, kind)
     }
 
   /** `CREATE [RANGE|TEXT|POINT|VECTOR|FULLTEXT] INDEX name FOR (n:Label)
@@ -632,9 +661,11 @@ object CypherParser extends RegexParsers {
       K("RANGE") ^^ (_ => "range") | K("TEXT") ^^ (_ => "text") |
       K("POINT") ^^ (_ => "point") | K("VECTOR") ^^ (_ => "vector") |
       K("FULLTEXT") ^^ (_ => "fulltext"))) ~
-      (K("INDEX") ~> ident) ~ schemaTarget ~ opt(K("OPTIONS") ~> mapLit) ^^ {
+      (K("INDEX") ~> opt(not(K("FOR")) ~> ident)) ~ schemaTarget ~
+      opt(K("OPTIONS") ~> mapLit) ^^ {
       case kind ~ name ~ ((label, prop)) ~ _ =>
-        CreateIndexClause(name, label, prop, kind.getOrElse("range"))
+        CreateIndexClause(name.getOrElse(s"index_${label}_$prop"),
+          label, prop, kind.getOrElse("range"))
     }
 
   private def dropSchemaClause: Parser[Clause] =

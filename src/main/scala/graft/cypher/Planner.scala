@@ -703,6 +703,7 @@ object Planner {
   }
 
   private def planDelete(ctx: Ctx, env: Env, d: DeleteClause): Unit = {
+    if (d.variables.isEmpty) return // DELETE null — a no-op
     val df = env.df.getOrElse(
       throw new IllegalArgumentException("DELETE needs bound rows"))
     val (relVarsToDelete, nodeVars) = d.variables.partition(v =>
@@ -1287,10 +1288,21 @@ object Planner {
     // consecutive legs; the last leg's end is the target, constrained by
     // the pair/accept step
     val boundaries = interiors.map(boundarySet(ctx, _)) :+ None
+    // unbounded legs (`-->+` / `-->*` / `*2..`) search to a depth cap: the
+    // reference's NFA runs unbounded, but a shortest selector never needs
+    // paths past the search horizon on any graph the budget admits —
+    // remaining depth after the bounded legs, split across the unbounded
+    // ones (≤ 30 each, Σmax ≤ 60 per the product-graph search bound).
+    // Documented divergence: a SHORTEST match longer than the cap is missed.
+    val boundedSum = p.hops.flatMap(_._1.varLength).collect {
+      case (_, Some(m)) => m }.sum + p.hops.count(_._1.varLength.isEmpty)
+    val nUnbounded = p.hops.count(_._1.varLength.exists(_._2.isEmpty))
+    val unboundedCap =
+      if (nUnbounded == 0) 0
+      else math.max(1, math.min(30, (60 - boundedSum) / nUnbounded))
     val segs = p.hops.zip(boundaries).map { case ((r, _), bnd) =>
       val (mn, mxOpt) = r.varLength.getOrElse((1, Some(1)))
-      val mx = mxOpt.getOrElse(throw new IllegalArgumentException(
-        "SHORTEST k legs need a bounded upper end (e.g. *1..4)"))
+      val mx = mxOpt.getOrElse(unboundedCap)
       r.branches match {
         case Some(bs) =>
           // alternation between path shapes: each branch compiles to a
@@ -2883,15 +2895,15 @@ object Planner {
     case _                    => false
   }
 
-  private def defaultAlias(e: Expr): String = {
-    val raw = e match {
-      case Variable(v)          => v
-      case Prop(Variable(v), k) => s"$v.$k"
-      case CountStar            => "count(*)"
-      case Func(n, _, _)        => n
-      case _                    => "expr"
-    }
-    raw.replaceAll("[^A-Za-z0-9_]", "_")
+  private def defaultAlias(e: Expr): String = e match {
+    // unaliased items surface under their source text (`RETURN n.prop` —
+    // column header `n.prop`, what the TCK compares); dotted names are
+    // legal Spark column names as long as later references backtick them
+    case Variable(v)          => v
+    case Prop(Variable(v), k) => s"$v.$k"
+    case CountStar            => "count(*)"
+    case Func(n, _, _)        => n
+    case _                    => "expr"
   }
 
   private def constInt(ctx: Ctx, e: Expr): Int = e match {

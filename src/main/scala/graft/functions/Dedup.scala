@@ -47,8 +47,15 @@ object Dedup {
 
   private val Prime = 2147483647L // 2^31-1; minhash universe
 
-  /** Deterministic per-row hash of a shingle into [0, Prime). */
-  private def shingleHash(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(Prime))
+  /** 64-bit hash BOTH engines replay bit-for-bit: the first 15 hex digits
+    * of the standard MD5 digest parsed as an integer (< 2^60, positive).
+    * Spark's conv() and DuckDB's 0x-cast produce the identical BIGINT, so
+    * an oracle query can re-derive every sketch that uses it — the
+    * replayable twin of xxhash64 for the driver's correctness gate
+    * (xxhash64 stays the default production hash: one codegen'd pass,
+    * no digest string). */
+  def portableHash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /**
    * MinHash signatures + LSH banding.
@@ -61,7 +68,9 @@ object Dedup {
    *         signature agreement.
    */
   def minhashCandidates(docs: DataFrame, shingleSize: Int = 3, k: Int = 64,
-      bands: Int = 16, maxBucket: Int = 64): DataFrame = {
+      bands: Int = 16, maxBucket: Int = 64,
+      hash64: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val rng = new scala.util.Random(42)
@@ -76,7 +85,7 @@ object Dedup {
       .withColumn("__toks", tokens(col("text")))
       .select(col("id"),
         array_distinct(transform(shinglesOf(col("__toks"), shingleSize),
-          s => shingleHash(s))).as("hs"))
+          s => pmod(hash64(s), lit(Prime)))).as("hs"))
     val sig = sh.select(col("id"), array(coeffs.map { case (a, b) =>
       array_min(transform(col("hs"), x => pmod(x * a + b, lit(Prime))))
     }.toIndexedSeq: _*).as("sig"))
@@ -88,7 +97,7 @@ object Dedup {
     val sigCached = sig.localCheckpoint(false)
     val banded = sigCached.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          bi => xxhash64(array_join(slice(col("sig"), bi * r + 1, lit(r)), "_")))))
+          bi => hash64(array_join(slice(col("sig"), bi * r + 1, lit(r)), "_")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
     // candidate pairs within a bucket; cap pathological buckets (skew guard —
@@ -112,8 +121,11 @@ object Dedup {
   /** MinHash+LSH dedup end-to-end: candidates above the similarity threshold
     * verified with exact shingle Jaccard. */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.8,
-      shingleSize: Int = 3): DataFrame = {
-    val cands = minhashCandidates(docs, shingleSize).filter(col("jaccardEstimate") >= threshold * 0.7)
+      shingleSize: Int = 3,
+      hash64: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
+    val cands = minhashCandidates(docs, shingleSize, hash64 = hash64)
+      .filter(col("jaccardEstimate") >= threshold * 0.7)
     // materialized once — referenced by BOTH pair-side joins below. The
     // verify sets are 8-byte xxhash64 keys, not shingle STRINGS: the
     // per-pair intersect compares longs (~10x smaller rows through the two
@@ -123,7 +135,7 @@ object Dedup {
     val sets = docs
       .withColumn("__toks", tokens(col("text")))
       .select(col("id"), array_distinct(
-        transform(shinglesOf(col("__toks"), shingleSize), s => xxhash64(s))).as("set"))
+        transform(shinglesOf(col("__toks"), shingleSize), s => hash64(s))).as("set"))
       .withColumn("sz", size(col("set")))
       .localCheckpoint(false)
     cands
@@ -291,7 +303,8 @@ object Dedup {
       .withColumn("set", array_distinct(
         transform(shinglesOf(col("__toks"), shingleSize), s => xxhash64(s))))
       .withColumn("hs", array_distinct(
-        transform(shinglesOf(col("__toks"), shingleSize), s => shingleHash(s))))
+        transform(shinglesOf(col("__toks"), shingleSize),
+          s => pmod(xxhash64(s), lit(Prime)))))
       .select(col("id"),
         array(coeffs.map { case (a, b) =>
           array_min(transform(col("hs"), x => pmod(x * a + b, lit(Prime))))
@@ -316,9 +329,11 @@ object Dedup {
     * A shuffle-free per-row formulation (64 HOF `aggregate`s) was measured
     * 2.6x SLOWER: higher-order-function lambdas evaluate interpreted, while
     * this shape stays inside whole-stage codegen end to end. */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
     val tok = docs.select(col("id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("h", tokenHash(col("t")))
     val bitSums = (0 until 64).map { j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"b$j")
     }
@@ -331,8 +346,10 @@ object Dedup {
 
   /** SimHash near-dup pairs: LSH on 4 × 16-bit bands of the signature, then
     * verify hamming distance ≤ maxHamming via bit_count(xor). */
-  def simhashDedup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs)
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 3,
+      tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
+    val sig = simhash(docs, tokenHash)
     val banded = sig.select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))

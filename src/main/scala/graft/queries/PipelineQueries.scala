@@ -106,19 +106,108 @@ object PipelineQueries {
              |  max(pos) + 39 - min(pos) + 1 AS chars
              |FROM g GROUP BY id, grp""".stripMargin)),
 
-    // MinHash+LSH near-dup (sketch → band-bucket join → exact verify).
-    // Probabilistic pipeline: validated against exact Jaccard in DedupSpec;
-    // rows-only check here.
+    // MinHash+LSH near-dup (sketch → band-bucket join → exact verify),
+    // EXACT-REPLAY oracled: the query runs the full production pipeline
+    // (shingles, 64 seeded permutations, 16 band buckets with the skew
+    // cap, signature-agreement estimate, exact-Jaccard verify) over the
+    // portable md5-derived 64-bit hash, and the oracle re-derives every
+    // stage in SQL — the fixed seed-42 coefficients are interpolated as
+    // literals. xxhash64 remains the scale-path default (DedupSpec pins
+    // the sketch quality there).
     QueryDef("q_dedup_minhash",
-      (s, d) => Dedup.minhashDedup(docs(s, d), threshold = 0.5)
+      (s, d) => Dedup.minhashDedup(docs(s, d), threshold = 0.5,
+          hash64 = Dedup.portableHash64)
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard")),
-      None),
+      Some {
+        val rng = new scala.util.Random(42)
+        val prime = 2147483647L
+        val coef = Seq.fill(64)((1L + rng.nextInt((prime - 1).toInt),
+          rng.nextInt(prime.toInt).toLong))
+        val coefRows = coef.zipWithIndex
+          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+        s"""WITH tok AS (SELECT doc_id AS id,
+           |    list_filter(string_split_regex(text, '\\s+'),
+           |      x -> length(x) > 0) AS toks
+           |  FROM documents),
+           |sh0 AS (SELECT id, CASE WHEN len(toks) < 3
+           |    THEN [array_to_string(toks, ' ')]
+           |    ELSE [array_to_string(toks[i:i+2], ' ')
+           |          for i in generate_series(1, len(toks) - 2)] END AS shs
+           |  FROM tok),
+           |hs AS (SELECT id, list_distinct([
+           |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $prime
+           |    for s in shs]) AS hs FROM sh0),
+           |coef(i, a, b) AS (VALUES $coefRows),
+           |sigrow AS (
+           |  SELECT id, c.i AS i, min((x.h * c.a + c.b) % $prime) AS v
+           |  FROM (SELECT id, unnest(hs) AS h FROM hs) x, coef c
+           |  GROUP BY id, c.i),
+           |sig AS (SELECT id, list(v ORDER BY i) AS sig FROM sigrow GROUP BY id),
+           |banded AS (
+           |  SELECT id, b.b AS band, CAST(concat('0x', substr(md5(
+           |      array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], '_')), 1, 15))
+           |    AS BIGINT) AS bucket
+           |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b),
+           |capped AS (SELECT id, band, bucket, row_number() OVER (
+           |    PARTITION BY band, bucket ORDER BY id) AS rn
+           |  FROM banded QUALIFY rn <= 64),
+           |cand AS (SELECT DISTINCT a.id AS idA, b.id AS idB
+           |  FROM capped a JOIN capped b
+           |    ON a.band = b.band AND a.bucket = b.bucket
+           |  WHERE a.id < b.id),
+           |est AS (SELECT c.idA, c.idB,
+           |    sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS e
+           |  FROM cand c JOIN sigrow sa ON sa.id = c.idA
+           |    JOIN sigrow sb ON sb.id = c.idB AND sb.i = sa.i
+           |  GROUP BY c.idA, c.idB),
+           |sets AS (SELECT id, list_distinct([
+           |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+           |    for s in shs]) AS st FROM sh0),
+           |v AS (SELECT k.idA, k.idB,
+           |    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) AS inter,
+           |    len(a.st) AS szA, len(b.st) AS szB
+           |  FROM (SELECT idA, idB FROM est WHERE e >= 0.35) k
+           |    JOIN sets a ON a.id = k.idA JOIN sets b ON b.id = k.idB)
+           |SELECT idA, idB, round(inter / (szA + szB - inter), 4) AS jaccard
+           |FROM v WHERE inter / (szA + szB - inter) >= 0.5""".stripMargin
+      }),
 
-    // SimHash near-dup (64-bit signature, 16-bit band LSH, hamming verify).
+    // SimHash near-dup (64-bit signature, 16-bit band LSH, hamming
+    // verify), EXACT-REPLAY oracled over the portable hash: 64 conditional
+    // bit sums, sign bits OR-composed (bit 63 = BIGINT min value on the
+    // SQL side), 4 x 16-bit band buckets, bit_count(xor) hamming.
     QueryDef("q_dedup_simhash",
-      (s, d) => Dedup.simhashDedup(docs(s, d), maxHamming = 6)
+      (s, d) => Dedup.simhashDedup(docs(s, d), maxHamming = 6,
+          tokenHash = Dedup.portableHash64)
         .select(col("idA"), col("idB"), col("hamming")),
-      None),
+      Some("""WITH tok AS (SELECT doc_id AS id,
+             |    unnest(list_filter(string_split_regex(text, '\s+'),
+             |      x -> length(x) > 0)) AS t
+             |  FROM documents),
+             |h AS (SELECT id,
+             |    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+             |  FROM tok),
+             |bits AS (
+             |  SELECT id, js.j AS j,
+             |    CASE WHEN sum(CASE WHEN (h >> js.j) & 1 = 1
+             |        THEN 1 ELSE -1 END) > 0
+             |      THEN CASE WHEN js.j = 63 THEN (-9223372036854775807 - 1)
+             |           ELSE (CAST(1 AS BIGINT) << js.j) END
+             |      ELSE 0 END AS bit
+             |  FROM h, (SELECT unnest(generate_series(0, 63)) AS j) js
+             |  GROUP BY id, js.j),
+             |sig AS (SELECT id, CAST(sum(bit) AS BIGINT) AS sig
+             |  FROM bits GROUP BY id),
+             |banded AS (SELECT id, sig, b.b AS band,
+             |    (sig >> (b.b * 16)) & 65535 AS bucket
+             |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) b),
+             |pairs AS (SELECT DISTINCT a.id AS idA, b.id AS idB,
+             |    a.sig AS sA, b.sig AS sB
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.bucket = b.bucket
+             |  WHERE a.id < b.id)
+             |SELECT idA, idB, CAST(bit_count(xor(sA, sB)) AS INT) AS hamming
+             |FROM pairs WHERE bit_count(xor(sA, sB)) <= 6""".stripMargin)),
 
     // Brute-force cosine top-k — exact ANN baseline. Query vectors 0..4
     // against the full corpus; ids only (rank ties broken by id).
