@@ -311,7 +311,9 @@ object CypherParser extends RegexParsers {
       case name ~ (d ~ args) => Func(name.toLowerCase, args, d.isDefined)
     }
 
-  private def param: Parser[Expr] = "$" ~> ident ^^ Param.apply
+  // parameter names are unambiguous after `$` — reserved words allowed
+  // (`$skip`, `$limit` are idiomatic pagination parameters)
+  private def param: Parser[Expr] = "$" ~> symName ^^ Param.apply
 
   private def listLit: Parser[Expr] =
     "[" ~> repsep(expression, ",") <~ "]" ^^ ListLit.apply

@@ -2906,10 +2906,36 @@ object Planner {
     case _                    => "expr"
   }
 
-  private def constInt(ctx: Ctx, e: Expr): Int = e match {
-    case Lit(l: Long) => l.toInt
-    case Param(n)     => ctx.params(n).asInstanceOf[Number].intValue()
-    case other => throw new IllegalArgumentException(s"SKIP/LIMIT must be literal: $other")
+  private def constInt(ctx: Ctx, e: Expr): Int = constLong(ctx, e) match {
+    case Some(l) => l.toInt
+    case None => throw new IllegalArgumentException(
+      s"SKIP/LIMIT must be a constant-foldable expression: $e")
+  }
+
+  /** Constant-fold an integer expression (literals, parameters, the four
+    * arithmetic operators, modulo and unary minus over them) — the
+    * reference accepts arbitrary expressions
+    * for SKIP/LIMIT (Limit takes an Expression, LogicalPlan.scala:2565);
+    * a columnar plan needs the value at plan time, so anything that folds
+    * to a constant is accepted (parameterized pagination included). */
+  private def constLong(ctx: Ctx, e: Expr): Option[Long] = e match {
+    case Lit(l: Long)    => Some(l)
+    case Param(n)        => ctx.params.get(n).collect {
+      case num: Number => num.longValue() }
+    case UnaryOp("-", x) => constLong(ctx, x).map(-_)
+    case BinOp(op, l, r) =>
+      for {
+        a <- constLong(ctx, l); b <- constLong(ctx, r)
+        v <- op match {
+          case "+" => Some(a + b)
+          case "-" => Some(a - b)
+          case "*" => Some(a * b)
+          case "/" if b != 0 => Some(a / b)
+          case "%" if b != 0 => Some(a % b)
+          case _   => None
+        }
+      } yield v
+    case _ => None
   }
 
   /** Pattern-inline property values must be constants or parameters. */
@@ -3233,9 +3259,12 @@ object Planner {
         case "CONTAINS"    => c(l).contains(c(r))
         case "=~" => r match {
           // Cypher `=~` is full-match anchored (java.util.regex matches()),
-          // Spark rlike is find(): anchor explicitly.
+          // Spark rlike is find(): anchor explicitly. A non-literal
+          // pattern (parameter, column, concatenation) anchors the same
+          // way through regexp_like's column-pattern form.
           case Lit(p: String) => c(l).rlike("^(?:" + p + ")$")
-          case _ => throw new IllegalArgumentException("=~ needs a literal pattern")
+          case _ =>
+            regexp_like(c(l), concat(lit("^(?:"), c(r), lit(")$")))
         }
       }
       case CaseExpr(subject, whens, default) =>
@@ -3455,7 +3484,12 @@ object Planner {
         // escape \ and $ in the replacement (else group refs / escapes fire)
         regexp_replace(a0, regexp_quote(c(args(1))),
           regexp_replace(c(args(2)), "([\\\\$])", "\\\\$1"))
-      case "split"     => split(a0, javaQuote(args(1)))
+      case "split"     => args(1) match {
+        case Lit(p: String) => split(a0, java.util.regex.Pattern.quote(p))
+        // dynamic delimiter: regex-quote the evaluated string so the
+        // split stays literal, like the reference's split()
+        case other => split(a0, regexp_quote(c(other)), lit(-1))
+      }
       case "substring" =>
         // Cypher 0-based start
         if (args.size >= 3) a0.substr(c(args(1)) + 1, c(args(2)))

@@ -662,6 +662,18 @@ object CypherQueries {
              |  (SELECT count(*) FROM nation)
              |FROM nation""".stripMargin)),
 
+    // Parameterized pagination — dynamic SKIP/LIMIT (the reference's Limit
+    // takes any Expression, LogicalPlan.scala:2565): `$skip`/`$limit`
+    // parameters plus constant-foldable arithmetic on them plan as
+    // plan-time offsets, the everyday driver pagination idiom.
+    QueryDef("q_cypher_param_paging",
+      (s, d) => Cypher.run(s, TpchGraph.load(s, d),
+        """MATCH (c:Customer) RETURN c.key AS key
+          |ORDER BY key SKIP $skip LIMIT $limit * 2 + 1""".stripMargin,
+        Map("skip" -> 7L, "limit" -> 6L)),
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS key FROM customer
+             |ORDER BY c_custkey LIMIT 13 OFFSET 7""".stripMargin)),
+
     // Writes inside a correlated CALL subquery (reference SubqueryForeach,
     // LogicalPlan.scala:3897): per-outer-row CREATE against the statement
     // snapshot — `MATCH … CALL { WITH n CREATE … }` is the everyday
