@@ -58,6 +58,14 @@ object Ast {
   final case class PatternComprehension(pattern: PathPattern, where: Option[Expr],
       projection: Expr, orderBy: Seq[SortItem] = Nil,
       skip: Option[Expr] = None, limit: Option[Expr] = None) extends Expr
+  /** Full-query subquery expression — `EXISTS { <query> }`,
+    * `COUNT { <query> }`, `COLLECT { <query> }` with arbitrary bodies
+    * (multi-clause, WITH-starting, UNION; reference ExistsExpression/
+    * CountExpression/CollectExpression): outer-scope variables are
+    * implicitly imported, correlation inferred from the free variables.
+    * The single-pattern forms keep their dedicated nodes above. */
+  final case class SubqueryExpr(kind: String, q: Query) extends Expr
+
   /** `n:Label` / `n:A|B&!C` as a boolean expression (reference HasLabels /
     * label-expression predicate): DNF over (possibly negated) label atoms. */
   final case class HasLabel(subject: Expr, dnf: Seq[Seq[LabelAtom]]) extends Expr

@@ -245,13 +245,18 @@ object CypherParser extends RegexParsers {
     K("EXISTS") ~> "{" ~> opt(K("MATCH")) ~> pathPattern ~ opt(K("WHERE") ~> expression) <~ "}" ^^ {
       case p ~ w => PatternExists(p, w, negated = false)
     } |
+    // full-query body (multi-clause / WITH-starting / UNION — reference
+    // ExistsExpression): outer variables implicitly in scope
+    K("EXISTS") ~> "{" ~> query <~ "}" ^^ (q => SubqueryExpr("exists", q)) |
     K("EXISTS") ~> "(" ~> pathPattern <~ ")" ^^ (p => PatternExists(p, None, negated = false))
 
   private def countSubquery: Parser[Expr] =
     "(?i)count".r ~> "{" ~> opt(K("MATCH")) ~> pathPattern ~
       opt(K("WHERE") ~> expression) <~ "}" ^^ {
       case p ~ w => PatternCount(p, w)
-    }
+    } |
+    "(?i)count".r ~> "{" ~> query <~ "}" ^^ (q => SubqueryExpr("count", q))
+
 
   private def iterPredicate: Parser[Expr] =
     ("""(?i)(all|any|none|single)""".r <~ "(") ~ ident ~ (K("IN") ~> expression) ~
@@ -285,7 +290,10 @@ object CypherParser extends RegexParsers {
       opt(orderBy) ~ opt(skipP) ~ opt(limitP) <~ "}" ^^ {
       case p ~ w ~ proj ~ ob ~ sk ~ li =>
         PatternComprehension(p, w, proj, ob.getOrElse(Nil), sk, li)
-    }
+    } |
+    // full-query body (reference CollectExpression): the inner query must
+    // end in a single-item RETURN; yields the list of its values
+    "(?i)collect".r ~> "{" ~> query <~ "}" ^^ (q => SubqueryExpr("collect", q))
 
   private def countStar: Parser[Expr] =
     "(?i)count\\s*\\(\\s*\\*\\s*\\)".r ^^ (_ => CountStar)

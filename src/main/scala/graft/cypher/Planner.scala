@@ -422,20 +422,35 @@ object Planner {
     }
     // freeze the generated ids before anything reads them twice
     val frozen = df.localCheckpoint()
-    val envOut = Env(Some(frozen), binds)
+    var envOut = Env(Some(frozen), binds)
     val nn = newNodes.result()
     val nr = newRels.result()
-    nn.foreach { n =>
+    // EXISTS{}/COUNT{} in property values lower BEFORE any write lands —
+    // the reference evaluates all contained subquery expressions against
+    // the pre-CREATE graph (CreateAcceptance pins it), and lowering here
+    // reads ctx.g before the createNodes/createRels calls below mutate it
+    def lowered(e: Expr): Expr =
+      if (!containsPatternExists(e)) e
+      else {
+        val (e2, rewritten, _) = lowerExists(ctx, envOut, e)
+        envOut = e2
+        rewritten
+      }
+    val nn2 = nn.map(n => n.copy(props = n.props.map {
+      case (k, e) => (k, lowered(e)) }))
+    val nr2 = nr.map(r => r.copy(props = r.props.map {
+      case (k, e) => (k, lowered(e)) }))
+    nn2.foreach { n =>
       val props = n.props.map { case (k, e) =>
         compile(ctx, envOut, e).as(propCol(k)) }
-      val rows = frozen.select((col(n.v).as("id") +:
+      val rows = envOut.df.get.select((col(n.v).as("id") +:
         lit(n.labels.toArray).as("labels") +: props): _*)
       ctx.g = UpdateOps.createNodes(ctx.g, rows)
     }
-    nr.foreach { r =>
+    nr2.foreach { r =>
       val props = r.props.map { case (k, e) =>
         compile(ctx, envOut, e).as(propCol(k)) }
-      val rows = frozen.select((col(r.v).as("id") +: col(r.from).as("src") +:
+      val rows = envOut.df.get.select((col(r.v).as("id") +: col(r.from).as("src") +:
         col(r.to).as("dst") +: lit(r.tpe).as("type") +: props): _*)
       ctx.g = UpdateOps.createRels(ctx.g, rows)
     }
@@ -618,7 +633,17 @@ object Planner {
   private def planSetItems(ctx: Ctx, env: Env, items: Seq[SetItem]): Unit =
     planSetItemsOn(ctx, env, items)
 
-  private def planSetItemsOn(ctx: Ctx, env: Env, items: Seq[SetItem]): Unit = {
+  private def planSetItemsOn(ctx: Ctx, env0: Env, items0: Seq[SetItem]): Unit = {
+    // EXISTS{}/COUNT{}/COLLECT{} in a SET value lower to flag columns first
+    var env = env0
+    val items = items0.map {
+      case SetProp(v, k, value) if containsPatternExists(value) =>
+        val (e2, rewritten, _) = lowerExists(ctx,
+          env.copy(df = Some(env.df.getOrElse(unit(ctx.spark)))), value)
+        env = e2
+        SetProp(v, k, rewritten)
+      case other => other
+    }
     val df = env.df.getOrElse(
       throw new IllegalArgumentException("SET/REMOVE needs bound rows"))
     items.foreach {
@@ -788,6 +813,21 @@ object Planner {
       case Slice(l, f, t)     => walk(l); f.foreach(walk); t.foreach(walk)
       case PatternExists(p, w, _) => walkPattern(p); w.foreach(walk)
       case PatternCount(p, w)     => walkPattern(p); w.foreach(walk)
+      case SubqueryExpr(_, q) =>
+        // correlated property reads inside the body must hydrate on the
+        // outer side too (the sub-plan's key columns come from there)
+        q.parts.foreach(_.clauses.foreach {
+          case MatchClause(_, ps, w2, sh) =>
+            ps.foreach(walkPattern); w2.foreach(walk)
+            sh.foreach(x => walkPattern(x.pattern))
+          case UnwindClause(e2, _) => walk(e2)
+          case WithClause(_, its, ob, _, _, w2) =>
+            its.foreach(i => walk(i.expr)); ob.foreach(x => walk(x.expr))
+            w2.foreach(walk)
+          case ReturnClause(_, its, ob, _, _) =>
+            its.foreach(i => walk(i.expr)); ob.foreach(x => walk(x.expr))
+          case _ => ()
+        })
       case PatternComprehension(p, w, proj, ord, sk, li) =>
         walkPattern(p); w.foreach(walk); walk(proj)
         ord.foreach(s => walk(s.expr)); sk.foreach(walk); li.foreach(walk)
@@ -908,6 +948,19 @@ object Planner {
     q.clauses.foreach(walkClause)
     acc.toSet
   }
+
+  /** Variables a full-body subquery expression may correlate on: every
+    * expression read plus every MATCH pattern variable name — in a
+    * subquery expression a pattern variable matching an outer binding IS
+    * that outer entity (openCypher scoping), so it must import. */
+  private def subqueryScopeVars(q: Query): Set[String] =
+    q.parts.flatMap { sq =>
+      referencedVars(sq) ++ sq.clauses.flatMap {
+        case MatchClause(_, ps, _, sh) =>
+          ps.flatMap(patternVars) ++ sh.flatMap(x => patternVars(x.pattern))
+        case _ => Nil
+      }
+    }.toSet
 
   /** Does this projection collapse row multiplicity? True for DISTINCT and
     * for aggregations whose every aggregate is multiplicity-insensitive
@@ -1550,6 +1603,7 @@ object Planner {
   private def containsPatternExists(e: Expr): Boolean = e match {
     case _: PatternExists        => true
     case _: PatternCount         => true
+    case _: SubqueryExpr         => true
     case _: PatternComprehension => true
     case BinOp(_, l, r)         => containsPatternExists(l) || containsPatternExists(r)
     case UnaryOp(_, o)          => containsPatternExists(o)
@@ -1616,6 +1670,114 @@ object Planner {
           binds = env.binds + (cnt -> ValueVar))
         flags += cnt
         Variable(cnt)
+      case SubqueryExpr(kind, q) =>
+        // full-query body: correlation inferred from the free variables,
+        // each UNION part planned over the distinct imported keys through
+        // the shared correlated-body planner, results unioned per the
+        // query's UNION [ALL], then reduced to a flag / count / list
+        val flag = ctx.fresh(kind)
+        val df = env.df.get
+        val refs = subqueryScopeVars(q).filter(env.has).toSeq.sorted
+        val keyCols = if (refs.isEmpty) Nil else refKeyCols(df, refs)
+        val base =
+          if (refs.isEmpty) Env(None, Map.empty)
+          else Env(Some(df.select(keyCols.map(col): _*).distinct()),
+            env.binds.view.filterKeys(refs.contains).toMap)
+        val needsValue = kind == "collect"
+        val okPrefix = "__ok"
+        def planPart(sq: SingleQuery): DataFrame = {
+          val clauses = sq.clauses.lastOption match {
+            case Some(r: ReturnClause) if needsValue =>
+              require(r.items.size == 1,
+                "COLLECT { … } needs a single-item RETURN")
+              // the value lands in __cv; ORDER BY keys ride as extra
+              // columns so the collected array can be sorted per key
+              // (order exprs naming the item's alias resolve to the item)
+              val alias = r.items.head.alias
+                .getOrElse(defaultAlias(r.items.head.expr))
+              def deref(e: Expr): Expr = e match {
+                case Variable(v) if v == alias => r.items.head.expr
+                case other => other
+              }
+              val okItems = r.orderBy.zipWithIndex.map { case (x, i) =>
+                ReturnItem(deref(x.expr), Some(s"$okPrefix$i")) }
+              val r2 = r.copy(
+                items = r.items.head.copy(alias = Some("__cv")) +: okItems,
+                orderBy = r.orderBy.map(x => x.copy(expr = deref(x.expr))))
+              sq.clauses.dropRight(1) :+ r2
+            case Some(_: ReturnClause) => sq.clauses
+            case _ =>
+              sq.clauses :+ ReturnClause(false,
+                Seq(ReturnItem(Lit(1L), Some("__one"))), Nil, None, None)
+          }
+          planCorrelatedClauses(ctx, base, refs, clauses).df.get
+        }
+        val parts = q.parts.map(planPart)
+        var unioned = parts.reduce(_ unionByName _)
+        if (q.parts.size > 1 && !q.unionAll)
+          unioned = unioned.dropDuplicates()
+        // join back on entity identity only (the reference's SemiApply
+        // keys on ids): the sub-plan's RETURN projection drops hydrated
+        // `v$prop` columns, and NULLable property columns would make a
+        // using-join key miss anyway
+        val joinedBack = kind match {
+          case "exists" =>
+            val hit = unioned.select(refs.map(col): _*).distinct()
+              .withColumn(flag, lit(true))
+            val j =
+              if (refs.isEmpty)
+                env.df.get.join(hit.limit(1), lit(true), "left_outer")
+              else env.df.get.join(hit, refs, "left_outer")
+            j.withColumn(flag, coalesce(col(flag), lit(false)))
+          case "count" =>
+            val counts = unioned.groupBy(refs.map(col): _*)
+              .agg(count(lit(1)).as(flag))
+            val j =
+              if (refs.isEmpty)
+                env.df.get.join(counts, lit(true), "left_outer")
+              else env.df.get.join(counts, refs, "left_outer")
+            j.withColumn(flag, coalesce(col(flag), lit(0L)))
+          case _ => // collect
+            val okCols = unioned.columns.filter(_.startsWith(okPrefix)).sorted
+            val collected =
+              if (okCols.isEmpty)
+                unioned.groupBy(refs.map(col): _*)
+                  .agg(collect_list(col("__cv")).as(flag))
+              else {
+                // sort the collected array by the ORDER BY keys (nulls
+                // per the final Return's direction — encoded in the
+                // original SortItems; keys ride in __ok columns in the
+                // same order)
+                val ords = q.parts.head.clauses.last
+                  .asInstanceOf[ReturnClause].orderBy
+                val cmp = (l: Column, r: Column) =>
+                  ords.zipWithIndex.foldRight(lit(0)) { case ((si, i), nx) =>
+                    val (lk, rk) =
+                      (l.getField(s"$okPrefix$i"), r.getField(s"$okPrefix$i"))
+                    val lt = if (si.ascending) -1 else 1
+                    when(lk.isNull && rk.isNull, nx)
+                      .when(lk.isNull, lit(-lt)).when(rk.isNull, lit(lt))
+                      .when(lk < rk, lit(lt)).when(lk > rk, lit(-lt))
+                      .otherwise(nx)
+                  }
+                unioned
+                  .withColumn("__cs", struct(
+                    (okCols.map(col) :+ col("__cv")): _*))
+                  .groupBy(refs.map(col): _*)
+                  .agg(transform(array_sort(collect_list(col("__cs")), cmp),
+                    x => x.getField("__cv")).as(flag))
+              }
+            val listType = collected.schema(flag).dataType
+            val j =
+              if (refs.isEmpty)
+                env.df.get.join(collected, lit(true), "left_outer")
+              else env.df.get.join(collected, refs, "left_outer")
+            j.withColumn(flag, coalesce(col(flag), array().cast(listType)))
+        }
+        env = env.copy(df = Some(joinedBack),
+          binds = env.binds + (flag -> ValueVar))
+        flags += flag
+        Variable(flag)
       case PatternComprehension(p, w, proj, ord, skipE, limitE) =>
         // RollUpApply (reference LogicalPlan RollUpApply /
         // ReplacePatternComprehensionWithCollectSubquery): plan the pattern
@@ -1757,6 +1919,7 @@ object Planner {
       exprVars(l) ++ f.map(exprVars).getOrElse(Set.empty) ++ t.map(exprVars).getOrElse(Set.empty)
     case PatternExists(p, w, _) => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
     case PatternCount(p, w)     => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
+    case SubqueryExpr(_, q)     => subqueryScopeVars(q)
     case PatternComprehension(p, w, proj, ord, sk, li) =>
       patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty) ++ exprVars(proj) ++
         ord.flatMap(s => exprVars(s.expr)) ++
@@ -1990,7 +2153,7 @@ object Planner {
           df = df.join(filtered.select(col("id").as(v)), Seq(v), "left_semi")
         }
         np.where.foreach { w =>
-          df = df.filter(compile(ctx, env.copy(df = Some(df)), w))
+          df = inlineWhere(ctx, env.copy(df = Some(df)), w)
         }
         (env.copy(df = Some(df)), v)
       case other =>
@@ -2002,11 +2165,21 @@ object Planner {
         }
         val env2 = Env(Some(df), env.binds + (v -> NodeVar))
         np.where.foreach { w =>
-          df = df.filter(compile(ctx, env2.copy(df = Some(df)), w))
+          df = inlineWhere(ctx, env2.copy(df = Some(df)), w)
         }
         (env2.copy(df = Some(df)), v)
     }
   }
+
+  /** Inline pattern WHERE — `(n WHERE …)` — with EXISTS{}/COUNT{}
+    * subqueries lowered to flag joins first (the reference plans them as
+    * nested plans wherever the predicate sits). */
+  private def inlineWhere(ctx: Ctx, env: Env, w: Expr):
+      org.apache.spark.sql.DataFrame =
+    if (containsPatternExists(w)) {
+      val (env2, rewritten, flags) = lowerExists(ctx, env, w)
+      env2.df.get.filter(compile(ctx, env2, rewritten)).drop(flags: _*)
+    } else env.df.get.filter(compile(ctx, env, w))
 
   /** nodes filtered by the pattern's labels + inline property map —
     * predicates sit directly on the scan so they push down to parquet. */
@@ -2448,71 +2621,9 @@ object Planner {
         val refs = refs0.sorted
         val df = env.df.get
         val keyCols = refKeyCols(df, refs)
-        var sub = Env(Some(df.select(keyCols.map(col): _*).distinct()),
+        val sub0 = Env(Some(df.select(keyCols.map(col): _*).distinct()),
           env.binds.view.filterKeys(refs.contains).toMap)
-        // ORDER BY/SKIP/LIMIT inside a correlated subquery act PER INPUT
-        // ROW (the reference runs the inner query once per argument row):
-        // a global sort-limit would keep n rows across all keys, not n per
-        // key — so pagination compiles to a row_number window partitioned
-        // by the importing keys, applied before the projection.
-        def perKeyPage(aliasMap: Map[String, Expr], ob: Seq[SortItem],
-            sk: Option[Expr], li: Option[Expr]): Unit =
-          if (sk.isDefined || li.isDefined) {
-            val sortCols =
-              if (ob.isEmpty) Seq(lit(1))
-              else ob.map { s =>
-                val e = s.expr match {
-                  case Variable(v) if aliasMap.contains(v) => aliasMap(v)
-                  case e0 => e0
-                }
-                val c = compile(ctx, sub, e)
-                if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
-              }
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(refs.map(col): _*).orderBy(sortCols: _*)
-            var df2 = sub.df.get.withColumn("__rn", row_number().over(w))
-            val lo = sk.map(e => constExpr(ctx, e).cast("long")).getOrElse(lit(0L))
-            df2 = df2.filter(col("__rn") > lo)
-            li.foreach { e =>
-              df2 = df2.filter(col("__rn") <= lo + constExpr(ctx, e).cast("long"))
-            }
-            sub = sub.copy(df = Some(df2.drop("__rn")))
-          }
-        // pagination before the projection when items are plain (ORDER BY
-        // may read pre-projection variables; aliases resolve via the map),
-        // after it when they aggregate (sort keys only exist post-agg)
-        def projectPaged(items: Seq[ReturnItem], distinct: Boolean,
-            ob: Seq[SortItem], sk: Option[Expr], li: Option[Expr],
-            isReturn: Boolean): Unit =
-          if (items.exists(i => containsAgg(i.expr))) {
-            sub = planProjection(ctx, sub, withRefs(refs, items), distinct,
-              Nil, None, None, isReturn)
-            perKeyPage(Map.empty, ob, sk, li)
-          } else {
-            perKeyPage(items.collect {
-              case ReturnItem(e, Some(a)) => a -> e }.toMap, ob, sk, li)
-            sub = planProjection(ctx, sub, withRefs(refs, items), distinct,
-              Nil, None, None, isReturn)
-          }
-        cs.inner.clauses.tail.foreach {
-          case m: MatchClause  => sub = planMatch(ctx, sub, m)
-          case u: UnwindClause => sub = planUnwind(ctx, sub, u)
-          case w: WithClause =>
-            projectPaged(w.items, w.distinct, w.orderBy, w.skip, w.limit,
-              isReturn = false)
-            w.where.foreach { pred =>
-              sub = sub.copy(df = sub.df.map(_.filter(compile(ctx, sub, pred))))
-            }
-          case r: ReturnClause =>
-            projectPaged(r.items, r.distinct, r.orderBy, r.skip, r.limit,
-              isReturn = true)
-          case cc: CallClause => sub = planCall(ctx, sub, cc)
-          case nested: CallSubquery if nested.inTransactionsOf.isEmpty &&
-              !nested.innerQ.parts.exists(_.clauses.exists(isWrite)) =>
-            sub = planCallSubquery(ctx, sub, nested)
-          case other => throw new IllegalArgumentException(
-            s"unsupported clause in correlated CALL subquery: $other")
-        }
+        val sub = planCorrelatedClauses(ctx, sub0, refs, cs.inner.clauses.tail)
         val newCols = sub.df.get.columns.filterNot(refs.contains)
         // aggregation over zero matches must yield one row (count 0, null
         // sums), not drop the outer row: eligible when the final RETURN is
@@ -2557,6 +2668,79 @@ object Planner {
         }
         Env(Some(df), env.binds ++ inner.columns.map(_ -> (ValueVar: Binding)))
     }
+  }
+
+  /** Plan `clauses` as a refs-correlated subquery body over the DISTINCT
+    * imported keys — shared by correlated CALL {} and the full-body
+    * EXISTS/COUNT/COLLECT subquery expressions. ORDER BY/SKIP/LIMIT act
+    * PER INPUT ROW (the reference runs the inner query once per argument
+    * row): a global sort-limit would keep n rows across all keys, not n
+    * per key — so pagination compiles to a row_number window partitioned
+    * by the importing keys, applied before the projection; imported
+    * variables are prepended to every projection so the correlation key
+    * survives (and groups any aggregation). */
+  private def planCorrelatedClauses(ctx: Ctx, sub0: Env, refs: Seq[String],
+      clauses: Seq[Clause]): Env = {
+    var sub = sub0
+    def perKeyPage(aliasMap: Map[String, Expr], ob: Seq[SortItem],
+        sk: Option[Expr], li: Option[Expr]): Unit =
+      if (sk.isDefined || li.isDefined) {
+        val sortCols =
+          if (ob.isEmpty) Seq(lit(1))
+          else ob.map { s =>
+            val e = s.expr match {
+              case Variable(v) if aliasMap.contains(v) => aliasMap(v)
+              case e0 => e0
+            }
+            val c = compile(ctx, sub, e)
+            if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
+          }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(refs.map(col): _*).orderBy(sortCols: _*)
+        var df2 = sub.df.get.withColumn("__rn", row_number().over(w))
+        val lo = sk.map(e => constExpr(ctx, e).cast("long")).getOrElse(lit(0L))
+        df2 = df2.filter(col("__rn") > lo)
+        li.foreach { e =>
+          df2 = df2.filter(col("__rn") <= lo + constExpr(ctx, e).cast("long"))
+        }
+        sub = sub.copy(df = Some(df2.drop("__rn")))
+      }
+    // pagination before the projection when items are plain (ORDER BY
+    // may read pre-projection variables; aliases resolve via the map),
+    // after it when they aggregate (sort keys only exist post-agg)
+    def projectPaged(items: Seq[ReturnItem], distinct: Boolean,
+        ob: Seq[SortItem], sk: Option[Expr], li: Option[Expr],
+        isReturn: Boolean): Unit =
+      if (items.exists(i => containsAgg(i.expr))) {
+        sub = planProjection(ctx, sub, withRefs(refs, items), distinct,
+          Nil, None, None, isReturn)
+        perKeyPage(Map.empty, ob, sk, li)
+      } else {
+        perKeyPage(items.collect {
+          case ReturnItem(e, Some(a)) => a -> e }.toMap, ob, sk, li)
+        sub = planProjection(ctx, sub, withRefs(refs, items), distinct,
+          Nil, None, None, isReturn)
+      }
+    clauses.foreach {
+      case m: MatchClause  => sub = planMatch(ctx, sub, m)
+      case u: UnwindClause => sub = planUnwind(ctx, sub, u)
+      case w: WithClause =>
+        projectPaged(w.items, w.distinct, w.orderBy, w.skip, w.limit,
+          isReturn = false)
+        w.where.foreach { pred =>
+          sub = applyWhere(ctx, sub, pred)
+        }
+      case r: ReturnClause =>
+        projectPaged(r.items, r.distinct, r.orderBy, r.skip, r.limit,
+          isReturn = true)
+      case cc: CallClause => sub = planCall(ctx, sub, cc)
+      case nested: CallSubquery if nested.inTransactionsOf.isEmpty &&
+          !nested.innerQ.parts.exists(_.clauses.exists(isWrite)) =>
+        sub = planCallSubquery(ctx, sub, nested)
+      case other => throw new IllegalArgumentException(
+        s"unsupported clause in correlated subquery body: $other")
+    }
+    sub
   }
 
   /** CALL { <writes> } IN TRANSACTIONS OF n ROWS (reference TransactionApply
