@@ -247,12 +247,15 @@ object Planner {
       case s: SetClause    =>
         planSetItems(ctx, env, s.items)
         // a trailing RETURN observes the post-SET values (openCypher; the
-        // TCK pins it): refresh the touched variables' hydrated columns
-        // from the updated snapshot
-        env = rehydrate(ctx, env, setItemVars(s.items))
+        // TCK pins it): refresh EVERY bound entity variable's hydrated
+        // columns from the updated snapshot — another variable aliasing
+        // the same entity (MATCH (a),(b) WHERE id(a)=id(b) SET a.x=1
+        // RETURN b.x) must read through too, like the reference's
+        // read-through-to-store visibility
+        env = rehydrate(ctx, env, entityVars(env))
       case r: RemoveClause =>
         planSetItems(ctx, env, r.items)
-        env = rehydrate(ctx, env, setItemVars(r.items))
+        env = rehydrate(ctx, env, entityVars(env))
       case d: DeleteClause => planDelete(ctx, env, d)
       case f: ForeachClause => planForeach(ctx, env, f)
       case cc: CallClause  => env = planCall(ctx, env, cc)
@@ -562,19 +565,28 @@ object Planner {
       // create distinct rels with distinct ids
       // UNDIRECTED rel MERGE `(a)-[:T]-(b)` matches EITHER orientation
       // (reference MergePipe pattern match); only a pair connected in
-      // neither direction inserts. The pair CANONICALIZES (least, greatest)
-      // for the undirected form so input rows carrying both orientations of
-      // one pair — e.g. a symmetric MATCH product — collapse to ONE rel,
-      // like the reference's per-row merge observing the first row's write.
+      // neither direction inserts. The generated ID canonicalizes
+      // (least, greatest) so input rows carrying both orientations of one
+      // pair — e.g. a symmetric MATCH product — share one id, but the
+      // STORED rel keeps the pattern's left-to-right src/dst (the
+      // reference creates in pattern direction — observable by a later
+      // directed MATCH or startNode()/endNode()); with both orientations
+      // present, the smaller-src row wins deterministically.
       val undirected = rel.dir == Both
       val (s0, d0) =
         if (undirected) (least(sCol, dCol), greatest(sCol, dCol))
         else (sCol, dCol)
       val newId = xxhash64((lit(ctx.runTag) +: lit("mr") +: lit(tpe) +:
         s0 +: d0 +: keyProps.map(_._2)): _*)
-      val source0 = df.select((newId.as("id") +:
-        s0.as("src") +: d0.as("dst") +: lit(tpe).as("type") +: props): _*)
+      val source00 = df.select((newId.as("id") +:
+        sCol.as("src") +: dCol.as("dst") +: lit(tpe).as("type") +: props): _*)
         .distinct()
+      val source0 =
+        if (!undirected) source00
+        else source00.withColumn("__orn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("id")
+              .orderBy(col("src").asc, col("dst").asc)))
+          .filter(col("__orn") === 1).drop("__orn")
       val source =
         if (!undirected) source0
         else {
@@ -583,7 +595,7 @@ object Planner {
               keyProps.map { case (k, _) => col(propCol(k)).as(s"__vp_$k") }): _*)
           val revCond = keyProps.foldLeft(
             col("src") === col("__vd") && col("dst") === col("__vs")) {
-            case (c, (k, _)) => c && (col(k) <=> col(s"__vp_$k"))
+            case (c, (k, _)) => c && (col(propCol(k)) <=> col(s"__vp_$k"))
           }
           source0.join(rev, revCond, "left_anti")
         }
@@ -620,6 +632,14 @@ object Planner {
     apply(m.onCreate, createdFlag)
     apply(m.onMatch, !createdFlag)
   }
+
+  /** every bound Node/Rel variable of the environment (rehydration scope
+    * after a write clause). */
+  private def entityVars(env: Env): Seq[String] =
+    env.binds.collect {
+      case (v, NodeVar) => v
+      case (v, RelVar)  => v
+    }.toSeq.sorted
 
   private def setItemVars(items: Seq[SetItem]): Seq[String] =
     items.map {

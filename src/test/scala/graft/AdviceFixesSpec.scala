@@ -36,29 +36,29 @@ class AdviceFixesSpec extends AnyFunSuite {
     // both 1 and 2 have outgoing :T rels; a.name is hydrated (RETURN uses it)
     // so the decorrelated semi-join must not key on the NULL name column
     val rows = Cypher.run(spark, g,
-      "MATCH (a:P) WHERE EXISTS { (a)-[:T]->() } RETURN a.id AS i, a.name AS n ORDER BY i")
+      "MATCH (a:P) WHERE EXISTS { (a)-[:T]->() } RETURN id(a) AS i, a.name AS n ORDER BY i")
       .collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
   test("NOT EXISTS drops rows with a real match even when a property is NULL") {
     val rows = Cypher.run(spark, g,
-      "MATCH (a:P) WHERE NOT EXISTS { (a)-[:T]->() } RETURN a.id AS i, a.name AS n")
+      "MATCH (a:P) WHERE NOT EXISTS { (a)-[:T]->() } RETURN id(a) AS i, a.name AS n")
       .collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(3L))
   }
 
   test("COUNT subquery under OR counts matches for NULL-property rows") {
     val rows = Cypher.run(spark, g,
-      "MATCH (a:P) WHERE COUNT { (a)-[:T]->() } = 1 OR a.id = 3 " +
-        "RETURN a.id AS i, a.name AS n ORDER BY i").collect()
+      "MATCH (a:P) WHERE COUNT { (a)-[:T]->() } = 1 OR id(a) = 3 " +
+        "RETURN id(a) AS i, a.name AS n ORDER BY i").collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
   test("OPTIONAL MATCH finds the match when the outer row has a NULL property") {
     val rows = Cypher.run(spark, g,
       "MATCH (a:P) OPTIONAL MATCH (a)-[:T]->(b) " +
-        "RETURN a.id AS i, a.name AS n, b.id AS bi ORDER BY i").collect()
+        "RETURN id(a) AS i, a.name AS n, id(b) AS bi ORDER BY i").collect()
     val byId = rows.map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
     assert(byId == Map(1L -> 2L, 2L -> 1L, 3L -> -1L))
   }
@@ -121,7 +121,7 @@ class AdviceFixesSpec extends AnyFunSuite {
     // would return length 1 for a=1 instead of the 2-hop loop back to 1
     val rows = Cypher.run(spark, g,
       """MATCH p = SHORTEST 1 (a:P)-[:T*1..2]->({name: 'x'})
-        |RETURN a.id AS i, length(p) AS l ORDER BY i""".stripMargin)
+        |RETURN id(a) AS i, length(p) AS l ORDER BY i""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSeq
     assert(rows == Seq((1L, 2L), (2L, 1L)))
   }
@@ -141,5 +141,31 @@ class AdviceFixesSpec extends AnyFunSuite {
         "CALL db.index.fulltext.queryNodes('no_such_prop', 'x', 5)").collect()
     }
     assert(e.getMessage.contains("unknown node property"))
+  }
+
+  test("undirected MERGE creates the rel in the pattern's left-to-right direction") {
+    val (g1, _) = Cypher.execute(spark, TckHarness.emptyGraph(spark),
+      "CREATE (:P {k: 2}), (:P {k: 1})")
+    // left endpoint has the LARGER node id ordering risk: a canonical
+    // (least, greatest) store would flip it
+    val (g2, _) = Cypher.execute(spark, g1,
+      "MATCH (a:P {k: 2}), (b:P {k: 1}) MERGE (a)-[:T]-(b)")
+    val fwd = Cypher.run(spark, g2,
+      "MATCH (a:P)-[:T]->(b:P) RETURN a.k AS ak, b.k AS bk").collect()
+    assert(fwd.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+    // merging again in either orientation must NOT create a second rel
+    val (g3, _) = Cypher.execute(spark, g2,
+      "MATCH (a:P {k: 1}), (b:P {k: 2}) MERGE (a)-[:T]-(b)")
+    val n = Cypher.run(spark, g3, "MATCH ()-[r:T]->() RETURN count(*) AS c")
+      .collect()(0).getLong(0)
+    assert(n == 1L)
+  }
+
+  test("SET is visible through another variable aliasing the same entity") {
+    val (g1, _) = Cypher.execute(spark, TckHarness.emptyGraph(spark),
+      "CREATE (:Q {y: 0})")
+    val (_, res) = Cypher.execute(spark, g1,
+      "MATCH (a:Q), (b:Q) WHERE id(a) = id(b) SET a.x = 1 RETURN b.x AS bx")
+    assert(res.get.collect()(0).getLong(0) == 1L)
   }
 }
