@@ -441,13 +441,67 @@ object CypherParser extends RegexParsers {
     }
 
   private def qppHop: Parser[(RelPattern, NodePattern)] =
-    ("(" ~> nodePattern ~ relPattern ~ nodePattern <~ ")") ~ qppQuantifier ~ nodePattern ^^ {
-      case inner ~ q ~ next =>
-        val (x ~ r ~ y) = inner
-        require(r.varLength.isEmpty, "nested quantifiers are not supported")
-        (r.copy(varLength = Some(q),
-          qppVars = Some((x.variable, r.variable, y.variable))), next)
+    ("(" ~> nodePattern ~ rep1(relPattern ~ nodePattern ^^ {
+        case r ~ n => (r, n) }) ~
+      opt(K("WHERE") ~> expression) <~ ")") ~ qppQuantifier ~ nodePattern ^^ {
+      case (x ~ chain ~ w) ~ q ~ next =>
+        val (r0, y0) = chain.head
+        val simpleInner = chain.size == 1 && w.isEmpty &&
+          r0.varLength.isEmpty && y0.labels.isEmpty && y0.labelExpr.isEmpty &&
+          y0.props.isEmpty && y0.where.isEmpty
+        if (simpleInner) {
+          // plain one-hop group: the original qppVars encoding (group
+          // variables bind to per-path arrays)
+          (r0.copy(varLength = Some(q),
+            qppVars = Some((x.variable, r0.variable, y0.variable))), next)
+        } else {
+          // multi-hop chains and constrained interior nodes compile as a
+          // SINGLE-BRANCH alternation: whole-chain composite edges with
+          // per-hop boundary constraints (labels/props/inline WHERE on
+          // interior nodes ride on the chain's node patterns)
+          require(x.labels.isEmpty && x.labelExpr.isEmpty &&
+            x.props.isEmpty && x.where.isEmpty,
+            "a quantified group's LEADING node pattern takes no " +
+              "constraints (constrain interior/boundary nodes instead)")
+          chain.foreach { case (r, _) =>
+            require(r.varLength.forall(_._2.isDefined),
+              "var-length hops inside a quantified group need a bounded " +
+                "upper end")
+          }
+          // a trailing group WHERE naming only the LAST inner node folds
+          // into that node's inline predicate
+          val chain2 = w match {
+            case None => chain
+            case Some(pred) =>
+              val lastVar = chain.last._2.variable
+              require(lastVar.isDefined &&
+                exprIdents(pred).subsetOf(Set(lastVar.get)),
+                "a quantified group WHERE may reference only the group's " +
+                  "final node variable (cross-iteration predicates are " +
+                  "not supported)")
+              chain.init :+ (chain.last._1,
+                chain.last._2.copy(where = Some(pred)))
+          }
+          (RelPattern(None, Seq.empty, Out, Some(q), Seq.empty,
+            branches = Some(Seq(chain2))), next)
+        }
     }
+
+  /** identifiers syntactically referenced by an expression (parser-side
+    * conservative walk for the quantified-group WHERE restriction). */
+  private def exprIdents(e: Expr): Set[String] = e match {
+    case Variable(v)       => Set(v)
+    case Prop(s, _)        => exprIdents(s)
+    case Func(_, args, _)  => args.flatMap(exprIdents).toSet
+    case BinOp(_, l, r)    => exprIdents(l) ++ exprIdents(r)
+    case UnaryOp(_, o)     => exprIdents(o)
+    case IsNull(o, _)      => exprIdents(o)
+    case HasLabel(o, _)    => exprIdents(o)
+    case StringPred(_, l, r) => exprIdents(l) ++ exprIdents(r)
+    case ListLit(xs)       => xs.flatMap(exprIdents).toSet
+    case Index(b, i)       => exprIdents(b) ++ exprIdents(i)
+    case _                 => Set.empty
+  }
 
   /** GQL quantified relationship `-[:T]->+` / `->*` / `->{a,b}` — shorthand
     * for the one-hop QPP, desugared onto varLength like `*a..b`. */

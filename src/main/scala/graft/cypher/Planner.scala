@@ -1384,8 +1384,9 @@ object Planner {
           val comp = bs.map(branchEdges(ctx, _)).reduce(_ unionByName _)
           graft.ops.Trail.PathSegment(comp, mn, mx, bnd, composite = true)
         case None =>
-          require(r.qppVars.isEmpty,
-            "SHORTEST k legs take types/bounds/property maps/WHERE only")
+          // a plain one-hop quantified group `((a)-[r]->(b))+` inside a
+          // selector is just a var-length leg: the group variables bind
+          // to nothing here (the path value carries nodes/rels)
           val pre = if (r.props.isEmpty) None
             else Some(r.props.map { case (key, e) =>
               if (ctx.g.rels.columns.contains(propCol(key)))
@@ -2287,6 +2288,74 @@ object Planner {
     env.copy(df = Some(df))
   }
 
+  /** Quantified group with a composite body — multi-hop chains or
+    * alternation branches (`(()-->(:A)-->(:B)){1,3}`,
+    * `(-[:X]->()|-[:Y]->()){1,2}`) — in a PLAIN MATCH: the branch chains
+    * compile to whole-chain composite edges (branchEdges — interior node
+    * labels/props/WHERE become per-hop boundary sets) and the quantifier
+    * unrolls over composite steps under rel-uniqueness, exactly the
+    * [[graft.ops.Trail]] skeleton with array-valued steps. Binds the far
+    * node; the group's rel variable (if any) binds to the rel-id array. */
+  private def expandComposite(ctx: Ctx, env: Env, fromVar: String,
+      rel: RelPattern, node: NodePattern,
+      pathNodesAlias: Option[String]): (Env, String) = {
+    val (min, maxOpt) = rel.varLength.getOrElse((1, Some(1)))
+    val max = maxOpt.getOrElse(throw new IllegalArgumentException(
+      "a quantified composite group needs a bounded upper end"))
+    val comp = rel.branches.get.map(branchEdges(ctx, _))
+      .reduce(_ unionByName _).localCheckpoint(false)
+    val toBound = node.variable.exists(env.has)
+    val toVar = node.variable.getOrElse(ctx.fresh("n"))
+    val relVar = rel.variable.getOrElse(ctx.fresh("r"))
+    val nodesCol = ctx.fresh("cn")
+    var level = env.df.getOrElse(unit(ctx.spark))
+      .withColumn("__cto", col(fromVar))
+      .withColumn(relVar, array().cast("array<long>"))
+      .withColumn(nodesCol, array(col(fromVar)))
+    val outs = Seq.newBuilder[DataFrame]
+    outs += level.filter(lit(false))
+    if (min == 0) outs += level
+    var k = 1
+    while (k <= max) {
+      level = level
+        .join(comp, col("__cto") === col("__es") &&
+          !arrays_overlap(col(relVar), col("__ers")))
+        .withColumn(relVar, concat(col(relVar), col("__ers")))
+        .withColumn(nodesCol, concat(col(nodesCol), col("__ens")))
+        .withColumn("__cto", col("__ed"))
+        .drop("__es", "__ed", "__ers", "__ens", "__elen")
+      if (k >= min) outs += level
+      k += 1
+    }
+    var expanded = outs.result().reduce(_ unionByName _)
+    expanded = pathNodesAlias match {
+      case Some(a) => expanded.withColumnRenamed(nodesCol, a)
+      case None    => expanded.drop(nodesCol)
+    }
+    var out = Env(Some(expanded), env.binds + (relVar -> RelListVar))
+    if (toBound) {
+      require(env.binds(node.variable.get) == NodeVar,
+        s"${node.variable.get} is not a node variable")
+      out = out.copy(df = Some(out.df.get
+        .filter(col("__cto") === col(toVar)).drop("__cto")))
+    } else {
+      var df2 = out.df.get.withColumnRenamed("__cto", toVar)
+      out = out.copy(binds = out.binds + (toVar -> NodeVar))
+      if (node.labels.nonEmpty || node.labelExpr.nonEmpty ||
+          node.props.nonEmpty ||
+          ctx.needed.getOrElse(toVar, Set.empty).nonEmpty) {
+        val scan = hydrated(ctx, nodeScan(ctx, node), toVar,
+          ctx.g.nodes.columns.toSet)
+        df2 = df2.join(scan, Seq(toVar))
+      }
+      out = out.copy(df = Some(df2))
+      node.where.foreach { w =>
+        out = out.copy(df = Some(inlineWhere(ctx, out, w)))
+      }
+    }
+    (out, toVar)
+  }
+
   /** Give an anonymous shortest-path start node a fresh variable so the
     * unbound-start seed below has a name to bind. */
   private def namedStart(ctx: Ctx, p: PathPattern): PathPattern =
@@ -2364,8 +2433,8 @@ object Planner {
   private def expandHop(ctx: Ctx, env: Env, fromVar: String, rel: RelPattern,
       node: NodePattern, pathNodesAlias: Option[String] = None): (Env, String) = {
     val g = ctx.g
-    require(rel.branches.isEmpty,
-      "path-shape alternation is supported inside SHORTEST patterns only")
+    if (rel.branches.isDefined)
+      return expandComposite(ctx, env, fromVar, rel, node, pathNodesAlias)
     val relVar = rel.variable.getOrElse(ctx.fresh("r"))
     val toBound = node.variable.exists(env.has)
     val toVar = node.variable.getOrElse(ctx.fresh("n"))
