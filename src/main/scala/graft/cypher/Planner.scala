@@ -2983,7 +2983,11 @@ object Planner {
         val joined = numbered.join(broadcast(stDf),
             col(rowId) >= col("__lo") && col(rowId) < col("__hi"), "left_outer")
           .withColumn(sv, struct(col("__started").as("started"),
-            col("__committed").as("committed"), col("__err").as("errorMessage")))
+            col("__committed").as("committed"), col("__err").as("errorMessage"),
+            // per-batch transaction id (reference reports the kernel tx id;
+            // consumers only group by it / null-check it)
+            when(col("__started"),
+              concat(lit("graft-tx-"), col("__lo"))).as("transactionId")))
           .drop(rowId, "__lo", "__hi", "__started", "__committed", "__err")
         Env(Some(joined), env.binds + (sv -> ValueVar))
       case None => env // TransactionForeach: input rows pass through
@@ -3711,6 +3715,8 @@ object Planner {
       // entity accessors (hydrated columns)
       case "id" => a0
       case "properties" | "keys" =>
+        // properties(null) / keys(null) ARE null (reference CypherFunctions)
+        if (args.head == Lit(null)) return lit(null)
         val v = args.head match {
           case Variable(x) => x
           case other => throw new IllegalArgumentException(s"$name() needs a variable")

@@ -81,6 +81,16 @@ object Procedures {
     GraphStats.compute(g).tripleCounts
       .select(col("srcLabel"), col("type"), col("dstLabel"), col("cnt")))
 
+  /** db.awaitIndex(es): index population is synchronous in a columnar
+    * engine (there is nothing to wait for) — no-op unit result so
+    * `CALL db.awaitIndexes()` mid-query keeps its rows (reference
+    * BuiltInProcedures.awaitIndexes). */
+  register("db.awaitindexes", (spark, _, _) => spark.range(1).drop("id"))
+  register("db.awaitindex", (spark, _, _) => spark.range(1).drop("id"))
+  register("db.resampleindex", (spark, _, _) => spark.range(1).drop("id"))
+  register("db.resampleoutdatedindexes", (spark, _, _) =>
+    spark.range(1).drop("id"))
+
   /** db.indexes / db.constraints: schema catalog introspection (reference
     * BuiltInProcedures db.indexes / SHOW commands). */
   register("db.indexes", (spark, g, _) => {
