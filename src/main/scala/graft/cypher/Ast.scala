@@ -110,6 +110,9 @@ object Ast {
       dir: Dir, varLength: Option[(Int, Option[Int])], props: Seq[(String, Expr)],
       qppVars: Option[(Option[String], Option[String], Option[String])] = None,
       where: Option[Expr] = None, // Cypher 5 inline `[r:T WHERE r.x > 1]`
+      // type EXPRESSION `[:!A]` / `[:(!A&B)|C]` / `[:%]` — DNF over the
+      // single type when plain alternation doesn't fit `types`
+      typeExpr: Option[Seq[Seq[LabelAtom]]] = None,
       // Alternation BETWEEN path shapes inside a quantified group —
       // `(-[:X]->() | -[:Y]->()-[:Z]->()){1,3}` (GQL path-term alternation,
       // reference NFA.scala general regular path patterns): each branch is

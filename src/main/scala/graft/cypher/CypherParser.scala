@@ -351,15 +351,31 @@ object CypherParser extends RegexParsers {
   private def mapLit: Parser[Seq[(String, Expr)]] =
     "{" ~> repsep(symName ~ (":" ~> expression), ",") <~ "}" ^^ (_.map { case k ~ v => (k, v) })
 
-  // Cypher 5 label expressions: each `:`-group is a |-disjunction of
-  // &-conjunctions of (possibly !-negated) labels; multiple `:` groups AND.
-  private def labelAtom: Parser[LabelAtom] =
-    opt("!") ~ ("%" | symName) ^^ { case n ~ l => LabelAtom(l, n.isDefined) }
-  private def labelGroup: Parser[Seq[Seq[LabelAtom]]] =
-    rep1sep(rep1sep(labelAtom, "&"), "|")
+  // Cypher 5 / GQL label expressions as full boolean algebra over labels
+  // (reference label-expression grammar): atoms (possibly !-negated,
+  // % = any-label wildcard), & conjunction, | disjunction, parenthesized
+  // sub-expressions and negated groups — normalized to DNF at parse time
+  // (label expressions are tiny, distribution cannot blow up in practice).
+  private type LabelDnf = Seq[Seq[LabelAtom]]
+  private def andDnf(a: LabelDnf, b: LabelDnf): LabelDnf =
+    for (x <- a; y <- b) yield x ++ y
+  private def notDnf(d: LabelDnf): LabelDnf =
+    d.foldLeft(Seq(Seq.empty[LabelAtom]): LabelDnf) { (acc, conj) =>
+      andDnf(acc, conj.map(a => Seq(LabelAtom(a.name, !a.negated))))
+    }
+  private def labelUnary: Parser[LabelDnf] =
+    "!" ~> labelUnary ^^ notDnf |
+    "(" ~> labelExprDnf <~ ")" |
+    ("%" | symName) ^^ (l => Seq(Seq(LabelAtom(l, negated = false))))
+  private def labelConj: Parser[LabelDnf] =
+    rep1sep(labelUnary, "&") ^^ (_.reduce(andDnf))
+  // `|:` is the legacy alternation spelling; plain `|` the GQL one
+  private def labelExprDnf: Parser[LabelDnf] =
+    rep1sep(labelConj, "|" ~ opt(":")) ^^ (_.flatten)
+  private def labelGroup: Parser[LabelDnf] = labelExprDnf
 
   def nodePattern: Parser[NodePattern] =
-    "(" ~> opt(ident) ~ rep(":" ~> labelGroup) ~ opt(mapLit) ~
+    "(" ~> opt(ident) ~ rep((":" | K("IS")) ~> labelGroup) ~ opt(mapLit) ~
       opt(K("WHERE") ~> expression) <~ ")" ^^ {
       case v ~ groups ~ m ~ w =>
         val simple = groups.forall(g =>
@@ -376,8 +392,15 @@ object CypherParser extends RegexParsers {
         }
     }
 
-  private def relTypes: Parser[Seq[String]] =
-    ":" ~> rep1sep(symName, "|" ~ opt(":")) ^^ (ts => ts)
+  /** Relationship type expression after `:`/`IS` — plain alternation
+    * `A|B` stays a types list (index-friendly scan pruning); anything with
+    * negation/%/parens/& compiles to a DNF filter over the single type. */
+  private def relTypes: Parser[Either[Seq[String], Seq[Seq[LabelAtom]]]] =
+    (":" | K("IS")) ~> labelExprDnf ^^ { dnf =>
+      if (dnf.forall(c => c.size == 1 && !c.head.negated && c.head.name != "%"))
+        Left(dnf.map(_.head.name))
+      else Right(dnf)
+    }
 
   private def varLength: Parser[(Int, Option[Int])] =
     "*" ~> opt("""\d+""".r) ~ opt(".." ~> opt("""\d+""".r)) ^^ {
@@ -389,11 +412,11 @@ object CypherParser extends RegexParsers {
         }
     }
 
-  private def relDetail: Parser[(Option[String], Seq[String], Option[(Int, Option[Int])], Seq[(String, Expr)], Option[Expr])] =
+  private def relDetail: Parser[(Option[String], Either[Seq[String], Seq[Seq[LabelAtom]]], Option[(Int, Option[Int])], Seq[(String, Expr)], Option[Expr])] =
     "[" ~> opt(ident) ~ opt(relTypes) ~ opt(varLength) ~ opt(mapLit) ~
       opt(K("WHERE") ~> expression) <~ "]" ^^ {
       case v ~ ts ~ vl ~ m ~ w =>
-        (v, ts.getOrElse(Seq.empty), vl, m.getOrElse(Seq.empty), w)
+        (v, ts.getOrElse(Left(Seq.empty)), vl, m.getOrElse(Seq.empty), w)
     }
 
   def relPattern: Parser[RelPattern] =
@@ -401,9 +424,12 @@ object CypherParser extends RegexParsers {
     ("-" ~> opt(relDetail) <~ "->") ^^ (d => mk(d, Out)) |
     ("-" ~> opt(relDetail) <~ "-") ^^ (d => mk(d, Both))
 
-  private def mk(d: Option[(Option[String], Seq[String], Option[(Int, Option[Int])], Seq[(String, Expr)], Option[Expr])],
+  private def mk(d: Option[(Option[String], Either[Seq[String], Seq[Seq[LabelAtom]]], Option[(Int, Option[Int])], Seq[(String, Expr)], Option[Expr])],
       dir: Dir): RelPattern = d match {
-    case Some((v, ts, vl, m, w)) => RelPattern(v, ts, dir, vl, m, where = w)
+    case Some((v, Left(ts), vl, m, w)) =>
+      RelPattern(v, ts, dir, vl, m, where = w)
+    case Some((v, Right(dnf), vl, m, w)) =>
+      RelPattern(v, Seq.empty, dir, vl, m, where = w, typeExpr = Some(dnf))
     case None => RelPattern(None, Seq.empty, dir, None, Seq.empty)
   }
 
@@ -643,11 +669,14 @@ object CypherParser extends RegexParsers {
     ident ~ ("=" ~> expression) ^^ {
       case v ~ e => SetPropsFromMap(v, e, additive = false)
     } |
-    ident ~ rep1(":" ~> symName) ^^ { case v ~ ls => SetLabelsItem(v, ls) }
+    // `SET n:A:B` / GQL `SET n IS A` — `&`-conjoined positives also parse
+    ident ~ rep1((":" | K("IS")) ~> rep1sep(symName, "&")) ^^ {
+      case v ~ ls => SetLabelsItem(v, ls.flatten) }
 
   private def removeItem: Parser[SetItem] =
     ident ~ ("." ~> symName) ^^ { case v ~ k => RemoveProp(v, k) } |
-    ident ~ rep1(":" ~> symName) ^^ { case v ~ ls => RemoveLabelsItem(v, ls) }
+    ident ~ rep1((":" | K("IS")) ~> rep1sep(symName, "&")) ^^ {
+      case v ~ ls => RemoveLabelsItem(v, ls.flatten) }
 
   /** CREATE, plus the GQL-conformance `INSERT` spelling (reference
     * insertClause): same pattern surface — `&`-conjoined positive labels
@@ -753,7 +782,7 @@ object CypherParser extends RegexParsers {
     opt(K("OPTIONAL")) ~ (K("CALL") ~> "{" ~> query <~ "}") ~
       opt(K("IN") ~> opt("""\d+""".r) ~ opt(K("CONCURRENT")) ~
         (K("TRANSACTIONS") ~>
-          opt(K("OF") ~> """\d+""".r <~ K("ROWS")) ~
+          opt(K("OF") ~> """\d+""".r <~ (K("ROWS") | K("ROW"))) ~
           opt(K("ON") ~> K("ERROR") ~> (K("CONTINUE") ^^ (_ => "continue") |
             K("BREAK") ^^ (_ => "break") | K("FAIL") ^^ (_ => "fail"))) ~
           opt(K("REPORT") ~> K("STATUS") ~> K("AS") ~> ident))) ^^ {
@@ -785,10 +814,12 @@ object CypherParser extends RegexParsers {
   private def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 
   private def query: Parser[Query] =
-    singleQuery ~ rep((K("UNION") ~> opt(K("ALL"))) ~ singleQuery) ^^ {
+    singleQuery ~ rep((K("UNION") ~>
+        opt(K("ALL") | K("DISTINCT") ^^ (_ => "DISTINCT"))) ~ singleQuery) ^^ {
       case h ~ Nil => Query(Seq(h), unionAll = false)
       case h ~ t =>
-        val alls = t.map { case a ~ _ => a.isDefined }.distinct
+        // UNION DISTINCT is the explicit spelling of plain UNION
+        val alls = t.map { case a ~ _ => a.contains("ALL") }.distinct
         require(alls.size == 1, "mixing UNION and UNION ALL is not supported")
         Query(h +: t.map { case _ ~ q => q }, unionAll = alls.head)
     }

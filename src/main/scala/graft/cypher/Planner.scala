@@ -1211,13 +1211,15 @@ object Planner {
     // checkpointed once per snapshot); typed ones filter the topology and
     // let the BFS dedupe the filtered result itself
     val (edges, edgesDeduped) =
-      if (rel.types.isEmpty && stepDf.isEmpty) ((rel.dir match {
-        case Out  => ctx.g.topologyPairs
-        case In   => ctx.g.topologyPairs
-          .select(col("dst").as("src"), col("src").as("dst"))
-        case Both => ctx.g.undirectedTopoPairs
-      }), true)
-      else (orientTyped(ctx.g, rel.types, dirConv, None, stepDf)
+      if (rel.types.isEmpty && rel.typeExpr.isEmpty && stepDf.isEmpty)
+        ((rel.dir match {
+          case Out  => ctx.g.topologyPairs
+          case In   => ctx.g.topologyPairs
+            .select(col("dst").as("src"), col("src").as("dst"))
+          case Both => ctx.g.undirectedTopoPairs
+        }), true)
+      else (orientTyped(ctx.g, rel.types, dirConv,
+          rel.typeExpr.map(typeExprFilter), stepDf)
         .select("src", "dst"), false)
     val pv = s.pathVar.getOrElse(ctx.fresh("p"))
     val minHops = rel.varLength.map(_._1).getOrElse(1)
@@ -1387,12 +1389,15 @@ object Planner {
           // a plain one-hop quantified group `((a)-[r]->(b))+` inside a
           // selector is just a var-length leg: the group variables bind
           // to nothing here (the path value carries nodes/rels)
-          val pre = if (r.props.isEmpty) None
-            else Some(r.props.map { case (key, e) =>
-              if (ctx.g.rels.columns.contains(propCol(key)))
-                col(propCol(key)) === constExpr(ctx, e)
-              else lit(false)
-            }.reduce(_ && _))
+          val pre = {
+            val propF = if (r.props.isEmpty) None
+              else Some(r.props.map { case (key, e) =>
+                if (ctx.g.rels.columns.contains(propCol(key)))
+                  col(propCol(key)) === constExpr(ctx, e)
+                else lit(false)
+              }.reduce(_ && _))
+            (propF ++ r.typeExpr.map(typeExprFilter)).reduceOption(_ && _)
+          }
           val dir = r.dir match {
             case Out => Direction.Out; case In => Direction.In
             case Both => Direction.Both
@@ -1516,12 +1521,15 @@ object Planner {
     hops.zipWithIndex.foreach { case ((r, n), i) =>
       require(r.qppVars.isEmpty && r.branches.isEmpty,
         "alternation branches take single or bounded var-length hops")
-      val pre = if (r.props.isEmpty) None
-        else Some(r.props.map { case (key, e) =>
-          if (ctx.g.rels.columns.contains(propCol(key)))
-            col(propCol(key)) === constExpr(ctx, e)
-          else lit(false)
-        }.reduce(_ && _))
+      val pre = {
+        val propF = if (r.props.isEmpty) None
+          else Some(r.props.map { case (key, e) =>
+            if (ctx.g.rels.columns.contains(propCol(key)))
+              col(propCol(key)) === constExpr(ctx, e)
+            else lit(false)
+          }.reduce(_ && _))
+        (propF ++ r.typeExpr.map(typeExprFilter)).reduceOption(_ && _)
+      }
       val dir = r.dir match {
         case Out => Direction.Out; case In => Direction.In
         case Both => Direction.Both
@@ -1573,6 +1581,16 @@ object Planner {
     cur.select(col("__es"), col("__ed"), col("__ers"), col("__ens"),
       size(col("__ers")).as("__elen"))
   }
+
+  /** DNF relationship-type-expression filter over the single `type`
+    * column (`[:!A]`, `[:(!A&B)|C]`, `[:%]` — a rel has exactly one type,
+    * so atoms evaluate directly against it). */
+  private def typeExprFilter(dnf: Seq[Seq[Ast.LabelAtom]]): Column =
+    dnf.map(_.map { a =>
+      if (a.name == "%") { if (a.negated) lit(false) else lit(true) }
+      else if (a.negated) col("type") =!= a.name
+      else col("type") === a.name
+    }.reduce(_ && _)).reduce(_ || _)
 
   private def relVars(env: Env): Set[String] =
     env.binds.collect { case (v, RelVar | RelListVar) => v }.toSet
@@ -2447,6 +2465,7 @@ object Planner {
         if (rel.types.nonEmpty) r =
           if (rel.types.size == 1) r.filter(col("type") === rel.types.head)
           else r.filter(col("type").isin(rel.types: _*))
+        rel.typeExpr.foreach(d => r = r.filter(typeExprFilter(d)))
         rel.props.foreach { case (k, e) =>
           r = if (r.columns.contains(propCol(k)))
             r.filter(col(propCol(k)) === constExpr(ctx, e))
@@ -2505,13 +2524,16 @@ object Planner {
         // match → a pre-orientation edge filter (reference VarLengthExpand
         // per-step relationship predicate); an inline WHERE likewise
         // pre-filters the raw rels (stepFilteredRels)
-        val edgeFilter: Option[Column] =
-          if (rel.props.isEmpty) None
-          else Some(rel.props.map { case (k, e) =>
-            if (g.rels.columns.contains(propCol(k)))
-              col(propCol(k)) === constExpr(ctx, e)
-            else lit(false)
-          }.reduce(_ && _))
+        val edgeFilter: Option[Column] = {
+          val propF =
+            if (rel.props.isEmpty) None
+            else Some(rel.props.map { case (k, e) =>
+              if (g.rels.columns.contains(propCol(k)))
+                col(propCol(k)) === constExpr(ctx, e)
+              else lit(false)
+            }.reduce(_ && _))
+          (propF ++ rel.typeExpr.map(typeExprFilter)).reduceOption(_ && _)
+        }
         val stepDf = stepFilteredRels(ctx, rel)
         val dir = rel.dir match {
           case Out => Direction.Out; case In => Direction.In; case Both => Direction.Both
@@ -3111,15 +3133,38 @@ object Planner {
           case None    => Seq(compile(ctx, inEnv, o.item.expr).as(o.alias))
         }
       }
-      // pre-distinct sort columns may reference non-projected expressions
+      // pre-distinct sort columns may reference non-projected expressions;
+      // aliases introduced by THIS projection resolve inside the sort
+      // expression too (`WITH nodes(p) AS n ORDER BY size(n)` — openCypher
+      // resolves ORDER BY against the projection scope first)
       val sortable = !distinct
+      val aliasSrc: Map[String, Expr] =
+        outs.map(o => o.alias -> o.item.expr).toMap
+      def substAliases(e: Expr): Expr = e match {
+        case Variable(v) if aliasSrc.contains(v) => aliasSrc(v)
+        case Prop(b, k)        => Prop(substAliases(b), k)
+        case Func(n, as, d)    => Func(n, as.map(substAliases), d)
+        case BinOp(op, l, r)   => BinOp(op, substAliases(l), substAliases(r))
+        case UnaryOp(op, o)    => UnaryOp(op, substAliases(o))
+        case IsNull(o, neg)    => IsNull(substAliases(o), neg)
+        case ListLit(xs)       => ListLit(xs.map(substAliases))
+        case Index(b, i2)      => Index(substAliases(b), substAliases(i2))
+        case Slice(l, f, t)    => Slice(substAliases(l),
+          f.map(substAliases), t.map(substAliases))
+        case StringPred(op, l, r) =>
+          StringPred(op, substAliases(l), substAliases(r))
+        case CaseExpr(subj, ws, d) => CaseExpr(subj.map(substAliases),
+          ws.map { case (a, b) => (substAliases(a), substAliases(b)) },
+          d.map(substAliases))
+        case other => other
+      }
       val sortCols: Seq[(String, Column, Boolean)] = orderBy.zipWithIndex.map {
         case (s, i) =>
           s.expr match {
             case Variable(n) if outs.exists(_.alias == n) =>
               (n, null, s.ascending) // sort on the projected column
             case e if sortable =>
-              (s"__sort_$i", compile(ctx, inEnv, e), s.ascending)
+              (s"__sort_$i", compile(ctx, inEnv, substAliases(e)), s.ascending)
             case e => // DISTINCT: sort must reference projected aliases
               (defaultAlias(e), null, s.ascending)
           }

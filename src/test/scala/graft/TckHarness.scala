@@ -193,18 +193,32 @@ object TckHarness {
 
   /** split a gherkin table row `| a | b |` respecting quotes/brackets */
   def splitRow(row: String): Seq[String] = {
+    // Gherkin cell escapes: `\|` is a literal pipe (the corpus escapes
+    // label-expression pipes this way), `\\` a backslash, `\n` a newline
     val inner = row.trim.stripPrefix("|").stripSuffix("|")
     val cells = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0; var inStr = false
-    inner.foreach {
-      case '\'' => inStr = !inStr; cur += '\''
-      // '<'/'>' deliberately NOT depth-tracked: the '>' in a path's '->'
-      // would unbalance the count; '|' never occurs inside a path value
-      case c @ ('[' | '{' | '(') if !inStr => depth += 1; cur += c
-      case c @ (']' | '}' | ')') if !inStr => depth -= 1; cur += c
-      case '|' if depth == 0 && !inStr => cells += cur.result().trim; cur.clear()
-      case c => cur += c
+    var i = 0
+    while (i < inner.length) {
+      val c = inner(i)
+      if (c == '\\' && i + 1 < inner.length &&
+          (inner(i + 1) == '|' || inner(i + 1) == '\\' || inner(i + 1) == 'n')) {
+        cur += (if (inner(i + 1) == 'n') '\n' else inner(i + 1))
+        i += 2
+      } else {
+        c match {
+          case '\'' => inStr = !inStr; cur += c
+          // '<'/'>' deliberately NOT depth-tracked: the '>' in a path's
+          // '->' would unbalance the count
+          case '[' | '{' | '(' if !inStr => depth += 1; cur += c
+          case ']' | '}' | ')' if !inStr => depth -= 1; cur += c
+          case '|' if depth == 0 && !inStr =>
+            cells += cur.result().trim; cur.clear()
+          case _ => cur += c
+        }
+        i += 1
+      }
     }
     cells += cur.result().trim
     cells.result()
