@@ -495,6 +495,31 @@ object Planner {
   private def planMerge(ctx: Ctx, env: Env, m: MergeClause): Env = {
     val df = env.df.getOrElse(unit(ctx.spark))
     val p = m.pattern
+    // Whole-pattern MERGE with UNBOUND endpoints, uncorrelated with the
+    // incoming rows (reference MergePipe whole-pattern semantics): match
+    // the entire pattern against the graph; when nothing matches, create
+    // ONE instance and re-match — then splice the bound pattern into every
+    // input row. The per-row correlated forms below handle bound
+    // endpoints / single-node keys.
+    val patVars = ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
+      p.hops.flatMap(_._1.variable))
+    if (p.hops.nonEmpty && !patVars.exists(env.has)) {
+      val probe = MatchClause(optional = false, Seq(p), None)
+      val matched0 = planMatch(ctx, Env(None, Map.empty), probe)
+      val created = matched0.df.forall(_.isEmpty)
+      val bound =
+        if (!created) matched0
+        else {
+          planCreate(ctx, Env(None, Map.empty), CreateClause(Seq(p)))
+          planMatch(ctx, Env(None, Map.empty), probe)
+        }
+      val actions = if (created) m.onCreate else m.onMatch
+      if (actions.nonEmpty) planSetItemsOn(ctx, bound, actions)
+      val rehydrated = rehydrate(ctx, bound,
+        patVars.filter(bound.binds.contains))
+      return Env(Some(df.crossJoin(rehydrated.df.get)),
+        env.binds ++ rehydrated.binds)
+    }
     if (p.hops.isEmpty) {
       val np = p.first
       val v = np.variable.getOrElse(ctx.fresh("mn"))
@@ -2247,11 +2272,33 @@ object Planner {
       case MapLit(es)         => es.exists(kv => uses(kv._2, v, fn))
       case _ => false
     }
+    def propKeys(body: Expr, v: String): Seq[String] = body match {
+      case Prop(Variable(`v`), k) => Seq(k)
+      case Prop(sub, _)       => propKeys(sub, v)
+      case Func(_, args, _)   => args.flatMap(propKeys(_, v))
+      case BinOp(_, l, r)     => propKeys(l, v) ++ propKeys(r, v)
+      case UnaryOp(_, o)      => propKeys(o, v)
+      case IsNull(o, _)       => propKeys(o, v)
+      case StringPred(_, l, r) => propKeys(l, v) ++ propKeys(r, v)
+      case Index(l, i)        => propKeys(l, v) ++ propKeys(i, v)
+      case Slice(l, f, t)     => propKeys(l, v) ++
+        f.toSeq.flatMap(propKeys(_, v)) ++ t.toSeq.flatMap(propKeys(_, v))
+      case CaseExpr(sj, ws, d) => sj.toSeq.flatMap(propKeys(_, v)) ++
+        ws.flatMap(w => propKeys(w._1, v) ++ propKeys(w._2, v)) ++
+        d.toSeq.flatMap(propKeys(_, v))
+      case ListLit(xs)        => xs.flatMap(propKeys(_, v))
+      case MapLit(es)         => es.flatMap(kv => propKeys(kv._2, v))
+      case _ => Nil
+    }
     def lam(v: String, list: Expr, bodies: Seq[Expr]): Unit = list match {
-      case Func("relationships" | "rels", Seq(Variable(pv)), _)
-          if bodies.exists(uses(_, v, "type")) => out += ((pv, "reltypes"))
-      case Func("nodes", Seq(Variable(pv)), _)
-          if bodies.exists(uses(_, v, "labels")) => out += ((pv, "nodelabels"))
+      case Func("relationships" | "rels", Seq(Variable(pv)), _) =>
+        if (bodies.exists(uses(_, v, "type"))) out += ((pv, "reltypes"))
+        bodies.flatMap(propKeys(_, v)).distinct.foreach(k =>
+          out += ((pv, "relprop:" + k)))
+      case Func("nodes", Seq(Variable(pv)), _) =>
+        if (bodies.exists(uses(_, v, "labels"))) out += ((pv, "nodelabels"))
+        bodies.flatMap(propKeys(_, v)).distinct.foreach(k =>
+          out += ((pv, "nodeprop:" + k)))
       case _ => ()
     }
     def walk(x: Expr): Unit = x match {
@@ -2282,14 +2329,31 @@ object Planner {
     if (needs.isEmpty || env.df.isEmpty) return env
     var df = env.df.get
     needs.foreach { case (pv, kind) =>
-      val (src, enriched) =
-        if (kind == "reltypes") (s"$pv$$rels", s"$pv$$reltypes")
-        else (s"$pv$$nodes", s"$pv$$nodelabels")
+      val isRel = kind == "reltypes" || kind.startsWith("relprop:")
+      val src = if (isRel) s"$pv$$rels" else s"$pv$$nodes"
+      val enriched = kind match {
+        case "reltypes"   => s"$pv$$reltypes"
+        case "nodelabels" => s"$pv$$nodelabels"
+        case k if k.startsWith("relprop:") =>
+          s"$pv$$relprop_${k.stripPrefix("relprop:")}"
+        case k => s"$pv$$nodeprop_${k.stripPrefix("nodeprop:")}"
+      }
       if (df.columns.contains(src) && !df.columns.contains(enriched)) {
-        val lookup =
-          if (kind == "reltypes")
+        def propVal(table: DataFrame, key: String): Column =
+          if (table.columns.contains(propCol(key))) col(propCol(key))
+          else lit(null).cast("string") // absent property IS NULL
+        val lookup = kind match {
+          case "reltypes" =>
             ctx.g.rels.select(col("id").as("__eid"), col("type").as("__val"))
-          else ctx.g.nodes.select(col("id").as("__eid"), col("labels").as("__val"))
+          case "nodelabels" =>
+            ctx.g.nodes.select(col("id").as("__eid"), col("labels").as("__val"))
+          case k if k.startsWith("relprop:") =>
+            ctx.g.rels.select(col("id").as("__eid"),
+              propVal(ctx.g.rels, k.stripPrefix("relprop:")).as("__val"))
+          case k =>
+            ctx.g.nodes.select(col("id").as("__eid"),
+              propVal(ctx.g.nodes, k.stripPrefix("nodeprop:")).as("__val"))
+        }
         val uniq = df.select(col(src).as("__pe")).distinct()
         val pos = uniq.select(col("__pe"),
           posexplode(col("__pe")).as(Seq("__pos", "__eid")))
@@ -3309,18 +3373,37 @@ object Planner {
   private def elemIter(ctx: Ctx, env: Env, lambdas: Map[String, Column],
       v: String, l: Expr): (Column, Column => Map[String, Column],
         Option[Column => Column]) = l match {
-    case Func("relationships" | "rels", Seq(Variable(pv)), _)
-        if env.df.exists(_.columns.contains(s"$pv$$reltypes")) =>
-      (zip_with(col(s"$pv$$rels"), col(s"$pv$$reltypes"),
-        (i, t) => struct(i.as("id"), t.as("tp"))),
-        x => Map(v -> x.getField("id"), s"$v$$type" -> x.getField("tp")),
-        Some((x: Column) => x.getField("id")))
-    case Func("nodes", Seq(Variable(pv)), _)
-        if env.df.exists(_.columns.contains(s"$pv$$nodelabels")) =>
-      (zip_with(col(s"$pv$$nodes"), col(s"$pv$$nodelabels"),
-        (i, t) => struct(i.as("id"), t.as("lb"))),
-        x => Map(v -> x.getField("id"), s"$v$$labels" -> x.getField("lb")),
-        Some((x: Column) => x.getField("id")))
+    case Func(f @ ("relationships" | "rels" | "nodes"), Seq(Variable(pv)), _)
+        if env.df.exists { df =>
+          val isRel = f != "nodes"
+          val lb = if (isRel) s"$pv$$reltypes" else s"$pv$$nodelabels"
+          val pp = if (isRel) s"$pv$$relprop_" else s"$pv$$nodeprop_"
+          df.columns.contains(lb) || df.columns.exists(_.startsWith(pp))
+        } =>
+      // elements carry their POSITION so every enriched parallel array
+      // (types/labels plus any per-property arrays) resolves per element
+      val isRel = f != "nodes"
+      val df = env.df.get
+      val idsCol = if (isRel) s"$pv$$rels" else s"$pv$$nodes"
+      val labelsCol = if (isRel) s"$pv$$reltypes" else s"$pv$$nodelabels"
+      val propPrefix = if (isRel) s"$pv$$relprop_" else s"$pv$$nodeprop_"
+      val propCols = df.columns.filter(_.startsWith(propPrefix)).toSeq.sorted
+      val ids = col(idsCol)
+      val listCol = when(size(ids) === 0,
+          array().cast("array<struct<id:bigint,pos:int>>"))
+        .otherwise(zip_with(ids, sequence(lit(0), size(ids) - 1),
+          (i, p) => struct(i.as("id"), p.cast("int").as("pos"))))
+      val bind: Column => Map[String, Column] = { x =>
+        val pos1 = x.getField("pos") + 1
+        Map(v -> x.getField("id")) ++
+          (if (df.columns.contains(labelsCol))
+            Map(s"$v$$${if (isRel) "type" else "labels"}" ->
+              element_at(col(labelsCol), pos1))
+          else Map.empty) ++
+          propCols.map(pc => s"$v$$${pc.stripPrefix(propPrefix)}" ->
+            element_at(col(pc), pos1)).toMap
+      }
+      (listCol, bind, Some((x: Column) => x.getField("id")))
     case _ =>
       (compile(ctx, env, l, lambdas), x => Map(v -> x), None)
   }
@@ -3378,6 +3461,8 @@ object Planner {
               s"variable `$v` not defined")
             col(v)
           })
+      case Prop(Variable(v), k) if lambdas.contains(s"$v$$$k") =>
+        lambdas(s"$v$$$k") // enriched path-element property (elemIter)
       case Prop(Variable(v), k) if env.has(v) &&
           (env.binds(v) == NodeVar || env.binds(v) == RelVar) =>
         val n = s"$v$$$k"

@@ -16,4 +16,23 @@ class GrammarSurfaceSpec extends AnyFunSuite {
     assert(Cypher.run(spark, g2, "MATCH (n:D) RETURN n.k AS k")
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("whole-pattern MERGE with unbound endpoints") {
+    val (g0, _) = Cypher.execute(spark, TckHarness.emptyGraph(spark),
+      "CREATE (:Z {k: 0})")
+    // nothing matches -> creates the whole chain once
+    val (g1, _) = Cypher.execute(spark, g0,
+      "MERGE (a:A {x: 1})-[:T]->(b:B {y: 2})")
+    def count(g: graft.graph.PropertyGraph, q: String) =
+      Cypher.run(spark, g, q).collect()(0).getLong(0)
+    assert(count(g1, "MATCH (:A {x: 1})-[:T]->(:B {y: 2}) RETURN count(*) AS c") == 1L)
+    // second MERGE matches -> no new rel
+    val (g2, _) = Cypher.execute(spark, g1,
+      "MERGE (a:A {x: 1})-[:T]->(b:B {y: 2})")
+    assert(count(g2, "MATCH ()-[r:T]->() RETURN count(*) AS c") == 1L)
+    // ON CREATE marks only the creating run
+    val (g3, _) = Cypher.execute(spark, g2,
+      "MERGE (a:A {x: 1})-[:T]->(c:C) ON CREATE SET a.made = true")
+    assert(count(g3, "MATCH (a:A {made: true}) RETURN count(*) AS c") == 1L)
+  }
 }
