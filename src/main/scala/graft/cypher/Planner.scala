@@ -2302,6 +2302,19 @@ object Planner {
       case _ => ()
     }
     def walk(x: Expr): Unit = x match {
+      // nodes(p)[i].k / relationships(p)[i].k outside lambdas hydrate the
+      // same per-position property array
+      case Prop(Index(Func("nodes", Seq(Variable(pv)), _), i), k) =>
+        out += ((pv, "nodeprop:" + k)); walk(i)
+      case Prop(Index(Func("relationships" | "rels",
+          Seq(Variable(pv)), _), i), k) =>
+        out += ((pv, "relprop:" + k)); walk(i)
+      case Prop(Func("head" | "last",
+          Seq(Func("nodes", Seq(Variable(pv)), _)), _), k) =>
+        out += ((pv, "nodeprop:" + k))
+      case Prop(Func("head" | "last",
+          Seq(Func("relationships" | "rels", Seq(Variable(pv)), _)), _), k) =>
+        out += ((pv, "relprop:" + k))
       case IterPredicate(_, v, l, pr) => lam(v, l, Seq(pr)); walk(l); walk(pr)
       case ListComprehension(v, l, w, pr) =>
         lam(v, l, w.toSeq ++ pr.toSeq); walk(l); w.foreach(walk); pr.foreach(walk)
@@ -3463,6 +3476,22 @@ object Planner {
           })
       case Prop(Variable(v), k) if lambdas.contains(s"$v$$$k") =>
         lambdas(s"$v$$$k") // enriched path-element property (elemIter)
+      case Prop(Index(Func(f @ ("nodes" | "relationships" | "rels"),
+          Seq(Variable(pv)), _), i), k)
+          if env.df.exists(_.columns.contains(
+            s"$pv$$${if (f == "nodes") "nodeprop_" else "relprop_"}$k")) =>
+        val arr = col(
+          s"$pv$$${if (f == "nodes") "nodeprop_" else "relprop_"}$k")
+        val ic = c(i)
+        try_element_at(arr, when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
+      case Prop(Func(hl @ ("head" | "last"),
+          Seq(Func(f @ ("nodes" | "relationships" | "rels"),
+            Seq(Variable(pv)), _)), _), k)
+          if env.df.exists(_.columns.contains(
+            s"$pv$$${if (f == "nodes") "nodeprop_" else "relprop_"}$k")) =>
+        val arr = col(
+          s"$pv$$${if (f == "nodes") "nodeprop_" else "relprop_"}$k")
+        try_element_at(arr, lit(if (hl == "head") 1 else -1))
       case Prop(Variable(v), k) if env.has(v) &&
           (env.binds(v) == NodeVar || env.binds(v) == RelVar) =>
         val n = s"$v$$$k"

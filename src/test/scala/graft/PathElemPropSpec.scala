@@ -26,4 +26,19 @@ class PathElemPropSpec extends AnyFunSuite {
     assert(sums.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("bar", 6L), ("nope", 12L)))
   }
+
+  test("indexed and head/last path-element property reads") {
+    val (g, _) = Cypher.execute(spark, TckHarness.emptyGraph(spark),
+      """CREATE (:A {foo: 'a'})-[:REL {w: 1}]->(:B {foo: 'b'})
+        |-[:REL {w: 2}]->(:C {foo: 'c'})""".stripMargin)
+    val r = Cypher.run(spark, g,
+      """MATCH p = (:A)-[:REL*2..2]->(:C)
+        |RETURN nodes(p)[0].foo AS f0, nodes(p)[-1].foo AS fl,
+        |  relationships(p)[1].w AS w1,
+        |  head(nodes(p)).foo AS hf, last(nodes(p)).foo AS lf""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "c")
+    assert(r.getLong(2) == 2L)
+    assert(r.getString(3) == "a" && r.getString(4) == "c")
+  }
 }
