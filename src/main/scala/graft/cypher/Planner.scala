@@ -239,9 +239,7 @@ object Planner {
       case w: WithClause =>
         env = planProjection(ctx, env, w.items, w.distinct, w.orderBy, w.skip,
           w.limit, isReturn = false)
-        w.where.foreach { pred =>
-          env = env.copy(df = env.df.map(_.filter(compile(ctx, env, pred))))
-        }
+        w.where.foreach { pred => env = applyWhere(ctx, env, pred) }
       case c: CreateClause => env = planCreate(ctx, env, c)
       case m: MergeClause  => env = planMerge(ctx, env, m)
       case s: SetClause    =>
@@ -351,9 +349,7 @@ object Planner {
       case w: WithClause =>
         env = planProjection(ctx, env, w.items, w.distinct, w.orderBy, w.skip,
           w.limit, isReturn = false)
-        w.where.foreach { pred =>
-          env = env.copy(df = env.df.map(_.filter(compile(ctx, env, pred))))
-        }
+        w.where.foreach { pred => env = applyWhere(ctx, env, pred) }
       case cc: CallClause =>
         env = planCall(ctx, env, cc)
       case cs: CallSubquery =>
@@ -2011,7 +2007,8 @@ object Planner {
     // key on every bound variable the pattern OR its WHERE references, so
     // the sub-plan can evaluate predicates that mix inner and outer vars
     val whereVars = m.where.map(exprVars).getOrElse(Set.empty)
-    val refs = (m.patterns.flatMap(patternVars).toSet ++ whereVars)
+    val refs = (m.patterns.flatMap(patternVars).toSet ++
+      m.shortest.flatMap(sp => patternVars(sp.pattern)) ++ whereVars)
       .filter(env.has).toSeq.sorted
     // disconnected OPTIONAL MATCH (no bound variable referenced — incl. a
     // standalone one at statement start): plan the pattern standalone and
@@ -2031,6 +2028,9 @@ object Planner {
       sub = planPath(ctx, sub, p, pending)
       sub = flushReadyWhere(ctx, sub, pending)
     }
+    // OPTIONAL MATCH over a path selector (`OPTIONAL MATCH ANY SHORTEST …`)
+    // — the selector plans inside the optional sub-plan like any pattern
+    m.shortest.foreach { sp => sub = planShortest(ctx, sub, sp) }
     sub = applyUniqueness(sub, relVarsBefore)
     val rest = pending.conjs
     pending.conjs = Nil
