@@ -3874,8 +3874,28 @@ object Planner {
       // entity accessors (hydrated columns)
       case "id" => a0
       case "properties" | "keys" =>
-        // properties(null) / keys(null) ARE null (reference CypherFunctions)
+        // properties(null) / keys(null) ARE null (reference CypherFunctions);
+        // properties(map) is the map itself, keys(map) its key list
         if (args.head == Lit(null)) return lit(null)
+        args.head match {
+          case Variable(_) => ()
+          // a CASE whose result arms are all null literals is null-typed
+          // before Spark can resolve it — short-circuit
+          case ce: CaseExpr
+              if (ce.whens.map(_._2) ++ ce.default).forall(_ == Lit(null)) =>
+            return lit(null)
+          case other =>
+            val oc = c(other)
+            dataTypeOf(env, oc) match {
+              case Some(org.apache.spark.sql.types.NullType) => return lit(null)
+              case Some(_: org.apache.spark.sql.types.MapType) =>
+                return (if (name == "properties") oc else map_keys(oc))
+              case Some(st: org.apache.spark.sql.types.StructType) =>
+                return (if (name == "properties") oc
+                  else lit(st.fieldNames.sorted))
+              case _ => ()
+            }
+        }
         val v = args.head match {
           case Variable(x) => x
           case other => throw new IllegalArgumentException(s"$name() needs a variable")

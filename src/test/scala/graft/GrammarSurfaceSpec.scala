@@ -35,4 +35,13 @@ class GrammarSurfaceSpec extends AnyFunSuite {
       "MERGE (a:A {x: 1})-[:T]->(c:C) ON CREATE SET a.made = true")
     assert(count(g3, "MATCH (a:A {made: true}) RETURN count(*) AS c") == 1L)
   }
+
+  test("properties()/keys() over null and map values") {
+    val g = TckHarness.emptyGraph(spark)
+    val r = Cypher.run(spark, g,
+      """RETURN properties(CASE WHEN null THEN null END) AS p,
+        |keys({a: 1, b: 2}) AS ks""".stripMargin).collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getSeq[String](1).sorted == Seq("a", "b"))
+  }
 }
