@@ -150,7 +150,11 @@ object Ast {
   final case class MatchClause(optional: Boolean, patterns: Seq[PathPattern],
       where: Option[Expr], shortest: Seq[ShortestPart] = Nil) extends Clause
   final case class UnwindClause(expr: Expr, alias: String) extends Clause
-  final case class ReturnItem(expr: Expr, alias: Option[String])
+  /** `src` is the raw source text of an unaliased item — the reference
+    * names unaliased columns by the expression's original text
+    * (`RETURN type(r)` → column `type(r)`). */
+  final case class ReturnItem(expr: Expr, alias: Option[String],
+      src: Option[String] = None)
   final case class SortItem(expr: Expr, ascending: Boolean)
   final case class WithClause(distinct: Boolean, items: Seq[ReturnItem],
       orderBy: Seq[SortItem], skip: Option[Expr], limit: Option[Expr],

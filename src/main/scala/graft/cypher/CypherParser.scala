@@ -306,10 +306,13 @@ object CypherParser extends RegexParsers {
       opt(not(K("FROM")) ~> expression) ~
       (K("FROM") ~> expression) <~ ")" ^^ {
       case spec ~ chars ~ input =>
+        // `$from`-suffixed internal names: the FROM grammar form mandates a
+        // SINGLE trim character (reference error contract), while the plain
+        // ltrim(s, chars)/rtrim/btrim function calls accept a char SET
         val fn = spec.map(_.toUpperCase) match {
-          case Some("LEADING")  => "ltrim"
-          case Some("TRAILING") => "rtrim"
-          case _                => "trim"
+          case Some("LEADING")  => "ltrim$from"
+          case Some("TRAILING") => "rtrim$from"
+          case _                => "trim$from"
         }
         Func(fn, input +: chars.toSeq, distinct = false)
     }
@@ -628,9 +631,24 @@ object CypherParser extends RegexParsers {
       case e ~ a => UnwindClause(e, a)
     }
 
+  /** Capture the raw consumed source text of an expression — unaliased
+    * return items surface under their original text (reference semantics:
+    * `RETURN type(r)` yields a column literally named `type(r)`). */
+  private def sourced(p: Parser[Expr]): Parser[(Expr, String)] = Parser { in =>
+    p(in) match {
+      case Success(t, rest) =>
+        val raw = in.source.subSequence(in.offset, rest.offset).toString.trim
+        Success((t, raw), rest)
+      case ns: NoSuccess => ns
+    }
+  }
+
   private def returnItem: Parser[ReturnItem] =
     "*" ~ guard("," | not(expression)) ^^ (_ => ReturnItem(Variable("*"), None)) |
-    expression ~ opt(K("AS") ~> ident) ^^ { case e ~ a => ReturnItem(e, a) }
+    sourced(expression) ~ opt(K("AS") ~> ident) ^^ {
+      case (e, src) ~ a =>
+        ReturnItem(e, a, if (a.isEmpty) Some(src) else None)
+    }
 
   private def sortItem: Parser[SortItem] =
     expression ~ opt(K("ASCENDING") | K("ASC") | K("DESCENDING") | K("DESC")) ^^ {

@@ -1753,8 +1753,7 @@ object Planner {
               // the value lands in __cv; ORDER BY keys ride as extra
               // columns so the collected array can be sorted per key
               // (order exprs naming the item's alias resolve to the item)
-              val alias = r.items.head.alias
-                .getOrElse(defaultAlias(r.items.head.expr))
+              val alias = itemAlias(r.items.head)
               def deref(e: Expr): Expr = e match {
                 case Variable(v) if v == alias => r.items.head.expr
                 case other => other
@@ -2798,10 +2797,10 @@ object Planner {
     val importing = cs.inner.clauses.headOption match {
       case Some(WithClause(false, items, Nil, None, None, None))
         if env.df.isDefined && items.nonEmpty && items.forall {
-          case ReturnItem(Variable(v), alias) =>
+          case ReturnItem(Variable(v), alias, _) =>
             env.has(v) && alias.forall(_ == v)
           case _ => false
-        } => Some(items.map { case ReturnItem(Variable(v), _) => v })
+        } => Some(items.map { case ReturnItem(Variable(v), _, _) => v })
       case _ => None
     }
     importing match {
@@ -2831,7 +2830,7 @@ object Planner {
               case CountStar         => true
               case Func("count", _, _) => true
               case _                 => false
-            }) => i.alias.getOrElse(defaultAlias(i.expr))
+            }) => itemAlias(i)
           }.toSet
           var joined = df.join(sub.df.get, refs, "left_outer")
           countish.intersect(newCols.toSet).foreach { c =>
@@ -2905,7 +2904,7 @@ object Planner {
         perKeyPage(Map.empty, ob, sk, li)
       } else {
         perKeyPage(items.collect {
-          case ReturnItem(e, Some(a)) => a -> e }.toMap, ob, sk, li)
+          case ReturnItem(e, Some(a), _) => a -> e }.toMap, ob, sk, li)
         sub = planProjection(ctx, sub, withRefs(refs, items), distinct,
           Nil, None, None, isReturn)
       }
@@ -2952,9 +2951,9 @@ object Planner {
     val importing = cs.inner.clauses.headOption match {
       case Some(WithClause(false, items, Nil, None, None, None))
         if items.nonEmpty && items.forall {
-          case ReturnItem(Variable(v), alias) => env.has(v) && alias.forall(_ == v)
+          case ReturnItem(Variable(v), alias, _) => env.has(v) && alias.forall(_ == v)
           case _ => false
-        } => Some(items.map { case ReturnItem(Variable(v), _) => v })
+        } => Some(items.map { case ReturnItem(Variable(v), _, _) => v })
       case _ => None
     }
     val innerClauses = if (importing.isDefined) cs.inner.clauses.tail else cs.inner.clauses
@@ -3113,7 +3112,7 @@ object Planner {
   private def withRefs(refs: Seq[String], items: Seq[ReturnItem]): Seq[ReturnItem] =
     refs.map(v => ReturnItem(Variable(v), None)) ++
       items.filterNot {
-        case ReturnItem(Variable(v), a) => refs.contains(v) && a.forall(_ == v)
+        case ReturnItem(Variable(v), a, _) => refs.contains(v) && a.forall(_ == v)
         case _ => false
       }
 
@@ -3143,7 +3142,7 @@ object Planner {
     // `*` expands to every user-named binding (pass-through), keeping any
     // additional explicit items (`WITH *, x AS y`)
     val starExpanded = items0.flatMap {
-      case ReturnItem(Variable("*"), _) =>
+      case ReturnItem(Variable("*"), _, _) =>
         env.binds.collect {
           case (v, b) if !v.startsWith("__") && b != PathVar => v
         }.toSeq.sorted.map(v => ReturnItem(Variable(v), None))
@@ -3174,7 +3173,7 @@ object Planner {
           !(isReturn && env.binds(v) == PathVar) => Some(v)
         case _ => None
       }
-      Out(i.alias.getOrElse(defaultAlias(i.expr)), i, pass)
+      Out(itemAlias(i), i, pass)
     }
     require(outs.map(_.alias).distinct.size == outs.size,
       "duplicate column aliases in projection")
@@ -3243,7 +3242,8 @@ object Planner {
             case e if sortable =>
               (s"__sort_$i", compile(ctx, inEnv, substAliases(e)), s.ascending)
             case e => // DISTINCT: sort must reference projected aliases
-              (defaultAlias(e), null, s.ascending)
+              (outs.find(_.item.expr == e).map(_.alias)
+                .getOrElse(defaultAlias(e)), null, s.ascending)
           }
       }
       val extra = sortCols.collect { case (n, c, _) if c != null => c.as(n) }
@@ -3293,6 +3293,17 @@ object Planner {
       items.exists { case Right((_, e)) => containsAgg(e); case _ => false }
     case _                    => false
   }
+
+  /** Output column name of a return item: explicit alias, else the raw
+    * source text (reference semantics — `RETURN type(r)` names the column
+    * `type(r)`), else a shape-derived fallback. Bare variables and simple
+    * property reads use the normalized form (robust to backticks/spacing). */
+  private def itemAlias(i: ReturnItem): String = i.alias.getOrElse(i.expr match {
+    case Variable(v)          => v
+    case Prop(Variable(v), k) => s"$v.$k"
+    case CountStar            => "count(*)"
+    case _ => i.src.getOrElse(defaultAlias(i.expr))
+  })
 
   private def defaultAlias(e: Expr): String = e match {
     // unaliased items surface under their source text (`RETURN n.prop` —
@@ -3644,12 +3655,45 @@ object Planner {
           }
         case "%"  => c(l) % c(r)
         case "^"  => pow(c(l), c(r))
-        case "="  => c(l) === c(r)
-        case "<>" => c(l) =!= c(r)
-        case "<"  => c(l) < c(r)
-        case "<=" => c(l) <= c(r)
-        case ">"  => c(l) > c(r)
-        case ">=" => c(l) >= c(r)
+        case cmpOp @ ("=" | "<>" | "<" | "<=" | ">" | ">=") =>
+          // Cypher TERNARY comparison: structured values (lists, maps,
+          // durations, points) and cross-category operands follow the
+          // reference's three-valued semantics (CypherCompare expression);
+          // atomic same-category comparisons stay on Spark's codegen'd
+          // native operators — the hot path is unchanged.
+          val (lc, rc) = (c(l), c(r))
+          val (lt, rt) = (dataTypeOf(env, lc), dataTypeOf(env, rc))
+          import org.apache.spark.sql.types._
+          def structured(t: Option[DataType]) = t.exists {
+            case _: ArrayType | _: StructType | _: MapType => true
+            case _ => false
+          }
+          def atomicCat(dt: DataType): Option[Int] = dt match {
+            case _: NumericType => Some(1)
+            case StringType => Some(2)
+            case BooleanType => Some(3)
+            case DateType => Some(4)
+            case TimestampType => Some(5)
+            case TimestampNTZType => Some(6)
+            case _ => None
+          }
+          val sameAtomic = (lt, rt) match {
+            case (Some(a), Some(b)) =>
+              val (ca, cb) = (atomicCat(a), atomicCat(b))
+              ca.isDefined && ca == cb
+            case _ => true // unresolved side: keep the native operator
+          }
+          if (sameAtomic && !structured(lt) && !structured(rt)) cmpOp match {
+            case "="  => lc === rc
+            case "<>" => lc =!= rc
+            case "<"  => lc < rc
+            case "<=" => lc <= rc
+            case ">"  => lc > rc
+            case ">=" => lc >= rc
+          } else {
+            graft.functions.expressions.CypherCompare.ensureRegistered(ctx.spark)
+            call_function("cypher_compare", lc, rc, lit(cmpOp))
+          }
         case "AND" => c(l) && c(r)
         case "OR"  => c(l) || c(r)
         case "XOR" => c(l) =!= c(r) // boolean XOR with 3-valued NULL
@@ -3782,9 +3826,13 @@ object Planner {
           val i = e.cast("int")
           when(i < 0, greatest(i + n, lit(0))).otherwise(least(i, n))
         }
-        val from = norm(f.map(c).getOrElse(lit(0)))
-        val to = norm(t.map(c).getOrElse(n.cast("long")))
-        slice(lc, from + 1, greatest(to - from, lit(0)))
+        val fromRaw = f.map(c).getOrElse(lit(0))
+        val toRaw = t.map(c).getOrElse(n.cast("long"))
+        val from = norm(fromRaw)
+        val to = norm(toRaw)
+        // a null bound nulls the whole slice (reference ListSlice semantics)
+        when(fromRaw.isNull || toRaw.isNull, lit(null))
+          .otherwise(slice(lc, from + 1, greatest(to - from, lit(0))))
       case IterPredicate(kind, v, l, pred) =>
         val (lc, bind, _) = elemIter(ctx, env, lambdas, v, l)
         val p: Column => Column = x => compile(ctx, env, pred, lambdas ++ bind(x))
@@ -3929,13 +3977,34 @@ object Planner {
       // scalar functions
       case "toupper"   => upper(a0)
       case "tolower"   => lower(a0)
-      // Cypher 5 trim variants take an optional trim-character argument
-      case "trim" | "btrim" =>
-        if (args.size > 1) trim(a0, constString(args(1))) else trim(a0)
-      case "ltrim" =>
-        if (args.size > 1) ltrim(a0, constString(args(1))) else ltrim(a0)
-      case "rtrim" =>
-        if (args.size > 1) rtrim(a0, constString(args(1))) else rtrim(a0)
+      // Cypher 5 trim variants take an optional trim-character argument.
+      // The default trims UNICODE whitespace (reference trims
+      // Character.isWhitespace — thin/ideographic spaces included), which
+      // Spark's space-only trim() does not; (?U) makes \s Unicode-aware.
+      // The explicit trim string must be exactly one character (reference
+      // error contract); a null trim string nulls the result.
+      case "trim" | "btrim" | "ltrim" | "rtrim" |
+           "trim$from" | "ltrim$from" | "rtrim$from" =>
+        val base = name.stripSuffix("$from")
+        if (args.size > 1) args(1) match {
+          case Lit(null) => lit(null).cast("string")
+          case e =>
+            val s = constString(e)
+            // the TRIM(spec char FROM s) grammar form mandates ONE character;
+            // ltrim(s, chars)-style calls take a character set
+            if (name.endsWith("$from"))
+              require(s.codePointCount(0, s.length) == 1,
+                s"trim character string must be a single character, got '$s'")
+            base match {
+              case "trim" | "btrim" => trim(a0, s)
+              case "ltrim"          => ltrim(a0, s)
+              case _                => rtrim(a0, s)
+            }
+        } else base match {
+          case "trim" | "btrim" => regexp_replace(a0, "(?U)(^\\s+|\\s+$)", "")
+          case "ltrim"          => regexp_replace(a0, "(?U)^\\s+", "")
+          case _                => regexp_replace(a0, "(?U)\\s+$", "")
+        }
       case "reverse"   => reverse(a0)
       case "replace"   =>
         // Cypher replace() is fully literal: quote the search regex AND
@@ -4036,7 +4105,8 @@ object Planner {
       case "radians" => radians(a0)
       // haversin(x) = sin²(x/2) (reference functions/Haversin.scala)
       case "haversin" => (lit(1.0) - cos(a0)) / lit(2.0)
-      case "isnan"    => isnan(a0.cast("double"))
+      case "isnan"    => // isNaN(null) IS NULL (reference), not false
+        when(a0.isNull, lit(null)).otherwise(isnan(a0.cast("double")))
       case "pi"    => lit(math.Pi)
       case "e"     => lit(math.E)
       case "rand"  => rand()
@@ -4178,13 +4248,17 @@ object Planner {
           (get("longitude"), get("latitude")) match {
             case (Some(x), Some(y)) => graft.functions.Spatial.geoPoint(x, y)
             case _ =>
-              val srid = m.get("srid") match {
-                case Some(Lit(s: Long)) => s.toInt
-                case _                  => graft.functions.Spatial.SridCartesian
+              val srid = (m.get("srid"), m.get("crs")) match {
+                case (Some(Lit(s: Long)), _) => s.toInt
+                case (_, Some(Lit("wgs-84"))) => graft.functions.Spatial.SridWgs84
+                case (_, Some(Lit("wgs-84-3d"))) => 4979
+                case (_, Some(Lit("cartesian-3d"))) => 9157
+                case _ => graft.functions.Spatial.SridCartesian
               }
               graft.functions.Spatial.point(
                 get("x").getOrElse(lit(null)), get("y").getOrElse(lit(null)), srid)
           }
+        case Lit(null) => lit(null) // point(null) IS NULL (reference)
         case other => throw new IllegalArgumentException("point() takes a map literal")
       }
       case "distance" | "point.distance" =>
