@@ -142,7 +142,11 @@ object Ast {
       // — applied to the selected paths (the reference filters BEFORE the
       // selector inside the NFA; post-filtering is a documented divergence
       // observable when a predicate-failing path displaces a shorter one)
-      where: Option[Expr] = None)
+      where: Option[Expr] = None,
+      // legacy shortestPath()/allShortestPaths() function form — EXEMPT
+      // from the CIP-60 "only one selective path pattern per graph
+      // pattern" rule that governs GQL selectors
+      legacy: Boolean = false)
 
   // ---- clauses ----------------------------------------------------------
 

@@ -565,7 +565,8 @@ object CypherParser extends RegexParsers {
   private def shortestPart: Parser[ShortestPart] =
     opt(ident <~ "=") ~ "(?i)(allShortestPaths|shortestPath)".r ~
       ("(" ~> pathPattern <~ ")") ^^ {
-      case v ~ kw ~ p => ShortestPart(v, p, kw.toLowerCase.startsWith("all"))
+      case v ~ kw ~ p =>
+        ShortestPart(v, p, kw.toLowerCase.startsWith("all"), legacy = true)
     } |
     // GQL path selectors (reference StatefulShortestPath selectors):
     // ANY SHORTEST [PATH[S]] ≡ SHORTEST 1; ALL SHORTEST ≡ allShortestPaths;

@@ -1,5 +1,7 @@
 package graft.cypher
 
+import graft.ops.Ckpt._
+
 import graft.graph.{Direction, PropertyGraph}
 import graft.graph.PropertyGraph.{colProp, propCol}
 import graft.ops.{UpdateOps, VarExpand}
@@ -168,7 +170,10 @@ object Planner {
   private def ckptUnlessMaterialized(df: org.apache.spark.sql.DataFrame) =
     df.queryExecution.logical match {
       case _: org.apache.spark.sql.execution.LogicalRDD => df
-      case _ => df.localCheckpoint()
+      // freshCkpt: localCheckpoint inherits the join-PRODUCT size
+      // estimate, which compounds exponentially across iterative commits
+      // (see graft.ops.Ckpt / FreshStats scaladoc)
+      case _ => df.freshCkpt()
     }
 
   val defaultTxCommit: PropertyGraph => PropertyGraph = { g =>
@@ -258,16 +263,46 @@ object Planner {
       case f: ForeachClause => planForeach(ctx, env, f)
       case cc: CallClause  => env = planCall(ctx, env, cc)
       case cs: CallSubquery =>
+        // reference error contract: every non-variable item in a CALL{}
+        // body's RETURN must carry an explicit alias
+        cs.innerQ.parts.foreach(_.clauses.lastOption.foreach {
+          case r: ReturnClause => r.items.foreach { i =>
+            require(i.alias.isDefined || i.expr.isInstanceOf[Variable],
+              "Expression in CALL { RETURN ... } must be aliased")
+          }
+          case _ => ()
+        })
+        val writes = cs.innerQ.parts.exists(_.clauses.exists(isWrite))
         env = cs.inTransactionsOf match {
           case Some(n) => planCallInTransactions(ctx, env, cs, n)
           // UNION bodies route through planCallSubquery, which plans the
           // whole union — cs.inner (single-part accessor) must not force
-          case None if cs.innerQ.parts.exists(_.clauses.exists(isWrite)) =>
+          case None if writes =>
             // SubqueryForeach (reference LogicalPlan :3877): write-CALL{}
-            // without IN TRANSACTIONS = one implicit transaction over all rows
-            planCallInTransactions(ctx, env, cs, Long.MaxValue)
+            // without IN TRANSACTIONS = one implicit transaction over all
+            // rows. EXCEPTION: an UNCORRELATED body that re-READS the graph
+            // it writes (`CALL { MATCH (n:Counter) SET n.count = n.count+1
+            // RETURN n.count }`) is observable per execution in the
+            // reference (each invocation sees the previous one's writes) —
+            // that body executes per input row; correlated bodies keep the
+            // set-based plan (MERGE handles its own cross-row semantics).
+            val importsVars = cs.innerQ.parts.head.clauses.headOption.exists {
+              case WithClause(false, items, Nil, None, None, None) =>
+                items.forall { i => i.expr match {
+                  case Variable(v) => env.has(v); case _ => false } }
+              case _ => false
+            }
+            val selfReading = !importsVars &&
+              cs.innerQ.parts.exists(_.clauses.exists(_.isInstanceOf[MatchClause]))
+            planCallInTransactions(ctx, env, cs,
+              if (selfReading) 1L else Long.MaxValue)
           case None => planCallSubquery(ctx, env, cs)
         }
+        // side effects of the subquery are VISIBLE after it (reference
+        // read-through-to-store): refresh every bound entity variable's
+        // hydrated columns from the post-commit snapshot
+        if (writes || cs.inTransactionsOf.isDefined)
+          env = rehydrate(ctx, env, entityVars(env))
       case c: CreateIndexClause =>
         ctx.g = graft.graph.Schema.createIndex(ctx.g, c.name, c.label, c.prop, c.kind)
       case c: CreateConstraintClause =>
@@ -386,6 +421,32 @@ object Planner {
     val newNodes = Seq.newBuilder[NewNode]
     val newRels = Seq.newBuilder[NewRel]
 
+    // property maps may read properties of entities created EARLIER in the
+    // same CREATE (`(n1 {a:1})-[:R {b: n1.a}]->…`, reference Create
+    // acceptance "dependencies between nodes and relationships"): those
+    // entities have no hydrated columns yet, so the reference resolves
+    // left-to-right — substitute the declared value expression in place
+    // (absent key → NULL)
+    var declaredProps = Map.empty[String, Map[String, Expr]]
+    def substCreated(e: Expr): Expr = e match {
+      case Prop(Variable(v), k) if declaredProps.contains(v) =>
+        declaredProps(v).getOrElse(k, Lit(null))
+      case Prop(s, k)        => Prop(substCreated(s), k)
+      case Func(n, as, d)    => Func(n, as.map(substCreated), d)
+      case BinOp(op, l, r)   => BinOp(op, substCreated(l), substCreated(r))
+      case UnaryOp(op, o)    => UnaryOp(op, substCreated(o))
+      case IsNull(o, n)      => IsNull(substCreated(o), n)
+      case ListLit(xs)       => ListLit(xs.map(substCreated))
+      case MapLit(es)        => MapLit(es.map { case (k, x) => (k, substCreated(x)) })
+      case Index(l, i)       => Index(substCreated(l), substCreated(i))
+      case Slice(l, f, t)    =>
+        Slice(substCreated(l), f.map(substCreated), t.map(substCreated))
+      case CaseExpr(s, ws, d) => CaseExpr(s.map(substCreated),
+        ws.map { case (a, b) => (substCreated(a), substCreated(b)) },
+        d.map(substCreated))
+      case other => other
+    }
+
     c.patterns.foreach { p =>
       def handleNode(np: NodePattern): String = np.variable match {
         case Some(v) if binds.contains(v) =>
@@ -399,7 +460,9 @@ object Planner {
           df = df.withColumn(v,
             xxhash64(lit(ctx.runTag), lit(ctx.freshIdTag()), monotonically_increasing_id()))
           binds += (v -> NodeVar)
-          newNodes += NewNode(v, np.labels, np.props)
+          val props2 = np.props.map { case (k, e) => (k, substCreated(e)) }
+          declaredProps += (v -> props2.toMap)
+          newNodes += NewNode(v, np.labels, props2)
           v
       }
       var fromVar = handleNode(p.first)
@@ -415,12 +478,14 @@ object Planner {
           case In => (toVar, fromVar)
           case _  => (fromVar, toVar)
         }
-        newRels += NewRel(rv, rel.types.head, s, d, rel.props)
+        val rprops2 = rel.props.map { case (k, e) => (k, substCreated(e)) }
+        declaredProps += (rv -> rprops2.toMap)
+        newRels += NewRel(rv, rel.types.head, s, d, rprops2)
         fromVar = toVar
       }
     }
     // freeze the generated ids before anything reads them twice
-    val frozen = df.localCheckpoint()
+    val frozen = df.freshCkpt()
     var envOut = Env(Some(frozen), binds)
     val nn = newNodes.result()
     val nr = newRels.result()
@@ -552,7 +617,7 @@ object Planner {
       val resolved = joined
         .withColumn(v, coalesce(col("__mid"), newId))
         .withColumn("__created", col("__mid").isNull)
-        .localCheckpoint()
+        .freshCkpt()
       // insert the missing keys (distinct — one node per key, as MERGE requires)
       val inserts = resolved.filter(col("__created"))
         .select((col(v).as("id") +: lit(np.labels.toArray).as("labels") +:
@@ -652,6 +717,17 @@ object Planner {
     }
     apply(m.onCreate, createdFlag)
     apply(m.onMatch, !createdFlag)
+  }
+
+  /** is the expression an entity-typed (node/rel/path) variable? Used by
+    * the conversion functions, which must not treat the backing id column
+    * as a convertible scalar. */
+  private def entityArg(env: Env, e: Expr): Boolean = e match {
+    case Variable(v) => env.binds.get(v).exists {
+      case NodeVar | RelVar | PathVar => true
+      case _ => false
+    }
+    case _ => false
   }
 
   /** every bound Node/Rel variable of the environment (rehydration scope
@@ -1056,6 +1132,16 @@ object Planner {
   // ---- MATCH ------------------------------------------------------------
 
   private def planMatch(ctx: Ctx, env: Env, mIn: MatchClause): Env = {
+    // CIP-60: a selective (GQL-selector) path pattern must be the ONLY
+    // path pattern in its graph pattern — combining it with any other
+    // comma-joined pattern (plain, ALL, or another selector) is a
+    // compile-time syntax error. Legacy shortestPath()/allShortestPaths()
+    // function patterns are exempt (the reference allows mixing those).
+    if (mIn.shortest.exists(!_.legacy) &&
+        mIn.patterns.size + mIn.shortest.size > 1)
+      throw new IllegalArgumentException(
+        "Only one selective path pattern is allowed in a graph pattern " +
+          "(CIP-60); put the other patterns in separate MATCH clauses")
     if (mIn.optional) planOptionalMatch(ctx, env, mIn)
     else {
       val m = pushStepPredicates(env, mIn)
@@ -1071,7 +1157,10 @@ object Planner {
         cur = planPath(ctx, cur, p, pending)
         cur = flushReadyWhere(ctx, cur, pending)
       }
-      m.shortest.foreach { s => cur = planShortest(ctx, cur, s) }
+      m.shortest.foreach { s0 =>
+        val s = lowerSelectorWhere(ctx, cur.has, s0, pending)
+        cur = planShortest(ctx, cur, s)
+      }
       cur = applyUniqueness(cur, relVarsBefore)
       val rest = pending.conjs
       pending.conjs = Nil
@@ -1189,6 +1278,87 @@ object Planner {
     m.copy(patterns = patterns.toSeq, where = where2)
   }
 
+  /** Lower a selector's parenthesized path-pattern WHERE (and pushable
+    * MATCH-level conjuncts) INTO the search, reference-style — predicates
+    * apply BEFORE the selector, so a longer satisfying path is found when
+    * the shortest fails the predicate (reference plans them into the NFA's
+    * expansions/states; post-filtering would wrongly drop the pair):
+    *  - `all(x IN relationships(p) WHERE …)` / `none(…)` — also spelled
+    *    over a quantified hop's group rel variable — become per-hop inline
+    *    rel WHEREs (edge-set prefilters, stepFilteredRels);
+    *  - single-variable conjuncts on an UNBOUND pattern node, including
+    *    pattern predicates like `(v)-->(:N)`, fold into that node's inline
+    *    WHERE (a per-state boundary set);
+    *  - anything else stays a post-selection filter via `pending` — the
+    *    documented divergence. */
+  private def lowerSelectorWhere(ctx: Ctx, bound: String => Boolean,
+      s0: ShortestPart, pending: PendingWhere): ShortestPart = {
+    var s = s0.copy(where = None)
+    val pv = s0.pathVar
+    def pushRel(c: Expr): Boolean = c match {
+      case IterPredicate(kind @ ("all" | "none"), x, src, pr)
+          if exprVars(pr).subsetOf(Set(x)) =>
+        val idxs: Set[Int] = src match {
+          case Func("relationships" | "rels", Seq(Variable(v)), _)
+              if pv.contains(v) && s.pattern.hops.nonEmpty &&
+                s.pattern.hops.forall(_._1.branches.isEmpty) =>
+            s.pattern.hops.indices.toSet
+          case Variable(v) =>
+            val i = s.pattern.hops.indexWhere { case (r, _) =>
+              r.branches.isEmpty &&
+                ((r.variable.contains(v) && r.varLength.isDefined) ||
+                  r.qppVars.exists(_._2.contains(v)))
+            }
+            if (i >= 0) Set(i) else Set.empty
+          case _ => Set.empty
+        }
+        if (idxs.isEmpty) false
+        else {
+          val base = if (kind == "all") pr else UnaryOp("NOT", pr)
+          var ok = true
+          val hops2 = s.pattern.hops.zipWithIndex.map { case ((r, tn), i) =>
+            if (!idxs(i)) (r, tn)
+            else {
+              val rv = r.variable.getOrElse(ctx.fresh("spr"))
+              (if (x == rv) Some(base) else renameVarOpt(base, x, rv)) match {
+                case Some(rp) => (r.copy(variable = Some(rv),
+                  where = Some(r.where.fold(rp)(w0 => BinOp("AND", w0, rp)))), tn)
+                case None => ok = false; (r, tn)
+              }
+            }
+          }
+          if (ok) { s = s.copy(pattern = s.pattern.copy(hops = hops2)); true }
+          else false
+        }
+      case _ => false
+    }
+    def pushNode(c: Expr): Boolean = {
+      val vs = exprVars(c)
+      if (vs.size != 1 || bound(vs.head)) false
+      else {
+        val v = vs.head
+        def fold(n: NodePattern): NodePattern =
+          n.copy(where = Some(n.where.fold(c)(w0 => BinOp("AND", w0, c))))
+        if (s.pattern.first.variable.contains(v)) {
+          s = s.copy(pattern = s.pattern.copy(first = fold(s.pattern.first)))
+          true
+        } else s.pattern.hops.indexWhere(_._2.variable.contains(v)) match {
+          case -1 => false
+          case i =>
+            val (r, tn) = s.pattern.hops(i)
+            s = s.copy(pattern = s.pattern.copy(
+              hops = s.pattern.hops.updated(i, (r, fold(tn)))))
+            true
+        }
+      }
+    }
+    s0.where.map(splitConjuncts).getOrElse(Nil).foreach { c =>
+      if (!pushRel(c) && !pushNode(c)) pending.conjs = pending.conjs :+ c
+    }
+    pending.conjs = pending.conjs.filterNot(pushRel)
+    s
+  }
+
   private def flushReadyWhere(ctx: Ctx, env: Env, pending: PendingWhere): Env = {
     if (pending.conjs.isEmpty || env.df.isEmpty) env
     else {
@@ -1203,6 +1373,14 @@ object Planner {
     * pairs drop, like a failed MATCH. The path variable binds `v$length`. */
   private def planShortest(ctx: Ctx, envIn: Env, s: ShortestPart): Env = {
     if (s.k.isDefined) return planShortestK(ctx, envIn, s)
+    // ALL SHORTEST over a composite pattern (QPP alternation branches,
+    // multi-leg chains, constrained interior nodes) ≡ SHORTEST 1 GROUPS —
+    // every tie of the single smallest length — and the GROUPS segment
+    // machinery is what honors interior boundaries; the plain-BFS path
+    // below would silently drop them
+    if (s.all && (s.pattern.hops.size > 1 ||
+        s.pattern.hops.exists(_._1.branches.isDefined)))
+      return planShortestK(ctx, envIn, s.copy(k = Some(1), groups = true))
     val p = namedStart(ctx, s.pattern)
     require(p.hops.size == 1, "shortestPath takes a single relationship pattern")
     val (rel, toNode) = p.hops.head
@@ -1248,15 +1426,20 @@ object Planner {
     // up-front (endpoint predicates select the endpoints; the search runs
     // between the survivors); an unbound target's WHERE filters the
     // reached set per pair below
+    // endpoint constraints on a PRE-BOUND side (labels, label expressions,
+    // property maps, inline WHERE) semi-join their boundary set — a bound
+    // `(start:L)` must still filter on :L (an unbound side already got
+    // them on its scan, where only an inline WHERE needs the boundary)
+    def epFilter(d0: DataFrame, np: Ast.NodePattern, vcol: String): DataFrame = {
+      val preBound = np.variable.exists(envIn.has)
+      val b = if (preBound || np.where.isDefined) boundarySet(ctx, np) else None
+      b.fold(d0)(bs =>
+        d0.join(bs.withColumnRenamed("id", vcol), Seq(vcol), "left_semi"))
+    }
     val df = {
-      var d = env.df.get
-      if (p.first.where.nonEmpty)
-        boundarySet(ctx, p.first).foreach(b =>
-          d = d.join(b.withColumnRenamed("id", fromVar), Seq(fromVar), "left_semi"))
+      var d = epFilter(env.df.get, p.first, fromVar)
       toNode.variable.filter(env.has).foreach { tv =>
-        if (toNode.where.nonEmpty)
-          boundarySet(ctx, toNode).foreach(b =>
-            d = d.join(b.withColumnRenamed("id", tv), Seq(tv), "left_semi"))
+        d = epFilter(d, toNode, tv)
       }
       d
     }
@@ -1429,12 +1612,15 @@ object Planner {
       }
     }
     val pv = s.pathVar.getOrElse(ctx.fresh("p"))
-    // endpoint inline WHERE (GQL allows it on any pattern node): the bound
-    // side semi-joins its boundary set — same compilation as interiors
-    def filterEndpoint(d: DataFrame, np: Ast.NodePattern, vcol: String): DataFrame =
-      if (np.where.isEmpty) d
-      else boundarySet(ctx, np).fold(d)(b =>
-        d.join(b.withColumnRenamed("id", vcol), Seq(vcol), "left_semi"))
+    // endpoint constraints on a PRE-BOUND side (labels, label expressions,
+    // property maps, inline WHERE — GQL allows them on any pattern node):
+    // semi-join the boundary set; an unbound side gets them on its scan
+    def filterEndpoint(d: DataFrame, np: Ast.NodePattern, vcol: String): DataFrame = {
+      val preBound = np.variable.exists(envIn.has)
+      val b = if (preBound || np.where.isDefined) boundarySet(ctx, np) else None
+      b.fold(d)(bs =>
+        d.join(bs.withColumnRenamed("id", vcol), Seq(vcol), "left_semi"))
+    }
     val toBound = toNode.variable.exists(env.has)
     val toVar = toNode.variable.getOrElse(ctx.fresh("n"))
     val df = {
@@ -1493,11 +1679,41 @@ object Planner {
       .select(col("source"), col("target"),
         col("hops").cast("int").as(s"$pv$$length"), col("path").as(s"$pv$$rels"),
         col("nodes").as(s"$pv$$nodes"))
+    // legs reusing a PRE-BOUND relationship variable (`MATCH ()-[r]->()
+    // MATCH ANY SHORTEST (a)-[r:R]->(b)...`): the matched path must use
+    // exactly that relationship at the leg's offset. Supported for single-
+    // hop legs at a FIXED offset (every preceding leg fixed-length); the
+    // constraint applies as a post-search filter on the rel array —
+    // a documented divergence when a same-length unconstrained path would
+    // displace the constrained one under a k-limited selector.
+    val boundRelLegs: Seq[(String, Int)] = {
+      var offset = 0
+      var known = true
+      val out = Seq.newBuilder[(String, Int)]
+      p.hops.foreach { case (r, _) =>
+        val fixedLen =
+          if (r.branches.isDefined) None
+          else if (r.varLength.isEmpty) Some(1)
+          else r.varLength.flatMap { case (mn, mx) => mx.filter(_ == mn) }
+        r.variable.filter(envIn.has).foreach { rv =>
+          require(known && fixedLen.contains(1),
+            "SHORTEST k bound relationship legs need a fixed-offset single hop")
+          out += ((rv, offset))
+        }
+        known = known && fixedLen.isDefined
+        offset += fixedLen.getOrElse(0)
+      }
+      out.result()
+    }
+    def relConstrained(d: DataFrame): DataFrame =
+      boundRelLegs.foldLeft(d) { case (acc, (rv, off)) =>
+        acc.filter(element_at(col(s"$pv$$rels"), off + 1) === col(rv))
+      }
     if (toBound) {
       val joined = df.join(res,
         col(fromVar) === col("source") && col(toVar) === col("target"))
         .drop("source", "target")
-      Env(Some(joined), env.binds + (pv -> PathVar))
+      Env(Some(relConstrained(joined)), env.binds + (pv -> PathVar))
     } else {
       var joined = df.join(res, col(fromVar) === col("source"))
         .drop("source").withColumnRenamed("target", toVar)
@@ -1505,7 +1721,8 @@ object Planner {
         val scan = hydrated(ctx, nodeScan(ctx, toNode), toVar, ctx.g.nodes.columns.toSet)
         joined = joined.join(scan, Seq(toVar))
       }
-      Env(Some(joined), env.binds + (pv -> PathVar) + (toVar -> NodeVar))
+      Env(Some(relConstrained(joined)),
+        env.binds + (pv -> PathVar) + (toVar -> NodeVar))
     }
   }
 
@@ -1522,7 +1739,9 @@ object Planner {
         val v = n.variable.getOrElse(ctx.fresh("bn"))
         val scan = hydrated(ctx, nodeScan(ctx, n), v, ctx.g.nodes.columns.toSet)
         val mini = Env(Some(scan), Map(v -> NodeVar))
-        Some(scan.filter(compile(ctx, mini, w)).select(col(v).as("id")))
+        // applyWhere (not bare compile): inline WHEREs may be pattern
+        // predicates (`(v)-->(:N)`) that lower to semi-joins
+        Some(applyWhere(ctx, mini, w).df.get.select(col(v).as("id")))
     }
 
   /** One alternation branch — a chain of hops, each a single rel or a
@@ -1694,7 +1913,11 @@ object Planner {
         if (refs.isEmpty) Env(None, Map.empty)
         else Env(Some(df.select(keyCols.map(col): _*).distinct()),
           env.binds.view.filterKeys(refs.contains).toMap)
+      val relsBefore = relVars(base)
       var sub = planPath(ctx, base, p)
+      // relationship uniqueness holds INSIDE a pattern predicate too
+      // (reference AddUniquenessPredicates covers subquery expressions)
+      sub = applyUniqueness(sub, relsBefore)
       w.foreach { pred => sub = applyWhere(ctx, sub, pred) }
       // join back on entity identity only (the reference's SemiApply keys on
       // ids): hydrated `v$prop` columns can be NULL and using-joins are
@@ -1710,7 +1933,7 @@ object Planner {
         val joined =
           if (keyCols.isEmpty)
             env.df.get.join(hit.limit(1), lit(true), "left_outer")
-          else env.df.get.join(hit, keyCols, "left_outer")
+          else nullSafeJoin(env.df.get, hit, keyCols, "left_outer")
         env = env.copy(df = Some(
           joined.withColumn(flag, coalesce(col(flag), lit(false)))),
           binds = env.binds + (flag -> ValueVar))
@@ -1724,12 +1947,32 @@ object Planner {
         val joined =
           if (keyCols.isEmpty)
             env.df.get.join(counts, lit(true), "left_outer")
-          else env.df.get.join(counts, keyCols, "left_outer")
+          else nullSafeJoin(env.df.get, counts, keyCols, "left_outer")
         env = env.copy(df = Some(
           joined.withColumn(cnt, coalesce(col(cnt), lit(0L)))),
           binds = env.binds + (cnt -> ValueVar))
         flags += cnt
         Variable(cnt)
+      case SubqueryExpr("exists", q) if q.parts.forall(_.clauses.lastOption.exists {
+          case r: ReturnClause => r.items.nonEmpty &&
+            r.items.forall(i => containsAgg(i.expr)) &&
+            r.skip.isEmpty && r.limit.isEmpty
+          case _ => false
+        }) =>
+        // a body ending in an UNGROUPED aggregation yields exactly one row
+        // whether or not anything matched (reference: aggregation over zero
+        // rows still returns a row) — the EXISTS is unconditionally true
+        Lit(true)
+      case SubqueryExpr("count", q) if (q.parts.size == 1 || q.unionAll) &&
+        q.parts.forall(_.clauses.lastOption.exists {
+          case r: ReturnClause => r.items.nonEmpty &&
+            r.items.forall(i => containsAgg(i.expr)) &&
+            r.skip.isEmpty && r.limit.isEmpty
+          case _ => false
+        }) =>
+        // same zero-row-aggregation rule for COUNT{}: each UNION ALL part
+        // contributes exactly one row regardless of matches
+        Lit(q.parts.size.toLong)
       case SubqueryExpr(kind, q) =>
         // full-query body: correlation inferred from the free variables,
         // each UNION part planned over the distinct imported keys through
@@ -1771,10 +2014,18 @@ object Planner {
           }
           planCorrelatedClauses(ctx, base, refs, clauses).df.get
         }
-        val parts = q.parts.map(planPart)
-        var unioned = parts.reduce(_ unionByName _)
+        val parts0 = q.parts.map(planPart)
+        // COLLECT over a union concatenates the parts' lists IN PART ORDER
+        // (each part ordered by its own ORDER BY): ride a part index
+        val parts =
+          if (needsValue && parts0.size > 1)
+            parts0.zipWithIndex.map { case (d, i) =>
+              d.withColumn("__part", lit(i)) }
+          else parts0
+        var unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
         if (q.parts.size > 1 && !q.unionAll)
-          unioned = unioned.dropDuplicates()
+          unioned = unioned.dropDuplicates(
+            unioned.columns.filterNot(_ == "__part").toIndexedSeq)
         // join back on entity identity only (the reference's SemiApply
         // keys on ids): the sub-plan's RETURN projection drops hydrated
         // `v$prop` columns, and NULLable property columns would make a
@@ -1786,7 +2037,7 @@ object Planner {
             val j =
               if (refs.isEmpty)
                 env.df.get.join(hit.limit(1), lit(true), "left_outer")
-              else env.df.get.join(hit, refs, "left_outer")
+              else nullSafeJoin(env.df.get, hit, refs, "left_outer")
             j.withColumn(flag, coalesce(col(flag), lit(false)))
           case "count" =>
             val counts = unioned.groupBy(refs.map(col): _*)
@@ -1794,14 +2045,19 @@ object Planner {
             val j =
               if (refs.isEmpty)
                 env.df.get.join(counts, lit(true), "left_outer")
-              else env.df.get.join(counts, refs, "left_outer")
+              else nullSafeJoin(env.df.get, counts, refs, "left_outer")
             j.withColumn(flag, coalesce(col(flag), lit(0L)))
           case _ => // collect
             val okCols = unioned.columns.filter(_.startsWith(okPrefix)).sorted
+            val partKey = unioned.columns.contains("__part")
             val collected =
-              if (okCols.isEmpty)
-                unioned.groupBy(refs.map(col): _*)
-                  .agg(collect_list(col("__cv")).as(flag))
+              if (okCols.isEmpty && !partKey)
+                // struct-wrap so collect_list RETAINS null elements
+                // (reference COLLECT keeps nulls; bare collect_list drops)
+                unioned.withColumn("__cs", struct(col("__cv")))
+                  .groupBy(refs.map(col): _*)
+                  .agg(transform(collect_list(col("__cs")),
+                    x => x.getField("__cv")).as(flag))
               else {
                 // sort the collected array by the ORDER BY keys (nulls
                 // per the final Return's direction — encoded in the
@@ -1809,19 +2065,27 @@ object Planner {
                 // same order)
                 val ords = q.parts.head.clauses.last
                   .asInstanceOf[ReturnClause].orderBy
-                val cmp = (l: Column, r: Column) =>
-                  ords.zipWithIndex.foldRight(lit(0)) { case ((si, i), nx) =>
-                    val (lk, rk) =
-                      (l.getField(s"$okPrefix$i"), r.getField(s"$okPrefix$i"))
-                    val lt = if (si.ascending) -1 else 1
-                    when(lk.isNull && rk.isNull, nx)
-                      .when(lk.isNull, lit(-lt)).when(rk.isNull, lit(lt))
-                      .when(lk < rk, lit(lt)).when(lk > rk, lit(-lt))
-                      .otherwise(nx)
+                val cmp = (l: Column, r: Column) => {
+                  val okCmp =
+                    ords.zipWithIndex.foldRight(lit(0)) { case ((si, i), nx) =>
+                      val (lk, rk) =
+                        (l.getField(s"$okPrefix$i"), r.getField(s"$okPrefix$i"))
+                      val lt = if (si.ascending) -1 else 1
+                      when(lk.isNull && rk.isNull, nx)
+                        .when(lk.isNull, lit(-lt)).when(rk.isNull, lit(lt))
+                        .when(lk < rk, lit(lt)).when(lk > rk, lit(-lt))
+                        .otherwise(nx)
+                    }
+                  if (!partKey) okCmp
+                  else { // part-major: concatenation order of UNION ALL
+                    val (lp, rp) = (l.getField("__part"), r.getField("__part"))
+                    when(lp < rp, lit(-1)).when(lp > rp, lit(1)).otherwise(okCmp)
                   }
+                }
+                val skCols =
+                  (if (partKey) Seq(col("__part")) else Nil) ++ okCols.map(col)
                 unioned
-                  .withColumn("__cs", struct(
-                    (okCols.map(col) :+ col("__cv")): _*))
+                  .withColumn("__cs", struct((skCols :+ col("__cv")): _*))
                   .groupBy(refs.map(col): _*)
                   .agg(transform(array_sort(collect_list(col("__cs")), cmp),
                     x => x.getField("__cv")).as(flag))
@@ -1830,7 +2094,7 @@ object Planner {
             val j =
               if (refs.isEmpty)
                 env.df.get.join(collected, lit(true), "left_outer")
-              else env.df.get.join(collected, refs, "left_outer")
+              else nullSafeJoin(env.df.get, collected, refs, "left_outer")
             j.withColumn(flag, coalesce(col(flag), array().cast(listType)))
         }
         env = env.copy(df = Some(joinedBack),
@@ -1851,10 +2115,14 @@ object Planner {
         val (keyCols, sub) = subPlan(p, w,
           exprVars(proj) ++ ord.flatMap(s => exprVars(s.expr)))
         val collected = if (ord.isEmpty) {
+          // struct-wrap so null projections are RETAINED in the list
+          // (bare collect_list drops null elements; the reference keeps
+          // them — `[(p)-->(f) | f.missing]` is [null, …])
           sub.df.get
-            .withColumn("__pcv", compile(ctx, sub, proj))
+            .withColumn("__pcs", struct(compile(ctx, sub, proj).as("v")))
             .groupBy(keyCols.map(col): _*)
-            .agg(sort_array(collect_list(col("__pcv"))).as(lcol))
+            .agg(transform(sort_array(collect_list(col("__pcs"))),
+              x => x.getField("v")).as(lcol))
         } else {
           val fields = ord.zipWithIndex.map { case (s, i) =>
             compile(ctx, sub, s.expr).as(s"k$i") } :+
@@ -1891,7 +2159,7 @@ object Planner {
         val listType = sliced.schema(lcol).dataType
         val joinedPc =
           if (keyCols.isEmpty) env.df.get.join(sliced, lit(true), "left_outer")
-          else env.df.get.join(sliced, keyCols, "left_outer")
+          else nullSafeJoin(env.df.get, sliced, keyCols, "left_outer")
         env = env.copy(df = Some(
           joinedPc.withColumn(lcol, coalesce(col(lcol), array().cast(listType)))),
           binds = env.binds + (lcol -> ValueVar))
@@ -1926,7 +2194,9 @@ object Planner {
       if (refs.isEmpty) Env(None, Map.empty)
       else Env(Some(df.select(keyCols.map(col): _*).distinct()),
         env.binds.view.filterKeys(refs.contains).toMap)
+    val relsBefore = relVars(base)
     var sub = planPath(ctx, base, p)
+    sub = applyUniqueness(sub, relsBefore)
     where.foreach { w => sub = applyWhere(ctx, sub, w) }
     // semi/anti-join on the variable ids only: `v$prop` hydrated columns may
     // be NULL (union schema across labels) and using-joins are null-unsafe
@@ -1936,7 +2206,8 @@ object Planner {
         df.join(any, lit(true), if (anti) "left_anti" else "left_semi")))
     } else {
       val key = sub.df.get.select(refs.map(col): _*).distinct()
-      env.copy(df = Some(df.join(key, refs, if (anti) "left_anti" else "left_semi")))
+      env.copy(df = Some(nullSafeJoin(df, key, refs,
+        if (anti) "left_anti" else "left_semi")))
     }
   }
 
@@ -1947,6 +2218,43 @@ object Planner {
     * and using-column joins are null-unsafe. */
   private def refKeyCols(df: DataFrame, refs: Seq[String]): Seq[String] =
     refs ++ df.columns.filter(c => refs.exists(r => c.startsWith(r + "$")))
+
+  /** Encounter order for a subquery splice (reference: the subquery runs
+    * once per outer row, its rows appended in outer order): combine the
+    * outer frame's order (its existing hidden __rowseq, else the
+    * partition-ordered id) with the inner frame's own partition order into
+    * a lexicographically-ordered struct — planProjection sorts the final
+    * RETURN by it and aggregation accumulates in it. Costs no extra job;
+    * the one global sort happens only at a RETURN that still carries it. */
+  private def orderedSplice(cur: DataFrame, inner: DataFrame,
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val curSeq =
+      if (cur.columns.contains("__rowseq")) col("__rowseq")
+      else monotonically_increasing_id()
+    val l = cur.withColumn("__callseq", curSeq).drop("__rowseq")
+    val r = inner.withColumn("__subseq", monotonically_increasing_id())
+    join(l, r).withColumn("__rowseq",
+      struct(col("__callseq"), col("__subseq")))
+      .drop("__callseq", "__subseq")
+  }
+
+  /** Join on correlation keys with NULL-SAFE equality (`<=>`): the keys
+    * thread the OUTER row's values through a decorrelated sub-plan, so a
+    * null-valued key must match itself coming back (the reference's Apply
+    * evaluates per-row — there is no join to miss). Using-column joins are
+    * null-unsafe, hence the explicit condition; EqualNullSafe still hash-
+    * joins (and broadcasts), so the plan shape is unchanged. */
+  private def nullSafeJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], joinType: String): DataFrame = {
+    if (keys.isEmpty) return left.join(right, lit(true), joinType)
+    var rdf = right
+    val tmp = keys.map(k => k -> ("__nsj_" + k)).toMap
+    keys.foreach(k => rdf = rdf.withColumnRenamed(k, tmp(k)))
+    val cond = keys.map(k => left(k) <=> rdf(tmp(k))).reduce(_ && _)
+    val j = left.join(rdf, cond, joinType)
+    if (joinType == "left_semi" || joinType == "left_anti") j
+    else j.drop(tmp.values.toSeq: _*)
+  }
 
   /** Variables referenced by a pattern: its own bindings plus anything the
     * inline node WHEREs read (for decorrelation key computation — callers
@@ -2029,7 +2337,10 @@ object Planner {
     }
     // OPTIONAL MATCH over a path selector (`OPTIONAL MATCH ANY SHORTEST …`)
     // — the selector plans inside the optional sub-plan like any pattern
-    m.shortest.foreach { sp => sub = planShortest(ctx, sub, sp) }
+    m.shortest.foreach { sp =>
+      val sp2 = lowerSelectorWhere(ctx, sub.has, sp, pending)
+      sub = planShortest(ctx, sub, sp2)
+    }
     sub = applyUniqueness(sub, relVarsBefore)
     val rest = pending.conjs
     pending.conjs = Nil
@@ -2039,7 +2350,8 @@ object Planner {
     // of the outer property columns first — df already has them
     val joined =
       if (refs.isEmpty) df.join(sub.df.get, lit(true), "left_outer")
-      else df.join(sub.df.get.drop(keyCols.filterNot(refs.contains): _*),
+      else nullSafeJoin(df,
+        sub.df.get.drop(keyCols.filterNot(refs.contains): _*),
         refs, "left_outer")
     Env(Some(joined), env.binds ++ sub.binds)
   }
@@ -2779,6 +3091,15 @@ object Planner {
   private def planCallSubquery(ctx: Ctx, env: Env, cs: CallSubquery): Env = {
     require(cs.inTransactionsOf.isEmpty,
       "CALL {} IN TRANSACTIONS mutates the graph — use Cypher.execute")
+    // read-only UNIT subquery (no trailing RETURN — e.g. `CALL { FINISH }`,
+    // `CALL { CALL { FINISH } }`): yields no columns, and write bodies route
+    // to the SubqueryForeach path before reaching here, so the body has no
+    // observable effect; outer cardinality is preserved — a no-op
+    val returnsRows = cs.innerQ.parts.exists(_.clauses.lastOption.exists {
+      case _: ReturnClause | _: ShowSchemaClause | _: CallClause => true
+      case _ => false
+    })
+    if (!returnsRows) return env
     if (cs.innerQ.parts.size > 1) {
       // UNION body: plan the whole union (uncorrelated — importing WITH
       // inside union branches is not supported) and splice like the
@@ -2789,8 +3110,10 @@ object Planner {
         case (None, false)      => inner
         case (None, true)       =>
           ctx.spark.range(1).drop("id").join(inner, lit(true), "left_outer")
-        case (Some(cur), false) => cur.crossJoin(inner)
-        case (Some(cur), true)  => cur.join(inner, lit(true), "left_outer")
+        case (Some(cur), false) =>
+          orderedSplice(cur, inner, (l, r) => l.crossJoin(r))
+        case (Some(cur), true)  =>
+          orderedSplice(cur, inner, (l, r) => l.join(r, lit(true), "left_outer"))
       }
       return Env(Some(df), env.binds ++ inner.columns.map(_ -> (ValueVar: Binding)))
     }
@@ -2832,7 +3155,8 @@ object Planner {
               case _                 => false
             }) => itemAlias(i)
           }.toSet
-          var joined = df.join(sub.df.get, refs, "left_outer")
+          var joined = orderedSplice(df, sub.df.get,
+            (l, r) => nullSafeJoin(l, r, refs, "left_outer"))
           countish.intersect(newCols.toSet).foreach { c =>
             joined = joined.withColumn(c, coalesce(col(c), lit(0L)))
           }
@@ -2840,8 +3164,9 @@ object Planner {
         } else
           // OPTIONAL CALL (reference OptionalCallSubquery): rows whose
           // subquery produced nothing survive with NULL yields
-          Env(Some(df.join(sub.df.get, refs,
-            if (cs.optional) "left_outer" else "inner")),
+          Env(Some(orderedSplice(df, sub.df.get,
+            (l, r) => nullSafeJoin(l, r, refs,
+              if (cs.optional) "left_outer" else "inner"))),
             env.binds ++ newCols.map(_ -> (ValueVar: Binding)))
       case None =>
         val inner = planSingle(ctx.spark, ctx.g, cs.inner, ctx.params)
@@ -2850,8 +3175,10 @@ object Planner {
           case (None, true)       =>
             // OPTIONAL CALL as first clause: one all-NULL row when empty
             ctx.spark.range(1).drop("id").join(inner, lit(true), "left_outer")
-          case (Some(cur), false) => cur.crossJoin(inner)
-          case (Some(cur), true)  => cur.join(inner, lit(true), "left_outer")
+          case (Some(cur), false) =>
+            orderedSplice(cur, inner, (l, r) => l.crossJoin(r))
+          case (Some(cur), true)  =>
+            orderedSplice(cur, inner, (l, r) => l.join(r, lit(true), "left_outer"))
         }
         Env(Some(df), env.binds ++ inner.columns.map(_ -> (ValueVar: Binding)))
     }
@@ -2963,17 +3290,13 @@ object Planner {
       case _ => ()
     }
     val hasReturn = innerClauses.lastOption.exists(_.isInstanceOf[ReturnClause])
-    require(cs.statusVar.isEmpty || !hasReturn,
-      "REPORT STATUS is supported on the Foreach shape (no inner RETURN)")
     require(cs.statusVar.isEmpty || cs.onError != "fail",
       "REPORT STATUS requires ON ERROR CONTINUE or ON ERROR BREAK")
-    val keep = importing match {
-      // REPORT STATUS returns the full input rows + status, so every
-      // outer column rides along the numbering (inner scope is still the
-      // imported variables only — `binds` below)
-      case Some(refs) if cs.statusVar.isEmpty => refKeyCols(df0, refs.sorted)
-      case _                                  => df0.columns.toSeq
-    }
+    // EVERY outer column survives the CALL (reference: the subquery appends
+    // its RETURN columns to the outer row); the inner scope still sees only
+    // the imported variables — non-imported columns join back on the origin
+    // row id after the batches run
+    val keep = df0.columns.toSeq
     val binds = importing match {
       case Some(refs) => env.binds.view.filterKeys(refs.contains).toMap
       case None       => env.binds
@@ -2985,15 +3308,32 @@ object Planner {
     // (#partitions longs), and numbers within partitions in parallel
     val rowId = ctx.fresh("txrow")
     val numbered = numberRows(df0.select(keep.map(col): _*), rowId)
-      .localCheckpoint()
+      .freshCkpt()
     val total = numbered.count()
     val keepVars = binds.keys.toSeq.sorted
+    // the inner plan's input: the batch's rows restricted to the imported
+    // scope, the origin row id riding as the hidden __rowseq column (it
+    // threads through inner projections and orders inner ORDER BY per
+    // origin row — the reference executes the subquery per input row)
+    val innerCols = (importing match {
+      case Some(refs) => refKeyCols(numbered, refs.sorted)
+      case None       => keep
+    }).distinct.filterNot(_ == "__rowseq")
+    def mkBatch(slice: DataFrame): DataFrame =
+      slice.select((innerCols.map(col) :+ col(rowId).as("__rowseq")): _*)
     val batchResults = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var resultBinds: Map[String, Binding] = Map.empty
+    var committedWrites = false
     def runBatch(batch: DataFrame, commit: Boolean): Option[DataFrame] = {
       val preBatch = ctx.g
       var inner = Env(Some(batch), binds)
-      innerClauses.foreach {
+      // later batches must read THROUGH earlier batches' commits: the
+      // numbered input was materialized against the pre-statement snapshot,
+      // so its hydrated columns go stale once any batch writes (reference
+      // "not use stale property caches"); the first batch skips the refresh
+      if (committedWrites) inner = rehydrate(ctx, inner, entityVars(inner))
+      val lastIdx = innerClauses.size - 1
+      innerClauses.zipWithIndex.foreach { case (cl, ci) => cl match {
         case m: MatchClause   => inner = planMatch(ctx, inner, m)
         case u: UnwindClause  => inner = planUnwind(ctx, inner, u)
         case wc: WithClause =>
@@ -3006,24 +3346,32 @@ object Planner {
           // imported variables prepended so the correlation columns survive
           // (and group any aggregation, as in correlated CALL {})
           inner = planProjection(ctx, inner, withRefs(keepVars, r.items),
-            r.distinct, r.orderBy, r.skip, r.limit, isReturn = true)
+            r.distinct, r.orderBy, r.skip, r.limit, isReturn = true,
+            keepSeq = true)
         case c: CreateClause  => inner = planCreate(ctx, inner, c)
         case m: MergeClause   => inner = planMerge(ctx, inner, m)
-        case s: SetClause     => planSetItems(ctx, inner, s.items)
-        case r: RemoveClause  => planSetItems(ctx, inner, r.items)
+        case s: SetClause     =>
+          planSetItems(ctx, inner, s.items)
+          // a later clause in the same batch reads the written value
+          if (ci < lastIdx) inner = rehydrate(ctx, inner, entityVars(inner))
+        case r: RemoveClause  =>
+          planSetItems(ctx, inner, r.items)
+          if (ci < lastIdx) inner = rehydrate(ctx, inner, entityVars(inner))
         case d: DeleteClause  => planDelete(ctx, inner, d)
         case f: ForeachClause => planForeach(ctx, inner, f)
         case other => throw new IllegalArgumentException(
           s"unsupported clause in CALL IN TRANSACTIONS: $other")
-      }
+      }}
       val out = if (hasReturn) {
         // materialize the batch's rows AT its commit point: later batches
         // mutate the graph, and TransactionApply reports per-batch state
         resultBinds = inner.binds
-        Some(inner.df.get.localCheckpoint())
+        Some(inner.df.get.freshCkpt())
       } else None
-      if (commit) // transaction boundary: materialize dirty tables only
+      if (commit) { // transaction boundary: materialize dirty tables only
         ctx.g = Planner.commitChanged(preBatch, ctx.g, ctx.txCommit)
+        if (ctx.g ne preBatch) committedWrites = true
+      }
       out
     }
     // CONCURRENT TRANSACTIONS (reference runs batches on a worker pool,
@@ -3035,9 +3383,59 @@ object Planner {
     // commit count drops from ⌈rows/n⌉ to 1. ON ERROR CONTINUE/BREAK and
     // REPORT STATUS need per-batch error isolation, so they keep the
     // sequential loop below.
+    // per-batch status struct (constant within a batch); the reference
+    // reports the kernel tx id — consumers only group by / null-check it
+    def statusOf(lo: Long, started: Boolean, committed: Boolean,
+        err: String): Column =
+      struct(lit(started).as("started"), lit(committed).as("committed"),
+        lit(err).cast("string").as("errorMessage"),
+        (if (started) concat(lit("graft-tx-"), lit(lo))
+         else lit(null).cast("string")).as("transactionId"))
+    def withStatus(d: DataFrame, st: Column): DataFrame =
+      cs.statusVar.fold(d)(sv => d.withColumn(sv, st))
+    // inner-result schema for null-extending failed/skipped batches:
+    // planned once over an empty slice (no rows → no writes, no commit)
+    var shapeMemo: Option[DataFrame] = None
+    def shape(): DataFrame = {
+      if (shapeMemo.isEmpty)
+        shapeMemo = runBatch(mkBatch(numbered.limit(0)), commit = false)
+      shapeMemo.get
+    }
+    // a failed (rolled-back) or post-BREAK batch still emits its INPUT rows
+    // once each, inner RETURN columns null (reference error-handling
+    // acceptance: ON ERROR CONTINUE/BREAK with inner RETURN)
+    def nullExtend(slice: DataFrame): DataFrame = {
+      val sh = shape()
+      slice.select(sh.columns.toIndexedSeq.map { c =>
+        if (c == "__rowseq") col(rowId).as("__rowseq")
+        else if (slice.columns.contains(c)) col(c)
+        else lit(null).cast(sh.schema(c).dataType).as(c)
+      }: _*)
+    }
+    // assemble the CALL's output: pieces union in batch order; outer
+    // columns the inner scope dropped join back on the origin row id; a
+    // fresh partition-ordered id becomes the downstream encounter order
+    def finishReturn(pieces: Seq[DataFrame]): Env = {
+      val u0 = pieces.reduce(_.unionByName(_, allowMissingColumns = true))
+      val u = (if (u0.columns.contains("__rowseq"))
+          u0.withColumnRenamed("__rowseq", "__txorig")
+        else u0.withColumn("__txorig", lit(null).cast("long")))
+        .withColumn("__rowseq", monotonically_increasing_id())
+      val extras = numbered.columns.filterNot(c =>
+        c == rowId || u.columns.contains(c))
+      val joined =
+        if (extras.isEmpty) u
+        else u.join(
+          numbered.select((col(rowId).as("__txorig") +:
+            extras.toIndexedSeq.map(col)): _*),
+          Seq("__txorig"), "left_outer")
+      Env(Some(joined.drop("__txorig")),
+        env.binds ++ resultBinds ++
+          cs.statusVar.map(_ -> (ValueVar: Binding)))
+    }
     if (cs.concurrent && cs.onError == "fail" && cs.statusVar.isEmpty) {
-      val out = runBatch(numbered.drop(rowId), commit = true)
-      return if (hasReturn) Env(Some(out.get), binds ++ resultBinds) else env
+      val out = runBatch(mkBatch(numbered), commit = true)
+      return if (hasReturn) finishReturn(Seq(out.get)) else env
     }
 
     // per-batch status rows for ON ERROR / REPORT STATUS (reference
@@ -3050,17 +3448,28 @@ object Planner {
     while (!done) {
       // overflow-safe upper bound (n = Long.MaxValue means "one batch")
       val hi = if (n >= Long.MaxValue - start) Long.MaxValue else start + n
-      if (broke) statuses += ((start, hi, false, false, null))
-      else {
+      val slice = numbered.filter(col(rowId) >= start && col(rowId) < hi)
+      if (broke) {
+        statuses += ((start, hi, false, false, null))
+        if (hasReturn)
+          batchResults += withStatus(nullExtend(slice),
+            statusOf(start, started = false, committed = false, null))
+      } else {
         val before = ctx.g
         try {
-          runBatch(numbered.filter(col(rowId) >= start && col(rowId) < hi)
-            .drop(rowId), commit = true).foreach(batchResults += _)
+          val out = runBatch(mkBatch(slice), commit = true)
+          out.foreach { o =>
+            batchResults += withStatus(o,
+              statusOf(start, started = true, committed = true, null)) }
           statuses += ((start, hi, true, true, null))
         } catch {
           case e: Exception if cs.onError != "fail" =>
             ctx.g = before // rollback
             statuses += ((start, hi, true, false, e.getMessage))
+            if (hasReturn)
+              batchResults += withStatus(nullExtend(slice),
+                statusOf(start, started = true, committed = false,
+                  e.getMessage))
             if (cs.onError == "break") broke = true
         }
       }
@@ -3068,10 +3477,8 @@ object Planner {
       start = hi
     }
     if (hasReturn) {
-      if (batchResults.isEmpty) // schema-only pass, no commit
-        runBatch(numbered.limit(0).drop(rowId), commit = false)
-          .foreach(batchResults += _)
-      Env(Some(batchResults.reduce(_ unionByName _)), binds ++ resultBinds)
+      if (batchResults.isEmpty) batchResults += shape() // schema-only
+      finishReturn(batchResults.toSeq)
     } else cs.statusVar match {
       case Some(sv) =>
         val spark = ctx.spark
@@ -3086,6 +3493,7 @@ object Planner {
             // consumers only group by it / null-check it)
             when(col("__started"),
               concat(lit("graft-tx-"), col("__lo"))).as("transactionId")))
+          .withColumn("__rowseq", col(rowId)) // hidden encounter order
           .drop(rowId, "__lo", "__hi", "__started", "__committed", "__err")
         Env(Some(joined), env.binds + (sv -> ValueVar))
       case None => env // TransactionForeach: input rows pass through
@@ -3136,7 +3544,8 @@ object Planner {
 
   private def planProjection(ctx: Ctx, envIn: Env, items0: Seq[ReturnItem],
       distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
-      limit: Option[Expr], isReturn: Boolean): Env = {
+      limit: Option[Expr], isReturn: Boolean,
+      keepSeq: Boolean = false): Env = {
     val env = enrichPathElems(ctx, envIn,
       items0.map(_.expr) ++ orderBy.map(_.expr))
     // `*` expands to every user-named binding (pass-through), keeping any
@@ -3196,9 +3605,24 @@ object Planner {
         }
       }
       val aggCols = aggs.map(o => compile(ctx, inEnv, o.item.expr).as(o.alias))
+      // encounter-order aggregation: when a hidden __rowseq rides the frame
+      // (CALL IN TRANSACTIONS emits one), collect() must accumulate in input
+      // order and groups must surface in first-seen order (the reference's
+      // row-at-a-time runtime gives both for free). Grouped: co-partition by
+      // the keys FIRST, sort each partition by __rowseq — the aggregation
+      // reuses the partitioning, so per-group accumulation follows __rowseq.
+      // Global: range-sort then fold partitions in order.
+      val seqCol = df.columns.contains("__rowseq")
+      val dfA =
+        if (!seqCol) df
+        else if (keyCols.isEmpty) df.orderBy(col("__rowseq")).coalesce(1)
+        else df.repartition(keyCols: _*).sortWithinPartitions(col("__rowseq"))
+      val aggCols2 =
+        if (seqCol) aggCols :+ min(col("__rowseq")).as("__rowseq")
+        else aggCols
       projected =
-        if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-        else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        if (keyCols.isEmpty) dfA.agg(aggCols2.head, aggCols2.tail: _*)
+        else dfA.groupBy(keyCols: _*).agg(aggCols2.head, aggCols2.tail: _*)
       newBinds = outs.map(o => o.alias ->
         o.passThrough.map(env.binds).getOrElse(ValueVar)).toMap
     } else {
@@ -3247,13 +3671,28 @@ object Planner {
           }
       }
       val extra = sortCols.collect { case (n, c, _) if c != null => c.as(n) }
-      projected = df.select((projCols ++ extra): _*)
+      // thread the hidden encounter-order column through non-dedup
+      // projections (DISTINCT and explicit ORDER BY both supersede it)
+      val seqThrough =
+        if (df.columns.contains("__rowseq") && !distinct &&
+            (orderBy.isEmpty || keepSeq))
+          Seq(col("__rowseq"))
+        else Nil
+      projected = df.select((projCols ++ extra ++ seqThrough): _*)
       if (distinct) projected = projected.distinct()
-      if (sortCols.nonEmpty)
+      if (sortCols.nonEmpty) {
         // Cypher null placement: last when ascending, first when descending
         // (reference values comparator) — the opposite of Spark's default
-        projected = projected.orderBy(sortCols.map { case (n, _, asc) =>
-          if (asc) col(n).asc_nulls_last else col(n).desc_nulls_first }: _*)
+        val explicit = sortCols.map { case (n, _, asc) =>
+          if (asc) col(n).asc_nulls_last else col(n).desc_nulls_first }
+        // keepSeq (CALL IN TX inner RETURN): the subquery executes per
+        // input row, so its ORDER BY sorts WITHIN each origin row
+        val full =
+          if (keepSeq && projected.columns.contains("__rowseq"))
+            col("__rowseq").asc +: explicit
+          else explicit
+        projected = projected.orderBy(full: _*)
+      }
       projected = projected.drop(sortCols.collect {
         case (n, c, _) if c != null => n }: _*)
       newBinds = outs.map(o => o.alias ->
@@ -3263,10 +3702,22 @@ object Planner {
     if (hasAgg && orderBy.nonEmpty) {
       // post-aggregation ORDER BY resolves against the output aliases
       val postEnv = Env(Some(projected), newBinds)
-      projected = projected.orderBy(orderBy.map { s =>
+      val explicit = orderBy.map { s =>
         val c = compile(ctx, postEnv, s.expr)
         if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
-      }: _*)
+      }
+      val full =
+        if (keepSeq && projected.columns.contains("__rowseq"))
+          col("__rowseq").asc +: explicit
+        else explicit
+      projected = projected.orderBy(full: _*)
+    }
+    if (projected.columns.contains("__rowseq") && !keepSeq) {
+      // explicit ORDER BY supersedes encounter order; a final RETURN both
+      // sorts by it (reference row order) and hides the column
+      if (orderBy.nonEmpty) projected = projected.drop("__rowseq")
+      else if (isReturn)
+        projected = projected.orderBy(col("__rowseq")).drop("__rowseq")
     }
     skip.foreach { e => projected = projected.offset(constInt(ctx, e)) }
     limit.foreach { e => projected = projected.limit(constInt(ctx, e)) }
@@ -3708,19 +4159,31 @@ object Planner {
       case UnaryOp(op, _)    => throw new IllegalArgumentException(s"unary $op")
       case IsNull(o, neg)    => if (neg) c(o).isNotNull else c(o).isNull
       case HasLabel(subject, dnf) =>
-        // label-expression predicate over a node variable's hydrated labels
-        val labelsCol = subject match {
-          case Variable(v) if env.has(v) => col(s"$v$$labels")
+        // label-expression predicate: over a node variable it tests the
+        // hydrated labels array; over a RELATIONSHIP variable `r:X` is a
+        // type test (reference HasTypes — a rel has exactly one type)
+        subject match {
+          case Variable(v) if env.has(v) && env.binds(v) == RelVar =>
+            val typeCol = col(s"$v$$type")
+            dnf.map { conj =>
+              conj.map { a =>
+                val t = if (a.name == "%") typeCol.isNotNull
+                  else typeCol === a.name
+                if (a.negated) !t else t
+              }.reduce(_ && _)
+            }.reduce(_ || _)
+          case Variable(v) if env.has(v) =>
+            val labelsCol = col(s"$v$$labels")
+            dnf.map { conj =>
+              conj.map { a =>
+                val t = if (a.name == "%") size(labelsCol) > 0
+                  else array_contains(labelsCol, a.name)
+                if (a.negated) !t else t
+              }.reduce(_ && _)
+            }.reduce(_ || _)
           case other => throw new IllegalArgumentException(
             s"label predicate needs a bound node variable, got $other")
         }
-        dnf.map { conj =>
-          conj.map { a =>
-            val t = if (a.name == "%") size(labelsCol) > 0
-              else array_contains(labelsCol, a.name)
-            if (a.negated) !t else t
-          }.reduce(_ && _)
-        }.reduce(_ || _)
       case TypePredicate(o, t, notNull, neg) =>
         // schema types are static in a columnar engine, so the type test
         // folds to a constant; only the NULL split is evaluated per row
@@ -3877,7 +4340,13 @@ object Planner {
             Seq(c(Prop(subject, k)).as(k))
           case Right((k, v)) => Seq(c(v).as(k))
         }
-        struct(fields: _*)
+        // a NULL subject projects to NULL, not an all-null map (reference
+        // MapProjection: `null{.*} IS NULL`; collect() then skips it)
+        subject match {
+          case Variable(_) | Prop(_, _) =>
+            when(c(subject).isNull, lit(null)).otherwise(struct(fields: _*))
+          case _ => struct(fields: _*)
+        }
       case _: PatternExists | _: PatternCount =>
         throw new IllegalArgumentException(
           "pattern subqueries must appear in WHERE or projection items " +
@@ -4044,14 +4513,26 @@ object Planner {
             "nodes() takes a shortestPath variable")
         }
       case "tostring" | "tostringornull" =>
-        if (isOrderabilityTyped(env, a0)) graft.functions.Orderability.repr(a0)
+        // entities are not convertible: toStringOrNull(node) IS NULL
+        // (reference CypherFunctions.toStringOrNull), toString raises
+        if (entityArg(env, args.head)) {
+          if (name == "tostring") throw new IllegalArgumentException(
+            "toString() cannot convert a node, relationship or path")
+          lit(null).cast("string")
+        }
+        else if (isOrderabilityTyped(env, a0)) graft.functions.Orderability.repr(a0)
         else a0.cast("string")
       // Cypher conversions return NULL on unconvertible input (ANSI casts
       // would throw); toInteger truncates numeric strings like the reference
       case "tointeger" | "tointegerornull" =>
-        a0.try_cast("double").try_cast("long")
-      case "tofloat" | "tofloatornull"     => a0.try_cast("double")
-      case "toboolean" | "tobooleanornull" => a0.try_cast("boolean")
+        if (entityArg(env, args.head)) lit(null).cast("long")
+        else a0.try_cast("double").try_cast("long")
+      case "tofloat" | "tofloatornull"     =>
+        if (entityArg(env, args.head)) lit(null).cast("double")
+        else a0.try_cast("double")
+      case "toboolean" | "tobooleanornull" =>
+        if (entityArg(env, args.head)) lit(null).cast("boolean")
+        else a0.try_cast("boolean")
       case "abs"   => abs(a0)
       case "ceil"  => ceil(a0).cast("double")
       case "floor" => floor(a0).cast("double")
@@ -4125,10 +4606,34 @@ object Planner {
       case "valuetype" =>
         // compile-time type from the schema (reference functions/ValueType
         // .scala returns the CIP-100 type name; value-dependence collapses
-        // to the NULL/NOT NULL split in a columnar engine)
-        val dt = env.df.map(_.select(a0).schema.head.dataType)
-        when(a0.isNull, lit("NULL"))
-          .otherwise(lit(dt.map(cypherTypeName).getOrElse("ANY") + " NOT NULL"))
+        // to the NULL/NOT NULL split in a columnar engine, plus a runtime
+        // empty/null-element split for lists)
+        val entity = args.head match {
+          case Variable(v) => env.binds.get(v).collect {
+            case NodeVar => "NODE"
+            case RelVar  => "RELATIONSHIP"
+            case PathVar => "PATH"
+          }
+          case _ => None
+        }
+        entity match {
+          case Some(t) =>
+            when(a0.isNull, lit("NULL")).otherwise(lit(s"$t NOT NULL"))
+          case None =>
+            import org.apache.spark.sql.types._
+            env.df.map(_.select(a0).schema.head.dataType) match {
+              case Some(ArrayType(et, _)) =>
+                val en = cypherTypeName(et)
+                when(a0.isNull, lit("NULL"))
+                  .when(size(a0) === 0, lit("LIST<NOTHING> NOT NULL"))
+                  .when(exists(a0, _.isNull), lit(s"LIST<$en> NOT NULL"))
+                  .otherwise(lit(s"LIST<$en NOT NULL> NOT NULL"))
+              case dt =>
+                when(a0.isNull, lit("NULL"))
+                  .otherwise(lit(dt.map(cypherTypeName).getOrElse("ANY") +
+                    " NOT NULL"))
+            }
+        }
       // list coercions: element-wise, NULL on unconvertible input
       case "tostringlist"  => transform(a0, _.try_cast("string"))
       case "tofloatlist"   => transform(a0, _.try_cast("double"))
@@ -4298,6 +4803,9 @@ object Planner {
       case TimestampNTZType => "LOCAL DATETIME"
       case BinaryType       => "BYTEARRAY"
       case ArrayType(e, _)  => s"LIST<${cypherTypeName(e)} NOT NULL>"
+      case s: StructType if s.fieldNames.toSeq ==
+        Seq("months", "days", "seconds", "nanos") => "DURATION"
+      case s: StructType if s.fieldNames.contains("srid") => "POINT"
       case _: MapType | _: StructType => "MAP"
       case _ => "ANY"
     }

@@ -1,5 +1,7 @@
 package graft.functions
 
+import graft.ops.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -352,7 +354,7 @@ object Curation {
     val ranged = df.select(col(idCol), col(scoreCol))
       .repartitionByRange(parts, col(scoreCol), col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .freshCkpt()
     val perPart = ranged.groupBy("__pid")
       .agg(count(lit(1)).as("__pn"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -397,7 +399,7 @@ object Curation {
         col(idCol).cast("string"))))
       .repartitionByRange(parts, col("__key"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .freshCkpt()
     val perPart = ranged.groupBy("__pid")
       .agg(count(lit(1)).as("__pn"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -485,7 +487,7 @@ object Curation {
     val ids = pool.select(col(poolIdCol).as("__pid_id")).distinct()
       .repartitionByRange(parts, col("__pid_id"))
       .withColumn("__part", spark_partition_id())
-      .localCheckpoint()
+      .freshCkpt()
     val counts = ids.groupBy("__part").agg(count(lit(1)).as("__c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum
@@ -562,7 +564,7 @@ object Curation {
     val ranged = df
       .repartitionByRange(parts, col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .freshCkpt()
     val perPart = ranged.groupBy("__pid")
       .agg(sum(col(tokCol).cast("long")).as("__psum"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -1,5 +1,7 @@
 package graft.functions
 
+import graft.ops.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -276,7 +278,7 @@ object Similarity {
       .withColumn("csim", dot(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select("qid", "qv", "cid")
-      .localCheckpoint() // tiny: |queries| × nProbe rows
+      .freshCkpt() // tiny: |queries| × nProbe rows
     val probeCids = probes.select("cid").distinct().collect()
       .map(_.get(0)).toSeq
     val cells = spark.read.parquet(s"$dir/cells")

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Ckpt._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -56,7 +58,7 @@ object Bfs {
         .localCheckpoint(false)
     val targets = targetPairs.map(
       _.select(col("source"), col("target").as("node")).distinct()
-        .withColumn("__hit", lit(1)).localCheckpoint())
+        .withColumn("__hit", lit(1)).freshCkpt())
     val tCnt = targets.map(_.count())
     // ONE action per round (the listRanks pattern): frontiers are LAZY
     // checkpoints, and the (rows, target-hits) aggregate below is the job
@@ -221,9 +223,9 @@ object Bfs {
       .join(e.select(col("dst").as("node"), col("src").as("__p")), Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("__p"), col("node")).as("p"),
         when(col("__p").isNull, 0L).otherwise(1L).as("r"))
-      .localCheckpoint()
+      .freshCkpt()
     val heads = ptr.filter(col("p") === col("node"))
-      .select(col("node").as("__head")).localCheckpoint()
+      .select(col("node").as("__head")).freshCkpt()
     val roundsCap = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLength))) + 1
     var remaining = Long.MaxValue
     var i = 0
@@ -325,9 +327,9 @@ object Bfs {
     }
 
     var e = edges.select(col("src").as("u"), col("dst").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().freshCkpt()
     val allNodes = e.select(col("u").as("node"))
-      .unionByName(e.select(col("v").as("node"))).distinct().localCheckpoint()
+      .unionByName(e.select(col("v").as("node"))).distinct().freshCkpt()
 
     def fingerprint(d: DataFrame): (Long, Long) = {
       // xor-fold of per-edge hashes: commutative, duplicate-free input,
@@ -422,7 +424,7 @@ object Bfs {
       sources.select(col("source"), col("t0").cast("long").as("arrival"))
     else sources.select(col("source"), lit(0L).as("arrival"))
     var best = s0.select(col("source"), col("source").as("node"),
-      col("arrival")).localCheckpoint()
+      col("arrival")).freshCkpt()
     var frontier = best
     var fCnt = frontier.count()
     var it = 0
@@ -434,13 +436,13 @@ object Bfs {
         .select(col("source"), col("__d").as("node"), col("__t").as("arrival"))
       val merged = best.unionByName(relaxed)
         .groupBy("source", "node").agg(min("arrival").as("arrival"))
-        .localCheckpoint()
+        .freshCkpt()
       frontier = merged.join(
           best.select(col("source"), col("node"), col("arrival").as("__old")),
           Seq("source", "node"), "left_outer")
         .filter(col("__old").isNull || col("arrival") < col("__old"))
         .drop("__old")
-        .localCheckpoint()
+        .freshCkpt()
       best = merged
       fCnt = frontier.count()
     }

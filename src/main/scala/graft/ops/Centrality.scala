@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -183,7 +185,7 @@ object Centrality {
     // forward sweep: visited = (source, node, dist, sigma)
     var frontier = sources.select(col("source"),
         col("source").as("node"), lit(0).as("dist"), lit(1L).as("sigma"))
-      .localCheckpoint()
+      .freshCkpt()
     var visited = frontier
     var d = 0
     var more = true
@@ -390,10 +392,10 @@ object Centrality {
   def coreDecompositionPeeling(edges: DataFrame, maxK: Int = 100): DataFrame = {
     val e0 = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-      .localCheckpoint()
+      .freshCkpt()
     var cur = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .freshCkpt()
     val out = Seq.newBuilder[DataFrame]
     var k = 2
     var curCnt = cur.count()
@@ -402,7 +404,7 @@ object Centrality {
       val next = kCore(
         e0.join(cur.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(cur.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi"),
-        k).localCheckpoint()
+        k).freshCkpt()
       out += cur.join(next, Seq("node"), "left_anti")
         .withColumn("coreness", lit(k - 1))
       cur = next
@@ -471,7 +473,7 @@ object Centrality {
         val bwd = Bfs.distances(
           e.select(col("dst").as("src"), col("src").as("dst")), pv, maxDepth)
           .select(col("node"))
-        val scc = fwd.intersect(bwd).localCheckpoint() // includes the pivot
+        val scc = fwd.intersect(bwd).freshCkpt() // includes the pivot
         // pivot = min remaining id and pivot ∈ scc ⇒ min(scc) = pivot
         done += scc.select(col("node"), lit(pivot).as("component"))
         e = e.join(scc.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
@@ -703,7 +705,7 @@ object Centrality {
     var e = edges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .freshCkpt()
     var dropped = 1L
     var it = 0
     while (dropped > 0 && it < maxIter) {
@@ -717,7 +719,7 @@ object Centrality {
       val kept = e.join(support, Seq("u", "v"), "left_outer")
         .filter(coalesce(col("__sup"), lit(0L)) >= k - 2)
         .drop("__sup")
-        .localCheckpoint()
+        .freshCkpt()
       dropped = e.count() - kept.count()
       e = kept
     }
@@ -793,13 +795,13 @@ object Centrality {
     var cur = edges.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .freshCkpt()
     val out = Seq.newBuilder[DataFrame]
     var k = 3
     var curCnt = cur.count()
     while (curCnt > 0 && k <= maxK) {
       val next = kTruss(cur.select(col("u").as("src"), col("v").as("dst")), k)
-        .localCheckpoint()
+        .freshCkpt()
       out += cur.join(next, Seq("u", "v"), "left_anti")
         .withColumn("trussness", lit(k - 1))
       cur = next
@@ -827,7 +829,7 @@ object Centrality {
     require(iterations >= 1, s"bad iterations: $iterations")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .unionByName(e.select(col("dst").as("node"))).distinct().freshCkpt()
     def normalized(df: DataFrame, c: String): DataFrame = {
       val norm = df.agg(sqrt(sum(pow(col(c), 2))).as("__n"))
       df.crossJoin(broadcast(norm))
@@ -869,7 +871,7 @@ object Centrality {
     require(iterations >= 1, s"bad iterations: $iterations")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .unionByName(e.select(col("dst").as("node"))).distinct().freshCkpt()
     var x = nodes.withColumn("score", lit(1.0))
     var i = 0
     while (i < iterations) {

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Ckpt._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -95,7 +97,7 @@ object Ranking {
       s"bad pageRank config: iterations=$iterations damping=$damping")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .unionByName(e.select(col("dst").as("node"))).distinct().freshCkpt()
     val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__deg"))
       .localCheckpoint(false)
     var ranks = nodes.withColumn("rank", lit(1.0 - damping))
@@ -134,7 +136,7 @@ object Ranking {
     val e = edges.select(col("src"), col("dst"),
       col("weight").cast("double")).localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .unionByName(e.select(col("dst").as("node"))).distinct().freshCkpt()
     val outW = e.groupBy(col("src").as("node")).agg(sum("weight").as("__w"))
       .localCheckpoint(false)
     var ranks = nodes.withColumn("rank", lit(1.0 - damping))
@@ -257,7 +259,7 @@ object Ranking {
       .filter(col("u") =!= col("v")).distinct()
     val sym = und.unionByName(und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(false)
-    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    val nodes = sym.select(col("u").as("node")).distinct().freshCkpt()
     var labels = nodes.withColumn("label", col("node"))
     var i = 0
     while (i < iterations) {
@@ -363,7 +365,7 @@ object Ranking {
         greatest(col("src"), col("dst")).as("v"), w0.as("w"))
       .filter(col("u") =!= col("v"))
       .groupBy("u", "v").agg(min(col("w")).as("w"))
-      .localCheckpoint()
+      .freshCkpt()
     // Small-graph fast path: classic sequential greedy (the single-machine
     // formulation the paper describes) over a collected edge list — the
     // distributed rounds below cost ~2 driver jobs each, which for a graph
@@ -392,17 +394,17 @@ object Ranking {
         .unionByName(g.select(col("v").as("u"), col("u").as("v"), col("w")))
         .localCheckpoint(false)
       val nodes = sym.select(col("u")).distinct()
-        .unionByName(self.select("u")).distinct().localCheckpoint()
+        .unionByName(self.select("u")).distinct().freshCkpt()
       // k_u includes twice the self weight (standard degree convention)
       val deg = nodes
         .join(sym.groupBy("u").agg(sum("w").as("kw")), Seq("u"), "left_outer")
         .join(self.withColumnRenamed("sw", "__sw"), Seq("u"), "left_outer")
         .select(col("u"), (coalesce(col("kw"), lit(0.0))
           + lit(2.0) * coalesce(col("__sw"), lit(0.0))).as("k"))
-        .localCheckpoint()
+        .freshCkpt()
       val m2 = deg.agg(sum("k")).first().getDouble(0) // = 2m
       require(m2 > 0, "louvain needs at least one edge")
-      var assign = nodes.withColumn("comm", col("u")).localCheckpoint()
+      var assign = nodes.withColumn("comm", col("u")).freshCkpt()
       var cleanRounds = 0
       var r = 0
       while (cleanRounds < 2 && r < maxRounds) {
@@ -440,7 +442,7 @@ object Ranking {
               col("bv") > col("ownVal") + 1e-9 &&
               ((pmod(xxhash64(col("u")), lit(2)) + r) % 2 === 0), col("bc"))
             .otherwise(col("comm"))).as("__moved"))
-          .localCheckpoint()
+          .freshCkpt()
         val moves = next.filter(col("__moved")).count()
         assign = next.drop("__moved")
         cleanRounds = if (moves == 0) cleanRounds + 1 else 0
@@ -450,7 +452,7 @@ object Ranking {
         else flat.select(col("node"), col("comm").as("comm0"))
           .join(assign.select(col("u").as("comm0"), col("comm")), "comm0")
           .select(col("node"), col("comm"))
-      flat = flat.localCheckpoint()
+      flat = flat.freshCkpt()
       // contract: communities become nodes; intra weight becomes self weight
       val mapped = g
         .join(assign.select(col("u"), col("comm").as("cu")), "u")
@@ -461,12 +463,12 @@ object Ranking {
         .unionByName(self.join(assign, "u")
           .groupBy(col("comm").as("u")).agg(sum("sw").as("sw")))
         .groupBy("u").agg(sum("sw").as("sw"))
-        .localCheckpoint()
+        .freshCkpt()
       g = mapped.filter(col("cu") =!= col("cv"))
         .select(least(col("cu"), col("cv")).as("u"),
           greatest(col("cu"), col("cv")).as("v"), col("w"))
         .groupBy("u", "v").agg(sum("w").as("w"))
-        .localCheckpoint()
+        .freshCkpt()
     }
     // canonical community id = smallest member node id
     val canon = flat.groupBy("comm").agg(min("node").as("community"))

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Ckpt._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -28,11 +30,11 @@ object SpanningTree {
     val e = edges.select(col("id"), col("src"), col("dst"),
         col("weight").cast("double").as("weight"))
       .filter(col("src") =!= col("dst"))
-      .localCheckpoint()
+      .freshCkpt()
     var comp = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .select(col("node"), col("node").as("comp"))
-      .localCheckpoint()
+      .freshCkpt()
     var forestIds = e.sparkSession.range(0).select(col("id"))
     var r = 0
     var done = false
@@ -50,13 +52,13 @@ object SpanningTree {
         .localCheckpoint(false)
       if (chosen.isEmpty) done = true
       else {
-        forestIds = forestIds.unionByName(chosen).distinct().localCheckpoint()
+        forestIds = forestIds.unionByName(chosen).distinct().freshCkpt()
         val forest = e.join(forestIds, Seq("id"), "left_semi")
         comp = comp.select("node")
           .join(Bfs.connectedComponents(forest.select(col("src"), col("dst")))
             .withColumnRenamed("component", "comp"), Seq("node"), "left_outer")
           .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
-          .localCheckpoint()
+          .freshCkpt()
       }
     }
     require(done, s"minimumSpanningForest did not converge in $maxRounds rounds")

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Ckpt._
+
 import graft.graph.{Direction, PropertyGraph}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -107,7 +109,7 @@ object Trail {
       .withColumn(endAlias, col(fromCol))
       .withColumn(nodesAlias, array(col(fromCol)))
       .withColumn(relsAlias, array().cast("array<long>"))
-      .localCheckpoint()
+      .freshCkpt()
     val out = Seq.newBuilder[DataFrame]
     // zero-row seed with the output schema: an empty input frontier, or a
     // `[*n..]` on a graph whose longest trail is < n, must return zero
@@ -124,7 +126,7 @@ object Trail {
         .withColumn(nodesAlias, concat(col(nodesAlias), array(col("__ed"))))
         .withColumn(endAlias, col("__ed"))
         .drop("__es", "__ed", "__er")
-        .localCheckpoint()
+        .freshCkpt()
       levelCnt = level.count()
       if (levelCnt > 0 && k >= min) out += level.withColumn(hopsAlias, lit(k))
       k += 1
@@ -165,11 +167,11 @@ object Trail {
     var frontier = pairs.select("source").distinct()
       .select(col("source"), col("source").as("end"), lit(0).as("hops"),
         array().cast("array<long>").as("path"))
-      .localCheckpoint()
+      .freshCkpt()
     val keptPieces = Seq.newBuilder[DataFrame]
     keptPieces += frontier
     var counts = frontier.groupBy("source", "end").agg(count(lit(1)).as("__have"))
-      .localCheckpoint()
+      .freshCkpt()
 
     var d = 0
     var fCnt = frontier.count()
@@ -287,7 +289,7 @@ object Trail {
           .select(col("source"), col("source").as("end"), lit(0).as("hops"),
             array().cast("array<long>").as("path"),
             array(col("source")).as("nodes"))
-          .localCheckpoint()
+          .freshCkpt()
         val pieces = Seq.newBuilder[DataFrame]
         pieces += frontier
         var counts = frontier.groupBy("source", "end")

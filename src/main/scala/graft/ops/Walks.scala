@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Ckpt._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -267,7 +269,7 @@ object Walks {
       s"fastRP needs dim >= 2 and at least one iteration weight")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .unionByName(e.select(col("dst").as("node"))).distinct().freshCkpt()
     val s3 = math.sqrt(3.0)
     // component j from the hash of (node, seed, j): 0 → +√3, 1 → −√3,
     // 2..5 → 0 (P = 1/6, 1/6, 2/3 — Achlioptas sparse projection)

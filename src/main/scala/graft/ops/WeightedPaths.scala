@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Ckpt._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,7 +46,7 @@ object WeightedPaths {
     var best = sources.select(col("source"), col("source").as("node"),
       lit(0.0).as("dist"), array().cast("array<long>").as("path"),
       array(col("source")).as("nodes"))
-      .localCheckpoint()
+      .freshCkpt()
     var frontier = best
     var fCnt = frontier.count()
     var iter = 0
@@ -70,14 +72,14 @@ object WeightedPaths {
         .select(col("source"), col("node"),
           col("__m.dist").as("dist"), col("__m.path").as("path"),
           col("__m.nodes").as("nodes"))
-        .localCheckpoint()
+        .freshCkpt()
       // next frontier: strictly improved entries only
       frontier = merged.join(
           best.select(col("source"), col("node"), col("dist").as("__old")),
           Seq("source", "node"), "left_outer")
         .filter(col("__old").isNull || col("dist") < col("__old"))
         .drop("__old")
-        .localCheckpoint()
+        .freshCkpt()
       best = merged
       fCnt = frontier.count()
       done = fCnt == 0
@@ -143,7 +145,7 @@ object WeightedPaths {
     val e = e0.select(col("src").as("__s"), col("dst").as("__d"),
       col("weight").as("__w")).localCheckpoint(false)
     var best = sources.select(col("source"), col("source").as("node"),
-      lit(0.0).as("dist")).localCheckpoint()
+      lit(0.0).as("dist")).freshCkpt()
     var frontier = best
     var fCnt = frontier.count()
     var iter = 0
@@ -155,13 +157,13 @@ object WeightedPaths {
           (col("dist") + col("__w")).as("dist"))
       val merged = best.unionByName(relaxed)
         .groupBy("source", "node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .freshCkpt()
       frontier = merged.join(
           best.select(col("source"), col("node"), col("dist").as("__old")),
           Seq("source", "node"), "left_outer")
         .filter(col("__old").isNull || col("dist") < col("__old"))
         .drop("__old")
-        .localCheckpoint()
+        .freshCkpt()
       best = merged
       fCnt = frontier.count()
     }
@@ -223,7 +225,7 @@ object WeightedPaths {
     var frontier = pairs.select("source").distinct()
       .select(col("source"), col("source").as("end"), lit(0.0).as("dist"),
         lit(0).as("hops"), array().cast("array<long>").as("path"))
-      .localCheckpoint()
+      .freshCkpt()
     val keptPieces = Seq.newBuilder[DataFrame]
     keptPieces += frontier
     var d = 0
@@ -292,7 +294,7 @@ object WeightedPaths {
       val s0 = Seq(root).toDF("node")
         .select(col("node"), lit(0.0).as("dist"),
           array().cast("array<long>").as("path"), array(col("node")).as("nodes"))
-        .localCheckpoint()
+        .freshCkpt()
       Side(e, s0, s0, 0.0, 1L)
     }
     val f = init(source, fwd)
@@ -317,7 +319,7 @@ object WeightedPaths {
         .agg(min(struct(col("dist"), col("path"), col("nodes"))).as("__m"))
         .select(col("node"), col("__m.dist").as("dist"),
           col("__m.path").as("path"), col("__m.nodes").as("nodes"))
-        .localCheckpoint()
+        .freshCkpt()
       val improved = relaxed.groupBy("node")
         .agg(min(struct(col("dist"), col("path"), col("nodes"))).as("__m"))
         .select(col("node"), col("__m.dist").as("dist"))
@@ -330,7 +332,7 @@ object WeightedPaths {
         .unionByName(improved)
         .distinct()
         .join(merged, Seq("node"))
-        .localCheckpoint()
+        .freshCkpt()
       s.best = merged
       s.open = newOpen
       s.openCnt = newOpen.count()
@@ -414,7 +416,7 @@ object WeightedPaths {
     var best = Seq(source).toDF("node")
       .select(col("node"), lit(0.0).as("dist"),
         array().cast("array<long>").as("path"), array(col("node")).as("nodes"))
-      .localCheckpoint()
+      .freshCkpt()
     var frontier = best
     var mu = Double.PositiveInfinity
     var iter = 0
@@ -434,7 +436,7 @@ object WeightedPaths {
         .agg(min(struct(col("dist"), col("path"), col("nodes"))).as("__m"))
         .select(col("node"), col("__m.dist").as("dist"),
           col("__m.path").as("path"), col("__m.nodes").as("nodes"))
-        .localCheckpoint()
+        .freshCkpt()
       val improved = merged.join(
           best.select(col("node"), col("dist").as("__old")),
           Seq("node"), "left_outer")
@@ -571,11 +573,11 @@ object WeightedPaths {
           .join(broadcast(tFrom), Seq("landmark"))
           .select(col("node"), (col("__tf") - col("__vf")).as("__lb")))
       .groupBy("node").agg(greatest(max("__lb"), lit(0.0)).as("__h"))
-      .localCheckpoint()
+      .freshCkpt()
     var best = Seq(source).toDF("node")
       .select(col("node"), lit(0.0).as("dist"),
         array().cast("array<long>").as("path"), array(col("node")).as("nodes"))
-      .localCheckpoint()
+      .freshCkpt()
     var frontier = best
     var mu = Double.PositiveInfinity
     var iter = 0
@@ -591,7 +593,7 @@ object WeightedPaths {
         .agg(min(struct(col("dist"), col("path"), col("nodes"))).as("__m"))
         .select(col("node"), col("__m.dist").as("dist"),
           col("__m.path").as("path"), col("__m.nodes").as("nodes"))
-        .localCheckpoint()
+        .freshCkpt()
       val improved = merged.join(
           best.select(col("node"), col("dist").as("__old")),
           Seq("node"), "left_outer")
