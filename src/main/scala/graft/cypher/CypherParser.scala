@@ -15,6 +15,68 @@ import Ast._
  */
 object CypherParser extends RegexParsers {
 
+  // ---- GPM syntax-mixing flags (reference GpmSyntaxMixingAcceptance) ----
+  // The reference rejects, QUERY-WIDE (subqueries included), mixing of:
+  //   axis 1: `:` label conjunction (`:A:B`) with GPM-only label/type
+  //           syntax (&, !, %, |, parenthesized expressions, IS introducer)
+  //   axis 2: legacy var-length (`*m..n`) with QPP quantifiers ({m,n} + *)
+  //   axis 3: legacy shortestPath()/allShortestPaths() with GQL selectors
+  //           or QPP quantifiers
+  // Parse-time flags, reset per parse() call (parsing is single-threaded
+  // per query).
+  // label-axis flags are PARTITIONED by usage (reference
+  // checkIfMixingLabelExpressionWithOldSyntax): legacy/GPM conflict only
+  // within the READ partition (MATCH patterns, predicates) or within the
+  // WRITE partition (CREATE/SET/REMOVE); MERGE contributes to both.
+  private var mixUsage = 1 // bitmask: 1=read, 2=write
+  private var mixColonConjR = false
+  private var mixColonConjW = false
+  private var mixGpmLabelsR = false
+  private var mixGpmLabelsW = false
+  private var mixVarLength = false
+  private var mixQpp = false
+  private var mixLegacyShortest = false
+  private var mixSelector = false
+  private def markColonConj(): Unit = {
+    if ((mixUsage & 1) != 0) mixColonConjR = true
+    if ((mixUsage & 2) != 0) mixColonConjW = true
+  }
+  private def markGpmLabels(): Unit = {
+    if ((mixUsage & 1) != 0) mixGpmLabelsR = true
+    if ((mixUsage & 2) != 0) mixGpmLabelsW = true
+  }
+  /** run `p` with the label-usage context set to `usage` */
+  private def inUsage[T](usage: Int)(p: => Parser[T]): Parser[T] =
+    Parser { in =>
+      val saved = mixUsage
+      mixUsage = usage
+      try p(in) finally mixUsage = saved
+    }
+  private def resetMixFlags(): Unit = {
+    mixUsage = 1
+    mixColonConjR = false; mixColonConjW = false
+    mixGpmLabelsR = false; mixGpmLabelsW = false
+    mixVarLength = false; mixQpp = false
+    mixLegacyShortest = false; mixSelector = false
+  }
+  private def checkMixFlags(): Unit = {
+    if ((mixColonConjR && mixGpmLabelsR) || (mixColonConjW && mixGpmLabelsW))
+      throw new IllegalArgumentException(
+        "syntax mixing: `:` label conjunction cannot be combined with GPM " +
+          "label expression syntax (&, !, %, |, IS) in the same statement")
+    if (mixVarLength && mixQpp) throw new IllegalArgumentException(
+      "syntax mixing: var-length relationships (`*m..n`) cannot be " +
+        "combined with quantified path patterns in the same statement")
+    if (mixLegacyShortest && mixSelector)
+      throw new IllegalArgumentException(
+        "syntax mixing: shortestPath()/allShortestPaths() cannot be " +
+          "combined with path selectors or explicit match modes")
+  }
+  /** true when a parsed label DNF uses GPM-only operators */
+  private def gpmDnf(g: LabelDnf): Boolean =
+    g.size > 1 || g.exists(conj => conj.size > 1 ||
+      conj.exists(a => a.negated || a.name == "%"))
+
   // comments: // to end of line, /* ... */ block (non-nesting, like the
   // reference grammar's BLOCK_COMMENT lexer rule)
   override protected val whiteSpace = """(\s|//[^\n]*|/\*(?s:.*?)\*/)+""".r
@@ -155,7 +217,9 @@ object CypherParser extends RegexParsers {
       (K("IS") ~ K("NOT") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = true)) |
       (K("IS") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = false)) |
       // `n:Label` / `n:A|B&!C` label-expression predicate (HasLabels)
-      not("::") ~> ":" ~> labelGroup ^^ (g => (e: Expr) => HasLabel(e, g))
+      not("::") ~> ":" ~> labelGroup ^^ { g =>
+        if (gpmDnf(g)) markGpmLabels()
+        (e: Expr) => HasLabel(e, g) }
     ) ^^ { case h ~ fs => fs.foldLeft(h)((e, f) => f(e)) }
 
   private def addExpr: Parser[Expr] =
@@ -378,9 +442,14 @@ object CypherParser extends RegexParsers {
   private def labelGroup: Parser[LabelDnf] = labelExprDnf
 
   def nodePattern: Parser[NodePattern] =
-    "(" ~> opt(ident) ~ rep((":" | K("IS")) ~> labelGroup) ~ opt(mapLit) ~
+    "(" ~> opt(ident) ~ rep((":" ^^ (_ => false) | K("IS") ^^ (_ => true)) ~
+        labelGroup ^^ { case is ~ g => (is, g) }) ~ opt(mapLit) ~
       opt(K("WHERE") ~> expression) <~ ")" ^^ {
-      case v ~ groups ~ m ~ w =>
+      case v ~ groupsTagged ~ m ~ w =>
+        val groups = groupsTagged.map(_._2)
+        if (groups.size > 1) markColonConj()
+        if (groupsTagged.exists(_._1) || groups.exists(gpmDnf))
+          markGpmLabels()
         val simple = groups.forall(g =>
           g.size == 1 && g.head.forall(a => !a.negated && a.name != "%"))
         if (simple) // plain `:A:B` — AND of positive labels
@@ -399,15 +468,18 @@ object CypherParser extends RegexParsers {
     * `A|B` stays a types list (index-friendly scan pruning); anything with
     * negation/%/parens/& compiles to a DNF filter over the single type. */
   private def relTypes: Parser[Either[Seq[String], Seq[Seq[LabelAtom]]]] =
-    (":" | K("IS")) ~> labelExprDnf ^^ { dnf =>
+    (":" ^^ (_ => false) | K("IS") ^^ (_ => true)) ~ labelExprDnf ^^ {
+      case is ~ dnf =>
+      if (is) markGpmLabels()
       if (dnf.forall(c => c.size == 1 && !c.head.negated && c.head.name != "%"))
         Left(dnf.map(_.head.name))
-      else Right(dnf)
+      else { markGpmLabels(); Right(dnf) }
     }
 
   private def varLength: Parser[(Int, Option[Int])] =
     "*" ~> opt("""\d+""".r) ~ opt(".." ~> opt("""\d+""".r)) ^^ {
       case lo ~ hi =>
+        if (!mixSuppressVarLen) mixVarLength = true
         val min = lo.map(_.toInt)
         hi match {
           case None        => (min.getOrElse(1), min)              // * or *n (exact)
@@ -440,12 +512,17 @@ object CypherParser extends RegexParsers {
     * (GQL QPP, reference Trail): desugars to a RelPattern whose varLength is
     * the quantifier and whose qppVars carry the inner group variables. */
   private def qppQuantifier: Parser[(Int, Option[Int])] =
-    "{" ~> opt("""\d+""".r) ~ opt("," ~> opt("""\d+""".r)) <~ "}" ^^ {
+    ("{" ~> opt("""\d+""".r) ~ opt("," ~> opt("""\d+""".r)) <~ "}" ^^ {
       case lo ~ None      => val n = lo.map(_.toInt).getOrElse(1); (n, Some(n)) // {n}
       case lo ~ Some(hi)  => (lo.map(_.toInt).getOrElse(0), hi.map(_.toInt))   // {a,b}
     } |
     "+" ^^ (_ => (1, None)) |
-    "*" ^^ (_ => (0, None))
+    "*" ^^ (_ => (0, None))) ^^ { q =>
+      mixQpp = true
+      // reference: lower bound <= upper bound, upper bound positive
+      q._2.foreach { hi => require(hi >= 1 && hi >= q._1,
+        s"quantifier upper bound must be positive and >= the lower bound, got {${q._1},$hi}") }
+      q }
 
   /** Alternation between path shapes inside a quantified group:
     * `(-[:X]->() | -[:Y]->()-[:Z]->()){1,3}` — each branch a chain of
@@ -454,26 +531,37 @@ object CypherParser extends RegexParsers {
     * arbitrary regular path patterns). Desugars to a RelPattern carrying
     * the branches, quantified in branch traversals. */
   private def altBranch: Parser[Seq[(RelPattern, NodePattern)]] =
-    rep1(relPattern ~ nodePattern ^^ { case r ~ n => (r, n) })
+    Parser { in =>
+      // bounded var-length hops INSIDE an alternation branch are part of
+      // this engine's alternation extension, not legacy `*` syntax — they
+      // must not trip the var-length×QPP mixing check
+      val saved = mixSuppressVarLen
+      mixSuppressVarLen = true
+      try rep1(relPattern ~ nodePattern ^^ { case r ~ n => (r, n) })(in)
+      finally mixSuppressVarLen = saved
+    }
 
-  private def altQppHop: Parser[(RelPattern, NodePattern)] =
+  private def altQppHop: Parser[((RelPattern, NodePattern), Boolean)] =
     ("(" ~> altBranch ~ rep1("|" ~> altBranch) <~ ")") ~ qppQuantifier ~
-      nodePattern ^^ {
-      case (b0 ~ bs) ~ q ~ next =>
+      opt(nodePattern) ^^ {
+      case (b0 ~ bs) ~ q ~ nextOpt =>
+        val next = nextOpt.getOrElse(NodePattern(None, Nil, Nil))
         val branches = b0 +: bs
         branches.flatten.foreach { case (r, _) =>
           require(r.varLength.forall(_._2.isDefined),
             "var-length hops inside an alternation need a bounded upper end")
         }
-        (RelPattern(None, Seq.empty, Out, Some(q), Seq.empty,
-          branches = Some(branches)), next)
+        ((RelPattern(None, Seq.empty, Out, Some(q), Seq.empty,
+          branches = Some(branches)), next), nextOpt.isDefined)
     }
 
-  private def qppHop: Parser[(RelPattern, NodePattern)] =
+  private def qppHop: Parser[((RelPattern, NodePattern), Boolean)] =
     ("(" ~> nodePattern ~ rep1(relPattern ~ nodePattern ^^ {
         case r ~ n => (r, n) }) ~
-      opt(K("WHERE") ~> expression) <~ ")") ~ qppQuantifier ~ nodePattern ^^ {
-      case (x ~ chain ~ w) ~ q ~ next =>
+      opt(K("WHERE") ~> expression) <~ ")") ~ qppQuantifier ~
+      opt(nodePattern) ^^ {
+      case (x ~ chain ~ w) ~ q ~ nextOpt =>
+        val next = nextOpt.getOrElse(NodePattern(None, Nil, Nil))
         val (r0, y0) = chain.head
         val simpleInner = chain.size == 1 && w.isEmpty &&
           r0.varLength.isEmpty && y0.labels.isEmpty && y0.labelExpr.isEmpty &&
@@ -481,8 +569,9 @@ object CypherParser extends RegexParsers {
         if (simpleInner) {
           // plain one-hop group: the original qppVars encoding (group
           // variables bind to per-path arrays)
-          (r0.copy(varLength = Some(q),
-            qppVars = Some((x.variable, r0.variable, y0.variable))), next)
+          ((r0.copy(varLength = Some(q),
+            qppVars = Some((x.variable, r0.variable, y0.variable))), next),
+            nextOpt.isDefined)
         } else {
           // multi-hop chains and constrained interior nodes compile as a
           // SINGLE-BRANCH alternation: whole-chain composite edges with
@@ -511,8 +600,8 @@ object CypherParser extends RegexParsers {
               chain.init :+ (chain.last._1,
                 chain.last._2.copy(where = Some(pred)))
           }
-          (RelPattern(None, Seq.empty, Out, Some(q), Seq.empty,
-            branches = Some(Seq(chain2))), next)
+          ((RelPattern(None, Seq.empty, Out, Some(q), Seq.empty,
+            branches = Some(Seq(chain2))), next), nextOpt.isDefined)
         }
     }
 
@@ -534,18 +623,38 @@ object CypherParser extends RegexParsers {
 
   /** GQL quantified relationship `-[:T]->+` / `->*` / `->{a,b}` — shorthand
     * for the one-hop QPP, desugared onto varLength like `*a..b`. */
-  private def quantifiedRelHop: Parser[(RelPattern, NodePattern)] =
-    relPattern ~ qppQuantifier ~ nodePattern ^^ {
+  private def quantifiedRelHop: Parser[((RelPattern, NodePattern), Boolean)] =
+    relPattern ~ qppQuantifier ~ opt(nodePattern) ^^ {
       case r ~ q ~ n =>
         require(r.varLength.isEmpty, "nested quantifiers are not supported")
-        (r.copy(varLength = Some(q)), n)
+        // qppVars marks the hop as a quantified RELATIONSHIP (GPM syntax),
+        // distinguishing `-[:R]->+` from legacy `-[:R*]->`
+        ((r.copy(varLength = Some(q),
+          qppVars = r.qppVars.orElse(Some((None, None, None)))),
+          n.getOrElse(NodePattern(None, Nil, Nil))), n.isDefined)
     }
 
-  def pathPattern: Parser[PathPattern] =
-    nodePattern ~ rep(altQppHop | qppHop | quantifiedRelHop |
-      relPattern ~ nodePattern ^^ { case r ~ n => (r, n) }) ^^ {
-      case first ~ hops => PathPattern(first, hops)
+  def pathPattern: Parser[PathPattern] = {
+    val hop: Parser[((RelPattern, NodePattern), Boolean)] =
+      altQppHop | qppHop | quantifiedRelHop |
+      relPattern ~ nodePattern ^^ { case r ~ n => ((r, n), true) }
+    nodePattern ~ rep(hop) ^^ {
+      case first ~ hops => PathPattern(first, hops.map(_._1))
+    } |
+    // leading quantified group with no anchor node (`MATCH ((a)-->(b))+ (x)`)
+    // — GQL juxtaposition implies an anonymous endpoint. A path written
+    // with NO node pattern at all and an all-optional minimum (every
+    // quantifier min 0) could match zero nodes — the reference raises
+    // ("Top level path must have a minimum length > 0").
+    rep1(hop) ^^ { hops =>
+      val minLen = hops.map { case ((r, _), _) =>
+        r.varLength.map(_._1).getOrElse(1) }.sum
+      require(minLen > 0 || hops.exists(_._2),
+        "a top-level path pattern must have a minimum length greater " +
+          "than 0 (add a node pattern or a positive lower bound)")
+      PathPattern(NodePattern(None, Nil, Nil), hops.map(_._1))
     }
+  }
 
   // ---- clauses ----------------------------------------------------------
 
@@ -566,6 +675,11 @@ object CypherParser extends RegexParsers {
     opt(ident <~ "=") ~ "(?i)(allShortestPaths|shortestPath)".r ~
       ("(" ~> pathPattern <~ ")") ^^ {
       case v ~ kw ~ p =>
+        mixLegacyShortest = true
+        require(p.hops.forall { case (r, _) =>
+          r.qppVars.isEmpty && r.branches.isEmpty },
+          "shortestPath()/allShortestPaths() cannot be applied to a " +
+            "quantified path pattern")
         ShortestPart(v, p, kw.toLowerCase.startsWith("all"), legacy = true)
     } |
     // GQL path selectors (reference StatefulShortestPath selectors):
@@ -573,14 +687,18 @@ object CypherParser extends RegexParsers {
     // SHORTEST k [PATH[S]] [GROUP[S]]
     opt(ident <~ "=") ~ (K("ANY") ~> K("SHORTEST") ~> noise ~> selGroup) ^^ {
       case v ~ ((n, p, w)) =>
+        mixSelector = true
         ShortestPart(v.orElse(n), p, all = false, k = Some(1), where = w)
     } |
     opt(ident <~ "=") ~ (K("ALL") ~> K("SHORTEST") ~> noise ~> selGroup) ^^ {
-      case v ~ ((n, p, w)) => ShortestPart(v.orElse(n), p, all = true, where = w)
+      case v ~ ((n, p, w)) =>
+        mixSelector = true
+        ShortestPart(v.orElse(n), p, all = true, where = w)
     } |
     opt(ident <~ "=") ~ (K("SHORTEST") ~> """\d+""".r) ~
       (noise ~> opt(K("GROUPS") | K("GROUP"))) ~ selGroup ^^ {
       case v ~ kk ~ g ~ ((n, p, w)) =>
+        mixSelector = true
         ShortestPart(v.orElse(n), p, all = false, k = Some(kk.toInt),
           groups = g.isDefined, where = w)
     } |
@@ -589,6 +707,7 @@ object CypherParser extends RegexParsers {
     opt(ident <~ "=") ~ (K("SHORTEST") ~> noise ~>
       (K("GROUPS") | K("GROUP")) ~> selGroup) ^^ {
       case v ~ ((n, p, w)) =>
+        mixSelector = true
         ShortestPart(v.orElse(n), p, all = false, k = Some(1), groups = true,
           where = w)
     } |
@@ -597,6 +716,7 @@ object CypherParser extends RegexParsers {
     opt(ident <~ "=") ~ (K("ANY") ~> opt("""\d+""".r)) ~
       (noise ~> selGroup) ^^ {
       case v ~ kk ~ ((n, p, w)) =>
+        mixSelector = true
         ShortestPart(v.orElse(n), p, all = false,
           k = Some(kk.map(_.toInt).getOrElse(1)), where = w)
     }
@@ -689,22 +809,38 @@ object CypherParser extends RegexParsers {
       case v ~ e => SetPropsFromMap(v, e, additive = false)
     } |
     // `SET n:A:B` / GQL `SET n IS A` — `&`-conjoined positives also parse
-    ident ~ rep1((":" | K("IS")) ~> rep1sep(symName, "&")) ^^ {
-      case v ~ ls => SetLabelsItem(v, ls.flatten) }
+    ident ~ rep1((":" ^^ (_ => false) | K("IS") ^^ (_ => true)) ~
+        rep1sep(symName, "&") ^^ { case is ~ g => (is, g) }) ^^ {
+      case v ~ tagged =>
+        val ls = tagged.map(_._2)
+        if (ls.size > 1) { mixUsage = 2; markColonConj(); mixUsage = 1 }
+        if (tagged.exists(_._1) || ls.exists(_.size > 1)) {
+          mixUsage = 2; markGpmLabels(); mixUsage = 1
+        }
+        SetLabelsItem(v, ls.flatten) }
 
   private def removeItem: Parser[SetItem] =
     ident ~ ("." ~> symName) ^^ { case v ~ k => RemoveProp(v, k) } |
-    ident ~ rep1((":" | K("IS")) ~> rep1sep(symName, "&")) ^^ {
-      case v ~ ls => RemoveLabelsItem(v, ls.flatten) }
+    ident ~ rep1((":" ^^ (_ => false) | K("IS") ^^ (_ => true)) ~
+        rep1sep(symName, "&") ^^ { case is ~ g => (is, g) }) ^^ {
+      case v ~ tagged =>
+        val ls = tagged.map(_._2)
+        if (ls.size > 1) { mixUsage = 2; markColonConj(); mixUsage = 1 }
+        if (tagged.exists(_._1) || ls.exists(_.size > 1)) {
+          mixUsage = 2; markGpmLabels(); mixUsage = 1
+        }
+        RemoveLabelsItem(v, ls.flatten) }
 
   /** CREATE, plus the GQL-conformance `INSERT` spelling (reference
     * insertClause): same pattern surface — `&`-conjoined positive labels
     * already parse through labelGroup and collapse to a plain label list. */
   private def createClause: Parser[Clause] =
-    (K("CREATE") | K("INSERT")) ~> rep1sep(pathPattern, ",") ^^ CreateClause.apply
+    (K("CREATE") | K("INSERT")) ~>
+      inUsage(2)(rep1sep(pathPattern, ",")) ^^ CreateClause.apply
 
   private def mergeClause: Parser[Clause] =
-    K("MERGE") ~> pathPattern ~
+    K("MERGE") ~> inUsage(3)(opt(ident <~ "=") ~ pathPattern ^^ {
+      case n ~ p => p.copy(name = n) }) ~
       rep((K("ON") ~ K("MATCH") ~ K("SET")) ~> rep1sep(setItem, ",") ^^ (("m", _)) |
           (K("ON") ~ K("CREATE") ~ K("SET")) ~> rep1sep(setItem, ",") ^^ (("c", _))) ^^ {
       case p ~ actions =>
@@ -826,9 +962,28 @@ object CypherParser extends RegexParsers {
   private def finishClause: Parser[Clause] =
     K("FINISH") ^^ (_ => FinishClause())
 
-  private def clause: Parser[Clause] =
+  private def clause0: Parser[Clause] =
     matchClause | unwindClause | schemaClause | writeClause | callSubquery |
       callClause | withClause | returnClause | finishClause
+
+  /** Top-level clause with the GPM syntax-mixing check: the mixing scope
+    * is ONE top-level clause INCLUDING any subqueries nested in it
+    * (GpmSyntaxMixingAcceptance: "different statements - OK" across
+    * top-level clauses, "within a CALL subquery - syntax error" across the
+    * body clauses of one CALL). */
+  private var mixDepth = 0
+  private var mixSuppressVarLen = false
+  private def clause: Parser[Clause] = Parser { in =>
+    if (mixDepth == 0) resetMixFlags()
+    mixDepth += 1
+    val res =
+      try clause0(in)
+      finally mixDepth -= 1
+    res match {
+      case s @ Success(_, _) => if (mixDepth == 0) checkMixFlags(); s
+      case ns => ns
+    }
+  }
 
   private def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 
@@ -845,11 +1000,59 @@ object CypherParser extends RegexParsers {
 
   /** Parse a full query; throws IllegalArgumentException with position info
     * on syntax errors. */
-  def parse(text: String): Query = parseAll(query, text) match {
-    case Success(q, _) => q
+  /** A group variable (bound inside a quantified path pattern) may appear
+    * in exactly ONE quantified group and never as a singleton pattern
+    * variable (reference: "A group variable can only appear in a single
+    * quantified path pattern"; expression reuse — equijoins — is fine). */
+  private def validateGroupVars(q: Query): Unit = {
+    val groupVars = scala.collection.mutable.ListBuffer.empty[String]
+    val singletons = scala.collection.mutable.ListBuffer.empty[String]
+    def nodeVars(n: NodePattern): Seq[String] = n.variable.toSeq
+    def branchVars(bs: Seq[Seq[(RelPattern, NodePattern)]]): Seq[String] =
+      bs.flatten.flatMap { case (r, n) => r.variable.toSeq ++ nodeVars(n) }
+    def walkPath(p: PathPattern): Unit = {
+      singletons ++= nodeVars(p.first)
+      p.hops.foreach { case (r, n) =>
+        if (r.varLength.isDefined &&
+            (r.qppVars.isDefined || r.branches.isDefined)) {
+          groupVars ++= (r.qppVars.toSeq.flatMap(t =>
+            t._1.toSeq ++ t._2.toSeq ++ t._3.toSeq) ++
+            r.variable.toSeq ++
+            r.branches.toSeq.flatMap(branchVars)).distinct
+          // the hop's FAR node is outside the group (a juxtaposed anchor)
+          singletons ++= nodeVars(n)
+        } else {
+          singletons ++= r.variable.toSeq
+          singletons ++= nodeVars(n)
+        }
+      }
+    }
+    def walkClause(c: Clause): Unit = c match {
+      case m: MatchClause =>
+        m.patterns.foreach(walkPath)
+        m.shortest.foreach(sp => walkPath(sp.pattern))
+      case cr: CreateClause => cr.patterns.foreach(walkPath)
+      case mg: MergeClause  => walkPath(mg.pattern)
+      case cs: CallSubquery => cs.innerQ.parts.foreach(_.clauses.foreach(walkClause))
+      case _ => ()
+    }
+    q.parts.foreach(_.clauses.foreach(walkClause))
+    val dupGroups = groupVars.groupBy(identity).collect {
+      case (v, occ) if occ.size > 1 => v }
+    val crossUse = groupVars.toSet intersect singletons.toSet
+    val bad = (dupGroups ++ crossUse).toSeq.distinct
+    require(bad.isEmpty,
+      s"a group variable can only appear in a single quantified path " +
+        s"pattern: ${bad.mkString(", ")}")
+  }
+
+  def parse(text: String): Query = {
+    resetMixFlags()
+    parseAll(query, text) match {
+    case Success(q, _) => validateGroupVars(q); q
     case NoSuccess(msg, next) =>
       throw new IllegalArgumentException(
         s"Cypher syntax error at line ${next.pos.line}, column ${next.pos.column}: $msg\n${next.pos.longString}")
     case other => throw new IllegalArgumentException(s"Cypher parse failure: $other")
-  }
+  } }
 }

@@ -44,6 +44,10 @@ object Planner {
   case object NodeVar extends Binding
   case object RelVar extends Binding
   case object RelListVar extends Binding
+  /** a list of node IDS (`WITH nodes(p) AS ns`, `collect(n)`): property /
+    * labels access on its elements hydrates positional parallel arrays the
+    * same way path variables do (enrichPathElems). */
+  case object NodeListVar extends Binding
   case object ValueVar extends Binding
   /** shortestPath path variable: carries `v$length` (+ reachable via it). */
   case object PathVar extends Binding
@@ -267,7 +271,14 @@ object Planner {
         // body's RETURN must carry an explicit alias
         cs.innerQ.parts.foreach(_.clauses.lastOption.foreach {
           case r: ReturnClause => r.items.foreach { i =>
-            require(i.alias.isDefined || i.expr.isInstanceOf[Variable],
+            // map projections carry their subject's implicit alias
+            // (`RETURN person {.name}` binds `person`)
+            val implicitAlias = i.expr match {
+              case _: Variable => true
+              case MapProjection(Variable(_), _) => true
+              case _ => false
+            }
+            require(i.alias.isDefined || implicitAlias,
               "Expression in CALL { RETURN ... } must be aliased")
           }
           case _ => ()
@@ -550,10 +561,23 @@ object Planner {
       }
     }
 
+  /** A label EXPRESSION that is one conjunction of positive labels
+    * (`:A&B`) is equivalent to the plain label list — normalize so write
+    * clauses (CREATE/MERGE take concrete labels) accept it. */
+  private def concreteLabels(np: NodePattern): NodePattern = np.labelExpr match {
+    case Some(Seq(conj)) if conj.forall(!_.negated) =>
+      np.copy(labels = (np.labels ++ conj.map(_.name)).distinct, labelExpr = None)
+    case _ => np
+  }
+
   /** MERGE on a single node pattern (match by labels + key properties,
     * create missing with ids derived from the key — idempotent), or on a
-    * single relationship between bound endpoints (match by (src,dst,type)). */
-  private def planMerge(ctx: Ctx, env: Env, m: MergeClause): Env = {
+    * single relationship between bound endpoints (match by (src,dst,type)),
+    * or the general correlated whole-pattern form (planMergeGeneral). */
+  private def planMerge(ctx: Ctx, env: Env, m0: MergeClause): Env = {
+    val m = m0.copy(pattern = m0.pattern.copy(
+      first = concreteLabels(m0.pattern.first),
+      hops = m0.pattern.hops.map { case (r, n) => (r, concreteLabels(n)) }))
     val df = env.df.getOrElse(unit(ctx.spark))
     val p = m.pattern
     // Whole-pattern MERGE with UNBOUND endpoints, uncorrelated with the
@@ -564,8 +588,17 @@ object Planner {
     // endpoints / single-node keys.
     val patVars = ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
       p.hops.flatMap(_._1.variable))
-    if (p.hops.nonEmpty && !patVars.exists(env.has)) {
+    if (!patVars.exists(env.has) &&
+        (p.hops.nonEmpty || p.first.props.isEmpty)) {
       val probe = MatchClause(optional = false, Seq(p), None)
+      // MERGE runs per input row (reference MergePipe): zero incoming rows
+      // mean no probe, no writes — return the empty cross product
+      val inputEmpty = env.df.exists(_.limit(1).count() == 0L)
+      if (inputEmpty) {
+        val matched0 = planMatch(ctx, Env(None, Map.empty), probe)
+        return Env(Some(df.crossJoin(matched0.df.get.limit(0))),
+          env.binds ++ matched0.binds)
+      }
       val matched0 = planMatch(ctx, Env(None, Map.empty), probe)
       val created = matched0.df.forall(_.isEmpty)
       val bound =
@@ -574,13 +607,28 @@ object Planner {
           planCreate(ctx, Env(None, Map.empty), CreateClause(Seq(p)))
           planMatch(ctx, Env(None, Map.empty), probe)
         }
-      val actions = if (created) m.onCreate else m.onMatch
-      if (actions.nonEmpty) planSetItemsOn(ctx, bound, actions)
+      if (created) {
+        if (m.onCreate.nonEmpty) planSetItemsOn(ctx, bound, m.onCreate)
+        // with k > 1 input rows, only the first CREATES — the rest match
+        // the instance it made, so ON MATCH fires for them (reference
+        // per-row semantics; applied once set-based)
+        if (m.onMatch.nonEmpty &&
+            env.df.exists(_.limit(2).count() > 1L)) {
+          val rebound = planMatch(ctx, Env(None, Map.empty), probe)
+          if (!rebound.df.forall(_.isEmpty))
+            planSetItemsOn(ctx, rebound, m.onMatch)
+        }
+      } else if (m.onMatch.nonEmpty) planSetItemsOn(ctx, bound, m.onMatch)
       val rehydrated = rehydrate(ctx, bound,
         patVars.filter(bound.binds.contains))
       return Env(Some(df.crossJoin(rehydrated.df.get)),
         env.binds ++ rehydrated.binds)
     }
+    // partially-bound / mid-pattern-bound / multi-hop whole-pattern MERGE
+    if (p.hops.nonEmpty && patVars.exists(env.has) &&
+        !(p.hops.size == 1 && p.first.variable.exists(env.has) &&
+          p.hops.head._2.variable.exists(env.has)))
+      return planMergeGeneral(ctx, env, m)
     if (p.hops.isEmpty) {
       val np = p.first
       val v = np.variable.getOrElse(ctx.fresh("mn"))
@@ -705,6 +753,134 @@ object Planner {
         .drop(("__ms" +: "__md" +: keyProps.map(kv => s"__mp_${kv._1}")): _*)
       rehydrate(ctx, Env(Some(withRel), env.binds + (rv -> RelVar)), Seq(rv))
     }
+  }
+
+  /** General correlated whole-pattern MERGE: partially-bound endpoints,
+    * mid-pattern bound nodes, multi-hop chains (reference MergePipe;
+    * MergeLegacyAcceptance "Using bound nodes in mid-pattern"). Per input
+    * row, OPTIONAL-match the WHOLE pattern with the bound variables
+    * constrained; rows with no match create the ENTIRE pattern — one
+    * instance per distinct combination of bound values (the reference
+    * reads its own writes: a second row with equal bound values matches
+    * what the first created, so ids derive deterministically from them). */
+  private def planMergeGeneral(ctx: Ctx, env: Env, m: MergeClause): Env = {
+    val df0 = env.df.getOrElse(unit(ctx.spark))
+    def named(np: NodePattern): NodePattern = np.variable match {
+      case Some(_) => np
+      case None    => np.copy(variable = Some(ctx.fresh("mgn")))
+    }
+    val first = named(m.pattern.first)
+    val hops = m.pattern.hops.map { case (r, n) =>
+      (if (r.variable.isDefined) r
+       else r.copy(variable = Some(ctx.fresh("mgr"))), named(n))
+    }
+    hops.foreach { case (r, _) =>
+      require(r.varLength.isEmpty && r.types.size == 1 && r.branches.isEmpty,
+        "MERGE relationships need exactly one type and fixed length")
+    }
+    ((first +: hops.map(_._2)).filterNot(_.variable.exists(env.has)))
+      .foreach { np =>
+        require(np.labelExpr.isEmpty && np.where.isEmpty,
+          "MERGE patterns take concrete labels and no WHERE")
+      }
+    val p = m.pattern.copy(first = first, hops = hops)
+    val allVars = ((first +: hops.map(_._2)).flatMap(_.variable) ++
+      hops.flatMap(_._1.variable))
+    val boundVars = allVars.filter(env.has).distinct
+    val newVars = allVars.filterNot(env.has).distinct
+    require(newVars.nonEmpty, "whole-pattern MERGE with all variables bound")
+    val probe = MatchClause(optional = true, Seq(p), None)
+    val matchedEnv = planOptionalMatch(ctx, env.copy(df = Some(df0)), probe)
+    val mdf = matchedEnv.df.get.freshCkpt() // snapshot before any write
+    // the whole pattern matches or none of it does: one new var decides
+    val isMatched = col(newVars.head).isNotNull
+    val missing = mdf.filter(!isMatched)
+    // deterministic per-combination ids (same expressions create and bind)
+    val idExprs: Seq[(String, Column)] = newVars.map { v =>
+      v -> xxhash64((lit(ctx.runTag) +: lit("mg") +: lit(ctx.freshIdTag()) +:
+        boundVars.map(col)): _*)
+    }
+    var keyRows =
+      if (boundVars.isEmpty) missing.limit(1) else missing.dropDuplicates(boundVars)
+    idExprs.foreach { case (v, e) => keyRows = keyRows.withColumn(v, e) }
+    keyRows = keyRows.freshCkpt()
+    val compEnv = matchedEnv.copy(df = Some(keyRows))
+    (first +: hops.map(_._2)).filterNot(_.variable.exists(env.has))
+      .distinctBy(_.variable).foreach { np =>
+        val v = np.variable.get
+        val props = np.props.map { case (k, e) =>
+          compile(ctx, compEnv, e).as(propCol(k)) }
+        ctx.g = UpdateOps.createNodes(ctx.g, keyRows.select((col(v).as("id") +:
+          lit(np.labels.toArray).as("labels") +: props): _*))
+      }
+    var fromV = first.variable.get
+    hops.foreach { case (r, n) =>
+      val toV = n.variable.get
+      if (!r.variable.exists(env.has)) {
+        val rv = r.variable.get
+        val (s0, d0) = r.dir match {
+          case In => (toV, fromV)
+          case _  => (fromV, toV)
+        }
+        val props = r.props.map { case (k, e) =>
+          compile(ctx, compEnv, e).as(propCol(k)) }
+        ctx.g = UpdateOps.createRels(ctx.g, keyRows.select((col(rv).as("id") +:
+          col(s0).as("src") +: col(d0).as("dst") +:
+          lit(r.types.head).as("type") +: props): _*))
+      }
+      fromV = toV
+    }
+    // result rows: matched bindings union created bindings (same ids the
+    // inserts used — no re-match needed)
+    var created = missing
+    idExprs.foreach { case (v, e) => created = created.withColumn(v, e) }
+    // refresh the hydrated STRUCTURAL columns the optional match left null
+    // on non-matching rows — the created values are statically known
+    locally {
+      var fv = first.variable.get
+      hops.foreach { case (r, n) =>
+        val toV = n.variable.get
+        r.variable.filterNot(env.has).foreach { rv =>
+          val cols0 = created.columns.toSet
+          if (cols0(s"$rv$$type"))
+            created = created.withColumn(s"$rv$$type", lit(r.types.head))
+          val (s0, d0) = r.dir match {
+            case In => (toV, fv)
+            case _  => (fv, toV)
+          }
+          if (cols0(s"$rv$$src"))
+            created = created.withColumn(s"$rv$$src", col(s0))
+          if (cols0(s"$rv$$dst"))
+            created = created.withColumn(s"$rv$$dst", col(d0))
+        }
+        fv = toV
+      }
+      (first +: hops.map(_._2)).filterNot(_.variable.exists(env.has))
+        .foreach { np =>
+          val v = np.variable.get
+          if (created.columns.contains(s"$v$$labels"))
+            created = created.withColumn(s"$v$$labels",
+              lit(np.labels.toArray))
+        }
+    }
+    val flag = "__mg_created"
+    val union = mdf.filter(isMatched).withColumn(flag, lit(false))
+      .unionByName(created.withColumn(flag, lit(true)))
+    val out = Env(Some(union), env.binds ++ matchedEnv.binds)
+    applyMergeActions(ctx, out, newVars.head, m, col(flag))
+    val out2 = out.copy(df = out.df.map(_.drop(flag)))
+    // `MERGE p = (a)-[:R]->()` — the path value binds from the (now all
+    // named) pattern elements, in pattern order
+    val withPath = m.pattern.name.fold(out2) { pv =>
+      val nodeVars = (first +: hops.map(_._2)).map(_.variable.get)
+      val relVars = hops.map(_._1.variable.get)
+      out2.copy(df = out2.df.map(_
+        .withColumn(s"$pv$$nodes", array(nodeVars.map(col): _*))
+        .withColumn(s"$pv$$rels", array(relVars.map(col): _*))
+        .withColumn(s"$pv$$length", lit(hops.size))),
+        binds = out2.binds + (pv -> PathVar))
+    }
+    rehydrate(ctx, withPath, newVars)
   }
 
   /** ON MATCH SET / ON CREATE SET for node MERGE. */
@@ -1355,7 +1531,15 @@ object Planner {
     s0.where.map(splitConjuncts).getOrElse(Nil).foreach { c =>
       if (!pushRel(c) && !pushNode(c)) pending.conjs = pending.conjs :+ c
     }
-    pending.conjs = pending.conjs.filterNot(pushRel)
+    // The MATCH-level (un-parenthesized) WHERE in `pending` lowers into the
+    // search ONLY for the legacy shortestPath()/allShortestPaths() form,
+    // whose solvable predicates apply DURING the search (the reference
+    // falls back to exhaustive enumeration when the shortest path fails
+    // them — ShortestPathAcceptance). GQL selectors apply graph-pattern
+    // predicates AFTER the selector picks its paths ("Graph pattern
+    // predicates are applied after path selector"), while the parenthesized
+    // path-pattern WHERE (s0.where) filters candidates BEFORE selection.
+    if (s0.legacy) pending.conjs = pending.conjs.filterNot(pushRel)
     s
   }
 
@@ -1371,7 +1555,79 @@ object Planner {
   /** shortestPath((a)-[:T*..d]->(b)): BFS with target early-exit when both
     * endpoints are bound (reference FindShortestPaths :2178); unreached
     * pairs drop, like a failed MATCH. The path variable binds `v$length`. */
-  private def planShortest(ctx: Ctx, envIn: Env, s: ShortestPart): Env = {
+  /** Bind a selector pattern's UNBOUND leg relationship variables from the
+    * matched path's rel array (reference: group variables of quantified
+    * legs bind per path). A leg binds when its offset is determined: all
+    * preceding legs fixed-length, and — for a variable-length leg — all
+    * following legs fixed too (its span is then the remainder). */
+  private def bindSelectorLegRels(ctx: Ctx, envIn: Env, out: Env, pv: String,
+      hops: Seq[(RelPattern, NodePattern)]): Env = {
+    if (!out.df.exists(_.columns.contains(s"$pv$$rels"))) return out
+    val fixedLens: Seq[Option[Int]] = hops.map { case (r, _) =>
+      if (r.branches.isDefined) None
+      else if (r.varLength.isEmpty) Some(1)
+      else r.varLength.flatMap { case (mn, mx) => mx.filter(_ == mn) }
+    }
+    var env = out
+    hops.zipWithIndex.foreach { case ((r, _), i) =>
+      r.variable.filterNot(v => envIn.has(v) || env.df.exists(
+          _.columns.contains(v))).foreach { rv =>
+        val pre = fixedLens.take(i)
+        val post = fixedLens.drop(i + 1)
+        val rels = col(s"$pv$$rels")
+        if (pre.forall(_.isDefined) &&
+            (fixedLens(i).isDefined || post.forall(_.isDefined))) {
+          val preN = pre.flatten.sum
+          val (expr2, kind) = fixedLens(i) match {
+            case Some(1) => (element_at(rels, preN + 1), RelVar: Binding)
+            case Some(l) => (slice(rels, lit(preN + 1), lit(l)),
+              RelListVar: Binding)
+            case None =>
+              val postN = post.flatten.sum
+              (slice(rels, lit(preN + 1),
+                greatest(size(rels) - preN - postN, lit(0))),
+                RelListVar: Binding)
+          }
+          env = env.copy(df = env.df.map(_.withColumn(rv, expr2)),
+            binds = env.binds + (rv -> kind))
+        }
+      }
+    }
+    env
+  }
+
+  private def planShortest(ctx: Ctx, envIn: Env, sIn: ShortestPart): Env = {
+    // name the path when an unbound leg rel variable must bind from it
+    val legRelVars = sIn.pattern.hops.map(_._1)
+      .flatMap(_.variable).filterNot(envIn.has)
+    val s =
+      if (legRelVars.isEmpty || sIn.pathVar.isDefined) sIn
+      else sIn.copy(pathVar = Some(ctx.fresh("p")))
+    val out = planShortest0(ctx, envIn, s)
+    if (legRelVars.isEmpty) out
+    else bindSelectorLegRels(ctx, envIn, out, s.pathVar.get, s.pattern.hops)
+  }
+
+  private def planShortest0(ctx: Ctx, envIn: Env, s: ShortestPart): Env = {
+    if (s.pattern.hops.isEmpty) {
+      // node-only selector pattern (`MATCH ANY SHORTEST (a:A)`): every
+      // matching node is its own zero-length path — selectors are no-ops
+      // (one path per endpoint pair, here one pair per node)
+      val np = s.pattern.first
+      val e1 = bindEndpoint(ctx, envIn, np)
+      val env = if (np.variable.exists(e1.has)) e1
+        else bindEndpoint(ctx, e1, np, force = true)
+      val v = np.variable.filter(env.has).getOrElse(
+        throw new IllegalArgumentException(
+          "a node-only selector pattern needs a node variable"))
+      return s.pathVar.fold(env) { pv =>
+        env.copy(df = env.df.map(_
+          .withColumn(s"$pv$$nodes", array(col(v)))
+          .withColumn(s"$pv$$rels", array().cast("array<long>"))
+          .withColumn(s"$pv$$length", lit(0))),
+          binds = env.binds + (pv -> PathVar))
+      }
+    }
     if (s.k.isDefined) return planShortestK(ctx, envIn, s)
     // ALL SHORTEST over a composite pattern (QPP alternation branches,
     // multi-leg chains, constrained interior nodes) ≡ SHORTEST 1 GROUPS —
@@ -1405,7 +1661,9 @@ object Planner {
     }
     val fromVar = p.first.variable.filter(env.has).getOrElse(
       throw new IllegalArgumentException("shortestPath start node must be bound"))
-    val maxDepth = rel.varLength.flatMap(_._2).getOrElse(15)
+    // a FIXED single hop (`ANY SHORTEST (a)-->(b)`) matches exactly one
+    // relationship — only a var-length rel searches deeper
+    val maxDepth = rel.varLength.map(_._2.getOrElse(15)).getOrElse(1)
     // untyped searches iterate the warm DISTINCT pair set (deduped and
     // checkpointed once per snapshot); typed ones filter the topology and
     // let the BFS dedupe the filtered result itself
@@ -1448,7 +1706,8 @@ object Planner {
       else boundarySet(ctx, toNode).fold(d)(b =>
         d.join(b.withColumnRenamed("id", tv), Seq(tv), "left_semi"))
     val pvNeeded = ctx.needed.getOrElse(pv, Set.empty)
-    val needPath = pvNeeded.contains("rels") || pvNeeded.contains("nodes")
+    val needPath = pvNeeded.contains("rels") || pvNeeded.contains("nodes") ||
+      rel.variable.exists(v => !envIn.has(v)) // leg rel var binds from the path
     if (s.all) {
       // allShortestPaths: every minimal-hop tie, path always bound
       val idEdges = orientTyped(ctx.g, rel.types, dirConv, None, stepDf)
@@ -1557,9 +1816,29 @@ object Planner {
       throw new IllegalArgumentException("SHORTEST k start node must be bound"))
     val toNode = p.hops.last._2
     val interiors = p.hops.dropRight(1).map(_._2)
-    interiors.foreach { n =>
-      require(!n.variable.exists(env.has),
-        "SHORTEST k intermediate nodes cannot reuse bound variables")
+    // interior nodes reusing a PRE-BOUND variable (`MATCH (x) … SHORTEST 2
+    // (a)-->(x)-->(b)`): supported at a FIXED offset (all legs up to and
+    // including theirs fixed-length) — the constraint applies as a
+    // post-search filter on the node array, the same mechanism (and same
+    // documented k-displacement divergence) as bound relationship legs.
+    val boundNodeLegs: Seq[(String, Int)] = {
+      var offset = 0
+      var known = true
+      val out = Seq.newBuilder[(String, Int)]
+      p.hops.dropRight(1).foreach { case (r, tn) =>
+        val fixedLen =
+          if (r.branches.isDefined) None
+          else if (r.varLength.isEmpty) Some(1)
+          else r.varLength.flatMap { case (mn, mx) => mx.filter(_ == mn) }
+        known = known && fixedLen.isDefined
+        offset += fixedLen.getOrElse(0)
+        tn.variable.filter(env.has).foreach { nv =>
+          require(known,
+            "SHORTEST k bound interior nodes need a fixed offset")
+          out += ((nv, offset))
+        }
+      }
+      out.result()
     }
     // per-state node predicates (reference NFA.scala:157): labels, label
     // alternations (:A|:B), property maps AND inline WHERE on interior
@@ -1705,10 +1984,14 @@ object Planner {
       }
       out.result()
     }
-    def relConstrained(d: DataFrame): DataFrame =
-      boundRelLegs.foldLeft(d) { case (acc, (rv, off)) =>
+    def relConstrained(d: DataFrame): DataFrame = {
+      val relC = boundRelLegs.foldLeft(d) { case (acc, (rv, off)) =>
         acc.filter(element_at(col(s"$pv$$rels"), off + 1) === col(rv))
       }
+      boundNodeLegs.foldLeft(relC) { case (acc, (nv, off)) =>
+        acc.filter(element_at(col(s"$pv$$nodes"), off + 1) === col(nv))
+      }
+    }
     if (toBound) {
       val joined = df.join(res,
         col(fromVar) === col("source") && col(toVar) === col("target"))
@@ -2417,7 +2700,12 @@ object Planner {
     val first = if (p0.first.variable.isDefined) p0.first
       else p0.first.copy(variable = Some(ctx.fresh("n")))
     val hops = p0.hops.map { case (r, n) =>
-      require(r.qppVars.isEmpty, "a named path cannot wrap a quantified path pattern")
+      // a bare quantified RELATIONSHIP (`-[:R]->+`, qppVars all-empty
+      // marker) traverses like a var-length rel; only groups with actual
+      // group variables are unsupported here
+      require(r.qppVars.forall(t =>
+          t._1.isEmpty && t._2.isEmpty && t._3.isEmpty),
+        "a named path cannot wrap a quantified path pattern")
       (if (r.variable.isDefined) r else r.copy(variable = Some(ctx.fresh("r"))),
         if (n.variable.isDefined) n else n.copy(variable = Some(ctx.fresh("n"))))
     }
@@ -2564,10 +2852,43 @@ object Planner {
     * by exploding the DISTINCT paths, joining the rels/nodes table, and
     * re-collecting in position order: cost scales with distinct-path count
     * × path length, never with the outer row count. */
-  private def pathElemNeeds(e: Expr): Seq[(String, String)] = {
+  /** Does this expression evaluate to a list of node/rel IDs? Entity-list
+    * bindings propagate through projections (`WITH nodes(p) AS ns`,
+    * `collect(n)`, identity comprehensions, reverse/tail/slice) so a later
+    * `ns[0].k` / `[x IN ns | x.k]` can hydrate per-position property
+    * arrays exactly like `nodes(p)[0].k` does. */
+  private def entityListKind(env: Env, e: Expr): Option[Binding] = e match {
+    case Func("nodes", Seq(Variable(pv)), _)
+        if env.binds.get(pv).contains(PathVar) => Some(NodeListVar)
+    case Func("relationships" | "rels", Seq(Variable(pv)), _)
+        if env.binds.get(pv).contains(PathVar) => Some(RelListVar)
+    case Variable(v) => env.binds.get(v).collect {
+      case NodeListVar => NodeListVar
+      case RelListVar  => RelListVar
+    }
+    case Func("reverse" | "tail", Seq(x), _) => entityListKind(env, x)
+    case Slice(x, _, _)                      => entityListKind(env, x)
+    case ListComprehension(v, l, _, proj)
+        if proj.forall(_ == Variable(v))     => entityListKind(env, l)
+    case Func("collect", Seq(Variable(v)), _) => env.binds.get(v).collect {
+      case NodeVar => NodeListVar
+      case RelVar  => RelListVar
+    }
+    case _ => None
+  }
+
+  private def pathElemNeeds(env: Env, e: Expr): Seq[(String, String)] = {
+    def listKindOf(lv: String): Option[Boolean] = env.binds.get(lv) collect {
+      case NodeListVar => false
+      case RelListVar  => true
+    } // Some(isRel)
     val out = Seq.newBuilder[(String, String)]
     def uses(body: Expr, v: String, fn: String): Boolean = body match {
       case Func(`fn`, Seq(Variable(`v`)), _) => true
+      // `x:Label` / `rel:TYPE` predicates read the element's labels/type
+      // (fn ":label" marks the label-expression form)
+      case HasLabel(Variable(`v`), _) if fn == ":label" => true
+      case HasLabel(o, _)     => uses(o, v, fn)
       case Func(_, args, _)   => args.exists(uses(_, v, fn))
       case BinOp(_, l, r)     => uses(l, v, fn) || uses(r, v, fn)
       case UnaryOp(_, o)      => uses(o, v, fn)
@@ -2603,13 +2924,33 @@ object Planner {
     }
     def lam(v: String, list: Expr, bodies: Seq[Expr]): Unit = list match {
       case Func("relationships" | "rels", Seq(Variable(pv)), _) =>
-        if (bodies.exists(uses(_, v, "type"))) out += ((pv, "reltypes"))
+        if (bodies.exists(b => uses(b, v, "type") || uses(b, v, ":label")))
+          out += ((pv, "reltypes"))
         bodies.flatMap(propKeys(_, v)).distinct.foreach(k =>
           out += ((pv, "relprop:" + k)))
       case Func("nodes", Seq(Variable(pv)), _) =>
-        if (bodies.exists(uses(_, v, "labels"))) out += ((pv, "nodelabels"))
+        if (bodies.exists(b => uses(b, v, "labels") || uses(b, v, ":label")))
+          out += ((pv, "nodelabels"))
         bodies.flatMap(propKeys(_, v)).distinct.foreach(k =>
           out += ((pv, "nodeprop:" + k)))
+      // an entity-list VARIABLE (`WITH nodes(p) AS ns … [x IN ns | x.k]`):
+      // the list column itself is the id source ("L"-prefixed kinds)
+      case Variable(lv) if listKindOf(lv).isDefined =>
+        val isRel = listKindOf(lv).get
+        if (isRel) {
+          if (bodies.exists(b => uses(b, v, "type") || uses(b, v, ":label")))
+            out += ((lv, "Lreltypes"))
+          bodies.flatMap(propKeys(_, v)).distinct.foreach(k =>
+            out += ((lv, "Lrelprop:" + k)))
+        } else {
+          if (bodies.exists(b => uses(b, v, "labels") || uses(b, v, ":label")))
+            out += ((lv, "Lnodelabels"))
+          bodies.flatMap(propKeys(_, v)).distinct.foreach(k =>
+            out += ((lv, "Lnodeprop:" + k)))
+        }
+      // reverse/tail/slice keep element identity — hydrate the inner source
+      case Func("reverse" | "tail", Seq(inner), _) => lam(v, inner, bodies)
+      case Slice(inner, _, _)                      => lam(v, inner, bodies)
       case _ => ()
     }
     def walk(x: Expr): Unit = x match {
@@ -2626,6 +2967,18 @@ object Planner {
       case Prop(Func("head" | "last",
           Seq(Func("relationships" | "rels", Seq(Variable(pv)), _)), _), k) =>
         out += ((pv, "relprop:" + k))
+      // head(reverse(x)).k ≡ last(x).k (and vice versa)
+      case Prop(Func(hl @ ("head" | "last"),
+          Seq(Func("reverse", Seq(inner), _)), _), k) =>
+        walk(Prop(Func(if (hl == "head") "last" else "head", Seq(inner)), k))
+      // entity-list variable element access: ns[i].k, head/last(ns).k
+      case Prop(Index(Variable(lv), i), k) if listKindOf(lv).isDefined =>
+        out += ((lv, (if (listKindOf(lv).get) "Lrelprop:" else "Lnodeprop:") + k))
+        walk(i)
+      case Prop(Func("head" | "last", Seq(Variable(lv)), _), k)
+          if listKindOf(lv).isDefined =>
+        out += ((lv, (if (listKindOf(lv).get) "Lrelprop:" else "Lnodeprop:") + k))
+      case HasLabel(o, _) => walk(o)
       case IterPredicate(_, v, l, pr) => lam(v, l, Seq(pr)); walk(l); walk(pr)
       case ListComprehension(v, l, w, pr) =>
         lam(v, l, w.toSeq ++ pr.toSeq); walk(l); w.foreach(walk); pr.foreach(walk)
@@ -2649,12 +3002,16 @@ object Planner {
   }
 
   private def enrichPathElems(ctx: Ctx, env: Env, exprs: Seq[Expr]): Env = {
-    val needs = exprs.flatMap(pathElemNeeds).distinct
+    val needs = exprs.flatMap(pathElemNeeds(env, _)).distinct
     if (needs.isEmpty || env.df.isEmpty) return env
     var df = env.df.get
-    needs.foreach { case (pv, kind) =>
+    needs.foreach { case (pv, kind0) =>
+      // "L"-prefixed kinds: pv IS the id-list column (an entity-list
+      // variable), not a path variable with $nodes/$rels companions
+      val direct = kind0.startsWith("L")
+      val kind = if (direct) kind0.drop(1) else kind0
       val isRel = kind == "reltypes" || kind.startsWith("relprop:")
-      val src = if (isRel) s"$pv$$rels" else s"$pv$$nodes"
+      val src = if (direct) pv else if (isRel) s"$pv$$rels" else s"$pv$$nodes"
       val enriched = kind match {
         case "reltypes"   => s"$pv$$reltypes"
         case "nodelabels" => s"$pv$$nodelabels"
@@ -3359,6 +3716,16 @@ object Planner {
           if (ci < lastIdx) inner = rehydrate(ctx, inner, entityVars(inner))
         case d: DeleteClause  => planDelete(ctx, inner, d)
         case f: ForeachClause => planForeach(ctx, inner, f)
+        case _: FinishClause  => () // explicit no-result; writes commit
+        case cs2: CallSubquery => // nested unit subquery inside the body
+          val w = cs2.innerQ.parts.exists(_.clauses.exists(isWrite))
+          inner = cs2.inTransactionsOf match {
+            case Some(n2) => planCallInTransactions(ctx, inner, cs2, n2)
+            case None if w =>
+              planCallInTransactions(ctx, inner, cs2, Long.MaxValue)
+            case None => planCallSubquery(ctx, inner, cs2)
+          }
+          if (w && ci < lastIdx) inner = rehydrate(ctx, inner, entityVars(inner))
         case other => throw new IllegalArgumentException(
           s"unsupported clause in CALL IN TRANSACTIONS: $other")
       }}
@@ -3546,8 +3913,22 @@ object Planner {
       distinct: Boolean, orderBy: Seq[SortItem], skip: Option[Expr],
       limit: Option[Expr], isReturn: Boolean,
       keepSeq: Boolean = false): Env = {
+    // ORDER BY may reference THIS projection's aliases (`WITH nodes(p) AS n
+    // ORDER BY head(n).p`): resolve them to their source expressions before
+    // computing path-element hydration needs
+    val aliasSrc0: Map[String, Expr] =
+      items0.map(i => itemAlias(i) -> i.expr).toMap
+    def subst0(e: Expr): Expr = e match {
+      case Variable(v) if aliasSrc0.contains(v) => aliasSrc0(v)
+      case Prop(b, k)      => Prop(subst0(b), k)
+      case Func(n, as, d)  => Func(n, as.map(subst0), d)
+      case BinOp(op, l, r) => BinOp(op, subst0(l), subst0(r))
+      case UnaryOp(op, o)  => UnaryOp(op, subst0(o))
+      case Index(b, i2)    => Index(subst0(b), subst0(i2))
+      case other => other
+    }
     val env = enrichPathElems(ctx, envIn,
-      items0.map(_.expr) ++ orderBy.map(_.expr))
+      items0.map(_.expr) ++ orderBy.map(s => subst0(s.expr)))
     // `*` expands to every user-named binding (pass-through), keeping any
     // additional explicit items (`WITH *, x AS y`)
     val starExpanded = items0.flatMap {
@@ -3624,7 +4005,8 @@ object Planner {
         if (keyCols.isEmpty) dfA.agg(aggCols2.head, aggCols2.tail: _*)
         else dfA.groupBy(keyCols: _*).agg(aggCols2.head, aggCols2.tail: _*)
       newBinds = outs.map(o => o.alias ->
-        o.passThrough.map(env.binds).getOrElse(ValueVar)).toMap
+        o.passThrough.map(env.binds).getOrElse(
+          entityListKind(env, o.item.expr).getOrElse(ValueVar))).toMap
     } else {
       val projCols = outs.flatMap { o =>
         o.passThrough match {
@@ -3696,14 +4078,18 @@ object Planner {
       projected = projected.drop(sortCols.collect {
         case (n, c, _) if c != null => n }: _*)
       newBinds = outs.map(o => o.alias ->
-        o.passThrough.map(env.binds).getOrElse(ValueVar)).toMap
+        o.passThrough.map(env.binds).getOrElse(
+          entityListKind(env, o.item.expr).getOrElse(ValueVar))).toMap
     }
 
     if (hasAgg && orderBy.nonEmpty) {
-      // post-aggregation ORDER BY resolves against the output aliases
+      // post-aggregation ORDER BY resolves against the output aliases; an
+      // expression textually equal to a grouping item's SOURCE (`WITH a.p
+      // AS ap … ORDER BY a.p`) sorts on that item's output column
       val postEnv = Env(Some(projected), newBinds)
       val explicit = orderBy.map { s =>
-        val c = compile(ctx, postEnv, s.expr)
+        val c = outs.find(_.item.expr == s.expr).map(o => col(o.alias))
+          .getOrElse(compile(ctx, postEnv, s.expr))
         if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
       }
       val full =
@@ -3719,6 +4105,15 @@ object Planner {
       else if (isReturn)
         projected = projected.orderBy(col("__rowseq")).drop("__rowseq")
     }
+    // a WITH's explicit ORDER BY must survive into a later aggregation
+    // (reference: collect() accumulates rows in incoming order) — stamp the
+    // hidden encounter-order column in sorted order. monotonically
+    // increasing ids are ascending across the range-partitioned sort
+    // output, so the stamp IS the sort order; the aggregation path above
+    // already folds by __rowseq.
+    if (!isReturn && !keepSeq && orderBy.nonEmpty)
+      projected = projected.withColumn("__rowseq",
+        monotonically_increasing_id())
     skip.foreach { e => projected = projected.offset(constInt(ctx, e)) }
     limit.foreach { e => projected = projected.limit(constInt(ctx, e)) }
     Env(Some(projected), newBinds)
@@ -3763,6 +4158,8 @@ object Planner {
     case Variable(v)          => v
     case Prop(Variable(v), k) => s"$v.$k"
     case CountStar            => "count(*)"
+    // a map projection's implicit alias is its subject variable
+    case MapProjection(Variable(v), _) => v
     case Func(n, _, _)        => n
     case _                    => "expr"
   }
@@ -3847,30 +4244,73 @@ object Planner {
     * (list column, per-element lambda bindings, unwrap-to-raw-element). */
   private def elemIter(ctx: Ctx, env: Env, lambdas: Map[String, Column],
       v: String, l: Expr): (Column, Column => Map[String, Column],
-        Option[Column => Column]) = l match {
-    case Func(f @ ("relationships" | "rels" | "nodes"), Seq(Variable(pv)), _)
-        if env.df.exists { df =>
+        Option[Column => Column]) = {
+    // (idsCol, labelsCol, propPrefix, isRel) when `l` is an enriched
+    // entity-id source: nodes(p)/relationships(p) with hydrated parallel
+    // arrays, or an entity-list variable with same
+    def enrichedSrc(x: Expr): Option[(String, String, String, Boolean)] = {
+      def check(base: String, ids: String, isRel: Boolean) = {
+        val lb = if (isRel) s"$base$$reltypes" else s"$base$$nodelabels"
+        val pp = if (isRel) s"$base$$relprop_" else s"$base$$nodeprop_"
+        if (env.df.exists(df => df.columns.contains(lb) ||
+            df.columns.exists(_.startsWith(pp))))
+          Some((ids, lb, pp, isRel))
+        else None
+      }
+      x match {
+        case Func(f @ ("relationships" | "rels" | "nodes"),
+            Seq(Variable(pv)), _) =>
           val isRel = f != "nodes"
-          val lb = if (isRel) s"$pv$$reltypes" else s"$pv$$nodelabels"
-          val pp = if (isRel) s"$pv$$relprop_" else s"$pv$$nodeprop_"
-          df.columns.contains(lb) || df.columns.exists(_.startsWith(pp))
-        } =>
+          check(pv, if (isRel) s"$pv$$rels" else s"$pv$$nodes", isRel)
+        case Variable(lv) => env.binds.get(lv) match {
+          case Some(NodeListVar) => check(lv, lv, isRel = false)
+          case Some(RelListVar)  => check(lv, lv, isRel = true)
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    l match {
+    // reverse/tail over an enriched source: the zipped elements carry
+    // their ORIGINAL position, so parallel-array lookups stay correct
+    case Func("reverse", Seq(inner), _) if enrichedSrc(inner).isDefined =>
+      val (lc, bind, unwrap) = elemIter(ctx, env, lambdas, v, inner)
+      (reverse(lc), bind, unwrap)
+    case Func("tail", Seq(inner), _) if enrichedSrc(inner).isDefined =>
+      val (lc, bind, unwrap) = elemIter(ctx, env, lambdas, v, inner)
+      (slice(lc, lit(2), greatest(size(lc) - 1, lit(0))), bind, unwrap)
+    case src if enrichedSrc(src).isDefined =>
       // elements carry their POSITION so every enriched parallel array
       // (types/labels plus any per-property arrays) resolves per element
-      val isRel = f != "nodes"
+      val (idsCol, labelsCol, propPrefix, isRel) = enrichedSrc(src).get
       val df = env.df.get
-      val idsCol = if (isRel) s"$pv$$rels" else s"$pv$$nodes"
-      val labelsCol = if (isRel) s"$pv$$reltypes" else s"$pv$$nodelabels"
-      val propPrefix = if (isRel) s"$pv$$relprop_" else s"$pv$$nodeprop_"
       val propCols = df.columns.filter(_.startsWith(propPrefix)).toSeq.sorted
       val ids = col(idsCol)
       val listCol = when(size(ids) === 0,
           array().cast("array<struct<id:bigint,pos:int>>"))
         .otherwise(zip_with(ids, sequence(lit(0), size(ids) - 1),
           (i, p) => struct(i.as("id"), p.cast("int").as("pos"))))
+      // lambda-bound columns cannot be typed by dataTypeOf (they reference
+      // namedlambdavariable) — record each bound key's ELEMENT type as a
+      // sentinel entry ("__type:<key>:<ddl>") so type-dispatched operators
+      // (`+` concat-vs-add) resolve inside lambdas too
+      val typeHints: Map[String, Column] = (propCols.flatMap { pc =>
+        df.schema(pc).dataType match {
+          case org.apache.spark.sql.types.ArrayType(et, _) =>
+            Some(s"__type:$v$$${pc.stripPrefix(propPrefix)}:${et.sql}" -> lit(1))
+          case _ => None
+        }
+      } ++ (if (df.columns.contains(labelsCol))
+        df.schema(labelsCol).dataType match {
+          case org.apache.spark.sql.types.ArrayType(et, _) =>
+            Seq(s"__type:$v$$${if (isRel) "type" else "labels"}:${et.sql}" ->
+              lit(1))
+          case _ => Nil
+        }
+      else Nil)).toMap
       val bind: Column => Map[String, Column] = { x =>
         val pos1 = x.getField("pos") + 1
-        Map(v -> x.getField("id")) ++
+        Map(v -> x.getField("id")) ++ typeHints ++
           (if (df.columns.contains(labelsCol))
             Map(s"$v$$${if (isRel) "type" else "labels"}" ->
               element_at(col(labelsCol), pos1))
@@ -3881,7 +4321,7 @@ object Planner {
       (listCol, bind, Some((x: Column) => x.getField("id")))
     case _ =>
       (compile(ctx, env, l, lambdas), x => Map(v -> x), None)
-  }
+  } }
 
   private def compile(ctx: Ctx, env: Env, e: Expr,
       lambdas: Map[String, Column] = Map.empty): Column = {
@@ -3910,6 +4350,42 @@ object Planner {
           }
         }
         array(xs.map(encLit(0)): _*)
+      case ListLit(xs) if xs.nonEmpty =>
+        // general (non-literal) heterogeneous lists — `[partition, matches]`
+        // mixing a string with a list column — can't share one Spark array
+        // type: lift every element into the orderability encoding (same
+        // scheme as mixed literal lists above). Homogeneous / numeric-only
+        // mixes stay native.
+        import org.apache.spark.sql.types._
+        val cols = xs.map(c)
+        val types = cols.map(cc => dataTypeOf(env, cc))
+        lazy val nonNull = types.flatten.filter(_ != NullType).distinct
+        def allNumeric = nonNull.forall(_.isInstanceOf[NumericType])
+        // entity elements keep their ids: a heterogeneous list containing
+        // one compiles to a marker-named struct (`__mix_<i>_<kind>`) the
+        // result layer renders back as a list of entities/values
+        def entKind(x: Expr): Option[String] = x match {
+          case Variable(v) => env.binds.get(v) collect {
+            case NodeVar     => "node"
+            case RelVar      => "rel"
+            case NodeListVar => "nodelist"
+            case RelListVar  => "rellist"
+            case PathVar     => "path"
+          }
+          case _ => None
+        }
+        if (types.forall(_.isDefined) && nonNull.size > 1 && !allNumeric) {
+          if (xs.exists(x => entKind(x).isDefined))
+            struct(xs.zip(cols).zipWithIndex.map { case ((x, cc), i) =>
+              cc.as(s"__mix_${i}_${entKind(x).getOrElse("value")}") }: _*)
+          else {
+            val O = graft.functions.Orderability
+            val enc = types.flatten.zip(cols).map { case (dt, cc) =>
+              O.encodeAny(dt, cc) }
+            if (enc.forall(_.isDefined)) array(enc.flatten: _*)
+            else array(cols: _*)
+          }
+        } else array(cols: _*)
       case ListLit(xs) => array(xs.map(c): _*)
       case MapLit(es) if es.isEmpty => map()
       case MapLit(es) =>
@@ -3953,6 +4429,29 @@ object Planner {
             s"$pv$$${if (f == "nodes") "nodeprop_" else "relprop_"}$k")) =>
         val arr = col(
           s"$pv$$${if (f == "nodes") "nodeprop_" else "relprop_"}$k")
+        try_element_at(arr, lit(if (hl == "head") 1 else -1))
+      // head(reverse(x)).k ≡ last(x).k (and vice versa) — lets the
+      // hydrated-parallel-array cases above/below fire through reverse()
+      case Prop(Func(hl @ ("head" | "last"),
+          Seq(Func("reverse", Seq(inner), _)), _), k) =>
+        c(Prop(Func(if (hl == "head") "last" else "head", Seq(inner)), k))
+      // entity-list variable element property: ns[i].k, head/last(ns).k
+      // over the hydrated per-position property array
+      case Prop(Index(Variable(lv), i), k) if env.binds.get(lv).exists(b =>
+            b == NodeListVar || b == RelListVar) &&
+          env.df.exists(_.columns.contains(s"$lv$$${if (env.binds(lv) ==
+            RelListVar) "relprop_" else "nodeprop_"}$k")) =>
+        val arr = col(s"$lv$$${if (env.binds(lv) == RelListVar) "relprop_"
+          else "nodeprop_"}$k")
+        val ic = c(i)
+        try_element_at(arr, when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
+      case Prop(Func(hl @ ("head" | "last"), Seq(Variable(lv)), _), k)
+          if env.binds.get(lv).exists(b =>
+            b == NodeListVar || b == RelListVar) &&
+          env.df.exists(_.columns.contains(s"$lv$$${if (env.binds(lv) ==
+            RelListVar) "relprop_" else "nodeprop_"}$k")) =>
+        val arr = col(s"$lv$$${if (env.binds(lv) == RelListVar) "relprop_"
+          else "nodeprop_"}$k")
         try_element_at(arr, lit(if (hl == "head") 1 else -1))
       case Prop(Variable(v), k) if env.has(v) &&
           (env.binds(v) == NodeVar || env.binds(v) == RelVar) =>
@@ -4041,8 +4540,41 @@ object Planner {
         // ('a'+1 = 'a1'), list concat/append/prepend, temporal + duration.
         case "+" =>
           val (lc, rc) = (c(l), c(r))
-          val (lt, rt) = (dataTypeOf(env, lc), dataTypeOf(env, rc))
           import org.apache.spark.sql.types._
+          // AST-level fallback for lambda-bound operands (dataTypeOf cannot
+          // select a column referencing namedlambdavariable): literal types
+          // plus the "__type:<key>:<ddl>" sentinels recorded by elemIter /
+          // Reduce
+          def hintType(key: String): Option[DataType] = {
+            val p = s"__type:$key:"
+            lambdas.keys.collectFirst { case s if s.startsWith(p) =>
+              scala.util.Try(DataType.fromDDL(s.drop(p.length))).toOption
+            }.flatten
+          }
+          def astType(x: Expr): Option[DataType] = x match {
+            case Lit(_: String)  => Some(StringType)
+            case Lit(_: Boolean) => Some(BooleanType)
+            case Lit(_: Int) | Lit(_: Long) => Some(LongType)
+            case Lit(_: Double)  => Some(DoubleType)
+            case Variable(vv) if lambdas.contains(vv) => hintType(vv)
+            case Prop(Variable(vv), kk) if lambdas.contains(s"$vv$$$kk") =>
+              hintType(s"$vv$$$kk")
+            case Func("labels", Seq(Variable(vv)), _)
+                if lambdas.contains(s"$vv$$labels") => hintType(s"$vv$$labels")
+            case Func("type", Seq(Variable(vv)), _)
+                if lambdas.contains(s"$vv$$type") => hintType(s"$vv$$type")
+            case Index(b, _) => astType(b).collect {
+              case ArrayType(et, _) => et }
+            case Func("tostring", _, _) => Some(StringType)
+            case BinOp("+", a, b) => (astType(a), astType(b)) match {
+              case (Some(StringType), _) | (_, Some(StringType)) =>
+                Some(StringType)
+              case _ => None
+            }
+            case _ => None
+          }
+          val (lt, rt) = (dataTypeOf(env, lc).orElse(astType(l)),
+            dataTypeOf(env, rc).orElse(astType(r)))
           (lt, rt) match {
             case (Some(StringType), Some(StringType)) => concat(lc, rc)
             case (Some(StringType), Some(_)) => concat(lc, rc.cast("string"))
@@ -4100,8 +4632,25 @@ object Planner {
               case LongType | IntegerType | ShortType | ByteType => true
               case _ => false
             }
-            if (integral(dataTypeOf(env, lc)) && integral(dataTypeOf(env, rc)))
+            val (ltd, rtd) = (dataTypeOf(env, lc), dataTypeOf(env, rc))
+            if (integral(ltd) && integral(rtd))
               call_function("div", lc, rc)
+            else if (ltd.contains(DoubleType) || ltd.contains(FloatType) ||
+                rtd.contains(DoubleType) || rtd.contains(FloatType)) {
+              // FLOAT division follows IEEE 754 (reference DivideExpression
+              // over FloatingPointValue): x/0.0 is ±Infinity, 0.0/0.0 is
+              // NaN — never an error. Spark ANSI raises DIVIDE_BY_ZERO, so
+              // special-case the zero divisor.
+              val dl = lc.cast("double")
+              val dr = rc.cast("double")
+              when(dl.isNull || dr.isNull, lit(null).cast("double"))
+                .when(dr === 0.0,
+                  when(isnan(dl), lit(Double.NaN))
+                    .when(dl > 0.0, lit(Double.PositiveInfinity))
+                    .when(dl < 0.0, lit(Double.NegativeInfinity))
+                    .otherwise(lit(Double.NaN)))
+                .otherwise(dl / dr)
+            }
             else lc / rc
           }
         case "%"  => c(l) % c(r)
@@ -4134,13 +4683,31 @@ object Planner {
               ca.isDefined && ca == cb
             case _ => true // unresolved side: keep the native operator
           }
-          if (sameAtomic && !structured(lt) && !structured(rt)) cmpOp match {
-            case "="  => lc === rc
-            case "<>" => lc =!= rc
-            case "<"  => lc < rc
-            case "<=" => lc <= rc
-            case ">"  => lc > rc
-            case ">=" => lc >= rc
+          if (sameAtomic && !structured(lt) && !structured(rt)) {
+            // IEEE 754 NaN semantics (reference AnyValue comparison for
+            // floats): every comparison with NaN is false, except `<>`
+            // which is true. Spark's native operators treat NaN = NaN as
+            // TRUE and order NaN largest — guard double-typed operands.
+            // The guard composes as a CONJUNCTION with the native operator
+            // (never a CASE around it) so the native predicate still
+            // pushes down to the parquet scan; the !isnan conjunct simply
+            // stays above as a residual filter.
+            val notNaN = Seq(lt -> lc, rt -> rc).collect {
+              case (Some(DoubleType | FloatType), cc) => !isnan(cc)
+            }.reduceOption(_ && _)
+            val isNaN = Seq(lt -> lc, rt -> rc).collect {
+              case (Some(DoubleType | FloatType), cc) => isnan(cc)
+            }.reduceOption(_ || _)
+            def g(native: Column): Column =
+              notNaN.fold(native)(native && _)
+            cmpOp match {
+              case "="  => g(lc === rc)
+              case "<>" => isNaN.fold(lc =!= rc)((lc =!= rc) || _)
+              case "<"  => g(lc < rc)
+              case "<=" => g(lc <= rc)
+              case ">"  => g(lc > rc)
+              case ">=" => g(lc >= rc)
+            }
           } else {
             graft.functions.expressions.CypherCompare.ensureRegistered(ctx.spark)
             call_function("cypher_compare", lc, rc, lit(cmpOp))
@@ -4163,6 +4730,26 @@ object Planner {
         // hydrated labels array; over a RELATIONSHIP variable `r:X` is a
         // type test (reference HasTypes — a rel has exactly one type)
         subject match {
+          // lambda-bound path/list element (`none(rel IN r WHERE rel:X)`):
+          // the per-element type/labels resolve via the enriched arrays
+          case Variable(v) if lambdas.contains(s"$v$$type") =>
+            val typeCol = lambdas(s"$v$$type")
+            dnf.map { conj =>
+              conj.map { a =>
+                val t = if (a.name == "%") typeCol.isNotNull
+                  else typeCol === a.name
+                if (a.negated) !t else t
+              }.reduce(_ && _)
+            }.reduce(_ || _)
+          case Variable(v) if lambdas.contains(s"$v$$labels") =>
+            val labelsCol = lambdas(s"$v$$labels")
+            dnf.map { conj =>
+              conj.map { a =>
+                val t = if (a.name == "%") size(labelsCol) > 0
+                  else array_contains(labelsCol, a.name)
+                if (a.negated) !t else t
+              }.reduce(_ && _)
+            }.reduce(_ || _)
           case Variable(v) if env.has(v) && env.binds(v) == RelVar =>
             val typeCol = col(s"$v$$type")
             dnf.map { conj =>
@@ -4307,8 +4894,14 @@ object Planner {
         }
       case Reduce(acc, init, v, l, step) =>
         val (lc, bind, _) = elemIter(ctx, env, lambdas, v, l)
-        aggregate(lc, c(init), (a, x) =>
-          compile(ctx, env, step, lambdas + (acc -> a) ++ bind(x)))
+        val initC = c(init)
+        // the accumulator's type is the init's type (Spark aggregate()
+        // requires the merge lambda to return it) — hint it so `acc + x`
+        // dispatches to concat for string accumulators
+        val accHint = dataTypeOf(env, initC)
+          .map(dt => s"__type:$acc:${dt.sql}" -> lit(1)).toMap
+        aggregate(lc, initC, (a, x) =>
+          compile(ctx, env, step, lambdas + (acc -> a) ++ accHint ++ bind(x)))
       case ListComprehension(v, l, where, proj) =>
         val (lc0, bind, unwrap) = elemIter(ctx, env, lambdas, v, l)
         var listCol = lc0

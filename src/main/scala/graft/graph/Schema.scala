@@ -81,15 +81,23 @@ object Schema {
     * semantics); existence means IS NOT NULL for every node of the label. */
   def validateConstraint(g: PropertyGraph, c: ConstraintDef): Unit = {
     val scoped = g.nodesByLabel(c.label)
-    def checkUnique(): Unit = {
-      val dups = scoped.filter(col(c.prop).isNotNull)
-        .groupBy(col(c.prop)).agg(count(lit(1)).as("n"))
+    // the STORAGE column of the property (a property named `id` stores
+    // under the escape, PropertyGraph.propCol) — a constraint over a
+    // property the graph has never seen trivially holds (all NULL) for
+    // uniqueness and trivially fails for existence on a non-empty scope
+    val pc = PropertyGraph.propCol(c.prop)
+    val present = scoped.columns.contains(pc)
+    def checkUnique(): Unit = if (present) {
+      val dups = scoped.filter(col(pc).isNotNull)
+        .groupBy(col(pc)).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).count()
       if (dups > 0) throw new IllegalStateException(
         s"constraint ${c.name}: $dups duplicate value(s) of ${c.label}.${c.prop}")
     }
     def checkExists(): Unit = {
-      val nulls = scoped.filter(col(c.prop).isNull).count()
+      val nulls =
+        if (present) scoped.filter(col(pc).isNull).count()
+        else scoped.count()
       if (nulls > 0) throw new IllegalStateException(
         s"constraint ${c.name}: $nulls ${c.label} node(s) missing ${c.prop}")
     }

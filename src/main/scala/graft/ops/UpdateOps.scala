@@ -28,7 +28,15 @@ object UpdateOps {
     * may carry any property, like the reference's schema-free stores;
     * absent properties conform to NULL. */
   def createNodes(g: PropertyGraph, newNodes: DataFrame): PropertyGraph =
-    g.copy(nodes = unionExtending(g.nodes, newNodes))
+    enforced(g.copy(nodes = unionExtending(g.nodes, newNodes)))
+
+  /** Eager constraint enforcement on node writes (reference: a violating
+    * write fails its transaction). A no-op — zero added jobs — unless the
+    * graph actually declares constraints. */
+  private def enforced(g: PropertyGraph): PropertyGraph = {
+    if (g.schema.constraints.nonEmpty) graft.graph.Schema.validate(g)
+    g
+  }
 
   def createRels(g: PropertyGraph, newRels: DataFrame): PropertyGraph =
     g.copy(rels = unionExtending(g.rels, newRels))
@@ -97,9 +105,9 @@ object UpdateOps {
     val withRemove =
       if (remove.isEmpty) withAdd
       else array_except(withAdd, lit(remove.toArray))
-    g.copy(nodes = flagged
+    enforced(g.copy(nodes = flagged
       .withColumn("labels", when(col("__hit"), withRemove).otherwise(col("labels")))
-      .drop("__hit"))
+      .drop("__hit")))
   }
 
   /** SET n.prop = expr for matching ids (SetNodeProperty :3695). */
@@ -123,7 +131,7 @@ object UpdateOps {
     * One left join on id; unmatched target rows keep their values. The
     * general form behind Cypher `SET n.p = <expr over the match row>`. */
   def setNodePropertiesFromSource(g: PropertyGraph, source: DataFrame): PropertyGraph =
-    g.copy(nodes = applySource(g.nodes, source))
+    enforced(g.copy(nodes = applySource(g.nodes, source)))
 
   def setRelPropertiesFromSource(g: PropertyGraph, source: DataFrame): PropertyGraph =
     g.copy(rels = applySource(g.rels, source))

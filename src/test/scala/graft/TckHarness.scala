@@ -477,8 +477,39 @@ object TckHarness {
     }
   }
 
+  /** decode an orderability-encoded value (graft.functions.Orderability
+    * struct {rank,s,b,d,l,repr}) back to a TCK value; the repr text
+    * disambiguates INTEGER from FLOAT (both live in the `d` field). */
+  private def decodeOrd(r: Row): TckV = {
+    val s = r.getAs[String]("s")
+    val b = r.getAs[Any]("b")
+    val d = r.getAs[Any]("d")
+    val l = r.getAs[scala.collection.Seq[Any]]("l")
+    if (s != null) TckStr(s)
+    else if (b != null) TckBool(b.asInstanceOf[Boolean])
+    else if (d != null) {
+      val repr = r.getAs[String]("repr")
+      val dd = d.asInstanceOf[Double]
+      if (repr != null && !repr.exists(ch => ch == '.' || ch == 'e' ||
+        ch == 'E' || ch == 'I' || ch == 'N')) TckInt(dd.toLong)
+      else TckFloat(dd)
+    }
+    else if (l != null) TckList(l.toSeq.map {
+      case rr: Row => decodeOrd(rr)
+      case other   => anyToTck(other)
+    })
+    else TckNull
+  }
+
+  private def isOrdRow(v: Any): Boolean = v match {
+    case r: Row => r.schema != null &&
+      r.schema.fieldNames.toSeq == Seq("rank", "s", "b", "d", "l", "repr")
+    case _ => false
+  }
+
   private def anyToTck(v: Any): TckV = v match {
     case null => TckNull
+    case r: Row if isOrdRow(r) => decodeOrd(r)
     case s: String => TckStr(s)
     case b: Boolean => TckBool(b)
     case b: java.lang.Boolean => TckBool(b)
@@ -501,6 +532,24 @@ object TckHarness {
     case null => TckNull
     case n: Long if hint == HNode => ctx.node(n)
     case n: Long if hint == HRel => ctx.rel(n)
+    // marker-named struct for a heterogeneous list holding entities
+    // (`__mix_<i>_<kind>` fields, Planner ListLit): render as a list
+    case r: Row if r.schema != null && r.schema.fieldNames.nonEmpty &&
+        r.schema.fieldNames.forall(_.startsWith("__mix_")) =>
+      TckList(r.schema.fieldNames.toSeq.map { fn =>
+        val x = r.getAs[Any](fn)
+        val kind = fn.substring(fn.lastIndexOf('_') + 1)
+        if (x == null) TckNull
+        else kind match {
+          case "node" => ctx.node(x.asInstanceOf[Long])
+          case "rel"  => ctx.rel(x.asInstanceOf[Long])
+          case "nodelist" => TckList(x.asInstanceOf[scala.collection.Seq[Any]]
+            .toSeq.map(i => ctx.node(i.asInstanceOf[Long])))
+          case "rellist" => TckList(x.asInstanceOf[scala.collection.Seq[Any]]
+            .toSeq.map(i => ctx.rel(i.asInstanceOf[Long])))
+          case _ => gotToTck(x, HNone, ctx)
+        }
+      })
     case r: Row if r.schema != null &&
         r.schema.fieldNames.toSeq == Seq("nodes", "rels", "length") =>
       val ns = Option(r.getAs[scala.collection.Seq[Long]]("nodes"))
