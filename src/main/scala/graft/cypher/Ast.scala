@@ -118,7 +118,11 @@ object Ast {
       // reference NFA.scala general regular path patterns): each branch is
       // a fixed-hop chain; varLength carries the group quantifier (counted
       // in branch traversals, not rels).
-      branches: Option[Seq[Seq[(RelPattern, NodePattern)]]] = None)
+      branches: Option[Seq[Seq[(RelPattern, NodePattern)]]] = None,
+      // constrained LEADING node of a quantified group
+      // (`((x:A)-->(y))+`): every traversal's start node must satisfy it
+      // (reference NFA per-state predicates)
+      headNode: Option[NodePattern] = None)
 
   /** A linear path: node (rel node)*. `name` carries a path-variable binding
     * `p = (a)-[r]->(b)` (reference front-end projectNamedPaths rewriter /

@@ -563,7 +563,9 @@ object CypherParser extends RegexParsers {
       case (x ~ chain ~ w) ~ q ~ nextOpt =>
         val next = nextOpt.getOrElse(NodePattern(None, Nil, Nil))
         val (r0, y0) = chain.head
-        val simpleInner = chain.size == 1 && w.isEmpty &&
+        val xPlain = x.labels.isEmpty && x.labelExpr.isEmpty &&
+          x.props.isEmpty && x.where.isEmpty
+        val simpleInner = chain.size == 1 && w.isEmpty && xPlain &&
           r0.varLength.isEmpty && y0.labels.isEmpty && y0.labelExpr.isEmpty &&
           y0.props.isEmpty && y0.where.isEmpty
         if (simpleInner) {
@@ -576,32 +578,40 @@ object CypherParser extends RegexParsers {
           // multi-hop chains and constrained interior nodes compile as a
           // SINGLE-BRANCH alternation: whole-chain composite edges with
           // per-hop boundary constraints (labels/props/inline WHERE on
-          // interior nodes ride on the chain's node patterns)
-          require(x.labels.isEmpty && x.labelExpr.isEmpty &&
-            x.props.isEmpty && x.where.isEmpty,
-            "a quantified group's LEADING node pattern takes no " +
-              "constraints (constrain interior/boundary nodes instead)")
+          // interior nodes ride on the chain's node patterns); a
+          // constrained LEADING node rides on headNode and filters each
+          // traversal's start
           chain.foreach { case (r, _) =>
             require(r.varLength.forall(_._2.isDefined),
               "var-length hops inside a quantified group need a bounded " +
                 "upper end")
           }
           // a trailing group WHERE naming only the LAST inner node folds
-          // into that node's inline predicate
+          // into that node's inline predicate; one naming only the HEAD
+          // folds into the leading node (applied per iteration start)
+          var x2 = x
           val chain2 = w match {
             case None => chain
             case Some(pred) =>
               val lastVar = chain.last._2.variable
-              require(lastVar.isDefined &&
-                exprIdents(pred).subsetOf(Set(lastVar.get)),
+              val idents = exprIdents(pred)
+              if (lastVar.isDefined && idents.subsetOf(Set(lastVar.get)))
+                chain.init :+ (chain.last._1,
+                  chain.last._2.copy(where = Some(pred)))
+              else if (x.variable.isDefined &&
+                  idents.subsetOf(Set(x.variable.get))) {
+                x2 = x.copy(where = Some(
+                  x.where.fold(pred)(w0 => BinOp("AND", w0, pred))))
+                chain
+              } else throw new IllegalArgumentException(
                 "a quantified group WHERE may reference only the group's " +
-                  "final node variable (cross-iteration predicates are " +
-                  "not supported)")
-              chain.init :+ (chain.last._1,
-                chain.last._2.copy(where = Some(pred)))
+                  "head or final node variable (cross-iteration " +
+                  "predicates are not supported)")
           }
           ((RelPattern(None, Seq.empty, Out, Some(q), Seq.empty,
-            branches = Some(Seq(chain2))), next), nextOpt.isDefined)
+            branches = Some(Seq(chain2)),
+            headNode = Some(x2)), next),
+            nextOpt.isDefined)
         }
     }
 
@@ -618,6 +628,13 @@ object CypherParser extends RegexParsers {
     case StringPred(_, l, r) => exprIdents(l) ++ exprIdents(r)
     case ListLit(xs)       => xs.flatMap(exprIdents).toSet
     case Index(b, i)       => exprIdents(b) ++ exprIdents(i)
+    // a pattern predicate references its pattern's named elements (anon
+    // and locally-introduced ones over-approximate, which only makes the
+    // head/tail fold more conservative)
+    case PatternExists(p, w, _) =>
+      ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
+        p.hops.flatMap(_._1.variable)).toSet ++
+        w.map(exprIdents).getOrElse(Set.empty)
     case _                 => Set.empty
   }
 

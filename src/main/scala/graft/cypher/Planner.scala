@@ -71,6 +71,10 @@ object Planner {
     var txCommit: PropertyGraph => PropertyGraph = Planner.defaultTxCommit
     /** stable per-plan seed for created-entity id hashing */
     val runTag: String = java.util.UUID.randomUUID().toString
+    /** rel variables DERIVED as slices of another rel array (quantified
+      * group slots): exempt from the pairwise uniqueness predicates — they
+      * overlap their source by construction */
+    val relUniqExempt = scala.collection.mutable.Set.empty[String]
     /** count-store label cardinalities, computed at most once per plan —
       * drives scan-side selection for doubly-unbound labeled paths */
     lazy val labelCounts: Map[String, Long] =
@@ -1337,7 +1341,7 @@ object Planner {
         val s = lowerSelectorWhere(ctx, cur.has, s0, pending)
         cur = planShortest(ctx, cur, s)
       }
-      cur = applyUniqueness(cur, relVarsBefore)
+      cur = applyUniqueness(ctx, cur, relVarsBefore)
       val rest = pending.conjs
       pending.conjs = Nil
       rest.foreach { c => cur = applyWhere(ctx, cur, c) }
@@ -1865,8 +1869,12 @@ object Planner {
         case Some(bs) =>
           // alternation between path shapes: each branch compiles to a
           // composite edge relation (whole-branch traversals); their union
-          // is the segment's edge set, quantified in branch traversals
-          val comp = bs.map(branchEdges(ctx, _)).reduce(_ unionByName _)
+          // is the segment's edge set, quantified in branch traversals.
+          // A constrained LEADING node filters each traversal's start.
+          val comp0 = bs.map(branchEdges(ctx, _)).reduce(_ unionByName _)
+          val comp = r.headNode.flatMap(hn => boundarySet(ctx, hn))
+            .fold(comp0)(b => comp0.join(
+              b.withColumnRenamed("id", "__es"), Seq("__es"), "left_semi"))
           graft.ops.Trail.PathSegment(comp, mn, mx, bnd, composite = true)
         case None =>
           // a plain one-hop quantified group `((a)-[r]->(b))+` inside a
@@ -2020,7 +2028,14 @@ object Planner {
       case None => Some(nodeScan(ctx, n).select("id"))
       case Some(w) =>
         val v = n.variable.getOrElse(ctx.fresh("bn"))
-        val scan = hydrated(ctx, nodeScan(ctx, n), v, ctx.g.nodes.columns.toSet)
+        // hydrate EVERY property for the inline WHERE: ctx.needed may not
+        // track variables that exist only inside a quantified group's
+        // head (headNode is outside the neededProps walk); Catalyst prunes
+        // the unreferenced columns out of the scan anyway
+        val scan = nodeScan(ctx, n).select((col("id").as(v) +:
+          col("labels").as(s"$v$$labels") +:
+          ctx.g.nodes.columns.filterNot(c => c == "id" || c == "labels")
+            .toSeq.sorted.map(c => col(c).as(s"$v$$${colProp(c)}"))): _*)
         val mini = Env(Some(scan), Map(v -> NodeVar))
         // applyWhere (not bare compile): inline WHEREs may be pattern
         // predicates (`(v)-->(:N)`) that lower to semi-joins
@@ -2057,7 +2072,7 @@ object Planner {
         case Out => Direction.Out; case In => Direction.In
         case Both => Direction.Both
       }
-      val e = orientTyped(ctx.g, r.types, dir, pre)
+      val e = orientTyped(ctx.g, r.types, dir, pre, stepFilteredRels(ctx, r))
         .select(col("id").as("__r"), col("src").as("__s"), col("dst").as("__d"))
       val (min, max) = r.varLength match {
         case None => (1, 1)
@@ -2121,9 +2136,9 @@ object Planner {
   /** Relationship uniqueness across all rel variables bound by this MATCH
     * clause (reference front-end AddUniquenessPredicates.scala): pairwise
     * `<>` for fixed rels, array-containment for var-length groups. */
-  private def applyUniqueness(env: Env, before: Set[String]): Env = {
+  private def applyUniqueness(ctx: Ctx, env: Env, before: Set[String]): Env = {
     val df = env.df.getOrElse(return env)
-    val fresh = (relVars(env) -- before).toSeq.sorted
+    val fresh = (relVars(env) -- before -- ctx.relUniqExempt).toSeq.sorted
     val fixed = fresh.filter(v => env.binds(v) == RelVar)
     val lists = fresh.filter(v => env.binds(v) == RelListVar)
     val preds =
@@ -2200,7 +2215,7 @@ object Planner {
       var sub = planPath(ctx, base, p)
       // relationship uniqueness holds INSIDE a pattern predicate too
       // (reference AddUniquenessPredicates covers subquery expressions)
-      sub = applyUniqueness(sub, relsBefore)
+      sub = applyUniqueness(ctx, sub, relsBefore)
       w.foreach { pred => sub = applyWhere(ctx, sub, pred) }
       // join back on entity identity only (the reference's SemiApply keys on
       // ids): hydrated `v$prop` columns can be NULL and using-joins are
@@ -2479,7 +2494,7 @@ object Planner {
         env.binds.view.filterKeys(refs.contains).toMap)
     val relsBefore = relVars(base)
     var sub = planPath(ctx, base, p)
-    sub = applyUniqueness(sub, relsBefore)
+    sub = applyUniqueness(ctx, sub, relsBefore)
     where.foreach { w => sub = applyWhere(ctx, sub, w) }
     // semi/anti-join on the variable ids only: `v$prop` hydrated columns may
     // be NULL (union schema across labels) and using-joins are null-unsafe
@@ -2624,7 +2639,7 @@ object Planner {
       val sp2 = lowerSelectorWhere(ctx, sub.has, sp, pending)
       sub = planShortest(ctx, sub, sp2)
     }
-    sub = applyUniqueness(sub, relVarsBefore)
+    sub = applyUniqueness(ctx, sub, relVarsBefore)
     val rest = pending.conjs
     pending.conjs = Nil
     rest.foreach { pred => sub = applyWhere(ctx, sub, pred) }
@@ -3063,10 +3078,58 @@ object Planner {
       rel: RelPattern, node: NodePattern,
       pathNodesAlias: Option[String]): (Env, String) = {
     val (min, maxOpt) = rel.varLength.getOrElse((1, Some(1)))
-    val max = maxOpt.getOrElse(throw new IllegalArgumentException(
-      "a quantified composite group needs a bounded upper end"))
-    val comp = rel.branches.get.map(branchEdges(ctx, _))
-      .reduce(_ unionByName _).localCheckpoint(false)
+    // an UNBOUNDED group (`(()-->(:A)-->(:B))*`) iterates until the
+    // frontier exhausts: rel-uniqueness consumes at least one distinct rel
+    // per traversal, so the loop terminates within |rels| levels — each
+    // level is checkpointed and probed (one small job per level, the
+    // frontier-BFS pattern)
+    val unbounded = maxOpt.isEmpty
+    val max = maxOpt.getOrElse(Int.MaxValue)
+    val comp0 = rel.branches.get.map(branchEdges(ctx, _))
+      .reduce(_ unionByName _)
+    // inner GROUP variables of a single-branch fixed chain
+    // (`((a)-[r]->(b)-[s]->(c))+ … RETURN a, r, b`): each bind to the
+    // per-iteration array of its slot. (var, hopIdx, isRel); the leading
+    // node's variable binds to the iteration-start array. A variable
+    // repeated at several positions is an intra-iteration equijoin.
+    val singleFixedChain = rel.branches.get match {
+      case Seq(chain) if chain.forall(_._1.varLength.isEmpty) => Some(chain)
+      case _ => None
+    }
+    val headVar = rel.headNode.flatMap(_.variable)
+      .filterNot(v => env.has(v))
+    val innerSlots: Seq[(String, Int, Boolean)] = singleFixedChain match {
+      case None => Nil
+      case Some(chain) => chain.zipWithIndex.flatMap { case ((r2, n2), i) =>
+        r2.variable.filterNot(env.has).map((_, i, true)).toSeq ++
+          n2.variable.filterNot(env.has).map((_, i, false)).toSeq
+      }
+    }
+    // intra-iteration variable reuse: equality filters on the composite rows
+    def slotCol(idx: Int, isRel: Boolean): Column =
+      if (isRel) element_at(col("__ers"), idx + 1)
+      else element_at(col("__ens"), idx + 1)
+    val eqFilters: Seq[Column] = {
+      val positions = (headVar.map(v => v -> (col("__es"): Column)).toSeq ++
+        innerSlots.map { case (v, i, isRel) => v -> slotCol(i, isRel) })
+      positions.groupBy(_._1).values.flatMap { occ =>
+        occ.tail.map(o => occ.head._2 === o._2)
+      }.toSeq
+    }
+    // constrained LEADING node: every traversal's start must satisfy it
+    val comp1 = rel.headNode.filter(hn => hn.labels.nonEmpty ||
+        hn.labelExpr.nonEmpty || hn.props.nonEmpty || hn.where.nonEmpty)
+      .flatMap(hn => boundarySet(ctx, hn)).fold(comp0)(
+        b => comp0.join(b.withColumnRenamed("id", "__es"), Seq("__es"),
+          "left_semi"))
+    val comp = eqFilters.foldLeft(comp1)(_ filter _).localCheckpoint(false)
+    // first-occurrence slot per group variable (binds below)
+    val groupBindSlots: Seq[(String, Option[(Int, Boolean)])] =
+      (headVar.map(_ -> None).toSeq ++
+        innerSlots.map { case (v, i, isRel) => v -> Some((i, isRel)) })
+        .foldLeft(Seq.empty[(String, Option[(Int, Boolean)])]) { (acc, e) =>
+          if (acc.exists(_._1 == e._1)) acc else acc :+ e
+        }
     val toBound = node.variable.exists(env.has)
     val toVar = node.variable.getOrElse(ctx.fresh("n"))
     val relVar = rel.variable.getOrElse(ctx.fresh("r"))
@@ -3075,19 +3138,35 @@ object Planner {
       .withColumn("__cto", col(fromVar))
       .withColumn(relVar, array().cast("array<long>"))
       .withColumn(nodesCol, array(col(fromVar)))
+    groupBindSlots.foreach { case (v, _) =>
+      level = level.withColumn(v, array().cast("array<long>"))
+    }
     val outs = Seq.newBuilder[DataFrame]
     outs += level.filter(lit(false))
     if (min == 0) outs += level
     var k = 1
-    while (k <= max) {
-      level = level
+    var exhausted = false
+    while (k <= max && !exhausted) {
+      var next = level
         .join(comp, col("__cto") === col("__es") &&
           !arrays_overlap(col(relVar), col("__ers")))
+      groupBindSlots.foreach { case (v, slot) =>
+        val elem = slot match {
+          case None                => col("__cto") // iteration start
+          case Some((idx, isRel))  => slotCol(idx, isRel)
+        }
+        next = next.withColumn(v, concat(col(v), array(elem)))
+      }
+      level = next
         .withColumn(relVar, concat(col(relVar), col("__ers")))
         .withColumn(nodesCol, concat(col(nodesCol), col("__ens")))
         .withColumn("__cto", col("__ed"))
         .drop("__es", "__ed", "__ers", "__ens", "__elen")
-      if (k >= min) outs += level
+      if (unbounded) {
+        level = level.freshCkpt()
+        exhausted = level.isEmpty
+      }
+      if (!exhausted && k >= min) outs += level
       k += 1
     }
     var expanded = outs.result().reduce(_ unionByName _)
@@ -3095,7 +3174,11 @@ object Planner {
       case Some(a) => expanded.withColumnRenamed(nodesCol, a)
       case None    => expanded.drop(nodesCol)
     }
-    var out = Env(Some(expanded), env.binds + (relVar -> RelListVar))
+    ctx.relUniqExempt ++= groupBindSlots.collect {
+      case (v, Some((_, true))) => v } // slices of relVar, not new rels
+    var out = Env(Some(expanded), env.binds + (relVar -> RelListVar) ++
+      groupBindSlots.map { case (v, slot) =>
+        v -> (if (slot.exists(_._2)) RelListVar else NodeListVar: Binding) })
     if (toBound) {
       require(env.binds(node.variable.get) == NodeVar,
         s"${node.variable.get} is not a node variable")
@@ -3357,12 +3440,12 @@ object Planner {
             xVar.foreach { v =>
               out = out.withColumn(v,
                 slice(col(nodesCol), lit(1), greatest(size(col(nodesCol)) - 1, lit(0))))
-              binds += (v -> ValueVar)
+              binds += (v -> NodeListVar)
             }
             yVar.foreach { v =>
               out = out.withColumn(v,
                 slice(col(nodesCol), lit(2), greatest(size(col(nodesCol)) - 1, lit(0))))
-              binds += (v -> ValueVar)
+              binds += (v -> NodeListVar)
             }
             Env(Some(out.drop(nodesCol)), binds)
         }
@@ -5215,6 +5298,23 @@ object Planner {
           case None =>
             import org.apache.spark.sql.types._
             env.df.map(_.select(a0).schema.head.dataType) match {
+              // orderability-ENCODED value (mixed-typed UNWIND/CASE/list
+              // element): the dynamic type dispatches on the populated
+              // field; repr distinguishes INTEGER from FLOAT
+              case Some(st: StructType)
+                  if graft.functions.Orderability.isEncoded(st) =>
+                when(a0.isNull, lit("NULL"))
+                  .when(a0.getField("s").isNotNull, lit("STRING NOT NULL"))
+                  .when(a0.getField("b").isNotNull, lit("BOOLEAN NOT NULL"))
+                  .when(a0.getField("d").isNotNull,
+                    when(a0.getField("repr").rlike("^-?[0-9]+$"),
+                      lit("INTEGER NOT NULL"))
+                      .otherwise(lit("FLOAT NOT NULL")))
+                  .when(a0.getField("l").isNotNull,
+                    when(size(a0.getField("l")) === 0,
+                      lit("LIST<NOTHING> NOT NULL"))
+                      .otherwise(lit("LIST<ANY NOT NULL> NOT NULL")))
+                  .otherwise(lit("NULL"))
               case Some(ArrayType(et, _)) =>
                 val en = cypherTypeName(et)
                 when(a0.isNull, lit("NULL"))

@@ -317,6 +317,55 @@ object CypherQueries {
       """SELECT (SELECT count(*) FROM customer WHERE c_custkey < 30) +
         |  (SELECT count(*) FROM supplier WHERE s_suppkey < 30) AS n""".stripMargin),
 
+    // Selector leg relationship variables (reference: quantified-leg group
+    // variables bind per matched path) + indexed path-element property
+    // reads: `r` binds the whole rel array of the single quantified leg,
+    // nodes(p)[-1] reads the far end's property.
+    cq("q_cypher_selector_legvars",
+      """MATCH p = ANY SHORTEST (c:Customer)-[r:FROM|IN_REGION]->+(x:Region)
+        |WHERE c.key < 30
+        |RETURN c.key AS ckey, size(r) AS hops,
+        |       nodes(p)[-1].name AS rname""".stripMargin,
+      """SELECT c_custkey AS ckey, 2 AS hops, r_name AS rname
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_custkey < 30""".stripMargin),
+
+    // Entity-list variables through projections (NodeListVar): nodes(p)
+    // aliased by WITH, then indexed / head(reverse(..)) property access
+    // hydrates per-position parallel arrays.
+    cq("q_cypher_nodeslist",
+      """MATCH p = (c:Customer)-[:FROM]->(:Nation)-[:IN_REGION]->(:Region)
+        |WHERE c.key < 30
+        |WITH nodes(p) AS ns, c.key AS ckey
+        |RETURN ckey, ns[1].name AS nation,
+        |       head(reverse(ns)).name AS region""".stripMargin,
+      """SELECT c_custkey AS ckey, n_name AS nation, r_name AS region
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_custkey < 30""".stripMargin),
+
+    // Whole-pattern MERGE with an UNBOUND endpoint (reference MergePipe,
+    // MergeLegacyAcceptance "Using a single bound node"): the first MERGE
+    // creates one Audit node + rel per input row; re-running it matches
+    // what was created (per-row read-own-writes), creating nothing new.
+    QueryDef("q_merge_unbound",
+      (s, d) => {
+        val g = TpchGraph.load(s, d)
+        val merge =
+          "MATCH (c:Customer) WHERE c.key <= 4 MERGE (c)-[:AUDITED]->(a:Audit)"
+        val (g2, _) = Cypher.execute(s, g, merge)
+        val (g3, _) = Cypher.execute(s, g2, merge) // idempotent re-run
+        val (_, res) = Cypher.execute(s, g3,
+          "MATCH (:Customer)-[r:AUDITED]->(x:Audit) " +
+            "RETURN count(r) AS rels, count(DISTINCT x) AS audits")
+        res.get
+      },
+      Some("""SELECT count(*) AS rels, count(*) AS audits
+             |FROM customer WHERE c_custkey <= 4""".stripMargin)),
+
     // Schema commands (reference SchemaLogicalPlan.scala): CREATE
     // CONSTRAINT validates the data (nation names are unique), CREATE INDEX
     // records the layout, SHOW surfaces the catalog.
