@@ -47,7 +47,11 @@ object Ast {
   final case class Slice(list: Expr, from: Option[Expr], to: Option[Expr]) extends Expr
   /** `EXISTS { MATCH <pattern> [WHERE …] }` / bare pattern predicate in WHERE. */
   final case class PatternExists(pattern: PathPattern, where: Option[Expr],
-      negated: Boolean) extends Expr
+      negated: Boolean,
+      // bare = written as a BARE pattern in expression position (not an
+      // explicit EXISTS{…}/EXISTS()): value positions read it as the list
+      // of matched paths and it may not introduce new variables
+      bare: Boolean = false) extends Expr
   /** `COUNT { <pattern> [WHERE …] }` subquery expression
     * (NestedPlanExpression in the reference). */
   final case class PatternCount(pattern: PathPattern, where: Option[Expr]) extends Expr
@@ -190,7 +194,11 @@ object Ast {
   /** `FINISH` (reference finishClause, GQL): explicit no-result terminator —
     * the query executes (including writes) and returns zero rows. */
   final case class FinishClause() extends Clause
-  final case class CreateClause(patterns: Seq[PathPattern]) extends Clause
+  /** `insert = true` for the GQL `INSERT` spelling: same surface, stricter
+    * error contract (directed relationships only, no re-use of bound
+    * variables — reference insertClause semantics). */
+  final case class CreateClause(patterns: Seq[PathPattern],
+      insert: Boolean = false) extends Clause
   final case class MergeClause(pattern: PathPattern, onMatch: Seq[SetItem],
       onCreate: Seq[SetItem]) extends Clause
   final case class SetClause(items: Seq[SetItem]) extends Clause

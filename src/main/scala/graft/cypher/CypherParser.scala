@@ -22,52 +22,58 @@ object CypherParser extends RegexParsers {
   //   axis 2: legacy var-length (`*m..n`) with QPP quantifiers ({m,n} + *)
   //   axis 3: legacy shortestPath()/allShortestPaths() with GQL selectors
   //           or QPP quantifiers
-  // Parse-time flags, reset per parse() call (parsing is single-threaded
-  // per query).
+  // Parse-time GPM syntax-mixing flags, reset per top-level clause. Held
+  // in a PER-THREAD context (not fields on this singleton object):
+  // concurrent parse() calls from different threads would otherwise
+  // interleave flag updates, producing spurious 'syntax mixing' errors or
+  // silently missing required ones.
   // label-axis flags are PARTITIONED by usage (reference
   // checkIfMixingLabelExpressionWithOldSyntax): legacy/GPM conflict only
   // within the READ partition (MATCH patterns, predicates) or within the
   // WRITE partition (CREATE/SET/REMOVE); MERGE contributes to both.
-  private var mixUsage = 1 // bitmask: 1=read, 2=write
-  private var mixColonConjR = false
-  private var mixColonConjW = false
-  private var mixGpmLabelsR = false
-  private var mixGpmLabelsW = false
-  private var mixVarLength = false
-  private var mixQpp = false
-  private var mixLegacyShortest = false
-  private var mixSelector = false
+  private final class MixCtx {
+    var usage = 1 // bitmask: 1=read, 2=write
+    var colonConjR = false; var colonConjW = false
+    var gpmLabelsR = false; var gpmLabelsW = false
+    var varLength = false; var qpp = false
+    var legacyShortest = false; var selector = false
+    var depth = 0
+    var suppressVarLen = false
+  }
+  private val mixCtx: ThreadLocal[MixCtx] =
+    ThreadLocal.withInitial(() => new MixCtx)
+  private def mix: MixCtx = mixCtx.get()
   private def markColonConj(): Unit = {
-    if ((mixUsage & 1) != 0) mixColonConjR = true
-    if ((mixUsage & 2) != 0) mixColonConjW = true
+    if ((mix.usage & 1) != 0) mix.colonConjR = true
+    if ((mix.usage & 2) != 0) mix.colonConjW = true
   }
   private def markGpmLabels(): Unit = {
-    if ((mixUsage & 1) != 0) mixGpmLabelsR = true
-    if ((mixUsage & 2) != 0) mixGpmLabelsW = true
+    if ((mix.usage & 1) != 0) mix.gpmLabelsR = true
+    if ((mix.usage & 2) != 0) mix.gpmLabelsW = true
   }
   /** run `p` with the label-usage context set to `usage` */
   private def inUsage[T](usage: Int)(p: => Parser[T]): Parser[T] =
     Parser { in =>
-      val saved = mixUsage
-      mixUsage = usage
-      try p(in) finally mixUsage = saved
+      val saved = mix.usage
+      mix.usage = usage
+      try p(in) finally mix.usage = saved
     }
   private def resetMixFlags(): Unit = {
-    mixUsage = 1
-    mixColonConjR = false; mixColonConjW = false
-    mixGpmLabelsR = false; mixGpmLabelsW = false
-    mixVarLength = false; mixQpp = false
-    mixLegacyShortest = false; mixSelector = false
+    mix.usage = 1
+    mix.colonConjR = false; mix.colonConjW = false
+    mix.gpmLabelsR = false; mix.gpmLabelsW = false
+    mix.varLength = false; mix.qpp = false
+    mix.legacyShortest = false; mix.selector = false
   }
   private def checkMixFlags(): Unit = {
-    if ((mixColonConjR && mixGpmLabelsR) || (mixColonConjW && mixGpmLabelsW))
+    if ((mix.colonConjR && mix.gpmLabelsR) || (mix.colonConjW && mix.gpmLabelsW))
       throw new IllegalArgumentException(
         "syntax mixing: `:` label conjunction cannot be combined with GPM " +
           "label expression syntax (&, !, %, |, IS) in the same statement")
-    if (mixVarLength && mixQpp) throw new IllegalArgumentException(
+    if (mix.varLength && mix.qpp) throw new IllegalArgumentException(
       "syntax mixing: var-length relationships (`*m..n`) cannot be " +
         "combined with quantified path patterns in the same statement")
-    if (mixLegacyShortest && mixSelector)
+    if (mix.legacyShortest && mix.selector)
       throw new IllegalArgumentException(
         "syntax mixing: shortestPath()/allShortestPaths() cannot be " +
           "combined with path selectors or explicit match modes")
@@ -114,16 +120,24 @@ object CypherParser extends RegexParsers {
 
   // ---- literals ---------------------------------------------------------
 
+  // underscores as digit-group separators (reference Cypher 5 lexer,
+  // LiteralAcceptance): single `_` BETWEEN digits (and directly after the
+  // 0x/0o radix prefix); leading/trailing/doubled underscores and `E_1`
+  // stay unmatched, so those literals fail to parse, as required
+  private def deUnderscore(s: String): String = s.replace("_", "")
   private def numberLit: Parser[Expr] =
-    """-?0[xX][0-9a-fA-F]+""".r ^^ (s =>
-      Lit(java.lang.Long.parseLong(s.replaceFirst("0[xX]", ""), 16) *
+    """-?0[xX]_?[0-9a-fA-F](_?[0-9a-fA-F])*""".r ^^ (s =>
+      Lit(java.lang.Long.parseLong(
+        deUnderscore(s).replaceFirst("0[xX]", ""), 16) *
         (if (s.startsWith("-")) -1L else 1L))) |
-    """-?0[oO][0-7]+""".r ^^ (s =>
-      Lit(java.lang.Long.parseLong(s.replaceFirst("0[oO]", ""), 8) *
+    """-?0[oO]_?[0-7](_?[0-7])*""".r ^^ (s =>
+      Lit(java.lang.Long.parseLong(
+        deUnderscore(s).replaceFirst("0[oO]", ""), 8) *
         (if (s.startsWith("-")) -1L else 1L))) |
-    """-?\d+\.\d+([eE][+-]?\d+)?""".r ^^ (s => Lit(s.toDouble)) |
-    """-?\d+[eE][+-]?\d+""".r ^^ (s => Lit(s.toDouble)) |
-    """-?\d+""".r ^^ (s => Lit(s.toLong))
+    """-?\d(_?\d)*\.\d(_?\d)*([eE][+-]?\d(_?\d)*)?""".r ^^ (s =>
+      Lit(deUnderscore(s).toDouble)) |
+    """-?\d(_?\d)*[eE][+-]?\d(_?\d)*""".r ^^ (s => Lit(deUnderscore(s).toDouble)) |
+    """-?\d(_?\d)*""".r ^^ (s => Lit(deUnderscore(s).toLong))
 
   // doubled quotes ('' / "") are the in-kind escape, as in the reference
   private def stringLit: Parser[Expr] =
@@ -202,18 +216,33 @@ object CypherParser extends RegexParsers {
     (K("ZONED") ~ "(?i)datetime\\b".r) ^^ (_ => "ZONED DATETIME") |
     "[a-zA-Z]+".r ^^ (_.toUpperCase)
 
+  /** `IS [NOT] [NFC|NFD|NFKC|NFKD] NORMALIZED` (reference
+    * normalizeFunction rewrite: desugars to `e = normalize(e, form)`). */
+  private def normalizedPred: Parser[Expr => Expr] =
+    (K("IS") ~> opt(K("NOT")) ~
+        opt(K("NFKC") | K("NFKD") | K("NFC") | K("NFD")) <~ K("NORMALIZED")) ^^ {
+      case n ~ f => (e: Expr) => {
+        val eq = BinOp("=", e,
+          Func("normalize", Seq(e, Lit(f.getOrElse("NFC")))))
+        if (n.isDefined) UnaryOp("NOT", eq) else eq
+      }
+    }
+
   /** IN / STARTS WITH / ENDS WITH / CONTAINS / IS [NOT] NULL / IS [NOT] ::
-    * postfixes. */
+    * / IS [NOT] TYPED / bare :: / IS [NOT] NORMALIZED postfixes. */
   private def postfixPred: Parser[Expr] =
     addExpr ~ rep(
       K("IN") ~> addExpr ^^ (r => (e: Expr) => BinOp("IN", e, r)) |
       (K("STARTS") ~ K("WITH")) ~> addExpr ^^ (r => (e: Expr) => StringPred("STARTS WITH", e, r)) |
       (K("ENDS") ~ K("WITH")) ~> addExpr ^^ (r => (e: Expr) => StringPred("ENDS WITH", e, r)) |
       K("CONTAINS") ~> addExpr ^^ (r => (e: Expr) => StringPred("CONTAINS", e, r)) |
-      ((K("IS") ~ K("NOT") ~ "::") ~> typeSpec) ^^ (
+      ((K("IS") ~ K("NOT") ~ ("::" | K("TYPED"))) ~> typeSpec) ^^ (
         t => (e: Expr) => TypePredicate(e, t._1, t._2, negated = true)) |
-      ((K("IS") ~ "::") ~> typeSpec) ^^ (
+      ((K("IS") ~ ("::" | K("TYPED"))) ~> typeSpec) ^^ (
         t => (e: Expr) => TypePredicate(e, t._1, t._2, negated = false)) |
+      ("::" ~> typeSpec) ^^ (
+        t => (e: Expr) => TypePredicate(e, t._1, t._2, negated = false)) |
+      normalizedPred |
       (K("IS") ~ K("NOT") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = true)) |
       (K("IS") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = false)) |
       // `n:Label` / `n:A|B&!C` label-expression predicate (HasLabels)
@@ -271,9 +300,12 @@ object CypherParser extends RegexParsers {
   private def extWhenAlt: Parser[Expr => Expr] =
     (K("IS") ~ K("NOT") ~ K("NULL")) ^^ (_ => (s: Expr) => IsNull(s, negated = true)) |
     (K("IS") ~ K("NULL")) ^^ (_ => (s: Expr) => IsNull(s, negated = false)) |
-    ((K("IS") ~ K("NOT") ~ "::") ~> typeSpec) ^^ (
+    normalizedPred |
+    ((K("IS") ~ K("NOT") ~ ("::" | K("TYPED"))) ~> typeSpec) ^^ (
       t => (s: Expr) => TypePredicate(s, t._1, t._2, negated = true)) |
-    ((K("IS") ~ "::") ~> typeSpec) ^^ (
+    ((K("IS") ~ ("::" | K("TYPED"))) ~> typeSpec) ^^ (
+      t => (s: Expr) => TypePredicate(s, t._1, t._2, negated = false)) |
+    ("::" ~> typeSpec) ^^ (
       t => (s: Expr) => TypePredicate(s, t._1, t._2, negated = false)) |
     (K("STARTS") ~ K("WITH")) ~> addExpr ^^ (
       r => (s: Expr) => StringPred("STARTS WITH", s, r)) |
@@ -341,11 +373,14 @@ object CypherParser extends RegexParsers {
     }
 
   /** `[(a)-[:T]->(b) WHERE … | expr]` — starts with a node pattern, which
-    * disambiguates it from list literals/comprehensions. */
+    * disambiguates it from list literals/comprehensions. An optional
+    * leading `p =` names the path, projectable as `| p` (reference
+    * PatternComprehension.projectNamedPath). */
   private def patternComprehension: Parser[Expr] =
-    "[" ~> pathPattern ~ opt(K("WHERE") ~> expression) ~
-      ("|" ~> expression) <~ "]" ^^ {
-      case p ~ w ~ proj => PatternComprehension(p, w, proj)
+    "[" ~> opt(ident <~ "=" <~ not("~")) ~ pathPattern ~
+      opt(K("WHERE") ~> expression) ~ ("|" ~> expression) <~ "]" ^^ {
+      case pv ~ p ~ w ~ proj =>
+        PatternComprehension(p.copy(name = pv.orElse(p.name)), w, proj)
     }
 
   private def collectSubquery: Parser[Expr] =
@@ -401,7 +436,8 @@ object CypherParser extends RegexParsers {
     * parenthesized expressions are untouched. */
   private def patternPredicate: Parser[Expr] =
     pathPattern ^? (
-      { case p if p.hops.nonEmpty => PatternExists(p, None, negated = false) },
+      { case p if p.hops.nonEmpty =>
+        PatternExists(p, None, negated = false, bare = true) },
       _ => "single node is not a pattern predicate")
 
   private def atom: Parser[Expr] =
@@ -479,7 +515,7 @@ object CypherParser extends RegexParsers {
   private def varLength: Parser[(Int, Option[Int])] =
     "*" ~> opt("""\d+""".r) ~ opt(".." ~> opt("""\d+""".r)) ^^ {
       case lo ~ hi =>
-        if (!mixSuppressVarLen) mixVarLength = true
+        if (!mix.suppressVarLen) mix.varLength = true
         val min = lo.map(_.toInt)
         hi match {
           case None        => (min.getOrElse(1), min)              // * or *n (exact)
@@ -518,7 +554,7 @@ object CypherParser extends RegexParsers {
     } |
     "+" ^^ (_ => (1, None)) |
     "*" ^^ (_ => (0, None))) ^^ { q =>
-      mixQpp = true
+      mix.qpp = true
       // reference: lower bound <= upper bound, upper bound positive
       q._2.foreach { hi => require(hi >= 1 && hi >= q._1,
         s"quantifier upper bound must be positive and >= the lower bound, got {${q._1},$hi}") }
@@ -535,10 +571,10 @@ object CypherParser extends RegexParsers {
       // bounded var-length hops INSIDE an alternation branch are part of
       // this engine's alternation extension, not legacy `*` syntax — they
       // must not trip the var-length×QPP mixing check
-      val saved = mixSuppressVarLen
-      mixSuppressVarLen = true
+      val saved = mix.suppressVarLen
+      mix.suppressVarLen = true
       try rep1(relPattern ~ nodePattern ^^ { case r ~ n => (r, n) })(in)
-      finally mixSuppressVarLen = saved
+      finally mix.suppressVarLen = saved
     }
 
   private def altQppHop: Parser[((RelPattern, NodePattern), Boolean)] =
@@ -631,7 +667,7 @@ object CypherParser extends RegexParsers {
     // a pattern predicate references its pattern's named elements (anon
     // and locally-introduced ones over-approximate, which only makes the
     // head/tail fold more conservative)
-    case PatternExists(p, w, _) =>
+    case PatternExists(p, w, _, _) =>
       ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
         p.hops.flatMap(_._1.variable)).toSet ++
         w.map(exprIdents).getOrElse(Set.empty)
@@ -692,7 +728,7 @@ object CypherParser extends RegexParsers {
     opt(ident <~ "=") ~ "(?i)(allShortestPaths|shortestPath)".r ~
       ("(" ~> pathPattern <~ ")") ^^ {
       case v ~ kw ~ p =>
-        mixLegacyShortest = true
+        mix.legacyShortest = true
         require(p.hops.forall { case (r, _) =>
           r.qppVars.isEmpty && r.branches.isEmpty },
           "shortestPath()/allShortestPaths() cannot be applied to a " +
@@ -704,18 +740,18 @@ object CypherParser extends RegexParsers {
     // SHORTEST k [PATH[S]] [GROUP[S]]
     opt(ident <~ "=") ~ (K("ANY") ~> K("SHORTEST") ~> noise ~> selGroup) ^^ {
       case v ~ ((n, p, w)) =>
-        mixSelector = true
+        mix.selector = true
         ShortestPart(v.orElse(n), p, all = false, k = Some(1), where = w)
     } |
     opt(ident <~ "=") ~ (K("ALL") ~> K("SHORTEST") ~> noise ~> selGroup) ^^ {
       case v ~ ((n, p, w)) =>
-        mixSelector = true
+        mix.selector = true
         ShortestPart(v.orElse(n), p, all = true, where = w)
     } |
     opt(ident <~ "=") ~ (K("SHORTEST") ~> """\d+""".r) ~
       (noise ~> opt(K("GROUPS") | K("GROUP"))) ~ selGroup ^^ {
       case v ~ kk ~ g ~ ((n, p, w)) =>
-        mixSelector = true
+        mix.selector = true
         ShortestPart(v.orElse(n), p, all = false, k = Some(kk.toInt),
           groups = g.isDefined, where = w)
     } |
@@ -724,7 +760,7 @@ object CypherParser extends RegexParsers {
     opt(ident <~ "=") ~ (K("SHORTEST") ~> noise ~>
       (K("GROUPS") | K("GROUP")) ~> selGroup) ^^ {
       case v ~ ((n, p, w)) =>
-        mixSelector = true
+        mix.selector = true
         ShortestPart(v.orElse(n), p, all = false, k = Some(1), groups = true,
           where = w)
     } |
@@ -733,7 +769,7 @@ object CypherParser extends RegexParsers {
     opt(ident <~ "=") ~ (K("ANY") ~> opt("""\d+""".r)) ~
       (noise ~> selGroup) ^^ {
       case v ~ kk ~ ((n, p, w)) =>
-        mixSelector = true
+        mix.selector = true
         ShortestPart(v.orElse(n), p, all = false,
           k = Some(kk.map(_.toInt).getOrElse(1)), where = w)
     }
@@ -830,9 +866,9 @@ object CypherParser extends RegexParsers {
         rep1sep(symName, "&") ^^ { case is ~ g => (is, g) }) ^^ {
       case v ~ tagged =>
         val ls = tagged.map(_._2)
-        if (ls.size > 1) { mixUsage = 2; markColonConj(); mixUsage = 1 }
+        if (ls.size > 1) { mix.usage = 2; markColonConj(); mix.usage = 1 }
         if (tagged.exists(_._1) || ls.exists(_.size > 1)) {
-          mixUsage = 2; markGpmLabels(); mixUsage = 1
+          mix.usage = 2; markGpmLabels(); mix.usage = 1
         }
         SetLabelsItem(v, ls.flatten) }
 
@@ -842,9 +878,9 @@ object CypherParser extends RegexParsers {
         rep1sep(symName, "&") ^^ { case is ~ g => (is, g) }) ^^ {
       case v ~ tagged =>
         val ls = tagged.map(_._2)
-        if (ls.size > 1) { mixUsage = 2; markColonConj(); mixUsage = 1 }
+        if (ls.size > 1) { mix.usage = 2; markColonConj(); mix.usage = 1 }
         if (tagged.exists(_._1) || ls.exists(_.size > 1)) {
-          mixUsage = 2; markGpmLabels(); mixUsage = 1
+          mix.usage = 2; markGpmLabels(); mix.usage = 1
         }
         RemoveLabelsItem(v, ls.flatten) }
 
@@ -852,8 +888,10 @@ object CypherParser extends RegexParsers {
     * insertClause): same pattern surface — `&`-conjoined positive labels
     * already parse through labelGroup and collapse to a plain label list. */
   private def createClause: Parser[Clause] =
-    (K("CREATE") | K("INSERT")) ~>
-      inUsage(2)(rep1sep(pathPattern, ",")) ^^ CreateClause.apply
+    (K("CREATE") ^^ (_ => false) | K("INSERT") ^^ (_ => true)) ~
+      inUsage(2)(rep1sep(pathPattern, ",")) ^^ {
+        case ins ~ ps => CreateClause(ps, insert = ins)
+      }
 
   private def mergeClause: Parser[Clause] =
     K("MERGE") ~> inUsage(3)(opt(ident <~ "=") ~ pathPattern ^^ {
@@ -988,16 +1026,14 @@ object CypherParser extends RegexParsers {
     * (GpmSyntaxMixingAcceptance: "different statements - OK" across
     * top-level clauses, "within a CALL subquery - syntax error" across the
     * body clauses of one CALL). */
-  private var mixDepth = 0
-  private var mixSuppressVarLen = false
   private def clause: Parser[Clause] = Parser { in =>
-    if (mixDepth == 0) resetMixFlags()
-    mixDepth += 1
+    if (mix.depth == 0) resetMixFlags()
+    mix.depth += 1
     val res =
       try clause0(in)
-      finally mixDepth -= 1
+      finally mix.depth -= 1
     res match {
-      case s @ Success(_, _) => if (mixDepth == 0) checkMixFlags(); s
+      case s @ Success(_, _) => if (mix.depth == 0) checkMixFlags(); s
       case ns => ns
     }
   }

@@ -89,8 +89,21 @@ object Planner {
     * columns to their toString() text; a nested CALL {} union keeps the
     * orderability encoding so the OUTER query's ORDER BY / min / max /
     * DISTINCT still follow Cypher's global value order. */
+  /** Reference error contract: the operands of a UNION must agree on
+    * whether they RETURN rows — `RETURN … UNION FINISH` (one returning,
+    * one not) is a compile-time error; all-FINISH unions are legal. */
+  private def validateUnionFinish(query: Query): Unit =
+    if (query.parts.size > 1) {
+      val returning = query.parts.map(
+        _.clauses.exists(_.isInstanceOf[ReturnClause])).distinct
+      require(returning.size == 1,
+        "All sub queries in a UNION must have the same return column names" +
+          " — a FINISH operand cannot be combined with a returning one")
+    }
+
   private[cypher] def plan(spark: SparkSession, g: PropertyGraph, query: Query,
       params: Map[String, Any], decodeTop: Boolean): DataFrame = {
+    validateUnionFinish(query)
     val parts = query.parts.map { part =>
       require(!part.clauses.exists(isWrite),
         "write clauses require Cypher.execute (returns the updated graph)")
@@ -162,6 +175,110 @@ object Planner {
     case _ => false
   }
 
+  /** Can these clauses mutate or delete entities that existed BEFORE the
+    * clause list ran? CREATE only adds new entities; MERGE without ON MATCH
+    * only creates (ON CREATE SET touches just-created entities); SET/REMOVE
+    * whose targets the same list CREATEd (and that were not bound outside,
+    * `boundOuter`) touch only new entities. Everything else that writes in
+    * place — SET/REMOVE on pre-bound variables, DELETE, MERGE … ON MATCH —
+    * can. Rehydration of bound variables after a write is only needed in
+    * the `true` case: skipping it for create-only bodies removes a
+    * per-batch join over the nodes table from CALL {} IN TRANSACTIONS
+    * commit loops (the r11 1.5× q_cypher_tx_batch regression). */
+  private def mutatesExisting(clauses: Seq[Clause],
+      boundOuter: Set[String]): Boolean = {
+    val created: Set[String] = clauses.collect {
+      case c: CreateClause => c.patterns.flatMap(p =>
+        (p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
+          p.hops.flatMap(_._1.variable))
+    }.flatten.toSet -- boundOuter
+    def touchesExisting(items: Seq[SetItem]): Boolean =
+      setItemVars(items).exists(v => !created(v))
+    clauses.exists {
+      case _: DeleteClause  => true
+      case s: SetClause     => touchesExisting(s.items)
+      case r: RemoveClause  => touchesExisting(r.items)
+      case m: MergeClause   => m.onMatch.nonEmpty
+      case f: ForeachClause => mutatesExisting(f.updates, boundOuter)
+      case c: CallSubquery  =>
+        c.innerQ.parts.exists(p => mutatesExisting(p.clauses, boundOuter))
+      case _ => false
+    }
+  }
+
+  /** Can a MATCH inside this clause list OBSERVE the list's own writes?
+    * Per-invocation visibility only matters then (reference: each CALL{}
+    * invocation sees the previous one's writes). Conservative label/type
+    * overlap test: a node read pattern with no label (or a label
+    * EXPRESSION) reads every label; an unlabeled CREATE/MERGE node or a
+    * SET on a variable with unknown labels writes every label; same for
+    * relationship types. Any DELETE aliases with every read. */
+  private def bodyReadsItsWrites(clauses: Seq[Clause]): Boolean = {
+    val readNodeLabels = Set.newBuilder[String]
+    val readRelTypes = Set.newBuilder[String]
+    var readsAnyNode = false; var readsAnyRel = false
+    var readsNodes = false; var readsRels = false
+    def readPattern(p: PathPattern): Unit = {
+      ((p.first +: p.hops.map(_._2))).foreach { n =>
+        readsNodes = true
+        if (n.labels.isEmpty || n.labelExpr.isDefined) readsAnyNode = true
+        else readNodeLabels ++= n.labels
+      }
+      p.hops.foreach { case (r, _) =>
+        readsRels = true
+        if (r.types.isEmpty || r.typeExpr.isDefined ||
+          r.branches.isDefined) readsAnyRel = true
+        else readRelTypes ++= r.types
+      }
+    }
+    val writtenNodeLabels = Set.newBuilder[String]
+    val writtenRelTypes = Set.newBuilder[String]
+    var writesAnyNode = false; var writesAnyRel = false
+    var writesNodes = false; var writesRels = false
+    var deletes = false
+    def writePattern(p: PathPattern): Unit = {
+      ((p.first +: p.hops.map(_._2))).foreach { n =>
+        writesNodes = true
+        if (n.labels.isEmpty) writesAnyNode = true
+        else writtenNodeLabels ++= n.labels
+      }
+      p.hops.foreach { case (r, _) =>
+        writesRels = true
+        if (r.types.isEmpty) writesAnyRel = true
+        else writtenRelTypes ++= r.types
+      }
+    }
+    def scan(cs: Seq[Clause]): Unit = cs.foreach {
+      case m: MatchClause   => m.patterns.foreach(readPattern)
+      case c: CreateClause  => c.patterns.foreach(writePattern)
+      // MERGE's own probe is NOT a read here: planMerge resolves its
+      // cross-row match-or-create set-based (idempotent per key), so a
+      // body that only MERGEs needs no per-row execution; its ON CREATE /
+      // ON MATCH items target the pattern's own variables, whose labels
+      // writePattern already recorded
+      case m: MergeClause   => writePattern(m.pattern)
+      case s: SetClause     =>
+        // SET mutates entities whose labels we don't track — assume any
+        writesNodes = true; writesRels = true
+        writesAnyNode = true; writesAnyRel = true
+      case r: RemoveClause  =>
+        writesNodes = true; writesRels = true
+        writesAnyNode = true; writesAnyRel = true
+      case _: DeleteClause  => deletes = true
+      case f: ForeachClause => scan(f.updates)
+      case c: CallSubquery  => c.innerQ.parts.foreach(p => scan(p.clauses))
+      case _ => ()
+    }
+    scan(clauses)
+    val nodeOverlap = readsNodes && writesNodes &&
+      (readsAnyNode || writesAnyNode ||
+        (readNodeLabels.result() & writtenNodeLabels.result()).nonEmpty)
+    val relOverlap = readsRels && writesRels &&
+      (readsAnyRel || writesAnyRel ||
+        (readRelTypes.result() & writtenRelTypes.result()).nonEmpty)
+    (deletes && (readsNodes || readsRels)) || nodeOverlap || relOverlap
+  }
+
   /** Entry for updating queries: runs read AND write clauses, returning the
     * updated graph plus the final RETURN's rows (if any). Later read clauses
     * observe earlier writes (the reference's Eager semantics hold because
@@ -208,6 +325,7 @@ object Planner {
       params: Map[String, Any],
       txCommit: PropertyGraph => PropertyGraph = defaultTxCommit)
       : (PropertyGraph, Option[DataFrame]) = {
+    validateUnionFinish(query)
     // UNION in an updating query (reference LogicalPlanProducer.planUnion
     // :2546 places no single-part restriction): branches run in statement
     // order within the one transaction — each sees the previous branches'
@@ -288,6 +406,7 @@ object Planner {
           case _ => ()
         })
         val writes = cs.innerQ.parts.exists(_.clauses.exists(isWrite))
+        val boundBefore = env.binds.keySet
         env = cs.inTransactionsOf match {
           case Some(n) => planCallInTransactions(ctx, env, cs, n)
           // UNION bodies route through planCallSubquery, which plans the
@@ -307,17 +426,35 @@ object Planner {
                   case Variable(v) => env.has(v); case _ => false } }
               case _ => false
             }
+            // "self-reading" only when a body MATCH can OBSERVE the body's
+            // writes — label/type overlap between read patterns and write
+            // targets (an unlabeled read or unlabeled write overlaps
+            // everything). A body that merely reads tables it never writes
+            // keeps the set-based single-transaction plan; per-row
+            // execution on large outer cardinality is an unbounded
+            // sequential-driver-jobs cliff.
             val selfReading = !importsVars &&
-              cs.innerQ.parts.exists(_.clauses.exists(_.isInstanceOf[MatchClause]))
+              cs.innerQ.parts.exists(p => bodyReadsItsWrites(p.clauses))
             planCallInTransactions(ctx, env, cs,
               if (selfReading) 1L else Long.MaxValue)
           case None => planCallSubquery(ctx, env, cs)
         }
         // side effects of the subquery are VISIBLE after it (reference
-        // read-through-to-store): refresh every bound entity variable's
-        // hydrated columns from the post-commit snapshot
-        if (writes || cs.inTransactionsOf.isDefined)
-          env = rehydrate(ctx, env, entityVars(env))
+        // read-through-to-store): refresh bound entity variables' hydrated
+        // columns from the post-commit snapshot. Variables the subquery
+        // NEWLY bound (`CREATE (n) RETURN n`) always hydrate — they have
+        // no property columns yet; PRE-EXISTING variables only when the
+        // body can have MUTATED a pre-existing entity (a create-only body
+        // cannot change what the outer variables already read — skipping
+        // that refresh join was the r12 tx-batch perf fix)
+        if (writes || cs.inTransactionsOf.isDefined) {
+          val vars =
+            if (cs.innerQ.parts.exists(p =>
+                mutatesExisting(p.clauses, boundBefore)))
+              entityVars(env)
+            else entityVars(env).filterNot(boundBefore.contains)
+          if (vars.nonEmpty) env = rehydrate(ctx, env, vars)
+        }
       case c: CreateIndexClause =>
         ctx.g = graft.graph.Schema.createIndex(ctx.g, c.name, c.label, c.prop, c.kind)
       case c: CreateConstraintClause =>
@@ -463,7 +600,27 @@ object Planner {
     }
 
     c.patterns.foreach { p =>
-      def handleNode(np: NodePattern): String = np.variable match {
+      // INSERT's stricter contract (reference insertClause): relationships
+      // must be DIRECTED (RequiresDirectedRelationship), a bound variable
+      // cannot be re-INSERTed as a standalone node, and a bound
+      // relationship variable never re-appears (VariableAlreadyBound)
+      if (c.insert) {
+        require(!(p.hops.isEmpty && p.first.variable.exists(binds.contains)),
+          s"INSERT: node variable `${p.first.variable.get}` is already bound")
+        p.hops.foreach { case (r, _) =>
+          require(r.dir != Both,
+            "INSERT requires a directed relationship")
+          r.variable.filter(binds.contains).foreach(v =>
+            throw new IllegalArgumentException(
+              s"INSERT: relationship variable `$v` is already bound"))
+        }
+      }
+      // `:A&B` (one positive conjunction) is the GPM spelling of a concrete
+      // label list; anything else (%, !, |) stays a labelExpr and is
+      // rejected below, as in the reference
+      def handleNode(np0: NodePattern): String = {
+        val np = concreteLabels(np0)
+        np.variable match {
         case Some(v) if binds.contains(v) =>
           require(np.labels.isEmpty && np.props.isEmpty && np.where.isEmpty,
             s"CREATE cannot re-specify bound node $v")
@@ -479,7 +636,7 @@ object Planner {
           declaredProps += (v -> props2.toMap)
           newNodes += NewNode(v, np.labels, props2)
           v
-      }
+      }}
       var fromVar = handleNode(p.first)
       p.hops.foreach { case (rel, node) =>
         require(rel.varLength.isEmpty && rel.types.size == 1,
@@ -569,7 +726,9 @@ object Planner {
     * (`:A&B`) is equivalent to the plain label list — normalize so write
     * clauses (CREATE/MERGE take concrete labels) accept it. */
   private def concreteLabels(np: NodePattern): NodePattern = np.labelExpr match {
-    case Some(Seq(conj)) if conj.forall(!_.negated) =>
+    // the '%' wildcard atom is NOT a concrete label — collapsing it would
+    // create a node literally labeled "%"
+    case Some(Seq(conj)) if conj.forall(a => !a.negated && a.name != "%") =>
       np.copy(labels = (np.labels ++ conj.map(_.name)).distinct, labelExpr = None)
     case _ => np
   }
@@ -582,6 +741,15 @@ object Planner {
     val m = m0.copy(pattern = m0.pattern.copy(
       first = concreteLabels(m0.pattern.first),
       hops = m0.pattern.hops.map { case (r, n) => (r, concreteLabels(n)) }))
+    // any label EXPRESSION that survived the concrete-conjunction collapse
+    // (%, !, |) cannot name what to create — the reference rejects it in
+    // MERGE at semantic analysis, for unbound pattern nodes
+    (m.pattern.first +: m.pattern.hops.map(_._2))
+      .filterNot(_.variable.exists(env.has)).foreach { np =>
+        require(np.labelExpr.isEmpty,
+          "MERGE patterns take concrete labels " +
+            "(no %, !, | label expressions)")
+      }
     val df = env.df.getOrElse(unit(ctx.spark))
     val p = m.pattern
     // Whole-pattern MERGE with UNBOUND endpoints, uncorrelated with the
@@ -596,8 +764,11 @@ object Planner {
         (p.hops.nonEmpty || p.first.props.isEmpty)) {
       val probe = MatchClause(optional = false, Seq(p), None)
       // MERGE runs per input row (reference MergePipe): zero incoming rows
-      // mean no probe, no writes — return the empty cross product
-      val inputEmpty = env.df.exists(_.limit(1).count() == 0L)
+      // mean no probe, no writes — return the empty cross product. ONE
+      // limit(2) action derives both emptiness and multiplicity; the
+      // upstream pipeline runs once, not once per question
+      val inputMult = env.df.fold(1L)(_.limit(2).count())
+      val inputEmpty = inputMult == 0L
       if (inputEmpty) {
         val matched0 = planMatch(ctx, Env(None, Map.empty), probe)
         return Env(Some(df.crossJoin(matched0.df.get.limit(0))),
@@ -616,8 +787,7 @@ object Planner {
         // with k > 1 input rows, only the first CREATES — the rest match
         // the instance it made, so ON MATCH fires for them (reference
         // per-row semantics; applied once set-based)
-        if (m.onMatch.nonEmpty &&
-            env.df.exists(_.limit(2).count() > 1L)) {
+        if (m.onMatch.nonEmpty && inputMult > 1L) {
           val rebound = planMatch(ctx, Env(None, Map.empty), probe)
           if (!rebound.df.forall(_.isEmpty))
             planSetItemsOn(ctx, rebound, m.onMatch)
@@ -1108,7 +1278,7 @@ object Planner {
         add(v, params(p).asInstanceOf[String])
       case Index(l, i)        => walk(l); walk(i)
       case Slice(l, f, t)     => walk(l); f.foreach(walk); t.foreach(walk)
-      case PatternExists(p, w, _) => walkPattern(p); w.foreach(walk)
+      case PatternExists(p, w, _, _) => walkPattern(p); w.foreach(walk)
       case PatternCount(p, w)     => walkPattern(p); w.foreach(walk)
       case SubqueryExpr(_, q) =>
         // correlated property reads inside the body must hydrate on the
@@ -1153,7 +1323,7 @@ object Planner {
     def walkForeach(f: ForeachClause): Unit = {
       walk(f.list)
       f.updates.foreach {
-        case CreateClause(ps)       => ps.foreach(walkPattern)
+        case CreateClause(ps, _)    => ps.foreach(walkPattern)
         case MergeClause(p, om, oc) =>
           walkPattern(p); walkSetItems(om); walkSetItems(oc)
         case SetClause(items)       => walkSetItems(items)
@@ -1172,7 +1342,7 @@ object Planner {
       case ReturnClause(_, items, ob, sk, li) =>
         items.foreach(i => walk(i.expr)); ob.foreach(s => walk(s.expr))
         sk.foreach(walk); li.foreach(walk)
-      case CreateClause(ps)      => ps.foreach(walkPattern)
+      case CreateClause(ps, _)   => ps.foreach(walkPattern)
       case MergeClause(p, om, oc) =>
         walkPattern(p); walkSetItems(om); walkSetItems(oc)
       case SetClause(items)      => walkSetItems(items)
@@ -1224,7 +1394,7 @@ object Planner {
       case ReturnClause(_, items, ob, sk, li) =>
         items.foreach(i => walk(i.expr)); ob.foreach(s => walk(s.expr))
         sk.foreach(walk); li.foreach(walk)
-      case CreateClause(ps) =>
+      case CreateClause(ps, _) =>
         // CREATE between bound endpoints reads the endpoint variables
         ps.foreach { p =>
           walkPattern(p)
@@ -1322,6 +1492,15 @@ object Planner {
       throw new IllegalArgumentException(
         "Only one selective path pattern is allowed in a graph pattern " +
           "(CIP-60); put the other patterns in separate MATCH clauses")
+    // reference error contract: one path variable cannot name two path
+    // patterns of the same graph pattern (`MATCH p = (), p = ()`)
+    locally {
+      val names = mIn.patterns.flatMap(_.name) ++ mIn.shortest.flatMap(_.pathVar)
+      val dup = names.diff(names.distinct)
+      require(dup.isEmpty,
+        s"path variable `${dup.headOption.getOrElse("")}` names more than " +
+          "one path pattern in the same graph pattern")
+    }
     if (mIn.optional) planOptionalMatch(ctx, env, mIn)
     else {
       val m = pushStepPredicates(env, mIn)
@@ -1865,6 +2044,10 @@ object Planner {
     val segs = p.hops.zip(boundaries).map { case ((r, _), bnd) =>
       val (mn, mxOpt) = r.varLength.getOrElse((1, Some(1)))
       val mx = mxOpt.getOrElse(unboundedCap)
+      // unbounded quantifier: mx is a search CAP, not a bound — an alive
+      // frontier at the cap fires Trail.onHorizon (runtime warning; the
+      // documented divergence is otherwise silent)
+      val unb = r.varLength.exists(_._2.isEmpty)
       r.branches match {
         case Some(bs) =>
           // alternation between path shapes: each branch compiles to a
@@ -1875,7 +2058,8 @@ object Planner {
           val comp = r.headNode.flatMap(hn => boundarySet(ctx, hn))
             .fold(comp0)(b => comp0.join(
               b.withColumnRenamed("id", "__es"), Seq("__es"), "left_semi"))
-          graft.ops.Trail.PathSegment(comp, mn, mx, bnd, composite = true)
+          graft.ops.Trail.PathSegment(comp, mn, mx, bnd, composite = true,
+            unbounded = unb)
         case None =>
           // a plain one-hop quantified group `((a)-[r]->(b))+` inside a
           // selector is just a var-length leg: the group variables bind
@@ -1895,7 +2079,7 @@ object Planner {
           }
           graft.ops.Trail.PathSegment(
             orientTyped(ctx.g, r.types, dir, pre, stepFilteredRels(ctx, r)),
-            mn, mx, bnd)
+            mn, mx, bnd, unbounded = unb)
       }
     }
     val pv = s.pathVar.getOrElse(ctx.fresh("p"))
@@ -1933,11 +2117,13 @@ object Planner {
           if (toBound)
             graft.ops.Trail.shortestGroups(segs.head.edges,
               df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(),
-              kk, segs.head.min, segs.head.max)
+              kk, segs.head.min, segs.head.max,
+              capIsHorizon = segs.head.unbounded)
           else
             graft.ops.Trail.shortestGroupsTo(segs.head.edges,
               df.select(col(fromVar).as("source")).distinct(), targetIds,
-              kk, segs.head.min, segs.head.max)
+              kk, segs.head.min, segs.head.max,
+              capIsHorizon = segs.head.unbounded)
         } else {
           if (toBound)
             graft.ops.Trail.shortestGroupsSegments(segs,
@@ -2161,8 +2347,8 @@ object Planner {
     }
     conjuncts(pred).foldLeft(enrichPathElems(ctx, env, Seq(pred))) { (e, c) =>
       c match {
-        case PatternExists(p, w, _)                  => planExists(ctx, e, p, w, anti = false)
-        case UnaryOp("NOT", PatternExists(p, w, _))  => planExists(ctx, e, p, w, anti = true)
+        case PatternExists(p, w, _, _)               => planExists(ctx, e, p, w, anti = false)
+        case UnaryOp("NOT", PatternExists(p, w, _, _)) => planExists(ctx, e, p, w, anti = true)
         case other if containsPatternExists(other) =>
           // pattern predicate under OR/XOR/CASE…: lower each EXISTS to a
           // boolean flag column (LetSemiApply / SelectOrSemiApply family,
@@ -2223,7 +2409,7 @@ object Planner {
       (refs, sub)
     }
     def rewrite(x: Expr): Expr = x match {
-      case PatternExists(p, w, _) =>
+      case PatternExists(p, w, _, _) =>
         val flag = ctx.fresh("exists")
         val (keyCols, sub) = subPlan(p, w)
         val hit = sub.df.get.select(keyCols.map(col): _*).distinct()
@@ -2557,6 +2743,36 @@ object Planner {
   /** Variables referenced by a pattern: its own bindings plus anything the
     * inline node WHEREs read (for decorrelation key computation — callers
     * filter by env.has, so new bindings drop out). */
+  /** Pattern expressions in VALUE position (a projection item, a size()
+    * argument, a list element, a CASE branch) denote the LIST OF PATHS
+    * they match (reference ReplacePatternExpressionWithCollectSubquery) —
+    * unlike boolean positions (WHERE, WHEN conditions), where they stay
+    * existence predicates. A pattern EXPRESSION may not introduce new
+    * NAMED variables (reference error contract: UndefinedVariable). */
+  private def patternValuePositions(ctx: Ctx, env: Env, e: Expr): Expr = {
+    def toPaths(pe: PatternExists): Expr = {
+      val declared = ((pe.pattern.first +: pe.pattern.hops.map(_._2))
+        .flatMap(_.variable) ++ pe.pattern.hops.flatMap(_._1.variable))
+      val fresh = declared.filterNot(env.has)
+      require(fresh.isEmpty,
+        "PatternExpressions are not allowed to introduce new variables: " +
+          fresh.mkString(", "))
+      val pv = ctx.fresh("pe")
+      PatternComprehension(pe.pattern.copy(name = Some(pv)), pe.where,
+        Variable(pv))
+    }
+    def walk(x: Expr): Expr = x match {
+      case pe @ PatternExists(_, _, false, true) => toPaths(pe)
+      case Func(n, args, d) if n.equalsIgnoreCase("size") =>
+        Func(n, args.map(walk), d)
+      case ListLit(xs) => ListLit(xs.map(walk))
+      case CaseExpr(s, ws, dflt) =>
+        CaseExpr(s, ws.map { case (w, t) => (w, walk(t)) }, dflt.map(walk))
+      case other => other
+    }
+    walk(e)
+  }
+
   private def patternVars(p: PathPattern): Set[String] =
     ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
       p.hops.map(_._1).flatMap(_.variable)).toSet ++
@@ -2582,7 +2798,7 @@ object Planner {
     case Index(l, i)          => exprVars(l) ++ exprVars(i)
     case Slice(l, f, t)       =>
       exprVars(l) ++ f.map(exprVars).getOrElse(Set.empty) ++ t.map(exprVars).getOrElse(Set.empty)
-    case PatternExists(p, w, _) => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
+    case PatternExists(p, w, _, _) => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
     case PatternCount(p, w)     => patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty)
     case SubqueryExpr(_, q)     => subqueryScopeVars(q)
     case PatternComprehension(p, w, proj, ord, sk, li) =>
@@ -3764,6 +3980,12 @@ object Planner {
     val batchResults = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var resultBinds: Map[String, Binding] = Map.empty
     var committedWrites = false
+    // a batch's hydrated input columns only go stale when a PRIOR batch can
+    // have mutated a pre-existing entity — a create-only body (the common
+    // batched-upsert shape) never invalidates them, and the per-batch
+    // nodes-table refresh join is exactly what regressed q_cypher_tx_batch
+    // 1.5× in r11
+    val bodyMutates = mutatesExisting(innerClauses, binds.keySet)
     def runBatch(batch: DataFrame, commit: Boolean): Option[DataFrame] = {
       val preBatch = ctx.g
       var inner = Env(Some(batch), binds)
@@ -3771,7 +3993,8 @@ object Planner {
       // numbered input was materialized against the pre-statement snapshot,
       // so its hydrated columns go stale once any batch writes (reference
       // "not use stale property caches"); the first batch skips the refresh
-      if (committedWrites) inner = rehydrate(ctx, inner, entityVars(inner))
+      if (committedWrites && bodyMutates)
+        inner = rehydrate(ctx, inner, entityVars(inner))
       val lastIdx = innerClauses.size - 1
       innerClauses.zipWithIndex.foreach { case (cl, ci) => cl match {
         case m: MatchClause   => inner = planMatch(ctx, inner, m)
@@ -3808,7 +4031,9 @@ object Planner {
               planCallInTransactions(ctx, inner, cs2, Long.MaxValue)
             case None => planCallSubquery(ctx, inner, cs2)
           }
-          if (w && ci < lastIdx) inner = rehydrate(ctx, inner, entityVars(inner))
+          if (w && ci < lastIdx && cs2.innerQ.parts.exists(p =>
+              mutatesExisting(p.clauses, inner.binds.keySet)))
+            inner = rehydrate(ctx, inner, entityVars(inner))
         case other => throw new IllegalArgumentException(
           s"unsupported clause in CALL IN TRANSACTIONS: $other")
       }}
@@ -3977,15 +4202,31 @@ object Planner {
   // ---- UNWIND -----------------------------------------------------------
 
   private def planUnwind(ctx: Ctx, env: Env, u: UnwindClause): Env = {
-    val df = env.df.getOrElse(unit(ctx.spark))
-    val c0 = compile(ctx, env.copy(df = Some(df)), u.expr)
+    var env2 = env.copy(df = Some(env.df.getOrElse(unit(ctx.spark))))
+    // pattern comprehensions / subquery expressions in UNWIND position
+    // (`UNWIND [(a)-->(b) | b] AS c`) lower to RollUpApply columns first
+    val expr =
+      if (containsPatternExists(u.expr)) {
+        val (e2, rewritten, _) = lowerExists(ctx, env2, u.expr)
+        env2 = e2
+        rewritten
+      } else u.expr
+    val df = env2.df.get
+    val c0 = compile(ctx, env2, expr)
+    val dt = dataTypeOf(env2, c0)
+    // a variant-encoded value (heterogeneous list / mixed column): a LIST
+    // unwinds to its lifted elements, NULL to no rows, a scalar to itself
+    if (dt.exists(graft.functions.Orderability.isEncoded))
+      return Env(Some(df.withColumn(u.alias,
+          explode(graft.functions.Orderability.unwindElems(c0)))),
+        env2.binds + (u.alias -> ValueVar))
     // UNWIND null yields no rows (openCypher): a NullType literal needs an
     // array cast for explode to accept it (null arrays explode to nothing)
-    val c = if (dataTypeOf(env.copy(df = Some(df)), c0)
-        .contains(org.apache.spark.sql.types.NullType)) c0.cast("array<string>")
+    val c = if (dt.contains(org.apache.spark.sql.types.NullType))
+        c0.cast("array<string>")
       else c0
     // explode: empty/null lists yield no rows — exactly Cypher's UNWIND
-    Env(Some(df.withColumn(u.alias, explode(c))), env.binds + (u.alias -> ValueVar))
+    Env(Some(df.withColumn(u.alias, explode(c))), env2.binds + (u.alias -> ValueVar))
   }
 
   private def unit(spark: SparkSession): DataFrame = spark.range(1).select()
@@ -4024,7 +4265,11 @@ object Planner {
     // EXISTS{} / COUNT{} subqueries in projection items lower to flag/count
     // columns first (NestedPlanExpression)
     var loweredEnv = env.copy(df = Some(env.df.getOrElse(unit(ctx.spark))))
-    val items = starExpanded.map { i =>
+    val items = starExpanded.map { i0 =>
+      // a bare pattern in VALUE position is the LIST OF MATCHED PATHS, not
+      // an existence flag (reference
+      // ReplacePatternExpressionWithCollectSubquery)
+      val i = i0.copy(expr = patternValuePositions(ctx, loweredEnv, i0.expr))
       if (containsPatternExists(i.expr)) {
         val (e2, rewritten, _) = lowerExists(ctx, loweredEnv, i.expr)
         loweredEnv = e2
@@ -4262,6 +4507,12 @@ object Planner {
   private def constLong(ctx: Ctx, e: Expr): Option[Long] = e match {
     case Lit(l: Long)    => Some(l)
     case Param(n)        => ctx.params.get(n).collect {
+      // reference error contract (InvalidArgumentType): a floating-point
+      // pagination parameter is rejected, not truncated
+      case d: java.lang.Double => throw new IllegalArgumentException(
+        s"SKIP/LIMIT: it must be an integer, not a float: $d")
+      case f: java.lang.Float => throw new IllegalArgumentException(
+        s"SKIP/LIMIT: it must be an integer, not a float: $f")
       case num: Number => num.longValue() }
     case UnaryOp("-", x) => constLong(ctx, x).map(-_)
     case BinOp(op, l, r) =>
@@ -4458,11 +4709,28 @@ object Planner {
           case _ => None
         }
         if (types.forall(_.isDefined) && nonNull.size > 1 && !allNumeric) {
-          if (xs.exists(x => entKind(x).isDefined))
-            struct(xs.zip(cols).zipWithIndex.map { case ((x, cc), i) =>
-              cc.as(s"__mix_${i}_${entKind(x).getOrElse("value")}") }: _*)
-          else {
-            val O = graft.functions.Orderability
+          val O = graft.functions.Orderability
+          if (xs.exists(x => entKind(x).isDefined)) {
+            // entities lift into the encoding with their kind's rank — one
+            // uniform array a later UNWIND / head() / ORDER BY can consume;
+            // the result layer resolves the entity ranks through the graph
+            val enc = xs.zip(cols).zip(types).map { case ((x, cc), t) =>
+              entKind(x) match {
+                case Some("node")     => Some(O.nodeAt(0, cc))
+                case Some("rel")      => Some(O.relAt(0, cc))
+                case Some("nodelist") => Some(O.listOfEncodedAt(0,
+                  transform(cc, e => O.nodeAt(1, e))))
+                case Some("rellist")  => Some(O.listOfEncodedAt(0,
+                  transform(cc, e => O.relAt(1, e))))
+                case Some("path")     => Some(O.pathAt(0, cc))
+                case _ => t.flatMap(dt => O.encodeAny(dt, cc))
+              }
+            }
+            if (enc.forall(_.isDefined)) array(enc.flatten: _*)
+            else // unencodable residue: the legacy marker struct
+              struct(xs.zip(cols).zipWithIndex.map { case ((x, cc), i) =>
+                cc.as(s"__mix_${i}_${entKind(x).getOrElse("value")}") }: _*)
+          } else {
             val enc = types.flatten.zip(cols).map { case (dt, cc) =>
               O.encodeAny(dt, cc) }
             if (enc.forall(_.isDefined)) array(enc.flatten: _*)
@@ -4677,7 +4945,19 @@ object Planner {
               graft.functions.Durations.addToTimestamp(rc, lc)
             case _ => lc + rc
           }
-        case "||" => concat(c(l), c(r)) // Cypher 5 string/list concatenation
+        case "||" => // Cypher 5 string/list concatenation — NO implicit
+          // coercion (reference error contract: `"a" || 3` and `1 || 3`
+          // are compile-time errors, only STRING||STRING and LIST||LIST)
+          val (lc, rc) = (c(l), c(r))
+          import org.apache.spark.sql.types._
+          Seq(dataTypeOf(env, lc), dataTypeOf(env, rc)).flatten.foreach {
+            case _: NumericType | BooleanType =>
+              throw new IllegalArgumentException(
+                "|| concatenation takes STRING or LIST operands — " +
+                  "numbers are not implicitly coerced")
+            case _ => ()
+          }
+          concat(lc, rc)
         case "-" =>
           val (lc, rc) = (c(l), c(r))
           val (lt, rt) = (dataTypeOf(env, lc), dataTypeOf(env, rc))
@@ -5272,6 +5552,15 @@ object Planner {
       case "timestamp"  => unix_millis(current_timestamp())
       case "char_length" | "character_length" => length(a0).cast("long")
       case "isempty" =>
+        // reference error contract (InvalidArgumentValue): isEmpty() takes
+        // a LIST, MAP or STRING — never an entity
+        args.head match {
+          case Variable(v) if env.binds.get(v).exists {
+              case NodeVar | RelVar | PathVar => true; case _ => false } =>
+            throw new IllegalArgumentException(
+              s"isEmpty() takes a list, map or string — `$v` is an entity")
+          case _ => ()
+        }
         dataTypeOf(env, a0) match { // LIST / MAP use size, STRING length
           case Some(_: org.apache.spark.sql.types.ArrayType) |
                Some(_: org.apache.spark.sql.types.MapType) => size(a0) === 0

@@ -61,15 +61,20 @@ object Orderability {
     * is encoded as GEOMETRY (ValueGroup.java:45), not a MAP. */
   val PointFields: Seq[String] = Seq("x", "y", "srid")
 
-  // type ranks per the CIP order; only the relative order matters
-  private val RankMap = 5 // Map < Node < Relationship < List (AnyValues :42)
-  private val RankList = 8 // List < temporals < … < String per the CIP
-  private val RankPoint = 9 // GEOMETRY before temporals (ValueGroup.java:45)
-  private val RankDuration = 11 // …temporals < DURATION < TEXT (ValueGroup.java:51)
-  private val RankString = 12
-  private val RankBoolean = 13
-  private val RankNumber = 14
-  private val RankNull = 15 // null sorts last ascending, first descending
+  // type ranks per the CIP order; only the relative order matters.
+  // PUBLIC: the result layer decodes entity ranks back through the graph
+  // snapshot (an id alone cannot render a node).
+  val RankMap = 5 // Map < Node < Relationship < List (AnyValues :42)
+  val RankNode = 6
+  val RankRel = 7
+  val RankList = 8 // List < Path < temporals < … < String per the CIP
+  val RankPath = 9
+  val RankPoint = 10 // GEOMETRY before temporals (ValueGroup.java:45)
+  val RankDuration = 11 // …temporals < DURATION < TEXT (ValueGroup.java:51)
+  val RankString = 12
+  val RankBoolean = 13
+  val RankNumber = 14
+  val RankNull = 15 // null sorts last ascending, first descending
 
   /** DDL of the element struct at `depth` (for typed null/empty literals) */
   private def structDdl(depth: Int): String =
@@ -134,8 +139,19 @@ object Orderability {
   def durationAt(depth: Int, c: Column): Column = {
     val m = c.getField("months"); val dy = c.getField("days")
     val sc = c.getField("seconds"); val n = c.getField("nanos")
-    val avg = (m * 2629746L + dy * 86400L + sc).cast("double")
-    val ties = array(numberAt(depth + 1, n), numberAt(depth + 1, m),
+    val avgL = m * 2629746L + dy * 86400L + sc
+    val avg = avgL.cast("double")
+    // the double `d` is only a COARSE first key — monotone but lossy past
+    // 2^53 seconds, where unequal averages collide. A hi/lo split of the
+    // exact long average (each half < 2^32, exactly representable as the
+    // tiebreak doubles) rides AHEAD of the component tiebreaks, so the
+    // nanos-first chain can never reorder durations whose exact averages
+    // differ (reference DurationValue.COMPARATOR compares the average
+    // length as a long, exactly).
+    val lo = pmod(avgL, lit(2147483648L))
+    val hi = ((avgL - lo) / 2147483648L).cast("long")
+    val ties = array(numberAt(depth + 1, hi), numberAt(depth + 1, lo),
+      numberAt(depth + 1, n), numberAt(depth + 1, m),
       numberAt(depth + 1, dy), numberAt(depth + 1, sc))
     nullAware(depth, c, encAt(depth, lit(RankDuration), nullStr, nullBool,
       avg, ties, durationRepr(c)))
@@ -195,6 +211,70 @@ object Orderability {
   def number(c: Column): Column = numberAt(0, c)
   def nullValue: Column = nullAt(0)
   def listOfEncoded(es: Column): Column = listOfEncodedAt(0, es)
+
+  // ---- entity encoders ---------------------------------------------------
+  // A node/relationship VALUE inside a mixed column is its id, carried
+  // EXACTLY as a decimal string in `s` (a double payload would corrupt
+  // xxhash64 ids past 2^53). Order among entities is therefore the string
+  // order of their ids — deterministic and equality-exact, though not the
+  // reference's creation order (ids differ between engines anyway). The
+  // repr is a marker the result layer resolves through the graph snapshot.
+
+  def nodeAt(depth: Int, id: Column): Column =
+    nullAware(depth, id, encAt(depth, lit(RankNode), id.cast("string"),
+      nullBool, nullDouble, nullListAt(depth),
+      concat(lit("__node:"), id.cast("string"))))
+
+  def relAt(depth: Int, id: Column): Column =
+    nullAware(depth, id, encAt(depth, lit(RankRel), id.cast("string"),
+      nullBool, nullDouble, nullListAt(depth),
+      concat(lit("__rel:"), id.cast("string"))))
+
+  /** path value = STRUCT{nodes, rels, length}: `s` carries the id lists
+    * canonically ("n,n|r,r" — equality-exact, deterministic order), `d`
+    * the length (coarse first key). */
+  def pathAt(depth: Int, p: Column): Column = {
+    val s = concat(
+      array_join(transform(p.getField("nodes"), _.cast("string")), ","),
+      lit("|"),
+      array_join(transform(p.getField("rels"), _.cast("string")), ","))
+    nullAware(depth, p, encAt(depth, lit(RankPath), s, nullBool,
+      p.getField("length").cast("double"), nullListAt(depth),
+      concat(lit("__path:"), s)))
+  }
+
+  // ---- depth lifting / UNWIND --------------------------------------------
+
+  /** rebuild an element struct encoded at `depth` (1-based below the
+    * column) in the layout of `depth - 1`, recursively — the inverse of
+    * nesting. The deepest level has no `l`, so it lifts with a null list
+    * payload (only scalars live there). */
+  def liftElem(c: Column, depth: Int): Column = {
+    val l =
+      if (depth >= MaxDepth) nullListAt(depth - 1)
+      else transform(c.getField("l"), e => liftElem(e, depth + 1))
+    val lifted = encAt(depth - 1, c.getField("rank"), c.getField("s"),
+      c.getField("b"), c.getField("d"), l, c.getField("repr"))
+    when(c.isNull, lit(null).cast(s"struct<${structInner(depth - 1)}>"))
+      .otherwise(lifted)
+  }
+  private def structInner(depth: Int): String = {
+    val ddl = structDdl(depth)
+    ddl.substring("struct<".length, ddl.length - 1)
+  }
+
+  /** UNWIND semantics over a variant-encoded value: a LIST contributes its
+    * elements (lifted back to the column layout), NULL contributes no
+    * rows, any other value contributes itself. `explode` of the result
+    * reproduces Cypher's UNWIND exactly. */
+  def unwindElems(c: Column): Column = {
+    val rank = c.getField("rank")
+    when(c.isNull || rank === lit(RankNull),
+        array().cast(s"array<${structDdl(0)}>"))
+      .when(rank === lit(RankList),
+        transform(c.getField("l"), e => liftElem(e, 1)))
+      .otherwise(array(c))
+  }
 
   /** list of scalar elements — element-wise global order via the element
     * encoder, shorter list first on a prefix tie (Spark array ordering) */

@@ -123,6 +123,18 @@ object CypherCompare {
     case other => throw new IllegalStateException(s"not numeric: $other")
   }
 
+  /** Exact long-vs-double comparison (reference MathUtil
+    * .compareLongAgainstDouble): beyond 2^53 a double cannot represent
+    * every long, so rounding through toDouble would declare
+    * 9007199254740993 = 9007199254740992.0 — the comparison goes through
+    * BigDecimal instead (both conversions are exact). Caller excludes NaN. */
+  private def cmpLongDouble(l: Long, d: Double): Int =
+    if (d == Double.PositiveInfinity) -1
+    else if (d == Double.NegativeInfinity) 1
+    else if (l > -(1L << 53) && l < (1L << 53))
+      java.lang.Double.compare(l.toDouble, d)
+    else new java.math.BigDecimal(l).compareTo(new java.math.BigDecimal(d))
+
   /** map-like value normalized to (sorted keys, per-key value+type) */
   private def mapEntries(v: Any, dt: DataType): Seq[(String, Any, DataType)] =
     (v, dt) match {
@@ -151,7 +163,11 @@ object CypherCompare {
       case NUM =>
         if (isIntegral(ta) && isIntegral(tb))
           java.lang.Boolean.valueOf(toLong(a) == toLong(b))
-        else java.lang.Boolean.valueOf(toDouble(a) == toDouble(b))
+        else if (isIntegral(ta) || isIntegral(tb)) {
+          val (l, d) = if (isIntegral(ta)) (toLong(a), toDouble(b))
+            else (toLong(b), toDouble(a))
+          java.lang.Boolean.valueOf(!d.isNaN && cmpLongDouble(l, d) == 0)
+        } else java.lang.Boolean.valueOf(toDouble(a) == toDouble(b))
       case STR | BOOL => java.lang.Boolean.valueOf(a == b)
       case DATE | ZDT | LDT =>
         java.lang.Boolean.valueOf(toLong(a) == toLong(b))
@@ -231,9 +247,20 @@ object CypherCompare {
     if (ca != cb) return Undef
     ca match {
       case NUM =>
-        if (isIntegral(ta) && isIntegral(tb))
+        // IEEE/ternary: an ordering involving NaN is NULL (the planner's
+        // scalar path compiles the same false-on-NaN conjunctions) — NOT
+        // Double.compare's NaN-greater-than-everything
+        if ((!isIntegral(ta) && toDouble(a).isNaN) ||
+            (!isIntegral(tb) && toDouble(b).isNaN)) Undef
+        else if (isIntegral(ta) && isIntegral(tb))
           Ord(java.lang.Long.compare(toLong(a), toLong(b)))
-        else Ord(java.lang.Double.compare(toDouble(a), toDouble(b)))
+        else if (isIntegral(ta)) Ord(cmpLongDouble(toLong(a), toDouble(b)))
+        else if (isIntegral(tb)) Ord(-cmpLongDouble(toLong(b), toDouble(a)))
+        else {
+          val (da, db) = (toDouble(a), toDouble(b))
+          // == first: Double.compare would order -0.0 < 0.0
+          if (da == db) Ord(0) else Ord(java.lang.Double.compare(da, db))
+        }
       case STR =>
         Ord(a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
       case BOOL =>

@@ -32,6 +32,17 @@ object Trail {
     * one such dead depth per (source, node). */
   val GroupsBudgetSlack = 2
 
+  /** Fired when an UNBOUNDED quantifier's search (`-->+` / `-->*` /
+    * `*2..`) still had live paths at its depth cap: a SHORTEST match
+    * longer than the cap would be MISSED, so "no result" is then
+    * indistinguishable from "horizon exceeded" without this signal
+    * (documented divergence — the reference's NFA runs unbounded).
+    * Default logs a warning; specs swap it in to observe. */
+  @volatile var onHorizon: (String, Int) => Unit = (what, cap) =>
+    org.slf4j.LoggerFactory.getLogger("graft.ops.Trail").warn(
+      s"$what: unbounded-quantifier search still had live paths at its " +
+        s"$cap-hop cap; a longer match would be missed")
+
   /**
    * @param edges (id LONG, src LONG, dst LONG) — pre-oriented/filtered
    * @param input rows with bound start-node column `fromCol`
@@ -248,9 +259,9 @@ object Trail {
     * built. */
   def shortestGroupsTo(edges: DataFrame, sources: DataFrame,
       targetNodes: Option[DataFrame], k: Int, min: Int, maxDepth: Int,
-      localThreshold: Int = 10000): DataFrame =
+      localThreshold: Int = 10000, capIsHorizon: Boolean = false): DataFrame =
     shortestGroupsImpl(edges, sources.select("source").distinct(), k, min,
-      maxDepth, localThreshold, fin => {
+      maxDepth, localThreshold, capIsHorizon = capIsHorizon, accept = fin => {
         val t = fin.withColumn("target", col("end"))
         targetNodes.fold(t)(tn => t.join(
           tn.select(col("id").as("target")).distinct(),
@@ -258,14 +269,15 @@ object Trail {
       })
 
   def shortestGroups(edges: DataFrame, pairs: DataFrame, k: Int,
-      min: Int, maxDepth: Int, localThreshold: Int = 10000): DataFrame =
+      min: Int, maxDepth: Int, localThreshold: Int = 10000,
+      capIsHorizon: Boolean = false): DataFrame =
     shortestGroupsImpl(edges, pairs.select("source").distinct(), k, min,
-      maxDepth, localThreshold,
+      maxDepth, localThreshold, capIsHorizon = capIsHorizon, accept =
       fin => fin.join(pairs, Seq("source")).filter(col("end") === col("target")))
 
   private def shortestGroupsImpl(edges: DataFrame, sources: DataFrame, k: Int,
       min: Int, maxDepth: Int, localThreshold: Int,
-      accept: DataFrame => DataFrame): DataFrame = {
+      accept: DataFrame => DataFrame, capIsHorizon: Boolean = false): DataFrame = {
     require(k >= 1 && min >= 0 && maxDepth >= math.max(min, 1) && maxDepth <= 30,
       s"shortestGroups bounds out of range: k=$k min=$min maxDepth=$maxDepth")
     val budget = (k + math.max(0, min - 1) + GroupsBudgetSlack).toLong
@@ -281,7 +293,8 @@ object Trail {
         val es = edges.select(col("id"), col("src"), col("dst")).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         val ss = sources.select(col("source")).collect().map(_.getLong(0))
-        localKeptRows(edges.sparkSession, es, ss, maxDepth, budget.toInt)
+        localKeptRows(edges.sparkSession, es, ss, maxDepth, budget.toInt,
+          capIsHorizon)
       } else {
         val e = edges.select(col("id").as("__er"), col("src").as("__es"),
           col("dst").as("__ed"))
@@ -337,7 +350,7 @@ object Trail {
     * row. */
   private def localKeptRows(spark: org.apache.spark.sql.SparkSession,
       edges: Array[(Long, Long, Long)], sources: Array[Long],
-      maxDepth: Int, budget: Int): DataFrame = {
+      maxDepth: Int, budget: Int, capIsHorizon: Boolean = false): DataFrame = {
     import spark.implicits._
     val adj = edges.groupBy(_._2) // src -> [(id, src, dst)]
     // (source, end) -> partials of the current round
@@ -369,6 +382,7 @@ object Trail {
       level.foreach { case ((s, e), ps) =>
         ps.foreach { case (p, ns) => kept += ((s, e, d, p, ns)) } }
     }
+    if (capIsHorizon && level.nonEmpty) onHorizon("SHORTEST", maxDepth)
     kept.result().toDF("source", "end", "hops", "path", "nodes")
   }
 
@@ -385,7 +399,11 @@ object Trail {
       // branches): (__es, __ed, __ers ARRAY<LONG>, __ens ARRAY<LONG>,
       // __elen INT) instead of single rels (id, src, dst). The segment's
       // min/max then count branch traversals, not rels.
-      composite: Boolean = false)
+      composite: Boolean = false,
+      // the source quantifier was UNBOUNDED (`+`/`*`/`*n..`): `max` is a
+      // search cap, not a semantic bound — an alive frontier at the cap
+      // fires [[onHorizon]]
+      unbounded: Boolean = false)
 
   /**
    * SHORTEST k over a CONCATENATION of var-length segments — the general
@@ -646,6 +664,13 @@ object Trail {
       finished ++= frontier.filter(_.seg == nSeg)
       depth += 1
     }
+    // horizon: a surviving row sitting AT an unbounded segment's cap means
+    // the search was cut, not exhausted (rows at the cap are no longer
+    // "active", so the loop guard alone cannot distinguish the two)
+    if (segments.exists(_.unbounded) && frontier.exists(r =>
+        r.segHops >= 0 && r.seg < nSeg && segments(r.seg).unbounded &&
+          r.segHops >= maxs(r.seg)))
+      onHorizon("SHORTEST", maxTotal)
     finished.result()
       .map(r => (r.source, r.end, r.seg, r.segHops, r.hops, r.path, r.nodes))
       .toDF("source", "end", "seg", "segHops", "hops", "path", "nodes")
@@ -764,6 +789,21 @@ object Trail {
       finished += frontier.filter(isAccepted)
       activeCnt = materializeAndCountActive(frontier)
       depth += 1
+    }
+    // horizon: surviving rows AT an unbounded segment's cap mean the
+    // search was cut, not exhausted (such rows are no longer "active", so
+    // activeCnt alone cannot distinguish the two); one tiny LIMIT-1 job,
+    // only for searches that had an unbounded quantifier
+    locally {
+      val unbIdx = segments.zipWithIndex.collect {
+        case (s, i) if s.unbounded => i }
+      if (unbIdx.nonEmpty) {
+        val atCap = frontier.filter(col("segHops") >= 0 &&
+            col("seg").isin(unbIdx.map(Int.box): _*) &&
+            col("segHops") >= try_element_at(maxs, col("seg") + 1))
+          .limit(1).count()
+        if (atCap > 0) onHorizon("SHORTEST", maxTotal)
+      }
     }
     finished.result().reduce(_ unionByName _)
   }

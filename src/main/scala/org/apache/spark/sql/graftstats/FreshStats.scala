@@ -33,11 +33,23 @@ object FreshStats {
   /** Reset only ABSURD inherited estimates (> Long.MaxValue bytes — no
     * real dataset is that large, only a compounding join product is):
     * genuinely small estimates stay, so stats-driven broadcast decisions
-    * for small checkpointed frames are unchanged. */
+    * for small checkpointed frames are unchanged.
+    *
+    * The estimate is read DIRECTLY off the checkpoint's `LogicalRDD` leaf
+    * (its carried originStats) — going through `optimizedPlan.stats` would
+    * run the full Catalyst optimizer batch list per call, and iterative
+    * loops (label propagation, k-core, k-truss) checkpoint every round:
+    * at ~60 rounds × a few calls each that pure-driver overhead showed up
+    * as a 1.4× wall regression on those queries at sf0.1. */
   def capStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-    if (ds.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(Long.MaxValue))
-      resetStats(df)
-    else df
+    val absurd = ds.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.stats.sizeInBytes > BigInt(Long.MaxValue)
+      case _ => // not a bare checkpoint (caller contract says it is) —
+        // fall back to the optimized plan's estimate
+        ds.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(Long.MaxValue)
+    }
+    if (absurd) resetStats(df) else df
   }
 }

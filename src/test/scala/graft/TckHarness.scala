@@ -479,13 +479,27 @@ object TckHarness {
 
   /** decode an orderability-encoded value (graft.functions.Orderability
     * struct {rank,s,b,d,l,repr}) back to a TCK value; the repr text
-    * disambiguates INTEGER from FLOAT (both live in the `d` field). */
-  private def decodeOrd(r: Row): TckV = {
+    * disambiguates INTEGER from FLOAT (both live in the `d` field). Entity
+    * ranks (node/rel/path carry their ids in `s`) resolve through the graph
+    * snapshot when one is provided. */
+  private def decodeOrd(r: Row, ctx: EntityCtx = null): TckV = {
     val s = r.getAs[String]("s")
     val b = r.getAs[Any]("b")
     val d = r.getAs[Any]("d")
     val l = r.getAs[scala.collection.Seq[Any]]("l")
-    if (s != null) TckStr(s)
+    val O = graft.functions.Orderability
+    val rank = r.getAs[Any]("rank") match {
+      case i: Int => i; case i: java.lang.Integer => i.intValue; case _ => -1
+    }
+    if (ctx != null && rank == O.RankNode && s != null) ctx.node(s.toLong)
+    else if (ctx != null && rank == O.RankRel && s != null) ctx.rel(s.toLong)
+    else if (ctx != null && rank == O.RankPath && s != null) {
+      val Array(ns, rs) = (s + "| ").split("\\|", 2)
+      val nodeIds = ns.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+      val relIds = rs.trim.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+      if (nodeIds.isEmpty) TckNull else ctx.path(nodeIds, relIds)
+    }
+    else if (s != null) TckStr(s)
     else if (b != null) TckBool(b.asInstanceOf[Boolean])
     else if (d != null) {
       val repr = r.getAs[String]("repr")
@@ -495,7 +509,7 @@ object TckHarness {
       else TckFloat(dd)
     }
     else if (l != null) TckList(l.toSeq.map {
-      case rr: Row => decodeOrd(rr)
+      case rr: Row => decodeOrd(rr, ctx)
       case other   => anyToTck(other)
     })
     else TckNull
@@ -557,6 +571,7 @@ object TckHarness {
       val rs = Option(r.getAs[scala.collection.Seq[Long]]("rels"))
         .map(_.toSeq).getOrElse(Nil)
       if (ns.isEmpty) TckNull else ctx.path(ns, rs)
+    case r: Row if isOrdRow(r) => decodeOrd(r, ctx)
     case seq: scala.collection.Seq[_] =>
       val eh = hint match { case HList(e) => e; case h => h }
       TckList(seq.toSeq.map(gotToTck(_, eh, ctx)))
