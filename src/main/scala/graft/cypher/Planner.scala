@@ -563,7 +563,10 @@ object Planner {
   /** CREATE: one new node per input row per unbound pattern node, rels
     * between them. Created ids = xxhash64(runTag, statement-unique tag, row ordinal) —
     * frozen by an eager checkpoint so the nondeterministic ordinal can
-    * never be recomputed differently. */
+    * never be recomputed differently. Ids are masked NON-NEGATIVE
+    * (reference kernel ids are; queries legitimately test `id(n) >= 0`). */
+  private[cypher] def nonNegId(c: org.apache.spark.sql.Column) =
+    c.bitwiseAND(lit(Long.MaxValue))
   private def planCreate(ctx: Ctx, env: Env, c: CreateClause): Env = {
     var df = env.df.getOrElse(unit(ctx.spark))
     var binds = env.binds
@@ -630,7 +633,8 @@ object Planner {
             "CREATE patterns take concrete labels and no WHERE")
           val v = other.getOrElse(ctx.fresh("cn"))
           df = df.withColumn(v,
-            xxhash64(lit(ctx.runTag), lit(ctx.freshIdTag()), monotonically_increasing_id()))
+            nonNegId(xxhash64(lit(ctx.runTag), lit(ctx.freshIdTag()),
+              monotonically_increasing_id())))
           binds += (v -> NodeVar)
           val props2 = np.props.map { case (k, e) => (k, substCreated(e)) }
           declaredProps += (v -> props2.toMap)
@@ -644,7 +648,8 @@ object Planner {
         val toVar = handleNode(node)
         val rv = rel.variable.getOrElse(ctx.fresh("cr"))
         df = df.withColumn(rv,
-          xxhash64(lit(ctx.runTag), lit(ctx.freshIdTag()), monotonically_increasing_id()))
+          nonNegId(xxhash64(lit(ctx.runTag), lit(ctx.freshIdTag()),
+            monotonically_increasing_id())))
         binds += (rv -> RelVar)
         val (s, d) = rel.dir match {
           case In => (toVar, fromVar)
@@ -833,9 +838,9 @@ object Planner {
       // deterministic id from the key → MERGE is idempotent across the
       // clause's rows; the statement-unique tag keeps two MERGE clauses
       // with equal keys but different labels from colliding ids
-      val newId = xxhash64((lit(ctx.runTag) +: lit("m") +:
+      val newId = nonNegId(xxhash64((lit(ctx.runTag) +: lit("m") +:
         lit(ctx.freshIdTag()) +:
-        np.props.map { case (k, _) => col(s"__mk_$k") }): _*)
+        np.props.map { case (k, _) => col(s"__mk_$k") }): _*))
       val resolved = joined
         .withColumn(v, coalesce(col("__mid"), newId))
         .withColumn("__created", col("__mid").isNull)
@@ -884,8 +889,8 @@ object Planner {
       val (s0, d0) =
         if (undirected) (least(sCol, dCol), greatest(sCol, dCol))
         else (sCol, dCol)
-      val newId = xxhash64((lit(ctx.runTag) +: lit("mr") +: lit(tpe) +:
-        s0 +: d0 +: keyProps.map(_._2)): _*)
+      val newId = nonNegId(xxhash64((lit(ctx.runTag) +: lit("mr") +: lit(tpe) +:
+        s0 +: d0 +: keyProps.map(_._2)): _*))
       val source00 = df.select((newId.as("id") +:
         sCol.as("src") +: dCol.as("dst") +: lit(tpe).as("type") +: props): _*)
         .distinct()
@@ -971,8 +976,8 @@ object Planner {
     val missing = mdf.filter(!isMatched)
     // deterministic per-combination ids (same expressions create and bind)
     val idExprs: Seq[(String, Column)] = newVars.map { v =>
-      v -> xxhash64((lit(ctx.runTag) +: lit("mg") +: lit(ctx.freshIdTag()) +:
-        boundVars.map(col)): _*)
+      v -> nonNegId(xxhash64((lit(ctx.runTag) +: lit("mg") +: lit(ctx.freshIdTag()) +:
+        boundVars.map(col)): _*))
     }
     var keyRows =
       if (boundVars.isEmpty) missing.limit(1) else missing.dropDuplicates(boundVars)
@@ -1267,7 +1272,7 @@ object Planner {
       case IsNull(o, _)       => walk(o)
       case TypePredicate(o, _, _, _) => walk(o)
       case HasLabel(o, _)     =>
-        o match { case Variable(v) => add(v, "labels"); case _ => () }; walk(o)
+        o match { case Variable(v) => add(v, "labels"); add(v, "type"); case _ => () }; walk(o)
       case StringPred(_, l, r) => walk(l); walk(r)
       case CaseExpr(s, ws, d) =>
         s.foreach(walk); ws.foreach { case (a, b) => walk(a); walk(b) }; d.foreach(walk)
@@ -2376,6 +2381,13 @@ object Planner {
       s.exists(containsPatternExists) ||
         ws.exists(w => containsPatternExists(w._1) || containsPatternExists(w._2)) ||
         d.exists(containsPatternExists)
+    case ListLit(xs)            => xs.exists(containsPatternExists)
+    case MapLit(es)             => es.exists(kv => containsPatternExists(kv._2))
+    case Index(l, i)            => containsPatternExists(l) || containsPatternExists(i)
+    case Slice(l, f, t)         => containsPatternExists(l) ||
+      f.exists(containsPatternExists) || t.exists(containsPatternExists)
+    case StringPred(_, l, r)    => containsPatternExists(l) || containsPatternExists(r)
+    case Prop(s, _)             => containsPatternExists(s)
     case _                      => false
   }
 
@@ -2398,7 +2410,16 @@ object Planner {
         else Env(Some(df.select(keyCols.map(col): _*).distinct()),
           env.binds.view.filterKeys(refs.contains).toMap)
       val relsBefore = relVars(base)
-      var sub = planPath(ctx, base, p)
+      // a NULL entity binding matches no pattern (reference: a pattern
+      // over a null node/relationship yields no rows — `[(n)-->() | 1]`
+      // with n from a failed OPTIONAL MATCH is []): filter null STRUCTURAL
+      // keys before planning; WHERE-only references keep their 3VL nulls
+      val structural = patternVars(p).filter(v => base.binds.get(v).exists {
+        case NodeVar | RelVar => true; case _ => false })
+      var sub = structural.foldLeft(base) { (e, v) =>
+        e.copy(df = e.df.map(_.filter(col(v).isNotNull)))
+      }
+      sub = planPath(ctx, sub, p)
       // relationship uniqueness holds INSIDE a pattern predicate too
       // (reference AddUniquenessPredicates covers subquery expressions)
       sub = applyUniqueness(ctx, sub, relsBefore)
@@ -2585,7 +2606,7 @@ object Planner {
           binds = env.binds + (flag -> ValueVar))
         flags += flag
         Variable(flag)
-      case PatternComprehension(p, w, proj, ord, skipE, limitE) =>
+      case PatternComprehension(p, w, proj0, ord, skipE, limitE) =>
         // RollUpApply (reference LogicalPlan RollUpApply /
         // ReplacePatternComprehensionWithCollectSubquery): plan the pattern
         // from the distinct referenced keys, collect the projection per key,
@@ -2596,8 +2617,16 @@ object Planner {
         // orderability, value tie-break for determinism) then slices — one
         // shuffle regardless of ordering/pagination.
         val lcol = ctx.fresh("pc")
-        val (keyCols, sub) = subPlan(p, w,
-          exprVars(proj) ++ ord.flatMap(s => exprVars(s.expr)))
+        val (keyCols, sub0) = subPlan(p, w,
+          exprVars(proj0) ++ ord.flatMap(s => exprVars(s.expr)))
+        // the projection may itself contain pattern comprehensions /
+        // subquery expressions (nested comprehensions): lower them against
+        // the SUB plan's scope, where the inner pattern variables are bound
+        val (sub, proj) =
+          if (containsPatternExists(proj0)) {
+            val (s2, p2, _) = lowerExists(ctx, sub0, proj0)
+            (s2, p2)
+          } else (sub0, proj0)
         val collected = if (ord.isEmpty) {
           // struct-wrap so null projections are RETAINED in the list
           // (bare collect_list drops null elements; the reference keeps
@@ -2656,6 +2685,12 @@ object Planner {
       case CaseExpr(s, ws, d) =>
         CaseExpr(s.map(rewrite), ws.map { case (a, b) => (rewrite(a), rewrite(b)) },
           d.map(rewrite))
+      case ListLit(xs)       => ListLit(xs.map(rewrite))
+      case MapLit(es)        => MapLit(es.map { case (k, v) => (k, rewrite(v)) })
+      case Index(l, i)       => Index(rewrite(l), rewrite(i))
+      case Slice(l, f, t)    => Slice(rewrite(l), f.map(rewrite), t.map(rewrite))
+      case StringPred(op, l, r) => StringPred(op, rewrite(l), rewrite(r))
+      case Prop(s, k)        => Prop(rewrite(s), k)
       case other => other
     }
     val rewritten = rewrite(e)
@@ -3040,6 +3075,23 @@ object Planner {
     val g = ctx.g
     np.variable match {
       case Some(v) if env.has(v) =>
+        // a VALUE-typed variable in node position (dynamic typing:
+        // `WITH head([n, 'x']) AS m MATCH (m)-->()`): a variant-encoded
+        // value is its node id when rank = Node, else NULL (matches
+        // nothing, like the reference's runtime type dispatch)
+        val isVariant = env.binds(v) == ValueVar &&
+          env.df.exists(d => d.columns.contains(v) &&
+            graft.functions.Orderability.isEncoded(d.schema(v).dataType))
+        if (isVariant) {
+          val O = graft.functions.Orderability
+          val idCol = when(col(v).getField("rank") === lit(O.RankNode),
+            col(v).getField("s").cast("long"))
+          val v2 = ctx.fresh(s"${v}_nid")
+          val df0 = env.df.get.withColumn(v2, idCol)
+            .join(ctx.g.nodes.select(col("id").as(v2)), Seq(v2), "left_semi")
+          return (env.copy(df = Some(df0),
+            binds = env.binds + (v2 -> NodeVar)), v2)
+        }
         require(env.binds(v) == NodeVar, s"$v is not a node variable")
         var df = env.df.get
         if (np.labels.nonEmpty || np.labelExpr.nonEmpty || np.props.nonEmpty) {
@@ -3470,10 +3522,35 @@ object Planner {
       // property absent from the schema: Cypher `{k: v}` on a missing
       // property matches nothing (NULL = v is never true)
       scan = if (scan.columns.contains(propCol(k)))
-        scan.filter(col(propCol(k)) === constExpr(ctx, e))
+        scan.filter(inlinePropEq(ctx, scan, propCol(k), e))
       else scan.filter(lit(false))
     }
     scan
+  }
+
+  /** Inline property-map equality: native `=` (pushdown-friendly) when the
+    * stored and literal categories agree; ternary CypherCompare when they
+    * differ — `{prop: false}` against a stored LIST property is FALSE in
+    * the reference, never a type error. */
+  private def inlinePropEq(ctx: Ctx, scan: DataFrame, colName: String,
+      e: Expr): Column = {
+    import org.apache.spark.sql.types._
+    val v = constExpr(ctx, e)
+    val stored = scan.schema(colName).dataType
+    val litT = scala.util.Try(scan.select(v).schema.head.dataType).toOption
+    def cat(dt: DataType): Int = dt match {
+      case _: NumericType => 1; case StringType => 2; case BooleanType => 3
+      case _: ArrayType => 4; case _: StructType | _: MapType => 5
+      case other => other.hashCode
+    }
+    if (litT.forall(t => cat(t) == cat(stored)) &&
+        !stored.isInstanceOf[ArrayType] && !stored.isInstanceOf[StructType] &&
+        !stored.isInstanceOf[MapType])
+      col(colName) === v
+    else {
+      graft.functions.expressions.CypherCompare.ensureRegistered(ctx.spark)
+      call_function("cypher_compare", col(colName), v, lit("="))
+    }
   }
 
   /** id column renamed to the variable + `v$prop` columns for every property
@@ -3497,6 +3574,18 @@ object Planner {
     val g = ctx.g
     if (rel.branches.isDefined)
       return expandComposite(ctx, env, fromVar, rel, node, pathNodesAlias)
+    // a relationship variable REPEATED across the graph pattern is an
+    // implicit join (GQL singleton semantics, reference
+    // GraphPatternAcceptance): expand under a fresh name, then equate
+    if (rel.variable.exists(env.has) && rel.varLength.isEmpty) {
+      val rv = rel.variable.get
+      val tmp = ctx.fresh("rj")
+      val (env2, toVar2) = expandHop(ctx, env,
+        fromVar, rel.copy(variable = Some(tmp)), node, pathNodesAlias)
+      return (env2.copy(df = env2.df.map(
+          _.filter(col(tmp) === col(rv)).drop(tmp)),
+        binds = env2.binds - tmp), toVar2)
+    }
     val relVar = rel.variable.getOrElse(ctx.fresh("r"))
     val toBound = node.variable.exists(env.has)
     val toVar = node.variable.getOrElse(ctx.fresh("n"))
@@ -4202,7 +4291,11 @@ object Planner {
   // ---- UNWIND -----------------------------------------------------------
 
   private def planUnwind(ctx: Ctx, env: Env, u: UnwindClause): Env = {
-    var env2 = env.copy(df = Some(env.df.getOrElse(unit(ctx.spark))))
+    // path-element property reads in UNWIND position
+    // (`UNWIND [n IN nodes(p) | n.name] AS x`) hydrate through the same
+    // enrichment as projections
+    var env2 = enrichPathElems(ctx, env, Seq(u.expr))
+    env2 = env2.copy(df = Some(env2.df.getOrElse(unit(ctx.spark))))
     // pattern comprehensions / subquery expressions in UNWIND position
     // (`UNWIND [(a)-->(b) | b] AS c`) lower to RollUpApply columns first
     val expr =
@@ -4708,7 +4801,16 @@ object Planner {
           }
           case _ => None
         }
-        if (types.forall(_.isDefined) && nonNull.size > 1 && !allNumeric) {
+        // entity elements force the encoding when kinds MIX (`[r, n]`,
+        // `[n, 42]`) — a nested consumer could not tell ids from numbers
+        // otherwise. A SAME-KIND entity list (`[a, b]` both nodes) stays a
+        // raw id array: FOREACH/lambda machinery consumes those directly.
+        lazy val entKinds = xs.map(entKind)
+        lazy val allSameEntity = entKinds.forall(_.isDefined) &&
+          entKinds.flatten.distinct.size == 1
+        if (types.forall(_.isDefined) && !allSameEntity &&
+            (xs.exists(x => entKind(x).isDefined) ||
+              (nonNull.size > 1 && !allNumeric))) {
           val O = graft.functions.Orderability
           if (xs.exists(x => entKind(x).isDefined)) {
             // entities lift into the encoding with their kind's rank — one
@@ -4950,14 +5052,21 @@ object Planner {
           // are compile-time errors, only STRING||STRING and LIST||LIST)
           val (lc, rc) = (c(l), c(r))
           import org.apache.spark.sql.types._
-          Seq(dataTypeOf(env, lc), dataTypeOf(env, rc)).flatten.foreach {
+          val (lt2, rt2) = (dataTypeOf(env, lc), dataTypeOf(env, rc))
+          Seq(lt2, rt2).flatten.foreach {
             case _: NumericType | BooleanType =>
               throw new IllegalArgumentException(
                 "|| concatenation takes STRING or LIST operands — " +
                   "numbers are not implicitly coerced")
             case _ => ()
           }
-          concat(lc, rc)
+          // a NULL operand makes the concatenation NULL, typed like the
+          // other side (Spark would coerce the untyped null to STRING and
+          // reject STRING||ARRAY)
+          if (lt2.contains(NullType)) lit(null).cast(rt2.getOrElse(NullType))
+          else if (rt2.contains(NullType))
+            lit(null).cast(lt2.getOrElse(NullType))
+          else concat(lc, rc)
         case "-" =>
           val (lc, rc) = (c(l), c(r))
           val (lt, rt) = (dataTypeOf(env, lc), dataTypeOf(env, rc))
@@ -5190,12 +5299,14 @@ object Planner {
           case t @ (_: MapType | _: StructType)
             if graft.functions.Orderability.encoderAt(0, t).isDefined =>
             Some("map")
+          case DateType | TimestampType | TimestampNTZType => Some("temporal")
           case NullType    => None // null literal: compatible with any kind
           case other       => Some(other.simpleString)
         }
         val kinds = vals.flatMap(v => dataTypeOf(env, v)).flatMap(kind).distinct
         val mixedEncodable = kinds.size > 1 &&
-          kinds.forall(Set("str", "bool", "num", "list", "map", "dur", "point"))
+          kinds.forall(Set("str", "bool", "num", "list", "map", "dur",
+            "point", "temporal"))
         def encode(v: Column): Column =
           dataTypeOf(env, v).flatMap(dt =>
             graft.functions.Orderability.encodeAny(dt, v))
@@ -5227,9 +5338,36 @@ object Planner {
         c(Prop(Variable(v), key))
       case Index(l, i) =>
         val ic = c(i)
-        // Cypher 0-based; negative = from end (element_at is 1-based/±);
-        // out-of-bounds is null, not an error (try_ under ANSI mode)
-        try_element_at(c(l), when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
+        val lc = c(l)
+        import org.apache.spark.sql.types._
+        // a NULL index (or NULL collection) is NULL, never a type error
+        if (dataTypeOf(env, ic).contains(NullType) ||
+            dataTypeOf(env, lc).contains(NullType))
+          lit(null)
+        else dataTypeOf(env, lc) match {
+          case Some(MapType(kt, _, _)) =>
+            // map access takes the key AS IS (a numeric index would be a
+            // type error in the reference; try_cast yields NULL instead)
+            try_element_at(lc, ic.try_cast(kt.sql))
+          case Some(st: StructType) =>
+            // struct-backed heterogeneous map: static key lookup; a key
+            // the map does not carry is NULL, not an analysis error
+            i match {
+              case Lit(k: String) =>
+                if (st.fieldNames.contains(k)) lc.getField(k) else lit(null)
+              case Param(pn) => ctx.params.get(pn) match {
+                case Some(k: String) if st.fieldNames.contains(k) =>
+                  lc.getField(k)
+                case _ => lit(null)
+              }
+              case _ => lit(null)
+            }
+          case _ =>
+            // Cypher 0-based; negative = from end (element_at is
+            // 1-based/±); out-of-bounds is null, not an error
+            try_element_at(lc,
+              when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
+        }
       case Slice(l, f, t) =>
         val lc = c(l)
         val n = size(lc)
@@ -5330,9 +5468,10 @@ object Planner {
       case "min" | "max" =>
         // cross-type min/max (reference MinMaxFunction.scala): orderability-
         // encoded values compare by the struct's type-rank order; encoded
-        // NULLs (rank 15) must be skipped like real NULLs are
+        // NULLs must be skipped like real NULLs are
         val v = if (isOrderabilityTyped(env, a0))
-          when(a0.getField("rank") =!= 15, a0) else a0
+          when(a0.getField("rank") =!=
+            lit(graft.functions.Orderability.RankNull), a0) else a0
         if (name == "min") min(v) else max(v)
       case "collect" =>
         // Cypher collect() skips NULLs; collect_list already does.
@@ -5564,6 +5703,14 @@ object Planner {
         dataTypeOf(env, a0) match { // LIST / MAP use size, STRING length
           case Some(_: org.apache.spark.sql.types.ArrayType) |
                Some(_: org.apache.spark.sql.types.MapType) => size(a0) === 0
+          case Some(t) if graft.functions.Orderability.isEncoded(t) =>
+            // dynamic dispatch over a variant-encoded value: list → its
+            // element count, string → its length, anything else → NULL
+            val O = graft.functions.Orderability
+            when(a0.getField("rank") === lit(O.RankList),
+                size(a0.getField("l")) === 0)
+              .when(a0.getField("rank") === lit(O.RankString),
+                length(a0.getField("s")) === 0)
           case _ => length(a0) === 0
         }
       case "nullif" => nullif(a0, c(args(1)))

@@ -57,6 +57,10 @@ object Orderability {
     * duration is encoded as a DURATION (ValueGroup.java:51), not a MAP. */
   val DurationFields: Seq[String] = Seq("months", "days", "seconds", "nanos")
 
+  /** graft's path value layout (Planner named paths) — recognized so a
+    * path is encoded as a PATH, not a MAP. */
+  val PathStructFields: Seq[String] = Seq("nodes", "rels", "length")
+
   /** graft's point struct layout (Spatial.scala) — recognized so a point
     * is encoded as GEOMETRY (ValueGroup.java:45), not a MAP. */
   val PointFields: Seq[String] = Seq("x", "y", "srid")
@@ -70,11 +74,14 @@ object Orderability {
   val RankList = 8 // List < Path < temporals < … < String per the CIP
   val RankPath = 9
   val RankPoint = 10 // GEOMETRY before temporals (ValueGroup.java:45)
-  val RankDuration = 11 // …temporals < DURATION < TEXT (ValueGroup.java:51)
-  val RankString = 12
-  val RankBoolean = 13
-  val RankNumber = 14
-  val RankNull = 15 // null sorts last ascending, first descending
+  val RankZdt = 11 // ZONED_DATE_TIME (ValueGroup.java:46)
+  val RankLdt = 12 // LOCAL_DATE_TIME
+  val RankDate = 13 // DATE
+  val RankDuration = 16 // …temporals < DURATION < TEXT (ValueGroup.java:51)
+  val RankString = 17
+  val RankBoolean = 18
+  val RankNumber = 19
+  val RankNull = 20 // null sorts last ascending, first descending
 
   /** DDL of the element struct at `depth` (for typed null/empty literals) */
   private def structDdl(depth: Int): String =
@@ -113,6 +120,21 @@ object Orderability {
   def numberAt(depth: Int, c: Column): Column =
     nullAware(depth, c, encAt(depth, lit(RankNumber), nullStr, nullBool,
       c.cast("double"), nullListAt(depth), c.cast("string")))
+
+  def dateAt(depth: Int, c: Column): Column =
+    nullAware(depth, c, encAt(depth, lit(RankDate), nullStr, nullBool,
+      datediff(c, lit("1970-01-01")).cast("double"), nullListAt(depth),
+      date_format(c, "yyyy-MM-dd")))
+
+  def zdtAt(depth: Int, c: Column): Column =
+    nullAware(depth, c, encAt(depth, lit(RankZdt), nullStr, nullBool,
+      unix_micros(c).cast("double"), nullListAt(depth),
+      date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx")))
+
+  def ldtAt(depth: Int, c: Column): Column =
+    nullAware(depth, c, encAt(depth, lit(RankLdt), nullStr, nullBool,
+      unix_micros(c.cast("timestamp")).cast("double"), nullListAt(depth),
+      date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
 
   def nullAt(depth: Int): Column =
     encAt(depth, lit(RankNull), nullStr, nullBool, nullDouble,
@@ -245,6 +267,22 @@ object Orderability {
 
   // ---- depth lifting / UNWIND --------------------------------------------
 
+  /** rebuild a column-level (depth 0) encoded struct in the layout of
+    * `depth` below the column — nesting an already-encoded value one or
+    * more levels deeper (`[encoded, …]`). Content past MaxDepth is
+    * truncated: the planner rejects such nesting before it can carry
+    * data, so nothing real is lost. */
+  def sinkElem(c: Column, depth: Int): Column =
+    nullAware(depth, c, sinkFrom(c, 0, depth))
+  private def sinkFrom(c: Column, src: Int, tgt: Int): Column = {
+    val l =
+      if (tgt >= MaxDepth) nullListAt(tgt) // dropped by encAt
+      else if (src >= MaxDepth) nullListAt(tgt)
+      else transform(c.getField("l"), e => sinkFrom(e, src + 1, tgt + 1))
+    encAt(tgt, c.getField("rank"), c.getField("s"), c.getField("b"),
+      c.getField("d"), l, c.getField("repr"))
+  }
+
   /** rebuild an element struct encoded at `depth` (1-based below the
     * column) in the layout of `depth - 1`, recursively — the inverse of
     * nesting. The deepest level has no `l`, so it lifts with a null list
@@ -301,6 +339,9 @@ object Orderability {
       case BooleanType    => Some(booleanAt(depth, _))
       case _: NumericType => Some(numberAt(depth, _))
       case NullType       => Some(_ => nullAt(depth))
+      case org.apache.spark.sql.types.DateType => Some(dateAt(depth, _))
+      case org.apache.spark.sql.types.TimestampType => Some(zdtAt(depth, _))
+      case org.apache.spark.sql.types.TimestampNTZType => Some(ldtAt(depth, _))
       case ArrayType(et, _) if depth < MaxDepth =>
         encoderAt(depth + 1, et).map(f =>
           (c: Column) => nullAware(depth, c,
@@ -308,6 +349,8 @@ object Orderability {
       case MapType(StringType, vt, _) if depth < MaxDepth =>
         encoderAt(depth + 1, vt).map(f =>
           (c: Column) => nullAware(depth, c, mapEnc(depth, c, f)))
+      case st: StructType if st.fieldNames.toSeq == PathStructFields =>
+        Some(pathAt(depth, _))
       case st: StructType if depth < MaxDepth &&
           st.fieldNames.toSeq == DurationFields =>
         Some(durationAt(depth, _))
@@ -315,10 +358,11 @@ object Orderability {
           st.fieldNames.toSeq == PointFields =>
         Some(pointAt(depth, _))
       case st: StructType if st.fieldNames.toSeq == StructFields =>
-        // an already-encoded struct below the column level: its `l` depth
-        // is pinned to where it was encoded, so re-nesting it would shear
-        // the layout — reject rather than mis-encode as a MAP
-        None
+        // an already-encoded struct: pass through at the column level;
+        // below it, re-nest via sinkElem (layout depth must match the
+        // position it is embedded at)
+        if (depth == 0) Some(identity)
+        else Some(sinkElem(_, depth))
       case st: StructType if depth < MaxDepth =>
         // literal maps / map projections compile to structs: a map value
         // with statically-known sorted keys

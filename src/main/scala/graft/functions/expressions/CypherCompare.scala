@@ -154,8 +154,83 @@ object CypherCompare {
       case other => throw new IllegalStateException(s"not map-like: $other")
     }
 
+  // ---- variant-encoded operands -------------------------------------------
+  // A side may be the Orderability struct {rank,s,b,d,l,repr} (a mixed
+  // column / heterogeneous-list element): unwrap it to its native value +
+  // type before comparing, so `encoded = 3` and `encodedList = []` follow
+  // value semantics instead of struct-as-map semantics.
+
+  /** entity/opaque payloads surfaced from the encoding — equality by
+    * payload, no order across categories */
+  private final case class OrdEntity(kind: Int, key: UTF8String)
+  private final case class OrdOpaque(rank: Int, repr: UTF8String)
+
+  private def isOrdStruct(dt: DataType): Boolean = dt match {
+    case st: StructType =>
+      val fn = st.fieldNames.toSeq
+      fn == graft.functions.Orderability.StructFields ||
+        fn == Seq("rank", "s", "b", "d", "repr") // deepest level has no l
+    case _ => false
+  }
+
+  /** decode an encoded value to (native value, native type); lists keep
+    * their ord-struct elements — recursion through eq3/cmp unwraps them */
+  private def unwrapOrd(v: Any, dt: DataType): (Any, DataType) = {
+    val O = graft.functions.Orderability
+    val st = dt.asInstanceOf[StructType]
+    val r = v.asInstanceOf[InternalRow]
+    val idx = st.fieldNames.zipWithIndex.toMap
+    def f(n: String): Any =
+      if (!idx.contains(n) || r.isNullAt(idx(n))) null
+      else r.get(idx(n), st.fields(idx(n)).dataType)
+    val rank = f("rank") match { case i: Int => i; case _ => -1 }
+    rank match {
+      case O.RankNull => (null, NullType)
+      case O.RankString => (f("s"), StringType)
+      case O.RankBoolean => (f("b"), BooleanType)
+      case O.RankNumber =>
+        // repr disambiguates INTEGER from FLOAT (both ride in `d`)
+        val d = f("d").asInstanceOf[Double]
+        val repr = Option(f("repr")).map(_.toString).getOrElse("")
+        if (repr.nonEmpty && !repr.exists(ch => ch == '.' || ch == 'e' ||
+          ch == 'E' || ch == 'I' || ch == 'N')) (d.toLong, LongType)
+        else (d, DoubleType)
+      case O.RankList =>
+        idx.get("l").map { i =>
+          (f("l"), ArrayType(st.fields(i).dataType
+            .asInstanceOf[ArrayType].elementType))
+        }.getOrElse((null, NullType))
+      case O.RankNode | O.RankRel | O.RankPath =>
+        (OrdEntity(rank, f("s").asInstanceOf[UTF8String]), NullType)
+      case _ => // Map/Duration/Point encodings: repr is functionally
+        // determined by the value — equality-exact, order undefined here
+        (OrdOpaque(rank, f("repr").asInstanceOf[UTF8String]), NullType)
+    }
+  }
+
   /** ternary equality; null operands yield null, cross-category FALSE */
-  def eq3(a: Any, ta: DataType, b: Any, tb: DataType): java.lang.Boolean = {
+  def eq3(a0: Any, ta0: DataType, b0: Any, tb0: DataType): java.lang.Boolean = {
+    if (a0 == null || b0 == null) return null
+    if (isOrdStruct(ta0) || isOrdStruct(tb0)) {
+      val (a, ta) = if (isOrdStruct(ta0)) unwrapOrd(a0, ta0) else (a0, ta0)
+      val (b, tb) = if (isOrdStruct(tb0)) unwrapOrd(b0, tb0) else (b0, tb0)
+      if (a == null || b == null) return null
+      (a, b) match {
+        case (OrdEntity(k1, s1), OrdEntity(k2, s2)) =>
+          return java.lang.Boolean.valueOf(k1 == k2 && s1 == s2)
+        case (OrdOpaque(r1, x1), OrdOpaque(r2, x2)) =>
+          return java.lang.Boolean.valueOf(r1 == r2 && x1 == x2)
+        case (_: OrdEntity | _: OrdOpaque, _) |
+             (_, _: OrdEntity | _: OrdOpaque) =>
+          return java.lang.Boolean.FALSE // cross-category
+        case _ => return eq3(a, ta, b, tb)
+      }
+    }
+    eq3Native(a0, ta0, b0, tb0)
+  }
+
+  private def eq3Native(a: Any, ta: DataType, b: Any,
+      tb: DataType): java.lang.Boolean = {
     if (a == null || b == null) return null
     val (ca, cb) = (cat(ta), cat(tb))
     if (ca != cb) return java.lang.Boolean.FALSE
@@ -241,7 +316,26 @@ object CypherCompare {
   }
 
   /** ternary ordering; Ord only for totally ordered categories */
-  def cmp(a: Any, ta: DataType, b: Any, tb: DataType): Cmp = {
+  def cmp(a0: Any, ta0: DataType, b0: Any, tb0: DataType): Cmp = {
+    if (a0 == null || b0 == null) return Undef
+    if (isOrdStruct(ta0) || isOrdStruct(tb0)) {
+      val (a, ta) = if (isOrdStruct(ta0)) unwrapOrd(a0, ta0) else (a0, ta0)
+      val (b, tb) = if (isOrdStruct(tb0)) unwrapOrd(b0, tb0) else (b0, tb0)
+      if (a == null || b == null) return Undef
+      (a, b) match {
+        case (OrdEntity(k1, s1), OrdEntity(k2, s2)) if k1 == k2 =>
+          return Ord(s1.compareTo(s2)) // deterministic id order within kind
+        case (OrdOpaque(r1, x1), OrdOpaque(r2, x2)) if r1 == r2 =>
+          return (if (x1 == x2) EqOnly else Undef)
+        case (_: OrdEntity | _: OrdOpaque, _) |
+             (_, _: OrdEntity | _: OrdOpaque) => return Undef
+        case _ => return cmp(a, ta, b, tb)
+      }
+    }
+    cmpNative(a0, ta0, b0, tb0)
+  }
+
+  private def cmpNative(a: Any, ta: DataType, b: Any, tb: DataType): Cmp = {
     if (a == null || b == null) return Undef
     val (ca, cb) = (cat(ta), cat(tb))
     if (ca != cb) return Undef

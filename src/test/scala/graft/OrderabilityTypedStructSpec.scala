@@ -101,13 +101,14 @@ class OrderabilityTypedStructSpec extends AnyFunSuite {
     // a duration inside a list still encodes as DURATION, not MAP
     val listOfDur = ArrayType(durT)
     assert(Orderability.encoderAt(0, listOfDur).isDefined)
-    // the encoded layout itself is only a pass-through at the top level
+    // the encoded layout passes through at the top level and RE-NESTS
+    // (sinkElem) when embedded deeper — `[encoded, …]` is legal
     val encT = StructType(Seq(StructField("rank", IntegerType),
       StructField("s", StringType), StructField("b", BooleanType),
       StructField("d", DoubleType),
       StructField("l", ArrayType(StringType)),
       StructField("repr", StringType)))
-    assert(Orderability.encoderAt(1, encT).isEmpty)
+    assert(Orderability.encoderAt(1, encT).isDefined) // sinkElem re-nest
     assert(Orderability.encoderAt(0, encT).isDefined) // identity
   }
 

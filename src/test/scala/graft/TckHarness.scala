@@ -486,17 +486,27 @@ object TckHarness {
     val s = r.getAs[String]("s")
     val b = r.getAs[Any]("b")
     val d = r.getAs[Any]("d")
-    val l = r.getAs[scala.collection.Seq[Any]]("l")
+    // the deepest nesting level's layout carries no `l`
+    val l = if (r.schema != null && r.schema.fieldNames.contains("l"))
+      r.getAs[scala.collection.Seq[Any]]("l") else null
     val O = graft.functions.Orderability
     val rank = r.getAs[Any]("rank") match {
       case i: Int => i; case i: java.lang.Integer => i.intValue; case _ => -1
     }
+    val repr = r.getAs[String]("repr")
     if (ctx != null && rank == O.RankNode && s != null) ctx.node(s.toLong)
     else if (ctx != null && rank == O.RankRel && s != null) ctx.rel(s.toLong)
+    // temporal / point / duration ranks: repr is the value's canonical
+    // text — the TCK spells those values as strings
+    else if (rank >= O.RankPoint && rank <= O.RankDuration && repr != null)
+      TckStr(repr)
     else if (ctx != null && rank == O.RankPath && s != null) {
-      val Array(ns, rs) = (s + "| ").split("\\|", 2)
-      val nodeIds = ns.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
-      val relIds = rs.trim.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+      val parts = s.split("\\|", -1)
+      val nodeIds = parts(0).split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+      val relIds =
+        if (parts.length > 1)
+          parts(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq
+        else Nil
       if (nodeIds.isEmpty) TckNull else ctx.path(nodeIds, relIds)
     }
     else if (s != null) TckStr(s)
