@@ -157,11 +157,13 @@ object Dedup {
     * scales with the duplicate-pair graph, not the corpus.
     * @return (id, canonical, keep) for EVERY input doc */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      hash64: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
     // materialize the pair list ONCE: connectedComponents runs two actions
     // (small-graph probe + union-find collect, or per-round fingerprints),
     // and each would otherwise re-execute the whole LSH+verify pipeline
-    val pairs = minhashDedup(docs, threshold, shingleSize)
+    val pairs = minhashDedup(docs, threshold, shingleSize, hash64 = hash64)
       .select(col("idA").as("src"), col("idB").as("dst"))
       .localCheckpoint(false)
     val comp = graft.ops.Bfs.connectedComponents(pairs)

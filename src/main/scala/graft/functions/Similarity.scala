@@ -114,6 +114,28 @@ object Similarity {
   def lshBucket(vec: Column, nBits: Int = 12): Column =
     (0 until nBits).map(j => hyperplaneBit(vec, j)).reduce(_.bitwiseOR(_))
 
+  /** PORTABLE hyperplane bit: weights from an md5-derived hash and ALL
+    * arithmetic in exact i64 (components floor(v[d]·10⁶), weights in
+    * [-500001, 500001]) — the sign replays bit-for-bit in any engine with
+    * md5 (the DuckDB oracle recomputes the same buckets), unlike the
+    * float-summed xxhash64 default whose near-zero signs are
+    * accumulation-order sensitive. |Σ| ≤ dims·5·10¹⁴ stays far from i64
+    * overflow for every practical embedding width. */
+  private def hyperplaneBitPortable(vec: Column, j: Int): Column = {
+    val contrib = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, d) => floor(x.cast("double") * 1000000d).cast("long") *
+          (pmod(graft.functions.Dedup.portableHash64(
+            concat(lit(j.toString), lit(":"), d.cast("string"))),
+            lit(1000003L)) - 500001L)),
+      lit(0L), (acc, v) => acc + v)
+    when(contrib >= 0, lit(1L << j)).otherwise(0L)
+  }
+
+  def lshBucketPortable(vec: Column, nBits: Int): Column =
+    (0 until nBits).map(j => hyperplaneBitPortable(vec, j))
+      .reduce(_.bitwiseOR(_))
+
   /**
    * Approximate top-k with multiprobe: each query probes its own bucket plus
    * every bucket at hamming distance 1 (nBits+1 probes total), which is the
@@ -122,12 +144,15 @@ object Similarity {
    * (small, broadcast) query side only; the corpus is still hashed and
    * shuffled once by bucket key, so the 100 TB side does no extra work.
    */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 12): DataFrame = {
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 12,
+      portable: Boolean = false): DataFrame = {
+    def bkt(v: Column) =
+      if (portable) lshBucketPortable(v, nBits) else lshBucket(v, nBits)
     val c = corpus.select(col("id"), asDouble(col("vec")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), nBits))
+      .withColumn("bucket", bkt(col("v")))
     val probes = (0 until nBits).map(j => col("bucket0").bitwiseXOR(lit(1L << j)))
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qv"))
-      .withColumn("bucket0", lshBucket(col("qv"), nBits))
+      .withColumn("bucket0", bkt(col("qv")))
       .withColumn("bucket", explode(array((col("bucket0") +: probes): _*)))
       .drop("bucket0")
     val scored = c.join(broadcast(q), Seq("bucket")).filter(col("id") =!= col("qid"))
@@ -578,9 +603,11 @@ object Similarity {
     * capped at `maxBucket` rows (same skew guard as Dedup.minhashCandidates):
     * a pathological bucket of 10^6 vectors would otherwise emit 10^12 pairs. */
   def cosineNearDup(corpus: DataFrame, threshold: Double, nBits: Int = 8,
-      maxBucket: Int = 1024): DataFrame = {
+      maxBucket: Int = 1024, portable: Boolean = false): DataFrame = {
     val c = corpus.select(col("id"), asDouble(col("vec")).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), nBits))
+      .withColumn("bucket",
+        if (portable) lshBucketPortable(col("v"), nBits)
+        else lshBucket(col("v"), nBits))
     val capped = c.withColumn("rn",
         row_number().over(Window.partitionBy("bucket").orderBy("id")))
       .filter(col("rn") <= maxBucket).drop("rn")

@@ -33,6 +33,42 @@ object CypherQueries {
         |WHERE o_totalprice > 100000
         |GROUP BY c_name ORDER BY n DESC, name ASC LIMIT 10""".stripMargin),
 
+    // heterogeneous COLUMN through WITH → ORDER BY → RETURN (VERDICT r11
+    // task 2 receipt): the variant encoding rides the projection chain
+    // and toString() decodes; global order is List < String < Boolean <
+    // Number, NULL last (ascending)
+    cq("q_cypher_mixed_col",
+      """UNWIND [3, 'b', true, 2.5, 'a', null, [1, 2]] AS x
+        |WITH x ORDER BY x
+        |RETURN toString(x) AS s""".stripMargin,
+      """SELECT s FROM (VALUES ('[1, 2]'), ('a'), ('b'), ('true'),
+        |  ('2.5'), ('3'), ('null')) AS t(s)""".stripMargin),
+
+    // path projection in a pattern comprehension (VERDICT r11 task 3
+    // receipt): `[p = (c)-[:PLACED]->(:Order) | p]` hydrates the named
+    // path per match; size() counts the customer's orders
+    cq("q_cypher_pattern_path",
+      """MATCH (c:Customer) WHERE c.key <= 30
+        |RETURN c.key AS ckey,
+        |       size([p = (c)-[:PLACED]->(:Order) | p]) AS n_paths""".stripMargin,
+      """SELECT c_custkey AS ckey, CAST(count(o_orderkey) AS INT) AS n_paths
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |WHERE c_custkey <= 30 GROUP BY c_custkey""".stripMargin),
+
+    // two QPP GROUP VARIABLES projected out of one quantified pattern
+    // (VERDICT r11 task 4 receipt): per-hop rel and end-node arrays,
+    // element property reads through the entity-list machinery
+    cq("q_cypher_qpp_groupvars",
+      """MATCH (c:Customer) ((a)-[r:FROM|IN_REGION]->(b)){2,2} (x)
+        |WHERE c.key <= 50
+        |RETURN c.key AS ckey, size(r) AS depth,
+        |       b[0].name AS nation, b[1].name AS region""".stripMargin,
+      """SELECT c_custkey AS ckey, 2 AS depth, n_name AS nation,
+        |  r_name AS region
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_custkey <= 50""".stripMargin),
+
     // Expand(All) twin of q_graph_expand
     cq("q_cypher_expand",
       """MATCH (c:Customer)-[:PLACED]->(o:Order)

@@ -17,6 +17,65 @@ object PipelineQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "documents").select(col("doc_id").as("id"), col("text"), col("lang"), col("source"))
 
+  /** DuckDB replay of the MinHash+LSH candidate → exact-Jaccard-verified
+    * pair pipeline over the PORTABLE hash (shared by the q_dedup_minhash
+    * oracle and the q_dedup_clusters closure): yields CTEs ending in
+    * `vpairs(idA, idB, jaccard)`. */
+  private def minhashPairsSql(threshold: Double): String = {
+    val rng = new scala.util.Random(42)
+    val prime = 2147483647L
+    val coef = Seq.fill(64)((1L + rng.nextInt((prime - 1).toInt),
+      rng.nextInt(prime.toInt).toLong))
+    val coefRows = coef.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val gate = threshold * 0.7
+    s"""tok AS (SELECT doc_id AS id,
+       |    list_filter(string_split_regex(text, '\\s+'),
+       |      x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |sh0 AS (SELECT id, CASE WHEN len(toks) < 3
+       |    THEN [array_to_string(toks, ' ')]
+       |    ELSE [array_to_string(toks[i:i+2], ' ')
+       |          for i in generate_series(1, len(toks) - 2)] END AS shs
+       |  FROM tok),
+       |hs AS (SELECT id, list_distinct([
+       |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $prime
+       |    for s in shs]) AS hs FROM sh0),
+       |coef(i, a, b) AS (VALUES $coefRows),
+       |sigrow AS (
+       |  SELECT id, c.i AS i, min((x.h * c.a + c.b) % $prime) AS v
+       |  FROM (SELECT id, unnest(hs) AS h FROM hs) x, coef c
+       |  GROUP BY id, c.i),
+       |sig AS (SELECT id, list(v ORDER BY i) AS sig FROM sigrow GROUP BY id),
+       |banded AS (
+       |  SELECT id, b.b AS band, CAST(concat('0x', substr(md5(
+       |      array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], '_')), 1, 15))
+       |    AS BIGINT) AS bucket
+       |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b),
+       |capped AS (SELECT id, band, bucket, row_number() OVER (
+       |    PARTITION BY band, bucket ORDER BY id) AS rn
+       |  FROM banded QUALIFY rn <= 64),
+       |cand AS (SELECT DISTINCT a.id AS idA, b.id AS idB
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.id < b.id),
+       |est AS (SELECT c.idA, c.idB,
+       |    sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS e
+       |  FROM cand c JOIN sigrow sa ON sa.id = c.idA
+       |    JOIN sigrow sb ON sb.id = c.idB AND sb.i = sa.i
+       |  GROUP BY c.idA, c.idB),
+       |sets AS (SELECT id, list_distinct([
+       |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+       |    for s in shs]) AS st FROM sh0),
+       |vp0 AS (SELECT k.idA, k.idB,
+       |    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+       |      / (len(a.st) + len(b.st)
+       |         - len(list_intersect(a.st, b.st))) AS jaccard
+       |  FROM (SELECT idA, idB FROM est WHERE e >= $gate) k
+       |    JOIN sets a ON a.id = k.idA JOIN sets b ON b.id = k.idB),
+       |vpairs AS (SELECT * FROM vp0 WHERE jaccard >= $threshold)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy on md5(text) — one shuffle.
@@ -42,10 +101,24 @@ object PipelineQueries {
     // seeded sketches aren't reproducible in DuckDB → rows-only; the
     // planted-transitive-duplicate contract is locked in DedupSpec.
     QueryDef("q_dedup_clusters",
-      (s, d) => Dedup.nearDupClusters(docs(s, d), threshold = 0.8)
+      (s, d) => Dedup.nearDupClusters(docs(s, d), threshold = 0.8,
+          hash64 = Dedup.portableHash64)
         .groupBy("keep").agg(count(lit(1)).as("n"))
         .orderBy(col("keep")),
-      None),
+      // the full resolution replays: portable-hash candidate pairs at
+      // 0.8, then a recursive-CTE transitive closure whose per-id minimum
+      // reachable id IS the canonical (the engine's min-label components)
+      Some(s"""WITH RECURSIVE ${minhashPairsSql(0.8)},
+             |e AS (SELECT idA AS a, idB AS b FROM vpairs
+             |  UNION SELECT idB, idA FROM vpairs),
+             |reach(a, b) AS (SELECT a, b FROM e
+             |  UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+             |canon AS (SELECT d.doc_id AS id,
+             |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS canonical
+             |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+             |  GROUP BY d.doc_id)
+             |SELECT (id = canonical) AS keep, count(*) AS n
+             |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Incremental (daily-crawl) dedup: sketch the first 80% of the corpus
     // into a persisted MinHash store, then dedup the remaining 20% batch
@@ -114,63 +187,15 @@ object PipelineQueries {
     // stage in SQL — the fixed seed-42 coefficients are interpolated as
     // literals. xxhash64 remains the scale-path default (DedupSpec pins
     // the sketch quality there).
+
+
     QueryDef("q_dedup_minhash",
       (s, d) => Dedup.minhashDedup(docs(s, d), threshold = 0.5,
           hash64 = Dedup.portableHash64)
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard")),
-      Some {
-        val rng = new scala.util.Random(42)
-        val prime = 2147483647L
-        val coef = Seq.fill(64)((1L + rng.nextInt((prime - 1).toInt),
-          rng.nextInt(prime.toInt).toLong))
-        val coefRows = coef.zipWithIndex
-          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-        s"""WITH tok AS (SELECT doc_id AS id,
-           |    list_filter(string_split_regex(text, '\\s+'),
-           |      x -> length(x) > 0) AS toks
-           |  FROM documents),
-           |sh0 AS (SELECT id, CASE WHEN len(toks) < 3
-           |    THEN [array_to_string(toks, ' ')]
-           |    ELSE [array_to_string(toks[i:i+2], ' ')
-           |          for i in generate_series(1, len(toks) - 2)] END AS shs
-           |  FROM tok),
-           |hs AS (SELECT id, list_distinct([
-           |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $prime
-           |    for s in shs]) AS hs FROM sh0),
-           |coef(i, a, b) AS (VALUES $coefRows),
-           |sigrow AS (
-           |  SELECT id, c.i AS i, min((x.h * c.a + c.b) % $prime) AS v
-           |  FROM (SELECT id, unnest(hs) AS h FROM hs) x, coef c
-           |  GROUP BY id, c.i),
-           |sig AS (SELECT id, list(v ORDER BY i) AS sig FROM sigrow GROUP BY id),
-           |banded AS (
-           |  SELECT id, b.b AS band, CAST(concat('0x', substr(md5(
-           |      array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], '_')), 1, 15))
-           |    AS BIGINT) AS bucket
-           |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b),
-           |capped AS (SELECT id, band, bucket, row_number() OVER (
-           |    PARTITION BY band, bucket ORDER BY id) AS rn
-           |  FROM banded QUALIFY rn <= 64),
-           |cand AS (SELECT DISTINCT a.id AS idA, b.id AS idB
-           |  FROM capped a JOIN capped b
-           |    ON a.band = b.band AND a.bucket = b.bucket
-           |  WHERE a.id < b.id),
-           |est AS (SELECT c.idA, c.idB,
-           |    sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS e
-           |  FROM cand c JOIN sigrow sa ON sa.id = c.idA
-           |    JOIN sigrow sb ON sb.id = c.idB AND sb.i = sa.i
-           |  GROUP BY c.idA, c.idB),
-           |sets AS (SELECT id, list_distinct([
-           |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
-           |    for s in shs]) AS st FROM sh0),
-           |v AS (SELECT k.idA, k.idB,
-           |    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) AS inter,
-           |    len(a.st) AS szA, len(b.st) AS szB
-           |  FROM (SELECT idA, idB FROM est WHERE e >= 0.35) k
-           |    JOIN sets a ON a.id = k.idA JOIN sets b ON b.id = k.idB)
-           |SELECT idA, idB, round(inter / (szA + szB - inter), 4) AS jaccard
-           |FROM v WHERE inter / (szA + szB - inter) >= 0.5""".stripMargin
-      }),
+      Some(s"""WITH ${minhashPairsSql(0.5)}
+             |SELECT idA, idB, round(jaccard, 4) AS jaccard
+             |FROM vpairs""".stripMargin)),
 
     // SimHash near-dup (64-bit signature, 16-bit band LSH, hamming
     // verify), EXACT-REPLAY oracled over the portable hash: 64 conditional
@@ -339,16 +364,50 @@ object PipelineQueries {
     // LSH-bucketed ANN (scale path) + embedding-cosine near-dup pairs —
     // approximate by construction: recall measured against brute force in
     // SimilaritySpec; rows-only here.
+    // Portable-hash LSH: the hyperplane signs are exact i64 arithmetic over
+    // md5-derived weights, so the oracle replays the buckets, the
+    // hamming-1 multiprobe, and the cosine rerank — the full pipeline is
+    // hash-verified (the MinHash precedent, extended to ANN).
     QueryDef("q_knn_lsh",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.lshTopK(corpus, queries, 10, nBits = 8)
+        Similarity.lshTopK(corpus, queries, 10, nBits = 8, portable = true)
           .select(col("qid"), col("rank").cast("int").as("rank"), col("id"))
       },
-      None),
+      Some("""WITH emb AS (SELECT vec_id AS id,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |iv AS (SELECT id,
+             |    [CAST(floor(x * 1000000) AS BIGINT) for x in v] AS iv
+             |  FROM emb),
+             |w AS (SELECT j, d,
+             |    (CAST(concat('0x', substr(md5(concat(j, ':', d)), 1, 15))
+             |       AS BIGINT) % 1000003) - 500001 AS w
+             |  FROM (SELECT unnest(generate_series(0, 7)) AS j),
+             |       (SELECT unnest(generate_series(0, 127)) AS d)),
+             |comp AS (SELECT i.id, w.j, sum(i.iv[w.d + 1] * w.w) AS s
+             |  FROM iv i JOIN w ON w.d < len(i.iv) GROUP BY i.id, w.j),
+             |bits AS (SELECT id,
+             |    CAST(sum(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+             |      AS bucket
+             |  FROM comp GROUP BY id),
+             |q AS (SELECT id AS qid, bucket AS b0 FROM bits WHERE id < 5),
+             |probes AS (SELECT qid, b0 AS bucket FROM q
+             |  UNION SELECT qid, xor(b0, CAST(1 << j AS BIGINT)) AS bucket
+             |  FROM q, (SELECT unnest(generate_series(0, 7)) AS j)),
+             |cand AS (SELECT DISTINCT p.qid, c.id
+             |  FROM probes p JOIN bits c USING (bucket) WHERE c.id <> p.qid),
+             |scored AS (SELECT cand.qid, cand.id,
+             |    list_cosine_similarity(e1.v, e2.v) AS sim
+             |  FROM cand JOIN emb e1 ON e1.id = cand.qid
+             |            JOIN emb e2 ON e2.id = cand.id),
+             |ranked AS (SELECT qid, id, row_number() OVER (
+             |    PARTITION BY qid ORDER BY sim DESC, id ASC) AS rank
+             |  FROM scored)
+             |SELECT qid, CAST(rank AS INT) AS rank, id
+             |FROM ranked WHERE rank <= 10""".stripMargin)),
 
     // IVF-flat ANN: k-means cells + nProbe search + exact rerank. Like
     // q_knn_lsh, approximate by construction — recall gated in
@@ -398,15 +457,42 @@ object PipelineQueries {
       },
       None),
 
+    // Portable-hash bucketed near-dup: same i64 hyperplane signs as
+    // q_knn_lsh, so the oracle replays bucket assignment, the per-bucket
+    // cap, the bucket-confined pair join and the cosine threshold. Pair
+    // ids only (the exact-twin convention — no float column to ulp-flip).
     QueryDef("q_cosine_near_dup",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.cosineNearDup(
           emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
-          threshold = 0.40, nBits = 6)
-          .select(col("idA"), col("idB"), round(col("sim"), 3).as("sim"))
+          threshold = 0.40, nBits = 6, portable = true)
+          .select(col("idA"), col("idB"))
       },
-      None),
+      Some("""WITH emb AS (SELECT vec_id AS id,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |iv AS (SELECT id,
+             |    [CAST(floor(x * 1000000) AS BIGINT) for x in v] AS iv
+             |  FROM emb),
+             |w AS (SELECT j, d,
+             |    (CAST(concat('0x', substr(md5(concat(j, ':', d)), 1, 15))
+             |       AS BIGINT) % 1000003) - 500001 AS w
+             |  FROM (SELECT unnest(generate_series(0, 5)) AS j),
+             |       (SELECT unnest(generate_series(0, 127)) AS d)),
+             |comp AS (SELECT i.id, w.j, sum(i.iv[w.d + 1] * w.w) AS s
+             |  FROM iv i JOIN w ON w.d < len(i.iv) GROUP BY i.id, w.j),
+             |bits AS (SELECT id,
+             |    CAST(sum(CASE WHEN s >= 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+             |      AS bucket
+             |  FROM comp GROUP BY id),
+             |capped AS (SELECT id, bucket, row_number() OVER (
+             |    PARTITION BY bucket ORDER BY id) AS rn
+             |  FROM bits QUALIFY rn <= 1024)
+             |SELECT a.id AS idA, b.id AS idB
+             |FROM capped a JOIN capped b ON a.bucket = b.bucket
+             |  AND a.id < b.id
+             |JOIN emb ea ON ea.id = a.id JOIN emb eb ON eb.id = b.id
+             |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.40""".stripMargin)),
 
     // Exact brute-force twin of q_cosine_near_dup: every pair over the
     // threshold (the LSH-bucketed form above trades recall for the
