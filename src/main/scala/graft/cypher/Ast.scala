@@ -126,7 +126,11 @@ object Ast {
       // constrained LEADING node of a quantified group
       // (`((x:A)-->(y))+`): every traversal's start node must satisfy it
       // (reference NFA per-state predicates)
-      headNode: Option[NodePattern] = None)
+      headNode: Option[NodePattern] = None,
+      // group-scoped WHERE over SEVERAL iteration variables
+      // (`(((n)-[r]->(m)) WHERE n.p <= m.p)+`): filters every traversal of
+      // the composite edge set (reference QPP inner predicates)
+      groupWhere: Option[Expr] = None)
 
   /** A linear path: node (rel node)*. `name` carries a path-variable binding
     * `p = (a)-[r]->(b)` (reference front-end projectNamedPaths rewriter /

@@ -591,9 +591,12 @@ object CypherParser extends RegexParsers {
           branches = Some(branches)), next), nextOpt.isDefined)
     }
 
-  private def qppHop: Parser[((RelPattern, NodePattern), Boolean)] =
-    ("(" ~> nodePattern ~ rep1(relPattern ~ nodePattern ^^ {
-        case r ~ n => (r, n) }) ~
+  private def qppHop: Parser[((RelPattern, NodePattern), Boolean)] = {
+    val chainP = nodePattern ~ rep1(relPattern ~ nodePattern ^^ {
+      case r ~ n => (r, n) })
+    // the chain may carry its OWN paren level before a group WHERE —
+    // `(((n)-[r]->(m)) WHERE n.p <= m.p)+` (GQL parenthesized path pattern)
+    ("(" ~> (("(" ~> chainP <~ ")") | chainP) ~
       opt(K("WHERE") ~> expression) <~ ")") ~ qppQuantifier ~
       opt(nodePattern) ^^ {
       case (x ~ chain ~ w) ~ q ~ nextOpt =>
@@ -626,11 +629,15 @@ object CypherParser extends RegexParsers {
           // into that node's inline predicate; one naming only the HEAD
           // folds into the leading node (applied per iteration start)
           var x2 = x
+          var gw: Option[Expr] = None
           val chain2 = w match {
             case None => chain
             case Some(pred) =>
               val lastVar = chain.last._2.variable
               val idents = exprIdents(pred)
+              val groupVars = (x.variable ++
+                chain.flatMap(c => c._2.variable) ++
+                chain.flatMap(c => c._1.variable)).toSet
               if (lastVar.isDefined && idents.subsetOf(Set(lastVar.get)))
                 chain.init :+ (chain.last._1,
                   chain.last._2.copy(where = Some(pred)))
@@ -639,17 +646,23 @@ object CypherParser extends RegexParsers {
                 x2 = x.copy(where = Some(
                   x.where.fold(pred)(w0 => BinOp("AND", w0, pred))))
                 chain
+              } else if (idents.subsetOf(groupVars)) {
+                // multi-variable group WHERE: filters every traversal of
+                // the composite edge set (planner branchEdges)
+                gw = Some(pred)
+                chain
               } else throw new IllegalArgumentException(
                 "a quantified group WHERE may reference only the group's " +
-                  "head or final node variable (cross-iteration " +
-                  "predicates are not supported)")
+                  "own variables (cross-iteration predicates are not " +
+                  "supported)")
           }
           ((RelPattern(None, Seq.empty, Out, Some(q), Seq.empty,
             branches = Some(Seq(chain2)),
-            headNode = Some(x2)), next),
+            headNode = Some(x2), groupWhere = gw), next),
             nextOpt.isDefined)
         }
     }
+  }
 
   /** identifiers syntactically referenced by an expression (parser-side
     * conservative walk for the quantified-group WHERE restriction). */
@@ -716,7 +729,11 @@ object CypherParser extends RegexParsers {
     * `ANY SHORTEST (p = (a)-->+(b) WHERE …)` (reference
     * ParenthesizedPath). Returns (innerName, pattern, where). */
   private def selGroup: Parser[(Option[String], PathPattern, Option[Expr])] =
-    ("(" ~> opt(ident <~ "=") ~ pathPattern ~
+    // the pattern itself may sit in ANOTHER paren level —
+    // `(p = ((start)((a)-[r]->(b))+(end)) WHERE length(p) > 3)` (GQL
+    // parenthesized path pattern with a whole-path pre-filter)
+    ("(" ~> opt(ident <~ "=") ~
+        (("(" ~> pathPattern <~ ")") | pathPattern) ~
         opt(K("WHERE") ~> expression) <~ ")") ^^ {
       case n ~ p ~ w => (n, p, w)
     } |

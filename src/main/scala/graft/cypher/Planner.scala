@@ -1281,6 +1281,10 @@ object Planner {
       case Index(Variable(v), Param(p)) if !pathVars(v) &&
           params.get(p).exists(_.isInstanceOf[String]) =>
         add(v, params(p).asInstanceOf[String])
+      case Index(Variable(v), i) if !pathVars(v) &&
+          !i.isInstanceOf[Lit] && !i.isInstanceOf[Param] =>
+        // a truly per-row key (`n[keyExpr]`) needs every property column
+        add(v, "*"); walk(i)
       case Index(l, i)        => walk(l); walk(i)
       case Slice(l, f, t)     => walk(l); f.foreach(walk); t.foreach(walk)
       case PatternExists(p, w, _, _) => walkPattern(p); w.foreach(walk)
@@ -2009,31 +2013,34 @@ object Planner {
     // including theirs fixed-length) — the constraint applies as a
     // post-search filter on the node array, the same mechanism (and same
     // documented k-displacement divergence) as bound relationship legs.
-    val boundNodeLegs: Seq[(String, Int)] = {
-      var offset = 0
-      var known = true
-      val out = Seq.newBuilder[(String, Int)]
-      p.hops.dropRight(1).foreach { case (r, tn) =>
-        val fixedLen =
-          if (r.branches.isDefined) None
-          else if (r.varLength.isEmpty) Some(1)
-          else r.varLength.flatMap { case (mn, mx) => mx.filter(_ == mn) }
-        known = known && fixedLen.isDefined
-        offset += fixedLen.getOrElse(0)
-        tn.variable.filter(env.has).foreach { nv =>
-          require(known,
-            "SHORTEST k bound interior nodes need a fixed offset")
-          out += ((nv, offset))
-        }
+    // (nv, segment index): a pre-bound interior variable names the node a
+    // path must LEAVE segment i on — the search records those
+    // boundary-crossing nodes (`bnds`), so the constraint applies at any
+    // offset, not only fixed ones. It lands twice: the DISTINCT bound
+    // values fold into the segment's in-search boundary set (pruning the
+    // product graph), and an exact per-row equality filters post-search
+    // (same documented k-displacement divergence as bound rel legs).
+    val boundNodeLegs: Seq[(String, Int)] =
+      p.hops.dropRight(1).zipWithIndex.flatMap { case ((_, tn), i) =>
+        tn.variable.filter(env.has).map(_ -> i)
       }
-      out.result()
-    }
     // per-state node predicates (reference NFA.scala:157): labels, label
     // alternations (:A|:B), property maps AND inline WHERE on interior
     // nodes become the boundary node set a path must cross between
     // consecutive legs; the last leg's end is the target, constrained by
     // the pair/accept step
-    val boundaries = interiors.map(boundarySet(ctx, _)) :+ None
+    val boundaries = interiors.zipWithIndex.map { case (n, i) =>
+      val b0 = boundarySet(ctx, n)
+      // pre-bound interior variable: the distinct bound values ARE a
+      // boundary set — prune the search to paths crossing one of them
+      val bv = boundNodeLegs.collect { case (nv, `i`) =>
+        envIn.df.get.select(col(nv).as("id")).distinct()
+      }.headOption
+      (b0, bv) match {
+        case (Some(b), Some(v)) => Some(b.join(v, Seq("id"), "left_semi"))
+        case (b, v) => v.orElse(b)
+      }
+    } :+ None
     // unbounded legs (`-->+` / `-->*` / `*2..`) search to a depth cap: the
     // reference's NFA runs unbounded, but a shortest selector never needs
     // paths past the search horizon on any graph the budget admits —
@@ -2059,7 +2066,9 @@ object Planner {
           // composite edge relation (whole-branch traversals); their union
           // is the segment's edge set, quantified in branch traversals.
           // A constrained LEADING node filters each traversal's start.
-          val comp0 = bs.map(branchEdges(ctx, _)).reduce(_ unionByName _)
+          val comp0 = bs.map(branchEdges(ctx, _,
+            r.headNode.flatMap(_.variable), r.groupWhere))
+            .reduce(_ unionByName _)
           val comp = r.headNode.flatMap(hn => boundarySet(ctx, hn))
             .fold(comp0)(b => comp0.join(
               b.withColumnRenamed("id", "__es"), Seq("__es"), "left_semi"))
@@ -2133,15 +2142,17 @@ object Planner {
           if (toBound)
             graft.ops.Trail.shortestGroupsSegments(segs,
               df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(),
-              kk)
+              kk, partBnds = boundNodeLegs.map(_._2))
           else
             graft.ops.Trail.shortestGroupsSegmentsTo(segs,
               df.select(col(fromVar).as("source")).distinct(),
-              targetIds.map(_.select(col("id").as("target"))), kk)
+              targetIds.map(_.select(col("id").as("target"))), kk,
+              partBnds = boundNodeLegs.map(_._2))
         }
       } else if (toBound)
         graft.ops.Trail.shortestKSegments(segs,
-          df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(), kk)
+          df.select(col(fromVar).as("source"), col(toVar).as("target")).distinct(), kk,
+          partBnds = boundNodeLegs.map(_._2))
       else {
         // unbound target: source-driven search, accepted ends semi-joined
         // against the label scan — never a sources × candidates cartesian
@@ -2151,12 +2162,30 @@ object Planner {
             toNode.props.isEmpty && toNode.where.isEmpty) None
           else boundarySet(ctx, toNode).map(_.select(col("id").as("target")))
         graft.ops.Trail.shortestKSegmentsTo(segs,
-          df.select(col(fromVar).as("source")).distinct(), targetIds, kk)
+          df.select(col(fromVar).as("source")).distinct(), targetIds, kk,
+          partBnds = boundNodeLegs.map(_._2))
       }
+    // UNBOUND interior pattern variables BIND from the boundary-crossing
+    // nodes the search records per segment transition (`bnds[i]` = the
+    // node the path left segment i on) — a later MATCH reusing the
+    // variable then joins on the actual interior node (reference: selector
+    // patterns export their element variables)
+    val interiorBinds: Seq[(String, Int)] =
+      p.hops.dropRight(1).zipWithIndex.flatMap { case ((_, tn), i) =>
+        tn.variable.filterNot(envIn.has).map(_ -> i)
+      }
+    val hasBnds = res0.columns.contains("bnds")
+    require(boundNodeLegs.isEmpty || hasBnds,
+      "bound interior nodes need the segment search (not the single-leg fast path)")
     val res = res0
-      .select(col("source"), col("target"),
-        col("hops").cast("int").as(s"$pv$$length"), col("path").as(s"$pv$$rels"),
-        col("nodes").as(s"$pv$$nodes"))
+      .select((col("source") +: col("target") +:
+        col("hops").cast("int").as(s"$pv$$length") +:
+        col("path").as(s"$pv$$rels") +:
+        col("nodes").as(s"$pv$$nodes") +:
+        ((if (hasBnds) interiorBinds.map { case (v, i) =>
+          element_at(col("bnds"), i + 1).as(v) } else Nil) ++
+         (if (hasBnds && boundNodeLegs.nonEmpty)
+           Seq(col("bnds").as("__bnds")) else Nil))): _*)
     // legs reusing a PRE-BOUND relationship variable (`MATCH ()-[r]->()
     // MATCH ANY SHORTEST (a)-[r:R]->(b)...`): the matched path must use
     // exactly that relationship at the leg's offset. Supported for single-
@@ -2187,15 +2216,19 @@ object Planner {
       val relC = boundRelLegs.foldLeft(d) { case (acc, (rv, off)) =>
         acc.filter(element_at(col(s"$pv$$rels"), off + 1) === col(rv))
       }
-      boundNodeLegs.foldLeft(relC) { case (acc, (nv, off)) =>
-        acc.filter(element_at(col(s"$pv$$nodes"), off + 1) === col(nv))
+      val nodeC = boundNodeLegs.foldLeft(relC) { case (acc, (nv, i)) =>
+        acc.filter(element_at(col("__bnds"), i + 1) === col(nv))
       }
+      if (boundNodeLegs.nonEmpty) nodeC.drop("__bnds") else nodeC
     }
+    val interiorVars: Map[String, Binding] =
+      (if (hasBnds) interiorBinds.map(_._1 -> (NodeVar: Binding)) else Nil).toMap
     if (toBound) {
       val joined = df.join(res,
         col(fromVar) === col("source") && col(toVar) === col("target"))
         .drop("source", "target")
-      Env(Some(relConstrained(joined)), env.binds + (pv -> PathVar))
+      Env(Some(relConstrained(joined)),
+        env.binds ++ interiorVars + (pv -> PathVar))
     } else {
       var joined = df.join(res, col(fromVar) === col("source"))
         .drop("source").withColumnRenamed("target", toVar)
@@ -2204,7 +2237,7 @@ object Planner {
         joined = joined.join(scan, Seq(toVar))
       }
       Env(Some(relConstrained(joined)),
-        env.binds + (pv -> PathVar) + (toVar -> NodeVar))
+        env.binds ++ interiorVars + (pv -> PathVar) + (toVar -> NodeVar))
     }
   }
 
@@ -2243,8 +2276,27 @@ object Planner {
     * semantics hold inside a branch as well as across the accumulated
     * path. `__elen` is the traversal's actual rel count, so quantifiers
     * still count traversals while path length counts rels. */
+  /** property keys `pred` reads off variable `v` (Prop(Variable(v), k)). */
+  private def propRefsOf(e: Expr, v: String): Set[String] = e match {
+    case Prop(Variable(`v`), k) => Set(k)
+    case Prop(sub, _)        => propRefsOf(sub, v)
+    case Func(_, as, _)      => as.flatMap(propRefsOf(_, v)).toSet
+    case BinOp(_, l, r)      => propRefsOf(l, v) ++ propRefsOf(r, v)
+    case UnaryOp(_, o)       => propRefsOf(o, v)
+    case IsNull(o, _)        => propRefsOf(o, v)
+    case StringPred(_, l, r) => propRefsOf(l, v) ++ propRefsOf(r, v)
+    case CaseExpr(sub, ws, d) =>
+      (sub.toSeq ++ ws.flatMap(w => Seq(w._1, w._2)) ++ d.toSeq)
+        .flatMap(propRefsOf(_, v)).toSet
+    case ListLit(xs)         => xs.flatMap(propRefsOf(_, v)).toSet
+    case Index(l, i)         => propRefsOf(l, v) ++ propRefsOf(i, v)
+    case _ => Set.empty
+  }
+
   private def branchEdges(ctx: Ctx,
-      hops: Seq[(Ast.RelPattern, Ast.NodePattern)]): DataFrame = {
+      hops: Seq[(Ast.RelPattern, Ast.NodePattern)],
+      headVar: Option[String] = None,
+      groupWhere: Option[Expr] = None): DataFrame = {
     require(hops.nonEmpty, "empty alternation branch")
     var cur: DataFrame = null
     hops.zipWithIndex.foreach { case ((r, n), i) =>
@@ -2306,6 +2358,37 @@ object Planner {
         cur = cur.join(b.withColumnRenamed("id", "__ed"), Seq("__ed"),
           "left_semi")
       }
+    }
+    // group-scoped WHERE over SEVERAL iteration variables: hydrate each
+    // referenced variable's id (head = __es; hop i's end/rel from the
+    // accumulated arrays — static positions, so single-hop elements only)
+    // and filter every traversal of the composite edge set
+    groupWhere.foreach { pred =>
+      require(hops.forall(_._1.varLength.isEmpty),
+        "a multi-variable quantified-group WHERE needs single-hop " +
+          "chain elements")
+      var d = cur
+      var binds = Map.empty[String, Binding]
+      def hydrate(v: String, idc: Column, table: DataFrame,
+          b: Binding): Unit = {
+        d = d.withColumn(v, idc)
+        val props = propRefsOf(pred, v)
+          .filter(k => table.columns.contains(propCol(k))).toSeq.sorted
+        if (props.nonEmpty)
+          d = d.join(table.select((col("id").as(v) +:
+              props.map(k => col(propCol(k)).as(s"$v$$$k"))): _*),
+            Seq(v), "left_outer")
+        binds += (v -> b)
+      }
+      headVar.foreach(v => hydrate(v, col("__es"), ctx.g.nodes, NodeVar))
+      hops.zipWithIndex.foreach { case ((r, n), i) =>
+        n.variable.foreach(v =>
+          hydrate(v, element_at(col("__ens"), i + 1), ctx.g.nodes, NodeVar))
+        r.variable.foreach(v =>
+          hydrate(v, element_at(col("__ers"), i + 1), ctx.g.rels, RelVar))
+      }
+      d = d.filter(compile(ctx, Env(Some(d), binds), pred))
+      cur = d.select(col("__es"), col("__ed"), col("__ers"), col("__ens"))
     }
     cur.select(col("__es"), col("__ed"), col("__ers"), col("__ens"),
       size(col("__ers")).as("__elen"))
@@ -3353,7 +3436,8 @@ object Planner {
     // frontier-BFS pattern)
     val unbounded = maxOpt.isEmpty
     val max = maxOpt.getOrElse(Int.MaxValue)
-    val comp0 = rel.branches.get.map(branchEdges(ctx, _))
+    val comp0 = rel.branches.get.map(branchEdges(ctx, _,
+        rel.headNode.flatMap(_.variable), rel.groupWhere))
       .reduce(_ unionByName _)
     // inner GROUP variables of a single-branch fixed chain
     // (`((a)-[r]->(b)-[s]->(c))+ … RETURN a, r, b`): each bind to the
@@ -4586,7 +4670,13 @@ object Planner {
   }
 
   private def constInt(ctx: Ctx, e: Expr): Int = constLong(ctx, e) match {
-    case Some(l) => l.toInt
+    // SKIP/LIMIT beyond Int.MaxValue clamps (a plan's offset/limit are
+    // ints; a larger SKIP drops everything a 2^31-row result could hold,
+    // so the clamp is observationally exact, not a truncation)
+    case Some(l) =>
+      if (l > Int.MaxValue) Int.MaxValue
+      else if (l < Int.MinValue) Int.MinValue
+      else l.toInt
     case None => throw new IllegalArgumentException(
       s"SKIP/LIMIT must be a constant-foldable expression: $e")
   }
@@ -4799,6 +4889,18 @@ object Planner {
             case RelListVar  => "rellist"
             case PathVar     => "path"
           }
+          // a literal list of SAME-KIND entity variables (`[n]`, `[r, r2]`)
+          // compiles to a raw id array — as a mixed-list ELEMENT it is an
+          // entity list, not a number list
+          case ListLit(els) if els.nonEmpty =>
+            val ks = els.map {
+              case Variable(v) => env.binds.get(v) collect {
+                case NodeVar => "node"; case RelVar => "rel" }
+              case _ => None
+            }
+            if (ks.forall(_.contains("node"))) Some("nodelist")
+            else if (ks.forall(_.contains("rel"))) Some("rellist")
+            else None
           case _ => None
         }
         // entity elements force the encoding when kinds MIX (`[r, n]`,
@@ -5202,6 +5304,10 @@ object Planner {
         // hydrated labels array; over a RELATIONSHIP variable `r:X` is a
         // type test (reference HasTypes — a rel has exactly one type)
         subject match {
+          // `a:A:B` parses as nested label predicates (each postfix `:L`
+          // wraps the previous) — a colon CONJUNCTION over one subject
+          case inner @ HasLabel(s0, _) =>
+            c(inner) && c(HasLabel(s0, dnf))
           // lambda-bound path/list element (`none(rel IN r WHERE rel:X)`):
           // the per-element type/labels resolve via the enriched arrays
           case Variable(v) if lambdas.contains(s"$v$$type") =>
@@ -5324,18 +5430,32 @@ object Planner {
         // dynamic property access n[key] — key must be resolvable at plan
         // time (literal or parameter); columns are static in a columnar
         // engine, so a truly per-row dynamic key has no hydration to read
-        val key = i match {
-          case Lit(k: String) => k
+        val key: Option[String] = i match {
+          case Lit(k: String) => Some(k)
           case Param(p) => ctx.params.getOrElse(p,
             throw new IllegalArgumentException(s"missing parameter $$$p")) match {
-            case k: String => k
+            case k: String => Some(k)
             case other => throw new IllegalArgumentException(
               s"dynamic property key must be a string, got $other")
           }
-          case other => throw new IllegalArgumentException(
-            s"dynamic property access needs a literal or parameter key, got $other")
+          case _ => None // truly per-row key: dispatch over hydrated columns
         }
-        c(Prop(Variable(v), key))
+        key match {
+          case Some(k) => c(Prop(Variable(v), k))
+          case None =>
+            // per-row dynamic key: a when-chain over the variable's
+            // hydrated property columns (the needs pre-walk hydrated `*`);
+            // an absent key is NULL, like the reference
+            val keyC = c(i).cast("string")
+            val hydratedCols = env.df.toSeq.flatMap(_.columns)
+              .filter(_.startsWith(s"$v$$"))
+              .filterNot(_ == s"$v$$labels").filterNot(_ == s"$v$$type")
+            hydratedCols.foldLeft(lit(null).cast("string")) { (acc, hc) =>
+              when(keyC === lit(graft.graph.PropertyGraph.colProp(
+                hc.stripPrefix(s"$v$$"))), col(hc).cast("string"))
+                .otherwise(acc)
+            }
+        }
       case Index(l, i) =>
         val ic = c(i)
         val lc = c(l)
@@ -5793,7 +5913,14 @@ object Planner {
           lit(0.0), (acc, v) => acc + v)
         lit(1.0) / (lit(1.0) + d2)
       case "range" =>
-        if (args.size >= 3) sequence(a0, c(args(1)), c(args(2)))
+        if (args.size >= 3) {
+          // a step pointing AWAY from the stop is an empty list in Cypher
+          // (range(8, 2, 1) = []); Spark's sequence raises instead
+          val (start, stop, step) = (a0, c(args(1)), c(args(2)))
+          when((stop >= start && step > 0) || (stop <= start && step < 0),
+              sequence(start, stop, step))
+            .otherwise(array().cast("array<long>"))
+        }
         else sequence(a0, c(args(1)))
       // null on empty (Cypher), not an ANSI out-of-bounds error
       case "head"  => try_element_at(a0, lit(1))

@@ -426,10 +426,11 @@ object Trail {
    *         rank 1..k)
    */
   def shortestKSegments(segments: Seq[PathSegment], pairs: DataFrame,
-      k: Int, localThreshold: Int = 10000): DataFrame =
+      k: Int, localThreshold: Int = 10000,
+      partBnds: Seq[Int] = Nil): DataFrame =
     shortestKImpl(segments, pairs.select("source").distinct(), k,
       fin => fin.join(pairs, Seq("source")).filter(col("end") === col("target")),
-      localThreshold)
+      localThreshold, partBnds)
 
   /**
    * Unbound-target SHORTEST k: search from the distinct `sources` and
@@ -442,18 +443,27 @@ object Trail {
    */
   def shortestKSegmentsTo(segments: Seq[PathSegment], sources: DataFrame,
       targetNodes: Option[DataFrame], k: Int,
-      localThreshold: Int = 10000): DataFrame =
+      localThreshold: Int = 10000, partBnds: Seq[Int] = Nil): DataFrame =
     shortestKImpl(segments, sources.select("source").distinct(), k, fin => {
       val t = fin.withColumn("target", col("end"))
       targetNodes.fold(t)(tn =>
         t.join(tn.select("target").distinct(), Seq("target"), "left_semi"))
-    }, localThreshold)
+    }, localThreshold, partBnds)
 
   private def shortestKImpl(segments: Seq[PathSegment], sources: DataFrame,
       k: Int, accept: DataFrame => DataFrame,
-      localThreshold: Int = 10000): DataFrame = {
+      localThreshold: Int = 10000,
+      // segment indices whose boundary-crossing node PARTITIONS the
+      // selection (a pre-bound interior variable is part of the match,
+      // reference StatefulShortestPath solution prefix): both the
+      // per-state prune and the final rank key on those nodes, so a
+      // shorter path through a DIFFERENT bound value never displaces the
+      // k-selection of another partition
+      partBnds: Seq[Int] = Nil): DataFrame = {
+    def bndCols = partBnds.map(i => try_element_at(col("bnds"), lit(i + 1)))
     val wState = org.apache.spark.sql.expressions.Window
-      .partitionBy("source", "end", "seg", "segHops")
+      .partitionBy(col("source") +: col("end") +: col("seg") +:
+        col("segHops") +: bndCols: _*)
       .orderBy(col("hops").asc, col("path").asc)
     // per state only the k best (hops, path) rows survive a round, so work
     // per round is bounded by |reached states| × k, not by the trail count
@@ -461,7 +471,8 @@ object Trail {
     // element-wise with shorter-prefix-first, exactly seqOrdering)
     val pathOrd = scala.math.Ordering.Implicits.seqOrdering[Vector, Long]
     val localPrune: Seq[LRow] => Seq[LRow] = rows =>
-      rows.groupBy(r => (r.source, r.end, r.seg, r.segHops))
+      rows.groupBy(r => (r.source, r.end, r.seg, r.segHops,
+          partBnds.map(i => r.bnds.lift(i))))
         .valuesIterator.flatMap(rs =>
           rs.sortBy(r => (r.hops, r.path))(
             scala.math.Ordering.Tuple2(scala.math.Ordering.Int, pathOrd))
@@ -472,11 +483,18 @@ object Trail {
       .filter(col("__rk") <= k).drop("__rk"), Some(localPrune),
       localThreshold)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source", "target").orderBy(col("hops").asc, col("path").asc)
+      .partitionBy(col("source") +: col("target") +: bndCols: _*)
+      .orderBy(col("hops").asc, col("path").asc)
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "target", "path").orderBy(col("bnds").asc)
     accept(finished)
-      .select(col("source"), col("target"), col("hops"), col("path"), col("nodes"))
+      .select(col("source"), col("target"), col("hops"), col("path"),
+        col("nodes"), col("bnds"))
       // identical paths can reach acceptance via different epsilon timings
-      .dropDuplicates("source", "target", "path")
+      // AND different segment splits (bnds) — keep the bnds-smallest row so
+      // the pick is deterministic across local/distributed execution
+      .withColumn("__dd", row_number().over(wDedup))
+      .filter(col("__dd") === 1).drop("__dd")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -492,25 +510,26 @@ object Trail {
     * a group can in principle arrive only via prefixes beyond the budget
     * (see [[shortestGroups]]'s note) — the slack absorbs the common cases. */
   def shortestGroupsSegments(segments: Seq[PathSegment], pairs: DataFrame,
-      k: Int, localThreshold: Int = 10000): DataFrame =
+      k: Int, localThreshold: Int = 10000,
+      partBnds: Seq[Int] = Nil): DataFrame =
     shortestGroupsSegImpl(segments, pairs.select("source").distinct(), k,
       fin => fin.join(pairs, Seq("source")).filter(col("end") === col("target")),
-      localThreshold)
+      localThreshold, partBnds)
 
   /** Unbound-target [[shortestGroupsSegments]] (source-driven accept). */
   def shortestGroupsSegmentsTo(segments: Seq[PathSegment], sources: DataFrame,
       targetNodes: Option[DataFrame], k: Int,
-      localThreshold: Int = 10000): DataFrame =
+      localThreshold: Int = 10000, partBnds: Seq[Int] = Nil): DataFrame =
     shortestGroupsSegImpl(segments, sources.select("source").distinct(), k,
       fin => {
         val t = fin.withColumn("target", col("end"))
         targetNodes.fold(t)(tn =>
           t.join(tn.select("target").distinct(), Seq("target"), "left_semi"))
-      }, localThreshold)
+      }, localThreshold, partBnds)
 
   private def shortestGroupsSegImpl(segments: Seq[PathSegment],
       sources: DataFrame, k: Int, accept: DataFrame => DataFrame,
-      localThreshold: Int = 10000): DataFrame = {
+      localThreshold: Int = 10000, partBnds: Seq[Int] = Nil): DataFrame = {
     val budget = k + segments.map(_.min).sum + GroupsBudgetSlack
     val wState = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "end", "seg", "segHops")
@@ -559,7 +578,8 @@ object Trail {
         .select(col("source"), col("end"), col("seg"),
           lit(-1).as("segHops"), (col("__pr") + col("__arr")).as("hops"),
           array().cast("array<long>").as("path"),
-          array().cast("array<long>").as("nodes"))
+          array().cast("array<long>").as("nodes"),
+          array().cast("array<long>").as("bnds"))
       kept.unionByName(ledgerOut)
     }
     // local twin of the two prunes: smallest-`budget` distinct hop cohorts
@@ -582,18 +602,27 @@ object Trail {
     }
     val finished = segmentSearch(segments, sources, k, prune, Some(localPrune),
       localThreshold)
+    // a pre-bound interior variable partitions the LENGTH-GROUP rank too
+    // (the budget slack absorbs the cross-partition pruning interplay)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source", "target").orderBy(col("hops").asc)
+      .partitionBy(col("source") +: col("target") +:
+        partBnds.map(i => try_element_at(col("bnds"), lit(i + 1))): _*)
+      .orderBy(col("hops").asc)
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "target", "path").orderBy(col("bnds").asc)
     accept(finished)
-      .select(col("source"), col("target"), col("hops"), col("path"), col("nodes"))
-      .dropDuplicates("source", "target", "path")
+      .select(col("source"), col("target"), col("hops"), col("path"),
+        col("nodes"), col("bnds"))
+      .withColumn("__dd", row_number().over(wDedup))
+      .filter(col("__dd") === 1).drop("__dd")
       .withColumn("group", dense_rank().over(w))
       .filter(col("group") <= k)
   }
 
   /** A product-graph search row on the driver-local fast path. */
   private[ops] final case class LRow(source: Long, end: Long, seg: Int,
-      segHops: Int, hops: Int, path: Vector[Long], nodes: Vector[Long])
+      segHops: Int, hops: Int, path: Vector[Long], nodes: Vector[Long],
+      bnds: Vector[Long] = Vector.empty)
   private final case class LEdge(dst: Long, rels: Array[Long],
       ns: Array[Long], len: Int)
 
@@ -640,7 +669,8 @@ object Trail {
         val advanced = cand
           .filter(r => r.segHops >= mins(i) &&
             bounds(i).forall(_.contains(r.end)))
-          .map(r => LRow(r.source, r.end, i + 1, 0, r.hops, r.path, r.nodes))
+          .map(r => LRow(r.source, r.end, i + 1, 0, r.hops, r.path, r.nodes,
+            r.bnds :+ r.end))
         out ++= advanced
         carry = advanced
         i += 1
@@ -658,7 +688,7 @@ object Trail {
         adj(r.seg).getOrElse(r.end, Array.empty[LEdge]).iterator
           .filter(e => !e.rels.exists(r.path.contains))
           .map(e => LRow(r.source, e.dst, r.seg, r.segHops + 1,
-            r.hops + e.len, r.path ++ e.rels, r.nodes ++ e.ns))
+            r.hops + e.len, r.path ++ e.rels, r.nodes ++ e.ns, r.bnds))
       }
       frontier = prune(closure(expanded))
       finished ++= frontier.filter(_.seg == nSeg)
@@ -672,8 +702,9 @@ object Trail {
           r.segHops >= maxs(r.seg)))
       onHorizon("SHORTEST", maxTotal)
     finished.result()
-      .map(r => (r.source, r.end, r.seg, r.segHops, r.hops, r.path, r.nodes))
-      .toDF("source", "end", "seg", "segHops", "hops", "path", "nodes")
+      .map(r => (r.source, r.end, r.seg, r.segHops, r.hops, r.path, r.nodes,
+        r.bnds))
+      .toDF("source", "end", "seg", "segHops", "hops", "path", "nodes", "bnds")
   }
 
   /** Shared product-graph search of the SHORTEST k family: runs the
@@ -744,7 +775,10 @@ object Trail {
         }
         val advanced = adv.select(col("source"), col("end"),
           (col("seg") + 1).as("seg"), lit(0).as("segHops"),
-          col("hops"), col("path"), col("nodes"))
+          col("hops"), col("path"), col("nodes"),
+          // the node a path crosses INTO segment i+1 on — interior
+          // pattern variables bind from these per-transition nodes
+          concat(col("bnds"), array(col("end"))).as("bnds"))
         acc += advanced
         carry = Some(advanced)
         i += 1
@@ -767,7 +801,8 @@ object Trail {
         .select(col("source"), col("source").as("end"), lit(0).as("seg"),
           lit(0).as("segHops"), lit(0).as("hops"),
           array().cast("array<long>").as("path"),
-          array(col("source")).as("nodes"))), null)
+          array(col("source")).as("nodes"),
+          array().cast("array<long>").as("bnds"))), null)
       .localCheckpoint(false)
     val finished = Seq.newBuilder[DataFrame]
     finished += frontier.filter(isAccepted)
@@ -783,7 +818,7 @@ object Trail {
             (col("segHops") + 1).as("segHops"),
             (col("hops") + col("__elen")).as("hops"),
             concat(col("path"), col("__ers")).as("path"),
-            concat(col("nodes"), col("__ens")).as("nodes"))
+            concat(col("nodes"), col("__ens")).as("nodes"), col("bnds"))
       }.reduce(_ unionByName _)
       frontier = pruneStates(closure(expanded), frontier).localCheckpoint(false)
       finished += frontier.filter(isAccepted)
