@@ -163,8 +163,12 @@ object Ast {
   // ---- clauses ----------------------------------------------------------
 
   sealed trait Clause
+  /** `mode`: "" (default), "repeatable" (REPEATABLE ELEMENTS — no
+    * relationship-uniqueness predicates) or "different" (DIFFERENT NODES —
+    * pairwise node distinctness), the GQL match modes. */
   final case class MatchClause(optional: Boolean, patterns: Seq[PathPattern],
-      where: Option[Expr], shortest: Seq[ShortestPart] = Nil) extends Clause
+      where: Option[Expr], shortest: Seq[ShortestPart] = Nil,
+      mode: String = "") extends Clause
   final case class UnwindClause(expr: Expr, alias: String) extends Clause
   /** `src` is the raw source text of an unaliased item — the reference
     * names unaliased columns by the expression's original text

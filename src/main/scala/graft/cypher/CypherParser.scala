@@ -245,10 +245,15 @@ object CypherParser extends RegexParsers {
       normalizedPred |
       (K("IS") ~ K("NOT") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = true)) |
       (K("IS") ~ K("NULL")) ^^ (_ => (e: Expr) => IsNull(e, negated = false)) |
-      // `n:Label` / `n:A|B&!C` label-expression predicate (HasLabels)
-      not("::") ~> ":" ~> labelGroup ^^ { g =>
-        if (gpmDnf(g)) markGpmLabels()
-        (e: Expr) => HasLabel(e, g) }
+      // `n:Label` / `n:A|B&!C` / chained `n:A:B` label-expression
+      // predicate (HasLabels) — a chained `:` is the legacy colon
+      // CONJUNCTION, which the mixing rules track
+      not("::") ~> ":" ~> labelGroup ~ rep(not("::") ~> ":" ~> labelGroup) ^^ {
+        case g ~ more =>
+          if (gpmDnf(g) || more.exists(gpmDnf)) markGpmLabels()
+          if (more.nonEmpty) markColonConj()
+          val dnf = (g +: more).reduce(andDnf)
+          (e: Expr) => HasLabel(e, dnf) }
     ) ^^ { case h ~ fs => fs.foldLeft(h)((e, f) => f(e)) }
 
   private def addExpr: Parser[Expr] =
@@ -478,7 +483,10 @@ object CypherParser extends RegexParsers {
   private def labelGroup: Parser[LabelDnf] = labelExprDnf
 
   def nodePattern: Parser[NodePattern] =
-    "(" ~> opt(ident) ~ rep((":" ^^ (_ => false) | K("IS") ^^ (_ => true)) ~
+    // `IS` directly followed by a label token is the GQL label INTRODUCER
+    // (`(IS A&B)`), not a variable named `is`
+    "(" ~> opt(not(K("IS") ~ ("%" | "!" | "(" | symName)) ~> ident) ~
+      rep((":" ^^ (_ => false) | K("IS") ^^ (_ => true)) ~
         labelGroup ^^ { case is ~ g => (is, g) }) ~ opt(mapLit) ~
       opt(K("WHERE") ~> expression) <~ ")" ^^ {
       case v ~ groupsTagged ~ m ~ w =>
@@ -524,7 +532,8 @@ object CypherParser extends RegexParsers {
     }
 
   private def relDetail: Parser[(Option[String], Either[Seq[String], Seq[Seq[LabelAtom]]], Option[(Int, Option[Int])], Seq[(String, Expr)], Option[Expr])] =
-    "[" ~> opt(ident) ~ opt(relTypes) ~ opt(varLength) ~ opt(mapLit) ~
+    "[" ~> opt(not(K("IS") ~ ("%" | "!" | "(" | symName)) ~> ident) ~
+      opt(relTypes) ~ opt(varLength) ~ opt(mapLit) ~
       opt(K("WHERE") ~> expression) <~ "]" ^^ {
       case v ~ ts ~ vl ~ m ~ w =>
         (v, ts.getOrElse(Left(Seq.empty)), vl, m.getOrElse(Seq.empty), w)
@@ -808,13 +817,24 @@ object CypherParser extends RegexParsers {
       (K("SCAN") ~ ident ~ ":" ~ symName) ^^ (_ => ()) |
       (K("JOIN") ~ K("ON") ~ rep1sep(ident, ",")) ^^ (_ => ()))
 
+  /** GQL match modes: `REPEATABLE ELEMENTS` relaxes relationship
+    * uniqueness for the MATCH; `DIFFERENT NODES` adds pairwise node
+    * distinctness. Both are GPM-side on the selector mixing axis. */
+  private def matchMode: Parser[String] =
+    (K("REPEATABLE") ~ (K("ELEMENTS") | K("ELEMENT"))) ^^ { _ =>
+      mix.selector = true; "repeatable" } |
+    (K("DIFFERENT") ~ (K("NODES") | K("NODE") |
+      K("RELATIONSHIPS") | K("RELATIONSHIP"))) ^^ { _ =>
+      mix.selector = true; "different" }
+
   private def matchClause: Parser[Clause] =
-    opt(K("OPTIONAL")) ~ (K("MATCH") ~>
-      rep1sep(shortestPart ^^ (Left(_)) | namedPathPattern ^^ (Right(_)), ",")) ~
+    opt(K("OPTIONAL")) ~ (K("MATCH") ~> opt(matchMode)) ~
+      rep1sep(shortestPart ^^ (Left(_)) | namedPathPattern ^^ (Right(_)), ",") ~
       (rep(usingHint) ~> opt(K("WHERE") ~> expression)) ^^ {
-      case o ~ parts ~ w =>
+      case o ~ mode ~ parts ~ w =>
         MatchClause(o.isDefined, parts.collect { case Right(p) => p }, w,
-          parts.collect { case Left(s) => s })
+          parts.collect { case Left(s) => s },
+          mode = mode.getOrElse(""))
     }
 
   private def unwindClause: Parser[Clause] =
@@ -1118,7 +1138,7 @@ object CypherParser extends RegexParsers {
 
   def parse(text: String): Query = {
     resetMixFlags()
-    parseAll(query, text) match {
+    parseAll(query <~ opt(";"), text) match {
     case Success(q, _) => validateGroupVars(q); q
     case NoSuccess(msg, next) =>
       throw new IllegalArgumentException(

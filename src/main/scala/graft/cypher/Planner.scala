@@ -1226,7 +1226,7 @@ object Planner {
     val pathVars: Set[String] = {
       val acc = scala.collection.mutable.Set.empty[String]
       def pc(cl: Clause): Unit = cl match {
-        case MatchClause(_, ps, _, sh) =>
+        case MatchClause(_, ps, _, sh, _) =>
           ps.foreach(p => acc ++= p.name)
           sh.foreach(s => acc ++= s.pathVar)
         case c: CallSubquery => c.innerQ.parts.foreach(_.clauses.foreach(pc))
@@ -1293,7 +1293,7 @@ object Planner {
         // correlated property reads inside the body must hydrate on the
         // outer side too (the sub-plan's key columns come from there)
         q.parts.foreach(_.clauses.foreach {
-          case MatchClause(_, ps, w2, sh) =>
+          case MatchClause(_, ps, w2, sh, _) =>
             ps.foreach(walkPattern); w2.foreach(walk)
             sh.foreach(x => walkPattern(x.pattern))
           case UnwindClause(e2, _) => walk(e2)
@@ -1341,7 +1341,7 @@ object Planner {
       }
     }
     def walkClause(cl: Clause): Unit = cl match {
-      case MatchClause(_, ps, w, sh) =>
+      case MatchClause(_, ps, w, sh, _) =>
         ps.foreach(walkPattern); w.foreach(walk)
         sh.foreach(s => walkPattern(s.pattern))
       case UnwindClause(e, _)    => walk(e)
@@ -1393,7 +1393,7 @@ object Planner {
       case RemoveLabelsItem(v, _) => acc += v
     }
     def walkClause(cl: Clause): Unit = cl match {
-      case MatchClause(_, ps, w, sh) =>
+      case MatchClause(_, ps, w, sh, _) =>
         ps.foreach(walkPattern); w.foreach(walk)
         sh.foreach(s => walkPattern(s.pattern))
       case UnwindClause(e, _) => walk(e)
@@ -1432,7 +1432,7 @@ object Planner {
   private def subqueryScopeVars(q: Query): Set[String] =
     q.parts.flatMap { sq =>
       referencedVars(sq) ++ sq.clauses.flatMap {
-        case MatchClause(_, ps, _, sh) =>
+        case MatchClause(_, ps, _, sh, _) =>
           ps.flatMap(patternVars) ++ sh.flatMap(x => patternVars(x.pattern))
         case _ => Nil
       }
@@ -1529,7 +1529,21 @@ object Planner {
         val s = lowerSelectorWhere(ctx, cur.has, s0, pending)
         cur = planShortest(ctx, cur, s)
       }
-      cur = applyUniqueness(ctx, cur, relVarsBefore)
+      // GQL match modes: REPEATABLE ELEMENTS waives relationship
+      // uniqueness for this MATCH; DIFFERENT NODES adds pairwise node
+      // distinctness over the clause's node variables
+      if (mIn.mode != "repeatable")
+        cur = applyUniqueness(ctx, cur, relVarsBefore)
+      if (mIn.mode == "different") {
+        // distinctness over THIS clause's newly-bound node variables only
+        val before = env.binds.keySet
+        val nodeVars = cur.binds.collect {
+          case (v, NodeVar) if !v.startsWith("__") && !before(v) => v
+        }.toSeq.sorted
+        nodeVars.combinations(2).foreach { case Seq(a, b) =>
+          cur = cur.copy(df = cur.df.map(_.filter(col(a) =!= col(b))))
+        }
+      }
       val rest = pending.conjs
       pending.conjs = Nil
       rest.foreach { c => cur = applyWhere(ctx, cur, c) }
@@ -3917,6 +3931,19 @@ object Planner {
     * aggregates, straight MATCH/UNWIND body) joins back LEFT OUTER with
     * count-aggregates coalesced to 0 — Cypher's aggregation-over-zero-rows
     * semantics, so zero-match outer rows survive. */
+  /** Bind a CALL{}'s exported columns with the SUB plan's binding kinds
+    * (a returned node is a node, not an opaque value) and hydrate entity
+    * exports' needed properties — `CALL { … RETURN x } RETURN sum(x.prop)`
+    * reads x.prop through the outer scope. */
+  private def spliceBinds(ctx: Ctx, env: Env, newCols: Seq[String],
+      subBinds: Map[String, Binding]): Env = {
+    val typed = env.copy(binds = env.binds ++ newCols.map(c =>
+      c -> subBinds.getOrElse(c, ValueVar)))
+    val entities = newCols.filter(c => subBinds.get(c).exists {
+      case NodeVar | RelVar => true; case _ => false })
+    if (entities.isEmpty) typed else rehydrate(ctx, typed, entities)
+  }
+
   private def planCallSubquery(ctx: Ctx, env: Env, cs: CallSubquery): Env = {
     require(cs.inTransactionsOf.isEmpty,
       "CALL {} IN TRANSACTIONS mutates the graph — use Cypher.execute")
@@ -3930,9 +3957,44 @@ object Planner {
     })
     if (!returnsRows) return env
     if (cs.innerQ.parts.size > 1) {
-      // UNION body: plan the whole union (uncorrelated — importing WITH
-      // inside union branches is not supported) and splice like the
-      // uncorrelated single-part case
+      // CORRELATED UNION body: every branch starts with an importing WITH
+      // of outer-bound variables — plan each branch over the DISTINCT
+      // imported keys, union, join back (reference: the union subquery
+      // runs once per argument row)
+      val branchImports: Seq[Option[Seq[String]]] =
+        cs.innerQ.parts.map(_.clauses.headOption match {
+          case Some(WithClause(false, items, Nil, None, None, None))
+            if items.nonEmpty && items.forall {
+              case ReturnItem(Variable(v), alias, _) =>
+                env.has(v) && alias.forall(_ == v)
+              case _ => false
+            } => Some(items.collect {
+              case ReturnItem(Variable(v), _, _) => v })
+          case _ => None
+        })
+      if (env.df.isDefined && branchImports.forall(_.isDefined)) {
+        val refs = branchImports.flatMap(_.get).distinct.sorted
+        val df = env.df.get
+        val keyCols = refKeyCols(df, refs)
+        val keys = df.select(keyCols.map(col): _*).distinct()
+        val subEnvs = cs.innerQ.parts.map { part =>
+          val sub0 = Env(Some(keys),
+            env.binds.view.filterKeys(refs.contains).toMap)
+          planCorrelatedClauses(ctx, sub0, refs, part.clauses.tail)
+        }
+        val (aligned, _) = reconcileUnionTypes(subEnvs.map(_.df.get))
+        val unioned = aligned.reduce(_ unionByName _)
+        val merged =
+          if (cs.innerQ.unionAll) unioned else unioned.distinct()
+        val newCols = merged.columns.filterNot(keyCols.contains)
+        val joined = orderedSplice(df, merged,
+          (l, r) => nullSafeJoin(l, r, refs,
+            if (cs.optional) "left_outer" else "inner"))
+        return spliceBinds(ctx, Env(Some(joined), env.binds), newCols,
+          subEnvs.head.binds)
+      }
+      // UNION body: plan the whole union (uncorrelated) and splice like
+      // the uncorrelated single-part case
       val inner = plan(ctx.spark, ctx.g, cs.innerQ, ctx.params,
         decodeTop = false)
       val df = (env.df, cs.optional) match {
@@ -3989,14 +4051,14 @@ object Planner {
           countish.intersect(newCols.toSet).foreach { c =>
             joined = joined.withColumn(c, coalesce(col(c), lit(0L)))
           }
-          Env(Some(joined), env.binds ++ newCols.map(_ -> (ValueVar: Binding)))
+          spliceBinds(ctx, Env(Some(joined), env.binds), newCols, sub.binds)
         } else
           // OPTIONAL CALL (reference OptionalCallSubquery): rows whose
           // subquery produced nothing survive with NULL yields
-          Env(Some(orderedSplice(df, sub.df.get,
+          spliceBinds(ctx, Env(Some(orderedSplice(df, sub.df.get,
             (l, r) => nullSafeJoin(l, r, refs,
               if (cs.optional) "left_outer" else "inner"))),
-            env.binds ++ newCols.map(_ -> (ValueVar: Binding)))
+            env.binds), newCols, sub.binds)
       case None =>
         val inner = planSingle(ctx.spark, ctx.g, cs.inner, ctx.params)
         val df = (env.df, cs.optional) match {
@@ -4653,6 +4715,9 @@ object Planner {
     case Variable(v)          => v
     case Prop(Variable(v), k) => s"$v.$k"
     case CountStar            => "count(*)"
+    // a map projection's implicit alias is its SUBJECT (reference: `RETURN
+    // person {.name}` binds `person`) — never the source text
+    case MapProjection(Variable(v), _) => v
     case _ => i.src.getOrElse(defaultAlias(i.expr))
   })
 
@@ -4863,7 +4928,12 @@ object Planner {
                 array(ys.map(encLit(depth + 1)): _*))
             case _: ListLit => throw new IllegalArgumentException(
               s"orderability encoding supports ${O.MaxDepth} nesting levels")
-            case e => O.numberAt(depth, c(e))
+            case e => // non-literal element: encode by its STATIC type
+              // (a string variable is a string, not a number)
+              val cc = c(e)
+              dataTypeOf(env, cc)
+                .flatMap(dt => O.encoderAt(depth, dt)).map(_(cc))
+                .getOrElse(O.numberAt(depth, cc))
           }
         }
         array(xs.map(encLit(0)): _*)
