@@ -121,15 +121,30 @@ object Similarity {
     * float-summed xxhash64 default whose near-zero signs are
     * accumulation-order sensitive. |Σ| ≤ dims·5·10¹⁴ stays far from i64
     * overflow for every practical embedding width. */
+  /** Driver-side replica of Dedup.portableHash64 ∘ pmod — the weights
+    * depend only on (j, d), so they fold into a LITERAL array instead of
+    * an md5 call per element per row (which cost 2× on q_knn_lsh). */
+  private def portableWeight(j: Int, d: Int): Long = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$d".getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(
+      md5.map("%02x".format(_)).mkString.take(15), 16)
+    ((h % 1000003L) + 1000003L) % 1000003L - 500001L
+  }
+  /** weights for dims beyond this cap are never needed in practice; the
+    * guard below raises rather than mis-hash should they ever be */
+  private val PortableMaxDims = 2048
+
   private def hyperplaneBitPortable(vec: Column, j: Int): Column = {
+    val w = lit((0 until PortableMaxDims).map(portableWeight(j, _)).toArray)
     val contrib = aggregate(
       zip_with(vec, sequence(lit(0), size(vec) - 1),
         (x, d) => floor(x.cast("double") * 1000000d).cast("long") *
-          (pmod(graft.functions.Dedup.portableHash64(
-            concat(lit(j.toString), lit(":"), d.cast("string"))),
-            lit(1000003L)) - 500001L)),
+          element_at(w, (d + 1).cast("int"))),
       lit(0L), (acc, v) => acc + v)
-    when(contrib >= 0, lit(1L << j)).otherwise(0L)
+    when(size(vec) > PortableMaxDims,
+        raise_error(lit(s"portable LSH supports <= $PortableMaxDims dims")))
+      .when(contrib >= 0, lit(1L << j)).otherwise(0L)
   }
 
   def lshBucketPortable(vec: Column, nBits: Int): Column =
