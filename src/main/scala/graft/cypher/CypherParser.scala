@@ -109,6 +109,10 @@ object CypherParser extends RegexParsers {
       { case s if !reserved(s.toUpperCase) => s },
       s => s"reserved word '$s' cannot be used as identifier")
 
+  /** Alias position (`AS x`): like ident, plus `exists` — reserved only
+    * for the subquery keyword; the reference allows it as an alias. */
+  private def aliasName: Parser[String] = ident | """(?i)exists\b""".r
+
   /** Symbolic name in an unambiguous position (label, rel type, property
     * key, map key): reserved words are allowed there, as in the reference
     * grammar (`:Order` is a legal label). */
@@ -134,9 +138,10 @@ object CypherParser extends RegexParsers {
       Lit(java.lang.Long.parseLong(
         deUnderscore(s).replaceFirst("0[oO]", ""), 8) *
         (if (s.startsWith("-")) -1L else 1L))) |
-    """-?\d(_?\d)*\.\d(_?\d)*([eE][+-]?\d(_?\d)*)?""".r ^^ (s =>
-      Lit(deUnderscore(s).toDouble)) |
-    """-?\d(_?\d)*[eE][+-]?\d(_?\d)*""".r ^^ (s => Lit(deUnderscore(s).toDouble)) |
+    """-?\d(_?\d)*\.\d(_?\d)*([eE][+-]?\d(_?\d)*)?[fF]?""".r ^^ (s =>
+      Lit(deUnderscore(s.stripSuffix("f").stripSuffix("F")).toDouble)) |
+    """-?\d(_?\d)*[eE][+-]?\d(_?\d)*[fF]?""".r ^^ (s =>
+      Lit(deUnderscore(s.stripSuffix("f").stripSuffix("F")).toDouble)) |
     """-?\d(_?\d)*""".r ^^ (s => Lit(deUnderscore(s).toLong))
 
   // doubled quotes ('' / "") are the in-kind escape, as in the reference
@@ -343,8 +348,12 @@ object CypherParser extends RegexParsers {
     }
 
   private def existsExpr: Parser[Expr] =
-    K("EXISTS") ~> "{" ~> opt(K("MATCH")) ~> pathPattern ~ opt(K("WHERE") ~> expression) <~ "}" ^^ {
-      case p ~ w => PatternExists(p, w, negated = false)
+    K("EXISTS") ~> "{" ~> opt(K("MATCH")) ~> rep1sep(pathPattern, ",") ~
+        opt(K("WHERE") ~> expression) <~ "}" ^^ {
+      case Seq(p) ~ w => PatternExists(p, w, negated = false)
+      case ps ~ w => // comma-joined patterns: the full-query form
+        SubqueryExpr("exists",
+          Query(Seq(SingleQuery(Seq(MatchClause(false, ps, w)))), unionAll = false))
     } |
     // full-query body (multi-clause / WITH-starting / UNION — reference
     // ExistsExpression): outer variables implicitly in scope
@@ -352,9 +361,12 @@ object CypherParser extends RegexParsers {
     K("EXISTS") ~> "(" ~> pathPattern <~ ")" ^^ (p => PatternExists(p, None, negated = false))
 
   private def countSubquery: Parser[Expr] =
-    "(?i)count".r ~> "{" ~> opt(K("MATCH")) ~> pathPattern ~
+    "(?i)count".r ~> "{" ~> opt(K("MATCH")) ~> rep1sep(pathPattern, ",") ~
       opt(K("WHERE") ~> expression) <~ "}" ^^ {
-      case p ~ w => PatternCount(p, w)
+      case Seq(p) ~ w => PatternCount(p, w)
+      case ps ~ w => // comma-joined patterns: the full-query form
+        SubqueryExpr("count",
+          Query(Seq(SingleQuery(Seq(MatchClause(false, ps, w)))), unionAll = false))
     } |
     "(?i)count".r ~> "{" ~> query <~ "}" ^^ (q => SubqueryExpr("count", q))
 
@@ -422,8 +434,11 @@ object CypherParser extends RegexParsers {
     }
 
   private def funcCall: Parser[Expr] =
-    funcName ~ ("(" ~> opt(K("DISTINCT")) ~ repsep(expression, ",") <~ ")") ^^ {
-      case name ~ (d ~ args) => Func(name.toLowerCase, args, d.isDefined)
+    // ALL is the explicit no-op set quantifier (`sum(ALL x)` = `sum(x)`)
+    funcName ~ ("(" ~> opt(K("DISTINCT") ^^ (_ => true) |
+        K("ALL") ~ not("(" | ",") ^^ (_ => false)) ~
+      repsep(expression, ",") <~ ")") ^^ {
+      case name ~ (d ~ args) => Func(name.toLowerCase, args, d.contains(true))
     }
 
   // parameter names are unambiguous after `$` — reserved words allowed
@@ -838,7 +853,7 @@ object CypherParser extends RegexParsers {
     }
 
   private def unwindClause: Parser[Clause] =
-    K("UNWIND") ~> expression ~ (K("AS") ~> ident) ^^ {
+    K("UNWIND") ~> expression ~ (K("AS") ~> aliasName) ^^ {
       case e ~ a => UnwindClause(e, a)
     }
 
@@ -856,7 +871,7 @@ object CypherParser extends RegexParsers {
 
   private def returnItem: Parser[ReturnItem] =
     "*" ~ guard("," | not(expression)) ^^ (_ => ReturnItem(Variable("*"), None)) |
-    sourced(expression) ~ opt(K("AS") ~> ident) ^^ {
+    sourced(expression) ~ opt(K("AS") ~> aliasName) ^^ {
       case (e, src) ~ a =>
         ReturnItem(e, a, if (a.isEmpty) Some(src) else None)
     }

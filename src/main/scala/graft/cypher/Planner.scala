@@ -3864,9 +3864,10 @@ object Planner {
         val filtered = nodeScan(ctx, node)
         out = out.join(filtered.select(col("id").as(toVar)), Seq(toVar), "left_semi")
       }
-      // var-length rel WHERE was consumed as a per-step pre-filter
+      // var-length rel WHERE was consumed as a per-step pre-filter;
+      // EXISTS{}/COUNT{} inside the inline WHERE lower to flag joins
       (node.where ++ rel.where.filter(_ => rel.varLength.isEmpty)).foreach { w =>
-        out = out.filter(compile(ctx, afterRel.copy(df = Some(out)), w))
+        out = inlineWhere(ctx, afterRel.copy(df = Some(out)), w)
       }
       (afterRel.copy(df = Some(out)), toVar)
     } else {
@@ -3880,9 +3881,10 @@ object Planner {
           renamed.join(scan, Seq(toVar))
         }
       val env2 = Env(Some(out), afterRel.binds + (toVar -> NodeVar))
-      // var-length rel WHERE was consumed as a per-step pre-filter
+      // var-length rel WHERE was consumed as a per-step pre-filter;
+      // EXISTS{}/COUNT{} inside the inline WHERE lower to flag joins
       (node.where ++ rel.where.filter(_ => rel.varLength.isEmpty)).foreach { w =>
-        out = out.filter(compile(ctx, env2.copy(df = Some(out)), w))
+        out = inlineWhere(ctx, env2.copy(df = Some(out)), w)
       }
       (env2.copy(df = Some(out)), toVar)
     }
