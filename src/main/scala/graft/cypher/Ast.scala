@@ -164,7 +164,9 @@ object Ast {
 
   sealed trait Clause
   /** `mode`: "" (default), "repeatable" (REPEATABLE ELEMENTS — no
-    * relationship-uniqueness predicates) or "different" (DIFFERENT NODES —
+    * relationship-uniqueness predicates), "diffrels" (DIFFERENT
+    * RELATIONSHIPS — the default semantics spelled out) or "different"
+    * (DIFFERENT NODES —
     * pairwise node distinctness), the GQL match modes. */
   final case class MatchClause(optional: Boolean, patterns: Seq[PathPattern],
       where: Option[Expr], shortest: Seq[ShortestPart] = Nil,

@@ -834,13 +834,18 @@ object CypherParser extends RegexParsers {
 
   /** GQL match modes: `REPEATABLE ELEMENTS` relaxes relationship
     * uniqueness for the MATCH; `DIFFERENT NODES` adds pairwise node
-    * distinctness. Both are GPM-side on the selector mixing axis. */
+    * distinctness. `DIFFERENT RELATIONSHIPS` spells out the DEFAULT
+    * semantics (relationship uniqueness only, NO node distinctness —
+    * reference MatchMode.DifferentRelationships is the implicit mode),
+    * so it parses to a distinct token the planner treats as default.
+    * All are GPM-side on the selector mixing axis. */
   private def matchMode: Parser[String] =
     (K("REPEATABLE") ~ (K("ELEMENTS") | K("ELEMENT"))) ^^ { _ =>
       mix.selector = true; "repeatable" } |
-    (K("DIFFERENT") ~ (K("NODES") | K("NODE") |
-      K("RELATIONSHIPS") | K("RELATIONSHIP"))) ^^ { _ =>
-      mix.selector = true; "different" }
+    (K("DIFFERENT") ~ (K("NODES") | K("NODE"))) ^^ { _ =>
+      mix.selector = true; "different" } |
+    (K("DIFFERENT") ~ (K("RELATIONSHIPS") | K("RELATIONSHIP"))) ^^ { _ =>
+      mix.selector = true; "diffrels" }
 
   private def matchClause: Parser[Clause] =
     opt(K("OPTIONAL")) ~ (K("MATCH") ~> opt(matchMode)) ~

@@ -1535,10 +1535,17 @@ object Planner {
       if (mIn.mode != "repeatable")
         cur = applyUniqueness(ctx, cur, relVarsBefore)
       if (mIn.mode == "different") {
-        // distinctness over THIS clause's newly-bound node variables only
+        // distinctness over every node binding of THIS clause: named new
+        // bindings, anonymous pattern nodes (bindNode/expandHop name them
+        // __n_*), and pre-bound node variables the pattern re-uses
         val before = env.binds.keySet
+        val patternNames: Set[String] = mIn.patterns.flatMap(p =>
+          p.first.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
         val nodeVars = cur.binds.collect {
-          case (v, NodeVar) if !v.startsWith("__") && !before(v) => v
+          case (v, NodeVar)
+              if (!before(v) &&
+                   (!v.startsWith("__") || v.startsWith("__n_"))) ||
+                 (before(v) && patternNames(v)) => v
         }.toSeq.sorted
         nodeVars.combinations(2).foreach { case Seq(a, b) =>
           cur = cur.copy(df = cur.df.map(_.filter(col(a) =!= col(b))))
@@ -5161,7 +5168,65 @@ object Planner {
         else sc.getItem(k)
       case CountStar   => count(lit(1))
       case Func(name, args, distinct) => compileFunc(ctx, env, name, args, distinct, lambdas)
-      case BinOp(op, l, r) => op match {
+      case BinOp(op, l, r) =>
+        // a variant-encoded operand (dynamic property access / mixed
+        // column) in arithmetic: decode the number payload, compute, and
+        // re-encode — INTEGER-ness rides on repr so `n[k] + 1` stays an
+        // integer when the property is one (reference Add.java dispatches
+        // on the runtime type)
+        def encArith(): Option[Column] = {
+          if (!Set("+", "-", "*", "/", "%", "^").contains(op)) return None
+          val O = graft.functions.Orderability
+          val (lc, rc) = (c(l), c(r))
+          val (lt, rt) = (dataTypeOf(env, lc), dataTypeOf(env, rc))
+          def enc(t: Option[org.apache.spark.sql.types.DataType]) =
+            t.exists(O.isEncoded)
+          if (!enc(lt) && !enc(rt)) return None
+          import org.apache.spark.sql.types._
+          def d(cc: Column, t: Option[DataType]) =
+            if (enc(t)) cc.getField("d") else cc.cast("double")
+          def sRepr(cc: Column, t: Option[DataType]) =
+            if (enc(t)) cc.getField("repr") else cc.cast("string")
+          def isStr(cc: Column, t: Option[DataType]) =
+            if (enc(t)) cc.getField("rank") === lit(O.RankString)
+            else lit(t.contains(StringType))
+          def isInt(cc: Column, t: Option[DataType]) =
+            if (enc(t)) cc.getField("rank") === lit(O.RankNumber) &&
+              cc.getField("repr").rlike("^-?[0-9]+$")
+            else lit(t.exists {
+              case LongType | IntegerType | ShortType | ByteType => true
+              case _ => false })
+          val (dl, dr) = (d(lc, lt), d(rc, rt))
+          val bothInt = isInt(lc, lt) && isInt(rc, rt)
+          val numeric = op match {
+            case "+" => when(bothInt, O.numberAt(0, (dl + dr).cast("long")))
+              .otherwise(O.numberAt(0, dl + dr))
+            case "-" => when(bothInt, O.numberAt(0, (dl - dr).cast("long")))
+              .otherwise(O.numberAt(0, dl - dr))
+            case "*" => when(bothInt, O.numberAt(0, (dl * dr).cast("long")))
+              .otherwise(O.numberAt(0, dl * dr))
+            case "%" => when(bothInt, O.numberAt(0, (dl % dr).cast("long")))
+              .otherwise(O.numberAt(0, dl % dr))
+            case "^" => O.numberAt(0, pow(dl, dr))
+            case "/" => when(bothInt, O.numberAt(0,
+                call_function("div", dl.cast("long"), dr.cast("long"))))
+              .otherwise(O.numberAt(0,
+                when(dr === 0.0,
+                  when(isnan(dl), lit(Double.NaN))
+                    .when(dl > 0.0, lit(Double.PositiveInfinity))
+                    .when(dl < 0.0, lit(Double.NegativeInfinity))
+                    .otherwise(lit(Double.NaN)))
+                  .otherwise(dl / dr)))
+          }
+          // `+` with a STRING operand is concatenation, like the reference
+          val full = if (op == "+")
+            when(isStr(lc, lt) || isStr(rc, rt),
+              O.stringAt(0, concat(sRepr(lc, lt), sRepr(rc, rt))))
+              .otherwise(numeric)
+          else numeric
+          Some(when(lc.isNull || rc.isNull, O.nullValue).otherwise(full))
+        }
+        encArith().getOrElse(op match {
         // `+` is type-dispatched like the reference's Add (runtime
         // commands/expressions/Add.scala): numeric add, string concat
         // ('a'+1 = 'a1'), list concat/append/prepend, temporal + duration.
@@ -5366,7 +5431,7 @@ object Planner {
             c(l).isin(items.map { case Lit(v) => v }: _*)
           case _ => array_contains(c(r), c(l))
         }
-      }
+      })
       case UnaryOp("NOT", o) => !c(o)
       case UnaryOp("-", o)   => negate(c(o))
       case UnaryOp(op, _)    => throw new IllegalArgumentException(s"unary $op")
@@ -5517,16 +5582,34 @@ object Planner {
           case None =>
             // per-row dynamic key: a when-chain over the variable's
             // hydrated property columns (the needs pre-walk hydrated `*`);
-            // an absent key is NULL, like the reference
+            // an absent key is NULL, like the reference. Branches carry
+            // different native types, so each is routed through the
+            // Orderability variant struct (same as mixed columns/CASE) —
+            // downstream comparisons/arithmetic then dispatch on the real
+            // type instead of a lossy string cast.
+            val O = graft.functions.Orderability
             val keyC = c(i).cast("string")
+            val schema = env.df.map(_.schema)
             val hydratedCols = env.df.toSeq.flatMap(_.columns)
               .filter(_.startsWith(s"$v$$"))
               .filterNot(_ == s"$v$$labels").filterNot(_ == s"$v$$type")
-            hydratedCols.foldLeft(lit(null).cast("string")) { (acc, hc) =>
-              when(keyC === lit(graft.graph.PropertyGraph.colProp(
-                hc.stripPrefix(s"$v$$"))), col(hc).cast("string"))
-                .otherwise(acc)
-            }
+            val types = hydratedCols.flatMap(hc => schema.map(_(hc).dataType))
+            if (types.distinct.size == 1)
+              // homogeneous properties: dispatch in the native type —
+              // downstream arithmetic/comparison stays on codegen'd ops
+              hydratedCols.foldLeft(lit(null).cast(types.head)) { (acc, hc) =>
+                when(keyC === lit(graft.graph.PropertyGraph.colProp(
+                  hc.stripPrefix(s"$v$$"))), col(hc)).otherwise(acc)
+              }
+            else
+              hydratedCols.foldLeft(O.nullValue) { (acc, hc) =>
+                val enc = schema.map(_(hc).dataType)
+                  .flatMap(dt => O.encodeAny(dt, col(hc)))
+                  .getOrElse(O.nullValue)
+                when(keyC === lit(graft.graph.PropertyGraph.colProp(
+                  hc.stripPrefix(s"$v$$"))), enc)
+                  .otherwise(acc)
+              }
         }
       case Index(l, i) =>
         val ic = c(i)

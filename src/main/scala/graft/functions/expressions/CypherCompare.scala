@@ -189,11 +189,17 @@ object CypherCompare {
       case O.RankString => (f("s"), StringType)
       case O.RankBoolean => (f("b"), BooleanType)
       case O.RankNumber =>
-        // repr disambiguates INTEGER from FLOAT (both ride in `d`)
+        // repr disambiguates INTEGER from FLOAT (both ride in `d`) AND
+        // carries the exact decimal digits — parse the long from repr so
+        // |value| > 2^53 keeps exact equality/order (the `d` payload is
+        // rounded), falling back to d only if repr is absent/unparsable
         val d = f("d").asInstanceOf[Double]
         val repr = Option(f("repr")).map(_.toString).getOrElse("")
         if (repr.nonEmpty && !repr.exists(ch => ch == '.' || ch == 'e' ||
-          ch == 'E' || ch == 'I' || ch == 'N')) (d.toLong, LongType)
+          ch == 'E' || ch == 'I' || ch == 'N'))
+          (try java.lang.Long.parseLong(repr) catch {
+            case _: NumberFormatException => d.toLong
+          }, LongType)
         else (d, DoubleType)
       case O.RankList =>
         idx.get("l").map { i =>

@@ -333,6 +333,9 @@ object Trail {
           fCnt = frontier.count()
           d += 1
         }
+        // mirror the local fast path: an alive frontier at an
+        // unbounded-quantifier cap means longer SHORTEST matches are missed
+        if (capIsHorizon && fCnt > 0) onHorizon("SHORTEST", maxDepth)
         pieces.result().reduce(_ unionByName _)
       }
     val w = org.apache.spark.sql.expressions.Window
