@@ -232,15 +232,17 @@ object Dedup {
    * operation rescans corpus text.
    */
   def saveMinhashStore(docs: DataFrame, path: String, shingleSize: Int = 3,
-      k: Int = 64, bands: Int = 16, append: Boolean = false): Unit = {
+      k: Int = 64, bands: Int = 16, append: Boolean = false,
+      hash64: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): Unit = {
     val mode = if (append) "append" else "overwrite"
-    val sk = docSketches(docs, shingleSize, k).localCheckpoint(false)
+    val sk = docSketches(docs, shingleSize, k, hash64).localCheckpoint(false)
     sk.write.mode(mode).parquet(s"$path/docs")
     // cluster rows by the partition column before partitionBy: without it
     // every write task emits one file PER band (tasks × bands small files
     // — a listing-cost problem at 100 TB); clustered, each band lands in
     // as few files as the tasks that own it
-    bandBuckets(sk, k, bands).repartition(col("band")).write.mode(mode)
+    bandBuckets(sk, k, bands, hash64).repartition(col("band")).write.mode(mode)
       .partitionBy("band").parquet(s"$path/bands")
   }
 
@@ -255,10 +257,12 @@ object Dedup {
    */
   def minhashDedupIncremental(newDocs: DataFrame, path: String,
       threshold: Double = 0.8, shingleSize: Int = 3, k: Int = 64,
-      bands: Int = 16, maxBucket: Int = 64): DataFrame = {
+      bands: Int = 16, maxBucket: Int = 64,
+      hash64: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
     val spark = newDocs.sparkSession
-    val sk = docSketches(newDocs, shingleSize, k).localCheckpoint(false)
-    val newBands = bandBuckets(sk, k, bands)
+    val sk = docSketches(newDocs, shingleSize, k, hash64).localCheckpoint(false)
+    val newBands = bandBuckets(sk, k, bands, hash64)
     val storeBands = spark.read.parquet(s"$path/bands")
     val matched = storeBands.join(
         broadcast(newBands.select(col("band"), col("bucket")).distinct()),
@@ -294,19 +298,22 @@ object Dedup {
 
   /** per-doc sketch row: k-minhash signature + hashed shingle set (the
     * store schema; coefficients fixed-seed so sketches are comparable
-    * across runs and appends) */
+    * across runs and appends). `hash64` parameterizes the shingle/bucket
+    * hash like [[minhashCandidates]] — pass [[portableHash64]] for an
+    * engine-replayable store. */
   private[graft] def docSketches(docs: DataFrame, shingleSize: Int,
-      k: Int): DataFrame = {
+      k: Int, hash64: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
     val rng = new scala.util.Random(42)
     val coeffs = Array.fill(k)((1L + rng.nextInt((Prime - 1).toInt),
       rng.nextInt(Prime.toInt).toLong))
     docs
       .withColumn("__toks", tokens(col("text")))
       .withColumn("set", array_distinct(
-        transform(shinglesOf(col("__toks"), shingleSize), s => xxhash64(s))))
+        transform(shinglesOf(col("__toks"), shingleSize), s => hash64(s))))
       .withColumn("hs", array_distinct(
         transform(shinglesOf(col("__toks"), shingleSize),
-          s => pmod(xxhash64(s), lit(Prime)))))
+          s => pmod(hash64(s), lit(Prime)))))
       .select(col("id"),
         array(coeffs.map { case (a, b) =>
           array_min(transform(col("hs"), x => pmod(x * a + b, lit(Prime))))
@@ -316,12 +323,13 @@ object Dedup {
 
   /** LSH band buckets of a sketch table: (band, bucket, id) */
   private[graft] def bandBuckets(sketches: DataFrame, k: Int,
-      bands: Int): DataFrame = {
+      bands: Int, hash64: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        xxhash64(_)): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     sketches.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          bi => xxhash64(array_join(slice(col("sig"), bi * r + 1, lit(r)), "_")))))
+          bi => hash64(array_join(slice(col("sig"), bi * r + 1, lit(r)), "_")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 

@@ -195,19 +195,27 @@ object Similarity {
    * oracle-hashed) operator, like lshTopK.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nList: Int = 64, nProbe: Int = 8, kmeansIters: Int = 2): DataFrame = {
+      nList: Int = 64, nProbe: Int = 8, kmeansIters: Int = 2,
+      portable: Boolean = false): DataFrame = {
     val c = corpus.select(col("id"), asDouble(col("vec")).as("v"))
       .localCheckpoint(false)
-    val unitCents = trainUnitCentroids(c, nList, kmeansIters)
-    val assigned = assignCells(c, unitCents) // persisted form: saveIvfIndex
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centsDf = unitCents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
-      .toDF("cid", "cv")
+    val (assigned, centsDf) =
+      if (portable) portableIvf(c, nList, kmeansIters)
+      else {
+        val unitCents = trainUnitCentroids(c, nList, kmeansIters)
+        (assignCells(c, unitCents), // persisted form: saveIvfIndex
+          unitCents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
+            .toDF("cid", "cv"))
+      }
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qv"))
     val wq = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)
+    // cosine, not dot: identical ranking for the default path's UNIT
+    // centroids (|qv| is constant per query) and required for the
+    // portable path's raw MEAN centroids
     val probes = q.crossJoin(broadcast(centsDf))
-      .withColumn("csim", dot(col("qv"), col("cv")))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select("qid", "qv", "cid")
     // a corpus row lives in exactly one cell → no (qid, id) duplicates
@@ -216,6 +224,30 @@ object Similarity {
       .select(col("qid"), col("id"), cosine(col("v"), col("qv")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** PORTABLE IVF training: the engine-replayable alternative to the
+    * sampled driver k-means — full-corpus deterministic Lloyd
+    * ([[kmeansAssign]]: init = nList lowest-id vectors, cosine argmax
+    * with lowest-cid ties, per-(cell, dim) fp64 mean updates) plus a
+    * final per-cell MEAN centroid, all of which a DuckDB oracle replays
+    * exactly (the q_kmeans precedent). Costs kmeansIters full assignment
+    * passes instead of one bounded sample collect — the auditable mode;
+    * the default stays the FAISS-style sampled trainer.
+    * @return (assigned (id, v, cid), centroids (cid, cv)) */
+  private def portableIvf(c: DataFrame, nList: Int,
+      kmeansIters: Int): (DataFrame, DataFrame) = {
+    val ka = kmeansAssign(c.select(col("id"), col("v").as("vec")),
+      nList, kmeansIters)
+    val member = c.join(ka.withColumnRenamed("cluster", "cid"), Seq("id"))
+      .select(col("id"), col("v"), col("cid").cast("int").as("cid"))
+      .localCheckpoint(false)
+    val cents = member.select(col("cid"), posexplode(col("v")))
+      .groupBy("cid", "pos").agg(avg(col("col")).as("m"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x("m")).as("cv"))
+    (member, cents)
   }
 
   /** Sample-trained k-means centroids, unit-normalized. Centroids train on
@@ -277,16 +309,21 @@ object Similarity {
    * corpus × nProbe / nList, not the corpus.
    */
   def saveIvfIndex(corpus: DataFrame, dir: String, nList: Int = 64,
-      kmeansIters: Int = 2): Unit = {
+      kmeansIters: Int = 2, portable: Boolean = false): Unit = {
     val c = corpus.select(col("id"), asDouble(col("vec")).as("v"))
       .localCheckpoint(false)
-    val unitCents = trainUnitCentroids(c, nList, kmeansIters)
     val spark = corpus.sparkSession
     import spark.implicits._
-    assignCells(c, unitCents).write.mode("overwrite")
-      .partitionBy("cid").parquet(s"$dir/cells")
-    unitCents.map { case (cid, v) => (cid, v.toSeq) }.toSeq.toDF("cid", "cv")
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val (assigned, centsDf) =
+      if (portable) portableIvf(c, nList, kmeansIters)
+      else {
+        val unitCents = trainUnitCentroids(c, nList, kmeansIters)
+        (assignCells(c, unitCents),
+          unitCents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
+            .toDF("cid", "cv"))
+      }
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
+    centsDf.write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
   /** Append vectors to a persisted IVF index WITHOUT retraining: new rows
@@ -299,8 +336,15 @@ object Similarity {
     * the trained centroids — retrain with saveIvfIndex when it does. */
   def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVectors: DataFrame): Unit = {
+    // unitize the stored centroids: a no-op for the default (unit) index,
+    // and makes assignCells' dot-argmax a cosine-argmax for a portable
+    // index's raw MEAN centroids
     val cents = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+      .map { case (cid, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (cid, if (n == 0.0) v else v.map(_ / n))
+      }
     val c = newVectors.select(col("id"), asDouble(col("vec")).as("v"))
     assignCells(c, cents).write.mode("append")
       .partitionBy("cid").parquet(s"$dir/cells")
@@ -314,8 +358,10 @@ object Similarity {
     val cents = spark.read.parquet(s"$dir/centroids")
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qv"))
     val wq = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid").asc)
+    // cosine ranks identically to dot for unit centroids and is required
+    // for a portable index's raw MEAN centroids
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("csim", dot(col("qv"), col("cv")))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
       .select("qid", "qv", "cid")
       .freshCkpt() // tiny: |queries| × nProbe rows
@@ -492,7 +538,8 @@ object Similarity {
    * @return (qid, id, sim, rank) rank 1..k, self excluded
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
-      nBits: Int = 8, kmeansIters: Int = 4, rerank: Int = 4): DataFrame = {
+      nBits: Int = 8, kmeansIters: Int = 4, rerank: Int = 4,
+      portable: Boolean = false): DataFrame = {
     require(m >= 1 && nBits >= 2 && nBits <= 8, s"pq params out of range: m=$m nBits=$nBits")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -509,20 +556,30 @@ object Similarity {
       .localCheckpoint(false)
 
     // bounded deterministic training sample (FAISS practice: PQ codebooks
-    // train on a sample, not the corpus) — driver k-means per subspace
+    // train on a sample, not the corpus) — driver k-means per subspace.
+    // PORTABLE mode seeds the codebooks from the nCents lowest-id UNIT
+    // vectors with NO Lloyd rounds: every downstream step (encode, ADC,
+    // rerank) is then engine-replayable — the DuckDB oracle recomputes
+    // the codes and scores exactly; the refine stage keeps recall.
     val nCents = 1 << nBits
-    val train: Array[Array[Double]] = c
-      .withColumn("__h", xxhash64(col("id")))
-      .orderBy("__h").limit(math.max(nCents * 16, 1024))
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val train: Array[Array[Double]] =
+      if (portable)
+        c.orderBy("id").limit(nCents)
+          .select("v").collect().map(_.getSeq[Double](0).toArray)
+      else c
+        .withColumn("__h", xxhash64(col("id")))
+        .orderBy("__h").limit(math.max(nCents * 16, 1024))
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
     require(train.nonEmpty, "pqTopK: empty corpus")
     val dim = train(0).length
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
     val books: Seq[(Int, Seq[(Int, Seq[Double])])] = (0 until m).map { j =>
       val slices = train.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
-      j -> kmeansArrays(slices, nCents, kmeansIters).zipWithIndex
-        .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq
+      j -> (if (portable) slices.toSeq.zipWithIndex
+              .map { case (cv, cid) => (cid, cv.toSeq) }
+            else kmeansArrays(slices, nCents, kmeansIters).zipWithIndex
+              .map { case (cv, cid) => (cid, cv.toSeq) }.toSeq)
     }
     // one-row broadcast relation: codebook[j][cid] = centroid vector,
     // both levels sorted so element_at indexing is positional

@@ -577,7 +577,8 @@ object Centrality {
    * @return (t INT, nf DOUBLE): estimated N(t) for t = 0..convergence
    *         (N stops growing) or maxT, whichever first
    */
-  def hyperBall(edges: DataFrame, maxT: Int, log2m: Int = 8): DataFrame = {
+  def hyperBall(edges: DataFrame, maxT: Int, log2m: Int = 8,
+      portable: Boolean = false): DataFrame = {
     require(log2m >= 4 && log2m <= 12, s"log2m out of range: $log2m")
     graft.functions.expressions.IntArrayMaxAgg.ensureRegistered(edges.sparkSession)
     val m = 1 << log2m
@@ -593,8 +594,15 @@ object Centrality {
       .unionByName(e.select(col("dst").as("node"))).distinct()
     // one 64-bit hash per node: low bits index the register, the ρ of the
     // high bits is the register value. ρ via the isolate-lowest-set-bit
-    // trick (h & -h is a power of two, so log2 of it is exact)
-    val h = xxhash64(col("node"), lit("hyperball"))
+    // trick (h & -h is a power of two, so log2 of it is exact).
+    // `portable` swaps in the md5-derived 60-bit hash (Dedup
+    // .portableHash64 convention), so the register INIT — and therefore
+    // every max-merged register state and the whole curve — replays
+    // exactly in any engine with md5 (the DuckDB oracle recomputes it)
+    val h =
+      if (portable) graft.functions.Dedup.portableHash64(
+        concat(col("node").cast("string"), lit(":hyperball")))
+      else xxhash64(col("node"), lit("hyperball"))
     val hi = shiftrightunsigned(h, log2m)
     val rho = when(hi === 0, lit(64 - log2m + 1)).otherwise(
       (log2(hi.bitwiseAND(-hi).cast("double")) + 1).cast("int"))

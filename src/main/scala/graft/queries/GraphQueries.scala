@@ -1106,18 +1106,72 @@ object GraphQueries {
 
     // HyperBall neighborhood function (Boldi & Vigna 2013) on the same
     // ring+chord graph: per-node HLL counters max-merged along edges, one
-    // double collected per round. Probabilistic — rows-only here; the
-    // CentralitySpec pins the curve against exact BFS within HLL error
-    // and convergence exactly at the diameter.
+    // double collected per round. Under the portable md5 hash the
+    // register INIT replays in DuckDB, and the max-merge rounds are exact
+    // integer arithmetic — the oracle recomputes every register state and
+    // the whole curve (per-node estimates fold the array left-to-right in
+    // both engines; only the cross-node sum order differs, absorbed by
+    // the 4dp round). CentralitySpec additionally pins the curve against
+    // exact BFS within HLL error.
     QueryDef("q_hyperball",
       (s, d) => {
         val n = t(s, d, "nation")
           .select(col("n_nationkey").cast("long").as("k"))
         val edges = n.select(col("k").as("src"), ((col("k") + 1) % 25).as("dst"))
           .unionByName(n.select(col("k").as("src"), ((col("k") + 3) % 25).as("dst")))
-        Centrality.hyperBall(edges, maxT = 15, log2m = 8)
+        Centrality.hyperBall(edges, maxT = 15, log2m = 8, portable = true)
+          .select(col("t"), (round(col("nf") + 1e-9, 4) + 0.0).as("nf"))
       },
-      None),
+      Some("""WITH RECURSIVE nn AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+             |e AS (SELECT DISTINCT src, dst FROM (
+             |  SELECT k AS src, (k+1) % 25 AS dst FROM nn
+             |  UNION ALL SELECT k, (k+3) % 25 FROM nn)),
+             |nd AS (SELECT DISTINCT node FROM (
+             |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |init AS (SELECT node,
+             |    CAST(concat('0x', substr(md5(node || ':hyperball'), 1, 15))
+             |      AS BIGINT) AS h
+             |  FROM nd),
+             |regs0 AS (SELECT node, list_transform(generate_series(0, 255),
+             |    i -> CASE WHEN i = h % 256 THEN
+             |      CASE WHEN (h // 256) = 0 THEN 57
+             |           ELSE CAST(log2(CAST(((h // 256) & -(h // 256))
+             |             AS DOUBLE)) AS INT) + 1 END
+             |    ELSE 0 END) AS regs
+             |  FROM init),
+             |bal AS (
+             |  SELECT 0 AS t, node, regs FROM regs0
+             |  UNION ALL
+             |  SELECT t + 1, node, list(mx ORDER BY i) AS regs FROM (
+             |    SELECT t, node, i, max(r) AS mx FROM (
+             |      SELECT b.t, b.node, g.i, b.regs[g.i] AS r
+             |      FROM bal b, LATERAL unnest(generate_series(1, 256)) AS g(i)
+             |      UNION ALL
+             |      SELECT b.t, e.src AS node, g.i, b.regs[g.i] AS r
+             |      FROM bal b JOIN e ON e.dst = b.node,
+             |        LATERAL unnest(generate_series(1, 256)) AS g(i))
+             |    GROUP BY t, node, i)
+             |  GROUP BY t, node
+             |  HAVING t < 15
+             |),
+             |ests AS (SELECT t, node,
+             |    list_sum(list_transform(regs, r -> pow(2.0, -r))) AS inv,
+             |    len(list_filter(regs, r -> r = 0)) AS zeros
+             |  FROM bal),
+             |tot AS (SELECT t, sum(CASE
+             |    WHEN (0.7213 / (1 + 1.079/256)) * 65536 / inv <= 640.0
+             |         AND zeros > 0
+             |      THEN 256 * ln(256.0 / zeros)
+             |    ELSE (0.7213 / (1 + 1.079/256)) * 65536 / inv END) AS nf
+             |  FROM ests GROUP BY t),
+             |flag AS (SELECT t, nf,
+             |    t > 0 AND NOT (nf > lag(nf) OVER (ORDER BY t) * (1 + 1e-12))
+             |      AS stop
+             |  FROM tot),
+             |cutoff AS (SELECT coalesce(min(t), 99) AS c FROM flag WHERE stop)
+             |SELECT CAST(t AS INT) AS t, round(nf + 1e-9, 4) + 0.0 AS nf
+             |FROM flag, cutoff WHERE t < c""".stripMargin)),
 
     // Deterministic random-walk corpus (DeepWalk's input layer): 2 walks
     // × 8 steps from every ring+chord node; each hop moves to the

@@ -17,18 +17,17 @@ object PipelineQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "documents").select(col("doc_id").as("id"), col("text"), col("lang"), col("source"))
 
-  /** DuckDB replay of the MinHash+LSH candidate → exact-Jaccard-verified
-    * pair pipeline over the PORTABLE hash (shared by the q_dedup_minhash
-    * oracle and the q_dedup_clusters closure): yields CTEs ending in
-    * `vpairs(idA, idB, jaccard)`. */
-  private def minhashPairsSql(threshold: Double): String = {
+  /** DuckDB replay of the portable-hash MinHash sketch pipeline: CTEs up
+    * to `banded(id, band, bucket)`, `sigrow(id, i, v)` and
+    * `sets(id, st)` — shared by the batch pair pipeline
+    * ([[minhashPairsSql]]) and the incremental-store oracle. */
+  private def minhashSketchSql(): String = {
     val rng = new scala.util.Random(42)
     val prime = 2147483647L
     val coef = Seq.fill(64)((1L + rng.nextInt((prime - 1).toInt),
       rng.nextInt(prime.toInt).toLong))
     val coefRows = coef.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    val gate = threshold * 0.7
     s"""tok AS (SELECT doc_id AS id,
        |    list_filter(string_split_regex(text, '\\s+'),
        |      x -> length(x) > 0) AS toks
@@ -52,6 +51,18 @@ object PipelineQueries {
        |      array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], '_')), 1, 15))
        |    AS BIGINT) AS bucket
        |  FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b),
+       |sets AS (SELECT id, list_distinct([
+       |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+       |    for s in shs]) AS st FROM sh0)""".stripMargin
+  }
+
+  /** DuckDB replay of the MinHash+LSH candidate → exact-Jaccard-verified
+    * pair pipeline over the PORTABLE hash (shared by the q_dedup_minhash
+    * oracle and the q_dedup_clusters closure): yields CTEs ending in
+    * `vpairs(idA, idB, jaccard)`. */
+  private def minhashPairsSql(threshold: Double): String = {
+    val gate = threshold * 0.7
+    s"""${minhashSketchSql()},
        |capped AS (SELECT id, band, bucket, row_number() OVER (
        |    PARTITION BY band, bucket ORDER BY id) AS rn
        |  FROM banded QUALIFY rn <= 64),
@@ -64,9 +75,6 @@ object PipelineQueries {
        |  FROM cand c JOIN sigrow sa ON sa.id = c.idA
        |    JOIN sigrow sb ON sb.id = c.idB AND sb.i = sa.i
        |  GROUP BY c.idA, c.idB),
-       |sets AS (SELECT id, list_distinct([
-       |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
-       |    for s in shs]) AS st FROM sh0),
        |vp0 AS (SELECT k.idA, k.idB,
        |    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
        |      / (len(a.st) + len(b.st)
@@ -75,6 +83,51 @@ object PipelineQueries {
        |    JOIN sets a ON a.id = k.idA JOIN sets b ON b.id = k.idB),
        |vpairs AS (SELECT * FROM vp0 WHERE jaccard >= $threshold)""".stripMargin
   }
+
+  /** DuckDB replay of the PORTABLE IVF pipeline (q_knn_ivf and its
+    * persisted twin): deterministic 2-round Lloyd with 32 lowest-id
+    * seeds (the q_kmeans recipe), final per-cell mean centroids, cosine
+    * probe ranking (nProbe = 8, ties lowest cid) and exact rerank
+    * (k = 10, ties lowest id). */
+  private val ivfOracleSql: String =
+    """WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+      |    FROM embeddings),
+      |init AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1
+      |    AS INT) AS cid
+      |  FROM (SELECT id FROM emb ORDER BY id LIMIT 32)),
+      |c0 AS (SELECT i.cid, e.v FROM init i JOIN emb e USING (id)),
+      |d1 AS (SELECT e.id, c.cid, list_cosine_similarity(e.v, c.v) AS s
+      |  FROM emb e, c0 c),
+      |a1 AS (SELECT id, cid FROM (SELECT id, cid, row_number() OVER (
+      |    PARTITION BY id ORDER BY s DESC, cid ASC) AS rk FROM d1)
+      |  WHERE rk = 1),
+      |pos AS (SELECT unnest(range(1, 65)) AS ord),
+      |m1 AS (SELECT a.cid, p.ord, avg(e.v[p.ord]) AS cv
+      |  FROM a1 a JOIN emb e USING (id), pos p GROUP BY a.cid, p.ord),
+      |c1 AS (SELECT cid, list(cv ORDER BY ord) AS v FROM m1 GROUP BY cid),
+      |d2 AS (SELECT e.id, c.cid, list_cosine_similarity(e.v, c.v) AS s
+      |  FROM emb e, c1 c),
+      |a2 AS (SELECT id, cid FROM (SELECT id, cid, row_number() OVER (
+      |    PARTITION BY id ORDER BY s DESC, cid ASC) AS rk FROM d2)
+      |  WHERE rk = 1),
+      |m2 AS (SELECT a.cid, p.ord, avg(e.v[p.ord]) AS cv
+      |  FROM a2 a JOIN emb e USING (id), pos p GROUP BY a.cid, p.ord),
+      |c2 AS (SELECT cid, list(cv ORDER BY ord) AS v FROM m2 GROUP BY cid),
+      |q AS (SELECT id AS qid, v AS qv FROM emb WHERE id < 5),
+      |probes AS (SELECT qid, cid FROM (
+      |    SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+      |      ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.cid ASC)
+      |      AS rn
+      |    FROM q, c2 c) WHERE rn <= 8),
+      |cand AS (SELECT p.qid, a.id FROM probes p JOIN a2 a ON a.cid = p.cid
+      |  WHERE a.id <> p.qid),
+      |scored AS (SELECT cand.qid, cand.id,
+      |    list_cosine_similarity(e1.v, e2.v) AS sim
+      |  FROM cand JOIN emb e1 ON e1.id = cand.qid
+      |            JOIN emb e2 ON e2.id = cand.id)
+      |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY sim DESC, id ASC) AS INT) AS rank, id
+      |FROM scored QUALIFY rank <= 10""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -123,22 +176,49 @@ object PipelineQueries {
     // Incremental (daily-crawl) dedup: sketch the first 80% of the corpus
     // into a persisted MinHash store, then dedup the remaining 20% batch
     // against it — candidates touch only the buckets the batch hashes
-    // into, corpus text is never rescanned. Probabilistic pipeline:
-    // DedupSpec proves batch-vs-store pairs equal the full recompute
-    // (including after an append); rows-only here.
+    // into, corpus text is never rescanned. Under the portable hash the
+    // oracle replays the WHOLE store protocol: store-side sketches,
+    // batch-bucket semi-join, per-matched-bucket cap, estimate gate and
+    // exact-Jaccard verify (DedupSpec additionally proves batch-vs-store
+    // pairs equal the full recompute, including after an append).
     QueryDef("q_dedup_incremental",
       (s, d) => {
         val all = docs(s, d)
         val cut = 400L
         val store = s"${System.getProperty("java.io.tmpdir")}/graft_mhstore_" +
           Integer.toHexString(d.hashCode)
-        Dedup.saveMinhashStore(all.filter(col("id") < cut), store)
+        Dedup.saveMinhashStore(all.filter(col("id") < cut), store,
+          hash64 = Dedup.portableHash64)
         Dedup.minhashDedupIncremental(all.filter(col("id") >= cut), store,
-            threshold = 0.8)
+            threshold = 0.8, hash64 = Dedup.portableHash64)
           .agg(count(lit(1)).as("pairs"),
             countDistinct(col("newId")).as("dup_new_docs"))
       },
-      None),
+      Some(s"""WITH ${minhashSketchSql()},
+             |newb AS (SELECT * FROM banded WHERE id >= 400),
+             |matched AS (SELECT s.* FROM banded s
+             |  JOIN (SELECT DISTINCT band, bucket FROM newb) nb
+             |    USING (band, bucket)
+             |  WHERE s.id < 400),
+             |capped AS (SELECT id, band, bucket, row_number() OVER (
+             |    PARTITION BY band, bucket ORDER BY id) AS rn
+             |  FROM matched QUALIFY rn <= 64),
+             |prs AS (SELECT DISTINCT n.id AS newId, c.id AS oldId
+             |  FROM newb n JOIN capped c USING (band, bucket)
+             |  WHERE n.id <> c.id),
+             |est AS (SELECT p.newId, p.oldId,
+             |    sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS e
+             |  FROM prs p JOIN sigrow sa ON sa.id = p.newId
+             |    JOIN sigrow sb ON sb.id = p.oldId AND sb.i = sa.i
+             |  GROUP BY p.newId, p.oldId),
+             |vp AS (SELECT k.newId, k.oldId,
+             |    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+             |      / (len(a.st) + len(b.st)
+             |         - len(list_intersect(a.st, b.st))) AS jaccard
+             |  FROM (SELECT newId, oldId FROM est WHERE e >= ${0.8 * 0.7}) k
+             |    JOIN sets a ON a.id = k.newId JOIN sets b ON b.id = k.oldId)
+             |SELECT count(*) AS pairs, count(DISTINCT newId) AS dup_new_docs
+             |FROM vp WHERE jaccard >= 0.8""".stripMargin)),
 
     // Exact n-gram (word-set) Jaccard pairs within (lang, source) blocks —
     // the verification metric of the dedup family, blocked so the pair join
@@ -409,24 +489,29 @@ object PipelineQueries {
              |SELECT qid, CAST(rank AS INT) AS rank, id
              |FROM ranked WHERE rank <= 10""".stripMargin)),
 
-    // IVF-flat ANN: k-means cells + nProbe search + exact rerank. Like
-    // q_knn_lsh, approximate by construction — recall gated in
-    // SimilaritySpec; rows-only here.
+    // IVF-flat ANN: k-means cells + nProbe search + exact rerank. Under
+    // PORTABLE training (full-corpus deterministic Lloyd, the q_kmeans
+    // replay) the oracle recomputes the cells, the final mean centroids,
+    // the per-query probe ranking and the exact rerank — the whole IVF
+    // pipeline is hash-verified. Recall additionally gated in
+    // SimilaritySpec.
     QueryDef("q_knn_ivf",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.ivfTopK(corpus, queries, 10, nList = 32, nProbe = 8)
+        Similarity.ivfTopK(corpus, queries, 10, nList = 32, nProbe = 8,
+            portable = true)
           .select(col("qid"), col("rank").cast("int").as("rank"), col("id"))
       },
-      None),
+      Some(ivfOracleSql)),
 
     // Persisted IVF layout: cells written partitioned by cid, queries scan
     // ONLY the probed partitions (file-level pruning — the durable form of
-    // FAISS inverted lists). Rows-only like the other ANN sketches;
-    // equality-vs-in-memory and pruning gated in SimilaritySpec.
+    // FAISS inverted lists). The portable index stores the SAME cells and
+    // centroids as q_knn_ivf, so the oracle is identical; pruning and
+    // equality-vs-in-memory additionally gated in SimilaritySpec.
     QueryDef("q_knn_ivf_indexed",
       (s, d) => {
         val emb = t(s, d, "embeddings")
@@ -434,16 +519,19 @@ object PipelineQueries {
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
-        Similarity.saveIvfIndex(corpus, dir, nList = 32)
+        Similarity.saveIvfIndex(corpus, dir, nList = 32, portable = true)
         Similarity.ivfTopKIndexed(s, dir, queries, 10, nProbe = 8)
           .select(col("qid"), col("rank").cast("int").as("rank"), col("id"))
       },
-      None),
+      Some(ivfOracleSql)),
 
     // Product-quantization ANN (Jégou et al. 2011): 64 fp32 dims → 8 byte
     // codes, queries scored by ADC lookup tables over the codes — the
-    // memory-scale ANN layout (32× compression). Rows-only like the other
-    // ANN sketches; recall + determinism gated in SimilaritySpec.
+    // memory-scale ANN layout (32× compression). PORTABLE codebooks
+    // (lowest-id unit-vector seeds, no Lloyd) make encode/ADC/rerank
+    // engine-replayable: the oracle recomputes every code, every lookup
+    // table, the ADC shortlist and the exact rerank. Recall additionally
+    // gated in SimilaritySpec.
     QueryDef("q_knn_pq",
       (s, d) => {
         val emb = t(s, d, "embeddings")
@@ -452,10 +540,46 @@ object PipelineQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         // nBits=6 (64 centroids/subspace): ADC quality is set by the
         // refine stage; 64 cents cut the encode pass 4x vs 256
-        graft.functions.Similarity.pqTopK(corpus, queries, 10, m = 8, nBits = 6)
+        graft.functions.Similarity.pqTopK(corpus, queries, 10, m = 8, nBits = 6,
+            portable = true)
           .select(col("qid"), col("rank").cast("int").as("rank"), col("id"))
       },
-      None),
+      Some("""WITH emb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             |    FROM embeddings),
+             |u AS (SELECT id, CASE WHEN nrm = 0 THEN v
+             |    ELSE [x / nrm for x in v] END AS u
+             |  FROM (SELECT id, v,
+             |    sqrt(list_sum([x * x for x in v])) AS nrm FROM emb)),
+             |seeds AS (SELECT u, row_number() OVER (ORDER BY id) - 1 AS cid
+             |  FROM (SELECT id, u FROM u ORDER BY id LIMIT 64)),
+             |sp AS (SELECT unnest(generate_series(0, 7)) AS j),
+             |cb AS (SELECT j, cid, u[j*8+1 : j*8+8] AS cv FROM seeds, sp),
+             |enc AS (SELECT id, j, cid AS code FROM (
+             |    SELECT x.id, c.j, c.cid, row_number() OVER (
+             |      PARTITION BY x.id, c.j
+             |      ORDER BY list_inner_product(x.u[c.j*8+1 : c.j*8+8], c.cv)
+             |        DESC, c.cid ASC) AS rk
+             |    FROM u x, cb c) WHERE rk = 1),
+             |q AS (SELECT id AS qid, u AS qu FROM u WHERE id < 5),
+             |lut AS (SELECT q.qid, c.j, c.cid,
+             |    list_inner_product(q.qu[c.j*8+1 : c.j*8+8], c.cv) AS lv
+             |  FROM q, cb c),
+             |adc AS (SELECT l.qid, e.id,
+             |    list_sum(list(l.lv ORDER BY l.j)) AS sim
+             |  FROM enc e JOIN lut l ON l.j = e.j AND l.cid = e.code
+             |  WHERE e.id <> l.qid
+             |  GROUP BY l.qid, e.id),
+             |short AS (SELECT qid, id FROM (
+             |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+             |      ORDER BY sim DESC, id ASC) AS rk FROM adc)
+             |  WHERE rk <= 40),
+             |ex AS (SELECT s.qid, s.id,
+             |    list_inner_product(a.u, b.u) AS sim
+             |  FROM short s JOIN u a ON a.id = s.id
+             |    JOIN u b ON b.id = s.qid)
+             |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+             |    ORDER BY sim DESC, id ASC) AS INT) AS rank, id
+             |FROM ex QUALIFY rank <= 10""".stripMargin)),
 
     // Portable-hash bucketed near-dup: same i64 hyperplane signs as
     // q_knn_lsh, so the oracle replays bucket assignment, the per-bucket
@@ -1317,12 +1441,57 @@ object PipelineQueries {
              |FROM p GROUP BY l, r
              |ORDER BY n DESC, l, r LIMIT 20""".stripMargin)),
 
-    // The full merge loop (rows-only: each round's argmax depends on the
-    // previous round's data-dependent merges — not expressible
-    // relationally; BpeSpec proves the loop against a reference BPE).
+    // The full merge loop, replayed in a RECURSIVE CTE: per round the
+    // oracle recomputes the weighted pair argmax (ties lexicographic,
+    // like the trainer) and applies the leftmost-non-overlapping merge
+    // via run-parity windows (a match merges iff the consecutive-match
+    // run before it has even length — exactly the trainer's left fold).
+    // Exhaustion terminates the recursion like the trainer's empty-argmax
+    // check, so the merge table replays row-for-row.
     QueryDef("q_bpe_train",
       (s, d) => graft.functions.Bpe.train(docs(s, d), merges = 1000),
-      None),
+      Some("""WITH RECURSIVE st AS (
+             |  SELECT 0 AS it, CAST(count(*) AS BIGINT) AS cnt,
+             |    list_append(list_transform(generate_series(1, length(wd)),
+             |      i -> substr(wd, i, 1)), '</w>') AS syms,
+             |    NULL::VARCHAR AS l, NULL::VARCHAR AS r, NULL::BIGINT AS n
+             |  FROM (SELECT unnest(list_filter(
+             |      string_split_regex(lower(text), '\s+'),
+             |      x -> length(x) > 0)) AS wd FROM documents)
+             |  GROUP BY wd
+             |  UNION ALL
+             |  SELECT it + 1, cnt, nw.ns, best.l, best.r, best.n
+             |  FROM st,
+             |    (SELECT l, r, n FROM (
+             |        SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS n
+             |        FROM st, LATERAL unnest(generate_series(1, len(syms)-1))
+             |          AS g(i)
+             |        GROUP BY 1, 2)
+             |      ORDER BY n DESC, l, r LIMIT 1) AS best,
+             |    LATERAL (
+             |      SELECT flatten(list(piece ORDER BY i)) AS ns FROM (
+             |        SELECT i,
+             |          CASE WHEN mg THEN [best.l || best.r]
+             |               WHEN lag(mg) OVER (ORDER BY i) THEN []
+             |               ELSE [s] END AS piece
+             |        FROM (
+             |          SELECT i, s, m,
+             |            m AND (i - 1 - coalesce(max(CASE WHEN NOT m THEN i END)
+             |              OVER (ORDER BY i
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |              0)) % 2 = 0 AS mg
+             |          FROM (
+             |            SELECT i, syms[i] AS s,
+             |              i < len(syms) AND syms[i] = best.l
+             |                AND syms[i+1] = best.r AS m
+             |            FROM unnest(generate_series(1, len(syms))) AS g(i))
+             |        ))
+             |    ) AS nw
+             |  WHERE it < 1000
+             |)
+             |SELECT DISTINCT CAST(it - 1 AS INT) AS rank, l AS "left",
+             |  r AS "right", l || r AS merged, n AS pairCount
+             |FROM st WHERE it > 0""".stripMargin)),
 
     // Document chunking (fixed token windows, 8-token overlap): the
     // context-window prep stage before embedding/packing. Deterministic
