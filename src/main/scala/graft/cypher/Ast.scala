@@ -215,6 +215,11 @@ object Ast {
   final case class RemoveClause(items: Seq[SetItem]) extends Clause
   final case class DeleteClause(variables: Seq[String], detach: Boolean) extends Clause
   /** `FOREACH (v IN list | update…)` (reference Foreach :2082). */
+  /** LOAD CSV: with headers binds `alias` to a per-line struct keyed by
+    * the header names (all STRING fields); without, to a STRING list */
+  final case class LoadCsvClause(withHeaders: Boolean, url: Expr,
+      alias: String, sep: Option[String]) extends Clause
+
   final case class ForeachClause(variable: String, list: Expr,
       updates: Seq[Clause]) extends Clause
   /** `CALL proc.name(args) [YIELD a, b [WHERE pred]]` (reference procedure

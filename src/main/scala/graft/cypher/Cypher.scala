@@ -76,10 +76,21 @@ object Cypher {
     val profiled = "(?is)^\\s*PROFILE\\b(.*)".r
     query match {
       case explained(rest) =>
+        // columnar EXPLAIN (the reference's operator table shape):
+        // operator | details | estimatedRows, one row per plan operator,
+        // depth-indented like the reference's plan rendering
         import spark.implicits._
-        return run(spark, graph, rest, params)
-          .queryExecution.executedPlan.toString
-          .split("\n").toSeq.toDF("plan")
+        val qe = run(spark, graph, rest, params).queryExecution
+        def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            depth: Int): Seq[(String, String, Option[Long])] = {
+          val details = p.simpleString(100)
+            .stripPrefix(p.nodeName).trim.take(200)
+          (("  " * depth) + "+" + p.nodeName, details,
+            p.stats.rowCount.map(_.toLong)) +:
+            p.children.flatMap(walk(_, depth + 1))
+        }
+        return walk(qe.optimizedPlan, 0)
+          .toDF("operator", "details", "estimatedRows")
       case profiled(rest) =>
         import spark.implicits._
         import org.apache.spark.sql.execution.SparkPlan
@@ -148,8 +159,24 @@ object Cypher {
   def execute(spark: SparkSession, graph: PropertyGraph, query: String,
       params: Map[String, Any] = Map.empty,
       txCommit: PropertyGraph => PropertyGraph = Planner.defaultTxCommit)
-      : (PropertyGraph, Option[DataFrame]) =
-    Planner.execute(spark, graph, parse(query), params, txCommit)
+      : (PropertyGraph, Option[DataFrame]) = {
+    // EXPLAIN under execute follows the REFERENCE result contract: the
+    // query is planned but NOT run — no side effects, and the result is
+    // the query's output columns with zero rows (nothing when the query
+    // returns no columns). The plan text itself stays on the read-only
+    // `run` surface, which renders the columnar operator table.
+    val explained = "(?is)^\\s*EXPLAIN\\b(.*)".r
+    query match {
+      case explained(rest) =>
+        val q = parse(rest)
+        if (Planner.hasWrites(q)) (graph, None)
+        else {
+          val (_, res) = Planner.execute(spark, graph, q, params, txCommit)
+          (graph, res.map(_.limit(0)))
+        }
+      case _ => Planner.execute(spark, graph, parse(query), params, txCommit)
+    }
+  }
 
   /** Parse entry (cached), also used by run/execute. */
   def parse(query: String): Ast.Query = parseCache.synchronized {

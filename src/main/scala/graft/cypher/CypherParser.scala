@@ -142,7 +142,16 @@ object CypherParser extends RegexParsers {
       Lit(deUnderscore(s.stripSuffix("f").stripSuffix("F")).toDouble)) |
     """-?\d(_?\d)*[eE][+-]?\d(_?\d)*[fF]?""".r ^^ (s =>
       Lit(deUnderscore(s.stripSuffix("f").stripSuffix("F")).toDouble)) |
-    """-?\d(_?\d)*""".r ^^ (s => Lit(deUnderscore(s).toLong))
+    """-?\d(_?\d)*""".r ^^ { s =>
+      // `0_66` spells the DEPRECATED leading-zero octal syntax with a
+      // separator — the reference raises (modern octal is 0o); a plain
+      // multi-digit 0-prefixed literal stays as-is
+      val digits = s.stripPrefix("-")
+      if (digits.length > 1 && digits.charAt(0) == '0' && digits.contains('_'))
+        throw new IllegalArgumentException(
+          s"invalid literal `$s`: deprecated octal syntax — use 0o")
+      Lit(deUnderscore(s).toLong)
+    }
 
   // doubled quotes ('' / "") are the in-kind escape, as in the reference
   private def stringLit: Parser[Expr] =
@@ -1074,9 +1083,20 @@ object CypherParser extends RegexParsers {
   private def finishClause: Parser[Clause] =
     K("FINISH") ^^ (_ => FinishClause())
 
+  /** `LOAD CSV [WITH HEADERS] FROM <url> AS row [FIELDTERMINATOR ';']`
+    * (reference LoadCSV, LogicalPlan.scala:2581) */
+  private def loadCsvClause: Parser[Clause] =
+    K("LOAD") ~> K("CSV") ~> opt(K("WITH") ~ K("HEADERS")) ~
+      (K("FROM") ~> expression) ~ (K("AS") ~> aliasName) ~
+      opt(K("FIELDTERMINATOR") ~> stringLit) ^^ {
+      case h ~ u ~ a ~ t =>
+        LoadCsvClause(h.isDefined, u, a,
+          t.collect { case Lit(s: String) => s })
+    }
+
   private def clause0: Parser[Clause] =
     matchClause | unwindClause | schemaClause | writeClause | callSubquery |
-      callClause | withClause | returnClause | finishClause
+      callClause | withClause | returnClause | loadCsvClause | finishClause
 
   /** Top-level clause with the GPM syntax-mixing check: the mixing scope
     * is ONE top-level clause INCLUDING any subqueries nested in it

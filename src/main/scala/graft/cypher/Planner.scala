@@ -167,6 +167,11 @@ object Planner {
     }, mixed)
   }
 
+  /** Does any part of the query mutate the graph or schema? The EXPLAIN
+    * gate: an explained write query plans but must not execute. */
+  def hasWrites(q: Ast.Query): Boolean =
+    q.parts.exists(_.clauses.exists(isWrite))
+
   private def isWrite(c: Clause): Boolean = c match {
     case _: CreateClause | _: MergeClause | _: SetClause | _: RemoveClause |
          _: DeleteClause | _: CreateIndexClause | _: CreateConstraintClause |
@@ -386,8 +391,19 @@ object Planner {
         planSetItems(ctx, env, r.items)
         env = rehydrate(ctx, env, entityVars(env))
       case d: DeleteClause => planDelete(ctx, env, d)
-      case f: ForeachClause => planForeach(ctx, env, f)
-      case cc: CallClause  => env = planCall(ctx, env, cc)
+      case f: ForeachClause =>
+        planForeach(ctx, env, f)
+        // FOREACH may SET/REMOVE on bound entities: refresh their hydrated
+        // columns so later clauses in the SAME query read the new values
+        // (same read-through-to-store visibility as a plain SET)
+        env = rehydrate(ctx, env, entityVars(env))
+      case lc: LoadCsvClause => env = planLoadCsv(ctx, env, lc)
+      case cc: CallClause  =>
+        env = planCall(ctx, env, cc,
+          inQuery = q.clauses.size > 1,
+          isLast = q.clauses.lastOption.contains(cc))
+        // a STANDALONE procedure call returns its rows without RETURN
+        if (q.clauses.size == 1) returned = env.df
       case cs: CallSubquery =>
         // reference error contract: every non-variable item in a CALL{}
         // body's RETURN must carry an explicit alias
@@ -408,7 +424,15 @@ object Planner {
         val writes = cs.innerQ.parts.exists(_.clauses.exists(isWrite))
         val boundBefore = env.binds.keySet
         env = cs.inTransactionsOf match {
-          case Some(n) => planCallInTransactions(ctx, env, cs, n)
+          case Some(n) =>
+            // each execution must OBSERVE previous executions' writes
+            // (reference iterator semantics): a body whose reads can see
+            // its own writes executes per row — batch-at-once would let
+            // all of a batch's executions read the pre-batch snapshot
+            val selfReadingTx =
+              cs.innerQ.parts.exists(p => bodyReadsItsWrites(p.clauses))
+            planCallInTransactions(ctx, env, cs,
+              if (selfReadingTx) 1L else n)
           // UNION bodies route through planCallSubquery, which plans the
           // whole union — cs.inner (single-part accessor) must not force
           case None if writes =>
@@ -3900,7 +3924,36 @@ object Planner {
   /** CALL proc(args) [YIELD cols]: procedure result (a DataFrame plan)
     * joins the current rows — cross join, since procedure args are
     * literals/parameters (correlated CALL is not supported). */
-  private def planCall(ctx: Ctx, env: Env, cc: CallClause): Env = {
+  /** LOAD CSV (reference LoadCSVPipe): every field arrives as a STRING;
+    * with headers the row binds as a header-keyed struct (row.name reads
+    * a field), without as a STRING list. */
+  private def planLoadCsv(ctx: Ctx, env: Env, lc: LoadCsvClause): Env = {
+    val url = lc.url match {
+      case Lit(s: String) => s
+      case Param(p) => ctx.params.getOrElse(p, throw new IllegalArgumentException(
+        s"missing parameter $$$p")).toString
+      case other => throw new IllegalArgumentException(
+        s"LOAD CSV URL must be a literal or parameter, got $other")
+    }
+    val path =
+      if (url.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(url)).toString
+      else url
+    val raw = graft.sources.LoadCsv.load(ctx.spark, path, lc.withHeaders,
+      lc.sep.getOrElse(","))
+    val dataCols = raw.columns.filterNot(Set("linenumber", "file"))
+    val bound =
+      if (lc.withHeaders) raw.select(struct(dataCols.map(col): _*).as(lc.alias))
+      else raw.select(array(dataCols.map(col): _*).as(lc.alias))
+    val df = env.df match {
+      case None      => bound
+      case Some(cur) => cur.crossJoin(bound)
+    }
+    Env(Some(df), env.binds + (lc.alias -> ValueVar))
+  }
+
+  private def planCall(ctx: Ctx, env: Env, cc: CallClause,
+      inQuery: Boolean = false, isLast: Boolean = false): Env = {
     def const(e: Expr): Any = e match {
       case Lit(v)        => v
       case Param(n)      => ctx.params(n)
@@ -3921,6 +3974,16 @@ object Planner {
       case None => graft.functions.Procedures.call(
         ctx.spark, ctx.g, cc.procedure, cc.args.map(const): _*)
     }
+    // reference error contract for IN-QUERY procedure calls (standalone
+    // CALL is exempt): a non-void procedure must name its results with
+    // YIELD, and CALL … YIELD cannot conclude the query (needs RETURN)
+    if (inQuery && result0.columns.nonEmpty && cc.yields.isEmpty)
+      throw new IllegalArgumentException(
+        "Procedure call inside a query does not support naming results " +
+          "implicitly (name explicitly using `YIELD` instead)")
+    if (inQuery && isLast && cc.yields.nonEmpty)
+      throw new IllegalArgumentException(
+        "Query cannot conclude with CALL … YIELD — add a RETURN")
     val result = if (cc.yields.isEmpty) result0
       else result0.select(cc.yields.map(col): _*)
     val df = env.df match {
@@ -4265,7 +4328,11 @@ object Planner {
           planSetItems(ctx, inner, r.items)
           if (ci < lastIdx) inner = rehydrate(ctx, inner, entityVars(inner))
         case d: DeleteClause  => planDelete(ctx, inner, d)
-        case f: ForeachClause => planForeach(ctx, inner, f)
+        case f: ForeachClause =>
+          planForeach(ctx, inner, f)
+          // a FOREACH body may SET on bound entities: later clauses in
+          // the same batch read the written value (like SetClause above)
+          if (ci < lastIdx) inner = rehydrate(ctx, inner, entityVars(inner))
         case _: FinishClause  => () // explicit no-result; writes commit
         case cs2: CallSubquery => // nested unit subquery inside the body
           val w = cs2.innerQ.parts.exists(_.clauses.exists(isWrite))

@@ -24,6 +24,19 @@ object AccSweep {
         .getLines().collect { case P(f, s, r) => (f, s) -> r.trim }.toMap
 
     val scenarios = TckHarness.loadScenarios(dir)
+    if (reasonFilter == "--unsupported") {
+      // census of scenarios the HARNESS cannot parse (unsupported step
+      // grammar), grouped by reason — the capability gap, not the engine's
+      val unsup = scenarios.filter(_.unsupported.isDefined)
+      println(s"=== ${unsup.size} unsupported-step scenarios ===")
+      unsup.groupBy(_.unsupported.get.replaceAll("\\d+", "N").take(100))
+        .toSeq.sortBy(-_._2.size).foreach { case (r, ss) =>
+          println(s"${ss.size}  $r")
+          ss.take(3).foreach(s => println(s"      e.g. ${s.feature} — ${s.name}"))
+        }
+      spark.stop()
+      return
+    }
     val targets = scenarios.filter { sc =>
       denied.get((sc.feature, sc.name)).exists { r =>
         r.contains(reasonFilter) && sc.feature.contains(featureFilter)

@@ -87,11 +87,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "no operator reported a runtime numOutputRows metric")
   }
 
-  test("EXPLAIN returns the physical plan as rows") {
-    val rows = Cypher.run(spark, g,
+  test("EXPLAIN returns the columnar operator table") {
+    val df = Cypher.run(spark, g,
       "EXPLAIN MATCH (c:Customer) WHERE c.key < 10 RETURN c.name AS n")
-      .collect().map(_.getString(0))
-    assert(rows.nonEmpty && rows.mkString("\n").contains("Scan parquet"))
+    assert(df.columns.toSeq == Seq("operator", "details", "estimatedRows"))
+    val ops = df.collect().map(_.getString(0))
+    assert(ops.nonEmpty && ops.exists(_.contains("Relation")),
+      s"no scan operator in: ${ops.mkString(" | ")}")
+  }
+
+  test("EXPLAIN under execute plans without side effects, zero result rows") {
+    val (g2, res) = Cypher.execute(spark, g, "EXPLAIN CREATE (a:Marker)")
+    assert(g2 eq g) // no write happened
+    assert(res.isEmpty)
+    val (_, res2) = Cypher.execute(spark, g,
+      "EXPLAIN MATCH (c:Customer) RETURN c.name AS n, c.key AS k")
+    assert(res2.get.columns.toSeq == Seq("n", "k") && res2.get.count() == 0)
   }
 
   test("funnel join pushes the event-type filters to both scans") {

@@ -48,9 +48,16 @@ object TckHarness {
   case object NoCheck extends Expectation
 
   case class Step(query: String, expect: Expectation)
+  /** scenario-local procedure: `And there exists a procedure
+    * ns.name(arg :: TYPE, …) :: (out :: TYPE, …):` + a result table */
+  case class ProcDef(name: String, inCols: Seq[String], outCols: Seq[String],
+      rows: Seq[Seq[String]])
   case class Scenario(feature: String, name: String, setup: Seq[String],
       params: Map[String, Any], steps: Seq[Step],
-      unsupported: Option[String] = None)
+      unsupported: Option[String] = None,
+      procs: Seq[ProcDef] = Nil,
+      csvFiles: Seq[(String, Seq[Seq[String]])] = Nil,
+      tags: Set[String] = Set.empty)
 
   // ---- gherkin subset parser -------------------------------------------
 
@@ -58,12 +65,14 @@ object TckHarness {
     val lines = text.linesIterator.toVector
     var feature = fallbackName
     var background = Vector.empty[String] // raw lines of the Background block
+    var pendingTags = Set.empty[String]   // gherkin @tags precede their scenario
     val out = Seq.newBuilder[Scenario]
     var i = 0
     def at(j: Int): String = if (j < lines.length) lines(j).trim else ""
     def isHeader(s: String): Boolean =
       s.startsWith("Scenario:") || s.startsWith("Scenario Outline:") ||
-        s.startsWith("Feature:") || s.startsWith("Background:")
+        s.startsWith("Feature:") || s.startsWith("Background:") ||
+        s.startsWith("@")
     // collect the raw body lines of a block starting after line i
     def bodyFrom(j: Int): (Vector[String], Int) = {
       var k = j
@@ -78,22 +87,44 @@ object TckHarness {
     }
     while (i < lines.length) {
       val l = at(i)
-      if (l.startsWith("Feature:")) { feature = l.drop(8).trim; i += 1 }
-      else if (l.startsWith("Background:")) {
-        val (body, k) = bodyFrom(i + 1); background = body; i = k
+      if (l.startsWith("@")) {
+        pendingTags ++= l.split("\\s+").filter(_.startsWith("@")); i += 1
+      } else if (l.startsWith("Feature:")) {
+        feature = l.drop(8).trim; pendingTags = Set.empty; i += 1
+      } else if (l.startsWith("Background:")) {
+        val (body, k) = bodyFrom(i + 1); background = body
+        pendingTags = Set.empty; i = k
       } else if (l.startsWith("Scenario Outline:")) {
         val name = l.drop("Scenario Outline:".length).trim
         val (body, k) = bodyFrom(i + 1)
         out ++= expandOutline(feature, name, background ++ body)
+          .map(applyTags(_, pendingTags))
+        pendingTags = Set.empty
         i = k
       } else if (l.startsWith("Scenario:")) {
         val name = l.drop(9).trim
         val (body, k) = bodyFrom(i + 1)
-        out += parseScenario(feature, name, background ++ body)
+        out += applyTags(parseScenario(feature, name, background ++ body),
+          pendingTags)
+        pendingTags = Set.empty
         i = k
       } else i += 1
     }
     out.result()
+  }
+
+  /** `@Fails` / `@ignore` mark scenarios the REFERENCE expects to fail or
+    * skips — honored as a named skip class; other tags
+    * (`@skipGrammarCheck`, `@allowCustomErrors`, …) do not affect
+    * execution here. */
+  private def applyTags(sc: Scenario, tags: Set[String]): Scenario = {
+    val skip = tags.find(t => t == "@Fails" || t == "@ignore")
+    skip match {
+      case Some(t) if sc.unsupported.isEmpty =>
+        sc.copy(tags = tags,
+          unsupported = Some(s"tagged $t by the reference (expected failure/skip)"))
+      case _ => sc.copy(tags = tags)
+    }
   }
 
   /** expand a Scenario Outline's Examples rows by textual substitution */
@@ -125,10 +156,15 @@ object TckHarness {
     var setup = Seq.empty[String]
     var params = Map.empty[String, Any]
     val steps = Seq.newBuilder[Step]
+    val procs = Seq.newBuilder[ProcDef]
+    val csvs = Seq.newBuilder[(String, Seq[Seq[String]])]
     var pendingQuery: Option[String] = None
     var i = 0
     def at(j: Int): String = if (j < body.length) body(j).trim else ""
-    def docstring(j: Int): (String, Int) = {
+    def docstring(j0: Int): (String, Int) = {
+      // tolerate blank/comment lines between the step and its docstring
+      var j = j0
+      while (j < body.length && (at(j).isEmpty || at(j).startsWith("#"))) j += 1
       require(at(j) == "\"\"\"", s"expected docstring at: ${at(j)}")
       val indent = body(j).indexOf("\"\"\"")
       val buf = Seq.newBuilder[String]
@@ -180,14 +216,48 @@ object TckHarness {
         else if (s.startsWith("And the side effects should be") ||
             s.startsWith("Then the side effects should be")) {
           if (s.endsWith(":")) { val (_, k) = table(i + 1); i = k } else i += 1
+        } else if (s.matches(
+            "(And|Given) there exists a procedure .*:")) {
+          val sig = s.replaceFirst("^(And|Given) there exists a procedure ", "")
+            .stripSuffix(":").trim
+          val (t, k) = table(i + 1)
+          procs += parseProcSig(sig, t)
+          i = k
+        } else if (s.matches(
+            "(And|Given) there exists a CSV file with URL as \\$\\w+, with rows:")) {
+          val param = s.replaceFirst(".*URL as \\$(\\w+).*", "$1")
+          val (t, k) = table(i + 1)
+          csvs += ((param, t))
+          i = k
         } else if (s.isEmpty || s.startsWith("#")) i += 1
+        else if (!s.matches("^(Given|When|Then|And|But)\\b.*")) i += 1
+          // free-text scenario DESCRIPTION (gherkin prose between the
+          // Scenario: header and the first step) — not a step
         else throw new IllegalArgumentException(s"unsupported TCK step: $s")
       }
       pendingQuery.foreach(q => steps += Step(q, NoCheck))
-      Scenario(feature, name, setup, params, steps.result())
+      Scenario(feature, name, setup, params, steps.result(),
+        procs = procs.result(), csvFiles = csvs.result())
     } catch {
       case e: Exception =>
         Scenario(feature, name, Nil, Map.empty, Nil, Some(e.getMessage))
+    }
+  }
+
+  /** `ns.name(arg :: TYPE, …) :: (out :: TYPE, …)` + result table */
+  private def parseProcSig(sig: String, t: Seq[Seq[String]]): ProcDef = {
+    val M = """([\w.]+)\s*\(([^)]*)\)\s*::\s*\(([^)]*)\)""".r
+    sig match {
+      case M(name, ins, outs) =>
+        def cols(spec: String): Seq[String] = spec.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty).map(_.split("::")(0).trim)
+        val inCols = cols(ins)
+        val outCols = cols(outs)
+        // table: optional header (a bare `|` for void procs) + value rows
+        val rows = if (t.isEmpty) Nil
+          else t.tail // head is the column-name header
+        ProcDef(name, inCols, outCols, rows)
+      case _ => throw new IllegalArgumentException(s"bad procedure signature: $sig")
     }
   }
 
@@ -605,32 +675,49 @@ object TckHarness {
   def runScenario(spark: SparkSession, sc: Scenario): Unit = {
     sc.unsupported.foreach(reason =>
       throw new IllegalArgumentException(s"unsupported scenario: $reason"))
+    // scenario-local procedures: a table-valued proc over the declared
+    // rows; input columns (if any) filter rows by the call's arguments
+    sc.procs.foreach(registerProc(spark, _))
+    // scenario-local CSV files: written to a temp file, URL via the param
+    var params = sc.params
+    sc.csvFiles.foreach { case (param, t) =>
+      val f = java.io.File.createTempFile("tck_csv_", ".csv")
+      f.deleteOnExit()
+      def cell(c: String): String = parseTck(c) match {
+        case TckStr(s) => s
+        case other => canonTck(other)
+      }
+      val text = (t.head.mkString(",") +:
+        t.tail.map(_.map(cell).mkString(","))).mkString("\n")
+      java.nio.file.Files.write(f.toPath, text.getBytes("UTF-8"))
+      params += (param -> f.toURI.toString)
+    }
     var g = emptyGraph(spark)
     sc.setup.foreach { stmt =>
-      val (g2, _) = Cypher.execute(spark, g, stmt, sc.params); g = g2
+      val (g2, _) = Cypher.execute(spark, g, stmt, params); g = g2
     }
     sc.steps.foreach { case Step(query, expect) =>
       expect match {
         case Error(_) =>
           val thrown =
             try {
-              val (g2, res) = Cypher.execute(spark, g, query, sc.params)
+              val (g2, res) = Cypher.execute(spark, g, query, params)
               res.foreach(_.collect())
               g = g2
               false
             } catch { case _: Throwable => true }
           assert(thrown, s"expected an error for: $query")
         case NoCheck =>
-          val (g2, res) = Cypher.execute(spark, g, query, sc.params)
+          val (g2, res) = Cypher.execute(spark, g, query, params)
           res.foreach(_.collect())
           g = g2
         case Empty =>
-          val (g2, res) = Cypher.execute(spark, g, query, sc.params)
+          val (g2, res) = Cypher.execute(spark, g, query, params)
           assert(res.forall(_.count() == 0L),
             s"expected empty result for: $query")
           g = g2
         case Rows(header, rows, ordered, sortLists) =>
-          val (g2, resOpt) = Cypher.execute(spark, g, query, sc.params)
+          val (g2, resOpt) = Cypher.execute(spark, g, query, params)
           val df = resOpt.getOrElse(
             throw new AssertionError(s"query returned no result stream: $query"))
           assert(df.columns.toSet == header.toSet,
@@ -654,6 +741,37 @@ object TckHarness {
           }
       }
     }
+  }
+
+  /** Register a scenario-local procedure: a table-valued proc over the
+    * declared rows (reference TCK "there exists a procedure" step). Input
+    * columns, when present, filter the rows by the call's arguments; a
+    * void signature yields an empty (0-column, 0-row) relation. */
+  private def registerProc(spark: SparkSession, pd: ProcDef): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    graft.functions.Procedures.register(pd.name, (sp, _, args) => {
+      if (pd.outCols.isEmpty) sp.emptyDataFrame
+      else {
+        val allCols = pd.inCols ++ pd.outCols
+        val parsed: Seq[Seq[Any]] =
+          pd.rows.map(_.map(c => tckToScala(parseTck(c))))
+        def dtOf(i: Int): DataType = parsed.flatMap(r => Option(r(i)))
+          .collectFirst {
+            case _: Long => LongType
+            case _: Double => DoubleType
+            case _: Boolean => BooleanType
+            case _: String => StringType
+          }.getOrElse(StringType)
+        val schema = StructType(allCols.zipWithIndex.map { case (c, i) =>
+          StructField(c, dtOf(i), nullable = true) })
+        var df = sp.createDataFrame(
+          sp.sparkContext.parallelize(parsed.map(Row(_: _*)), 1), schema)
+        pd.inCols.zipWithIndex.foreach { case (c, i) =>
+          df = df.filter(col(c) === lit(args(i)))
+        }
+        df.select(pd.outCols.map(col): _*)
+      }
+    })
   }
 
   // ---- denylist + discovery --------------------------------------------
