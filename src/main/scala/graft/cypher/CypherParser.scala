@@ -679,15 +679,16 @@ object CypherParser extends RegexParsers {
                 x2 = x.copy(where = Some(
                   x.where.fold(pred)(w0 => BinOp("AND", w0, pred))))
                 chain
-              } else if (idents.subsetOf(groupVars)) {
-                // multi-variable group WHERE: filters every traversal of
-                // the composite edge set (planner branchEdges)
+              } else {
+                // multi-variable group WHERE filters every traversal of
+                // the composite edge set (planner branchEdges); one that
+                // references NON-LOCAL singletons (`WHERE a.h > x.h`, GQL
+                // cross-iteration references) defers to a per-iteration
+                // post-filter over the group arrays (planner
+                // expandComposite) — the planner validates scoping
                 gw = Some(pred)
                 chain
-              } else throw new IllegalArgumentException(
-                "a quantified group WHERE may reference only the group's " +
-                  "own variables (cross-iteration predicates are not " +
-                  "supported)")
+              }
           }
           ((RelPattern(None, Seq.empty, Out, Some(q), Seq.empty,
             branches = Some(Seq(chain2)),

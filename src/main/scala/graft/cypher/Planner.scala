@@ -63,6 +63,19 @@ object Planner {
           new java.util.IdentityHashMap[RelPattern, java.lang.Boolean]())) {
     private var counter = 0
     def fresh(prefix: String): String = { counter += 1; s"__${prefix}_$counter" }
+    /** Entity provenance of map-literal fields (`WITH {k: a} AS m` where
+      * a is a node): `m.k` projected back out IS a node (reference
+      * semantic-type inference), while a PROPERTY value projected under
+      * the same shape stays a value and using it in node position remains
+      * the VariableTypeConflict error the type system raises. Keyed
+      * "mapVar.field"; conservative query-global scope. */
+    val entityFields = scala.collection.mutable.Map.empty[String, Binding]
+    /** Cross-iteration QPP group WHEREs rewritten to per-iteration
+      * post-filters over the group arrays (`all(x IN a WHERE …)`); filled
+      * by expandComposite, drained into the clause's pending WHERE by
+      * planMatch — they may reference singletons bound LATER in the same
+      * graph pattern (`((a)-[e]->(b) WHERE a.h > u.h)*(s)-->(u)`). */
+    val deferredGroupWhere = scala.collection.mutable.ListBuffer.empty[Expr]
     /** statement-unique tag for created-entity id hashing: a per-clause
       * index would repeat across CREATE/MERGE clauses of one statement
       * (same runTag, same row ids) and collide the generated ids */
@@ -362,9 +375,10 @@ object Planner {
   }
 
   private def executePart(spark: SparkSession, g: PropertyGraph,
-      q: SingleQuery, params: Map[String, Any],
+      q0: SingleQuery, params: Map[String, Any],
       txCommit: PropertyGraph => PropertyGraph)
       : (PropertyGraph, Option[DataFrame]) = {
+    val q = liftDynamicPatternProps(q0)
     val ctx = new Ctx(spark, g, params, neededProps(q, params), pruneEligibleRels(q))
     ctx.txCommit = txCommit
     var env = Env(None, Map.empty)
@@ -551,7 +565,8 @@ object Planner {
   }
 
   private def planSingle(spark: SparkSession, g: PropertyGraph,
-      q: SingleQuery, params: Map[String, Any]): DataFrame = {
+      q0: SingleQuery, params: Map[String, Any]): DataFrame = {
+    val q = liftDynamicPatternProps(q0)
     val ctx = new Ctx(spark, g, params, neededProps(q, params), pruneEligibleRels(q))
     var env = Env(None, Map.empty)
     q.clauses.foreach {
@@ -740,13 +755,38 @@ object Planner {
           val avail = s0.columns.toSet -- Set("id", "src", "dst", "type")
           val props = (if (needed("*")) (avail - "labels").map(colProp)
             else needed.filter(n => avail(propCol(n)))).toSeq.sorted
-          if (props.isEmpty) e
-          else {
-            val side = s0.select((col("id").as(v) +:
-              props.map(p => col(propCol(p)).as(s"$v$$$p"))): _*)
-            e.copy(df = Some(df.drop(props.map(p => s"$v$$$p"): _*)
-              .join(side, Seq(v), "left_outer")))
-          }
+          val withProps =
+            if (props.isEmpty) e
+            else {
+              val side = s0.select((col("id").as(v) +:
+                props.map(p => col(propCol(p)).as(s"$v$$$p"))): _*)
+              e.copy(df = Some(df.drop(props.map(p => s"$v$$$p"): _*)
+                .join(side, Seq(v), "left_outer")))
+            }
+          // startNode(r).k / endNode(r).k on a CREATE/MERGE-bound rel:
+          // hydrate the endpoint marker columns through the CURRENT
+          // snapshot (rels → endpoint node), mirroring expandHop's markers
+          if (e.binds.get(v).contains(RelVar)) {
+            def markers(marker: String, idCol: String,
+                acc: Env): Env = {
+              val ks = needed.collect {
+                case s if s.startsWith(marker) => s.stripPrefix(marker)
+              }.filter(k => ctx.g.nodes.columns.contains(propCol(k))).toSeq.sorted
+              val missing = ks.filterNot(k => acc.df.exists(
+                _.columns.contains(s"$v$$$marker$k")))
+              if (missing.isEmpty) acc
+              else {
+                val side = ctx.g.rels.select(col("id").as(v),
+                    col(idCol).as("__epid"))
+                  .join(ctx.g.nodes.select((col("id").as("__epid") +:
+                    missing.map(k => col(propCol(k))
+                      .as(s"$v$$$marker$k"))): _*), Seq("__epid"))
+                  .drop("__epid")
+                acc.copy(df = acc.df.map(_.join(side, Seq(v), "left_outer")))
+              }
+            }
+            markers("__en_", "dst", markers("__sn_", "src", withProps))
+          } else withProps
         case _ => e
       }
     }
@@ -1342,6 +1382,9 @@ object Planner {
       }
       p.hops.map(_._1).foreach { r =>
         r.props.foreach(kv => walk(kv._2)); r.where.foreach(walk)
+        r.groupWhere.foreach(walk)
+        r.headNode.foreach { hn =>
+          hn.props.foreach(kv => walk(kv._2)); hn.where.foreach(walk) }
         r.branches.foreach(_.foreach(_.foreach { case (br, bn) =>
           br.props.foreach(kv => walk(kv._2)); br.where.foreach(walk)
           bn.props.foreach(kv => walk(kv._2)); bn.where.foreach(walk)
@@ -1387,6 +1430,34 @@ object Planner {
       case _ => () // schema commands carry no expressions
     }
     q.clauses.foreach(walkClause)
+    // rename propagation: `WITH p AS person … person.name` reads through
+    // the alias — the SOURCE variable must hydrate those properties at its
+    // own bind (the projection pass-through re-prefixes the columns).
+    // Conservative over-approximation (scopes collapse; extra hydration is
+    // extra columns, never wrong values); fixpoint covers rename chains.
+    val renames = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    def collectRenames(cl: Clause): Unit = cl match {
+      case WithClause(_, items, _, _, _, _) => items.foreach {
+        case ReturnItem(Variable(v), Some(a), _) if a != v => renames += ((v, a))
+        case _ => ()
+      }
+      case c: CallSubquery =>
+        c.innerQ.parts.foreach(_.clauses.foreach(collectRenames))
+      case _ => ()
+    }
+    q.clauses.foreach(collectRenames)
+    if (renames.nonEmpty) {
+      var changed = true
+      while (changed) {
+        changed = false
+        renames.foreach { case (v, a) =>
+          val extra = acc.getOrElse(a, Set.empty) -- acc.getOrElse(v, Set.empty)
+          if (extra.nonEmpty) {
+            acc(v) = acc.getOrElse(v, Set.empty) ++ extra; changed = true
+          }
+        }
+      }
+    }
     acc.toMap
   }
 
@@ -1403,6 +1474,9 @@ object Planner {
       }
       p.hops.map(_._1).foreach { r =>
         r.props.foreach(kv => walk(kv._2)); r.where.foreach(walk)
+        r.groupWhere.foreach(walk)
+        r.headNode.foreach { hn =>
+          hn.props.foreach(kv => walk(kv._2)); hn.where.foreach(walk) }
         r.branches.foreach(_.foreach(_.foreach { case (br, bn) =>
           br.props.foreach(kv => walk(kv._2)); br.where.foreach(walk)
           bn.props.foreach(kv => walk(kv._2)); bn.where.foreach(walk)
@@ -1549,9 +1623,17 @@ object Planner {
         cur = planPath(ctx, cur, p, pending)
         cur = flushReadyWhere(ctx, cur, pending)
       }
+      // cross-iteration QPP group WHEREs surfaced by expandComposite join
+      // the clause's pending conjuncts (they apply once their non-local
+      // singletons bind — possibly by a LATER pattern element)
+      if (ctx.deferredGroupWhere.nonEmpty) {
+        pending.conjs = pending.conjs ++ ctx.deferredGroupWhere.toList
+        ctx.deferredGroupWhere.clear()
+        cur = flushReadyWhere(ctx, cur, pending)
+      }
       m.shortest.foreach { s0 =>
         val s = lowerSelectorWhere(ctx, cur.has, s0, pending)
-        cur = planShortest(ctx, cur, s)
+        cur = planShortestOrFallback(ctx, cur, s, pending)
       }
       // GQL match modes: REPEATABLE ELEMENTS waives relationship
       // uniqueness for this MATCH; DIFFERENT NODES adds pairwise node
@@ -1588,6 +1670,63 @@ object Planner {
     * conjunct the moment its last variable binds is semantics-preserving
     * (same split-conjunct three-valued logic as applyWhere). */
   private final class PendingWhere(var conjs: List[Expr])
+
+  /** Dynamic inline property maps: `(n {k: expr})` with a non-literal,
+    * non-parameter value is sugar for `(n) WHERE n.k = expr` (reference
+    * front-end normalizeMatchPredicates — MatchPredicateNormalizerChain):
+    * scan-time seeks keep literal/parameter values (pushdown-friendly);
+    * anything dynamic — outer variables, function calls, subquery
+    * expressions — lifts into the clause WHERE, which evaluates with full
+    * row scope. Fixed-length elements only: a var-length/quantified rel's
+    * inline map constrains EVERY traversed rel and stays a pre-filter.
+    * Runs BEFORE neededProps so lifted `v.k` reads hydrate normally. */
+  private def liftDynamicPatternProps(q: SingleQuery): SingleQuery = {
+    var seq = 0
+    def isConst(e: Expr): Boolean = e match {
+      case _: Lit | _: Param => true
+      case _                 => false
+    }
+    def rewriteMatch(m: MatchClause): MatchClause = {
+      val lifted = List.newBuilder[Expr]
+      def fresh(pfx: String): String = { seq += 1; s"__${pfx}_pp$seq" }
+      def node(np: NodePattern): NodePattern = {
+        val (const, dyn) = np.props.partition(kv => isConst(kv._2))
+        if (dyn.isEmpty) np
+        else {
+          val v = np.variable.getOrElse(fresh("n"))
+          dyn.foreach { case (k, e) =>
+            lifted += BinOp("=", Prop(Variable(v), k), e) }
+          np.copy(variable = Some(v), props = const)
+        }
+      }
+      def rel(r: RelPattern): RelPattern =
+        if (r.varLength.isDefined || r.branches.isDefined ||
+            r.props.forall(kv => isConst(kv._2))) r
+        else {
+          val (const, dyn) = r.props.partition(kv => isConst(kv._2))
+          val v = r.variable.getOrElse(fresh("r"))
+          dyn.foreach { case (k, e) =>
+            lifted += BinOp("=", Prop(Variable(v), k), e) }
+          r.copy(variable = Some(v), props = const)
+        }
+      def path(p: PathPattern): PathPattern =
+        p.copy(first = node(p.first),
+          hops = p.hops.map { case (r, nd) => (rel(r), node(nd)) })
+      val ps2 = m.patterns.map(path)
+      val conjs = lifted.result()
+      if (conjs.isEmpty) m
+      else m.copy(patterns = ps2,
+        where = Some((m.where.toList ++ conjs).reduce(BinOp("AND", _, _))))
+    }
+    def rewriteClause(c: Clause): Clause = c match {
+      case m: MatchClause   => rewriteMatch(m)
+      case cs: CallSubquery => cs.copy(innerQ = Query(
+        cs.innerQ.parts.map(p => SingleQuery(p.clauses.map(rewriteClause))),
+        cs.innerQ.unionAll))
+      case other => other
+    }
+    SingleQuery(q.clauses.map(rewriteClause))
+  }
 
   private def splitConjuncts(e: Expr): List[Expr] = e match {
     case BinOp("AND", l, r) => splitConjuncts(l) ++ splitConjuncts(r)
@@ -1833,6 +1972,70 @@ object Planner {
     env
   }
 
+  /** Legacy shortestPath()/allShortestPaths() with a MATCH WHERE that
+    * constrains the PATH (reference fallback semantics — FindShortestPaths
+    * withFallback, ShortestPathAcceptance "among paths that fulfill a
+    * predicate"): the result is the shortest path that SATISFIES the
+    * predicate, so when the globally shortest path fails it, longer
+    * candidates must be considered. Plans the var-length pattern
+    * exhaustively through Trail (rel-uniqueness trails, capped at the
+    * pattern's own bound), filters by the predicates, then keeps the
+    * per-endpoint-pair minimum — every tie for allShortestPaths, one
+    * deterministic (smallest rel-id sequence) path otherwise. Exponential
+    * in the cap; only reached when a path predicate makes the BFS fast
+    * path unsound, exactly like the reference's fallback plan. */
+  private def planShortestFallback(ctx: Ctx, envIn: Env, s: ShortestPart,
+      preds: List[Expr]): Env = {
+    val pv = s.pathVar.get
+    val first = if (s.pattern.first.variable.isDefined) s.pattern.first
+      else s.pattern.first.copy(variable = Some(ctx.fresh("n")))
+    val hops = s.pattern.hops.map { case (r, n) =>
+      (r, if (n.variable.isDefined) n
+          else n.copy(variable = Some(ctx.fresh("n"))))
+    }
+    var env = planNamedPath(ctx, envIn, pv, PathPattern(first, hops))
+    preds.foreach { c => env = applyWhere(ctx, env, c) }
+    val fromVar = first.variable.get
+    val toVar = hops.last._2.variable.get
+    val df0 = env.df.get
+    // per OUTER ROW per endpoint pair: partition by every outer column
+    // (row identity) plus the endpoints — duplicates of an outer row each
+    // keep their own copy of the winning path
+    val partCols = (envIn.df.map(_.columns.toSeq).getOrElse(Nil)
+      .filter(df0.columns.contains) ++ Seq(fromVar, toVar)).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols.map(col): _*)
+    val df =
+      if (s.all)
+        df0.withColumn("__minlen", min(col(s"$pv$$length")).over(w))
+          .filter(col(s"$pv$$length") === col("__minlen")).drop("__minlen")
+      else
+        df0.withColumn("__minp",
+            min(struct(col(s"$pv$$length"), col(s"$pv$$rels"))).over(w))
+          .filter(struct(col(s"$pv$$length"), col(s"$pv$$rels")) ===
+            col("__minp"))
+          .drop("__minp")
+    env.copy(df = Some(df))
+  }
+
+  /** Route a legacy shortestPath whose pending WHERE conjuncts read the
+    * path variable through the exhaustive fallback; everything else takes
+    * the BFS fast path (predicates then apply AFTER, which is correct
+    * exactly when none of them references the path). */
+  private def planShortestOrFallback(ctx: Ctx, envIn: Env, s: ShortestPart,
+      pending: PendingWhere): Env = {
+    val pathPreds =
+      if (s.legacy && s.pathVar.isDefined && s.pattern.hops.size == 1 &&
+          s.pattern.hops.head._1.varLength.isDefined &&
+          s.pattern.hops.head._1.branches.isEmpty)
+        pending.conjs.filter(c => exprVars(c).contains(s.pathVar.get))
+      else Nil
+    if (pathPreds.nonEmpty) {
+      pending.conjs = pending.conjs.filterNot(pathPreds.contains)
+      planShortestFallback(ctx, envIn, s, pathPreds)
+    } else planShortest(ctx, envIn, s)
+  }
+
   private def planShortest(ctx: Ctx, envIn: Env, sIn: ShortestPart): Env = {
     // name the path when an unbound leg rel variable must bind from it
     val legRelVars = sIn.pattern.hops.map(_._1)
@@ -1981,7 +2184,8 @@ object Planner {
       val toVar = if (toNode.variable.exists(env.has)) ctx.fresh("n")
         else toNode.variable.getOrElse(ctx.fresh("n"))
       val sp = graft.ops.WeightedPaths.shortestPaths(wEdges,
-        df.select(col(fromVar).as("source")).distinct(), maxIter = maxDepth)
+        df.select(col(fromVar).as("source")).distinct(), maxIter = maxDepth,
+        capIsPrune = true) // unit weights: the depth cap prunes, not errors
         .filter(col("dist") >= minHops)
         .select(col("source"), col("node").as(toVar),
           col("dist").cast("int").as(s"$pv$$length"), col("path").as(s"$pv$$rels"),
@@ -2432,7 +2636,16 @@ object Planner {
         r.variable.foreach(v =>
           hydrate(v, element_at(col("__ers"), i + 1), ctx.g.rels, RelVar))
       }
-      d = d.filter(compile(ctx, Env(Some(d), binds), pred))
+      // pattern/subquery expressions inside a per-iteration group WHERE
+      // (`((n)-[r]->(m) WHERE (m)-->(:N))+`, reference PathSelector
+      // acceptance) lower to flag joins over the composite edge rows —
+      // BEFORE quantification/selection, as the reference's NFA does
+      val env0 = Env(Some(d), binds)
+      d =
+        if (containsPatternExists(pred)) {
+          val (env2, rewritten, flags) = lowerExists(ctx, env0, pred)
+          env2.df.get.filter(compile(ctx, env2, rewritten)).drop(flags: _*)
+        } else d.filter(compile(ctx, env0, pred))
       cur = d.select(col("__es"), col("__ed"), col("__ers"), col("__ens"))
     }
     cur.select(col("__es"), col("__ed"), col("__ers"), col("__ens"),
@@ -3012,11 +3225,16 @@ object Planner {
       sub = planPath(ctx, sub, p, pending)
       sub = flushReadyWhere(ctx, sub, pending)
     }
+    if (ctx.deferredGroupWhere.nonEmpty) {
+      pending.conjs = pending.conjs ++ ctx.deferredGroupWhere.toList
+      ctx.deferredGroupWhere.clear()
+      sub = flushReadyWhere(ctx, sub, pending)
+    }
     // OPTIONAL MATCH over a path selector (`OPTIONAL MATCH ANY SHORTEST …`)
     // — the selector plans inside the optional sub-plan like any pattern
     m.shortest.foreach { sp =>
       val sp2 = lowerSelectorWhere(ctx, sub.has, sp, pending)
-      sub = planShortest(ctx, sub, sp2)
+      sub = planShortestOrFallback(ctx, sub, sp2, pending)
     }
     sub = applyUniqueness(ctx, sub, relVarsBefore)
     val rest = pending.conjs
@@ -3481,8 +3699,22 @@ object Planner {
     // frontier-BFS pattern)
     val unbounded = maxOpt.isEmpty
     val max = maxOpt.getOrElse(Int.MaxValue)
+    // split the group WHERE: conjuncts over the group's OWN variables
+    // filter the composite edge set up-front (branchEdges); conjuncts that
+    // reference non-local singletons (GQL cross-iteration references,
+    // reference QuantifiedPathPatternAcceptance "References to non-local
+    // unconditional singletons") defer to a per-iteration post-filter —
+    // `all(x IN a WHERE pred)` over the group arrays — once the whole
+    // graph pattern has bound them
+    val localGroupVars: Set[String] =
+      (rel.headNode.flatMap(_.variable).toSeq ++
+        rel.branches.get.flatMap(_.flatMap(h =>
+          h._1.variable.toSeq ++ h._2.variable.toSeq))).toSet
+    val (localGw, crossGw) = rel.groupWhere.map(splitConjuncts)
+      .getOrElse(Nil).partition(c => exprVars(c).subsetOf(localGroupVars))
     val comp0 = rel.branches.get.map(branchEdges(ctx, _,
-        rel.headNode.flatMap(_.variable), rel.groupWhere))
+        rel.headNode.flatMap(_.variable),
+        localGw.reduceOption(BinOp("AND", _, _))))
       .reduce(_ unionByName _)
     // inner GROUP variables of a single-branch fixed chain
     // (`((a)-[r]->(b)-[s]->(c))+ … RETURN a, r, b`): each bind to the
@@ -3595,6 +3827,46 @@ object Planner {
       node.where.foreach { w =>
         out = out.copy(df = Some(inlineWhere(ctx, out, w)))
       }
+    }
+    // cross-iteration group WHERE conjuncts: rewrite each into an
+    // index-aligned per-iteration predicate over the group arrays —
+    // `all(__qi IN range(0, size(gv)-1) WHERE pred[gv := gv[__qi]])` —
+    // and defer to the clause's pending WHERE (the referenced singleton
+    // may bind LATER in the graph pattern). Zero iterations (a `*` match)
+    // satisfy vacuously, like the reference.
+    crossGw.foreach { conjunct =>
+      require(!containsPatternExists(conjunct),
+        "a cross-iteration quantified-group WHERE cannot contain pattern " +
+          "or subquery expressions")
+      val gvs = (exprVars(conjunct) & localGroupVars).toSeq.sorted
+      require(gvs.nonEmpty && gvs.forall(v =>
+          groupBindSlots.exists(_._1 == v) || headVar.contains(v)),
+        "a cross-iteration group WHERE may reference only bound group " +
+          "variables and outer singletons")
+      val qi = ctx.fresh("qi")
+      def subst(e: Expr): Expr = e match {
+        case Variable(v) if gvs.contains(v) =>
+          Index(Variable(v), Variable(qi))
+        case Prop(s, k)        => Prop(subst(s), k)
+        case Func(n, as, d)    => Func(n, as.map(subst), d)
+        case BinOp(op, a, b)   => BinOp(op, subst(a), subst(b))
+        case UnaryOp(op, o)    => UnaryOp(op, subst(o))
+        case IsNull(o, n)      => IsNull(subst(o), n)
+        case StringPred(op, a, b) => StringPred(op, subst(a), subst(b))
+        case TypePredicate(o, t, nn, neg) => TypePredicate(subst(o), t, nn, neg)
+        case HasLabel(s, d)    => HasLabel(subst(s), d)
+        case ListLit(xs)       => ListLit(xs.map(subst))
+        case MapLit(es)        => MapLit(es.map { case (k, x) => (k, subst(x)) })
+        case Index(a, i)       => Index(subst(a), subst(i))
+        case Slice(a, f, t)    => Slice(subst(a), f.map(subst), t.map(subst))
+        case CaseExpr(s, ws, d) => CaseExpr(s.map(subst),
+          ws.map { case (a, b) => (subst(a), subst(b)) }, d.map(subst))
+        case other => other
+      }
+      ctx.deferredGroupWhere += IterPredicate("all", qi,
+        Func("range", Seq(Lit(0L),
+          BinOp("-", Func("size", Seq(Variable(gvs.head))), Lit(1L)))),
+        subst(conjunct))
     }
     (out, toVar)
   }
@@ -4600,9 +4872,11 @@ object Planner {
       val pass = i.expr match {
         // path variables have no column of their own: pass their p$* columns
         // through WITH (binding preserved), but materialize the path struct
-        // in RETURN (no compile-time pass)
+        // in RETURN (no compile-time pass). A RENAME (`WITH p AS person`)
+        // passes through too: the alias inherits the entity binding and the
+        // hydrated columns re-prefix (reference Namespacer — a projected
+        // entity variable stays an entity under its new name)
         case Variable(v) if env.has(v) && env.binds(v) != ValueVar &&
-          i.alias.forall(_ == v) &&
           !(isReturn && env.binds(v) == PathVar) => Some(v)
         case _ => None
       }
@@ -4610,11 +4884,33 @@ object Planner {
     }
     require(outs.map(_.alias).distinct.size == outs.size,
       "duplicate column aliases in projection")
+    // record/propagate entity provenance through map literals: `{k: a}`
+    // with a an entity keeps a's kind on field k (consumed when `m.k` is
+    // later projected back to a variable and used in entity position)
+    outs.foreach { o =>
+      o.item.expr match {
+        case MapLit(es) => es.foreach {
+          case (k, Variable(v)) => env.binds.get(v) match {
+            case Some(b @ (NodeVar | RelVar)) =>
+              ctx.entityFields(s"${o.alias}.$k") = b
+            case _ => ()
+          }
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
+    def mapFieldKind(e: Expr): Option[Binding] = e match {
+      case Prop(Variable(m), k) => ctx.entityFields.get(s"$m.$k")
+      case _ => None
+    }
 
-    /** carried hydrated columns for a passed-through entity variable */
-    def carried(v: String): Seq[String] =
+    /** carried hydrated columns for a passed-through entity variable,
+      * re-prefixed to the output alias when the item renames it */
+    def carriedAs(v: String, alias: String): Seq[Column] =
       if (isReturn) Seq.empty
       else df.columns.filter(_.startsWith(v + "$")).toSeq
+        .map(n => col(n).as(alias + n.stripPrefix(v)))
 
     var projected: DataFrame = null
     var newBinds = Map.empty[String, Binding]
@@ -4623,8 +4919,8 @@ object Planner {
       val (keys, aggs) = outs.partition(o => !containsAgg(o.item.expr))
       val keyCols = keys.flatMap { o =>
         o.passThrough match {
-          case Some(v) if env.binds(v) == PathVar => carried(v).map(col)
-          case Some(v) => col(v).as(o.alias) +: carried(v).map(col)
+          case Some(v) if env.binds(v) == PathVar => carriedAs(v, o.alias)
+          case Some(v) => col(v).as(o.alias) +: carriedAs(v, o.alias)
           case None    => Seq(compile(ctx, inEnv, o.item.expr).as(o.alias))
         }
       }
@@ -4649,12 +4945,13 @@ object Planner {
         else dfA.groupBy(keyCols: _*).agg(aggCols2.head, aggCols2.tail: _*)
       newBinds = outs.map(o => o.alias ->
         o.passThrough.map(env.binds).getOrElse(
-          entityListKind(env, o.item.expr).getOrElse(ValueVar))).toMap
+          entityListKind(env, o.item.expr).orElse(
+            mapFieldKind(o.item.expr)).getOrElse(ValueVar))).toMap
     } else {
       val projCols = outs.flatMap { o =>
         o.passThrough match {
-          case Some(v) if env.binds(v) == PathVar => carried(v).map(col)
-          case Some(v) => col(v).as(o.alias) +: carried(v).map(col)
+          case Some(v) if env.binds(v) == PathVar => carriedAs(v, o.alias)
+          case Some(v) => col(v).as(o.alias) +: carriedAs(v, o.alias)
           case None    => Seq(compile(ctx, inEnv, o.item.expr).as(o.alias))
         }
       }
@@ -4722,7 +5019,8 @@ object Planner {
         case (n, c, _) if c != null => n }: _*)
       newBinds = outs.map(o => o.alias ->
         o.passThrough.map(env.binds).getOrElse(
-          entityListKind(env, o.item.expr).getOrElse(ValueVar))).toMap
+          entityListKind(env, o.item.expr).orElse(
+            mapFieldKind(o.item.expr)).getOrElse(ValueVar))).toMap
     }
 
     if (hasAgg && orderBy.nonEmpty) {
@@ -6143,7 +6441,13 @@ object Planner {
               sequence(start, stop, step))
             .otherwise(array().cast("array<long>"))
         }
-        else sequence(a0, c(args(1)))
+        else {
+          // 2-arg range has IMPLICIT step 1: stop < start is [] in Cypher
+          // (Spark's sequence auto-reverses to a descending list instead)
+          val stop = c(args(1))
+          when(stop >= a0, sequence(a0, stop))
+            .otherwise(array().cast("array<long>"))
+        }
       // null on empty (Cypher), not an ANSI out-of-bounds error
       case "head"  => try_element_at(a0, lit(1))
       case "last"  => try_element_at(a0, lit(-1))

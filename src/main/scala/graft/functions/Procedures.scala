@@ -56,11 +56,22 @@ object Procedures {
 
   // ---- built-ins (registered once at class load) ------------------------
 
+  // reference BuiltInProcedures.java:99 — db.labels yields the single
+  // `label` column (counts live in the count store, not the procedure)
   register("db.labels", (_, g, _) =>
+    g.nodes.select(explode(col("labels")).as("label")).distinct())
+
+  register("db.relationshiptypes", (_, g, _) =>
+    g.rels.select(col("type").as("relationshipType")).distinct())
+
+  /** Surplus (graft.*): label/type cardinalities off the count store —
+    * the counts the reference surfaces through db.stats/SHOW, kept OFF
+    * db.labels()/db.relationshipTypes() for signature parity. */
+  register("graft.stats.labels", (_, g, _) =>
     g.nodes.select(explode(col("labels")).as("label"))
       .groupBy("label").agg(count(lit(1)).as("nodeCount")))
 
-  register("db.relationshiptypes", (_, g, _) =>
+  register("graft.stats.relationshiptypes", (_, g, _) =>
     g.rels.groupBy(col("type").as("relationshipType"))
       .agg(count(lit(1)).as("relCount")))
 
@@ -742,8 +753,9 @@ object Procedures {
     val g2 = graft.graph.Schema.createIndex(g, name, label, prop, "vector",
       options = Map("vector.dimensions" -> dim.toString,
         "vector.similarity" -> sim))
-    import spark.implicits._
-    (g2, Seq((name, label, prop)).toDF("name", "label", "property"))
+    // VOID like the reference (VectorIndexProcedures.java:105 `public
+    // void createIndex`): one empty row so mid-query CALL keeps its rows
+    (g2, spark.range(1).drop("id"))
   })
 
   private def vectorArgs(args: Seq[Any]): (Seq[Long], String, Array[Float]) = {
@@ -775,8 +787,8 @@ object Procedures {
           when(col("id").isin(ids: _*), lit(vec).cast(dt)).otherwise(col(key)))
       } else g.nodes.withColumn(key,
         when(col("id").isin(ids: _*), lit(vec)))
-    import spark.implicits._
-    (g.copy(nodes = nodes2), ids.toDF("node"))
+    // VOID like the reference (VectorIndexProcedures.java:198)
+    (g.copy(nodes = nodes2), spark.range(1).drop("id"))
   })
 
   /** db.create.setRelationshipVectorProperty — the relationship twin
@@ -790,8 +802,8 @@ object Procedures {
           when(col("id").isin(ids: _*), lit(vec).cast(dt)).otherwise(col(key)))
       } else g.rels.withColumn(key,
         when(col("id").isin(ids: _*), lit(vec)))
-    import spark.implicits._
-    (g.copy(rels = rels2), ids.toDF("relationship"))
+    // VOID like the reference (VectorIndexProcedures.java:217)
+    (g.copy(rels = rels2), spark.range(1).drop("id"))
   })
 
   register("db.index.vector.querynodes", (spark, g, args) => {

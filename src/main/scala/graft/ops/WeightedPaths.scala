@@ -38,7 +38,8 @@ object WeightedPaths {
    * @return (source, node, dist, path ARRAY<LONG> of edge ids,
    *         nodes ARRAY<LONG> of visited node ids incl. both endpoints)
    */
-  def shortestPaths(edges: DataFrame, sources: DataFrame, maxIter: Int = 50): DataFrame = {
+  def shortestPaths(edges: DataFrame, sources: DataFrame, maxIter: Int = 50,
+      capIsPrune: Boolean = false): DataFrame = {
     val e = edges.select(col("src").as("__s"), col("dst").as("__d"),
       col("weight").as("__w"), col("id").as("__e"))
       .localCheckpoint(false)
@@ -84,8 +85,13 @@ object WeightedPaths {
       fCnt = frontier.count()
       done = fCnt == 0
     }
-    require(done, s"shortestPaths did not converge within $maxIter rounds " +
-      "(negative cycle or maxIter too small)")
+    // capIsPrune (unit-weight BFS under a user length limit `[*..d]`):
+    // round k finalizes every distance ≤ k, so entries in `best` at the cap
+    // are exact and longer paths are simply NOT matches (reference
+    // shortestPath: a limit that prunes all candidates yields no row)
+    require(done || capIsPrune,
+      s"shortestPaths did not converge within $maxIter rounds " +
+        "(negative cycle or maxIter too small)")
     best
   }
 

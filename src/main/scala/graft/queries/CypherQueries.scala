@@ -621,18 +621,17 @@ object CypherQueries {
 
     // CALL procedure + CALL{} subquery through the Cypher surface.
     cq("q_cypher_call",
-      """CALL db.relationshipTypes() YIELD relationshipType, relCount
+      """CALL db.relationshipTypes() YIELD relationshipType
         |CALL { MATCH (n:Nation) RETURN count(*) AS nations }
-        |RETURN relationshipType, relCount, nations""".stripMargin,
-      """SELECT t AS relationshipType, CAST(c AS BIGINT) AS relCount,
+        |RETURN relationshipType, nations""".stripMargin,
+      """SELECT t AS relationshipType,
         |  (SELECT count(*) FROM nation) AS nations
         |FROM (
-        |  SELECT 'IN_REGION' AS t, (SELECT count(*) FROM nation) AS c
-        |  UNION ALL SELECT 'FROM',
-        |    (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
-        |  UNION ALL SELECT 'PLACED', (SELECT count(*) FROM orders)
-        |  UNION ALL SELECT 'CONTAINS', (SELECT count(*) FROM lineitem)
-        |  UNION ALL SELECT 'SUPPLIED_BY', (SELECT count(*) FROM lineitem))""".stripMargin),
+        |  SELECT 'IN_REGION' AS t
+        |  UNION ALL SELECT 'FROM'
+        |  UNION ALL SELECT 'PLACED'
+        |  UNION ALL SELECT 'CONTAINS'
+        |  UNION ALL SELECT 'SUPPLIED_BY')""".stripMargin),
 
     // MultiNodeIndexSeek :2790 — two pushed-filter scans (brand equality,
     // acctbal range) feeding a two-hop join.

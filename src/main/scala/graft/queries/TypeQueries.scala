@@ -159,15 +159,20 @@ object TypeQueries {
              |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
-    // procedure surface: db.labels() ∪ db.relationshipTypes() counts
-    // (reference BuiltInProcedures) — the introspection a driver/UI calls.
+    // procedure surface: db.labels() / db.relationshipTypes() names
+    // (reference BuiltInProcedures — single-column results) joined with
+    // their count-store cardinalities — the introspection a driver/UI calls.
     QueryDef("q_procedures_introspect",
       (s, d) => {
         val g = graft.graph.TpchGraph.load(s, d)
+        val stats = graft.graph.GraphStats.compute(g)
         graft.functions.Procedures.call(s, g, "db.labels")
-          .select(col("label").as("name"), col("nodeCount").as("cnt"))
+          .join(stats.labelCounts, Seq("label"))
+          .select(col("label").as("name"), col("cnt"))
           .unionByName(graft.functions.Procedures.call(s, g, "db.relationshipTypes")
-            .select(col("relationshipType").as("name"), col("relCount").as("cnt")))
+            .join(g.rels.groupBy(col("type").as("relationshipType"))
+                .agg(count(lit(1)).as("cnt")), Seq("relationshipType"))
+            .select(col("relationshipType").as("name"), col("cnt")))
       },
       Some("""SELECT 'Region' AS name, count(*) AS cnt FROM region
              |UNION ALL SELECT 'Nation', count(*) FROM nation

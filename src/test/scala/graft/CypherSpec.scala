@@ -432,9 +432,14 @@ class CypherSpec extends AnyFunSuite {
 
   test("CALL procedure with YIELD joins results into the pipeline") {
     val rows = run(
-      "CALL db.labels() YIELD label, nodeCount RETURN label, nodeCount ORDER BY label")
+      "CALL db.labels() YIELD label RETURN label ORDER BY label")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("Admin", "City", "Person"))
+    val counts = run(
+      "CALL graft.stats.labels() YIELD label, nodeCount " +
+        "RETURN label, nodeCount ORDER BY label")
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    assert(rows.toSeq == Seq(("Admin", 1L), ("City", 1L), ("Person", 4L)))
+    assert(counts.toSeq == Seq(("Admin", 1L), ("City", 1L), ("Person", 4L)))
   }
 
   test("map projection and properties()/keys()") {

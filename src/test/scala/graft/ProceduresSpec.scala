@@ -8,14 +8,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class ProceduresSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
 
-  test("db.labels and db.relationshipTypes count the star fixture") {
+  test("db.labels and db.relationshipTypes list the star fixture (reference single-column signature)") {
     val g = GraphFixtures.starGraph(spark, 5)
     val labels = Procedures.call(spark, g, "db.labels").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(labels == Map("Center" -> 1L, "Ring" -> 5L))
+    assert(labels.head.schema.fieldNames.toSeq == Seq("label"))
+    assert(labels.map(_.getString(0)).toSet == Set("Center", "Ring"))
     val types = Procedures.call(spark, g, "db.relationshipTypes").collect()
+    assert(types.head.schema.fieldNames.toSeq == Seq("relationshipType"))
+    assert(types.map(_.getString(0)).toSet == Set("T"))
+    val counts = Procedures.call(spark, g, "graft.stats.labels").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(types == Map("T" -> 5L))
+    assert(counts == Map("Center" -> 1L, "Ring" -> 5L))
   }
 
   test("db.schema.visualization yields the label-type-label summary") {
@@ -89,7 +92,7 @@ class ProceduresSpec extends AnyFunSuite {
   test("CALL … YIELD … WHERE filters the yielded rows") {
     val g = GraphFixtures.starGraph(spark, 4)
     val rows = graft.cypher.Cypher.run(spark, g,
-      """CALL db.labels() YIELD label, nodeCount WHERE nodeCount > 1
+      """CALL graft.stats.labels() YIELD label, nodeCount WHERE nodeCount > 1
         |RETURN label""".stripMargin).collect().map(_.getString(0))
     assert(rows.toSeq == Seq("Ring"))
   }
