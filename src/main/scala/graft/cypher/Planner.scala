@@ -437,6 +437,36 @@ object Planner {
         })
         val writes = cs.innerQ.parts.exists(_.clauses.exists(isWrite))
         val boundBefore = env.binds.keySet
+        // UNIT UNION body (`CALL { SET … UNION CREATE … }`, no RETURN in
+        // any branch — reference SubqueryAcceptance union unit
+        // subqueries): UNION over unit relations cannot dedup anything,
+        // so the semantics are exactly "apply every branch's effects per
+        // input row" — plan each branch as its own unit CALL {}
+        if (writes && cs.innerQ.parts.size > 1 &&
+            !cs.innerQ.parts.exists(_.clauses.exists(
+              _.isInstanceOf[ReturnClause]))) {
+          cs.innerQ.parts.foreach { part =>
+            val one = cs.copy(innerQ = Query(Seq(part), unionAll = true))
+            val e2 = cs.inTransactionsOf match {
+              case Some(n) =>
+                val selfReadingTx = bodyReadsItsWrites(part.clauses)
+                planCallInTransactions(ctx, env, one,
+                  if (selfReadingTx) 1L else n)
+              case None =>
+                val selfReading = bodyReadsItsWrites(part.clauses)
+                planCallInTransactions(ctx, env, one,
+                  if (selfReading) 1L else Long.MaxValue)
+            }
+            // unit body: outer rows/binds pass through unchanged
+            locally { val _ = e2 }
+          }
+          val vars =
+            if (cs.innerQ.parts.exists(p =>
+                mutatesExisting(p.clauses, boundBefore)))
+              entityVars(env)
+            else entityVars(env).filterNot(boundBefore.contains)
+          if (vars.nonEmpty) env = rehydrate(ctx, env, vars)
+        } else {
         env = cs.inTransactionsOf match {
           case Some(n) =>
             // each execution must OBSERVE previous executions' writes
@@ -493,6 +523,7 @@ object Planner {
             else entityVars(env).filterNot(boundBefore.contains)
           if (vars.nonEmpty) env = rehydrate(ctx, env, vars)
         }
+        } // end non-unit-union CALL {} shapes
       case c: CreateIndexClause =>
         ctx.g = graft.graph.Schema.createIndex(ctx.g, c.name, c.label, c.prop, c.kind)
       case c: CreateConstraintClause =>
@@ -622,9 +653,13 @@ object Planner {
     // left-to-right — substitute the declared value expression in place
     // (absent key → NULL)
     var declaredProps = Map.empty[String, Map[String, Expr]]
+    var declaredRelTypes = Map.empty[String, String]
     def substCreated(e: Expr): Expr = e match {
       case Prop(Variable(v), k) if declaredProps.contains(v) =>
         declaredProps(v).getOrElse(k, Lit(null))
+      // type(m) of a rel declared EARLIER in this CREATE is a static fact
+      case Func("type", Seq(Variable(v)), _) if declaredRelTypes.contains(v) =>
+        Lit(declaredRelTypes(v))
       case Prop(s, k)        => Prop(substCreated(s), k)
       case Func(n, as, d)    => Func(n, as.map(substCreated), d)
       case BinOp(op, l, r)   => BinOp(op, substCreated(l), substCreated(r))
@@ -696,6 +731,7 @@ object Planner {
         }
         val rprops2 = rel.props.map { case (k, e) => (k, substCreated(e)) }
         declaredProps += (rv -> rprops2.toMap)
+        declaredRelTypes += (rv -> rel.types.head)
         newRels += NewRel(rv, rel.types.head, s, d, rprops2)
         fromVar = toVar
       }
@@ -752,7 +788,16 @@ object Planner {
       }
       (side0, e.df) match {
         case (Some(s0), Some(df)) if needed.nonEmpty =>
-          val avail = s0.columns.toSet -- Set("id", "src", "dst", "type")
+          // structural reads (`type(r)`, `labels(n)`, startNode/endNode ids)
+          // hydrate alongside properties — a CREATE-bound rel's type(r) in a
+          // later clause reads them exactly like MATCH-bound ones do
+          val structural = e.binds.get(v) match {
+            case Some(RelVar)  => Set("type", "src", "dst")
+            case Some(NodeVar) => Set("labels")
+            case _             => Set.empty[String]
+          }
+          val avail = s0.columns.toSet -- Set("id", "src", "dst", "type") ++
+            (structural & s0.columns.toSet & needed)
           val props = (if (needed("*")) (avail - "labels").map(colProp)
             else needed.filter(n => avail(propCol(n)))).toSeq.sorted
           val withProps =
@@ -1712,7 +1757,45 @@ object Planner {
       def path(p: PathPattern): PathPattern =
         p.copy(first = node(p.first),
           hops = p.hops.map { case (r, nd) => (rel(r), node(nd)) })
-      val ps2 = m.patterns.map(path)
+      val ps2a = m.patterns.map(path)
+      // inline node WHEREs referencing elements bound LATER in the graph
+      // pattern (`MATCH (a WHERE b.prop > 1)-->(b)`, reference
+      // NodePatternPredicates "reference to later elements") defer to the
+      // clause WHERE, which applies the moment its last variable binds
+      val firstPos: Map[String, Int] = {
+        var i = 0
+        val b = Map.newBuilder[String, Int]
+        val seen = scala.collection.mutable.Set.empty[String]
+        def at(v: Option[String]): Unit = {
+          v.filterNot(seen).foreach { x => seen += x; b += (x -> i) }
+          i += 1
+        }
+        ps2a.foreach { p =>
+          at(p.first.variable)
+          p.hops.foreach { case (r, nd) => at(r.variable); at(nd.variable) }
+        }
+        b.result()
+      }
+      var pos = -1
+      def liftLateWhere(np: NodePattern, selfPos: Int): NodePattern =
+        np.where match {
+          case Some(w) if exprVars(w).exists(v =>
+              firstPos.get(v).exists(_ > selfPos)) =>
+            lifted += w
+            np.copy(where = None)
+          case _ => np
+        }
+      val ps2 = ps2a.map { p =>
+        pos += 1
+        val f2 = liftLateWhere(p.first, pos)
+        val hops2 = p.hops.map { case (r, nd) =>
+          pos += 1 // rel slot
+          pos += 1
+          (r, if (r.varLength.isEmpty && r.qppVars.isEmpty &&
+                  r.branches.isEmpty) liftLateWhere(nd, pos) else nd)
+        }
+        p.copy(first = f2, hops = hops2)
+      }
       val conjs = lifted.result()
       if (conjs.isEmpty) m
       else m.copy(patterns = ps2,
@@ -1986,7 +2069,7 @@ object Planner {
     * path unsound, exactly like the reference's fallback plan. */
   private def planShortestFallback(ctx: Ctx, envIn: Env, s: ShortestPart,
       preds: List[Expr]): Env = {
-    val pv = s.pathVar.get
+    val pv = s.pathVar.getOrElse(ctx.fresh("p"))
     val first = if (s.pattern.first.variable.isDefined) s.pattern.first
       else s.pattern.first.copy(variable = Some(ctx.fresh("n")))
     val hops = s.pattern.hops.map { case (r, n) =>
@@ -2025,11 +2108,16 @@ object Planner {
   private def planShortestOrFallback(ctx: Ctx, envIn: Env, s: ShortestPart,
       pending: PendingWhere): Env = {
     val pathPreds =
-      if (s.legacy && s.pathVar.isDefined && s.pattern.hops.size == 1 &&
+      if (s.legacy && s.pattern.hops.size == 1 &&
           s.pattern.hops.head._1.varLength.isDefined &&
-          s.pattern.hops.head._1.branches.isEmpty)
-        pending.conjs.filter(c => exprVars(c).contains(s.pathVar.get))
-      else Nil
+          s.pattern.hops.head._1.branches.isEmpty) {
+        // predicates reading the path variable OR its leg rel-list
+        // variable (`ALL(r IN rs WHERE …)`) constrain path CANDIDACY
+        val sel = s.pathVar.toSet ++
+          s.pattern.hops.head._1.variable.filterNot(envIn.has)
+        if (sel.isEmpty) Nil
+        else pending.conjs.filter(c => (exprVars(c) & sel).nonEmpty)
+      } else Nil
     if (pathPreds.nonEmpty) {
       pending.conjs = pending.conjs.filterNot(pathPreds.contains)
       planShortestFallback(ctx, envIn, s, pathPreds)
@@ -2686,12 +2774,63 @@ object Planner {
   /** WHERE: top-level conjuncts are split; pattern predicates become
     * semi/anti joins (NestedPlanExpression in the reference,
     * LogicalPlan SemiApply/AntiSemiApply), the rest a row filter. */
+  /** Label/type expressions over a VARIANT-ENCODED value (`UNWIND [a, b,
+    * c] AS x … WHERE x:A`, reference LabelExpressionAcceptance "unknown
+    * entity type"): hydrate `x$labels` at runtime by decoding the entity
+    * id and joining the current snapshot — node rank gets its labels
+    * array, relationship rank its type as a one-element array (so `x:B`
+    * tests the type and `x:%` tests non-emptiness uniformly); non-entity
+    * ranks stay NULL and match nothing. */
+  private def hydrateVariantLabels(ctx: Ctx, env: Env, pred: Expr): Env = {
+    val O = graft.functions.Orderability
+    def subjects(e: Expr): Set[String] = e match {
+      case HasLabel(Variable(v), _) => Set(v)
+      case HasLabel(s, _)      => subjects(s)
+      case BinOp(_, l, r)      => subjects(l) ++ subjects(r)
+      case UnaryOp(_, o)       => subjects(o)
+      case IsNull(o, _)        => subjects(o)
+      case CaseExpr(s, ws, d)  => s.toSeq.flatMap(subjects).toSet ++
+        ws.flatMap(w => subjects(w._1) ++ subjects(w._2)) ++
+        d.toSeq.flatMap(subjects)
+      case Func(_, as, _)      => as.flatMap(subjects).toSet
+      case IterPredicate(_, _, l, p) => subjects(l) ++ subjects(p)
+      case _ => Set.empty
+    }
+    subjects(pred).foldLeft(env) { (e, v) =>
+      val eligible = e.binds.get(v).contains(ValueVar) &&
+        e.df.exists(d => d.columns.contains(v) &&
+          !d.columns.contains(s"$v$$labels") &&
+          O.isEncoded(d.schema(v).dataType))
+      if (!eligible) e
+      else {
+        val nid = when(col(v).getField("rank") === lit(O.RankNode),
+          col(v).getField("s").cast("long"))
+        val rid = when(col(v).getField("rank") === lit(O.RankRel),
+          col(v).getField("s").cast("long"))
+        val lbl = ctx.fresh("vlb")
+        val tpe = ctx.fresh("vtp")
+        val df2 = e.df.get
+          .withColumn(s"__${lbl}_n", nid).withColumn(s"__${lbl}_r", rid)
+          .join(ctx.g.nodes.select(col("id").as(s"__${lbl}_n"),
+            col("labels").as(lbl)), Seq(s"__${lbl}_n"), "left_outer")
+          .join(ctx.g.rels.select(col("id").as(s"__${lbl}_r"),
+            col("type").as(tpe)), Seq(s"__${lbl}_r"), "left_outer")
+          .withColumn(s"$v$$labels",
+            when(col(s"__${lbl}_n").isNotNull, col(lbl))
+              .when(col(s"__${lbl}_r").isNotNull, array(col(tpe))))
+          .drop(s"__${lbl}_n", s"__${lbl}_r", lbl, tpe)
+        e.copy(df = Some(df2))
+      }
+    }
+  }
+
   private def applyWhere(ctx: Ctx, env: Env, pred: Expr): Env = {
     def conjuncts(e: Expr): Seq[Expr] = e match {
       case BinOp("AND", l, r) => conjuncts(l) ++ conjuncts(r)
       case other              => Seq(other)
     }
-    conjuncts(pred).foldLeft(enrichPathElems(ctx, env, Seq(pred))) { (e, c) =>
+    conjuncts(pred).foldLeft(hydrateVariantLabels(ctx,
+      enrichPathElems(ctx, env, Seq(pred)), pred)) { (e, c) =>
       c match {
         case PatternExists(p, w, _, _)               => planExists(ctx, e, p, w, anti = false)
         case UnaryOp("NOT", PatternExists(p, w, _, _)) => planExists(ctx, e, p, w, anti = true)
@@ -3077,7 +3216,18 @@ object Planner {
     * themselves may be used as join-back keys — property columns can be NULL
     * and using-column joins are null-unsafe. */
   private def refKeyCols(df: DataFrame, refs: Seq[String]): Seq[String] =
-    refs ++ df.columns.filter(c => refs.exists(r => c.startsWith(r + "$")))
+    // a PATH variable has no bare column — only its p$* family
+    refs.filter(df.columns.contains) ++
+      df.columns.filter(c => refs.exists(r => c.startsWith(r + "$")))
+
+  /** Join-key columns for a ref set: the bare id column for entity/value
+    * variables, the `p$*` family for path variables (which have no column
+    * of their own). */
+  private def joinRefCols(df: DataFrame, refs: Seq[String]): Seq[String] =
+    refs.flatMap { r =>
+      if (df.columns.contains(r)) Seq(r)
+      else df.columns.filter(_.startsWith(r + "$")).toSeq
+    }
 
   /** Encounter order for a subquery splice (reference: the subquery runs
     * once per outer row, its rows appended in outer order): combine the
@@ -3604,6 +3754,13 @@ object Planner {
       case Prop(Index(Variable(lv), i), k) if listKindOf(lv).isDefined =>
         out += ((lv, (if (listKindOf(lv).get) "Lrelprop:" else "Lnodeprop:") + k))
         walk(i)
+      // type(rs[0]) / labels(ns[i]) on an entity-list variable
+      case Func("type", Seq(Index(Variable(lv), i)), _)
+          if listKindOf(lv).contains(true) =>
+        out += ((lv, "Lreltypes")); walk(i)
+      case Func("labels", Seq(Index(Variable(lv), i)), _)
+          if listKindOf(lv).contains(false) =>
+        out += ((lv, "Lnodelabels")); walk(i)
       case Prop(Func("head" | "last", Seq(Variable(lv)), _), k)
           if listKindOf(lv).isDefined =>
         out += ((lv, (if (listKindOf(lv).get) "Lrelprop:" else "Lnodeprop:") + k))
@@ -3869,6 +4026,23 @@ object Planner {
         subst(conjunct))
     }
     (out, toVar)
+  }
+
+  /** ISO 8601 LocalDateTime spellings beyond Spark's parser: ordinal
+    * dates (2015185T19:32:24 / 2015-185T19:32:24) and compact basic
+    * format (20150704T193224). Returns None when no form matches (the
+    * caller falls back to Spark's to_timestamp_ntz). */
+  private def parseIsoLdt(s: String): Option[java.time.LocalDateTime] = {
+    import java.time.format.DateTimeFormatter
+    val fmts = Seq(DateTimeFormatter.ISO_LOCAL_DATE_TIME,
+      DateTimeFormatter.ofPattern("yyyyDDD'T'HH:mm:ss"),
+      DateTimeFormatter.ofPattern("yyyy-DDD'T'HH:mm:ss"),
+      DateTimeFormatter.ofPattern("yyyyDDD'T'HHmmss"),
+      DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss"),
+      DateTimeFormatter.ofPattern("yyyyMMdd'T'HH:mm:ss"))
+    fmts.view.flatMap { f =>
+      scala.util.Try(java.time.LocalDateTime.parse(s, f)).toOption
+    }.headOption
   }
 
   /** Give an anonymous shortest-path start node a fresh variable so the
@@ -4328,19 +4502,40 @@ object Planner {
         }
         val (aligned, _) = reconcileUnionTypes(subEnvs.map(_.df.get))
         val unioned = aligned.reduce(_ unionByName _)
-        val merged =
+        val merged0 =
           if (cs.innerQ.unionAll) unioned else unioned.distinct()
-        val newCols = merged.columns.filterNot(keyCols.contains)
+        val joinRefs = joinRefCols(df, refs).filter(merged0.columns.contains)
+        val merged = merged0.drop(merged0.columns.filter(c =>
+          !joinRefs.contains(c) && refs.exists(r0 =>
+            c.startsWith(r0 + "$"))): _*)
+        val newCols = merged.columns.filterNot(c =>
+          keyCols.contains(c) || joinRefs.contains(c))
         val joined = orderedSplice(df, merged,
-          (l, r) => nullSafeJoin(l, r, refs,
+          (l, r) => nullSafeJoin(l, r, joinRefs,
             if (cs.optional) "left_outer" else "inner"))
         return spliceBinds(ctx, Env(Some(joined), env.binds), newCols,
           subEnvs.head.binds)
       }
       // UNION body: plan the whole union (uncorrelated) and splice like
-      // the uncorrelated single-part case
-      val inner = plan(ctx.spark, ctx.g, cs.innerQ, ctx.params,
-        decodeTop = false)
+      // the uncorrelated single-part case. Planning each branch in-ctx
+      // keeps entity BINDINGS for the exported columns (`CALL { … RETURN x
+      // UNION … RETURN x } RETURN sum(x.prop)` — x stays a node); clause
+      // shapes the correlated body planner doesn't model fall back to the
+      // opaque whole-union plan
+      val plannedInCtx: Option[(DataFrame, Map[String, Binding])] =
+        try {
+          val subEnvs = cs.innerQ.parts.map(part =>
+            planCorrelatedClauses(ctx, Env(None, Map.empty), Nil, part.clauses))
+          val (aligned, _) = reconcileUnionTypes(subEnvs.map(_.df.get))
+          val u0 = aligned.reduce(_ unionByName _)
+          Some((if (cs.innerQ.unionAll) u0 else u0.distinct(),
+            subEnvs.head.binds))
+        } catch { case _: IllegalArgumentException => None }
+      val (inner, innerBinds) = plannedInCtx.getOrElse {
+        val df0 = plan(ctx.spark, ctx.g, cs.innerQ, ctx.params,
+          decodeTop = false)
+        (df0, df0.columns.map(_ -> (ValueVar: Binding)).toMap)
+      }
       val df = (env.df, cs.optional) match {
         case (None, false)      => inner
         case (None, true)       =>
@@ -4350,7 +4545,8 @@ object Planner {
         case (Some(cur), true)  =>
           orderedSplice(cur, inner, (l, r) => l.join(r, lit(true), "left_outer"))
       }
-      return Env(Some(df), env.binds ++ inner.columns.map(_ -> (ValueVar: Binding)))
+      return spliceBinds(ctx, Env(Some(df), env.binds), inner.columns.toSeq,
+        innerBinds)
     }
     val importing = cs.inner.clauses.headOption match {
       case Some(WithClause(false, items, Nil, None, None, None))
@@ -4368,8 +4564,15 @@ object Planner {
         val keyCols = refKeyCols(df, refs)
         val sub0 = Env(Some(df.select(keyCols.map(col): _*).distinct()),
           env.binds.view.filterKeys(refs.contains).toMap)
-        val sub = planCorrelatedClauses(ctx, sub0, refs, cs.inner.clauses.tail)
-        val newCols = sub.df.get.columns.filterNot(refs.contains)
+        val sub0r = planCorrelatedClauses(ctx, sub0, refs, cs.inner.clauses.tail)
+        val joinRefs = joinRefCols(df, refs).filter(sub0r.df.get.columns.contains)
+        // the sub-plan's pass-through copies of the refs' hydrated columns
+        // (`p$name`) duplicate the outer's — drop them before the join-back
+        val dupCarried = sub0r.df.get.columns.filter(c =>
+          !joinRefs.contains(c) && refs.exists(r0 => c.startsWith(r0 + "$")))
+        val sub = sub0r.copy(df = sub0r.df.map(_.drop(dupCarried: _*)))
+        val newCols = sub.df.get.columns.filterNot(c =>
+          refs.contains(c) || joinRefs.contains(c))
         // aggregation over zero matches must yield one row (count 0, null
         // sums), not drop the outer row: eligible when the final RETURN is
         // all-aggregates and the body is plain MATCH/UNWIND
@@ -4391,7 +4594,7 @@ object Planner {
             }) => itemAlias(i)
           }.toSet
           var joined = orderedSplice(df, sub.df.get,
-            (l, r) => nullSafeJoin(l, r, refs, "left_outer"))
+            (l, r) => nullSafeJoin(l, r, joinRefs, "left_outer"))
           countish.intersect(newCols.toSet).foreach { c =>
             joined = joined.withColumn(c, coalesce(col(c), lit(0L)))
           }
@@ -4400,7 +4603,7 @@ object Planner {
           // OPTIONAL CALL (reference OptionalCallSubquery): rows whose
           // subquery produced nothing survive with NULL yields
           spliceBinds(ctx, Env(Some(orderedSplice(df, sub.df.get,
-            (l, r) => nullSafeJoin(l, r, refs,
+            (l, r) => nullSafeJoin(l, r, joinRefs,
               if (cs.optional) "left_outer" else "inner"))),
             env.binds), newCols, sub.binds)
       case None =>
@@ -4445,7 +4648,8 @@ object Planner {
             if (s.ascending) c.asc_nulls_last else c.desc_nulls_first
           }
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(refs.map(col): _*).orderBy(sortCols: _*)
+          .partitionBy(joinRefCols(sub.df.get, refs).map(col): _*)
+          .orderBy(sortCols: _*)
         var df2 = sub.df.get.withColumn("__rn", row_number().over(w))
         val lo = sk.map(e => constExpr(ctx, e).cast("long")).getOrElse(lit(0L))
         df2 = df2.filter(col("__rn") > lo)
@@ -4480,8 +4684,12 @@ object Planner {
           sub = applyWhere(ctx, sub, pred)
         }
       case r: ReturnClause =>
+        // the body's RETURN is an INTERNAL projection (the splice joins it
+        // back to the outer row): isReturn = false keeps imported PATH
+        // variables as their p$* join-key columns instead of materializing
+        // the path struct
         projectPaged(r.items, r.distinct, r.orderBy, r.skip, r.limit,
-          isReturn = true)
+          isReturn = false)
       case cc: CallClause => sub = planCall(ctx, sub, cc)
       case nested: CallSubquery if nested.inTransactionsOf.isEmpty &&
           !nested.innerQ.parts.exists(_.clauses.exists(isWrite)) =>
@@ -4534,7 +4742,10 @@ object Planner {
     val keep = df0.columns.toSeq
     val binds = importing match {
       case Some(refs) => env.binds.view.filterKeys(refs.contains).toMap
-      case None       => env.binds
+      // no importing WITH → the body sees NO outer variables (reference
+      // subquery scoping; outer columns still ride along and re-join on
+      // the origin row id after the batches)
+      case None       => Map.empty[String, Binding]
     }
     // number rows once, WITHOUT a single-partition global window: batch
     // *execution* is inherently sequential (matching the reference), but
@@ -4807,6 +5018,17 @@ object Planner {
       return Env(Some(df.withColumn(u.alias,
           explode(graft.functions.Orderability.unwindElems(c0)))),
         env2.binds + (u.alias -> ValueVar))
+    // UNWIND over an ENTITY list (`UNWIND relationships(p) AS r … SET
+    // r.prop`): the element binds as an entity, with its needed
+    // properties hydrated from the current snapshot
+    entityListKind(env2, expr) match {
+      case Some(k) =>
+        val bind: Binding = if (k == RelListVar) RelVar else NodeVar
+        val out = Env(Some(df.withColumn(u.alias, explode(c0))),
+          env2.binds + (u.alias -> bind))
+        return rehydrate(ctx, out, Seq(u.alias))
+      case None => ()
+    }
     // UNWIND null yields no rows (openCypher): a NullType literal needs an
     // array cast for explode to accept it (null arrays explode to nothing)
     val c = if (dt.contains(org.apache.spark.sql.types.NullType))
@@ -4841,14 +5063,29 @@ object Planner {
     val env = enrichPathElems(ctx, envIn,
       items0.map(_.expr) ++ orderBy.map(s => subst0(s.expr)))
     // `*` expands to every user-named binding (pass-through), keeping any
-    // additional explicit items (`WITH *, x AS y`)
-    val starExpanded = items0.flatMap {
+    // additional explicit items (`WITH *, x AS y`). A star-expanded item
+    // that DUPLICATES an explicit pass-through of the same variable (the
+    // correlated-subquery planner prepends imported refs — `RETURN *`
+    // inside EXISTS{}) collapses; an explicit user duplicate still errors.
+    val starExpanded0: Seq[(ReturnItem, Boolean)] = items0.flatMap {
       case ReturnItem(Variable("*"), _, _) =>
         env.binds.collect {
           case (v, b) if !v.startsWith("__") && b != PathVar => v
-        }.toSeq.sorted.map(v => ReturnItem(Variable(v), None))
-      case i => Seq(i)
+        }.toSeq.sorted.map(v => (ReturnItem(Variable(v), None), true))
+      case i => Seq((i, false))
     }
+    val starExpanded = starExpanded0
+      .foldLeft(Vector.empty[(ReturnItem, Boolean)]) { (acc, p) =>
+        p match {
+          case (ReturnItem(Variable(v), a, _), fromStar) if a.forall(_ == v) &&
+              acc.exists {
+                case (ReturnItem(Variable(v2), a2, _), fs2) =>
+                  v2 == v && a2.forall(_ == v2) && (fromStar || fs2)
+                case _ => false
+              } => acc
+          case _ => acc :+ p
+        }
+      }.map(_._1)
     // EXISTS{} / COUNT{} subqueries in projection items lower to flag/count
     // columns first (NestedPlanExpression)
     var loweredEnv = env.copy(df = Some(env.df.getOrElse(unit(ctx.spark))))
@@ -5788,9 +6025,23 @@ object Planner {
             graft.functions.expressions.CypherCompare.ensureRegistered(ctx.spark)
             call_function("cypher_compare", lc, rc, lit(cmpOp))
           }
-        case "AND" => c(l) && c(r)
-        case "OR"  => c(l) || c(r)
-        case "XOR" => c(l) =!= c(r) // boolean XOR with 3-valued NULL
+        case "AND" | "OR" | "XOR" =>
+          // a LIST operand in boolean position coerces to its
+          // non-emptiness (reference CoerceToPredicate: [] is false,
+          // any non-empty list is true — `true AND $emptyList` = false)
+          def asBool(x: Expr): Column = {
+            val cc = c(x)
+            dataTypeOf(env, cc) match {
+              case Some(_: org.apache.spark.sql.types.ArrayType) =>
+                size(cc) > 0
+              case _ => cc
+            }
+          }
+          op match {
+            case "AND" => asBool(l) && asBool(r)
+            case "OR"  => asBool(l) || asBool(r)
+            case _     => asBool(l) =!= asBool(r) // XOR with 3-valued NULL
+          }
         case "IN"  => r match {
           case ListLit(items) if items.forall(_.isInstanceOf[Lit]) =>
             c(l).isin(items.map { case Lit(v) => v }: _*)
@@ -6176,6 +6427,20 @@ object Planner {
         args.head match {
           case Variable(v) => // lambda over enriched path elements first
             lambdas.getOrElse(s"$v$$$key", col(s"$v$$$key"))
+          // type(rs[0]) / labels(ns[i]) over an entity-list variable: read
+          // the enriched per-position array (pathElemNeeds hydrates it)
+          case Index(Variable(lv), i)
+              if name == "type" && env.binds.get(lv).contains(RelListVar) &&
+                env.df.exists(_.columns.contains(s"$lv$$reltypes")) =>
+            val ic = c(i)
+            try_element_at(col(s"$lv$$reltypes"),
+              when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
+          case Index(Variable(lv), i)
+              if name == "labels" && env.binds.get(lv).contains(NodeListVar) &&
+                env.df.exists(_.columns.contains(s"$lv$$nodelabels")) =>
+            val ic = c(i)
+            try_element_at(col(s"$lv$$nodelabels"),
+              when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
           case other => throw new IllegalArgumentException(s"$name() needs a variable")
         }
       // scalar functions
@@ -6353,7 +6618,18 @@ object Planner {
                 length(a0.getField("s")) === 0)
           case _ => length(a0) === 0
         }
-      case "nullif" => nullif(a0, c(args(1)))
+      case "nullif" =>
+        // cross-category operands (one side variant-encoded or a different
+        // type family) compare ternary — `nullIf(13, 'foo')` is 13, never
+        // a type error (reference NullIf uses the global equality)
+        val b0 = c(args(1))
+        val (ta, tb) = (dataTypeOf(env, a0), dataTypeOf(env, b0))
+        if (ta.isDefined && ta == tb) nullif(a0, b0)
+        else {
+          graft.functions.expressions.CypherCompare.ensureRegistered(ctx.spark)
+          when(call_function("cypher_compare", a0, b0, lit("=")), lit(null))
+            .otherwise(a0)
+        }
       case "exists" => a0.isNotNull // legacy exists(n.prop)
       case "valuetype" =>
         // compile-time type from the schema (reference functions/ValueType
@@ -6423,12 +6699,12 @@ object Planner {
       // vector similarity (reference VectorSimilarityCosine/Euclidean →
       // Lucene VectorSimilarityFunction scores, both scaled into (0, 1])
       case "vector.similarity.cosine" =>
-        val (x, y) = (graft.functions.Similarity.asDouble(a0),
-          graft.functions.Similarity.asDouble(c(args(1))))
+        // element-wise cast via Column.cast (not transform) so a NULL
+        // operand stays NULL instead of failing analysis on VOID
+        val (x, y) = (a0.cast("array<double>"), c(args(1)).cast("array<double>"))
         (lit(1.0) + graft.functions.Similarity.cosine(x, y)) / lit(2.0)
       case "vector.similarity.euclidean" =>
-        val (x, y) = (graft.functions.Similarity.asDouble(a0),
-          graft.functions.Similarity.asDouble(c(args(1))))
+        val (x, y) = (a0.cast("array<double>"), c(args(1)).cast("array<double>"))
         val d2 = aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, v) => acc + v)
         lit(1.0) / (lit(1.0) + d2)
@@ -6484,6 +6760,11 @@ object Planner {
           def g(k: String, dflt: Long) = c(m.getOrElse(k, Lit(dflt)))
           make_timestamp_ntz(g("year", 1970), g("month", 1), g("day", 1),
             g("hour", 0), g("minute", 0), g("second", 0))
+        case Some(Lit(s: String)) if parseIsoLdt(s).isDefined =>
+          // plan-time parse covers the ISO 8601 forms Spark's parser
+          // lacks (ordinal yyyyDDD, compact yyyyMMdd'T'HHmmss — reference
+          // temporal parsing accepts all ISO calendar spellings)
+          lit(parseIsoLdt(s).get)
         case Some(_) => to_timestamp_ntz(a0)
       }
       // TIME values: Spark has no time-of-day type — represented as the
