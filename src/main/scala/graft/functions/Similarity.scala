@@ -114,42 +114,25 @@ object Similarity {
   def lshBucket(vec: Column, nBits: Int = 12): Column =
     (0 until nBits).map(j => hyperplaneBit(vec, j)).reduce(_.bitwiseOR(_))
 
-  /** PORTABLE hyperplane bit: weights from an md5-derived hash and ALL
+  /** PORTABLE hyperplane bits: weights from an md5-derived hash and ALL
     * arithmetic in exact i64 (components floor(v[d]·10⁶), weights in
-    * [-500001, 500001]) — the sign replays bit-for-bit in any engine with
-    * md5 (the DuckDB oracle recomputes the same buckets), unlike the
-    * float-summed xxhash64 default whose near-zero signs are
+    * [-500001, 501]·10³ range) — the sign replays bit-for-bit in any
+    * engine with md5 (the DuckDB oracle recomputes the same buckets),
+    * unlike the float-summed xxhash64 default whose near-zero signs are
     * accumulation-order sensitive. |Σ| ≤ dims·5·10¹⁴ stays far from i64
     * overflow for every practical embedding width. */
-  /** Driver-side replica of Dedup.portableHash64 ∘ pmod — the weights
-    * depend only on (j, d), so they fold into a LITERAL array instead of
-    * an md5 call per element per row (which cost 2× on q_knn_lsh). */
-  private def portableWeight(j: Int, d: Int): Long = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$j:$d".getBytes("UTF-8"))
-    val h = java.lang.Long.parseLong(
-      md5.map("%02x".format(_)).mkString.take(15), 16)
-    ((h % 1000003L) + 1000003L) % 1000003L - 500001L
+  /** All nBits portable sign bits in ONE fused codegen'd loop per row
+    * (expressions/PortableLshBucket): each element quantizes once and
+    * feeds every bit's exact-i64 dot product — replaces nBits interpreted
+    * zip_with/aggregate passes (the q_cosine_near_dup r12 cost; an
+    * HOF-level nBits-wide accumulator was measured 2× slower still —
+    * per-dimension array-copy allocations). Bit-identical to the DuckDB
+    * oracle replay. */
+  def lshBucketPortable(vec: Column, nBits: Int): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.expressions.PortableLshBucket.ensureRegistered(spark)
+    call_function("portable_lsh_bucket", vec.cast("array<double>"), lit(nBits))
   }
-  /** weights for dims beyond this cap are never needed in practice; the
-    * guard below raises rather than mis-hash should they ever be */
-  private val PortableMaxDims = 2048
-
-  private def hyperplaneBitPortable(vec: Column, j: Int): Column = {
-    val w = lit((0 until PortableMaxDims).map(portableWeight(j, _)).toArray)
-    val contrib = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, d) => floor(x.cast("double") * 1000000d).cast("long") *
-          element_at(w, (d + 1).cast("int"))),
-      lit(0L), (acc, v) => acc + v)
-    when(size(vec) > PortableMaxDims,
-        raise_error(lit(s"portable LSH supports <= $PortableMaxDims dims")))
-      .when(contrib >= 0, lit(1L << j)).otherwise(0L)
-  }
-
-  def lshBucketPortable(vec: Column, nBits: Int): Column =
-    (0 until nBits).map(j => hyperplaneBitPortable(vec, j))
-      .reduce(_.bitwiseOR(_))
 
   /**
    * Approximate top-k with multiprobe: each query probes its own bucket plus
