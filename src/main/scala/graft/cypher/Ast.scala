@@ -239,7 +239,10 @@ object Ast {
       optional: Boolean = false,
       onError: String = "fail",
       statusVar: Option[String] = None,
-      concurrent: Boolean = false) extends Clause {
+      concurrent: Boolean = false,
+      /** non-literal `OF <expr> ROWS` batch size — constant-folded by the
+        * planner (the reference accepts any expression there). */
+      inTransactionsOfExpr: Option[Expr] = None) extends Clause {
     /** Single-part body (the common case; unions reject where unsupported). */
     def inner: SingleQuery = {
       require(innerQ.parts.size == 1,

@@ -718,6 +718,25 @@ object CypherParser extends RegexParsers {
       ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
         p.hops.flatMap(_._1.variable)).toSet ++
         w.map(exprIdents).getOrElse(Set.empty)
+    case MapLit(es)        => es.flatMap(kv => exprIdents(kv._2)).toSet
+    case Slice(l, f, t)    => exprIdents(l) ++
+      f.map(exprIdents).getOrElse(Set.empty) ++
+      t.map(exprIdents).getOrElse(Set.empty)
+    case TypePredicate(o, _, _, _) => exprIdents(o)
+    case CaseExpr(s, ws, d) =>
+      s.map(exprIdents).getOrElse(Set.empty) ++
+        ws.flatMap(w => exprIdents(w._1) ++ exprIdents(w._2)) ++
+        d.map(exprIdents).getOrElse(Set.empty)
+    // lambda forms: the binder is local, everything else escapes
+    case IterPredicate(_, v, l, pr) => exprIdents(l) ++ (exprIdents(pr) - v)
+    case Reduce(a, init, v, l, st)  =>
+      exprIdents(init) ++ exprIdents(l) ++ (exprIdents(st) - a - v)
+    case ListComprehension(v, l, w, pr) =>
+      exprIdents(l) ++ (w.map(exprIdents).getOrElse(Set.empty) ++
+        pr.map(exprIdents).getOrElse(Set.empty) - v)
+    case MapProjection(s, items) =>
+      exprIdents(s) ++ items.flatMap {
+        case Right((_, x)) => exprIdents(x); case _ => Set.empty[String] }
     case _                 => Set.empty
   }
 
@@ -1059,7 +1078,7 @@ object CypherParser extends RegexParsers {
     opt(K("OPTIONAL")) ~ (K("CALL") ~> "{" ~> query <~ "}") ~
       opt(K("IN") ~> opt("""\d+""".r) ~ opt(K("CONCURRENT")) ~
         (K("TRANSACTIONS") ~>
-          opt(K("OF") ~> """\d+""".r <~ (K("ROWS") | K("ROW"))) ~
+          opt(K("OF") ~> expression <~ (K("ROWS") | K("ROW"))) ~
           opt(K("ON") ~> K("ERROR") ~> (K("CONTINUE") ^^ (_ => "continue") |
             K("BREAK") ^^ (_ => "break") | K("FAIL") ^^ (_ => "fail"))) ~
           opt(K("REPORT") ~> K("STATUS") ~> K("AS") ~> ident))) ^^ {
@@ -1068,9 +1087,17 @@ object CypherParser extends RegexParsers {
         require(conc.isEmpty || isConc.isDefined,
           "a transaction concurrency needs the CONCURRENT keyword: " +
             "IN <n> CONCURRENT TRANSACTIONS") // reference default: 1000 rows
-        CallSubquery(q, Some(size.map(_.toLong).getOrElse(1000L)),
+        // literal batch size resolves here; any other expression is
+        // constant-folded by the planner (reference accepts expressions)
+        val (szLit, szExpr) = size match {
+          case None              => (Some(1000L), None)
+          case Some(Lit(l: Long)) => (Some(l), None)
+          case Some(e)           => (None, Some(e))
+        }
+        CallSubquery(q, szLit,
           optional = o.isDefined, onError = onErr.getOrElse("fail"),
-          statusVar = status, concurrent = isConc.isDefined)
+          statusVar = status, concurrent = isConc.isDefined,
+          inTransactionsOfExpr = szExpr)
     }
 
   private def callClause: Parser[Clause] =

@@ -418,7 +418,18 @@ object Planner {
           isLast = q.clauses.lastOption.contains(cc))
         // a STANDALONE procedure call returns its rows without RETURN
         if (q.clauses.size == 1) returned = env.df
-      case cs: CallSubquery =>
+      case cs0: CallSubquery =>
+        // non-literal `OF <expr> ROWS` batch size: constant-fold now (the
+        // reference evaluates the batch-size expression once per query)
+        val cs = cs0.inTransactionsOfExpr match {
+          case None => cs0
+          case Some(e) => cs0.copy(
+            inTransactionsOf = Some(constLong(ctx, e).getOrElse(
+              throw new IllegalArgumentException(
+                "IN TRANSACTIONS OF must be a constant-foldable " +
+                  s"expression: $e"))),
+            inTransactionsOfExpr = None)
+        }
         // reference error contract: every non-variable item in a CALL{}
         // body's RETURN must carry an explicit alias
         cs.innerQ.parts.foreach(_.clauses.lastOption.foreach {
@@ -445,15 +456,34 @@ object Planner {
         if (writes && cs.innerQ.parts.size > 1 &&
             !cs.innerQ.parts.exists(_.clauses.exists(
               _.isInstanceOf[ReturnClause]))) {
+          // KNOWN DIVERGENCE (branch-major vs row-major effect order): the
+          // reference executes the whole union body per row; we run branch
+          // A over all rows before branch B. Observable only when a later
+          // branch READS an earlier branch's writes within the same body —
+          // none of the vendored acceptance scenarios do.
           cs.innerQ.parts.foreach { part =>
             val one = cs.copy(innerQ = Query(Seq(part), unionAll = true))
+            // correlated importing branches keep the set-based plan (same
+            // guard as the non-union path below): per-row execution is the
+            // unbounded sequential-driver-jobs cliff, and an importing
+            // body's reads are driven by the imported rows, not re-reads
+            // of its own writes
+            val branchImports = part.clauses.headOption.exists {
+              case WithClause(false, items, Nil, None, None, None) =>
+                items.forall { i => i.expr match {
+                  case Variable(v) => env.has(v); case _ => false } }
+              case _ => false
+            }
             val e2 = cs.inTransactionsOf match {
               case Some(n) =>
-                val selfReadingTx = bodyReadsItsWrites(part.clauses)
+                // IN TRANSACTIONS: observability of prior executions'
+                // writes is part of the contract, so imports don't waive
+                // per-row execution (matches the non-union arm)
                 planCallInTransactions(ctx, env, one,
-                  if (selfReadingTx) 1L else n)
+                  if (bodyReadsItsWrites(part.clauses)) 1L else n)
               case None =>
-                val selfReading = bodyReadsItsWrites(part.clauses)
+                val selfReading =
+                  !branchImports && bodyReadsItsWrites(part.clauses)
                 planCallInTransactions(ctx, env, one,
                   if (selfReading) 1L else Long.MaxValue)
             }
@@ -2273,7 +2303,10 @@ object Planner {
         else toNode.variable.getOrElse(ctx.fresh("n"))
       val sp = graft.ops.WeightedPaths.shortestPaths(wEdges,
         df.select(col(fromVar).as("source")).distinct(), maxIter = maxDepth,
-        capIsPrune = true) // unit weights: the depth cap prunes, not errors
+        // an EXPLICIT user bound `[*..d]` prunes (longer paths are simply
+        // not matches); the DEFAULT 15 cap on an unbounded `[*]` must
+        // still error on non-convergence rather than silently drop rows
+        capIsPrune = rel.varLength.exists(_._2.isDefined))
         .filter(col("dist") >= minHops)
         .select(col("source"), col("node").as(toVar),
           col("dist").cast("int").as(s"$pv$$length"), col("path").as(s"$pv$$rels"),
@@ -2900,6 +2933,7 @@ object Planner {
         e.copy(df = e.df.map(_.filter(col(v).isNotNull)))
       }
       sub = planPath(ctx, sub, p)
+      sub = drainDeferredGroupWhere(ctx, sub)
       // relationship uniqueness holds INSIDE a pattern predicate too
       // (reference AddUniquenessPredicates covers subquery expressions)
       sub = applyUniqueness(ctx, sub, relsBefore)
@@ -3195,6 +3229,7 @@ object Planner {
         env.binds.view.filterKeys(refs.contains).toMap)
     val relsBefore = relVars(base)
     var sub = planPath(ctx, base, p)
+    sub = drainDeferredGroupWhere(ctx, sub)
     sub = applyUniqueness(ctx, sub, relsBefore)
     where.foreach { w => sub = applyWhere(ctx, sub, w) }
     // semi/anti-join on the variable ids only: `v$prop` hydrated columns may
@@ -3209,6 +3244,20 @@ object Planner {
         if (anti) "left_anti" else "left_semi")))
     }
   }
+
+  /** Cross-iteration QPP group WHEREs surfaced while planning a subquery
+    * expression's pattern (EXISTS{}, COUNT{}, pattern comprehension) apply
+    * to THAT sub-plan — all their variables are bound once the whole
+    * sub-pattern is planned. Draining here keeps them from leaking into the
+    * ENCLOSING clause's pending WHERE, where they would wrongly filter or
+    * fail analysis. */
+  private def drainDeferredGroupWhere(ctx: Ctx, env: Env): Env =
+    if (ctx.deferredGroupWhere.isEmpty) env
+    else {
+      val conjs = ctx.deferredGroupWhere.toList
+      ctx.deferredGroupWhere.clear()
+      conjs.foldLeft(env)((e, c) => applyWhere(ctx, e, c))
+    }
 
   /** Columns a decorrelated sub-plan needs from the outer row: the referenced
     * variables plus their already-hydrated `v$prop` columns (functionally
@@ -3303,7 +3352,21 @@ object Planner {
     ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
       p.hops.map(_._1).flatMap(_.variable)).toSet ++
       (p.first +: p.hops.map(_._2)).flatMap(_.where).flatMap(exprVars) ++
-      p.hops.map(_._1).flatMap(_.where).flatMap(exprVars)
+      p.hops.map(_._1).flatMap(_.where).flatMap(exprVars) ++
+      // quantified groups: the group WHERE (incl. cross-iteration
+      // references to outer singletons), head-node and branch-interior
+      // variables and their inline WHEREs are part of the pattern too —
+      // a decorrelated sub-plan must import the outer singletons they read
+      p.hops.map(_._1).flatMap { r =>
+        r.groupWhere.toSeq.flatMap(exprVars) ++
+          r.headNode.toSeq.flatMap(hn =>
+            hn.variable.toSeq ++ hn.where.toSeq.flatMap(exprVars)) ++
+          r.branches.toSeq.flatten.flatten.flatMap { case (br, bn) =>
+            br.variable.toSeq ++ bn.variable.toSeq ++
+              br.where.toSeq.flatMap(exprVars) ++
+              bn.where.toSeq.flatMap(exprVars)
+          }
+      }
 
   private def exprVars(e: Expr): Set[String] = e match {
     case Variable(v)          => Set(v)
@@ -4001,24 +4064,49 @@ object Planner {
         "a cross-iteration group WHERE may reference only bound group " +
           "variables and outer singletons")
       val qi = ctx.fresh("qi")
-      def subst(e: Expr): Expr = e match {
-        case Variable(v) if gvs.contains(v) =>
+      // shadow tracks lambda variables (all/any/reduce/list-comprehension
+      // binders) that hide a same-named group variable inside their body
+      def subst(e: Expr, shadow: Set[String] = Set.empty): Expr = e match {
+        case Variable(v) if gvs.contains(v) && !shadow(v) =>
           Index(Variable(v), Variable(qi))
-        case Prop(s, k)        => Prop(subst(s), k)
-        case Func(n, as, d)    => Func(n, as.map(subst), d)
-        case BinOp(op, a, b)   => BinOp(op, subst(a), subst(b))
-        case UnaryOp(op, o)    => UnaryOp(op, subst(o))
-        case IsNull(o, n)      => IsNull(subst(o), n)
-        case StringPred(op, a, b) => StringPred(op, subst(a), subst(b))
-        case TypePredicate(o, t, nn, neg) => TypePredicate(subst(o), t, nn, neg)
-        case HasLabel(s, d)    => HasLabel(subst(s), d)
-        case ListLit(xs)       => ListLit(xs.map(subst))
-        case MapLit(es)        => MapLit(es.map { case (k, x) => (k, subst(x)) })
-        case Index(a, i)       => Index(subst(a), subst(i))
-        case Slice(a, f, t)    => Slice(subst(a), f.map(subst), t.map(subst))
-        case CaseExpr(s, ws, d) => CaseExpr(s.map(subst),
-          ws.map { case (a, b) => (subst(a), subst(b)) }, d.map(subst))
-        case other => other
+        case Prop(s, k)        => Prop(subst(s, shadow), k)
+        case Func(n, as, d)    => Func(n, as.map(subst(_, shadow)), d)
+        case BinOp(op, a, b)   => BinOp(op, subst(a, shadow), subst(b, shadow))
+        case UnaryOp(op, o)    => UnaryOp(op, subst(o, shadow))
+        case IsNull(o, n)      => IsNull(subst(o, shadow), n)
+        case StringPred(op, a, b) =>
+          StringPred(op, subst(a, shadow), subst(b, shadow))
+        case TypePredicate(o, t, nn, neg) =>
+          TypePredicate(subst(o, shadow), t, nn, neg)
+        case HasLabel(s, d)    => HasLabel(subst(s, shadow), d)
+        case ListLit(xs)       => ListLit(xs.map(subst(_, shadow)))
+        case MapLit(es)        =>
+          MapLit(es.map { case (k, x) => (k, subst(x, shadow)) })
+        case Index(a, i)       => Index(subst(a, shadow), subst(i, shadow))
+        case Slice(a, f, t)    =>
+          Slice(subst(a, shadow), f.map(subst(_, shadow)), t.map(subst(_, shadow)))
+        case CaseExpr(s, ws, d) => CaseExpr(s.map(subst(_, shadow)),
+          ws.map { case (a, b) => (subst(a, shadow), subst(b, shadow)) },
+          d.map(subst(_, shadow)))
+        case IterPredicate(k2, v2, l2, p2) =>
+          IterPredicate(k2, v2, subst(l2, shadow), subst(p2, shadow + v2))
+        case Reduce(acc, init, v2, l2, step) =>
+          Reduce(acc, subst(init, shadow), v2, subst(l2, shadow),
+            subst(step, shadow + v2 + acc))
+        case ListComprehension(v2, l2, w2, pr2) =>
+          ListComprehension(v2, subst(l2, shadow),
+            w2.map(subst(_, shadow + v2)), pr2.map(subst(_, shadow + v2)))
+        case MapProjection(s, items) =>
+          MapProjection(subst(s, shadow), items.map {
+            case Right((k, x)) => Right((k, subst(x, shadow)))
+            case left          => left
+          })
+        case other =>
+          // unlisted constructors must not smuggle raw group-var reads
+          require(((exprVars(other) -- shadow) & gvs.toSet).isEmpty,
+            "a cross-iteration group WHERE conjunct contains an expression " +
+              s"shape that cannot reference group variables: $other")
+          other
       }
       ctx.deferredGroupWhere += IterPredicate("all", qi,
         Func("range", Seq(Lit(0L),
@@ -4651,10 +4739,10 @@ object Planner {
           .partitionBy(joinRefCols(sub.df.get, refs).map(col): _*)
           .orderBy(sortCols: _*)
         var df2 = sub.df.get.withColumn("__rn", row_number().over(w))
-        val lo = sk.map(e => constExpr(ctx, e).cast("long")).getOrElse(lit(0L))
+        val lo = sk.map(e => lit(constInt(ctx, e).toLong)).getOrElse(lit(0L))
         df2 = df2.filter(col("__rn") > lo)
         li.foreach { e =>
-          df2 = df2.filter(col("__rn") <= lo + constExpr(ctx, e).cast("long"))
+          df2 = df2.filter(col("__rn") <= lo + lit(constInt(ctx, e).toLong))
         }
         sub = sub.copy(df = Some(df2.drop("__rn")))
       }
@@ -5124,7 +5212,22 @@ object Planner {
     // record/propagate entity provenance through map literals: `{k: a}`
     // with a an entity keeps a's kind on field k (consumed when `m.k` is
     // later projected back to a variable and used in entity position)
-    outs.foreach { o =>
+    // deferred until after items are planned (items of THIS projection
+    // still read the previous scope's provenance): a re-projected alias
+    // sheds any earlier provenance — `WITH {k: n} AS m ... WITH
+    // {k: n.prop} AS m` must not keep m.k = NodeVar (a stale entry would
+    // treat a value as an entity id downstream) — EXCEPT a bare
+    // pass-through (`WITH m`), which keeps the binding
+    def applyEntityFieldProvenance(): Unit = outs.foreach { o =>
+      val passesSelf = o.item.expr match {
+        case Variable(v) => v == o.alias
+        case _           => false
+      }
+      if (!passesSelf) {
+        val stale = ctx.entityFields.keys
+          .filter(_.startsWith(o.alias + ".")).toList
+        stale.foreach(ctx.entityFields.remove)
+      }
       o.item.expr match {
         case MapLit(es) => es.foreach {
           case (k, Variable(v)) => env.binds.get(v) match {
@@ -5259,6 +5362,7 @@ object Planner {
           entityListKind(env, o.item.expr).orElse(
             mapFieldKind(o.item.expr)).getOrElse(ValueVar))).toMap
     }
+    applyEntityFieldProvenance()
 
     if (hasAgg && orderBy.nonEmpty) {
       // post-aggregation ORDER BY resolves against the output aliases; an
@@ -5386,6 +5490,26 @@ object Planner {
           case _   => None
         }
       } yield v
+    // any other VARIABLE-FREE expression (`LIMIT reduce(s=0, x IN [0,2] |
+    // s+x)`, `SKIP size([1,2])` — reference SkipLimitAcceptance) folds by
+    // plan-time evaluation over the unit relation: the reference's Limit
+    // takes an arbitrary Expression evaluated once per query, which for a
+    // closed expression is exactly a plan-time constant
+    case other if exprVars(other).isEmpty && !containsAgg(other) &&
+        !containsPatternExists(other) =>
+      val row = unit(ctx.spark)
+        .select(compile(ctx, Env(Some(unit(ctx.spark)), Map.empty), other)
+          .as("__v")).collect()(0)
+      row.get(0) match {
+        case null => None
+        case l: java.lang.Long => Some(l)
+        case i: java.lang.Integer => Some(i.longValue)
+        case d: java.lang.Double => throw new IllegalArgumentException(
+          s"SKIP/LIMIT: it must be an integer, not a float: $d")
+        case f: java.lang.Float => throw new IllegalArgumentException(
+          s"SKIP/LIMIT: it must be an integer, not a float: $f")
+        case _ => None
+      }
     case _ => None
   }
 
@@ -5767,7 +5891,20 @@ object Planner {
             case "nanosecondsofsecond"  => sc.getItem("nanos")
             case _ => sc.getItem(k)
           }
-        else sc.getItem(k)
+        else dataTypeOf(env, sc) match {
+          // Cypher maps are open: `m.other` over a map without the key is
+          // NULL (reference MapValue.get), but the columnar map compiles
+          // to a named struct, whose field access is a compile-time error
+          // — resolve the miss to NULL here; a NULL subject propagates
+          case Some(st: org.apache.spark.sql.types.StructType)
+              if !st.fieldNames.contains(k) &&
+                !graft.functions.Orderability.isEncoded(st) &&
+                !st.fieldNames.sameElements(
+                  graft.functions.Orderability.PathStructFields) =>
+            lit(null)
+          case Some(org.apache.spark.sql.types.NullType) => lit(null)
+          case _ => sc.getItem(k)
+        }
       case CountStar   => count(lit(1))
       case Func(name, args, distinct) => compileFunc(ctx, env, name, args, distinct, lambdas)
       case BinOp(op, l, r) =>

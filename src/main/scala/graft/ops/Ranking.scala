@@ -84,9 +84,15 @@ object Ranking {
    * libraries use). Init rank = (1-d), the fixed point for in-degree-0
    * nodes, so DAGs converge in longest-path iterations exactly.
    *
-   * Each iteration is one join on src + one aggregate on dst — both
-   * hash-partition on the node key at cluster scale; ranks are
-   * lazily checkpointed per round so the final action sees a flat plan.
+   * The rounds run over RDDs under ONE shared HashPartitioner (the GraphX
+   * pattern): edges hash-partition by src ONCE; per round the
+   * rank-with-degree join is co-partitioned (narrow, zero shuffle) and
+   * only the contribution reduceByKey shuffles — one shuffle per round,
+   * against the DataFrame formulation's three, and ZERO Catalyst
+   * analysis/codegen passes per round (the r13 profile showed planning
+   * at ~90% of this query's wall; iterating over the materialized rounds
+   * directly removes it). Shuffle outputs are reused across rounds by the
+   * scheduler (skipped stages), so nothing needs caching.
    *
    * @param edges (src, dst)
    * @return (node, rank)
@@ -95,26 +101,66 @@ object Ranking {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && damping > 0 && damping < 1,
       s"bad pageRank config: iterations=$iterations damping=$damping")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().freshCkpt()
-    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__deg"))
-      .localCheckpoint(false)
-    var ranks = nodes.withColumn("rank", lit(1.0 - damping))
+    iterateRanks(edges.select(col("src").cast("long"),
+        col("dst").cast("long"), lit(1.0).as("w")),
+      iterations, damping, sources = None)
+  }
+
+  /** Shared RDD round loop for the pageRank family. `edges` must be
+    * (src LONG, dst LONG, w DOUBLE); `sources` switches the teleport mass
+    * to the personalized (seed-restart) form. */
+  private def iterateRanks(edges: DataFrame, iterations: Int,
+      damping: Double, sources: Option[DataFrame]): DataFrame = {
+    val spark = edges.sparkSession
+    val in = edges.rdd.map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+    // partition count follows the INPUT (scan splits scale with data
+    // size; AQE can't coalesce RDD stages, so the session's full
+    // shuffle-partition count would run iterations×32 near-empty tasks on
+    // a small graph), floored at a quarter of the executor cores — one
+    // 128 MB parquet split can hold millions of edge rows, too much for a
+    // single task chained across every round — and capped by the
+    // session's shuffle-partition setting like any SQL shuffle
+    val nPart = math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      math.max(math.max(1, spark.sparkContext.defaultParallelism / 4),
+        in.getNumPartitions))
+    val part = new org.apache.spark.HashPartitioner(nPart)
+    val e = in.partitionBy(part) // the ONLY edge shuffle, reused every round
+    val srcSet = sources.map(_.rdd.map(r => (r.getLong(0), ()))
+      .partitionBy(part))
+    val nodes = e.map(_._1)
+      .union(e.map(_._2._1))
+      .union(srcSet.map(_.map(_._1)).getOrElse(spark.sparkContext.emptyRDD))
+      .distinct(nPart).map((_, ())).partitionBy(part)
+    // per-source total out-weight (count for the unweighted form)
+    val outW = e.mapValues(_._2).reduceByKey(part, _ + _)
+    // teleport term: uniform (1-d) classic; (1-d)/|S| on seeds personalized
+    val base: org.apache.spark.rdd.RDD[(Long, Double)] = srcSet match {
+      case None => nodes.mapValues(_ => 1.0 - damping)
+      case Some(s) =>
+        val nS = s.count()
+        require(nS > 0, "personalized PageRank needs a non-empty source set")
+        val tp = (1.0 - damping) / nS
+        nodes.leftOuterJoin(s, part)
+          .mapValues { case (_, hit) => if (hit.isDefined) tp else 0.0 }
+    }
+    var ranks = base
     var i = 0
     while (i < iterations) {
-      val contrib = e
-        .join(ranks.join(outDeg, "node"), col("src") === col("node"))
-        .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
-        .groupBy("node").agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(contrib, Seq("node"), "left_outer")
-        .select(col("node"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("__in"), lit(0.0)))
-            .as("rank"))
-        .localCheckpoint(false)
+      val contrib = e.join(ranks.join(outW, part), part)
+        .map { case (_, ((dst, w), (r, ow))) => (dst, r * w / ow) }
+        .reduceByKey(part, _ + _) // the one shuffle of the round
+      ranks = base.leftOuterJoin(contrib, part)
+        .mapValues { case (b, in) => b + damping * in.getOrElse(0.0) }
       i += 1
     }
-    ranks
+    spark.createDataFrame(
+      ranks.map { case (n, r) => org.apache.spark.sql.Row(n, r) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
   /**
@@ -133,28 +179,9 @@ object Ranking {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && damping > 0 && damping < 1,
       s"bad pageRank config: iterations=$iterations damping=$damping")
-    val e = edges.select(col("src"), col("dst"),
-      col("weight").cast("double")).localCheckpoint(false)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().freshCkpt()
-    val outW = e.groupBy(col("src").as("node")).agg(sum("weight").as("__w"))
-      .localCheckpoint(false)
-    var ranks = nodes.withColumn("rank", lit(1.0 - damping))
-    var i = 0
-    while (i < iterations) {
-      val contrib = e
-        .join(ranks.join(outW, "node"), col("src") === col("node"))
-        .select(col("dst").as("node"),
-          (col("rank") * col("weight") / col("__w")).as("__c"))
-        .groupBy("node").agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(contrib, Seq("node"), "left_outer")
-        .select(col("node"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("__in"), lit(0.0)))
-            .as("rank"))
-        .localCheckpoint(false)
-      i += 1
-    }
-    ranks
+    iterateRanks(edges.select(col("src").cast("long"),
+        col("dst").cast("long"), col("weight").cast("double")),
+      iterations, damping, sources = None)
   }
 
   /**
@@ -174,35 +201,10 @@ object Ranking {
       iterations: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && damping > 0 && damping < 1,
       s"bad pageRank config: iterations=$iterations damping=$damping")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    val s = sources.select(col("source").as("node")).distinct()
-      .localCheckpoint(false)
-    val nS = s.count()
-    require(nS > 0, "personalized PageRank needs a non-empty source set")
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .unionByName(s).distinct().localCheckpoint(false)
-    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("__deg"))
-    val teleport = lit(1.0 - damping) / nS
-    var ranks = nodes.join(s.withColumn("__s", lit(1)), Seq("node"), "left_outer")
-      .select(col("node"),
-        when(col("__s").isNotNull, teleport).otherwise(lit(0.0)).as("rank"))
-      .localCheckpoint(false)
-    var i = 0
-    while (i < iterations) {
-      val contrib = e
-        .join(ranks.join(outDeg, "node"), col("src") === col("node"))
-        .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
-        .groupBy("node").agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(s.withColumn("__s", lit(1)), Seq("node"), "left_outer")
-        .join(contrib, Seq("node"), "left_outer")
-        .select(col("node"),
-          (when(col("__s").isNotNull, teleport).otherwise(lit(0.0)) +
-            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        .localCheckpoint(false)
-      i += 1
-    }
-    ranks
+    iterateRanks(edges.select(col("src").cast("long"),
+        col("dst").cast("long"), lit(1.0).as("w")),
+      iterations, damping,
+      sources = Some(sources.select(col("source").cast("long")).distinct()))
   }
 
   /**

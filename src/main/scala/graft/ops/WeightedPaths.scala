@@ -44,9 +44,13 @@ object WeightedPaths {
       col("weight").as("__w"), col("id").as("__e"))
       .localCheckpoint(false)
 
-    var best = sources.select(col("source"), col("source").as("node"),
-      lit(0.0).as("dist"), array().cast("array<long>").as("path"),
-      array(col("source")).as("nodes"))
+    // a NULL source (e.g. a failed OPTIONAL MATCH binding) matches no
+    // path — and must not seed the frontier: the improvement join below is
+    // null-unsafe, so a null-keyed row would never converge out of it
+    var best = sources.filter(col("source").isNotNull)
+      .select(col("source"), col("source").as("node"),
+        lit(0.0).as("dist"), array().cast("array<long>").as("path"),
+        array(col("source")).as("nodes"))
       .freshCkpt()
     var frontier = best
     var fCnt = frontier.count()
