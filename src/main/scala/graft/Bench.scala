@@ -50,7 +50,23 @@ object Bench {
         .filterNot(r => keep(r.id))
         .foreach(_.unpersist(blocking = false))
     }
+    // Iterative (checkpoint-loop) queries run once UNTIMED first: their
+    // serial-suite numbers historically measured planner/GC machine state,
+    // not the engine (r12/r13 verdicts adjudicated 1.4-1.6x artifact swings
+    // down to environment) — a warm pass pins JIT/codegen so the timed run
+    // reflects the code. Everything else stays single-run (the suite is
+    // already ~250 queries).
+    val iterative = Set(
+      "q_pagerank", "q_pagerank_weighted", "q_personalized_pagerank",
+      "q_eigenvector", "q_hits", "q_label_propagation", "q_louvain",
+      "q_hyperball", "q_connected_components", "q_scc", "q_betweenness",
+      "q_closeness", "q_fastrp", "q_core_decomposition")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (iterative(name)) {
+        try force(fn(spark, sfDir)) catch { case _: Throwable => }
+        releaseLeaks()
+        System.gc()
+      }
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -198,6 +198,9 @@ object Ast {
   final case class SetLabelsItem(variable: String, labels: Seq[String]) extends SetItem
   /** `REMOVE v.key` */
   final case class RemoveProp(variable: String, key: String) extends SetItem
+  /** `REMOVE (<expr>).prop` — the subject is an entity-valued expression
+    * (CASE over entities, an indexed pattern comprehension, …). */
+  final case class RemovePropExpr(subject: Expr, key: String) extends SetItem
   /** `REMOVE v:Label` */
   final case class RemoveLabelsItem(variable: String, labels: Seq[String]) extends SetItem
 
@@ -213,7 +216,10 @@ object Ast {
       onCreate: Seq[SetItem]) extends Clause
   final case class SetClause(items: Seq[SetItem]) extends Clause
   final case class RemoveClause(items: Seq[SetItem]) extends Clause
-  final case class DeleteClause(variables: Seq[String], detach: Boolean) extends Clause
+  final case class DeleteClause(variables: Seq[String], detach: Boolean,
+      /** entity-valued expression targets (`DELETE (COLLECT {…}[0])`) —
+        * evaluated against the pre-delete snapshot like variable targets */
+      exprs: Seq[Expr] = Nil) extends Clause
   /** `FOREACH (v IN list | update…)` (reference Foreach :2082). */
   /** LOAD CSV: with headers binds `alias` to a per-line struct keyed by
     * the header names (all STRING fields); without, to a STRING list */

@@ -120,7 +120,18 @@ object CypherParser extends RegexParsers {
     "`" ~> "[^`]+".r <~ "`" | "[a-zA-Z_][a-zA-Z0-9_]*".r
 
   // identifier in function-name position (count/exists are not reserved here)
-  private def funcName: Parser[String] = "[a-zA-Z_][a-zA-Z0-9_.]*".r
+  /** clause-starting keywords can never name a function/procedure — without
+    * this, `WITH * MATCH (m)` mis-parses `MATCH (m)` as a call expression
+    * and the star item's not(expression) guard fails (EXISTS/COUNT stay
+    * callable: `exists(n.prop)` is a legacy function). */
+  private val nonFuncKw = Set(
+    "MATCH", "OPTIONAL", "WHERE", "RETURN", "WITH", "UNWIND", "ORDER",
+    "SKIP", "LIMIT", "UNION", "CREATE", "MERGE", "SET", "REMOVE", "DELETE",
+    "DETACH", "NODETACH", "FOREACH", "CALL", "YIELD", "INSERT", "FINISH",
+    "WHEN", "THEN", "ELSE", "AS", "DISTINCT")
+  private def funcName: Parser[String] = "[a-zA-Z_][a-zA-Z0-9_.]*".r ^? (
+    { case s if !nonFuncKw(s.toUpperCase) => s },
+    s => s"'$s' cannot name a function")
 
   // ---- literals ---------------------------------------------------------
 
@@ -262,7 +273,8 @@ object CypherParser extends RegexParsers {
       // `n:Label` / `n:A|B&!C` / chained `n:A:B` label-expression
       // predicate (HasLabels) — a chained `:` is the legacy colon
       // CONJUNCTION, which the mixing rules track
-      not("::") ~> ":" ~> labelGroup ~ rep(not("::") ~> ":" ~> labelGroup) ^^ {
+      not("::") ~> ":" ~> labelGroupExprPos ~
+          rep(not("::") ~> ":" ~> labelGroupExprPos) ^^ {
         case g ~ more =>
           if (gpmDnf(g) || more.exists(gpmDnf)) markGpmLabels()
           if (more.nonEmpty) markColonConj()
@@ -404,7 +416,8 @@ object CypherParser extends RegexParsers {
     * PatternComprehension.projectNamedPath). */
   private def patternComprehension: Parser[Expr] =
     "[" ~> opt(ident <~ "=" <~ not("~")) ~ pathPattern ~
-      opt(K("WHERE") ~> expression) ~ ("|" ~> expression) <~ "]" ^^ {
+      opt(K("WHERE") ~> patCompWhere(expression)) ~
+      ("|" ~> expression) <~ "]" ^^ {
       case pv ~ p ~ w ~ proj =>
         PatternComprehension(p.copy(name = pv.orElse(p.name)), w, proj)
     }
@@ -505,6 +518,38 @@ object CypherParser extends RegexParsers {
   private def labelExprDnf: Parser[LabelDnf] =
     rep1sep(labelConj, "|" ~ opt(":")) ^^ (_.flatten)
   private def labelGroup: Parser[LabelDnf] = labelExprDnf
+
+  /** true while parsing a pattern comprehension's WHERE, where a label
+    * alternation's `| x` may actually be the comprehension's projection
+    * bar (`[p = (n)-->() WHERE last(nodes(p)):End | p]`, reference
+    * LabelExpressionAcceptance) */
+  private var inPatCompWhere = false
+  private def patCompWhere[T](p: Parser[T]): Parser[T] = Parser { in =>
+    val old = inPatCompWhere
+    inPatCompWhere = true
+    try p(in) finally inPatCompWhere = old
+  }
+  /** fails when a just-parsed label alternation atom is directly followed
+    * by `]` inside a pattern-comprehension WHERE — that atom was the
+    * projection, not a label */
+  private def barOk: Parser[Unit] = Parser { in =>
+    if (!inPatCompWhere) Success((), in)
+    else {
+      val s = in.source.toString
+      var i = in.offset
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      if (i < s.length && s.charAt(i) == ']')
+        Failure("label alternation would swallow the projection bar", in)
+      else Success((), in)
+    }
+  }
+  /** label DNF at EXPRESSION postfix position: `|` continuations yield to
+    * the comprehension projection bar when the alternation atom would end
+    * the comprehension */
+  private def labelGroupExprPos: Parser[LabelDnf] =
+    labelConj ~ rep((("|" ~ opt(":")) ~> labelConj) <~ barOk) ^^ {
+      case h ~ t => (h +: t).flatten
+    }
 
   def nodePattern: Parser[NodePattern] =
     // `IS` directly followed by a label token is the GQL label INTRODUCER
@@ -690,8 +735,25 @@ object CypherParser extends RegexParsers {
                 chain
               }
           }
+          // inline node WHEREs that read OTHER iteration variables
+          // (`(b WHERE a.age < b.age)`, reference GpmTests) lift into the
+          // group WHERE — per-node boundary sets compile in isolation
+          val chain3 = chain2.map { case (r0, n0) =>
+            n0.where match {
+              case Some(wn)
+                  if !exprIdents(wn).subsetOf(n0.variable.toSet) =>
+                gw = Some(gw.fold(wn)(g0 => BinOp("AND", g0, wn)))
+                (r0, n0.copy(where = None))
+              case _ => (r0, n0)
+            }
+          }
+          x2.where.filter(wh =>
+              !exprIdents(wh).subsetOf(x2.variable.toSet)).foreach { wh =>
+            gw = Some(gw.fold(wh)(g0 => BinOp("AND", g0, wh)))
+            x2 = x2.copy(where = None)
+          }
           ((RelPattern(None, Seq.empty, Out, Some(q), Seq.empty,
-            branches = Some(Seq(chain2)),
+            branches = Some(Seq(chain3)),
             headNode = Some(x2), groupWhere = gw), next),
             nextOpt.isDefined)
         }
@@ -718,6 +780,31 @@ object CypherParser extends RegexParsers {
       ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
         p.hops.flatMap(_._1.variable)).toSet ++
         w.map(exprIdents).getOrElse(Set.empty)
+    case PatternCount(p, w) =>
+      ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
+        p.hops.flatMap(_._1.variable)).toSet ++
+        w.map(exprIdents).getOrElse(Set.empty)
+    case PatternComprehension(p, w, proj, ob, sk, li) =>
+      ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
+        p.hops.flatMap(_._1.variable)).toSet ++
+        w.map(exprIdents).getOrElse(Set.empty) ++ exprIdents(proj) ++
+        ob.flatMap(s => exprIdents(s.expr)) ++
+        sk.map(exprIdents).getOrElse(Set.empty) ++
+        li.map(exprIdents).getOrElse(Set.empty)
+    // a full-query subquery expression may reference anything from the
+    // outer scope — over-approximate with every identifier it mentions
+    case SubqueryExpr(_, q) =>
+      q.parts.flatMap(_.clauses).flatMap {
+        case WithClause(_, items, _, _, _, w) =>
+          items.flatMap(i => exprIdents(i.expr)) ++
+            w.toSeq.flatMap(exprIdents)
+        case ReturnClause(_, items, _, _, _) =>
+          items.flatMap(i => exprIdents(i.expr))
+        case MatchClause(_, ps, w, _, _) =>
+          ps.flatMap(p => (p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
+            p.hops.flatMap(_._1.variable)) ++ w.toSeq.flatMap(exprIdents)
+        case _ => Nil
+      }.toSet
     case MapLit(es)        => es.flatMap(kv => exprIdents(kv._2)).toSet
     case Slice(l, f, t)    => exprIdents(l) ++
       f.map(exprIdents).getOrElse(Set.empty) ++
@@ -960,6 +1047,14 @@ object CypherParser extends RegexParsers {
 
   private def removeItem: Parser[SetItem] =
     ident ~ ("." ~> symName) ^^ { case v ~ k => RemoveProp(v, k) } |
+    // `REMOVE (<expr>).prop` / `REMOVE ([…][0]).prop` — an entity-valued
+    // expression subject (reference RemoveAcceptance visibility scenarios)
+    ("(" ~> expression <~ ")") ~ ("." ~> symName) ^^ {
+      case e ~ k => RemovePropExpr(e, k) } |
+    (patternComprehension | listComprehension) ~
+        opt("[" ~> expression <~ "]") ~ ("." ~> symName) ^^ {
+      case e ~ idx ~ k =>
+        RemovePropExpr(idx.fold(e)(i => Index(e, i)), k) } |
     ident ~ rep1((":" ^^ (_ => false) | K("IS") ^^ (_ => true)) ~
         rep1sep(symName, "&") ^^ { case is ~ g => (is, g) }) ^^ {
       case v ~ tagged =>
@@ -975,7 +1070,8 @@ object CypherParser extends RegexParsers {
     * already parse through labelGroup and collapse to a plain label list. */
   private def createClause: Parser[Clause] =
     (K("CREATE") ^^ (_ => false) | K("INSERT") ^^ (_ => true)) ~
-      inUsage(2)(rep1sep(pathPattern, ",")) ^^ {
+      inUsage(2)(rep1sep(opt(ident <~ "=") ~ pathPattern ^^ {
+        case n ~ p => p.copy(name = n.orElse(p.name)) }, ",")) ^^ {
         case ins ~ ps => CreateClause(ps, insert = ins)
       }
 
@@ -1000,11 +1096,17 @@ object CypherParser extends RegexParsers {
     * explicit spelling of the default: error on attached relationships. */
   private def deleteClause: Parser[Clause] =
     // DELETE null is legal and a no-op (deleting NO_VALUE does nothing in
-    // the reference) — parsed as a discarded target
+    // the reference); non-variable targets are entity-valued expressions
+    // (`DELETE (COLLECT {…}[0])`, `DETACH DELETE [comprehension][0]`)
     opt(K("DETACH") | K("NODETACH")) ~
-      (K("DELETE") ~> rep1sep(K("NULL") ^^ (_ => None) | ident ^^ (Some(_)),
-        ",")) ^^ {
-      case d ~ vs => DeleteClause(vs.flatten, d.contains("DETACH"))
+      (K("DELETE") ~> rep1sep(expression, ",")) ^^ {
+      case d ~ targets =>
+        val vars = targets.collect { case Variable(v) => v }
+        val exprs = targets.filter {
+          case Variable(_) | Lit(null) => false
+          case _ => true
+        }
+        DeleteClause(vars, d.contains("DETACH"), exprs)
     }
 
   private def foreachClause: Parser[Clause] =

@@ -706,7 +706,12 @@ object Planner {
       case other => other
     }
 
+    // `CREATE p = (…)-[…]->(…)`: the path variable binds from the created
+    // entities (node/rel id sequences in pattern order)
+    val pathBinds = Seq.newBuilder[(String, Seq[String], Seq[String])]
     c.patterns.foreach { p =>
+      val patNodeVars = Seq.newBuilder[String]
+      val patRelVars = Seq.newBuilder[String]
       // INSERT's stricter contract (reference insertClause): relationships
       // must be DIRECTED (RequiresDirectedRelationship), a bound variable
       // cannot be re-INSERTed as a standalone node, and a bound
@@ -746,10 +751,12 @@ object Planner {
           v
       }}
       var fromVar = handleNode(p.first)
+      patNodeVars += fromVar
       p.hops.foreach { case (rel, node) =>
         require(rel.varLength.isEmpty && rel.types.size == 1,
           "CREATE relationships need exactly one type and fixed length")
         val toVar = handleNode(node)
+        patNodeVars += toVar
         val rv = rel.variable.getOrElse(ctx.fresh("cr"))
         df = df.withColumn(rv,
           nonNegId(xxhash64(lit(ctx.runTag), lit(ctx.freshIdTag()),
@@ -763,8 +770,11 @@ object Planner {
         declaredProps += (rv -> rprops2.toMap)
         declaredRelTypes += (rv -> rel.types.head)
         newRels += NewRel(rv, rel.types.head, s, d, rprops2)
+        patRelVars += rv
         fromVar = toVar
       }
+      p.name.foreach(pv =>
+        pathBinds += ((pv, patNodeVars.result(), patRelVars.result())))
     }
     // freeze the generated ids before anything reads them twice
     val frozen = df.freshCkpt()
@@ -799,6 +809,15 @@ object Planner {
       val rows = envOut.df.get.select((col(r.v).as("id") +: col(r.from).as("src") +:
         col(r.to).as("dst") +: lit(r.tpe).as("type") +: props): _*)
       ctx.g = UpdateOps.createRels(ctx.g, rows)
+    }
+    pathBinds.result().foreach { case (pv, ns, rs) =>
+      envOut = envOut.copy(df = Some(envOut.df.get
+        .withColumn(s"$pv$$nodes", array(ns.map(col): _*))
+        .withColumn(s"$pv$$rels",
+          if (rs.isEmpty) array().cast("array<bigint>")
+          else array(rs.map(col): _*))
+        .withColumn(s"$pv$$length", lit(rs.length))),
+        binds = envOut.binds + (pv -> PathVar))
     }
     rehydrate(ctx, envOut, nn.map(_.v) ++ nr.map(_.v))
   }
@@ -1233,12 +1252,13 @@ object Planner {
     }.toSeq.sorted
 
   private def setItemVars(items: Seq[SetItem]): Seq[String] =
-    items.map {
-      case SetProp(v, _, _)        => v
-      case SetPropsFromMap(v, _, _) => v
-      case SetLabelsItem(v, _)     => v
-      case RemoveProp(v, _)        => v
-      case RemoveLabelsItem(v, _)  => v
+    items.flatMap {
+      case SetProp(v, _, _)        => Seq(v)
+      case SetPropsFromMap(v, _, _) => Seq(v)
+      case SetLabelsItem(v, _)     => Seq(v)
+      case RemoveProp(v, _)        => Seq(v)
+      case RemovePropExpr(s, _)    => exprVars(s).toSeq
+      case RemoveLabelsItem(v, _)  => Seq(v)
     }.distinct
 
   private def planSetItems(ctx: Ctx, env: Env, items: Seq[SetItem]): Unit =
@@ -1311,6 +1331,26 @@ object Planner {
           case RelVar  => ctx.g = UpdateOps.setRelPropertiesFromSource(ctx.g, source)
           case other   => throw new IllegalArgumentException(s"cannot REMOVE on $other")
         }
+      case RemovePropExpr(subj0, key) =>
+        // entity-valued expression target: evaluate against the pre-update
+        // snapshot rows (reference: no item-by-item visibility)
+        val kind = entityExprKind(env, subj0).getOrElse(
+          throw new IllegalArgumentException(
+            s"REMOVE target is not an entity-valued expression: $subj0"))
+        val subj =
+          if (containsPatternExists(subj0)) {
+            val (e2, rewritten, _) = lowerExists(ctx, env, subj0)
+            env = e2
+            rewritten
+          } else subj0
+        val source = env.df.get
+          .select(compile(ctx, env, subj).as("id"),
+            lit(null).as(propCol(key)))
+          .filter(col("id").isNotNull)
+        kind match {
+          case RelVar => ctx.g = UpdateOps.setRelPropertiesFromSource(ctx.g, source)
+          case _      => ctx.g = UpdateOps.setNodePropertiesFromSource(ctx.g, source)
+        }
       case SetLabelsItem(v, labels) =>
         ctx.g = UpdateOps.setLabels(ctx.g, df.select(col(v).as("id")), add = labels)
       case RemoveLabelsItem(v, labels) =>
@@ -1338,20 +1378,95 @@ object Planner {
     env // bindings inside FOREACH are scoped — outer env unchanged
   }
 
-  private def planDelete(ctx: Ctx, env: Env, d: DeleteClause): Unit = {
-    if (d.variables.isEmpty) return // DELETE null — a no-op
-    val df = env.df.getOrElse(
+  private def planDelete(ctx: Ctx, env0: Env, d: DeleteClause): Unit = {
+    if (d.variables.isEmpty && d.exprs.isEmpty) return // DELETE null — no-op
+    var env = env0
+    val df0 = env.df.getOrElse(
       throw new IllegalArgumentException("DELETE needs bound rows"))
     val (relVarsToDelete, nodeVars) = d.variables.partition(v =>
       env.binds.get(v).contains(RelVar))
     relVarsToDelete.foreach { v =>
-      ctx.g = UpdateOps.deleteRels(ctx.g, df.select(col(v).as("id")))
+      ctx.g = UpdateOps.deleteRels(ctx.g, df0.select(col(v).as("id")))
     }
     nodeVars.foreach { v =>
       require(env.binds.get(v).contains(NodeVar), s"$v is not deletable")
-      ctx.g = UpdateOps.deleteNodes(ctx.g, df.select(col(v).as("id")), d.detach)
+      ctx.g = UpdateOps.deleteNodes(ctx.g, df0.select(col(v).as("id")), d.detach)
+    }
+    // expression targets (`DELETE (COLLECT {…}[0])`): every target
+    // evaluates against the PRE-delete snapshot rows (reference: no
+    // item-by-item or row-by-row visibility of the clause's own deletes)
+    d.exprs.foreach { e0 =>
+      val kind = entityExprKind(env, e0).getOrElse(
+        throw new IllegalArgumentException(
+          s"DELETE target is not an entity-valued expression: $e0"))
+      val e =
+        if (containsPatternExists(e0)) {
+          val (e2, rewritten, _) = lowerExists(ctx, env, e0)
+          env = e2
+          rewritten
+        } else e0
+      val ids = env.df.get
+        .select(compile(ctx, env, e).as("id")).filter(col("id").isNotNull)
+      kind match {
+        case RelVar => ctx.g = UpdateOps.deleteRels(ctx.g, ids)
+        case _      => ctx.g = UpdateOps.deleteNodes(ctx.g, ids, d.detach)
+      }
     }
   }
+
+  /** Static entity kind of an entity-valued EXPRESSION (a DELETE/REMOVE
+    * target): variables, indexed entity lists, indexed pattern
+    * comprehensions / COLLECT{} of an entity, CASE over same-kind
+    * entities. None = not statically an entity. */
+  private def entityExprKind(env: Env, e: Expr): Option[Binding] = e match {
+    case Variable(v) => env.binds.get(v).collect {
+      case NodeVar => NodeVar; case RelVar => RelVar }
+    case Index(l, _) => entityElemKind(env, l)
+    case Func("head" | "last", Seq(l), _) => entityElemKind(env, l)
+    case CaseExpr(_, ws, dflt) =>
+      val ks = (ws.map(_._2) ++ dflt.toSeq).map(entityExprKind(env, _))
+      if (ks.nonEmpty && ks.forall(_.isDefined) &&
+          ks.flatten.distinct.size == 1) ks.head
+      else None
+    case Func("coalesce", as, _) =>
+      val ks = as.map(entityExprKind(env, _))
+      if (ks.nonEmpty && ks.forall(_.isDefined) &&
+          ks.flatten.distinct.size == 1) ks.head
+      else None
+    case _ => None
+  }
+
+  /** element kind of an entity-LIST expression */
+  private def entityElemKind(env: Env, l: Expr): Option[Binding] =
+    entityListKind(env, l) match {
+      case Some(NodeListVar) => Some(NodeVar)
+      case Some(RelListVar)  => Some(RelVar)
+      case _ => l match {
+        case PatternComprehension(p, _, Variable(v), _, _, _) =>
+          if ((p.first +: p.hops.map(_._2)).flatMap(_.variable).contains(v))
+            Some(NodeVar)
+          else if (p.hops.flatMap(_._1.variable).contains(v)) Some(RelVar)
+          else None
+        case SubqueryExpr(k, q) if k.equalsIgnoreCase("collect") =>
+          for {
+            part <- q.parts.headOption
+            ret <- part.clauses.collectFirst { case r: ReturnClause => r }
+            v <- ret.items.headOption.map(_.expr).collect {
+              case Variable(v2) => v2 }
+            kind <- {
+              val ms = part.clauses.collect { case m: MatchClause => m }
+              val nodeVs = ms.flatMap(_.patterns.flatMap(p =>
+                (p.first +: p.hops.map(_._2)).flatMap(_.variable)))
+              val relVs = ms.flatMap(_.patterns.flatMap(
+                _.hops.flatMap(_._1.variable)))
+              if (nodeVs.contains(v)) Some(NodeVar)
+              else if (relVs.contains(v)) Some(RelVar)
+              else None
+            }
+          } yield kind
+        case _ => None
+      }
+    }
 
   // ---- whole-query pre-walk: which properties does each variable need? ---
 
@@ -1469,6 +1584,7 @@ object Planner {
     def walkSetItems(items: Seq[SetItem]): Unit = items.foreach {
       case SetProp(_, _, v)         => walk(v)
       case SetPropsFromMap(_, m, _) => walk(m)
+      case RemovePropExpr(s, _)     => walk(s)
       case _                        => ()
     }
     def walkForeach(f: ForeachClause): Unit = {
@@ -1497,8 +1613,8 @@ object Planner {
       case MergeClause(p, om, oc) =>
         walkPattern(p); walkSetItems(om); walkSetItems(oc)
       case SetClause(items)      => walkSetItems(items)
-      case RemoveClause(_)       => ()
-      case DeleteClause(_, _)    => ()
+      case RemoveClause(items)   => walkSetItems(items)
+      case DeleteClause(_, _, es) => es.foreach(walk)
       case f: ForeachClause      => walkForeach(f)
       case c: CallClause => c.args.foreach(walk); c.where.foreach(walk)
       case c: CallSubquery => c.innerQ.parts.foreach(_.clauses.foreach(walkClause))
@@ -1514,6 +1630,11 @@ object Planner {
     def collectRenames(cl: Clause): Unit = cl match {
       case WithClause(_, items, _, _, _, _) => items.foreach {
         case ReturnItem(Variable(v), Some(a), _) if a != v => renames += ((v, a))
+        // coalesce over entity variables keeps entity-hood (`coalesce(p,
+        // sta) AS ab … ab.OtherId`): the alias's reads hydrate on EVERY
+        // argument (whichever wins per row carries the property)
+        case ReturnItem(Func("coalesce", as, _), Some(a), _) =>
+          as.foreach { case Variable(v) => renames += ((v, a)); case _ => () }
         case _ => ()
       }
       case c: CallSubquery =>
@@ -1563,6 +1684,7 @@ object Planner {
       case SetPropsFromMap(v, m, _) => acc += v; walk(m)
       case SetLabelsItem(v, _)    => acc += v
       case RemoveProp(v, _)       => acc += v
+      case RemovePropExpr(s, _)   => walk(s)
       case RemoveLabelsItem(v, _) => acc += v
     }
     def walkClause(cl: Clause): Unit = cl match {
@@ -1588,7 +1710,7 @@ object Planner {
         walkSetItems(om); walkSetItems(oc)
       case SetClause(items)     => walkSetItems(items)
       case RemoveClause(items)  => walkSetItems(items)
-      case DeleteClause(vs, _)  => acc ++= vs
+      case DeleteClause(vs, _, es) => acc ++= vs; es.foreach(walk)
       case ForeachClause(_, list, updates) => walk(list); updates.foreach(walkClause)
       case c: CallClause => c.args.foreach(walk); c.where.foreach(walk)
       case c: CallSubquery => c.innerQ.parts.foreach(_.clauses.foreach(walkClause))
@@ -1713,8 +1835,30 @@ object Planner {
       // GQL match modes: REPEATABLE ELEMENTS waives relationship
       // uniqueness for this MATCH; DIFFERENT NODES adds pairwise node
       // distinctness over the clause's node variables
-      if (mIn.mode != "repeatable")
+      if (mIn.mode != "repeatable") {
         cur = applyUniqueness(ctx, cur, relVarsBefore)
+        // a rel variable REPEATED across rel patterns of THIS clause can
+        // never match under default uniqueness: the two occurrences must
+        // bind the same rel (same variable) AND different rels (reference
+        // AddUniquenessPredicates emits a pairwise <> per occurrence pair)
+        // — the contradiction makes the clause empty, not an error
+        val rels = m.patterns.flatMap(_.hops.map(_._1))
+        // `__`-prefixed names are planner-generated (pushStepPredicates
+        // step names) — never user repetitions
+        val topVars = rels.flatMap(r =>
+          if (r.branches.isEmpty)
+            r.variable.toSeq.filterNot(_.startsWith("__"))
+          else Seq.empty)
+        // within ONE alternation branch chain a duplicate is the same
+        // contradiction; ACROSS alternative branches sharing a name is fine
+        val branchDup = rels.flatMap(_.branches.toSeq.flatten).exists {
+          chain =>
+            val vs = chain.flatMap(_._1.variable)
+            vs.diff(vs.distinct).nonEmpty
+        }
+        if (topVars.diff(topVars.distinct).nonEmpty || branchDup)
+          cur = cur.copy(df = cur.df.map(_.filter(lit(false))))
+      }
       if (mIn.mode == "different") {
         // distinctness over every node binding of THIS clause: named new
         // bindings, anonymous pattern nodes (bindNode/expandHop name them
@@ -1917,10 +2061,12 @@ object Planner {
         val base = if (kind == "none") UnaryOp("NOT", pred) else pred
         val pushed: Option[Vector[PathPattern]] = if (!eligible) None else {
           val p = patterns(idx)
-          val hops2 = p.hops.toVector.map { case (rl, nd) =>
-            // anonymous rels get a `__`-prefixed name: bound but invisible
-            // to RETURN * (same convention as ctx.fresh)
-            val rv = rl.variable.getOrElse(s"__step_$v")
+          val hops2 = p.hops.toVector.zipWithIndex.map { case ((rl, nd), hi) =>
+            // anonymous rels get a `__`-prefixed PER-HOP name: bound but
+            // invisible to RETURN * (same convention as ctx.fresh); the
+            // name must be unique per hop — a repeated rel variable within
+            // one clause is a uniqueness contradiction (empty match)
+            val rv = rl.variable.getOrElse(s"__step_${v}_$hi")
             renameVarOpt(base, v, rv).map { rp =>
               (rl.copy(variable = Some(rv),
                 where = Some(rl.where.fold(rp)(w => BinOp("AND", w, rp)))), nd)
@@ -3701,9 +3847,11 @@ object Planner {
     * arrays exactly like `nodes(p)[0].k` does. */
   private def entityListKind(env: Env, e: Expr): Option[Binding] = e match {
     case Func("nodes", Seq(Variable(pv)), _)
-        if env.binds.get(pv).contains(PathVar) => Some(NodeListVar)
+        if env.binds.get(pv).contains(PathVar) ||
+          pathStructVar(env, pv) => Some(NodeListVar)
     case Func("relationships" | "rels", Seq(Variable(pv)), _)
-        if env.binds.get(pv).contains(PathVar) => Some(RelListVar)
+        if env.binds.get(pv).contains(PathVar) ||
+          pathStructVar(env, pv) => Some(RelListVar)
     case Variable(v) => env.binds.get(v).collect {
       case NodeListVar => NodeListVar
       case RelListVar  => RelListVar
@@ -3827,6 +3975,23 @@ object Planner {
       case Prop(Func("head" | "last", Seq(Variable(lv)), _), k)
           if listKindOf(lv).isDefined =>
         out += ((lv, (if (listKindOf(lv).get) "Lrelprop:" else "Lnodeprop:") + k))
+      // last(nodes(p)):Label / nodes(p)[i]:Label outside lambdas hydrate
+      // the same per-position labels/types parallel arrays
+      case HasLabel(Func("head" | "last",
+          Seq(Func("nodes", Seq(Variable(pv)), _)), _), _)
+          if env.binds.get(pv).contains(PathVar) =>
+        out += ((pv, "nodelabels"))
+      case HasLabel(Index(Func("nodes", Seq(Variable(pv)), _), i), _)
+          if env.binds.get(pv).contains(PathVar) =>
+        out += ((pv, "nodelabels")); walk(i)
+      case HasLabel(Func("head" | "last",
+          Seq(Func("relationships" | "rels", Seq(Variable(pv)), _)), _), _)
+          if env.binds.get(pv).contains(PathVar) =>
+        out += ((pv, "reltypes"))
+      case HasLabel(Index(Func("relationships" | "rels",
+          Seq(Variable(pv)), _), i), _)
+          if env.binds.get(pv).contains(PathVar) =>
+        out += ((pv, "reltypes")); walk(i)
       case HasLabel(o, _) => walk(o)
       case IterPredicate(_, v, l, pr) => lam(v, l, Seq(pr)); walk(l); walk(pr)
       case ListComprehension(v, l, w, pr) =>
@@ -5192,8 +5357,22 @@ object Planner {
     val inEnv = loweredEnv
     val hasAgg = items.exists(i => containsAgg(i.expr))
 
-    final case class Out(alias: String, item: ReturnItem, passThrough: Option[String])
+    final case class Out(alias: String, item: ReturnItem,
+        passThrough: Option[String], coalesceOf: Option[Seq[String]] = None)
     val outs = items.map { i =>
+      // coalesce over SAME-KIND entity variables stays an entity under the
+      // alias (reference: the value is a node/relationship; `ab.prop`
+      // hydrates through whichever argument won per row)
+      val coalesceOf = i.expr match {
+        case Func("coalesce", as, _) if as.nonEmpty && as.forall {
+              case Variable(v) => env.has(v) &&
+                (env.binds(v) == NodeVar || env.binds(v) == RelVar)
+              case _ => false
+            } && as.map { case Variable(v) => env.binds(v) }
+              .distinct.size == 1 =>
+          Some(as.map { case Variable(v) => v; case _ => "" })
+        case _ => None
+      }
       val pass = i.expr match {
         // path variables have no column of their own: pass their p$* columns
         // through WITH (binding preserved), but materialize the path struct
@@ -5205,7 +5384,7 @@ object Planner {
           !(isReturn && env.binds(v) == PathVar) => Some(v)
         case _ => None
       }
-      Out(itemAlias(i), i, pass)
+      Out(itemAlias(i), i, pass, coalesceOf)
     }
     require(outs.map(_.alias).distinct.size == outs.size,
       "duplicate column aliases in projection")
@@ -5252,6 +5431,25 @@ object Planner {
       else df.columns.filter(_.startsWith(v + "$")).toSeq
         .map(n => col(n).as(alias + n.stripPrefix(v)))
 
+    /** projection + carried columns for an entity-coalesce output: the
+      * alias id picks the first non-null source; each hydrated suffix
+      * follows the same per-row winner */
+    def coalesceCols(srcs: Seq[String], alias: String): Seq[Column] = {
+      val idCol = coalesce(srcs.map(col): _*).as(alias)
+      if (isReturn) Seq(idCol)
+      else {
+        val suffixes = srcs.flatMap(v => df.columns.toSeq
+          .filter(_.startsWith(v + "$")).map(_.drop(v.length + 1))).distinct
+        idCol +: suffixes.map { k =>
+          srcs.foldRight(lit(null): Column) { (v, acc) =>
+            val c0 = if (df.columns.contains(s"$v$$$k")) col(s"$v$$$k")
+              else lit(null)
+            when(col(v).isNotNull, c0).otherwise(acc)
+          }.as(s"$alias$$$k")
+        }
+      }
+    }
+
     var projected: DataFrame = null
     var newBinds = Map.empty[String, Binding]
 
@@ -5261,6 +5459,8 @@ object Planner {
         o.passThrough match {
           case Some(v) if env.binds(v) == PathVar => carriedAs(v, o.alias)
           case Some(v) => col(v).as(o.alias) +: carriedAs(v, o.alias)
+          case None if o.coalesceOf.isDefined =>
+            coalesceCols(o.coalesceOf.get, o.alias)
           case None    => Seq(compile(ctx, inEnv, o.item.expr).as(o.alias))
         }
       }
@@ -5285,13 +5485,16 @@ object Planner {
         else dfA.groupBy(keyCols: _*).agg(aggCols2.head, aggCols2.tail: _*)
       newBinds = outs.map(o => o.alias ->
         o.passThrough.map(env.binds).getOrElse(
-          entityListKind(env, o.item.expr).orElse(
+          o.coalesceOf.map(ss => env.binds(ss.head)).orElse(
+            entityListKind(env, o.item.expr)).orElse(
             mapFieldKind(o.item.expr)).getOrElse(ValueVar))).toMap
     } else {
       val projCols = outs.flatMap { o =>
         o.passThrough match {
           case Some(v) if env.binds(v) == PathVar => carriedAs(v, o.alias)
           case Some(v) => col(v).as(o.alias) +: carriedAs(v, o.alias)
+          case None if o.coalesceOf.isDefined =>
+            coalesceCols(o.coalesceOf.get, o.alias)
           case None    => Seq(compile(ctx, inEnv, o.item.expr).as(o.alias))
         }
       }
@@ -5359,7 +5562,8 @@ object Planner {
         case (n, c, _) if c != null => n }: _*)
       newBinds = outs.map(o => o.alias ->
         o.passThrough.map(env.binds).getOrElse(
-          entityListKind(env, o.item.expr).orElse(
+          o.coalesceOf.map(ss => env.binds(ss.head)).orElse(
+            entityListKind(env, o.item.expr)).orElse(
             mapFieldKind(o.item.expr)).getOrElse(ValueVar))).toMap
     }
     applyEntityFieldProvenance()
@@ -5513,6 +5717,21 @@ object Planner {
     case _ => None
   }
 
+  /** Lift both sides of a list concatenation into the orderability
+    * encoding when their element types differ — one uniform encoded array.
+    * None when an element type has no encoder (caller falls back). */
+  private def liftedConcat(a: Column, ae: org.apache.spark.sql.types.DataType,
+      b: Column, be: org.apache.spark.sql.types.DataType): Option[Column] = {
+    val O = graft.functions.Orderability
+    // nullability differences between independently-built encoded values
+    // are erased by a cast to the canonical encoded DDL
+    val canon = s"array<${O.encodedDdl}>"
+    def lift(cc: Column, et: org.apache.spark.sql.types.DataType) =
+      if (O.isEncoded(et)) Some(cc.cast(canon))
+      else O.encoderAt(0, et).map(f => transform(cc, f).cast(canon))
+    for { x <- lift(a, ae); y <- lift(b, be) } yield concat(x, y)
+  }
+
   /** Pattern-inline property values must be constants or parameters. */
   private def constExpr(ctx: Ctx, e: Expr): Column = e match {
     case Lit(v)   => lit(v)
@@ -5523,13 +5742,64 @@ object Planner {
 
   private def litAny(v: Any): Column = v match {
     case null       => lit(null)
+    case s: Seq[_] if mixedParamList(s) =>
+      // a mixed-typed list parameter (`$lhs = [1, 'two', 4]`): one Spark
+      // array type can't hold it — lift every element into the
+      // orderability encoding (cypher_compare and the result layer both
+      // understand it)
+      array(s.map(encodeParamElem): _*)
     case s: Seq[_]  => array(s.map(litAny): _*)
+    case a: Array[_] if mixedParamList(a.toSeq) =>
+      array(a.toSeq.map(encodeParamElem): _*)
     case a: Array[_] => array(a.toSeq.map(litAny): _*)
     case m: Map[_, _] =>
       // map parameter used as a value: STRUCT of its entries, matching the
       // properties() convention (maps are structs in the columnar engine)
       struct(m.toSeq.map { case (k, x) => litAny(x).as(k.toString) }: _*)
     case other      => lit(normNum(other))
+  }
+
+  /** does this parameter list mix value categories (string/bool/number/
+    * list/map) beyond nulls? */
+  private def mixedParamList(s: Seq[Any]): Boolean = {
+    val kinds = s.collect {
+      case _: String => 's'
+      case _: java.lang.Boolean => 'b'
+      case _: Number => 'n'
+      case _: Seq[_] | _: Array[_] => 'l'
+      case _: Map[_, _] => 'm'
+    }
+    kinds.distinct.size > 1
+  }
+
+  /** encode one mixed-list parameter element into the orderability
+    * encoding at depth 0 */
+  private def encodeParamElem(v: Any): Column = {
+    val O = graft.functions.Orderability
+    v match {
+      case null => O.nullValue
+      case s: String => O.string(lit(s))
+      case b: java.lang.Boolean => O.boolean(lit(b.booleanValue))
+      case n: Number => O.number(lit(normNum(n)))
+      case s: Seq[_] =>
+        if (s.isEmpty) O.listOfEncodedAt(0, O.emptyElems(0))
+        else O.listOfEncodedAt(0, array(s.map(encodeParamElemAt(1)): _*))
+      case other => O.string(lit(other.toString))
+    }
+  }
+  private def encodeParamElemAt(depth: Int)(v: Any): Column = {
+    val O = graft.functions.Orderability
+    v match {
+      case null => O.nullAt(depth)
+      case s: String => O.stringAt(depth, lit(s))
+      case b: java.lang.Boolean => O.booleanAt(depth, lit(b.booleanValue))
+      case n: Number => O.numberAt(depth, lit(normNum(n)))
+      case s: Seq[_] if depth < O.MaxDepth =>
+        if (s.isEmpty) O.listOfEncodedAt(depth, O.emptyElems(depth))
+        else O.listOfEncodedAt(depth,
+          array(s.map(encodeParamElemAt(depth + 1)): _*))
+      case other => O.stringAt(depth, lit(other.toString))
+    }
   }
 
   /** Cypher integers are 64-bit and floats are doubles — narrow JVM
@@ -5715,16 +5985,71 @@ object Planner {
         lazy val entKinds = xs.map(entKind)
         lazy val allSameEntity = entKinds.forall(_.isDefined) &&
           entKinds.flatten.distinct.size == 1
+        // entities nested inside literal maps/lists (`{k: n, l: 42}` —
+        // reference UnwindAcceptance nested-type scenarios) encode at the
+        // EXPR level: the column-level struct encoder would read a node id
+        // as a NUMBER
+        lazy val entInNested = xs.exists {
+          def hasEnt(e: Expr): Boolean = e match {
+            case Variable(v2) => env.binds.get(v2).exists {
+              case NodeVar | RelVar | PathVar => true; case _ => false }
+            case MapLit(es2)  => es2.exists(kv => hasEnt(kv._2))
+            case ListLit(ys)  => ys.exists(hasEnt)
+            case _            => false
+          }
+          x => (x.isInstanceOf[MapLit] || x.isInstanceOf[ListLit]) && hasEnt(x)
+        }
         if (types.forall(_.isDefined) && !allSameEntity &&
-            (xs.exists(x => entKind(x).isDefined) ||
+            (xs.exists(x => entKind(x).isDefined) || entInNested ||
               (nonNull.size > 1 && !allNumeric))) {
           val O = graft.functions.Orderability
-          if (xs.exists(x => entKind(x).isDefined)) {
+          // expr-level encoder for nested literal maps/lists holding
+          // entities; None = defer to the column-level encoders below
+          def exprEnc(depth: Int)(x: Expr): Option[Column] = x match {
+            // entities are scalar payloads (id in `s`) — encodable at any
+            // level incl. the scalar-only MaxDepth; containers need room
+            // for their `l` payload one level down
+            case Variable(v2) if env.binds.get(v2).contains(NodeVar) =>
+              Some(O.nodeAt(depth, c(x)))
+            case Variable(v2) if env.binds.get(v2).contains(RelVar) =>
+              Some(O.relAt(depth, c(x)))
+            case Variable(v2) if env.binds.get(v2).contains(PathVar) =>
+              Some(O.pathAt(depth, c(x)))
+            case _ if depth >= O.MaxDepth => None
+            case MapLit(es2) =>
+              val vals = es2.map { case (k, vx) =>
+                exprEnc(depth + 1)(vx).orElse {
+                  val cc = c(vx)
+                  dataTypeOf(env, cc)
+                    .flatMap(dt => O.encoderAt(depth + 1, dt)).map(_(cc))
+                }.map(k -> _)
+              }
+              if (vals.forall(_.isDefined))
+                Some(O.mapOfEncodedAt(depth, vals.flatten))
+              else None
+            case ListLit(ys) =>
+              if (ys.isEmpty)
+                Some(O.listOfEncodedAt(depth, O.emptyElems(depth)))
+              else {
+                val els = ys.map { y =>
+                  exprEnc(depth + 1)(y).orElse {
+                    val cc = c(y)
+                    dataTypeOf(env, cc)
+                      .flatMap(dt => O.encoderAt(depth + 1, dt)).map(_(cc))
+                  }
+                }
+                if (els.forall(_.isDefined))
+                  Some(O.listOfEncodedAt(depth, array(els.flatten: _*)))
+                else None
+              }
+            case _ => None
+          }
+          if (xs.exists(x => entKind(x).isDefined) || entInNested) {
             // entities lift into the encoding with their kind's rank — one
             // uniform array a later UNWIND / head() / ORDER BY can consume;
             // the result layer resolves the entity ranks through the graph
             val enc = xs.zip(cols).zip(types).map { case ((x, cc), t) =>
-              entKind(x) match {
+              exprEnc(0)(x).orElse(entKind(x) match {
                 case Some("node")     => Some(O.nodeAt(0, cc))
                 case Some("rel")      => Some(O.relAt(0, cc))
                 case Some("nodelist") => Some(O.listOfEncodedAt(0,
@@ -5733,15 +6058,15 @@ object Planner {
                   transform(cc, e => O.relAt(1, e))))
                 case Some("path")     => Some(O.pathAt(0, cc))
                 case _ => t.flatMap(dt => O.encodeAny(dt, cc))
-              }
+              })
             }
             if (enc.forall(_.isDefined)) array(enc.flatten: _*)
             else // unencodable residue: the legacy marker struct
               struct(xs.zip(cols).zipWithIndex.map { case ((x, cc), i) =>
                 cc.as(s"__mix_${i}_${entKind(x).getOrElse("value")}") }: _*)
           } else {
-            val enc = types.flatten.zip(cols).map { case (dt, cc) =>
-              O.encodeAny(dt, cc) }
+            val enc = xs.zip(types.flatten).zip(cols).map {
+              case ((x, dt), cc) => exprEnc(0)(x).orElse(O.encodeAny(dt, cc)) }
             if (enc.forall(_.isDefined)) array(enc.flatten: _*)
             else array(cols: _*)
           }
@@ -5903,6 +6228,16 @@ object Planner {
                   graft.functions.Orderability.PathStructFields) =>
             lit(null)
           case Some(org.apache.spark.sql.types.NullType) => lit(null)
+          // a SCALAR-typed DERIVED subject (`m.other.name` where m.other is
+          // a map miss typed by the map's value column): the runtime value
+          // is NULL on the reference's accepted inputs — propagate NULL.
+          // A scalar VARIABLE subject (`WITH 1 AS x RETURN x.prop`) keeps
+          // the reference's type error (getItem fails analysis loudly).
+          case Some(t) if (s.isInstanceOf[Prop] || s.isInstanceOf[Index]) &&
+              (t == org.apache.spark.sql.types.StringType ||
+                t == org.apache.spark.sql.types.BooleanType ||
+                t.isInstanceOf[org.apache.spark.sql.types.NumericType]) =>
+            lit(null)
           case _ => sc.getItem(k)
         }
       case CountStar   => count(lit(1))
@@ -6007,12 +6342,28 @@ object Planner {
           val (lt, rt) = (dataTypeOf(env, lc).orElse(astType(l)),
             dataTypeOf(env, rc).orElse(astType(r)))
           (lt, rt) match {
+            // LIST + anything is list concatenation in Cypher (a non-list
+            // operand appends/prepends as one element — `[1] + 'a'` is
+            // [1, 'a'], NOT string concat), so array cases come FIRST.
+            // Mismatched element types (`collected + [[1], ['s', 1]]`,
+            // `[1] + 'a'`) lift both sides into the orderability encoding
+            // — one uniform array any downstream consumer handles.
+            case (Some(ArrayType(le, _)), Some(ArrayType(re, _)))
+                if le != re =>
+              liftedConcat(lc, le, rc, re).getOrElse(concat(lc, rc))
+            case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
+            case (Some(ArrayType(le, _)), Some(rt0)) =>
+              if (le == rt0) concat(lc, array(rc))
+              else liftedConcat(lc, le, array(rc), rt0)
+                .getOrElse(concat(lc, array(rc)))
+            case (Some(lt0), Some(ArrayType(re, _)))
+                if !isDurationType(lt) =>
+              if (lt0 == re) concat(array(lc), rc)
+              else liftedConcat(array(lc), lt0, rc, re)
+                .getOrElse(concat(array(lc), rc))
             case (Some(StringType), Some(StringType)) => concat(lc, rc)
             case (Some(StringType), Some(_)) => concat(lc, rc.cast("string"))
             case (Some(_), Some(StringType)) => concat(lc.cast("string"), rc)
-            case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
-            case (Some(_: ArrayType), Some(_)) => concat(lc, array(rc))
-            case (Some(_), Some(_: ArrayType)) => concat(array(lc), rc)
             case _ if isDurationType(lt) && isDurationType(rt) =>
               graft.functions.Durations.plus(lc, rc)
             case (Some(DateType), _) if isDurationType(rt) =>
@@ -6044,7 +6395,14 @@ object Planner {
           if (lt2.contains(NullType)) lit(null).cast(rt2.getOrElse(NullType))
           else if (rt2.contains(NullType))
             lit(null).cast(lt2.getOrElse(NullType))
-          else concat(lc, rc)
+          else (lt2, rt2) match {
+            // mixed-element-type LIST || LIST lifts into the encoding,
+            // like `+` concatenation above
+            case (Some(ArrayType(le, _)), Some(ArrayType(re, _)))
+                if le != re =>
+              liftedConcat(lc, le, rc, re).getOrElse(concat(lc, rc))
+            case _ => concat(lc, rc)
+          }
         case "-" =>
           val (lc, rc) = (c(l), c(r))
           val (lt, rt) = (dataTypeOf(env, lc), dataTypeOf(env, rc))
@@ -6233,6 +6591,58 @@ object Planner {
               conj.map { a =>
                 val t = if (a.name == "%") size(labelsCol) > 0
                   else array_contains(labelsCol, a.name)
+                if (a.negated) !t else t
+              }.reduce(_ && _)
+            }.reduce(_ || _)
+          // path-element label/type tests outside lambdas
+          // (`last(nodes(p)):End`, `relationships(p)[0]:T`) read the
+          // hydrated per-position parallel arrays
+          case Func(hl @ ("head" | "last"),
+              Seq(Func("nodes", Seq(Variable(pv)), _)), _)
+              if env.df.exists(_.columns.contains(s"$pv$$nodelabels")) =>
+            val labelsCol = element_at(col(s"$pv$$nodelabels"),
+              if (hl == "head") 1 else -1)
+            dnf.map { conj =>
+              conj.map { a =>
+                val t = if (a.name == "%") size(labelsCol) > 0
+                  else array_contains(labelsCol, a.name)
+                if (a.negated) !t else t
+              }.reduce(_ && _)
+            }.reduce(_ || _)
+          case Index(Func("nodes", Seq(Variable(pv)), _), i)
+              if env.df.exists(_.columns.contains(s"$pv$$nodelabels")) =>
+            val ic = c(i)
+            val labelsCol = try_element_at(col(s"$pv$$nodelabels"),
+              when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
+            dnf.map { conj =>
+              conj.map { a =>
+                val t = if (a.name == "%") size(labelsCol) > 0
+                  else array_contains(labelsCol, a.name)
+                if (a.negated) !t else t
+              }.reduce(_ && _)
+            }.reduce(_ || _)
+          case Func(hl @ ("head" | "last"),
+              Seq(Func("relationships" | "rels", Seq(Variable(pv)), _)), _)
+              if env.df.exists(_.columns.contains(s"$pv$$reltypes")) =>
+            val typeCol = element_at(col(s"$pv$$reltypes"),
+              if (hl == "head") 1 else -1)
+            dnf.map { conj =>
+              conj.map { a =>
+                val t = if (a.name == "%") typeCol.isNotNull
+                  else typeCol === a.name
+                if (a.negated) !t else t
+              }.reduce(_ && _)
+            }.reduce(_ || _)
+          case Index(Func("relationships" | "rels",
+              Seq(Variable(pv)), _), i)
+              if env.df.exists(_.columns.contains(s"$pv$$reltypes")) =>
+            val ic = c(i)
+            val typeCol = try_element_at(col(s"$pv$$reltypes"),
+              when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
+            dnf.map { conj =>
+              conj.map { a =>
+                val t = if (a.name == "%") typeCol.isNotNull
+                  else typeCol === a.name
                 if (a.negated) !t else t
               }.reduce(_ && _)
             }.reduce(_ || _)
@@ -6480,6 +6890,15 @@ object Planner {
       distinct: Boolean, lambdas: Map[String, Column]): Column = {
     def c(x: Expr): Column = compile(ctx, env, x, lambdas)
     def a0 = c(args.head)
+    // a variant-encoded argument to a STRING function decodes its `s`
+    // payload (dynamic-typed property storage: non-string rows yield NULL
+    // — the permissive columnar analogue of the reference's runtime raise)
+    def s0 = {
+      val cc = a0
+      if (dataTypeOf(env, cc).exists(graft.functions.Orderability.isEncoded))
+        cc.getField("s")
+      else cc
+    }
     name match {
       // aggregates (within groupBy().agg(...))
       case "count"   => if (distinct) count_distinct(a0) else count(a0)
@@ -6581,8 +7000,8 @@ object Planner {
           case other => throw new IllegalArgumentException(s"$name() needs a variable")
         }
       // scalar functions
-      case "toupper"   => upper(a0)
-      case "tolower"   => lower(a0)
+      case "toupper"   => upper(s0)
+      case "tolower"   => lower(s0)
       // Cypher 5 trim variants take an optional trim-character argument.
       // The default trims UNICODE whitespace (reference trims
       // Character.isWhitespace — thin/ideographic spaces included), which
@@ -6602,14 +7021,14 @@ object Planner {
               require(s.codePointCount(0, s.length) == 1,
                 s"trim character string must be a single character, got '$s'")
             base match {
-              case "trim" | "btrim" => trim(a0, s)
-              case "ltrim"          => ltrim(a0, s)
-              case _                => rtrim(a0, s)
+              case "trim" | "btrim" => trim(s0, s)
+              case "ltrim"          => ltrim(s0, s)
+              case _                => rtrim(s0, s)
             }
         } else base match {
-          case "trim" | "btrim" => regexp_replace(a0, "(?U)(^\\s+|\\s+$)", "")
-          case "ltrim"          => regexp_replace(a0, "(?U)^\\s+", "")
-          case _                => regexp_replace(a0, "(?U)\\s+$", "")
+          case "trim" | "btrim" => regexp_replace(s0, "(?U)(^\\s+|\\s+$)", "")
+          case "ltrim"          => regexp_replace(s0, "(?U)^\\s+", "")
+          case _                => regexp_replace(s0, "(?U)\\s+$", "")
         }
       case "reverse"   => reverse(a0)
       case "replace"   =>
@@ -6639,6 +7058,9 @@ object Planner {
         args.head match {
           case Variable(v) if env.binds.get(v).contains(PathVar) =>
             col(s"$v$$rels") // rel-id sequence of a shortestPath variable
+          // a PATH VALUE (STRUCT{nodes, rels, length} — e.g. a path
+          // returned through a CALL {} / IN TRANSACTIONS body)
+          case _ if isPathStructTyped(env, a0) => a0.getField("rels")
           case other => throw new IllegalArgumentException(
             "relationships() takes a shortestPath variable")
         }
@@ -6646,6 +7068,7 @@ object Planner {
         args.head match {
           case Variable(v) if env.binds.get(v).contains(PathVar) =>
             col(s"$v$$nodes") // node-id sequence incl. both endpoints
+          case _ if isPathStructTyped(env, a0) => a0.getField("nodes")
           case other => throw new IllegalArgumentException(
             "nodes() takes a shortestPath variable")
         }
@@ -6786,24 +7209,90 @@ object Planner {
             when(a0.isNull, lit("NULL")).otherwise(lit(s"$t NOT NULL"))
           case None =>
             import org.apache.spark.sql.types._
+            val O = graft.functions.Orderability
+            // (orderIdx, name) per encoded element — idx is the
+            // reference's normalized union order (ValueRepresentation)
+            def elEntry(el: Column, depth: Int): Column = {
+                  val r2 = el.getField("rank")
+                  val isInt = el.getField("repr").rlike("^-?[0-9]+$")
+                  val name =
+                    when(r2 === O.RankString, lit("STRING"))
+                      .when(r2 === O.RankBoolean, lit("BOOLEAN"))
+                      .when(r2 === O.RankNumber,
+                        when(isInt, lit("INTEGER")).otherwise(lit("FLOAT")))
+                      .when(r2 === O.RankDate, lit("DATE"))
+                      .when(r2 === O.RankZdt, lit("ZONED DATETIME"))
+                      .when(r2 === O.RankLdt, lit("LOCAL DATETIME"))
+                      .when(r2 === O.RankDuration, lit("DURATION"))
+                      .when(r2 === O.RankPoint, lit("POINT"))
+                      .when(r2 === O.RankMap, lit("MAP"))
+                      .when(r2 === O.RankNode, lit("NODE"))
+                      .when(r2 === O.RankRel, lit("RELATIONSHIP"))
+                      .when(r2 === O.RankPath, lit("PATH"))
+                      .when(r2 === O.RankList,
+                        if (depth < 2)
+                          concat(lit("LIST<"), unionName(el, depth + 1),
+                            lit(">"))
+                        else lit("LIST<ANY>"))
+                      .otherwise(lit("ANY"))
+                  val idx =
+                    when(r2 === O.RankBoolean, lit(2))
+                      .when(r2 === O.RankString, lit(3))
+                      .when(r2 === O.RankNumber,
+                        when(isInt, lit(4)).otherwise(lit(5)))
+                      .when(r2 === O.RankDate, lit(6))
+                      .when(r2 === O.RankLdt, lit(9))
+                      .when(r2 === O.RankZdt, lit(10))
+                      .when(r2 === O.RankDuration, lit(11))
+                      .when(r2 === O.RankPoint, lit(12))
+                      .when(r2 === O.RankNode, lit(13))
+                      .when(r2 === O.RankRel, lit(14))
+                      .when(r2 === O.RankMap, lit(15))
+                      .when(r2 === O.RankList, lit(16))
+                      .when(r2 === O.RankPath, lit(17))
+                      .otherwise(lit(99))
+                  struct(idx.as("i"), name.as("n"))
+                }
+                // union type name of a list of encoded elements
+                def unionNameOf(els: Column, depth: Int): Column = {
+                  // SQL-null elements (COLLECT{} retains them) count as
+                  // Cypher nulls alongside rank-Null encoded elements
+                  def isNullEl(e: Column) =
+                    e.isNull || e.getField("rank") === lit(O.RankNull)
+                  val nn = array_distinct(transform(
+                    filter(els, e => !isNullEl(e)),
+                    e => elEntry(e, depth)))
+                  val hasNull = exists(els, e => isNullEl(e))
+                  val suffixed = transform(array_sort(nn), en =>
+                    concat(en.getField("n"),
+                      when(hasNull, lit("")).otherwise(lit(" NOT NULL"))))
+                  when(size(els) === 0, lit("NOTHING"))
+                    .when(size(nn) === 0, lit("NULL"))
+                    .otherwise(array_join(suffixed, " | "))
+                }
+            def unionName(v: Column, depth: Int): Column =
+              unionNameOf(v.getField("l"), depth)
             env.df.map(_.select(a0).schema.head.dataType) match {
               // orderability-ENCODED value (mixed-typed UNWIND/CASE/list
-              // element): the dynamic type dispatches on the populated
-              // field; repr distinguishes INTEGER from FLOAT
+              // element): the dynamic type dispatches on the RANK; repr
+              // distinguishes INTEGER from FLOAT; list element types union
+              // dynamically in the reference's normalized type order
               case Some(st: StructType)
                   if graft.functions.Orderability.isEncoded(st) =>
+                val r1 = a0.getField("rank")
+                when(a0.isNull.or(r1 === O.RankNull), lit("NULL"))
+                  .when(r1 === O.RankList,
+                    concat(lit("LIST<"), unionName(a0, 0),
+                      lit("> NOT NULL")))
+                  .otherwise(concat(elEntry(a0, 0).getField("n"),
+                    lit(" NOT NULL")))
+              // a NATIVE array of encoded elements (collect() over a
+              // dynamic-typed property column): same member-union naming
+              case Some(ArrayType(et: StructType, _))
+                  if graft.functions.Orderability.isEncoded(et) =>
                 when(a0.isNull, lit("NULL"))
-                  .when(a0.getField("s").isNotNull, lit("STRING NOT NULL"))
-                  .when(a0.getField("b").isNotNull, lit("BOOLEAN NOT NULL"))
-                  .when(a0.getField("d").isNotNull,
-                    when(a0.getField("repr").rlike("^-?[0-9]+$"),
-                      lit("INTEGER NOT NULL"))
-                      .otherwise(lit("FLOAT NOT NULL")))
-                  .when(a0.getField("l").isNotNull,
-                    when(size(a0.getField("l")) === 0,
-                      lit("LIST<NOTHING> NOT NULL"))
-                      .otherwise(lit("LIST<ANY NOT NULL> NOT NULL")))
-                  .otherwise(lit("NULL"))
+                  .otherwise(concat(lit("LIST<"), unionNameOf(a0, 0),
+                    lit("> NOT NULL")))
               case Some(ArrayType(et, _)) =>
                 val en = cypherTypeName(et)
                 when(a0.isNull, lit("NULL"))
@@ -7072,6 +7561,25 @@ object Planner {
     }
 
   /** Type dispatch for size(): arrays use size(), strings length(). */
+  /** is variable `v` bound to a PATH VALUE struct column? */
+  private def pathStructVar(env: Env, v: String): Boolean =
+    env.df.exists(df => df.columns.contains(v) &&
+      (df.schema(v).dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fieldNames.toSeq ==
+            graft.functions.Orderability.PathStructFields
+        case _ => false
+      }))
+
+  /** is this column a PATH VALUE struct (nodes, rels, length)? */
+  private def isPathStructTyped(env: Env, cc: Column): Boolean =
+    dataTypeOf(env, cc) match {
+      case Some(st: org.apache.spark.sql.types.StructType) =>
+        st.fieldNames.toSeq ==
+          graft.functions.Orderability.PathStructFields
+      case _ => false
+    }
+
   private def isArrayTyped(env: Env, c: Column): Boolean =
     env.df.exists { df =>
       scala.util.Try(df.select(c).schema.head.dataType).toOption

@@ -44,10 +44,11 @@ object Orderability {
 
   /** payload levels below the column struct: level 0 is the column, its
     * list elements are level 1, theirs level 2, …; the level-MaxDepth
-    * struct is scalar-only. Depth 3 covers lists of lists of lists and
-    * maps of lists of maps — beyond it the planner rejects at compile
-    * time, as before for any nesting. */
-  val MaxDepth = 3
+    * struct is scalar-only. Depth 4 covers the deepest shapes in the
+    * reference's acceptance corpus (`[null, [null, {a: null}], {b: [null,
+    * {c: [null]}]}]` — list→map→list→map→list) — beyond it the planner
+    * rejects at compile time, as before for any nesting. */
+  val MaxDepth = 4
 
   /** field layout of the encoded struct — used to recognize encoded
     * columns. */
@@ -93,6 +94,11 @@ object Orderability {
   private def nullDouble = lit(null).cast("double")
   private def nullListAt(depth: Int) =
     lit(null).cast(s"array<${structDdl(depth + 1)}>")
+
+  /** canonical (all-nullable) DDL of the column-level encoded struct —
+    * cast target to align nullability across independently-built encoded
+    * values before a concat/union */
+  def encodedDdl: String = structDdl(0)
 
   /** typed empty element array for `depth`'s `l` payload */
   def emptyElems(depth: Int = 0): Column =
@@ -349,6 +355,13 @@ object Orderability {
       case MapType(StringType, vt, _) if depth < MaxDepth =>
         encoderAt(depth + 1, vt).map(f =>
           (c: Column) => nullAware(depth, c, mapEnc(depth, c, f)))
+      case MapType(_, NullType, _) | MapType(NullType, _, _)
+          if depth < MaxDepth =>
+        // the `{}` literal compiles to MAP<VOID, VOID> — only ever empty
+        // at runtime (Cypher map keys are strings), so rank Map, size 0
+        Some((c: Column) => nullAware(depth, c,
+          encAt(depth, lit(RankMap), nullStr, nullBool,
+            size(c).cast("double"), emptyElems(depth), lit("{}"))))
       case st: StructType if st.fieldNames.toSeq == PathStructFields =>
         Some(pathAt(depth, _))
       case st: StructType if depth < MaxDepth &&
@@ -384,6 +397,26 @@ object Orderability {
         }
       case _ => None
     }
+
+  /** MAP encoding from statically-known keys with ALREADY-ENCODED (at
+    * depth+1) value columns — literal maps whose values mix types or hold
+    * entities (`{k: n, l: 42}` in a heterogeneous list). Same layout as
+    * [[mapEnc]]: d = size, l = sorted keys then values in key order. */
+  def mapOfEncodedAt(depth: Int, entries: Seq[(String, Column)]): Column = {
+    if (entries.isEmpty)
+      encAt(depth, lit(RankMap), nullStr, nullBool, lit(0.0),
+        emptyElems(depth), lit("{}"))
+    else {
+      val sorted = entries.sortBy(_._1)
+      val keys = sorted.map(kv => stringAt(depth + 1, lit(kv._1)))
+      val vals = sorted.map(_._2)
+      val repr = concat(lit("{"), concat_ws(", ",
+        sorted.map { case (k, v) =>
+          concat(lit(k + ": "), v.getField("repr")) }: _*), lit("}"))
+      encAt(depth, lit(RankMap), nullStr, nullBool,
+        lit(sorted.length).cast("double"), array((keys ++ vals): _*), repr)
+    }
+  }
 
   /** MAP encoding (reference MapValue.unsafeCompareTo): `d` = size, `l` =
     * sorted-key elements then value elements in sorted-key order. Keys

@@ -168,10 +168,21 @@ object PropertyGraph {
     * layer escapes. (`labels`/`src`/`dst`/`type` as property names remain
     * unsupported: the planner's needed-property bookkeeping shares those
     * names with structural requests like labels(n)/type(r).) */
-  def propCol(key: String): String = if (key == "id") "p#id" else key
+  /** property keys that would collide with a STRUCTURAL column under
+    * Spark's default case-insensitive resolution (`Id` vs the node table's
+    * `id`, `Type` vs the rel table's `type`) — escaped with a `p#` prefix
+    * in storage. Original case is preserved after the prefix. */
+  private val reservedProp =
+    Set("id", "labels", "src", "dst", "type")
+  def propCol(key: String): String =
+    if (key == "id" ||
+        (reservedProp(key.toLowerCase) && key != key.toLowerCase))
+      "p#" + key
+    else key
 
   /** Cypher property name of a storage column (inverse of [[propCol]]). */
-  def colProp(column: String): String = if (column == "p#id") "id" else column
+  def colProp(column: String): String =
+    if (column.startsWith("p#")) column.substring(2) else column
 
   /** Load a graph persisted as parquet (nodes/, rels/ under `dir`). */
   def load(spark: SparkSession, dir: String): PropertyGraph =

@@ -45,7 +45,44 @@ object UpdateOps {
     val known = target.columns.toSet
     val extended = df.schema.fields.filterNot(f => known(f.name))
       .foldLeft(target) { (acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)) }
-    extended.unionByName(conform(df, extended))
+    val (t2, d2) = reconcileTypes(extended, df)
+    t2.unionByName(conform(d2, t2))
+  }
+
+  /** Dynamic property typing: a property column WRITTEN with a different
+    * value category than stored (`SET n.p = 'x'` where p holds numbers —
+    * the reference stores per-value dynamic types) widens BOTH sides to
+    * the orderability encoding instead of failing Spark's ANSI coercion.
+    * Numeric-vs-numeric and NullType conflicts keep native coercion. */
+  private def reconcileTypes(target: DataFrame,
+      df: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val O = graft.functions.Orderability
+    val structural = Set("id", "src", "dst", "type", "labels")
+    val shared = df.columns.filter(c =>
+      !structural(c) && target.columns.contains(c))
+    def nativeOk(a: DataType, b: DataType): Boolean =
+      a == b || a == NullType || b == NullType ||
+        (a.isInstanceOf[NumericType] && b.isInstanceOf[NumericType]) ||
+        ((a, b) match {
+          case (ArrayType(x, _), ArrayType(y, _)) => nativeOk(x, y)
+          case _ => false
+        })
+    shared.foldLeft((target, df)) { case ((t, d), c0) =>
+      val (tt, dt) = (t.schema(c0).dataType, d.schema(c0).dataType)
+      if (nativeOk(tt, dt)) (t, d)
+      else {
+        def liftTo(frame: DataFrame, from: DataType): Option[DataFrame] =
+          if (O.isEncoded(from))
+            Some(frame.withColumn(c0, col(c0).cast(O.encodedDdl)))
+          else O.encoderAt(0, from).map(f =>
+            frame.withColumn(c0, f(col(c0)).cast(O.encodedDdl)))
+        (liftTo(t, tt), liftTo(d, dt)) match {
+          case (Some(t2), Some(d2)) => (t2, d2)
+          case _ => (t, d) // unencodable: keep native coercion (pre-r14)
+        }
+      }
+    }
   }
 
   private def conform(df: DataFrame, target: DataFrame): DataFrame = {
@@ -136,14 +173,16 @@ object UpdateOps {
   def setRelPropertiesFromSource(g: PropertyGraph, source: DataFrame): PropertyGraph =
     g.copy(rels = applySource(g.rels, source))
 
-  private def applySource(target0: DataFrame, source: DataFrame): DataFrame = {
-    val props = source.columns.filter(_ != "id")
+  private def applySource(target0: DataFrame, source0: DataFrame): DataFrame = {
+    val props = source0.columns.filter(_ != "id")
     // SET of a property key the graph has never seen extends the schema
     // (NULL for untouched rows) — same schema-free semantics as createNodes
     val known = target0.columns.toSet
-    val target = source.schema.fields
+    val target1 = source0.schema.fields
       .filter(f => f.name != "id" && !known(f.name))
       .foldLeft(target0)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    // cross-category SET widens the stored column to the dynamic encoding
+    val (target, source) = reconcileTypes(target1, source0)
     // last-write-wins per id, deterministically (max over the value struct)
     val dedup = source.groupBy("id")
       .agg(max(struct(props.map(col).toIndexedSeq: _*)).as("__s"))

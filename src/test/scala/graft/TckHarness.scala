@@ -166,7 +166,20 @@ object TckHarness {
       var j = j0
       while (j < body.length && (at(j).isEmpty || at(j).startsWith("#"))) j += 1
       require(at(j) == "\"\"\"", s"expected docstring at: ${at(j)}")
-      val indent = body(j).indexOf("\"\"\"")
+      // strip the smaller of the delimiter's indent and the content's own
+      // minimum indent — some features indent the content LESS than the
+      // delimiter (AggregationAcceptance), and dropping the delimiter
+      // indent there would eat leading characters
+      val delimIndent = body(j).indexOf("\"\"\"")
+      var k0 = j + 1
+      var minContent = Int.MaxValue
+      while (at(k0) != "\"\"\"") {
+        if (body(k0).trim.nonEmpty)
+          minContent = math.min(minContent, body(k0).takeWhile(_ == ' ').length)
+        k0 += 1
+      }
+      val indent = math.min(delimIndent,
+        if (minContent == Int.MaxValue) delimIndent else minContent)
       val buf = Seq.newBuilder[String]
       var k = j + 1
       while (at(k) != "\"\"\"") {
@@ -578,6 +591,19 @@ object TckHarness {
           parts(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq
         else Nil
       if (nodeIds.isEmpty) TckNull else ctx.path(nodeIds, relIds)
+    }
+    else if (rank == O.RankMap) {
+      // map encoding: d = size, l = sorted keys then values in key order
+      val n = if (d == null) 0 else d.asInstanceOf[Double].toInt
+      if (n == 0 || l == null) TckMap(Nil)
+      else {
+        val elems = l.toSeq
+        val keys = elems.take(n).map {
+          case rr: Row => rr.getAs[String]("s"); case other => other.toString }
+        val vals = elems.slice(n, 2 * n).map {
+          case rr: Row => decodeOrd(rr, ctx); case other => anyToTck(other) }
+        TckMap(keys.zip(vals))
+      }
     }
     else if (s != null) TckStr(s)
     else if (b != null) TckBool(b.asInstanceOf[Boolean])
