@@ -61,15 +61,30 @@ object Bench {
       "q_eigenvector", "q_hits", "q_label_propagation", "q_louvain",
       "q_hyperball", "q_connected_components", "q_scc", "q_betweenness",
       "q_closeness", "q_fastrp", "q_core_decomposition")
+    // every run (warm pass included) is timed and its failure recorded —
+    // a query that only succeeds because of warm-run side effects, or that
+    // fails silently, must be visible in the artifact
+    def timedRun(fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err = try { force(fn(spark, sfDir)); None } catch {
+        case t: Throwable => Some((t.getClass.getSimpleName + ": " +
+          Option(t.getMessage).getOrElse("")).take(160))
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val cold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (iterative(name)) {
-        try force(fn(spark, sfDir)) catch { case _: Throwable => }
+        val (cdt, cerr) = timedRun(fn) // the COLD pass, timed + recorded
+        cold(name) = cdt
+        cerr.foreach(e => errors(s"$name(cold)") = e)
         releaseLeaks()
         System.gc()
       }
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val (dt, err) = timedRun(fn)
+      err.foreach(e => errors(name) = e)
       releaseLeaks()
       // bill GC of the previous query's garbage to the gap between
       // queries, not to whichever later query happens to trigger the
@@ -89,14 +104,26 @@ object Bench {
     def jesc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + jesc(k) + "\":" + f(v) }.mkString("{", ",", "}")
-    def line(rs: Seq[(String, Double)], total: Double, n: Int): String =
+    def jsonStrMap(rs: Seq[(String, String)]): String =
+      rs.map { case (k, v) => "\"" + jesc(k) + "\":\"" + jesc(v) + "\"" }
+        .mkString("{", ",", "}")
+    // warmup policy is part of the artifact so rounds stay comparable:
+    // iterative queries get ONE warm pass whose (cold) timing and any
+    // failure are recorded — the headline number is the warm run.
+    val policy = s""""warmup":{"policy":"iterative-cold-then-timed",""" +
+      s""""warmed":${cold.size},"errors":${errors.size}}"""
+    def line(rs: Seq[(String, Double)], total: Double, n: Int,
+        extra: String): String =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","n":$n,""" +
-        s""""reported":${rs.size},"queries":${jsonMap(rs)},"sf":"${jesc(sfDir)}"}"""
+        s""""reported":${rs.size},$policy,"queries":${jsonMap(rs)}""" +
+        s"""$extra,"sf":"${jesc(sfDir)}"}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val fullExtra = s""","cold":${jsonMap(cold.toSeq)}""" +
+      s""","errors":${jsonStrMap(errors.toSeq)}"""
     java.nio.file.Files.writeString( // throws on a failed/truncated write
       java.nio.file.Paths.get("bench_full.json"),
-      line(results, total, results.size) + "\n")
+      line(results, total, results.size, fullExtra) + "\n")
     val headline = results.sortBy(-_._2).take(55).sortBy(_._1)
-    println(line(headline, total, results.size))
+    println(line(headline, total, results.size, ""))
   }
 }

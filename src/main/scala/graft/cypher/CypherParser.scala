@@ -1306,7 +1306,12 @@ object CypherParser extends RegexParsers {
         s"pattern: ${bad.mkString(", ")}")
   }
 
-  def parse(text: String): Query = {
+  // The parser object carries per-parse mutable state (the mix flags,
+  // `inPatCompWhere`), so parses must not interleave across threads —
+  // the top-level entry is synchronized. Callers already funnel through
+  // Cypher.parse's cache lock; this guards direct callers too. Parse is
+  // microseconds against plan/execute, so the lock is not a bottleneck.
+  def parse(text: String): Query = synchronized {
     resetMixFlags()
     parseAll(query <~ opt(";"), text) match {
     case Success(q, _) => validateGroupVars(q); q

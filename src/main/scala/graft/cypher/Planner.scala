@@ -6891,14 +6891,21 @@ object Planner {
     def c(x: Expr): Column = compile(ctx, env, x, lambdas)
     def a0 = c(args.head)
     // a variant-encoded argument to a STRING function decodes its `s`
-    // payload (dynamic-typed property storage: non-string rows yield NULL
-    // — the permissive columnar analogue of the reference's runtime raise)
-    def s0 = {
-      val cc = a0
-      if (dataTypeOf(env, cc).exists(graft.functions.Orderability.isEncoded))
-        cc.getField("s")
-      else cc
-    }
+    // payload (dynamic-typed property storage). Non-string non-null rows
+    // raise a TypeError at runtime — the reference contract
+    // (TrimFunctionsAcceptance.feature "should fail with wrong type":
+    // CypherTypeException from CypherFunctions' string coercion).
+    def s0 = decodeStr(a0)
+    def decodeStr(cc: Column): Column =
+      if (dataTypeOf(env, cc).exists(graft.functions.Orderability.isEncoded)) {
+        import graft.functions.Orderability.{RankNull, RankString}
+        val rank = cc.getField("rank")
+        when(cc.isNull || rank === lit(RankNull), lit(null).cast("string"))
+          .when(rank === lit(RankString), cc.getField("s"))
+          .otherwise(raise_error(concat(
+            lit(s"TypeError: $name() expected a String, got "),
+            cc.getField("repr"))).cast("string"))
+      } else cc
     name match {
       // aggregates (within groupBy().agg(...))
       case "count"   => if (distinct) count_distinct(a0) else count(a0)
@@ -7034,20 +7041,20 @@ object Planner {
       case "replace"   =>
         // Cypher replace() is fully literal: quote the search regex AND
         // escape \ and $ in the replacement (else group refs / escapes fire)
-        regexp_replace(a0, regexp_quote(c(args(1))),
-          regexp_replace(c(args(2)), "([\\\\$])", "\\\\$1"))
+        regexp_replace(s0, regexp_quote(decodeStr(c(args(1)))),
+          regexp_replace(decodeStr(c(args(2))), "([\\\\$])", "\\\\$1"))
       case "split"     => args(1) match {
-        case Lit(p: String) => split(a0, java.util.regex.Pattern.quote(p))
+        case Lit(p: String) => split(s0, java.util.regex.Pattern.quote(p))
         // dynamic delimiter: regex-quote the evaluated string so the
         // split stays literal, like the reference's split()
-        case other => split(a0, regexp_quote(c(other)), lit(-1))
+        case other => split(s0, regexp_quote(decodeStr(c(other))), lit(-1))
       }
       case "substring" =>
         // Cypher 0-based start
-        if (args.size >= 3) a0.substr(c(args(1)) + 1, c(args(2)))
-        else a0.substr(c(args(1)) + 1, length(a0))
-      case "left"  => a0.substr(lit(1), c(args(1)))
-      case "right" => a0.substr(length(a0) - c(args(1)) + 1, c(args(1)))
+        if (args.size >= 3) s0.substr(c(args(1)) + 1, c(args(2)))
+        else { val sc = s0; sc.substr(c(args(1)) + 1, length(sc)) }
+      case "left"  => s0.substr(lit(1), c(args(1)))
+      case "right" => { val sc = s0; sc.substr(length(sc) - c(args(1)) + 1, c(args(1))) }
       case "size" | "length" =>
         args.head match {
           case Variable(v) if env.binds.get(v).contains(PathVar) =>

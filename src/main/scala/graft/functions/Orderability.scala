@@ -355,10 +355,11 @@ object Orderability {
       case MapType(StringType, vt, _) if depth < MaxDepth =>
         encoderAt(depth + 1, vt).map(f =>
           (c: Column) => nullAware(depth, c, mapEnc(depth, c, f)))
-      case MapType(_, NullType, _) | MapType(NullType, _, _)
-          if depth < MaxDepth =>
-        // the `{}` literal compiles to MAP<VOID, VOID> — only ever empty
-        // at runtime (Cypher map keys are strings), so rank Map, size 0
+      case MapType(NullType, NullType, _) if depth < MaxDepth =>
+        // ONLY the `{}` literal's MAP<VOID, VOID> — necessarily empty at
+        // runtime, so rank Map, size 0. Non-string-keyed maps with real
+        // keys (MAP<INT, VOID> from a cast) must NOT match: encoding them
+        // as '{}' would silently drop keys from ordering/comparison.
         Some((c: Column) => nullAware(depth, c,
           encAt(depth, lit(RankMap), nullStr, nullBool,
             size(c).cast("double"), emptyElems(depth), lit("{}"))))

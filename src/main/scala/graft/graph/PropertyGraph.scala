@@ -178,6 +178,11 @@ object PropertyGraph {
     if (key == "id" ||
         (reservedProp(key.toLowerCase) && key != key.toLowerCase))
       "p#" + key
+    // a user key literally starting with "p#" doubles the prefix so the
+    // propCol/colProp round trip stays injective (otherwise a stored
+    // `p#x` reads back as key `x` and can collide with an escaped
+    // reserved key)
+    else if (key.startsWith("p#")) "p#" + key
     else key
 
   /** Cypher property name of a storage column (inverse of [[propCol]]). */

@@ -112,7 +112,11 @@ object Ranking {
   private def iterateRanks(edges: DataFrame, iterations: Int,
       damping: Double, sources: Option[DataFrame]): DataFrame = {
     val spark = edges.sparkSession
-    val in = edges.rdd.map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+    // drop null src/dst/weight rows BEFORE the primitive-getter RDD map:
+    // a rel missing the weight property must be ignored (the old
+    // DataFrame formulation's null-sum semantics), not NPE the job
+    val in = edges.na.drop("any").rdd
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
     // partition count follows the INPUT (scan splits scale with data
     // size; AQE can't coalesce RDD stages, so the session's full
     // shuffle-partition count would run iterations×32 near-empty tasks on
