@@ -3671,12 +3671,10 @@ object Planner {
     val first = if (p0.first.variable.isDefined) p0.first
       else p0.first.copy(variable = Some(ctx.fresh("n")))
     val hops = p0.hops.map { case (r, n) =>
-      // a bare quantified RELATIONSHIP (`-[:R]->+`, qppVars all-empty
-      // marker) traverses like a var-length rel; only groups with actual
-      // group variables are unsupported here
-      require(r.qppVars.forall(t =>
-          t._1.isEmpty && t._2.isEmpty && t._3.isEmpty),
-        "a named path cannot wrap a quantified path pattern")
+      // quantified hops (bare `-[:R]->+`, one-hop QPP groups with group
+      // variables, composite/alternation groups) all route through
+      // expandHop's pathNodesAlias form below, which carries the node
+      // sequence AND binds the group variables
       (if (r.variable.isDefined) r else r.copy(variable = Some(ctx.fresh("r"))),
         if (n.variable.isDefined) n else n.copy(variable = Some(ctx.fresh("n"))))
     }
@@ -4515,7 +4513,26 @@ object Planner {
               relsAlias = relVar, nodesAlias = pathNodesAlias.get,
               hopsAlias = hopsCol)
           }).drop(hopsCol)
-          Env(Some(expanded), env.binds + (relVar -> RelListVar))
+          // a named path over a one-hop QPP (`p = (a) ((b)-[r]->(c))+ (d)`,
+          // reference ProjectNamedPath over Trail) also binds the group
+          // variables from the carried node sequence, same slices as the
+          // unnamed QPP branch below
+          var out = expanded
+          var binds = env.binds + (relVar -> RelListVar)
+          rel.qppVars.foreach { case (xVar, _, yVar) =>
+            val nc = col(pathNodesAlias.get)
+            xVar.foreach { v =>
+              out = out.withColumn(v,
+                slice(nc, lit(1), greatest(size(nc) - 1, lit(0))))
+              binds += (v -> NodeListVar)
+            }
+            yVar.foreach { v =>
+              out = out.withColumn(v,
+                slice(nc, lit(2), greatest(size(nc) - 1, lit(0))))
+              binds += (v -> NodeListVar)
+            }
+          }
+          Env(Some(out), binds)
         } else if (ctx.pruneRels.contains(rel)) {
           // endpoints-only: pruningVarExpander rewrite — frontier BFS keeps
           // |V|-bounded state; unbounded `*` iterates to an empty frontier
@@ -5008,7 +5025,7 @@ object Planner {
     val rowId = ctx.fresh("txrow")
     val numbered = numberRows(df0.select(keep.map(col): _*), rowId)
       .freshCkpt()
-    val total = numbered.count()
+    lazy val total = numbered.count()
     val keepVars = binds.keys.toSeq.sorted
     // the inner plan's input: the batch's rows restricted to the imported
     // scope, the origin row id riding as the hidden __rowseq column (it
@@ -5155,7 +5172,25 @@ object Planner {
         env.binds ++ resultBinds ++
           cs.statusVar.map(_ -> (ValueVar: Binding)))
     }
-    if (cs.concurrent && cs.onError == "fail" && cs.statusVar.isEmpty) {
+    // SEQUENTIAL batches collapse to the same single set-based job when
+    // the collapse is unobservable: no batch's reads can see any batch's
+    // writes (bodyReadsItsWrites — batch k's reads observing batch j<k's
+    // commits is the same read-pattern/write-pattern overlap test), no
+    // pre-existing entity is mutated (mutatesExisting — cross-batch
+    // last-writer-wins on a shared target would otherwise pick a
+    // different winner than one set-based pass), and commits go to the
+    // default snapshot materializer (a user-supplied durable txCommit
+    // observes each batch boundary, so it keeps the real loop). This is
+    // the scale fix: the loop is a serial driver-side Catalyst pass per
+    // batch, and batch COUNT grows with input rows — ⌈rows/n⌉ plans at
+    // 100× data — while the collapsed job plans once and lets the
+    // cluster parallelize inside. Set-based MERGE already implements the
+    // cross-row match-or-create semantics the per-batch loop would give.
+    val collapsible = cs.concurrent ||
+      (!bodyReadsItsWrites(innerClauses) &&
+        !mutatesExisting(innerClauses, binds.keySet) &&
+        (ctx.txCommit eq Planner.defaultTxCommit))
+    if (collapsible && cs.onError == "fail" && cs.statusVar.isEmpty) {
       val out = runBatch(mkBatch(numbered), commit = true)
       return if (hasReturn) finishReturn(Seq(out.get)) else env
     }
