@@ -427,7 +427,15 @@ object CypherParser extends RegexParsers {
       opt(K("WHERE") ~> expression) ~ (K("RETURN") ~> expression) ~
       opt(orderBy) ~ opt(skipP) ~ opt(limitP) <~ "}" ^^ {
       case p ~ w ~ proj ~ ob ~ sk ~ li =>
-        PatternComprehension(p, w, proj, ob.getOrElse(Nil), sk, li)
+        // an AGGREGATING projection (`COLLECT { MATCH … RETURN count(x) }`)
+        // is a full subquery, not a comprehension: the body aggregates to
+        // one row per outer key (the planner's grouped-body pass)
+        if (Planner.containsAgg(proj))
+          SubqueryExpr("collect", Query(Seq(SingleQuery(Seq(
+            MatchClause(optional = false, Seq(p), w),
+            ReturnClause(false, Seq(ReturnItem(proj, None)),
+              ob.getOrElse(Nil), sk, li)))), unionAll = false))
+        else PatternComprehension(p, w, proj, ob.getOrElse(Nil), sk, li)
     } |
     // full-query body (reference CollectExpression): the inner query must
     // end in a single-item RETURN; yields the list of its values

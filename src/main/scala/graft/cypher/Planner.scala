@@ -57,7 +57,7 @@ object Planner {
   }
 
   private class Ctx(val spark: SparkSession, var g: PropertyGraph,
-      val params: Map[String, Any], val needed: Map[String, Set[String]],
+      val params: Map[String, Any], var needed: Map[String, Set[String]],
       val pruneRels: java.util.Set[RelPattern] =
         java.util.Collections.newSetFromMap(
           new java.util.IdentityHashMap[RelPattern, java.lang.Boolean]())) {
@@ -923,7 +923,15 @@ object Planner {
     // endpoints / single-node keys.
     val patVars = ((p.first +: p.hops.map(_._2)).flatMap(_.variable) ++
       p.hops.flatMap(_._1.variable))
-    if (!patVars.exists(env.has) &&
+    // dynamic inline props (reading row variables, e.g. a FOREACH loop
+    // variable) make the pattern row-CORRELATED — the uncorrelated
+    // whole-pattern probe below would evaluate them as scan constants
+    val allPropsConst = (p.first +: p.hops.map(_._2)).forall(_.props.forall {
+      case (_, _: Lit | _: Param) => true; case _ => false
+    }) && p.hops.map(_._1).forall(_.props.forall {
+      case (_, _: Lit | _: Param) => true; case _ => false
+    })
+    if (!patVars.exists(env.has) && allPropsConst &&
         (p.hops.nonEmpty || p.first.props.isEmpty)) {
       val probe = MatchClause(optional = false, Seq(p), None)
       // MERGE runs per input row (reference MergePipe): zero incoming rows
@@ -961,8 +969,10 @@ object Planner {
       return Env(Some(df.crossJoin(rehydrated.df.get)),
         env.binds ++ rehydrated.binds)
     }
-    // partially-bound / mid-pattern-bound / multi-hop whole-pattern MERGE
-    if (p.hops.nonEmpty && patVars.exists(env.has) &&
+    // partially-bound / mid-pattern-bound / multi-hop / dynamic-prop
+    // whole-pattern MERGE
+    if (p.hops.nonEmpty &&
+        (patVars.exists(env.has) || !allPropsConst) &&
         !(p.hops.size == 1 && p.first.variable.exists(env.has) &&
           p.hops.head._2.variable.exists(env.has)))
       return planMergeGeneral(ctx, env, m)
@@ -1126,19 +1136,76 @@ object Planner {
     val boundVars = allVars.filter(env.has).distinct
     val newVars = allVars.filterNot(env.has).distinct
     require(newVars.nonEmpty, "whole-pattern MERGE with all variables bound")
-    val probe = MatchClause(optional = true, Seq(p), None)
+    // DYNAMIC inline props (`{prop: x}` reading row variables — e.g. the
+    // FOREACH loop variable, ForeachAcceptance "Merging inside a FOREACH
+    // using a previously matched node") cannot be scan-time seeks: lift
+    // them off the probe into its WHERE (per-row equality; the optional
+    // match correlates on every referenced bound variable), and key the
+    // CREATED instances on their computed values so rows with distinct
+    // values create distinct instances (reference MergePipe row semantics)
+    def isConstP(e: Expr): Boolean = e match {
+      case _: Lit | _: Param => true
+      case _                 => false
+    }
+    val liftedPreds = List.newBuilder[Expr]
+    val dynKeyExprs = Seq.newBuilder[Expr]
+    def probeNode(np: NodePattern): NodePattern =
+      if (np.variable.exists(env.has) ||
+          np.props.forall(kv => isConstP(kv._2))) np
+      else {
+        val (const, dyn) = np.props.partition(kv => isConstP(kv._2))
+        dyn.foreach { case (k, e) =>
+          liftedPreds += BinOp("=", Prop(Variable(np.variable.get), k), e)
+          dynKeyExprs += e
+        }
+        np.copy(props = const)
+      }
+    def probeRel(r: RelPattern): RelPattern =
+      if (r.variable.exists(env.has) ||
+          r.props.forall(kv => isConstP(kv._2))) r
+      else {
+        val (const, dyn) = r.props.partition(kv => isConstP(kv._2))
+        dyn.foreach { case (k, e) =>
+          liftedPreds += BinOp("=", Prop(Variable(r.variable.get), k), e)
+          dynKeyExprs += e
+        }
+        r.copy(props = const)
+      }
+    val probeP = p.copy(first = probeNode(first),
+      hops = hops.map { case (r, n) => (probeRel(r), probeNode(n)) })
+    val liftedList = liftedPreds.result()
+    // the lifted `v.k = expr` reads are plan-time synthesized — register
+    // their property needs so the probe hydrates `v$$k` (the statement's
+    // neededProps pre-pass saw only the inline map, not these reads)
+    liftedList.foreach {
+      case BinOp("=", Prop(Variable(v), k), _) =>
+        ctx.needed = ctx.needed + (v -> (ctx.needed.getOrElse(v, Set.empty) + k))
+      case _ => ()
+    }
+    val probeWhere = liftedList.reduceOption(BinOp("AND", _, _))
+    val probe = MatchClause(optional = true, Seq(probeP), probeWhere)
     val matchedEnv = planOptionalMatch(ctx, env.copy(df = Some(df0)), probe)
     val mdf = matchedEnv.df.get.freshCkpt() // snapshot before any write
     // the whole pattern matches or none of it does: one new var decides
     val isMatched = col(newVars.head).isNotNull
-    val missing = mdf.filter(!isMatched)
+    val missing0 = mdf.filter(!isMatched)
+    // dynamic-prop key columns ride on the missing rows (creation key)
+    var missing = missing0
+    val dynKeyCols = dynKeyExprs.result().zipWithIndex.map { case (e, i) =>
+      val cn = s"__mgk_$i"
+      missing = missing.withColumn(cn,
+        compile(ctx, matchedEnv.copy(df = Some(missing)), e))
+      cn
+    }
+    val keyColsAll = boundVars ++ dynKeyCols
     // deterministic per-combination ids (same expressions create and bind)
     val idExprs: Seq[(String, Column)] = newVars.map { v =>
       v -> nonNegId(xxhash64((lit(ctx.runTag) +: lit("mg") +: lit(ctx.freshIdTag()) +:
-        boundVars.map(col)): _*))
+        keyColsAll.map(col)): _*))
     }
     var keyRows =
-      if (boundVars.isEmpty) missing.limit(1) else missing.dropDuplicates(boundVars)
+      if (keyColsAll.isEmpty) missing.limit(1)
+      else missing.dropDuplicates(keyColsAll)
     idExprs.foreach { case (v, e) => keyRows = keyRows.withColumn(v, e) }
     keyRows = keyRows.freshCkpt()
     val compEnv = matchedEnv.copy(df = Some(keyRows))
@@ -1202,7 +1269,7 @@ object Planner {
     }
     val flag = "__mg_created"
     val union = mdf.filter(isMatched).withColumn(flag, lit(false))
-      .unionByName(created.withColumn(flag, lit(true)))
+      .unionByName(created.drop(dynKeyCols: _*).withColumn(flag, lit(true)))
     val out = Env(Some(union), env.binds ++ matchedEnv.binds)
     applyMergeActions(ctx, out, newVars.head, m, col(flag))
     val out2 = out.copy(df = out.df.map(_.drop(flag)))
@@ -1362,18 +1429,45 @@ object Planner {
     * clauses; bindings do NOT escape (reference Foreach :2082 semantics). */
   private def planForeach(ctx: Ctx, env: Env, f: ForeachClause): Env = {
     val df = env.df.getOrElse(unit(ctx.spark))
-    val inner0 = Env(
-      Some(df.withColumn(f.variable, explode(compile(ctx, env.copy(df = Some(df)), f.list)))),
-      env.binds + (f.variable -> ValueVar))
-    var inner = inner0
-    f.updates.foreach {
-      case c: CreateClause  => inner = planCreate(ctx, inner, c)
-      case m: MergeClause   => inner = planMerge(ctx, inner, m)
-      case s: SetClause     => planSetItems(ctx, inner, s.items)
-      case r: RemoveClause  => planSetItems(ctx, inner, r.items)
-      case d: DeleteClause  => planDelete(ctx, inner, d)
-      case nested: ForeachClause => inner = planForeach(ctx, inner, nested)
-      case other => throw new IllegalArgumentException(s"FOREACH cannot contain $other")
+    def runBody(inner0: Env): Unit = {
+      var inner = inner0
+      f.updates.foreach {
+        case c: CreateClause  => inner = planCreate(ctx, inner, c)
+        case m: MergeClause   => inner = planMerge(ctx, inner, m)
+        case s: SetClause     => planSetItems(ctx, inner, s.items)
+        case r: RemoveClause  => planSetItems(ctx, inner, r.items)
+        case d: DeleteClause  => planDelete(ctx, inner, d)
+        case nested: ForeachClause => inner = planForeach(ctx, inner, nested)
+        case other => throw new IllegalArgumentException(s"FOREACH cannot contain $other")
+      }
+    }
+    f.list match {
+      case ListLit(elems) if elems.nonEmpty && elems.size <= 16 &&
+          !elems.exists(containsPatternExists) =>
+        // literal-list FOREACH unrolls iteration by iteration: a later
+        // iteration's MERGE/MATCH probes OBSERVE earlier iterations'
+        // writes (reference Foreach row-major semantics —
+        // ForeachAcceptance "Inside nested FOREACH, nodes inlined", where
+        // iteration k's MERGE matches patterns iteration k-1 created).
+        // Bounded by the query text (≤16 elements), never by data; data
+        // lists keep the set-based explode below.
+        elems.foreach { e =>
+          val preIter = ctx.g
+          runBody(Env(
+            Some(df.withColumn(f.variable,
+              compile(ctx, env.copy(df = Some(df)), e))),
+            env.binds + (f.variable -> ValueVar)))
+          // PHYSICAL materialization only (dirty tables localCheckpoint),
+          // not a transaction boundary: keeps the next iteration's probes
+          // planning against a shallow scan instead of k stacked write
+          // layers — plan cost per iteration stays O(1), not O(k)
+          ctx.g = Planner.commitChanged(preIter, ctx.g, Planner.defaultTxCommit)
+        }
+      case _ =>
+        runBody(Env(
+          Some(df.withColumn(f.variable,
+            explode(compile(ctx, env.copy(df = Some(df)), f.list)))),
+          env.binds + (f.variable -> ValueVar)))
     }
     env // bindings inside FOREACH are scoped — outer env unchanged
   }
@@ -3177,7 +3271,36 @@ object Planner {
               sq.clauses :+ ReturnClause(false,
                 Seq(ReturnItem(Lit(1L), Some("__one"))), Nil, None, None)
           }
-          planCorrelatedClauses(ctx, base, refs, clauses).df.get
+          // an all-aggregate final RETURN yields EXACTLY ONE row per outer
+          // key — keys with zero matches still get the aggregate-over-zero-
+          // rows value (reference CollectExpressionAcceptance "COLLECT
+          // subquery with aggregation inside": count over no rows is 0).
+          // The zero-row value is computed EXACTLY by running the same
+          // projection as a global aggregate over an empty slice of the
+          // body frame (one driver-free row), cross-joined to the missing
+          // keys. Per-key SKIP/LIMIT over the 1-row groups keeps the
+          // generic path.
+          val aggFinal = clauses.lastOption.exists {
+            case r: ReturnClause => r.items.nonEmpty &&
+              r.items.forall(i => containsAgg(i.expr)) &&
+              r.skip.isEmpty && r.limit.isEmpty
+            case _ => false
+          }
+          if (needsValue && aggFinal && refs.nonEmpty) {
+            val r2 = clauses.last.asInstanceOf[ReturnClause]
+            val subBody = planCorrelatedClauses(ctx, base, refs,
+              clauses.dropRight(1))
+            val matched = planProjection(ctx, subBody,
+              withRefs(refs, r2.items), r2.distinct, Nil, None, None,
+              isReturn = false).df.get
+            val zero = planProjection(ctx,
+              subBody.copy(df = subBody.df.map(_.limit(0))), r2.items,
+              r2.distinct, Nil, None, None, isReturn = false).df.get
+            val missing = nullSafeJoin(base.df.get,
+              matched.select(keyCols.map(col): _*), keyCols, "left_anti")
+            matched.unionByName(missing.crossJoin(zero),
+              allowMissingColumns = true)
+          } else planCorrelatedClauses(ctx, base, refs, clauses).df.get
         }
         val parts0 = q.parts.map(planPart)
         // COLLECT over a union concatenates the parts' lists IN PART ORDER
@@ -5640,7 +5763,7 @@ object Planner {
     Env(Some(projected), newBinds)
   }
 
-  private def containsAgg(e: Expr): Boolean = e match {
+  private[cypher] def containsAgg(e: Expr): Boolean = e match {
     case CountStar            => true
     case Func(n, args, _)     => aggFns(n) || args.exists(containsAgg)
     case BinOp(_, l, r)       => containsAgg(l) || containsAgg(r)
