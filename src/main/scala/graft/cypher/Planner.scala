@@ -982,11 +982,22 @@ object Planner {
       require(np.props.nonEmpty, "node MERGE needs a key property map")
       require(np.labelExpr.isEmpty && np.where.isEmpty,
         "MERGE patterns take concrete labels and no WHERE")
-      val keyCols = np.props.map { case (k, e) =>
-        k -> compile(ctx, env, e) }
+      // pattern/subquery expressions in key VALUES evaluate against the
+      // pre-MERGE graph (reference MergeLegacyAcceptance "Evaluate pattern
+      // comprehension in MERGE") — lower them to columns first
+      var envK = env.copy(df = Some(df))
+      val keyFlags = Seq.newBuilder[String]
+      val keyCols = np.props.map { case (k, e0) =>
+        val e = if (containsPatternExists(e0)) {
+          val (en, rew, fl) = lowerExists(ctx, envK, e0)
+          envK = en; keyFlags ++= fl; rew
+        } else e0
+        k -> compile(ctx, envK, e)
+      }
       // compute key values per row
-      var keyed = df
+      var keyed = envK.df.get
       keyCols.foreach { case (k, c) => keyed = keyed.withColumn(s"__mk_$k", c) }
+      keyed = keyed.drop(keyFlags.result(): _*)
       // existing node per key (min id when several match the key pattern);
       // a key property the graph has never seen matches nothing — every row
       // creates (createNodes extends the schema with the new column)
@@ -3135,6 +3146,8 @@ object Planner {
         ws.exists(w => containsPatternExists(w._1) || containsPatternExists(w._2)) ||
         d.exists(containsPatternExists)
     case ListLit(xs)            => xs.exists(containsPatternExists)
+    case ListComprehension(_, l, w, pr) => containsPatternExists(l) ||
+      w.exists(containsPatternExists) || pr.exists(containsPatternExists)
     case MapLit(es)             => es.exists(kv => containsPatternExists(kv._2))
     case Index(l, i)            => containsPatternExists(l) || containsPatternExists(i)
     case Slice(l, f, t)         => containsPatternExists(l) ||
@@ -3153,8 +3166,11 @@ object Planner {
     def subPlan(p: PathPattern, w: Option[Expr],
         extra: Set[String] = Set.empty): (Seq[String], Env) = {
       val df = env.df.get
+      // the pattern's own path NAME shadows any same-named outer variable
+      // (`[p = (x)-->(:Y) | p]` under an outer path p) — never a
+      // correlation key
       val refs = (patternVars(p) ++ w.map(exprVars).getOrElse(Set.empty) ++ extra)
-        .filter(env.has).toSeq.sorted
+        .filter(env.has).filterNot(v => p.name.contains(v)).toSeq.sorted
       // refs empty = an UNCORRELATED pattern subquery: plan it standalone
       // (runs once); callers join back with an always-true outer join
       val keyCols = if (refs.isEmpty) Nil else refKeyCols(df, refs)
@@ -3461,6 +3477,55 @@ object Planner {
           binds = env.binds + (lcol -> ValueVar))
         flags += lcol
         Variable(lcol)
+      case ListComprehension(v, lst, w, proj)
+          if (w.toSeq ++ proj.toSeq).exists(containsPatternExists) &&
+            !env.df.exists(_.columns.contains(v)) =>
+        // a pattern/subquery expression correlated on the list-
+        // comprehension variable (`[x IN nodes(p) | size([(x)-->(:Y)|1])]`,
+        // reference PatternExpressionAcceptance) cannot lower inside a
+        // Spark lambda: explode the list positionally, lower the inner
+        // subqueries against the exploded scope (the loop variable is a
+        // real column there), then re-collect in position order per source
+        // row. Cost scales with Σ list sizes, the same work the reference's
+        // per-element nested-plan evaluation does.
+        val outCol = ctx.fresh("lcp")
+        val rid = ctx.fresh("lcid")
+        val posC = ctx.fresh("lcpos")
+        val df0 = env.df.get.withColumn(rid, monotonically_increasing_id())
+          .freshCkpt() // rid must be stable across the self-join below
+        val lstCol = compile(ctx, env.copy(df = Some(df0)), lst)
+        val exploded = df0.select(col("*"),
+          posexplode(lstCol).as(Seq(posC, v)))
+        val elemBind: Binding = entityListKind(env, lst) match {
+          case Some(NodeListVar) => NodeVar
+          case Some(RelListVar)  => RelVar
+          case _                 => ValueVar
+        }
+        var envE = Env(Some(exploded), env.binds + (v -> elemBind))
+        def lowerIn(e0: Expr): Expr =
+          if (!containsPatternExists(e0)) e0
+          else { val (e2, r2, _) = lowerExists(ctx, envE, e0); envE = e2; r2 }
+        val w2 = w.map(lowerIn)
+        val proj2 = proj.map(lowerIn)
+        var edf = envE.df.get
+        w2.foreach { pred =>
+          edf = edf.filter(compile(ctx, envE.copy(df = Some(edf)), pred)) }
+        val valueC = proj2.map(p2 =>
+          compile(ctx, envE.copy(df = Some(edf)), p2)).getOrElse(col(v))
+        val collectedLc = edf
+          .withColumn("__lcs", struct(col(posC).as("p"), valueC.as("v")))
+          .groupBy(col(rid))
+          .agg(transform(array_sort(collect_list(col("__lcs"))),
+            x => x.getField("v")).as(outCol))
+        val lcType = collectedLc.schema(outCol).dataType
+        val joinedLc = df0.join(collectedLc, Seq(rid), "left_outer")
+          .withColumn(outCol, when(lstCol.isNull, lit(null).cast(lcType))
+            .otherwise(coalesce(col(outCol), array().cast(lcType))))
+          .drop(rid)
+        env = env.copy(df = Some(joinedLc),
+          binds = env.binds + (outCol -> ValueVar))
+        flags += outCol
+        Variable(outCol)
       case BinOp(op, l, r)   => BinOp(op, rewrite(l), rewrite(r))
       case UnaryOp(op, o)    => UnaryOp(op, rewrite(o))
       case IsNull(o, n)      => IsNull(rewrite(o), n)
@@ -5581,6 +5646,15 @@ object Planner {
       case Prop(Variable(m), k) => ctx.entityFields.get(s"$m.$k")
       case _ => None
     }
+    // startNode(r)/endNode(r) projected to an alias ARE nodes (reference
+    // semantic typing — PatternExpressionAcceptance anchors pattern
+    // comprehensions on `WITH STARTNODE(r0) AS n`): bind NodeVar so later
+    // pattern positions accept the alias
+    def entityScalarKind(e: Expr): Option[Binding] = e match {
+      case Func("startnode" | "endnode", Seq(Variable(r)), _)
+          if env.binds.get(r).contains(RelVar) => Some(NodeVar)
+      case _ => None
+    }
 
     /** carried hydrated columns for a passed-through entity variable,
       * re-prefixed to the output alias when the item renames it */
@@ -5645,7 +5719,8 @@ object Planner {
         o.passThrough.map(env.binds).getOrElse(
           o.coalesceOf.map(ss => env.binds(ss.head)).orElse(
             entityListKind(env, o.item.expr)).orElse(
-            mapFieldKind(o.item.expr)).getOrElse(ValueVar))).toMap
+            mapFieldKind(o.item.expr)).orElse(
+            entityScalarKind(o.item.expr)).getOrElse(ValueVar))).toMap
     } else {
       val projCols = outs.flatMap { o =>
         o.passThrough match {
@@ -5722,7 +5797,8 @@ object Planner {
         o.passThrough.map(env.binds).getOrElse(
           o.coalesceOf.map(ss => env.binds(ss.head)).orElse(
             entityListKind(env, o.item.expr)).orElse(
-            mapFieldKind(o.item.expr)).getOrElse(ValueVar))).toMap
+            mapFieldKind(o.item.expr)).orElse(
+            entityScalarKind(o.item.expr)).getOrElse(ValueVar))).toMap
     }
     applyEntityFieldProvenance()
 
