@@ -7462,6 +7462,8 @@ object Planner {
                       .when(r2 === O.RankNumber,
                         when(isInt, lit("INTEGER")).otherwise(lit("FLOAT")))
                       .when(r2 === O.RankDate, lit("DATE"))
+                      .when(r2 === O.RankZonedTime, lit("ZONED TIME"))
+                      .when(r2 === O.RankLocalTime, lit("LOCAL TIME"))
                       .when(r2 === O.RankZdt, lit("ZONED DATETIME"))
                       .when(r2 === O.RankLdt, lit("LOCAL DATETIME"))
                       .when(r2 === O.RankDuration, lit("DURATION"))
@@ -7482,6 +7484,8 @@ object Planner {
                       .when(r2 === O.RankNumber,
                         when(isInt, lit(4)).otherwise(lit(5)))
                       .when(r2 === O.RankDate, lit(6))
+                      .when(r2 === O.RankLocalTime, lit(7))
+                      .when(r2 === O.RankZonedTime, lit(8))
                       .when(r2 === O.RankLdt, lit(9))
                       .when(r2 === O.RankZdt, lit(10))
                       .when(r2 === O.RankDuration, lit(11))
@@ -7634,14 +7638,45 @@ object Planner {
           lit(parseIsoLdt(s).get)
         case Some(_) => to_timestamp_ntz(a0)
       }
-      // TIME values: Spark has no time-of-day type — represented as the
-      // wall-clock string HH:mm:ss.SSS (documented divergence; component
-      // access goes through datetime()). time('10:30:00') normalizes text.
-      case "time" | "localtime" => args.headOption match {
-        case None => date_format(current_timestamp(), "HH:mm:ss.SSS")
-        case Some(_) =>
-          date_format(to_timestamp(concat(lit("1970-01-01T"), a0)), "HH:mm:ss.SSS")
-      }
+      // TIME values (reference values/storable/TimeValue.java /
+      // LocalTimeValue.java): Spark has no time-of-day type, so they are
+      // typed structs — nanos-since-midnight (+ zone-offset seconds for
+      // the zoned kind). valueType()/orderability recognize the layouts
+      // (ZONED TIME / LOCAL TIME); component access via datetime() stays
+      // the documented route.
+      case "time" | "localtime" =>
+        val zoned = name == "time"
+        def mkTime(tn: Column, off: Column): Column =
+          if (zoned) struct(tn.cast("long").as("tnanos"),
+            off.cast("int").as("toffset"))
+          else struct(tn.cast("long").as("tnanos"))
+        args.headOption match {
+          case None =>
+            val ts = current_timestamp() // session tz = UTC (GraftSession)
+            mkTime((hour(ts).cast("long") * 3600L +
+              minute(ts).cast("long") * 60L + second(ts).cast("long")) *
+              lit(1000000000L), lit(0))
+          case Some(_) =>
+            val pat = "^(\\d{1,2}):(\\d{2})(?::(\\d{2}))?" +
+              "(?:\\.(\\d{1,9}))?(Z|[+-]\\d{2}:?\\d{2})?$"
+            def grp(i: Int) = regexp_extract(a0, pat, i)
+            def num(i: Int) = when(grp(i) === "", lit(0L))
+              .otherwise(grp(i).cast("long"))
+            val frac = when(grp(4) === "", lit(0L))
+              .otherwise(rpad(grp(4), 9, "0").cast("long"))
+            val tn = (num(1) * 3600L + num(2) * 60L + num(3)) *
+              lit(1000000000L) + frac
+            val off = when(grp(5) === "" || grp(5) === "Z", lit(0L))
+              .otherwise(
+                when(substring(grp(5), 1, 1) === "-", lit(-1L)).otherwise(lit(1L)) *
+                (substring(grp(5), 2, 2).cast("long") * 3600L +
+                  substring(grp(5), -2, 2).cast("long") * 60L))
+            // unparsable input → runtime error, like the reference
+            val ok = a0.rlike(pat)
+            mkTime(when(ok, tn).otherwise(raise_error(concat(
+              lit(s"TypeError: $name() cannot parse "), a0)).cast("long")),
+              off)
+        }
       // date.truncate('month', d) / datetime.truncate('hour', ts)
       case "date.truncate" =>
         date_trunc(constString(args.head), c(args(1))).cast("date")
@@ -7736,6 +7771,10 @@ object Planner {
       case s: StructType if s.fieldNames.toSeq ==
         Seq("months", "days", "seconds", "nanos") => "DURATION"
       case s: StructType if s.fieldNames.contains("srid") => "POINT"
+      case s: StructType if s.fieldNames.toSeq ==
+        graft.functions.Orderability.ZonedTimeFields => "ZONED TIME"
+      case s: StructType if s.fieldNames.toSeq ==
+        graft.functions.Orderability.LocalTimeFields => "LOCAL TIME"
       case _: MapType | _: StructType => "MAP"
       case _ => "ANY"
     }
@@ -7757,6 +7796,14 @@ object Planner {
       case "DATE"    => dt == DateType
       case "ZONED DATETIME" | "DATETIME" => dt == TimestampType
       case "LOCAL DATETIME" => dt == TimestampNTZType
+      case "ZONED TIME" | "TIME" => dt match {
+        case s: StructType => s.fieldNames.toSeq ==
+          graft.functions.Orderability.ZonedTimeFields
+        case _ => false }
+      case "LOCAL TIME" => dt match {
+        case s: StructType => s.fieldNames.toSeq ==
+          graft.functions.Orderability.LocalTimeFields
+        case _ => false }
       case "DURATION" => dt match {
         case s: StructType => s.fieldNames.contains("months") &&
           s.fieldNames.contains("nanos")

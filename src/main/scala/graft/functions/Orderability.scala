@@ -66,6 +66,53 @@ object Orderability {
     * is encoded as GEOMETRY (ValueGroup.java:45), not a MAP. */
   val PointFields: Seq[String] = Seq("x", "y", "srid")
 
+  /** graft's time-of-day layouts (Planner time()/localTime() — reference
+    * values/storable/TimeValue.java, LocalTimeValue.java): nanos since
+    * midnight, plus the zone offset in seconds for the zoned kind. */
+  val ZonedTimeFields: Seq[String] = Seq("tnanos", "toffset")
+  val LocalTimeFields: Seq[String] = Seq("tnanos")
+
+  /** HH:mm:ss(.fraction) text of a nanos-since-midnight column. */
+  def timeOfDayRepr(tn: Column): Column = {
+    def two(c: Column) = lpad(c.cast("string"), 2, "0")
+    val h = (tn / lit(3600000000000L)).cast("long")
+    val mi = ((tn / lit(60000000000L)) % 60).cast("long")
+    val se = ((tn / lit(1000000000L)) % 60).cast("long")
+    val frac = (tn % lit(1000000000L)).cast("long")
+    val base = concat(two(h), lit(":"), two(mi), lit(":"), two(se))
+    when(frac > 0, concat(base, lit("."),
+      regexp_replace(lpad(frac.cast("string"), 9, "0"), "0+$", "")))
+      .otherwise(base)
+  }
+
+  /** ±HH:MM (or Z) text of an offset-seconds column. */
+  def zoneOffsetRepr(off: Column): Column = {
+    def two(c: Column) = lpad(c.cast("string"), 2, "0")
+    val a = abs(off)
+    when(off === 0, lit("Z")).otherwise(concat(
+      when(off < 0, lit("-")).otherwise(lit("+")),
+      two((a / 3600).cast("long")), lit(":"),
+      two(((a / 60) % 60).cast("long"))))
+  }
+
+  private def ztimeAt(depth: Int, c: Column): Column =
+    nullAware(depth, c, encAt(depth, lit(RankZonedTime),
+      // secondary: offset (UTC-equal instants order by offset, reference
+      // ZonedTimeValue comparison)
+      lpad((c.getField("toffset") + 64800).cast("string"), 6, "0"),
+      nullBool,
+      // primary sort key: the UTC instant (nanos)
+      (c.getField("tnanos") -
+        c.getField("toffset").cast("long") * 1000000000L).cast("double"),
+      nullListAt(depth),
+      concat(timeOfDayRepr(c.getField("tnanos")),
+        zoneOffsetRepr(c.getField("toffset")))))
+
+  private def ltimeAt(depth: Int, c: Column): Column =
+    nullAware(depth, c, encAt(depth, lit(RankLocalTime), nullStr, nullBool,
+      c.getField("tnanos").cast("double"), nullListAt(depth),
+      timeOfDayRepr(c.getField("tnanos"))))
+
   // type ranks per the CIP order; only the relative order matters.
   // PUBLIC: the result layer decodes entity ranks back through the graph
   // snapshot (an id alone cannot render a node).
@@ -78,6 +125,8 @@ object Orderability {
   val RankZdt = 11 // ZONED_DATE_TIME (ValueGroup.java:46)
   val RankLdt = 12 // LOCAL_DATE_TIME
   val RankDate = 13 // DATE
+  val RankZonedTime = 14 // ZONED_TIME (ValueGroup.java:49)
+  val RankLocalTime = 15 // LOCAL_TIME (ValueGroup.java:50)
   val RankDuration = 16 // …temporals < DURATION < TEXT (ValueGroup.java:51)
   val RankString = 17
   val RankBoolean = 18
@@ -365,6 +414,10 @@ object Orderability {
             size(c).cast("double"), emptyElems(depth), lit("{}"))))
       case st: StructType if st.fieldNames.toSeq == PathStructFields =>
         Some(pathAt(depth, _))
+      case st: StructType if st.fieldNames.toSeq == ZonedTimeFields =>
+        Some(ztimeAt(depth, _))
+      case st: StructType if st.fieldNames.toSeq == LocalTimeFields =>
+        Some(ltimeAt(depth, _))
       case st: StructType if depth < MaxDepth &&
           st.fieldNames.toSeq == DurationFields =>
         Some(durationAt(depth, _))
