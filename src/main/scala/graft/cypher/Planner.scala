@@ -2615,6 +2615,19 @@ object Planner {
     * behave like shortestPath endpoints. Binds pv$length and pv$rels per
     * returned path (up to k per pair). */
   private def planShortestK(ctx: Ctx, envIn: Env, s: ShortestPart): Env = {
+    val __t0 = System.nanoTime()
+    try planShortestK0(ctx, envIn, s)
+    finally if (sys.env.contains("GRAFT_NFA_PROF"))
+      System.err.println(f"NFAPROF planShortestK ${(System.nanoTime()-__t0)/1e9}%.3f s")
+  }
+
+  private def planShortestK0(ctx: Ctx, envIn: Env, s: ShortestPart): Env = {
+    def prof2[A](tag: String)(f: => A): A =
+      if (sys.env.contains("GRAFT_NFA_PROF")) {
+        val t0 = System.nanoTime(); val a = f
+        System.err.println(f"NFAPROF $tag ${(System.nanoTime()-t0)/1e9}%.3f s")
+        a
+      } else f
     val p = namedStart(ctx, s.pattern)
     val kk = s.k.get
     require(p.hops.nonEmpty, "SHORTEST k needs a relationship pattern")
@@ -2674,7 +2687,7 @@ object Planner {
     val unboundedCap =
       if (nUnbounded == 0) 0
       else math.max(1, math.min(30, (60 - boundedSum) / nUnbounded))
-    val segs = p.hops.zip(boundaries).map { case ((r, _), bnd) =>
+    val segs = prof2("segs") { p.hops.zip(boundaries).map { case ((r, _), bnd) =>
       val (mn, mxOpt) = r.varLength.getOrElse((1, Some(1)))
       val mx = mxOpt.getOrElse(unboundedCap)
       // unbounded quantifier: mx is a search CAP, not a bound — an alive
@@ -2717,6 +2730,7 @@ object Planner {
             mn, mx, bnd, unbounded = unb)
       }
     }
+    }
     val pv = s.pathVar.getOrElse(ctx.fresh("p"))
     // endpoint constraints on a PRE-BOUND side (labels, label expressions,
     // property maps, inline WHERE — GQL allows them on any pattern node):
@@ -2733,7 +2747,7 @@ object Planner {
       val d0 = filterEndpoint(env.df.get, p.first, fromVar)
       if (toBound) filterEndpoint(d0, toNode, toVar) else d0
     }
-    val res0 =
+    val res0 = prof2("search") {
       if (s.groups) {
         // SHORTEST k GROUPS (reference Selector.ShortestGroups): whole
         // length-groups survive, so the search runs the distinct-arrival-
@@ -2786,6 +2800,7 @@ object Planner {
           df.select(col(fromVar).as("source")).distinct(), targetIds, kk,
           partBnds = boundNodeLegs.map(_._2))
       }
+    }
     // UNBOUND interior pattern variables BIND from the boundary-crossing
     // nodes the search records per segment transition (`bnds[i]` = the
     // node the path left segment i on) — a later MATCH reusing the

@@ -481,10 +481,13 @@ object Trail {
             scala.math.Ordering.Tuple2(scala.math.Ordering.Int, pathOrd))
             .take(k))
         .toSeq
+    val __t0 = System.nanoTime()
     val finished = segmentSearch(segments, sources, k, (df, _) => df
       .withColumn("__rk", row_number().over(wState))
       .filter(col("__rk") <= k).drop("__rk"), Some(localPrune),
       localThreshold)
+    if (sys.env.contains("GRAFT_NFA_PROF"))
+      System.err.println(f"NFAPROF segmentSearch-total ${(System.nanoTime()-__t0)/1e9}%.3f s")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source") +: col("target") +: bndCols: _*)
       .orderBy(col("hops").asc, col("path").asc)
@@ -637,6 +640,7 @@ object Trail {
     * astar/kCheapest/localKeptRows pattern; the NFA-family queries run on
     * sub-threshold fixtures and were round-latency-bound). */
   private def localSegmentSearch(segments: Seq[PathSegment],
+      normEdges: Seq[DataFrame], normBounds: Seq[Option[DataFrame]],
       sources: DataFrame, prune: Seq[LRow] => Seq[LRow]): DataFrame = {
     val spark = sources.sparkSession
     import spark.implicits._
@@ -644,22 +648,17 @@ object Trail {
     val mins = segments.map(_.min).toIndexedSeq
     val maxs = segments.map(_.max).toIndexedSeq
     val maxTotal = maxs.sum
-    val adj: IndexedSeq[Map[Long, Array[LEdge]]] = segments.map { s =>
-      val rows =
-        if (s.composite) s.edges
-          .select(col("__es"), col("__ed"), col("__ers"), col("__ens"),
-            col("__elen")).collect()
-          .map(r => (r.getLong(0), LEdge(r.getLong(1),
-            r.getSeq[Long](2).toArray, r.getSeq[Long](3).toArray,
-            r.getInt(4))))
-        else s.edges.select(col("src"), col("dst"), col("id")).collect()
-          .map(r => (r.getLong(0), LEdge(r.getLong(1),
-            Array(r.getLong(2)), Array(r.getLong(1)), 1)))
-      rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // collect from the SAME normalized checkpointed relations the probe
+    // just scanned — no second compile/compute of the raw edge trees
+    val adj: IndexedSeq[Map[Long, Array[LEdge]]] = normEdges.map { e =>
+      e.collect()
+        .map(r => (r.getLong(0), LEdge(r.getLong(1),
+          r.getSeq[Long](2).toArray, r.getSeq[Long](3).toArray,
+          r.getInt(4))))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     }.toIndexedSeq
-    val bounds: IndexedSeq[Option[Set[Long]]] = segments.map(
-      _.boundary.map(_.select(col("id")).collect().map(_.getLong(0)).toSet))
-      .toIndexedSeq
+    val bounds: IndexedSeq[Option[Set[Long]]] = normBounds.map(
+      _.map(_.collect().map(_.getLong(0)).toSet)).toIndexedSeq
     val srcs = sources.select(col("source")).distinct().collect()
       .map(_.getLong(0))
     def closure(rows: Seq[LRow]): Seq[LRow] = {
@@ -729,23 +728,31 @@ object Trail {
       s"segment bounds out of range: ${s.min}..${s.max}"))
     val maxTotal = segments.map(_.max).sum
     require(maxTotal <= 60, s"total path bound too large: $maxTotal")
-    localPrune match {
-      case Some(lp) if localThreshold > 0 &&
-          sources.limit(localThreshold + 1).count() <= localThreshold &&
-          segments.forall(s =>
-            s.edges.limit(localThreshold + 1).count() <= localThreshold &&
-            s.boundary.forall(
-              _.limit(localThreshold + 1).count() <= localThreshold)) =>
-        return localSegmentSearch(segments, sources, lp)
-      case _ => ()
-    }
+    def prof3[A](tag: String)(f: => A): A =
+      if (sys.env.contains("GRAFT_NFA_PROF")) {
+        val t0 = System.nanoTime(); val a = f
+        System.err.println(f"NFAPROF $tag ${(System.nanoTime()-t0)/1e9}%.3f s")
+        a
+      } else f
+    def prof(tag: String)(f: => Unit): Unit =
+      if (sys.env.contains("GRAFT_NFA_PROF")) {
+        val t0 = System.nanoTime(); f
+        System.err.println(f"NFAPROF $tag ${(System.nanoTime()-t0)/1e9}%.3f s")
+      } else f
     val nSeg = segments.size
     val mins = lit(segments.map(_.min).toArray)
     val maxs = lit(segments.map(_.max).toArray)
+    import graft.ops.Ckpt._
+    val cap = org.apache.spark.sql.graftstats.FreshStats.capStats _
     // every segment in composite form: one "expansion step" = one rel for
     // a plain var-length leg, one whole branch traversal for an
-    // alternation segment — the state machinery is identical either way
-    val eBySeg = segments.map { s =>
+    // alternation segment — the state machinery is identical either way.
+    // Checkpointed (lazily) FIRST so the local/distributed probe, the
+    // driver-local collect, and every search round reuse ONE compiled
+    // plan: the probe previously paid a second full Catalyst pass over
+    // the raw (often join-heavy composite) edge trees — about a third of
+    // q_shortest_nfa_alt's warm driver time.
+    val eBySeg = prof3("eBySeg") { segments.map { s =>
       val c =
         if (s.composite) s.edges
           .select(col("__es"), col("__ed"), col("__ers"), col("__ens"),
@@ -753,8 +760,26 @@ object Trail {
         else s.edges.select(col("src").as("__es"), col("dst").as("__ed"),
           array(col("id")).as("__ers"), array(col("dst")).as("__ens"),
           lit(1).as("__elen"))
-      c.localCheckpoint(false)
+      cap(c.localCheckpoint(false))
+    } }
+    val bBySeg: Seq[Option[DataFrame]] = segments.map(_.boundary.map(b =>
+      cap(b.select(col("id")).distinct().localCheckpoint(false))))
+    var isLocal = false
+    prof("probe") {
+      localPrune match {
+        case Some(_) if localThreshold > 0 &&
+            sources.limit(localThreshold + 1).count() <= localThreshold &&
+            eBySeg.forall(
+              _.limit(localThreshold + 1).count() <= localThreshold) &&
+            bBySeg.forall(_.forall(
+              _.limit(localThreshold + 1).count() <= localThreshold)) =>
+          isLocal = true
+        case _ => ()
+      }
     }
+    if (isLocal)
+      return localSegmentSearch(segments, eBySeg, bBySeg, sources,
+        localPrune.get)
     // epsilon closure: advance past segments whose minimum is satisfied
     // (seg == nSeg is the accepting state). Advances run in ascending
     // segment order — seg only grows, so every chain of advances is
@@ -772,9 +797,9 @@ object Trail {
         val cand = carry.fold(atI)(atI.unionByName(_))
         var adv = cand.filter(
           col("segHops") >= try_element_at(mins, col("seg") + 1))
-        segments(i).boundary.foreach { b =>
-          adv = adv.join(b.select(col("id").as("end")).distinct(),
-            Seq("end"), "left_semi")
+        bBySeg(i).foreach { b =>
+          adv = adv.join(b.select(col("id").as("end")), Seq("end"),
+            "left_semi")
         }
         val advanced = adv.select(col("source"), col("end"),
           (col("seg") + 1).as("seg"), lit(0).as("segHops"),
@@ -799,18 +824,19 @@ object Trail {
     def materializeAndCountActive(f: DataFrame): Long =
       f.agg(count(when(isActive, 1))).first().getLong(0)
 
-    var frontier = pruneStates(closure(
+    var frontier = prof3("init-ckpt") { cap(pruneStates(closure(
       sources
         .select(col("source"), col("source").as("end"), lit(0).as("seg"),
           lit(0).as("segHops"), lit(0).as("hops"),
           array().cast("array<long>").as("path"),
           array(col("source")).as("nodes"),
           array().cast("array<long>").as("bnds"))), null)
-      .localCheckpoint(false)
+      .localCheckpoint(false)) }
     val finished = Seq.newBuilder[DataFrame]
     finished += frontier.filter(isAccepted)
     var depth = 0
-    var activeCnt = materializeAndCountActive(frontier)
+    var activeCnt = 0L
+    prof("init-count") { activeCnt = materializeAndCountActive(frontier) }
     while (depth < maxTotal && activeCnt > 0) {
       val active = frontier.filter(isActive)
       val expanded = (0 until nSeg).map { i =>
@@ -823,9 +849,10 @@ object Trail {
             concat(col("path"), col("__ers")).as("path"),
             concat(col("nodes"), col("__ens")).as("nodes"), col("bnds"))
       }.reduce(_ unionByName _)
-      frontier = pruneStates(closure(expanded), frontier).localCheckpoint(false)
+      frontier = prof3(s"round-ckpt-$depth") {
+        cap(pruneStates(closure(expanded), frontier).localCheckpoint(false)) }
       finished += frontier.filter(isAccepted)
-      activeCnt = materializeAndCountActive(frontier)
+      prof(s"round-$depth") { activeCnt = materializeAndCountActive(frontier) }
       depth += 1
     }
     // horizon: surviving rows AT an unbounded segment's cap mean the
