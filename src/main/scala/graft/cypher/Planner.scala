@@ -3178,9 +3178,29 @@ object Planner {
   private def lowerExists(ctx: Ctx, env0: Env, e: Expr): (Env, Expr, Seq[String]) = {
     var env = env0
     val flags = Seq.newBuilder[String]
-    def subPlan(p: PathPattern, w: Option[Expr],
+    def subPlan(p0: PathPattern, w0: Option[Expr],
         extra: Set[String] = Set.empty): (Seq[String], Env) = {
       val df = env.df.get
+      // inline node WHEREs referencing OTHER pattern elements
+      // (`[(a WHERE b.prop > 100)-[r]-(b) | …]`, reference
+      // NodePatternPredicatesAcceptance) lift into the comprehension's
+      // WHERE, which applies once the whole sub-pattern is planned —
+      // the scan-level inline position cannot see the later binding
+      val liftedLate = Seq.newBuilder[Expr]
+      def liftNode(np: NodePattern): NodePattern = np.where match {
+        case Some(wx) if (exprVars(wx) -- np.variable.toSet)
+            .intersect(patternVars(p0).toSet -- np.variable.toSet).nonEmpty =>
+          liftedLate += wx
+          np.copy(where = None)
+        case _ => np
+      }
+      val p = p0.copy(first = liftNode(p0.first),
+        hops = p0.hops.map { case (r, n) =>
+          (r, if (r.varLength.isEmpty && r.qppVars.isEmpty &&
+            r.branches.isEmpty) liftNode(n) else n)
+        })
+      val w = (w0.toSeq ++ liftedLate.result())
+        .reduceOption(BinOp("AND", _, _))
       // the pattern's own path NAME shadows any same-named outer variable
       // (`[p = (x)-->(:Y) | p]` under an outer path p) — never a
       // correlation key
