@@ -7533,22 +7533,44 @@ object Planner {
                       .otherwise(lit(99))
                   struct(idx.as("i"), name.as("n"))
                 }
-                // union type name of a list of encoded elements
-                def unionNameOf(els: Column, depth: Int): Column = {
+                // union type name of a list of encoded elements, with the
+                // reference's LIST-member subsumption (CypherType
+                // normalization): a LIST member whose inner member set is
+                // covered by another LIST member's — equal, or weaker by
+                // dropping NOT NULL — is absorbed (LIST<NOTHING> by any
+                // list, LIST<INTEGER NOT NULL> by LIST<INTEGER | FLOAT>)
+                def memberEntries(els: Column, depth: Int): Column = {
                   // SQL-null elements (COLLECT{} retains them) count as
                   // Cypher nulls alongside rank-Null encoded elements
                   def isNullEl(e: Column) =
                     e.isNull || e.getField("rank") === lit(O.RankNull)
-                  val nn = array_distinct(transform(
-                    filter(els, e => !isNullEl(e)),
-                    e => elEntry(e, depth)))
                   val hasNull = exists(els, e => isNullEl(e))
-                  val suffixed = transform(array_sort(nn), en =>
+                  val entries = array_distinct(transform(
+                    filter(els, e => !isNullEl(e)), { e =>
+                      val en = elEntry(e, depth)
+                      struct(en.getField("i").as("i"),
+                        en.getField("n").as("n"),
+                        (e.getField("rank") === lit(O.RankList)).as("lst"),
+                        (if (depth < 2)
+                          memberEntries(e.getField("l"), depth + 1)
+                        else array().cast("array<string>")).as("ms"))
+                    }))
+                  def base(m: Column) = regexp_replace(m, " NOT NULL$", "")
+                  val kept = filter(entries, k =>
+                    !(k.getField("lst") && exists(entries, j =>
+                      j.getField("lst") && j.getField("n") =!= k.getField("n") &&
+                        forall(k.getField("ms"), m =>
+                          array_contains(j.getField("ms"), m) ||
+                            array_contains(j.getField("ms"), base(m))))))
+                  transform(array_sort(kept), en =>
                     concat(en.getField("n"),
                       when(hasNull, lit("")).otherwise(lit(" NOT NULL"))))
+                }
+                def unionNameOf(els: Column, depth: Int): Column = {
+                  val mems = memberEntries(els, depth)
                   when(size(els) === 0, lit("NOTHING"))
-                    .when(size(nn) === 0, lit("NULL"))
-                    .otherwise(array_join(suffixed, " | "))
+                    .when(size(mems) === 0, lit("NULL"))
+                    .otherwise(array_join(mems, " | "))
                 }
             def unionName(v: Column, depth: Int): Column =
               unionNameOf(v.getField("l"), depth)
