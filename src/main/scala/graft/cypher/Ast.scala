@@ -59,6 +59,12 @@ object Ast {
     * `COLLECT { MATCH <pattern> [WHERE …] RETURN expr }` — both lower to the
     * RollUpApply shape (reference
     * ReplacePatternComprehensionWithCollectSubquery.scala). */
+  /** shortestPath()/allShortestPaths() in EXPRESSION position (RETURN/
+    * WITH item): evaluates to the path value (or null when no path) /
+    * the list of paths. Reference ShortestPathAcceptance "Find a
+    * shortest path in an expression context". */
+  final case class ShortestPathExpr(pattern: PathPattern, all: Boolean)
+      extends Expr
   final case class PatternComprehension(pattern: PathPattern, where: Option[Expr],
       projection: Expr, orderBy: Seq[SortItem] = Nil,
       skip: Option[Expr] = None, limit: Option[Expr] = None) extends Expr

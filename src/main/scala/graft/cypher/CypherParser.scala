@@ -414,6 +414,17 @@ object CypherParser extends RegexParsers {
     * disambiguates it from list literals/comprehensions. An optional
     * leading `p =` names the path, projectable as `| p` (reference
     * PatternComprehension.projectNamedPath). */
+  /** shortestPath((a)-[*]->(b)) in expression position — the argument is
+    * a PATTERN, not an expression, so the generic funcCall cannot parse
+    * it; tried before funcCall in the atom alternation. */
+  private def shortestPathExpr: Parser[Expr] =
+    "(?i)(allShortestPaths|shortestPath)".r ~ ("(" ~> pathPattern <~ ")") ^^ {
+      case kw ~ p =>
+        require(p.hops.nonEmpty,
+          "shortestPath() takes a relationship pattern")
+        ShortestPathExpr(p, kw.toLowerCase.startsWith("all"))
+    }
+
   private def patternComprehension: Parser[Expr] =
     "[" ~> opt(ident <~ "=" <~ not("~")) ~ pathPattern ~
       opt(K("WHERE") ~> patCompWhere(expression)) ~
@@ -493,7 +504,7 @@ object CypherParser extends RegexParsers {
   private def atom: Parser[Expr] =
     literal | caseExpr | existsExpr | countStar | countSubquery |
     collectSubquery | iterPredicate | reduceExpr | trimSpecExpr |
-    funcCall | param |
+    shortestPathExpr | funcCall | param |
     patternComprehension | listComprehension | listLit | mapLitExpr |
     patternPredicate |
     "(" ~> expression <~ ")" |

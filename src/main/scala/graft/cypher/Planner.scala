@@ -3152,6 +3152,7 @@ object Planner {
     case _: PatternCount         => true
     case _: SubqueryExpr         => true
     case _: PatternComprehension => true
+    case _: ShortestPathExpr     => true
     case BinOp(_, l, r)         => containsPatternExists(l) || containsPatternExists(r)
     case UnaryOp(_, o)          => containsPatternExists(o)
     case IsNull(o, _)           => containsPatternExists(o)
@@ -3512,6 +3513,38 @@ object Planner {
           binds = env.binds + (lcol -> ValueVar))
         flags += lcol
         Variable(lcol)
+      case ShortestPathExpr(p0, all) =>
+        // shortestPath() as an EXPRESSION (reference ShortestPathAcceptance
+        // "Find a shortest path in an expression context"): plan the
+        // legacy shortest search from the distinct endpoint keys, LEFT
+        // OUTER join the path columns back — no path is NULL, not row
+        // elimination. allShortestPaths in expression position would be a
+        // LIST of paths — unsupported shape, explicit error.
+        require(!all,
+          "allShortestPaths() is not supported in expression position")
+        val pv = ctx.fresh("spx")
+        val refs = patternVars(p0).filter(env.has).toSeq.sorted
+        require(refs.nonEmpty,
+          "shortestPath() in expression position needs bound endpoints")
+        val keyCols = refKeyCols(env.df.get, refs)
+        val base = Env(Some(env.df.get.select(keyCols.map(col): _*).distinct()),
+          env.binds.view.filterKeys(refs.contains).toMap)
+        // the plan-time-synthesized path variable needs its full node/rel
+        // sequences (the expression VALUE is the path)
+        ctx.needed = ctx.needed +
+          (pv -> (ctx.needed.getOrElse(pv, Set.empty) + "nodes" + "rels"))
+        val sub = planShortest(ctx, base,
+          ShortestPart(Some(pv), p0, all = false, legacy = true))
+        val joined = nullSafeJoin(env.df.get,
+          sub.df.get.select((refs.map(col) ++ Seq(col(s"$pv$$nodes"),
+            col(s"$pv$$rels"), col(s"$pv$$length"))): _*),
+          refs, "left_outer")
+        env = env.copy(df = Some(joined),
+          binds = env.binds + (pv -> PathVar))
+        flags += s"$pv$$nodes"
+        flags += s"$pv$$rels"
+        flags += s"$pv$$length"
+        Variable(pv)
       case ListComprehension(v, lst, w, proj)
           if (w.toSeq ++ proj.toSeq).exists(containsPatternExists) &&
             !env.df.exists(_.columns.contains(v)) =>
@@ -5688,6 +5721,19 @@ object Planner {
     def entityScalarKind(e: Expr): Option[Binding] = e match {
       case Func("startnode" | "endnode", Seq(Variable(r)), _)
           if env.binds.get(r).contains(RelVar) => Some(NodeVar)
+      // an INDEXED element of an entity list is that entity kind
+      // (`nodes(p)[0] AS x` — reference semantic typing; x anchors
+      // patterns downstream)
+      case Index(le, _) => entityListKind(env, le) match {
+        case Some(NodeListVar) => Some(NodeVar)
+        case Some(RelListVar)  => Some(RelVar)
+        case _                 => None
+      }
+      case Func("head" | "last", Seq(le), _) => entityListKind(env, le) match {
+        case Some(NodeListVar) => Some(NodeVar)
+        case Some(RelListVar)  => Some(RelVar)
+        case _                 => None
+      }
       case _ => None
     }
 
