@@ -7006,8 +7006,12 @@ object Planner {
         def kind(dt: DataType): Option[String] = dt match {
           case StringType  => Some("str")
           case BooleanType => Some("bool")
-          case LongType | IntegerType | ShortType | ByteType | DoubleType |
-               FloatType | _: DecimalType => Some("num")
+          // INTEGER and FLOAT are DISTINCT dynamic kinds (reference: a
+          // CASE taking the INTEGER branch returns an INTEGER — Spark's
+          // coercion to one numeric type would widen 1 to 1.0,
+          // CaseExpression "Case should handle mixed number types")
+          case LongType | IntegerType | ShortType | ByteType => Some("int")
+          case DoubleType | FloatType | _: DecimalType => Some("float")
           case t @ ArrayType(_, _)
             if graft.functions.Orderability.encoderAt(0, t).isDefined =>
             Some("list")
@@ -7026,8 +7030,8 @@ object Planner {
         }
         val kinds = vals.flatMap(v => dataTypeOf(env, v)).flatMap(kind).distinct
         val mixedEncodable = kinds.size > 1 &&
-          kinds.forall(Set("str", "bool", "num", "list", "map", "dur",
-            "point", "temporal"))
+          kinds.forall(Set("str", "bool", "int", "float", "list", "map",
+            "dur", "point", "temporal"))
         def encode(v: Column): Column =
           dataTypeOf(env, v).flatMap(dt =>
             graft.functions.Orderability.encodeAny(dt, v))
