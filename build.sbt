@@ -32,4 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra JVM flags for local diagnostics (GC logs, JIT logging) without
+  // touching the committed defaults: GRAFT_JVM_EXTRA="-Xlog:gc:..." sbt run
+  sys.env.get("GRAFT_JVM_EXTRA").toSeq.flatMap(_.trim.split("\\s+").toSeq)

@@ -14,6 +14,17 @@ object GraftSession {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // SIZE-based AQE coalescing (guide §2.2 "fewer, larger reduce
+      // partitions"): the default parallelismFirst=true keeps ~one
+      // post-shuffle partition per core however tiny the data, so every
+      // stage of a small shuffle schedules `cpus` near-empty tasks. Local
+      // override via env for A/B; target size is scale-adaptive (the same
+      // setting is the recommended posture at 100 TB, where partitions
+      // actually reach the advisory size).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("GRAFT_AQE_ADVISORY_BYTES", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

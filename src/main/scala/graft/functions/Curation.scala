@@ -163,8 +163,12 @@ object Curation {
    */
   def bigramLmScore(df: DataFrame, idCol: String = "id",
       textCol: String = "text", alpha: Double = 0.5): DataFrame = {
+    // tokenize ONCE: uni, the bigram counts and the final per-doc pass all
+    // read the materialized token arrays instead of re-running the regex
+    // split per branch (previously 3 full tokenizations + shingle passes)
     val toks = df.select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(false)
     val uni = toks.select(explode(col("__toks")).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__cu"))
     // shinglesOf degenerates below n tokens (returns the whole joined doc
@@ -175,14 +179,21 @@ object Curation {
       .groupBy("__b").agg(count(lit(1)).as("__cb"))
     // vocabulary size: the one bounded driver statistic (a LONG)
     val v = uni.count()
-    biDocs.select(col(idCol),
-        explode(TextFunctions.shinglesOf(col("__toks"), 2)).as("__b"))
-      .join(big, "__b")
+    // fold the unigram join into a per-DISTINCT-bigram log term first:
+    // both join inputs are vocabulary-bounded, so the corpus-sized
+    // exploded stream joins once (on __b) instead of twice (__b then __w)
+    // — one fewer corpus-size shuffle; the per-instance value is the
+    // identical double (same log of the same counts)
+    val lr = big
       .withColumn("__w", element_at(split(col("__b"), " "), 1))
       .join(uni, "__w")
+      .select(col("__b"),
+        log((col("__cb") + alpha) / (col("__cu") + alpha * v)).as("__lr"))
+    biDocs.select(col(idCol),
+        explode(TextFunctions.shinglesOf(col("__toks"), 2)).as("__b"))
+      .join(lr, "__b")
       .groupBy(idCol)
-      .agg(round(-avg(log((col("__cb") + alpha) / (col("__cu") + alpha * v))), 4)
-        .as("nll"))
+      .agg(round(-avg(col("__lr")), 4).as("nll"))
   }
 
   /**

@@ -54,8 +54,22 @@ object Dedup {
     * replayable twin of xxhash64 for the driver's correctness gate
     * (xxhash64 stays the default production hash: one codegen'd pass,
     * no digest string). */
-  def portableHash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  val portableHash64: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** `transform(shinglesOf(toks, n), s => hash64(s))`, fused natively when
+    * `hash64` IS the portable hash (expressions/PortableShingleHashes —
+    * one MessageDigest reuse per task instead of an interpreted
+    * slice + array_join + md5-hex + conv chain per shingle); the generic
+    * HOF spelling otherwise. Values are bit-identical either way. */
+  private def shingleHashes(toks: org.apache.spark.sql.Column, n: Int,
+      hash64: org.apache.spark.sql.Column => org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    if (hash64 eq portableHash64) {
+      graft.functions.expressions.PortableShingleHashes.ensureRegistered(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("portable_shingle_hashes", toks, lit(n))
+    } else transform(shinglesOf(toks, n), s => hash64(s))
 
   /**
    * MinHash signatures + LSH banding.
@@ -73,9 +87,6 @@ object Dedup {
         xxhash64(_)): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val rng = new scala.util.Random(42)
-    val coeffs = Array.fill(k)((1L + rng.nextInt((Prime - 1).toInt), rng.nextInt(Prime.toInt).toLong))
-
     // hash each DISTINCT shingle exactly once; the k permutations then run
     // over the small pre-hashed array (previously xxhash64 re-ran per
     // coefficient — k× the hashing work for identical minima). Tokens
@@ -84,11 +95,13 @@ object Dedup {
     val sh = docs
       .withColumn("__toks", tokens(col("text")))
       .select(col("id"),
-        array_distinct(transform(shinglesOf(col("__toks"), shingleSize),
-          s => pmod(hash64(s), lit(Prime)))).as("hs"))
-    val sig = sh.select(col("id"), array(coeffs.map { case (a, b) =>
-      array_min(transform(col("hs"), x => pmod(x * a + b, lit(Prime))))
-    }.toIndexedSeq: _*).as("sig"))
+        array_distinct(transform(shingleHashes(col("__toks"), shingleSize,
+          hash64), x => pmod(x, lit(Prime)))).as("hs"))
+    // all k minima in one fused native loop (expressions/MinhashSigs) —
+    // same seed-42 coefficients, same values as the k-column spelling
+    graft.functions.expressions.MinhashSigs.ensureRegistered(docs.sparkSession)
+    val sig = sh.select(col("id"),
+      call_function("minhash_sigs", col("hs"), lit(k)).as("sig"))
 
     // explode into b band buckets — ids only: the 64-long signature array
     // must NOT ride through the ×bands explode and the skew-cap shuffle
@@ -124,23 +137,41 @@ object Dedup {
       shingleSize: Int = 3,
       hash64: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         xxhash64(_)): DataFrame = {
-    val cands = minhashCandidates(docs, shingleSize, hash64 = hash64)
-      .filter(col("jaccardEstimate") >= threshold * 0.7)
-    // materialized once — referenced by BOTH pair-side joins below. The
-    // verify sets are 8-byte xxhash64 keys, not shingle STRINGS: the
+    val k = 64; val bands = 16; val maxBucket = 64
+    // ONE sketch pass over the corpus (docSketches: sig + verify set per
+    // doc, one tokenize/shingle/hash evaluation) where the previous
+    // formulation ran two — minhashCandidates re-shingled for signatures,
+    // and a separate `sets` pass re-shingled for exact-Jaccard verify.
+    // The verify sets are 8-byte hashes, not shingle STRINGS: the
     // per-pair intersect compares longs (~10x smaller rows through the two
     // joins), and |A∪B| = |A|+|B|-|A∩B| skips building the union array.
     // Full 64-bit hashes (not the mod-Prime minhash universe) keep the
     // collision rate ~|shingles|²/2^64 — far below sketch noise.
-    val sets = docs
-      .withColumn("__toks", tokens(col("text")))
-      .select(col("id"), array_distinct(
-        transform(shinglesOf(col("__toks"), shingleSize), s => hash64(s))).as("set"))
-      .withColumn("sz", size(col("set")))
-      .localCheckpoint(false)
-    cands
-      .join(sets.select(col("id").as("idA"), col("set").as("setA"), col("sz").as("szA")), Seq("idA"))
-      .join(sets.select(col("id").as("idB"), col("set").as("setB"), col("sz").as("szB")), Seq("idB"))
+    val sk = docSketches(docs, shingleSize, k, hash64).localCheckpoint(false)
+
+    // band-bucket candidates over ids only (signatures/sets must NOT ride
+    // the ×bands explode or the skew-cap shuffle), capped per bucket
+    val banded = bandBuckets(sk, k, bands, hash64)
+    val capped = banded
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket").orderBy("id")))
+      .filter(col("rn") <= maxBucket)
+    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"))
+    val pairs = a.join(b, Seq("band", "bucket")).filter(col("idA") < col("idB"))
+      .select("idA", "idB").dropDuplicates("idA", "idB")
+
+    // estimate + verify off the SAME sketch rows: one join per side
+    // carries (sig, set, sz) instead of the previous sig-join + set-join
+    pairs
+      .join(sk.select(col("id").as("idA"), col("sig").as("sigA"),
+        col("set").as("setA"), col("sz").as("szA")), Seq("idA"))
+      .join(sk.select(col("id").as("idB"), col("sig").as("sigB"),
+        col("set").as("setB"), col("sz").as("szB")), Seq("idB"))
+      .filter((size(filter(zip_with(col("sigA"), col("sigB"),
+          (x, y) => (x === y).cast("int")), v => v === 1))
+        .cast("double") / k) >= threshold * 0.7)
       .withColumn("inter", size(array_intersect(col("setA"), col("setB"))).cast("double"))
       .withColumn("jaccard", col("inter") / (col("szA") + col("szB") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -304,20 +335,21 @@ object Dedup {
   private[graft] def docSketches(docs: DataFrame, shingleSize: Int,
       k: Int, hash64: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         xxhash64(_)): DataFrame = {
-    val rng = new scala.util.Random(42)
-    val coeffs = Array.fill(k)((1L + rng.nextInt((Prime - 1).toInt),
-      rng.nextInt(Prime.toInt).toLong))
+    graft.functions.expressions.MinhashSigs.ensureRegistered(docs.sparkSession)
     docs
       .withColumn("__toks", tokens(col("text")))
+      // hash each shingle ONCE (the `set` column); the mod-Prime minhash
+      // universe derives from those hashes — distinct∘pmod∘distinct equals
+      // distinct∘pmod, and only array_min/intersect consume the arrays, so
+      // ordering is immaterial. Previously the shingle strings were hashed
+      // twice (once full-64, once mod-Prime).
       .withColumn("set", array_distinct(
-        transform(shinglesOf(col("__toks"), shingleSize), s => hash64(s))))
+        shingleHashes(col("__toks"), shingleSize, hash64)))
       .withColumn("hs", array_distinct(
-        transform(shinglesOf(col("__toks"), shingleSize),
-          s => pmod(hash64(s), lit(Prime)))))
+        transform(col("set"), x => pmod(x, lit(Prime)))))
       .select(col("id"),
-        array(coeffs.map { case (a, b) =>
-          array_min(transform(col("hs"), x => pmod(x * a + b, lit(Prime))))
-        }.toIndexedSeq: _*).as("sig"),
+        // all k minima in one fused native loop — same seed-42 coefficients
+        call_function("minhash_sigs", col("hs"), lit(k)).as("sig"),
         col("set"), size(col("set")).as("sz"))
   }
 

@@ -26,9 +26,16 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Dot product of two ARRAY<DOUBLE> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two ARRAY<DOUBLE> columns — the fused native
+    * expression (expressions/VectorDot); bit-identical to the
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` HOF spelling it replaced,
+    * which evaluated interpreted (HOFs are CodegenFallback) and allocated
+    * a products array per row. */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.expressions.VectorDot.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("vector_dot", a, b)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

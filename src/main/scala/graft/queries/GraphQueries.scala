@@ -471,8 +471,8 @@ object GraphQueries {
         val pairs = e2.alias("x").join(e2.alias("y"),
             col("x.node") < col("y.node"))
           .select(col("x.region").as("r1"), col("y.region").as("r2"),
-            aggregate(zip_with(col("x.embedding"), col("y.embedding"),
-              (a, b) => a * b), lit(0.0), (acc, v) => acc + v).as("cos"))
+            graft.functions.Similarity.dot(col("x.embedding"),
+              col("y.embedding")).as("cos"))
         val inter = pairs.filter(col("r1") =!= col("r2"))
           .agg(avg("cos").as("interMean"))
         pairs.filter(col("r1") === col("r2"))
@@ -504,8 +504,8 @@ object GraphQueries {
         e2.alias("x").join(e2.alias("y"), col("x.node") =!= col("y.node"))
           .select(col("x.node").as("node"), col("x.region").as("r1"),
             col("y.node").as("nb"), col("y.region").as("r2"),
-            aggregate(zip_with(col("x.embedding"), col("y.embedding"),
-              (a, b) => a * b), lit(0.0), (acc, v) => acc + v).as("cos"))
+            graft.functions.Similarity.dot(col("x.embedding"),
+              col("y.embedding")).as("cos"))
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") === 1)
           .select(col("node"), (col("r1") === col("r2")).as("nn_intra_region"))

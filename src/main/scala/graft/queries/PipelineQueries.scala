@@ -631,16 +631,15 @@ object PipelineQueries {
           .select(col("vec_id").as("id"),
             Similarity.asDouble(col("embedding")).as("v"))
           // norm hoisted to its own column: inside the transform lambda
-          // the fold would re-evaluate per ELEMENT (O(d²) per vector)
-          .withColumn("__n", sqrt(aggregate(col("v"), lit(0.0),
-            (acc, y) => acc + y * y)))
+          // the fold would re-evaluate per ELEMENT (O(d²) per vector);
+          // Similarity.dot(v, v) is the fused native sum of squares
+          .withColumn("__n", sqrt(Similarity.dot(col("v"), col("v"))))
           .select(col("id"),
             transform(col("v"), x => x / col("__n")).as("u"))
         val a = emb.select(col("id").as("idA"), col("u").as("uA"))
         val b = emb.select(col("id").as("idB"), col("u").as("uB"))
         a.crossJoin(b).filter(col("idA") < col("idB"))
-          .filter(aggregate(zip_with(col("uA"), col("uB"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) >= 0.40)
+          .filter(Similarity.dot(col("uA"), col("uB")) >= 0.40)
           .select(col("idA"), col("idB"))
       },
       Some("""SELECT a.vec_id AS idA, b.vec_id AS idB
