@@ -17,14 +17,16 @@ object GraftSession {
       // SIZE-based AQE coalescing (guide §2.2 "fewer, larger reduce
       // partitions"): the default parallelismFirst=true keeps ~one
       // post-shuffle partition per core however tiny the data, so every
-      // stage of a small shuffle schedules `cpus` near-empty tasks. Local
-      // override via env for A/B; target size is scale-adaptive (the same
-      // setting is the recommended posture at 100 TB, where partitions
-      // actually reach the advisory size).
+      // stage of a small shuffle schedules `cpus` near-empty tasks.
+      // Local default 2m (A/B'd: 64m serialized the compute-dense
+      // small-byte stages — q_node_similarity 3x slower; 2m keeps those
+      // parallel while KB-sized bookkeeping shuffles still coalesce to one
+      // task). Production at real scale: 64-256m (OPTIMIZATION_r15.md §AQE)
+      // — there partition BYTES are the cost, not per-row compute.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("GRAFT_AQE_ADVISORY_BYTES", "64m"))
+        sys.env.getOrElse("GRAFT_AQE_ADVISORY_BYTES", "2m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -312,7 +312,12 @@ object Similarity {
           unitCents.map { case (cid, v) => (cid, v.toSeq) }.toSeq
             .toDF("cid", "cv"))
       }
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
+    // cluster by the partition column before partitionBy so each cell
+    // lands in few files, not one per write task (the saveMinhashStore /
+    // saveTextIndex convention — at scale, tasks × nList small files is a
+    // listing-cost problem)
+    assigned.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells")
     centsDf.write.mode("overwrite").parquet(s"$dir/centroids")
   }
 

@@ -210,40 +210,129 @@ object Bfs {
    * ⌈log₂ L⌉ rounds, each one V-sized self-join on the jump table.
    *
    * @param edges (src, dst) successor edges, in/out degree ≤ 1 (lists)
+   * @param localEdgeThreshold bounded inputs (≤ threshold raw edge rows,
+   *        probed with a LIMIT that never shuffles) walk their chains on
+   *        the driver in 2 jobs total — the connectedComponents /
+   *        WeightedPaths.astar guarded-fast-path precedent; bigger inputs
+   *        take the distributed doubling loop (specs cover it via 0)
    * @return (node, head, rank): head = start of the node's chain,
    *         rank = distance from the head (head itself has rank 0)
    */
-  def listRanks(edges: DataFrame, maxLength: Long = 1L << 20): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    val allNodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-    // jump table: node → (p = 2^k-th predecessor-or-head, r = hops to p);
-    // heads (no incoming edge) self-point with r = 0 and act as fixpoints
-    var ptr = allNodes
-      .join(e.select(col("dst").as("node"), col("src").as("__p")), Seq("node"), "left_outer")
-      .select(col("node"), coalesce(col("__p"), col("node")).as("p"),
-        when(col("__p").isNull, 0L).otherwise(1L).as("r"))
-      .freshCkpt()
-    val heads = ptr.filter(col("p") === col("node"))
-      .select(col("node").as("__head")).freshCkpt()
+  def listRanks(edges: DataFrame, maxLength: Long = 1L << 20,
+      localEdgeThreshold: Int = 200000): DataFrame = {
+    val spark = edges.sparkSession
+    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .na.drop("any")
     val roundsCap = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLength))) + 1
-    var remaining = Long.MaxValue
+    if (localEdgeThreshold > 0) {
+      // probe and collect in ONE evaluation: a separate LIMIT-probe would
+      // re-run the caller's edge-producing subtree (often a window +
+      // self-join) before the collect ran it again
+      val probe = raw.limit(localEdgeThreshold + 1).collect()
+      if (probe.length <= localEdgeThreshold)
+        return localListRanks(spark, probe.map(r => (r.getLong(0), r.getLong(1))),
+          maxLength, roundsCap)
+    }
+    // RDD rounds under ONE shared HashPartitioner (the Ranking.iterateRanks
+    // treatment): the DataFrame loop re-ran Catalyst + a localCheckpoint +
+    // an anti-join-vs-heads count job every round — ~5 stages of fixed
+    // latency per doubling round; here every round is one co-partitioned
+    // join whose materializing count() doubles as the convergence check.
+    // Head-ness of the CURRENT pointer rides along as a boolean (the jump
+    // copies the jumped-to row's flag), so no anti-join is ever needed.
+    // persist the edge pairs: pred and the two legs of the node-id union
+    // all read them — without this the caller's (possibly expensive)
+    // edge-producing subtree re-executes three times at init
+    val eIn = raw.rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPart = math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      math.max(math.max(1, spark.sparkContext.defaultParallelism / 4),
+        eIn.getNumPartitions))
+    val part = new org.apache.spark.HashPartitioner(nPart)
+    // (node, predecessor) — in/out degree ≤ 1 by contract
+    val pred = eIn.map { case (s, d) => (d, s) }.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = eIn.map(_._1).union(eIn.map(_._2)).distinct(nPart)
+      .map((_, ())).partitionBy(part)
+    // jump table row: node → (p = 2^k-th predecessor-or-head, r = hops to
+    // p, pIsHead); heads self-point with r = 0 and act as fixpoints.
+    // pIsHead is seeded from "my predecessor has no predecessor" and then
+    // maintained by the jump (new p = b.p, new flag = b's flag).
+    var ptr = nodes.leftOuterJoin(pred, part)
+      .map { case (n, (_, po)) => (po.getOrElse(n), (n, po.isDefined)) }
+      .leftOuterJoin(pred, part) // does the pointed-to node have a pred?
+      .map { case (p, ((n, hasPred), pPred)) =>
+        if (!hasPred) (n, (n, 0L, true))
+        else (n, (p, 1L, pPred.isEmpty))
+      }
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var remaining = ptr.filter(!_._2._3).count() // materializes ptr too
     var i = 0
     while (remaining > 0 && i < roundsCap) {
       i += 1
-      // lazy checkpoint: the convergence count below is the action that
-      // materializes it, so each round costs ONE job instead of two
-      ptr = ptr.alias("a")
-        .join(ptr.alias("b"), col("a.p") === col("b.node"))
-        .select(col("a.node").as("node"), col("b.p").as("p"),
-          (col("a.r") + col("b.r")).as("r"))
-        .localCheckpoint(false)
-      // converged when every pointer rests on a chain head (fixpoint)
-      remaining = ptr.join(heads, col("p") === col("__head"), "left_anti").count()
+      val prev = ptr
+      ptr = prev
+        .map { case (n, (p, r, _)) => (p, (n, r)) }
+        .join(prev, part)
+        .map { case (_, ((n, rA), (p2, rB, pHead2))) => (n, (p2, rA + rB, pHead2)) }
+        .partitionBy(part)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // converged when every pointer rests on a chain head (fixpoint);
+      // this count is the one action that materializes the round
+      remaining = ptr.filter(!_._2._3).count()
+      prev.unpersist(blocking = false)
     }
     require(remaining == 0,
       s"listRanks did not converge in $roundsCap rounds — chain longer than $maxLength or a cycle")
-    ptr.select(col("node"), col("p").as("head"), col("r").as("rank"))
+    pred.unpersist(blocking = false)
+    eIn.unpersist(blocking = false)
+    val out = spark.createDataFrame(
+      ptr.map { case (n, (p, r, _)) => org.apache.spark.sql.Row(n, p, r) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("head",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    out
+  }
+
+  /** Driver-local chain walk over a collected (bounded) successor list —
+    * same output, same convergence contract as the distributed doubling
+    * loop: a chain converges within roundsCap doubling rounds iff its max
+    * rank ≤ 2^roundsCap, and a cycle (no head) never converges. */
+  private def localListRanks(spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[(Long, Long)], maxLength: Long, roundsCap: Int): DataFrame = {
+    val succ = new scala.collection.mutable.HashMap[Long, Long]()
+    val hasPred = new scala.collection.mutable.HashSet[Long]()
+    val nodes = new scala.collection.mutable.LinkedHashSet[Long]()
+    pairs.foreach { case (s, d) =>
+      succ(s) = d; hasPred += d; nodes += s; nodes += d
+    }
+    val rows = Seq.newBuilder[(Long, Long, Long)]
+    var assigned = 0L
+    var maxRank = 0L
+    nodes.foreach { h =>
+      if (!hasPred.contains(h)) {
+        var cur = h; var r = 0L
+        rows += ((h, h, 0L)); assigned += 1
+        while (succ.contains(cur)) {
+          cur = succ(cur); r += 1
+          rows += ((cur, h, r)); assigned += 1
+        }
+        if (r > maxRank) maxRank = r
+      }
+    }
+    // unreached nodes sit on a cycle; over-long chains would not have
+    // converged in the distributed loop's roundsCap doubling rounds
+    require(assigned == nodes.size && maxRank <= (1L << roundsCap),
+      s"listRanks did not converge in $roundsCap rounds — chain longer than $maxLength or a cycle")
+    import spark.implicits._
+    rows.result().toDF("node", "head", "rank")
   }
 
   /**
@@ -417,12 +506,29 @@ object Bfs {
    * @return (source, node, arrival LONG) including (s, s, t0)
    */
   def earliestArrival(edges: DataFrame, sources: DataFrame,
-      maxHops: Int = 50): DataFrame = {
-    val e = edges.select(col("src").as("__s"), col("dst").as("__d"),
-      col("ts").cast("long").as("__t")).localCheckpoint(false)
+      maxHops: Int = 50, localEdgeThreshold: Int = 200000): DataFrame = {
     val s0 = if (sources.columns.contains("t0"))
       sources.select(col("source"), col("t0").cast("long").as("arrival"))
     else sources.select(col("source"), lit(0L).as("arrival"))
+    if (localEdgeThreshold > 0) {
+      // guarded driver-local fast path (the connectedComponents /
+      // listRanks precedent): a bounded temporal-edge list runs the SAME
+      // keep-the-min round DP on the driver — 2 jobs total instead of ~3
+      // per relaxation round. Probe + collect in one evaluation.
+      val eProbe = edges.select(col("src").cast("long"),
+          col("dst").cast("long"), col("ts").cast("long"))
+        .na.drop("any") // a null edge field never matches the join either
+        .limit(localEdgeThreshold + 1).collect()
+      if (eProbe.length <= localEdgeThreshold) {
+        val srcRows = s0.limit(localEdgeThreshold + 1).collect()
+        if (srcRows.length <= localEdgeThreshold)
+          return localEarliestArrival(edges.sparkSession,
+            eProbe.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+            srcRows.map(r => (r.getLong(0), r.getLong(1))), maxHops)
+      }
+    }
+    val e = edges.select(col("src").as("__s"), col("dst").as("__d"),
+      col("ts").cast("long").as("__t")).localCheckpoint(false)
     var best = s0.select(col("source"), col("source").as("node"),
       col("arrival")).freshCkpt()
     var frontier = best
@@ -449,5 +555,44 @@ object Bfs {
     require(fCnt == 0,
       s"earliestArrival did not converge within $maxHops rounds")
     best
+  }
+
+  /** Driver-local mirror of the distributed keep-the-min rounds: identical
+    * DP, identical round structure and maxHops convergence contract. */
+  private def localEarliestArrival(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long, Long)], sources: Array[(Long, Long)],
+      maxHops: Int): DataFrame = {
+    val out = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(e => (e._2, e._3))
+    }
+    val best = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+    var frontier: Seq[(Long, Long, Long)] =
+      sources.map { case (s, t0) => (s, s, t0) }.toSeq
+    frontier.foreach { case (s, n, a) =>
+      val k = (s, n)
+      if (best.get(k).forall(_ > a)) best(k) = a
+    }
+    // the seed pass above mirrors the distributed min-merge of duplicate
+    // sources; rounds relax exactly like the DataFrame loop
+    frontier = best.iterator.collect { case ((s, n), a) => (s, n, a) }.toSeq
+    var it = 0
+    while (frontier.nonEmpty && it < maxHops) {
+      it += 1
+      val improved = Seq.newBuilder[(Long, Long, Long)]
+      frontier.foreach { case (s, n, a) =>
+        out.getOrElse(n, Array.empty[(Long, Long)]).foreach { case (d, t) =>
+          if (a <= t && best.get((s, d)).forall(_ > t)) {
+            best((s, d)) = t
+            improved += ((s, d, t))
+          }
+        }
+      }
+      frontier = improved.result()
+    }
+    require(frontier.isEmpty,
+      s"earliestArrival did not converge within $maxHops rounds")
+    import spark.implicits._
+    best.iterator.map { case ((s, n), a) => (s, n, a) }.toSeq
+      .toDF("source", "node", "arrival")
   }
 }

@@ -719,6 +719,13 @@ object Trail {
     * LIMIT probe, the search instead runs driver-local through
     * [[localSegmentSearch]] with the caller's `localPrune` policy —
     * identical rows, none of the per-round job latency. */
+  // localThreshold stays at 10k (r15 opt note): raising it to the
+  // connectedComponents-style 200k bound was MEASURED 7-20x SLOWER on the
+  // 15k-edge sf0.1 fixtures — the driver DP's per-round trail expansion
+  // is single-threaded and its frontier scales with sources × fan-out, so
+  // past ~10k edges the distributed rounds win despite their scheduling
+  // latency. Do not "align" these bounds: components/listRanks collect
+  // once and run linear union-find/chain walks; this DP is round-iterated.
   private def segmentSearch(segments: Seq[PathSegment], sources: DataFrame,
       k: Int, pruneStates: (DataFrame, DataFrame) => DataFrame,
       localPrune: Option[Seq[LRow] => Seq[LRow]] = None,

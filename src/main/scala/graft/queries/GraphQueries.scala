@@ -131,8 +131,12 @@ object GraphQueries {
       (s, d) => {
         val orders = t(s, d, "orders")
         val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        // materialized once: both the successor edges and the rn==1 heads
+        // tail read the ranked sequence — without this the window sort
+        // runs twice (plus once more in listRanks' bounded-input probe)
         val seq0 = orders.select(col("o_custkey"), col("o_orderkey"),
           row_number().over(w).as("rn"))
+          .localCheckpoint(false)
         val edges = seq0.alias("a").join(seq0.alias("b"),
             col("a.o_custkey") === col("b.o_custkey") && col("b.rn") === col("a.rn") + 1)
           .select(col("a.o_orderkey").as("src"), col("b.o_orderkey").as("dst"))

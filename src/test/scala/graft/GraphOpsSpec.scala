@@ -111,6 +111,20 @@ class GraphOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Bfs.listRanks(cyc, maxLength = 8).collect() }
   }
 
+  test("listRanks distributed path (threshold 0) matches the local walk") {
+    val edges = ((0L until 39L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L))).toDF("src", "dst")
+    val r = Bfs.listRanks(edges, maxLength = 64, localEdgeThreshold = 0)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L) == (0L, 0L) && r(39L) == (0L, 39L) && r(20L) == (0L, 20L))
+    assert(r(100L) == (100L, 0L) && r(102L) == (100L, 2L))
+    assert(r.size == 43)
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Bfs.listRanks(cyc, maxLength = 8, localEdgeThreshold = 0).collect()
+    }
+  }
+
   test("allShortestPaths returns every minimal-hop path, ties included") {
     // diamond: 0->1->3 and 0->2->3 both length 2; plus direct 0->4 (len 1)
     val edges = Seq((100L, 0L, 1L), (101L, 0L, 2L), (102L, 1L, 3L),

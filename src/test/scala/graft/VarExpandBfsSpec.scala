@@ -106,5 +106,10 @@ class VarExpandBfsSpec extends AnyFunSuite {
     val late = Bfs.earliestArrival(e, Seq((1L, 100L)).toDF("source", "t0"))
       .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
     assert(late == Map(1L -> 100L), s"$late")
+    // the distributed loop (local fast path off) must agree exactly
+    val dist = Bfs.earliestArrival(e, Seq(1L).toDF("source"),
+        localEdgeThreshold = 0)
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(dist == Map(1L -> 0L, 2L -> 5L, 3L -> 9L, 4L -> 1L, 5L -> 2L), s"$dist")
   }
 }
