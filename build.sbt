@@ -31,7 +31,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g (box has 128 GiB): r16 diagnosed multi-second G1 young pauses and
+  // allocation stalls late in full-suite JVMs at 8g — 8g means 4 MB G1
+  // regions, so shuffle-fetch buffers and ExternalAppendOnlyMap growth
+  // arrays allocate humongous and churn the old gen across ~250 queries;
+  // 24g doubles the region size and the headroom (OPTIMIZATION_r16.md,
+  // q_pagerank_weighted diagnosis)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~250 queries × several whole-stage-codegen classes each run the JDK 17
+  // default 240 MB code cache to its rim; when it fills the JIT disables
+  // itself and compute-dense loops run interpreted (~10x). Reserved ≠
+  // committed — pages are committed on demand, so the only cost is
+  // address space.
+  "-XX:ReservedCodeCacheSize=512m",
 ) ++
   // extra JVM flags for local diagnostics (GC logs, JIT logging) without
   // touching the committed defaults: GRAFT_JVM_EXTRA="-Xlog:gc:..." sbt run

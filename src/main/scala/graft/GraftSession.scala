@@ -18,17 +18,30 @@ object GraftSession {
       // partitions"): the default parallelismFirst=true keeps ~one
       // post-shuffle partition per core however tiny the data, so every
       // stage of a small shuffle schedules `cpus` near-empty tasks.
-      // Local default 2m (A/B'd: 64m serialized the compute-dense
-      // small-byte stages — q_node_similarity 3x slower; 2m keeps those
-      // parallel while KB-sized bookkeeping shuffles still coalesce to one
-      // task). Production at real scale: 64-256m (OPTIMIZATION_r15.md §AQE)
-      // — there partition BYTES are the cost, not per-row compute.
+      // The advisory size is SCALE-ADAPTIVE (guide §2: derive partitioning
+      // from the deployment, not a constant tuned for one mode): local[...]
+      // masters — single-box data volumes where per-row compute, not
+      // partition bytes, is the cost — get 2m (A/B'd r15: 64m serialized
+      // the compute-dense small-byte stages, q_node_similarity 3x slower);
+      // any non-local master gets the scale-safe 64m (2m at cluster scale
+      // would be a partition-count explosion). GRAFT_AQE_ADVISORY_BYTES
+      // overrides either way.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("GRAFT_AQE_ADVISORY_BYTES", "2m"))
+        sys.env.getOrElse("GRAFT_AQE_ADVISORY_BYTES",
+          if (master.startsWith("local")) "2m" else "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Kryo for RDD shuffle/broadcast data (guide §2.3 — shuffle fewer
+      // bytes, cheaper per-record serialization): the iterative RDD ops
+      // (pageRank family, listRanks, components) shuffle (Long, (Long,
+      // Double))-shaped tuples every round; the JavaSerializer default
+      // pays ObjectInputStream reflection per record and was the top
+      // stack in the r16 full-suite profile. SQL exchanges use Spark's
+      // Unsafe row format either way; this only upgrades the RDD paths.
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       // the status listeners run even with the UI off; default retention
       // (1000 executions / jobs / stages, each with a full metrics graph)

@@ -62,10 +62,14 @@ object Similarity {
     // (0, 1], higher = closer
     def score(v: Column, qv: Column): Column = metric.toUpperCase match {
       case "COSINE" => cosine(v, qv)
-      case "EUCLIDEAN" =>
-        lit(1.0) / (lit(1.0) + aggregate(
-          zip_with(v, qv, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x))
+      case "EUCLIDEAN" => {
+        // fused codegen kernel (expressions/VectorSqDist) — the last
+        // aggregate(zip_with(...)) on a numeric hot path, same null/fold
+        // semantics as the HOF spelling it replaces
+        graft.functions.expressions.VectorSqDist.ensureRegistered(
+          org.apache.spark.sql.SparkSession.active)
+        lit(1.0) / (lit(1.0) + call_function("vector_sqdist", v, qv))
+      }
       case other => throw new IllegalArgumentException(
         s"unknown vector similarity function $other")
     }
@@ -389,16 +393,14 @@ object Similarity {
     val centsRow = unitCents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
       .toDF("cid", "cv")
       .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("__cents"))
+    // fused argmax kernel (expressions/VectorKernels.ArgmaxDot): the HOF
+    // aggregate was CodegenFallback — every corpus row paid an interpreted
+    // walk over nList centroid structs; this is one compiled loop with the
+    // identical strictly-greater / (MinValue, -1) decision sequence
+    graft.functions.expressions.ArgmaxDot.ensureRegistered(spark)
     c.crossJoin(broadcast(centsRow))
-      .withColumn("__best",
-        aggregate(col("__cents"),
-          struct(lit(Double.MinValue).as("s"), lit(-1).as("cid")),
-          (acc, cen) => {
-            val s = dot(col("v"), cen.getField("cv"))
-            when(s > acc.getField("s"),
-              struct(s.as("s"), cen.getField("cid").as("cid"))).otherwise(acc)
-          }))
-      .select(col("id"), col("v"), col("__best.cid").as("cid"))
+      .select(col("id"), col("v"),
+        call_function("argmax_dot", col("v"), col("__cents")).as("cid"))
   }
 
   /**
@@ -584,36 +586,32 @@ object Similarity {
       .groupBy("j").agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cents"))
       .agg(sort_array(collect_list(struct(col("j"), col("cents")))).as("__cb"))
 
-    // encode: m argmax-dot scans over the broadcast codebook — map-side only
+    // encode: m argmax-dot scans over the broadcast codebook — map-side
+    // only, in ONE fused codegen kernel (expressions/PqEncode): the
+    // transform/aggregate HOF spelling interpreted m × nCents struct walks
+    // (each allocating a slice) per corpus row
+    graft.functions.expressions.PqEncode.ensureRegistered(spark)
+    graft.functions.expressions.PqLut.ensureRegistered(spark)
+    graft.functions.expressions.PqAdc.ensureRegistered(spark)
     val encoded = c.crossJoin(broadcast(cbRow))
-      .withColumn("code", transform(sequence(lit(0), lit(m - 1)), j => {
-        val qs = slice(col("v"), j * sub + 1, lit(sub))
-        aggregate(element_at(col("__cb"), j + 1).getField("cents"),
-          struct(lit(Double.MinValue).as("s"), lit(-1).as("cid")),
-          (acc, cen) => {
-            val s = dot(qs, cen.getField("cv"))
-            when(s > acc.getField("s"),
-              struct(s.as("s"), cen.getField("cid").as("cid"))).otherwise(acc)
-          }).getField("cid")
-      }))
+      .withColumn("code",
+        call_function("pq_encode", col("v"), col("__cb"), lit(sub)))
       .select("id", "code")
       .localCheckpoint(false)
 
-    // per-query ADC lookup tables over the same broadcast codebook
+    // per-query ADC lookup tables over the same broadcast codebook (fused:
+    // expressions/PqLut — same m × nCents slice-dot table, one compiled pass)
     val luts = unitized(
         queries.select(col("qid"), asDouble(col("qvec")).as("qv")), "qv")
       .crossJoin(broadcast(cbRow))
-      .withColumn("lut", transform(col("__cb"), je =>
-        transform(je.getField("cents"), cen =>
-          dot(slice(col("qv"), je.getField("j") * sub + 1, lit(sub)),
-            cen.getField("cv")))))
+      .withColumn("lut",
+        call_function("pq_lut", col("qv"), col("__cb"), lit(sub)))
       .select("qid", "lut")
-    // score codes: m table lookups per (corpus row, query) — no vector math
+    // score codes: m table lookups per (corpus row, query) — no vector
+    // math; expressions/PqAdc fuses the zip_with+element_at+fold HOF chain
     val scored = encoded.join(broadcast(luts), col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        aggregate(zip_with(col("code"), col("lut"),
-          (cd, l) => element_at(l, cd + 1)), lit(0.0), (acc, v) => acc + v)
-          .as("sim"))
+        call_function("pq_adc", col("code"), col("lut")).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
     if (rerank <= 0)
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
  */
 object Bfs {
 
+  /** Long-id contract cast for the RDD/local fast paths: a non-null id
+    * that does not cast to LONG fails loudly instead of becoming NULL and
+    * silently dropping the edge (the generic-typed DataFrame joins these
+    * paths replaced would have matched string ids). */
+  private def longId(c: org.apache.spark.sql.Column, op: String):
+      org.apache.spark.sql.Column =
+    when(c.isNotNull && c.cast("long").isNull,
+      raise_error(concat(lit(s"$op: id not castable to LONG: "),
+        c.cast("string"))).cast("long"))
+      .otherwise(c.cast("long"))
+
   /**
    * Multi-source BFS distances.
    * @param edges  (src LONG, dst LONG) — pre-orient/symmetrize upstream
@@ -221,7 +232,8 @@ object Bfs {
   def listRanks(edges: DataFrame, maxLength: Long = 1L << 20,
       localEdgeThreshold: Int = 200000): DataFrame = {
     val spark = edges.sparkSession
-    val raw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val raw = edges.select(longId(col("src"), "listRanks").as("src"),
+        longId(col("dst"), "listRanks").as("dst"))
       .na.drop("any")
     val roundsCap = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLength))) + 1
     if (localEdgeThreshold > 0) {
@@ -507,16 +519,22 @@ object Bfs {
    */
   def earliestArrival(edges: DataFrame, sources: DataFrame,
       maxHops: Int = 50, localEdgeThreshold: Int = 200000): DataFrame = {
+    // source is cast (with the loud-failure guard) alongside the edge
+    // columns: the local path reads it with getLong, and the distributed
+    // join compares it against cast edge ids — an un-cast IntegerType
+    // source would ClassCastException locally and type-mismatch remotely
     val s0 = if (sources.columns.contains("t0"))
-      sources.select(col("source"), col("t0").cast("long").as("arrival"))
-    else sources.select(col("source"), lit(0L).as("arrival"))
+      sources.select(longId(col("source"), "earliestArrival").as("source"),
+        col("t0").cast("long").as("arrival"))
+    else sources.select(longId(col("source"), "earliestArrival").as("source"),
+      lit(0L).as("arrival"))
     if (localEdgeThreshold > 0) {
       // guarded driver-local fast path (the connectedComponents /
       // listRanks precedent): a bounded temporal-edge list runs the SAME
       // keep-the-min round DP on the driver — 2 jobs total instead of ~3
       // per relaxation round. Probe + collect in one evaluation.
-      val eProbe = edges.select(col("src").cast("long"),
-          col("dst").cast("long"), col("ts").cast("long"))
+      val eProbe = edges.select(longId(col("src"), "earliestArrival"),
+          longId(col("dst"), "earliestArrival"), col("ts").cast("long"))
         .na.drop("any") // a null edge field never matches the join either
         .limit(localEdgeThreshold + 1).collect()
       if (eProbe.length <= localEdgeThreshold) {
