@@ -170,51 +170,19 @@ object Trail {
   def shortestK(edges: DataFrame, pairs: DataFrame, k: Int, maxDepth: Int): DataFrame = {
     require(k >= 1 && maxDepth >= 0 && maxDepth <= 30,
       s"shortestK bounds out of range: k=$k maxDepth=$maxDepth")
-    val e = edges.select(col("id").as("__er"), col("src").as("__es"), col("dst").as("__ed"))
-    // candidates within one round share a hop count — rank on path only
-    val wNew = org.apache.spark.sql.expressions.Window
-      .partitionBy("source", "end").orderBy(col("path").asc)
-
-    var frontier = pairs.select("source").distinct()
-      .select(col("source"), col("source").as("end"), lit(0).as("hops"),
-        array().cast("array<long>").as("path"))
-      .freshCkpt()
-    val keptPieces = Seq.newBuilder[DataFrame]
-    keptPieces += frontier
-    var counts = frontier.groupBy("source", "end").agg(count(lit(1)).as("__have"))
-      .freshCkpt()
-
-    var d = 0
-    var fCnt = frontier.count()
-    while (d < maxDepth && fCnt > 0) {
-      // per-node budget bounds the frontier at |reached| × k — broadcast
-      // when small so expansion probes edges map-side
-      val f = if (fCnt <= 200000) broadcast(frontier) else frontier
-      val expanded = f.join(e,
-          col("end") === col("__es") && !array_contains(col("path"), col("__er")))
-        .select(col("source"), col("__ed").as("end"), (col("hops") + 1).as("hops"),
-          concat(col("path"), array(col("__er"))).as("path"))
-      val newKept = expanded
-        .withColumn("__rk", row_number().over(wNew))
-        .join(counts, Seq("source", "end"), "left_outer")
-        .filter(col("__rk") + coalesce(col("__have"), lit(0L)) <= k)
-        .drop("__rk", "__have")
-        // lazy: the count() below materializes it — one job per round, not
-        // a checkpoint job followed by a count job
-        .localCheckpoint(false)
-      // lazy: next round's join materializes it in the same job
-      counts = counts.join(
-          newKept.groupBy("source", "end").agg(count(lit(1)).as("__new")),
-          Seq("source", "end"), "full_outer")
-        .select(col("source"), col("end"),
-          (coalesce(col("__have"), lit(0L)) + coalesce(col("__new"), lit(0L))).as("__have"))
-        .localCheckpoint(false)
-      keptPieces += newKept
-      frontier = newKept
-      fCnt = frontier.count()
-      d += 1
-    }
-    val kept = keptPieces.result().reduce(_ unionByName _)
+    // RDD rounds (TrailRdd.search, KTotal policy): one shuffle per round
+    // under one shared HashPartitioner, replacing the per-round
+    // window + counts-table join + two localCheckpoints. The per-
+    // (source, end) k-total budget with path-ascending in-round selection
+    // is the decision-for-decision twin of the replaced counts relation
+    // (candidates within one round share a hop count — rank on path only).
+    val e = edges.select(col("src").as("__es"), col("dst").as("__ed"),
+      array(col("id")).as("__ers"), array(col("dst")).as("__ens"),
+      lit(1).as("__elen"))
+    val out = TrailRdd.search(Seq(e), Seq(None),
+      pairs.select("source").distinct(), Array(0), Array(maxDepth),
+      TrailRdd.KTotal(k), keepAll = true, maxRounds = maxDepth)
+    val kept = TrailRdd.toDf(edges.sparkSession, out.result)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "target").orderBy(col("hops").asc, col("path").asc)
     kept.join(pairs, Seq("source")).filter(col("end") === col("target"))
@@ -296,47 +264,22 @@ object Trail {
         localKeptRows(edges.sparkSession, es, ss, maxDepth, budget.toInt,
           capIsHorizon)
       } else {
-        val e = edges.select(col("id").as("__er"), col("src").as("__es"),
-          col("dst").as("__ed"))
-        var frontier = sources
-          .select(col("source"), col("source").as("end"), lit(0).as("hops"),
-            array().cast("array<long>").as("path"),
-            array(col("source")).as("nodes"))
-          .freshCkpt()
-        val pieces = Seq.newBuilder[DataFrame]
-        pieces += frontier
-        var counts = frontier.groupBy("source", "end")
-          .agg(lit(1L).as("__rounds")).localCheckpoint(false)
-        var d = 0
-        var fCnt = frontier.count()
-        while (d < maxDepth && fCnt > 0) {
-          val f = if (fCnt <= 200000) broadcast(frontier) else frontier
-          val expanded = f.join(e,
-              col("end") === col("__es") && !array_contains(col("path"), col("__er")))
-            .select(col("source"), col("__ed").as("end"), (col("hops") + 1).as("hops"),
-              concat(col("path"), array(col("__er"))).as("path"),
-              concat(col("nodes"), array(col("__ed"))).as("nodes"))
-          val newKept = expanded
-            .join(counts, Seq("source", "end"), "left_outer")
-            .filter(coalesce(col("__rounds"), lit(0L)) < budget)
-            .drop("__rounds")
-            .localCheckpoint(false) // the count() below materializes it
-          counts = counts.join(
-              newKept.select("source", "end").distinct().withColumn("__arr", lit(1L)),
-              Seq("source", "end"), "full_outer")
-            .select(col("source"), col("end"),
-              (coalesce(col("__rounds"), lit(0L)) + coalesce(col("__arr"), lit(0L)))
-                .as("__rounds"))
-            .localCheckpoint(false)
-          pieces += newKept
-          frontier = newKept
-          fCnt = frontier.count()
-          d += 1
-        }
+        // RDD rounds (TrailRdd.search, ArrivalBudget policy): one shuffle
+        // per round under one shared HashPartitioner, replacing the
+        // per-round counts join + two localCheckpoints; the distinct-
+        // arrival-round budget is the decision-for-decision twin of the
+        // replaced counts relation.
+        val e = edges.select(col("src").as("__es"), col("dst").as("__ed"),
+          array(col("id")).as("__ers"), array(col("dst")).as("__ens"),
+          lit(1).as("__elen"))
+        val out = TrailRdd.search(Seq(e), Seq(None), sources,
+          Array(0), Array(maxDepth), TrailRdd.ArrivalBudget(budget.toInt),
+          keepAll = true, maxRounds = maxDepth)
         // mirror the local fast path: an alive frontier at an
         // unbounded-quantifier cap means longer SHORTEST matches are missed
-        if (capIsHorizon && fCnt > 0) onHorizon("SHORTEST", maxDepth)
-        pieces.result().reduce(_ unionByName _)
+        if (capIsHorizon && out.finalFrontier.take(1).nonEmpty)
+          onHorizon("SHORTEST", maxDepth)
+        TrailRdd.toDf(edges.sparkSession, out.result)
       }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "target").orderBy(col("hops").asc)
@@ -464,10 +407,6 @@ object Trail {
       // k-selection of another partition
       partBnds: Seq[Int] = Nil): DataFrame = {
     def bndCols = partBnds.map(i => try_element_at(col("bnds"), lit(i + 1)))
-    val wState = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source") +: col("end") +: col("seg") +:
-        col("segHops") +: bndCols: _*)
-      .orderBy(col("hops").asc, col("path").asc)
     // per state only the k best (hops, path) rows survive a round, so work
     // per round is bounded by |reached states| × k, not by the trail count
     // (local twin: same k-best by (hops, path) — Spark orders array<long>
@@ -482,9 +421,8 @@ object Trail {
             .take(k))
         .toSeq
     val __t0 = System.nanoTime()
-    val finished = segmentSearch(segments, sources, k, (df, _) => df
-      .withColumn("__rk", row_number().over(wState))
-      .filter(col("__rk") <= k).drop("__rk"), Some(localPrune),
+    val finished = segmentSearch(segments, sources, k,
+      TrailRdd.KBestPerState(k, partBnds), Some(localPrune),
       localThreshold)
     if (sys.env.contains("GRAFT_NFA_PROF"))
       System.err.println(f"NFAPROF segmentSearch-total ${(System.nanoTime()-__t0)/1e9}%.3f s")
@@ -537,9 +475,6 @@ object Trail {
       sources: DataFrame, k: Int, accept: DataFrame => DataFrame,
       localThreshold: Int = 10000, partBnds: Seq[Int] = Nil): DataFrame = {
     val budget = k + segments.map(_.min).sum + GroupsBudgetSlack
-    val wState = org.apache.spark.sql.expressions.Window
-      .partitionBy("source", "end", "seg", "segHops")
-      .orderBy(col("hops").asc)
     // Two prunes compose per round: (a) length-cohort budget WITHIN a
     // state — only bites where lengths diverge inside one round, i.e.
     // composite/alternation segments; (b) the distinct-ARRIVAL-ROUND
@@ -548,46 +483,10 @@ object Trail {
     // maxTotal (see [[shortestGroups]]'s budget rationale; per-seg keying
     // matches that per-state rationale — a shared (source, end) budget
     // would let arrivals via one segment starve a prefix another
-    // segment's length-group still needs).
-    //
-    // The arrival counter rides IN the frontier as LEDGER rows
-    // (segHops = -1, count in `hops`, one per state) instead of a
-    // separate full_outer-joined, per-round-checkpointed counts relation:
-    // each round is then ONE window stage — partitioned by
-    // (source, end, seg), under which the (…, segHops) cohort window and
-    // the arrival bookkeeping are subsumed partitionings — and one
-    // frontier checkpoint, not two. Ledger rows are inert in the search
-    // (never active, never advanced, filtered from acceptance).
-    val prune: (DataFrame, DataFrame) => DataFrame = { (df0, prev) =>
-      val isLedger = col("segHops") === -1
-      val withLedger =
-        if (prev == null) df0 else df0.unionByName(prev.filter(isLedger))
-      val wL = org.apache.spark.sql.expressions.Window
-        .partitionBy("source", "end", "seg")
-      val wLo = wL.orderBy(col("segHops").asc)
-      val flagged = withLedger
-        // prior distinct-arrival-round count for this state (0 if new)
-        .withColumn("__pr",
-          coalesce(max(when(isLedger, col("hops"))).over(wL), lit(0)))
-        // (a) length-cohort rank — ledger rows sit alone in segHops = -1
-        .withColumn("__rk", dense_rank().over(wState))
-        .withColumn("__keep",
-          !isLedger && col("__rk") <= budget && col("__pr") < budget)
-        // did any row survive into this state this round?
-        .withColumn("__arr",
-          max(when(col("__keep"), 1).otherwise(0)).over(wL))
-        .withColumn("__rn", row_number().over(wLo))
-      val kept = flagged.filter(col("__keep"))
-        .drop("__pr", "__rk", "__keep", "__arr", "__rn")
-      val ledgerOut = flagged
-        .filter(col("__rn") === 1 && (col("__pr") > 0 || col("__arr") === 1))
-        .select(col("source"), col("end"), col("seg"),
-          lit(-1).as("segHops"), (col("__pr") + col("__arr")).as("hops"),
-          array().cast("array<long>").as("path"),
-          array().cast("array<long>").as("nodes"),
-          array().cast("array<long>").as("bnds"))
-      kept.unionByName(ledgerOut)
-    }
+    // segment's length-group still needs). Both run in
+    // TrailRdd.GroupsLedger: the arrival counter rides IN the frontier as
+    // ledger rows (segHops = -1, count in `hops`, one per state), inert in
+    // the search (never active, never advanced, filtered from acceptance).
     // local twin of the two prunes: smallest-`budget` distinct hop cohorts
     // per (source, end, seg, segHops), then the per-(source, end, seg)
     // distinct-arrival-round budget (checked before this round's arrivals
@@ -606,8 +505,8 @@ object Trail {
           rounds(s) = rounds.getOrElse(s, 0) + 1)
       kept
     }
-    val finished = segmentSearch(segments, sources, k, prune, Some(localPrune),
-      localThreshold)
+    val finished = segmentSearch(segments, sources, k,
+      TrailRdd.GroupsLedger(budget), Some(localPrune), localThreshold)
     // a pre-bound interior variable partitions the LENGTH-GROUP rank too
     // (the budget slack absorbs the cross-partition pruning interplay)
     val w = org.apache.spark.sql.expressions.Window
@@ -727,7 +626,7 @@ object Trail {
   // latency. Do not "align" these bounds: components/listRanks collect
   // once and run linear union-find/chain walks; this DP is round-iterated.
   private def segmentSearch(segments: Seq[PathSegment], sources: DataFrame,
-      k: Int, pruneStates: (DataFrame, DataFrame) => DataFrame,
+      k: Int, policy: TrailRdd.Policy,
       localPrune: Option[Seq[LRow] => Seq[LRow]] = None,
       localThreshold: Int = 10000): DataFrame = {
     require(segments.nonEmpty && k >= 1, "need segments and k >= 1")
@@ -746,9 +645,6 @@ object Trail {
         val t0 = System.nanoTime(); f
         System.err.println(f"NFAPROF $tag ${(System.nanoTime()-t0)/1e9}%.3f s")
       } else f
-    val nSeg = segments.size
-    val mins = lit(segments.map(_.min).toArray)
-    val maxs = lit(segments.map(_.max).toArray)
     import graft.ops.Ckpt._
     val cap = org.apache.spark.sql.graftstats.FreshStats.capStats _
     // every segment in composite form: one "expansion step" = one rel for
@@ -787,97 +683,33 @@ object Trail {
     if (isLocal)
       return localSegmentSearch(segments, eBySeg, bBySeg, sources,
         localPrune.get)
-    // epsilon closure: advance past segments whose minimum is satisfied
-    // (seg == nSeg is the accepting state). Advances run in ascending
-    // segment order — seg only grows, so every chain of advances is
-    // covered — and each advance out of segment i semi-joins that
-    // segment's boundary node set (the NFA's per-state node predicate):
-    // a path may only leave segment i on a node matching the interior
-    // node pattern between leg i and leg i+1.
-    def closure(df0: DataFrame): DataFrame = {
-      val acc = Seq.newBuilder[DataFrame]
-      acc += df0
-      var carry: Option[DataFrame] = None // rows advanced into segment i
-      var i = 0
-      while (i < nSeg) {
-        val atI = df0.filter(col("seg") === i)
-        val cand = carry.fold(atI)(atI.unionByName(_))
-        var adv = cand.filter(
-          col("segHops") >= try_element_at(mins, col("seg") + 1))
-        bBySeg(i).foreach { b =>
-          adv = adv.join(b.select(col("id").as("end")), Seq("end"),
-            "left_semi")
-        }
-        val advanced = adv.select(col("source"), col("end"),
-          (col("seg") + 1).as("seg"), lit(0).as("segHops"),
-          col("hops"), col("path"), col("nodes"),
-          // the node a path crosses INTO segment i+1 on — interior
-          // pattern variables bind from these per-transition nodes
-          concat(col("bnds"), array(col("end"))).as("bnds"))
-        acc += advanced
-        carry = Some(advanced)
-        i += 1
-      }
-      acc.result().reduce(_ unionByName _)
-    }
-
-    // one action per round: materializes the (lazy) frontier checkpoint AND
-    // returns the count of still-expandable states — replacing an eager
-    // checkpoint job + a separate isEmpty job. Ledger rows (segHops = -1)
-    // are never active and never accepted.
-    val isActive = col("segHops") >= 0 && col("seg") < nSeg &&
-      col("segHops") < try_element_at(maxs, col("seg") + 1)
-    val isAccepted = col("seg") === nSeg && col("segHops") >= 0
-    def materializeAndCountActive(f: DataFrame): Long =
-      f.agg(count(when(isActive, 1))).first().getLong(0)
-
-    var frontier = prof3("init-ckpt") { cap(pruneStates(closure(
-      sources
-        .select(col("source"), col("source").as("end"), lit(0).as("seg"),
-          lit(0).as("segHops"), lit(0).as("hops"),
-          array().cast("array<long>").as("path"),
-          array(col("source")).as("nodes"),
-          array().cast("array<long>").as("bnds"))), null)
-      .localCheckpoint(false)) }
-    val finished = Seq.newBuilder[DataFrame]
-    finished += frontier.filter(isAccepted)
-    var depth = 0
-    var activeCnt = 0L
-    prof("init-count") { activeCnt = materializeAndCountActive(frontier) }
-    while (depth < maxTotal && activeCnt > 0) {
-      val active = frontier.filter(isActive)
-      val expanded = (0 until nSeg).map { i =>
-        active.filter(col("seg") === i)
-          .join(eBySeg(i), col("end") === col("__es") &&
-            !arrays_overlap(col("path"), col("__ers")))
-          .select(col("source"), col("__ed").as("end"), col("seg"),
-            (col("segHops") + 1).as("segHops"),
-            (col("hops") + col("__elen")).as("hops"),
-            concat(col("path"), col("__ers")).as("path"),
-            concat(col("nodes"), col("__ens")).as("nodes"), col("bnds"))
-      }.reduce(_ unionByName _)
-      frontier = prof3(s"round-ckpt-$depth") {
-        cap(pruneStates(closure(expanded), frontier).localCheckpoint(false)) }
-      finished += frontier.filter(isAccepted)
-      prof(s"round-$depth") { activeCnt = materializeAndCountActive(frontier) }
-      depth += 1
+    // RDD rounds (TrailRdd.search): one compiled loop under one shared
+    // HashPartitioner — ONE shuffle per round instead of a per-round
+    // Catalyst-planned join+window+checkpoint stack. Epsilon closure,
+    // boundary predicates, per-state prune and the cross-round budgets are
+    // the decision-for-decision twins of the r15 DataFrame formulation
+    // (see TrailRdd policies); accepted rows and the horizon check read
+    // the same frontier state.
+    val minsArr = segments.map(_.min).toArray
+    val maxsArr = segments.map(_.max).toArray
+    val out = prof3("rdd-search") {
+      TrailRdd.search(eBySeg, bBySeg, sources.select("source"),
+        minsArr, maxsArr, policy, keepAll = false, maxRounds = maxTotal)
     }
     // horizon: surviving rows AT an unbounded segment's cap mean the
-    // search was cut, not exhausted (such rows are no longer "active", so
-    // activeCnt alone cannot distinguish the two); one tiny LIMIT-1 job,
-    // only for searches that had an unbounded quantifier
+    // search was cut, not exhausted; one tiny job, only for searches that
+    // had an unbounded quantifier
     locally {
       val unbIdx = segments.zipWithIndex.collect {
-        case (s, i) if s.unbounded => i }
+        case (s, i) if s.unbounded => i }.toSet
       if (unbIdx.nonEmpty) {
-        val atCap = frontier.filter(col("segHops") >= 0 &&
-            col("seg").isin(unbIdx.map(Int.box): _*) &&
-            col("segHops") >= try_element_at(maxs, col("seg") + 1))
-          .limit(1).count()
+        val atCap = out.finalFrontier.filter(r =>
+          r.segHops >= 0 && unbIdx(r.seg) && r.segHops >= maxsArr(r.seg))
+          .take(1).length
         if (atCap > 0) onHorizon("SHORTEST", maxTotal)
       }
     }
-    finished.result().reduce(_ unionByName _)
+    TrailRdd.toDf(sources.sparkSession, out.result)
   }
 
   /** PropertyGraph convenience: orient + type-filter the rels table. */
