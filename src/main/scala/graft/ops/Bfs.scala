@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
  */
 object Bfs {
 
+  /** Measurement override for the guarded local fast paths (r16, VERDICT
+    * item #5): GRAFT_LOCAL_EDGE_THRESHOLD=0 forces the distributed
+    * branches so their scaling can be benched on fixtures the local walk
+    * would otherwise absorb. Unset = the caller's threshold. */
+  private def effThreshold(t: Int): Int =
+    sys.env.get("GRAFT_LOCAL_EDGE_THRESHOLD").map(_.toInt).getOrElse(t)
+
   /** Long-id contract cast for the RDD/local fast paths: a non-null id
     * that does not cast to LONG fails loudly instead of becoming NULL and
     * silently dropping the edge (the generic-typed DataFrame joins these
@@ -57,65 +64,95 @@ object Bfs {
   def distancesImpl(edges: DataFrame, sources: DataFrame, maxDepth: Int,
       targetPairs: Option[DataFrame],
       edgesDeduped: Boolean = false): DataFrame = {
-    // reachability only sees distinct (src, dst): parallel edges (e.g. one
-    // per lineitem between the same order and part) would be rescanned
-    // every round otherwise — dedupe once into the materialized edge set.
-    // Callers holding a warm pre-deduped pair set (PropertyGraph
-    // .topologyPairs) pass edgesDeduped = true and skip that whole pass.
-    val e =
-      if (edgesDeduped) edges.select(col("src").as("__s"), col("dst").as("__d"))
-      else edges.select(col("src").as("__s"), col("dst").as("__d"))
-        .distinct()
-        .localCheckpoint(false)
+    // RDD rounds under ONE shared HashPartitioner (the listRanks /
+    // TrailRdd treatment, r16): the DataFrame loop paid up to three wide
+    // stages per round (frontier⋈edges sort-merge once the frontier
+    // outgrew the broadcast cap, a distinct exchange, a visited
+    // anti-join exchange) plus a per-round Catalyst pass. Here edges are
+    // partitioned by src ONCE; each round the co-partitioned join is
+    // narrow, the expanded rows pay exactly ONE shuffle into the shared
+    // partitioning, and the (source, node) dedupe + visited anti-join +
+    // target-hit count all run partition-locally because every row of a
+    // node lives in that node's partition.
+    val spark = edges.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    // reachability only sees distinct (src, dst): parallel edges would be
+    // rescanned every round otherwise. Callers holding a pre-deduped pair
+    // set (PropertyGraph.topologyPairs) pass edgesDeduped = true.
+    val eRaw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .na.drop("any") // a null endpoint never matched the join either
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val nPart = math.min(
+      spark.sessionState.conf.numShufflePartitions,
+      math.max(math.max(1, spark.sparkContext.defaultParallelism / 4),
+        eRaw.getNumPartitions))
+    val part = new org.apache.spark.HashPartitioner(nPart)
+    val e = (if (edgesDeduped) eRaw else eRaw.distinct(nPart))
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // frontier/visited/target rows keyed by NODE so the dedupe, the
+    // anti-join and the hit count are partition-local
     val targets = targetPairs.map(
-      _.select(col("source"), col("target").as("node")).distinct()
-        .withColumn("__hit", lit(1)).freshCkpt())
+      _.select(col("target").cast("long"), col("source").cast("long"))
+        .distinct()
+        .rdd.map(r => (r.getLong(0), r.getLong(1)))
+        .partitionBy(part)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val tCnt = targets.map(_.count())
-    // ONE action per round (the listRanks pattern): frontiers are LAZY
-    // checkpoints, and the (rows, target-hits) aggregate below is the job
-    // that materializes them. An eager checkpoint + count + semi-join count
-    // would be three jobs a round; at ~1.5 s of fixed job overhead each,
-    // the constant — not the asymptotics — dominated deep walks.
-    def stats(f: DataFrame): (Long, Long) = targets match {
-      case Some(t) =>
-        val tb = if (tCnt.exists(_ <= 2000000L)) broadcast(t) else t
-        val r = f.join(tb, Seq("source", "node"), "left_outer")
-          .agg(count(lit(1)), count(col("__hit"))).first()
-        (r.getLong(0), r.getLong(1))
-      case None => (f.count(), 0L)
-    }
-    var frontier = sources
-      .select(col("source"), col("source").as("node"), lit(0).as("dist"))
-      .localCheckpoint(false)
+    // one job per round: zipping the (persisted) frontier with the target
+    // partition yields (rows, hits) and materializes the round
+    def stats(f: org.apache.spark.rdd.RDD[(Long, Long)]): (Long, Long) =
+      targets match {
+        case Some(t) =>
+          f.zipPartitions(t, preservesPartitioning = false) { (fIt, tIt) =>
+            val tset = scala.collection.mutable.HashSet.from(tIt)
+            var n = 0L; var h = 0L
+            fIt.foreach { p => n += 1; if (tset(p)) h += 1 }
+            Iterator.single((n, h))
+          }.collect().foldLeft((0L, 0L)) { case ((a, b), (x, y)) =>
+            (a + x, b + y) }
+        case None => (f.count(), 0L)
+      }
+    var frontier = sources.select(col("source").cast("long"))
+      .rdd.map { r => val s = r.getLong(0); (s, s) }
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pieces = Seq.newBuilder[(Int, org.apache.spark.rdd.RDD[(Long, Long)])]
+    pieces += ((0, frontier))
+    var visitedUnion = frontier
     val s0 = stats(frontier)
     var fCnt = s0._1
-    var visited = frontier
     var remaining = tCnt.map(_ - s0._2)
     var depth = 0
     while (depth < maxDepth && remaining.forall(_ > 0) && fCnt > 0) {
       depth += 1
-      // checkpointed RDDs carry no size stats, so Spark would shuffle the
-      // FULL edge table every round; broadcasting a small frontier turns
-      // the round into a map-side probe of edges instead (count is free —
-      // the frontier is already materialized)
-      val f = if (fCnt <= 2000000) broadcast(frontier) else frontier
-      frontier = f.join(e, col("node") === col("__s"))
-        .select(col("source"), col("__d").as("node"))
-        .distinct()
-        .join(visited.select("source", "node"), Seq("source", "node"), "left_anti")
-        .withColumn("dist", lit(depth))
-        .localCheckpoint(false)
-      val s = stats(frontier) // materializes the round's checkpoint
+      val expanded = frontier.join(e, part) // narrow: both sides on `part`
+        .map { case (_, (s, d)) => (d, s) }
+        .partitionBy(part) // the round's one shuffle
+      val vis = visitedUnion
+      frontier = expanded
+        .zipPartitions(vis, preservesPartitioning = true) { (expIt, visIt) =>
+          val seen = scala.collection.mutable.HashSet.from(visIt)
+          expIt.filter(p => seen.add(p)) // dedupe + visited anti-join
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val s = stats(frontier) // materializes the round
       fCnt = s._1
-      // visited is a lazy union of already-checkpointed frontier deltas,
-      // re-materialized as ONE table every few rounds: without compaction a
-      // depth-D walk scans O(D) deltas per anti-join → O(D²) total. Lazy:
-      // the next round's stats job folds the compaction in.
-      visited = visited.unionByName(frontier)
-      if (depth % 4 == 0) visited = visited.localCheckpoint(false)
+      pieces += ((depth, frontier))
+      visitedUnion = visitedUnion.union(frontier) // narrow: same partitioner
       remaining = remaining.map(_ - s._2)
     }
-    visited
+    spark.createDataFrame(
+      spark.sparkContext.union(pieces.result().map { case (d, rdd) =>
+        rdd.map { case (n, s) =>
+          org.apache.spark.sql.Row(s, n, d) }: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
   }
 
   /** PruningVarExpand: distinct nodes with SOME trail of length in
@@ -236,12 +273,13 @@ object Bfs {
         longId(col("dst"), "listRanks").as("dst"))
       .na.drop("any")
     val roundsCap = (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxLength))) + 1
-    if (localEdgeThreshold > 0) {
+    val locT = effThreshold(localEdgeThreshold)
+    if (locT > 0) {
       // probe and collect in ONE evaluation: a separate LIMIT-probe would
       // re-run the caller's edge-producing subtree (often a window +
       // self-join) before the collect ran it again
-      val probe = raw.limit(localEdgeThreshold + 1).collect()
-      if (probe.length <= localEdgeThreshold)
+      val probe = raw.limit(locT + 1).collect()
+      if (probe.length <= locT)
         return localListRanks(spark, probe.map(r => (r.getLong(0), r.getLong(1))),
           maxLength, roundsCap)
     }
@@ -528,7 +566,8 @@ object Bfs {
         col("t0").cast("long").as("arrival"))
     else sources.select(longId(col("source"), "earliestArrival").as("source"),
       lit(0L).as("arrival"))
-    if (localEdgeThreshold > 0) {
+    val locT = effThreshold(localEdgeThreshold)
+    if (locT > 0) {
       // guarded driver-local fast path (the connectedComponents /
       // listRanks precedent): a bounded temporal-edge list runs the SAME
       // keep-the-min round DP on the driver — 2 jobs total instead of ~3
@@ -536,10 +575,10 @@ object Bfs {
       val eProbe = edges.select(longId(col("src"), "earliestArrival"),
           longId(col("dst"), "earliestArrival"), col("ts").cast("long"))
         .na.drop("any") // a null edge field never matches the join either
-        .limit(localEdgeThreshold + 1).collect()
-      if (eProbe.length <= localEdgeThreshold) {
-        val srcRows = s0.limit(localEdgeThreshold + 1).collect()
-        if (srcRows.length <= localEdgeThreshold)
+        .limit(locT + 1).collect()
+      if (eProbe.length <= locT) {
+        val srcRows = s0.limit(locT + 1).collect()
+        if (srcRows.length <= locT)
           return localEarliestArrival(edges.sparkSession,
             eProbe.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
             srcRows.map(r => (r.getLong(0), r.getLong(1))), maxHops)

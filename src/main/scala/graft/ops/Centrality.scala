@@ -676,7 +676,17 @@ object Centrality {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val smallFan = e.groupBy(col("dst")).agg(count(lit(1)).as("__fan"))
       .filter(col("__fan") <= fanoutCap).select(col("dst"))
+    // explicit dst-partitioning at the session's configured width: the
+    // wedge self-join EXPLODES its input 10-100x (Σ fan² vs |E|), but AQE
+    // coalesces on the join's INPUT bytes — a KB-sized edge shuffle would
+    // be squeezed into a handful of partitions that each pay the squared
+    // work (measured r16: advisory 8m ran this 2.8x slower than 2m).
+    // A user repartition is exempt from AQE coalescing, both join sides
+    // share the one exchange, and the width follows the session conf
+    // rather than a local constant.
+    val nPart = e.sparkSession.sessionState.conf.numShufflePartitions
     val pruned = e.join(smallFan, Seq("dst"), "left_semi")
+      .repartition(nPart, col("dst"))
     val inter = pruned.select(col("dst"), col("src").as("n1"))
       .join(pruned.select(col("dst"), col("src").as("n2")), Seq("dst"))
       .filter(col("n1") < col("n2"))
