@@ -11,6 +11,26 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The suite (~2700 tests) ran SERIALLY in one forked JVM over a local[4]
+// session: ~70 min wall on this box, which is what turned the r15 driver's
+// tests_ok gate into a timeout (VERIFY_r15: output truncated mid-suite, no
+// failure). Split the suites round-robin into parallel forked groups, each
+// in its OWN working directory so derby metastore_db / spark-warehouse /
+// relative scratch paths never collide across JVMs.
+val testGroups = 6
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val base = (Test / forkOptions).value
+  val workRoot = target.value / "testwork"
+  tests.sortBy(_.name).zipWithIndex.groupBy(_._2 % testGroups)
+    .toSeq.sortBy(_._1).map { case (i, ts) =>
+      val wd = workRoot / s"g$i"
+      sbt.IO.createDirectory(wd)
+      Tests.Group(s"g$i", ts.map(_._1),
+        Tests.SubProcess(base.withWorkingDirectory(wd)))
+    }
+}
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, testGroups)
 // The bench/verify contract is "print ONE parseable JSON line": route forked
 // run output straight to stdout (no `[info] ` logger prefix) and drop the
 // trailing `[success] Total time` line so the JSON stays the last line.
